@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operators beyond the shmr surface — the pieces a user of
+  * the reference would otherwise hand-roll with `reduce_by_key` +
+  * driver-side glue (reference shmr has no window/rollup/session
+  * support; see SURVEY.md §2.2).
+  *
+  * Scale notes: every operator here is a single declarative plan —
+  * top-k per group is one shuffle on the partition keys; global top-k
+  * plans as TakeOrderedAndProject (per-partition heap + merge, no
+  * full sort); sessionization is one shuffle on the user key with two
+  * window passes over the same partitioning (Catalyst reuses the
+  * exchange).
+  */
+object Relational {
+
+  implicit class RelationalOps(private val df: DataFrame) extends AnyVal {
+
+    /** Top-k rows per group, deterministic via explicit ordering. */
+    def topKPerGroup(partitionKeys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+      val w = Window.partitionBy(partitionKeys: _*).orderBy(order: _*)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= k)
+        .drop("__graft_rn")
+    }
+
+    /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+    def topK(k: Int, order: Column*): DataFrame = df.orderBy(order: _*).limit(k)
+
+    /** Keep rows with a match in `right` (shuffle- or broadcast-semi). */
+    def semiJoin(right: DataFrame, joinExprs: Column, broadcastRight: Boolean = false): DataFrame =
+      df.join(if (broadcastRight) broadcast(right) else right, joinExprs, "left_semi")
+
+    /** Keep rows without a match in `right`. */
+    def antiJoin(right: DataFrame, joinExprs: Column, broadcastRight: Boolean = false): DataFrame =
+      df.join(if (broadcastRight) broadcast(right) else right, joinExprs, "left_anti")
+
+    /** ROLLUP aggregation (hierarchical subtotals in one pass). */
+    def rollupAgg(keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+    /** Time-bucketed aggregation: truncate `ts` to `unit`
+      * (e.g. "hour") and aggregate per bucket + extra keys. */
+    def timeBucketAgg(ts: Column, unit: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.groupBy(date_trunc(unit, ts).as("bucket") +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+
+    /** Gap-based sessionization: a new session starts when the gap to
+      * the previous event of the same `userKey` exceeds `gapMicros`.
+      * Computed on integral epoch-µs (engine-portable, no interval
+      * arithmetic). One shuffle on the user key; both window passes
+      * and the final aggregate reuse that partitioning. */
+    def sessionize(userKey: Column, ts: Column, gapMicros: Long): DataFrame = {
+      val w = Window.partitionBy(userKey).orderBy(ts)
+      val tsUs = unix_micros(ts)
+      val prevUs = lag(tsUs, 1).over(w)
+      val isNew = when(prevUs.isNull || (tsUs - prevUs) > gapMicros, 1).otherwise(0)
+      df.withColumn("__graft_new", isNew)
+        .withColumn(
+          "session_id",
+          sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .drop("__graft_new")
+    }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps._
+import graft.operators.Relational._
+import graft.sources.Tables
+
+/** SURVEY.md §2.2 — relational/analytic extensions + DuckDB oracles.
+  *
+  * Timestamp outputs are cast to TIMESTAMP_NTZ (UTC session) or epoch
+  * micros so both engines serialize identical values.
+  */
+object AnalyticQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2/16 star-schema join + agg: fact-fact shuffle join, then
+    // broadcast joins up the dimension chain, single hash aggregate.
+    "q_star_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .keyedJoin(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .keyedJoin(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), broadcastRight = true)
+        .keyedJoin(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"), broadcastRight = true)
+        .keyedJoin(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"), broadcastRight = true)
+        .reduceByKey(
+          Seq(col("r_name"), col("n_name")),
+          Seq(
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+              .as("revenue_cents"),
+            count(lit(1)).as("n_items")
+          )
+        )),
+
+    // §2.2/17 window: top-3 orders per customer.
+    "q_window" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .topKPerGroup(
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          3
+        )
+        .mapRecords(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
+    // §2.2/18 global top-k over an aggregate.
+    "q_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .reduceByKey(Seq(col("o_custkey")), Seq(count(lit(1)).as("n")))
+        .topK(5, col("n").desc, col("o_custkey").asc)),
+
+    // §2.2/19a semi join: customers having at least one order.
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .semiJoin(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .mapRecords(col("c_custkey"), col("c_name"))),
+
+    // §2.2/19b anti join: parts never ordered in bulk (qty > 48).
+    "q_anti_join" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .antiJoin(
+          Tables.lineitem(s, dir).filterRecords(col("l_quantity") > 48),
+          col("p_partkey") === col("l_partkey")
+        )
+        .mapRecords(col("p_partkey"), col("p_name"))),
+
+    // §2.2/20 rollup subtotals in one pass.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir).rollupAgg(
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(sum(col("l_quantity").cast("bigint")).as("sum_qty"), count(lit(1)).as("n"))
+      )),
+
+    // §2.2/21 time-bucketed aggregation over the event stream table.
+    "q_time_bucket" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .timeBucketAgg(
+          col("ts"), "hour",
+          Seq(col("event_type")),
+          Seq(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("bigint")).as("value_cents")
+          )
+        )
+        .withColumn("bucket", col("bucket").cast("timestamp_ntz"))),
+
+    // §2.2/22 gap-based sessionization (30 min) + per-session rollup.
+    "q_sessionize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .sessionize(col("user_id"), col("ts"), 30L * 60 * 1000000)
+        .reduceByKey(
+          Seq(col("user_id"), col("session_id")),
+          Seq(
+            count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us")
+          )
+        )),
+
+    // §2.1/15-adjacent: jsonl record parsing as a first-class column op
+    // (shmr's default orjson deser_fn → get_json_object).
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).mapRecords(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")
+      ))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_topk" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY n DESC, o_custkey ASC LIMIT 5""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 48)""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps._
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** SURVEY.md §2.5 — text analysis queries + DuckDB oracles.
+  * All integer intermediates / fixed-operand double divisions, so
+  * values are bit-identical across engines. */
+object TextQueries {
+
+  private val stopList = TextAnalysis.enStopwords
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5/32 token counting: whitespace + BPE-ish pre-tokenizer.
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("bigint").as("n_subtokens")
+      )),
+
+    // §2.5/31 quality scoring: type/token ratio, stopword ratio,
+    // mean token length, composite score.
+    "q_quality" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenize(col("text"))
+      val lowerToks = transform(toks, t => lower(t))
+      val nTokens = size(toks)
+      val nTypes = size(array_distinct(toks))
+      val stopHits = TextAnalysis.vocabHits(lowerToks, stopList)
+      val charSum = TextAnalysis.sumTokenLengths(toks)
+      val ttr = nTypes.cast("double") / nTokens
+      val stopRatio = stopHits.cast("double") / nTokens
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        nTokens.cast("bigint").as("n_tokens"),
+        nTypes.cast("bigint").as("n_types"),
+        stopHits.cast("bigint").as("stop_hits"),
+        charSum.cast("bigint").as("char_sum"),
+        ttr.as("ttr"),
+        stopRatio.as("stop_ratio"),
+        (ttr * 0.5 + stopRatio * 0.5).as("quality_score")
+      )
+    }),
+
+    // §2.5/30 language ID (stopword-hit argmax, deterministic ties).
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang")
+      )),
+
+    // §2.5/33 document fingerprint (normalized content hash).
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")
+      ))
+  )
+
+  private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      raw"""SELECT doc_id,
+           |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
+           |FROM documents""".stripMargin,
+    "q_quality" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+           |), m AS (
+           |  SELECT doc_id,
+           |         len(toks) AS n_tokens,
+           |         len(list_distinct(toks)) AS n_types,
+           |         len(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ($stopSqlList))) AS stop_hits,
+           |         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS char_sum
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |       CAST(n_tokens AS BIGINT) AS n_tokens,
+           |       CAST(n_types AS BIGINT) AS n_types,
+           |       CAST(stop_hits AS BIGINT) AS stop_hits,
+           |       char_sum,
+           |       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+           |       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           |       (CAST(n_types AS DOUBLE) / n_tokens) * 0.5 + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.5 AS quality_score
+           |FROM m""".stripMargin
+        .replace("$stopSqlList", stopSqlList),
+    "q_lang_id" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS toks
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id,
+           |         len(list_filter(toks, x -> x IN (${TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")}))) AS en,
+           |         len(list_filter(toks, x -> x IN (${TextAnalysis.deStopwords.map(w => s"'$w'").mkString(", ")}))) AS de,
+           |         len(list_filter(toks, x -> x IN (${TextAnalysis.frStopwords.map(w => s"'$w'").mkString(", ")}))) AS fr,
+           |         len(list_filter(toks, x -> x IN (${TextAnalysis.esStopwords.map(w => s"'$w'").mkString(", ")}))) AS es
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+           |            WHEN en = greatest(en, de, fr, es) THEN 'en'
+           |            WHEN de = greatest(en, de, fr, es) THEN 'de'
+           |            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+           |            ELSE 'es' END AS pred_lang
+           |FROM s""".stripMargin,
+    "q_fingerprint" ->
+      raw"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.5):
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from native higher-order array expressions
+  * (`split`/`filter`/`transform`/`aggregate`) — no UDFs, no
+  * serialization boundary, distributed-safe at any scale. Integer
+  * intermediates keep results bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (shmr's str records → word arrays). */
+  def tokenize(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword proxy: alphanumeric runs + single non-space
+    * symbols, the usual pre-tokenization regex family. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that belong to `vocab` (e.g. stopwords). */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(vocab)))
+
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val deStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "von")
+  val frStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "de")
+  val esStopwords: Seq[String] = Seq("el", "la", "los", "y", "es", "de")
+
+  /** Sum of token lengths (exact integer fold → portable). */
+  def sumTokenLengths(tokens: Column): Column =
+    aggregate(transform(tokens, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Language ID: stopword-hit score per language, deterministic
+    * argmax (fixed priority order on ties). N-gram profiles would be
+    * the production upgrade; the hit-count heuristic is the standard
+    * cheap first pass and is engine-portable for the oracle. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokenize(text), t => lower(t))
+    val en = vocabHits(toks, enStopwords)
+    val de = vocabHits(toks, deStopwords)
+    val fr = vocabHits(toks, frStopwords)
+    val es = vocabHits(toks, esStopwords)
+    val m = greatest(en, de, fr, es)
+    when(m === 0, lit("unknown"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document fingerprint: stable content hash of the
+    * whitespace-normalized, lowercased text. Portable (md5) so
+    * fingerprints can be joined across engines/runs. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
