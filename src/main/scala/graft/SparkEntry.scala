@@ -19,9 +19,11 @@ object SparkEntry {
     queries("q_star_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries
+    CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries
 
   /** DuckDB-equivalent SQL per query key; identical output column names. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql
+    CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
+      DedupQueries.oracleSql
 }

@@ -1,0 +1,190 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.3).
+  *
+  * All stages are declarative Column expressions — shingling, hashing,
+  * banding and candidate generation run inside whole-stage codegen /
+  * native expression eval; the only shuffles are the keyed self-joins
+  * on band/gram keys, which is the canonical LSH-on-MapReduce shape.
+  *
+  * Hash family is selectable: xxhash64 (fast path, codegen'd) or
+  * md5-lexicographic (engine-portable, used by the DuckDB oracles).
+  */
+object Dedup {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles. Empty array when the doc is
+    * shorter than n tokens (guards Spark's sign-inferring sequence). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
+    )
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group identical payloads by content hash, keep the
+    * row with the minimum id per group. One shuffle on the (uniform)
+    * hash key — skew-free by construction. */
+  def exactDedupKeyed(df: DataFrame, payload: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(md5(payload)).orderBy(id)
+    df.withColumn("fp", md5(payload))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Portable MinHash value for one seed: lexicographic min of
+    * md5(seed || '|' || shingle). A valid min-wise hash family, and
+    * reproducible in any engine with md5. */
+  def minhashMd5(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, g => md5(concat(lit(s"$seed|"), g))))
+
+  /** Fast MinHash value (xxhash64, codegen'd) — the 100 TB path. */
+  def minhashFast(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, g => xxhash64(lit(seed), g)))
+
+  /** LSH band keys: `numBands` bands of `rowsPerBand` minhashes each;
+    * band key = md5 of the concatenated minhashes. Docs sharing any
+    * band key are candidate near-duplicates. */
+  def bandKeys(shingleArr: Column, numBands: Int, rowsPerBand: Int, portable: Boolean): Column = {
+    val keys = (0 until numBands).map { b =>
+      val mhs = (0 until rowsPerBand).map { r =>
+        val seed = b * rowsPerBand + r
+        if (portable) minhashMd5(shingleArr, seed)
+        else minhashFast(shingleArr, seed).cast("string")
+      }
+      md5(concat_ws("|", mhs: _*))
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate pairs from MinHash-LSH banding: one self-join on
+    * (band_id, band_key). Band keys are uniform hashes → the shuffle
+    * is skew-free; pairs are deduped across bands and oriented
+    * idA < idB to halve the verification work. */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2,
+      portable: Boolean = false
+  ): DataFrame = {
+    val keyed = df
+      .select(id.as("doc_id"), bandKeys(shingles(text, shingleN), numBands, rowsPerBand, portable).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    keyed
+      .as("a")
+      .join(
+        keyed.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity pairs: explode distinct grams,
+    * self-join on gram, count intersections, compute |A∩B|/|A∪B|.
+    *
+    * Scale note: frequent grams explode the gram join quadratically;
+    * `maxDocFreq` drops grams present in more than that many docs
+    * (standard prefix/stop-gram filtering) — pairs sharing ONLY
+    * ultra-common grams can't reach a meaningful τ anyway. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 3,
+      tau: Double = 0.5,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame = {
+    val g0 = df.select(id.as("doc_id"), explode(shingles(text, n)).as("g"))
+    val g = maxDocFreq match {
+      case Some(mdf) =>
+        val keep = g0.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= mdf).select("g")
+        g0.join(broadcast(keep), "g")
+      case None => g0
+    }
+    val sizes = g0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = g
+      .as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash bit width for the portable (md5-derived, 60-bit) family. */
+  val SimHashBits = 60
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5 as a long.
+    * Reproducible in DuckDB as ('0x' || substr(md5(t),1,15))::BIGINT. */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash fingerprints: per document, bit j of the fingerprint is
+    * the majority vote of bit j across all token hashes (ties → 0).
+    * One explode + one hash aggregate with 60 sum expressions — all
+    * integer arithmetic, engine-portable.
+    * Near-dup candidates are pairs with small hamming distance
+    * (use [[hammingDist]] = bit_count(a ^ b)). */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("t"))
+    val h = tok.withColumn("h", portableTokenHash(col("t")))
+    val bitSums = (0 until SimHashBits).map(j => sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
+    val agg = h.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
+    val fp = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (codegen'd). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within a hamming radius. The self-join is
+    * blocked on 16-bit fingerprint segments (a fingerprint pair within
+    * hamming distance d ≤ 3 shares at least one of 4 segments —
+    * pigeonhole), so the join key is selective at scale. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "segment blocking assumes 4 segments / radius <= 3")
+    val seg = (df: DataFrame) =>
+      df.select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(array((0 until 4).map(i => shiftright(col("simhash"), i * 15).bitwiseAND(0x7fff)): _*))
+          .as(Seq("seg_id", "seg"))
+      )
+    seg(fps)
+      .as("a")
+      .join(
+        seg(fps).as("b"),
+        col("a.seg_id") === col("b.seg_id") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        hammingDist(col("a.simhash"), col("b.simhash")).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

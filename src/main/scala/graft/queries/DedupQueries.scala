@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** SURVEY.md §2.3 (dedup) + §2.4 (similarity) queries + DuckDB oracles.
+  *
+  * Oracles use the md5-lexicographic hash family (portable = true) and
+  * integer-quantized cosine so every value is bit-identical across
+  * engines; the xxhash64 fast path is covered by ScalaTest specs.
+  */
+object DedupQueries {
+
+  private def quantizedWithNorm(s: SparkSession, dir: String): DataFrame =
+    Similarity.prepareQuantized(Tables.embeddings(s, dir), col("embedding"), col("vec_id"), col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3/23 exact dedup by content hash, min doc_id representative.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup
+        .exactDedupKeyed(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("fp"), col("group_n"))),
+
+    // §2.3/24 MinHash-LSH candidate pairs (8 hashes, 4 bands x 2).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true
+      )),
+
+    // §2.3/26 exact n-gram Jaccard pairs at tau = 0.5.
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.5)),
+
+    // §2.3/25 SimHash fingerprints (60-bit portable family).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))),
+
+    // §2.3/27 embedding near-dup pairs, label-blocked, quantized cosine.
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(quantizedWithNorm(s, dir), "label", 0.4)),
+
+    // §2.4/28 brute-force cosine top-5 for query vectors (id % 100 = 0).
+    "q_cosine_topk" -> ((s, dir) => {
+      val corpus = quantizedWithNorm(s, dir)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity
+        .cosineTopK(corpus, qs, 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // §2.4/29 LSH-bucketed ANN (rows-only check; recall spec-tested).
+    "q_ann_lsh" -> ((s, dir) => {
+      val corpus = quantizedWithNorm(s, dir)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity
+        .annLsh(corpus, qs, bits = 8, dim = 64, k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val shinglesCte =
+    raw"""sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+         |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+         |)""".stripMargin
+
+  private def minhashExpr(seed: Int): String =
+    s"list_min(list_transform(g, x -> md5('$seed|' || x)))"
+
+  private val minhashSql: String = {
+    val bandKeys = (0 until 4)
+      .map(b => s"md5(${minhashExpr(2 * b)} || '|' || ${minhashExpr(2 * b + 1)}) AS k$b")
+      .mkString(",\n         ")
+    val bandUnion = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_id, k$b AS band_key FROM mh")
+      .mkString("\n  UNION ALL ")
+    raw"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id,
+         |         $bandKeys
+         |  FROM sh
+         |),
+         |bands AS (
+         |  $bandUnion
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val ngramSql: String =
+    raw"""WITH $shinglesCte,
+         |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin
+
+  private val simhashSql: String = {
+    val bitSums = (0 until Dedup.SimHashBits).map(j => s"sum((h >> $j) & 1) AS b$j").mkString(", ")
+    val fpExpr = (0 until Dedup.SimHashBits)
+      .map(j => s"CASE WHEN b$j * 2 > n THEN (1::BIGINT << $j) ELSE 0 END")
+      .mkString(" + ")
+    raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents
+         |),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |a AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM a""".stripMargin
+  }
+
+  private val quantCte =
+    raw"""n AS (
+         |  SELECT vec_id, label, e,
+         |         CAST(list_sum(list_transform(range(len(e)), i -> e[i+1] * e[i+1])) AS BIGINT) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+         |        FROM embeddings)
+         |)""".stripMargin
+
+  private val cosExpr =
+    "CAST(CAST(list_sum(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])) AS BIGINT) AS DOUBLE)" +
+      " / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_ngram" -> ngramSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_dedup_embedding" ->
+      raw"""WITH $quantCte
+           |SELECT vec_a, vec_b, cos FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |) WHERE cos >= 0.4""".stripMargin,
+    "q_cosine_topk" ->
+      raw"""WITH $quantCte,
+           |p AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+           |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+           |)
+           |SELECT q_id, neighbor_id, rank, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM p
+           |) WHERE rank <= 5""".stripMargin
+  )
+}

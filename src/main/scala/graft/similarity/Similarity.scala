@@ -1,0 +1,121 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (SURVEY.md §2.4).
+  *
+  * Two tiers:
+  *   - Brute-force cosine top-k: broadcast the (small) query set
+  *     against the corpus — no shuffle over the corpus, one window
+  *     per query for ranking.
+  *   - LSH (random hyperplane) ANN: signature buckets computed per
+  *     row (narrow), candidates from a bucket equi-join — the scale
+  *     path when the query set is itself huge.
+  *
+  * Numeric portability: [[quantize]] maps float vectors to integral
+  * 1e-6 grid longs; dot/norm over longs are exact integer math, so
+  * cosine values are bit-identical in any engine (the DuckDB oracle
+  * mirrors them). The double-precision fast path skips quantization.
+  */
+object Similarity {
+
+  /** Quantize a float vector column to longs on the 1e-6 grid. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Double-precision dot product (fast path, no quantization). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity between two quantized vectors (deterministic
+    * operand order: dot / (sqrt(na) * sqrt(nb))). */
+  def cosineQ(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  /** Corpus prepared for quantized cosine: id, payload cols, quantized
+    * vector `e` and its exact squared norm `nrm`. */
+  def prepareQuantized(df: DataFrame, vec: Column, id: Column, extra: Column*): DataFrame =
+    df.select(id.as("vec_id") +: extra :+ quantize(vec).as("e"): _*)
+      .withColumn("nrm", dotQ(col("e"), col("e")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by quantized cosine. Query side is broadcast; the
+    * corpus is scanned once with no shuffle; ranking shuffles only
+    * (query, candidate) pairs. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    )
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** All corpus pairs (blocked on `blockKey`) with quantized cosine
+    * >= tau — embedding near-duplicate detection. */
+  def cosinePairs(corpus: DataFrame, blockKey: String, tau: Double): DataFrame =
+    corpus
+      .as("a")
+      .join(
+        corpus.as("b"),
+        col(s"a.$blockKey") === col(s"b.$blockKey") && col("a.vec_id") < col("b.vec_id")
+      )
+      .withColumn("cos", cosineQ(dotQ(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+
+  /** Deterministic random hyperplanes: `bits` planes × `dim` components
+    * in [-1, 1], seeded — same signatures on every run/engine. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(bits, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** LSH signature: bit i = [dot(v, plane_i) >= 0], packed to a long.
+    * Computed per-row (narrow, no shuffle). */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.indices.map { i =>
+      val dot = aggregate(
+        zip_with(vec, lit(planes(i)), (x, p) => x.cast("double") * p),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN candidates: queries and corpus meet in identical LSH buckets
+    * (single equi-join on the signature), then exact cosine ranks the
+    * candidates. Recall is tuned by `bits` (fewer bits → bigger
+    * buckets → higher recall, more work). */
+  def annLsh(corpus: DataFrame, queries: DataFrame, bits: Int, dim: Int, k: Int): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val cSig = corpus.withColumn("sig", lshSignature(col("e"), planes))
+    val qSig = queries
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .withColumn("sig", lshSignature(col("qe"), planes))
+    val cand = broadcast(qSig)
+      .join(cSig, Seq("sig"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+}

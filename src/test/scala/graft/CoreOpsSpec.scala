@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CoreOps._
+import graft.operators.Relational._
+
+class CoreOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def people = Seq(
+    (1L, "ann", 30), (2L, "bob", 25), (3L, "cat", 30), (4L, "dan", 25), (5L, "eve", 40)
+  ).toDF("id", "name", "age")
+
+  test("mapRecords projects and computes") {
+    val out = people.mapRecords(col("id"), (col("age") * 2).as("age2")).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSet === Set((1L, 60), (2L, 50), (3L, 60), (4L, 50), (5L, 80)))
+  }
+
+  test("flatMapRecords explodes arrays") {
+    val df = Seq((1L, "a b"), (2L, "c")).toDF("id", "s")
+    val out = df.flatMapRecords(split(col("s"), " "), "w", col("id")).as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (1L, "b"), (2L, "c")))
+  }
+
+  test("distinctBy keeps deterministic representative per key") {
+    val out = people.distinctBy(Seq(col("age")), Seq(col("id"))).as[(Long, String, Int)].collect().toSet
+    assert(out === Set((1L, "ann", 30), (2L, "bob", 25), (5L, "eve", 40)))
+  }
+
+  test("reduceByKey aggregates with map-side combine semantics") {
+    val out = people.reduceByKey(Seq(col("age")), Seq(count(lit(1)).as("n"), sum(col("id")).as("s")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(out === Set((30, 2L, 4L), (25, 2L, 6L), (40, 1L, 5L)))
+  }
+
+  test("splitByKey buckets by key mod n and keeps bucket column") {
+    val out = people.splitByKey(col("id"), 2)
+    assert(out.rdd.getNumPartitions === 2)
+    val buckets = out.select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(buckets === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+    // co-location: each bucket value lives entirely in one partition
+    val perPart = out.select("bucket").rdd
+      .mapPartitionsWithIndex((i, it) => it.map(r => (r.getInt(0), i)).distinct)
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(perPart.values.forall(_ === 1))
+  }
+
+  test("keyedJoin inner join matches by key") {
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("oid", "pid")
+    val out = orders.keyedJoin(people, col("pid") === col("id"), broadcastRight = true)
+      .select("oid", "name").as[(Long, String)].collect().toSet
+    assert(out === Set((10L, "ann"), (11L, "ann"), (12L, "cat")))
+  }
+
+  test("headRecords is deterministic top-n") {
+    val out = people.headRecords(2, col("age").desc, col("id").asc).select("id").as[Long].collect().toSeq
+    assert(out === Seq(5L, 1L))
+  }
+
+  test("concat + coalesce preserve content") {
+    val a = people.filterRecords(col("id") <= 2)
+    val b = people.filterRecords(col("id") > 2)
+    val out = a.concatPartitions(b).coalescePartitions(1)
+    assert(out.rdd.getNumPartitions === 1)
+    assert(out.countRecords() === 5)
+  }
+
+  test("applyRecords visits every record") {
+    assert(people.applyRecords(_ => ()) === 5L)
+  }
+
+  test("topKPerGroup ranks within groups") {
+    val out = people.topKPerGroup(Seq(col("age")), Seq(col("id").desc), 1)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(3L, 4L, 5L))
+  }
+
+  test("sessionize splits on gap") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:00:00"),
+      (2L, "2024-01-01 00:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = ev.sessionize(col("user_id"), col("ts"), 30L * 60 * 1000000)
+      .select("user_id", "session_id").as[(Long, Long)].collect()
+    assert(out.count { case (u, sid) => u == 1L && sid == 1L } === 2)
+    assert(out.count { case (u, sid) => u == 1L && sid == 2L } === 1)
+    assert(out.count { case (u, sid) => u == 2L && sid == 1L } === 1)
+  }
+}

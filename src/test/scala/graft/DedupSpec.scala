@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // one token changed
+  private val other =
+    "completely different content about spark catalyst optimizer plans and shuffle partitions at scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedupKeyed groups identical payloads, keeps min id") {
+    val out = Dedup.exactDedupKeyed(docs, col("text"), col("doc_id"))
+      .select("doc_id", "group_n").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH (fast xxhash64 family) finds near-dup candidates") {
+    val pairs = Dedup.minhashCandidatePairs(docs, col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = false)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc stays out
+  }
+
+  test("ngram Jaccard computes exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, tau = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram Jaccard maxDocFreq drops ultra-common grams") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 1, tau = 0.9, maxDocFreq = Some(1))
+      .as[(Long, Long, Double)].collect()
+    // grams shared by >1 doc are dropped, so no pair can accumulate intersection
+    assert(pairs.isEmpty)
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val fps = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(4L))
+    val nearHam = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val farHam = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(nearHam < farHam)
+    assert(nearHam <= 10)
+  }
+
+  test("simhashPairs blocks by segment and filters by hamming radius") {
+    val fps = Dedup.simhash(docs, col("text"), col("doc_id"))
+    val pairs = Dedup.simhashPairs(fps, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portable token hash matches the documented DuckDB formula") {
+    // conv(substr(md5('abc'),1,15),16,10) must equal DuckDB ('0x'||...)::BIGINT = 648541476951500027
+    val v = Seq("abc").toDF("t").select(Dedup.portableTokenHash(col("t"))).as[Long].head()
+    assert(v === 648541476951500027L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+    (1L, 0, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, 0, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, 0, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (100L, 0, Array(1.0f, 0.05f, 0.0f))
+  ).toDF("vec_id", "label", "embedding")
+
+  private def corpus = Similarity.prepareQuantized(vecs, col("embedding"), col("vec_id"), col("label"))
+
+  test("cosineTopK ranks by true cosine order") {
+    val qs = corpus.filter(col("vec_id") === 100L)
+    val out = Similarity.cosineTopK(corpus, qs, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out === Seq(0L, 1L, 2L)) // closest first, opposite excluded by k
+  }
+
+  test("cosinePairs finds high-cosine pairs within block") {
+    val pairs = Similarity.cosinePairs(corpus, "label", 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("annLsh candidates agree with brute force on its bucket hits") {
+    val qs = corpus.filter(col("vec_id") === 100L)
+    val ann = Similarity.annLsh(corpus, qs, bits = 4, dim = 3, k = 3)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    val brute = Similarity.cosineTopK(corpus, qs, 4)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    // every ANN hit must carry the exact brute-force cosine
+    ann.foreach { case (id, c) => assert(brute(id) === c) }
+    // the identical-direction vector lands in the same bucket → recalled
+    assert(ann.contains(0L))
+  }
+
+  test("quantized cosine equals double cosine within quantization error") {
+    val a = corpus.filter(col("vec_id") === 0L)
+    val pair = Similarity.cosinePairs(corpus, "label", -2.0)
+      .filter(col("vec_a") === 0L && col("vec_b") === 1L)
+      .select("cos").as[Double].head()
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1) // hand-computed on floats≈doubles
+    assert(math.abs(pair - expected) < 1e-4)
+  }
+}
