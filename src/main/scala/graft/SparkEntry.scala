@@ -20,10 +20,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++ MultimodalQueries.queries
 
   /** DuckDB-equivalent SQL per query key; identical output column names. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql
+      DedupQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

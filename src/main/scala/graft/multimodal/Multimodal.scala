@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2.6): media payloads travel
+  * as opaque `binary` columns with typed metadata alongside; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The actual codec calls are STUBBED (this container has no image/
+  * audio libraries — see `FakeCodec`); everything Spark-side is real:
+  * schema, binary column plumbing, per-partition batching (the Scala
+  * equivalent of `mapInPandas` batch shape), and partition sizing
+  * guidance (media rows are large — size partitions by bytes via
+  * `spark.sql.files.maxPartitionBytes`, not row count).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      media: Array[Byte],
+      format: String,       // "img" | "audio" | "video"
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long]
+  )
+
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      header_hex: String,
+      mean_byte: Double,
+      decoded_ok: Boolean
+  )
+
+  /** Deterministic stand-in for a real decoder (??? in production
+    * terms: swap for an actual codec). Operates on raw bytes only, so
+    * the plumbing it validates — batch iteration, binary transport,
+    * schema — is exactly what a real codec needs. */
+  object FakeCodec {
+    def decode(bytes: Array[Byte]): (String, Double, Boolean) = {
+      val header = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
+      val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      (header, mean, bytes.nonEmpty)
+    }
+
+    /** Frame-sample stub: every `stride`-th fixed-size window of the
+      * payload (the batch/stride shape of real video frame sampling). */
+    def frameSample(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+      bytes.grouped(frameSize).zipWithIndex.collect { case (f, i) if i % stride == 0 => f }.toSeq
+  }
+
+  /** Batched per-partition feature extraction — the mapInPandas-shaped
+    * path: one codec context per partition, records streamed through
+    * it, no per-row UDF overhead. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codecs would init native context here, once per partition
+      it.map { r =>
+        val (header, mean, ok) = FakeCodec.decode(r.media)
+        MediaFeatures(r.media_id, r.media.length.toLong, header, mean, ok)
+      }
+    }
+  }
+
+  /** Declarative (codegen) variant for pure-byte features — when the
+    * "decode" is expressible as Column ops, skip the typed boundary
+    * entirely. Used by the oracle-gated q_multimodal. */
+  def byteFeatures(df: DataFrame, media: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column): DataFrame =
+    df.select(
+      id.as("media_id"),
+      octet_length(media).cast("bigint").as("n_bytes"),
+      lower(hex(substring(media, 1, 8))).as("header_hex"),
+      md5(media).as("payload_md5")
+    )
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** SURVEY.md §2.6 — multimodal binary-column queries.
+  *
+  * The documents table's text bytes stand in for media payloads: the
+  * binary transport, schema and batching are identical to real media;
+  * only the codec is faked (see Multimodal.FakeCodec).
+  */
+object MultimodalQueries {
+
+  private def asMedia(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("media"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6/35a declarative byte features on a binary column (oracle-gated).
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.byteFeatures(asMedia(s, dir), col("media"), col("media_id"))),
+
+    // §2.6/35b typed per-partition batched decode path (rows-only):
+    // the mapInPandas-shaped plumbing through Dataset[MediaRecord].
+    "q_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = asMedia(s, dir).select(
+        col("media_id"),
+        col("media"),
+        lit("img").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("bigint").as("duration_ms")
+      ).as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(media).toDF()
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+        |       md5(text) AS payload_md5
+        |FROM documents""".stripMargin
+  )
+}

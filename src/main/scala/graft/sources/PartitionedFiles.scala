@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Line-file partition I/O — the Spark-native counterpart of shmr's
+  * partition files (reference /root/reference/shmr/partition_writer.py,
+  * misc.py `get_open_fn`).
+  *
+  * shmr semantics re-expressed:
+  *   - a "partition" = one jsonl/csv/text file, optionally gzipped →
+  *     Spark reads whole directories of such files, decompressing
+  *     .gz/.bz2 transparently by extension, exactly like shmr's
+  *     `get_open_fn`; each file becomes (at least) one split.
+  *   - pluggable ser/deser (`orjson`, `csv_loads`, `str_loads`) →
+  *     format choice (json/csv/text) + schema.
+  *   - `.meta` sidecars carrying `n_records` → [[writeMeta]] emits a
+  *     `_graft_meta.json` per output directory with total and
+  *     per-file record counts (one extra columnar scan, no collect of
+  *     data rows).
+  *   - `skip_nrows` (csv headers) → `header` option / `skipRows`.
+  */
+object PartitionedFiles {
+
+  /** Read a directory (or glob) of jsonl partitions. Pass a DDL schema
+    * to skip inference (mandatory at scale — inference scans the data). */
+  def readJsonl(spark: SparkSession, path: String, ddlSchema: Option[String] = None): DataFrame = {
+    val r = spark.read
+    ddlSchema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Write jsonl partitions; `codec` e.g. Some("gzip"). */
+  def writeJsonl(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+    writeMeta(df.sparkSession, path, "json")
+  }
+
+  /** Read csv partitions (header = shmr's skip_nrows=1 idiom). */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      ddlSchema: Option[String] = None
+  ): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    ddlSchema.fold(r.option("inferSchema", "false"))(s => r.schema(s)).csv(path)
+  }
+
+  def writeCsv(
+      df: DataFrame,
+      path: String,
+      numPartitions: Int,
+      header: Boolean = true,
+      codec: Option[String] = None
+  ): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite).option("header", header.toString)
+    codec.fold(w)(c => w.option("compression", c)).csv(path)
+    writeMeta(df.sparkSession, path, "csv", header)
+  }
+
+  /** Raw line partitions (shmr str_loads/str_dumps). Expects a single
+    * string column named `value`. */
+  def readText(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
+
+  def writeText(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).text(path)
+    writeMeta(df.sparkSession, path, "text")
+  }
+
+  /** Emit the `.meta` sidecar equivalent: `_graft_meta.json` in the
+    * output directory with `n_records` total and per-file counts
+    * (computed distributed via input_file_name, single small collect
+    * of (file, count) pairs only). */
+  def writeMeta(spark: SparkSession, path: String, format: String, header: Boolean = false): Unit = {
+    val df = format match {
+      case "json" => spark.read.json(path)
+      case "csv"  => spark.read.option("header", header.toString).csv(path)
+      case _      => spark.read.text(path)
+    }
+    val counts = df
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_records"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val json = counts
+      .map { case (f, n) => s"""    {"file": "$f", "n_records": $n}""" }
+      .mkString(s"""{\n  "n_records": $total,\n  "files": [\n""", ",\n", "\n  ]\n}")
+    val p = new java.io.File(path, "_graft_meta.json")
+    java.nio.file.Files.writeString(p.toPath, json)
+  }
+
+  /** Read the sidecar's total count without scanning data — shmr's
+    * `Partition.n_records` fast path. */
+  def readMetaCount(path: String): Option[Long] = {
+    val p = new java.io.File(path, "_graft_meta.json")
+    if (!p.exists()) None
+    else {
+      val s = java.nio.file.Files.readString(p.toPath)
+      """"n_records":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user open-session accumulator for streaming sessionization.
+  * Top-level (not nested/private) so Spark's state encoder can codegen
+  * its (de)serializers. */
+case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+/** Structured Streaming operators over the events schema
+  * (SURVEY.md §2.7). The batch equivalents (`timeBucketAgg`,
+  * `sessionize`) share semantics, so the streaming paths are verified
+  * against them in StreamingSpec via MemoryStream.
+  *
+  * Scale notes: watermarks bound state; the windowed aggregate is a
+  * standard partial-agg + state-store pattern; sessionization keeps
+  * one small state object per active user key and emits sessions on
+  * gap timeout — both shapes run unchanged on a 1000-executor
+  * cluster with a distributed state store.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Hourly tumbling-window counts per event_type with a watermark
+    * bounding late data and state. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("value_cents"))
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState
+    * with EVENT-time timeouts: a session closes when a later event of
+    * the same user arrives past the gap, or when the watermark passes
+    * session_end + gap (open-session flush). Event-time timeouts only
+    * fire on data progress — no idle micro-batch spinning (processing-
+    * time timeouts would re-trigger continuously). Mirrors the batch
+    * `Relational.sessionize`. */
+  def sessionized(
+      events: Dataset[Event],
+      gapMicros: Long = 30L * 60 * 1000000,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(SessionOut(userId, s.startUs, s.endUs, s.n))
+        } else {
+          val sorted = rows.map(e => e.ts.getTime * 1000).toSeq.sorted
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { us =>
+            cur match {
+              case Some(s) if us - s.endUs <= gapMicros =>
+                cur = Some(s.copy(endUs = us, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.startUs, s.endUs, s.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // flush the open session once the watermark passes end + gap
+            state.setTimeoutTimestamp((s.endUs + gapMicros) / 1000)
+          }
+          closed.result().iterator
+        }
+      }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaRecord, FakeCodec}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRecord(1L, "hello world".getBytes("UTF-8"), "img", Some(2), Some(2), None),
+    MediaRecord(2L, Array[Byte](0, 1, 2, 3), "audio", None, None, Some(1000L)),
+    MediaRecord(3L, Array.empty[Byte], "img", None, None, None)
+  ).toDS()
+
+  test("extractFeatures decodes batched per partition") {
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).n_bytes === 11L)
+    assert(out(1L).header_hex === "68656c6c6f20776f") // "hello wo"
+    assert(out(1L).decoded_ok)
+    assert(out(2L).mean_byte === 1.5)
+    assert(!out(3L).decoded_ok && out(3L).n_bytes === 0L)
+  }
+
+  test("byteFeatures declarative path agrees with typed path") {
+    val declarative = Multimodal
+      .byteFeatures(media.toDF(), col("media"), col("media_id"))
+      .select("media_id", "n_bytes", "header_hex")
+      .as[(Long, Long, String)].collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    val typed = Multimodal.extractFeatures(media)
+      .select("media_id", "n_bytes", "header_hex")
+      .as[(Long, Long, String)].collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(declarative === typed)
+  }
+
+  test("frameSample stub keeps stride shape") {
+    val frames = FakeCodec.frameSample((0 until 100).map(_.toByte).toArray, frameSize = 10, stride = 2)
+    assert(frames.length === 5)
+    assert(frames.head.toSeq === (0 until 10).map(_.toByte))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PartitionedFiles
+
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  private def sample = Seq((1L, "ann", 30), (2L, "bob", 25), (3L, "cat", 40)).toDF("id", "name", "age")
+
+  test("jsonl round-trip with meta sidecar") {
+    val dir = tmp() + "/out"
+    PartitionedFiles.writeJsonl(sample, dir, numPartitions = 2)
+    val back = PartitionedFiles.readJsonl(spark, dir, Some("id long, name string, age long"))
+    assert(back.select("id", "name").as[(Long, String)].collect().toSet ===
+      Set((1L, "ann"), (2L, "bob"), (3L, "cat")))
+    assert(PartitionedFiles.readMetaCount(dir) === Some(3L))
+  }
+
+  test("gzipped jsonl reads transparently (shmr get_open_fn parity)") {
+    val dir = tmp() + "/gz"
+    PartitionedFiles.writeJsonl(sample, dir, numPartitions = 1, codec = Some("gzip"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".json.gz")))
+    val back = PartitionedFiles.readJsonl(spark, dir, Some("id long, name string, age long"))
+    assert(back.count() === 3)
+  }
+
+  test("csv round-trip with header (skip_nrows=1 parity)") {
+    val dir = tmp() + "/csv"
+    PartitionedFiles.writeCsv(sample, dir, numPartitions = 1, header = true)
+    val back = PartitionedFiles.readCsv(spark, dir, header = true, Some("id long, name string, age int"))
+    assert(back.as[(Long, String, Int)].collect().toSet === Set((1L, "ann", 30), (2L, "bob", 25), (3L, "cat", 40)))
+    assert(PartitionedFiles.readMetaCount(dir) === Some(3L))
+  }
+
+  test("text round-trip") {
+    val dir = tmp() + "/txt"
+    PartitionedFiles.writeText(sample.select(concat_ws(",", col("id"), col("name")).as("value")), dir, 1)
+    val back = PartitionedFiles.readText(spark, dir)
+    assert(back.as[String].collect().toSet === Set("1,ann", "2,bob", "3,cat"))
+  }
+
+  test("readMetaCount absent returns None") {
+    assert(PartitionedFiles.readMetaCount(tmp()) === None)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.CoreOps._
+import graft.operators.Relational._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+    Event(3L, ts("2024-01-01 01:10:00"), 1L, "view", 3.0),
+    Event(4L, ts("2024-01-01 00:30:00"), 2L, "click", 4.0)
+  )
+
+  test("windowedCounts matches the batch timeBucketAgg semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams
+      .windowedCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // advance the watermark past all windows so append-mode emits them
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("wc")
+      .select(col("bucket").cast("string"), col("event_type"), col("n"), col("value_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = sample.toDF()
+      .timeBucketAgg(col("ts"), "hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("bigint")).as("value_cents")))
+      .select(col("bucket").cast("string"), col("event_type"), col("n"), col("value_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(batch.subsetOf(streamed))
+  }
+
+  test("sessionized emits gap-closed sessions and flushes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionized(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // push the watermark far past every open session → timeout flush
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100L, ts("2024-01-03 00:00:00"), 9L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess").as[EventStreams.SessionOut].collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+    def us(s: String) = ts(s).getTime * 1000
+    // user 1: 00:05+00:20 closed by the 01:10 event; 01:10 flushed by watermark
+    assert(out.contains((1L, us("2024-01-01 00:05:00"), us("2024-01-01 00:20:00"), 2L)))
+    assert(out.contains((1L, us("2024-01-01 01:10:00"), us("2024-01-01 01:10:00"), 1L)))
+    // user 2: single-event session flushed by watermark
+    assert(out.contains((2L, us("2024-01-01 00:30:00"), us("2024-01-01 00:30:00"), 1L)))
+  }
+}
