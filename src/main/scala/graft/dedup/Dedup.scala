@@ -19,16 +19,23 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct word n-gram shingles. Empty array when the doc is
-    * shorter than n tokens (guards Spark's sign-inferring sequence). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles WITH duplicates (cheap, codegen-friendly).
+    * Empty array when the doc is shorter than n tokens (guards
+    * Spark's sign-inferring sequence). */
+  def shinglesRaw(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
     )
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles. array_distinct is interpreted
+    * O(len²) per row — prefer [[shinglesRaw]] + a distributed
+    * `.distinct()` after explode when the consumer needs set
+    * semantics over many documents. */
+  def shingles(text: Column, n: Int): Column = array_distinct(shinglesRaw(text, n))
 
   /** Exact dedup: group identical payloads by content hash, keep the
     * row with the minimum id per group. One shuffle on the (uniform)
@@ -52,19 +59,29 @@ object Dedup {
   def minhashFast(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, g => xxhash64(lit(seed), g)))
 
-  /** LSH band keys: `numBands` bands of `rowsPerBand` minhashes each;
-    * band key = md5 of the concatenated minhashes. Docs sharing any
-    * band key are candidate near-duplicates. */
-  def bandKeys(shingleArr: Column, numBands: Int, rowsPerBand: Int, portable: Boolean): Column = {
-    val keys = (0 until numBands).map { b =>
-      val mhs = (0 until rowsPerBand).map { r =>
-        val seed = b * rowsPerBand + r
-        if (portable) minhashMd5(shingleArr, seed)
-        else minhashFast(shingleArr, seed).cast("string")
-      }
-      md5(concat_ws("|", mhs: _*))
+  /** MinHash signatures, computed in the scalable shape: explode
+    * shingles once, then ONE hash aggregate with k min-hash
+    * aggregates — each gram row is hashed k times inside whole-stage
+    * codegen. (Computing k minhashes as nested array HOFs instead
+    * re-evaluates the shingle expression per hash with interpreted
+    * eval — 50x slower at sf0.1.) Min is duplicate-insensitive, so
+    * shingle dedup is unnecessary. */
+  def minhashSignatures(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleN: Int,
+      numHashes: Int,
+      portable: Boolean
+  ): DataFrame = {
+    val grams = df.select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("g"))
+    val mhAggs = (0 until numHashes).map { s =>
+      val h =
+        if (portable) md5(concat(lit(s"$s|"), col("g")))
+        else xxhash64(lit(s), col("g")).cast("string")
+      min(h).as(s"mh$s")
     }
-    array(keys: _*)
+    grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
 
   /** Candidate pairs from MinHash-LSH banding: one self-join on
@@ -80,9 +97,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       portable: Boolean = false
   ): DataFrame = {
-    val keyed = df
-      .select(id.as("doc_id"), bandKeys(shingles(text, shingleN), numBands, rowsPerBand, portable).as("bands"))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val sig = minhashSignatures(df, text, id, shingleN, numBands * rowsPerBand, portable)
+    val bandCols = (0 until numBands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    val keyed = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
     keyed
       .as("a")
       .join(
@@ -110,7 +130,8 @@ object Dedup {
       tau: Double = 0.5,
       maxDocFreq: Option[Long] = None
   ): DataFrame = {
-    val g0 = df.select(id.as("doc_id"), explode(shingles(text, n)).as("g"))
+    // set semantics via distributed distinct (hash agg), not per-row array_distinct
+    val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g")).distinct()
     val g = maxDocFreq match {
       case Some(mdf) =>
         val keep = g0.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= mdf).select("g")

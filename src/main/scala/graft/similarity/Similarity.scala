@@ -84,18 +84,25 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** LSH signature: bit i = [dot(v, plane_i) >= 0], packed to a long.
-    * Computed per-row (narrow, no shuffle). */
+  /** LSH signature: bit i = [dot(v, plane_i) >= 0], as a "0101…"
+    * string key. The plane matrix is a single typedlit, iterated
+    * data-style — inlining one literal array per bit instead blows
+    * the expression tree up to O(bits × dim) nodes and dominates
+    * runtime with analysis/compile cost. Computed per-row (narrow,
+    * no shuffle). */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.indices.map { i =>
-      val dot = aggregate(
-        zip_with(vec, lit(planes(i)), (x, p) => x.cast("double") * p),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planesLit = typedlit(planes.map(_.toSeq).toSeq)
+    array_join(
+      transform(
+        planesLit,
+        p =>
+          when(
+            aggregate(zip_with(vec, p, (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x) >= 0,
+            lit("1")
+          ).otherwise(lit("0"))
+      ),
+      ""
+    )
   }
 
   /** ANN candidates: queries and corpus meet in identical LSH buckets

@@ -34,6 +34,13 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as ONE parquet file → one input
+    * split → the expensive per-row work (shingling, hashing, vector
+    * math) would run on a single core. Fan out to the session's
+    * parallelism up front; on a real cluster with many input files
+    * this repartition is unnecessary but harmless (AQE coalesces). */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }
