@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins (SURVEY.md §5). AQE's skew-join split
+  * handles most cases at runtime; explicit salting is the planned-
+  * ahead variant for known-pathological keys (e.g. the null/default
+  * key holding 30% of a 100 TB fact table).
+  */
+object Skew {
+
+  /** Salted equi-join: scatter the (large, skewed) probe side across
+    * `salts` sub-keys and replicate the build side once per salt, so
+    * one hot key fans out over `salts` reducers instead of one.
+    *
+    * Result is row-identical to `probe.join(build, key)`; only the
+    * shuffle distribution changes. Build-side replication multiplies
+    * its size by `salts` — keep the build side the smaller one.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    val salted = probe.withColumn("__graft_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = build.withColumn("__graft_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted
+      .join(replicated, Seq(key, "__graft_salt"))
+      .drop("__graft_salt")
+  }
+}

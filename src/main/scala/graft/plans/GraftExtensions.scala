@@ -1,0 +1,14 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `SELECT graft_dot_long(a, b)`
+  * works cluster-wide. Activate with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
+  * GraftSession / Verify / Bench) or
+  * `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.register(ext)
+}

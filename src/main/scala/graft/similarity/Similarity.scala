@@ -27,8 +27,15 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * codegen'd Catalyst expression (tight primitive loop inside
+    * whole-stage codegen; see graft.plans.DotProductLong). */
   def dotQ(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftFunctions.dotLong(a, b)
+
+  /** HOF formulation of dotQ (interpreted) — reference semantics the
+    * native expression is spec-checked against. */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Double-precision dot product (fast path, no quantization). */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class PlansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("native DotProductLong equals the HOF formulation (randomized)") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(
+      (Seq.fill(16)(rnd.nextLong() % 1000000L), Seq.fill(16)(rnd.nextLong() % 1000000L))
+    )
+    val mismatches = rows.toDF("a", "b")
+      .select(Similarity.dotQ(col("a"), col("b")).as("n"), Similarity.dotQHof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("DotProductLong handles nulls and length mismatch") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L))), // mismatched: min length
+      (None, Some(Seq(1L)))                       // null in → null out
+    ).toDF("a", "b")
+    val out = df.select(Similarity.dotQ(col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) === 14L)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("graft_dot_long / graft_dot_float are registered SQL functions via extensions") {
+    val l = spark.sql("SELECT graft_dot_long(array(1L, 2L), array(3L, 4L)) AS d").as[Long].head()
+    assert(l === 11L)
+    val f = spark.sql("SELECT graft_dot_float(array(CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(f === 1.0)
+  }
+
+  test("native dot product appears inside WholeStageCodegen") {
+    // needs a non-local child: local relations constant-fold the whole projection
+    val df = spark.range(100)
+      .select(array(col("id"), col("id") + 1).as("a"), array(col("id") * 2, col("id")).as("b"))
+      .select(Similarity.dotQ(col("a"), col("b")).as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot_long"))
+    assert(df.agg(sum(col("d"))).as[Long].head() === (0L until 100L).map(i => i * i * 2 + (i + 1) * i).sum)
+  }
+}
