@@ -20,10 +20,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ MultimodalQueries.queries
+      DedupQueries.queries ++ MultimodalQueries.queries ++ ExtraQueries.queries
 
   /** DuckDB-equivalent SQL per query key; identical output column names. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ MultimodalQueries.oracleSql
+      DedupQueries.oracleSql ++ MultimodalQueries.oracleSql ++ ExtraQueries.oracleSql
 }

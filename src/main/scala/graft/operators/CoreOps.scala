@@ -116,6 +116,12 @@ object CoreOps {
     def concatPartitions(others: DataFrame*): DataFrame =
       others.foldLeft(df)(_ unionByName _)
 
+    /** Set difference (distinct rows of this not in `other`). */
+    def exceptRecords(other: DataFrame): DataFrame = df.except(other)
+
+    /** Set intersection (distinct rows present in both). */
+    def intersectRecords(other: DataFrame): DataFrame = df.intersect(other)
+
     /** shmr `partition.apply`: run a side-effecting function over every
       * record (foreach action). Returns the record count for
       * verifiability. */

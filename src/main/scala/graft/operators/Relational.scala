@@ -43,6 +43,28 @@ object Relational {
     def rollupAgg(keys: Seq[Column], aggs: Seq[Column]): DataFrame =
       df.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+    /** CUBE aggregation (all grouping-set combinations in one pass). */
+    def cubeAgg(keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+    /** Sliding-frame aggregate over an ordered per-key window, e.g.
+      * a moving sum of the last `preceding`+1 rows. The ordering must
+      * be total (add a tie-break column) for deterministic frames. */
+    def movingAgg(
+        partitionKeys: Seq[Column],
+        order: Seq[Column],
+        preceding: Int,
+        aggExpr: Column => Column,
+        valueCol: Column,
+        as: String
+    ): DataFrame = {
+      val w = Window
+        .partitionBy(partitionKeys: _*)
+        .orderBy(order: _*)
+        .rowsBetween(-preceding, Window.currentRow)
+      df.withColumn(as, aggExpr(valueCol).over(w))
+    }
+
     /** Time-bucketed aggregation: truncate `ts` to `unit`
       * (e.g. "hour") and aggregate per bucket + extra keys. */
     def timeBucketAgg(ts: Column, unit: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =

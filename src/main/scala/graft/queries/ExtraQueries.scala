@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregators
+import graft.operators.CoreOps._
+import graft.operators.Relational._
+import graft.similarity.{IvfAnn, Similarity}
+import graft.sources.Tables
+
+/** Second analytic wave: window frames, cube, set ops, exact median,
+  * element-wise array aggregation, custom typed Aggregator, IVF ANN.
+  */
+object ExtraQueries {
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.prepareQuantized(Tables.embeddings(s, dir), col("embedding"), col("vec_id"), col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sliding-frame window: moving sum of last 3 events per user.
+    "q_moving_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_cents", round(col("value") * 100).cast("bigint"))
+        .movingAgg(
+          Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")),
+          2,
+          sum(_),
+          col("value_cents"),
+          "mov_sum"
+        )
+        .mapRecords(col("event_id"), col("mov_sum"))),
+
+    // CUBE over two dimensions.
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir).cubeAgg(
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(sum(col("l_quantity").cast("bigint")).as("sum_qty"), count(lit(1)).as("n"))
+      )),
+
+    // set difference: BUILDING-segment customers minus big-balance ones.
+    "q_except" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.filterRecords(col("c_mktsegment") === "BUILDING")
+        .mapRecords(col("c_custkey"), col("c_name"))
+        .exceptRecords(
+          c.filterRecords(col("c_acctbal") > 5000).mapRecords(col("c_custkey"), col("c_name"))
+        )
+    }),
+
+    // exact interpolated median per event_type (integer cents input).
+    "q_median" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_cents", round(col("value") * 100).cast("bigint"))
+        .reduceByKey(
+          Seq(col("event_type")),
+          Seq(expr("percentile(value_cents, 0.5)").as("median_cents"))
+        )),
+
+    // element-wise centroid sums per label (array aggregation at scale:
+    // posexplode -> (label, dim) integer sums; exact cross-engine).
+    "q_embed_centroid" -> ((s, dir) =>
+      quantized(s, dir)
+        .select(col("label"), posexplode(col("e")).as(Seq("i", "v")))
+        .reduceByKey(
+          Seq(col("label"), col("i")),
+          Seq(sum(col("v")).cast("bigint").as("s"), count(lit(1)).as("n"))
+        )),
+
+    // custom typed Aggregator (UDAF): quantity-weighted mean price.
+    "q_weighted_avg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("bigint"))
+        .withColumn("qty", col("l_quantity").cast("bigint"))
+        .groupBy(col("l_returnflag"))
+        .agg(Aggregators.weightedMean(col("price_cents"), col("qty")).as("w_mean"))),
+
+    // IVF ANN (rows-only; recall spec-tested in SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      IvfAnn.annIvf(corpus, qs, k = 5, numCentroids = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("bigint"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_moving_sum" ->
+      """SELECT event_id,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum
+        |FROM events""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000""".stripMargin,
+    "q_median" ->
+      """SELECT event_type,
+        |       median(CAST(round(value * 100) AS BIGINT)) AS median_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_embed_centroid" ->
+      raw"""WITH q AS (
+           |  SELECT label,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+           |  FROM embeddings
+           |)
+           |SELECT label, i, CAST(sum(e[i+1]) AS BIGINT) AS s, count(*) AS n
+           |FROM q, (SELECT unnest(range(64)) AS i) t
+           |GROUP BY label, i""".stripMargin,
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |         / sum(CAST(l_quantity AS BIGINT)) AS w_mean
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.{cosineQ, dotQ}
+
+/** IVF (inverted-file) approximate nearest neighbour — the second
+  * scale path next to [[Similarity.annLsh]] (SURVEY.md §2.4/29).
+  *
+  * Build: k deterministic seed vectors → one Lloyd assignment pass →
+  * element-wise mean centroids → per-centroid inverted lists.
+  * Probe: each query scores the (tiny, broadcast) centroid table,
+  * keeps `nprobe` nearest cells, and runs exact cosine only against
+  * those cells' lists — corpus work drops from O(N) to
+  * O(N · nprobe / k) per query, the standard IVF trade.
+  *
+  * All vector math is the quantized integer kind (bit-stable), and
+  * centroid construction is fully declarative: posexplode → groupBy
+  * (cell, dim) mean → rebuild arrays with sort_array(collect_list).
+  */
+object IvfAnn {
+
+  /** Assign every corpus vector to its nearest centroid (max cosine,
+    * deterministic tie-break on centroid id). Centroids are tiny →
+    * broadcast cross join, no corpus shuffle. */
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__cos").desc, col("c_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+  }
+
+  /** K centroids: deterministic seeds (k smallest vec_ids), one Lloyd
+    * iteration, element-wise integer-mean rebuild. */
+  def centroids(corpus: DataFrame, k: Int): DataFrame = {
+    val seeds = corpus
+      .orderBy("vec_id")
+      .limit(k)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val assigned = assign(corpus, seeds)
+    val exploded = assigned
+      .join(corpus, "vec_id")
+      .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
+    val meanPerDim = exploded
+      .groupBy("c_id", "i")
+      .agg((sum(col("v")) / count(lit(1))).cast("long").as("m"))
+    meanPerDim
+      .groupBy("c_id")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))
+      .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+  }
+
+  /** ANN top-k: probe the `nprobe` nearest cells per query, exact
+    * cosine within those cells only. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, numCentroids)
+    val lists = assign(corpus, cents).join(corpus, "vec_id") // inverted lists: c_id -> members
+    val qs = queries.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
+    val probed = qs
+      .crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosineQ(dotQ(col("qe"), col("ce")), col("qnrm"), col("cnrm")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("qnrm"), col("c_id"))
+    val cand = probed
+      .join(lists, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+}

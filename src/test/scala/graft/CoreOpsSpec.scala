@@ -75,6 +75,19 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(out === Set(3L, 4L, 5L))
   }
 
+  test("exceptRecords / intersectRecords are set ops") {
+    val a = Seq(1, 2, 3, 3).toDF("x")
+    val b = Seq(2).toDF("x")
+    assert(a.exceptRecords(b).as[Int].collect().toSet === Set(1, 3))
+    assert(a.intersectRecords(b).as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("WeightedMean aggregator matches hand computation") {
+    val df = Seq((10L, 1L), (20L, 3L)).toDF("v", "w")
+    val m = df.agg(graft.functions.Aggregators.weightedMean(col("v"), col("w"))).as[Double].head()
+    assert(m === (10.0 * 1 + 20.0 * 3) / 4)
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:00:00"),

@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.contains(0L))
   }
 
+  test("IVF ANN recalls the true nearest neighbours on real embeddings") {
+    import graft.similarity.IvfAnn
+    val corpus = Similarity.prepareQuantized(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("embedding"), col("vec_id"), col("label"))
+    val qs = corpus.filter(col("vec_id") % 100 === 0)
+    val ivf = IvfAnn.annIvf(corpus, qs, k = 5, numCentroids = 8, nprobe = 4)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosineTopK(corpus, qs, 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall") // nprobe=4/8 cells scanned
+  }
+
   test("quantized cosine equals double cosine within quantization error") {
     val a = corpus.filter(col("vec_id") === 0L)
     val pair = Similarity.cosinePairs(corpus, "label", -2.0)
