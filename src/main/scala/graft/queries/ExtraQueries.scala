@@ -76,6 +76,33 @@ object ExtraQueries {
         .groupBy(col("l_returnflag"))
         .agg(Aggregators.weightedMean(col("price_cents"), col("qty")).as("w_mean"))),
 
+    // ASOF left join: for each click, the user's latest signup at or
+    // before it (union + carry-forward window; single shuffle on user).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filterRecords(col("event_type") === "click")
+        .mapRecords(col("user_id"), col("event_id"), unix_micros(col("ts")).as("c_us"))
+      val signups = ev.filterRecords(col("event_type") === "signup")
+        .mapRecords(col("user_id"), col("event_id").as("s_id"), unix_micros(col("ts")).as("s_us"))
+      graft.operators.TemporalJoins
+        .asofJoin(clicks, signups, "user_id", col("c_us"), col("s_us"), Seq("s_id", "s_us"))
+        .mapRecords(col("event_id"), col("s_id"), col("s_us"))
+    }),
+
+    // bucketed range join: purchases within 1 hour after a click by the
+    // same user (equi-join on time buckets + exact post-filter).
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filterRecords(col("event_type") === "purchase")
+        .mapRecords(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filterRecords(col("event_type") === "click")
+        .mapRecords(col("user_id"), col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+      graft.operators.TemporalJoins
+        .rangeJoinBucketed(purchases, clicks, "user_id",
+          col("p_us"), col("c_us"), col("c_us") + 3600000000L, bucketUs = 3600000000L)
+        .mapRecords(col("c_id"), col("p_id"))
+    }),
+
     // IVF ANN (rows-only; recall spec-tested in SimilaritySpec).
     "q_ann_ivf" -> ((s, dir) => {
       val corpus = quantized(s, dir)
@@ -114,6 +141,17 @@ object ExtraQueries {
            |SELECT label, i, CAST(sum(e[i+1]) AS BIGINT) AS s, count(*) AS n
            |FROM q, (SELECT unnest(range(64)) AS i) t
            |GROUP BY label, i""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |     signups AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_us FROM events WHERE event_type = 'signup')
+        |SELECT clicks.event_id, s_id, s_us
+        |FROM clicks ASOF LEFT JOIN signups
+        |  ON clicks.user_id = signups.user_id AND clicks.c_us >= signups.s_us""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+        |SELECT c_id, p_id
+        |FROM c JOIN p ON c.user_id = p.user_id AND p.p_us BETWEEN c.c_us AND c.c_us + 3600000000""".stripMargin,
     "q_weighted_avg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
