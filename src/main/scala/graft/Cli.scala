@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps._
+import graft.sources.PartitionedFiles
+
+/** Command-line surface mirroring the reference's `python -m shmr`
+  * (reference /root/reference/shmr/main.py): per-partition and
+  * all-partition operators over jsonl/csv/text files. Where shmr
+  * takes Python import paths (`--fn mymod.myfunc`), graft takes SQL
+  * expressions (`--expr`, `--aggs`) — declarative, so the whole
+  * pipeline plans through Catalyst instead of calling back into an
+  * interpreter per record.
+  *
+  * Usage:
+  *   graft.Cli -i IN [-f json|csv|text] [--schema DDL] CMD [args] [--outfile OUT]
+  * Commands:
+  *   partition.map        --expr "id, value*2 AS v2"
+  *   partition.filter     --expr "value > 10"
+  *   partition.flat_map   --expr "explode(split(text, ' ')) AS word, id"
+  *   partition.distinct   --expr "a, b"
+  *   partition.reduce     --aggs "sum(v) AS s, count(1) AS n"
+  *   partition.reduce_by_key --keys "k1, k2" --aggs "sum(v) AS s"
+  *   partition.split_by_key  --key "id" --num-partitions 8
+  *   partition.count      [--outfile stdout]
+  *   partition.head       --n 10 --order "v DESC, id"
+  *   partitions.coalesce  --num-partitions 4
+  *   partitions.concat
+  */
+object Cli {
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"graft: $msg")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (opts, cmds) = parse(args.toList)
+    val cmd = cmds.headOption.getOrElse(fail("missing command"))
+    val in = opts.getOrElse("i", fail("missing -i INPUT"))
+    val fmt = opts.getOrElse("f", "json")
+    val spark = GraftSession.getOrCreate("graft-cli")
+
+    def read(): DataFrame = fmt match {
+      case "json" => PartitionedFiles.readJsonl(spark, in, opts.get("schema"))
+      case "csv"  => PartitionedFiles.readCsv(spark, in, header = true, opts.get("schema"))
+      case "text" => PartitionedFiles.readText(spark, in)
+      case other  => fail(s"unknown format: $other (use json|csv|text)")
+    }
+
+    def write(df: DataFrame, parts: Int = 1): Unit = {
+      val out = opts.getOrElse("outfile", fail(s"$cmd requires --outfile"))
+      fmt match {
+        case "json" => PartitionedFiles.writeJsonl(df, out, parts)
+        case "csv"  => PartitionedFiles.writeCsv(df, out, parts)
+        case "text" => PartitionedFiles.writeText(df, out, parts)
+      }
+    }
+
+    def exprList(key: String): Seq[Column] =
+      opts.getOrElse(key, fail(s"$cmd requires --$key")).split(",(?![^()]*\\))").map(s => expr(s.trim)).toSeq
+
+    try {
+      cmd match {
+        case "partition.map" | "partition.flat_map" | "partition.distinct" =>
+          val projected = read().mapRecords(exprList("expr"): _*)
+          write(if (cmd == "partition.distinct") projected.distinct() else projected)
+        case "partition.filter" =>
+          write(read().filterRecords(expr(opts.getOrElse("expr", fail("--expr required")))))
+        case "partition.reduce" =>
+          val aggs = exprList("aggs")
+          write(read().reduceRecords(aggs.head, aggs.tail: _*))
+        case "partition.reduce_by_key" =>
+          write(read().reduceByKey(exprList("keys"), exprList("aggs")))
+        case "partition.split_by_key" =>
+          val n = opts.getOrElse("num-partitions", fail("--num-partitions required")).toInt
+          write(read().splitByKey(expr(opts.getOrElse("key", fail("--key required"))), n), parts = n)
+        case "partition.count" =>
+          val n = read().countRecords()
+          opts.get("outfile") match {
+            case None | Some("stdout") => println(n)
+            case Some(path)            => java.nio.file.Files.writeString(java.nio.file.Paths.get(path), n.toString)
+          }
+        case "partition.head" =>
+          val n = opts.getOrElse("n", "10").toInt
+          write(read().headRecords(n, exprList("order"): _*))
+        case "partitions.coalesce" =>
+          val n = opts.getOrElse("num-partitions", fail("--num-partitions required")).toInt
+          write(read().repartitionRecords(n), parts = n)
+        case "partitions.concat" =>
+          write(read().coalescePartitions(1))
+        case other => fail(s"unknown command: $other")
+      }
+    } finally spark.stop()
+  }
+
+  /** Tiny arg parser: `-x v` / `--long v` → opts; bare words → cmds. */
+  private def parse(args: List[String]): (Map[String, String], List[String]) = {
+    def loop(rest: List[String], opts: Map[String, String], cmds: List[String]): (Map[String, String], List[String]) =
+      rest match {
+        case Nil => (opts, cmds.reverse)
+        case k :: v :: t if k.startsWith("-") => loop(t, opts + (k.dropWhile(_ == '-') -> v), cmds)
+        case k :: Nil if k.startsWith("-") => fail(s"option $k needs a value")
+        case w :: t => loop(t, opts, w :: cmds)
+      }
+    loop(args, Map.empty, Nil)
+  }
+}

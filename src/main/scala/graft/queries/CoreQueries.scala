@@ -94,6 +94,13 @@ object CoreQueries {
         .concatPartitions(n.filterRecords(col("n_nationkey") >= 12))
     }),
 
+    // distinct-count aggregate (expands shmr's reduce_by_key family).
+    "q_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).reduceByKey(
+        Seq(col("l_returnflag")),
+        Seq(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+      )),
+
     // §2.1/14 str2hashnumber — engine-portable stable hash.
     "q_hash" -> ((s, dir) =>
       Tables.customer(s, dir).mapRecords(
@@ -140,6 +147,9 @@ object CoreQueries {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_coalesce" -> "SELECT r_regionkey, r_name FROM region",
     "q_concat" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_hash" ->
       "SELECT c_custkey, substr(md5(c_name), 1, 16) AS h FROM customer"
   )
