@@ -20,10 +20,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ MultimodalQueries.queries ++ ExtraQueries.queries
+      DedupQueries.queries ++ MultimodalQueries.queries ++ ExtraQueries.queries ++
+      FunctionQueries.queries
 
   /** DuckDB-equivalent SQL per query key; identical output column names. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ MultimodalQueries.oracleSql ++ ExtraQueries.oracleSql
+      DedupQueries.oracleSql ++ MultimodalQueries.oracleSql ++ ExtraQueries.oracleSql ++
+      FunctionQueries.oracleSql
 }
