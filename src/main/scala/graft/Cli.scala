@@ -76,7 +76,11 @@ object Cli {
           write(read().reduceByKey(exprList("keys"), exprList("aggs")))
         case "partition.split_by_key" =>
           val n = opts.getOrElse("num-partitions", fail("--num-partitions required")).toInt
-          write(read().splitByKey(expr(opts.getOrElse("key", fail("--key required"))), n), parts = n)
+          val out = opts.getOrElse("outfile", fail("split_by_key requires --outfile"))
+          // bucket i → its own directory (shmr: bucket i → file i); a
+          // plain write() would repartition round-robin and mix buckets
+          PartitionedFiles.writeJsonlPartitionedBy(
+            read().splitByKey(expr(opts.getOrElse("key", fail("--key required"))), n), out, "bucket")
         case "partition.count" =>
           val n = read().countRecords()
           opts.get("outfile") match {

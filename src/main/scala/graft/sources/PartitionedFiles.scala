@@ -36,6 +36,14 @@ object PartitionedFiles {
     writeMeta(df.sparkSession, path, "json")
   }
 
+  /** Write jsonl split by a column's value — shmr `split_by_key`'s
+    * "bucket i → its own file" layout, Spark-idiomatically one
+    * directory per bucket value (`bucket=0/`, `bucket=1/`, …), which
+    * downstream reads can partition-prune on. */
+  def writeJsonlPartitionedBy(df: DataFrame, path: String, bucketCol: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).partitionBy(bucketCol).json(path)
+  }
+
   /** Read csv partitions (header = shmr's skip_nrows=1 idiom). */
   def readCsv(
       spark: SparkSession,
