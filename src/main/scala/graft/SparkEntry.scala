@@ -14,9 +14,11 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q_pipeline is the end-to-end training-data prep chain:
+    * quality-filter → exact-dedup → per-source corpus stats. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_star_join")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++

@@ -58,7 +58,28 @@ object TextQueries {
       Tables.documents(s, dir).mapRecords(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")
-      ))
+      )),
+
+    // Flagship composition: the canonical training-data prep pipeline —
+    // quality-filter → exact-dedup (first per fingerprint) → per-source
+    // corpus stats. One declarative plan: filter fuses with the scan,
+    // dedup is one shuffle on the (uniform) fingerprint, stats one more
+    // hash aggregate.
+    "q_pipeline" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenize(col("text"))
+      val lowerToks = transform(toks, t => lower(t))
+      val scored = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("stop_hits", TextAnalysis.vocabHits(lowerToks, stopList))
+        .filter(col("n_tokens") >= 30 &&
+          col("stop_hits").cast("double") / col("n_tokens") <= 0.4)
+      scored
+        .distinctBy(Seq(TextAnalysis.fingerprint(col("text"))), Seq(col("doc_id")))
+        .reduceByKey(
+          Seq(col("source")),
+          Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+        )
+    })
   )
 
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
@@ -111,6 +132,25 @@ object TextQueries {
            |FROM s""".stripMargin,
     "q_fingerprint" ->
       raw"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-           |FROM documents""".stripMargin
+           |FROM documents""".stripMargin,
+    "q_pipeline" ->
+      raw"""WITH scored AS (
+           |  SELECT doc_id, source, text,
+           |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |         len(list_filter(list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
+           |                         x -> x IN ($stopSqlList))) AS stop_hits
+           |  FROM documents
+           |), filtered AS (
+           |  SELECT * FROM scored
+           |  WHERE n_tokens >= 30 AND CAST(stop_hits AS DOUBLE) / n_tokens <= 0.4
+           |), deduped AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn
+           |  FROM filtered
+           |)
+           |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM deduped WHERE rn = 1 GROUP BY source""".stripMargin
+        .replace("$stopSqlList", stopSqlList)
   )
 }
