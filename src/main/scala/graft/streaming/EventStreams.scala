@@ -37,6 +37,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("value_cents"))
 
+  /** Stream-static enrichment join: the streaming fact side joins a
+    * static dimension per micro-batch. Broadcast the (small) static
+    * side — each micro-batch is a broadcast hash join, no stream
+    * state. The standard shape for decorating an event stream with
+    * slowly-changing reference data. */
+  def enriched(events: DataFrame, dim: DataFrame, joinKey: String): DataFrame =
+    events.join(broadcast(dim), joinKey)
+
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of
     * the same user arrives past the gap, or when the watermark passes

@@ -47,6 +47,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.subsetOf(streamed))
   }
 
+  test("enriched: stream-static broadcast join decorates each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enriched(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append()).start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enr").select("event_id", "tier").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "gold"), (2L, "gold"), (3L, "gold"), (4L, "basic")))
+  }
+
   test("sessionized emits gap-closed sessions and flushes on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
