@@ -40,10 +40,11 @@ object EventStreams {
   /** Stream-static enrichment join: the streaming fact side joins a
     * static dimension per micro-batch. Broadcast the (small) static
     * side — each micro-batch is a broadcast hash join, no stream
-    * state. The standard shape for decorating an event stream with
-    * slowly-changing reference data. */
-  def enriched(events: DataFrame, dim: DataFrame, joinKey: String): DataFrame =
-    events.join(broadcast(dim), joinKey)
+    * state. Left join by default: decorating a stream must not drop
+    * facts whose key is missing from the dimension (they pass through
+    * null-filled). */
+  def enriched(events: DataFrame, dim: DataFrame, joinKey: String, joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey), joinType)
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of

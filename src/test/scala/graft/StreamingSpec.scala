@@ -49,15 +49,16 @@ class StreamingSpec extends SparkSpecBase {
 
   test("enriched: stream-static broadcast join decorates each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
-    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier") // user 2 intentionally absent
     val mem = MemoryStream[Event]
     val q = EventStreams.enriched(mem.toDF(), dim, "user_id")
       .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append()).start()
     mem.addData(sample: _*)
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("enr").select("event_id", "tier").as[(Long, String)].collect().toSet
-    assert(out === Set((1L, "gold"), (2L, "gold"), (3L, "gold"), (4L, "basic")))
+    val out = spark.table("enr").select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+    // unmatched keys pass through null-filled — enrichment never drops facts
+    assert(out === Set((1L, Some("gold")), (2L, Some("gold")), (3L, Some("gold")), (4L, None)))
   }
 
   test("sessionized emits gap-closed sessions and flushes on watermark") {
