@@ -75,11 +75,14 @@ object Dedup {
       portable: Boolean
   ): DataFrame = {
     val grams = df.select(id.as("doc_id"), explode(shinglesRaw(text, shingleN)).as("g"))
+    // fast path mins the LONG hash values (numeric order) so signatures
+    // are bit-compatible with minhashFast's array_min; only the portable
+    // md5 family mins lexicographically (its documented order).
     val mhAggs = (0 until numHashes).map { s =>
       val h =
-        if (portable) md5(concat(lit(s"$s|"), col("g")))
-        else xxhash64(lit(s), col("g")).cast("string")
-      min(h).as(s"mh$s")
+        if (portable) min(md5(concat(lit(s"$s|"), col("g"))))
+        else min(xxhash64(lit(s), col("g")))
+      h.as(s"mh$s")
     }
     grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }

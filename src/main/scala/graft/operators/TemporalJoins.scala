@@ -25,9 +25,15 @@ object TemporalJoins {
   /** For each left row, attach the payload of the latest right row of
     * the same `key` with `rightTs <= leftTs` (ASOF left join).
     *
-    * `payload` columns must exist on `right`; they come back
-    * null-filled for left rows with no earlier right row. Timestamps
-    * are integral (epoch µs) for engine portability.
+    * `payload` columns must exist on `right` (and must not collide
+    * with left column names); they come back null-filled for left rows
+    * with no earlier right row. Timestamps are integral (epoch µs) for
+    * engine portability.
+    *
+    * Determinism: the payload travels as ONE struct (all columns from
+    * the same right row) and the window ordering tie-breaks equal
+    * (key, ts) right rows by the struct value itself, so the result is
+    * shuffle-order independent even with duplicate right timestamps.
     */
   def asofJoin(
       left: DataFrame,
@@ -38,25 +44,29 @@ object TemporalJoins {
       payload: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
     val lTagged = left
       .withColumn("__ts", leftTsUs)
       .withColumn("__tag", lit(1))
-      .select(col(key) +: col("__ts") +: col("__tag") +:
-        leftCols.filter(_ != key).map(col) ++: payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select(col(key) +: col("__ts") +: col("__tag") +: col("__payload") +:
+        leftCols.filter(_ != key).map(col): _*)
     val rTagged = right
       .withColumn("__ts", rightTsUs)
       .withColumn("__tag", lit(0))
-      .select(col(key) +: col("__ts") +: col("__tag") +:
-        leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++: payload.map(col): _*)
-    // right rows sort before left rows at equal ts (ASOF includes ==)
+      .select(col(key), col("__ts"), col("__tag"), struct(payload.map(col): _*).as("__payload"))
+    // right rows sort before left rows at equal ts (ASOF includes ==);
+    // equal (key, ts) right rows tie-break on the payload struct so the
+    // carried value is deterministic.
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__ts", "__tag")
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col("__carried").getField(p).as(p)): _*)
   }
 
   /** Pairs (point, interval) of the same `key` with

@@ -43,7 +43,7 @@ object MultimodalQueries {
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+        |       lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
         |       md5(text) AS payload_md5
         |FROM documents""".stripMargin
   )

@@ -26,6 +26,12 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+  /** Full-µs epoch micros from a Timestamp. `getTime` truncates to ms
+    * (dropping sub-ms nanos); the events table is µs-precision, so
+    * micros are rebuilt from the seconds part + the nanos field. */
+  private[graft] def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
   /** Hourly tumbling-window counts per event_type with a watermark
@@ -71,16 +77,20 @@ object EventStreams {
           state.remove()
           Iterator(SessionOut(userId, s.startUs, s.endUs, s.n))
         } else {
-          val sorted = rows.map(e => e.ts.getTime * 1000).toSeq.sorted
+          val sorted = rows.map(e => micros(e.ts)).toSeq.sorted
           var cur = state.getOption
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { us =>
             cur match {
-              case Some(s) if us - s.endUs <= gapMicros =>
-                cur = Some(s.copy(endUs = us, n = s.n + 1))
-              case Some(s) =>
+              case Some(s) if us > s.endUs + gapMicros =>
+                // strictly past the gap: close and start a new session
                 closed += SessionOut(userId, s.startUs, s.endUs, s.n)
                 cur = Some(SessionState(us, us, 1))
+              case Some(s) =>
+                // within gap — including late-but-within-watermark events
+                // earlier than the stored session: extend min/max, never
+                // move a boundary backwards-only
+                cur = Some(SessionState(math.min(s.startUs, us), math.max(s.endUs, us), s.n + 1))
               case None =>
                 cur = Some(SessionState(us, us, 1))
             }

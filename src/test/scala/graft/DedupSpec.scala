@@ -31,6 +31,18 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc stays out
   }
 
+  test("minhashSignatures fast path is bit-compatible with minhashFast") {
+    val sig = Dedup.minhashSignatures(docs, col("text"), col("doc_id"),
+        shingleN = 3, numHashes = 4, portable = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 4).map(i => r.getLong(i))))
+    val direct = docs.select(col("doc_id") +:
+        (0 until 4).map(s => Dedup.minhashFast(Dedup.shinglesRaw(col("text"), 3), s).as(s"mh$s")): _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 4).map(i => r.getLong(i))))
+    assert(sig.toSeq === direct.toSeq)
+  }
+
   test("ngram Jaccard computes exact similarity") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, tau = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

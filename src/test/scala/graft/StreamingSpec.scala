@@ -84,4 +84,38 @@ class StreamingSpec extends SparkSpecBase {
     // user 2: single-event session flushed by watermark
     assert(out.contains((2L, us("2024-01-01 00:30:00"), us("2024-01-01 00:30:00"), 1L)))
   }
+
+  test("sessionized absorbs late-but-within-watermark events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionized(mem.toDS()) // gap 30 min, watermark 10 min
+      .writeStream.format("memory").queryName("sess_late").outputMode(OutputMode.Append()).start()
+    // batch 1: session [00:15, 00:20]; watermark advances to 00:10
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:15:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:20:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: LATE event at 00:12 (>= watermark, earlier than stored start):
+    // must extend the session start backwards, never truncate its end
+    mem.addData(Event(3L, ts("2024-01-01 00:12:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // flush via far-future events (two batches: advance watermark, then fire timeout)
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100L, ts("2024-01-03 00:00:00"), 9L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_late").as[EventStreams.SessionOut].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.session_start_us, s.session_end_us, s.n_events)).toSet
+    def us(s: String) = ts(s).getTime * 1000
+    assert(out === Set((us("2024-01-01 00:12:00"), us("2024-01-01 00:20:00"), 3L)))
+  }
+
+  test("micros keeps sub-millisecond precision (batch/stream parity)") {
+    val t = ts("2024-01-01 00:00:00.000123456")
+    // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
+    assert(EventStreams.micros(t) === t.getTime * 1000 + 123L)
+  }
 }

@@ -18,6 +18,19 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(out("c3") === None)         // no right rows for key 2
   }
 
+  test("asofJoin is deterministic on duplicate (key, ts) right rows; payload from one row") {
+    val left = Seq((1L, 100L, "c1")).toDF("k", "ts", "name")
+    // two right rows tie exactly on (k, rts): tie-break = max payload struct,
+    // and both payload columns must come from THAT row (never mixed).
+    val right = Seq((1L, 100L, "a", 10L), (1L, 100L, "b", 2L)).toDF("k", "rts", "tag", "rid")
+    val outs = (1 to 5).map { _ =>
+      TemporalJoins.asofJoin(left, right, "k", col("ts"), col("rts"), Seq("tag", "rid"))
+        .select("name", "tag", "rid").as[(String, String, Long)].collect().toSeq
+    }
+    assert(outs.distinct.size === 1)                    // run-to-run deterministic
+    assert(outs.head === Seq(("c1", "b", 2L)))          // max struct row, columns paired
+  }
+
   test("rangeJoinBucketed equals the naive inequality join") {
     val rnd = new scala.util.Random(7)
     val points = Seq.fill(300)((rnd.nextInt(3).toLong, rnd.nextInt(10000).toLong)).zipWithIndex
