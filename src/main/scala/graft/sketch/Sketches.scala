@@ -1,0 +1,284 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries buffer: bounded parallel counter arrays + total input
+  * count. Top-level so the product encoder can codegen it. */
+case class MGBuf(keys: Array[Long], counts: Array[Long], n: Long)
+
+/** Misra-Gries result: candidate heavy keys + total input count. */
+case class MGOut(keys: Array[Long], n: Long)
+
+/** t-digest buffer: centroid means/weights (sorted after compress) +
+  * an unsorted append tail that gets folded in on compress. */
+case class TDBuf(means: Array[Double], weights: Array[Long])
+
+/** Mergeable sketch aggregators (SURVEY.md §2.8) — the bounded-memory
+  * single-pass summaries a 100 TB aggregation needs when exact
+  * per-key state would not fit: distinct counts (HLL), heavy hitters
+  * (Misra-Gries), quantiles (merging t-digest).
+  *
+  * All three are typed `Aggregator`s (the public UDAF tier): the
+  * buffer is a small fixed-size summary, `merge` is associative and
+  * commutative, so Spark runs them as partial aggregates map-side and
+  * merges per-key summaries across the shuffle — the sketch never
+  * sees row order and the state per group is O(sketch), not O(rows).
+  *
+  * Hashing for HLL happens OUTSIDE the aggregator (feed it
+  * `xxhash64(col)`), so the per-row hash stays in whole-stage codegen
+  * and the aggregator input is already uniform bits.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog over pre-hashed 64-bit input. `p` index bits →
+    * m = 2^p byte registers; standard error ≈ 1.04/sqrt(m)
+    * (p=12 → 1.6%). Buffer is the raw register array; merge is
+    * element-wise max. */
+  class Hll(p: Int) extends Aggregator[Long, Array[Byte], Long] {
+    require(p >= 4 && p <= 18, "p in [4,18]")
+    private val m = 1 << p
+
+    override def zero: Array[Byte] = new Array[Byte](m)
+
+    override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+      val idx = (hash >>> (64 - p)).toInt
+      // rank of the first 1-bit in the remaining 64-p bits, in [1, 64-p+1]
+      val rest = hash << p
+      val rho = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rho > regs(idx)) regs(idx) = rho.toByte
+      regs
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(regs: Array[Byte]): Long = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += java.lang.Math.scalb(1.0, -regs(i)) // 2^-reg
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m.toLong * m.toLong / invSum
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+        else raw
+      math.round(est)
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column handle: approx distinct of a pre-hashed long column. */
+  def hll(hashed: Column, p: Int = 12): Column =
+    udaf(new Hll(p), Encoders.scalaLong).apply(hashed)
+
+  // -------------------------------------------------------- Misra-Gries
+
+  /** Misra-Gries heavy-hitter candidates over long keys with k
+    * counters: every key with true frequency > n/(k+1) is guaranteed
+    * present in the output (undercount ≤ n/(k+1)); the output also
+    * carries exact n so callers can turn a relative threshold into an
+    * absolute one. Merge adds counters then decrements all by the
+    * (k+1)-largest combined count (the standard mergeable-summary
+    * construction, Agarwal et al., "Mergeable Summaries"). */
+  class MisraGries(k: Int) extends Aggregator[Long, MGBuf, MGOut] {
+    require(k >= 1)
+
+    override def zero: MGBuf = MGBuf(Array.emptyLongArray, Array.emptyLongArray, 0L)
+
+    private def toMap(b: MGBuf): scala.collection.mutable.LongMap[Long] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < b.keys.length) { m.update(b.keys(i), b.counts(i)); i += 1 }
+      m
+    }
+
+    private def fromMap(m: scala.collection.mutable.LongMap[Long], n: Long): MGBuf = {
+      val ks = new Array[Long](m.size)
+      val cs = new Array[Long](m.size)
+      var i = 0
+      m.foreach { case (key, c) => ks(i) = key; cs(i) = c; i += 1 }
+      MGBuf(ks, cs, n)
+    }
+
+    /** Keep at most k counters: subtract the (k+1)-largest count from
+      * all and drop non-positive ones. */
+    private def shrink(m: scala.collection.mutable.LongMap[Long]): Unit =
+      if (m.size > k) {
+        val counts = m.values.toArray
+        java.util.Arrays.sort(counts)
+        val dec = counts(counts.length - (k + 1)) // (k+1)-th largest
+        val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+        m.mapValuesInPlace((_, c) => c - dec)
+        m.foreach { case (key, c) => if (c <= 0) dead += key }
+        dead.foreach(m.remove)
+      }
+
+    override def reduce(b: MGBuf, key: Long): MGBuf = {
+      val m = toMap(b)
+      m.update(key, m.getOrElse(key, 0L) + 1L)
+      shrink(m)
+      fromMap(m, b.n + 1)
+    }
+
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val m = toMap(a)
+      var i = 0
+      while (i < b.keys.length) {
+        m.update(b.keys(i), m.getOrElse(b.keys(i), 0L) + b.counts(i)); i += 1
+      }
+      shrink(m)
+      fromMap(m, a.n + b.n)
+    }
+
+    override def finish(b: MGBuf): MGOut = MGOut(b.keys, b.n)
+
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    override def outputEncoder: Encoder[MGOut] = Encoders.product[MGOut]
+  }
+
+  /** Column handle: struct(keys: array<bigint>, n: bigint). */
+  def misraGries(key: Column, k: Int): Column =
+    udaf(new MisraGries(k), Encoders.scalaLong).apply(key)
+
+  /** EXACT heavy hitters at scale, sketch-guided: pass 1 runs
+    * Misra-Gries (bounded memory, map-side partial) to get a small
+    * guaranteed-superset candidate set; pass 2 broadcast-semi-joins
+    * the candidates and recounts them exactly. Returns keys with
+    * exact count ≥ (num/den) · n. No driver collect — the candidate
+    * set flows as a (≤ k)-row broadcast. k defaults to 2·den/num so
+    * the MG guarantee (freq > n/(k+1) survives) covers the threshold
+    * with slack.
+    *
+    * The share is a rational (num/den) and the final filter is pure
+    * integer arithmetic (`cnt·den ≥ n·num`) — engine-portable with no
+    * float-threshold edge cases. */
+  def heavyHitters(df: DataFrame, key: Column, shareNum: Long, shareDen: Long,
+      kOpt: Option[Int] = None): DataFrame = {
+    require(shareNum > 0 && shareNum < shareDen)
+    val k = kOpt.getOrElse(math.ceil(2.0 * shareDen / shareNum).toInt)
+    val mg = df.agg(misraGries(key, k).as("mg"))
+      .select(col("mg.n").as("__n"), explode(col("mg.keys")).as("__cand"))
+    df.select(key.as("__k"))
+      .join(broadcast(mg), col("__k") === col("__cand"))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
+      .filter(col("cnt") * shareDen >= col("__n") * shareNum)
+      .select(col("key"), col("cnt"))
+  }
+
+  // ------------------------------------------------------------ t-digest
+
+  /** Merging t-digest (Dunning) with compression δ: centroids are
+    * merged greedily in mean order subject to the q(1-q) size bound,
+    * so tail quantiles keep fine resolution. `reduce` appends
+    * singleton centroids and compresses lazily (amortized O(log)
+    * per row); `merge` concatenates + compresses. */
+  class TDigest(delta: Int) extends Aggregator[Long, TDBuf, TDBuf] {
+    require(delta >= 20)
+    private val maxBuf = delta * 4
+
+    override def zero: TDBuf = TDBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+    /** k1 scale function (arcsine): fine resolution at the tails, and
+      * a merged digest never exceeds δ centroids — independent of n. */
+    private def kScale(q: Double): Double =
+      delta / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+
+    private def compress(means: Array[Double], weights: Array[Long]): TDBuf = {
+      if (means.isEmpty) return TDBuf(means, weights)
+      val idx = means.indices.toArray.sortBy(means)
+      val total = weights.sum.toDouble
+      val outM = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val outW = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var curM = means(idx(0))
+      var curW = weights(idx(0))
+      var wSoFar = 0.0
+      var kLeft = kScale(0.0)
+      var i = 1
+      while (i < idx.length) {
+        val m2 = means(idx(i)); val w2 = weights(idx(i))
+        if (kScale((wSoFar + curW + w2) / total) - kLeft <= 1.0) {
+          // weighted mean; weights are integral so this is deterministic
+          curM = (curM * curW + m2 * w2) / (curW + w2)
+          curW += w2
+        } else {
+          outM += curM; outW += curW; wSoFar += curW
+          kLeft = kScale(wSoFar / total)
+          curM = m2; curW = w2
+        }
+        i += 1
+      }
+      outM += curM; outW += curW
+      TDBuf(outM.toArray, outW.toArray)
+    }
+
+    private def maybeCompress(b: TDBuf): TDBuf =
+      if (b.means.length > maxBuf) compress(b.means, b.weights) else b
+
+    override def reduce(b: TDBuf, x: Long): TDBuf =
+      maybeCompress(TDBuf(b.means :+ x.toDouble, b.weights :+ 1L))
+
+    override def merge(a: TDBuf, b: TDBuf): TDBuf =
+      compress(a.means ++ b.means, a.weights ++ b.weights)
+
+    override def finish(b: TDBuf): TDBuf = compress(b.means, b.weights)
+
+    override def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+    override def outputEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+  }
+
+  /** Column handle: digest struct(means, weights) of a long column. */
+  def tdigest(value: Column, delta: Int = 200): Column =
+    udaf(new TDigest(delta), Encoders.scalaLong).apply(value)
+
+  /** Quantile estimate from a digest struct produced by [[tdigest]]:
+    * walk the cumulative weight to rank q·n and linearly interpolate
+    * between neighboring centroid midpoints (Dunning's estimator).
+    *
+    * This is a Scala UDF by choice: it runs once per GROUP on a
+    * ≤ δ-entry digest (the per-row hot path is the codegen'd
+    * aggregation above), so UDF overhead is irrelevant here and the
+    * imperative walk is clearer than interpreted array HOFs. */
+  def tdigestQuantile(digest: Column, q: Double): Column =
+    quantileUdf(digest.getField("means"), digest.getField("weights"), lit(q))
+
+  private val quantileUdf = udf { (means: Seq[Double], weights: Seq[Long], q: Double) =>
+    if (means.isEmpty) None
+    else {
+      val total = weights.sum.toDouble
+      val rank = q * total
+      // cumulative midpoints: centroid i "sits at" cum(i-1) + w(i)/2
+      var cum = 0.0
+      var prevMid = 0.0
+      var prevMean = means.head
+      var res: Option[Double] = None
+      var i = 0
+      while (i < means.length && res.isEmpty) {
+        val mid = cum + weights(i) / 2.0
+        if (rank <= mid) {
+          res = Some(
+            if (i == 0 || mid == prevMid) means(i)
+            else prevMean + (means(i) - prevMean) * (rank - prevMid) / (mid - prevMid))
+        }
+        cum += weights(i)
+        prevMid = mid
+        prevMean = means(i)
+        i += 1
+      }
+      Some(res.getOrElse(means.last))
+    }
+  }
+}

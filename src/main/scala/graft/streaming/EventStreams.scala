@@ -52,6 +52,35 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame, joinKey: String, joinType: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(joinKey), joinType)
 
+  /** Stream-stream time-bounded inner join (click→purchase
+    * attribution): pair rows of the same `key` where the right event
+    * lands in `[leftTs, leftTs + within]`. Both sides carry watermarks
+    * so the state store can evict: a left row is droppable once the
+    * right watermark passes leftTs + within, a right row once the left
+    * watermark passes rightTs — Spark derives both bounds from the
+    * time-range predicate, keeping state O(in-flight window), not
+    * O(stream). Batch equivalent: `TemporalJoins.rangeJoinBucketed`
+    * (verified against it in StreamingSpec).
+    *
+    * Column requirements: both sides need a `ts` column; non-key
+    * column names must be disjoint (standard stream-join hygiene). */
+  def joinedWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      within: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val l = left.withColumnRenamed("ts", "l_ts").withWatermark("l_ts", watermarkDelay)
+    val r = right.withColumnRenamed("ts", "r_ts").withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of
     * the same user arrives past the gap, or when the watermark passes

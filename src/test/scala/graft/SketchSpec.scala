@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Sketches
+
+class SketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hll estimates distinct counts within the p=12 error bound") {
+    // 10k distinct values, each appearing 1-3 times
+    val df = spark.range(10000).select(col("id") % 10000 as "v")
+      .union(spark.range(5000).select(col("id") % 10000 as "v"))
+    val est = df.select(Sketches.hll(xxhash64(col("v")))).as[Long].head()
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.05) // 3σ at p=12 is ~4.8%
+  }
+
+  test("hll merge across partitions equals single-partition result") {
+    val one = spark.range(5000).repartition(1).select(Sketches.hll(xxhash64(col("id")))).as[Long].head()
+    val many = spark.range(5000).repartition(16).select(Sketches.hll(xxhash64(col("id")))).as[Long].head()
+    assert(one === many) // register-max merge is exact, independent of partitioning
+  }
+
+  test("hll linear-counting small range is near-exact") {
+    val est = spark.range(50).select(Sketches.hll(xxhash64(col("id")))).as[Long].head()
+    assert(est === 50L)
+  }
+
+  test("misra-gries candidates contain every key above n/(k+1)") {
+    // 1000 background keys once each + two heavy keys
+    val df = spark.range(1000).select(col("id").as("k"))
+      .union(spark.range(300).select(lit(7777L).as("k")))
+      .union(spark.range(200).select(lit(8888L).as("k")))
+    val out = df.repartition(8)
+      .agg(Sketches.misraGries(col("k"), k = 20).as("mg"))
+      .select(col("mg.keys"), col("mg.n")).as[(Seq[Long], Long)].head()
+    assert(out._2 === 1500L)
+    assert(out._1.contains(7777L) && out._1.contains(8888L)) // freq > n/(k+1) ≈ 71
+    assert(out._1.size <= 20)
+  }
+
+  test("heavyHitters returns exact counts for keys above the share") {
+    val df = spark.range(1000).select(col("id").as("k"))
+      .union(spark.range(300).select(lit(7777L).as("k")))
+      .union(spark.range(200).select(lit(8888L).as("k")))
+    val out = Sketches.heavyHitters(df.repartition(8), col("k"), shareNum = 1, shareDen = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(7777L -> 300L, 8888L -> 200L)) // exact, not sketch estimates
+  }
+
+  test("tdigest quantiles land within rank tolerance of exact") {
+    val n = 20000
+    val rnd = new scala.util.Random(42)
+    // skewed data: mixture of uniform + heavy tail
+    val vals = Seq.fill(n)(if (rnd.nextDouble() < 0.9) rnd.nextInt(1000).toLong else 1000L + rnd.nextInt(100000))
+    val df = vals.toDF("v").repartition(16)
+    val digest = df.agg(Sketches.tdigest(col("v")).as("d"))
+    val row = digest.select(
+      Sketches.tdigestQuantile(col("d"), 0.5).as("p50"),
+      Sketches.tdigestQuantile(col("d"), 0.95).as("p95"),
+      Sketches.tdigestQuantile(col("d"), 0.99).as("p99")
+    ).head()
+    val sorted = vals.sorted
+    def exactAtRank(q: Double) = sorted((q * (n - 1)).toInt)
+    // rank-tolerance check: estimate must fall between exact values at q±0.01
+    for ((q, est) <- Seq(0.5 -> row.getDouble(0), 0.95 -> row.getDouble(1), 0.99 -> row.getDouble(2))) {
+      val lo = exactAtRank(math.max(0, q - 0.01)).toDouble
+      val hi = exactAtRank(math.min(1, q + 0.01)).toDouble
+      assert(est >= lo && est <= hi, s"q=$q est=$est not in [$lo,$hi]")
+    }
+  }
+
+  test("tdigest digest is bounded and merge-invariant in size") {
+    val df = spark.range(50000).select(col("id").as("v"))
+    val d1 = df.repartition(1).agg(Sketches.tdigest(col("v")).as("d")).select(size(col("d.means"))).as[Int].head()
+    val d32 = df.repartition(32).agg(Sketches.tdigest(col("v")).as("d")).select(size(col("d.means"))).as[Int].head()
+    assert(d1 <= 200 && d32 <= 200) // k1 scale: ≤ δ centroids regardless of input size / layout
+  }
+}

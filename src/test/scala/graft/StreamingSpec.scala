@@ -113,6 +113,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Set((us("2024-01-01 00:12:00"), us("2024-01-01 00:20:00"), 3L)))
   }
 
+  test("joinedWithin: stream-stream time-bounded join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), // matches purchases at 00:10, 00:50
+      (2L, ts("2024-01-01 02:00:00"), 1L), // matches purchase at 02:30
+      (3L, ts("2024-01-01 00:00:00"), 2L)  // user 2: no purchase within 1h
+    )
+    val purchases = Seq(
+      (11L, ts("2024-01-01 00:10:00"), 1L),
+      (12L, ts("2024-01-01 00:50:00"), 1L),
+      (13L, ts("2024-01-01 02:30:00"), 1L),
+      (14L, ts("2024-01-01 09:00:00"), 2L)
+    )
+    val memC = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.joinedWithin(
+        memC.toDF().toDF("c_id", "ts", "user_id"),
+        memP.toDF().toDF("p_id", "ts", "user_id"),
+        "user_id", within = "1 hour")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append()).start()
+    memC.addData(clicks: _*)
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj").select("c_id", "p_id").as[(Long, Long)].collect().toSet
+
+    val batch = graft.operators.TemporalJoins.rangeJoinBucketed(
+        purchases.toDF("p_id", "ts", "user_id").select(col("p_id"), col("user_id"),
+          (col("ts").cast("long") * 1000000L).as("p_us")),
+        clicks.toDF("c_id", "ts", "user_id").select(col("c_id"), col("user_id"),
+          (col("ts").cast("long") * 1000000L).as("c_us")),
+        "user_id", col("p_us"), col("c_us"), col("c_us") + 3600000000L, bucketUs = 3600000000L)
+      .select("c_id", "p_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 11L), (1L, 12L), (2L, 13L)))
+  }
+
   test("micros keeps sub-millisecond precision (batch/stream parity)") {
     val t = ts("2024-01-01 00:00:00.000123456")
     // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
