@@ -19,17 +19,18 @@ object Dedup {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Word n-gram shingles WITH duplicates (cheap, codegen-friendly).
-    * Empty array when the doc is shorter than n tokens (guards
-    * Spark's sign-inferring sequence). */
-  def shinglesRaw(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
-    )
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles WITH duplicates; empty array when the doc
+    * is shorter than n tokens, empty array for null text.
+    *
+    * Backed by the native [[org.apache.spark.sql.graft.WordShingles]]
+    * expression (codegen'd tight loop). The equivalent HOF
+    * formulation — transform(sequence, i -> concat_ws(element_at ×
+    * n)) — is interpreted and re-evaluated per consumer branch;
+    * measured ~10× slower on the dedup queries. */
+  def shinglesRaw(text: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graft.GraftTextFunctions.wordShingles(text, n),
+      array().cast("array<string>"))
 
   /** Distinct word n-gram shingles. array_distinct is interpreted
     * O(len²) per row — prefer [[shinglesRaw]] + a distributed
@@ -118,13 +119,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity pairs: explode distinct grams,
-    * self-join on gram, count intersections, compute |A∩B|/|A∪B|.
+  /** Exact n-gram Jaccard similarity pairs: group docs by gram, emit
+    * candidate pairs from each gram's (sorted, deduped) doc list,
+    * count intersections, compute |A∩B|/|A∪B|.
     *
-    * Scale note: frequent grams explode the gram join quadratically;
+    * Plan shape (one gram pass per branch, two branches total):
+    * grouping by gram with collect_set replaces both the pre-distinct
+    * AND the gram self-join of the textbook formulation — grams held
+    * by a single doc never leave the aggregate, and a pair meets once
+    * per shared gram without materializing two shuffled copies of the
+    * gram table.
+    *
+    * Scale note: a gram shared by d docs emits C(d,2) pairs — that is
+    * the inherent candidate cost, identical to the self-join shape;
     * `maxDocFreq` drops grams present in more than that many docs
-    * (standard prefix/stop-gram filtering) — pairs sharing ONLY
-    * ultra-common grams can't reach a meaningful τ anyway. */
+    * (standard stop-gram filtering, and it also bounds the collected
+    * list) — pairs sharing ONLY ultra-common grams can't reach a
+    * meaningful τ anyway. */
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,
@@ -133,20 +144,15 @@ object Dedup {
       tau: Double = 0.5,
       maxDocFreq: Option[Long] = None
   ): DataFrame = {
-    // set semantics via distributed distinct (hash agg), not per-row array_distinct
-    val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g")).distinct()
-    val g = maxDocFreq match {
-      case Some(mdf) =>
-        val keep = g0.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= mdf).select("g")
-        g0.join(broadcast(keep), "g")
-      case None => g0
-    }
-    val sizes = g0.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = g
-      .as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g"))
+    // per-doc distinct gram count (set semantics without a separate shuffle)
+    val sizes = g0.groupBy("doc_id").agg(count_distinct(col("g")).as("n"))
+    val byGram = g0.groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= lit(maxDocFreq.getOrElse(Long.MaxValue)))
+    val pairs = byGram
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")

@@ -1,0 +1,81 @@
+// Hosted under org.apache.spark.sql.* because ExpectsInputTypes /
+// AbstractDataType / ExpressionUtils are private[sql] in Spark 4 —
+// the standard technique for third-party native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingling for the dedup hot path (SURVEY.md §2.3).
+  *
+  * The built-in formulation — `transform(sequence(...), i =>
+  * concat_ws(" ", element_at(toks, i+1), ...))` — is a nested
+  * higher-order function: interpreted eval, a lambda frame plus n
+  * element_at calls PER GRAM per row, and it is re-evaluated for
+  * every consumer branch of the plan. This expression does one tight
+  * loop per row. Shingling is embarrassingly parallel, so the
+  * per-row-native (not shuffle-based) shape is the one that scales
+  * to a 100 TB corpus.
+  *
+  * Semantics bit-match the HOF formulation (and the DuckDB oracle):
+  * tokens = split(trim(lower(text)), "\\s+"), grams joined with a
+  * single space, empty array when fewer than n tokens.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(text, n) - space-joined lowercase word n-grams of text."
+)
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // trim/lower via UTF8String so casing matches Spark's lower()
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column facade for the text expressions. */
+object GraftTextFunctions {
+  def wordShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+}
