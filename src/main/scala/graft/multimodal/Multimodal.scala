@@ -65,6 +65,26 @@ object Multimodal {
     }
   }
 
+  /** Declarative frame sampling: every `stride`-th `frameSize`-byte
+    * window of the payload (the trailing partial frame included, like
+    * [[FakeCodec.frameSample]]). Pure Column ops — sequence + explode
+    * + binary substring — so frame extraction runs inside codegen and
+    * scales row-parallel with no shuffle; a real video pipeline swaps
+    * the byte-window for codec keyframe offsets but keeps this plan
+    * shape (explode of per-row frame indices). */
+  def frameSlices(df: DataFrame, media: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize >= 1 && stride >= 1)
+    df.select(id.as("media_id"), media.as("__m"))
+      .withColumn("__nf", expr(s"(octet_length(__m) + ${frameSize - 1}) div $frameSize"))
+      .filter(col("__nf") > 0)
+      .select(col("media_id"), col("__m"),
+        explode(sequence(lit(0L), col("__nf") - 1)).as("frame_id"))
+      .filter(col("frame_id") % stride === 0)
+      .select(col("media_id"), col("frame_id"),
+        expr(s"substring(__m, frame_id * $frameSize + 1, $frameSize)").as("frame"))
+  }
+
   /** Declarative (codegen) variant for pure-byte features — when the
     * "decode" is expressible as Column ops, skip the typed boundary
     * entirely. Used by the oracle-gated q_multimodal. */

@@ -23,6 +23,12 @@ object MultimodalQueries {
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(asMedia(s, dir), col("media"), col("media_id"))),
 
+    // §2.6/35c declarative frame sampling: every 4th 16-byte window
+    // (oracle: hex-slice of the encoded blob in DuckDB).
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSlices(asMedia(s, dir), col("media"), col("media_id"), frameSize = 16, stride = 4)
+        .select(col("media_id"), col("frame_id"), lower(hex(col("frame"))).as("frame_hex"))),
+
     // §2.6/35b typed per-partition batched decode path (rows-only):
     // the mapInPandas-shaped plumbing through Dataset[MediaRecord].
     "q_media_decode" -> ((s, dir) => {
@@ -45,6 +51,14 @@ object MultimodalQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
         |       md5(text) AS payload_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT media_id, f AS frame_id,
+        |       lower(substr(hex(blob), CAST(f * 32 + 1 AS BIGINT), 32)) AS frame_hex
+        |FROM (
+        |  SELECT doc_id AS media_id, encode(text) AS blob,
+        |         unnest(generate_series(0, (octet_length(encode(text)) + 15) // 16 - 1)) AS f
+        |  FROM documents
+        |) WHERE f % 4 = 0""".stripMargin
   )
 }

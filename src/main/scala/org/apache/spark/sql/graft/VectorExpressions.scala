@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - integer dot product of two BIGINT arrays."
 )
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression, failOnError: Boolean = false)
     extends BinaryExpression
     with ExpectsInputTypes {
 
@@ -43,9 +43,17 @@ case class DotProductLong(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0L
     var i = 0
-    while (i < n) {
-      sum += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (failOnError) {
+      // ANSI arithmetic: overflow throws, matching Multiply/Add in ANSI mode
+      while (i < n) {
+        sum = Math.addExact(sum, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        sum += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
     }
     sum
   }
@@ -55,11 +63,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val step =
+        if (failOnError)
+          s"$sum = java.lang.Math.addExact($sum, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$sum += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |  $step
          |}
          |${ev.value} = $sum;
        """.stripMargin

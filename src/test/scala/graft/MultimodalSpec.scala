@@ -34,6 +34,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(declarative === typed)
   }
 
+  test("frameSlices declarative path equals FakeCodec.frameSample") {
+    val declarative = Multimodal
+      .frameSlices(media.toDF(), col("media"), col("media_id"), frameSize = 4, stride = 2)
+      .select("media_id", "frame_id", "frame")
+      .as[(Long, Long, Array[Byte])].collect()
+      .map { case (id, f, bytes) => (id, f, bytes.toSeq) }.toSet
+    val typed = media.collect().flatMap { r =>
+      FakeCodec.frameSample(r.media, frameSize = 4, stride = 2).zipWithIndex
+        .map { case (frame, i) => (r.media_id, i.toLong * 2, frame.toSeq) }
+    }.toSet
+    assert(declarative === typed)
+    assert(declarative.exists(_._1 == 1L)) // "hello world" = 11 bytes -> frames 0 and 2
+  }
+
   test("frameSample stub keeps stride shape") {
     val frames = FakeCodec.frameSample((0 until 100).map(_.toByte).toArray, frameSize = 10, stride = 2)
     assert(frames.length === 5)

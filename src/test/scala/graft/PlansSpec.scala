@@ -37,6 +37,33 @@ class PlansSpec extends SparkSpecBase {
     assert(f === 1.0)
   }
 
+  test("VectorizeDotProducts rewrites the HOF fold to the native expression") {
+    // non-local child so the projection isn't constant-folded away
+    val df = spark.range(50)
+      .select(array(col("id"), col("id") + 1).as("a"), array(col("id") * 2, col("id") + 3).as("b"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("d"))
+    // the optimizer swapped in the native expression...
+    assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot_long"))
+    assert(!hof.queryExecution.optimizedPlan.toString.contains("aggregate("))
+    // ...and values match the native formulation exactly
+    val native = df.select(Similarity.dotQ(col("a"), col("b")).as("d"))
+    assert(hof.as[Long].collect().toSeq === native.as[Long].collect().toSeq)
+  }
+
+  test("VectorizeDotProducts leaves non-dot-product folds alone") {
+    val df = spark.range(10).select(array(col("id"), col("id") + 1).as("a"), array(col("id")).as("b"))
+    // max-fold, not a dot product: must stay a HOF
+    val other = df.select(
+      aggregate(zip_with(col("a"), col("a"), (x, y) => x * y), lit(1L), (acc, v) => greatest(acc, v)))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot_long"))
+    // SQL route gets the rewrite too
+    val sqlPlan = spark.range(5)
+      .select(array(col("id")).as("a"), array(col("id")).as("b"))
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d")
+    assert(sqlPlan.queryExecution.optimizedPlan.toString.contains("graft_dot_long"))
+  }
+
   test("native dot product appears inside WholeStageCodegen") {
     // needs a non-local child: local relations constant-fold the whole projection
     val df = spark.range(100)
