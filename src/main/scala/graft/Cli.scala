@@ -15,7 +15,10 @@ import graft.sources.PartitionedFiles
   * interpreter per record.
   *
   * Usage:
-  *   graft.Cli -i IN [-f json|csv|text] [--schema DDL] CMD [args] [--outfile OUT]
+  *   graft.Cli -i IN [-f json|csv|text] [--schema DDL] CMD [args]
+  *             [--outfile OUT] [--codec gzip|bzip2]
+  * Gzipped/bzip2'd inputs read transparently by extension (as in
+  * shmr); `--codec` compresses the output.
   * Commands:
   *   partition.map        --expr "id, value*2 AS v2"
   *   partition.filter     --expr "value > 10"
@@ -52,10 +55,13 @@ object Cli {
 
     def write(df: DataFrame, parts: Int = 1): Unit = {
       val out = opts.getOrElse("outfile", fail(s"$cmd requires --outfile"))
+      // shmr reads/writes .gz/.bz2 transparently by extension; Spark
+      // reads them transparently too, and writes via --codec
+      val codec = opts.get("codec")
       fmt match {
-        case "json" => PartitionedFiles.writeJsonl(df, out, parts)
-        case "csv"  => PartitionedFiles.writeCsv(df, out, parts)
-        case "text" => PartitionedFiles.writeText(df, out, parts)
+        case "json" => PartitionedFiles.writeJsonl(df, out, parts, codec)
+        case "csv"  => PartitionedFiles.writeCsv(df, out, parts, codec = codec)
+        case "text" => PartitionedFiles.writeText(df, out, parts, codec)
       }
     }
 

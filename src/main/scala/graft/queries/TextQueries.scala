@@ -53,6 +53,15 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("pred_lang")
       )),
 
+    // §2.5/30b char-ngram language profiles: train per-lang top-50
+    // 3-gram profiles on the corpus, then classify every doc by
+    // broadcast-join gram voting (deterministic integer scores).
+    "q_lang_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val profiles = TextAnalysis.charNgramProfiles(docs, col("text"), col("lang"))
+      TextAnalysis.langIdNgram(docs, col("text"), col("doc_id"), profiles)
+    }),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -111,6 +120,25 @@ object TextQueries {
            |       (CAST(n_types AS DOUBLE) / n_tokens) * 0.5 + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.5 AS quality_score
            |FROM m""".stripMargin
         .replace("$stopSqlList", stopSqlList),
+    "q_lang_profile" ->
+      raw"""WITH grams AS (
+           |  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS g
+           |  FROM (
+           |    SELECT doc_id, lang, lower(text) AS t,
+           |           unnest(generate_series(1, length(lower(text)) - 2)) AS i
+           |    FROM documents WHERE length(lower(text)) >= 3
+           |  )
+           |), prof AS (
+           |  SELECT lang, g, 51 - row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS weight
+           |  FROM grams GROUP BY lang, g
+           |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) <= 50
+           |), scores AS (
+           |  SELECT d.doc_id, p.lang, CAST(SUM(p.weight) AS BIGINT) AS score
+           |  FROM grams d JOIN prof p ON d.g = p.g
+           |  GROUP BY d.doc_id, p.lang
+           |)
+           |SELECT doc_id, lang AS lang_pred, score FROM scores
+           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1""".stripMargin,
     "q_lang_id" ->
       raw"""WITH t AS (
            |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS toks

@@ -60,4 +60,48 @@ object TextAnalysis {
     * fingerprints can be joined across engines/runs. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // ---------------------------------------------- char-ngram profiles
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** (doc-ish key, char n-gram) rows of lowercase text: explode of the
+    * position sequence + substring — all codegen, no UDF. Texts
+    * shorter than n produce no rows (the sequence guard matters:
+    * Spark's sequence(1, k) DESCENDS for k < 1). */
+  private def charGrams(df: DataFrame, key: Column, keyName: String, text: Column, n: Int): DataFrame =
+    df.select(key.as(keyName), lower(text).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col(keyName), explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i"), col("__t"))
+      .select(col(keyName), expr(s"substring(__t, __i, $n)").as("g"))
+
+  /** Train per-language character n-gram profiles (Cavnar–Trenkle
+    * style): the topK most frequent grams per language, weighted
+    * topK+1-rank (rank ties broken by gram text — deterministic).
+    * The profile is tiny (langs × topK rows) — broadcast it. */
+  def charNgramProfiles(df: DataFrame, text: Column, lang: Column,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val counts = charGrams(df, lang, "lang", text, n).groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)
+    counts.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+      .select(col("lang"), col("g"), (lit(topK + 1) - col("__r")).cast("long").as("weight"))
+  }
+
+  /** Language ID against trained profiles: every gram occurrence of a
+    * doc votes its profile weight per language; deterministic argmax
+    * (score desc, lang asc). Docs shorter than n or sharing no gram
+    * with any profile are absent (no evidence, no verdict).
+    * Integer scores keep it engine-portable. */
+  def langIdNgram(df: DataFrame, text: Column, id: Column,
+      profiles: DataFrame, n: Int = 3): DataFrame = {
+    val grams = charGrams(df, id, "doc_id", text, n)
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+    grams.join(broadcast(profiles), "g")
+      .groupBy("doc_id", "lang").agg(sum("weight").as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+  }
 }

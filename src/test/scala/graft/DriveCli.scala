@@ -1,0 +1,40 @@
+package graft
+
+// Manual end-to-end drive of the CLI surface incl. gzip round-trips;
+// invoked via: sbt "Test/runMain graft.DriveCli"
+object DriveCli {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = "/tmp/drive_cli"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+
+    // seed input: jsonl written by the library
+    locally {
+      val spark = GraftSession.builder("seed", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+      graft.sources.PartitionedFiles.writeJsonl(df, s"$tmp/in", 2)
+      spark.stop()
+    }
+
+    // CLI: map with gzip output
+    Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
+      "partition.map", "--expr", "id, v * 2 AS v2", "--outfile", s"$tmp/gz", "--codec", "gzip"))
+    val gzFiles = new java.io.File(s"$tmp/gz").listFiles().filter(_.getName.endsWith(".json.gz"))
+    println("GZ_FILES=" + gzFiles.length)
+
+    // CLI: read the gzipped output transparently, aggregate
+    Cli.main(Array("-i", s"$tmp/gz", "-f", "json", "--schema", "id long, v2 long",
+      "partition.reduce", "--aggs", "sum(v2) AS s, count(1) AS n", "--outfile", s"$tmp/agg"))
+
+    locally {
+      val spark = GraftSession.builder("verify", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles
+        .readJsonl(spark, s"$tmp/agg", Some("s long, n long")).select(col("s"), col("n")).head()
+      println("AGG=" + out) // expect [200,4]
+      spark.stop()
+    }
+  }
+}

@@ -35,6 +35,23 @@ class TextSpec extends SparkSpecBase {
     assert(out === Seq(true, false))
   }
 
+  test("char-ngram profiles classify docs by trained gram voting") {
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog near the old barn"),
+      (2L, "en", "she sells sea shells down by the sea shore every morning"),
+      (3L, "de", "der schnelle braune fuchs springt ueber den faulen hund im wald"),
+      (4L, "de", "die katze schleicht leise durch das dunkle haus bei nacht")
+    ).toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.charNgramProfiles(corpus, col("text"), col("lang"), n = 3, topK = 30)
+    // profile shape: at most topK rows per lang, weights in [1, topK]
+    val perLang = profiles.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.keySet === Set("en", "de") && perLang.values.forall(_ <= 30))
+    // held-in docs classify to their own language
+    val preds = TextAnalysis.langIdNgram(corpus, col("text"), col("doc_id"), profiles)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(preds === Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de"))
+  }
+
   test("vocabHits counts stopword occurrences") {
     val df = Seq("the the a of x").toDF("t")
     val out = df.select(
