@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.VectorizeDotProducts)
+    org.apache.spark.sql.graft.GraftPlans.register(ext)
   }
 }

@@ -42,6 +42,16 @@ object AnalyticQueries {
         )
         .mapRecords(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
 
+    // §2.2/22r same result via the custom GroupTopK physical operator
+    // (bounded heaps, partial-before-shuffle) instead of window rank.
+    "q_group_topk" -> ((s, dir) =>
+      org.apache.spark.sql.graft.GraftPlans.groupTopK(
+          Tables.orders(s, dir),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          3)
+        .mapRecords(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
     // §2.2/18 global top-k over an aggregate.
     "q_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -117,6 +127,11 @@ object AnalyticQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn

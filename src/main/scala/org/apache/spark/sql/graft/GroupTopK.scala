@@ -1,0 +1,123 @@
+// Hosted under org.apache.spark.sql.* — planner/exec surfaces
+// (mapPartitionsInternal, ClusteredDistribution, UnsafeProjection
+// binding) are private[spark]/private[sql].
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical per-group top-k: the first `k` rows of each group under
+  * `order` (row_number semantics — give `order` a total order for
+  * deterministic results).
+  *
+  * Why a custom operator (extension tier (c), SURVEY.md §2.2): Spark
+  * plans this as window rank = shuffle ALL rows + full sort per
+  * partition + filter. [[GroupTopKExec]] keeps a bounded heap per
+  * group instead — O(n log k) with no sort — and runs TWICE: a
+  * partial pass before the exchange (map-side, like partial
+  * aggregation) so only ≤ k rows per (group, input partition) are
+  * shuffled, then a final pass after. At 100 TB with k=5 that is the
+  * difference between shuffling the table and shuffling a rounding
+  * error of it. */
+case class GroupTopK(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+  require(k >= 1)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k per group. `partial = true` runs
+  * before the exchange on whatever partitioning exists; the final
+  * phase requires clustering on the group keys.
+  *
+  * Memory: O(#groups-per-partition × k) rows — the same residency
+  * class as a hash aggregate over the same keys. */
+case class GroupTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(groupExprs) :: Nil
+  override def nodeName: String = if (partial) "GraftGroupTopKPartial" else "GraftGroupTopKFinal"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupLocal = groupExprs
+    val orderLocal = order
+    val attrs = child.output
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(groupLocal, attrs)
+      val ord = RowOrdering.create(orderLocal, attrs)
+      // max-heap under ord: head = current worst of the kept k
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(
+          key.copy(),
+          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: GroupTopK → partial exec → (exchange inserted by
+  * EnsureRequirements) → final exec. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopK(groupExprs, order, k, child) =>
+      GroupTopKExec(groupExprs, order, k, partial = false,
+        GroupTopKExec(groupExprs, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public facade: build the logical node from Columns (unresolved —
+  * the analyzer resolves them against the child like any built-in). */
+object GraftPlans {
+
+  /** Eagerly convert a Column to a catalyst expression.
+    * ExpressionUtils.expression returns a lazy ColumnNodeExpression
+    * wrapper that only converts inside built-in API paths; custom
+    * logical nodes need the real tree up front. */
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  def groupTopK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val sortOrder = order.map(c => toExpr(c) match {
+      case s: SortOrder => s
+      case e            => SortOrder(e, Ascending)
+    })
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    Dataset.ofRows(ds.sparkSession,
+      GroupTopK(keys.map(toExpr), sortOrder, k, ds.logicalPlan))
+  }
+
+  def register(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+}
