@@ -85,6 +85,33 @@ object Multimodal {
         expr(s"substring(__m, frame_id * $frameSize + 1, $frameSize)").as("frame"))
   }
 
+  /** Container format sniffing from magic bytes — the first gate of
+    * any media ingest (route by real format, not file extension).
+    * Declarative prefix compares on the binary column (codegen). */
+  def detectFormat(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def magic(hexPrefix: String) =
+      lower(hex(substring(media, 1, hexPrefix.length / 2))) === hexPrefix.toLowerCase
+    when(magic("89504E47"), "png")
+      .when(magic("FFD8FF"), "jpeg")
+      .when(magic("47494638"), "gif")
+      .when(magic("52494646"), "riff") // wav/avi/webp container
+      .when(magic("66747970") || lower(hex(substring(media, 5, 4))) === "66747970", "mp4") // ftyp at 0 or 4
+      .when(magic("494433") || magic("FFFB"), "mp3")
+      .otherwise("unknown")
+  }
+
+  /** Per-group media corpus stats (count / bytes / size extremes) —
+    * what a pipeline uses to size `maxPartitionBytes` and decide
+    * routing before any decode. One hash aggregate, integral sums. */
+  def mediaStats(df: DataFrame, media: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(octet_length(media).cast("bigint")).as("total_bytes"),
+        min(octet_length(media)).cast("bigint").as("min_bytes"),
+        max(octet_length(media)).cast("bigint").as("max_bytes"))
+
   /** Declarative (codegen) variant for pure-byte features — when the
     * "decode" is expressible as Column ops, skip the typed boundary
     * entirely. Used by the oracle-gated q_multimodal. */

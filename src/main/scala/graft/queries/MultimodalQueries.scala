@@ -16,7 +16,7 @@ object MultimodalQueries {
 
   private def asMedia(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("media"))
+      .select(col("doc_id").as("media_id"), col("source"), col("text").cast("binary").as("media"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6/35a declarative byte features on a binary column (oracle-gated).
@@ -28,6 +28,12 @@ object MultimodalQueries {
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.frameSlices(asMedia(s, dir), col("media"), col("media_id"), frameSize = 16, stride = 4)
         .select(col("media_id"), col("frame_id"), lower(hex(col("frame"))).as("frame_hex"))),
+
+    // §2.6/35d per-source media corpus stats (the partition-sizing /
+    // routing aggregate that precedes any decode).
+    "q_media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(asMedia(s, dir), col("media"), col("source"))
+        .withColumnRenamed("grp", "source")),
 
     // §2.6/35b typed per-partition batched decode path (rows-only):
     // the mapInPandas-shaped plumbing through Dataset[MediaRecord].
@@ -52,6 +58,13 @@ object MultimodalQueries {
         |       lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
         |       md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+    "q_media_stats" ->
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+        |       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY source""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, f AS frame_id,
         |       lower(substr(hex(blob), CAST(f * 32 + 1 AS BIGINT), 32)) AS frame_hex

@@ -81,6 +81,15 @@ object EventStreams {
       .drop(r(key))
   }
 
+  /** Streaming exact dedup: drop rows whose `keys` repeat within the
+    * watermark window. State stores one entry per key seen, evicted
+    * once the watermark passes — so memory is bounded by the key
+    * arrival rate × watermark horizon, the standard contract for
+    * exactly-once event replay (at-least-once sources re-emit events;
+    * this collapses them). Batch equivalent: `distinctBy(keys)`. */
+  def deduped(events: DataFrame, keys: Seq[String], watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of
     * the same user arrives past the gap, or when the watermark passes

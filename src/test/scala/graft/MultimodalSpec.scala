@@ -48,6 +48,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(declarative.exists(_._1 == 1L)) // "hello world" = 11 bytes -> frames 0 and 2
   }
 
+  test("detectFormat sniffs container magic bytes") {
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)),           // PNG
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),  // JPEG
+      (3L, "RIFF1234WAVE".getBytes("UTF-8")),                                 // RIFF
+      (4L, Array[Byte](0, 0, 0, 0x18, 0x66, 0x74, 0x79, 0x70)),              // mp4 ftyp at offset 4
+      (5L, "plain text".getBytes("UTF-8"))
+    ).toDF("id", "media")
+    val out = rows.select(col("id"), Multimodal.detectFormat(col("media")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "mp4", 5L -> "unknown"))
+  }
+
+  test("mediaStats aggregates byte totals per group") {
+    val rows = Seq(("a", Array[Byte](1, 2, 3)), ("a", Array[Byte](1)), ("b", Array[Byte](9, 9))).toDF("g", "media")
+    val out = Multimodal.mediaStats(rows, col("media"), col("g"))
+      .select("grp", "n", "total_bytes", "min_bytes", "max_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(("a", 2L, 4L, 1L, 3L), ("b", 1L, 2L, 2L, 2L)))
+  }
+
   test("frameSample stub keeps stride shape") {
     val frames = FakeCodec.frameSample((0 until 100).map(_.toByte).toArray, frameSize = 10, stride = 2)
     assert(frames.length === 5)

@@ -151,6 +151,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === Set((1L, 11L), (1L, 12L), (2L, 13L)))
   }
 
+  test("deduped drops repeated keys within the watermark across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.deduped(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0), // same-batch dup
+      Event(2L, ts("2024-01-01 00:06:00"), 1L, "view", 2.0))
+    q.processAllAvailable()
+    // replayed event_id=1 in a later micro-batch, still within watermark
+    mem.addData(Event(1L, ts("2024-01-01 00:07:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq.sorted
+    assert(ids === Seq(1L, 2L)) // each key exactly once
+  }
+
   test("micros keeps sub-millisecond precision (batch/stream parity)") {
     val t = ts("2024-01-01 00:00:00.000123456")
     // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
