@@ -29,10 +29,11 @@ object IvfAnn {
     val scored = corpus
       .crossJoin(broadcast(cents))
       .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__cos").desc, col("c_id").asc)
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // top-1 per vector via the custom GroupTopK operator: the partial
+    // phase reduces each vector to one row per input partition before
+    // any shuffle (window rank would shuffle+sort corpus × centroids)
+    org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(scored, Seq(col("vec_id")), Seq(col("__cos").desc, col("c_id").asc), 1)
       .select(col("vec_id"), col("c_id"))
   }
 
@@ -73,10 +74,7 @@ object IvfAnn {
       .join(lists, "c_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rankedTopK(cand, col("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 }

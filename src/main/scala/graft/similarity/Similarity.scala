@@ -53,6 +53,19 @@ object Similarity {
     df.select(id.as("vec_id") +: extra :+ quantize(vec).as("e"): _*)
       .withColumn("nrm", dotQ(col("e"), col("e")))
 
+  /** Per-group top-k + rank column, backed by the custom GroupTopK
+    * operator: bounded heaps select the k rows (partial phase before
+    * the exchange — only k rows per (group, partition) shuffle,
+    * where window rank would shuffle and sort every candidate), then
+    * a window over the ≤ groups·k survivors attaches `rank`. The
+    * survivors arrive already clustered on `part`, so the rank window
+    * adds no exchange. `order` must be a total order for row_number
+    * determinism. */
+  private[graft] def rankedTopK(df: DataFrame, part: Column, order: Seq[Column], k: Int): DataFrame = {
+    val top = org.apache.spark.sql.graft.GraftPlans.groupTopK(df, Seq(part), order, k)
+    top.withColumn("rank", row_number().over(Window.partitionBy(part).orderBy(order: _*)))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by quantized cosine. Query side is broadcast; the
     * corpus is scanned once with no shuffle; ranking shuffles only
@@ -64,10 +77,7 @@ object Similarity {
       .crossJoin(corpus)
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankedTopK(scored, col("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -126,10 +136,7 @@ object Similarity {
       .join(cSig, Seq("sig"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankedTopK(cand, col("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 }
