@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.CoreOps._
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, TextPrep}
 
 /** SURVEY.md §2.5 — text analysis queries + DuckDB oracles.
   * All integer intermediates / fixed-operand double divisions, so
@@ -62,6 +62,32 @@ object TextQueries {
       TextAnalysis.langIdNgram(docs, col("text"), col("doc_id"), profiles)
     }),
 
+    // §2.5/42 PII redaction (chained engine-portable regexes); output
+    // keyed by content hash so the oracle compares redacted payloads.
+    "q_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        md5(TextPrep.redactPii(col("text"))).as("redacted_md5")
+      )),
+
+    // §2.5/43 deterministic train/val/test hash split.
+    "q_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        TextPrep.splitAssign(col("doc_id")).as("split")
+      )),
+
+    // §2.5/44 overlapping token chunking (context-window prep).
+    "q_chunk" -> ((s, dir) =>
+      TextPrep.chunkTokens(Tables.documents(s, dir), col("text"), col("doc_id"),
+          chunkSize = 50, overlap = 10)
+        .mapRecords(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))),
+
+    // §2.5/45 word-repetition screen (Gopher-style quality rule).
+    "q_repetition" -> ((s, dir) =>
+      TextPrep.repetitionRatio(Tables.documents(s, dir), col("text"), col("doc_id"))),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -94,6 +120,44 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_redact" ->
+      raw"""SELECT doc_id,
+           |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |         '${TextPrep.EmailRe}', '<EMAIL>', 'g'),
+           |         '${TextPrep.Ipv4Re}', '<IP>', 'g'),
+           |         '${TextPrep.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin,
+    "q_split_assign" ->
+      raw"""SELECT doc_id,
+           |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+           |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
+    "q_chunk" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, toks, len(toks) AS n,
+           |         unnest(generate_series(0, CAST(1 + ceil(greatest(len(toks) - 50, 0) / 40.0) AS BIGINT) - 1)) AS chunk_id
+           |  FROM t WHERE len(toks) >= 1
+           |)
+           |SELECT doc_id, chunk_id,
+           |       CAST(least(n - chunk_id * 40, 50) AS BIGINT) AS n_tokens,
+           |       md5(array_to_string(toks[CAST(chunk_id * 40 + 1 AS BIGINT):CAST(chunk_id * 40 + 50 AS BIGINT)], ' ')) AS chunk_md5
+           |FROM c""".stripMargin,
+    "q_repetition" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+           |)
+           |SELECT doc_id,
+           |       CAST(max(c) AS BIGINT) AS max_rep,
+           |       CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+           |FROM c GROUP BY doc_id""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id,
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

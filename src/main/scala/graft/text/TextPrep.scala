@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (SURVEY.md §2.5 extension):
+  * the steps between "raw corpus" and "training shards" that aren't
+  * analysis but transformation — redaction, splitting, chunking,
+  * repetition screens.
+  *
+  * All declarative Column ops; regex patterns restricted to the
+  * common subset of Java regex and RE2 (character classes, bounded
+  * repetition, no lookaround) so the DuckDB oracles run the exact
+  * same patterns.
+  */
+object TextPrep {
+
+  /** Redaction patterns (applied in order). Kept deliberately simple
+    * and engine-portable; a production deployment would add locale
+    * variants, but the pipeline shape (chained regexp_replace inside
+    * one codegen projection) is the real thing. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]"
+
+  /** Scrub PII-ish spans with typed placeholder tokens. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Deterministic train/val/test assignment from a stable content
+    * key: bucket = first 8 hex chars of md5(key) mod 100, split by
+    * cumulative percentage thresholds. Reproducible in any engine,
+    * stable across runs/reshuffles — the property a dataset split
+    * must have. */
+  def splitAssign(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct + valPct < 100)
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Chunk documents into overlapping token windows (context-window
+    * prep): chunk i covers tokens [i·(size−overlap), …+size). Emits
+    * (doc key, chunk_id, chunk text, chunk token count); the final
+    * partial chunk is kept. Declarative: one explode of chunk
+    * indices + array slice — row-parallel, no shuffle. */
+  def chunkTokens(df: DataFrame, text: Column, id: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize)
+    val step = chunkSize - overlap
+    df.select(id.as("doc_id"), split(trim(text), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 1)
+      // number of chunks: 1 + ceil(max(0, n - size) / step)
+      .withColumn("__nc", lit(1) + ceil(greatest(col("__n") - chunkSize, lit(0)).cast("double") / step).cast("int"))
+      .select(col("doc_id"), col("__toks"), explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkSize)), " ").as("chunk"),
+        least(size(col("__toks")) - col("chunk_id") * step, lit(chunkSize)).cast("long").as("n_tokens"))
+  }
+
+  /** Word-repetition screen (Gopher-style quality rule): frequency of
+    * the single most repeated lowercase token over the token count.
+    * High ratios flag boilerplate/spam. Computed distributed
+    * (explode + two-level aggregate), not per-row array scans. */
+  def repetitionRatio(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(TextAnalysis.tokenize(lower(text))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("max_rep"), col("n_tokens"),
+        (col("max_rep").cast("double") / col("n_tokens")).as("rep_ratio"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextPrep
+
+class TextPrepSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPs and phone numbers") {
+    val df = Seq(
+      "contact bob@example.com or +1 (555) 123-4567",
+      "server at 10.0.42.7 responded",
+      "nothing sensitive here"
+    ).toDF("t")
+    val out = df.select(TextPrep.redactPii(col("t"))).as[String].collect().toSeq
+    assert(out(0) === "contact <EMAIL> or <PHONE>")
+    assert(out(1) === "server at <IP> responded")
+    assert(out(2) === "nothing sensitive here")
+  }
+
+  test("splitAssign is deterministic and roughly proportioned") {
+    val df = spark.range(10000).select(col("id"))
+    val counts = df.select(TextPrep.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 8500 && counts("train") < 9500) // ~90%
+    assert(counts("val") > 250 && counts("val") < 750)       // ~5%
+    // deterministic: same assignment on re-evaluation
+    val twice = df.select(TextPrep.splitAssign(col("id")).as("a"), TextPrep.splitAssign(col("id")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice === 0L)
+  }
+
+  test("chunkTokens covers every token with the right overlap") {
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "t")
+    val chunks = TextPrep.chunkTokens(df, col("t"), col("id"), chunkSize = 50, overlap = 10)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk", "n_tokens").as[(Long, String, Long)].collect()
+    assert(chunks.length === 3) // starts at 0, 40, 80
+    assert(chunks(0)._2.startsWith("w1 ") && chunks(0)._3 === 50L)
+    assert(chunks(1)._2.startsWith("w41 ") && chunks(1)._3 === 50L)
+    assert(chunks(2)._2.startsWith("w81 ") && chunks(2)._3 === 15L) // partial tail kept
+    // overlap: last 10 tokens of chunk 0 = first 10 of chunk 1
+    assert(chunks(0)._2.split(" ").takeRight(10).toSeq === chunks(1)._2.split(" ").take(10).toSeq)
+  }
+
+  test("chunkTokens emits a single chunk for short docs") {
+    val out = TextPrep.chunkTokens(Seq((1L, "a b c")).toDF("id", "t"), col("t"), col("id"), 50, 10)
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L)))
+  }
+
+  test("repetitionRatio flags repeated-token documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam ham"),
+      (2L, "all tokens here are unique")
+    ).toDF("id", "t")
+    val out = TextPrep.repetitionRatio(df, col("t"), col("id"))
+      .select("doc_id", "max_rep", "n_tokens", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 5L, 0.8)))
+    assert(out(2L) === ((2L, 1L, 5L, 0.2)))
+  }
+}
