@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.CoreOps._
 import graft.sketch.Sketches
 import graft.sources.Tables
 
@@ -39,6 +40,16 @@ object SketchQueries {
       Sketches.heavyHitters(Tables.events(s, dir), col("user_id"), shareNum = 8, shareDen = 1000)
         .select(col("key").as("user_id"), col("cnt"))),
 
+    // §2.8/46 bloom-pruned exact semi join: orders of customers in a
+    // selective segment — the sketch prunes the probe side before the
+    // exact join; result identical to a plain semi join.
+    "q_bloom_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      graft.sketch.BloomFilter
+        .bloomSemiJoin(Tables.orders(s, dir), col("o_custkey"), cust, col("c_custkey"))
+        .mapRecords(col("o_orderkey"), col("o_custkey"))
+    }),
+
     // §2.8/41 t-digest quantiles: group count (hash-matched) + rank-
     // tolerance flags — estimate must land between the exact
     // percentiles at q ± 0.01 (computed with Spark's exact percentile).
@@ -68,6 +79,9 @@ object SketchQueries {
         |FROM events
         |GROUP BY user_id
         |HAVING COUNT(*) * 1000 >= 8 * (SELECT COUNT(*) FROM events)""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
     "q_tdigest_quantiles" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |       true AS p50_ok, true AS p95_ok

@@ -48,6 +48,36 @@ class SketchSpec extends SparkSpecBase {
     assert(out === Map(7777L -> 300L, 8888L -> 200L)) // exact, not sketch estimates
   }
 
+  test("bloom filter: no false negatives, plausible FP rate, probe matches builder") {
+    import graft.sketch.BloomFilter
+    val keys = spark.range(2000).select((col("id") * 7 + 1).as("k"))
+    val bloom = keys.agg(BloomFilter.bloomAgg(xxhash64(col("k")), 1 << 16, 5).as("b"))
+      .select(col("b.words").as("bloom"))
+    // every inserted key must pass (no false negatives)
+    val misses = keys.crossJoin(bloom)
+      .filter(!BloomFilter.mightContain(col("bloom"), xxhash64(col("k")), 1 << 16, 5))
+      .count()
+    assert(misses === 0L)
+    // disjoint keys mostly fail (FP rate ~ (1-e^(-kn/m))^k ≈ 0.5% here)
+    val fps = spark.range(20000).select((col("id") * 7 + 3).as("k")) // ≡ 3 mod 7: disjoint
+      .crossJoin(bloom)
+      .filter(BloomFilter.mightContain(col("bloom"), xxhash64(col("k")), 1 << 16, 5))
+      .count()
+    assert(fps < 600L, s"false positive count $fps out of 20000")
+  }
+
+  test("bloomSemiJoin equals the plain semi join") {
+    import graft.sketch.BloomFilter
+    val probe = spark.range(5000).select(col("id").as("k"), (col("id") % 97).as("payload"))
+    val build = spark.range(300).select((col("id") * 13).as("bk"))
+    val pruned = BloomFilter.bloomSemiJoin(probe, col("k"), build, col("bk"), 1 << 16, 5)
+      .select("k", "payload").as[(Long, Long)].collect().toSet
+    val plain = probe.join(build, col("k") === col("bk"), "left_semi")
+      .select("k", "payload").as[(Long, Long)].collect().toSet
+    assert(pruned === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("tdigest quantiles land within rank tolerance of exact") {
     val n = 20000
     val rnd = new scala.util.Random(42)
