@@ -77,15 +77,37 @@ object PartitionedFiles {
     writeMeta(df.sparkSession, path, "text")
   }
 
+  /** Columnar formats — what the jsonl/csv partitions become once a
+    * pipeline graduates to scale (typed schema, compression, column
+    * pruning and predicate pushdown at the scan). Parquet is the
+    * default interchange; ORC is the built-in alternative. */
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).parquet(path)
+    writeMeta(df.sparkSession, path, "parquet")
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {
+    val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).orc(path)
+    writeMeta(df.sparkSession, path, "orc")
+  }
+
   /** Emit the `.meta` sidecar equivalent: `_graft_meta.json` in the
     * output directory with `n_records` total and per-file counts
     * (computed distributed via input_file_name, single small collect
     * of (file, count) pairs only). */
   def writeMeta(spark: SparkSession, path: String, format: String, header: Boolean = false): Unit = {
     val df = format match {
-      case "json" => spark.read.json(path)
-      case "csv"  => spark.read.option("header", header.toString).csv(path)
-      case _      => spark.read.text(path)
+      case "json"    => spark.read.json(path)
+      case "csv"     => spark.read.option("header", header.toString).csv(path)
+      case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
+      case _         => spark.read.text(path)
     }
     val counts = df
       .groupBy(input_file_name().as("file"))

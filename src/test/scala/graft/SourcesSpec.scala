@@ -45,6 +45,23 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.as[String].collect().toSet === Set("1,ann", "2,bob", "3,cat"))
   }
 
+  test("parquet and orc round-trip with typed schema and meta sidecar") {
+    for ((fmt, write, read) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String, Int) => Unit,
+        String => org.apache.spark.sql.DataFrame)](
+      ("parquet", (d, p, n) => PartitionedFiles.writeParquet(d, p, n), p => PartitionedFiles.readParquet(spark, p)),
+      ("orc", (d, p, n) => PartitionedFiles.writeOrc(d, p, n), p => PartitionedFiles.readOrc(spark, p)))) {
+      val dir = tmp() + s"/$fmt"
+      write(sample, dir, 2)
+      val back = read(dir)
+      assert(back.schema.map(f => (f.name, f.dataType)).toSet ===
+        sample.schema.map(f => (f.name, f.dataType)).toSet, fmt)
+      assert(back.select("id", "age").as[(Long, Int)].collect().toSet ===
+        Set((1L, 30), (2L, 25), (3L, 40)), fmt)
+      assert(PartitionedFiles.readMetaCount(dir) === Some(3L), fmt)
+    }
+  }
+
   test("readMetaCount absent returns None") {
     assert(PartitionedFiles.readMetaCount(tmp()) === None)
   }
