@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -35,6 +35,16 @@ object DedupQueries {
     // §2.3/26 exact n-gram Jaccard pairs at tau = 0.5.
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.5)),
+
+    // §2.3/25b near-dup clustering: connected components over the
+    // minhash pair graph (label propagation vs recursive-CTE oracle).
+    "q_dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+    }),
 
     // §2.3/25 SimHash fingerprints (60-bit portable family).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -75,14 +85,16 @@ object DedupQueries {
   private def minhashExpr(seed: Int): String =
     s"list_min(list_transform(g, x -> md5('$seed|' || x)))"
 
-  private val minhashSql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — shared by the
+    * minhash pair oracle and the recursive clustering oracle. */
+  private val minhashPairCtes: String = {
     val bandKeys = (0 until 4)
       .map(b => s"md5(${minhashExpr(2 * b)} || '|' || ${minhashExpr(2 * b + 1)}) AS k$b")
       .mkString(",\n         ")
     val bandUnion = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band_id, k$b AS band_key FROM mh")
       .mkString("\n  UNION ALL ")
-    raw"""WITH $shinglesCte,
+    raw"""$shinglesCte,
          |mh AS (
          |  SELECT doc_id,
          |         $bandKeys
@@ -90,11 +102,35 @@ object DedupQueries {
          |),
          |bands AS (
          |  $bandUnion
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)""".stripMargin
   }
+
+  private val minhashSql: String =
+    raw"""WITH $minhashPairCtes
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin
+
+  /** Connected components over the minhash pair graph: transitive
+    * closure by recursive CTE, component label = min reachable id —
+    * the same fixpoint the Spark label propagation converges to. */
+  private val clusterSql: String =
+    raw"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id
+         |)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin
 
   private val ngramSql: String =
     raw"""WITH $shinglesCte,
@@ -142,6 +178,7 @@ object DedupQueries {
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_cluster" -> clusterSql,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embedding" ->

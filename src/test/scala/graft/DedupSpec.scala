@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels chains, cliques and crossing components") {
+    import graft.dedup.Components
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepOnePerCluster keeps min-id per cluster and all singletons") {
+    import graft.dedup.Components
+    val pairs = Seq((1L, 4L)).toDF("doc_a", "doc_b") // 1 and 4 are dups
+    val kept = Components.keepOnePerCluster(docs, col("doc_id"), pairs, "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L)) // 4 deduped into 1; 2,3 singleton pass-through
+  }
+
   test("portable token hash matches the documented DuckDB formula") {
     // conv(substr(md5('abc'),1,15),16,10) must equal DuckDB ('0x'||...)::BIGINT = 648541476951500027
     val v = Seq("abc").toDF("t").select(Dedup.portableTokenHash(col("t"))).as[Long].head()
