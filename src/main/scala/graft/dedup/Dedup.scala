@@ -161,6 +161,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Fuzzy (edit-distance) join: pairs of docs within `maxDist`
+    * Levenshtein edits. Candidates are blocked on shared word
+    * shingles with document frequency in [2, maxDocFreq] (the
+    * standard blocking trade: rarer-than-stop-gram features), then
+    * cheap length pre-filtering, then the exact DP distance — the
+    * O(n·m) levenshtein only ever runs on the blocked candidates,
+    * never n². */
+  def editDistancePairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      maxDist: Int,
+      shingleN: Int = 3,
+      maxDocFreq: Long = 50
+  ): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("__t"))
+    val g0 = base.select(col("doc_id"), explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
+    val keep = g0.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("g")
+    val g = g0.join(keep, "g")
+    val cand = g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** SimHash bit width for the portable (md5-derived, 60-bit) family. */
   val SimHashBits = 60
 

@@ -46,6 +46,11 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
+    // exact levenshtein <= 6.
+    "q_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), col("text"), col("doc_id"), maxDist = 6)),
+
     // §2.3/25 SimHash fingerprints (60-bit portable family).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))),
@@ -179,6 +184,21 @@ object DedupQueries {
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_fuzzy_join" ->
+      raw"""WITH $shinglesCte,
+           |g0 AS (SELECT DISTINCT doc_id, unnest(g) AS g FROM sh),
+           |keep AS (SELECT g FROM g0 GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
+           |gk AS (SELECT g0.doc_id, g0.g FROM g0 JOIN keep USING (g)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+           |FROM cand
+           |JOIN documents da ON doc_a = da.doc_id
+           |JOIN documents db ON doc_b = db.doc_id
+           |WHERE abs(length(da.text) - length(db.text)) <= 6
+           |  AND levenshtein(da.text, db.text) <= 6""".stripMargin,
     "q_dedup_ngram" -> ngramSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embedding" ->

@@ -76,6 +76,15 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("editDistancePairs finds near-dups within the radius, skips unrelated") {
+    val pairs = Dedup.editDistancePairs(docs, col("text"), col("doc_id"), maxDist = 6)
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 4L)) === 0L)            // exact dup
+    assert(pairs((1L, 2L)) === 4L)            // "warm" -> "cold" is 4 edits
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc out
+  }
+
   test("connectedComponents labels chains, cliques and crossing components") {
     import graft.dedup.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
