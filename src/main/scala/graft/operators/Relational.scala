@@ -31,6 +31,41 @@ object Relational {
     /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
     def topK(k: Int, order: Column*): DataFrame = df.orderBy(order: _*).limit(k)
 
+    /** Deterministic hash sample: keep rows whose md5-bucket of `key`
+      * falls below `pct` (out of 100). Unlike `df.sample`, the result
+      * is a pure function of the key — stable across runs, engines,
+      * partitionings, and re-executions after failures, which is what
+      * a reproducible training-data subset requires. */
+    def sampleByHash(key: Column, pct: Int): DataFrame = {
+      require(pct >= 0 && pct <= 100)
+      df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct)
+    }
+
+    /** Ordered funnel: per entity, the earliest time each stage is
+      * reached with stages strictly in order (stage i counts only
+      * after stage i-1's first completion). Returns (stage, entities)
+      * — classic conversion analysis. One aggregate per stage over
+      * the same entity partitioning; min-reduction is shuffle-order
+      * independent. */
+    def funnel(entity: Column, ts: Column, stageCol: Column, stages: Seq[String]): DataFrame = {
+      require(stages.nonEmpty)
+      val base = df.select(entity.as("__e"), ts.as("__ts"), stageCol.as("__s"))
+      // reached(i): per entity, min ts of stage i events after reached(i-1).
+      // Built as ONE plan (no per-stage driver actions): each stage's
+      // reachers union into a long (stage, entity) table, counted once.
+      var reached = base.filter(col("__s") === stages.head)
+        .groupBy("__e").agg(min(col("__ts")).as("__t"))
+      var all = reached.select(lit(stages.head).as("stage"), col("__e"))
+      for (s <- stages.tail) {
+        reached = base.filter(col("__s") === s)
+          .join(reached, "__e")
+          .filter(col("__ts") > col("__t"))
+          .groupBy("__e").agg(min(col("__ts")).as("__t"))
+        all = all.unionByName(reached.select(lit(s).as("stage"), col("__e")))
+      }
+      all.groupBy("stage").agg(count(lit(1)).as("entities"))
+    }
+
     /** Keep rows with a match in `right` (shuffle- or broadcast-semi). */
     def semiJoin(right: DataFrame, joinExprs: Column, broadcastRight: Boolean = false): DataFrame =
       df.join(if (broadcastRight) broadcast(right) else right, joinExprs, "left_semi")

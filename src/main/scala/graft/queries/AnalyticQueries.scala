@@ -106,6 +106,18 @@ object AnalyticQueries {
           )
         )),
 
+    // §2.2/22s ordered conversion funnel (signup → click → purchase).
+    "q_funnel" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .funnel(col("user_id"), unix_micros(col("ts")), col("event_type"),
+          Seq("signup", "click", "purchase"))),
+
+    // §2.2/22t deterministic hash sample (reproducible 25% subset).
+    "q_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .sampleByHash(col("doc_id"), 25)
+        .mapRecords(col("doc_id"), col("source"))),
+
     // §2.1/15-adjacent: jsonl record parsing as a first-class column op
     // (shmr's default orjson deser_fn → get_json_object).
     "q_json_extract" -> ((s, dir) =>
@@ -131,6 +143,19 @@ object AnalyticQueries {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id AS e, epoch_us(ts) AS t, event_type AS s FROM events),
+        |r1 AS (SELECT e, min(t) AS t FROM ev WHERE s = 'signup' GROUP BY e),
+        |r2 AS (SELECT ev.e, min(ev.t) AS t FROM ev JOIN r1 ON ev.e = r1.e AND ev.t > r1.t
+        |       WHERE ev.s = 'click' GROUP BY ev.e),
+        |r3 AS (SELECT ev.e, min(ev.t) AS t FROM ev JOIN r2 ON ev.e = r2.e AND ev.t > r2.t
+        |       WHERE ev.s = 'purchase' GROUP BY ev.e)
+        |SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS entities FROM r1
+        |UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM r2
+        |UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM r3""".stripMargin,
+    "q_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25""".stripMargin,
     "q_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

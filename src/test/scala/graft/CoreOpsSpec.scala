@@ -88,6 +88,31 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(m === (10.0 * 1 + 20.0 * 3) / 4)
   }
 
+  test("funnel enforces strict stage ordering") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE click — purchase stage not reached
+      (2L, 10L, "signup"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // user 3: no signup — never enters the funnel
+      (3L, 10L, "click"), (3L, 20L, "purchase"),
+      // user 4: signup only
+      (4L, 10L, "signup")
+    ).toDF("u", "t", "s")
+    val out = ev.funnel(col("u"), col("t"), col("s"), Seq("signup", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("signup" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("sampleByHash is deterministic and key-stable across partitionings") {
+    val a = spark.range(2000).toDF("id").sampleByHash(col("id"), 30)
+      .as[Long].collect().toSet
+    val b = spark.range(2000).toDF("id").repartition(13).sampleByHash(col("id"), 30)
+      .as[Long].collect().toSet
+    assert(a === b)                       // partitioning-independent
+    assert(a.size > 450 && a.size < 750)  // ~30% of 2000
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:00:00"),
