@@ -164,17 +164,21 @@ object Dedup {
   /** Fuzzy (edit-distance) join: pairs of docs within `maxDist`
     * Levenshtein edits. Candidates are blocked on shared word
     * shingles with document frequency in [2, maxDocFreq] (the
-    * standard blocking trade: rarer-than-stop-gram features), then
-    * cheap length pre-filtering, then the exact DP distance — the
-    * O(n·m) levenshtein only ever runs on the blocked candidates,
-    * never n². */
+    * standard blocking trade: rarer-than-stop-gram features) AND at
+    * least `minSharedGrams` shared shingles (count filtering — docs
+    * within a few edits share almost their whole gram set, while
+    * unrelated docs sharing one common phrase are dropped before the
+    * expensive DP), then cheap length pre-filtering, then the exact
+    * distance — the O(n·m) levenshtein only ever runs on the
+    * surviving candidates, never n². */
   def editDistancePairs(
       df: DataFrame,
       text: Column,
       id: Column,
       maxDist: Int,
       shingleN: Int = 3,
-      maxDocFreq: Long = 50
+      maxDocFreq: Long = 50,
+      minSharedGrams: Long = 2
   ): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("__t"))
     val g0 = base.select(col("doc_id"), explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
@@ -183,8 +187,10 @@ object Dedup {
     val g = g0.join(keep, "g")
     val cand = g.as("a")
       .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedGrams)
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")

@@ -190,8 +190,9 @@ object DedupQueries {
            |keep AS (SELECT g FROM g0 GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
            |gk AS (SELECT g0.doc_id, g0.g FROM g0 JOIN keep USING (g)),
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
            |)
            |SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
            |FROM cand
