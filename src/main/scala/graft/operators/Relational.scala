@@ -41,6 +41,60 @@ object Relational {
       df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct)
     }
 
+    /** Trailing-window z-score (anomaly screen): each row scored
+      * against the previous `lookback` rows of its key. The window
+      * aggregates are exact integers (count/sum/sum-of-squares over an
+      * integral value column); the mean/stddev/z arithmetic is a fixed
+      * double expression, so scores are bit-stable across engines and
+      * shuffle orders. Rows without ≥2 predecessors or with zero
+      * variance are dropped (no score, no verdict). `order` must
+      * totally order rows within a key (ties would make the row frame
+      * nondeterministic). */
+    def movingZScore(key: Column, order: Seq[Column], valueInt: Column, lookback: Int): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-lookback, -1)
+      val nD = col("__n").cast("double")
+      val sD = col("__s").cast("double")
+      val varNum = col("__ss").cast("double") - sD * sD / nD
+      df.withColumn("__v", valueInt)
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__s", sum(col("__v")).over(w))
+        .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
+        .filter(col("__n") >= 2 && varNum > 0.0)
+        .withColumn("z", (col("__v").cast("double") - sD / nD) / sqrt(varNum / (nD - 1.0)))
+        .drop("__v", "__n", "__s", "__ss")
+    }
+
+    /** Fixed-width histogram per group: bin = floor(value / width)
+      * (floor, not truncation — matches SQL `//` on negatives too).
+      * One hash aggregate, exact integers. */
+    def histogram(groupKeys: Seq[Column], valueInt: Column, binWidth: Long): DataFrame =
+      df.groupBy(groupKeys :+ floor(valueInt.cast("double") / binWidth).cast("long").as("bin"): _*)
+        .agg(count(lit(1)).as("n"))
+
+    /** Pearson correlation per group from exact integral sums
+      * (n, Σx, Σy, Σxy, Σx², Σy² as bigints; the final r is one fixed
+      * double expression) — unlike `corr()`, the aggregate is
+      * shuffle-order independent and engine-portable. Caller is
+      * responsible for scaling inputs so the squared sums fit int64
+      * (≈3·10⁹ rows of 1e3-scale values; beyond that, widen to
+      * DECIMAL). */
+    def pearson(groupKeys: Seq[Column], x: Column, y: Column): DataFrame = {
+      val nD = col("__n").cast("double")
+      val sxD = col("__sx").cast("double")
+      val syD = col("__sy").cast("double")
+      df.groupBy(groupKeys: _*)
+        .agg(
+          count(lit(1)).as("__n"),
+          sum(x).as("__sx"), sum(y).as("__sy"),
+          sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+        .withColumn("r",
+          (nD * col("__sxy").cast("double") - sxD * syD) /
+            (sqrt(nD * col("__sxx").cast("double") - sxD * sxD) *
+              sqrt(nD * col("__syy").cast("double") - syD * syD)))
+        .withColumnRenamed("__n", "n")
+        .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+    }
+
     /** Ordered funnel: per entity, the earliest time each stage is
       * reached with stages strictly in order (stage i counts only
       * after stage i-1's first completion). Returns (stage, entities)

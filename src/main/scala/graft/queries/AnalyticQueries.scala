@@ -106,6 +106,26 @@ object AnalyticQueries {
           )
         )),
 
+    // §2.2/22u trailing z-score anomaly screen over event values.
+    "q_zscore" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .movingZScore(col("user_id"), Seq(unix_micros(col("ts")), col("event_id")), col("cents"), lookback = 10)
+        .mapRecords(col("event_id"), col("cents"), col("z"))),
+
+    // §2.2/22v fixed-width histogram of order totals per priority.
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("bigint"))
+        .histogram(Seq(col("o_orderpriority")), col("cents"), binWidth = 2000000L)),
+
+    // §2.2/22w Pearson correlation from exact integral sums.
+    "q_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("qty", col("l_quantity").cast("bigint"))
+        .withColumn("dollars", round(col("l_extendedprice")).cast("bigint"))
+        .pearson(Seq(col("l_returnflag")), col("qty"), col("dollars"))),
+
     // §2.2/22s ordered conversion funnel (signup → click → purchase).
     "q_funnel" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -143,6 +163,48 @@ object AnalyticQueries {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, cents,
+        |         count(*) OVER win AS n,
+        |         CAST(sum(cents) OVER win AS BIGINT) AS s,
+        |         CAST(sum(cents * cents) OVER win AS BIGINT) AS ss
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, cents,
+        |       (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+        |         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |FROM w
+        |WHERE n >= 2 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0.0""".stripMargin,
+    "q_histogram" ->
+      """SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS dollars
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(qty) AS BIGINT) AS sx, CAST(sum(dollars) AS BIGINT) AS sy,
+        |         CAST(sum(qty * dollars) AS BIGINT) AS sxy,
+        |         CAST(sum(qty * qty) AS BIGINT) AS sxx,
+        |         CAST(sum(dollars * dollars) AS BIGINT) AS syy
+        |  FROM b GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM s""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id AS e, epoch_us(ts) AS t, event_type AS s FROM events),
         |r1 AS (SELECT e, min(t) AS t FROM ev WHERE s = 'signup' GROUP BY e),

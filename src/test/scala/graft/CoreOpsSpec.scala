@@ -88,6 +88,34 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(m === (10.0 * 1 + 20.0 * 3) / 4)
   }
 
+  test("movingZScore scores against the trailing window only") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 12L), (1L, 4L, 100L))
+      .toDF("k", "t", "v")
+    val out = df.movingZScore(col("k"), Seq(col("t")), col("v"), lookback = 10)
+      .select("t", "z").as[(Long, Double)].collect().toMap
+    // t=1: no history; t=2: one row; t=3: window [10,10] has zero
+    // variance — all dropped. Only t=4 scores, against [10,10,12]:
+    // mean 32/3, sample sd sqrt(4/3)/... = 1.1547, z ≈ 77.365
+    assert(out.keySet === Set(4L))
+    assert(math.abs(out(4L) - 77.365) < 0.001)
+  }
+
+  test("histogram bins by floor division") {
+    val out = Seq(("a", 0L), ("a", 19L), ("a", 20L), ("b", 45L)).toDF("g", "v")
+      .histogram(Seq(col("g")), col("v"), binWidth = 20L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 2L, 1L)))
+  }
+
+  test("pearson is exact on perfectly correlated and anti-correlated data") {
+    val df = Seq(("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 30L),
+      ("m", 1L, 30L), ("m", 2L, 20L), ("m", 3L, 10L)).toDF("g", "x", "y")
+    val out = df.pearson(Seq(col("g")), col("x"), col("y"))
+      .select("g", "r").as[(String, Double)].collect().toMap
+    assert(math.abs(out("p") - 1.0) < 1e-12)
+    assert(math.abs(out("m") + 1.0) < 1e-12)
+  }
+
   test("funnel enforces strict stage ordering") {
     val ev = Seq(
       // user 1: full ordered funnel
