@@ -106,6 +106,41 @@ object AnalyticQueries {
           )
         )),
 
+    // §2.2/22x TPC-H Q3 (shipping priority): unshipped-order revenue,
+    // top 10 — multi-way join, cents-exact revenue, deterministic sort.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < "1996-06-30")
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > "1996-06-30")
+        .withColumn("rev_cents", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+        .topK(10, col("revenue_cents").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .mapRecords(col("l_orderkey"), col("revenue_cents"),
+          col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // §2.2/22y TPC-H Q5 (local supplier volume): six-way join with
+    // broadcast dims, per-nation cents-exact revenue.
+    "q_tpch_q5" -> ((s, dir) => {
+      val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, dir)
+      val li = Tables.lineitem(s, dir)
+        .withColumn("rev_cents", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+      li.join(Tables.orders(s, dir).filter(
+            col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+    }),
+
     // §2.2/22u trailing z-score anomaly screen over event values.
     "q_zscore" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -163,6 +198,25 @@ object AnalyticQueries {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1996-06-30' AND l_shipdate > DATE '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q_zscore" ->
       """WITH e AS (
         |  SELECT event_id, epoch_us(ts) AS us, user_id,

@@ -81,6 +81,34 @@ object EventStreams {
       .drop(r(key))
   }
 
+  /** Incremental batch ingestion — the Spark-idiomatic version of
+    * shmr's "process the partitions that arrived since last run":
+    * a file-source stream with Trigger.AvailableNow processes exactly
+    * the files not yet recorded in the checkpoint, applies `transform`,
+    * appends parquet, and exits. Re-running after new files land
+    * processes only the delta — exactly-once bookkeeping comes from
+    * the checkpoint's file log + sink commit log, replacing shmr's
+    * manual .meta tracking. Returns the terminated query's runId. */
+  def incrementalBatch(
+      spark: SparkSession,
+      inputDir: String,
+      schemaDdl: String,
+      transform: DataFrame => DataFrame,
+      outputDir: String,
+      checkpointDir: String
+  ): String = {
+    val in = spark.readStream.schema(schemaDdl).json(inputDir)
+    val q = transform(in).writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.runId.toString
+  }
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -169,6 +169,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids === Seq(1L, 2L)) // each key exactly once
   }
 
+  test("incrementalBatch processes only new files across runs (exactly-once)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+      new java.io.File(in).mkdirs()
+      val content = rows.map { case (id, v) => s"""{"id":$id,"v":$v}""" }.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name), content)
+    }
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("v2", col("v") * 2)
+
+    addFile("a.json", Seq((1L, 10L), (2L, 20L)))
+    EventStreams.incrementalBatch(spark, in, "id long, v long", transform, out, ckpt)
+    assert(spark.read.parquet(out).count() === 2L)
+
+    addFile("b.json", Seq((3L, 30L)))
+    EventStreams.incrementalBatch(spark, in, "id long, v long", transform, out, ckpt)
+    val all = spark.read.parquet(out).select("id", "v2").as[(Long, Long)].collect().toSet
+    // a.json was NOT reprocessed: 3 rows total, transformed once each
+    assert(all === Set((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
   test("micros keeps sub-millisecond precision (batch/stream parity)") {
     val t = ts("2024-01-01 00:00:00.000123456")
     // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
