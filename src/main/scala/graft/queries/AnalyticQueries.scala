@@ -106,6 +106,24 @@ object AnalyticQueries {
           )
         )),
 
+    // §2.2/22z built-in session_window (gap-merge semantics: a new
+    // session starts when the gap is >= 30 min — note the strict-less
+    // merge, unlike sessionize's <=); cross-checked against an
+    // independent lag/cumsum SQL formulation.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), min(unix_micros(col("ts"))).as("start_us"))
+        .mapRecords(col("user_id"), col("start_us"), col("n_events"))),
+
+    // §2.2/22aa ntile quantile bucketing per group.
+    "q_ntile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("q", ntile(4).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+        .mapRecords(col("o_orderkey"), col("o_orderpriority"), col("q"))),
+
     // §2.2/22x TPC-H Q3 (shipping priority): unshipped-order revenue,
     // top 10 — multi-way join, cents-exact revenue, deterministic sort.
     "q_tpch_q3" -> ((s, dir) => {
@@ -198,6 +216,25 @@ object AnalyticQueries {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT user_id, us,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us, CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS q
+        |FROM orders""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
