@@ -91,6 +91,19 @@ object CoreOps {
     ): DataFrame =
       df.join(if (broadcastRight) broadcast(right) else right, joinExprs, joinType)
 
+    /** shmr `partition.join`'s actual OUTPUT SHAPE: per key present
+      * on both sides, one row (key, [left values], [right values]) —
+      * the reference emits grouped records, not a flat row per pair.
+      * Arrays are sorted for determinism. Two hash aggregates + one
+      * equi-join on the same key → the aggregates' partitioning is
+      * reusable for the join (no extra shuffle). */
+    def groupedJoin(right: DataFrame, leftKey: String, rightKey: String,
+        leftVal: Column, rightVal: Column): DataFrame =
+      df.groupBy(col(leftKey)).agg(sort_array(collect_list(leftVal)).as("lefts"))
+        .join(
+          right.groupBy(col(rightKey).as(leftKey)).agg(sort_array(collect_list(rightVal)).as("rights")),
+          leftKey)
+
     /** shmr `partition.count` as a relation (one row, column `n`) so it
       * composes; `countRecords` below is the eager action. */
     def countRelation(name: String = "n"): DataFrame = df.agg(count(lit(1)).as(name))

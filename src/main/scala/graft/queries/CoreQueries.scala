@@ -75,6 +75,17 @@ object CoreQueries {
         )
         .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
 
+    // §2.1/8b partition.join's grouped OUTPUT SHAPE (the reference
+    // emits (key, [lefts], [rights]) per key); arrays serialized to
+    // csv strings for the cross-engine compare.
+    "q_grouped_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupedJoin(Tables.orders(s, dir), "c_custkey", "o_custkey",
+          col("c_name"), col("o_orderkey"))
+        .mapRecords(col("c_custkey"),
+          array_join(col("lefts"), ",").as("names"),
+          array_join(transform(col("rights"), x => x.cast("string")), ",").as("orderkeys"))),
+
     // §2.1/9 partition.count as a relation.
     "q_count" -> ((s, dir) => Tables.lineitem(s, dir).countRelation("n")),
 
@@ -141,6 +152,12 @@ object CoreQueries {
     "q_join" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_grouped_join" ->
+      """WITH l AS (SELECT c_custkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |           FROM customer GROUP BY c_custkey),
+        |r AS (SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
+        |      FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, names, orderkeys FROM l JOIN r ON c_custkey = o_custkey""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     "q_head" ->
       """SELECT o_orderkey, o_totalprice FROM orders

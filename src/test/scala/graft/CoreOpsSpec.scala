@@ -88,6 +88,15 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(m === (10.0 * 1 + 20.0 * 3) / 4)
   }
 
+  test("groupedJoin emits shmr's grouped (key, lefts, rights) shape, inner on key") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 30L), (1L, 10L), (2L, 20L)).toDF("rk", "rv")
+    val out = l.groupedJoin(r, "k", "rk", col("lv"), col("rv"))
+      .as[(Long, Seq[String], Seq[Long])].collect().toSet
+    // key 3 has no right rows -> absent (inner); arrays sorted
+    assert(out === Set((1L, Seq("a", "b"), Seq(10L, 30L)), (2L, Seq("c"), Seq(20L))))
+  }
+
   test("movingZScore scores against the trailing window only") {
     val df = Seq((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 12L), (1L, 4L, 100L))
       .toDF("k", "t", "v")
