@@ -57,11 +57,19 @@ case class GroupTopKExec(
     if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(groupExprs) :: Nil
   override def nodeName: String = if (partial) "GraftGroupTopKPartial" else "GraftGroupTopKFinal"
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = order
     val attrs = child.output
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, attrs)
       val ord = RowOrdering.create(orderLocal, attrs)
@@ -78,7 +86,8 @@ case class GroupTopKExec(
           heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      numGroups += heaps.size
+      heaps.valuesIterator.flatMap { h => numOutputRows += h.size; h.iterator }
     }
   }
 
