@@ -86,6 +86,17 @@ object CoreQueries {
           array_join(col("lefts"), ",").as("names"),
           array_join(transform(col("rights"), x => x.cast("string")), ",").as("orderkeys"))),
 
+    // §2.2/22b salted join (skew scatter): row-identical to q_join by
+    // construction — the oracle proves it (only the shuffle
+    // distribution differs).
+    "q_salted_join" -> ((s, dir) =>
+      graft.operators.Skew
+        .saltedJoin(
+          Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey"),
+          Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey"),
+          "custkey", salts = 8)
+        .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
+
     // §2.1/9 partition.count as a relation.
     "q_count" -> ((s, dir) => Tables.lineitem(s, dir).countRelation("n")),
 
@@ -158,6 +169,9 @@ object CoreQueries {
         |r AS (SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
         |      FROM orders GROUP BY o_custkey)
         |SELECT c_custkey, names, orderkeys FROM l JOIN r ON c_custkey = o_custkey""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     "q_head" ->
       """SELECT o_orderkey, o_totalprice FROM orders
