@@ -118,6 +118,19 @@ object EventStreams {
   def deduped(events: DataFrame, keys: Seq[String], watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(keys)
 
+  /** Windowed approximate-distinct users per event type: the HLL
+    * sketch aggregator runs inside a watermarked streaming aggregate —
+    * the state store holds one 4 KiB register array per (window, type)
+    * group instead of a distinct-set that grows with cardinality.
+    * This is the shape for "distinct users per hour over a firehose":
+    * mergeable sketch + bounded watermark state. */
+  def windowedDistinctUsers(events: DataFrame, watermark: String = "1 hour", p: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.sketch.Sketches.hll(xxhash64(col("user_id")), p).as("approx_users"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("approx_users"))
+
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of
     * the same user arrives past the gap, or when the watermark passes

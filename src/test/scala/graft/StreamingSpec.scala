@@ -169,6 +169,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids === Seq(1L, 2L)) // each key exactly once
   }
 
+  test("windowedDistinctUsers: HLL sketch inside a streaming aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedDistinctUsers(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wdu").outputMode(OutputMode.Append()).start()
+    // 3 distinct users clicking within one hour window (small range →
+    // HLL linear counting → exact)
+    mem.addData((1 to 6).map(i => Event(i.toLong, ts("2024-01-01 00:10:00"), (i % 3).toLong, "click", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wdu")
+      .filter(col("event_type") === "click")
+      .select("approx_users").as[Long].collect().toSeq
+    assert(out === Seq(3L))
+  }
+
   test("incrementalBatch processes only new files across runs (exactly-once)") {
     val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
