@@ -1,0 +1,54 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (SURVEY.md §2.5 extension) — the
+  * expectations a pipeline runs before accepting an ingest batch:
+  * null-ness, key uniqueness, value ranges, referential integrity.
+  *
+  * `violations` builds ONE plan: each check reduces to an aggregate
+  * (or anti-join + aggregate) producing a (rule, violations) row, all
+  * branches unioned — so a 10-rule suite is one job, and each branch
+  * is a scan-side filter + count that whole-stage-codegens. Checks
+  * report counts, not booleans: "how broken" matters operationally.
+  */
+object Validate {
+
+  sealed trait Check { def rule: String }
+  /** `column` must never be null. */
+  case class NotNull(rule: String, column: Column) extends Check
+  /** `columns` combination must be unique. */
+  case class Unique(rule: String, columns: Seq[Column]) extends Check
+  /** `column` must lie in [lo, hi]. */
+  case class InRange(rule: String, column: Column, lo: Column, hi: Column) extends Check
+  /** `column` values must exist in `dim.dimColumn` (FK integrity).
+    * Null values are skipped — SQL `NOT IN` semantics; pair with
+    * [[NotNull]] when nulls are themselves violations. */
+  case class RefIntegrity(rule: String, column: Column, dim: DataFrame, dimColumn: Column) extends Check
+  /** Rows must satisfy an arbitrary predicate. */
+  case class Satisfies(rule: String, predicate: Column) extends Check
+
+  /** (rule, violations) per check; 0 = clean. */
+  def violations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty)
+    val branches = checks.map {
+      case NotNull(r, c) =>
+        df.filter(c.isNull).agg(count(lit(1)).as("violations")).withColumn("rule", lit(r))
+      case Unique(r, cs) =>
+        df.agg((count(lit(1)) - count_distinct(cs.head, cs.tail: _*)).as("violations"))
+          .withColumn("rule", lit(r))
+      case InRange(r, c, lo, hi) =>
+        df.filter(c.isNull || c < lo || c > hi)
+          .agg(count(lit(1)).as("violations")).withColumn("rule", lit(r))
+      case RefIntegrity(r, c, dim, dc) =>
+        df.filter(c.isNotNull)
+          .join(dim.select(dc.as("__ref")), c === col("__ref"), "left_anti")
+          .agg(count(lit(1)).as("violations")).withColumn("rule", lit(r))
+      case Satisfies(r, p) =>
+        df.filter(!coalesce(p, lit(false)))
+          .agg(count(lit(1)).as("violations")).withColumn("rule", lit(r))
+    }
+    branches.reduce(_ unionByName _).select(col("rule"), col("violations"))
+  }
+}

@@ -88,6 +88,19 @@ object TextQueries {
     "q_repetition" -> ((s, dir) =>
       TextPrep.repetitionRatio(Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/47 data-quality expectation suite over orders (one plan,
+    // one (rule, violations) row per check).
+    "q_validate" -> ((s, dir) => {
+      import graft.quality.Validate._
+      violations(Tables.orders(s, dir), Seq(
+        NotNull("custkey_not_null", col("o_custkey")),
+        Unique("orderkey_unique", Seq(col("o_orderkey"))),
+        InRange("totalprice_range", col("o_totalprice"), lit(0.0), lit(1e9)),
+        RefIntegrity("custkey_fk", col("o_custkey"),
+          Tables.customer(s, dir), col("c_custkey")),
+        Satisfies("date_after_1990", col("o_orderdate") >= "1990-01-01")))
+    }),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -120,6 +133,12 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_validate" ->
+      """SELECT 'custkey_not_null' AS rule, CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+        |UNION ALL SELECT 'orderkey_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'totalprice_range', CAST(count(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1e9) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'date_after_1990', CAST(count(*) FILTER (NOT coalesce(o_orderdate >= DATE '1990-01-01', false)) AS BIGINT) FROM orders""".stripMargin,
     "q_redact" ->
       raw"""SELECT doc_id,
            |       md5(regexp_replace(regexp_replace(regexp_replace(text,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.quality.Validate._
+
+class ValidateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("violations counts each broken expectation exactly") {
+    val dim = Seq(1L, 2L).toDF("dk")
+    val df = Seq(
+      (Some(1L), 100L, 10),   // clean
+      (Some(1L), 100L, 10),   // duplicate key 100
+      (None, 101L, 5),        // null fk
+      (Some(9L), 102L, -1),   // orphan fk + out-of-range
+      (Some(2L), 103L, 200)   // out-of-range high
+    ).toDF("fk", "k", "v")
+    val out = violations(df, Seq(
+      NotNull("fk_not_null", col("fk")),
+      Unique("k_unique", Seq(col("k"))),
+      InRange("v_range", col("v"), lit(0), lit(100)),
+      RefIntegrity("fk_exists", col("fk"), dim, col("dk")),
+      Satisfies("v_even", col("v") % 2 === 0)
+    )).as[(String, Long)].collect().toMap
+    assert(out === Map(
+      "fk_not_null" -> 1L,
+      "k_unique" -> 1L,     // 5 rows, 4 distinct keys
+      "v_range" -> 2L,
+      "fk_exists" -> 1L,    // only the orphan fk=9; null fk is skipped (NOT IN semantics)
+      "v_even" -> 2L        // 5 and -1 are odd
+    ))
+  }
+
+  test("violations is all-zero on clean data") {
+    val dim = Seq(1L).toDF("dk")
+    val df = Seq((1L, 10L, 4), (1L, 11L, 6)).toDF("fk", "k", "v")
+    val out = violations(df, Seq(
+      NotNull("nn", col("fk")),
+      Unique("u", Seq(col("k"))),
+      InRange("r", col("v"), lit(0), lit(10)),
+      RefIntegrity("fki", col("fk"), dim, col("dk"))
+    )).as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 0L))
+  }
+}
