@@ -109,6 +109,31 @@ object EventStreams {
     q.runId.toString
   }
 
+  /** Stream → warehouse upsert: write a streaming aggregate to a
+    * partitioned parquet table in update mode via foreachBatch +
+    * DYNAMIC partition overwrite — each micro-batch rewrites exactly
+    * the partitions it touches (group re-aggregations replace stale
+    * rows), leaving the rest of the table untouched and batch-
+    * queryable throughout. The standard pattern when the sink must be
+    * plain parquet rather than a transactional table format. */
+  def upsertToParquet(
+      aggregated: DataFrame,
+      path: String,
+      checkpointDir: String,
+      partitionCol: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy(partitionCol)
+          .parquet(path)
+      }
+      .start()
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -187,6 +187,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Seq(3L))
   }
 
+  test("upsertToParquet rewrites only touched partitions per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("bigint")).as("cents"))
+    val q = EventStreams.upsertToParquet(agg, s"$root/t", s"$root/ckpt", "event_type")
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2 touches only "click": its partition is re-written with the
+    // updated aggregate; "view" keeps its old rows
+    mem.addData(Event(3L, ts("2024-01-01 00:02:00"), 2L, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$root/t")
+      .select("event_type", "n", "cents").as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("click", 2L, 600L), ("view", 1L, 200L)))
+  }
+
   test("incrementalBatch processes only new files across runs (exactly-once)") {
     val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
