@@ -178,7 +178,7 @@ object Dedup {
       maxDist: Int,
       shingleN: Int = 3,
       maxDocFreq: Long = 50,
-      minSharedGrams: Long = 2
+      minSharedGrams: Long = 3
   ): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("__t"))
     val g0 = base.select(col("doc_id"), explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()

@@ -192,7 +192,7 @@ object DedupQueries {
            |cand AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
-           |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+           |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
            |)
            |SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
            |FROM cand
