@@ -38,10 +38,14 @@ object Components {
       val next = labels.unionByName(nbrMin)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      // any graph with an edge needs ≥2 rounds — skip the convergence
+      // job until it could plausibly fire
+      val changed =
+        if (round < 1) 1L
+        else next.as("n")
+          .join(labels.as("o"), "id")
+          .filter(col("n.lbl") =!= col("o.lbl"))
+          .count()
       labels = next
       converged = changed == 0
       round += 1

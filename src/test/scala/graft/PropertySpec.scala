@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Randomized-input checks (seeded, deterministic): the native/custom
+  * implementations must agree with their reference formulations across
+  * many generated cases, not just hand-picked ones. */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def randomText(rnd: scala.util.Random): String = {
+    val vocab = Seq("abc", "Mixed-CASE", "añó", "zz9", "", "Q", "the", "x-y_z")
+    val seps = Seq(" ", "  ", "\t", " \n ")
+    val n = rnd.nextInt(13)
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)) + seps(rnd.nextInt(seps.size))).mkString
+  }
+
+  test("WordShingles equals the HOF formulation on randomized messy text") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val texts = Seq.fill(60)(randomText(rnd))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val toks = split(trim(lower(col("t"))), "\\s+")
+      val hof = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array().cast("array<string>"))
+      val mismatches = df.select(
+          Dedup.shinglesRaw(col("t"), 3).as("native"), hof.as("ref"))
+        .filter(not(col("native") <=> col("ref")))
+        .count()
+      assert(mismatches === 0L, s"seed=$seed")
+    }
+  }
+
+  test("GroupTopK equals window row_number on randomized groups and k") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(6)
+      val groups = 1 + rnd.nextInt(8)
+      val df = Seq.fill(300)((rnd.nextInt(groups).toLong, rnd.nextInt(40).toLong))
+        .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").repartition(7)
+      val custom = org.apache.spark.sql.graft.GraftPlans
+        .groupTopK(df, Seq(col("g")), Seq(col("v").desc, col("id").asc), k)
+        .select("g", "v", "id").as[(Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val ref = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+        .select("g", "v", "id").as[(Long, Long, Long)].collect().toSet
+      assert(custom === ref, s"seed=$seed k=$k")
+    }
+  }
+
+  test("asofJoin equals a per-key scan on randomized event times (with ts ties)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((kk, t), i) => (kk, t, i.toLong) }
+      val right = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((kk, t), i) => (kk, t, i.toLong + 1000) }
+      val out = graft.operators.TemporalJoins
+        .asofJoin(left.toDF("k", "ts", "lid"), right.toDF("k", "rts", "rid"),
+          "k", col("ts"), col("rts"), Seq("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      // reference: per left row, the max-(rts, rid) right row at-or-before
+      val expected = left.map { case (k, ts, lid) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= ts)
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(out === expected, s"seed=$seed")
+    }
+  }
+}
