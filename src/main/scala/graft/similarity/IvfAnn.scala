@@ -60,7 +60,11 @@ object IvfAnn {
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact
     * cosine within those cells only. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus, numCentroids)
+    // materialize the (numCentroids-row) centroid table once: it feeds
+    // both the inverted-list assignment and the query probe, and its
+    // lineage is the whole Lloyd pass — recomputing that per consumer
+    // branch doubles the pipeline
+    val cents = centroids(corpus, numCentroids).localCheckpoint(true)
     val lists = assign(corpus, cents).join(corpus, "vec_id") // inverted lists: c_id -> members
     val qs = queries.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
