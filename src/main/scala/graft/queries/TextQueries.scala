@@ -101,6 +101,11 @@ object TextQueries {
         Satisfies("date_after_1990", col("o_orderdate") >= "1990-01-01")))
     }),
 
+    // §2.5/48 top-3 TF-IDF terms per doc (GroupTopK selection; ln used
+    // for ordering only, never compared).
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -133,6 +138,22 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_tfidf" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+           |), dfq AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY term
+           |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, dfq.dfq,
+           |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / dfq.dfq) AS s
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+           |)
+           |SELECT doc_id, term, tf, dfq FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) <= 3""".stripMargin,
     "q_validate" ->
       """SELECT 'custkey_not_null' AS rule, CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations FROM orders
         |UNION ALL SELECT 'orderkey_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders

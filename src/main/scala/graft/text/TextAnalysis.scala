@@ -61,6 +61,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Top-k TF-IDF terms per document: term frequencies and document
+    * frequencies as exact integer aggregates, scored tf · ln(N/df),
+    * per-doc selection through the custom GroupTopK operator (bounded
+    * heaps — the full scored vocabulary never sorts).
+    *
+    * Cross-engine note: ln is not correctly-rounded in every libm, so
+    * the score is used for SELECTION only and not emitted; exact ties
+    * (same (tf, df)) break on the term text, which both engines
+    * resolve identically. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, text: Column, id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(split(trim(lower(text)), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfq"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("__s", col("tf").cast("double") * log(col("__n").cast("double") / col("dfq")))
+    org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(scored, Seq(col("doc_id")), Seq(col("__s").desc, col("term").asc), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("dfq"))
+  }
+
   // ---------------------------------------------- char-ngram profiles
 
   import org.apache.spark.sql.DataFrame

@@ -35,6 +35,20 @@ class TextSpec extends SparkSpecBase {
     assert(out === Seq(true, false))
   }
 
+  test("tfidfTopTerms surfaces distinctive terms over common ones") {
+    val df = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common words only here"),
+      (3L, "common words again today")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, col("text"), col("doc_id"), k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" appears in all docs -> idf 0; doc 1's top term is the rare repeated one
+    assert(out(1L) === "zebra")
+    assert(out(2L) != "common")
+    assert(out(3L) != "common")
+  }
+
   test("char-ngram profiles classify docs by trained gram voting") {
     val corpus = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog near the old barn"),
