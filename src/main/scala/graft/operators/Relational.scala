@@ -95,6 +95,23 @@ object Relational {
         .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
     }
 
+    /** Cohort retention: bucket entities by the period of their first
+      * activity, then count distinct entities active at each period
+      * offset from their cohort. Periods are integral floor-divisions
+      * of epoch-µs (exact for any timestamp below 2^53 µs ≈ year
+      * 2255). Two aggregates + one join on the entity key — the
+      * (entity, period) de-dup happens first, so the join carries at
+      * most one row per entity-period. */
+    def retention(entity: Column, tsUs: Column, periodUs: Long): DataFrame = {
+      val ev = df.select(entity.as("__e"),
+          floor(tsUs.cast("double") / periodUs).cast("long").as("__p"))
+        .distinct()
+      val cohort = ev.groupBy("__e").agg(min("__p").as("__c"))
+      ev.join(cohort, "__e")
+        .groupBy(col("__c").as("cohort"), (col("__p") - col("__c")).as("week_offset"))
+        .agg(count(lit(1)).as("users"))
+    }
+
     /** Ordered funnel: per entity, the earliest time each stage is
       * reached with stages strictly in order (stage i counts only
       * after stage i-1's first completion). Returns (stage, entities)

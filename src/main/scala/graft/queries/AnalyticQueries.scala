@@ -179,6 +179,11 @@ object AnalyticQueries {
         .withColumn("dollars", round(col("l_extendedprice")).cast("bigint"))
         .pearson(Seq(col("l_returnflag")), col("qty"), col("dollars"))),
 
+    // §2.2/22ab weekly cohort retention over events.
+    "q_retention" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .retention(col("user_id"), unix_micros(col("ts")), periodUs = 604800000000L)),
+
     // §2.2/22s ordered conversion funnel (signup → click → purchase).
     "q_funnel" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -296,6 +301,12 @@ object AnalyticQueries {
         |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
         |FROM s""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS e, epoch_us(ts) // 604800000000 AS p FROM events),
+        |c AS (SELECT e, min(p) AS c FROM ev GROUP BY e)
+        |SELECT c.c AS cohort, ev.p - c.c AS week_offset, CAST(count(*) AS BIGINT) AS users
+        |FROM ev JOIN c ON ev.e = c.e
+        |GROUP BY cohort, week_offset""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id AS e, epoch_us(ts) AS t, event_type AS s FROM events),
         |r1 AS (SELECT e, min(t) AS t FROM ev WHERE s = 'signup' GROUP BY e),

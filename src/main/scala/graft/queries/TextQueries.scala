@@ -106,6 +106,11 @@ object TextQueries {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)),
 
+    // §2.5/49 top-20 PMI collocations (exact rational ordering — one
+    // correctly-rounded division, no transcendentals).
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocationsTopK(Tables.documents(s, dir), col("text"), k = 20, minCount = 5)),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -138,6 +143,29 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_collocations" ->
+      raw"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+           |), uni AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM toks GROUP BY w
+           |), nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks),
+           |sh AS (
+           |  SELECT doc_id, list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2]) AS g
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+           |  WHERE len(t) >= 2
+           |), bi AS (
+           |  SELECT g AS b, CAST(count(*) AS BIGINT) AS n12
+           |  FROM (SELECT unnest(g) AS g FROM sh) GROUP BY g
+           |  HAVING count(*) >= 5
+           |)
+           |SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+           |       n12, u1.n1 AS c1, u2.n1 AS c2,
+           |       CAST(n12 * nt.nt AS DOUBLE) / (u1.n1 * u2.n1) AS ratio
+           |FROM bi
+           |JOIN uni u1 ON string_split(b, ' ')[1] = u1.w
+           |JOIN uni u2 ON string_split(b, ' ')[2] = u2.w
+           |CROSS JOIN nt
+           |ORDER BY ratio DESC, b ASC LIMIT 20""".stripMargin,
     "q_tfidf" ->
       raw"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -82,6 +82,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("dfq"))
   }
 
+  /** Top-k bigram collocations by PMI. PMI = ln(N·n12/(n1·n2)) is
+    * monotone in the rational N·n12/(n1·n2), so ranking uses that
+    * ratio as ONE double division (division is correctly rounded —
+    * bit-identical in every engine; no transcendental anywhere).
+    * `minCount` drops noise bigrams before ranking. Bigram stream =
+    * word 2-shingles (native WordShingles), unigram counts from the
+    * same token stream — two aggregates and a join on the component
+    * words. */
+  def collocationsTopK(df: org.apache.spark.sql.DataFrame, text: Column, k: Int,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(explode(tokenize(lower(text))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("n1"))
+    val totalTokens = toks.agg(count(lit(1)).as("__nt"))
+    val bi = df.select(explode(graft.dedup.Dedup.shinglesRaw(text, 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .withColumn("w2", split(col("b"), " ").getItem(1))
+    bi
+      .join(uni.select(col("w").as("w1"), col("n1").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n1").as("c2")), "w2")
+      .crossJoin(broadcast(totalTokens))
+      .withColumn("ratio",
+        (col("n12") * col("__nt")).cast("double") / (col("c1") * col("c2")))
+      .orderBy(col("ratio").desc, col("b").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n12"), col("c1"), col("c2"), col("ratio"))
+  }
+
   // ---------------------------------------------- char-ngram profiles
 
   import org.apache.spark.sql.DataFrame

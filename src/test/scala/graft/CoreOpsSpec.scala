@@ -125,6 +125,16 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(math.abs(out("m") + 1.0) < 1e-12)
   }
 
+  test("retention buckets users by first-activity cohort") {
+    // period = 100 µs for the test; user 1 starts period 0, active 0 and 2;
+    // user 2 starts period 2, active 2 only; user 3 starts 0, active 0,1
+    val ev = Seq((1L, 10L), (1L, 250L), (2L, 210L), (3L, 50L), (3L, 150L), (3L, 199L))
+      .toDF("u", "us")
+    val out = ev.retention(col("u"), col("us"), periodUs = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((0L, 0L, 2L), (0L, 2L, 1L), (0L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
   test("funnel enforces strict stage ordering") {
     val ev = Seq(
       // user 1: full ordered funnel

@@ -49,6 +49,23 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) != "common")
   }
 
+  test("collocationsTopK ranks tight bigrams above chance pairs") {
+    val docs = (1 to 10).map(i => (i.toLong,
+      "new york " * 3 + "the cat sat on the mat and the dog ran " + s"filler$i word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsTopK(docs, col("text"), k = 6, minCount = 5)
+      .select("w1", "w2").as[(String, String)].collect()
+    // exclusive singleton pairs ("cat sat": both words appear ONLY here)
+    // carry the highest PMI; "new"/"york" are 3x as frequent so their
+    // PMI is lower but still present; pairs involving the common "the"
+    // rank below both
+    assert(out.head === (("cat", "sat")))
+    assert(out.toSeq.contains(("new", "york")))
+    // the top band is exactly the 4 exclusive pairs (PMI 19.0); common
+    // "the" only enters in the 6.33 tie band below them
+    assert(!out.toSeq.take(4).exists(p => p._1 == "the" || p._2 == "the"))
+  }
+
   test("char-ngram profiles classify docs by trained gram voting") {
     val corpus = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog near the old barn"),
