@@ -15,7 +15,7 @@ import graft.sources.PartitionedFiles
   * interpreter per record.
   *
   * Usage:
-  *   graft.Cli -i IN [-f json|csv|text] [--schema DDL] CMD [args]
+  *   graft.Cli -i IN [-f json|csv|text|parquet|orc] [--schema DDL] CMD [args]
   *             [--outfile OUT] [--codec gzip|bzip2]
   * Gzipped/bzip2'd inputs read transparently by extension (as in
   * shmr); `--codec` compresses the output.
@@ -47,10 +47,12 @@ object Cli {
     val spark = GraftSession.getOrCreate("graft-cli")
 
     def read(): DataFrame = fmt match {
-      case "json" => PartitionedFiles.readJsonl(spark, in, opts.get("schema"))
-      case "csv"  => PartitionedFiles.readCsv(spark, in, header = true, opts.get("schema"))
-      case "text" => PartitionedFiles.readText(spark, in)
-      case other  => fail(s"unknown format: $other (use json|csv|text)")
+      case "json"    => PartitionedFiles.readJsonl(spark, in, opts.get("schema"))
+      case "csv"     => PartitionedFiles.readCsv(spark, in, header = true, opts.get("schema"))
+      case "text"    => PartitionedFiles.readText(spark, in)
+      case "parquet" => PartitionedFiles.readParquet(spark, in)
+      case "orc"     => PartitionedFiles.readOrc(spark, in)
+      case other     => fail(s"unknown format: $other (use json|csv|text|parquet|orc)")
     }
 
     def write(df: DataFrame, parts: Int = 1): Unit = {
@@ -59,9 +61,11 @@ object Cli {
       // reads them transparently too, and writes via --codec
       val codec = opts.get("codec")
       fmt match {
-        case "json" => PartitionedFiles.writeJsonl(df, out, parts, codec)
-        case "csv"  => PartitionedFiles.writeCsv(df, out, parts, codec = codec)
-        case "text" => PartitionedFiles.writeText(df, out, parts, codec)
+        case "json"    => PartitionedFiles.writeJsonl(df, out, parts, codec)
+        case "csv"     => PartitionedFiles.writeCsv(df, out, parts, codec = codec)
+        case "text"    => PartitionedFiles.writeText(df, out, parts, codec)
+        case "parquet" => PartitionedFiles.writeParquet(df, out, parts, codec)
+        case "orc"     => PartitionedFiles.writeOrc(df, out, parts, codec)
       }
     }
 

@@ -36,5 +36,16 @@ object DriveCli {
       println("AGG=" + out) // expect [200,4]
       spark.stop()
     }
+
+    // CLI over columnar input: aggregate the real parquet region table
+    Cli.main(Array("-i", "/root/testdata/sf0.001/region.parquet", "-f", "parquet",
+      "partition.reduce", "--aggs", "count(1) AS n", "--outfile", s"$tmp/pq", "--codec", "snappy"))
+    locally {
+      val spark = GraftSession.builder("verify2", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val n = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/pq").head().getLong(0)
+      println("PARQUET_N=" + n) // expect 5 regions
+      spark.stop()
+    }
   }
 }
