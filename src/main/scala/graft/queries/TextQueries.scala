@@ -111,6 +111,10 @@ object TextQueries {
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocationsTopK(Tables.documents(s, dir), col("text"), k = 20, minCount = 5)),
 
+    // §2.5/50 inverted index (term → df + positional postings).
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), col("text"), col("doc_id"))),
+
     // §2.5/33 document fingerprint (normalized content hash).
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -143,6 +147,18 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_inverted_index" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents)
+           |), pd AS (
+           |  SELECT term, doc_id,
+           |         doc_id || ':' || string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry
+           |  FROM tok GROUP BY term, doc_id
+           |)
+           |SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |       string_agg(entry, ';' ORDER BY doc_id) AS postings
+           |FROM pd GROUP BY term""".stripMargin,
     "q_collocations" ->
       raw"""WITH toks AS (
            |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents

@@ -111,6 +111,26 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n12"), col("c1"), col("c2"), col("ratio"))
   }
 
+  /** Inverted index: term → document frequency + posting list with
+    * token positions, the search-index building block. Two nested
+    * aggregations (term×doc positions, then term postings), both
+    * sorted for determinism. At scale the index shards naturally by
+    * the term hash (the groupBy key); postings serialize as
+    * `doc:pos,pos` strings so the structure round-trips any engine. */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, text: Column, id: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+      posexplode(tokenize(lower(text))).as(Seq("pos", "term")))
+    val perDoc = tok.groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__entry",
+        concat(col("doc_id").cast("string"), lit(":"),
+          array_join(transform(col("__ps"), p => p.cast("string")), ",")))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(
+          struct(col("doc_id"), col("__entry")))).getField("__entry"), ";").as("postings"))
+  }
+
   // ---------------------------------------------- char-ngram profiles
 
   import org.apache.spark.sql.DataFrame

@@ -49,6 +49,15 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L) != "common")
   }
 
+  test("invertedIndex builds positional postings sorted by doc") {
+    val docs = Seq((2L, "b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, col("text"), col("doc_id"))
+      .select("term", "df", "postings").as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") === ((2L, "1:0;2:1")))
+    assert(out("b") === ((2L, "1:1;2:0,2")))
+  }
+
   test("collocationsTopK ranks tight bigrams above chance pairs") {
     val docs = (1 to 10).map(i => (i.toLong,
       "new york " * 3 + "the cat sat on the mat and the dog ran " + s"filler$i word$i"))
