@@ -195,8 +195,11 @@ object Dedup {
       .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold variant short-circuits the DP once a row's distance
+      // provably exceeds maxDist (returns -1, filtered out); kept
+      // distances are identical to the unbounded computation
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("dist").between(0, maxDist))
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
