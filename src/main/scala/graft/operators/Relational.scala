@@ -35,7 +35,9 @@ object Relational {
       * falls below `pct` (out of 100). Unlike `df.sample`, the result
       * is a pure function of the key — stable across runs, engines,
       * partitionings, and re-executions after failures, which is what
-      * a reproducible training-data subset requires. */
+      * a reproducible training-data subset requires. Use an integral
+      * or string key (floating-point keys stringify differently across
+      * engines). */
     def sampleByHash(key: Column, pct: Int): DataFrame = {
       require(pct >= 0 && pct <= 100)
       df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct)

@@ -126,9 +126,10 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          // per-writer option — no session-global conf mutation
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partitionCol)
           .parquet(path)
       }
