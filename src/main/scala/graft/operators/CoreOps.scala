@@ -91,6 +91,13 @@ object CoreOps {
     ): DataFrame =
       df.join(if (broadcastRight) broadcast(right) else right, joinExprs, joinType)
 
+    /** Schema-evolution union: append batches whose schemas drifted —
+      * columns are matched BY NAME and absent columns null-fill, the
+      * ingestion reality when upstream producers add fields over time
+      * (positional union would silently scramble them). */
+    def unionEvolved(others: DataFrame*): DataFrame =
+      others.foldLeft(df)((acc, o) => acc.unionByName(o, allowMissingColumns = true))
+
     /** shmr `partition.join`'s actual OUTPUT SHAPE: per key present
       * on both sides, one row (key, [left values], [right values]) —
       * the reference emits grouped records, not a flat row per pair.

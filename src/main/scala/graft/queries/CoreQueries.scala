@@ -97,6 +97,16 @@ object CoreQueries {
           "custkey", salts = 8)
         .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
 
+    // §2.1/12b schema-evolution union: a v1 batch (no priority column)
+    // unions a v2 batch (extra column) by name with null-fill.
+    "q_union_evolve" -> ((s, dir) => {
+      val v1 = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .mapRecords(col("o_orderkey"), col("o_custkey"))
+      val v2 = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 1)
+        .mapRecords(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      v1.unionEvolved(v2)
+    }),
+
     // §2.1/9 partition.count as a relation.
     "q_count" -> ((s, dir) => Tables.lineitem(s, dir).countRelation("n")),
 
@@ -172,6 +182,12 @@ object CoreQueries {
     "q_salted_join" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     "q_head" ->
       """SELECT o_orderkey, o_totalprice FROM orders
