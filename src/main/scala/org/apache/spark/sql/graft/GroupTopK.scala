@@ -42,12 +42,20 @@ case class GroupTopK(
   * phase requires clustering on the group keys.
   *
   * Memory: O(#groups-per-partition × k) rows — the same residency
-  * class as a hash aggregate over the same keys. */
+  * class as a hash aggregate over the same keys. Like Spark's partial
+  * hash aggregate, the partial phase additionally FLUSHES when the
+  * per-partition group map exceeds `flushGroups` (conf
+  * `spark.graft.topk.partialFlushGroups`): it emits the current heaps
+  * downstream and starts fresh, trading shuffle volume (≤ k extra rows
+  * per flushed group) for a hard memory bound. The final phase never
+  * flushes — all rows of a group are co-located there and exact top-k
+  * needs them in one pass. */
 case class GroupTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushGroups: Int,
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -61,33 +69,64 @@ case class GroupTopKExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+      .createMetric(sparkContext, "number of groups"),
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of partial flushes"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = order
     val attrs = child.output
+    val partialLocal = partial
+    val flushLocal = flushGroups
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
+    val numFlushes = longMetric("numFlushes")
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, attrs)
       val ord = RowOrdering.create(orderLocal, attrs)
       // max-heap under ord: head = current worst of the kept k
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(
-          key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
+
+      def drain(): Iterator[InternalRow] = {
+        numGroups += heaps.size
+        // snapshot the heap objects so the map can be cleared while
+        // the drain iterator is still being consumed
+        val snapshot = heaps.values.toArray
+        heaps.clear()
+        snapshot.iterator.flatMap { h => numOutputRows += h.size; h.iterator }
       }
-      numGroups += heaps.size
-      heaps.valuesIterator.flatMap { h => numOutputRows += h.size; h.iterator }
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var exhausted = false
+        private def fill(): Unit = {
+          while (!out.hasNext && !exhausted) {
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              val heap = heaps.getOrElseUpdate(
+                key.copy(),
+                scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+              if (heap.size < kLocal) heap.enqueue(row.copy())
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap.enqueue(row.copy())
+              }
+              if (partialLocal && heaps.size >= flushLocal) {
+                flushed = true
+                numFlushes += 1
+              }
+            }
+            if (!iter.hasNext && !flushed) exhausted = true
+            out = drain()
+          }
+        }
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): InternalRow = { fill(); out.next() }
+      }
     }
   }
 
@@ -98,10 +137,17 @@ case class GroupTopKExec(
 /** Planner strategy: GroupTopK → partial exec → (exchange inserted by
   * EnsureRequirements) → final exec. */
 object GroupTopKStrategy extends SparkStrategy {
+  /** Partial-phase flush threshold (#groups held per partition before
+    * emitting early). Read at planning time from the session conf. */
+  val FlushConfKey = "spark.graft.topk.partialFlushGroups"
+  val FlushDefault = 1 << 18 // 262144 groups × k rows per partition
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopK(groupExprs, order, k, child) =>
-      GroupTopKExec(groupExprs, order, k, partial = false,
-        GroupTopKExec(groupExprs, order, k, partial = true, planLater(child))) :: Nil
+      val flushGroups = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(FlushConfKey, FlushDefault.toString).toInt
+      GroupTopKExec(groupExprs, order, k, partial = false, flushGroups,
+        GroupTopKExec(groupExprs, order, k, partial = true, flushGroups, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -46,4 +46,18 @@ class StrategySpec extends SparkSpecBase {
       .select("g", "id").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 1L), (1L, 2L), (2L, 3L))) // everything kept
   }
+
+  test("partial-phase flush keeps results exact under a tiny memory bound") {
+    val df = randomDf
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+      .select("g", "v", "id").as[(Long, Long, Long)].collect().toSet
+    val key = org.apache.spark.sql.graft.GroupTopKStrategy.FlushConfKey
+    spark.conf.set(key, "3") // flush every 3 groups — forces many partial flushes
+    try {
+      val custom = GraftPlans.groupTopK(df, Seq(col("g")), Seq(col("v").desc, col("id").asc), 5)
+        .select("g", "v", "id").as[(Long, Long, Long)].collect().toSet
+      assert(custom === expected)
+    } finally spark.conf.unset(key)
+  }
 }
