@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry oracles, mimicking the driver:
 run Verify output vs DuckDB oracle SQL; sort columns by name, sort rows,
-compare values exactly. Usage: dev/check.py OUTDIR SFDIR"""
+compare values exactly. Usage: dev/check.py OUTDIR SFDIR [q1,q2,...]"""
 import sys, json, glob
 import duckdb
 
@@ -12,8 +12,11 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fail = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:

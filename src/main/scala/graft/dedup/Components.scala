@@ -53,6 +53,70 @@ object Components {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — public paper). Same contract as
+    * [[connectedComponents]] but converges in O(log²) rounds on
+    * adversarial long-chain / high-diameter graphs where plain
+    * min-label propagation needs diameter rounds.
+    *
+    * Both star steps are expressed as join+groupBy (one shuffle each)
+    * rather than collect_list, so a single high-degree hub node never
+    * materializes its whole neighborhood in one task. Convergence is
+    * detected by an order-independent (count, sum-of-xxhash64) edge-set
+    * signature — one cheap aggregate per round.
+    */
+  def connectedComponentsStar(pairs: DataFrame, a: String, b: String, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(a).as("id")).union(pairs.select(col(b).as("id")))
+      .distinct().localCheckpoint(true)
+    // orient (u > v) and dedup; self-loops drop out
+    var e = pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    // large-star(s): attach every neighbor d > s to m = min(Γ(s) ∪ {s})
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u").as("s"), col("v").as("d"))
+        .union(edges.select(col("v").as("s"), col("u").as("d")))
+      val mins = sym.groupBy("s").agg(min("d").as("mn"))
+        .select(col("s"), least(col("mn"), col("s")).as("m"))
+      sym.join(mins, "s").filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v")) // d > s >= m: stays oriented
+        .distinct()
+    }
+
+    // small-star(u): attach every smaller neighbor (and u itself) to
+    // m = min of u's smaller neighborhood. Input must be oriented u > v.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min("v").as("m"))
+      edges.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // order-independent edge-set signature; bit_xor never overflows
+    // (ANSI sum over hashes would)
+    def signature(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)), call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = signature(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    // converged: a star per component, every non-root points at the root
+    val roots = e.groupBy("u").agg(min("v").as("lbl")).select(col("u").as("id"), col("lbl"))
+    nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+  }
+
   /** Full dedup decision: every doc keeps exactly one representative —
     * the min id of its near-dup cluster (docs without any near-dup
     * keep themselves). Left join: singleton docs pass through. */

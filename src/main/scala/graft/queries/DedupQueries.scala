@@ -46,6 +46,16 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // §2.3/25b-star: same clustering through large-star/small-star
+    // contraction — the adversarial-diameter scale path. Same oracle.
+    "q_cluster_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -184,6 +194,7 @@ object DedupQueries {
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_cluster_star" -> clusterSql,
     "q_fuzzy_join" ->
       raw"""WITH $shinglesCte,
            |g0 AS (SELECT DISTINCT doc_id, unnest(g) AS g FROM sh),

@@ -96,6 +96,36 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponentsStar matches propagation and handles long chains") {
+    import graft.dedup.Components
+    // same mixed graph as the propagation test
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // adversarial: a 150-node chain (diameter 149) — propagation with
+    // default maxIter=20 cannot converge; star contraction does in
+    // O(log^2) rounds
+    val chain = (0L until 149L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Components.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(labels.length === 150)
+    assert(labels.forall(_._2 == 0L))
+
+    // randomized cross-check vs propagation on a low-diameter graph
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val star = Components.connectedComponentsStar(rand, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val prop = Components.connectedComponents(rand, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
   test("keepOnePerCluster keeps min-id per cluster and all singletons") {
     import graft.dedup.Components
     val pairs = Seq((1L, 4L)).toDF("doc_a", "doc_b") // 1 and 4 are dups
