@@ -155,6 +155,83 @@ object Relational {
     def cubeAgg(keys: Seq[Column], aggs: Seq[Column]): DataFrame =
       df.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+    /** Explicit GROUPING SETS — the general form of rollup/cube when
+      * only specific key combinations are wanted (one Expand + one
+      * hash aggregate; cheaper than cube when sets ⊂ powerset). */
+    def groupingSetsAgg(sets: Seq[Seq[Column]], keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.groupingSets(sets, keys: _*).agg(aggs.head, aggs.tail: _*)
+
+    /** Column profiling: one row per requested column with row count,
+      * null count, exact distinct count, and min/max rendered as
+      * strings. Everything is computed in a single aggregate pass
+      * (Catalyst expands the multi-distinct into one Expand node —
+      * rows × columns, map-side combined), then unpivoted with
+      * `stack`. Pass columns whose string rendering is
+      * engine-portable: integrals, strings, dates — not raw doubles. */
+    def profile(cols: Seq[String]): DataFrame = {
+      require(cols.nonEmpty)
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__dst_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', `__cnt_$c`, `__dst_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+      df.agg(count(lit(1)).as("__n"), aggs: _*)
+        .select(col("__n").as("n_rows"),
+          expr(s"stack(${cols.size}, $stacked) AS (col_name, n_values, n_distinct, min_str, max_str)"))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_values")).as("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }
+
+    /** 2-D skyline (Pareto frontier, minimizing both `x` and `y`):
+      * points not dominated by any other point (q dominates p when
+      * q.x ≤ p.x, q.y ≤ p.y, and q < p on at least one axis).
+      * Returns the distinct non-dominated (x, y) points.
+      *
+      * Two-stage plan for scale: stage 1 computes a LOCAL skyline per
+      * input partition (window over `spark_partition_id()`, ordered
+      * (x, y) scan keeping strict running-min of y) — dominance is
+      * transitive, so the global skyline is a subset of the union of
+      * local skylines. Stage 2 re-runs the same scan globally over the
+      * (tiny) survivor set. 100 TB of points never meet a global sort;
+      * only the pruned survivors do. */
+    def skyline2D(x: Column, y: Column): DataFrame = {
+      def prune(pts: DataFrame, part: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(part: _*).orderBy(col("x").asc, col("y").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pts.withColumn("__miny", min(col("y")).over(w))
+          .filter(col("__miny").isNull || col("y") < col("__miny"))
+          .drop("__miny")
+      }
+      val distinctPts = df.select(x.as("x"), y.as("y")).na.drop().distinct()
+      val local = prune(distinctPts.withColumn("__pid", spark_partition_id()), Seq(col("__pid")))
+        .drop("__pid")
+      prune(local, Nil)
+    }
+
+    /** Robust outlier screen per group via median/MAD: flag rows where
+      * |v − median| > k·MAD (MAD = median of |v − median|). Exact
+      * medians over an integral value column — midpoints are exact
+      * halves, bit-stable across engines. Two small per-group
+      * aggregates broadcast-joined back to the rows; groups with
+      * MAD = 0 flag every off-median row (k·0 = 0), matching the
+      * textbook definition. Returns the flagged rows only. */
+    def madOutliers(group: Seq[Column], valueInt: Column, k: Double, keep: Seq[Column]): DataFrame = {
+      val base = df.select(keep ++ group :+ valueInt.cast("double").as("__v"): _*)
+      val gcols = group.map(c => col(c.toString))
+      val med = base.groupBy(group: _*).agg(median(col("__v")).as("__med"))
+      val withMed = base.join(broadcast(med), group.map(_.toString))
+      val mad = withMed.groupBy(group: _*)
+        .agg(median(abs(col("__v") - col("__med"))).as("__mad"))
+      withMed.join(broadcast(mad), group.map(_.toString))
+        .filter(abs(col("__v") - col("__med")) > lit(k) * col("__mad"))
+        .select(keep ++ gcols :+ col("__v").cast("long").as("value"): _*)
+    }
+
     /** Sliding-frame aggregate over an ordered per-key window, e.g.
       * a moving sum of the last `preceding`+1 rows. The ordering must
       * be total (add a tie-break column) for deterministic frames. */

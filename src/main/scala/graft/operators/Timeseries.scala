@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping operators: regular-grid resampling with
+  * forward fill, state-transition counting, and interval-overlap
+  * (concurrency) aggregation. The reference (shmr) leaves these to
+  * driver-side glue over `map`/`reduce_by_key`; here each is a single
+  * declarative plan.
+  *
+  * Scale notes: all three shuffle once on the entity key (or the
+  * bucket). Grid densification explodes at most (span / step) rows per
+  * key — bounded and predictable, unlike a global sweep-line sort
+  * which would funnel 100 TB of interval endpoints through one ordered
+  * partition. Forward fill is a window `last(ignoreNulls)` over the
+  * same key partitioning Catalyst already shuffled for the grid join,
+  * so the exchange is reused.
+  */
+object Timeseries {
+
+  implicit class TimeseriesOps(private val df: DataFrame) extends AnyVal {
+
+    /** Resample to a regular `stepUs` grid per key and forward-fill.
+      *
+      * Buckets run from each key's first to last observation. Within a
+      * bucket the value of the LATEST observation wins (latest by
+      * (tsUs, tieBreak) — supply a unique tie-break column so the
+      * reduction is shuffle-order independent); empty buckets carry
+      * the previous bucket's value forward. Output: (key, bucket,
+      * value) with `bucket` = floor(epoch-µs / stepUs).
+      *
+      * Plan shape: one hash aggregate per (key, bucket) [max over a
+      * struct — partial map-side combine], one per-key min/max
+      * aggregate + `sequence` explode for the grid, a shuffle join of
+      * grid to observations on (key, bucket), then the forward-fill
+      * window on the key. All post-aggregate stages share the key
+      * hash partitioning.
+      */
+    def gapFill(key: Column, tsUs: Column, tieBreak: Column, value: Column,
+        stepUs: Long): DataFrame = {
+      val obs = df
+        .select(key.as("__k"), floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"),
+          tsUs.as("__us"), tieBreak.as("__tb"), value.as("__v"))
+        .groupBy(col("__k"), col("bucket"))
+        .agg(max(struct(col("__us"), col("__tb"), col("__v"))).getField("__v").as("__obs"))
+      val grid = df
+        .select(key.as("__k"), floor(tsUs.cast("double") / stepUs).cast("long").as("__b"))
+        .groupBy(col("__k"))
+        .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+        .select(col("__k"), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+      val filled = grid.join(obs, Seq("__k", "bucket"), "left")
+        .withColumn("value",
+          last(col("__obs"), ignoreNulls = true)
+            .over(Window.partitionBy(col("__k")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      filled.select(col("__k").as("key"), col("bucket"), col("value"))
+    }
+
+    /** Count (state → next-state) transitions per key, ordered by
+      * `order` within the key. The classic Markov-chain / clickstream
+      * building block. One shuffle on the key for the `lead` window,
+      * then a hash aggregate on the (from, to) pair. */
+    def transitions(key: Column, order: Seq[Column], state: Column): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(order: _*)
+      df.select(state.as("from_state"), lead(state, 1).over(w).as("to_state"))
+        .filter(col("to_state").isNotNull)
+        .groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+    /** Interval-overlap count: how many [startUs, endUs] intervals
+      * overlap each `stepUs` bucket. Each interval explodes into the
+      * buckets it covers (inclusive on both ends), then one hash
+      * aggregate per bucket — explode factor is bounded by
+      * interval-length / step, so no global ordered sweep is needed.
+      * Intervals with end < start are dropped. */
+    def concurrency(startUs: Column, endUs: Column, stepUs: Long): DataFrame =
+      df.filter(endUs >= startUs)
+        .select(explode(sequence(
+          floor(startUs.cast("double") / stepUs).cast("long"),
+          floor(endUs.cast("double") / stepUs).cast("long"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_active"))
+  }
+}

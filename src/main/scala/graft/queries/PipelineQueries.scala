@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps._
+import graft.operators.Relational._
+import graft.operators.Timeseries._
+import graft.sources.Tables
+
+/** Third analytic wave: time-series reshaping (gap-fill resampling,
+  * transition counting, interval concurrency), column profiling,
+  * explicit grouping sets, Pareto skyline, and median/MAD robust
+  * outliers. All oracle-gated against DuckDB.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // State-transition (Markov) counts over per-user event streams.
+    "q_transitions" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transitions(col("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+          col("event_type"))),
+
+    // Hourly resample of each user's latest event value, forward-
+    // filled across empty hours.
+    "q_gap_fill" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .gapFill(col("user_id"), unix_micros(col("ts")), col("event_id"),
+          round(col("value") * 100).cast("bigint"), stepUs = 3600000000L)),
+
+    // Concurrent-session count per hour: sessionize, roll up to
+    // [start, end] intervals, count interval overlap per hour bucket.
+    "q_concurrency" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .sessionize(col("user_id"), col("ts"), 30L * 60 * 1000000)
+        .reduceByKey(
+          Seq(col("user_id"), col("session_id")),
+          Seq(min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us")))
+        .concurrency(col("start_us"), col("end_us"), stepUs = 3600000000L)),
+
+    // Single-pass column profile (count/nulls/distinct/min/max).
+    "q_profile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .profile(Seq("l_orderkey", "l_returnflag", "l_linestatus"))),
+
+    // Explicit GROUPING SETS: (flag, status), (flag), and grand total.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupingSetsAgg(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(sum(col("l_quantity").cast("bigint")).as("sum_qty"), count(lit(1)).as("n")))),
+
+    // Pareto skyline of parts: no part both smaller and cheaper.
+    "q_skyline" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .skyline2D(col("p_size").cast("bigint"),
+          round(col("p_retailprice") * 100).cast("bigint"))),
+
+    // Median/MAD robust outliers among event values per event type.
+    "q_mad_outliers" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .madOutliers(Seq(col("event_type")),
+          round(col("value") * 100).cast("bigint"), k = 3.0,
+          keep = Seq(col("event_id"))))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_state,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) AS to_state
+        |  FROM events)
+        |SELECT from_state, to_state, count(*) AS n
+        |FROM t WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         epoch_us(ts) // 3600000000 AS bucket
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, bucket, cents FROM (
+        |    SELECT user_id, bucket, cents,
+        |           row_number() OVER (PARTITION BY user_id, bucket
+        |                              ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id AS key, g.bucket,
+        |       last_value(o.cents IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin,
+    "q_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+        |         epoch_us(ts) AS us
+        |  FROM flagged
+        |), iv AS (
+        |  SELECT min(us) AS start_us, max(us) AS end_us
+        |  FROM sess GROUP BY user_id, session_id
+        |)
+        |SELECT bucket, count(*) AS n_active FROM (
+        |  SELECT unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS bucket
+        |  FROM iv)
+        |GROUP BY bucket""".stripMargin,
+    "q_profile" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |  count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |  count(l_returnflag) AS c2, count(DISTINCT l_returnflag) AS d2,
+        |  CAST(min(l_returnflag) AS VARCHAR) AS mn2, CAST(max(l_returnflag) AS VARCHAR) AS mx2,
+        |  count(l_linestatus) AS c3, count(DISTINCT l_linestatus) AS d3,
+        |  CAST(min(l_linestatus) AS VARCHAR) AS mn3, CAST(max(l_linestatus) AS VARCHAR) AS mx3
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, n_rows, n_rows - c1 AS n_null, d1 AS n_distinct,
+        |       mn1 AS min_str, mx1 AS max_str FROM s
+        |UNION ALL
+        |SELECT 'l_returnflag', n_rows, n_rows - c2, d2, mn2, mx2 FROM s
+        |UNION ALL
+        |SELECT 'l_linestatus', n_rows, n_rows - c3, d3, mn3, mx3 FROM s""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT CAST(p_size AS BIGINT) AS x,
+        |                  CAST(round(p_retailprice * 100) AS BIGINT) AS y
+        |  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+        |SELECT x, y FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, median(CAST(v AS DOUBLE)) AS med FROM b GROUP BY 1),
+        |wm AS (SELECT b.event_id, b.event_type, b.v, m.med FROM b JOIN m USING (event_type)),
+        |d AS (SELECT event_type, median(abs(CAST(v AS DOUBLE) - med)) AS mad
+        |      FROM wm GROUP BY 1)
+        |SELECT wm.event_id, wm.event_type, CAST(wm.v AS BIGINT) AS value
+        |FROM wm JOIN d USING (event_type)
+        |WHERE abs(CAST(wm.v AS DOUBLE) - wm.med) > 3.0 * d.mad""".stripMargin
+  )
+}

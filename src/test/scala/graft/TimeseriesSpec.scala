@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational._
+import graft.operators.Timeseries._
+
+class TimeseriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("gapFill densifies and forward-fills per key") {
+    // key 1: observations in buckets 0 and 3 (step=10) → buckets 1,2 carry v=5
+    val df = Seq(
+      (1L, 2L, 100L, 5L),   // bucket 0
+      (1L, 5L, 101L, 7L),   // bucket 0, later ts wins
+      (1L, 31L, 102L, 9L),  // bucket 3
+      (2L, 12L, 103L, 1L)   // bucket 1 only
+    ).toDF("k", "us", "id", "v")
+    val out = df.gapFill(col("k"), col("us"), col("id"), col("v"), stepUs = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 7L), (1L, 1L, 7L), (1L, 2L, 7L), (1L, 3L, 9L),
+      (2L, 1L, 1L)))
+  }
+
+  test("gapFill picks latest-in-bucket by (ts, tieBreak)") {
+    val df = Seq((1L, 5L, 1L, 10L), (1L, 5L, 2L, 20L)).toDF("k", "us", "id", "v")
+    val out = df.gapFill(col("k"), col("us"), col("id"), col("v"), stepUs = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 20L)))
+  }
+
+  test("transitions counts ordered state pairs per key") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b")
+    ).toDF("k", "t", "s")
+    val out = df.transitions(col("k"), Seq(col("t")), col("s"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("concurrency counts overlapping intervals per bucket") {
+    val df = Seq((0L, 25L), (10L, 15L), (30L, 30L), (40L, 39L)).toDF("s", "e")
+    val out = df.concurrency(col("s"), col("e"), stepUs = 10L)
+      .as[(Long, Long)].collect().toSet
+    // [0,25]→buckets 0,1,2; [10,15]→1; [30,30]→3; [40,39] dropped
+    assert(out === Set((0L, 1L), (1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("profile reports counts, nulls, distinct, min/max strings") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (Some(3L), Some("a"))
+    ).toDF("x", "s")
+    val out = df.profile(Seq("x", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(out === Set(
+      ("x", 3L, 0L, 2L, "1", "3"),
+      ("s", 3L, 1L, 2L, "a", "b")))
+  }
+
+  test("groupingSetsAgg computes exactly the requested sets") {
+    val df = Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "x", 4L)).toDF("f", "g", "v")
+    val out = df.groupingSetsAgg(
+        Seq(Seq(col("f")), Seq()), Seq(col("f"), col("g")),
+        Seq(sum(col("v")).as("s")))
+      .select(col("f"), col("g"), col("s"))
+      .as[(Option[String], Option[String], Long)].collect().toSet
+    assert(out === Set(
+      (Some("A"), None, 3L), (Some("B"), None, 4L), (None, None, 7L)))
+  }
+
+  test("skyline2D keeps exactly the non-dominated points") {
+    val df = Seq(
+      (1L, 9L), (2L, 7L), (2L, 8L), (3L, 7L), (4L, 4L), (5L, 5L), (4L, 4L), (6L, 1L)
+    ).toDF("a", "b")
+    val out = df.skyline2D(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    // (2,8) dominated by (2,7); (3,7) by (2,7); (5,5) by (4,4); dup (4,4) collapses
+    assert(out === Set((1L, 9L), (2L, 7L), (4L, 4L), (6L, 1L)))
+  }
+
+  test("skyline2D keeps duplicate-coordinate points once (no self-domination)") {
+    val df = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(df.skyline2D(col("a"), col("b")).count() === 1L)
+  }
+
+  test("madOutliers flags |v - median| > k * MAD per group") {
+    // group A: values 1..5 + 100 → med 3.5, MAD 1.5, |100-3.5| > 4.5 → outlier
+    val df = (Seq((1L, "A", 100L)) ++ (1L to 5L).map(v => (v + 1L, "A", v)))
+      .toDF("id", "g", "v")
+    val out = df.madOutliers(Seq(col("g")), col("v"), k = 3.0, keep = Seq(col("id")))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "A", 100L)))
+  }
+}
