@@ -26,7 +26,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset for targeted profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup: one untimed pass of every query (JMH-style) so timed
     // numbers measure steady-state throughput, not one-off codegen
     names.foreach { n =>

@@ -163,25 +163,28 @@ object Relational {
 
     /** Column profiling: one row per requested column with row count,
       * null count, exact distinct count, and min/max rendered as
-      * strings. Everything is computed in a single aggregate pass
-      * (Catalyst expands the multi-distinct into one Expand node —
-      * rows × columns, map-side combined), then unpivoted with
-      * `stack`. Pass columns whose string rendering is
-      * engine-portable: integrals, strings, dates — not raw doubles. */
+      * strings. One aggregation job per column over just that column —
+      * parquet prunes the scan to a single column, and the distinct
+      * count is a group-then-count (full map-side combine), not a
+      * multi-`count(DISTINCT)` Expand that would push rows × columns
+      * through a single aggregate. Pass columns whose string rendering
+      * is engine-portable: integrals, strings, dates — not raw
+      * doubles. */
     def profile(cols: Seq[String]): DataFrame = {
       require(cols.nonEmpty)
-      val aggs = cols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"__cnt_$c"),
-          countDistinct(col(c)).as(s"__dst_$c"),
-          min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c"))
+      val nRows = df.agg(count(lit(1)).as("n_rows"))
+      val per = cols.map { c =>
+        df.select(col(c).as("__v"))
+          .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+          .agg(
+            coalesce(sum(when(col("__v").isNotNull, col("__c"))), lit(0L)).as("n_values"),
+            count(col("__v")).as("n_distinct"),
+            min(col("__v")).cast("string").as("min_str"),
+            max(col("__v")).cast("string").as("max_str"))
+          .select(lit(c).as("col_name"), col("n_values"), col("n_distinct"),
+            col("min_str"), col("max_str"))
       }
-      val stacked = cols.map(c =>
-        s"'$c', `__cnt_$c`, `__dst_$c`, `__min_$c`, `__max_$c`").mkString(", ")
-      df.agg(count(lit(1)).as("__n"), aggs: _*)
-        .select(col("__n").as("n_rows"),
-          expr(s"stack(${cols.size}, $stacked) AS (col_name, n_values, n_distinct, min_str, max_str)"))
+      per.reduce(_.unionAll(_)).crossJoin(broadcast(nRows))
         .select(col("col_name"), col("n_rows"),
           (col("n_rows") - col("n_values")).as("n_null"),
           col("n_distinct"), col("min_str"), col("max_str"))
