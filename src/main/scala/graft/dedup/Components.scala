@@ -79,9 +79,11 @@ object Components {
         .union(edges.select(col("v").as("s"), col("u").as("d")))
       val mins = sym.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("mn"), col("s")).as("m"))
+      // no distinct here: duplicates only thicken the next smallStar's
+      // groupBy input and its terminal distinct canonicalizes — one
+      // fewer shuffle per round
       sym.join(mins, "s").filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v")) // d > s >= m: stays oriented
-        .distinct()
     }
 
     // small-star(u): attach every smaller neighbor (and u itself) to
