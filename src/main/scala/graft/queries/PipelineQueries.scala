@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.CoreOps._
+import graft.operators.JsonShred._
 import graft.operators.Relational._
 import graft.operators.Timeseries._
 import graft.sources.Tables
@@ -57,6 +58,18 @@ object PipelineQueries {
       Tables.part(s, dir)
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
+
+    // Nested-JSON round trip: pack each order's line items into one
+    // JSON document, re-parse with an explicit from_json schema, and
+    // shred back to typed rows. The oracle computes the equivalent
+    // flat projection directly — equality proves the whole
+    // pack→parse→explode path is lossless and correctly typed.
+    "q_json_shred" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .packJsonPerKey(col("l_orderkey"),
+          Seq("p" -> col("l_partkey"), "q" -> col("l_quantity").cast("bigint")))
+        .shredJson(col("doc"), "key BIGINT, items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>")
+        .select(col("key").as("o_orderkey"), col("p").as("partkey"), col("q").as("qty"))),
 
     // Median/MAD robust outliers among event values per event type.
     "q_mad_outliers" -> ((s, dir) =>
@@ -145,6 +158,10 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_json_shred" ->
+      """SELECT l_orderkey AS o_orderkey, l_partkey AS partkey,
+        |       CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem""".stripMargin,
     "q_mad_outliers" ->
       """WITH b AS (
         |  SELECT event_id, event_type,
