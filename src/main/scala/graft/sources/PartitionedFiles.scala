@@ -89,6 +89,23 @@ object PartitionedFiles {
     writeMeta(df.sparkSession, path, "parquet")
   }
 
+  /** Hive-layout partitioned parquet (`col=value/` directories) — the
+    * 100 TB warehouse layout. Writes land one directory per distinct
+    * partition value; reads with a predicate on the partition column
+    * prune whole directories at PLANNING time (shows as
+    * `PartitionFilters` on the scan — zero data files of non-matching
+    * partitions are opened, unlike a row filter which still scans).
+    * Keep partition columns low-cardinality (date, lang, source);
+    * high-cardinality partitioning creates a small-file explosion. */
+  def writeParquetPartitionedBy(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Read a hive-partitioned parquet tree; partition columns come back
+    * typed via partition discovery. Filter on them BEFORE anything
+    * else so Catalyst turns the predicate into partition pruning. */
+  def readParquetPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
   def writeOrc(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {

@@ -65,4 +65,26 @@ class SourcesSpec extends SparkSpecBase {
   test("readMetaCount absent returns None") {
     assert(PartitionedFiles.readMetaCount(tmp()) === None)
   }
+
+  test("hive-partitioned parquet prunes non-matching directories at plan time") {
+    val dir = tmp() + "/hive"
+    val df = Seq((1L, "en", 10), (2L, "en", 20), (3L, "de", 30), (4L, "fr", 40))
+      .toDF("id", "lang", "v")
+    PartitionedFiles.writeParquetPartitionedBy(df, dir, Seq("lang"))
+    // layout: one directory per partition value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("lang=en", "lang=de", "lang=fr"))
+
+    val back = PartitionedFiles.readParquetPartitioned(spark, dir)
+      .filter(col("lang") === "en")
+    // the predicate must land as a PartitionFilters entry on the scan,
+    // not a post-scan Filter: non-matching directories are never opened
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    assert(back.select("id", "v").as[(Long, Int)].collect().toSet ===
+      Set((1L, 10), (2L, 20)))
+    // partition pruning leaves only lang=en files in the actual scan
+    val scannedFiles = back.select(input_file_name()).distinct().as[String].collect()
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains("lang=en")))
+  }
 }
