@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.CoreOps._
+import graft.operators.GraphOps
 import graft.operators.JsonShred._
 import graft.operators.Relational._
 import graft.operators.Timeseries._
@@ -58,6 +59,16 @@ object PipelineQueries {
       Tables.part(s, dir)
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
+
+    // PageRank over the bipartite part→supplier sourcing graph (ids
+    // disambiguated 2k / 2k+1), 3 fixed iterations, scaled-integer
+    // arithmetic — bit-identical to the oracle's chained-CTE replay.
+    "q_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(
+        Tables.lineitem(s, dir).select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        iters = 3)),
 
     // Nested-JSON round trip: pack each order's line items into one
     // JSON document, re-parse with an explicit from_json schema, and
@@ -158,6 +169,35 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |params AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |it0 AS (SELECT nd.id, b.base AS pr FROM nodes nd CROSS JOIN params b),
+        |it1 AS (
+        |  SELECT nd.id, (15 * b.base) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it0 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id),
+        |it2 AS (
+        |  SELECT nd.id, (15 * b.base) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it1 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id),
+        |it3 AS (
+        |  SELECT nd.id, (15 * b.base) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it2 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id)
+        |SELECT id, pr FROM it3""".stripMargin,
     "q_json_shred" ->
       """SELECT l_orderkey AS o_orderkey, l_partkey AS partkey,
         |       CAST(l_quantity AS BIGINT) AS qty
