@@ -43,6 +43,22 @@ object Relational {
       df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct)
     }
 
+    /** Deterministic stratified sample: at most `nPerClass` rows per
+      * class, selected by md5(id) order — a pure function of the data,
+      * so the same balanced subset comes back across runs, engines,
+      * partitionings, and failure re-executions (class-imbalance
+      * correction for training sets; cf. [[sampleByHash]] for the
+      * unstratified rate version). One shuffle on the class key; the
+      * per-class ranking is a bounded window scan, and skewed giant
+      * classes stream through it without materializing (row_number
+      * needs no buffering beyond the sort run). */
+    def stratifiedSample(classCol: Column, id: Column, nPerClass: Int): DataFrame = {
+      val w = Window.partitionBy(classCol).orderBy(md5(id.cast("string")).asc, id.asc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nPerClass)
+        .drop("__rn")
+    }
+
     /** Trailing-window z-score (anomaly screen): each row scored
       * against the previous `lookback` rows of its key. The window
       * aggregates are exact integers (count/sum/sum-of-squares over an

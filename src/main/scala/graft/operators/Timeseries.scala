@@ -70,6 +70,22 @@ object Timeseries {
         .agg(count(lit(1)).as("n"))
     }
 
+    /** Count length-`k` state paths (k-grams) per key — the
+      * generalization of [[transitions]] to longer clickstream /
+      * session paths. One shuffle on the key serves all k−1 `lead`
+      * windows (same partitioning + ordering), then one hash aggregate
+      * on the path tuple. Output columns s1..sk, n. */
+    def pathKGrams(key: Column, order: Seq[Column], state: Column, k: Int): DataFrame = {
+      require(k >= 2)
+      val w = Window.partitionBy(key).orderBy(order: _*)
+      val cols = (1 to k).map(i =>
+        (if (i == 1) state else lead(state, i - 1).over(w)).as(s"s$i"))
+      df.select(cols: _*)
+        .filter(col(s"s$k").isNotNull)
+        .groupBy((1 to k).map(i => col(s"s$i")): _*)
+        .agg(count(lit(1)).as("n"))
+    }
+
     /** Interval-overlap count: how many [startUs, endUs] intervals
       * overlap each `stepUs` bucket. Each interval explodes into the
       * buckets it covers (inclusive on both ends), then one hash

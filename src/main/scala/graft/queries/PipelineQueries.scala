@@ -60,6 +60,22 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // Session path mining: length-3 event-type paths per user.
+    "q_paths" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .pathKGrams(col("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+          col("event_type"), k = 3)),
+
+    // Corpus Zipf head: top-40 tokens with rank and cumulative count.
+    "q_vocab" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabZipf(Tables.documents(s, dir), col("text"), k = 40)),
+
+    // Balanced training subset: 100 deterministic docs per language.
+    "q_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .stratifiedSample(col("lang"), col("doc_id"), nPerClass = 100)),
+
     // PageRank over the bipartite part→supplier sourcing graph (ids
     // disambiguated 2k / 2k+1), 3 fixed iterations, scaled-integer
     // arithmetic — bit-identical to the oracle's chained-CTE replay.
@@ -169,6 +185,33 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w AS s2,
+        |         lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT s1, s2, s3, count(*) AS n
+        |FROM t WHERE s3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+    "q_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM c ORDER BY cnt DESC, token LIMIT 40)
+        |SELECT token, cnt, rank,
+        |       CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt
+        |FROM r""".stripMargin,
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 100""".stripMargin,
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

@@ -174,4 +174,24 @@ object TextAnalysis {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
+
+  /** Corpus vocabulary head (Zipf profile): the top-k tokens by
+    * frequency with their rank and cumulative count — the "what share
+    * of the corpus do the k most common words cover" curve that guides
+    * stopword lists and tokenizer vocab sizing.
+    *
+    * Scale shape: token explode → map-side-combined hash aggregate
+    * (vocab-sized output, corpus-sized input), then top-k via
+    * TakeOrderedAndProject (per-partition heaps — the full vocabulary
+    * never sorts globally); only the k survivors meet the
+    * single-partition ranking window. Counts stay integral. */
+  def vocabZipf(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val top = df.select(explode(tokenize(lower(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt",
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -99,4 +99,11 @@ class TextSpec extends SparkSpecBase {
     ).as[Int].head()
     assert(out === 4)
   }
+
+  test("vocabZipf ranks tokens with cumulative counts") {
+    val df = Seq("the cat sat", "the cat", "the").toDF("t")
+    val out = TextAnalysis.vocabZipf(df, col("t"), k = 2)
+      .as[(String, Long, Int, Long)].collect().toList
+    assert(out.sortBy(_._3) === List(("the", 3L, 1, 3L), ("cat", 2L, 2, 5L)))
+  }
 }

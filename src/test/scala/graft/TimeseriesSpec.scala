@@ -83,6 +83,27 @@ class TimeseriesSpec extends SparkSpecBase {
     assert(df.skyline2D(col("a"), col("b")).count() === 1L)
   }
 
+  test("pathKGrams counts length-k state paths per key") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b") // too short for k=3
+    ).toDF("k", "t", "s")
+    val out = df.pathKGrams(col("k"), Seq(col("t")), col("s"), k = 3)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", "c", 1L), ("b", "c", "a", 1L)))
+  }
+
+  test("stratifiedSample caps per class deterministically") {
+    val df = (1L to 10L).map(i => (i, if (i <= 7) "big" else "small")).toDF("id", "c")
+    val a = df.stratifiedSample(col("c"), col("id"), nPerClass = 3)
+      .as[(Long, String)].collect().toSet
+    val b = df.repartition(7).stratifiedSample(col("c"), col("id"), nPerClass = 3)
+      .as[(Long, String)].collect().toSet
+    assert(a === b) // pure function of the data, not the partitioning
+    assert(a.count(_._2 == "big") === 3)
+    assert(a.count(_._2 == "small") === 3)
+  }
+
   test("madOutliers flags |v - median| > k * MAD per group") {
     // group A: values 1..5 + 100 → med 3.5, MAD 1.5, |100-3.5| > 4.5 → outlier
     val df = (Seq((1L, "A", 100L)) ++ (1L to 5L).map(v => (v + 1L, "A", v)))
