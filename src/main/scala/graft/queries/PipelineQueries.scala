@@ -60,6 +60,16 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // Greedy sequence packing: batch assignment per 2000-token budget
+    // within 8 hash shards (one packed stream per data-loader worker).
+    "q_pack" -> ((s, dir) =>
+      graft.text.TextPrep.packByTokenBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"), col("text")),
+        col("shard"), Seq(col("doc_id")),
+        graft.text.TextAnalysis.tokenCount(col("text")), budget = 2000L)
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("batch_id"))),
+
     // Session path mining: length-3 event-type paths per user.
     "q_paths" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -185,6 +195,16 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |       (CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        - n_tokens) // 2000 AS batch_id
+        |FROM d""".stripMargin,
     "q_paths" ->
       """WITH t AS (
         |  SELECT event_type AS s1,

@@ -65,6 +65,33 @@ object TextPrep {
         least(size(col("__toks")) - col("chunk_id") * step, lit(chunkSize)).cast("long").as("n_tokens"))
   }
 
+  /** Greedy sequence packing: assign documents to training batches by
+    * filling a token budget in a deterministic order within each
+    * shard. batch_id = floor(exclusive-prefix-sum(tokens) / budget) —
+    * the budget window a document STARTS in (documents may straddle a
+    * boundary; samplers that need hard caps truncate downstream).
+    *
+    * Sharding is the scale lever: a single global packing order would
+    * funnel everything through one ordered partition, so callers pass
+    * a shard key (hash bucket, source, date) and packing happens
+    * independently per shard — exactly how multi-host training data
+    * gets laid out anyway (one packed stream per data-loader worker).
+    * All-integer arithmetic; the assignment is a pure function of
+    * (shard, order, tokens). */
+  def packByTokenBudget(df: DataFrame, shard: Column, order: Seq[Column],
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(order.map(_.asc): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("batch_id", expr(s"(__cum - __tok) div $budget"))
+      .drop("__cum")
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+
   /** Word-repetition screen (Gopher-style quality rule): frequency of
     * the single most repeated lowercase token over the token count.
     * High ratios flag boilerplate/spam. Computed distributed

@@ -63,4 +63,25 @@ class TextPrepSpec extends SparkSpecBase {
     assert(out(1L) === ((1L, 4L, 5L, 0.8)))
     assert(out(2L) === ((2L, 1L, 5L, 0.2)))
   }
+
+  test("packByTokenBudget assigns batches by exclusive prefix sum per shard") {
+    // shard A tokens in id order: 600, 500, 600, 500 → starts 0,600,1100,1700
+    // budget 1000 → batches 0,0,1,1; shard B: 900,900 → starts 0,900 → 0,0
+    val df = Seq(
+      (1L, "A", 600L), (2L, "A", 500L), (3L, "A", 600L), (4L, "A", 500L),
+      (5L, "B", 900L), (6L, "B", 900L)
+    ).toDF("id", "shard", "tok")
+    val out = TextPrep.packByTokenBudget(df, col("shard"), Seq(col("id")), col("tok"), 1000L)
+      .select("id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("packByTokenBudget is partitioning-independent") {
+    val df = (1L to 40L).map(i => (i, i % 4, 100L + i)).toDF("id", "shard", "tok")
+    val a = TextPrep.packByTokenBudget(df, col("shard"), Seq(col("id")), col("tok"), 500L)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    val b = TextPrep.packByTokenBudget(df.repartition(13), col("shard"), Seq(col("id")), col("tok"), 500L)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
