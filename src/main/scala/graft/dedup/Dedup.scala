@@ -181,12 +181,17 @@ object Dedup {
       minSharedGrams: Long = 3
   ): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("__t"))
-    val g0 = base.select(col("doc_id"), explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
+    // carry the text length with each gram: the |len_a − len_b| ≤ maxDist
+    // necessary condition then prunes pairs INSIDE the gram self-join,
+    // before they are aggregated — far fewer rows reach the groupBy
+    val g0 = base.select(col("doc_id"), length(col("__t")).as("__len"),
+      explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
     val keep = g0.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("g")
     val g = g0.join(keep, "g")
     val cand = g.as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+        && abs(col("a.__len") - col("b.__len")) <= maxDist)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minSharedGrams)
@@ -194,7 +199,6 @@ object Dedup {
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       // threshold variant short-circuits the DP once a row's distance
       // provably exceeds maxDist (returns -1, filtered out); kept
       // distances are identical to the unbounded computation
