@@ -39,11 +39,14 @@ object GraphOps {
     val n = nodes.count()
     val base = scale / n              // floor — mirrors integer // in the oracle
     val tele = (15L * base) / 100L
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    // loop-invariant: each edge annotated with its source's out-degree
+    // once, so iterations only join the rank relation and aggregate
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .localCheckpoint(true)
 
     var pr = nodes.withColumn("pr", lit(base))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = ed
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div d").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
