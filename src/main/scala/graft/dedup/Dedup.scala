@@ -143,6 +143,41 @@ object Dedup {
       n: Int = 3,
       tau: Double = 0.5,
       maxDocFreq: Option[Long] = None
+  ): DataFrame =
+    gramPairStats(df, text, id, n, maxDocFreq)
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ tau over
+    * word-`n`-gram sets. Containment catches the case Jaccard
+    * structurally misses — a short document embedded verbatim inside a
+    * much longer one (quote farms, boilerplate wrappers), where the
+    * union term drowns the overlap. Same one-reshape plan as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 3,
+      tau: Double = 0.8,
+      maxDocFreq: Option[Long] = None
+  ): DataFrame =
+    gramPairStats(df, text, id, n, maxDocFreq)
+      .withColumn("containment", col("i").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+
+  /** Shared plan for gram-overlap pair scoring: group docs BY GRAM
+    * (bounded lists under `maxDocFreq`), emit ordered pairs per gram,
+    * count shared grams, then join per-doc distinct gram set sizes.
+    * Returns (doc_a, doc_b, i, na, nb). */
+  private def gramPairStats(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int,
+      maxDocFreq: Option[Long]
   ): DataFrame = {
     val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g"))
     // per-doc distinct gram count (set semantics without a separate shuffle)
@@ -152,13 +187,9 @@ object Dedup {
     val pairs = byGram
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Fuzzy (edit-distance) join: pairs of docs within `maxDist`

@@ -43,6 +43,26 @@ object Relational {
       df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100 < pct)
     }
 
+    /** Weighted mixture sampling: keep each row with a per-source
+      * probability (`rates`, percent; `defaultPct` for unlisted
+      * sources) decided by the row's md5 bucket — the deterministic
+      * "upsample wiki, downsample crawl" source-mixing step of a
+      * training-data recipe. Pure function of (source, id): stable
+      * across runs/engines/partitionings, no shuffle at all (a scan
+      * filter that pushes past column pruning). Rates map is compiled
+      * into a when-chain — fine for the usual handful of sources;
+      * broadcast-join a rates table instead if sources number in the
+      * thousands. */
+    def mixtureSample(sourceCol: Column, id: Column, rates: Map[String, Int],
+        defaultPct: Int = 0): DataFrame = {
+      require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+      val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+      val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+        case (acc, (s, p)) => when(sourceCol === s, lit(p)).otherwise(acc)
+      }
+      df.filter(bucket < rate)
+    }
+
     /** Deterministic stratified sample: at most `nPerClass` rows per
       * class, selected by md5(id) order — a pure function of the data,
       * so the same balanced subset comes back across runs, engines,

@@ -36,6 +36,11 @@ object DedupQueries {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.5)),
 
+    // §2.3/25a-containment: |A∩B|/min(|A|,|B|) — catches short docs
+    // embedded verbatim in long ones, which Jaccard's union drowns.
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.8)),
+
     // §2.3/25b near-dup clustering: connected components over the
     // minhash pair graph (label propagation vs recursive-CTE oracle).
     "q_dedup_cluster" -> ((s, dir) => {
@@ -162,6 +167,21 @@ object DedupQueries {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
+  private val containmentSql: String =
+    raw"""WITH $shinglesCte,
+         |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8""".stripMargin
+
   private val simhashSql: String = {
     val bitSums = (0 until Dedup.SimHashBits).map(j => s"sum((h >> $j) & 1) AS b$j").mkString(", ")
     val fpExpr = (0 until Dedup.SimHashBits)
@@ -212,6 +232,7 @@ object DedupQueries {
            |WHERE abs(length(da.text) - length(db.text)) <= 6
            |  AND levenshtein(da.text, db.text) <= 6""".stripMargin,
     "q_dedup_ngram" -> ngramSql,
+    "q_containment" -> containmentSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embedding" ->
       raw"""WITH $quantCte

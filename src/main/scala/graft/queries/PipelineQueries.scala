@@ -60,6 +60,14 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // Weighted source mixing: per-source keep rates (e.g. upsample
+    // src1, drop most of src2), decided by each doc's md5 bucket.
+    "q_mixture" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .mixtureSample(col("source"), col("doc_id"),
+          Map("src0" -> 80, "src1" -> 100, "src2" -> 20), defaultPct = 50)),
+
     // Greedy sequence packing: batch assignment per 2000-token budget
     // within 8 hash shards (one packed stream per data-loader worker).
     "q_pack" -> ((s, dir) =>
@@ -195,6 +203,11 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 100
+        |                  WHEN 'src2' THEN 20 ELSE 50 END""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

@@ -51,6 +51,20 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment flags a short doc embedded in a long one") {
+    val emb = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "intro words first alpha beta gamma delta and then a very long tail of unrelated content keeps going")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(emb, col("text"), col("doc_id"), n = 3, tau = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.toList === List((10L, 11L, 1.0))) // all of doc10's grams appear in doc11
+    // jaccard misses the same pair at any comparable threshold
+    val jac = Dedup.ngramJaccardPairs(emb, col("text"), col("doc_id"), n = 3, tau = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("ngram Jaccard maxDocFreq drops ultra-common grams") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 1, tau = 0.9, maxDocFreq = Some(1))
       .as[(Long, Long, Double)].collect()

@@ -104,6 +104,19 @@ class TimeseriesSpec extends SparkSpecBase {
     assert(a.count(_._2 == "small") === 3)
   }
 
+  test("mixtureSample applies per-source rates deterministically") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
+    val out = df.mixtureSample(col("src"), col("id"), Map("keep" -> 100, "drop" -> 0))
+      .as[(Long, String)].collect().toSet
+    assert(out.size === 200 && out.forall(_._2 == "keep"))
+    // unlisted sources fall back to defaultPct; rate is id-hash determined
+    val half = df.mixtureSample(col("src"), col("id"), Map.empty, defaultPct = 50)
+    val again = df.repartition(7).mixtureSample(col("src"), col("id"), Map.empty, defaultPct = 50)
+    assert(half.collect().toSet === again.collect().toSet)
+    val n = half.count()
+    assert(n > 120 && n < 280) // ~50% of 400, md5-bucket noise allowed
+  }
+
   test("madOutliers flags |v - median| > k * MAD per group") {
     // group A: values 1..5 + 100 → med 3.5, MAD 1.5, |100-3.5| > 4.5 → outlier
     val df = (Seq((1L, "A", 100L)) ++ (1L to 5L).map(v => (v + 1L, "A", v)))
