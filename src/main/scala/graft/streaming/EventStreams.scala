@@ -157,6 +157,26 @@ object EventStreams {
       .agg(graft.sketch.Sketches.hll(xxhash64(col("user_id")), p).as("approx_users"))
       .select(col("w.start").as("bucket"), col("event_type"), col("approx_users"))
 
+  /** Streaming heavy hitters: per event-time window, the Misra-Gries
+    * candidate set of the most frequent keys (xxhash64'd) plus the
+    * window's total count. Same mergeable-Aggregator shape as
+    * [[windowedDistinctUsers]]: bounded state per window (k counters),
+    * map-side partial merge, watermark-bounded window retention — the
+    * "top items per hour over a firehose" query without keeping
+    * per-key counts for the whole key space. Candidates are a
+    * guaranteed superset of keys with freq > n/(k+1); recount exactly
+    * downstream if exact counts are needed (cf.
+    * `Sketches.heavyHitters` two-pass batch shape). */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour", k: Int = 8): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.sketch.Sketches.misraGries(xxhash64(col(keyCol)), k).as("mg"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket"), col("mg.keys").as("candidate_hashes"),
+        col("n_events"))
+
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of
     * the same user arrives past the gap, or when the watermark passes

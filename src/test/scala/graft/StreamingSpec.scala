@@ -187,6 +187,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Seq(3L))
   }
 
+  test("windowedHeavyHitters: Misra-Gries candidates inside a streaming aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedHeavyHitters(mem.toDF(), "event_type", watermark = "0 seconds", k = 4)
+      .writeStream.format("memory").queryName("whh").outputMode(OutputMode.Append()).start()
+    // "click" dominates (6 of 9 events) across two micro-batches
+    mem.addData((1 to 5).map(i => Event(i.toLong, ts("2024-01-01 00:10:00"), 1L, "click", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(
+      Event(6L, ts("2024-01-01 00:20:00"), 2L, "click", 1.0),
+      Event(7L, ts("2024-01-01 00:21:00"), 2L, "view", 1.0),
+      Event(8L, ts("2024-01-01 00:22:00"), 3L, "scroll", 1.0),
+      Event(9L, ts("2024-01-01 00:23:00"), 3L, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("whh").filter(col("n_events") === 9L)
+      .select("candidate_hashes").as[Seq[Long]].head()
+    val clickHash = spark.range(1).select(xxhash64(lit("click"))).as[Long].head()
+    assert(row.contains(clickHash)) // MG guarantee: freq > n/(k+1) survives
+    assert(row.length <= 4)
+  }
+
   test("upsertToParquet rewrites only touched partitions per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
