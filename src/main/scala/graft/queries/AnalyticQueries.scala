@@ -140,6 +140,24 @@ object AnalyticQueries {
           col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
     }),
 
+    // §2.2/22y2 TPC-H Q10 (returned-item report): customers ranked by
+    // revenue lost to returns in one quarter. Fact-fact shuffle join
+    // on orderkey, broadcast customer/nation dims, cents-exact
+    // revenue, global top-20 via TakeOrderedAndProject.
+    "q_tpch_q10" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+        .topK(20, col("revenue_cents").desc, col("c_custkey").asc)
+    }),
+
     // §2.2/22y TPC-H Q5 (local supplier volume): six-way join with
     // broadcast dims, per-nation cents-exact revenue.
     "q_tpch_q5" -> ((s, dir) => {
@@ -250,6 +268,16 @@ object AnalyticQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape assertions on the REAL SparkEntry queries: the
+  * properties that make them survive a 100×–1000× scale-up, checked
+  * structurally so a refactor that silently de-optimizes a plan
+  * (drops a broadcast hint, blocks a pushdown, reintroduces a global
+  * sort) fails CI — not just the bench. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  // the table loaders round-robin single-file local parquet across
+  // cores (1 file = 1 split otherwise) — that Exchange is deliberate;
+  // what a filter op must never introduce is a KEY-based shuffle
+  private def keyShuffles(p: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p).length
+
+  test("q_mixture is a pure scan filter: zero key shuffles") {
+    assert(keyShuffles(plan("q_mixture")) === 0)
+  }
+
+  test("q_sample is a pure scan filter: zero key shuffles") {
+    assert(keyShuffles(plan("q_sample")) === 0)
+  }
+
+  test("q_filter pushes its predicate into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(800))
+  }
+
+  test("q_profile scans prune to at most one data column each") {
+    // per-column aggregation — every parquet scan must read a single
+    // column, not the whole lineitem row
+    val schemas = "ReadSchema: [^,\\n]*struct<([^>]*)>".r
+      .findAllMatchIn(plan("q_profile")).map(_.group(1)).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(s.isEmpty || !s.contains(","), s"scan reads multiple columns: $s")
+    }
+  }
+
+  test("q_tpch_q10 broadcasts the dims and keeps one shuffled fact join") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q_topk and q_vocab use TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_vocab").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_group_topk plans through the custom GroupTopKExec") {
+    assert(plan("q_group_topk").contains("GroupTopK"))
+  }
+}
