@@ -42,6 +42,26 @@ object AnalyticQueries {
         )
         .mapRecords(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
 
+    // §2.2/22b2 analytic window-function breadth: rank family +
+    // frame navigation in ONE window pass (one shuffle on the key, all
+    // five functions share the sort). percent_rank/cume_dist are
+    // single divisions of exact counts — engine-portable; the
+    // (price, orderkey) ordering is total, so peer groups are
+    // singletons and both ranks are deterministic.
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("bigint"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          lag(col("cents"), 1).over(w).as("prev_cents"),
+          first(col("cents")).over(w).as("min_cents"))
+    }),
+
     // §2.2/22r same result via the custom GroupTopK physical operator
     // (bounded heaps, partial-before-shuffle) instead of window rank.
     "q_group_topk" -> ((s, dir) =>
@@ -268,6 +288,14 @@ object AnalyticQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       lag(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS prev_cents,
+        |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS min_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -70,6 +70,16 @@ object TextQueries {
         md5(TextPrep.redactPii(col("text"))).as("redacted_md5")
       )),
 
+    // §2.5/42b regex extraction surface: per-doc counts of all / distinct
+    // long lowercase runs (regexp_extract_all — codegen'd, row-parallel).
+    "q_regex_extract" -> ((s, dir) =>
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))).cast("bigint").as("n_long"),
+        size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))))
+          .cast("bigint").as("n_long_distinct")
+      )),
+
     // §2.5/43 deterministic train/val/test hash split.
     "q_split_assign" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -210,6 +220,11 @@ object TextQueries {
            |         '${TextPrep.EmailRe}', '<EMAIL>', 'g'),
            |         '${TextPrep.Ipv4Re}', '<IP>', 'g'),
            |         '${TextPrep.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin,
+    "q_regex_extract" ->
+      raw"""SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long,
+           |       CAST(len(list_distinct(regexp_extract_all(text, '[a-z]{5,}'))) AS BIGINT) AS n_long_distinct
            |FROM documents""".stripMargin,
     "q_split_assign" ->
       raw"""SELECT doc_id,

@@ -106,6 +106,21 @@ object PartitionedFiles {
   def readParquetPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
 
+  /** Globally-ordered parquet export without a single-node sort:
+    * range-partition on the sort key (sampled split points), then sort
+    * within each partition. File i's keys all precede file i+1's
+    * (lexicographic part numbering), so downstream consumers get a
+    * merge-readable / binary-searchable archive while every executor
+    * sorts only its own slice — the only way "write it sorted" scales
+    * to 100 TB. Also the layout that makes parquet min/max row-group
+    * stats selective for later point reads. */
+  def writeSortedParquet(df: DataFrame, path: String, numPartitions: Int,
+      sortCols: Seq[String]): Unit = {
+    df.repartitionByRange(numPartitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
   def writeOrc(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {

@@ -66,6 +66,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(PartitionedFiles.readMetaCount(tmp()) === None)
   }
 
+  test("sorted parquet export: disjoint ordered ranges per file, no global sort") {
+    val dir = tmp() + "/sorted"
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("k"), col("id").as("v"))
+    PartitionedFiles.writeSortedParquet(df.toDF(), dir, numPartitions = 4, Seq("k"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 4)
+    // each file internally sorted; file ranges strictly ordered
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), f.getName)
+      (ks.head, ks.last)
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+    // the whole dataset survives
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
   test("hive-partitioned parquet prunes non-matching directories at plan time") {
     val dir = tmp() + "/hive"
     val df = Seq((1L, "en", 10), (2L, "en", 20), (3L, "de", 30), (4L, "fr", 40))
