@@ -56,11 +56,9 @@ object TextQueries {
     // §2.5/30b char-ngram language profiles: train per-lang top-50
     // 3-gram profiles on the corpus, then classify every doc by
     // broadcast-join gram voting (deterministic integer scores).
-    "q_lang_profile" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val profiles = TextAnalysis.charNgramProfiles(docs, col("text"), col("lang"))
-      TextAnalysis.langIdNgram(docs, col("text"), col("doc_id"), profiles)
-    }),
+    "q_lang_profile" -> ((s, dir) =>
+      TextAnalysis.langProfileAndClassify(
+        Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"))),
 
     // §2.5/42 PII redaction (chained engine-portable regexes); output
     // keyed by content hash so the oracle compares redacted payloads.

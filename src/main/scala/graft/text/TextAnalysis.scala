@@ -146,6 +146,43 @@ object TextAnalysis {
       .select(col(keyName), explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i"), col("__t"))
       .select(col(keyName), expr(s"substring(__t, __i, $n)").as("g"))
 
+  /** Gram OCCURRENCE counts per (keys..., gram) — the corpus explode
+    * reduced once, so profile training and classification can share it
+    * instead of re-exploding the corpus per consumer. */
+  private def charGramCounts(df: DataFrame, keys: Seq[(String, Column)], text: Column,
+      n: Int): DataFrame =
+    df.select(keys.map { case (kn, c) => c.as(kn) } :+ lower(text).as("__t"): _*)
+      .filter(length(col("__t")) >= n)
+      .select(keys.map(k => col(k._1)) :+
+        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i") :+ col("__t"): _*)
+      .select(keys.map(k => col(k._1)) :+ expr(s"substring(__t, __i, $n)").as("g"): _*)
+      .groupBy(keys.map(k => col(k._1)) :+ col("g"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Train profiles AND classify the same corpus in one pass: the
+    * char-gram explode+count runs ONCE, keyed (doc, lang, gram), is
+    * checkpointed, and feeds both the per-language profile aggregation
+    * and the per-document scoring join — at corpus scale the explode
+    * is the dominant cost and halving it is the whole game. Results
+    * are identical to charNgramProfiles → langIdNgram. */
+  def langProfileAndClassify(df: DataFrame, text: Column, id: Column, lang: Column,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    val base = charGramCounts(df, Seq("doc_id" -> id, "__lang" -> lang), text, n)
+      .localCheckpoint(true)
+    val profCounts = base.groupBy(col("__lang").as("lang"), col("g"))
+      .agg(sum("c").as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)
+    val profiles = profCounts.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+      .select(col("lang"), col("g"), (lit(topK + 1) - col("__r")).cast("long").as("weight"))
+    val scoreW = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+    base.join(broadcast(profiles), "g")
+      .groupBy("doc_id", "lang").agg(sum(col("c") * col("weight")).as("score"))
+      .withColumn("__rn", row_number().over(scoreW))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+  }
+
   /** Train per-language character n-gram profiles (Cavnar–Trenkle
     * style): the topK most frequent grams per language, weighted
     * topK+1-rank (rank ties broken by gram text — deterministic).

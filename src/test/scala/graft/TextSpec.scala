@@ -100,6 +100,22 @@ class TextSpec extends SparkSpecBase {
     assert(out === 4)
   }
 
+  test("langProfileAndClassify matches the two-step train + classify path") {
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "en", "a dog and a fox met the other quick dog by the brown tree"),
+      (3L, "de", "der schnelle braune fuchs springt wieder ueber den faulen hund"),
+      (4L, "de", "ein hund und ein fuchs treffen den anderen schnellen hund")
+    ).toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.charNgramProfiles(corpus, col("text"), col("lang"), topK = 30)
+    val twoStep = TextAnalysis.langIdNgram(corpus, col("text"), col("doc_id"), profiles)
+      .as[(Long, String, Long)].collect().toSet
+    val fused = TextAnalysis.langProfileAndClassify(
+        corpus, col("text"), col("doc_id"), col("lang"), topK = 30)
+      .as[(Long, String, Long)].collect().toSet
+    assert(fused === twoStep)
+  }
+
   test("vocabZipf ranks tokens with cumulative counts") {
     val df = Seq("the cat sat", "the cat", "the").toDF("t")
     val out = TextAnalysis.vocabZipf(df, col("t"), k = 2)
