@@ -73,4 +73,50 @@ class PropertySpec extends SparkSpecBase {
       assert(out === expected, s"seed=$seed")
     }
   }
+
+  test("skyline2D equals brute-force dominance on randomized points") {
+    import graft.operators.Relational._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val df = pts.toDF("x", "y").repartition(9)
+      val got = df.skyline2D(col("x"), col("y")).as[(Long, Long)].collect().toSet
+      val ps = pts.distinct
+      val expected = ps.filter { case (x, y) =>
+        !ps.exists { case (a, b) => a <= x && b <= y && (a < x || b < y) }
+      }.toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("connectedComponentsStar equals label propagation on random graphs") {
+    import graft.dedup.Components
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b").repartition(5)
+      val star = Components.connectedComponentsStar(df, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val prop = Components.connectedComponents(df, "a", "b")
+        .select(col("id"), col("cluster_id")).as[(Long, Long)].collect().toSet
+      assert(star === prop, s"seed=$seed")
+    }
+  }
+
+  test("pathKGrams totals match the k-successor row count on random streams") {
+    import graft.operators.Timeseries._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 150).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong, s"s${rnd.nextInt(4)}"))
+      val df = rows.toDF("k", "t", "s").repartition(7)
+      val k = 2 + rnd.nextInt(3)
+      val total = df.pathKGrams(col("k"), Seq(col("t")), col("s"), k)
+        .agg(sum("n")).as[Long].head()
+      // every row with ≥ k−1 successors in its key starts exactly one path
+      val expected = rows.groupBy(_._1).values.map(g => math.max(0, g.size - (k - 1))).sum
+      assert(total === expected, s"seed=$seed k=$k")
+    }
+  }
 }
