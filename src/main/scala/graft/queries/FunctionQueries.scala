@@ -23,6 +23,24 @@ object FunctionQueries {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // array-function surface: set algebra over each doc's token halves
+    // (intersect/union/distinct are the building blocks every overlap
+    // metric reduces to). Sizes only — element ORDER of set results is
+    // engine-specific, cardinality is not.
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val n = size(toks)
+      val half = floor(n.cast("double") / 2).cast("int")
+      val a = slice(toks, lit(1), half)
+      val b = slice(toks, half + 1, n - half)
+      Tables.documents(s, dir).mapRecords(
+        col("doc_id"),
+        n.cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+        size(array_intersect(a, b)).cast("bigint").as("n_common"),
+        size(array_union(a, b)).cast("bigint").as("n_union"))
+    }),
+
     // scalar string functions (codegen'd built-ins, no UDFs).
     "q_string_funcs" -> ((s, dir) =>
       Tables.part(s, dir).mapRecords(
@@ -61,6 +79,21 @@ object FunctionQueries {
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'error') AS error
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_array_funcs" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents),
+           |h AS (
+           |  SELECT doc_id, toks,
+           |         toks[1:len(toks)//2] AS a,
+           |         toks[len(toks)//2+1:len(toks)] AS b
+           |  FROM t)
+           |SELECT doc_id,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |       CAST(len(list_intersect(a, b)) AS BIGINT) AS n_common,
+           |       CAST(len(list_distinct(a || b)) AS BIGINT) AS n_union
+           |FROM h""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |       upper(p_brand) AS u,
