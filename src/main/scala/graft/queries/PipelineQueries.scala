@@ -60,6 +60,17 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // Exact interpolated percentiles per group (p50/p90/p99 of integral
+    // cents — sort-based exact, both engines interpolate at (n−1)·q).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(cents, 0.5D)").as("p50"),
+          expr("percentile(cents, 0.9D)").as("p90"),
+          expr("percentile(cents, 0.99D)").as("p99"))),
+
     // Weighted source mixing: per-source keep rates (e.g. upsample
     // src1, drop most of src2), decided by each doc's md5 bucket.
     "q_mixture" -> ((s, dir) =>
@@ -203,6 +214,12 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_mixture" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
