@@ -160,6 +160,46 @@ object AnalyticQueries {
           col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
     }),
 
+    // §2.2/22y0 TPC-H Q1 (pricing summary): the canonical scan+agg —
+    // one pass, map-side combined; sums in exact cents, averages as
+    // single divisions of exact integers (engine-portable).
+    "q_tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= "2000-09-02")
+        .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("bigint"))
+        .withColumn("disc_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .withColumn("charge_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * 100).cast("bigint"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(col("price_cents")).as("sum_base_cents"),
+          sum(col("disc_cents")).as("sum_disc_cents"),
+          sum(col("charge_cents")).as("sum_charge_cents"),
+          (sum(col("l_quantity").cast("bigint")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("price_cents")).cast("double") / count(lit(1))).as("avg_price_cents"),
+          count(lit(1)).as("count_order"))),
+
+    // §2.2/22y3 TPC-H Q18 (large-volume orders): aggregate-filter on
+    // the fact (HAVING sum(qty) > T), then join the survivors back to
+    // orders/customer — the "find the whales, then enrich" pattern.
+    // The HAVING runs BEFORE the joins, so only qualifying orderkeys
+    // (a tiny set) reach the join.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          col("total_qty"))
+    }),
+
     // §2.2/22y2 TPC-H Q10 (returned-item report): customers ranked by
     // revenue lost to returns in one quarter. Fact-fact shuffle join
     // on orderkey, broadcast customer/nation dims, cents-exact
@@ -296,6 +336,29 @@ object AnalyticQueries {
         |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS min_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_price_cents,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
