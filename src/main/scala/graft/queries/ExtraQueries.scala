@@ -49,6 +49,17 @@ object ExtraQueries {
         )
     }),
 
+    // set intersection (distinct semantics, same one-shuffle shape as
+    // except): suppliers shipping in BOTH years.
+    "q_intersect" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filterRecords(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .mapRecords(col("l_suppkey"))
+        .intersectRecords(
+          li.filterRecords(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+            .mapRecords(col("l_suppkey")))
+    }),
+
     // exact interpolated median per event_type (integer cents input).
     "q_median" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -128,6 +139,12 @@ object ExtraQueries {
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000""".stripMargin,
+    "q_intersect" ->
+      """SELECT l_suppkey FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'""".stripMargin,
     "q_median" ->
       """SELECT event_type,
         |       median(CAST(round(value * 100) AS BIGINT)) AS median_cents
