@@ -45,7 +45,7 @@ object GraphOps {
       .localCheckpoint(true)
 
     var pr = nodes.withColumn("pr", lit(base))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div d").as("c"))
@@ -53,7 +53,11 @@ object GraphOps {
       pr = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(tele) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint(true)
+      // no convergence check reads pr mid-loop, so iterations stack
+      // into one plan (depth is linear in iters) and run as a single
+      // job; cut lineage only every few rounds to keep deep iteration
+      // counts plannable without forcing a materialization per round
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint(true)
     }
     pr
   }
