@@ -61,6 +61,21 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Capstone: end-to-end corpus construction — quality gate (token
+    // floor), minhash-LSH near-dup clustering, keep-one-per-cluster,
+    // per-source corpus stats. Every stage is individually oracle-
+    // gated elsewhere; this gate proves the COMPOSITION stays exact.
+    "q_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+        .filter(col("n_tokens") >= 30)
+      val pairs = Dedup.minhashCandidatePairs(docs, col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      Components.keepOnePerCluster(docs, col("doc_id"), pairs, "doc_a", "doc_b")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -95,26 +110,29 @@ object DedupQueries {
 
   // ---- oracle SQL ----------------------------------------------------
 
-  private val shinglesCte =
+  private def shinglesCteOn(src: String): String =
     raw"""sh AS (
          |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
          |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
-         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM $src)
          |)""".stripMargin
+
+  private val shinglesCte = shinglesCteOn("documents")
 
   private def minhashExpr(seed: Int): String =
     s"list_min(list_transform(g, x -> md5('$seed|' || x)))"
 
-  /** CTE chain ending in `pairs(doc_a, doc_b)` — shared by the
-    * minhash pair oracle and the recursive clustering oracle. */
-  private val minhashPairCtes: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b)` over `src` — shared by
+    * the minhash pair oracle, the recursive clustering oracle, and the
+    * corpus-construction capstone. */
+  private def minhashPairCtesOn(src: String): String = {
     val bandKeys = (0 until 4)
       .map(b => s"md5(${minhashExpr(2 * b)} || '|' || ${minhashExpr(2 * b + 1)}) AS k$b")
       .mkString(",\n         ")
     val bandUnion = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band_id, k$b AS band_key FROM mh")
       .mkString("\n  UNION ALL ")
-    raw"""$shinglesCte,
+    raw"""${shinglesCteOn(src)},
          |mh AS (
          |  SELECT doc_id,
          |         $bandKeys
@@ -130,6 +148,8 @@ object DedupQueries {
          |)""".stripMargin
   }
 
+  private val minhashPairCtes: String = minhashPairCtesOn("documents")
+
   private val minhashSql: String =
     raw"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin
@@ -137,6 +157,27 @@ object DedupQueries {
   /** Connected components over the minhash pair graph: transitive
     * closure by recursive CTE, component label = min reachable id —
     * the same fixpoint the Spark label propagation converges to. */
+  private val corpusSql: String =
+    raw"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+         |${minhashPairCtesOn("docs")},
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+         |WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)
+         |GROUP BY source""".stripMargin
+
   private val clusterSql: String =
     raw"""WITH RECURSIVE $minhashPairCtes,
          |sym AS (
@@ -215,6 +256,7 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_cluster" -> clusterSql,
     "q_cluster_star" -> clusterSql,
+    "q_corpus" -> corpusSql,
     "q_fuzzy_join" ->
       raw"""WITH $shinglesCte,
            |g0 AS (SELECT DISTINCT doc_id, unnest(g) AS g FROM sh),
