@@ -29,8 +29,11 @@ import graft.sources.PartitionedFiles
   *   partition.split_by_key  --key "id" --num-partitions 8
   *   partition.count      [--outfile stdout]
   *   partition.head       --n 10 --order "v DESC, id"
+  *   partition.join       --with OTHER [--with-schema DDL] --key "id" --with-key "id" [--broadcast true]
+  *   partition.apply      --expr "assert_true(v >= 0)"
   *   partitions.coalesce  --num-partitions 4
   *   partitions.concat
+  *   partitions.reduce    --aggs "sum(v) AS s"
   */
 object Cli {
 
@@ -100,6 +103,40 @@ object Cli {
         case "partition.head" =>
           val n = opts.getOrElse("n", "10").toInt
           write(read().headRecords(n, exprList("order"): _*))
+        case "partition.join" =>
+          // shmr partition.join: join this partition with another by
+          // extracted keys (partition.py:263). --with is the other
+          // partition; --key / --with-key are SQL key expressions.
+          val otherPath = opts.getOrElse("with", fail("--with OTHER_INPUT required"))
+          val other = fmt match {
+            case "json" => PartitionedFiles.readJsonl(spark, otherPath, opts.get("with-schema"))
+            case "csv"  => PartitionedFiles.readCsv(spark, otherPath, header = true, opts.get("with-schema"))
+            case "parquet" => PartitionedFiles.readParquet(spark, otherPath)
+            case "orc"  => PartitionedFiles.readOrc(spark, otherPath)
+            case o      => fail(s"partition.join unsupported for format: $o")
+          }
+          val left = read().withColumn("__jk", expr(opts.getOrElse("key", fail("--key required"))))
+          // compute the right key BEFORE de-colliding names (the key
+          // expression references original column names), then prefix
+          // right-side columns that collide with the left (shmr emits
+          // [left_record, right_record]; flat columns need distinct names)
+          var right = other.withColumn("__wjk", expr(opts.getOrElse("with-key", fail("--with-key required"))))
+          for (c <- other.columns if left.columns.contains(c))
+            right = right.withColumnRenamed(c, s"with_$c")
+          write(left.keyedJoin(right, col("__jk") === col("__wjk"),
+              broadcastRight = opts.get("broadcast").contains("true"))
+            .drop("__jk", "__wjk"))
+        case "partition.apply" =>
+          // shmr partition.apply streams fn over records for its side
+          // effects (partition.py:102); here: evaluate the expression
+          // over every record, discard results, report the row count
+          val n = read().mapRecords(expr(opts.getOrElse("expr", fail("--expr required")))).count()
+          println(n)
+        case "partitions.reduce" =>
+          // ListPartition.reduce (partitions.py:145): one global
+          // aggregate over ALL partitions of the glob
+          val aggs = exprList("aggs")
+          write(read().reduceRecords(aggs.head, aggs.tail: _*))
         case "partitions.coalesce" =>
           val n = opts.getOrElse("num-partitions", fail("--num-partitions required")).toInt
           write(read().repartitionRecords(n), parts = n)

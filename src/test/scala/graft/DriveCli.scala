@@ -37,6 +37,25 @@ object DriveCli {
       spark.stop()
     }
 
+    // CLI: join the mapped output back to the original by id
+    Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
+      "partition.join", "--with", s"$tmp/gz", "--with-schema", "id long, v2 long",
+      "--key", "id", "--with-key", "id", "--outfile", s"$tmp/joined"))
+    locally {
+      val spark = GraftSession.builder("verifyJ", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val rows = graft.sources.PartitionedFiles
+        .readJsonl(spark, s"$tmp/joined", Some("id long, v long, with_id long, v2 long"))
+        .select(col("id"), col("v"), col("v2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      println("JOINED=" + rows.mkString(",")) // expect v2 = 2v for 4 rows
+      spark.stop()
+    }
+
+    // CLI: apply (side-effect stream; reports the record count)
+    Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
+      "partition.apply", "--expr", "assert_true(v >= 0)"))
+
     // CLI over columnar input: aggregate the real parquet region table
     Cli.main(Array("-i", "/root/testdata/sf0.001/region.parquet", "-f", "parquet",
       "partition.reduce", "--aggs", "count(1) AS n", "--outfile", s"$tmp/pq", "--codec", "snappy"))
