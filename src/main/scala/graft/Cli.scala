@@ -79,7 +79,15 @@ object Cli {
       cmd match {
         case "partition.map" | "partition.flat_map" | "partition.distinct" =>
           val projected = read().mapRecords(exprList("expr"): _*)
-          write(if (cmd == "partition.distinct") projected.distinct() else projected)
+          // shmr distinct is BY KEY (partition.py:83 key_fn); with
+          // --key keep the least row by --order per key (deterministic,
+          // unlike file order); without, full-row distinct
+          write(cmd match {
+            case "partition.distinct" if opts.contains("key") =>
+              projected.distinctBy(exprList("key"), exprList("order"))
+            case "partition.distinct" => projected.distinct()
+            case _ => projected
+          })
         case "partition.filter" =>
           write(read().filterRecords(expr(opts.getOrElse("expr", fail("--expr required")))))
         case "partition.reduce" =>

@@ -52,6 +52,20 @@ object DriveCli {
       spark.stop()
     }
 
+    // CLI: keyed distinct (shmr distinct-by-key; deterministic keeper)
+    Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
+      "partition.distinct", "--expr", "id % 2 AS parity, id, v",
+      "--key", "parity", "--order", "id", "--outfile", s"$tmp/dk"))
+    locally {
+      val spark = GraftSession.builder("verifyD", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val rows = graft.sources.PartitionedFiles
+        .readJsonl(spark, s"$tmp/dk", Some("parity long, id long, v long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      println("DISTINCT_BY=" + rows.mkString(",")) // expect (0,2,20),(1,1,10)
+      spark.stop()
+    }
+
     // CLI: apply (side-effect stream; reports the record count)
     Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
       "partition.apply", "--expr", "assert_true(v >= 0)"))
