@@ -89,6 +89,11 @@ object DedupQueries {
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(quantizedWithNorm(s, dir), "label", 0.4)),
 
+    // §2.4/28b SQ8 scalar quantization of the embedding corpus —
+    // per-vector int8 codes + exact L1 reconstruction error.
+    "q_quantize" -> ((s, dir) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, dir), col("embedding"), col("vec_id"))),
+
     // §2.4/28 brute-force cosine top-5 for query vectors (id % 100 = 0).
     "q_cosine_topk" -> ((s, dir) => {
       val corpus = quantizedWithNorm(s, dir)
@@ -257,6 +262,23 @@ object DedupQueries {
     "q_dedup_cluster" -> clusterSql,
     "q_cluster_star" -> clusterSql,
     "q_corpus" -> corpusSql,
+    "q_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM q),
+        |c AS (
+        |  SELECT vec_id, mn, mx, e,
+        |         CASE WHEN mx = mn THEN list_transform(e, v -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(e, v -> ((v - mn) * 510 + (mx - mn)) // ((mx - mn) * 2))
+        |         END AS codes
+        |  FROM s)
+        |SELECT vec_id, mn, mx,
+        |       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |       CAST(list_sum(list_transform(range(len(e)), i ->
+        |         abs(mn + (codes[i+1] * (mx - mn) * 2 + 255) // 510 - e[i+1]))) AS BIGINT) AS err_total
+        |FROM c""".stripMargin,
     "q_fuzzy_join" ->
       raw"""WITH $shinglesCte,
            |g0 AS (SELECT DISTINCT doc_id, unnest(g) AS g FROM sh),

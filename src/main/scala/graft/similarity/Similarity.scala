@@ -53,6 +53,30 @@ object Similarity {
     df.select(id.as("vec_id") +: extra :+ quantize(vec).as("e"): _*)
       .withColumn("nrm", dotQ(col("e"), col("e")))
 
+  /** Int8 scalar quantization (SQ8) — the memory-side half of ANN at
+    * scale: each vector compresses 8× to per-vector (min, max) plus
+    * one byte per dimension, the standard trick for fitting billions
+    * of embeddings in RAM (FAISS SQ8). Codes are round-half-up
+    * `(v−mn)·255/(mx−mn)` computed ENTIRELY in integer arithmetic on
+    * the 1e-6 grid, so codes and reconstruction error are bit-equal
+    * across engines and shuffle orders. Returns per vector: (vec_id,
+    * mn, mx, sum_codes, err_total) — sum_codes as a cheap code-level
+    * checksum, err_total the exact L1 reconstruction error in
+    * micro-units. Row-parallel, no shuffle. */
+  def scalarQuantize(df: DataFrame, vec: Column, id: Column): DataFrame =
+    df.select(id.as("vec_id"), quantize(vec).as("__e"))
+      .withColumn("mn", array_min(col("__e")))
+      .withColumn("mx", array_max(col("__e")))
+      .withColumn("codes", expr(
+        "CASE WHEN mx = mn THEN transform(__e, v -> CAST(0 AS BIGINT)) " +
+        "ELSE transform(__e, v -> ((v - mn) * 510 + (mx - mn)) div ((mx - mn) * 2)) END"))
+      .withColumn("err_total", expr(
+        "aggregate(zip_with(codes, __e, (q, v) -> abs(mn + (q * (mx - mn) * 2 + 255) div 510 - v)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_codes"),
+        col("err_total"))
+
   /** Per-group top-k + rank column, backed by the custom GroupTopK
     * operator: bounded heaps select the k rows (partial phase before
     * the exchange — only k rows per (group, partition) shuffle,

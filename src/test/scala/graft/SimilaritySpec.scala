@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall") // nprobe=4/8 cells scanned
   }
 
+  test("scalarQuantize emits exact codes and bounded reconstruction error") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f)),
+      (2L, Seq(0.25f, 0.25f, 0.25f)) // constant vector → all-zero codes
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(df, col("embedding"), col("vec_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // v1: micro units [0, 1e6, 5e5]; codes 0,255,128; only the midpoint
+    // reconstructs off-grid: |501961 − 500000| = 1961 ≤ range/510
+    assert(out(1L) === ((1L, 0L, 1000000L, 383L, 1961L)))
+    assert(out(2L) === ((2L, 250000L, 250000L, 0L, 0L)))
+  }
+
+  test("scalarQuantize error stays within range/510 per dimension (randomized)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 50L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val out = Similarity.scalarQuantize(vecs.toDF("vec_id", "embedding"),
+        col("embedding"), col("vec_id"))
+      .select(col("vec_id"), col("mx") - col("mn"), col("err_total"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (id, range, err) =>
+      assert(err <= 16L * (range / 510 + 1), s"vec $id: err=$err range=$range")
+    }
+  }
+
   test("quantized cosine equals double cosine within quantization error") {
     val a = corpus.filter(col("vec_id") === 0L)
     val pair = Similarity.cosinePairs(corpus, "label", -2.0)
