@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Top-level (not nested/private) so Spark's state encoder can codegen
   * its (de)serializers. */
 case class SessionState(startUs: Long, endUs: Long, n: Long)
+case class LastEventState(us: Long, eventId: Long, state: String)
 
 /** Structured Streaming operators over the events schema
   * (SURVEY.md §2.7). The batch equivalents (`timeBucketAgg`,
@@ -176,6 +177,53 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(col("w.start").as("bucket"), col("mg.keys").as("candidate_hashes"),
         col("n_events"))
+
+  case class TransitionOut(user_id: Long, from_state: String, to_state: String)
+
+  /** Streaming state-transition mining: the incremental counterpart of
+    * batch `Timeseries.transitions`. One tiny LastEventState per user
+    * carries the latest (ts, event_id, state) across micro-batches;
+    * each batch sorts its own rows by (ts, event_id) and emits a
+    * (from → to) pair per consecutive event. Per-user state is evicted
+    * by event-time timeout after `idleEvict` beyond the watermark, so
+    * state size tracks ACTIVE users, not all users ever seen. Matches
+    * batch output when cross-batch arrival is in order (within-batch
+    * disorder is sorted out); a transition once emitted is append-only.
+    * Feed the counts into a downstream windowed aggregate for the
+    * Markov matrix. */
+  def transitionsStream(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      idleEvict: String = "1 hour"
+  ): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEventState, TransitionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[Event], state: GroupState[LastEventState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = rows.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq
+            .sortBy(t => (t._1, t._2))
+          val out = Seq.newBuilder[TransitionOut]
+          var prev = state.getOption
+          sorted.foreach { case (us, id, st) =>
+            prev.foreach(p => out += TransitionOut(userId, p.state, st))
+            prev = Some(LastEventState(us, id, st))
+          }
+          prev.foreach { p =>
+            state.update(p)
+            state.setTimeoutTimestamp(p.us / 1000, idleEvict)
+          }
+          out.result().iterator
+        }
+      }
+  }
 
   /** Gap-based streaming sessionization via flatMapGroupsWithState
     * with EVENT-time timeouts: a session closes when a later event of

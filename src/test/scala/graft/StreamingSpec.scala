@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Seq(3L))
   }
 
+  test("transitionsStream matches batch transitions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitionsStream(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("trans").outputMode(OutputMode.Append()).start()
+    // user 1: a→b within batch 1; batch 2 continues from carried state b→a
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:01:00"), 1L, "a", 0.0),
+      Event(2L, ts("2024-01-01 00:02:00"), 1L, "b", 0.0),
+      Event(3L, ts("2024-01-01 00:01:30"), 2L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(4L, ts("2024-01-01 00:03:00"), 1L, "a", 0.0),
+      Event(5L, ts("2024-01-01 00:04:00"), 2L, "y", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans")
+      .groupBy("from_state", "to_state").count()
+      .as[(String, String, Long)].collect().toSet
+    // batch oracle over the same 5 events
+    import graft.operators.Timeseries._
+    val batch = Seq(
+      (1L, 60L, 1L, "a"), (1L, 120L, 2L, "b"), (2L, 90L, 3L, "x"),
+      (1L, 180L, 4L, "a"), (2L, 240L, 5L, "y")
+    ).toDF("user_id", "us", "event_id", "event_type")
+      .transitions(col("user_id"), Seq(col("us"), col("event_id")), col("event_type"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === batch)
+  }
+
   test("windowedHeavyHitters: Misra-Gries candidates inside a streaming aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
