@@ -65,6 +65,27 @@ object Multimodal {
     }
   }
 
+  case class MediaEmbedding(media_id: Long, embedding: Seq[Float])
+
+  /** Fake embedding model: a 16-bin byte histogram, L1-normalized —
+    * the mapPartitions-shaped stage where a real image/audio encoder
+    * (one model context per partition, records streamed through)
+    * would produce its vector. Deterministic, so the downstream
+    * retrieval path is testable end to end; swap `embed` for a real
+    * model and every join/partition shape downstream stays valid. */
+  def embedMedia(media: Dataset[MediaRecord], bins: Int = 16): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real encoders init weights here, once per partition
+      it.map { r =>
+        val hist = new Array[Long](bins)
+        r.media.foreach(b => hist((b & 0xff) * bins / 256) += 1)
+        val n = math.max(1L, r.media.length.toLong)
+        MediaEmbedding(r.media_id, hist.toSeq.map(h => h.toFloat / n))
+      }
+    }
+  }
+
   /** Declarative frame sampling: every `stride`-th `frameSize`-byte
     * window of the payload (the trailing partial frame included, like
     * [[FakeCodec.frameSample]]). Pure Column ops — sequence + explode

@@ -74,4 +74,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.length === 5)
     assert(frames.head.toSeq === (0 until 10).map(_.toByte))
   }
+
+  test("media embed → quantize → cosine retrieval end to end") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.col
+    // two near-identical payloads + one with a very different byte mix
+    val recs = Seq(
+      MediaRecord(1L, ("aaaa bbbb cccc" * 10).getBytes("UTF-8"), "img", None, None, None),
+      MediaRecord(2L, ("aaaa bbbb cccd" * 10).getBytes("UTF-8"), "img", None, None, None),
+      MediaRecord(3L, Array.tabulate(200)(i => (i % 251).toByte), "img", None, None, None)
+    ).toDS()
+    val embedded = Multimodal.embedMedia(recs).toDF()
+    val corpus = Similarity.prepareQuantized(embedded, col("embedding"), col("media_id"))
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val top = Similarity.cosineTopK(corpus, queries, k = 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.toList === List((1L, 2L))) // nearest neighbor is the near-dup
+  }
 }
