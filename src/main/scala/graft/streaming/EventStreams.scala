@@ -178,6 +178,23 @@ object EventStreams {
       .select(col("w.start").as("bucket"), col("mg.keys").as("candidate_hashes"),
         col("n_events"))
 
+  /** Streaming windowed quantiles via the merging t-digest aggregator —
+    * the third mergeable sketch in the streaming kit (HLL distinct,
+    * Misra-Gries heavy hitters, t-digest quantiles): O(δ) state per
+    * window regardless of value cardinality, map-side partial merge,
+    * watermark-bounded retention. Emits p50/p95 of the value column
+    * (in cents) per event-time hour. */
+  def windowedQuantiles(events: DataFrame, watermark: String = "1 hour",
+      delta: Int = 200): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.sketch.Sketches.tdigest(
+        round(col("value") * 100).cast("bigint"), delta).as("td"))
+      .select(col("w.start").as("bucket"),
+        graft.sketch.Sketches.tdigestQuantile(col("td"), 0.5).as("p50"),
+        graft.sketch.Sketches.tdigestQuantile(col("td"), 0.95).as("p95"))
+
   case class TransitionOut(user_id: Long, from_state: String, to_state: String)
 
   /** Streaming state-transition mining: the incremental counterpart of

@@ -187,6 +187,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Seq(3L))
   }
 
+  test("windowedQuantiles: t-digest inside a streaming aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedQuantiles(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wq").outputMode(OutputMode.Append()).start()
+    // values 1..100 dollars in one window, split across two micro-batches
+    mem.addData((1 to 50).map(i => Event(i.toLong, ts("2024-01-01 00:10:00"), 1L, "x", i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((51 to 100).map(i => Event(i.toLong, ts("2024-01-01 00:20:00"), 1L, "x", i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData(Event(999L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val (p50, p95) = spark.table("wq").filter(col("bucket") === ts("2024-01-01 00:00:00"))
+      .select("p50", "p95").as[(Double, Double)].head()
+    assert(math.abs(p50 - 5050.0) < 300.0, s"p50=$p50")  // ~50.5 dollars in cents
+    assert(math.abs(p95 - 9500.0) < 300.0, s"p95=$p95")
+  }
+
   test("transitionsStream matches batch transitions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
