@@ -22,15 +22,20 @@ class ScaleSpec extends SparkSpecBase {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bk LOCATION '$wh'")
-      spark.range(1000).select(col("id"), (col("id") * 2).as("x"))
-        .write.bucketBy(4, "id").sortBy("id").mode("overwrite").saveAsTable("graft_bk.t1")
-      spark.range(1000).select(col("id"), (col("id") + 5).as("y"))
-        .write.bucketBy(4, "id").sortBy("id").mode("overwrite").saveAsTable("graft_bk.t2")
-      val joined = spark.table("graft_bk.t1").join(spark.table("graft_bk.t2"), "id")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-        s"bucketed join should not shuffle:\n$plan")
+      graft.sources.Warehouse.writeBucketed(
+        spark.range(1000).select(col("id"), (col("id") * 2).as("x")),
+        "graft_bk.t1", Seq("id"), nBuckets = 4)
+      graft.sources.Warehouse.writeBucketed(
+        spark.range(1000).select(col("id"), (col("id") + 5).as("y")),
+        "graft_bk.t2", Seq("id"), nBuckets = 4)
+      val joined = graft.sources.Warehouse.bucketJoin(spark, "graft_bk.t1", "graft_bk.t2", Seq("id"))
+      assert(graft.sources.Warehouse.isExchangeFree(joined),
+        s"bucketed join should not shuffle:\n${joined.queryExecution.executedPlan}")
       assert(joined.count() === 1000)
+      // an aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_bk.t1").groupBy("id").agg(sum("x"))
+      assert(graft.sources.Warehouse.isExchangeFree(agg),
+        s"bucketed agg should not shuffle:\n${agg.queryExecution.executedPlan}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_bk.t1")
       spark.sql("DROP TABLE IF EXISTS graft_bk.t2")
