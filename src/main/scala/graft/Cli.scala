@@ -146,8 +146,14 @@ object Cli {
           val aggs = exprList("aggs")
           write(read().reduceRecords(aggs.head, aggs.tail: _*))
         case "partitions.coalesce" =>
-          val n = opts.getOrElse("num-partitions", fail("--num-partitions required")).toInt
-          write(read().repartitionRecords(n), parts = n)
+          // shmr ListPartition.coalesce takes either a target partition
+          // count or records_per_partition (partitions.py:81)
+          val df = read()
+          val n = opts.get("num-partitions").map(_.toInt)
+            .orElse(opts.get("records-per-partition").map(rpp =>
+              math.max(1L, (df.count() + rpp.toLong - 1) / rpp.toLong).toInt))
+            .getOrElse(fail("--num-partitions or --records-per-partition required"))
+          write(df.repartitionRecords(n), parts = n)
         case "partitions.concat" =>
           write(read().coalescePartitions(1))
         case other => fail(s"unknown command: $other")
