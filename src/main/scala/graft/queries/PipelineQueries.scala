@@ -60,6 +60,19 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // Percentile-gated quality filter: keep docs whose length sits
+    // inside their language's [p5, p95] window — the adaptive
+    // "trim the tails" gate (per-lang stats broadcast back to rows).
+    "q_length_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang").as("__lang"))
+        .agg(expr("percentile(n_chars, 0.05D)").as("p5"),
+          expr("percentile(n_chars, 0.95D)").as("p95"))
+      docs.join(broadcast(stats), col("lang") === col("__lang"))
+        .filter(col("n_chars") >= col("p5") && col("n_chars") <= col("p95"))
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+    }),
+
     // Exact interpolated percentiles per group (p50/p90/p99 of integral
     // cents — sort-based exact, both engines interpolate at (n−1)·q).
     "q_percentiles" -> ((s, dir) =>
@@ -214,6 +227,15 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_length_gate" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         quantile_cont(n_chars, 0.05) AS p5,
+        |         quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN s ON d.lang = s.lang
+        |WHERE n_chars >= p5 AND n_chars <= p95""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
