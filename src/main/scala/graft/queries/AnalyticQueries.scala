@@ -160,6 +160,41 @@ object AnalyticQueries {
           col("o_orderdate").cast("string").as("o_orderdate"), col("o_orderpriority"))
     }),
 
+    // §2.2/22y4 TPC-H Q4 (order priority): EXISTS → left-semi join on
+    // the fact, then a small agg. The semi join shuffles only matching
+    // orderkeys — no lineitem payload survives the probe.
+    "q_tpch_q4" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= "1996-07-01" && col("o_orderdate") < "1996-10-01")
+      ord.join(Tables.lineitem(s, dir).select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // §2.2/22y5 TPC-H Q6 (forecast revenue): pure scan-filter-agg; the
+    // three predicates all push to the parquet scan.
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount") >= 0.02 && col("l_discount") <= 0.04
+          && col("l_quantity") < 10)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("bigint"))
+          .as("revenue_cents"))),
+
+    // §2.2/22y6 TPC-H Q12 (shipmode priority): fact-fact join + CASE
+    // aggregation in exact integers.
+    "q_tpch_q12" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))),
+
     // §2.2/22y0 TPC-H Q1 (pricing summary): the canonical scan+agg —
     // one pass, map-side combined; sums in exact cents, averages as
     // single divisions of exact integers (engine-portable).
@@ -336,6 +371,24 @@ object AnalyticQueries {
         |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS min_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
