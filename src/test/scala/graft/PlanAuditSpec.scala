@@ -54,4 +54,26 @@ class PlanAuditSpec extends SparkSpecBase {
   test("q_group_topk plans through the custom GroupTopKExec") {
     assert(plan("q_group_topk").contains("GroupTopK"))
   }
+
+  test("q_tpch_q6 pushes all three predicates into the scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+    assert(p.contains("l_shipdate") && p.contains("l_discount"))
+  }
+
+  test("q_tpch_q4 keeps the EXISTS as a semi join") {
+    assert(plan("q_tpch_q4").contains("LeftSemi"))
+  }
+
+  test("q_length_gate broadcasts the per-language stats") {
+    assert(plan("q_length_gate").contains("BroadcastHashJoin"))
+  }
+
+  test("q_quantize is row-parallel: zero key shuffles") {
+    assert(keyShuffles(plan("q_quantize")) === 0)
+  }
+
+  test("q_pack shuffles once on the shard key only") {
+    assert(keyShuffles(plan("q_pack")) === 1)
+  }
 }
