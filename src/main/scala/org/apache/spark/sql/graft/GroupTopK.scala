@@ -37,19 +37,23 @@ case class GroupTopK(
     copy(child = newChild)
 }
 
-/** Physical bounded-heap top-k per group. `partial = true` runs
-  * before the exchange on whatever partitioning exists; the final
-  * phase requires clustering on the group keys.
+/** Physical two-phase top-k per group.
   *
-  * Memory: O(#groups-per-partition × k) rows — the same residency
-  * class as a hash aggregate over the same keys. Like Spark's partial
-  * hash aggregate, the partial phase additionally FLUSHES when the
-  * per-partition group map exceeds `flushGroups` (conf
-  * `spark.graft.topk.partialFlushGroups`): it emits the current heaps
-  * downstream and starts fresh, trading shuffle volume (≤ k extra rows
-  * per flushed group) for a hard memory bound. The final phase never
-  * flushes — all rows of a group are co-located there and exact top-k
-  * needs them in one pass. */
+  * Partial phase (`partial = true`, any partitioning): bounded heap
+  * per group, O(#groups-per-partition × k) resident — and like Spark's
+  * partial hash aggregate it FLUSHES when the group map exceeds
+  * `flushGroups` (conf `spark.graft.topk.partialFlushGroups`),
+  * trading shuffle volume (≤ k extra rows per flushed group) for a
+  * hard memory bound.
+  *
+  * Final phase: requires clustering on the group keys AND ordering on
+  * (group, order) — EnsureRequirements inserts a SortExec, which
+  * spills through Spark's UnsafeExternalSorter when the (already
+  * partial-pruned, ≤ k × map-partitions rows per group) shuffled data
+  * outgrows memory. The phase itself is then a STREAMING first-k-per-
+  * group scan: O(k) resident rows regardless of how many groups land
+  * in a partition — the spill-aware hardening a heap-per-group final
+  * could not give. */
 case class GroupTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -63,6 +67,12 @@ case class GroupTopKExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(groupExprs) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) child.outputOrdering
+    else groupExprs.map(SortOrder(_, Ascending)) ++ order
   override def nodeName: String = if (partial) "GraftGroupTopKPartial" else "GraftGroupTopKFinal"
 
   override lazy val metrics = Map(
@@ -83,6 +93,29 @@ case class GroupTopKExec(
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
     val numFlushes = longMetric("numFlushes")
+    if (!partialLocal) {
+      // final phase: child is sorted on (group, order) — stream the
+      // first k rows of each group, O(k) memory, spill handled by the
+      // upstream SortExec
+      return child.execute().mapPartitionsInternal { iter =>
+        val keyProj = UnsafeProjection.create(groupLocal, attrs)
+        var current: UnsafeRow = null
+        var emitted = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (current == null || key != current) {
+            current = key.copy()
+            emitted = 0
+            numGroups += 1
+          }
+          if (emitted < kLocal) {
+            emitted += 1
+            numOutputRows += 1
+            true
+          } else false
+        }
+      }
+    }
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, attrs)
       val ord = RowOrdering.create(orderLocal, attrs)
