@@ -60,6 +60,20 @@ object PipelineQueries {
         .skyline2D(col("p_size").cast("bigint"),
           round(col("p_retailprice") * 100).cast("bigint"))),
 
+    // RANGE-frame trailing window: per-user sum of the last hour's
+    // event values BY TIMESTAMP RANGE (not row count) — peers with
+    // equal timestamps enter the frame together, and gaps shrink it.
+    "q_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("hour_cents"))
+    }),
+
     // Percentile-gated quality filter: keep docs whose length sits
     // inside their language's [p5, p95] window — the adaptive
     // "trim the tails" gate (per-lang stats broadcast back to rows).
@@ -227,6 +241,12 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p b
         |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
+        |FROM events""".stripMargin,
     "q_length_gate" ->
       """WITH s AS (
         |  SELECT lang,
