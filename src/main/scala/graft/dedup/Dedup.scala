@@ -105,8 +105,13 @@ object Dedup {
     val bandCols = (0 until numBands).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
+    // both self-join sides read the banded keys; materialize once
+    // (signature computation — the corpus explode + k-hash aggregate —
+    // would otherwise run per side, reuse being blocked by the
+    // round-robin-fanned scan underneath)
     val keyed = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+      .localCheckpoint(true)
     keyed
       .as("a")
       .join(
