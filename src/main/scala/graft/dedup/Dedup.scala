@@ -105,13 +105,8 @@ object Dedup {
     val bandCols = (0 until numBands).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
-    // both self-join sides read the banded keys; materialize once
-    // (signature computation — the corpus explode + k-hash aggregate —
-    // would otherwise run per side, reuse being blocked by the
-    // round-robin-fanned scan underneath)
     val keyed = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
-      .localCheckpoint(true)
     keyed
       .as("a")
       .join(
@@ -184,10 +179,7 @@ object Dedup {
       n: Int,
       maxDocFreq: Option[Long]
   ): DataFrame = {
-    // two consumers (sizes + byGram) over one corpus explode — same
-    // materialize-once rationale as editDistancePairs
     val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g"))
-      .localCheckpoint(true)
     // per-doc distinct gram count (set semantics without a separate shuffle)
     val sizes = g0.groupBy("doc_id").agg(count_distinct(col("g")).as("n"))
     val byGram = g0.groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
@@ -222,17 +214,12 @@ object Dedup {
     val base = df.select(id.as("doc_id"), text.as("__t"))
     // carry the text length with each gram: the |len_a − len_b| ≤ maxDist
     // necessary condition then prunes pairs INSIDE the gram self-join,
-    // before they are aggregated — far fewer rows reach the groupBy.
-    // The gram table feeds three consumers (docfreq filter + both
-    // sides of the self-join); materialize it ONCE — exchange reuse
-    // cannot kick in above a round-robin-fanned scan (nondeterministic
-    // child), so without this the corpus explodes once per consumer.
+    // before they are aggregated — far fewer rows reach the groupBy
     val g0 = base.select(col("doc_id"), length(col("__t")).as("__len"),
       explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
-      .localCheckpoint(true)
     val keep = g0.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("g")
-    val g = g0.join(keep, "g").localCheckpoint(true)
+    val g = g0.join(keep, "g")
     val cand = g.as("a")
       .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
         && abs(col("a.__len") - col("b.__len")) <= maxDist)
