@@ -11,6 +11,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * its (de)serializers. */
 case class SessionState(startUs: Long, endUs: Long, n: Long)
 case class LastEventState(us: Long, eventId: Long, state: String)
+case class PathWindowState(us: Long, eventId: Long, states: Seq[String])
 
 /** Structured Streaming operators over the events schema
   * (SURVEY.md §2.7). The batch equivalents (`timeBucketAgg`,
@@ -236,6 +237,51 @@ object EventStreams {
           prev.foreach { p =>
             state.update(p)
             state.setTimeoutTimestamp(p.us / 1000, idleEvict)
+          }
+          out.result().iterator
+        }
+      }
+  }
+
+  case class PathOut(user_id: Long, path: Seq[String])
+
+  /** Streaming k-gram path mining — the incremental counterpart of
+    * batch `Timeseries.pathKGrams`: per user, a sliding window of the
+    * last k−1 event types rides the state; each arriving event closes
+    * one length-k path. State is O(k) per ACTIVE user (same idle
+    * eviction as [[transitionsStream]]); aggregate the emitted paths
+    * downstream for the path counts. */
+  def pathsStream(
+      events: Dataset[Event],
+      k: Int,
+      watermarkDelay: String = "10 minutes",
+      idleEvict: String = "1 hour"
+  ): Dataset[PathOut] = {
+    require(k >= 2)
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathWindowState, PathOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[Event], state: GroupState[PathWindowState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = rows.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq
+            .sortBy(t => (t._1, t._2))
+          val out = Seq.newBuilder[PathOut]
+          var st = state.getOption.getOrElse(PathWindowState(0L, 0L, Nil))
+          sorted.foreach { case (us, id, s) =>
+            val window = (st.states :+ s).takeRight(k)
+            if (window.length == k) out += PathOut(userId, window)
+            st = PathWindowState(us, id, window.takeRight(k - 1))
+          }
+          if (st.states.nonEmpty) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.us / 1000, idleEvict)
           }
           out.result().iterator
         }

@@ -206,6 +206,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(p95 - 9500.0) < 300.0, s"p95=$p95")
   }
 
+  test("pathsStream matches batch pathKGrams across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.pathsStream(mem.toDS(), k = 3, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("paths").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:01:00"), 1L, "a", 0.0),
+      Event(2L, ts("2024-01-01 00:02:00"), 1L, "b", 0.0))
+    q.processAllAvailable()
+    // batch 2: carried window [a, b] closes paths abc then bca
+    mem.addData(
+      Event(3L, ts("2024-01-01 00:03:00"), 1L, "c", 0.0),
+      Event(4L, ts("2024-01-01 00:04:00"), 1L, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("paths")
+      .selectExpr("user_id", "path[0] AS s1", "path[1] AS s2", "path[2] AS s3")
+      .as[(Long, String, String, String)].collect().toSet
+    import graft.operators.Timeseries._
+    val batch = Seq((1L, 60L, 1L, "a"), (1L, 120L, 2L, "b"), (1L, 180L, 3L, "c"), (1L, 240L, 4L, "a"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .pathKGrams(col("user_id"), Seq(col("us"), col("event_id")), col("event_type"), k = 3)
+      .filter(col("n") > 0)
+      .select(lit(1L), col("s1"), col("s2"), col("s3"))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got === batch)
+  }
+
   test("transitionsStream matches batch transitions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
