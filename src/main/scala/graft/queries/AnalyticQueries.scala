@@ -195,6 +195,54 @@ object AnalyticQueries {
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
             .as("low_line_count"))),
 
+    // §2.2/22y7 TPC-H Q13 (order-count distribution): LEFT join keeps
+    // zero-order customers, two stacked aggregations.
+    "q_tpch_q13" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // §2.2/22y8 TPC-H Q14 (promo revenue share): ratio of two exact
+    // cent sums — ONE double division, bit-stable.
+    "q_tpch_q14" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-03-01")
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .agg((sum(when(col("p_type") === "ECONOMY", col("rev_cents")).otherwise(0L))
+          .cast("double") * 100 / sum(col("rev_cents"))).as("promo_share"))),
+
+    // §2.2/22y9 TPC-H Q17 (small-quantity orders): the correlated avg
+    // subquery becomes a per-part aggregate joined back; the threshold
+    // compares exact integers (5·qty·cnt < sum_qty) — no avg doubles.
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("__sumq"),
+          count(lit(1)).as("__cnt"))
+      li.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#3")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity").cast("bigint") * 5 * col("__cnt") < col("__sumq"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("total_cents"))
+    }),
+
+    // §2.2/22y10 TPC-H Q19 (disjunctive predicates): OR-of-conjunction
+    // pushdown across a broadcast dim join.
+    "q_tpch_q19" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("l_quantity").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("l_quantity").between(5, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(10, 30)))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+          .as("revenue_cents"))),
+
     // §2.2/22y0 TPC-H Q1 (pricing summary): the canonical scan+agg —
     // one pass, map-side combined; sums in exact cents, averages as
     // single divisions of exact integers (engine-portable).
@@ -371,6 +419,37 @@ object AnalyticQueries {
         |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS min_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01')
+        |SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_cents ELSE 0 END) AS DOUBLE) * 100
+        |       / SUM(rev_cents) AS promo_share
+        |FROM j""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3' AND CAST(l_quantity AS BIGINT) * 5 * cnt < sumq""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 5 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 30)""".stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
