@@ -195,6 +195,68 @@ object AnalyticQueries {
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
             .as("low_line_count"))),
 
+    // §2.2/22y11 TPC-H Q7 (volume shipping): bidirectional nation-pair
+    // trade volume by year; both nation dims broadcast.
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
+    }),
+
+    // §2.2/22y12 TPC-H Q8 (market share): NATION_1's share of ASIA's
+    // ECONOMY-part import volume per year — one division of exact cent
+    // sums per year group.
+    "q_tpch_q8" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__ck"))
+      val suppNation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rev_cents",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .join(Tables.orders(s, dir).filter(
+            col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("__ck"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("__sk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_1", col("rev_cents")).otherwise(0L))
+          .cast("double") / sum(col("rev_cents"))).as("mkt_share"))
+    }),
+
+    // §2.2/22y13 TPC-H Q15 (top supplier): revenue "view" + global max
+    // as a broadcast cross join — no correlated subquery, no collect.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("bigint")).as("total_cents"))
+      val best = rev.agg(max(col("total_cents")).as("__mx"))
+      rev.crossJoin(broadcast(best))
+        .filter(col("total_cents") === col("__mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+    }),
+
     // §2.2/22y7 TPC-H Q13 (order-count distribution): LEFT join keeps
     // zero-order customers, two stacked aggregations.
     "q_tpch_q13" -> ((s, dir) =>
@@ -419,6 +481,41 @@ object AnalyticQueries {
         |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS min_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_cents
+        |  FROM lineitem, part, orders, customer, supplier, nation n1, region, nation n2
+        |  WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+        |SELECT o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev_cents ELSE 0 END) AS DOUBLE)
+        |       / SUM(rev_cents) AS mkt_share
+        |FROM j GROUP BY o_year""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
