@@ -136,26 +136,21 @@ object TextAnalysis {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.expressions.Window
 
-  /** (doc-ish key, char n-gram) rows of lowercase text: explode of the
-    * position sequence + substring — all codegen, no UDF. Texts
-    * shorter than n produce no rows (the sequence guard matters:
-    * Spark's sequence(1, k) DESCENDS for k < 1). */
+  /** (doc-ish key, char n-gram) rows: one explode of the native
+    * [[org.apache.spark.sql.graft.CharShingles]] array (tight codegen
+    * loop per row — no position-sequence allocation, no per-gram
+    * substring expression). Texts shorter than n produce no rows. */
   private def charGrams(df: DataFrame, key: Column, keyName: String, text: Column, n: Int): DataFrame =
-    df.select(key.as(keyName), lower(text).as("__t"))
-      .filter(length(col("__t")) >= n)
-      .select(col(keyName), explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i"), col("__t"))
-      .select(col(keyName), expr(s"substring(__t, __i, $n)").as("g"))
+    df.select(key.as(keyName),
+      explode(org.apache.spark.sql.graft.GraftTextFunctions.charShingles(text, n)).as("g"))
 
   /** Gram OCCURRENCE counts per (keys..., gram) — the corpus explode
     * reduced once, so profile training and classification can share it
     * instead of re-exploding the corpus per consumer. */
   private def charGramCounts(df: DataFrame, keys: Seq[(String, Column)], text: Column,
       n: Int): DataFrame =
-    df.select(keys.map { case (kn, c) => c.as(kn) } :+ lower(text).as("__t"): _*)
-      .filter(length(col("__t")) >= n)
-      .select(keys.map(k => col(k._1)) :+
-        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("__i") :+ col("__t"): _*)
-      .select(keys.map(k => col(k._1)) :+ expr(s"substring(__t, __i, $n)").as("g"): _*)
+    df.select(keys.map { case (kn, c) => c.as(kn) } :+
+        explode(org.apache.spark.sql.graft.GraftTextFunctions.charShingles(text, n)).as("g"): _*)
       .groupBy(keys.map(k => col(k._1)) :+ col("g"): _*)
       .agg(count(lit(1)).as("c"))
 

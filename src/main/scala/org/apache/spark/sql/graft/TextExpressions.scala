@@ -74,8 +74,59 @@ object WordShingles {
   }
 }
 
+/** Native lowercase CHARACTER n-grams — backs the language-profile
+  * family the way [[WordShingles]] backs dedup. The built-in
+  * formulation (explode(sequence(1, len−n+1)) + substring) allocates
+  * a position array per row and evaluates a substring expression per
+  * gram; this is one tight loop over the row's chars. Char positions
+  * (not bytes), matching Spark's `substring`. Empty array below n
+  * chars. */
+@ExpressionDescription(
+  usage = "_FUNC_(text, n) - lowercase character n-grams of text."
+)
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(n >= 1, "gram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.CharShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val lower = text.toLowerCase
+    val len = lower.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i < out.length) {
+      // substringSQL is 1-based and char-indexed, like Spark substring
+      out(i) = lower.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column facade for the text expressions. */
 object GraftTextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  def charShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
 }

@@ -74,6 +74,25 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("CharShingles equals the sequence+substring formulation on messy text") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed + 100)
+      val texts = Seq.fill(60)(randomText(rnd)) ++
+        Seq("", " ", "ab", "ÄÖÜ βγδ ÄÖ", "a\tb\nc")
+      val n = 2 + rnd.nextInt(3)
+      val df = texts.toDF("t")
+      val native = df.select(
+        org.apache.spark.sql.graft.GraftTextFunctions.charShingles(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val ref = df.select(lower(col("t")).as("__t"))
+        .select(when(length(col("__t")) >= n,
+          expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
+          .otherwise(expr("array()")).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(native === ref, s"seed=$seed n=$n")
+    }
+  }
+
   test("skyline2D equals brute-force dominance on randomized points") {
     import graft.operators.Relational._
     for (seed <- 1 to 4) {
