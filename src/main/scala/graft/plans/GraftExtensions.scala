@@ -14,6 +14,7 @@ import org.apache.spark.sql.graft.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
+    org.apache.spark.sql.graft.GraftTextFunctions.register(ext)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.VectorizeDotProducts)
     org.apache.spark.sql.graft.GraftPlans.register(ext)
   }

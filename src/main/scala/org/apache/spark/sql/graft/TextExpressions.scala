@@ -122,11 +122,36 @@ object CharShingles {
   }
 }
 
-/** Column facade for the text expressions. */
+/** Column facade + SQL registration for the text expressions. */
 object GraftTextFunctions {
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
 
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+
+  /** The SQL builders take the gram size as a foldable int literal
+    * (`SELECT graft_shingles(text, 3)`). */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: gram size must be an integer literal, got $other")
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      FunctionRegistryBase.expressionInfo[WordShingles]("graft_shingles", None),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), litInt(children(1), "graft_shingles"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_shingles"),
+      FunctionRegistryBase.expressionInfo[CharShingles]("graft_char_shingles", None),
+      (children: Seq[Expression]) =>
+        CharShingles(children(0), litInt(children(1), "graft_char_shingles"))))
+  }
 }

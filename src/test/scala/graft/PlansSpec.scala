@@ -37,6 +37,15 @@ class PlansSpec extends SparkSpecBase {
     assert(f === 1.0)
   }
 
+  test("graft_shingles / graft_char_shingles are registered SQL functions") {
+    val w = spark.sql("SELECT graft_shingles('The quick Fox', 2) AS g")
+      .as[Seq[String]].head()
+    assert(w === Seq("the quick", "quick fox"))
+    val c = spark.sql("SELECT graft_char_shingles('AbC', 2) AS g")
+      .as[Seq[String]].head()
+    assert(c === Seq("ab", "bc"))
+  }
+
   test("VectorizeDotProducts rewrites the HOF fold to the native expression") {
     // non-local child so the projection isn't constant-folded away
     val df = spark.range(50)
