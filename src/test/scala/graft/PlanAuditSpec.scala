@@ -76,4 +76,12 @@ class PlanAuditSpec extends SparkSpecBase {
   test("q_pack shuffles once on the shard key only") {
     assert(keyShuffles(plan("q_pack")) === 1)
   }
+
+  test("q_transitions shuffles once on the user key") {
+    assert(keyShuffles(plan("q_transitions")) <= 2) // key window + pair agg
+  }
+
+  test("q_json_shred shuffles only for the per-order pack") {
+    assert(keyShuffles(plan("q_json_shred")) === 1) // shred side is narrow
+  }
 }
