@@ -103,7 +103,9 @@ object DedupQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     }),
 
-    // §2.4/29 LSH-bucketed ANN (rows-only check; recall spec-tested).
+    // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
+    // hyperplane matrix is embedded in the oracle SQL, so DuckDB
+    // replays the exact bucketing (integer dots) and ranking.
     "q_ann_lsh" -> ((s, dir) => {
       val corpus = quantizedWithNorm(s, dir)
       val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -241,7 +243,7 @@ object DedupQueries {
          |SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM a""".stripMargin
   }
 
-  private val quantCte =
+  private[queries] val quantCte =
     raw"""n AS (
          |  SELECT vec_id, label, e,
          |         CAST(list_sum(list_transform(range(len(e)), i -> e[i+1] * e[i+1])) AS BIGINT) AS nrm
@@ -250,11 +252,36 @@ object DedupQueries {
          |        FROM embeddings)
          |)""".stripMargin
 
-  private val cosExpr =
+  private[queries] val cosExpr =
     "CAST(CAST(list_sum(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])) AS BIGINT) AS DOUBLE)" +
       " / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
 
+  /** The 8×64 quantized hyperplane matrix as a SQL literal — the oracle
+    * replays the exact LSH bucketing with integer dot products. */
+  private val lshPlanesLit: String =
+    Similarity.hyperplanes(8, 64).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private val annLshSql: String =
+    raw"""WITH $quantCte,
+         |sigs AS (
+         |  SELECT vec_id, e, nrm,
+         |         array_to_string(list_transform($lshPlanesLit, p ->
+         |           CASE WHEN list_sum(list_transform(range(len(e)), i -> e[i+1] * p[i+1])) >= 0
+         |                THEN '1' ELSE '0' END), '') AS sig
+         |  FROM n
+         |),
+         |cand AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM sigs a JOIN sigs b
+         |    ON a.sig = b.sig AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT q_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand
+         |) WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshSql,
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,

@@ -114,7 +114,10 @@ object ExtraQueries {
         .mapRecords(col("c_id"), col("p_id"))
     }),
 
-    // IVF ANN (rows-only; recall spec-tested in SimilaritySpec).
+    // IVF ANN — fully oracle-gated: the whole deterministic build
+    // (seed cells → Lloyd assignment → floor-mean centroids → inverted
+    // lists → nprobe probe → exact rank) is replayed as a DuckDB CTE
+    // chain in integer/fixed-order-double arithmetic.
     "q_ann_ivf" -> ((s, dir) => {
       val corpus = quantized(s, dir)
       val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -123,7 +126,71 @@ object ExtraQueries {
     })
   )
 
+  /** Quantized cosine between two aliased relations (integer dot cast
+    * to double over the product of norms — the exact operand order the
+    * Spark side uses, so doubles are bit-equal). */
+  private def cosSql(a: String, ae: String, an: String, b: String, be: String, bn: String): String =
+    s"CAST(CAST(list_sum(list_transform(range(len($a.$ae)), i -> $a.$ae[i+1] * $b.$be[i+1])) AS BIGINT) AS DOUBLE)" +
+      s" / (sqrt(CAST($a.$an AS DOUBLE)) * sqrt(CAST($b.$bn AS DOUBLE)))"
+
+  /** Full IVF replay: numCentroids=16, nprobe=4, k=5, queries = vec_id%100=0. */
+  private val annIvfSql: String = {
+    val centCos = cosSql("n", "e", "nrm", "s", "ce", "cnrm")
+    val cent2Cos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
+    raw"""WITH ${DedupQueries.quantCte},
+         |seeds AS (
+         |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16
+         |),
+         |a0 AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT n.vec_id, s.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $centCos DESC, s.c_id ASC) AS rn
+         |    FROM n CROSS JOIN seeds s
+         |  ) WHERE rn = 1
+         |),
+         |ed AS (
+         |  SELECT a0.c_id, unnest(range(len(n.e))) AS i, unnest(n.e) AS v
+         |  FROM a0 JOIN n ON a0.vec_id = n.vec_id
+         |),
+         |md AS (
+         |  SELECT c_id, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |  FROM ed GROUP BY c_id, i
+         |),
+         |cents AS (SELECT c_id, list(m ORDER BY i) AS ce FROM md GROUP BY c_id),
+         |c2 AS (
+         |  SELECT c_id, ce, CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS cnrm
+         |  FROM cents
+         |),
+         |asg AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT n.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cent2Cos DESC, c.c_id ASC) AS rn
+         |    FROM n CROSS JOIN c2 c
+         |  ) WHERE rn = 1
+         |),
+         |probe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT n.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cent2Cos DESC, c.c_id ASC) AS rn
+         |    FROM n CROSS JOIN c2 c WHERE n.vec_id % 100 = 0
+         |  ) WHERE rn <= 4
+         |),
+         |cand AS (
+         |  SELECT p.q_id, b.vec_id AS neighbor_id, ${cosSql("a", "e", "nrm", "b", "e", "nrm")} AS cos
+         |  FROM probe p
+         |  JOIN asg g ON p.c_id = g.c_id
+         |  JOIN n b ON g.vec_id = b.vec_id
+         |  JOIN n a ON p.q_id = a.vec_id
+         |  WHERE p.q_id <> b.vec_id
+         |)
+         |SELECT q_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand
+         |) WHERE rank <= 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_ivf" -> annIvfSql,
     "q_moving_sum" ->
       """SELECT event_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT))

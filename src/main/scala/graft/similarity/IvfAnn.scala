@@ -48,9 +48,12 @@ object IvfAnn {
     val exploded = assigned
       .join(corpus, "vec_id")
       .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
+    // floor(double-division) rather than a long cast: floor is the one
+    // integral-mean formulation DuckDB and Spark agree on bit-for-bit
+    // (CAST truncates toward zero in Spark but rounds in DuckDB)
     val meanPerDim = exploded
       .groupBy("c_id", "i")
-      .agg((sum(col("v")) / count(lit(1))).cast("long").as("m"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
     meanPerDim
       .groupBy("c_id")
       .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))

@@ -118,30 +118,26 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
 
-  /** Deterministic random hyperplanes: `bits` planes × `dim` components
-    * in [-1, 1], seeded — same signatures on every run/engine. */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes: `bits` planes × `dim` components,
+    * seeded, QUANTIZED to longs on the 1e-6 grid. Integer components
+    * mean the signature dot products are exact integer math — the same
+    * signatures fall out of any engine (the DuckDB oracle embeds this
+    * matrix as a literal and replays the bucketing bit-for-bit). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Long]] = {
     val rnd = new Random(seed)
-    Array.fill(bits, dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(bits, dim)(math.round((rnd.nextDouble() * 2 - 1) * 1e6))
   }
 
   /** LSH signature: bit i = [dot(v, plane_i) >= 0], as a "0101…"
     * string key. The plane matrix is a single typedlit, iterated
     * data-style — inlining one literal array per bit instead blows
     * the expression tree up to O(bits × dim) nodes and dominates
-    * runtime with analysis/compile cost. Computed per-row (narrow,
-    * no shuffle). */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    * runtime with analysis/compile cost. Dots are the native codegen
+    * integer DotProductLong. Computed per-row (narrow, no shuffle). */
+  def lshSignature(vec: Column, planes: Array[Array[Long]]): Column = {
     val planesLit = typedlit(planes.map(_.toSeq).toSeq)
     array_join(
-      transform(
-        planesLit,
-        p =>
-          when(
-            aggregate(zip_with(vec, p, (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x) >= 0,
-            lit("1")
-          ).otherwise(lit("0"))
-      ),
+      transform(planesLit, p => when(dotQ(vec, p) >= 0, lit("1")).otherwise(lit("0"))),
       ""
     )
   }
