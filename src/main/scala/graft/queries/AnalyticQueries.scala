@@ -15,12 +15,14 @@ import graft.sources.Tables
 object AnalyticQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.2/16 star-schema join + agg: fact-fact shuffle join, then
-    // broadcast joins up the dimension chain, single hash aggregate.
+    // §2.2/16 star-schema join + agg: fact-fact shuffle joins up to
+    // customer (which scales with SF — no forced broadcast; AQE picks
+    // the strategy), then broadcast joins on the constant-size
+    // nation/region dims, single hash aggregate.
     "q_star_join" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .keyedJoin(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .keyedJoin(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), broadcastRight = true)
+        .keyedJoin(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .keyedJoin(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"), broadcastRight = true)
         .keyedJoin(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"), broadcastRight = true)
         .reduceByKey(
@@ -196,7 +198,10 @@ object AnalyticQueries {
             .as("low_line_count"))),
 
     // §2.2/22y11 TPC-H Q7 (volume shipping): bidirectional nation-pair
-    // trade volume by year; both nation dims broadcast.
+    // trade volume by year; only the constant-size nation dims are
+    // broadcast — customer/supplier scale linearly with SF, so their
+    // joins shuffle (AQE may still elect broadcast at small SF, which
+    // is the right call *at runtime*, not a hard-coded hint).
     "q_tpch_q7" -> ((s, dir) => {
       val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
@@ -205,8 +210,8 @@ object AnalyticQueries {
         .withColumn("rev_cents",
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("__sk"))
         .join(broadcast(n2), col("c_nationkey") === col("__ck"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -233,9 +238,10 @@ object AnalyticQueries {
         .join(Tables.orders(s, dir).filter(
             col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // customer/supplier scale with SF: shuffle joins (AQE decides)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(asiaNations), col("c_nationkey") === col("__ck"), "left_semi")
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(suppNation), col("s_nationkey") === col("__sk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_1", col("rev_cents")).otherwise(0L))
@@ -244,6 +250,8 @@ object AnalyticQueries {
 
     // §2.2/22y13 TPC-H Q15 (top supplier): revenue "view" + global max
     // as a broadcast cross join — no correlated subquery, no collect.
+    // The ≤handful of max-revenue winners is the broadcast side of the
+    // supplier enrich join (supplier itself scales with SF — stream it).
     "q_tpch_q15" -> ((s, dir) => {
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
@@ -251,9 +259,10 @@ object AnalyticQueries {
         .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("bigint")).as("total_cents"))
       val best = rev.agg(max(col("total_cents")).as("__mx"))
-      rev.crossJoin(broadcast(best))
+      val winners = rev.crossJoin(broadcast(best))
         .filter(col("total_cents") === col("__mx"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(winners), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_cents"))
     }),
 
@@ -272,7 +281,8 @@ object AnalyticQueries {
     "q_tpch_q14" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-03-01")
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        // unfiltered part scales with SF — no forced broadcast
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .withColumn("rev_cents",
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
         .agg((sum(when(col("p_type") === "ECONOMY", col("rev_cents")).otherwise(0L))
@@ -297,7 +307,8 @@ object AnalyticQueries {
     // pushdown across a broadcast dim join.
     "q_tpch_q19" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        // unfiltered part scales with SF — no forced broadcast
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("l_quantity").between(1, 10)) ||
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("l_quantity").between(5, 20)) ||
@@ -338,7 +349,9 @@ object AnalyticQueries {
         .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
         .filter(col("total_qty") > 150)
       big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF — shuffle join; at runtime AQE can
+        // still broadcast the tiny `big` survivors side instead
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("string").as("o_orderdate"),
           round(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
@@ -347,8 +360,10 @@ object AnalyticQueries {
 
     // §2.2/22y2 TPC-H Q10 (returned-item report): customers ranked by
     // revenue lost to returns in one quarter. Fact-fact shuffle join
-    // on orderkey, broadcast customer/nation dims, cents-exact
-    // revenue, global top-20 via TakeOrderedAndProject.
+    // on orderkey, broadcast nation dim only (customer scales with SF
+    // — that join shuffles; AQE picks broadcast at small SF if it
+    // fits), cents-exact revenue, global top-20 via
+    // TakeOrderedAndProject.
     "q_tpch_q10" -> ((s, dir) => {
       val ord = Tables.orders(s, dir).filter(
         col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
@@ -356,7 +371,7 @@ object AnalyticQueries {
         .withColumn("rev_cents",
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(col("rev_cents")).as("revenue_cents"))

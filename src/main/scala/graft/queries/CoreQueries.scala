@@ -68,10 +68,11 @@ object CoreQueries {
     // §2.1/8 partition.join — broadcast hash join (dim side small).
     "q_join" -> ((s, dir) =>
       Tables.orders(s, dir)
+        // customer scales with SF — no forced broadcast; a shuffle
+        // hash join on custkey, or broadcast if AQE sees it fits
         .keyedJoin(
           Tables.customer(s, dir),
-          col("o_custkey") === col("c_custkey"),
-          broadcastRight = true
+          col("o_custkey") === col("c_custkey")
         )
         .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
 

@@ -42,8 +42,39 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q_tpch_q10 broadcasts the dims and keeps one shuffled fact join") {
+    // nation is hint-broadcast; customer carries NO hint (it scales
+    // with SF) but at sf0.001 the stats-based planner still picks
+    // broadcast — the right runtime call, not a hard-coded one
     val p = plan("q_tpch_q10")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("no broadcast hint pins a raw SF-scaling relation (any query)") {
+    // customer (150k×SF), supplier (10k×SF), part (200k×SF), orders,
+    // lineitem all grow linearly with scale factor: a hard broadcast
+    // hint on a raw scan of one of them OOMs at the 100× target.
+    // Hints are only legitimate on constant-size dims (nation/region),
+    // on filtered part, or on aggregate-derived stat tables. This
+    // walks the ANALYZED plan so the assertion is about our hints,
+    // not about what AQE legitimately elects at small SF.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, ResolvedHint}
+    val scalingKeys = Set("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
+    for ((name, q) <- SparkEntry.queries) {
+      val analyzed = q(spark, dir).queryExecution.analyzed
+      val hints = analyzed.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h }
+      for (h <- hints) {
+        val aggregated = h.child.collectFirst { case _: Aggregate => () }.isDefined
+        val filtered = h.child.collectFirst { case _: LFilter => () }.isDefined
+        val names = h.child.output.map(_.name).toSet
+        if (!aggregated) {
+          val hit = names.intersect(scalingKeys)
+          assert(hit.isEmpty,
+            s"$name broadcast-hints a raw SF-scaling relation (cols: ${hit.mkString(",")})")
+          assert(!names.contains("p_partkey") || filtered,
+            s"$name broadcast-hints the UNFILTERED part table")
+        }
+      }
+    }
   }
 
   test("q_topk and q_vocab use TakeOrderedAndProject, not a global sort") {
