@@ -35,8 +35,10 @@ object MultimodalQueries {
       Multimodal.mediaStats(asMedia(s, dir), col("media"), col("source"))
         .withColumnRenamed("grp", "source")),
 
-    // §2.6/35b typed per-partition batched decode path (rows-only):
-    // the mapInPandas-shaped plumbing through Dataset[MediaRecord].
+    // §2.6/35b typed per-partition batched decode path (oracle-gated:
+    // FakeCodec's header/mean byte arithmetic is replayed in DuckDB
+    // blob SQL): the mapInPandas-shaped plumbing through
+    // Dataset[MediaRecord].
     "q_media_decode" -> ((s, dir) => {
       import s.implicits._
       val media = asMedia(s, dir).select(
@@ -72,6 +74,27 @@ object MultimodalQueries {
         |  SELECT doc_id AS media_id, encode(text) AS blob,
         |         unnest(generate_series(0, (octet_length(encode(text)) + 15) // 16 - 1)) AS f
         |  FROM documents
-        |) WHERE f % 4 = 0""".stripMargin
+        |) WHERE f % 4 = 0""".stripMargin,
+    // FakeCodec.decode replayed in pure SQL: hex-expand the blob, decode
+    // each hex pair via strpos arithmetic, integral byte sum, ONE double
+    // division (bit-equal to Spark's sum.toDouble / length).
+    "q_media_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), bytes AS (
+        |  SELECT media_id, n, h, unnest(generate_series(0, n - 1)) AS i FROM b
+        |), vals AS (
+        |  SELECT media_id, n, h,
+        |         (strpos('0123456789ABCDEF', substr(h, i*2+1, 1)) - 1) * 16 +
+        |         (strpos('0123456789ABCDEF', substr(h, i*2+2, 1)) - 1) AS v
+        |  FROM bytes
+        |)
+        |SELECT media_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+        |       lower(substr(any_value(h), 1, 16)) AS header_hex,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS mean_byte,
+        |       any_value(n) > 0 AS decoded_ok
+        |FROM vals GROUP BY media_id""".stripMargin
   )
 }
