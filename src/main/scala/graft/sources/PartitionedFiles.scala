@@ -130,9 +130,17 @@ object PartitionedFiles {
   }
 
   /** Emit the `.meta` sidecar equivalent: `_graft_meta.json` in the
-    * output directory with `n_records` total and per-file counts
-    * (computed distributed via input_file_name, single small collect
-    * of (file, count) pairs only). */
+    * output directory with `n_records` total and per-file counts.
+    *
+    * Fully executor-side: per-file counts are a distributed aggregate
+    * on input_file_name, and the JSON document itself is assembled
+    * inside a SINGLE-partition mapPartitions and written with Spark's
+    * text writer — the driver never holds the (file, count) list. A
+    * 100 TB output is ~10⁵–10⁶ files; that list belongs on an
+    * executor, not in driver heap. The only driver action is renaming
+    * the one part file to its sidecar name (the standard single-file
+    * commit pattern; on HDFS/S3 the same move goes through the
+    * FileSystem API). */
   def writeMeta(spark: SparkSession, path: String, format: String, header: Boolean = false): Unit = {
     val df = format match {
       case "json"    => spark.read.json(path)
@@ -141,18 +149,32 @@ object PartitionedFiles {
       case "orc"     => spark.read.orc(path)
       case _         => spark.read.text(path)
     }
-    val counts = df
+    import spark.implicits._
+    val doc = df
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_records"))
-      .collect()
-      .map(r => (r.getString(0).split('/').last, r.getLong(1)))
-      .sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val json = counts
-      .map { case (f, n) => s"""    {"file": "$f", "n_records": $n}""" }
-      .mkString(s"""{\n  "n_records": $total,\n  "files": [\n""", ",\n", "\n  ]\n}")
-    val p = new java.io.File(path, "_graft_meta.json")
-    java.nio.file.Files.writeString(p.toPath, json)
+      .select(regexp_extract(col("file"), "[^/]+$", 0).as("file"), col("n_records"))
+      .repartition(1)
+      .sortWithinPartitions("file")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val entries = it.toVector
+        val total = entries.map(_._2).sum
+        val body = entries.map { case (f, n) => s"""    {"file": "$f", "n_records": $n}""" }
+        Iterator.single(
+          body.mkString(s"""{\n  "n_records": $total,\n  "files": [\n""", ",\n", "\n  ]\n}"))
+      }
+    val tmp = path + "/_graft_meta_tmp"
+    doc.write.mode(SaveMode.Overwrite).text(tmp)
+    val tmpDir = new java.io.File(tmp)
+    val part = tmpDir.listFiles().filter(_.getName.startsWith("part-")) match {
+      case Array(p) => p
+      case ps       => sys.error(s"expected exactly one sidecar part file, got ${ps.length}")
+    }
+    java.nio.file.Files.move(part.toPath, new java.io.File(path, "_graft_meta.json").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmpDir.listFiles().foreach(_.delete())
+    tmpDir.delete()
   }
 
   /** Read the sidecar's total count without scanning data — shmr's

@@ -66,6 +66,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(PartitionedFiles.readMetaCount(tmp()) === None)
   }
 
+  test("meta sidecar lists every part file, executor-assembled") {
+    // multi-file output: the sidecar must carry one entry per data
+    // file, counts summing to the total — assembled via the
+    // single-partition distributed write (no driver-side collect of
+    // the file list), then promoted to its sidecar name
+    val dir = tmp() + "/multi"
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("grp"))
+    PartitionedFiles.writeParquet(df, dir, numPartitions = 4)
+    val sidecar = new java.io.File(dir, "_graft_meta.json")
+    assert(sidecar.exists())
+    val s = Files.readString(sidecar.toPath)
+    val fileEntries = """"file": "([^"]+)", "n_records": (\d+)""".r.findAllMatchIn(s).toList
+    assert(fileEntries.length === 4, s)
+    assert(fileEntries.map(_.group(2).toLong).sum === 100L)
+    fileEntries.foreach(m => assert(m.group(1).startsWith("part-"), s))
+    assert(PartitionedFiles.readMetaCount(dir) === Some(100L))
+    // the tmp write dir is cleaned up
+    assert(!new java.io.File(dir, "_graft_meta_tmp").exists())
+  }
+
   test("sorted parquet export: disjoint ordered ranges per file, no global sort") {
     val dir = tmp() + "/sorted"
     val df = spark.range(1000).select((col("id") * 7919 % 1000).as("k"), col("id").as("v"))
