@@ -1,0 +1,31 @@
+package graft.queries
+
+/** Single source of truth for the ANN / similarity query parameters
+  * that must agree between the Spark query lambdas and the DuckDB
+  * oracle SQL they are gated against. Editing a value here changes
+  * BOTH sides; the pre-advice state hard-coded them independently in
+  * the lambda and the SQL string, so one edit silently broke the gate.
+  */
+object AnnParams {
+  /** Every vec_id ≡ 0 (mod QueryMod) is a query vector. */
+  val QueryMod = 100
+
+  // LSH ANN (q_ann_lsh)
+  val LshBits = 8
+  val LshDim = 64
+  val LshK = 5
+
+  // Brute-force cosine (q_cosine_topk)
+  val CosineK = 5
+
+  // IVF ANN (q_ann_ivf)
+  val IvfK = 5
+  val IvfCentroids = 16
+  val IvfNprobe = 4
+
+  /** Lloyd refinement passes for the IVF coarse quantizer. One pass
+    * (the r3 state) leaves centroids very close to their seed vectors;
+    * a second pass measurably tightens cells (see IvfRecallSpec). The
+    * oracle CTE chain replays exactly this many rounds. */
+  val IvfLloydIters = 2
+}

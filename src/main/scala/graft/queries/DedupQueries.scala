@@ -94,23 +94,25 @@ object DedupQueries {
     "q_quantize" -> ((s, dir) =>
       Similarity.scalarQuantize(Tables.embeddings(s, dir), col("embedding"), col("vec_id"))),
 
-    // §2.4/28 brute-force cosine top-5 for query vectors (id % 100 = 0).
+    // §2.4/28 brute-force cosine top-k for query vectors
+    // (id % AnnParams.QueryMod = 0).
     "q_cosine_topk" -> ((s, dir) => {
       val corpus = quantizedWithNorm(s, dir)
-      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
       Similarity
-        .cosineTopK(corpus, qs, 5)
+        .cosineTopK(corpus, qs, AnnParams.CosineK)
         .withColumn("rank", col("rank").cast("bigint"))
     }),
 
     // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
     // hyperplane matrix is embedded in the oracle SQL, so DuckDB
-    // replays the exact bucketing (integer dots) and ranking.
+    // replays the exact bucketing (integer dots) and ranking. All
+    // parameters come from AnnParams (shared with annLshSql).
     "q_ann_lsh" -> ((s, dir) => {
       val corpus = quantizedWithNorm(s, dir)
-      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
       Similarity
-        .annLsh(corpus, qs, bits = 8, dim = 64, k = 5)
+        .annLsh(corpus, qs, bits = AnnParams.LshBits, dim = AnnParams.LshDim, k = AnnParams.LshK)
         .withColumn("rank", col("rank").cast("bigint"))
     })
   )
@@ -256,10 +258,13 @@ object DedupQueries {
     "CAST(CAST(list_sum(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])) AS BIGINT) AS DOUBLE)" +
       " / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"
 
-  /** The 8×64 quantized hyperplane matrix as a SQL literal — the oracle
-    * replays the exact LSH bucketing with integer dot products. */
+  /** The LshBits×LshDim quantized hyperplane matrix as a SQL literal —
+    * the oracle replays the exact LSH bucketing with integer dot
+    * products. Parameters shared with the q_ann_lsh lambda via
+    * [[AnnParams]]. */
   private val lshPlanesLit: String =
-    Similarity.hyperplanes(8, 64).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    Similarity.hyperplanes(AnnParams.LshBits, AnnParams.LshDim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   private val annLshSql: String =
     raw"""WITH $quantCte,
@@ -273,12 +278,12 @@ object DedupQueries {
          |cand AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, $cosExpr AS cos
          |  FROM sigs a JOIN sigs b
-         |    ON a.sig = b.sig AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+         |    ON a.sig = b.sig AND a.vec_id % ${AnnParams.QueryMod} = 0 AND a.vec_id <> b.vec_id
          |)
          |SELECT q_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM cand
-         |) WHERE rank <= 5""".stripMargin
+         |) WHERE rank <= ${AnnParams.LshK}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
@@ -335,11 +340,11 @@ object DedupQueries {
       raw"""WITH $quantCte,
            |p AS (
            |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, $cosExpr AS cos
-           |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+           |  FROM n a JOIN n b ON a.vec_id % ${AnnParams.QueryMod} = 0 AND a.vec_id <> b.vec_id
            |)
            |SELECT q_id, neighbor_id, rank, cos FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            |  FROM p
-           |) WHERE rank <= 5""".stripMargin
+           |) WHERE rank <= ${AnnParams.CosineK}""".stripMargin
   )
 }

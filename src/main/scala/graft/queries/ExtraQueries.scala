@@ -115,13 +115,16 @@ object ExtraQueries {
     }),
 
     // IVF ANN — fully oracle-gated: the whole deterministic build
-    // (seed cells → Lloyd assignment → floor-mean centroids → inverted
+    // (seed cells → Lloyd passes → floor-mean centroids → inverted
     // lists → nprobe probe → exact rank) is replayed as a DuckDB CTE
-    // chain in integer/fixed-order-double arithmetic.
+    // chain in integer/fixed-order-double arithmetic. All parameters
+    // come from AnnParams so the lambda and annIvfSql cannot drift.
     "q_ann_ivf" -> ((s, dir) => {
       val corpus = quantized(s, dir)
-      val qs = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
-      IvfAnn.annIvf(corpus, qs, k = 5, numCentroids = 16, nprobe = 4)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
+      IvfAnn.annIvf(corpus, qs, k = AnnParams.IvfK,
+          numCentroids = AnnParams.IvfCentroids, nprobe = AnnParams.IvfNprobe,
+          lloydIters = AnnParams.IvfLloydIters)
         .withColumn("rank", col("rank").cast("bigint"))
     })
   )
@@ -133,47 +136,62 @@ object ExtraQueries {
     s"CAST(CAST(list_sum(list_transform(range(len($a.$ae)), i -> $a.$ae[i+1] * $b.$be[i+1])) AS BIGINT) AS DOUBLE)" +
       s" / (sqrt(CAST($a.$an AS DOUBLE)) * sqrt(CAST($b.$bn AS DOUBLE)))"
 
-  /** Full IVF replay: numCentroids=16, nprobe=4, k=5, queries = vec_id%100=0. */
+  /** Full IVF replay, generated from [[AnnParams]]: seeds (non-zero
+    * norm, smallest vec_ids), IvfLloydIters assign/floor-mean rounds
+    * (each guarded cnrm > 0, mirroring IvfAnn.centroids), then the
+    * inverted-list assignment, nprobe probe and exact ranked cosine. */
   private val annIvfSql: String = {
-    val centCos = cosSql("n", "e", "nrm", "s", "ce", "cnrm")
-    val cent2Cos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
+    import AnnParams.{IvfCentroids, IvfK, IvfLloydIters, IvfNprobe, QueryMod}
+    // one Lloyd round: assign corpus to cents `prev` → rebuild `c$i`
+    def round(i: Int, prev: String): String = {
+      val cos = cosSql("n", "e", "nrm", "p", "ce", "cnrm")
+      raw"""a$i AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT n.vec_id, p.c_id,
+           |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cos DESC, p.c_id ASC) AS rn
+           |    FROM n CROSS JOIN $prev p
+           |  ) WHERE rn = 1
+           |),
+           |e$i AS (
+           |  SELECT a$i.c_id, unnest(range(len(n.e))) AS i, unnest(n.e) AS v
+           |  FROM a$i JOIN n ON a$i.vec_id = n.vec_id
+           |),
+           |m$i AS (
+           |  SELECT c_id, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           |  FROM e$i GROUP BY c_id, i
+           |),
+           |l$i AS (SELECT c_id, list(m ORDER BY i) AS ce FROM m$i GROUP BY c_id),
+           |c$i AS (
+           |  SELECT * FROM (
+           |    SELECT c_id, ce, CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS cnrm
+           |    FROM l$i
+           |  ) WHERE cnrm > 0
+           |)""".stripMargin
+    }
+    val rounds = (1 to IvfLloydIters)
+      .map(i => round(i, if (i == 1) "seeds" else s"c${i - 1}"))
+      .mkString(",\n")
+    val fin = s"c$IvfLloydIters"
+    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
     raw"""WITH ${DedupQueries.quantCte},
          |seeds AS (
-         |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16
+         |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n
+         |  WHERE nrm > 0 ORDER BY vec_id LIMIT $IvfCentroids
          |),
-         |a0 AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT n.vec_id, s.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $centCos DESC, s.c_id ASC) AS rn
-         |    FROM n CROSS JOIN seeds s
-         |  ) WHERE rn = 1
-         |),
-         |ed AS (
-         |  SELECT a0.c_id, unnest(range(len(n.e))) AS i, unnest(n.e) AS v
-         |  FROM a0 JOIN n ON a0.vec_id = n.vec_id
-         |),
-         |md AS (
-         |  SELECT c_id, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-         |  FROM ed GROUP BY c_id, i
-         |),
-         |cents AS (SELECT c_id, list(m ORDER BY i) AS ce FROM md GROUP BY c_id),
-         |c2 AS (
-         |  SELECT c_id, ce, CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS cnrm
-         |  FROM cents
-         |),
+         |$rounds,
          |asg AS (
          |  SELECT vec_id, c_id FROM (
          |    SELECT n.vec_id, c.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cent2Cos DESC, c.c_id ASC) AS rn
-         |    FROM n CROSS JOIN c2 c
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM n CROSS JOIN $fin c
          |  ) WHERE rn = 1
          |),
          |probe AS (
          |  SELECT q_id, c_id FROM (
          |    SELECT n.vec_id AS q_id, c.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cent2Cos DESC, c.c_id ASC) AS rn
-         |    FROM n CROSS JOIN c2 c WHERE n.vec_id % 100 = 0
-         |  ) WHERE rn <= 4
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM n CROSS JOIN $fin c WHERE n.vec_id % $QueryMod = 0
+         |  ) WHERE rn <= $IvfNprobe
          |),
          |cand AS (
          |  SELECT p.q_id, b.vec_id AS neighbor_id, ${cosSql("a", "e", "nrm", "b", "e", "nrm")} AS cos
@@ -186,7 +204,7 @@ object ExtraQueries {
          |SELECT q_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM cand
-         |) WHERE rank <= 5""".stripMargin
+         |) WHERE rank <= $IvfK""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -9,12 +9,20 @@ import Similarity.{cosineQ, dotQ}
 /** IVF (inverted-file) approximate nearest neighbour — the second
   * scale path next to [[Similarity.annLsh]] (SURVEY.md §2.4/29).
   *
-  * Build: k deterministic seed vectors → one Lloyd assignment pass →
-  * element-wise mean centroids → per-centroid inverted lists.
+  * Build: k deterministic seed vectors → `iters` Lloyd passes
+  * (assign to nearest centroid, element-wise mean rebuild) →
+  * per-centroid inverted lists.
   * Probe: each query scores the (tiny, broadcast) centroid table,
   * keeps `nprobe` nearest cells, and runs exact cosine only against
   * those cells' lists — corpus work drops from O(N) to
   * O(N · nprobe / k) per query, the standard IVF trade.
+  *
+  * Tuning guidance (backed by IvfRecallSpec): recall@k rises
+  * monotonically with `nprobe` and reaches 1.0 (bit-identical to
+  * brute force) at nprobe = numCentroids; extra Lloyd passes tighten
+  * cells so the same nprobe covers more true neighbours. At corpus
+  * scale pick numCentroids ≈ √N and nprobe for the recall target —
+  * per-query work is N·nprobe/numCentroids regardless.
   *
   * All vector math is the quantized integer kind (bit-stable), and
   * centroid construction is fully declarative: posexplode → groupBy
@@ -37,37 +45,51 @@ object IvfAnn {
       .select(col("vec_id"), col("c_id"))
   }
 
-  /** K centroids: deterministic seeds (k smallest vec_ids), one Lloyd
-    * iteration, element-wise integer-mean rebuild. */
-  def centroids(corpus: DataFrame, k: Int): DataFrame = {
+  /** K centroids: deterministic seeds (k smallest vec_ids with a
+    * non-zero norm), `iters` Lloyd passes, element-wise integer-mean
+    * rebuild. Every round drops degenerate all-zero-mean centroids
+    * (cnrm = 0 would divide by zero in the cosine — Spark would yield
+    * NaN, DuckDB engine-dependent NULL; the guard keeps both engines
+    * out of that corner). Each round's centroid table is tiny and is
+    * local-checkpointed so round n+1's plan does not re-derive round
+    * n's whole assignment lineage. */
+  def centroids(corpus: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+    require(iters >= 1)
     val seeds = corpus
+      .filter(col("nrm") > 0)
       .orderBy("vec_id")
       .limit(k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-    val assigned = assign(corpus, seeds)
-    val exploded = assigned
-      .join(corpus, "vec_id")
-      .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
-    // floor(double-division) rather than a long cast: floor is the one
-    // integral-mean formulation DuckDB and Spark agree on bit-for-bit
-    // (CAST truncates toward zero in Spark but rounds in DuckDB)
-    val meanPerDim = exploded
-      .groupBy("c_id", "i")
-      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
-    meanPerDim
-      .groupBy("c_id")
-      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))
-      .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assign(corpus, cents)
+      val exploded = assigned
+        .join(corpus, "vec_id")
+        .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
+      // floor(double-division) rather than a long cast: floor is the one
+      // integral-mean formulation DuckDB and Spark agree on bit-for-bit
+      // (CAST truncates toward zero in Spark but rounds in DuckDB)
+      val meanPerDim = exploded
+        .groupBy("c_id", "i")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
+      meanPerDim
+        .groupBy("c_id")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))
+        .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+        .filter(col("cnrm") > 0)
+        .localCheckpoint(true)
+    }
   }
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact
     * cosine within those cells only. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    // materialize the (numCentroids-row) centroid table once: it feeds
-    // both the inverted-list assignment and the query probe, and its
-    // lineage is the whole Lloyd pass — recomputing that per consumer
-    // branch doubles the pipeline
-    val cents = centroids(corpus, numCentroids).localCheckpoint(true)
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      lloydIters: Int = 1): DataFrame = {
+    // the (numCentroids-row) centroid table is materialized by the
+    // loop-internal checkpoint in `centroids`: it feeds both the
+    // inverted-list assignment and the query probe, and its lineage is
+    // the whole Lloyd pass — recomputing that per consumer branch
+    // doubles the pipeline
+    val cents = centroids(corpus, numCentroids, lloydIters)
     val lists = assign(corpus, cents).join(corpus, "vec_id") // inverted lists: c_id -> members
     val qs = queries.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)

@@ -132,8 +132,12 @@ object Similarity {
     * string key. The plane matrix is a single typedlit, iterated
     * data-style — inlining one literal array per bit instead blows
     * the expression tree up to O(bits × dim) nodes and dominates
-    * runtime with analysis/compile cost. Dots are the native codegen
-    * integer DotProductLong. Computed per-row (narrow, no shuffle). */
+    * runtime with analysis/compile cost. The dot uses the native
+    * DotProductLong expression: inside this transform() lambda it
+    * evaluates INTERPRETED (higher-order functions are
+    * CodegenFallback), but it still skips the intermediate array the
+    * zip_with formulation would allocate per plane. Computed per-row
+    * (narrow, no shuffle). */
   def lshSignature(vec: Column, planes: Array[Array[Long]]): Column = {
     val planesLit = typedlit(planes.map(_.toSeq).toSeq)
     array_join(
