@@ -17,9 +17,18 @@ object Skew {
     * Result is row-identical to `probe.join(build, key)`; only the
     * shuffle distribution changes. Build-side replication multiplies
     * its size by `salts` — keep the build side the smaller one.
+    *
+    * The salt is a CONTENT hash of the whole probe row (not
+    * monotonically_increasing_id): a row hashes to the same salt on
+    * task retry and across AQE replans, so recomputation of one
+    * partition cannot route rows differently from the original
+    * attempt. Fully duplicate rows share a salt — only pathological
+    * for a hot key made of byte-identical rows, which exact-dedup
+    * upstream removes anyway.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
-    val salted = probe.withColumn("__graft_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val salted = probe.withColumn(
+      "__graft_salt", pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = build.withColumn("__graft_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted
       .join(replicated, Seq(key, "__graft_salt"))
