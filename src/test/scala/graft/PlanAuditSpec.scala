@@ -115,4 +115,33 @@ class PlanAuditSpec extends SparkSpecBase {
   test("q_json_shred shuffles only for the per-order pack") {
     assert(keyShuffles(plan("q_json_shred")) === 1) // shred side is narrow
   }
+
+  // Shuffle budgets for every query that cost > 0.5 s in BENCH_r03
+  // (plus the heavy dedup/ANN family cut from that file's stored
+  // tail). Budgets are the exchange counts of the CURRENT plans at
+  // sf0.001, measured by ProfileShuffles — a refactor that silently
+  // adds an exchange (drops a broadcast, breaks a co-partitioning,
+  // re-sorts) fails here, not in the next bench. Iterative operators
+  // (pagerank, components) report their final stacked plan; their
+  // loop-internal checkpoints truncate lineage, so the number is the
+  // per-round shape, not total work.
+  private val shuffleBudgets: Map[String, Int] = Map(
+    "q_lang_profile" -> 4, "q_pagerank" -> 6, "q_tfidf" -> 4,
+    "q_tpch_q3" -> 1, "q_tpch_q4" -> 2, "q_tpch_q5" -> 1,
+    "q_tpch_q7" -> 1, "q_tpch_q8" -> 1, "q_tpch_q10" -> 1,
+    "q_tpch_q18" -> 1, "q_star_join" -> 1, "q_pipeline" -> 2,
+    "q_mad_outliers" -> 3, "q_zscore" -> 1, "q_repetition" -> 2,
+    "q_vocab" -> 1, "q_cluster_star" -> 2, "q_corpus" -> 3,
+    "q_dedup_cluster" -> 1, "q_dedup_minhash" -> 2,
+    "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
+    "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
+    "q_sessionize" -> 1, "q_session_window" -> 1)
+
+  test("every heavy query stays within its shuffle budget") {
+    val over = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
+      val n = keyShuffles(plan(q))
+      if (n > budget) Some(s"$q: $n exchanges > budget $budget") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
 }

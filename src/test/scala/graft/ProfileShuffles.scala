@@ -1,0 +1,30 @@
+package graft
+
+/** Manual profiler (not a test): prints the key-shuffle count of each
+  * heavy query's executed plan — the numbers PlanAuditSpec's shuffle
+  * budgets are pinned from. */
+object ProfileShuffles {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpecBase.session
+    val dir = "/root/testdata/sf0.001"
+    val targets = Seq(
+      "q_lang_profile", "q_pagerank", "q_tfidf", "q_json_shred",
+      "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+      "q_tpch_q10", "q_tpch_q18", "q_star_join", "q_pipeline",
+      "q_mad_outliers", "q_zscore", "q_repetition", "q_vocab",
+      "q_cluster_star", "q_corpus", "q_dedup_cluster", "q_dedup_minhash",
+      "q_dedup_ngram", "q_containment", "q_fuzzy_join",
+      "q_ann_lsh", "q_ann_ivf", "q_cosine_topk", "q_sessionize",
+      "q_session_window")
+    for (q <- targets) {
+      try {
+        val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        val n = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+        println(s"SHUFFLES $q $n")
+      } catch {
+        case e: Exception => println(s"SHUFFLES $q ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
