@@ -12,6 +12,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SessionState(startUs: Long, endUs: Long, n: Long)
 case class LastEventState(us: Long, eventId: Long, state: String)
 case class PathWindowState(us: Long, eventId: Long, states: Seq[String])
+case class AsofRefState(us: Long, eventId: Long, value: Double)
 
 /** Structured Streaming operators over the events schema
   * (SURVEY.md §2.7). The batch equivalents (`timeBucketAgg`,
@@ -195,6 +196,75 @@ object EventStreams {
       .select(col("w.start").as("bucket"),
         graft.sketch.Sketches.tdigestQuantile(col("td"), 0.5).as("p50"),
         graft.sketch.Sketches.tdigestQuantile(col("td"), 0.95).as("p95"))
+
+  /** Fact + ref union row for [[asofEnrichedStream]]; tag 0 = ref,
+    * 1 = fact (refs sort first at equal ts — ASOF includes ==). */
+  case class AsofTagged(user_id: Long, ts: Timestamp, tag: Int, event_id: Long, value: Double)
+
+  case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+      ref_event_id: Option[Long], ref_us: Option[Long], ref_value: Option[Double])
+
+  /** Streaming as-of enrichment — the incremental counterpart of batch
+    * `TemporalJoins.asofJoin`: every fact is decorated with the LATEST
+    * reference row of the same user with refTs <= factTs. The carried
+    * reference is one tiny AsofRefState per ACTIVE user (idle-evicted
+    * like [[transitionsStream]]), so unlike a stream-stream interval
+    * join the reference's validity never expires — exactly the as-of
+    * contract (a price quote holds until the next quote) that a
+    * time-bounded join cannot express.
+    *
+    * Each micro-batch sorts its own rows by (ts, tag, event_id) —
+    * refs first at equal ts, matching the batch operator's tie-break —
+    * and carries across batches via the state store. Matches batch
+    * output when cross-batch arrival is in event-time order (the same
+    * contract as [[transitionsStream]]); facts preceding any ref pass
+    * through null-filled, never dropped. StreamingSpec drives parity
+    * against `TemporalJoins.asofJoin` across micro-batches. */
+  def asofEnrichedStream(
+      facts: Dataset[Event],
+      refs: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      idleEvict: String = "1 hour"
+  ): Dataset[AsofOut] = {
+    import facts.sparkSession.implicits._
+    val tagged = facts.map(e => AsofTagged(e.user_id, e.ts, 1, e.event_id, e.value))
+      .unionByName(refs.map(e => AsofTagged(e.user_id, e.ts, 0, e.event_id, e.value)))
+    tagged
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofRefState, AsofOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[AsofTagged], state: GroupState[AsofRefState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = rows.map(r => (micros(r.ts), r.tag, r.event_id, r.value)).toSeq
+            .sortBy(t => (t._1, t._2, t._3))
+          val out = Seq.newBuilder[AsofOut]
+          var ref = state.getOption
+          var lastUs = 0L
+          sorted.foreach { case (us, tag, id, value) =>
+            lastUs = math.max(lastUs, us)
+            if (tag == 0) {
+              // later (ts, event_id) wins; equal-ts refs tie-break on id
+              // (mirrors the batch window's payload-struct tie-break)
+              if (ref.forall(p => p.us < us || (p.us == us && p.eventId <= id))) {
+                ref = Some(AsofRefState(us, id, value))
+              }
+            } else {
+              out += AsofOut(id, userId, us, ref.map(_.eventId), ref.map(_.us), ref.map(_.value))
+            }
+          }
+          ref.foreach { p =>
+            state.update(p)
+            state.setTimeoutTimestamp(math.max(p.us, lastUs) / 1000, idleEvict)
+          }
+          out.result().iterator
+        }
+      }
+  }
 
   case class TransitionOut(user_id: Long, from_state: String, to_state: String)
 

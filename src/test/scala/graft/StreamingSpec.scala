@@ -151,6 +151,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === Set((1L, 11L), (1L, 12L), (2L, 13L)))
   }
 
+  test("asofEnrichedStream matches batch asofJoin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // refs = price quotes; facts = trades decorated with the latest
+    // quote at-or-before their timestamp
+    val refs1 = Seq(
+      Event(101L, ts("2024-01-01 00:00:00"), 1L, "quote", 10.0),
+      Event(102L, ts("2024-01-01 00:30:00"), 1L, "quote", 11.0))
+    val facts1 = Seq(
+      Event(1L, ts("2024-01-01 00:10:00"), 1L, "trade", 0.0),  // -> 101
+      Event(2L, ts("2024-01-01 00:30:00"), 1L, "trade", 0.0),  // == ts: ASOF includes -> 102
+      Event(3L, ts("2024-01-01 00:05:00"), 2L, "trade", 0.0))  // user 2: no quote -> nulls
+    // second micro-batch, later event time: fact must carry the quote
+    // STORED FROM BATCH 1 (the cross-batch as-of carry), then a new
+    // quote takes over
+    val refs2 = Seq(Event(103L, ts("2024-01-01 02:00:00"), 1L, "quote", 12.0))
+    val facts2 = Seq(
+      Event(4L, ts("2024-01-01 01:00:00"), 1L, "trade", 0.0),  // -> 102 (carried state)
+      Event(5L, ts("2024-01-01 02:10:00"), 1L, "trade", 0.0))  // -> 103
+
+    val memF = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    val q = EventStreams.asofEnrichedStream(memF.toDS(), memR.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode(OutputMode.Append()).start()
+    memF.addData(facts1: _*); memR.addData(refs1: _*)
+    q.processAllAvailable()
+    memF.addData(facts2: _*); memR.addData(refs2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof")
+      .select("event_id", "ref_event_id", "ref_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    val factsDf = (facts1 ++ facts2).toDF().select(col("event_id"), col("user_id"),
+      (col("ts").cast("long") * 1000000L).as("ts_us"))
+    val refsDf = (refs1 ++ refs2).toDF().select(col("user_id"),
+      (col("ts").cast("long") * 1000000L).as("ref_us_src"),
+      col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+    val batch = graft.operators.TemporalJoins.asofJoin(
+        factsDf, refsDf, "user_id", col("ts_us"), col("ref_us_src"),
+        Seq("ref_event_id", "ref_value"))
+      .select("event_id", "ref_event_id", "ref_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, Some(101L), Some(10.0)), (2L, Some(102L), Some(11.0)),
+      (3L, None, None), (4L, Some(102L), Some(11.0)), (5L, Some(103L), Some(12.0))))
+  }
+
   test("deduped drops repeated keys within the watermark across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
