@@ -34,6 +34,22 @@ import graft.sources.PartitionedFiles
   *   partitions.coalesce  --num-partitions 4
   *   partitions.concat
   *   partitions.reduce    --aggs "sum(v) AS s"
+  *
+  * LLM-pipeline verbs (the library operators a training-data pipeline
+  * runs most, exposed as shell commands — SURVEY.md §2.3/§2.5):
+  *   dedup-minhash  --text text --id doc_id [--shingle 3] [--bands 4]
+  *                  [--rows-per-band 2] [--emit keep|pairs]
+  *       near-duplicate removal: MinHash-LSH candidate pairs →
+  *       connected components → keep the min-id representative per
+  *       cluster (--emit keep, default), or dump the candidate pairs
+  *       themselves (--emit pairs)
+  *   pack           --text text --id doc_id [--shard "doc_id % 8"] [--budget 2000]
+  *       token-budget packing: per shard, cumulative token counts cut
+  *       into batch_id groups — the batch/sequence packing step before
+  *       tokenizer sharding
+  *   split-assign   --key doc_id [--train 90] [--val 5]
+  *       deterministic hash split: adds a `split` column
+  *       (train/val/test) stable under reruns and row order
   */
 object Cli {
 
@@ -156,6 +172,35 @@ object Cli {
           write(df.repartitionRecords(n), parts = n)
         case "partitions.concat" =>
           write(read().coalescePartitions(1))
+        case "dedup-minhash" =>
+          val df = read()
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+            df, text, id,
+            shingleN = opts.getOrElse("shingle", "3").toInt,
+            numBands = opts.getOrElse("bands", "4").toInt,
+            rowsPerBand = opts.getOrElse("rows-per-band", "2").toInt)
+          opts.getOrElse("emit", "keep") match {
+            case "pairs" => write(pairs)
+            case "keep"  => write(graft.dedup.Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+            case o       => fail(s"--emit must be keep|pairs, got: $o")
+          }
+        case "pack" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val shard = expr(opts.getOrElse("shard", s"pmod(${opts("id")}, 8)"))
+          write(graft.text.TextPrep.packByTokenBudget(
+            read().withColumn("__shard", shard), col("__shard"), Seq(id),
+            graft.text.TextAnalysis.tokenCount(text),
+            budget = opts.getOrElse("budget", "2000").toLong)
+            .withColumnRenamed("__shard", "shard"))
+        case "split-assign" =>
+          val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
+          write(read().withColumn("split", graft.text.TextPrep.splitAssign(
+            key,
+            trainPct = opts.getOrElse("train", "90").toInt,
+            valPct = opts.getOrElse("val", "5").toInt)))
         case other => fail(s"unknown command: $other")
       }
     } finally spark.stop()

@@ -80,5 +80,66 @@ object DriveCli {
       println("PARQUET_N=" + n) // expect 5 regions
       spark.stop()
     }
+
+    // ---- LLM-pipeline verbs over the real sf0.001 documents table ----
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+
+    // dedup-minhash (keep-one representative per near-dup cluster)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "dedup-minhash", "--text", "text", "--id", "doc_id",
+      "--outfile", s"$tmp/deduped"))
+    // and the raw candidate pairs
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "dedup-minhash", "--text", "text", "--id", "doc_id", "--emit", "pairs",
+      "--outfile", s"$tmp/pairs"))
+    locally {
+      val spark = GraftSession.builder("verifyDedup", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val kept = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/deduped")
+      val pairs = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/pairs")
+      val expectKept = graft.dedup.Components.keepOnePerCluster(
+        in, col("doc_id"),
+        graft.dedup.Dedup.minhashCandidatePairs(in, col("text"), col("doc_id")),
+        "doc_a", "doc_b").count()
+      println(s"DEDUP_KEEP=${kept.count()} EXPECT=$expectKept PAIRS=${pairs.count()} IN=${in.count()}")
+      spark.stop()
+    }
+
+    // pack (token-budget batching per shard)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "pack", "--text", "text", "--id", "doc_id", "--shard", "pmod(doc_id, 8)",
+      "--budget", "2000", "--outfile", s"$tmp/packed"))
+    locally {
+      val spark = GraftSession.builder("verifyPack", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import org.apache.spark.sql.functions.{max => smax, sum => ssum}
+      val packed = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/packed")
+      // a batch may exceed the budget only via its last (straddling)
+      // doc: total minus the largest member must stay under budget
+      val overBudget = packed.groupBy("shard", "batch_id")
+        .agg(ssum("n_tokens").as("t"), smax("n_tokens").as("m"))
+        .filter(col("t") - col("m") >= 2000L).count()
+      val nBatches = packed.select("shard", "batch_id").distinct().count()
+      println(s"PACK_ROWS=${packed.count()} BATCHES=$nBatches OVER=$overBudget")
+      spark.stop()
+    }
+
+    // split-assign (deterministic train/val/test)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "split-assign", "--key", "doc_id", "--outfile", s"$tmp/split"))
+    locally {
+      val spark = GraftSession.builder("verifySplit", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/split")
+      val byCli = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val byLib = in.withColumn("split", graft.text.TextPrep.splitAssign(col("doc_id")))
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"SPLIT_CLI=$byCli MATCH=${byCli == byLib}")
+      spark.stop()
+    }
   }
 }
