@@ -118,9 +118,10 @@ case class GroupTopKExec(
     }
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, attrs)
+      // RowOrdering.create compiles a codegen comparator when the
+      // factory mode allows (default), falling back to interpreted
       val ord = RowOrdering.create(orderLocal, attrs)
-      // max-heap under ord: head = current worst of the kept k
-      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, BoundedMaxHeap]
 
       def drain(): Iterator[InternalRow] = {
         numGroups += heaps.size
@@ -140,14 +141,17 @@ case class GroupTopKExec(
             while (!flushed && iter.hasNext) {
               val row = iter.next()
               val key = keyProj(row)
-              val heap = heaps.getOrElseUpdate(
-                key.copy(),
-                scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
-              if (heap.size < kLocal) heap.enqueue(row.copy())
-              else if (ord.compare(row, heap.head) < 0) {
-                heap.dequeue()
-                heap.enqueue(row.copy())
+              // probe with the projection's REUSED buffer row (UnsafeRow
+              // hashes/compares its bytes); copy the key only when the
+              // group is first seen — not once per input row
+              val heap = heaps.get(key) match {
+                case Some(h) => h
+                case None =>
+                  val h = new BoundedMaxHeap(kLocal, ord)
+                  heaps.put(key.copy(), h)
+                  h
               }
+              heap.offer(row)
               if (partialLocal && heaps.size >= flushLocal) {
                 flushed = true
                 numFlushes += 1
@@ -165,6 +169,56 @@ case class GroupTopKExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
     copy(child = newChild)
+}
+
+/** Fixed-capacity binary max-heap of the k smallest rows under `ord`
+  * (heap root = current worst keeper). Replaces
+  * `mutable.PriorityQueue`: a flat pre-sized array (no growth, no
+  * ArrayBuffer indirection), rows copied only when actually KEPT, and
+  * a single comparator call rejects a non-qualifying row once the
+  * heap is full — the partial phase's per-row hot path. */
+private[graft] final class BoundedMaxHeap(k: Int, ord: Ordering[InternalRow]) {
+  private[this] val rows = new Array[InternalRow](k)
+  private[this] var n = 0
+
+  def size: Int = n
+
+  /** Keep `row` if it is among the k smallest so far. Copies lazily —
+    * callers pass the iterator's reused row. */
+  def offer(row: InternalRow): Unit = {
+    if (n < k) {
+      rows(n) = row.copy()
+      n += 1
+      // sift up
+      var i = n - 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (ord.compare(rows(i), rows(p)) > 0) {
+          val t = rows(i); rows(i) = rows(p); rows(p) = t
+          i = p
+        } else i = 0
+      }
+    } else if (ord.compare(row, rows(0)) < 0) {
+      rows(0) = row.copy()
+      // sift down
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && ord.compare(rows(l), rows(m)) > 0) m = l
+        if (r < n && ord.compare(rows(r), rows(m)) > 0) m = r
+        if (m == i) done = true
+        else {
+          val t = rows(i); rows(i) = rows(m); rows(m) = t
+          i = m
+        }
+      }
+    }
+  }
+
+  def iterator: Iterator[InternalRow] = rows.iterator.take(n)
 }
 
 /** Planner strategy: GroupTopK → partial exec → (exchange inserted by
