@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Components, Dedup}
+import graft.dedup.{Components, Decontam, Dedup}
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -74,6 +74,18 @@ object DedupQueries {
       Components.keepOnePerCluster(docs, col("doc_id"), pairs, "doc_a", "doc_b")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // §2.3/22be benchmark decontamination: corpus docs sharing >= 3
+    // distinct 3-grams with any "benchmark" doc (every 50th doc plays
+    // the eval set). Corpus grams never shuffle; the benchmark gram
+    // set is broadcast; the only exchange is the per-pair hit count.
+    "q_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.ngramContamination(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0), col("text"), col("doc_id"),
+        n = 3, minHits = 3)
     }),
 
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
@@ -287,6 +299,14 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
+    "q_decontam" ->
+      raw"""WITH $shinglesCte,
+           |cg AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 50 <> 0),
+           |bg AS (SELECT doc_id AS bench_id, unnest(g) AS g FROM sh WHERE doc_id % 50 = 0)
+           |SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM cg JOIN bg USING (g)
+           |GROUP BY doc_id, bench_id
+           |HAVING count(*) >= 3""".stripMargin,
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,

@@ -153,4 +153,27 @@ class DedupSpec extends SparkSpecBase {
     val v = Seq("abc").toDF("t").select(Dedup.portableTokenHash(col("t"))).as[Long].head()
     assert(v === 648541476951500027L)
   }
+
+  test("decontaminate drops exactly the documents flagged against the benchmark") {
+    import graft.dedup.Decontam
+    val bench = Seq((100L, base)).toDF("bench_id", "text")
+    // doc 1 and 4 share all grams with the benchmark; doc 2 shares most
+    // (one token changed); doc 3 shares none
+    val flagged = Decontam.ngramContamination(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 3, minHits = 3)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(flagged === Set((1L, 100L), (2L, 100L), (4L, 100L)))
+    val clean = Decontam.decontaminate(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 3, minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(3L))
+    // a stricter threshold than any overlap keeps everything
+    val all = Decontam.decontaminate(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 3, minHits = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L, 3L, 4L))
+  }
 }
