@@ -50,6 +50,10 @@ import graft.sources.PartitionedFiles
   *   split-assign   --key doc_id [--train 90] [--val 5]
   *       deterministic hash split: adds a `split` column
   *       (train/val/test) stable under reruns and row order
+  *   validate       [--not-null "a,b"] [--unique "a,b"] [--check "pred1;pred2"]
+  *       data-quality expectations: emits one (rule, violations) row
+  *       per rule — the pre-ingest gate run before a batch is
+  *       promoted (all rules evaluated in ONE pass over the data)
   */
 object Cli {
 
@@ -201,6 +205,20 @@ object Cli {
             key,
             trainPct = opts.getOrElse("train", "90").toInt,
             valPct = opts.getOrElse("val", "5").toInt)))
+        case "validate" =>
+          import graft.quality.Validate._
+          val checks = Seq.newBuilder[Check]
+          opts.get("not-null").foreach(_.split(",").map(_.trim).filter(_.nonEmpty)
+            .foreach(c => checks += NotNull(s"not_null_$c", col(c))))
+          opts.get("unique").foreach { s =>
+            val cs = s.split(",").map(_.trim).filter(_.nonEmpty)
+            checks += Unique("unique_" + cs.mkString("_"), cs.map(col).toSeq)
+          }
+          opts.get("check").foreach(_.split(";").map(_.trim).filter(_.nonEmpty).zipWithIndex
+            .foreach { case (e, i) => checks += Satisfies(s"check_$i", expr(e)) })
+          val cs = checks.result()
+          if (cs.isEmpty) fail("validate requires --not-null, --unique and/or --check")
+          write(violations(read(), cs))
         case other => fail(s"unknown command: $other")
       }
     } finally spark.stop()

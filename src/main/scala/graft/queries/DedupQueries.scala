@@ -88,6 +88,23 @@ object DedupQueries {
         n = 3, minHits = 3)
     }),
 
+    // §2.3/22bf cross-source overlap matrix: for every source pair,
+    // how many distinct document OPENINGS (5-token-prefix md5
+    // fingerprint) appear in both — the corpus diagnostic that tells
+    // you which crawls duplicate each other (and in what direction to
+    // dedup). Pure integer counting; the only shuffles are
+    // fingerprint-level (distinct + pair aggregate), never documents.
+    "q_source_overlap" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("source"),
+          md5(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ")).as("fp"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_openings"))
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -299,6 +316,15 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
+    "q_source_overlap" ->
+      raw"""WITH fp AS (
+           |  SELECT DISTINCT source,
+           |         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:5], ' ')) AS fp
+           |  FROM documents)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       CAST(count(*) AS BIGINT) AS shared_openings
+           |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+           |GROUP BY 1, 2""".stripMargin,
     "q_decontam" ->
       raw"""WITH $shinglesCte,
            |cg AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 50 <> 0),

@@ -30,6 +30,16 @@ import Similarity.{cosineQ, dotQ}
   */
 object IvfAnn {
 
+  /** numCentroids ≈ √N — the standard IVF coarse-quantizer sizing
+    * (per-query work N·nprobe/numCentroids balances against the
+    * nprobe·(N/cells) scan of probed cells at cells = √N). Clamped to
+    * [1, 2^16]; pass the result to [[annIvf]] explicitly so the
+    * corpus count (an action) stays a caller-side decision. */
+  def suggestCentroids(corpusSize: Long): Int = {
+    require(corpusSize >= 0)
+    math.max(1L, math.min(1L << 16, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+  }
+
   /** Assign every corpus vector to its nearest centroid (max cosine,
     * deterministic tie-break on centroid id). Centroids are tiny →
     * broadcast cross join, no corpus shuffle. */

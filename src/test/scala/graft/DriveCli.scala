@@ -125,6 +125,20 @@ object DriveCli {
       spark.stop()
     }
 
+    // validate (data-quality expectations in one pass)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "validate", "--not-null", "doc_id,text", "--unique", "doc_id",
+      "--check", "length(text) > 0; doc_id >= 0",
+      "--outfile", s"$tmp/validated"))
+    locally {
+      val spark = GraftSession.builder("verifyVal", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val rules = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/validated")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"VALIDATE=$rules ALL_CLEAN=${rules.values.forall(_ == 0L)} N_RULES=${rules.size}")
+      spark.stop()
+    }
+
     // split-assign (deterministic train/val/test)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "split-assign", "--key", "doc_id", "--outfile", s"$tmp/split"))

@@ -51,6 +51,18 @@ class IvfRecallSpec extends SparkSpecBase {
     assert(recall(4, 1) < recall(4, 2))
   }
 
+  test("suggestCentroids follows the sqrt(N) rule, clamped") {
+    assert(IvfAnn.suggestCentroids(0) === 1)
+    assert(IvfAnn.suggestCentroids(1) === 1)
+    assert(IvfAnn.suggestCentroids(500) === 22)
+    assert(IvfAnn.suggestCentroids(1000000) === 1000)
+    assert(IvfAnn.suggestCentroids(Long.MaxValue) === 65536) // clamp
+    // monotone over realistic sizes
+    val sizes = Seq(10L, 100L, 10000L, 1000000L, 100000000L)
+    val cs = sizes.map(IvfAnn.suggestCentroids)
+    assert(cs === cs.sorted)
+  }
+
   test("probing all cells is bit-identical to brute force, ranks included") {
     val ivf = IvfAnn.annIvf(corpus, qs, k, cells, nprobe = cells, lloydIters = 2)
       .select("q_id", "neighbor_id", "rank", "cos").as[(Long, Long, Int, Double)].collect().toSet
