@@ -135,7 +135,23 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_dedup_cluster" -> 1, "q_dedup_minhash" -> 2,
     "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
-    "q_sessionize" -> 1, "q_session_window" -> 1)
+    "q_sessionize" -> 1, "q_session_window" -> 1,
+    "q_decontam" -> 1, "q_source_overlap" -> 3)
+
+  test("headline aggregates combine map-side (partial aggregation)") {
+    // at 100 TB the difference between shuffling raw fact rows and
+    // shuffling per-partition partials is the whole ballgame — assert
+    // the plans keep the partial HashAggregate below the exchange
+    for (q <- Seq("q_tpch_q1", "q_star_join", "q_reduce_by_key", "q_time_bucket")) {
+      assert(plan(q).contains("partial_"), s"$q lost its map-side combine")
+    }
+  }
+
+  test("q_decontam broadcasts the benchmark gram set, not the corpus") {
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(keyShuffles(p) === 1) // only the (doc, bench) pair count aggregate
+  }
 
   test("every heavy query stays within its shuffle budget") {
     val over = shuffleBudgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
