@@ -96,6 +96,13 @@ object TextQueries {
     "q_repetition" -> ((s, dir) =>
       TextPrep.repetitionRatio(Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/45b corpus-frequency boilerplate removal: 3-grams in >= 5
+    // distinct docs are boilerplate; every covered token position is
+    // scrubbed and the text rebuilt in order.
+    "q_boilerplate" -> ((s, dir) =>
+      TextPrep.removeFrequentGrams(Tables.documents(s, dir), col("text"), col("doc_id"),
+        n = 3, minDocFreq = 5)),
+
     // §2.5/47 data-quality expectation suite over orders (one plan,
     // one (rule, violations) row per check).
     "q_validate" -> ((s, dir) => {
@@ -255,6 +262,30 @@ object TextQueries {
            |       CAST(sum(c) AS BIGINT) AS n_tokens,
            |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
            |FROM c GROUP BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+           |),
+           |g3 AS (
+           |  SELECT doc_id, unnest(range(len(t)-2)) AS p, t FROM toks
+           |),
+           |g AS (SELECT doc_id, p, t[p+1] || ' ' || t[p+2] || ' ' || t[p+3] AS g FROM g3),
+           |freq AS (
+           |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+           |  WHERE df >= 5
+           |),
+           |covered AS (
+           |  SELECT DISTINCT g.doc_id, unnest(range(p, p+3)) AS tp FROM g JOIN freq USING (g)
+           |),
+           |tok_pos AS (SELECT doc_id, unnest(range(len(t))) AS tp, t FROM toks),
+           |kept AS (
+           |  SELECT tok_pos.doc_id, tp, t[tp+1] AS tok
+           |  FROM tok_pos LEFT JOIN covered USING (doc_id, tp)
+           |  WHERE covered.tp IS NULL
+           |)
+           |SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
+           |       CAST(count(*) AS BIGINT) AS n_kept
+           |FROM kept GROUP BY doc_id""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id,
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -103,4 +103,40 @@ object TextPrep {
       .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_tokens"))
       .select(col("doc_id"), col("max_rep"), col("n_tokens"),
         (col("max_rep").cast("double") / col("n_tokens")).as("rep_ratio"))
+
+  /** Corpus-frequency boilerplate removal (the RefinedWeb/CCNet-style
+    * "frequent n-gram" scrub): any word n-gram appearing in at least
+    * `minDocFreq` distinct documents is boilerplate (headers, nav
+    * text, license banners), and every token position it covers is
+    * deleted from every document. Emits (doc_id, clean_text, n_kept);
+    * a document whose every token is boilerplate disappears.
+    *
+    * Scale shape: grams come from the native codegen WordShingles
+    * (gram index = start position, so coverage is a pure sequence
+    * explode); the boilerplate gram set is SMALL by definition
+    * (corpus-frequent) → broadcast back against the positional gram
+    * stream; the rebuild groups each document's surviving (pos,
+    * token) pairs once. No document-content shuffle except that
+    * per-document rebuild. */
+  def removeFrequentGrams(df: DataFrame, text: Column, id: Column,
+      n: Int, minDocFreq: Long): DataFrame = {
+    require(n >= 1 && minDocFreq >= 2)
+    val g3 = df.select(id.as("doc_id"),
+      posexplode(graft.dedup.Dedup.shinglesRaw(text, n)).as(Seq("p", "g")))
+    val freq = g3.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("g")
+    val covered = g3.join(broadcast(freq), "g")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
+      .distinct()
+    val tokPos = df.select(id.as("doc_id"),
+      posexplode(graft.dedup.Dedup.tokens(text)).as(Seq("tp", "tok")))
+    tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -19,6 +19,24 @@ class TextPrepSpec extends SparkSpecBase {
     assert(out(2) === "nothing sensitive here")
   }
 
+  test("removeFrequentGrams scrubs covered spans and drops emptied docs") {
+    // "begin legal notice" appears in 3 docs → boilerplate at df>=3;
+    // doc 4 is ONLY boilerplate and must disappear entirely
+    val docs = Seq(
+      (1L, "begin legal notice alpha beta gamma"),
+      (2L, "delta begin legal notice epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "begin legal notice")
+    ).toDF("doc_id", "text")
+    val out = TextPrep.removeFrequentGrams(docs, col("text"), col("doc_id"), n = 3, minDocFreq = 3)
+      .select("doc_id", "clean_text", "n_kept").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("alpha beta gamma", 3L)))
+    assert(out(2L) === (("delta epsilon", 2L))) // mid-document span removed, order kept
+    assert(out(3L) === (("zeta eta theta iota kappa", 5L))) // untouched
+    assert(!out.contains(4L)) // fully-boilerplate doc removed
+  }
+
   test("splitAssign is deterministic and roughly proportioned") {
     val df = spark.range(10000).select(col("id"))
     val counts = df.select(TextPrep.splitAssign(col("id")).as("s"))
