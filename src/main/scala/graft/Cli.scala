@@ -54,6 +54,13 @@ import graft.sources.PartitionedFiles
   *       data-quality expectations: emits one (rule, violations) row
   *       per rule — the pre-ingest gate run before a batch is
   *       promoted (all rules evaluated in ONE pass over the data)
+  *   decontam       --bench PATH --text text --id doc_id [--bench-text text]
+  *                  [--bench-id doc_id] [--n 3] [--min-hits 3] [--emit clean|flags]
+  *       benchmark decontamination: drop (or just flag, --emit flags)
+  *       corpus docs sharing n-grams with the eval set at PATH
+  *   boilerplate    --text text --id doc_id [--n 3] [--min-doc-freq 5]
+  *       corpus-frequency boilerplate scrub: delete token spans
+  *       covered by n-grams appearing in >= min-doc-freq documents
   */
 object Cli {
 
@@ -205,6 +212,35 @@ object Cli {
             key,
             trainPct = opts.getOrElse("train", "90").toInt,
             valPct = opts.getOrElse("val", "5").toInt)))
+        case "decontam" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val benchPath = opts.getOrElse("bench", fail("--bench PATH required"))
+          val bench = fmt match {
+            case "json"    => PartitionedFiles.readJsonl(spark, benchPath, opts.get("bench-schema"))
+            case "csv"     => PartitionedFiles.readCsv(spark, benchPath, header = true, opts.get("bench-schema"))
+            case "parquet" => PartitionedFiles.readParquet(spark, benchPath)
+            case "orc"     => PartitionedFiles.readOrc(spark, benchPath)
+            case o         => fail(s"decontam unsupported for format: $o")
+          }
+          val bText = expr(opts.getOrElse("bench-text", opts("text")))
+          val bId = expr(opts.getOrElse("bench-id", opts("id")))
+          val n = opts.getOrElse("n", "3").toInt
+          val minHits = opts.getOrElse("min-hits", "3").toLong
+          val corpus = read()
+          opts.getOrElse("emit", "clean") match {
+            case "flags" => write(graft.dedup.Decontam.ngramContamination(
+              corpus, text, id, bench, bText, bId, n, minHits))
+            case "clean" => write(graft.dedup.Decontam.decontaminate(
+              corpus, text, id, bench, bText, bId, n, minHits))
+            case o => fail(s"--emit must be clean|flags, got: $o")
+          }
+        case "boilerplate" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.text.TextPrep.removeFrequentGrams(read(), text, id,
+            n = opts.getOrElse("n", "3").toInt,
+            minDocFreq = opts.getOrElse("min-doc-freq", "5").toLong))
         case "validate" =>
           import graft.quality.Validate._
           val checks = Seq.newBuilder[Check]

@@ -125,6 +125,45 @@ object DriveCli {
       spark.stop()
     }
 
+    // decontam (drop corpus docs overlapping the "benchmark" = every
+    // 50th doc, exported first)
+    locally {
+      val spark = GraftSession.builder("seedBench", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val bench = graft.sources.PartitionedFiles.readParquet(spark, docs)
+        .filter(col("doc_id") % 50 === 0)
+      graft.sources.PartitionedFiles.writeParquet(bench, s"$tmp/bench", 1)
+      spark.stop()
+    }
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "decontam", "--bench", s"$tmp/bench", "--text", "text", "--id", "doc_id",
+      "--min-hits", "3", "--outfile", s"$tmp/decontaminated"))
+    locally {
+      val spark = GraftSession.builder("verifyDecontam", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val n = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/decontaminated").count()
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expected = graft.dedup.Decontam.decontaminate(
+        in, col("text"), col("doc_id"),
+        in.filter(col("doc_id") % 50 === 0), col("text"), col("doc_id"),
+        n = 3, minHits = 3).count()
+      println(s"DECONTAM=$n EXPECT=$expected")
+      spark.stop()
+    }
+
+    // boilerplate (frequent-gram scrub)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "boilerplate", "--text", "text", "--id", "doc_id", "--min-doc-freq", "5",
+      "--outfile", s"$tmp/scrubbed"))
+    locally {
+      val spark = GraftSession.builder("verifyBp", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/scrubbed")
+      val kept = out.agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+      println(s"BOILERPLATE_DOCS=${out.count()} TOKENS_KEPT=$kept")
+      spark.stop()
+    }
+
     // validate (data-quality expectations in one pass)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "validate", "--not-null", "doc_id,text", "--unique", "doc_id",
