@@ -76,16 +76,17 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
 
-    // §2.3/22be benchmark decontamination: corpus docs sharing >= 3
-    // distinct 3-grams with any "benchmark" doc (every 50th doc plays
-    // the eval set). Corpus grams never shuffle; the benchmark gram
-    // set is broadcast; the only exchange is the per-pair hit count.
+    // §2.3/22be benchmark decontamination: corpus docs sharing enough
+    // distinct n-grams with any "benchmark" doc (every BenchMod-th doc
+    // plays the eval set). Corpus grams never shuffle; the benchmark
+    // gram set is broadcast; the only exchange is the per-pair hit
+    // count. Parameters shared with the oracle via PrepParams.
     "q_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Decontam.ngramContamination(
-        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0), col("text"), col("doc_id"),
-        docs.filter(pmod(col("doc_id"), lit(50)) === 0), col("text"), col("doc_id"),
-        n = 3, minHits = 3)
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) === 0), col("text"), col("doc_id"),
+        n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
     }),
 
     // §2.3/22bf cross-source overlap matrix: for every source pair,
@@ -97,7 +98,7 @@ object DedupQueries {
     "q_source_overlap" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
         .select(col("source"),
-          md5(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ")).as("fp"))
+          md5(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, PrepParams.OpeningTokens), " ")).as("fp"))
         .distinct()
       fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -319,7 +320,7 @@ object DedupQueries {
     "q_source_overlap" ->
       raw"""WITH fp AS (
            |  SELECT DISTINCT source,
-           |         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:5], ' ')) AS fp
+           |         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:${PrepParams.OpeningTokens}], ' ')) AS fp
            |  FROM documents)
            |SELECT a.source AS source_a, b.source AS source_b,
            |       CAST(count(*) AS BIGINT) AS shared_openings
@@ -327,12 +328,12 @@ object DedupQueries {
            |GROUP BY 1, 2""".stripMargin,
     "q_decontam" ->
       raw"""WITH $shinglesCte,
-           |cg AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 50 <> 0),
-           |bg AS (SELECT doc_id AS bench_id, unnest(g) AS g FROM sh WHERE doc_id % 50 = 0)
+           |cg AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % ${PrepParams.BenchMod} <> 0),
+           |bg AS (SELECT doc_id AS bench_id, unnest(g) AS g FROM sh WHERE doc_id % ${PrepParams.BenchMod} = 0)
            |SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
            |FROM cg JOIN bg USING (g)
            |GROUP BY doc_id, bench_id
-           |HAVING count(*) >= 3""".stripMargin,
+           |HAVING count(*) >= ${PrepParams.DecontamMinHits}""".stripMargin,
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,

@@ -1,0 +1,21 @@
+package graft.queries
+
+/** Single source of truth for the text-prep / dedup query parameters
+  * that must agree between the Spark lambdas and their DuckDB oracle
+  * SQL (same contract as [[AnnParams]] — editing one side silently
+  * broke the gate before these were shared). */
+object PrepParams {
+  // q_decontam: every doc_id ≡ 0 (mod BenchMod) plays the eval set.
+  // DecontamN and BoilerN are pinned to 3 because the shared oracle
+  // shingle CTE (DedupQueries.shinglesCteOn) is written as 3-grams.
+  val BenchMod = 50
+  val DecontamN = 3
+  val DecontamMinHits = 3
+
+  // q_source_overlap: md5 fingerprint of the first OpeningTokens tokens
+  val OpeningTokens = 5
+
+  // q_boilerplate
+  val BoilerN = 3
+  val BoilerMinDocFreq = 5
+}

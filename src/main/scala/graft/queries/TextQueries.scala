@@ -96,12 +96,13 @@ object TextQueries {
     "q_repetition" -> ((s, dir) =>
       TextPrep.repetitionRatio(Tables.documents(s, dir), col("text"), col("doc_id"))),
 
-    // §2.5/45b corpus-frequency boilerplate removal: 3-grams in >= 5
-    // distinct docs are boilerplate; every covered token position is
-    // scrubbed and the text rebuilt in order.
+    // §2.5/45b corpus-frequency boilerplate removal: n-grams in >=
+    // BoilerMinDocFreq distinct docs are boilerplate; every covered
+    // token position is scrubbed and the text rebuilt in order.
+    // Parameters shared with the oracle via PrepParams.
     "q_boilerplate" -> ((s, dir) =>
       TextPrep.removeFrequentGrams(Tables.documents(s, dir), col("text"), col("doc_id"),
-        n = 3, minDocFreq = 5)),
+        n = PrepParams.BoilerN, minDocFreq = PrepParams.BoilerMinDocFreq)),
 
     // §2.5/47 data-quality expectation suite over orders (one plan,
     // one (rule, violations) row per check).
@@ -272,7 +273,7 @@ object TextQueries {
            |g AS (SELECT doc_id, p, t[p+1] || ' ' || t[p+2] || ' ' || t[p+3] AS g FROM g3),
            |freq AS (
            |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
-           |  WHERE df >= 5
+           |  WHERE df >= ${PrepParams.BoilerMinDocFreq}
            |),
            |covered AS (
            |  SELECT DISTINCT g.doc_id, unnest(range(p, p+3)) AS tp FROM g JOIN freq USING (g)

@@ -177,7 +177,7 @@ case class GroupTopKExec(
   * ArrayBuffer indirection), rows copied only when actually KEPT, and
   * a single comparator call rejects a non-qualifying row once the
   * heap is full — the partial phase's per-row hot path. */
-private[graft] final class BoundedMaxHeap(k: Int, ord: Ordering[InternalRow]) {
+final class BoundedMaxHeap(k: Int, ord: Ordering[InternalRow]) {
   private[this] val rows = new Array[InternalRow](k)
   private[this] var n = 0
 

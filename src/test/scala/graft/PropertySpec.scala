@@ -138,4 +138,26 @@ class PropertySpec extends SparkSpecBase {
       assert(total === expected, s"seed=$seed k=$k")
     }
   }
+
+  test("BoundedMaxHeap keeps exactly the k smallest rows under any ordering") {
+    // direct randomized check of the GroupTopK partial-phase heap
+    // against sort-take-k, including duplicate keys and k > n
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val ord: Ordering[InternalRow] = Ordering.by((r: InternalRow) => r.getLong(0))
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(12)
+      val values = Seq.fill(n)(rnd.nextInt(40).toLong) // dense → duplicates
+      val heap = new org.apache.spark.sql.graft.BoundedMaxHeap(k, ord)
+      val reused = new GenericInternalRow(1) // simulate iterator row reuse
+      values.foreach { v =>
+        reused.update(0, v)
+        heap.offer(reused)
+      }
+      val kept = heap.iterator.map(_.getLong(0)).toSeq.sorted
+      assert(kept === values.sorted.take(k), s"seed=$seed k=$k")
+    }
+  }
 }
