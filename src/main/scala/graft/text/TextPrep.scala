@@ -117,7 +117,13 @@ object TextPrep {
     * (corpus-frequent) → broadcast back against the positional gram
     * stream; the rebuild groups each document's surviving (pos,
     * token) pairs once. No document-content shuffle except that
-    * per-document rebuild. */
+    * per-document rebuild. The positional gram stream feeds two
+    * consumers (frequency aggregate, coverage join) and is
+    * DELIBERATELY recomputed rather than persisted: it is a narrow
+    * scan + codegen shingle pass, and per the §5 persistence
+    * discipline caching inside a library operator pins executor
+    * memory the caller can't see — callers that loop this operator
+    * should persist the input themselves. */
   def removeFrequentGrams(df: DataFrame, text: Column, id: Column,
       n: Int, minDocFreq: Long): DataFrame = {
     require(n >= 1 && minDocFreq >= 2)
