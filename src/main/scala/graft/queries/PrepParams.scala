@@ -18,4 +18,8 @@ object PrepParams {
   // q_boilerplate
   val BoilerN = 3
   val BoilerMinDocFreq = 5
+
+  // q_token_sample: per-source token budget — small enough that the
+  // budget actually binds at sf0.01 (sources carry ~1350 tokens)
+  val SampleTokenBudget = 500L
 }

@@ -96,6 +96,16 @@ object TextQueries {
     "q_repetition" -> ((s, dir) =>
       TextPrep.repetitionRatio(Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/43b deterministic token-budget sampling: a fixed token
+    // budget per source in md5-hash order (uniform, rerun-stable,
+    // prefix-monotone in the budget). Budget shared via PrepParams.
+    "q_token_sample" -> ((s, dir) =>
+      TextPrep.sampleByTokenBudget(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")),
+          budget = PrepParams.SampleTokenBudget)
+        .select(col("doc_id"), col("source"), col("n_tokens"))),
+
     // §2.5/45b corpus-frequency boilerplate removal: n-grams in >=
     // BoilerMinDocFreq distinct docs are boilerplate; every covered
     // token position is scrubbed and the text rebuilt in order.
@@ -263,6 +273,20 @@ object TextQueries {
            |       CAST(sum(c) AS BIGINT) AS n_tokens,
            |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
            |FROM c GROUP BY doc_id""".stripMargin,
+    "q_token_sample" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, source, n_tokens,
+           |         sum(n_tokens) OVER (
+           |           PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d)
+           |SELECT doc_id, source, n_tokens FROM c
+           |WHERE cum - n_tokens < ${PrepParams.SampleTokenBudget}""".stripMargin,
     "q_boilerplate" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents

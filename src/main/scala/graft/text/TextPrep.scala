@@ -104,6 +104,31 @@ object TextPrep {
       .select(col("doc_id"), col("max_rep"), col("n_tokens"),
         (col("max_rep").cast("double") / col("n_tokens")).as("rep_ratio"))
 
+  /** Deterministic token-budget sampling: per group (source,
+    * language, …), keep documents in md5-hash order until the group's
+    * token budget is exhausted — "give me ~N tokens of src_X" as a
+    * reproducible operator. Hash order makes the sample (a) uniform
+    * (hash is content-random), (b) stable under reruns and row order,
+    * and (c) PREFIX-monotone: raising the budget only ADDS documents,
+    * never swaps them — the property that lets a 1B-token pilot
+    * corpus grow into the 100B run without re-shuffling what models
+    * already trained on. The last (straddling) doc is kept, same
+    * convention as [[packByTokenBudget]]. One shuffle on the group
+    * key; integral cumulative sums, engine-portable. */
+  def sampleByTokenBudget(df: DataFrame, group: Column, id: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(id.cast("string")).asc, id.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") - col("__tok") < budget)
+      .drop("__cum")
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+
   /** Corpus-frequency boilerplate removal (the RefinedWeb/CCNet-style
     * "frequent n-gram" scrub): any word n-gram appearing in at least
     * `minDocFreq` distinct documents is boilerplate (headers, nav

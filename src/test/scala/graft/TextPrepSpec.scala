@@ -19,6 +19,26 @@ class TextPrepSpec extends SparkSpecBase {
     assert(out(2) === "nothing sensitive here")
   }
 
+  test("sampleByTokenBudget: uniform hash order, prefix-monotone in the budget") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", "w " * i.toInt))
+      .toDF("doc_id", "source", "text")
+    val tokens = size(split(trim(col("text")), "\\s+"))
+    def ids(budget: Long): Set[Long] =
+      TextPrep.sampleByTokenBudget(docs, col("source"), col("doc_id"), tokens, budget)
+        .select("doc_id").as[Long].collect().toSet
+    val small = ids(50)
+    val big = ids(200)
+    // raising the budget only ADDS documents (pilot corpus grows into
+    // the full run without resampling)
+    assert(small.subsetOf(big), s"$small not within $big")
+    assert(small.nonEmpty && big.size > small.size)
+    // per group, the sample minus its straddling doc stays under budget
+    val perGroup = TextPrep.sampleByTokenBudget(docs, col("source"), col("doc_id"), tokens, 50)
+      .groupBy("source").agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .select("t", "m").as[(Long, Long)].collect()
+    perGroup.foreach { case (t, m) => assert(t - m < 50, s"total $t max $m") }
+  }
+
   test("removeFrequentGrams scrubs covered spans and drops emptied docs") {
     // "begin legal notice" appears in 3 docs → boilerplate at df>=3;
     // doc 4 is ONLY boilerplate and must disappear entirely
