@@ -61,6 +61,9 @@ import graft.sources.PartitionedFiles
   *   boilerplate    --text text --id doc_id [--n 3] [--min-doc-freq 5]
   *       corpus-frequency boilerplate scrub: delete token spans
   *       covered by n-grams appearing in >= min-doc-freq documents
+  *   sample-tokens  --text text --id doc_id --group source --budget 1000000
+  *       deterministic token-budget sampling per group (md5-hash
+  *       order — uniform, rerun-stable, prefix-monotone in budget)
   */
 object Cli {
 
@@ -241,6 +244,13 @@ object Cli {
           write(graft.text.TextPrep.removeFrequentGrams(read(), text, id,
             n = opts.getOrElse("n", "3").toInt,
             minDocFreq = opts.getOrElse("min-doc-freq", "5").toLong))
+        case "sample-tokens" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val group = expr(opts.getOrElse("group", fail("--group COLUMN required")))
+          write(graft.text.TextPrep.sampleByTokenBudget(read(), group, id,
+            graft.text.TextAnalysis.tokenCount(text),
+            budget = opts.getOrElse("budget", fail("--budget N required")).toLong))
         case "validate" =>
           import graft.quality.Validate._
           val checks = Seq.newBuilder[Check]

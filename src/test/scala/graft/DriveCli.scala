@@ -178,6 +178,23 @@ object DriveCli {
       spark.stop()
     }
 
+    // sample-tokens (deterministic per-source token budget)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "sample-tokens", "--text", "text", "--id", "doc_id", "--group", "source",
+      "--budget", "500", "--outfile", s"$tmp/sampled"))
+    locally {
+      val spark = GraftSession.builder("verifySample", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/sampled")
+      val n = out.count()
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expected = graft.text.TextPrep.sampleByTokenBudget(
+        in, col("source"), col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")), 500L).count()
+      println(s"SAMPLE_TOKENS=$n EXPECT=$expected OF=${in.count()}")
+      spark.stop()
+    }
+
     // split-assign (deterministic train/val/test)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "split-assign", "--key", "doc_id", "--outfile", s"$tmp/split"))

@@ -136,7 +136,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,
-    "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4)
+    "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
+    "q_token_sample" -> 1)
 
   test("headline aggregates combine map-side (partial aggregation)") {
     // at 100 TB the difference between shuffling raw fact rows and
