@@ -28,4 +28,12 @@ object AnnParams {
     * a second pass measurably tightens cells (see IvfRecallSpec). The
     * oracle CTE chain replays exactly this many rounds. */
   val IvfLloydIters = 2
+
+  /** Semantic dedup (q_semdedup) cosine threshold. The clustering
+    * reuses the IVF coarse quantizer above (IvfCentroids cells,
+    * IvfLloydIters passes), so the oracle shares q_ann_ivf's
+    * assignment CTE chain. The synthetic embeddings are near-random
+    * (pairwise cosine tops out ≈ 0.45), hence the low tau — real
+    * SemDeDup runs sit at 0.95+ on model embeddings. */
+  val SemDedupTau = 0.35
 }

@@ -126,7 +126,16 @@ object ExtraQueries {
           numCentroids = AnnParams.IvfCentroids, nprobe = AnnParams.IvfNprobe,
           lloydIters = AnnParams.IvfLloydIters)
         .withColumn("rank", col("rank").cast("bigint"))
-    })
+    }),
+
+    // SemDeDup semantic dedup: IVF-cluster the corpus, then id-ordered
+    // greedy keep-one within each cell at cosine >= SemDedupTau. The
+    // oracle replays the identical IVF build (shared CTE prefix with
+    // q_ann_ivf) and the same pair sweep.
+    "q_semdedup" -> ((s, dir) =>
+      graft.similarity.SemDedup.semDedup(quantized(s, dir),
+        numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
+        tau = AnnParams.SemDedupTau))
   )
 
   /** Quantized cosine between two aliased relations (integer dot cast
@@ -136,12 +145,15 @@ object ExtraQueries {
     s"CAST(CAST(list_sum(list_transform(range(len($a.$ae)), i -> $a.$ae[i+1] * $b.$be[i+1])) AS BIGINT) AS DOUBLE)" +
       s" / (sqrt(CAST($a.$an AS DOUBLE)) * sqrt(CAST($b.$bn AS DOUBLE)))"
 
-  /** Full IVF replay, generated from [[AnnParams]]: seeds (non-zero
-    * norm, smallest vec_ids), IvfLloydIters assign/floor-mean rounds
-    * (each guarded cnrm > 0, mirroring IvfAnn.centroids), then the
-    * inverted-list assignment, nprobe probe and exact ranked cosine. */
-  private val annIvfSql: String = {
-    import AnnParams.{IvfCentroids, IvfK, IvfLloydIters, IvfNprobe, QueryMod}
+  /** IVF-build replay, generated from [[AnnParams]]: the WITH-prefix
+    * covering quantized corpus `n`, seeds (non-zero norm, smallest
+    * vec_ids), IvfLloydIters assign/floor-mean rounds (each guarded
+    * cnrm > 0, mirroring IvfAnn.centroids), and the final inverted-list
+    * assignment `asg(vec_id, c_id)`. Shared by the q_ann_ivf and
+    * q_semdedup oracles — one replay, two consumers, zero drift.
+    * Returns (ctePrefix, finalCentroidCteName). */
+  private lazy val ivfBuildCtes: (String, String) = {
+    import AnnParams.{IvfCentroids, IvfLloydIters}
     // one Lloyd round: assign corpus to cents `prev` → rebuild `c$i`
     def round(i: Int, prev: String): String = {
       val cos = cosSql("n", "e", "nrm", "p", "ce", "cnrm")
@@ -173,7 +185,7 @@ object ExtraQueries {
       .mkString(",\n")
     val fin = s"c$IvfLloydIters"
     val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
-    raw"""WITH ${DedupQueries.quantCte},
+    val prefix = raw"""WITH ${DedupQueries.quantCte},
          |seeds AS (
          |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n
          |  WHERE nrm > 0 ORDER BY vec_id LIMIT $IvfCentroids
@@ -185,7 +197,17 @@ object ExtraQueries {
          |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
          |    FROM n CROSS JOIN $fin c
          |  ) WHERE rn = 1
-         |),
+         |)""".stripMargin
+    (prefix, fin)
+  }
+
+  /** Full IVF ANN replay: the shared build prefix, then the nprobe
+    * probe and exact ranked cosine over the probed cells. */
+  private val annIvfSql: String = {
+    import AnnParams.{IvfK, IvfNprobe, QueryMod}
+    val (prefix, fin) = ivfBuildCtes
+    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
+    raw"""$prefix,
          |probe AS (
          |  SELECT q_id, c_id FROM (
          |    SELECT n.vec_id AS q_id, c.c_id,
@@ -207,8 +229,27 @@ object ExtraQueries {
          |) WHERE rank <= $IvfK""".stripMargin
   }
 
+  /** SemDeDup replay: the shared IVF-build prefix, then members with
+    * vectors, the id-ordered within-cell duplicate sweep, and the
+    * per-vector verdict. */
+  private val semDedupSql: String = {
+    val (prefix, _) = ivfBuildCtes
+    raw"""$prefix,
+         |mem AS (
+         |  SELECT g.vec_id, g.c_id, b.e, b.nrm FROM asg g JOIN n b ON g.vec_id = b.vec_id
+         |),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM mem a JOIN mem b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a", "e", "nrm", "b", "e", "nrm")} >= ${AnnParams.SemDedupTau}
+         |)
+         |SELECT m.vec_id, m.c_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM mem m LEFT JOIN dups d ON m.vec_id = d.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> annIvfSql,
+    "q_semdedup" -> semDedupSql,
     "q_moving_sum" ->
       """SELECT event_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT))

@@ -22,4 +22,10 @@ object PrepParams {
   // q_token_sample: per-source token budget — small enough that the
   // budget actually binds at sf0.01 (sources carry ~1350 tokens)
   val SampleTokenBudget = 500L
+
+  // q_lm_score: tokens with corpus occurrence count <= LmRareMax count
+  // as rare. The synthetic vocabulary is 31 tokens with counts 26..964
+  // at sf0.01, so 100 separates a genuinely rare tail token from the
+  // common mass at the gate SF.
+  val LmRareMax = 100L
 }

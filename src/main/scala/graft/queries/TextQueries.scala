@@ -114,6 +114,13 @@ object TextQueries {
       TextPrep.removeFrequentGrams(Tables.documents(s, dir), col("text"), col("doc_id"),
         n = PrepParams.BoilerN, minDocFreq = PrepParams.BoilerMinDocFreq)),
 
+    // §2.5/31b unigram-LM quality score (CCNet-style perplexity proxy,
+    // integer-exact; rare threshold shared with the oracle via
+    // PrepParams).
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
+        rareMax = PrepParams.LmRareMax)),
+
     // §2.5/47 data-quality expectation suite over orders (one plan,
     // one (rule, violations) row per check).
     "q_validate" -> ((s, dir) => {
@@ -311,6 +318,22 @@ object TextQueries {
            |SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
            |       CAST(count(*) AS BIGINT) AS n_kept
            |FROM kept GROUP BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t
+           |), freq AS (
+           |  SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY t
+           |)
+           |SELECT doc_id,
+           |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |       CAST(sum(tf * cnt) AS BIGINT) AS sum_freq,
+           |       CAST(sum(CASE WHEN cnt <= ${PrepParams.LmRareMax} THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           |       CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
+           |FROM tf JOIN freq USING (t)
+           |GROUP BY doc_id""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id,
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -207,6 +207,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
 
+  /** Unigram language-model quality score (the CCNet-style filter,
+    * integer-exact): corpus-wide token occurrence counts, then per
+    * document the token count, the summed corpus frequency of its
+    * tokens, the rare-token count (corpus frequency <= rareMax), and
+    * the mean token frequency (one correctly-rounded division —
+    * engine-portable). ln is monotone, so thresholding mean_freq
+    * makes the same keep/drop decision as thresholding the mean
+    * unigram log-likelihood — without a transcendental anywhere in
+    * the comparison path; low mean frequency / high rare fraction ≈
+    * high perplexity under the unigram LM.
+    *
+    * Scale shape: one token explode reduced immediately to (doc,
+    * term) tf pairs (map-side combine shrinks the corpus-sized stream
+    * before its single shuffle), a vocabulary-sized aggregate over
+    * tf, a join back on term, one final per-doc aggregate. */
+  def lmScore(df: DataFrame, text: Column, id: Column, rareMax: Long): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(tokenize(lower(text))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("t").agg(sum("tf").as("cnt"))
+    tf.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("bigint").as("n_tokens"),
+        sum(col("tf") * col("cnt")).cast("bigint").as("sum_freq"),
+        sum(when(col("cnt") <= rareMax, col("tf")).otherwise(lit(0L))).cast("bigint").as("n_rare"))
+      .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus vocabulary head (Zipf profile): the top-k tokens by
     * frequency with their rank and cumulative count — the "what share
     * of the corpus do the k most common words cover" curve that guides

@@ -81,6 +81,41 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("semDedup verdicts match a brute-force replay of the greedy sweep") {
+    import graft.similarity.SemDedup
+    val tau = 0.3
+    val corpus = Similarity.prepareQuantized(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("embedding"), col("vec_id"), col("label"))
+    val verdicts = SemDedup.semDedup(corpus, numCentroids = 8, lloydIters = 1, tau = tau)
+      .as[(Long, Long, Boolean)].collect()
+    // full coverage, one verdict per vector
+    val n = corpus.count()
+    assert(verdicts.length.toLong === n)
+    assert(verdicts.map(_._1).distinct.length.toLong === n)
+    // replay: same assignment, exact cosines, dup ⇔ lower-id cell-mate ≥ tau
+    val vecs = corpus.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map { case (id, e, nrm) => id -> ((e.toArray, nrm)) }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val ((ea, na), (eb, nb)) = (vecs(a), vecs(b))
+      var d = 0L; var i = 0
+      while (i < ea.length) { d += ea(i) * eb(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val byCell = verdicts.groupBy(_._2)
+    var dupsSeen = 0
+    byCell.values.foreach { cell =>
+      val ids = cell.map(_._1).sorted
+      cell.foreach { case (id, _, isDup) =>
+        val expected = ids.takeWhile(_ < id).exists(a => cos(a, id) >= tau)
+        assert(isDup === expected, s"vec $id: got $isDup, expected $expected")
+        if (expected) dupsSeen += 1
+      }
+    }
+    assert(dupsSeen > 0, "tau chosen so the sweep actually fires")
+  }
+
   test("quantized cosine equals double cosine within quantization error") {
     val a = corpus.filter(col("vec_id") === 0L)
     val pair = Similarity.cosinePairs(corpus, "label", -2.0)

@@ -122,4 +122,15 @@ class TextSpec extends SparkSpecBase {
       .as[(String, Long, Int, Long)].collect().toList
     assert(out.sortBy(_._3) === List(("the", 3L, 1, 3L), ("cat", 2L, 2, 5L)))
   }
+
+  test("lmScore: corpus frequencies, rare counts, exact mean") {
+    // freq: a=2, b=2, c=1 → doc1 (a a b): sum_freq = 2·2 + 1·2 = 6;
+    // doc2 (b c): sum_freq = 2 + 1 = 3, one rare token at rareMax=1
+    val df = Seq((1L, "a A b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(df, col("text"), col("doc_id"), rareMax = 1L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (id, nt, sf, nr, mf) => id -> ((nt, sf, nr, mf)) }.toMap
+    assert(out(1L) === ((3L, 6L, 0L, 2.0)))
+    assert(out(2L) === ((2L, 3L, 1L, 1.5)))
+  }
 }
