@@ -64,6 +64,19 @@ import graft.sources.PartitionedFiles
   *   sample-tokens  --text text --id doc_id --group source --budget 1000000
   *       deterministic token-budget sampling per group (md5-hash
   *       order — uniform, rerun-stable, prefix-monotone in budget)
+  *   lm-score       --text text --id doc_id [--rare-max 100]
+  *       unigram-LM quality score (CCNet perplexity proxy): per-doc
+  *       mean corpus token frequency + rare-token count
+  *   semdedup       --vec embedding --id vec_id [--centroids 16]
+  *                  [--iters 2] [--tau 0.95] [--emit keep|flags]
+  *       SemDeDup semantic dedup over an embedding column: IVF
+  *       clustering, then id-ordered greedy keep-one within each
+  *       cell at cosine >= tau (--emit keep drops the duplicates;
+  *       --emit flags emits the per-vector verdict table)
+  *   schema-check   --expect "id BIGINT, text STRING, ..."
+  *       schema-drift report vs the expected DDL: one row per column,
+  *       status ok|type_changed|missing|extra (metadata-only — no
+  *       data scanned; the pre-ingest producer-drift guard)
   */
 object Cli {
 
@@ -251,6 +264,31 @@ object Cli {
           write(graft.text.TextPrep.sampleByTokenBudget(read(), group, id,
             graft.text.TextAnalysis.tokenCount(text),
             budget = opts.getOrElse("budget", fail("--budget N required")).toLong))
+        case "lm-score" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.text.TextAnalysis.lmScore(read(), text, id,
+            rareMax = opts.getOrElse("rare-max", "100").toLong))
+        case "semdedup" =>
+          val df = read()
+          val vecCol = opts.getOrElse("vec", fail("--vec COLUMN required"))
+          val idCol = opts.getOrElse("id", fail("--id COLUMN required"))
+          val corpus = graft.similarity.Similarity.prepareQuantized(
+            df, col(vecCol), col(idCol))
+          val verdicts = graft.similarity.SemDedup.semDedup(corpus,
+            numCentroids = opts.getOrElse("centroids", "16").toInt,
+            lloydIters = opts.getOrElse("iters", "2").toInt,
+            tau = opts.getOrElse("tau", "0.95").toDouble)
+          opts.getOrElse("emit", "keep") match {
+            case "flags" => write(verdicts)
+            case "keep"  => write(df.join(
+              verdicts.filter(!col("is_dup")).select(col("vec_id").as("__keep")),
+              col(idCol) === col("__keep")).drop("__keep"))
+            case o => fail(s"--emit must be keep|flags, got: $o")
+          }
+        case "schema-check" =>
+          write(graft.quality.Validate.schemaDrift(read(),
+            opts.getOrElse("expect", fail("--expect DDL required"))))
         case "validate" =>
           import graft.quality.Validate._
           val checks = Seq.newBuilder[Check]

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins (SURVEY.md §5). AQE's skew-join split
@@ -18,17 +18,24 @@ object Skew {
     * shuffle distribution changes. Build-side replication multiplies
     * its size by `salts` — keep the build side the smaller one.
     *
-    * The salt is a CONTENT hash of the whole probe row (not
-    * monotonically_increasing_id): a row hashes to the same salt on
-    * task retry and across AQE replans, so recomputation of one
-    * partition cannot route rows differently from the original
-    * attempt. Fully duplicate rows share a salt — only pathological
-    * for a hot key made of byte-identical rows, which exact-dedup
-    * upstream removes anyway.
+    * The salt is a CONTENT hash (not monotonically_increasing_id): a
+    * row hashes to the same salt on task retry and across AQE
+    * replans, so recomputation of one partition cannot route rows
+    * differently from the original attempt.
+    *
+    * `saltCols` picks what gets hashed — pass the probe's natural row
+    * key (an order id, an event id). Hashing the DEFAULT (every
+    * column) is always correct but reads every column: the salt
+    * expression defeats the scan's column pruning, so a 3-column
+    * projection over a 16-column fact suddenly scans all 16. Rows
+    * identical on `saltCols` share a salt — only pathological for a
+    * hot key made of such rows, which exact-dedup upstream removes.
     */
-  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    val hashed = if (saltCols.nonEmpty) saltCols else probe.columns.map(col).toIndexedSeq
     val salted = probe.withColumn(
-      "__graft_salt", pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+      "__graft_salt", pmod(xxhash64(hashed: _*), lit(salts.toLong)))
     val replicated = build.withColumn("__graft_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted
       .join(replicated, Seq(key, "__graft_salt"))

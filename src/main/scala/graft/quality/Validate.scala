@@ -29,6 +29,34 @@ object Validate {
   /** Rows must satisfy an arbitrary predicate. */
   case class Satisfies(rule: String, predicate: Column) extends Check
 
+  /** Schema-drift report: the incoming batch's actual schema compared
+    * against the expected DDL — the guard that catches an upstream
+    * producer silently adding, dropping or re-typing a column before
+    * the batch lands in the warehouse. One row per column name seen on
+    * either side: status ∈ ok | type_changed | missing (expected but
+    * absent) | extra (present but undeclared). Pure metadata — no data
+    * is scanned, so it costs nothing to run on every ingest.
+    *
+    * Comparison is by lower-cased name and DDL-normalized type
+    * (nullability is not drift: parquet/JSON sources flip it freely). */
+  def schemaDrift(df: DataFrame, expectedDdl: String): DataFrame = {
+    val expected = org.apache.spark.sql.types.StructType.fromDDL(expectedDdl)
+    val exp = expected.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    val act = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    val rows = (exp.keySet ++ act.keySet).toSeq.sorted.map { name =>
+      val (e, a) = (exp.get(name), act.get(name))
+      val status = (e, a) match {
+        case (Some(x), Some(y)) if x == y => "ok"
+        case (Some(_), Some(_))           => "type_changed"
+        case (Some(_), None)              => "missing"
+        case (None, Some(_))              => "extra"
+      }
+      (name, status, e.orNull, a.orNull)
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("column", "status", "expected_type", "actual_type")
+  }
+
   /** (rule, violations) per check; 0 = clean. */
   def violations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty)

@@ -95,7 +95,10 @@ object CoreQueries {
         .saltedJoin(
           Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey"),
           Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey"),
-          "custkey", salts = 8)
+          "custkey", salts = 8,
+          // salt on the natural row key so the scan stays pruned to
+          // the 4 columns the query touches
+          saltCols = Seq(col("o_orderkey")))
         .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
 
     // §2.1/12b schema-evolution union: a v1 batch (no priority column)

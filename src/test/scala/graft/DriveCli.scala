@@ -211,5 +211,52 @@ object DriveCli {
       println(s"SPLIT_CLI=$byCli MATCH=${byCli == byLib}")
       spark.stop()
     }
+
+    // lm-score (unigram-LM quality proxy)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "lm-score", "--text", "text", "--id", "doc_id", "--rare-max", "100",
+      "--outfile", s"$tmp/lm"))
+    locally {
+      val spark = GraftSession.builder("verifyLm", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/lm")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expected = graft.text.TextAnalysis.lmScore(in, col("text"), col("doc_id"), 100L)
+      println(s"LM_SCORE=${out.count()} EXPECT=${expected.count()} " +
+        s"MATCH=${out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty}")
+      spark.stop()
+    }
+
+    // semdedup (semantic dedup over embeddings; low tau — the synthetic
+    // vectors are near-random)
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    Cli.main(Array("-i", emb, "-f", "parquet",
+      "semdedup", "--vec", "embedding", "--id", "vec_id",
+      "--centroids", "8", "--iters", "1", "--tau", "0.3",
+      "--outfile", s"$tmp/semdedup"))
+    locally {
+      val spark = GraftSession.builder("verifySem", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val kept = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/semdedup").count()
+      val total = graft.sources.PartitionedFiles.readParquet(spark, emb).count()
+      println(s"SEMDEDUP_KEPT=$kept OF=$total DROPPED_SOME=${kept < total && kept > 0}")
+      spark.stop()
+    }
+
+    // schema-check (drift report: one re-typed, one missing, one extra)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "schema-check", "--expect",
+      "doc_id BIGINT, text STRING, lang INT, missing_col STRING, n_chars BIGINT",
+      "--outfile", s"$tmp/drift"))
+    locally {
+      val spark = GraftSession.builder("verifyDrift", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val drift = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/drift")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      println(s"DRIFT=$drift OK=${
+        drift("doc_id") == "ok" && drift("lang") == "type_changed" &&
+        drift("missing_col") == "missing" && drift("source") == "extra"}")
+      spark.stop()
+    }
   }
 }

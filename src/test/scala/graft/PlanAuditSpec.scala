@@ -137,7 +137,18 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,
     "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
-    "q_token_sample" -> 1)
+    "q_token_sample" -> 1, "q_semdedup" -> 6, "q_lm_score" -> 4)
+
+  test("q_salted_join keeps the probe scan pruned despite the salt") {
+    // the content-hash salt must hash a caller-chosen row key, not the
+    // whole row — otherwise the salt expression drags every probe
+    // column through the scan
+    val schemas = "ReadSchema: [^,\\n]*struct<([^>]*)>".r
+      .findAllMatchIn(plan("q_salted_join")).map(_.group(1)).toList
+    assert(schemas.nonEmpty)
+    val widest = schemas.map(_.count(_ == ',') + 1).max
+    assert(widest <= 4, s"probe scan reads $widest columns: $schemas")
+  }
 
   test("headline aggregates combine map-side (partial aggregation)") {
     // at 100 TB the difference between shuffling raw fact rows and

@@ -15,7 +15,8 @@ object ProfileShuffles {
       "q_cluster_star", "q_corpus", "q_dedup_cluster", "q_dedup_minhash",
       "q_dedup_ngram", "q_containment", "q_fuzzy_join",
       "q_ann_lsh", "q_ann_ivf", "q_cosine_topk", "q_sessionize",
-      "q_session_window", "q_decontam", "q_source_overlap", "q_boilerplate", "q_token_sample")
+      "q_session_window", "q_decontam", "q_source_overlap", "q_boilerplate", "q_token_sample",
+      "q_semdedup", "q_lm_score")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString

@@ -43,4 +43,23 @@ class ValidateSpec extends SparkSpecBase {
     )).as[(String, Long)].collect().toMap
     assert(out.values.forall(_ == 0L))
   }
+
+  test("schemaDrift classifies ok / type_changed / missing / extra") {
+    val df = Seq((1L, "x", 3)).toDF("id", "name", "age")
+    val out = schemaDrift(df, "id BIGINT, name INT, city STRING")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("id") === (("ok", "BIGINT", "BIGINT")))
+    assert(out("name") === (("type_changed", "INT", "STRING")))
+    assert(out("city") === (("missing", "STRING", null)))
+    assert(out("age") === (("extra", null, "INT")))
+    assert(out.size === 4)
+  }
+
+  test("schemaDrift ignores case and nullability") {
+    val df = Seq((1L, 2L)).toDF("ID", "v")
+    val out = schemaDrift(df, "id bigint not null, V BIGINT")
+      .as[(String, String, String, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map("id" -> "ok", "v" -> "ok"))
+  }
 }
