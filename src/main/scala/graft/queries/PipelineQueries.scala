@@ -106,6 +106,13 @@ object PipelineQueries {
         .mixtureSample(col("source"), col("doc_id"),
           Map("src0" -> 80, "src1" -> 100, "src2" -> 20), defaultPct = 50)),
 
+    // Temperature-scaled mixture weights (α = 0.5): per-source token
+    // share → sqrt-flattened sampling weight + boost factor.
+    "q_temperature" -> ((s, dir) =>
+      graft.text.TextPrep.temperatureWeights(
+        Tables.documents(s, dir), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")))),
+
     // Greedy sequence packing: batch assignment per 2000-token budget
     // within 8 hash shards (one packed stream per data-loader worker).
     "q_pack" -> ((s, dir) =>
@@ -267,6 +274,17 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
         |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 100
         |                  WHEN 'src2' THEN 20 ELSE 50 END""".stripMargin,
+    "q_temperature" ->
+      raw"""WITH s AS (
+           |  SELECT source,
+           |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+           |SELECT source, n_tokens,
+           |       CAST(n_tokens AS DOUBLE) / total AS share,
+           |       sqrt(CAST(n_tokens AS DOUBLE) / total) AS weight,
+           |       sqrt(CAST(n_tokens AS DOUBLE) / total) / (CAST(n_tokens AS DOUBLE) / total) AS boost
+           |FROM s CROSS JOIN t""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

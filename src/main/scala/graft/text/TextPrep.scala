@@ -129,6 +129,36 @@ object TextPrep {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** Temperature-scaled source-mixing weights — the multilingual /
+    * multi-source balancing rule (mT5 arXiv:1910.10683 §3.2, XLM-R
+    * arXiv:1911.02116 §3.1): a source holding token share p of the
+    * corpus is sampled with weight ∝ p^α, α < 1 flattening the
+    * distribution so head sources stop drowning the tail. Emits per
+    * source: exact token count, share, the α = 0.5 weight, and
+    * `boost` = weight / share (the per-document over/under-sampling
+    * factor a sampler applies downstream).
+    *
+    * α is fixed at 0.5 because p^0.5 = sqrt(p) is CORRECTLY ROUNDED
+    * in IEEE 754 (pow is not in every libm) — every emitted double is
+    * bit-identical across engines: share is one division, weight one
+    * sqrt, boost one more division. No cross-source float sum: each
+    * row normalizes independently against the integer grand total
+    * (callers renormalize weights when they need probabilities — a
+    * deterministic reduce over #sources values, not corpus-sized).
+    *
+    * Scale shape: one map-side-combined aggregate over (source) plus
+    * a broadcast of the single-row total. */
+  def temperatureWeights(df: DataFrame, source: Column, tokens: Column): DataFrame = {
+    val perSource = df.groupBy(source.as("source"))
+      .agg(sum(tokens.cast("long")).cast("bigint").as("n_tokens"))
+    val total = perSource.agg(sum("n_tokens").cast("bigint").as("__total"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens").cast("double") / col("__total"))
+      .withColumn("weight", sqrt(col("share")))
+      .withColumn("boost", col("weight") / col("share"))
+      .drop("__total")
+  }
+
   /** Corpus-frequency boilerplate removal (the RefinedWeb/CCNet-style
     * "frequent n-gram" scrub): any word n-gram appearing in at least
     * `minDocFreq` distinct documents is boilerplate (headers, nav

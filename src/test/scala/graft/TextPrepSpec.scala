@@ -122,4 +122,18 @@ class TextPrepSpec extends SparkSpecBase {
       .select("id", "batch_id").as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("temperatureWeights flattens shares with exact alpha=0.5 math") {
+    // tokens: A=900, B=100 → shares 0.9/0.1; weights sqrt → 0.9487/0.3162;
+    // boost = weight/share → tail source B boosted ~3.16x, head damped
+    val df = Seq(("A", 900L), ("B", 100L)).toDF("src", "tok")
+    val out = TextPrep.temperatureWeights(df, col("src"), col("tok"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A")._2 === 900L && out("B")._2 === 100L)
+    assert(out("A")._3 === 0.9 && out("B")._3 === 0.1)
+    assert(out("A")._4 === math.sqrt(0.9) && out("B")._4 === math.sqrt(0.1))
+    assert(out("B")._5 > 3.16 && out("B")._5 < 3.17) // tail upsampled
+    assert(out("A")._5 < 1.06)                       // head nearly flat
+  }
 }
