@@ -130,4 +130,27 @@ object Components {
       .filter(id === col("representative"))
       .drop("representative")
   }
+
+  /** Quality-aware keep rule: per near-dup cluster keep the row that
+    * ranks FIRST under `order` (e.g. highest quality score, longest
+    * text — give it a total order with an id tiebreak, or the keeper
+    * is nondeterministic). The min-id rule of [[keepOnePerCluster]]
+    * throws away a long clean document because a stub with a smaller
+    * id near-matched it; ranking by quality keeps the copy worth
+    * training on. Singletons pass through untouched.
+    *
+    * Selection runs through the GroupTopK operator (k = 1): each map
+    * partition reduces to one candidate per cluster BEFORE the
+    * exchange, so the shuffle carries one row per (cluster,
+    * partition) — not the corpus. */
+  def keepBestPerCluster(df: DataFrame, id: Column, pairs: DataFrame, a: String, b: String,
+      order: Seq[Column]): DataFrame = {
+    val comps = connectedComponents(pairs, a, b)
+    val labeled = df.join(comps, id === comps("id"), "left")
+      .withColumn("__cluster", coalesce(col("cluster_id"), id))
+      .drop("id", "cluster_id")
+    org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(labeled, Seq(col("__cluster")), order, 1)
+      .drop("__cluster")
+  }
 }

@@ -76,6 +76,19 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // §2.3/24d quality-aware keep: per near-dup cluster keep the
+    // LONGEST doc (token count desc, id asc tiebreak) instead of the
+    // min id — the keeper is the copy worth training on.
+    "q_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      val pairs = Dedup.minhashCandidatePairs(docs, col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      Components.keepBestPerCluster(docs, col("doc_id"), pairs, "doc_a", "doc_b",
+          Seq(col("n_tokens").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // §2.3/22be benchmark decontamination: corpus docs sharing enough
     // distinct n-grams with any "benchmark" doc (every BenchMod-th doc
     // plays the eval set). Corpus grams never shuffle; the benchmark
@@ -232,6 +245,33 @@ object DedupQueries {
          |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin
 
+  /** keep-best replay: the same recursive closure as clusterSql, then
+    * rank within coalesce(cluster, id) by (n_tokens DESC, doc_id ASC). */
+  private val keepBestSql: String =
+    raw"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id
+         |),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens FROM (
+         |  SELECT d.*, row_number() OVER (
+         |    PARTITION BY coalesce(c.cluster_id, d.doc_id)
+         |    ORDER BY d.n_tokens DESC, d.doc_id ASC) AS rn
+         |  FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
+         |) WHERE rn = 1""".stripMargin
+
   private val ngramSql: String =
     raw"""WITH $shinglesCte,
          |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
@@ -338,6 +378,7 @@ object DedupQueries {
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,
     "q_dedup_minhash" -> minhashSql,
+    "q_keep_best" -> keepBestSql,
     "q_dedup_cluster" -> clusterSql,
     "q_cluster_star" -> clusterSql,
     "q_corpus" -> corpusSql,

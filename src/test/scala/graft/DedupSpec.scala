@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Set(1L, 2L, 3L)) // 4 deduped into 1; 2,3 singleton pass-through
   }
 
+  test("keepBestPerCluster keeps the order-best row, not the min id") {
+    import graft.dedup.Components
+    val rows = Seq(
+      (1L, 10L), (4L, 25L), // cluster {1,4}: 4 is longer -> kept
+      (2L, 5L), (3L, 7L)    // singletons pass through
+    ).toDF("doc_id", "n_tokens")
+    val pairs = Seq((1L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Components.keepBestPerCluster(rows, col("doc_id"), pairs, "doc_a", "doc_b",
+        Seq(col("n_tokens").desc, col("doc_id").asc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L, 2L, 3L))
+  }
+
   test("portable token hash matches the documented DuckDB formula") {
     // conv(substr(md5('abc'),1,15),16,10) must equal DuckDB ('0x'||...)::BIGINT = 648541476951500027
     val v = Seq("abc").toDF("t").select(Dedup.portableTokenHash(col("t"))).as[Long].head()
