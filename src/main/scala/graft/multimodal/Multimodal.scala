@@ -133,6 +133,37 @@ object Multimodal {
         min(octet_length(media)).cast("bigint").as("min_bytes"),
         max(octet_length(media)).cast("bigint").as("max_bytes"))
 
+  /** Perceptual hash (aHash) of a media payload: 64 evenly-spaced
+    * byte samples (the stand-in for an 8×8 downscaled luma grid — a
+    * real image pipeline swaps the byte sampling for decode+resize
+    * and keeps everything after), each thresholded against the
+    * integer mean of the 64 samples (`v·64 > Σv` — no division),
+    * packed as a 64-char bit string. Identical aHashes ⇒ perceptual
+    * duplicates; the standard first pass of image dedup. Pure Column
+    * ops, row-parallel, no shuffle. Empty payloads are dropped (no
+    * pixels, no hash). */
+  def aHash(df: DataFrame, media: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): DataFrame =
+    df.filter(octet_length(media) > 0)
+      .select(id.as("media_id"), media.as("__m"), octet_length(media).cast("long").as("__n"))
+      .withColumn("__s", expr(
+        "transform(sequence(0, 63), i -> " +
+          "CAST(conv(hex(substring(__m, CAST((i * __n) DIV 64 AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
+      .withColumn("__t", expr("aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("media_id"), expr(
+        "array_join(transform(__s, v -> CASE WHEN v * 64 > __t THEN '1' ELSE '0' END), '')")
+        .as("ahash"))
+
+  /** Perceptual dedup groups: one row per distinct aHash with the
+    * min-id representative and the duplicate count — the same output
+    * shape as exact text dedup, one shuffle on the (uniform) hash. */
+  def aHashDedup(df: DataFrame, media: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): DataFrame =
+    aHash(df, media, id)
+      .groupBy("ahash")
+      .agg(min("media_id").as("media_id"), count(lit(1)).as("group_n"))
+      .select(col("media_id"), col("ahash"), col("group_n"))
+
   /** Declarative (codegen) variant for pure-byte features — when the
     * "decode" is expressible as Column ops, skip the typed boundary
     * entirely. Used by the oracle-gated q_multimodal. */

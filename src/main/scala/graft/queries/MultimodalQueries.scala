@@ -35,6 +35,12 @@ object MultimodalQueries {
       Multimodal.mediaStats(asMedia(s, dir), col("media"), col("source"))
         .withColumnRenamed("grp", "source")),
 
+    // §2.6/35f perceptual-hash (aHash) dedup groups: 64 sampled bytes
+    // thresholded on their integer mean, grouped by identical hash
+    // (oracle: the same sampling replayed over the hex blob).
+    "q_phash" -> ((s, dir) =>
+      Multimodal.aHashDedup(asMedia(s, dir), col("media"), col("media_id"))),
+
     // §2.6/35b typed per-partition batched decode path (oracle-gated:
     // FakeCodec's header/mean byte arithmetic is replayed in DuckDB
     // blob SQL): the mapInPandas-shaped plumbing through
@@ -75,6 +81,24 @@ object MultimodalQueries {
         |         unnest(generate_series(0, (octet_length(encode(text)) + 15) // 16 - 1)) AS f
         |  FROM documents
         |) WHERE f % 4 = 0""".stripMargin,
+    "q_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0
+        |), s AS (
+        |  SELECT media_id, i,
+        |         (strpos('0123456789ABCDEF', substr(h, CAST((i*n)//64 AS BIGINT)*2+1, 1))-1)*16 +
+        |         (strpos('0123456789ABCDEF', substr(h, CAST((i*n)//64 AS BIGINT)*2+2, 1))-1) AS v
+        |  FROM b, (SELECT unnest(range(64)) AS i) t
+        |), a AS (
+        |  SELECT media_id,
+        |         array_to_string(list(CASE WHEN v*64 > total THEN '1' ELSE '0' END ORDER BY i), '') AS ahash
+        |  FROM (SELECT media_id, i, v, SUM(v) OVER (PARTITION BY media_id) AS total FROM s)
+        |  GROUP BY media_id
+        |)
+        |SELECT min(media_id) AS media_id, ahash, count(*) AS group_n
+        |FROM a GROUP BY ahash""".stripMargin,
     // FakeCodec.decode replayed in pure SQL: hex-expand the blob, decode
     // each hex pair via strpos arithmetic, integral byte sum, ONE double
     // division (bit-equal to Spark's sum.toDouble / length).

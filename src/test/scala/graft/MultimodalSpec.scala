@@ -75,6 +75,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.head.toSeq === (0 until 10).map(_.toByte))
   }
 
+  test("aHash: mean-threshold bits, identical payloads share a hash") {
+    import org.apache.spark.sql.functions.col
+    // 64 bytes 0..63: samples are the bytes themselves, mean 31.5 →
+    // bits 0..31 zero, 32..63 one
+    val ramp = (0 until 64).map(_.toByte).toArray
+    val df = Seq((1L, ramp), (2L, ramp), (3L, Array.fill(64)(7.toByte))).toDF("id", "m")
+    val hashes = Multimodal.aHash(df, col("m"), col("id"))
+      .as[(Long, String)].collect().toMap
+    assert(hashes(1L) === "0" * 32 + "1" * 32)
+    assert(hashes(2L) === hashes(1L))
+    assert(hashes(3L) === "0" * 64) // constant payload: nothing above mean
+    val groups = Multimodal.aHashDedup(df, col("m"), col("id"))
+      .as[(Long, String, Long)].collect().map(r => r._2 -> ((r._1, r._3))).toMap
+    assert(groups(hashes(1L)) === ((1L, 2L))) // min-id rep, two members
+    assert(groups("0" * 64) === ((3L, 1L)))
+  }
+
   test("media embed → quantize → cosine retrieval end to end") {
     import graft.similarity.Similarity
     import org.apache.spark.sql.functions.col
