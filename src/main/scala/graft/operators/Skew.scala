@@ -31,6 +31,23 @@ object Skew {
     * identical on `saltCols` share a salt — only pathological for a
     * hot key made of such rows, which exact-dedup upstream removes.
     */
+  /** Key-skew profile: the topN heaviest keys with their row share —
+    * the report that decides whether a join needs salting (one key
+    * holding 30% of the table does; a flat top-10 does not). One
+    * map-side-combined aggregate over the key, a broadcast single-row
+    * total, top-N through TakeOrderedAndProject (per-partition heaps;
+    * the key spectrum never sorts globally). `share` is one
+    * correctly-rounded division — portable. */
+  def skewProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("bigint").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("__total"))
+      .drop("__total")
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int,
       saltCols: Seq[Column] = Nil): DataFrame = {
     val hashed = if (saltCols.nonEmpty) saltCols else probe.columns.map(col).toIndexedSeq

@@ -101,6 +101,12 @@ object CoreQueries {
           saltCols = Seq(col("o_orderkey")))
         .mapRecords(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
 
+    // §2.2/22b2 key-skew profile: the top-10 heaviest order-priority
+    // keys with row share — the "does this join need salting" report.
+    "q_skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.skewProfile(
+        Tables.orders(s, dir), col("o_orderpriority"), topN = 10)),
+
     // §2.1/12b schema-evolution union: a v1 batch (no priority column)
     // unions a v2 batch (extra column) by name with null-fill.
     "q_union_evolve" -> ((s, dir) => {
@@ -186,6 +192,12 @@ object CoreQueries {
     "q_salted_join" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_skew_profile" ->
+      """WITH c AS (SELECT o_orderpriority AS key, count(*) AS cnt FROM orders GROUP BY 1),
+        |     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key ASC LIMIT 10""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_custkey, NULL AS o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0

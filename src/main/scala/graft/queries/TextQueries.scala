@@ -121,6 +121,18 @@ object TextQueries {
       TextAnalysis.lmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
         rareMax = PrepParams.LmRareMax)),
 
+    // §2.5/32b tokenizer fertility per language: subtokens-per-word
+    // ratio (the "how much does this tokenizer fragment lang X"
+    // diagnostic that drives vocab sizing). Integer sums + one
+    // correctly-rounded division.
+    "q_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).cast("bigint").as("n_words"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).cast("bigint").as("n_subtokens"))
+        .withColumn("fertility", col("n_subtokens").cast("double") / col("n_words"))),
+
     // §2.5/47 data-quality expectation suite over orders (one plan,
     // one (rule, violations) row per check).
     "q_validate" -> ((s, dir) => {
@@ -318,6 +330,13 @@ object TextQueries {
            |SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
            |       CAST(count(*) AS BIGINT) AS n_kept
            |FROM kept GROUP BY doc_id""".stripMargin,
+    "q_fertility" ->
+      raw"""SELECT lang,
+           |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+           |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_subtokens,
+           |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+           |         / sum(len(string_split_regex(trim(text), '\s+'))) AS fertility
+           |FROM documents GROUP BY lang""".stripMargin,
     "q_lm_score" ->
       raw"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
