@@ -103,6 +103,11 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // NB: the round-0 signature looks skippable, but near-dup pair
+    // graphs are mostly 2-cliques, which are star-stable immediately —
+    // sig0 lets the loop converge after ONE contraction; skipping it
+    // would buy one cheap aggregate at the price of a second 2-shuffle
+    // contraction round in the common case
     var prev = signature(e)
     var converged = false
     var round = 0

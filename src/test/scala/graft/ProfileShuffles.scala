@@ -16,7 +16,8 @@ object ProfileShuffles {
       "q_dedup_ngram", "q_containment", "q_fuzzy_join",
       "q_ann_lsh", "q_ann_ivf", "q_cosine_topk", "q_sessionize",
       "q_session_window", "q_decontam", "q_source_overlap", "q_boilerplate", "q_token_sample",
-      "q_semdedup", "q_lm_score")
+      "q_semdedup", "q_lm_score", "q_keep_best", "q_temperature", "q_phash",
+      "q_fertility", "q_skew_profile")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
