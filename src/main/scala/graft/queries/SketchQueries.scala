@@ -40,6 +40,14 @@ object SketchQueries {
       Sketches.heavyHitters(Tables.events(s, dir), col("user_id"), shareNum = 8, shareDen = 1000)
         .select(col("key").as("user_id"), col("cnt"))),
 
+    // §2.8/39b Count-Min-guided exact frequency gate: users with ≥ 60
+    // events. The sketch (one-sided estimates) prunes candidates; the
+    // exact recount makes the result oracle-identical to GROUP BY /
+    // HAVING regardless of sketch collisions.
+    "q_cms_gate" -> ((s, dir) =>
+      Sketches.cmsFrequencyGate(Tables.events(s, dir), col("user_id"), minCount = 60)
+        .select(col("key").as("user_id"), col("cnt"))),
+
     // §2.8/46 bloom-pruned exact semi join: orders of customers in a
     // selective segment — the sketch prunes the probe side before the
     // exact join; result identical to a plain semi join.
@@ -79,6 +87,11 @@ object SketchQueries {
         |FROM events
         |GROUP BY user_id
         |HAVING COUNT(*) * 1000 >= 8 * (SELECT COUNT(*) FROM events)""".stripMargin,
+    "q_cms_gate" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 60""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,

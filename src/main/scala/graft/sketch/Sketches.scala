@@ -15,6 +15,9 @@ case class MGOut(keys: Array[Long], n: Long)
   * an unsorted append tail that gets folded in on compress. */
 case class TDBuf(means: Array[Double], weights: Array[Long])
 
+/** Count-Min buffer: flattened d×w counter table + total input count. */
+case class CMSBuf(table: Array[Long], n: Long)
+
 /** Mergeable sketch aggregators (SURVEY.md §2.8) — the bounded-memory
   * single-pass summaries a 100 TB aggregation needs when exact
   * per-key state would not fit: distinct counts (HLL), heavy hitters
@@ -177,6 +180,106 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
       .filter(col("cnt") * shareDen >= col("__n") * shareNum)
       .select(col("key"), col("cnt"))
+  }
+
+  // ----------------------------------------------------------- Count-Min
+
+  /** Row-mixing constants for the CMS hash family: the splitmix64
+    * increment stream (odd, well-distributed). Up to 8 rows. */
+  private val CmsSeeds: Array[Long] = Array(
+    0x9E3779B97F4A7C15L, 0xBF58476D1CE4E5B9L, 0x94D049BB133111EBL,
+    0xD6E8FEB86659FD93L, 0xC2B2AE3D27D4EB4FL, 0x2545F4914F6CDD1DL,
+    0x27D4EB2F165667C5L, 0x165667B19E3779F9L)
+
+  /** One Count-Min bucket: xor-mix the pre-hashed key with the row
+    * seed, finalize (murmur3 fmix64 step), reduce mod w. Pure JVM long
+    * arithmetic — wrap-on-overflow is the point, which is why the
+    * probe below is a UDF rather than Column math (ANSI mode would
+    * throw on the deliberate overflow). */
+  private def cmsBucket(hash: Long, row: Int, w: Int): Int = {
+    var h = (hash ^ CmsSeeds(row)) * 0xFF51AFD7ED558CCDL
+    h ^= (h >>> 33)
+    (((h % w) + w) % w).toInt
+  }
+
+  /** Count-Min sketch (Cormode–Muthukrishnan) over pre-hashed 64-bit
+    * keys: d rows × w counters; point estimate = min over rows, always
+    * ≥ the true count (one-sided error ≤ 2n/w with prob 1-2^-d). The
+    * buffer is the flat counter table; merge is element-wise add, so
+    * partial sketches combine map-side exactly like a sum. */
+  class CountMin(d: Int, w: Int) extends Aggregator[Long, CMSBuf, CMSBuf] {
+    require(d >= 1 && d <= CmsSeeds.length, s"d in [1, ${CmsSeeds.length}]")
+    require(w >= 8)
+
+    override def zero: CMSBuf = CMSBuf(new Array[Long](d * w), 0L)
+
+    override def reduce(b: CMSBuf, hash: Long): CMSBuf = {
+      var r = 0
+      while (r < d) { b.table(r * w + cmsBucket(hash, r, w)) += 1L; r += 1 }
+      CMSBuf(b.table, b.n + 1)
+    }
+
+    override def merge(a: CMSBuf, b: CMSBuf): CMSBuf = {
+      var i = 0
+      while (i < a.table.length) { a.table(i) += b.table(i); i += 1 }
+      CMSBuf(a.table, a.n + b.n)
+    }
+
+    override def finish(b: CMSBuf): CMSBuf = b
+
+    override def bufferEncoder: Encoder[CMSBuf] = Encoders.product[CMSBuf]
+    override def outputEncoder: Encoder[CMSBuf] = Encoders.product[CMSBuf]
+  }
+
+  /** Column handle: struct(table: array<bigint>, n: bigint) of a
+    * pre-hashed long column (feed `xxhash64(col)`). */
+  def cms(hashed: Column, d: Int = 4, w: Int = 2048): Column =
+    udaf(new CountMin(d, w), Encoders.scalaLong).apply(hashed)
+
+  /** Point estimate for a pre-hashed key against a [[cms]] table.
+    * Runs once per PROBE key (never per corpus row), so UDF overhead
+    * is irrelevant — and it must replay the wrap-on-overflow bucket
+    * math, which ANSI Column arithmetic would reject. */
+  def cmsEstimate(table: Column, hashedKey: Column, d: Int, w: Int): Column = {
+    val probe = udf { (t: Seq[Long], hash: Long) =>
+      var best = Long.MaxValue
+      var r = 0
+      while (r < d) {
+        val c = t(r * w + cmsBucket(hash, r, w))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+    probe(table, hashedKey)
+  }
+
+  /** EXACT frequency gate at scale, sketch-guided (the CMS sibling of
+    * [[heavyHitters]]): pass 1 builds one Count-Min sketch (map-side
+    * partial merge, O(d·w) state); pass 2 probes each distinct key
+    * against the broadcast sketch — estimates are one-sided, so keys
+    * with true count ≥ minCount ALWAYS survive — and pass 3 recounts
+    * the surviving candidates exactly. Output = keys with exact count
+    * ≥ minCount, regardless of sketch collisions; false positives cost
+    * only recount work (bounded by the CMS error, ~2n/w per key). */
+  def cmsFrequencyGate(df: DataFrame, key: Column, minCount: Long,
+      d: Int = 4, w: Int = 2048): DataFrame = {
+    val sk = df.agg(cms(xxhash64(key), d, w).as("__sk"))
+      .select(col("__sk.table").as("__t"))
+    // Probe once per DISTINCT key (map-side partial distinct keeps the
+    // exchange keys-only); candidates = heavy keys + the sketch's
+    // bounded false positives. The sketch itself travels as one
+    // broadcast row of d·w longs.
+    val cand = df.select(key.as("__cand")).distinct()
+      .crossJoin(broadcast(sk))
+      .filter(cmsEstimate(col("__t"), xxhash64(col("__cand")), d, w) >= minCount)
+      .select("__cand")
+    // Exact recount of candidates only: the broadcast pre-filter means
+    // rows of light keys never reach the aggregation exchange.
+    df.select(key.as("key"))
+      .join(broadcast(cand), col("key") === col("__cand"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 
   // ------------------------------------------------------------ t-digest

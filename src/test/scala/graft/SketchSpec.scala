@@ -48,6 +48,42 @@ class SketchSpec extends SparkSpecBase {
     assert(out === Map(7777L -> 300L, 8888L -> 200L)) // exact, not sketch estimates
   }
 
+  test("count-min estimates are one-sided and tight for heavy keys") {
+    // 1000 light keys (1×) + two heavy keys; w=2048 → expected noise ≤ ~2·1500/2048 < 2
+    val df = spark.range(1000).select(col("id").as("k"))
+      .union(spark.range(300).select(lit(7777L).as("k")))
+      .union(spark.range(200).select(lit(8888L).as("k")))
+      .repartition(8)
+    val sk = df.agg(Sketches.cms(xxhash64(col("k")), d = 4, w = 2048).as("s"))
+      .select(col("s.table").as("t"), col("s.n").as("n"))
+    assert(sk.select("n").as[Long].head() === 1500L)
+    val probes = Seq(7777L -> 300L, 8888L -> 200L, 5L -> 1L, 999L -> 1L)
+    val est = probes.map(_._1).toDF("k").crossJoin(sk)
+      .select(col("k"), Sketches.cmsEstimate(col("t"), xxhash64(col("k")), 4, 2048).as("e"))
+      .as[(Long, Long)].collect().toMap
+    for ((k, exact) <- probes) {
+      assert(est(k) >= exact, s"CMS underestimated key $k") // one-sided guarantee
+      assert(est(k) <= exact + 15, s"CMS estimate ${est(k)} far above exact $exact for $k")
+    }
+  }
+
+  test("count-min merge across partitions equals single-partition sketch") {
+    val df = spark.range(20000).select((col("id") % 500).as("k"))
+    def tableOf(parts: Int) =
+      df.repartition(parts).agg(Sketches.cms(xxhash64(col("k")), 4, 256).as("s"))
+        .select(col("s.table")).as[Seq[Long]].head()
+    assert(tableOf(1) === tableOf(16)) // element-wise add merge is exact
+  }
+
+  test("cmsFrequencyGate returns exact counts above the threshold") {
+    val df = spark.range(1000).select(col("id").as("k"))
+      .union(spark.range(300).select(lit(7777L).as("k")))
+      .union(spark.range(200).select(lit(8888L).as("k")))
+    val out = Sketches.cmsFrequencyGate(df.repartition(8), col("k"), minCount = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(7777L -> 300L, 8888L -> 200L)) // exact, not estimates
+  }
+
   test("bloom filter: no false negatives, plausible FP rate, probe matches builder") {
     import graft.sketch.BloomFilter
     val keys = spark.range(2000).select((col("id") * 7 + 1).as("k"))
