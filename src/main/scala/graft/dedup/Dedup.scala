@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One record of the sorted-neighborhood pass: tag 0 = emitted pair
+  * (docA, docB, dist); tag 1 = partition-boundary row (docA = id at
+  * local position `pos` of partition `part`, which holds `cnt` rows).
+  * Top-level so the product encoder can codegen it. */
+case class SnmRec(tag: Int, docA: Long, docB: Long, dist: Long,
+    part: Int, pos: Long, cnt: Long)
+
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.3).
   *
   * All stages are declarative Column expressions — shingling, hashing,
@@ -88,6 +95,24 @@ object Dedup {
     grams.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
 
+  /** LSH band keys: one (doc_id, band_id, band_key) row per band, the
+    * join key of every banded-LSH shape below. */
+  def minhashBandKeys(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleN: Int,
+      numBands: Int,
+      rowsPerBand: Int,
+      portable: Boolean
+  ): DataFrame = {
+    val sig = minhashSignatures(df, text, id, shingleN, numBands * rowsPerBand, portable)
+    val bandCols = (0 until numBands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+  }
+
   /** Candidate pairs from MinHash-LSH banding: one self-join on
     * (band_id, band_key). Band keys are uniform hashes → the shuffle
     * is skew-free; pairs are deduped across bands and oriented
@@ -101,12 +126,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       portable: Boolean = false
   ): DataFrame = {
-    val sig = minhashSignatures(df, text, id, shingleN, numBands * rowsPerBand, portable)
-    val bandCols = (0 until numBands).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-    }
-    val keyed = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+    val keyed = minhashBandKeys(df, text, id, shingleN, numBands, rowsPerBand, portable)
     keyed
       .as("a")
       .join(
@@ -117,6 +137,38 @@ object Dedup {
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental corpus update: split `batch` into rows that are
+    * MinHash-LSH near-dups of the EXISTING corpus vs novel rows, and
+    * return the novel ones — the shape a training pipeline runs on
+    * every new crawl drop. The corpus side is never self-joined and
+    * never reshuffled beyond its band-key aggregation: each batch doc
+    * probes corpus band keys (uniform hashes, skew-free), so
+    * incremental cost is O(batch) probes against O(corpus) keys, not
+    * a rebuild of the full pair graph. A doc is a dup if ANY of its
+    * bands collides with any corpus band (same collision rule as
+    * [[minhashCandidatePairs]]). */
+  def minhashNovel(
+      corpus: DataFrame,
+      batch: DataFrame,
+      text: Column,
+      id: Column,
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2,
+      portable: Boolean = false
+  ): DataFrame = {
+    val corpusBands = minhashBandKeys(corpus, text, id, shingleN, numBands, rowsPerBand, portable)
+      .select(col("band_id").as("__cb_id"), col("band_key").as("__cb_key"))
+    val batchBands = minhashBandKeys(batch, text, id, shingleN, numBands, rowsPerBand, portable)
+    val dupIds = batchBands
+      .join(corpusBands,
+        col("band_id") === col("__cb_id") && col("band_key") === col("__cb_key"),
+        "left_semi")
+      .select(col("doc_id").as("__dup_id"))
+      .distinct()
+    batch.join(dupIds, id === col("__dup_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity pairs: group docs by gram, emit
@@ -293,5 +345,116 @@ object Dedup {
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): globally sort
+    * by a fingerprint key, slide a window of `window` rows, and emit
+    * the candidate pairs inside the window — the classic entity-
+    * resolution complement to LSH (catches near-dups whose EDITS are
+    * at the end of the document, where a prefix fingerprint sorts
+    * them adjacent regardless of which shingles changed).
+    *
+    * Scale shape: the global rank comes from
+    * [[graft.operators.Ordering.globalRank]] (range shuffle, no
+    * single-task window), and the windowed self-join is block-keyed —
+    * with B = window-1, the smaller-rank side keys on its home block
+    * floor(r/B); the larger side is exploded to (home, home-1). Two
+    * ranks within distance ≤ B always meet in exactly one block, so
+    * the join emits each pair once, no post-distinct. Candidates are
+    * ≤ N·(window-1) by construction — skew-free, no quadratic key. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      id: Column,
+      sortKey: Column,
+      window: Int
+  ): DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    val b = window - 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(sortKey.cast("string").as("__k"), id.cast("long").as("doc_id"))
+      .repartitionByRange(col("__k"), col("doc_id"))
+      .sortWithinPartitions(col("__k"), col("doc_id"))
+      .as[(String, Long)]
+    // ONE pass per partition: a B-slot ring buffer emits every
+    // within-partition pair as rows stream by (never materializing the
+    // partition), then the partition's first/last B rows are emitted as
+    // boundary records. The two consumers below share the range
+    // exchange (the subtree under it is deterministic → ReuseExchange),
+    // so the corpus is shuffled exactly once.
+    val tagged = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val ring = new Array[Long](b)
+      val headIds = new scala.collection.mutable.ArrayBuffer[Long](b)
+      var pos = 0L
+      val pairs = it.flatMap { case (_, idv) =>
+        val lim = math.min(pos, b.toLong).toInt
+        val out = new Array[SnmRec](lim)
+        var d = 1
+        while (d <= lim) {
+          out(d - 1) = SnmRec(0, ring(((pos - d) % b).toInt), idv, d.toLong, pid, 0L, 0L)
+          d += 1
+        }
+        ring((pos % b).toInt) = idv
+        if (pos < b) headIds += idv
+        pos += 1
+        out.iterator
+      }
+      // boundary records are built only after `pairs` is exhausted
+      // (Iterator.++ pulls the right side lazily), when cnt is known
+      pairs ++ Iterator.single(()).flatMap { _ =>
+        val cnt = pos
+        val headPos = 0L until math.min(b.toLong, cnt)
+        val tailPos = math.max(0L, cnt - b) until cnt
+        (headPos ++ tailPos).distinct.iterator.map { p =>
+          val idv = if (p < b) headIds(p.toInt) else ring((p % b).toInt)
+          SnmRec(1, idv, 0L, 0L, pid, p, cnt)
+        }
+      }
+    }
+    val within = tagged.filter(_.tag == 0)
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b"), col("dist").as("rank_dist"))
+    // Cross-partition stitch: every global pair within distance B that
+    // spans partitions lives entirely inside the boundary set (any row
+    // between its ends is within B of its own partition's edge), so one
+    // tiny task — 2B rows per partition, not the corpus — recovers the
+    // exact global positions from the per-partition counts and slides
+    // the same window. Same-partition pairs are skipped (pass 1 owns them).
+    val cross = tagged.filter(_.tag == 1)
+      .repartition(1).sortWithinPartitions("part", "pos")
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.length < 2) Iterator.empty
+        else {
+          val ded = {
+            val seen = scala.collection.mutable.HashSet.empty[(Int, Long)]
+            rows.filter(r => seen.add((r.part, r.pos)))
+          }
+          val totalBefore = {
+            val m = scala.collection.mutable.HashMap.empty[Int, Long]
+            var cum = 0L
+            ded.map(r => (r.part, r.cnt)).distinct.sortBy(_._1).foreach { case (p, c) =>
+              m(p) = cum; cum += c
+            }
+            m
+          }
+          val g = ded.map(r => (totalBefore(r.part) + r.pos, r.part, r.docA)).sortBy(_._1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SnmRec]
+          var i = 0
+          while (i < g.length) {
+            var j = i + 1
+            while (j < g.length && g(j)._1 - g(i)._1 <= b) {
+              if (g(j)._2 != g(i)._2)
+                out += SnmRec(0, g(i)._3, g(j)._3, g(j)._1 - g(i)._1, 0, 0L, 0L)
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b"), col("dist").as("rank_dist"))
+    within.union(cross)
   }
 }

@@ -119,6 +119,44 @@ object DedupQueries {
         .agg(count(lit(1)).as("shared_openings"))
     }),
 
+    // §2.3/24e incremental corpus update: new batch (doc_id ≡ 0 mod
+    // IncrBatchMod) screened against the existing corpus by LSH band
+    // collision; returns the novel batch docs. The corpus is probed,
+    // never self-joined — the every-crawl-drop shape.
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashNovel(
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.IncrBatchMod)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.IncrBatchMod)) === 0),
+        col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
+    // by a normalized prefix fingerprint, pair docs within a 5-row
+    // window, keep pairs at word-set Jaccard ≥ 0.4 (integer-rational
+    // gate). The rank comes from the scalable globalRank (range
+    // shuffle + per-partition offsets), not a single-task window.
+    "q_sorted_neighbors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val key = substring(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, PrepParams.SnmKeyLen)
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        docs, col("doc_id"), key, window = PrepParams.SnmWindow)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(Dedup.tokens(col("text"))).as("__set"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("__set").as("__sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("__set").as("__sb")), "doc_b")
+        .withColumn("i", size(array_intersect(col("__sa"), col("__sb"))).cast("bigint"))
+        .withColumn("u",
+          (size(col("__sa")) + size(col("__sb"))).cast("bigint") - col("i"))
+        .filter(col("u") > 0 &&
+          col("i") * PrepParams.SnmTauDen >= col("u") * PrepParams.SnmTauNum)
+        .select(col("doc_a"), col("doc_b"), col("rank_dist"), col("i"), col("u"))
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -355,7 +393,45 @@ object DedupQueries {
          |  FROM cand
          |) WHERE rank <= ${AnnParams.LshK}""".stripMargin
 
+  /** Incremental-update replay: band CTEs over ALL documents (band
+    * values are per-doc, independent of the corpus/batch split), then
+    * batch docs with no corpus collision. */
+  private val incrDedupSql: String = {
+    val m = PrepParams.IncrBatchMod
+    raw"""WITH $minhashPairCtes,
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % $m <> 0 AND b.doc_id % $m = 0
+         |)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id % $m = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+  }
+
+  private val sortedNeighborsSql: String = {
+    val b = PrepParams.SnmWindow - 1
+    raw"""WITH k AS (
+         |  SELECT doc_id,
+         |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, ${PrepParams.SnmKeyLen}) AS k
+         |  FROM documents),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS r FROM k),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(b.r - a.r AS BIGINT) AS rank_dist
+         |  FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND $b),
+         |s AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS st
+         |      FROM documents)
+         |SELECT doc_a, doc_b, rank_dist, i, u FROM (
+         |  SELECT doc_a, doc_b, rank_dist,
+         |         CAST(len(list_intersect(sa.st, sb.st)) AS BIGINT) AS i,
+         |         CAST(len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)) AS BIGINT) AS u
+         |  FROM p JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id
+         |) WHERE u > 0 AND i * ${PrepParams.SnmTauDen} >= u * ${PrepParams.SnmTauNum}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_incr_dedup" -> incrDedupSql,
+    "q_sorted_neighbors" -> sortedNeighborsSql,
     "q_ann_lsh" -> annLshSql,
     "q_source_overlap" ->
       raw"""WITH fp AS (

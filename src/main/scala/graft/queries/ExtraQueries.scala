@@ -32,6 +32,18 @@ object ExtraQueries {
         )
         .mapRecords(col("event_id"), col("mov_sum"))),
 
+    // deterministic global rank without a single-task window: range
+    // shuffle + per-partition offsets (graft.operators.Ordering). Keyed
+    // by the SNM fingerprint so the two queries share parameters.
+    "q_global_rank" -> ((s, dir) => {
+      val key = substring(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, PrepParams.SnmKeyLen)
+      graft.operators.Ordering.globalRank(
+          Tables.documents(s, dir).select(col("doc_id"), key.as("__k")),
+          Seq(col("__k"), col("doc_id")), rankCol = "rank")
+        .mapRecords(col("doc_id"), col("rank"))
+    }),
+
     // CUBE over two dimensions.
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir).cubeAgg(
@@ -248,6 +260,13 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_global_rank" ->
+      raw"""SELECT doc_id,
+           |       CAST(row_number() OVER (
+           |         ORDER BY substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+           |                         1, ${PrepParams.SnmKeyLen}),
+           |                  doc_id) - 1 AS BIGINT) AS rank
+           |FROM documents""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_semdedup" -> semDedupSql,
     "q_moving_sum" ->

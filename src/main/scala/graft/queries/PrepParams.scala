@@ -28,4 +28,18 @@ object PrepParams {
   // at sf0.01, so 100 separates a genuinely rare tail token from the
   // common mass at the gate SF.
   val LmRareMax = 100L
+
+  // q_incr_dedup: every doc_id ≡ 0 (mod IncrBatchMod) plays the
+  // "new crawl drop"; the rest is the existing corpus.
+  val IncrBatchMod = 4
+
+  // q_sorted_neighbors: sort-key fingerprint length, window size, and
+  // the Jaccard gate as a rational (i·Den ≥ u·Num keeps the pair).
+  // τ = 0.9: the synthetic corpus has a 31-token vocabulary, so word
+  // SETS of unrelated docs already overlap heavily — only a high bar
+  // separates true near-dups (160 pairs at sf0.01) from the mass.
+  val SnmKeyLen = 30
+  val SnmWindow = 5
+  val SnmTauNum = 9
+  val SnmTauDen = 10
 }

@@ -99,6 +99,68 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc out
   }
 
+  test("minhashNovel keeps exactly the batch docs with no corpus band collision") {
+    val corpus = Seq((10L, base), (11L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, base),                               // exact dup of corpus 10
+      (21L, nearDup),                            // near dup of corpus 10
+      (22L, "genuinely novel text with tokens absent from every corpus document entirely")
+    ).toDF("doc_id", "text")
+    val novel = Dedup.minhashNovel(corpus, batch, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    // brute-force replay: batch doc is dup iff any band key matches a corpus band
+    val cb = Dedup.minhashBandKeys(corpus, col("text"), col("doc_id"), 3, 4, 2, portable = false)
+      .select("band_id", "band_key").as[(Int, String)].collect().toSet
+    val expected = Dedup.minhashBandKeys(batch, col("text"), col("doc_id"), 3, 4, 2, portable = false)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).collect { case (id, bands) if !bands.exists(b => cb((b._2, b._3))) => id }
+      .toSet
+    assert(novel === expected)
+    assert(!novel.contains(20L)) // the exact dup can never be novel
+    assert(novel.contains(22L))  // disjoint vocabulary shares no shingle, ergo no band
+  }
+
+  test("sortedNeighborhoodPairs equals the brute-force rank window") {
+    // 60 docs with a skewed key so blocks and partitions both split unevenly
+    val df = (0L until 60L).map(i => (i, f"k${(i * 37) % 20}%02d-$i")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, col("doc_id"), col("text"), window = 4)
+      .select("doc_a", "doc_b", "rank_dist").as[(Long, Long, Long)].collect().toSet
+    // brute force: rank by (key, id) on the driver, window pairs
+    val ranked = df.as[(Long, String)].collect().sortBy { case (id, k) => (k, id) }.map(_._1)
+    val expected = (for {
+      i <- ranked.indices; d <- 1 to 3 if i + d < ranked.length
+    } yield (ranked(i), ranked(i + d), d.toLong)).toSet
+    assert(pairs === expected)
+    assert(pairs.size === (57 * 3 + 2 + 1)) // n·B - B(B-1)/2 tail truncation
+  }
+
+  test("sortedNeighborhoodPairs survives windows wider than a partition") {
+    // 10 docs through the 4-partition test session → ~2-3 rows per
+    // range partition, so a window of 6 spans 3+ partitions and the
+    // boundary stitch must recover multi-partition gaps exactly
+    val df = (0L until 10L).map(i => (i, f"x${(i * 7) % 10}%02d")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, col("doc_id"), col("text"), window = 6)
+      .select("doc_a", "doc_b", "rank_dist").as[(Long, Long, Long)].collect()
+    assert(pairs.length === pairs.distinct.length) // no pair emitted twice
+    val ranked = df.as[(Long, String)].collect().sortBy { case (id, k) => (k, id) }.map(_._1)
+    val expected = (for {
+      i <- ranked.indices; d <- 1 to 5 if i + d < ranked.length
+    } yield (ranked(i), ranked(i + d), d.toLong)).toSet
+    assert(pairs.toSet === expected)
+  }
+
+  test("globalRank matches a single-partition row_number at any partitioning") {
+    import graft.operators.Ordering
+    val df = (0L until 1000L).map(i => ((i * 613L) % 1000L, i)).toDF("k", "id")
+    val expected = df.as[(Long, Long)].collect().sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, r) => (id, r.toLong) }.toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Ordering.globalRank(df.repartition(parts), Seq(col("k"), col("id")), "r")
+        .select("id", "r").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("connectedComponents labels chains, cliques and crossing components") {
     import graft.dedup.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}

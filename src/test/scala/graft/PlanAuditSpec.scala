@@ -139,7 +139,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
     "q_token_sample" -> 1, "q_semdedup" -> 6, "q_lm_score" -> 4,
     "q_keep_best" -> 3, "q_temperature" -> 2, "q_phash" -> 1,
-    "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2)
+    "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2,
+    "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

@@ -17,7 +17,8 @@ object ProfileShuffles {
       "q_ann_lsh", "q_ann_ivf", "q_cosine_topk", "q_sessionize",
       "q_session_window", "q_decontam", "q_source_overlap", "q_boilerplate", "q_token_sample",
       "q_semdedup", "q_lm_score", "q_keep_best", "q_temperature", "q_phash",
-      "q_fertility", "q_skew_profile")
+      "q_fertility", "q_skew_profile", "q_cms_gate", "q_incr_dedup",
+      "q_sorted_neighbors", "q_global_rank")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
