@@ -38,11 +38,13 @@ import graft.sources.PartitionedFiles
   * LLM-pipeline verbs (the library operators a training-data pipeline
   * runs most, exposed as shell commands — SURVEY.md §2.3/§2.5):
   *   dedup-minhash  --text text --id doc_id [--shingle 3] [--bands 4]
-  *                  [--rows-per-band 2] [--emit keep|pairs]
+  *                  [--rows-per-band 2] [--emit keep|pairs|keep-best]
+  *                  [--order "length(text) DESC, doc_id"]
   *       near-duplicate removal: MinHash-LSH candidate pairs →
   *       connected components → keep the min-id representative per
-  *       cluster (--emit keep, default), or dump the candidate pairs
-  *       themselves (--emit pairs)
+  *       cluster (--emit keep, default), the best row per cluster
+  *       under --order (--emit keep-best), or dump the candidate
+  *       pairs themselves (--emit pairs)
   *   pack           --text text --id doc_id [--shard "doc_id % 8"] [--budget 2000]
   *       token-budget packing: per shard, cumulative token counts cut
   *       into batch_id groups — the batch/sequence packing step before
@@ -211,7 +213,12 @@ object Cli {
           opts.getOrElse("emit", "keep") match {
             case "pairs" => write(pairs)
             case "keep"  => write(graft.dedup.Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
-            case o       => fail(s"--emit must be keep|pairs, got: $o")
+            // keep the best row per cluster instead of the min-id one;
+            // --order is a SQL sort list (e.g. "length(text) DESC, doc_id")
+            // — give it an id tiebreak or the keeper is nondeterministic
+            case "keep-best" => write(graft.dedup.Components.keepBestPerCluster(
+              df, id, pairs, "doc_a", "doc_b", exprList("order")))
+            case o       => fail(s"--emit must be keep|pairs|keep-best, got: $o")
           }
         case "pack" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))

@@ -92,17 +92,25 @@ object DriveCli {
     Cli.main(Array("-i", docs, "-f", "parquet",
       "dedup-minhash", "--text", "text", "--id", "doc_id", "--emit", "pairs",
       "--outfile", s"$tmp/pairs"))
+    // and the quality-aware keeper (longest text per cluster, id tiebreak)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "dedup-minhash", "--text", "text", "--id", "doc_id", "--emit", "keep-best",
+      "--order", "length(text) DESC, doc_id", "--outfile", s"$tmp/dedupedBest"))
     locally {
       val spark = GraftSession.builder("verifyDedup", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
       val kept = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/deduped")
+      val keptBest = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/dedupedBest")
       val pairs = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/pairs")
       val expectKept = graft.dedup.Components.keepOnePerCluster(
         in, col("doc_id"),
         graft.dedup.Dedup.minhashCandidatePairs(in, col("text"), col("doc_id")),
         "doc_a", "doc_b").count()
-      println(s"DEDUP_KEEP=${kept.count()} EXPECT=$expectKept PAIRS=${pairs.count()} IN=${in.count()}")
+      // keep-best keeps exactly one row per cluster too — same count,
+      // possibly different representatives
+      println(s"DEDUP_KEEP=${kept.count()} EXPECT=$expectKept " +
+        s"KEEP_BEST=${keptBest.count()} PAIRS=${pairs.count()} IN=${in.count()}")
       spark.stop()
     }
 
