@@ -33,6 +33,20 @@ object PrepParams {
   // "new crawl drop"; the rest is the existing corpus.
   val IncrBatchMod = 4
 
+  // q_winnow: char-gram size and window width (guarantee threshold
+  // = WinnowW + WinnowK - 1 = 8 chars, density ≈ 2/(WinnowW+1)).
+  // q_winnow_pairs: pairs sharing ≥ MinShared fingerprints, after
+  // dropping boilerplate fingerprints in > MaxDocFreq docs.
+  val WinnowK = 5
+  val WinnowW = 4
+  val WinnowMinShared = 10L
+  val WinnowMaxDocFreq = 50L
+
+  // q_weighted_sample: inclusion probability = min(1, n_chars/this) —
+  // the corpus median is ~306 chars at sf0.01, so the gate binds for
+  // most documents without being degenerate either way
+  val WSampleThreshold = 400L
+
   // q_sorted_neighbors: sort-key fingerprint length, window size, and
   // the Jaccard gate as a rational (i·Den ≥ u·Num keeps the pair).
   // τ = 0.9: the synthetic corpus has a 31-token vocabulary, so word

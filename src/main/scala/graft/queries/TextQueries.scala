@@ -167,6 +167,28 @@ object TextQueries {
         TextAnalysis.fingerprint(col("text")).as("fp")
       )),
 
+    // §2.5/33c winnowing fingerprints (MOSS): min-hash of each sliding
+    // char-gram window — the substring-level near-dup signature.
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir), col("text"), col("doc_id"),
+        k = PrepParams.WinnowK, w = PrepParams.WinnowW)),
+
+    // §2.5/33d substring-level near-dup pairs: ≥ MinShared shared
+    // winnowing fingerprints (the MOSS verdict), boilerplate
+    // fingerprints dropped at MaxDocFreq.
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+        k = PrepParams.WinnowK, w = PrepParams.WinnowW,
+        minShared = PrepParams.WinnowMinShared, maxDocFreq = PrepParams.WinnowMaxDocFreq)),
+
+    // §2.5/43d weighted Bernoulli sampling: keep docs with probability
+    // ∝ length (capped at 1), rerun-stable, zero shuffles.
+    "q_weighted_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(graft.text.TextPrep.weightedSample(
+          col("doc_id"), col("n_chars"), PrepParams.WSampleThreshold))
+        .mapRecords(col("doc_id"), col("source"), col("n_chars"))),
+
     // Flagship composition: the canonical training-data prep pipeline —
     // quality-filter → exact-dedup (first per fingerprint) → per-source
     // corpus stats. One declarative plan: filter fuses with the scan,
@@ -192,6 +214,51 @@ object TextQueries {
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_winnow" -> {
+      val (k, w) = (PrepParams.WinnowK, PrepParams.WinnowW)
+      raw"""WITH g AS (
+           |  SELECT doc_id,
+           |         unnest(generate_series(1, length(lower(text)) - ${k - 1})) AS pos,
+           |         unnest(list_transform(generate_series(1, length(lower(text)) - ${k - 1}),
+           |                i -> substr(lower(text), i, $k))) AS gr
+           |  FROM documents WHERE length(lower(text)) >= $k),
+           |h AS (
+           |  SELECT doc_id, pos, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS h FROM g),
+           |m AS (
+           |  SELECT doc_id, h,
+           |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mn
+           |  FROM h)
+           |SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mn""".stripMargin
+    },
+    "q_winnow_pairs" -> {
+      val (k, w) = (PrepParams.WinnowK, PrepParams.WinnowW)
+      raw"""WITH g AS (
+           |  SELECT doc_id,
+           |         unnest(generate_series(1, length(lower(text)) - ${k - 1})) AS pos,
+           |         unnest(list_transform(generate_series(1, length(lower(text)) - ${k - 1}),
+           |                i -> substr(lower(text), i, $k))) AS gr
+           |  FROM documents WHERE length(lower(text)) >= $k),
+           |h AS (
+           |  SELECT doc_id, pos, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS h FROM g),
+           |m AS (
+           |  SELECT doc_id, h,
+           |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mn
+           |  FROM h),
+           |fp AS (SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mn),
+           |keep AS (SELECT fp FROM fp GROUP BY fp
+           |         HAVING count(*) BETWEEN 2 AND ${PrepParams.WinnowMaxDocFreq}),
+           |fk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+           |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= ${PrepParams.WinnowMinShared}""".stripMargin
+    },
+    "q_weighted_sample" ->
+      raw"""SELECT doc_id, source, n_chars FROM documents
+           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           |        * ${PrepParams.WSampleThreshold}
+           |      < n_chars * ${1L << 28}""".stripMargin,
     "q_inverted_index" ->
       raw"""WITH tok AS (
            |  SELECT doc_id, unnest(ts) AS term, unnest(range(len(ts))) AS pos

@@ -61,6 +61,52 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every char k-gram, slide a w-gram window over
+    * the positions, keep each window's minimum hash. Any two docs
+    * sharing a substring of length ≥ w+k−1 share a fingerprint, at
+    * expected density 2/(w+1) of the gram count — local document
+    * edits only perturb fingerprints near the edit.
+    *
+    * Trailing-window variant: position p's window is the last w grams
+    * ending at p (truncated at the doc start), so docs shorter than w
+    * grams still fingerprint and no boundary special-case exists. The
+    * only shuffle is the per-doc window partition; hashes are the
+    * portable 60-bit md5 family, so the selection replays exactly in
+    * any engine. */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, text: Column, id: Column,
+      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(id.as("doc_id"),
+      posexplode(org.apache.spark.sql.graft.GraftTextFunctions.charShingles(text, k))
+        .as(Seq("pos", "g")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    grams.withColumn("h", graft.dedup.Dedup.portableTokenHash(col("g")))
+      .withColumn("__m", min(col("h")).over(win))
+      .filter(col("h") === col("__m"))
+      .select(col("doc_id"), col("h").as("fp"))
+      .distinct()
+  }
+
+  /** Substring-level near-dup pairs from shared winnowing
+    * fingerprints: docs sharing ≥ `minShared` fingerprints copied a
+    * run of text from each other even when their word sets diverge
+    * (the MOSS verdict). Same bounded group-by-fingerprint shape as
+    * the n-gram pair scorer: fingerprints held by a single doc never
+    * leave the aggregate, `maxDocFreq` drops boilerplate fingerprints
+    * (and bounds the collected lists). */
+  def winnowPairs(df: org.apache.spark.sql.DataFrame, text: Column, id: Column,
+      k: Int = 5, w: Int = 4, minShared: Long = 10,
+      maxDocFreq: Long = 50): org.apache.spark.sql.DataFrame = {
+    val fp = winnowFingerprints(df, text, id, k, w)
+    val byFp = fp.groupBy("fp").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDocFreq)
+    byFp.select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Top-k TF-IDF terms per document: term frequencies and document
     * frequencies as exact integer aggregates, scored tf · ln(N/df),
     * per-doc selection through the custom GroupTopK operator (bounded

@@ -30,6 +30,20 @@ object TextPrep {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** Weighted Bernoulli (Poisson) sampling predicate: keep a row with
+    * probability min(1, weight/threshold) — longer/heavier documents
+    * proportionally more often — decided by a pure function of the
+    * row key, so the sample is rerun- and retry-stable and the filter
+    * runs at scan time with ZERO shuffles. The uniform draw is the
+    * first 7 md5 hex chars (28 bits) and the comparison is an integer
+    * cross-multiplication, exact in any engine; keep weight and
+    * threshold under 2^35 so the products stay inside a BIGINT. */
+  def weightedSample(key: Column, weight: Column, threshold: Long): Column = {
+    require(threshold >= 1 && threshold < (1L << 35))
+    val h = conv(substring(md5(key.cast("string")), 1, 7), 16, 10).cast("long")
+    h * threshold < weight.cast("long") * (1L << 28)
+  }
+
   /** Deterministic train/val/test assignment from a stable content
     * key: bucket = first 8 hex chars of md5(key) mod 100, split by
     * cumulative percentage thresholds. Reproducible in any engine,

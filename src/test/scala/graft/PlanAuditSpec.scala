@@ -25,6 +25,10 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_sample")) === 0)
   }
 
+  test("q_weighted_sample is a pure scan filter: zero key shuffles") {
+    assert(keyShuffles(plan("q_weighted_sample")) === 0)
+  }
+
   test("q_filter pushes its predicate into the parquet scan") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(800))
@@ -140,7 +144,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_token_sample" -> 1, "q_semdedup" -> 6, "q_lm_score" -> 4,
     "q_keep_best" -> 3, "q_temperature" -> 2, "q_phash" -> 1,
     "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2,
-    "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3)
+    "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3,
+    "q_winnow" -> 1, "q_winnow_pairs" -> 3)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

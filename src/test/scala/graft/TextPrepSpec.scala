@@ -123,6 +123,22 @@ class TextPrepSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("weightedSample keeps rows with probability ~ weight/threshold") {
+    val df = spark.range(20000).select(col("id"), (col("id") % 100 + 1).as("w"))
+    val kept = df.filter(TextPrep.weightedSample(col("id"), col("w"), threshold = 100))
+    // E[keep] = mean(w/100) = 50.5% ± sampling noise
+    val rate = kept.count().toDouble / 20000
+    assert(rate > 0.48 && rate < 0.53, s"rate $rate")
+    // weight ≥ threshold ⇒ always kept; weight = 0 ⇒ never kept
+    assert(df.filter(col("w") === 100 && !TextPrep.weightedSample(col("id"), col("w"), 100)).count() === 0L)
+    assert(spark.range(100).filter(TextPrep.weightedSample(col("id"), lit(0L), 100)).count() === 0L)
+    // deterministic: same rows on a re-evaluation with different partitioning
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = df.repartition(17).filter(TextPrep.weightedSample(col("id"), col("w"), 100))
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("temperatureWeights flattens shares with exact alpha=0.5 math") {
     // tokens: A=900, B=100 → shares 0.9/0.1; weights sqrt → 0.9487/0.3162;
     // boost = weight/share → tail source B boosted ~3.16x, head damped

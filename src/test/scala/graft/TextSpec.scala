@@ -123,6 +123,29 @@ class TextSpec extends SparkSpecBase {
     assert(out.sortBy(_._3) === List(("the", 3L, 1, 3L), ("cat", 2L, 2, 5L)))
   }
 
+  test("winnowFingerprints matches a driver replay and keeps the match guarantee") {
+    val k = 5; val w = 4
+    val common = "xqzjvkwpfyghbdnm" // 16 chars ≥ w+k-1=8 → must share a fingerprint
+    val df = Seq(
+      (1L, s"alpha $common omega"),
+      (2L, s"totally different prefix $common and suffix"),
+      (3L, "no overlap here at all with anything")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, col("text"), col("doc_id"), k, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)  // winnowing guarantee
+    assert((fps(1L) & fps(3L)).isEmpty)   // disjoint text, disjoint fingerprints
+    // driver replay of the trailing-window rule for doc 1
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val text = s"alpha $common omega".toLowerCase
+    val hs = (0 to text.length - k).map(i => java.lang.Long.parseLong(md5hex(text.substring(i, i + k)).take(15), 16))
+    val expect = hs.indices.collect {
+      case p if hs(p) == (math.max(0, p - w + 1) to p).map(hs).min => hs(p)
+    }.toSet
+    assert(fps(1L) === expect)
+  }
+
   test("lmScore: corpus frequencies, rare counts, exact mean") {
     // freq: a=2, b=2, c=1 → doc1 (a a b): sum_freq = 2·2 + 1·2 = 6;
     // doc2 (b c): sum_freq = 2 + 1 = 3, one rare token at rareMax=1
