@@ -138,6 +138,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming novelty screen: the streaming counterpart of
+    * `Dedup.minhashNovel` — every micro-batch of incoming documents is
+    * screened against the STATIC corpus by MinHash-LSH band collision
+    * and only the novel rows reach the sink. Runs through foreachBatch
+    * so each trigger executes the exact batch operator (banding both
+    * sides, probing corpus band keys); there is NO state store — the
+    * corpus table is the state, owned and refreshed by the batch
+    * pipeline, which is the operationally sane place for a
+    * multi-terabyte dedup index to live. Exactly-once to the sink
+    * comes from the checkpointed batch ids as usual. */
+  def novelDocsStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.dedup.Dedup.minhashNovel(
+          corpus, batch, col(textCol), col(idCol), shingleN, numBands, rowsPerBand))
+      }
+      .start()
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -200,6 +200,34 @@ class StreamingSpec extends SparkSpecBase {
       (3L, None, None), (4L, Some(102L), Some(11.0)), (5L, Some(103L), Some(12.0))))
   }
 
+  test("novelDocsStream screens micro-batches against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the mat"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("novel_ckpt").toString
+    val q = EventStreams.novelDocsStream(
+      mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", ckpt) { novel =>
+      got.synchronized { got ++= novel.select("doc_id").as[Long].collect() }
+    }
+    // batch 1: one exact dup of the corpus + one novel doc
+    mem.addData((10L, base), (11L, "completely unrelated content about catalyst plans and shuffles"))
+    q.processAllAvailable()
+    // batch 2: near-dup (one token changed) + another novel doc
+    mem.addData((12L, base.replace("mat", "rug")),
+      (13L, "zebra quartz violin xylophone jackdaw plume nimbus"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(11L, 13L)) // dups screened out in BOTH micro-batches
+    // parity: per-batch results equal the batch operator applied to each drop
+    val b1 = graft.dedup.Dedup.minhashNovel(corpus,
+      Seq((10L, base), (11L, "completely unrelated content about catalyst plans and shuffles"))
+        .toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(b1 === Set(11L))
+  }
+
   test("deduped drops repeated keys within the watermark across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
