@@ -79,6 +79,17 @@ import graft.sources.PartitionedFiles
   *       schema-drift report vs the expected DDL: one row per column,
   *       status ok|type_changed|missing|extra (metadata-only — no
   *       data scanned; the pre-ingest producer-drift guard)
+  *   novel          --corpus PATH --text text --id doc_id [--shingle 3]
+  *                  [--bands 4] [--rows-per-band 2]
+  *       incremental corpus update: keep only input docs that are NOT
+  *       MinHash-LSH near-dups of the corpus at PATH (the
+  *       screen-every-new-crawl-drop verb)
+  *   sample-weighted --key doc_id --weight n_chars --threshold 400
+  *       weighted Bernoulli sampling: keep rows with probability
+  *       min(1, weight/threshold), rerun-stable, zero shuffles
+  *   winnow         --text text --id doc_id [--k 5] [--w 4]
+  *       winnowing (MOSS) fingerprints: (doc_id, fp) rows; docs
+  *       sharing a substring of >= w+k-1 chars share a fingerprint
   */
 object Cli {
 
@@ -293,6 +304,31 @@ object Cli {
               col(idCol) === col("__keep")).drop("__keep"))
             case o => fail(s"--emit must be keep|flags, got: $o")
           }
+        case "novel" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val corpusPath = opts.getOrElse("corpus", fail("--corpus PATH required"))
+          val corpus = fmt match {
+            case "json"    => PartitionedFiles.readJsonl(spark, corpusPath, opts.get("corpus-schema"))
+            case "csv"     => PartitionedFiles.readCsv(spark, corpusPath, header = true, opts.get("corpus-schema"))
+            case "parquet" => PartitionedFiles.readParquet(spark, corpusPath)
+            case "orc"     => PartitionedFiles.readOrc(spark, corpusPath)
+            case o         => fail(s"novel unsupported for format: $o")
+          }
+          write(graft.dedup.Dedup.minhashNovel(corpus, read(), text, id,
+            shingleN = opts.getOrElse("shingle", "3").toInt,
+            numBands = opts.getOrElse("bands", "4").toInt,
+            rowsPerBand = opts.getOrElse("rows-per-band", "2").toInt))
+        case "sample-weighted" =>
+          val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
+          val weight = expr(opts.getOrElse("weight", fail("--weight COLUMN required")))
+          write(read().filter(graft.text.TextPrep.weightedSample(
+            key, weight, opts.getOrElse("threshold", fail("--threshold N required")).toLong)))
+        case "winnow" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.text.TextAnalysis.winnowFingerprints(read(), text, id,
+            k = opts.getOrElse("k", "5").toInt, w = opts.getOrElse("w", "4").toInt))
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

@@ -251,6 +251,39 @@ object DriveCli {
       spark.stop()
     }
 
+    // novel (incremental corpus screen): screen the file against
+    // itself — every doc band-collides with its own corpus copy, so
+    // nothing is novel; a clean end-to-end signal for the verb
+
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "novel", "--corpus", docs, "--text", "text", "--id", "doc_id",
+      "--outfile", s"$tmp/novel"))
+    locally {
+      val spark = GraftSession.builder("verifyNovel", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val n = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/novel").count()
+      println(s"NOVEL_VS_SELF=$n") // expect 0
+      spark.stop()
+    }
+
+    // sample-weighted (length-proportional Bernoulli keep)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "sample-weighted", "--key", "doc_id", "--weight", "n_chars",
+      "--threshold", "400", "--outfile", s"$tmp/wsample"))
+    // winnow (MOSS fingerprints)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "winnow", "--text", "text", "--id", "doc_id", "--outfile", s"$tmp/winnow"))
+    locally {
+      val spark = GraftSession.builder("verifyWs", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val total = graft.sources.PartitionedFiles.readParquet(spark, docs).count()
+      val ws = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/wsample").count()
+      val wn = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/winnow")
+      println(s"WSAMPLE=$ws OF=$total BINDS=${ws > 0 && ws < total} " +
+        s"WINNOW_FPS=${wn.count()} DOCS=${wn.select("doc_id").distinct().count()}")
+      spark.stop()
+    }
+
     // schema-check (drift report: one re-typed, one missing, one extra)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "schema-check", "--expect",
