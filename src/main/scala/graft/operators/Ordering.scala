@@ -38,11 +38,15 @@ object Ordering {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
     // one row per partition: row count + first local ordinal
+    // the cumulative window runs over ONE ROW PER PARTITION (hundreds,
+    // not the data); the constant partition key states that on purpose
+    // and keeps WindowExec's single-partition warning out of the logs
     val offsets = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__base"))
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(lit(0)).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__base", "__off")
     sorted.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__off") + (col("__mid") - col("__base")))

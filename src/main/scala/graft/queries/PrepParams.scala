@@ -42,6 +42,9 @@ object PrepParams {
   val WinnowMinShared = 10L
   val WinnowMaxDocFreq = 50L
 
+  // q_token_drift: top-k tokens by |share_A − share_B| (A = even ids)
+  val DriftTopK = 10
+
   // q_weighted_sample: inclusion probability = min(1, n_chars/this) —
   // the corpus median is ~306 chars at sf0.01, so the gate binds for
   // most documents without being degenerate either way

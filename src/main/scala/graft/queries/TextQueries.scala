@@ -181,6 +181,12 @@ object TextQueries {
         k = PrepParams.WinnowK, w = PrepParams.WinnowW,
         minShared = PrepParams.WinnowMinShared, maxDocFreq = PrepParams.WinnowMaxDocFreq)),
 
+    // §2.5/48b token-distribution drift between corpus halves:
+    // exact cross-multiplied integer ranking, no division anywhere.
+    "q_token_drift" -> ((s, dir) =>
+      TextAnalysis.tokenDriftTopK(Tables.documents(s, dir), col("text"),
+        pmod(col("doc_id"), lit(2)) === 0, k = PrepParams.DriftTopK)),
+
     // §2.5/43d weighted Bernoulli sampling: keep docs with probability
     // ∝ length (capped at 1), rerun-stable, zero shuffles.
     "q_weighted_sample" -> ((s, dir) =>
@@ -254,6 +260,24 @@ object TextQueries {
            |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= ${PrepParams.WinnowMinShared}""".stripMargin
     },
+    "q_token_drift" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id % 2 = 0 AS ga,
+           |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           |  FROM documents),
+           |c AS (
+           |  SELECT token,
+           |         CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           |         CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+           |  FROM tok GROUP BY token),
+           |t AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM c)
+           |SELECT token, cnt_a, cnt_b, rank FROM (
+           |  SELECT token, cnt_a, cnt_b,
+           |         CAST(row_number() OVER (
+           |           ORDER BY abs(CAST(cnt_a AS HUGEINT) * tb - CAST(cnt_b AS HUGEINT) * ta) DESC,
+           |                    token ASC) AS BIGINT) AS rank
+           |  FROM c, t
+           |) WHERE rank <= ${PrepParams.DriftTopK}""".stripMargin,
     "q_weighted_sample" ->
       raw"""SELECT doc_id, source, n_chars FROM documents
            |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT

@@ -107,6 +107,30 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Token-distribution drift between two corpus slices: the top-k
+    * tokens by absolute share difference |cnt_a/A − cnt_b/B|, ranked
+    * EXACTLY via the cross-multiplied integer |cnt_a·B − cnt_b·A|
+    * (same ordering, no division) — the domain-shift diagnostic run
+    * between crawls, sources, or time windows. One token aggregate +
+    * a broadcast totals row; products go through decimal(38,0) so the
+    * ranking key survives 100 TB-scale counts without overflow. */
+  def tokenDriftTopK(df: org.apache.spark.sql.DataFrame, text: Column, isA: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(isA.as("__ga"), explode(split(trim(lower(text)), "\\s+")).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("__ga"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("__ga"), 1L).otherwise(0L)).as("cnt_b"))
+    val tot = counts.agg(sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__key", abs(dec(col("cnt_a")) * dec(col("__tb")) - dec(col("cnt_b")) * dec(col("__ta"))))
+      .orderBy(col("__key").desc, col("token").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("__key").desc, col("token").asc)).cast("bigint"))
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("rank"))
+  }
+
   /** Top-k TF-IDF terms per document: term frequencies and document
     * frequencies as exact integer aggregates, scored tf · ln(N/df),
     * per-doc selection through the custom GroupTopK operator (bounded

@@ -146,6 +146,15 @@ class TextSpec extends SparkSpecBase {
     assert(fps(1L) === expect)
   }
 
+  test("tokenDriftTopK ranks by exact cross-multiplied share difference") {
+    // A: "x x y" (A=3), B: "x y y z" (B=4)
+    // |a·B − b·A|: x = |2·4 − 1·3| = 5, y = |1·4 − 2·3| = 2, z = |0 − 1·3| = 3
+    val df = Seq((0L, "x x y"), (1L, "x y y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenDriftTopK(df, col("text"), col("doc_id") === 0, k = 3)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out === List(("x", 2L, 1L, 1L), ("z", 0L, 1L, 2L), ("y", 1L, 2L, 3L)))
+  }
+
   test("lmScore: corpus frequencies, rare counts, exact mean") {
     // freq: a=2, b=2, c=1 → doc1 (a a b): sum_freq = 2·2 + 1·2 = 6;
     // doc2 (b c): sum_freq = 2 + 1 = 3, one rare token at rareMax=1
