@@ -209,6 +209,23 @@ object EventStreams {
       .select(col("w.start").as("bucket"), col("mg.keys").as("candidate_hashes"),
         col("n_events"))
 
+  /** Streaming windowed Count-Min: per event-time window, one d×w
+    * counter table answering point-frequency queries for ANY key
+    * after the fact — the complement of [[windowedHeavyHitters]]
+    * (which only surfaces the top keys). Same mergeable-Aggregator
+    * contract: O(d·w) state per window, map-side partial merge,
+    * watermark-bounded retention. Probe the emitted table with
+    * `Sketches.cmsEstimate` (one-sided: estimate ≥ true count). */
+  def windowedCountMin(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour", d: Int = 4, w: Int = 1024): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.sketch.Sketches.cms(xxhash64(col(keyCol)), d, w).as("cms"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket"), col("cms.table").as("cms_table"),
+        col("n_events"))
+
   /** Streaming windowed quantiles via the merging t-digest aggregator —
     * the third mergeable sketch in the streaming kit (HLL distinct,
     * Misra-Gries heavy hitters, t-digest quantiles): O(δ) state per

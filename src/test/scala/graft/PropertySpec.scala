@@ -139,6 +139,30 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("Count-Min never underestimates and cmsFrequencyGate is exact on random skew") {
+    import graft.sketch.Sketches
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish skew: key k appears ~ 2000/(k+1) times
+      val keys = (0 until 40).flatMap(k => Seq.fill(2000 / (k + 1))(k.toLong))
+      val shuffled = rnd.shuffle(keys)
+      val df = shuffled.toDF("k").repartition(1 + rnd.nextInt(16))
+      val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sk = df.agg(Sketches.cms(xxhash64(col("k")), d = 4, w = 512).as("s"))
+        .select(col("s.table").as("t"))
+      val est = exact.keys.toSeq.toDF("k").crossJoin(sk)
+        .select(col("k"), Sketches.cmsEstimate(col("t"), xxhash64(col("k")), 4, 512).as("e"))
+        .as[(Long, Long)].collect().toMap
+      exact.foreach { case (k, c) =>
+        assert(est(k) >= c, s"seed=$seed key=$k underestimated: ${est(k)} < $c")
+      }
+      val thr = 100L
+      val gate = Sketches.cmsFrequencyGate(df, col("k"), minCount = thr, d = 4, w = 512)
+        .as[(Long, Long)].collect().toMap
+      assert(gate === exact.filter(_._2 >= thr), s"seed=$seed")
+    }
+  }
+
   test("BoundedMaxHeap keeps exactly the k smallest rows under any ordering") {
     // direct randomized check of the GroupTopK partial-phase heap
     // against sort-take-k, including duplicate keys and k > n

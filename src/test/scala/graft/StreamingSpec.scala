@@ -170,13 +170,19 @@ class StreamingSpec extends SparkSpecBase {
       Event(4L, ts("2024-01-01 01:00:00"), 1L, "trade", 0.0),  // -> 102 (carried state)
       Event(5L, ts("2024-01-01 02:10:00"), 1L, "trade", 0.0))  // -> 103
 
-    val memF = MemoryStream[Event]
-    val memR = MemoryStream[Event]
-    val q = EventStreams.asofEnrichedStream(memF.toDS(), memR.toDS())
+    // ONE MemoryStream feeds both sides (split on event_type): each
+    // addData is a single atomic offset, so refs and facts of a stage
+    // always land in the same micro-batch — two independent streams
+    // raced the trigger (a batch could fire between the two addData
+    // calls, processing facts before their refs) and flaked
+    val mem = MemoryStream[Event]
+    val src = mem.toDS()
+    val q = EventStreams.asofEnrichedStream(
+        src.filter(_.event_type == "trade"), src.filter(_.event_type == "quote"))
       .writeStream.format("memory").queryName("asof").outputMode(OutputMode.Append()).start()
-    memF.addData(facts1: _*); memR.addData(refs1: _*)
+    mem.addData(facts1 ++ refs1: _*)
     q.processAllAvailable()
-    memF.addData(facts2: _*); memR.addData(refs2: _*)
+    mem.addData(facts2 ++ refs2: _*)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("asof")
@@ -363,6 +369,36 @@ class StreamingSpec extends SparkSpecBase {
     val clickHash = spark.range(1).select(xxhash64(lit("click"))).as[Long].head()
     assert(row.contains(clickHash)) // MG guarantee: freq > n/(k+1) survives
     assert(row.length <= 4)
+  }
+
+  test("windowedCountMin: point-frequency estimates inside a streaming aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedCountMin(mem.toDF(), "event_type", watermark = "0 seconds",
+        d = 4, w = 1024)
+      .writeStream.format("memory").queryName("wcms").outputMode(OutputMode.Append()).start()
+    // 6 clicks + 2 views + 1 scroll inside one hour window, split
+    // across micro-batches so the sketch merges partials and batches
+    mem.addData((1 to 5).map(i => Event(i.toLong, ts("2024-01-01 00:10:00"), 1L, "click", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(
+      Event(6L, ts("2024-01-01 00:20:00"), 2L, "click", 1.0),
+      Event(7L, ts("2024-01-01 00:21:00"), 2L, "view", 1.0),
+      Event(8L, ts("2024-01-01 00:22:00"), 3L, "scroll", 1.0),
+      Event(9L, ts("2024-01-01 00:23:00"), 3L, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val tbl = spark.table("wcms").filter(col("n_events") === 9L)
+    // probe the emitted sketch for each key: 9 events → noise ≤ 2·9/1024 < 1,
+    // so the one-sided estimates are exact here
+    val probes = Seq("click" -> 6L, "view" -> 2L, "scroll" -> 1L)
+    for ((key, exact) <- probes) {
+      val est = tbl.select(graft.sketch.Sketches.cmsEstimate(
+        col("cms_table"), xxhash64(lit(key)), 4, 1024)).as[Long].head()
+      assert(est === exact, s"$key: est $est vs exact $exact")
+    }
   }
 
   test("upsertToParquet rewrites only touched partitions per micro-batch") {
