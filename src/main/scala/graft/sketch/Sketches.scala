@@ -274,10 +274,16 @@ object Sketches {
       .crossJoin(broadcast(sk))
       .filter(cmsEstimate(col("__t"), xxhash64(col("__cand")), d, w) >= minCount)
       .select("__cand")
-    // Exact recount of candidates only: the broadcast pre-filter means
-    // rows of light keys never reach the aggregation exchange.
+    // Exact recount of candidates only: the semi-join pre-filter means
+    // rows of light keys never reach the aggregation exchange. No
+    // broadcast hint on the candidate set — true candidates are
+    // bounded by n/minCount but false positives are only
+    // probabilistically bounded, and n/minCount itself grows with the
+    // data; AQE elects broadcast at runtime when the set is actually
+    // small (it is, at any sane threshold) without pinning an OOM at
+    // 1000× scale.
     df.select(key.as("key"))
-      .join(broadcast(cand), col("key") === col("__cand"), "left_semi")
+      .join(cand, col("key") === col("__cand"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
