@@ -163,6 +163,25 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("sortedNeighborhoodPairs equals brute force on random keys, sizes and windows") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(120)
+      val window = 2 + rnd.nextInt(6)
+      // duplicate-heavy keys: ties must resolve through the doc_id tiebreak
+      val rows = (0L until n.toLong).map(i => (i, s"k${rnd.nextInt(8)}"))
+      val df = rows.toDF("doc_id", "text").repartition(1 + rnd.nextInt(8))
+      val got = Dedup.sortedNeighborhoodPairs(df, col("doc_id"), col("text"), window)
+        .select("doc_a", "doc_b", "rank_dist").as[(Long, Long, Long)].collect()
+      assert(got.length === got.distinct.length, s"seed=$seed: duplicate pairs")
+      val ranked = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+      val expected = (for {
+        i <- ranked.indices; d <- 1 until window if i + d < ranked.length
+      } yield (ranked(i), ranked(i + d), d.toLong)).toSet
+      assert(got.toSet === expected, s"seed=$seed n=$n window=$window")
+    }
+  }
+
   test("BoundedMaxHeap keeps exactly the k smallest rows under any ordering") {
     // direct randomized check of the GroupTopK partial-phase heap
     // against sort-take-k, including duplicate keys and k > n
