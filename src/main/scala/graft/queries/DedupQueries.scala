@@ -157,6 +157,26 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("rank_dist"), col("i"), col("u"))
     }),
 
+    // §2.3/24h LSH recall audit: how many true Jaccard-τ pairs the
+    // banding catches (n_both/n_exact) and how many candidates it
+    // spends doing it (n_lsh) — the number that tunes numBands ×
+    // rowsPerBand before a 100 TB run. Exact integer counts.
+    "q_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_e"))
+      val lsh = Dedup.minhashCandidatePairs(docs, col("text"), col("doc_id"),
+          shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+        .withColumn("in_l", lit(1L))
+      // one full-outer join consumes each pair pipeline exactly once
+      // (three separate count branches would recompute both pipelines)
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("in_l")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("in_e") * col("in_l")), lit(0L)).as("n_both"))
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -429,7 +449,29 @@ object DedupQueries {
          |) WHERE u > 0 AND i * ${PrepParams.SnmTauDen} >= u * ${PrepParams.SnmTauNum}""".stripMargin
   }
 
+  /** Recall-audit replay: the minhash band CTEs (ending in `pairs`)
+    * plus the exact-Jaccard pair set over the SAME shingle CTE. */
+  private val lshRecallSql: String =
+    raw"""WITH $minhashPairCtes,
+         |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+         |hits AS (SELECT doc_a, doc_b FROM exact INTERSECT SELECT doc_a, doc_b FROM pairs)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_lsh,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_both""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_lsh_recall" -> lshRecallSql,
     "q_incr_dedup" -> incrDedupSql,
     "q_sorted_neighbors" -> sortedNeighborsSql,
     "q_ann_lsh" -> annLshSql,
