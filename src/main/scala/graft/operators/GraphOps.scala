@@ -61,4 +61,44 @@ object GraphOps {
     }
     pr
   }
+
+  /** Triangle enumeration over undirected canonical edges (`a` < `b`
+    * per row), degree-oriented (Cohen's MapReduce algorithm / the
+    * Suri–Vassilvitskii shape): orient every edge from its
+    * lower-(degree, id) endpoint, build wedges at each source, close
+    * them against the canonical edge list. The orientation makes
+    * every out-neighborhood O(√m), so the wedge join — the step that
+    * explodes on hub nodes in the naive three-way self-join — stays
+    * bounded on power-law graphs; both joins are plain equality hash
+    * joins. The (deg, id) order is total, so the oriented graph is a
+    * DAG and each triangle closes at exactly ONE wedge — no
+    * post-dedup. Returns one row per triangle, nodes ascending. */
+  def triangles(pairs: DataFrame, a: String, b: String): DataFrame = {
+    // the edge list feeds four consumers (degrees, orientation, wedge
+    // self-join, closure) and `pairs` is often itself an expensive
+    // pipeline (an LSH band join) — cut lineage once, same discipline
+    // as pageRank above; both checkpoints are edge-sized
+    val e = pairs.select(col(a).as("u"), col(b).as("v")).distinct().localCheckpoint(true)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("w0"), col("e1.t").as("w1"), col("e2.t").as("w2"))
+    wedges.join(e, col("w1") === col("u") && col("w2") === col("v"))
+      .select(
+        least(col("w0"), col("w1"), col("w2")).as("t1"),
+        (col("w0") + col("w1") + col("w2")
+          - least(col("w0"), col("w1"), col("w2"))
+          - greatest(col("w0"), col("w1"), col("w2"))).as("t2"),
+        greatest(col("w0"), col("w1"), col("w2")).as("t3"))
+  }
 }

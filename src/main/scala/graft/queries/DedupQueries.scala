@@ -177,6 +177,16 @@ object DedupQueries {
           coalesce(sum(col("in_e") * col("in_l")), lit(0L)).as("n_both"))
     }),
 
+    // §2.3/24i triangles in the near-dup pair graph (mutually-similar
+    // doc triples — the strongest merge evidence): degree-oriented
+    // wedge closure, exactly one row per triangle.
+    "q_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      graft.operators.GraphOps.triangles(pairs, "doc_a", "doc_b")
+    }),
+
     // §2.3/25c fuzzy (edit-distance) join: shingle-blocked candidates,
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -470,7 +480,17 @@ object DedupQueries {
          |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_lsh,
          |       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_both""".stripMargin
 
+  /** Triangle replay: canonical pairs (doc_a < doc_b) make the
+    * three-way join's triple (a<b<c) unique per triangle. */
+  private val trianglesSql: String =
+    raw"""WITH $minhashPairCtes
+         |SELECT p1.doc_a AS t1, p1.doc_b AS t2, p2.doc_b AS t3
+         |FROM pairs p1
+         |JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_triangles" -> trianglesSql,
     "q_lsh_recall" -> lshRecallSql,
     "q_incr_dedup" -> incrDedupSql,
     "q_sorted_neighbors" -> sortedNeighborsSql,

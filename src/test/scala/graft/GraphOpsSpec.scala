@@ -37,4 +37,34 @@ class GraphOpsSpec extends SparkSpecBase {
     val b = GraphOps.pageRank(edges, 2, 1000L).as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("triangles enumerates each triangle exactly once (K4 + tail)") {
+    // K4 on {1..4} (4 triangles) + a tail 4-5-6 (none)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = GraphOps.triangles(e, "a", "b")
+      .as[(Long, Long, Long)].collect().sorted.toList
+    assert(got === List((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles matches brute force on a random graph with hubs") {
+    val rnd = new scala.util.Random(7)
+    // a hub node (0) connected to everything + random sparse edges —
+    // the degree orientation must keep the hub's wedge set bounded
+    val base = (1L to 20L).map(i => (0L, i))
+    val extra = Seq.fill(40)((rnd.nextInt(21).toLong, rnd.nextInt(21).toLong))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+    val edges = (base ++ extra).distinct
+    val got = GraphOps.triangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().toSet
+    val adj = edges.toSet
+    val nodes = (0L to 20L).toList
+    val expect = (for {
+      x <- nodes; y <- nodes if y > x && adj((x, y))
+      z <- nodes if z > y && adj((y, z)) && adj((x, z))
+    } yield (x, y, z)).toSet
+    assert(got === expect)
+    assert(got.size === got.toList.length)
+  }
 }
