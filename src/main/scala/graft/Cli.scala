@@ -90,6 +90,9 @@ import graft.sources.PartitionedFiles
   *   winnow         --text text --id doc_id [--k 5] [--w 4]
   *       winnowing (MOSS) fingerprints: (doc_id, fp) rows; docs
   *       sharing a substring of >= w+k-1 chars share a fingerprint
+  *   neighbors      --text text --id doc_id [--window 5] [--key-len 30]
+  *       sorted-neighborhood candidate pairs: sort by a normalized
+  *       prefix fingerprint, pair docs within the rank window
   */
 object Cli {
 
@@ -329,6 +332,13 @@ object Cli {
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
           write(graft.text.TextAnalysis.winnowFingerprints(read(), text, id,
             k = opts.getOrElse("k", "5").toInt, w = opts.getOrElse("w", "4").toInt))
+        case "neighbors" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val keyLen = opts.getOrElse("key-len", "30").toInt
+          val key = substring(regexp_replace(lower(text.cast("string")), "[^a-z0-9]", ""), 1, keyLen)
+          write(graft.dedup.Dedup.sortedNeighborhoodPairs(read(), id, key,
+            window = opts.getOrElse("window", "5").toInt))
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

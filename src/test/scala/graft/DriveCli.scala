@@ -266,6 +266,23 @@ object DriveCli {
       spark.stop()
     }
 
+    // neighbors (sorted-neighborhood candidate pairs)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "neighbors", "--text", "text", "--id", "doc_id", "--window", "5",
+      "--outfile", s"$tmp/snm"))
+    locally {
+      val spark = GraftSession.builder("verifySnm", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val p = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/snm")
+      // n docs in a window of 5 → Σ_{d=1..4}(n−d) = 4n−10 pairs,
+      // every rank_dist in [1,4]
+      val n = graft.sources.PartitionedFiles.readParquet(spark, docs).count()
+      val ok = p.count() == n * 4 - 10 &&
+        p.filter(!col("rank_dist").between(1, 4)).count() == 0
+      println(s"SNM_PAIRS=${p.count()} EXPECT=${n * 4 - 10} OK=$ok")
+      spark.stop()
+    }
+
     // sample-weighted (length-proportional Bernoulli keep)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "sample-weighted", "--key", "doc_id", "--weight", "n_chars",
