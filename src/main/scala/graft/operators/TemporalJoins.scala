@@ -93,4 +93,24 @@ object TemporalJoins {
       .filter(col("__pt") >= col("__start") && col("__pt") <= col("__end"))
       .drop("__b", "__pt", "__start", "__end")
   }
+
+  /** SCD type-2 dimension builder: turn a change log (one row per
+    * attribute change) into validity intervals — each row becomes
+    * valid from its own timestamp until the key's NEXT change
+    * (exclusive), the current row carrying an open end (null). The
+    * interval table is what [[asofJoin]] and [[rangeJoinBucketed]]
+    * probe; building it is one window pass per key (single shuffle),
+    * timestamps integral (epoch µs) for engine portability.
+    *
+    * `order` must totally order a key's changes (give it a change-id
+    * tiebreak for equal timestamps, or intervals are
+    * nondeterministic); `valid_to` of a row equals the next row's
+    * `valid_from`, so intervals are contiguous, half-open [from, to)
+    * and never overlap. */
+  def scd2(df: DataFrame, key: Column, tsUs: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(_.asc): _*)
+    df.withColumn("valid_from_us", tsUs.cast("long"))
+      .withColumn("valid_to_us", lead(tsUs.cast("long"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

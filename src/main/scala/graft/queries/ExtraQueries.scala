@@ -44,6 +44,18 @@ object ExtraQueries {
         .mapRecords(col("doc_id"), col("rank"))
     }),
 
+    // SCD type-2 dimension build: change log → contiguous half-open
+    // validity intervals per key, open-ended current row flagged.
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TemporalJoins.scd2(
+          ev.select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("__us")),
+          col("user_id"), col("__us"), Seq(col("__us"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    }),
+
     // CUBE over two dimensions.
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir).cubeAgg(
@@ -267,6 +279,13 @@ object ExtraQueries {
            |                         1, ${PrepParams.SnmKeyLen}),
            |                  doc_id) - 1 AS BIGINT) AS rank
            |FROM documents""".stripMargin,
+    "q_scd2" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |       CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+        |       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_semdedup" -> semDedupSql,
     "q_moving_sum" ->

@@ -31,6 +31,34 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(outs.head === Seq(("c1", "b", 2L)))          // max struct row, columns paired
   }
 
+  test("scd2 builds contiguous half-open intervals that asofJoin agrees with") {
+    val changes = Seq(
+      (1L, 100L, "bronze", 10L), (1L, 200L, "silver", 11L), (1L, 300L, "gold", 12L),
+      (2L, 150L, "bronze", 20L)
+    ).toDF("k", "us", "tier", "cid")
+    val dim = TemporalJoins.scd2(changes, col("k"), col("us"), Seq(col("us"), col("cid")))
+    val rows = dim.select("k", "tier", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows === Set(
+      (1L, "bronze", 100L, Some(200L), false),
+      (1L, "silver", 200L, Some(300L), false),
+      (1L, "gold", 300L, None, true),
+      (2L, "bronze", 150L, None, true)))
+    // the intervals answer point-in-time lookups exactly like asofJoin
+    val probes = Seq((1L, 99L, 1L), (1L, 100L, 2L), (1L, 250L, 3L), (1L, 300L, 4L), (2L, 500L, 5L))
+      .toDF("k", "pts", "pid")
+    val viaAsof = TemporalJoins.asofJoin(probes, changes.select(col("k"), col("us"), col("tier")),
+        "k", col("pts"), col("us"), Seq("tier"))
+      .select("pid", "tier").as[(Long, Option[String])].collect().toSet
+    val viaDim = probes.join(dim,
+        probes("k") === dim("k") && col("pts") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("pts") < col("valid_to_us")), "left")
+      .select(col("pid"), col("tier")).as[(Long, Option[String])].collect().toSet
+    assert(viaDim === viaAsof)
+    assert(viaAsof === Set((1L, None), (2L, Some("bronze")), (3L, Some("silver")),
+      (4L, Some("gold")), (5L, Some("bronze"))))
+  }
+
   test("rangeJoinBucketed equals the naive inequality join") {
     val rnd = new scala.util.Random(7)
     val points = Seq.fill(300)((rnd.nextInt(3).toLong, rnd.nextInt(10000).toLong)).zipWithIndex
