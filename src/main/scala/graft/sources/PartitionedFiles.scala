@@ -29,6 +29,22 @@ object PartitionedFiles {
     ddlSchema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Audit-grade jsonl read: parse in PERMISSIVE mode with the
+    * malformed line preserved in `_corrupt_record` — the ingest shape
+    * when upstream producers can't be trusted (real crawls always
+    * have torn lines). Returns rows for BOTH good and bad records:
+    * filter `_corrupt_record IS NULL` for the clean table, aggregate
+    * the rest for the ingest report. The schema must be explicit
+    * (inference would silently drop the corrupt column), and per
+    * Spark semantics a corrupt row has every data column null. */
+  def readJsonlAudit(spark: SparkSession, path: String, ddlSchema: String,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(s"$ddlSchema, $corruptCol STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** Write jsonl partitions; `codec` e.g. Some("gzip"). */
   def writeJsonl(df: DataFrame, path: String, numPartitions: Int, codec: Option[String] = None): Unit = {
     val w = df.repartition(numPartitions).write.mode(SaveMode.Overwrite)

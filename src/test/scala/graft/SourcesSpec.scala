@@ -104,6 +104,28 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() === 1000)
   }
 
+  test("readJsonlAudit keeps malformed lines in _corrupt_record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "ok"}
+        |not json at all
+        |{"id": 5, "v": "ok"}
+        |""".stripMargin)
+    // collect once: Spark disallows scans whose only referenced column
+    // is the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val rows = PartitionedFiles.readJsonlAudit(spark, dir, "id BIGINT, v STRING")
+      .select("id", "v", "_corrupt_record")
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    val good = rows.collect { case (Some(id), Some(v), None) => (id, v) }
+    assert(good === Set((1L, "ok"), (3L, "ok"), (5L, "ok")))
+    val bad = rows.collect { case (_, _, Some(c)) => c }
+    assert(bad === Set("""{"id": 2 "v": "missing comma"}""", "not json at all"))
+    // corrupt rows carry null data columns (Spark PERMISSIVE contract)
+    assert(rows.forall { case (id, _, c) => c.isEmpty || id.isEmpty })
+  }
+
   test("hive-partitioned parquet prunes non-matching directories at plan time") {
     val dir = tmp() + "/hive"
     val df = Seq((1L, "en", 10), (2L, "en", 20), (3L, "de", 30), (4L, "fr", 40))
