@@ -93,6 +93,9 @@ import graft.sources.PartitionedFiles
   *   neighbors      --text text --id doc_id [--window 5] [--key-len 30]
   *       sorted-neighborhood candidate pairs: sort by a normalized
   *       prefix fingerprint, pair docs within the rank window
+  *   scd2           --key user_id --ts "unix_micros(ts)" [--order "..., event_id"]
+  *       SCD type-2 build: change log -> contiguous half-open validity
+  *       intervals (valid_from_us/valid_to_us/is_current) per key
   */
 object Cli {
 
@@ -339,6 +342,12 @@ object Cli {
           val key = substring(regexp_replace(lower(text.cast("string")), "[^a-z0-9]", ""), 1, keyLen)
           write(graft.dedup.Dedup.sortedNeighborhoodPairs(read(), id, key,
             window = opts.getOrElse("window", "5").toInt))
+        case "scd2" =>
+          val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
+          val ts = expr(opts.getOrElse("ts", fail("--ts EXPR required")))
+          val order = opts.get("order").map(_ => exprList("order"))
+            .getOrElse(Seq(expr(opts("ts"))))
+          write(graft.operators.TemporalJoins.scd2(read(), key, ts, order))
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

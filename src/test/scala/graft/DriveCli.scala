@@ -301,6 +301,27 @@ object DriveCli {
       spark.stop()
     }
 
+    // scd2 (validity intervals from a jsonl change log)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/changes.jsonl"),
+      """{"user_id": 1, "us": 100, "cid": 1, "tier": "bronze"}
+        |{"user_id": 1, "us": 200, "cid": 2, "tier": "silver"}
+        |{"user_id": 2, "us": 150, "cid": 3, "tier": "bronze"}
+        |""".stripMargin)
+    Cli.main(Array("-i", s"$tmp/changes.jsonl", "-f", "json",
+      "--schema", "user_id BIGINT, us BIGINT, cid BIGINT, tier STRING",
+      "scd2", "--key", "user_id", "--ts", "us", "--order", "us, cid",
+      "--outfile", s"$tmp/scd2"))
+    locally {
+      val spark = GraftSession.builder("verifyScd", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val d = graft.sources.PartitionedFiles.readJsonl(spark, s"$tmp/scd2")
+      val current = d.filter(col("is_current")).count()
+      val closed = d.filter(col("valid_to_us") === 200L).count()
+      println(s"SCD2_ROWS=${d.count()} CURRENT=$current CLOSED_AT_200=$closed " +
+        s"OK=${d.count() == 3 && current == 2 && closed == 1}")
+      spark.stop()
+    }
+
     // schema-check (drift report: one re-typed, one missing, one extra)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "schema-check", "--expect",
