@@ -163,6 +163,32 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("minhashNovel equals the cross-pair complement on random corpora") {
+    // novel(corpus, batch) must be exactly the batch docs with NO
+    // candidate pair reaching into the corpus — the operator's
+    // contract restated through minhashCandidatePairs on the union
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      def doc(): String = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val corpusDocs = (0L until 15L).map(i => (i, doc()))
+      // batch: some fresh docs, some verbatim copies of corpus docs
+      val batchDocs = (100L until 110L).map { i =>
+        if (rnd.nextBoolean()) (i, corpusDocs(rnd.nextInt(corpusDocs.size))._2) else (i, doc())
+      }
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val batch = batchDocs.toDF("doc_id", "text")
+      val novel = Dedup.minhashNovel(corpus, batch, col("text"), col("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      val crossDups = Dedup
+        .minhashCandidatePairs(corpus.unionByName(batch), col("text"), col("doc_id"))
+        .as[(Long, Long)].collect()
+        .collect { case (a, b) if a < 100L && b >= 100L => b }
+        .toSet
+      assert(novel === batchDocs.map(_._1).toSet -- crossDups, s"seed=$seed")
+    }
+  }
+
   test("sortedNeighborhoodPairs equals brute force on random keys, sizes and windows") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
