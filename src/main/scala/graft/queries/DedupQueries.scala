@@ -177,6 +177,25 @@ object DedupQueries {
           coalesce(sum(col("in_e") * col("in_l")), lit(0L)).as("n_both"))
     }),
 
+    // Round-4 capstone: incremental corpus UPDATE — screen the new
+    // drop against the existing corpus (minhashNovel), merge the
+    // novel docs in, quality-gate, per-source stats. Every stage is
+    // individually oracle-gated; this gate proves the round-4
+    // composition stays exact (same role q_corpus plays for the
+    // build-from-scratch pipeline).
+    "q_update_capstone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(PrepParams.IncrBatchMod)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(PrepParams.IncrBatchMod)) === 0)
+      val novel = Dedup.minhashNovel(corpus, batch, col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      corpus.unionByName(novel)
+        .filter(col("n_tokens") >= 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // §2.3/24i triangles in the near-dup pair graph (mutually-similar
     // doc triples — the strongest merge evidence): degree-oriented
     // wedge closure, exactly one row per triangle.
@@ -489,7 +508,29 @@ object DedupQueries {
          |JOIN pairs p2 ON p2.doc_a = p1.doc_b
          |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b""".stripMargin
 
+  /** Update-capstone replay: the incremental dup CTE over the full
+    * band table, then merged = corpus ∪ novel, gate, stats. */
+  private val updateCapstoneSql: String = {
+    val m = PrepParams.IncrBatchMod
+    raw"""WITH $minhashPairCtes,
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % $m <> 0 AND b.doc_id % $m = 0
+         |),
+         |merged AS (
+         |  SELECT source,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id % $m <> 0 OR doc_id NOT IN (SELECT doc_id FROM dup)
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM merged WHERE n_tokens >= 30 GROUP BY source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_update_capstone" -> updateCapstoneSql,
     "q_triangles" -> trianglesSql,
     "q_lsh_recall" -> lshRecallSql,
     "q_incr_dedup" -> incrDedupSql,
