@@ -70,23 +70,22 @@ object TextAnalysis {
     *
     * Trailing-window variant: position p's window is the last w grams
     * ending at p (truncated at the doc start), so docs shorter than w
-    * grams still fingerprint and no boundary special-case exists. The
-    * only shuffle is the per-doc window partition; hashes are the
-    * portable 60-bit md5 family, so the selection replays exactly in
-    * any engine. */
+    * grams still fingerprint and no boundary special-case exists.
+    * Hashes are the portable 60-bit md5 family, so the selection
+    * replays exactly in any engine.
+    *
+    * ZERO shuffles: the whole selection runs inside the native
+    * [[org.apache.spark.sql.graft.WinnowHashes]] expression (one
+    * O(len) pass per row, monotonic-deque sliding min) and only the
+    * ~2/(w+1)-density fingerprints explode — the composed
+    * formulation (posexplode → hash → per-doc window min → filter)
+    * ships EVERY char-gram of the corpus through an exchange first.
+    * Fingerprints are distinct within a doc by construction, so no
+    * post-distinct either. */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, text: Column, id: Column,
-      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df.select(id.as("doc_id"),
-      posexplode(org.apache.spark.sql.graft.GraftTextFunctions.charShingles(text, k))
-        .as(Seq("pos", "g")))
-    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    grams.withColumn("h", graft.dedup.Dedup.portableTokenHash(col("g")))
-      .withColumn("__m", min(col("h")).over(win))
-      .filter(col("h") === col("__m"))
-      .select(col("doc_id"), col("h").as("fp"))
-      .distinct()
-  }
+      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+      explode(org.apache.spark.sql.graft.GraftTextFunctions.winnowHashes(text, k, w)).as("fp"))
 
   /** Substring-level near-dup pairs from shared winnowing
     * fingerprints: docs sharing ≥ `minShared` fingerprints copied a

@@ -122,6 +122,91 @@ object CharShingles {
   }
 }
 
+/** Native winnowing fingerprints (Schleimer–Wilkerson–Aiken): the
+  * ENTIRE selection — lowercase char k-grams, portable 60-bit md5
+  * hash per gram, trailing-window-w minimum, select positions whose
+  * hash equals the window min, dedup — runs inside the row in one
+  * O(len) pass (monotonic deque for the sliding min).
+  *
+  * This is the difference between shipping every char-gram of a
+  * 100 TB corpus through a per-document window exchange (the
+  * composed formulation: posexplode → hash → window min → filter)
+  * and a pure scan: the fingerprints never leave the row until the
+  * ~2/(w+1)-density result explodes. Hash family is identical to
+  * `Dedup.portableTokenHash` (top 60 bits of md5), so the DuckDB
+  * oracle replay is unchanged. */
+@ExpressionDescription(
+  usage = "_FUNC_(text, k, w) - distinct winnowing fingerprints (60-bit md5 of char k-grams, window w)."
+)
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowHashes.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowHashes.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(gram bytes) — bit-equal to
+    * conv(substring(md5(g), 1, 15), 16, 10) and to DuckDB's
+    * ('0x' || substr(md5(g), 1, 15))::BIGINT. */
+  private def hash60(g: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(g.getBytes)
+    val top =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val lower = text.toLowerCase
+    val len = lower.numChars()
+    if (len < k) return new GenericArrayData(Array.empty[Any])
+    val n = len - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash60(lower.substringSQL(i + 1, k)); i += 1 }
+    // sliding trailing-window min via monotonic deque of positions;
+    // position p is selected iff hs(p) == min(hs(p-w+1 .. p))
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      while (head < tail && dq(head) <= i - w) head += 1
+      while (head < tail && hs(dq(tail - 1)) > hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (hs(dq(head)) == hs(i) && seen.add(hs(i))) out += hs(i)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column facade + SQL registration for the text expressions. */
 object GraftTextFunctions {
   import org.apache.spark.sql.SparkSessionExtensions
@@ -133,6 +218,9 @@ object GraftTextFunctions {
 
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), k, w))
 
   /** The SQL builders take the gram size as a foldable int literal
     * (`SELECT graft_shingles(text, 3)`). */
@@ -153,5 +241,11 @@ object GraftTextFunctions {
       FunctionRegistryBase.expressionInfo[CharShingles]("graft_char_shingles", None),
       (children: Seq[Expression]) =>
         CharShingles(children(0), litInt(children(1), "graft_char_shingles"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_hashes"),
+      FunctionRegistryBase.expressionInfo[WinnowHashes]("graft_winnow_hashes", None),
+      (children: Seq[Expression]) =>
+        WinnowHashes(children(0), litInt(children(1), "graft_winnow_hashes"),
+          litInt(children(2), "graft_winnow_hashes"))))
   }
 }

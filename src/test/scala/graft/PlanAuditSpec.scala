@@ -145,7 +145,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_keep_best" -> 3, "q_temperature" -> 2, "q_phash" -> 1,
     "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2,
     "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3,
-    "q_winnow" -> 1, "q_winnow_pairs" -> 3, "q_token_drift" -> 2,
+    "q_winnow" -> 0, "q_winnow_pairs" -> 2, "q_token_drift" -> 2,
     "q_lsh_recall" -> 10, "q_triangles" -> 4, "q_scd2" -> 1,
     "q_update_capstone" -> 3)
 
