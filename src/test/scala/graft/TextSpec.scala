@@ -146,6 +146,17 @@ class TextSpec extends SparkSpecBase {
     assert(fps(1L) === expect)
   }
 
+  test("graft_winnow_hashes SQL registration matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT graft_winnow_hashes('the quick brown fox jumps over the lazy dog', 5, 4)")
+      .as[Seq[Long]].head()
+    val viaApi = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(org.apache.spark.sql.graft.GraftTextFunctions.winnowHashes(col("t"), 5, 4))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty && viaSql.distinct === viaSql)
+  }
+
   test("tokenDriftTopK ranks by exact cross-multiplied share difference") {
     // A: "x x y" (A=3), B: "x y y z" (B=4)
     // |a·B − b·A|: x = |2·4 − 1·3| = 5, y = |1·4 − 2·3| = 2, z = |0 − 1·3| = 3
