@@ -264,15 +264,26 @@ object Sketches {
     * only recount work (bounded by the CMS error, ~2n/w per key). */
   def cmsFrequencyGate(df: DataFrame, key: Column, minCount: Long,
       d: Int = 4, w: Int = 2048): DataFrame = {
+    // the sketch travels EXPLODED — one tiny broadcast (counter index,
+    // count) relation — not as a d·w-long array stapled to every
+    // candidate row (the crossJoin-a-struct shape deserializes the
+    // whole table once per key; measurable waste at millions of keys)
     val sk = df.agg(cms(xxhash64(key), d, w).as("__sk"))
-      .select(col("__sk.table").as("__t"))
+      .select(posexplode(col("__sk.table")).as(Seq("__idx", "__cnt")))
+    val bucketsOf = udf { (hash: Long) =>
+      Array.tabulate(d)(r => r * w + cmsBucket(hash, r, w))
+    }
     // Probe once per DISTINCT key (map-side partial distinct keeps the
-    // exchange keys-only); candidates = heavy keys + the sketch's
-    // bounded false positives. The sketch itself travels as one
-    // broadcast row of d·w longs.
+    // exchange keys-only): each key emits its d counter indexes, joins
+    // the broadcast sketch, min over its d counts = the CMS estimate.
+    // The min aggregate re-groups on the key the distinct already
+    // partitioned by, so no additional exchange. Candidates = heavy
+    // keys + the sketch's bounded false positives.
     val cand = df.select(key.as("__cand")).distinct()
-      .crossJoin(broadcast(sk))
-      .filter(cmsEstimate(col("__t"), xxhash64(col("__cand")), d, w) >= minCount)
+      .select(col("__cand"), explode(bucketsOf(xxhash64(col("__cand")))).as("__idx"))
+      .join(broadcast(sk), "__idx")
+      .groupBy("__cand").agg(min(col("__cnt")).as("__est"))
+      .filter(col("__est") >= minCount)
       .select("__cand")
     // Exact recount of candidates only: the semi-join pre-filter means
     // rows of light keys never reach the aggregation exchange. No
