@@ -300,20 +300,19 @@ object Dedup {
 
   /** SimHash fingerprints: per document, bit j of the fingerprint is
     * the majority vote of bit j across all token hashes (ties → 0).
-    * One explode + one hash aggregate with 60 sum expressions — all
-    * integer arithmetic, engine-portable.
     * Near-dup candidates are pairs with small hamming distance
-    * (use [[hammingDist]] = bit_count(a ^ b)). */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("t"))
-    val h = tok.withColumn("h", portableTokenHash(col("t")))
-    val bitSums = (0 until SimHashBits).map(j => sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
-    val agg = h.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
-    val fp = (0 until SimHashBits)
-      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), fp.cast("long").as("simhash"))
-  }
+    * (use [[hammingDist]] = bit_count(a ^ b)).
+    *
+    * ZERO shuffles: the whole vote runs inside the native
+    * [[org.apache.spark.sql.graft.SimHash60]] expression — the
+    * composed formulation (explode tokens → 60 bit-sum aggregates per
+    * doc) shipped every token of the corpus through the per-doc
+    * aggregation exchange. Null-text docs drop, matching the
+    * aggregate formulation (explode of null emits no rows). */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        org.apache.spark.sql.graft.GraftTextFunctions.simHash60(text).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -159,16 +159,16 @@ case class WinnowHashes(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-object WinnowHashes {
+/** Shared portable 60-bit hash: top 60 bits of md5 — bit-equal to
+  * conv(substring(md5(s), 1, 15), 16, 10) and to DuckDB's
+  * ('0x' || substr(md5(s), 1, 15))::BIGINT. */
+private[graft] object Md5Top60 {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Top 60 bits of md5(gram bytes) — bit-equal to
-    * conv(substring(md5(g), 1, 15), 16, 10) and to DuckDB's
-    * ('0x' || substr(md5(g), 1, 15))::BIGINT. */
-  private def hash60(g: UTF8String): Long = {
+  def hash60(g: UTF8String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(g.getBytes)
@@ -178,6 +178,10 @@ object WinnowHashes {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     top >>> 4
   }
+}
+
+object WinnowHashes {
+  import Md5Top60.hash60
 
   /** Static entry shared by interpreted eval and generated code. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
@@ -207,6 +211,67 @@ object WinnowHashes {
   }
 }
 
+/** Native 60-bit SimHash of whitespace tokens — the per-document half
+  * of SimHash dedup in ONE row-local pass: hash each token (portable
+  * md5-top-60 family), majority-vote every bit (ties → 0), pack.
+  *
+  * The composed formulation (explode tokens → per-token hash → 60
+  * bit-sum aggregate expressions per doc group) ships EVERY token of
+  * the corpus through the per-doc aggregation exchange; this is a
+  * pure scan. Semantics bit-match it: tokens =
+  * split(trim(lower(text)), "\s+"), hash = portableTokenHash. */
+@ExpressionDescription(
+  usage = "_FUNC_(text) - 60-bit SimHash of whitespace tokens (portable md5 hash family)."
+)
+case class SimHash60(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimHash60.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  val Bits = 60
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): Long = {
+    // trim/lower via UTF8String, split like Spark's split(_, "\\s+")
+    // — the exact token stream of the aggregate formulation
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = Md5Top60.hash60(UTF8String.fromString(toks(i)))
+      var j = 0
+      while (j < Bits) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    val n = toks.length
+    var fp = 0L
+    var j = 0
+    while (j < Bits) {
+      if (counts(j) * 2 > n) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
 /** Column facade + SQL registration for the text expressions. */
 object GraftTextFunctions {
   import org.apache.spark.sql.SparkSessionExtensions
@@ -221,6 +286,9 @@ object GraftTextFunctions {
 
   def winnowHashes(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), k, w))
+
+  def simHash60(text: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
 
   /** The SQL builders take the gram size as a foldable int literal
     * (`SELECT graft_shingles(text, 3)`). */
@@ -247,5 +315,9 @@ object GraftTextFunctions {
       (children: Seq[Expression]) =>
         WinnowHashes(children(0), litInt(children(1), "graft_winnow_hashes"),
           litInt(children(2), "graft_winnow_hashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      FunctionRegistryBase.expressionInfo[SimHash60]("graft_simhash60", None),
+      (children: Seq[Expression]) => SimHash60(children(0))))
   }
 }

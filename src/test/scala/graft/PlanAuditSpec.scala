@@ -29,6 +29,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_weighted_sample")) === 0)
   }
 
+  test("q_winnow and q_dedup_simhash run in-row: zero key shuffles") {
+    // both selections moved into native expressions — the token/gram
+    // streams never reach an exchange
+    assert(keyShuffles(plan("q_winnow")) === 0)
+    assert(keyShuffles(plan("q_dedup_simhash")) === 0)
+  }
+
   test("q_filter pushes its predicate into the parquet scan") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(800))

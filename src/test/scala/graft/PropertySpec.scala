@@ -163,6 +163,27 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("native SimHash60 equals the explode+bit-sum aggregate formulation") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val texts = Seq.fill(60)(randomText(rnd)).filter(_ != null)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+      val native = Dedup.simhash(df, col("t"), col("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      // the pre-native formulation, inlined as the reference
+      val tok = df.select(col("doc_id"), explode(Dedup.tokens(col("t"))).as("tk"))
+        .withColumn("h", Dedup.portableTokenHash(col("tk")))
+      val bitSums = (0 until Dedup.SimHashBits)
+        .map(j => sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
+      val agg = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
+      val fp = (0 until Dedup.SimHashBits)
+        .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val ref = agg.select(col("doc_id"), fp.cast("long")).as[(Long, Long)].collect().toMap
+      assert(native === ref, s"seed=$seed")
+    }
+  }
+
   test("minhashNovel equals the cross-pair complement on random corpora") {
     // novel(corpus, batch) must be exactly the batch docs with NO
     // candidate pair reaching into the corpus — the operator's
