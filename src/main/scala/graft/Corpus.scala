@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Components, Decontam, Dedup}
+import graft.text.{TextAnalysis, TextPrep}
+
+/** Fluent facade over the training-data operators — the pipeline a
+  * shmr user writes on day one, as one chain:
+  *
+  * {{{
+  * Corpus(docs, col("text"), col("doc_id"))
+  *   .qualityFilter(minTokens = 30)
+  *   .exactDedup()
+  *   .nearDedupKeepBest()
+  *   .decontaminate(benchDf, col("text"), col("doc_id"))
+  *   .splitAssign()
+  *   .df
+  * }}}
+  *
+  * Every method delegates to the corresponding library operator (all
+  * individually oracle-gated); the facade adds NO logic of its own —
+  * `CorpusSpec` asserts each chain is row-identical to the manual
+  * composition. Plans stay lazy: nothing materializes until the
+  * caller acts on `df`.
+  */
+final case class Corpus(df: DataFrame, text: Column, id: Column) {
+
+  private def keep(kept: DataFrame): Corpus = copy(df = kept)
+
+  /** Gopher-style floor: keep docs with at least `minTokens`
+    * whitespace tokens. Scan-time filter, zero shuffles. */
+  def qualityFilter(minTokens: Int): Corpus =
+    keep(df.filter(TextAnalysis.tokenCount(text) >= minTokens))
+
+  /** Drop rows whose keep-probability min(1, weight/threshold) misses
+    * the deterministic draw — rerun-stable weighted sampling. */
+  def weightedSample(weight: Column, threshold: Long): Corpus =
+    keep(df.filter(TextPrep.weightedSample(id, weight, threshold)))
+
+  /** Exact dedup by content hash, min-id representative per group. */
+  def exactDedup(): Corpus =
+    keep(Dedup.exactDedupKeyed(df, text, id).drop("fp", "group_n"))
+
+  /** MinHash-LSH near-dup removal, keeping the min-id doc per
+    * connected cluster. */
+  def nearDedup(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus = {
+    val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand)
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+  }
+
+  /** MinHash-LSH near-dup removal, keeping the LONGEST doc per
+    * cluster (id tiebreak) — the copy worth training on. */
+  def nearDedupKeepBest(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus = {
+    val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand)
+    keep(Components.keepBestPerCluster(df, id, pairs, "doc_a", "doc_b",
+      Seq(length(text).desc, id.asc)))
+  }
+
+  /** Benchmark decontamination: drop docs sharing ≥ minHits distinct
+    * n-grams with any doc of the eval set. */
+  def decontaminate(bench: DataFrame, benchText: Column, benchId: Column,
+      n: Int = 3, minHits: Long = 3): Corpus =
+    keep(Decontam.decontaminate(df, text, id, bench, benchText, benchId, n, minHits))
+
+  /** Screen THIS corpus (as the new drop) against an existing corpus:
+    * keep only rows that are not LSH near-dups of it. */
+  def screenAgainst(existing: DataFrame, existingText: Column, existingId: Column,
+      shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus =
+    keep(Dedup.minhashNovel(existing.select(existingId.as("doc_id"), existingText.as("text")),
+      df, text, id, shingleN, numBands, rowsPerBand))
+
+  /** Add a deterministic train/val/test column. */
+  def splitAssign(trainPct: Int = 90, valPct: Int = 5, colName: String = "split"): Corpus =
+    keep(df.withColumn(colName, TextPrep.splitAssign(id, trainPct, valPct)))
+
+  /** Per-group corpus stats: docs and total whitespace tokens. */
+  def stats(group: Column): DataFrame =
+    df.groupBy(group)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(text).cast("bigint")).as("total_tokens"))
+}
