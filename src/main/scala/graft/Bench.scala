@@ -35,6 +35,7 @@ object Bench {
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
+      graft.operators.Checkpoints.releaseAll()
     }
 
     // two timed passes, min per query: steady-state cost with GC /
@@ -43,7 +44,11 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release between queries (untimed: block cleanup is harness
+      // hygiene, not operator cost — and it is asynchronous anyway)
+      graft.operators.Checkpoints.releaseAll()
+      name -> dt
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
@@ -51,6 +56,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver's BENCH artifact keeps only a tail of stdout, which
+    // truncates the per-query map — persist the complete map to a file
+    // so cross-round regressions stay diagnosable query by query
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     spark.stop()
   }
 }

@@ -27,6 +27,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // query boundary: drop operator-internal checkpoint blocks so a
+        // 142-query session doesn't accumulate pinned storage
+        graft.operators.Checkpoints.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints
+
 /** Connected components over near-duplicate pair graphs — the step
   * that turns pairwise dedup candidates into "keep one per cluster"
   * decisions (SURVEY.md §2.3).
@@ -16,28 +18,27 @@ import org.apache.spark.sql.functions._
   * halves the diameter per round and would slot into the same loop.
   *
   * Each round is one shuffle (join on node id + min-aggregate);
-  * `localCheckpoint` truncates the iterative lineage so the plan
-  * doesn't grow with rounds.
+  * an eager checkpoint truncates the iterative lineage so the plan
+  * doesn't grow with rounds. Superseded rounds' blocks are released
+  * immediately; the final one at the caller's next
+  * [[graft.operators.Checkpoints.releaseAll]].
   */
 object Components {
 
   /** (id, cluster_id) for every node in `pairs`; cluster_id = min
     * node id of the component. Deterministic. */
   def connectedComponents(pairs: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    val sym = Checkpoints.eager(pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
+    var labels = Checkpoints.eager(sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.unionByName(nbrMin)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = Checkpoints.eager(labels.unionByName(nbrMin)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       // any graph with an edge needs ≥2 rounds — skip the convergence
       // job until it could plausibly fire
       val changed =
@@ -46,10 +47,12 @@ object Components {
           .join(labels.as("o"), "id")
           .filter(col("n.lbl") =!= col("o.lbl"))
           .count()
+      Checkpoints.release(labels) // superseded: `next` is materialized
       labels = next
       converged = changed == 0
       round += 1
     }
+    Checkpoints.release(sym) // final labels are self-contained blocks
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
@@ -67,11 +70,12 @@ object Components {
     * signature — one cheap aggregate per round.
     */
   def connectedComponentsStar(pairs: DataFrame, a: String, b: String, maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col(a).as("id")).union(pairs.select(col(b).as("id")))
-      .distinct().localCheckpoint(true)
+    val nodes = Checkpoints.eager(
+      pairs.select(col(a).as("id")).union(pairs.select(col(b).as("id"))).distinct())
     // orient (u > v) and dedup; self-loops drop out
-    var e = pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var e = Checkpoints.eager(
+      pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
 
     // large-star(s): attach every neighbor d > s to m = min(Γ(s) ∪ {s})
     def largeStar(edges: DataFrame): DataFrame = {
@@ -112,8 +116,10 @@ object Components {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = signature(e)
+      val eNext = Checkpoints.eager(smallStar(largeStar(e)))
+      val cur = signature(eNext)
+      Checkpoints.release(e) // superseded round
+      e = eNext
       converged = cur == prev
       prev = cur
       round += 1

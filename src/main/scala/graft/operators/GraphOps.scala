@@ -32,19 +32,19 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0)
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+    val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
+    val nodes = Checkpoints.eager(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
     val base = scale / n              // floor — mirrors integer // in the oracle
     val tele = (15L * base) / 100L
     // loop-invariant: each edge annotated with its source's out-degree
     // once, so iterations only join the rank relation and aggregate
-    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .localCheckpoint(true)
+    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"))
+    Checkpoints.release(e) // nodes and ed are materialized; e backs nothing further
 
     var pr = nodes.withColumn("pr", lit(base))
+    var prCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = ed
         .join(pr.withColumnRenamed("id", "src"), "src")
@@ -57,7 +57,11 @@ object GraphOps {
       // into one plan (depth is linear in iters) and run as a single
       // job; cut lineage only every few rounds to keep deep iteration
       // counts plannable without forcing a materialization per round
-      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint(true)
+      if (i % 4 == 0 && i < iters) {
+        pr = Checkpoints.eager(pr)
+        if (prCkpt != null) Checkpoints.release(prCkpt) // superseded cut
+        prCkpt = pr
+      }
     }
     pr
   }
@@ -78,18 +82,18 @@ object GraphOps {
     // self-join, closure) and `pairs` is often itself an expensive
     // pipeline (an LSH band join) — cut lineage once, same discipline
     // as pageRank above; both checkpoints are edge-sized
-    val e = pairs.select(col(a).as("u"), col(b).as("v")).distinct().localCheckpoint(true)
+    val e = Checkpoints.eager(pairs.select(col(a).as("u"), col(b).as("v")).distinct())
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val oriented = withDeg.select(
+    val oriented0 = withDeg.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(true)
+    val oriented = Checkpoints.eager(oriented0)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("w0"), col("e1.t").as("w1"), col("e2.t").as("w2"))

@@ -72,6 +72,7 @@ object IvfAnn {
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assign(corpus, cents)
+      val prev = cents
       val exploded = assigned
         .join(corpus, "vec_id")
         .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
@@ -81,12 +82,14 @@ object IvfAnn {
       val meanPerDim = exploded
         .groupBy("c_id", "i")
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
-      meanPerDim
+      val next = graft.operators.Checkpoints.eager(meanPerDim
         .groupBy("c_id")
         .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))
         .withColumn("cnrm", dotQ(col("ce"), col("ce")))
-        .filter(col("cnrm") > 0)
-        .localCheckpoint(true)
+        .filter(col("cnrm") > 0))
+      // superseded round (no-op on the lazy seeds of round 1)
+      graft.operators.Checkpoints.release(prev)
+      next
     }
   }
 

@@ -228,11 +228,14 @@ object TextAnalysis {
     * checkpointed, and feeds both the per-language profile aggregation
     * and the per-document scoring join — at corpus scale the explode
     * is the dominant cost and halving it is the whole game. Results
-    * are identical to charNgramProfiles → langIdNgram. */
+    * are identical to charNgramProfiles → langIdNgram. The checkpoint
+    * is corpus-sized: callers running many queries in one session
+    * should release it at query boundaries via
+    * [[graft.operators.Checkpoints.releaseAll]] (Verify/Bench do). */
   def langProfileAndClassify(df: DataFrame, text: Column, id: Column, lang: Column,
       n: Int = 3, topK: Int = 50): DataFrame = {
-    val base = charGramCounts(df, Seq("doc_id" -> id, "__lang" -> lang), text, n)
-      .localCheckpoint(true)
+    val base = graft.operators.Checkpoints.eager(
+      charGramCounts(df, Seq("doc_id" -> id, "__lang" -> lang), text, n))
     val profCounts = base.groupBy(col("__lang").as("lang"), col("g"))
       .agg(sum("c").as("c"))
     val w = Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)
