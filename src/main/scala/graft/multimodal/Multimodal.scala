@@ -139,20 +139,15 @@ object Multimodal {
     * and keeps everything after), each thresholded against the
     * integer mean of the 64 samples (`v·64 > Σv` — no division),
     * packed as a 64-char bit string. Identical aHashes ⇒ perceptual
-    * duplicates; the standard first pass of image dedup. Pure Column
-    * ops, row-parallel, no shuffle. Empty payloads are dropped (no
-    * pixels, no hash). */
+    * duplicates; the standard first pass of image dedup. Native
+    * codegen expression ([[org.apache.spark.sql.graft.AHash64]]) —
+    * one tight loop over the binary, row-parallel, no shuffle. Empty
+    * payloads are dropped (no pixels, no hash). */
   def aHash(df: DataFrame, media: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): DataFrame =
     df.filter(octet_length(media) > 0)
-      .select(id.as("media_id"), media.as("__m"), octet_length(media).cast("long").as("__n"))
-      .withColumn("__s", expr(
-        "transform(sequence(0, 63), i -> " +
-          "CAST(conv(hex(substring(__m, CAST((i * __n) DIV 64 AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
-      .withColumn("__t", expr("aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .select(col("media_id"), expr(
-        "array_join(transform(__s, v -> CASE WHEN v * 64 > __t THEN '1' ELSE '0' END), '')")
-        .as("ahash"))
+      .select(id.as("media_id"),
+        org.apache.spark.sql.graft.GraftMediaFunctions.aHash64(media).as("ahash"))
 
   /** Perceptual dedup groups: one row per distinct aHash with the
     * min-id representative and the duplicate count — the same output

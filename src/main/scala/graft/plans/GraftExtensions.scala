@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
     org.apache.spark.sql.graft.GraftTextFunctions.register(ext)
+    org.apache.spark.sql.graft.GraftMediaFunctions.register(ext)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.VectorizeDotProducts)
     org.apache.spark.sql.graft.GraftPlans.register(ext)
   }

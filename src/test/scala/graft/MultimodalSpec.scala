@@ -92,6 +92,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(groups("0" * 64) === ((3L, 1L)))
   }
 
+  test("native AHash64 bit-matches the composed HOF formulation") {
+    import org.apache.spark.sql.functions.{col, expr, octet_length}
+    // irregular lengths (sampling index rounding) + a sub-64-byte
+    // payload (repeated samples) + text-like bytes
+    val payloads = Seq(
+      1L -> Array.tabulate(1)(_.toByte),
+      2L -> Array.tabulate(63)(i => (i * 37 % 251).toByte),
+      3L -> Array.tabulate(65)(i => (i * 91 % 256).toByte),
+      4L -> Array.tabulate(1000)(i => (i * 17 % 256).toByte),
+      5L -> "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    val df = payloads.toDF("id", "m")
+    val native = Multimodal.aHash(df, col("m"), col("id"))
+      .as[(Long, String)].collect().toMap
+    val hof = df.filter(octet_length(col("m")) > 0)
+      .select(col("id"), col("m").as("__m"), octet_length(col("m")).cast("long").as("__n"))
+      .withColumn("__s", expr(
+        "transform(sequence(0, 63), i -> " +
+          "CAST(conv(hex(substring(__m, CAST((i * __n) DIV 64 AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
+      .withColumn("__t", expr("aggregate(__s, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("id"), expr(
+        "array_join(transform(__s, v -> CASE WHEN v * 64 > __t THEN '1' ELSE '0' END), '')"))
+      .as[(Long, String)].collect().toMap
+    assert(native === hof)
+    // registered SQL surface
+    df.createOrReplaceTempView("ahash_probe")
+    val viaSql = spark.sql("SELECT id, graft_ahash64(m) AS h FROM ahash_probe WHERE octet_length(m) > 0")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql === native)
+  }
+
   test("media embed → quantize → cosine retrieval end to end") {
     import graft.similarity.Similarity
     import org.apache.spark.sql.functions.col
