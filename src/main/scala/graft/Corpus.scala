@@ -65,11 +65,13 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     keep(Decontam.decontaminate(df, text, id, bench, benchText, benchId, n, minHits))
 
   /** Screen THIS corpus (as the new drop) against an existing corpus:
-    * keep only rows that are not LSH near-dups of it. */
+    * keep only rows that are not LSH near-dups of it. Each side is
+    * band-keyed with its own columns — neither needs any particular
+    * column naming. */
   def screenAgainst(existing: DataFrame, existingText: Column, existingId: Column,
       shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus =
-    keep(Dedup.minhashNovel(existing.select(existingId.as("doc_id"), existingText.as("text")),
-      df, text, id, shingleN, numBands, rowsPerBand))
+    keep(Dedup.minhashNovel(existing, df, text, id, shingleN, numBands, rowsPerBand,
+      corpusText = Some(existingText), corpusId = Some(existingId)))
 
   /** Add a deterministic train/val/test column. */
   def splitAssign(trainPct: Int = 90, valPct: Int = 5, colName: String = "split"): Corpus =

@@ -134,12 +134,16 @@ object Components {
     * the min id of its near-dup cluster (docs without any near-dup
     * keep themselves). Left join: singleton docs pass through. */
   def keepOnePerCluster(df: DataFrame, id: Column, pairs: DataFrame, a: String, b: String): DataFrame = {
+    // reserved names: drop-by-name removes EVERY column with that name,
+    // so joining under the caller-visible "id"/"cluster_id" would
+    // silently delete a caller's same-named column
     val comps = connectedComponents(pairs, a, b)
-    df.join(comps, id === comps("id"), "left")
-      .withColumn("representative", coalesce(col("cluster_id"), id))
-      .drop("id", "cluster_id")
-      .filter(id === col("representative"))
-      .drop("representative")
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__cc_cluster"))
+    df.join(comps, id === col("__cc_id"), "left")
+      .withColumn("__cc_rep", coalesce(col("__cc_cluster"), id))
+      .drop("__cc_id", "__cc_cluster")
+      .filter(id === col("__cc_rep"))
+      .drop("__cc_rep")
   }
 
   /** Quality-aware keep rule: per near-dup cluster keep the row that
@@ -157,9 +161,10 @@ object Components {
   def keepBestPerCluster(df: DataFrame, id: Column, pairs: DataFrame, a: String, b: String,
       order: Seq[Column]): DataFrame = {
     val comps = connectedComponents(pairs, a, b)
-    val labeled = df.join(comps, id === comps("id"), "left")
-      .withColumn("__cluster", coalesce(col("cluster_id"), id))
-      .drop("id", "cluster_id")
+      .select(col("id").as("__cc_id"), col("cluster_id").as("__cc_cluster"))
+    val labeled = df.join(comps, id === col("__cc_id"), "left")
+      .withColumn("__cluster", coalesce(col("__cc_cluster"), id))
+      .drop("__cc_id", "__cc_cluster")
     org.apache.spark.sql.graft.GraftPlans
       .groupTopK(labeled, Seq(col("__cluster")), order, 1)
       .drop("__cluster")

@@ -148,7 +148,12 @@ object Dedup {
     * incremental cost is O(batch) probes against O(corpus) keys, not
     * a rebuild of the full pair graph. A doc is a dup if ANY of its
     * bands collides with any corpus band (same collision rule as
-    * [[minhashCandidatePairs]]). */
+    * [[minhashCandidatePairs]]).
+    *
+    * `corpusText`/`corpusId` band-key the corpus side when its column
+    * names differ from the batch's (each side resolves its own
+    * Columns; passing the batch's columns against a corpus that lacks
+    * them would fail analysis). Default: same columns as the batch. */
   def minhashNovel(
       corpus: DataFrame,
       batch: DataFrame,
@@ -157,9 +162,12 @@ object Dedup {
       shingleN: Int = 3,
       numBands: Int = 4,
       rowsPerBand: Int = 2,
-      portable: Boolean = false
+      portable: Boolean = false,
+      corpusText: Option[Column] = None,
+      corpusId: Option[Column] = None
   ): DataFrame = {
-    val corpusBands = minhashBandKeys(corpus, text, id, shingleN, numBands, rowsPerBand, portable)
+    val corpusBands = minhashBandKeys(corpus, corpusText.getOrElse(text),
+        corpusId.getOrElse(id), shingleN, numBands, rowsPerBand, portable)
       .select(col("band_id").as("__cb_id"), col("band_key").as("__cb_key"))
     val batchBands = minhashBandKeys(batch, text, id, shingleN, numBands, rowsPerBand, portable)
     val dupIds = batchBands

@@ -36,12 +36,16 @@ object TextPrep {
     * row key, so the sample is rerun- and retry-stable and the filter
     * runs at scan time with ZERO shuffles. The uniform draw is the
     * first 7 md5 hex chars (28 bits) and the comparison is an integer
-    * cross-multiplication, exact in any engine; keep weight and
-    * threshold under 2^35 so the products stay inside a BIGINT. */
+    * cross-multiplication, exact in any engine; threshold must stay
+    * under 2^35 so the products stay inside a BIGINT. The weight is
+    * clamped to the threshold before multiplying — the keep
+    * probability caps at 1 there anyway, and an unclamped 2^35+ weight
+    * would overflow BIGINT silently (non-ANSI) and flip the predicate
+    * for exactly the heaviest rows. */
   def weightedSample(key: Column, weight: Column, threshold: Long): Column = {
     require(threshold >= 1 && threshold < (1L << 35))
     val h = conv(substring(md5(key.cast("string")), 1, 7), 16, 10).cast("long")
-    h * threshold < weight.cast("long") * (1L << 28)
+    h * threshold < least(weight.cast("long"), lit(threshold)) * (1L << 28)
   }
 
   /** Deterministic train/val/test assignment from a stable content

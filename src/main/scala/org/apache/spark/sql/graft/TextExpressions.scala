@@ -171,7 +171,19 @@ private[graft] object Md5Top60 {
   def hash60(g: UTF8String): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(g.getBytes)
+    pack(md.digest(g.getBytes))
+  }
+
+  /** Slice variant: hash `len` bytes at `off` without materializing a
+    * per-gram UTF8String — the winnowing hot path. */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    pack(md.digest())
+  }
+
+  private def pack(d: Array[Byte]): Long = {
     val top =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
         ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
@@ -190,8 +202,23 @@ object WinnowHashes {
     if (len < k) return new GenericArrayData(Array.empty[Any])
     val n = len - k + 1
     val hs = new Array[Long](n)
+    // gram i spans code points [i, i+k): slide start/end BYTE offsets
+    // one code point per step and hash the byte slice directly — a
+    // positional substring per gram would re-walk the string from the
+    // front each time (O(len²) char scans) and allocate a UTF8String
+    // + byte copy per gram
+    val bytes = lower.getBytes
+    var start = 0
+    var end = 0
+    var c = 0
+    while (c < k) { end += UTF8String.numBytesForFirstByte(bytes(end)); c += 1 }
     var i = 0
-    while (i < n) { hs(i) = hash60(lower.substringSQL(i + 1, k)); i += 1 }
+    while (i < n) {
+      hs(i) = hash60(bytes, start, end - start)
+      start += UTF8String.numBytesForFirstByte(bytes(start))
+      if (end < bytes.length) end += UTF8String.numBytesForFirstByte(bytes(end))
+      i += 1
+    }
     // sliding trailing-window min via monotonic deque of positions;
     // position p is selected iff hs(p) == min(hs(p-w+1 .. p))
     val dq = new Array[Int](n)

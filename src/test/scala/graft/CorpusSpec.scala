@@ -49,6 +49,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(screened) === ids(manualScreen))
   }
 
+  test("screenAgainst works with non-default column names on both sides") {
+    // the facade accepts arbitrary Columns — a corpus named (url, body)
+    // screened by a batch named (key, content) must behave exactly like
+    // the default-named case
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val rest = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val renamedBatch = bench.select(col("doc_id").as("key"), col("text").as("content"))
+    val renamedCorpus = rest.select(col("doc_id").as("url"), col("text").as("body"))
+    val screened = Corpus(renamedBatch, col("content"), col("key"))
+      .screenAgainst(renamedCorpus, col("body"), col("url")).df
+      .select(col("key")).as[Long].collect().toSet
+    val defaultNamed = Corpus(bench, col("text"), col("doc_id"))
+      .screenAgainst(rest, col("text"), col("doc_id")).df
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(screened === defaultNamed)
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap

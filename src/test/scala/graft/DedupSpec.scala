@@ -223,6 +223,26 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Set(4L, 2L, 3L))
   }
 
+  test("keep rules preserve caller columns named id / cluster_id") {
+    import graft.dedup.Components
+    // drop-by-name removes EVERY matching column — a caller whose own
+    // columns are literally named "id"/"cluster_id" must keep them
+    val rows = Seq(
+      (1L, "a", 9L, 10L), (4L, "b", 8L, 25L),
+      (2L, "c", 7L, 5L), (3L, "d", 6L, 7L)
+    ).toDF("id", "payload", "cluster_id", "n_tokens")
+    val pairs = Seq((1L, 4L)).toDF("doc_a", "doc_b")
+    val one = Components.keepOnePerCluster(rows, col("id"), pairs, "doc_a", "doc_b")
+    assert(one.columns.toSeq === Seq("id", "payload", "cluster_id", "n_tokens"))
+    assert(one.select("id", "cluster_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 9L), (2L, 7L), (3L, 6L)))
+    val best = Components.keepBestPerCluster(rows, col("id"), pairs, "doc_a", "doc_b",
+      Seq(col("n_tokens").desc, col("id").asc))
+    assert(best.columns.toSeq === Seq("id", "payload", "cluster_id", "n_tokens"))
+    assert(best.select("id", "cluster_id").as[(Long, Long)].collect().toSet
+      === Set((4L, 8L), (2L, 7L), (3L, 6L)))
+  }
+
   test("portable token hash matches the documented DuckDB formula") {
     // conv(substr(md5('abc'),1,15),16,10) must equal DuckDB ('0x'||...)::BIGINT = 648541476951500027
     val v = Seq("abc").toDF("t").select(Dedup.portableTokenHash(col("t"))).as[Long].head()

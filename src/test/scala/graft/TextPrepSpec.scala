@@ -137,6 +137,11 @@ class TextPrepSpec extends SparkSpecBase {
     val b = df.repartition(17).filter(TextPrep.weightedSample(col("id"), col("w"), 100))
       .select("id").as[Long].collect().toSet
     assert(a === b)
+    // a weight past 2^35 must still mean "always keep" — unclamped it
+    // would overflow BIGINT (non-ANSI) and silently DROP exactly the
+    // heaviest rows
+    assert(spark.range(100)
+      .filter(!TextPrep.weightedSample(col("id"), lit(1L << 40), 100)).count() === 0L)
   }
 
   test("temperatureWeights flattens shares with exact alpha=0.5 math") {

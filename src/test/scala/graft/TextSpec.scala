@@ -146,6 +146,24 @@ class TextSpec extends SparkSpecBase {
     assert(fps(1L) === expect)
   }
 
+  test("winnow byte-offset sliding is exact on multi-byte UTF-8") {
+    val k = 4; val w = 3
+    // 2- and 3-byte code points (all BMP → one UTF-16 unit each, so a
+    // Java-String replay walks the same code-point grams)
+    val text = "héllo wörld ñiño 日本語のテキスト断片 mixed ascii"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lower = text.toLowerCase
+    val hs = (0 to lower.length - k).map(i => java.lang.Long.parseLong(md5hex(lower.substring(i, i + k)).take(15), 16))
+    val expect = hs.indices.collect {
+      case p if hs(p) == (math.max(0, p - w + 1) to p).map(hs).min => hs(p)
+    }.distinct
+    val got = Seq(text).toDF("t")
+      .select(org.apache.spark.sql.graft.GraftTextFunctions.winnowHashes(col("t"), k, w))
+      .as[Seq[Long]].head()
+    assert(got === expect)
+  }
+
   test("graft_winnow_hashes SQL registration matches the Column API") {
     val viaSql = spark.sql(
       "SELECT graft_winnow_hashes('the quick brown fox jumps over the lazy dog', 5, 4)")
