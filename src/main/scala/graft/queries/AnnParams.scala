@@ -36,4 +36,14 @@ object AnnParams {
     * (pairwise cosine tops out ≈ 0.45), hence the low tau — real
     * SemDeDup runs sit at 0.95+ on model embeddings. */
   val SemDedupTau = 0.35
+
+  /** Worst-case cell cap for q_semdedup: cells above this are
+    * hash-split before the all-pairs sweep (SemDedup.semDedup's
+    * maxCellSize). Chosen far above any cell the sf0.01/sf0.1 corpora
+    * can produce (≤ corpus size), so the oracle's uncapped per-cell
+    * replay stays byte-identical while the query still exercises the
+    * capped code path (every cell lands in sub-shard 0). The capped
+    * semantics themselves are spec-gated with a genuinely dense
+    * cluster in SimilaritySpec. */
+  val SemDedupMaxCell = 65536
 }

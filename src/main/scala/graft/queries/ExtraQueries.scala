@@ -159,7 +159,7 @@ object ExtraQueries {
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.SemDedup.semDedup(quantized(s, dir),
         numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
-        tau = AnnParams.SemDedupTau))
+        tau = AnnParams.SemDedupTau, maxCellSize = Some(AnnParams.SemDedupMaxCell)))
   )
 
   /** Quantized cosine between two aliased relations (integer dot cast

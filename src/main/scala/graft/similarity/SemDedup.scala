@@ -34,19 +34,51 @@ object SemDedup {
     * `corpus` must be [[Similarity.prepareQuantized]] shaped
     * (vec_id, e, nrm). Centroid build parameters mirror [[IvfAnn]];
     * at scale pick numCentroids ≈ √N ([[IvfAnn.suggestCentroids]]).
-    */
-  def semDedup(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double): DataFrame = {
+    *
+    * `maxCellSize` bounds the worst-case pair work: a cell of m
+    * vectors costs C(m,2) comparisons, and one dense embedding
+    * cluster (boilerplate pages in a scraped corpus) can concentrate
+    * the whole job on a single cell — AQE skew-split can re-balance
+    * the shuffle but not shrink the pair count. Cells above the cap
+    * are hash-split on vec_id into ceil(m/cap) sub-shards, capping a
+    * cell's cost at ~nsub·C(cap,2); the sweep stays exact WITHIN each
+    * sub-shard, so the cap trades bounded recall (cross-shard dups of
+    * one oversized cell go unflagged) for a hard worst-case bound —
+    * the standard blocking tradeoff. Cells at or under the cap are
+    * byte-identical to the uncapped sweep. */
+  def semDedup(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val cents = IvfAnn.centroids(corpus, numCentroids, lloydIters)
     val asg = IvfAnn.assign(corpus, cents)
-    val mem = asg.join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    val sharded0 = maxCellSize match {
+      case None => asg.withColumn("__sub", lit(0))
+      case Some(cap) =>
+        require(cap >= 1, "maxCellSize must be >= 1")
+        // cell sizes: one row per centroid — bounded by nlist (≈ √N),
+        // not by the corpus — so the join is broadcastable by design
+        val sizes = asg.groupBy("c_id").agg(count(lit(1)).as("__cn"))
+        asg.join(broadcast(sizes), "c_id")
+          .withColumn("__sub",
+            pmod(xxhash64(col("vec_id")), ceil(col("__cn").cast("double") / cap).cast("long"))
+              .cast("int"))
+          .select(col("vec_id"), col("c_id"), col("__sub"))
+    }
+    // three consumers (both sides of the pair join + the verdict join)
+    // and the assignment is itself a centroid-scan per vector —
+    // materialize the narrow (vec_id, c_id, sub) triple once instead
+    // of re-deriving it per consumer; released at the caller's next
+    // Checkpoints.releaseAll() query boundary
+    val sharded = graft.operators.Checkpoints.eager(sharded0)
+    val mem = sharded.join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
     val dups = mem.as("a")
       .join(mem.as("b"),
-        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+        col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosineQ(dotQ(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") >= tau)
       .select(col("b.vec_id").as("vec_id"))
       .distinct()
-    asg.join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+    sharded.join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"), coalesce(col("__d"), lit(false)).as("is_dup"))
   }
 }

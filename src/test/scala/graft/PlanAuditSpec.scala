@@ -148,7 +148,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,
     "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
-    "q_token_sample" -> 1, "q_semdedup" -> 6, "q_lm_score" -> 4,
+    // q_semdedup: 6 → 4 in r5 — the (vec_id, c_id, sub) assignment is
+    // checkpointed once instead of re-planned per consumer
+    "q_token_sample" -> 1, "q_semdedup" -> 4, "q_lm_score" -> 4,
     "q_keep_best" -> 3, "q_temperature" -> 2, "q_phash" -> 1,
     "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2,
     "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3,

@@ -116,6 +116,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dupsSeen > 0, "tau chosen so the sweep actually fires")
   }
 
+  test("semDedup maxCellSize bounds pair work on a dense cluster, exact under the cap") {
+    import graft.similarity.SemDedup
+    // one dense cluster: 400 near-identical vectors (all pairwise
+    // cos ≈ 1) — the boilerplate-pages worst case where a single IVF
+    // cell would otherwise cost C(400,2) pairs
+    val rnd = new scala.util.Random(3)
+    val dense = (1L to 400L).map { i =>
+      (i, Seq.tabulate(16)(d => 0.9f + (if (d == (i % 16).toInt) 0.001f * rnd.nextInt(5) else 0f)))
+    }
+    val corpus = Similarity.prepareQuantized(dense.toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    val cap = 50
+    val capped = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1,
+        tau = 0.99, maxCellSize = Some(cap))
+      .as[(Long, Long, Boolean)].collect()
+    // every vector except each sub-shard's min id is flagged: the
+    // number of survivors IS the number of sub-shards — bounded by
+    // ceil(400/cap) = 8, against exactly 1 uncapped. Pair work per
+    // shard is C(shardSize, 2), so total pair cost is capped at
+    // ~nsub * C(E[shard], 2) instead of C(400, 2).
+    val survivors = capped.count(!_._3)
+    assert(survivors >= 1 && survivors <= math.ceil(400.0 / cap).toInt,
+      s"survivors=$survivors must be within [1, nsub]")
+    // a cap the cell fits under must be byte-identical to uncapped
+    val uncapped = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1, tau = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val bigCap = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1,
+        tau = 0.99, maxCellSize = Some(400))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(bigCap === uncapped)
+    assert(uncapped.count(!_._3) === 1) // min id is the only survivor
+  }
+
   test("quantized cosine equals double cosine within quantization error") {
     val a = corpus.filter(col("vec_id") === 0L)
     val pair = Similarity.cosinePairs(corpus, "label", -2.0)
