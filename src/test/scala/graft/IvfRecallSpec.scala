@@ -63,6 +63,41 @@ class IvfRecallSpec extends SparkSpecBase {
     assert(cs === cs.sorted)
   }
 
+  test("suggestCentroids-sized build at sf0.1: recall knee measured and pinned") {
+    // the √N sizing path the 100 TB story depends on, exercised on the
+    // largest local corpus (sf0.1: N=2000 → 45 cells). These synthetic
+    // embeddings are near-random — NO cluster structure, the measured
+    // worst case for IVF (cell membership carries little signal, so
+    // recall needs a large probe fraction: 11/45 → 0.62, 22/45 → 0.83,
+    // 32/45 → 0.93, measured by ProfileIvfScale). Real model
+    // embeddings cluster hard, which is what the nprobe ≈ nlist/4
+    // guidance in IvfAnn's scaladoc assumes; this spec pins the
+    // random-data floor so a regression in the build path (seeding,
+    // Lloyd, probe ranking) shows up as a recall drop.
+    val corpus01 = Similarity.prepareQuantized(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1"),
+      col("embedding"), col("vec_id"), col("label"))
+    val n = corpus01.count()
+    val cells01 = IvfAnn.suggestCentroids(n)
+    assert(cells01 === math.ceil(math.sqrt(n.toDouble)).toInt)
+    val qs01 = corpus01.filter(col("vec_id") % 100 === 0)
+    val brute01 = Similarity.cosineTopK(corpus01, qs01, k)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall01(nprobe: Int): Double = {
+      val ivf = IvfAnn.annIvf(corpus01, qs01, k, cells01, nprobe, lloydIters = 2)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      graft.operators.Checkpoints.releaseAll()
+      (ivf intersect brute01).size.toDouble / brute01.size
+    }
+    val rQuarter = recall01(cells01 / 4)
+    val rHalf = recall01(cells01 / 2)
+    val rKnee = recall01(32)
+    assert(rQuarter <= rHalf && rHalf <= rKnee,
+      s"recall not monotone in nprobe: $rQuarter, $rHalf, $rKnee")
+    assert(rHalf >= 0.80, s"recall@5 at nprobe=nlist/2 regressed: $rHalf (measured 0.83)")
+    assert(rKnee >= 0.90, s"recall@5 at the measured 0.9 knee regressed: $rKnee (measured 0.93)")
+  }
+
   test("probing all cells is bit-identical to brute force, ranks included") {
     val ivf = IvfAnn.annIvf(corpus, qs, k, cells, nprobe = cells, lloydIters = 2)
       .select("q_id", "neighbor_id", "rank", "cos").as[(Long, Long, Int, Double)].collect().toSet
