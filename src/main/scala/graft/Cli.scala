@@ -96,6 +96,16 @@ import graft.sources.PartitionedFiles
   *   scd2           --key user_id --ts "unix_micros(ts)" [--order "..., event_id"]
   *       SCD type-2 build: change log -> contiguous half-open validity
   *       intervals (valid_from_us/valid_to_us/is_current) per key
+  *   corpus         --text text --id doc_id [--min-tokens 30]
+  *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
+  *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
+  *                  [--decontam PATH [--decontam-text text] [--decontam-id doc_id]]
+  *                  [--temperature SOURCE_COL] [--split 90,5]
+  *       the whole training-data prep chain as ONE verb (the Corpus
+  *       facade): quality floor -> exact dedup -> near dedup ->
+  *       LM-quality gate -> benchmark decontamination -> temperature
+  *       mixture sampling -> split assignment; every stage optional,
+  *       each delegating to the oracle-gated library operator
   */
 object Cli {
 
@@ -348,6 +358,45 @@ object Cli {
           val order = opts.get("order").map(_ => exprList("order"))
             .getOrElse(Seq(expr(opts("ts"))))
           write(graft.operators.TemporalJoins.scd2(read(), key, ts, order))
+        case "corpus" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          var c = Corpus(read(), text, id)
+          opts.get("min-tokens").foreach(m => c = c.qualityFilter(m.toInt))
+          opts.getOrElse("dedup", "exact") match {
+            case "exact" => c = c.exactDedup()
+            case "none"  =>
+            case o       => fail(s"--dedup must be exact|none, got: $o")
+          }
+          opts.getOrElse("near", "minhash") match {
+            case "minhash"      => c = c.nearDedup()
+            case "minhash-best" => c = c.nearDedupKeepBest()
+            case "simhash"      => c = c.nearDedupSimhash()
+            case "winnow"       => c = c.nearDedupWinnow()
+            case "none"         =>
+            case o => fail(s"--near must be minhash|minhash-best|simhash|winnow|none, got: $o")
+          }
+          opts.get("lm-rare-max").foreach(r => c = c.lmQualityFilter(
+            r.toLong, opts.getOrElse("lm-max-rare-ratio", "0.5").toDouble))
+          opts.get("decontam").foreach { p =>
+            val bench = fmt match {
+              case "json"    => PartitionedFiles.readJsonl(spark, p, opts.get("decontam-schema"))
+              case "csv"     => PartitionedFiles.readCsv(spark, p, header = true, opts.get("decontam-schema"))
+              case "parquet" => PartitionedFiles.readParquet(spark, p)
+              case "orc"     => PartitionedFiles.readOrc(spark, p)
+              case o         => fail(s"corpus --decontam unsupported for format: $o")
+            }
+            c = c.decontaminate(bench,
+              expr(opts.getOrElse("decontam-text", "text")),
+              expr(opts.getOrElse("decontam-id", "doc_id")))
+          }
+          opts.get("temperature").foreach(s => c = c.temperatureSample(col(s)))
+          opts.get("split").foreach { s =>
+            val parts = s.split(",").map(_.trim.toInt)
+            if (parts.length != 2) fail("--split needs TRAIN,VAL percentages")
+            c = c.splitAssign(parts(0), parts(1))
+          }
+          write(c.df)
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

@@ -58,6 +58,57 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
       Seq(length(text).desc, id.asc)))
   }
 
+  /** SimHash near-dup removal: 60-bit fingerprints (native SimHash60
+    * expression, zero shuffles), segment-blocked pairs within the
+    * hamming radius, min-id keeper per connected cluster. Catches the
+    * small-edit duplicates MinHash banding can miss at low signature
+    * budgets. */
+  def nearDedupSimhash(maxHamming: Int = 3): Corpus = {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(df, text, id), maxHamming)
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+  }
+
+  /** Winnowing (MOSS-style) near-dup removal: substring-level —
+    * docs sharing ≥ `minShared` winnow fingerprints copied a run of
+    * text even when their word sets diverge. Min-id keeper per
+    * connected cluster. */
+  def nearDedupWinnow(k: Int = 5, w: Int = 4, minShared: Long = 10,
+      maxDocFreq: Long = 50): Corpus = {
+    val pairs = TextAnalysis.winnowPairs(df, text, id, k, w, minShared, maxDocFreq)
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+  }
+
+  /** Unigram-LM quality gate: drop docs whose share of corpus-rare
+    * tokens (corpus frequency ≤ `rareMax`) exceeds `maxRareRatio` —
+    * the gibberish/OCR-noise screen. Cross-multiplied comparison, no
+    * division. */
+  def lmQualityFilter(rareMax: Long, maxRareRatio: Double): Corpus = {
+    val scores = TextAnalysis.lmScore(df, text, id, rareMax)
+      .select(col("doc_id").as("__lm_id"), col("n_tokens").as("__lm_n"),
+        col("n_rare").as("__lm_rare"))
+    keep(df.join(scores, id === col("__lm_id"))
+      .filter(col("__lm_rare").cast("double") <= lit(maxRareRatio) * col("__lm_n"))
+      .drop("__lm_id", "__lm_n", "__lm_rare"))
+  }
+
+  /** Temperature-flattened source mixture (α = 0.5): each source is
+    * kept with probability boost/max(boost) — the most up-weighted
+    * (tail) source passes whole, head sources downsample toward the
+    * sqrt-share mixture. The draw is the deterministic md5 hash of
+    * the row key, so the sample is rerun-stable; the per-source
+    * weight table is #sources rows, broadcast by design. */
+  def temperatureSample(source: Column): Corpus = {
+    val w = TextPrep.temperatureWeights(df, source, TextAnalysis.tokenCount(text))
+    val maxBoost = w.agg(max("boost").as("__max_boost"))
+    val probs = w.crossJoin(broadcast(maxBoost))
+      .select(col("source").as("__ts_src"),
+        (col("boost") / col("__max_boost")).as("__ts_p"))
+    val draw = conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("long")
+    keep(df.join(broadcast(probs), source === col("__ts_src"))
+      .filter(draw.cast("double") < col("__ts_p") * (1L << 28).toDouble)
+      .drop("__ts_src", "__ts_p"))
+  }
+
   /** Benchmark decontamination: drop docs sharing ≥ minHits distinct
     * n-grams with any doc of the eval set. */
   def decontaminate(bench: DataFrame, benchText: Column, benchId: Column,

@@ -49,6 +49,60 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(screened) === ids(manualScreen))
   }
 
+  test("simhash and winnow near-dedup stages equal manual composition") {
+    val viaSim = corpus.nearDedupSimhash().df
+    val simPairs = Dedup.simhashPairs(Dedup.simhash(docs, col("text"), col("doc_id")))
+    val manualSim = Components.keepOnePerCluster(docs, col("doc_id"), simPairs, "doc_a", "doc_b")
+    assert(ids(viaSim) === ids(manualSim))
+    assert(ids(viaSim).nonEmpty)
+
+    val viaWin = corpus.nearDedupWinnow().df
+    val winPairs = TextAnalysis.winnowPairs(docs, col("text"), col("doc_id"))
+    val manualWin = Components.keepOnePerCluster(docs, col("doc_id"), winPairs, "doc_a", "doc_b")
+    assert(ids(viaWin) === ids(manualWin))
+    assert(ids(viaWin).nonEmpty && ids(viaWin).size < docs.count())
+  }
+
+  test("lmQualityFilter keeps exactly the docs under the rare-token ratio") {
+    val rareMax = 100L
+    val scores = TextAnalysis.lmScore(docs, col("text"), col("doc_id"), rareMax)
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"))
+      .as[(Long, Long, Long)].collect()
+    // self-calibrating threshold: the corpus median rare ratio, so the
+    // gate provably separates regardless of the synthetic vocabulary
+    val maxRatio = scores.map { case (_, n, rare) => rare.toDouble / n }.sorted
+      .apply(scores.length / 2)
+    val out = corpus.lmQualityFilter(rareMax, maxRatio).df
+    val expect = scores.collect { case (id, n, rare) if rare.toDouble <= maxRatio * n => id }.toSet
+    assert(ids(out) === expect)
+    assert(expect.nonEmpty && expect.size < scores.length,
+      s"median ratio $maxRatio must separate the corpus")
+    // schema untouched: the score columns do not leak
+    assert(out.columns.toSeq === docs.columns.toSeq)
+  }
+
+  test("temperatureSample keeps the max-boost source whole and downsamples heads") {
+    val out = corpus.temperatureSample(col("source")).df
+    val w = TextPrep.temperatureWeights(docs, col("source"),
+        TextAnalysis.tokenCount(col("text")))
+      .select(col("source"), col("boost")).as[(String, Double)].collect().toMap
+    val maxBoost = w.values.max
+    val inBySrc = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val outBySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // the most-boosted source passes entirely (p = 1)
+    val tailSrc = w.maxBy(_._2)._1
+    assert(outBySrc(tailSrc) === inBySrc(tailSrc))
+    // every source's keep rate tracks boost/maxBoost within noise
+    w.foreach { case (s, b) =>
+      val rate = outBySrc.getOrElse(s, 0L).toDouble / inBySrc(s)
+      val p = b / maxBoost
+      assert(math.abs(rate - p) < 0.35, s"source $s: rate $rate vs p $p")
+    }
+    // deterministic: re-evaluation with different partitioning is identical
+    assert(ids(out) === ids(Corpus(docs.repartition(13), col("text"), col("doc_id"))
+      .temperatureSample(col("source")).df))
+  }
+
   test("screenAgainst works with non-default column names on both sides") {
     // the facade accepts arbitrary Columns — a corpus named (url, body)
     // screened by a batch named (key, content) must behave exactly like

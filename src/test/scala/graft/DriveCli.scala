@@ -337,5 +337,33 @@ object DriveCli {
         drift("missing_col") == "missing" && drift("source") == "extra"}")
       spark.stop()
     }
+
+    // corpus (the whole prep chain as one verb: quality floor, exact +
+    // near dedup, LM gate, decontamination, temperature mixture, split)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "corpus", "--text", "text", "--id", "doc_id",
+      "--min-tokens", "30", "--near", "minhash-best",
+      "--lm-rare-max", "100", "--lm-max-rare-ratio", "0.9",
+      "--decontam", s"$tmp/bench",
+      "--temperature", "source", "--split", "90,5",
+      "--outfile", s"$tmp/corpus"))
+    locally {
+      val spark = GraftSession.builder("verifyCorpus", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/corpus")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val bench = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/bench")
+      val expect = Corpus(in, col("text"), col("doc_id"))
+        .qualityFilter(30).exactDedup().nearDedupKeepBest()
+        .lmQualityFilter(100L, 0.9)
+        .decontaminate(bench, col("text"), col("doc_id"))
+        .temperatureSample(col("source"))
+        .splitAssign(90, 5).df
+      val n = out.count()
+      val splits = out.select("split").distinct().count()
+      println(s"CORPUS=$n EXPECT=${expect.count()} SPLITS=$splits " +
+        s"OK=${n == expect.count() && n > 0 && splits >= 2}")
+      spark.stop()
+    }
   }
 }
