@@ -167,6 +167,68 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming unigram-LM quality scoring: every micro-batch of
+    * incoming documents is scored against a STATIC reference LM — the
+    * (token, cnt) frequency table of the standing corpus
+    * ([[graft.text.TextAnalysis.tokenFrequencies]]), trained and
+    * refreshed by the batch pipeline. Same no-state-store philosophy
+    * as [[novelDocsStream]]: a multi-terabyte corpus distribution is
+    * batch-owned state, not stream state; each trigger runs the exact
+    * batch scorer ([[graft.text.TextAnalysis.lmScoreAgainst]] — new
+    * tokens count as frequency 0, maximally rare). Sink rows carry
+    * every batch column plus n_tokens / n_rare / mean_freq. */
+  def lmScoredStream(
+      docs: DataFrame,
+      referenceFreq: DataFrame,
+      textCol: String,
+      idCol: String,
+      rareMax: Long,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // reserved join name: dropping a bare "doc_id" would also drop
+        // a batch column of that name (drop-by-name removes all)
+        val scores = graft.text.TextAnalysis.lmScoreAgainst(
+            batch, col(textCol), col(idCol), referenceFreq, rareMax)
+          .withColumnRenamed("doc_id", "__lm_doc_id")
+        sink(batch.join(scores, batch(idCol) === col("__lm_doc_id")).drop("__lm_doc_id"))
+      }
+      .start()
+
+  /** Windowed per-source token counts — the streaming half of
+    * temperature mixture monitoring: a watermarked tumbling-window
+    * aggregate over (window, source), state bounded by #sources ×
+    * open windows. Emits closed windows only (append mode); feed the
+    * appended rows to [[temperaturePerWindow]] to get the exact α=0.5
+    * mixture weights per window. */
+  def windowedSourceTokens(docs: DataFrame, tokens: org.apache.spark.sql.Column,
+      watermark: String = "1 hour", win: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("source"))
+      .agg(sum(tokens.cast("long")).cast("bigint").as("n_tokens"))
+      .select(col("w.start").as("bucket"), col("source"), col("n_tokens"))
+
+  /** Exact α=0.5 temperature weights per closed window — the batch
+    * helper for the sink side of [[windowedSourceTokens]]. Bit-matches
+    * [[graft.text.TextPrep.temperatureWeights]] run on each window's
+    * slice: same one-division share, one-sqrt weight, one-division
+    * boost over the window's integer token totals. */
+  def temperaturePerWindow(closed: DataFrame): DataFrame = {
+    // fresh names on the aggregate side: totals is derived from
+    // `closed` itself, and a plain "bucket" join would carry
+    // conflicting references into the self-join
+    val totals = closed.groupBy("bucket").agg(sum("n_tokens").cast("bigint").as("__total"))
+      .withColumnRenamed("bucket", "__tw_bucket")
+    closed.join(totals, col("bucket") === col("__tw_bucket"))
+      .withColumn("share", col("n_tokens").cast("double") / col("__total"))
+      .withColumn("weight", sqrt(col("share")))
+      .withColumn("boost", col("weight") / col("share"))
+      .drop("__tw_bucket", "__total")
+  }
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -298,14 +298,40 @@ object TextAnalysis {
     val tf = df.select(id.as("doc_id"), explode(tokenize(lower(text))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy("t").agg(sum("tf").as("cnt"))
-    tf.join(freq, "t")
+    scoreTf(tf, freq, rareMax)
+  }
+
+  /** The unigram-LM table itself: (t, cnt) corpus token frequencies —
+    * the "trained model" half of [[lmScore]], reusable to score OTHER
+    * corpora/batches against this reference distribution. */
+  def tokenFrequencies(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokenize(lower(text))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+
+  /** Score `df` against a REFERENCE unigram LM (`freq` = (t, cnt)
+    * from [[tokenFrequencies]], typically trained on the standing
+    * corpus by the batch pipeline): same outputs as [[lmScore]], but
+    * tokens absent from the reference count as frequency 0 (maximally
+    * rare) — the incremental-pipeline shape, where each new crawl
+    * drop is scored against the distribution of the corpus it is
+    * about to join rather than against itself. */
+  def lmScoreAgainst(df: DataFrame, text: Column, id: Column, freq: DataFrame,
+      rareMax: Long): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(tokenize(lower(text))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    scoreTf(tf, freq, rareMax, leftJoin = true)
+  }
+
+  private def scoreTf(tf: DataFrame, freq: DataFrame, rareMax: Long,
+      leftJoin: Boolean = false): DataFrame =
+    tf.join(freq, Seq("t"), if (leftJoin) "left" else "inner")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("doc_id")
       .agg(
         sum("tf").cast("bigint").as("n_tokens"),
         sum(col("tf") * col("cnt")).cast("bigint").as("sum_freq"),
         sum(when(col("cnt") <= rareMax, col("tf")).otherwise(lit(0L))).cast("bigint").as("n_rare"))
       .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
-  }
 
   /** Corpus vocabulary head (Zipf profile): the top-k tokens by
     * frequency with their rank and cumulative count — the "what share

@@ -234,6 +234,79 @@ class StreamingSpec extends SparkSpecBase {
     assert(b1 === Set(11L))
   }
 
+  test("lmScoredStream scores micro-batches against the static reference LM") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: "alpha"/"beta" common, everything else unseen
+    val corpus = Seq((1L, "alpha beta alpha"), (2L, "alpha beta beta alpha")).toDF("doc_id", "text")
+    val refFreq = graft.text.TextAnalysis.tokenFrequencies(corpus, col("text"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_ckpt").toString
+    val q = EventStreams.lmScoredStream(
+      mem.toDF().toDF("doc_id", "text"), refFreq, "text", "doc_id",
+      rareMax = 1L, checkpointDir = ckpt) { scored =>
+      got.synchronized {
+        got ++= scored.select(col("doc_id"), col("n_tokens"), col("n_rare"), col("mean_freq"))
+          .as[(Long, Long, Long, Double)].collect()
+      }
+    }
+    mem.addData((10L, "alpha beta"), (11L, "gamma gamma"))
+    q.processAllAvailable()
+    mem.addData((12L, "alpha unknown"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r).toMap
+    // alpha cnt=4, beta cnt=3 in the reference
+    assert(byId(10L) === ((10L, 2L, 0L, 3.5)))
+    // unseen tokens: frequency 0 → maximally rare
+    assert(byId(11L) === ((11L, 2L, 2L, 0.0)))
+    assert(byId(12L) === ((12L, 2L, 1L, 2.0)))
+    // parity with the batch scorer over the union of drops
+    val allDocs = Seq((10L, "alpha beta"), (11L, "gamma gamma"), (12L, "alpha unknown"))
+      .toDF("doc_id", "text")
+    val batch = graft.text.TextAnalysis.lmScoreAgainst(
+        allDocs, col("text"), col("doc_id"), refFreq, rareMax = 1L)
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("mean_freq"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(byId === batch)
+  }
+
+  test("windowedSourceTokens + temperaturePerWindow equals batch temperature weights per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val stream = EventStreams.windowedSourceTokens(
+      mem.toDF().toDF("ts", "source", "text"),
+      graft.text.TextAnalysis.tokenCount(col("text")),
+      watermark = "10 minutes", win = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("srctok")
+      .outputMode(OutputMode.Append()).start()
+    // window 1 (00:00): src A 5 tokens, src B 1 token
+    mem.addData(
+      (ts("2024-01-01 00:10:00"), "A", "a b c"),
+      (ts("2024-01-01 00:20:00"), "A", "d e"),
+      (ts("2024-01-01 00:30:00"), "B", "z"))
+    q.processAllAvailable()
+    // window 2 (01:00) + late watermark push to close window 1
+    mem.addData((ts("2024-01-01 01:30:00"), "A", "p q"), (ts("2024-01-01 01:35:00"), "B", "r s"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 03:00:00"), "A", "flush"))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("srctok")
+    val w1 = EventStreams.temperaturePerWindow(closed)
+      .filter(col("bucket") === ts("2024-01-01 00:00:00"))
+      .select(col("source"), col("n_tokens"), col("share"), col("weight"), col("boost"))
+    // exact parity with the batch operator on window 1's slice
+    val batchW1 = graft.text.TextPrep.temperatureWeights(
+      Seq(("A", 3L), ("A", 2L), ("B", 1L)).toDF("source", "tok"), col("source"), col("tok"))
+    assert(w1.orderBy("source").collect().toSeq === batchW1.orderBy("source").collect().toSeq)
+    // window 2 closed too: equal 2-token sources → equal weights
+    val w2 = EventStreams.temperaturePerWindow(closed)
+      .filter(col("bucket") === ts("2024-01-01 01:00:00"))
+      .select(col("source"), col("boost")).as[(String, Double)].collect().toMap
+    assert(w2.keySet === Set("A", "B") && w2("A") === w2("B"))
+  }
+
   test("deduped drops repeated keys within the watermark across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

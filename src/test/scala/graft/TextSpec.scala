@@ -194,4 +194,19 @@ class TextSpec extends SparkSpecBase {
     assert(out(1L) === ((3L, 6L, 0L, 2.0)))
     assert(out(2L) === ((2L, 3L, 1L, 1.5)))
   }
+
+  test("lmScoreAgainst: self-reference equals lmScore; unseen tokens are maximally rare") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val selfFreq = TextAnalysis.tokenFrequencies(docs, col("text"))
+    val against = TextAnalysis.lmScoreAgainst(docs, col("text"), col("doc_id"), selfFreq, 100L)
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.lmScore(docs, col("text"), col("doc_id"), 100L)
+      .orderBy("doc_id").collect().toSeq
+    assert(against === direct)
+    // a doc of entirely unseen tokens: cnt 0 everywhere
+    val alien = Seq((999L, "qqxx zzyy wwvv")).toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScoreAgainst(alien, col("text"), col("doc_id"), selfFreq, 100L)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(scored === ((999L, 3L, 0L, 3L, 0.0)))
+  }
 }
