@@ -44,9 +44,12 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     keep(Dedup.exactDedupKeyed(df, text, id).drop("fp", "group_n"))
 
   /** MinHash-LSH near-dup removal, keeping the min-id doc per
-    * connected cluster. */
-  def nearDedup(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus = {
-    val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand)
+    * connected cluster. `portable = true` switches to the
+    * md5-lexicographic hash family (engine-replayable, oracle-gated);
+    * the default xxhash64 family is the fast path. */
+  def nearDedup(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
+      portable: Boolean = false): Corpus = {
+    val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand, portable)
     keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
   }
 

@@ -76,6 +76,18 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // Facade capstone: the SAME corpus-construction chain as
+    // q_corpus, but written the way a user writes it — through the
+    // fluent graft.Corpus facade. Shares q_corpus's oracle SQL, so
+    // the facade itself (not just its delegation specs) is
+    // hash-gated cross-engine.
+    "q_corpus_facade" -> ((s, dir) =>
+      graft.Corpus(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .qualityFilter(30)
+        .nearDedup(portable = true)
+        .stats(col("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"))),
+
     // §2.3/24d quality-aware keep: per near-dup cluster keep the
     // LONGEST doc (token count desc, id asc tiebreak) instead of the
     // min id — the keeper is the copy worth training on.
@@ -561,6 +573,9 @@ object DedupQueries {
     "q_dedup_cluster" -> clusterSql,
     "q_cluster_star" -> clusterSql,
     "q_corpus" -> corpusSql,
+    // the facade chain is definitionally the same composition — one
+    // oracle, two construction paths, both hash-gated
+    "q_corpus_facade" -> corpusSql,
     "q_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

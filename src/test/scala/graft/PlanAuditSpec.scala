@@ -143,6 +143,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_tpch_q18" -> 1, "q_star_join" -> 1, "q_pipeline" -> 2,
     "q_mad_outliers" -> 3, "q_zscore" -> 1, "q_repetition" -> 2,
     "q_vocab" -> 1, "q_cluster_star" -> 2, "q_corpus" -> 3,
+    "q_corpus_facade" -> 3,
     "q_dedup_cluster" -> 1, "q_dedup_minhash" -> 2,
     "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,

@@ -12,7 +12,7 @@ object ProfileShuffles {
       "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
       "q_tpch_q10", "q_tpch_q18", "q_star_join", "q_pipeline",
       "q_mad_outliers", "q_zscore", "q_repetition", "q_vocab",
-      "q_cluster_star", "q_corpus", "q_dedup_cluster", "q_dedup_minhash",
+      "q_cluster_star", "q_corpus", "q_corpus_facade", "q_dedup_cluster", "q_dedup_minhash",
       "q_dedup_ngram", "q_containment", "q_fuzzy_join",
       "q_ann_lsh", "q_ann_ivf", "q_cosine_topk", "q_sessionize",
       "q_session_window", "q_decontam", "q_source_overlap", "q_boilerplate", "q_token_sample",
