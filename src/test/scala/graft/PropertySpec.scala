@@ -250,4 +250,69 @@ class PropertySpec extends SparkSpecBase {
       assert(kept === values.sorted.take(k), s"seed=$seed k=$k")
     }
   }
+
+  test("native AHash64 equals a direct replay on random binary payloads") {
+    // reference: the documented sampling rule computed in plain Scala
+    def ref(bytes: Array[Byte]): String = {
+      val v = (0 until 64).map(i => bytes(((i.toLong * bytes.length) / 64).toInt) & 0xff)
+      val t = v.map(_.toLong).sum
+      v.map(x => if (x.toLong * 64 > t) '1' else '0').mkString
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val payloads = Seq.fill(50)(Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte))
+      val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "m")
+      val got = graft.multimodal.Multimodal.aHash(df, col("m"), col("id"))
+        .as[(Long, String)].collect().toMap
+      payloads.zipWithIndex.foreach { case (b, i) =>
+        assert(got(i.toLong) === ref(b), s"seed=$seed payload=$i len=${b.length}")
+      }
+    }
+  }
+
+  test("WinnowHashes equals a code-point replay on random unicode text") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // BMP-only vocab (1–3 byte UTF-8; one UTF-16 unit each) so a Java
+    // String replay walks the same code points as UTF8String
+    val chars = "ab zñé日本語テキλΩ9-"
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(5)
+      val texts = Seq.fill(30)((0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val got = df.select(col("id"),
+          org.apache.spark.sql.graft.GraftTextFunctions.winnowHashes(col("t"), k, w))
+        .as[(Long, Seq[Long])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val lower = t.toLowerCase
+        val expect = if (lower.length < k) Seq.empty[Long] else {
+          val hs = (0 to lower.length - k)
+            .map(p => java.lang.Long.parseLong(md5hex(lower.substring(p, p + k)).take(15), 16))
+          hs.indices.collect {
+            case p if hs(p) == (math.max(0, p - w + 1) to p).map(hs).min => hs(p)
+          }.distinct
+        }
+        assert(got(i.toLong) === expect, s"seed=$seed text=$i k=$k w=$w")
+      }
+    }
+  }
+
+  test("Checkpoints registry: release is idempotent and releaseAll drains") {
+    import graft.operators.Checkpoints
+    Checkpoints.releaseAll()
+    val df = spark.range(100).toDF("id")
+    val a = Checkpoints.eager(df)
+    val b = Checkpoints.eager(df.withColumn("x", col("id") * 2))
+    assert(Checkpoints.pendingCount === 2)
+    Checkpoints.release(a)
+    Checkpoints.release(a) // double release: no-op
+    Checkpoints.release(df) // never checkpointed: no-op
+    assert(Checkpoints.pendingCount === 1)
+    assert(b.count() === 100) // untouched checkpoint still serves reads
+    assert(Checkpoints.releaseAll() === 1)
+    assert(Checkpoints.pendingCount === 0)
+    assert(Checkpoints.releaseAll() === 0) // drained registry stays drained
+  }
 }
