@@ -19,7 +19,7 @@ class SessionHygieneSpec extends SparkSpecBase {
 
   // checkpoint-heavy operators, as the harness runs them
   private val heavy = Seq("q_dedup_cluster", "q_pagerank", "q_triangles",
-    "q_lang_profile", "q_ann_ivf", "q_cluster_star")
+    "q_lang_profile", "q_ann_ivf", "q_cluster_star", "q_semdedup")
   // cheap join-free queries — the ones that regressed 2.7–5.3× in r4
   private val cheap = Seq("q_percentiles", "q_rank_funcs", "q_redact",
     "q_reduce_by_key", "q_count")
