@@ -123,6 +123,18 @@ object PipelineQueries {
         graft.text.TextAnalysis.tokenCount(col("text")), budget = 2000L)
         .select(col("doc_id"), col("shard"), col("n_tokens"), col("batch_id"))),
 
+    // The packed sequences themselves: per (shard, batch) the member
+    // docs concatenated in doc_id order — what a data loader reads.
+    // Per-batch state is bounded by the token budget by construction.
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.TextPrep.packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"), col("text")),
+        col("shard"), Seq(col("doc_id")), col("text"),
+        graft.text.TextAnalysis.tokenCount(col("text")), budget = 2000L)
+        .select(col("shard"), col("batch_id"), col("n_docs"), col("n_tokens"),
+          col("packed_text"))),
+
     // Session path mining: length-3 event-type paths per user.
     "q_paths" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -295,6 +307,21 @@ object PipelineQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |        - n_tokens) // 2000 AS batch_id
         |FROM d""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, text,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, text, n_tokens,
+        |         (CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens) // 2000 AS batch_id
+        |  FROM d)
+        |SELECT shard, batch_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
+        |FROM p GROUP BY shard, batch_id""".stripMargin,
     "q_paths" ->
       """WITH t AS (
         |  SELECT event_type AS s1,

@@ -110,6 +110,31 @@ object TextPrep {
       .withColumnRenamed("__tok", "n_tokens")
   }
 
+  /** Materialize the packed training sequences themselves: one row
+    * per (shard, batch) with the member documents concatenated in
+    * `order` — the construction step after [[packByTokenBudget]]'s
+    * assignment, producing what a data loader actually reads.
+    *
+    * Scale shape: the per-batch collect is BOUNDED BY THE TOKEN
+    * BUDGET by construction (a batch holds ~budget tokens plus one
+    * straddling doc), so the group aggregate never materializes an
+    * unbounded list; batches form within shards, so the only
+    * exchange is the same per-shard one the assignment already
+    * needed. Deterministic: members sort by `order` inside the
+    * struct sort. */
+  def packSequences(df: DataFrame, shard: Column, order: Seq[Column], text: Column,
+      tokens: Column, budget: Long, sep: String = "\n"): DataFrame = {
+    val packed = packByTokenBudget(df, shard, order, tokens, budget)
+    val member = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+      text.as("__t"): _*)
+    packed.groupBy(shard.as("shard"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("bigint").as("n_tokens"),
+        array_join(transform(sort_array(collect_list(member)), s => s.getField("__t")), sep)
+          .as("packed_text"))
+  }
+
   /** Word-repetition screen (Gopher-style quality rule): frequency of
     * the single most repeated lowercase token over the token count.
     * High ratios flag boilerplate/spam. Computed distributed

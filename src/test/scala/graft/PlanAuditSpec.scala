@@ -119,6 +119,12 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_pack")) === 1)
   }
 
+  test("q_pack_sequences reuses the shard exchange for the batch concat") {
+    // assignment window + batch aggregate both key on shard: one
+    // shard shuffle plus the (shard, batch) aggregate, nothing more
+    assert(keyShuffles(plan("q_pack_sequences")) <= 2)
+  }
+
   test("q_transitions shuffles once on the user key") {
     assert(keyShuffles(plan("q_transitions")) <= 2) // key window + pair agg
   }

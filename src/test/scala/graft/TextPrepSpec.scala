@@ -123,6 +123,26 @@ class TextPrepSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("packSequences concatenates batch members in order, partition-invariant") {
+    val df = Seq(
+      (1L, 0L, "a b c"),   // 3 tokens
+      (2L, 0L, "d e"),     // 2 -> cum 5, batch 0 full at budget 5
+      (3L, 0L, "f"),       // batch 1
+      (4L, 1L, "x y z w")  // other shard
+    ).toDF("id", "shard", "txt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextPrep.packSequences(d, col("shard"), Seq(col("id")), col("txt"),
+          graft.text.TextAnalysis.tokenCount(col("txt")), budget = 5L, sep = "\n")
+        .select("shard", "batch_id", "n_docs", "n_tokens", "packed_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    val out = run(df)
+    assert(out === Set(
+      (0L, 0L, 2L, 5L, "a b c\nd e"),
+      (0L, 1L, 1L, 1L, "f"),
+      (1L, 0L, 1L, 4L, "x y z w")))
+    assert(run(df.repartition(7)) === out) // assignment + concat order stable
+  }
+
   test("weightedSample keeps rows with probability ~ weight/threshold") {
     val df = spark.range(20000).select(col("id"), (col("id") % 100 + 1).as("w"))
     val kept = df.filter(TextPrep.weightedSample(col("id"), col("w"), threshold = 100))
