@@ -52,4 +52,16 @@ object Ordering {
       .withColumn(rankCol, col("__off") + (col("__mid") - col("__base")))
       .drop("__pid", "__mid", "__base", "__off", "__cnt")
   }
+
+  /** Seeded deterministic corpus shuffle: a reproducible random
+    * permutation rank from the md5 of (seed, key) — the pre-sharding
+    * "shuffle the corpus once before training" step, stable across
+    * reruns, retries and partitionings (same seed ⇒ same permutation;
+    * new seed ⇒ fresh permutation). Rides [[globalRank]]'s range
+    * shuffle — md5 output is uniform, so the range partitions are
+    * balanced by construction and no single task sees the corpus. */
+  def shuffleRank(df: DataFrame, key: Column, seed: Long,
+      rankCol: String = "shuffle_rank"): DataFrame =
+    globalRank(df, Seq(md5(concat_ws("|", lit(seed), key.cast("string"))), key.cast("string")),
+      rankCol)
 }

@@ -44,6 +44,16 @@ object ExtraQueries {
         .mapRecords(col("doc_id"), col("rank"))
     }),
 
+    // Seeded deterministic corpus shuffle: reproducible random
+    // permutation rank from md5(seed|key) — the pre-sharding
+    // "shuffle once before training" step, same scale shape as
+    // q_global_rank (uniform hash keys → balanced range partitions).
+    "q_shuffle_rank" -> ((s, dir) =>
+      graft.operators.Ordering.shuffleRank(
+          Tables.documents(s, dir).select(col("doc_id")),
+          col("doc_id"), seed = 42L)
+        .select(col("doc_id"), col("shuffle_rank"))),
+
     // SCD type-2 dimension build: change log → contiguous half-open
     // validity intervals per key, open-ended current row flagged.
     "q_scd2" -> ((s, dir) => {
@@ -279,6 +289,12 @@ object ExtraQueries {
            |                         1, ${PrepParams.SnmKeyLen}),
            |                  doc_id) - 1 AS BIGINT) AS rank
            |FROM documents""".stripMargin,
+    "q_shuffle_rank" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)),
+        |                  CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
     "q_scd2" ->
       """SELECT event_id, user_id, event_type,
         |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,

@@ -161,6 +161,24 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffleRank is a seeded permutation: stable per seed, fresh per seed change") {
+    import graft.operators.Ordering
+    val df = spark.range(500).toDF("id")
+    def perm(seed: Long, parts: Int) =
+      Ordering.shuffleRank(df.repartition(parts), col("id"), seed)
+        .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val p42 = perm(42L, 4)
+    // a permutation: ranks are exactly 0..n-1
+    assert(p42.values.toSeq.sorted === (0L until 500L))
+    // reproducible across partitionings
+    assert(perm(42L, 17) === p42)
+    // a different seed is a different permutation (not identity-correlated)
+    val p7 = perm(7L, 4)
+    assert(p7 !== p42)
+    // and genuinely shuffled: not the sorted-by-id order
+    assert(p42.toSeq.sortBy(_._1).map(_._2) !== (0L until 500L))
+  }
+
   test("connectedComponents labels chains, cliques and crossing components") {
     import graft.dedup.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
