@@ -96,6 +96,14 @@ import graft.sources.PartitionedFiles
   *   scd2           --key user_id --ts "unix_micros(ts)" [--order "..., event_id"]
   *       SCD type-2 build: change log -> contiguous half-open validity
   *       intervals (valid_from_us/valid_to_us/is_current) per key
+  *   shuffle        --key doc_id [--seed 42]
+  *       seeded deterministic corpus shuffle: adds a `shuffle_rank`
+  *       permutation column, reproducible per seed (the pre-sharding
+  *       shuffle-once-before-training step)
+  *   pack-sequences --text text --id doc_id [--shard "doc_id % 8"]
+  *                  [--budget 2000] [--sep $'\n']
+  *       materialized packed training sequences: one row per
+  *       (shard, batch) with member docs concatenated in id order
   *   corpus         --text text --id doc_id [--min-tokens 30]
   *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
   *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
@@ -358,6 +366,18 @@ object Cli {
           val order = opts.get("order").map(_ => exprList("order"))
             .getOrElse(Seq(expr(opts("ts"))))
           write(graft.operators.TemporalJoins.scd2(read(), key, ts, order))
+        case "shuffle" =>
+          val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
+          write(graft.operators.Ordering.shuffleRank(read(), key,
+            seed = opts.getOrElse("seed", "42").toLong))
+        case "pack-sequences" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val shard = expr(opts.getOrElse("shard", "0"))
+          write(graft.text.TextPrep.packSequences(read(), shard, Seq(id), text,
+            graft.text.TextAnalysis.tokenCount(text),
+            budget = opts.getOrElse("budget", "2000").toLong,
+            sep = opts.getOrElse("sep", "\n")))
         case "corpus" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))

@@ -135,6 +135,23 @@ object PipelineQueries {
         .select(col("shard"), col("batch_id"), col("n_docs"), col("n_tokens"),
           col("packed_text"))),
 
+    // Context-window prep capstone: chunk documents into overlapping
+    // 50-token windows, pack the chunks into 500-token batches per
+    // shard, materialize the packed sequences — the full
+    // document→training-sequence path as ONE cross-engine gate
+    // (packed text md5-hashed like q_chunk, exact content check).
+    "q_chunk_pack" -> ((s, dir) => {
+      val chunks = graft.text.TextPrep.chunkTokens(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          chunkSize = 50, overlap = 10)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      graft.text.TextPrep.packSequences(chunks, col("shard"),
+          Seq(col("doc_id"), col("chunk_id")), col("chunk"),
+          col("n_tokens"), budget = 500L)
+        .select(col("shard"), col("batch_id"), col("n_docs"), col("n_tokens"),
+          md5(col("packed_text")).as("packed_md5"))
+    }),
+
     // Session path mining: length-3 event-type paths per user.
     "q_paths" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -322,6 +339,29 @@ object PipelineQueries {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
         |FROM p GROUP BY shard, batch_id""".stripMargin,
+    "q_chunk_pack" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |  FROM documents
+           |), ch AS (
+           |  SELECT doc_id, toks, len(toks) AS n,
+           |         unnest(generate_series(0, CAST(1 + ceil(greatest(len(toks) - 50, 0) / 40.0) AS BIGINT) - 1)) AS chunk_id
+           |  FROM t WHERE len(toks) >= 1
+           |), c AS (
+           |  SELECT doc_id, doc_id % 8 AS shard, chunk_id,
+           |         array_to_string(toks[CAST(chunk_id * 40 + 1 AS BIGINT):CAST(chunk_id * 40 + 50 AS BIGINT)], ' ') AS chunk,
+           |         CAST(least(n - chunk_id * 40, 50) AS BIGINT) AS n_tokens
+           |  FROM ch
+           |), p AS (
+           |  SELECT shard, doc_id, chunk_id, chunk, n_tokens,
+           |         (CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |          - n_tokens) // 500 AS batch_id
+           |  FROM c)
+           |SELECT shard, batch_id, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       md5(string_agg(chunk, chr(10) ORDER BY doc_id, chunk_id)) AS packed_md5
+           |FROM p GROUP BY shard, batch_id""".stripMargin,
     "q_paths" ->
       """WITH t AS (
         |  SELECT event_type AS s1,

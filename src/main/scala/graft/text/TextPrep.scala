@@ -103,11 +103,12 @@ object TextPrep {
       .partitionBy(shard).orderBy(order.map(_.asc): _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__tok", tokens.cast("long"))
-      .withColumn("__cum", sum(col("__tok")).over(w))
-      .withColumn("batch_id", expr(s"(__cum - __tok) div $budget"))
+    // withColumn REPLACES an existing n_tokens (e.g. chunkTokens
+    // output) instead of adding an ambiguous duplicate
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id", expr(s"(__cum - n_tokens) div $budget"))
       .drop("__cum")
-      .withColumnRenamed("__tok", "n_tokens")
   }
 
   /** Materialize the packed training sequences themselves: one row

@@ -338,6 +338,25 @@ object DriveCli {
       spark.stop()
     }
 
+    // shuffle (seeded permutation) and pack-sequences (materialized batches)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "shuffle", "--key", "doc_id", "--seed", "7", "--outfile", s"$tmp/shuffled"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "pack-sequences", "--text", "text", "--id", "doc_id",
+      "--shard", "pmod(doc_id, 4)", "--budget", "2000",
+      "--outfile", s"$tmp/packedseq"))
+    locally {
+      val spark = GraftSession.builder("verifyShufPack", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val sh = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/shuffled")
+      val ranks = sh.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+      val ps = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/packedseq")
+      val nDocs = ps.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+      println(s"SHUFFLE_PERM=${ranks.sameElements(0L until ranks.length)} " +
+        s"PACKSEQ_BATCHES=${ps.count()} DOCS=$nDocs OK=${nDocs == 500}")
+      spark.stop()
+    }
+
     // corpus (the whole prep chain as one verb: quality floor, exact +
     // near dedup, LM gate, decontamination, temperature mixture, split)
     Cli.main(Array("-i", docs, "-f", "parquet",
