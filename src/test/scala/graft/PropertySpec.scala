@@ -299,6 +299,38 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("packSequences equals a sequential replay on random docs, budgets and shards") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val budget = 3L + rnd.nextInt(20)
+      val nShards = 1 + rnd.nextInt(4)
+      val docs = (0L until 120L).map { i =>
+        val n = 1 + rnd.nextInt(9)
+        (i, i % nShards, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+      }
+      val df = docs.toDF("id", "shard", "txt")
+      val got = graft.text.TextPrep.packSequences(df.repartition(5), col("shard"),
+          Seq(col("id")), col("txt"),
+          graft.text.TextAnalysis.tokenCount(col("txt")), budget, sep = "\n")
+        .select("shard", "batch_id", "n_docs", "n_tokens", "packed_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      // sequential replay: walk each shard in id order, batch = the
+      // budget window the doc STARTS in (straddlers stay whole)
+      val expect = docs.groupBy(_._2).flatMap { case (shard, members) =>
+        var cum = 0L
+        members.sortBy(_._1).map { case (_, _, txt) =>
+          val n = txt.split(" ").length.toLong
+          val batch = cum / budget
+          cum += n
+          (shard, batch, txt, n)
+        }.groupBy(_._2).map { case (batch, rows) =>
+          (shard, batch, rows.size.toLong, rows.map(_._4).sum, rows.map(_._3).mkString("\n"))
+        }
+      }.toSet
+      assert(got === expect, s"seed=$seed budget=$budget shards=$nShards")
+    }
+  }
+
   test("Checkpoints registry: release is idempotent and releaseAll drains") {
     import graft.operators.Checkpoints
     Checkpoints.releaseAll()
