@@ -17,8 +17,13 @@ import graft.sources.PartitionedFiles
   * Usage:
   *   graft.Cli -i IN [-f json|csv|text|parquet|orc] [--schema DDL] CMD [args]
   *             [--outfile OUT] [--codec gzip|bzip2]
+  *             [--names "part-{auto}"] [--delete-on-empty true]
   * Gzipped/bzip2'd inputs read transparently by extension (as in
-  * shmr); `--codec` compresses the output.
+  * shmr); `--codec` compresses the output; `--names` renames output
+  * files to shmr's literal template (`*`/`{}`/`{auto}` → zero-padded
+  * {auto:05d}, `{stem}` keeps the stem) and `--delete-on-empty`
+  * drops record-less partitions, both per reference misc.py /
+  * partition_writer.py semantics.
   * Commands:
   *   partition.map        --expr "id, value*2 AS v2"
   *   partition.filter     --expr "value > 10"
@@ -150,6 +155,12 @@ object Cli {
         case "parquet" => PartitionedFiles.writeParquet(df, out, parts, codec)
         case "orc"     => PartitionedFiles.writeOrc(df, out, parts, codec)
       }
+      // shmr-literal output layout: --names applies the {auto:05d} /
+      // {stem} file-name template (misc.py:24-47); --delete-on-empty
+      // drops record-less partitions (partition_writer.py) first
+      val deleteEmpty = opts.get("delete-on-empty").exists(_.toBoolean)
+      if (opts.contains("names") || deleteEmpty)
+        PartitionedFiles.shmrLayout(out, opts.getOrElse("names", "part-{auto}"), deleteEmpty)
     }
 
     def exprList(key: String): Seq[Column] =

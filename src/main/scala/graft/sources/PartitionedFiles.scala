@@ -203,4 +203,68 @@ object PartitionedFiles {
       """"n_records":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
     }
   }
+
+  /** LITERAL shmr output-layout contract (reference misc.py:24-47
+    * `create_filepath_template` + partition_writer.py
+    * `on_close_delete_if_empty`): rename the committed data files to
+    * the shmr name template — `*`, `{}` and `{auto}` all expand to
+    * the zero-padded `{auto:05d}` counter, assigned in lexicographic
+    * part-file order; `{stem}` keeps the original file's stem — and
+    * with `deleteEmpty` remove record-less partitions first
+    * (the files the sidecar's record scan saw no rows in; works for
+    * compressed outputs where file size can't tell). The sidecar's
+    * file entries are rewritten to the final names.
+    *
+    * Driver-side file-METADATA pass only (list/rename/delete — no
+    * data read): this is the single-host shmr layout contract for
+    * CLI outputs; cluster-scale outputs use the hive / sorted /
+    * Z-order layouts instead. Returns the final data file names in
+    * counter order. */
+  def shmrLayout(path: String, template: String = "part-{auto}",
+      deleteEmpty: Boolean = false): Seq[String] = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"not an output directory: $path")
+    def isData(f: java.io.File): Boolean =
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        !f.getName.endsWith(".crc")
+    val metaFile = new java.io.File(dir, "_graft_meta.json")
+    val entryRe = """\{"file": "([^"]+)", "n_records": (\d+)\}""".r
+    val nonEmpty: Option[Set[String]] =
+      if (metaFile.exists())
+        Some(entryRe.findAllMatchIn(java.nio.file.Files.readString(metaFile.toPath))
+          .map(_.group(1)).toSet)
+      else None
+    val all = dir.listFiles().filter(isData).sortBy(_.getName).toSeq
+    val kept =
+      if (!deleteEmpty) all
+      else {
+        val ne = nonEmpty.getOrElse(sys.error(
+          "delete-on-empty needs the _graft_meta.json sidecar (library writers emit it)"))
+        val (keep, drop) = all.partition(f => ne.contains(f.getName))
+        drop.foreach(_.delete())
+        keep
+      }
+    val tmpl = template.replace("*", "{auto}").replace("{}", "{auto}")
+    val renames = kept.zipWithIndex.map { case (f, i) =>
+      val stem = f.getName.takeWhile(_ != '.')
+      val ext = f.getName.dropWhile(_ != '.')
+      var name = tmpl.replace("{auto}", f"$i%05d").replace("{stem}", stem)
+      if (!name.contains('.')) name += ext // template without extension keeps the file's
+      java.nio.file.Files.move(f.toPath, new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      f.getName -> name
+    }
+    if (metaFile.exists()) {
+      val mapping = renames.toMap
+      val doc = java.nio.file.Files.readString(metaFile.toPath)
+      val rewritten = entryRe.replaceAllIn(doc, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          mapping.get(m.group(1)) match {
+            case Some(nn) => s"""{"file": "$nn", "n_records": ${m.group(2)}}"""
+            case None     => "" // deleted-empty entries can't appear (no rows, no entry)
+          }))
+      java.nio.file.Files.writeString(metaFile.toPath, rewritten)
+    }
+    renames.map(_._2)
+  }
 }

@@ -338,6 +338,18 @@ object DriveCli {
       spark.stop()
     }
 
+    // shmr-literal output naming: {auto:05d} template + delete-on-empty
+    Cli.main(Array("-i", s"$tmp/in", "-f", "json", "--schema", "id long, v long",
+      "partition.map", "--expr", "id, v", "--outfile", s"$tmp/named",
+      "--names", "chunk-{auto}.jsonl", "--delete-on-empty", "true"))
+    locally {
+      val named = new java.io.File(s"$tmp/named").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).sorted
+      println(s"SHMR_NAMES=${named.mkString(",")} " +
+        s"OK=${named.zipWithIndex.forall { case (n, i) => n == f"chunk-$i%05d.jsonl" }}")
+    }
+
     // shuffle (seeded permutation) and pack-sequences (materialized batches)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "shuffle", "--key", "doc_id", "--seed", "7", "--outfile", s"$tmp/shuffled"))

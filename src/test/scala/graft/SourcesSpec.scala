@@ -147,4 +147,36 @@ class SourcesSpec extends SparkSpecBase {
     val scannedFiles = back.select(input_file_name()).distinct().as[String].collect()
     assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains("lang=en")))
   }
+
+  test("shmrLayout: literal {auto:05d} names, delete-on-empty, sidecar rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("shmr_layout").toString
+    val df = spark.range(6).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8) // more partitions than rows
+    PartitionedFiles.writeJsonl(df, dir, 8)
+    // Spark's lazy file creation already skips record-less partitions
+    // (shmr's delete_on_empty is inherently satisfied for
+    // Spark-written output) — deleteEmpty matters for files an
+    // EXTERNAL producer left behind; simulate one
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(before <= 6, "empty partitions must not produce files")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "external-empty.json"), "")
+    val finalNames = PartitionedFiles.shmrLayout(dir, "chunk-{auto}", deleteEmpty = true)
+    // the record-less external file is gone; survivors renamed
+    assert(finalNames.nonEmpty && finalNames.length === before)
+    assert(!new java.io.File(dir, "external-empty.json").exists())
+    assert(finalNames.zipWithIndex.forall { case (n, i) => n.startsWith(f"chunk-$i%05d") })
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    assert(onDisk.toSeq === finalNames.sorted)
+    // sidecar rewritten to the new names; count and data intact
+    assert(PartitionedFiles.readMetaCount(dir) === Some(6L))
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_graft_meta.json"))
+    finalNames.foreach(n => assert(meta.contains(n), s"sidecar missing $n"))
+    val back = PartitionedFiles.readJsonl(spark, dir, Some("id long, v long"))
+    assert(back.as[(Long, Long)].collect().toSet === (0L until 6L).map(i => (i, i * 10)).toSet)
+  }
 }
