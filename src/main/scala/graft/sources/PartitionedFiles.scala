@@ -245,11 +245,18 @@ object PartitionedFiles {
         keep
       }
     val tmpl = template.replace("*", "{auto}").replace("{}", "{auto}")
-    val renames = kept.zipWithIndex.map { case (f, i) =>
+    val targets = kept.zipWithIndex.map { case (f, i) =>
       val stem = f.getName.takeWhile(_ != '.')
       val ext = f.getName.dropWhile(_ != '.')
       var name = tmpl.replace("{auto}", f"$i%05d").replace("{stem}", stem)
       if (!name.contains('.')) name += ext // template without extension keeps the file's
+      f -> name
+    }
+    // refuse before touching anything: a template without a counter
+    // ("fixed.jsonl") over multiple files would overwrite them
+    require(targets.map(_._2).distinct.length == targets.length,
+      s"name template '$template' collides for ${targets.length} files — include {auto} or {stem}")
+    val renames = targets.map { case (f, name) =>
       java.nio.file.Files.move(f.toPath, new java.io.File(dir, name).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       f.getName -> name
@@ -261,7 +268,9 @@ object PartitionedFiles {
         scala.util.matching.Regex.quoteReplacement(
           mapping.get(m.group(1)) match {
             case Some(nn) => s"""{"file": "$nn", "n_records": ${m.group(2)}}"""
-            case None     => "" // deleted-empty entries can't appear (no rows, no entry)
+            // entry for a file not renamed this pass (deleted-empty
+            // files never appear here — no rows, no entry): keep as-is
+            case None     => m.matched
           }))
       java.nio.file.Files.writeString(metaFile.toPath, rewritten)
     }

@@ -178,5 +178,12 @@ class SourcesSpec extends SparkSpecBase {
     finalNames.foreach(n => assert(meta.contains(n), s"sidecar missing $n"))
     val back = PartitionedFiles.readJsonl(spark, dir, Some("id long, v long"))
     assert(back.as[(Long, Long)].collect().toSet === (0L until 6L).map(i => (i, i * 10)).toSet)
+    // a counterless template over multiple files must refuse, not overwrite
+    if (finalNames.length > 1) {
+      val ex = intercept[IllegalArgumentException] {
+        PartitionedFiles.shmrLayout(dir, "fixed.jsonl")
+      }
+      assert(ex.getMessage.contains("collides"))
+    }
   }
 }
