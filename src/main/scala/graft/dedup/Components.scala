@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Checkpoints
@@ -25,28 +26,108 @@ import graft.operators.Checkpoints
   */
 object Components {
 
+  /** Edge-count cutoff below which component finding runs as a single
+    * executor-side union-find task instead of an iterative shuffle
+    * loop. Dedup candidate graphs are SPARSE by construction (LSH
+    * emits ~0.1-1% of rows as pairs), so even a 100 TB corpus usually
+    * yields a pair graph that fits one task — and a graph under this
+    * cutoff is solved faster in one task than by ANY loop, on a
+    * laptop or a 1000-executor cluster alike: each star/propagation
+    * round costs several cluster-wide stage barriers, while the local
+    * path is one narrow job. ~16 MB of raw edge data at the default;
+    * the union-find map peaks at ~2e6 boxed entries. Above the
+    * cutoff the distributed loops take over — nothing ever collects
+    * to the driver on either path. */
+  val LocalEdgeThreshold: Long = 1L << 20
+
+  /** Single-task exact union-find over an (u, v) edge list — the
+    * small-graph path shared by [[connectedComponents]] and
+    * [[connectedComponentsStar]]. Runs as `mapPartitions` over a
+    * 1-partition coalesce: executor-side, spill-free (edges stream
+    * through; only the node→parent map is held), deterministic.
+    * Roots are component minima: union always attaches the larger
+    * root under the smaller, so the tree root is the min id by
+    * invariant. Emits (id, cluster_id) for every node present in the
+    * edge list. */
+  private[graft] def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema.fields(0).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val rows = edges.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != null && p != x) { x = p; p = parent.get(x) }
+        // path compression
+        var c = x0
+        while (c != x) { val n = parent.get(c); parent.put(c, x); c = n }
+        x
+      }
+      it.foreach { row =>
+        val u = row.get(0); val v = row.get(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
+      out.iterator
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** (id, cluster_id) for every node in `pairs`; cluster_id = min
-    * node id of the component. Deterministic. */
-  def connectedComponents(pairs: DataFrame, a: String, b: String, maxIter: Int = 20): DataFrame = {
+    * node id of the component. Deterministic. Graphs at or under
+    * `localThreshold` edges take the single-task union-find path
+    * ([[localComponents]]); larger ones run the min-label propagation
+    * loop. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String, maxIter: Int = 20,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val sym = Checkpoints.eager(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
+    // the checkpoint above already materialized sym — counting it is a
+    // cheap scan, not a recompute of the (possibly expensive) pairs
+    if (sym.count() / 2 <= localThreshold) {
+      val labels = localComponents(
+        sym.filter(col("src") =!= col("dst")).select(col("src").as("u"), col("dst").as("v")))
+        .withColumnRenamed("id", "__lc_id").withColumnRenamed("cluster_id", "__lc_cluster")
+      // self-loop-only nodes never reach the edge list — keep them as
+      // their own singletons, exactly like the propagation path. Plan
+      // stays lazy over the checkpointed sym, which the caller's next
+      // query boundary releases like any other operator checkpoint.
+      val nodes = sym.select(col("src").as("id")).distinct()
+      return nodes.join(labels, nodes("id") === col("__lc_id"), "left")
+        .select(col("id"), coalesce(col("__lc_cluster"), col("id")).as("cluster_id"))
+    }
+    // labels carry (id, lbl, prev): `prev` is the label the row held
+    // BEFORE this round's min — so "did anything change" is a scan of
+    // the already-materialized checkpoint, not a next⋈old join (which
+    // cost two more exchanges per round)
     var labels = Checkpoints.eager(sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+      .withColumn("lbl", col("id")).withColumn("prev", col("id")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .select(col("src").as("id"), col("lbl"))
-      val next = Checkpoints.eager(labels.unionByName(nbrMin)
-        .groupBy("id").agg(min("lbl").as("lbl")))
+        .select(col("src").as("id"), col("lbl"),
+          // typed NULL of lbl's type: neighbor rows carry no own-label
+          when(lit(false), col("lbl")).as("own"))
+      val next = Checkpoints.eager(
+        labels.select(col("id"), col("lbl"), col("lbl").as("own")).unionByName(nbrMin)
+          .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("prev")))
       // any graph with an edge needs ≥2 rounds — skip the convergence
       // job until it could plausibly fire
       val changed =
         if (round < 1) 1L
-        else next.as("n")
-          .join(labels.as("o"), "id")
-          .filter(col("n.lbl") =!= col("o.lbl"))
-          .count()
+        else next.filter(col("lbl") =!= col("prev")).count()
       Checkpoints.release(labels) // superseded: `next` is materialized
       labels = next
       converged = changed == 0
@@ -63,13 +144,21 @@ object Components {
     * adversarial long-chain / high-diameter graphs where plain
     * min-label propagation needs diameter rounds.
     *
-    * Both star steps are expressed as join+groupBy (one shuffle each)
-    * rather than collect_list, so a single high-degree hub node never
-    * materializes its whole neighborhood in one task. Convergence is
-    * detected by an order-independent (count, sum-of-xxhash64) edge-set
-    * signature — one cheap aggregate per round.
+    * Both star steps are single-shuffle window-min passes: partition
+    * by the star center, `min(...) over (partition by center)`, emit
+    * rewritten edges in the same pass. The r5 join+groupBy shape cost
+    * ~5 exchanges per round (groupBy + re-shuffling the edge list into
+    * the join, twice over); the window form moves each edge exactly
+    * once per star step. A high-degree hub's neighborhood lands in one
+    * window group, buffered in Spark's spillable row array — same
+    * placement the sort-merge join gave it, degrading to disk rather
+    * than memory, and never a `collect_list` heap blob. Convergence is
+    * detected by an order-independent (count, xor-of-xxhash64) edge-set
+    * signature — one cheap aggregate per round over the checkpointed
+    * round output.
     */
-  def connectedComponentsStar(pairs: DataFrame, a: String, b: String, maxIter: Int = 30): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, a: String, b: String, maxIter: Int = 30,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val nodes = Checkpoints.eager(
       pairs.select(col(a).as("id")).union(pairs.select(col(b).as("id"))).distinct())
     // orient (u > v) and dedup; self-loops drop out
@@ -77,26 +166,35 @@ object Components {
       pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
         .filter(col("u") =!= col("v")).distinct())
 
-    // large-star(s): attach every neighbor d > s to m = min(Γ(s) ∪ {s})
+    // large-star(s): attach every neighbor d > s to m = min(Γ(s) ∪ {s}).
+    // One shuffle: the per-center min rides a whole-partition window
+    // instead of a groupBy + join back (which re-shuffled the edges a
+    // second time). No distinct: duplicates only thicken smallStar's
+    // input and its terminal distinct canonicalizes.
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("u").as("s"), col("v").as("d"))
         .union(edges.select(col("v").as("s"), col("u").as("d")))
-      val mins = sym.groupBy("s").agg(min("d").as("mn"))
-        .select(col("s"), least(col("mn"), col("s")).as("m"))
-      // no distinct here: duplicates only thicken the next smallStar's
-      // groupBy input and its terminal distinct canonicalizes — one
-      // fewer shuffle per round
-      sym.join(mins, "s").filter(col("d") > col("s"))
+      sym.withColumn("m", least(min("d").over(Window.partitionBy("s")), col("s")))
+        .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v")) // d > s >= m: stays oriented
     }
 
     // small-star(u): attach every smaller neighbor (and u itself) to
-    // m = min of u's smaller neighborhood. Input must be oriented u > v.
+    // m = min of u's smaller neighborhood. Input must be oriented
+    // u > v. Same single-shuffle window shape; each edge row emits its
+    // rewritten edge (v, m) plus the center edge (u, m) — the center
+    // copies (one per original edge, not one per center) and the
+    // v = m self-loops are deduped/dropped by the terminal distinct
+    // and filter, which also canonicalizes the round for the edge-set
+    // signature.
     def smallStar(edges: DataFrame): DataFrame = {
-      val mins = edges.groupBy("u").agg(min("v").as("m"))
-      edges.join(mins, "u").filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
+      val withMin = edges.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withMin
+        .select(explode(array(
+          struct(col("v").as("eu"), col("m").as("ev")),
+          struct(col("u").as("eu"), col("m").as("ev")))).as("x"))
+        .filter(col("x.eu") =!= col("x.ev")) // drops the v = m rewrite; u > m always holds
+        .select(col("x.eu").as("u"), col("x.ev").as("v"))
         .distinct()
     }
 
@@ -113,6 +211,15 @@ object Components {
     // would buy one cheap aggregate at the price of a second 2-shuffle
     // contraction round in the common case
     var prev = signature(e)
+    // sig0's count doubles as the size probe: small graphs skip the
+    // contraction loop entirely for the single-task union-find —
+    // cheaper than even one round's stage barriers, on any cluster
+    if (prev._1 <= localThreshold) {
+      val labels = localComponents(e)
+        .withColumnRenamed("id", "__lc_id").withColumnRenamed("cluster_id", "__lc_cluster")
+      return nodes.join(labels, nodes("id") === col("__lc_id"), "left")
+        .select(col("id"), coalesce(col("__lc_cluster"), col("id")).as("cluster_id"))
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {

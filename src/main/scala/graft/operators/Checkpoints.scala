@@ -28,17 +28,35 @@ import org.apache.spark.sql.DataFrame
   * contract: `releaseAll()` marks a query boundary.
   */
 object Checkpoints {
-  private val tracked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+  // WEAK keys: the registry is an eager-release accelerator, not an
+  // ownership root. A long-lived library caller that never reaches a
+  // releaseAll() boundary must not accumulate pinned blocks forever —
+  // once the caller drops its last reference to a checkpointed frame,
+  // the RDD becomes weakly reachable, the entry evaporates, and
+  // Spark's ContextCleaner unpersists the blocks exactly as it would
+  // have for a bare localCheckpoint. releaseAll() stays the eager
+  // path for harnesses that mark query boundaries explicitly.
+  private val tracked: java.util.Map[RDD[_], java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[RDD[_], java.lang.Boolean]())
 
   /** Eager local checkpoint whose blocks are registered for release
     * at the next query boundary. Drop-in for `df.localCheckpoint(true)`
     * in library operators. */
   def eager(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(eager = true)
-    org.apache.spark.sql.graft.CheckpointBlocks.rddOf(out).foreach(tracked.add)
+    org.apache.spark.sql.graft.CheckpointBlocks.rddOf(out)
+      .foreach(tracked.put(_, java.lang.Boolean.TRUE))
     out
   }
+
+  // A tracked RDD can outlive its SparkContext (test harnesses stop
+  // and rebuild sessions); unpersist then throws IllegalStateException
+  // and must not abort the drain mid-iteration — the blocks died with
+  // the context, dropping the entry is the correct outcome.
+  private def unpersistQuietly(r: RDD[_]): Unit =
+    try r.unpersist(blocking = false)
+    catch { case _: IllegalStateException | _: NullPointerException => () }
 
   /** Release the blocks behind a checkpoint produced by [[eager]]
     * right now — for loop intermediates superseded by the next
@@ -46,20 +64,31 @@ object Checkpoints {
     * seeds can be passed unconditionally. */
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.graft.CheckpointBlocks.rddOf(df).foreach { r =>
-      if (tracked.remove(r)) r.unpersist(blocking = false)
+      if (tracked.remove(r) != null) unpersistQuietly(r)
     }
 
   /** Release every outstanding operator checkpoint (query boundary).
-    * Returns the number of block sets released. */
+    * Returns the number of block sets released.
+    *
+    * JVM-global by design — a boundary declares "no in-flight plan
+    * still reads an operator checkpoint". Callers running queries
+    * CONCURRENTLY (e.g. a streaming foreachBatch next to a batch
+    * session) must not call this mid-flight; use [[release]] on the
+    * frames they own instead. */
   def releaseAll(): Int = {
-    var n = 0
-    val it = tracked.iterator()
-    while (it.hasNext) {
-      it.next().unpersist(blocking = false)
-      it.remove()
-      n += 1
+    // snapshot under the map's lock (synchronizedMap iteration
+    // contract), unpersist outside it — unpersist talks to the
+    // BlockManager and must not hold the registry lock
+    val snapshot = {
+      val s = new java.util.ArrayList[RDD[_]]()
+      tracked.synchronized {
+        s.addAll(tracked.keySet())
+        tracked.clear()
+      }
+      s
     }
-    n
+    snapshot.forEach(unpersistQuietly(_))
+    snapshot.size()
   }
 
   /** Outstanding operator checkpoints (diagnostics / tests). */

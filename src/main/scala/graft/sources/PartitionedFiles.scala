@@ -256,10 +256,26 @@ object PartitionedFiles {
     // ("fixed.jsonl") over multiple files would overwrite them
     require(targets.map(_._2).distinct.length == targets.length,
       s"name template '$template' collides for ${targets.length} files — include {auto} or {stem}")
-    val renames = targets.map { case (f, name) =>
-      java.nio.file.Files.move(f.toPath, new java.io.File(dir, name).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      f.getName -> name
+    // a target may also equal a file we are NOT renaming (the sidecar,
+    // a stray non-data file) — refuse rather than overwrite it
+    val untouched = dir.listFiles().map(_.getName).toSet -- kept.map(_.getName)
+    val clashes = targets.map(_._2).filter(untouched.contains)
+    require(clashes.isEmpty,
+      s"template '$template' would overwrite existing non-renamed files: ${clashes.mkString(", ")}")
+    // two-phase rename: a target name can equal ANOTHER source file's
+    // CURRENT name (dir with 'aaa.json' + a literal 'part-00000.json'
+    // under 'part-{auto}') — a direct move would destroy that
+    // not-yet-renamed file. Stage every source under a unique temp
+    // name first; phase 2 then moves into a directory where no source
+    // name survives, so no move can clobber data.
+    val staged = targets.zipWithIndex.map { case ((f, name), i) =>
+      val tmp = new java.io.File(dir, f".__graft_stage_$i%05d")
+      java.nio.file.Files.move(f.toPath, tmp.toPath)
+      (f.getName, tmp, name)
+    }
+    val renames = staged.map { case (orig, tmp, name) =>
+      java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, name).toPath)
+      orig -> name
     }
     if (metaFile.exists()) {
       val mapping = renames.toMap

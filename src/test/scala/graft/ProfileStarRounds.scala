@@ -1,0 +1,75 @@
+package graft
+
+// scratch: per-round cost breakdown of connectedComponentsStar at sf0.1
+// sbt "Test/runMain graft.ProfileStarRounds"
+object ProfileStarRounds {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Checkpoints
+    val spark = GraftSession.builder("profile-star-rounds", "local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    // warm the whole query once
+    graft.queries.DedupQueries.queries("q_cluster_star")(spark, dir).count()
+    Checkpoints.releaseAll()
+
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+      graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
+      shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true).localCheckpoint(true)
+    pairs.count()
+
+    // replay of connectedComponentsStar with per-phase timers
+    val a = "doc_a"; val b = "doc_b"
+    import org.apache.spark.sql.expressions.Window
+    val nodes = time("nodes ckpt")(Checkpoints.eager(
+      pairs.select(col(a).as("id")).union(pairs.select(col(b).as("id"))).distinct()))
+    var e = time("orient ckpt")(Checkpoints.eager(
+      pairs.select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+        .filter(col("u") =!= col("v")).distinct()))
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u").as("s"), col("v").as("d"))
+        .union(edges.select(col("v").as("s"), col("u").as("d")))
+      sym.withColumn("m", least(min("d").over(Window.partitionBy("s")), col("s")))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val withMin = edges.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withMin
+        .select(explode(array(
+          struct(col("v").as("eu"), col("m").as("ev")),
+          struct(col("u").as("eu"), col("m").as("ev")))).as("x"))
+        .filter(col("x.eu") =!= col("x.ev"))
+        .select(col("x.eu").as("u"), col("x.ev").as("v"))
+        .distinct()
+    }
+    def signature(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)), call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = time("sig0")(signature(e))
+    var converged = false
+    var round = 0
+    while (!converged && round < 30) {
+      val eNext = time(s"round $round contraction ckpt")(Checkpoints.eager(smallStar(largeStar(e))))
+      val cur = time(s"round $round signature")(signature(eNext))
+      Checkpoints.release(e)
+      e = eNext
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    println(s"rounds=$round")
+    val roots = e.groupBy("u").agg(min("v").as("lbl")).select(col("u").as("id"), col("lbl"))
+    time("final join count")(
+      nodes.join(roots, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id")).count())
+    spark.stop()
+  }
+}
