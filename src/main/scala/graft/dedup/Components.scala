@@ -48,7 +48,18 @@ object Components {
     * Roots are component minima: union always attaches the larger
     * root under the smaller, so the tree root is the min id by
     * invariant. Emits (id, cluster_id) for every node present in the
-    * edge list. */
+    * edge list — a self-loop (u, u) registers u as a singleton, which
+    * is how the callers feed isolated nodes through without a
+    * label-resolution join.
+    *
+    * Ordering matches the distributed paths' `min`/`least` exactly:
+    * strings compare as UTF-8 bytes (Spark's UTF8String binary order,
+    * NOT Java's UTF-16 compareTo — they differ on supplementary
+    * characters), binary ids compare as unsigned bytes (wrapped in
+    * ByteBuffer for map identity; raw arrays hash by reference).
+    * Rows with a null endpoint register the non-null side as a
+    * singleton and skip the union — the distributed joins drop null
+    * keys the same way. */
   private[graft] def localComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema.fields(0).dataType
@@ -57,8 +68,32 @@ object Components {
       org.apache.spark.sql.types.StructField("cluster_id", idType)))
     val rows = edges.coalesce(1).rdd.mapPartitions { it =>
       val parent = new java.util.HashMap[Any, Any]()
-      def lt(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      def wrap(x: Any): Any = x match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case o => o
+      }
+      def unwrap(x: Any): Any = x match {
+        case b: java.nio.ByteBuffer => b.array()
+        case o => o
+      }
+      def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          cmpBytes(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        case (a: java.nio.ByteBuffer, b: java.nio.ByteBuffer) =>
+          cmpBytes(a.array(), b.array()) < 0
+        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
       def find(x0: Any): Any = {
         var x = x0
         var p = parent.get(x)
@@ -68,17 +103,21 @@ object Components {
         while (c != x) { val n = parent.get(c); parent.put(c, x); c = n }
         x
       }
+      def register(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
       it.foreach { row =>
-        val u = row.get(0); val v = row.get(1)
-        if (!parent.containsKey(u)) parent.put(u, u)
-        if (!parent.containsKey(v)) parent.put(v, v)
-        val ru = find(u); val rv = find(v)
-        if (ru != rv) {
-          if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+        val u = if (row.isNullAt(0)) null else wrap(row.get(0))
+        val v = if (row.isNullAt(1)) null else wrap(row.get(1))
+        if (u != null) register(u)
+        if (v != null) register(v)
+        if (u != null && v != null) {
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+          }
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
+      parent.keySet().forEach(k => out += org.apache.spark.sql.Row(unwrap(k), unwrap(find(k))))
       out.iterator
     }
     spark.createDataFrame(rows, outSchema)
@@ -96,16 +135,14 @@ object Components {
     // the checkpoint above already materialized sym — counting it is a
     // cheap scan, not a recompute of the (possibly expensive) pairs
     if (sym.count() / 2 <= localThreshold) {
-      val labels = localComponents(
-        sym.filter(col("src") =!= col("dst")).select(col("src").as("u"), col("dst").as("v")))
-        .withColumnRenamed("id", "__lc_id").withColumnRenamed("cluster_id", "__lc_cluster")
-      // self-loop-only nodes never reach the edge list — keep them as
-      // their own singletons, exactly like the propagation path. Plan
-      // stays lazy over the checkpointed sym, which the caller's next
-      // query boundary releases like any other operator checkpoint.
-      val nodes = sym.select(col("src").as("id")).distinct()
-      return nodes.join(labels, nodes("id") === col("__lc_id"), "left")
-        .select(col("id"), coalesce(col("__lc_cluster"), col("id")).as("cluster_id"))
+      // sym carries every node as a src (self-loops included), so the
+      // union-find registers self-loop-only nodes as their own
+      // singletons in-stream — no label-resolution join, and the
+      // local path adds ZERO key shuffles to the downstream plan.
+      // Plan stays lazy over the checkpointed sym, which the caller's
+      // next query boundary releases like any other operator
+      // checkpoint.
+      return localComponents(sym.select(col("src").as("u"), col("dst").as("v")))
     }
     // labels carry (id, lbl, prev): `prev` is the label the row held
     // BEFORE this round's min — so "did anything change" is a scan of
@@ -215,10 +252,12 @@ object Components {
     // contraction loop entirely for the single-task union-find —
     // cheaper than even one round's stage barriers, on any cluster
     if (prev._1 <= localThreshold) {
-      val labels = localComponents(e)
-        .withColumnRenamed("id", "__lc_id").withColumnRenamed("cluster_id", "__lc_cluster")
-      return nodes.join(labels, nodes("id") === col("__lc_id"), "left")
-        .select(col("id"), coalesce(col("__lc_cluster"), col("id")).as("cluster_id"))
+      // append every node as a self-loop: the union-find registers
+      // isolated nodes as singletons in-stream, so its output IS the
+      // full labeling — no resolution join, zero added key shuffles
+      // (both inputs are checkpointed; union + coalesce are narrow)
+      return localComponents(
+        e.union(nodes.select(col("id").as("u"), col("id").as("v"))))
     }
     var converged = false
     var round = 0

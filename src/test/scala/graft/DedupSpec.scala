@@ -179,45 +179,112 @@ class DedupSpec extends SparkSpecBase {
     assert(p42.toSeq.sortBy(_._1).map(_._2) !== (0L until 500L))
   }
 
-  test("connectedComponents labels chains, cliques and crossing components") {
+  test("connectedComponents labels chains, cliques and crossing components (both paths)") {
     import graft.dedup.Components
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("doc_a", "doc_b")
-    val out = Components.connectedComponents(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default threshold = single-task union-find; 0 = forces the
+    // distributed min-label propagation loop (the 100 TB fallback)
+    for (th <- Seq(Components.LocalEdgeThreshold, 0L)) {
+      val out = Components.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = th)
+        .as[(Long, Long)].collect().toMap
+      assert(out === expected, s"localThreshold=$th")
+    }
   }
 
-  test("connectedComponentsStar matches propagation and handles long chains") {
+  test("connectedComponentsStar matches propagation and handles long chains (both paths)") {
     import graft.dedup.Components
-    // same mixed graph as the propagation test
+    // same mixed graph as the propagation test, down the local AND the
+    // distributed window-min star loop
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("doc_a", "doc_b")
-    val out = Components.connectedComponentsStar(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    for (th <- Seq(Components.LocalEdgeThreshold, 0L)) {
+      val out = Components.connectedComponentsStar(pairs, "doc_a", "doc_b", localThreshold = th)
+        .as[(Long, Long)].collect().toMap
+      assert(out === expected, s"localThreshold=$th")
+    }
 
     // adversarial: a 150-node chain (diameter 149) — propagation with
     // default maxIter=20 cannot converge; star contraction does in
-    // O(log^2) rounds
+    // O(log^2) rounds. localThreshold = 0 forces the DISTRIBUTED
+    // contraction loop, the path that actually runs on a 100 TB graph.
     val chain = (0L until 149L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Components.connectedComponentsStar(chain, "doc_a", "doc_b")
+    val labels = Components.connectedComponentsStar(chain, "doc_a", "doc_b", localThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(labels.length === 150)
     assert(labels.forall(_._2 == 0L))
 
-    // randomized cross-check vs propagation on a low-diameter graph
+    // randomized three-way cross-check: local union-find vs the two
+    // distributed loops on a low-diameter graph
     val rnd = new scala.util.Random(11)
     val rand = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
-    val star = Components.connectedComponentsStar(rand, "doc_a", "doc_b")
+    val local = Components.connectedComponents(rand, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
-    val prop = Components.connectedComponents(rand, "doc_a", "doc_b")
+    val star = Components.connectedComponentsStar(rand, "doc_a", "doc_b", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val prop = Components.connectedComponents(rand, "doc_a", "doc_b", localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(star === prop)
+    assert(local === prop)
+  }
+
+  test("localThreshold boundary pins which CC path runs, and both agree") {
+    import graft.dedup.Components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b") // 3 edges
+    def keyShuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange (hash|range)partitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // at the boundary (3 edges ≤ 3): local path — a pure RDD scan,
+    // zero key shuffles, no loop-state (`lbl`) column in the plan
+    val local = Components.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 3)
+    assert(keyShuffles(local) === 0)
+    assert(!local.queryExecution.executedPlan.toString.contains("lbl"))
+    // one below (3 > 2): the propagation loop — output is the
+    // projected `lbl` column of the checkpointed loop state
+    val dist = Components.connectedComponents(pairs, "doc_a", "doc_b", localThreshold = 2)
+    assert(dist.queryExecution.executedPlan.toString.contains("lbl"))
+    assert(local.as[(Long, Long)].collect().toMap === dist.as[(Long, Long)].collect().toMap)
+    // star: local branch is a pure scan; the distributed branch
+    // resolves roots through a join (shuffles > 0)
+    val sLocal = Components.connectedComponentsStar(pairs, "doc_a", "doc_b", localThreshold = 3)
+    assert(keyShuffles(sLocal) === 0)
+    val sDist = Components.connectedComponentsStar(pairs, "doc_a", "doc_b", localThreshold = 2)
+    assert(keyShuffles(sDist) > 0)
+    assert(sLocal.as[(Long, Long)].collect().toMap === sDist.as[(Long, Long)].collect().toMap)
+  }
+
+  test("CC id ordering matches Spark binary order for strings and binary ids") {
+    import graft.dedup.Components
+    // U+10000 ("a𐀀") sorts BELOW U+E000 in Java's UTF-16
+    // code-unit compareTo but ABOVE it in UTF-8 byte order (Spark's
+    // UTF8String) — the local union-find must agree with the
+    // distributed least()/min() on which id is the cluster min
+    val hi = "a\uD800\uDC00" // U+10000
+    val lo = "a\uE000"
+    val sPairs = Seq((hi, lo)).toDF("doc_a", "doc_b")
+    for (th <- Seq(Components.LocalEdgeThreshold, 0L)) {
+      val out = Components.connectedComponents(sPairs, "doc_a", "doc_b", localThreshold = th)
+        .as[(String, String)].collect().toMap
+      assert(out === Map(hi -> lo, lo -> lo), s"localThreshold=$th")
+    }
+    // binary ids: 0x80 is negative as a signed byte but must sort
+    // ABOVE 0x01 (unsigned order, like Spark); also exercises the
+    // ByteBuffer wrapping (raw arrays hash by reference)
+    val bPairs = Seq((Array(0x80.toByte), Array(0x01.toByte))).toDF("doc_a", "doc_b")
+    for (th <- Seq(Components.LocalEdgeThreshold, 0L)) {
+      val out = Components.connectedComponents(bPairs, "doc_a", "doc_b", localThreshold = th)
+        .collect()
+        .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toMap
+      assert(out === Map(
+        Seq(0x80.toByte) -> Seq(0x01.toByte),
+        Seq(0x01.toByte) -> Seq(0x01.toByte)), s"localThreshold=$th")
+    }
   }
 
   test("keepOnePerCluster keeps min-id per cluster and all singletons") {

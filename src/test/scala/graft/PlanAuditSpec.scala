@@ -148,9 +148,14 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_tpch_q7" -> 1, "q_tpch_q8" -> 1, "q_tpch_q10" -> 1,
     "q_tpch_q18" -> 1, "q_star_join" -> 1, "q_pipeline" -> 2,
     "q_mad_outliers" -> 3, "q_zscore" -> 1, "q_repetition" -> 2,
-    "q_vocab" -> 1, "q_cluster_star" -> 2, "q_corpus" -> 3,
+    // q_cluster_star / q_dedup_cluster: the sub-threshold local path
+    // returns the single-task union-find output directly (singletons
+    // ride through as self-loops) — the downstream plan is a pure
+    // RDD scan, ZERO key shuffles (r7; was 2 with the r6 resolution
+    // join). Above-threshold graphs re-measure when the loop engages.
+    "q_vocab" -> 1, "q_cluster_star" -> 0, "q_corpus" -> 3,
     "q_corpus_facade" -> 3,
-    "q_dedup_cluster" -> 1, "q_dedup_minhash" -> 2,
+    "q_dedup_cluster" -> 0, "q_dedup_minhash" -> 2,
     "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,

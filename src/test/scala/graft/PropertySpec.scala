@@ -108,18 +108,24 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
-  test("connectedComponentsStar equals label propagation on random graphs") {
+  test("CC paths agree on random graphs: local, propagation and star loops") {
     import graft.dedup.Components
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
       val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
         .filter { case (a, b) => a != b }
       val df = edges.toDF("a", "b").repartition(5)
-      val star = Components.connectedComponentsStar(df, "a", "b")
+      // localThreshold = 0 forces the DISTRIBUTED loops — the code
+      // that runs on an above-threshold 100 TB pair graph; the default
+      // takes the single-task union-find. All three must agree.
+      val star = Components.connectedComponentsStar(df, "a", "b", localThreshold = 0L)
         .as[(Long, Long)].collect().toSet
-      val prop = Components.connectedComponents(df, "a", "b")
+      val prop = Components.connectedComponents(df, "a", "b", localThreshold = 0L)
+        .select(col("id"), col("cluster_id")).as[(Long, Long)].collect().toSet
+      val local = Components.connectedComponents(df, "a", "b")
         .select(col("id"), col("cluster_id")).as[(Long, Long)].collect().toSet
       assert(star === prop, s"seed=$seed")
+      assert(local === prop, s"seed=$seed")
     }
   }
 
