@@ -328,10 +328,18 @@ object Cli {
           val idCol = opts.getOrElse("id", fail("--id COLUMN required"))
           val corpus = graft.similarity.Similarity.prepareQuantized(
             df, col(vecCol), col(idCol))
+          // default cap is CellCap.Auto (4× average cell) — scale-safe
+          // without tuning; --max-cell N pins it, --max-cell none opts out
+          val cap = opts.get("max-cell") match {
+            case None         => graft.similarity.CellCap.Auto
+            case Some("none") => graft.similarity.CellCap.Unbounded
+            case Some(v)      => graft.similarity.CellCap.Fixed(v.toInt)
+          }
           val verdicts = graft.similarity.SemDedup.semDedup(corpus,
             numCentroids = opts.getOrElse("centroids", "16").toInt,
             lloydIters = opts.getOrElse("iters", "2").toInt,
-            tau = opts.getOrElse("tau", "0.95").toDouble)
+            tau = opts.getOrElse("tau", "0.95").toDouble,
+            maxCellSize = cap)
           opts.getOrElse("emit", "keep") match {
             case "flags" => write(verdicts)
             case "keep"  => write(df.join(

@@ -112,6 +112,24 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
       .drop("__ts_src", "__ts_p"))
   }
 
+  /** SemDeDup semantic near-dedup (Abbas et al. 2023) over an
+    * embedding column of THIS corpus: IVF-cluster the embeddings,
+    * then drop every doc that has a lower-id cluster-mate with
+    * cosine >= `tau`. Scale-safe by default — [[similarity.CellCap.Auto]]
+    * caps every cell's all-pairs sweep at 4× the measured average
+    * cell size, so one dense boilerplate cluster cannot concentrate
+    * C(N,2) work. At scale pick numCentroids ≈ √N
+    * ([[similarity.IvfAnn.suggestCentroids]]). */
+  def semanticDedup(embedding: Column, tau: Double, numCentroids: Int = 16,
+      lloydIters: Int = 2,
+      maxCellSize: similarity.CellCap = similarity.CellCap.Auto): Corpus = {
+    val prepared = similarity.Similarity.prepareQuantized(df, embedding, id)
+    val keepIds = similarity.SemDedup
+      .semDedup(prepared, numCentroids, lloydIters, tau, maxCellSize)
+      .filter(!col("is_dup")).select(col("vec_id").as("__sd_keep"))
+    keep(df.join(keepIds, id === col("__sd_keep")).drop("__sd_keep"))
+  }
+
   /** Benchmark decontamination: drop docs sharing ≥ minHits distinct
     * n-grams with any doc of the eval set. */
   def decontaminate(bench: DataFrame, benchText: Column, benchId: Column,

@@ -169,7 +169,8 @@ object ExtraQueries {
     "q_semdedup" -> ((s, dir) =>
       graft.similarity.SemDedup.semDedup(quantized(s, dir),
         numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
-        tau = AnnParams.SemDedupTau, maxCellSize = Some(AnnParams.SemDedupMaxCell)))
+        tau = AnnParams.SemDedupTau,
+        maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell)))
   )
 
   /** Quantized cosine between two aliased relations (integer dot cast

@@ -23,6 +23,27 @@ import Similarity.{cosineQ, dotQ}
   * vector) and the duplicate set reduces to bare ids before joining
   * back, so nothing document-sized ever shuffles twice.
   */
+/** Worst-case bound on within-cell pair work for [[SemDedup.semDedup]].
+  * A cell of m vectors costs C(m,2) comparisons, and one dense
+  * embedding cluster (boilerplate pages in a scraped corpus) can
+  * concentrate the whole job on a single cell — AQE skew-split can
+  * re-balance the shuffle but not shrink the pair count. */
+sealed trait CellCap
+object CellCap {
+  /** Scale-safe default: cap every cell at 4× the MEASURED average
+    * cell size (≈ 4·N/nlist) — at the design point nlist ≈ √N that is
+    * 4√N, so even a pathological all-in-one-cell corpus costs at most
+    * ~N/cap · C(cap,2) ≈ 2N·cap pair evaluations instead of C(N,2).
+    * Balanced corpora (max cell ≤ 4× average) are byte-identical to
+    * [[Unbounded]]. */
+  case object Auto extends CellCap
+  /** No cap: the exact within-cell sweep regardless of skew — opt-in,
+    * for corpora known to be balanced or small. */
+  case object Unbounded extends CellCap
+  /** Explicit cap, for pinning work bounds (and the oracle). */
+  final case class Fixed(cap: Int) extends CellCap
+}
+
 object SemDedup {
 
   /** Per-vector semantic-dedup verdicts: (vec_id, c_id, is_dup) for
@@ -35,33 +56,43 @@ object SemDedup {
     * (vec_id, e, nrm). Centroid build parameters mirror [[IvfAnn]];
     * at scale pick numCentroids ≈ √N ([[IvfAnn.suggestCentroids]]).
     *
-    * `maxCellSize` bounds the worst-case pair work: a cell of m
-    * vectors costs C(m,2) comparisons, and one dense embedding
-    * cluster (boilerplate pages in a scraped corpus) can concentrate
-    * the whole job on a single cell — AQE skew-split can re-balance
-    * the shuffle but not shrink the pair count. Cells above the cap
-    * are hash-split on vec_id into ceil(m/cap) sub-shards, capping a
-    * cell's cost at ~nsub·C(cap,2); the sweep stays exact WITHIN each
-    * sub-shard, so the cap trades bounded recall (cross-shard dups of
-    * one oversized cell go unflagged) for a hard worst-case bound —
-    * the standard blocking tradeoff. Cells at or under the cap are
-    * byte-identical to the uncapped sweep. */
+    * `maxCellSize` bounds the worst-case pair work (see [[CellCap]]).
+    * Cells above the cap are hash-split on vec_id into ceil(m/cap)
+    * sub-shards, capping a cell's cost at ~nsub·C(cap,2); the sweep
+    * stays exact WITHIN each sub-shard, so the cap trades bounded
+    * recall (cross-shard dups of one oversized cell go unflagged) for
+    * a hard worst-case bound — the standard blocking tradeoff. Cells
+    * at or under the cap are byte-identical to the uncapped sweep.
+    * The default [[CellCap.Auto]] measures the average cell size and
+    * caps at 4× it, so a 100 TB run is bounded without tuning. */
   def semDedup(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
-      maxCellSize: Option[Int] = None): DataFrame = {
+      maxCellSize: CellCap = CellCap.Auto): DataFrame = {
     val cents = IvfAnn.centroids(corpus, numCentroids, lloydIters)
     val asg = IvfAnn.assign(corpus, cents)
+    // cell sizes: one row per centroid — bounded by nlist (≈ √N),
+    // not by the corpus — so the split join is broadcastable by design
+    def split(cap: Int, sizes: DataFrame): DataFrame =
+      asg.join(broadcast(sizes), "c_id")
+        .withColumn("__sub",
+          pmod(xxhash64(col("vec_id")), ceil(col("__cn").cast("double") / cap).cast("long"))
+            .cast("int"))
+        .select(col("vec_id"), col("c_id"), col("__sub"))
     val sharded0 = maxCellSize match {
-      case None => asg.withColumn("__sub", lit(0))
-      case Some(cap) =>
+      case CellCap.Unbounded => asg.withColumn("__sub", lit(0))
+      case CellCap.Fixed(cap) =>
         require(cap >= 1, "maxCellSize must be >= 1")
-        // cell sizes: one row per centroid — bounded by nlist (≈ √N),
-        // not by the corpus — so the join is broadcastable by design
-        val sizes = asg.groupBy("c_id").agg(count(lit(1)).as("__cn"))
-        asg.join(broadcast(sizes), "c_id")
-          .withColumn("__sub",
-            pmod(xxhash64(col("vec_id")), ceil(col("__cn").cast("double") / cap).cast("long"))
-              .cast("int"))
-          .select(col("vec_id"), col("c_id"), col("__sub"))
+        split(cap, asg.groupBy("c_id").agg(count(lit(1)).as("__cn")))
+      case CellCap.Auto =>
+        // materialize the tiny size table once (nlist rows): read for
+        // the cap scalar here, again by the split join — without the
+        // checkpoint each read re-runs the per-vector assignment
+        val sizes = graft.operators.Checkpoints.eager(
+          asg.groupBy("c_id").agg(count(lit(1)).as("__cn")))
+        val r = sizes.agg(sum("__cn"), count(lit(1))).head()
+        val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val cells = math.max(1L, r.getLong(1))
+        val cap = math.max(1L, math.min(Int.MaxValue.toLong, 4L * n / cells)).toInt
+        split(cap, sizes)
     }
     // three consumers (both sides of the pair join + the verdict join)
     // and the assignment is itself a centroid-scan per vector —

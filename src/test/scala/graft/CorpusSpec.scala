@@ -120,6 +120,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(screened === defaultNamed)
   }
 
+  test("semanticDedup delegates to SemDedup verdicts exactly (default Auto cap)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("text", concat(lit("doc "), col("vec_id")))
+    val viaFacade = Corpus(emb, col("text"), col("vec_id"))
+      .semanticDedup(col("embedding"), tau = 0.3, numCentroids = 8, lloydIters = 1).df
+    val prepared = graft.similarity.Similarity.prepareQuantized(
+      emb, col("embedding"), col("vec_id"))
+    val manualKeep = graft.similarity.SemDedup
+      .semDedup(prepared, numCentroids = 8, lloydIters = 1, tau = 0.3)
+      .filter(!col("is_dup")).select("vec_id").as[Long].collect().toSet
+    val facadeIds = viaFacade.select("vec_id").as[Long].collect().toSet
+    assert(facadeIds === manualKeep)
+    assert(facadeIds.nonEmpty && facadeIds.size < emb.count())
+    // survivors keep their full original rows
+    assert(viaFacade.columns.toSeq === emb.columns.toSeq)
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap

@@ -87,7 +87,8 @@ class SimilaritySpec extends SparkSpecBase {
     val corpus = Similarity.prepareQuantized(
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
       col("embedding"), col("vec_id"), col("label"))
-    val verdicts = SemDedup.semDedup(corpus, numCentroids = 8, lloydIters = 1, tau = tau)
+    val verdicts = SemDedup.semDedup(corpus, numCentroids = 8, lloydIters = 1, tau = tau,
+        maxCellSize = graft.similarity.CellCap.Unbounded)
       .as[(Long, Long, Boolean)].collect()
     // full coverage, one verdict per vector
     val n = corpus.count()
@@ -129,7 +130,7 @@ class SimilaritySpec extends SparkSpecBase {
       col("embedding"), col("vec_id"))
     val cap = 50
     val capped = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1,
-        tau = 0.99, maxCellSize = Some(cap))
+        tau = 0.99, maxCellSize = graft.similarity.CellCap.Fixed(cap))
       .as[(Long, Long, Boolean)].collect()
     // every vector except each sub-shard's min id is flagged: the
     // number of survivors IS the number of sub-shards — bounded by
@@ -140,13 +141,61 @@ class SimilaritySpec extends SparkSpecBase {
     assert(survivors >= 1 && survivors <= math.ceil(400.0 / cap).toInt,
       s"survivors=$survivors must be within [1, nsub]")
     // a cap the cell fits under must be byte-identical to uncapped
-    val uncapped = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1, tau = 0.99)
+    val uncapped = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1, tau = 0.99,
+        maxCellSize = graft.similarity.CellCap.Unbounded)
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     val bigCap = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1,
-        tau = 0.99, maxCellSize = Some(400))
+        tau = 0.99, maxCellSize = graft.similarity.CellCap.Fixed(400))
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(bigCap === uncapped)
     assert(uncapped.count(!_._3) === 1) // min id is the only survivor
+  }
+
+  test("CellCap.Auto equals Fixed(4·N/cells) and splits a skewed cell by default") {
+    import graft.similarity.{CellCap, SemDedup}
+    // skewed corpus: 40 outliers spread over one-hot axes 1..8 take
+    // the SMALLEST ids (so the deterministic seed pick spans the
+    // axes), then 360 identical axis-0 vectors (the boilerplate
+    // cluster) — they tie on every centroid and land in one cell,
+    // whose 360 ≫ 4× the ~50 average, so the default cap must engage
+    // without any tuning
+    val rows = (1L to 40L).map { i =>
+      (i, Seq.tabulate(16)(d => if (d == 1 + (i % 8).toInt) 1.0f else 0f))
+    } ++ (41L to 400L).map { i =>
+      (i, Seq.tabulate(16)(d => if (d == 0) 1.0f else 0f))
+    }
+    val corpus = Similarity.prepareQuantized(rows.toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    val auto = SemDedup.semDedup(corpus, numCentroids = 9, lloydIters = 2, tau = 0.99,
+        maxCellSize = CellCap.Auto)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // Auto's contract: identical to Fixed(4·N/non-empty-cells)
+    val cells = auto.map(_._2).distinct.length
+    val cap = math.max(1, 4 * 400 / cells)
+    val fixed = SemDedup.semDedup(corpus, numCentroids = 9, lloydIters = 2, tau = 0.99,
+        maxCellSize = CellCap.Fixed(cap))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(auto === fixed)
+    // the scenario must actually exercise the split: enough non-empty
+    // cells that the cap lands under the dense cell's 360 vectors, so
+    // Auto keeps more than the single uncapped survivor there
+    assert(cells >= 5, s"cells=$cells — geometry no longer skewed, fix the fixture")
+    assert(cap < 360)
+    val unbounded = SemDedup.semDedup(corpus, numCentroids = 9, lloydIters = 2, tau = 0.99,
+        maxCellSize = CellCap.Unbounded)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(auto.count(!_._3) > unbounded.count(!_._3))
+    // balanced corpora: Auto is byte-identical to Unbounded (cells at
+    // or under 4× average never split)
+    val denseOnly = Similarity.prepareQuantized(
+      rows.drop(40).toDF("vec_id", "embedding"), col("embedding"), col("vec_id"))
+    val aAuto = SemDedup.semDedup(denseOnly, numCentroids = 1, lloydIters = 1, tau = 0.99,
+        maxCellSize = CellCap.Auto)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val aUnb = SemDedup.semDedup(denseOnly, numCentroids = 1, lloydIters = 1, tau = 0.99,
+        maxCellSize = CellCap.Unbounded)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(aAuto === aUnb)
   }
 
   test("quantized cosine equals double cosine within quantization error") {
