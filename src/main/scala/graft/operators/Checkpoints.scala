@@ -51,12 +51,17 @@ object Checkpoints {
   }
 
   // A tracked RDD can outlive its SparkContext (test harnesses stop
-  // and rebuild sessions); unpersist then throws IllegalStateException
-  // and must not abort the drain mid-iteration — the blocks died with
-  // the context, dropping the entry is the correct outcome.
+  // and rebuild sessions); the blocks died with the context, so
+  // skipping is the correct outcome. The isStopped guard handles the
+  // common case; the catch covers only the guard-to-unpersist race
+  // (context stopping concurrently throws IllegalStateException from
+  // assertNotStopped). Anything else — an NPE from a live
+  // BlockManager path included — is a real bug and propagates.
   private def unpersistQuietly(r: RDD[_]): Unit =
-    try r.unpersist(blocking = false)
-    catch { case _: IllegalStateException | _: NullPointerException => () }
+    if (!r.sparkContext.isStopped) {
+      try r.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
+    }
 
   /** Release the blocks behind a checkpoint produced by [[eager]]
     * right now — for loop intermediates superseded by the next

@@ -268,6 +268,17 @@ object PartitionedFiles {
     // not-yet-renamed file. Stage every source under a unique temp
     // name first; phase 2 then moves into a directory where no source
     // name survives, so no move can clobber data.
+    //
+    // Fail fast on leftover stage files: a crash between the phases
+    // strands data under dot-prefixed names that isData() excludes, so
+    // a blind rerun would silently lay out FEWER files. Recovery is
+    // manual and lossless — every .__graft_stage_* file IS a complete
+    // data file; rename it back to any data name and rerun.
+    val leftovers = dir.listFiles().map(_.getName)
+      .filter(_.startsWith(".__graft_stage_")).sorted
+    require(leftovers.isEmpty,
+      s"interrupted layout pass left staged data files (${leftovers.mkString(", ")}) — " +
+        "rename them back to data names (each is a complete data file) before re-running")
     val staged = targets.zipWithIndex.map { case ((f, name), i) =>
       val tmp = new java.io.File(dir, f".__graft_stage_$i%05d")
       java.nio.file.Files.move(f.toPath, tmp.toPath)

@@ -44,6 +44,24 @@ class SessionHygieneSpec extends SparkSpecBase {
       "operator checkpoints must be gone after releaseAll")
   }
 
+  test("release and releaseAll are safe on already-unpersisted blocks") {
+    // drain robustness: blocks can vanish under the registry (manual
+    // unpersist here; context shutdown in the field — the isStopped
+    // guard covers that path, untestable in-suite without killing the
+    // shared session). The drain must neither throw nor double-count.
+    Checkpoints.releaseAll()
+    val df = Checkpoints.eager(spark.range(100).toDF("id"))
+    assert(Checkpoints.pendingCount === 1)
+    // rip the blocks out from under the registry
+    org.apache.spark.sql.graft.CheckpointBlocks.rddOf(df)
+      .foreach(_.unpersist(blocking = true))
+    assert(Checkpoints.releaseAll() === 1) // drains the entry, no throw
+    assert(Checkpoints.pendingCount === 0)
+    // release() of an untracked frame is a no-op
+    Checkpoints.release(df)
+    assert(Checkpoints.releaseAll() === 0)
+  }
+
   test("cheap queries do not degrade after a checkpoint-heavy pass") {
     run(cheap) // warmup: codegen + JIT
     val before = (1 to 3).map(_ => timeCheap()).min

@@ -186,4 +186,47 @@ class SourcesSpec extends SparkSpecBase {
       assert(ex.getMessage.contains("collides"))
     }
   }
+
+  test("shmrLayout: two-phase rename survives a target equal to another source's name") {
+    // the data-loss scenario the staging exists for: 'aaa.json' maps to
+    // 'part-00000.json' — the CURRENT name of the other source. A
+    // direct move would overwrite it before its own rename.
+    val dir = java.nio.file.Files.createTempDirectory("shmr_swap")
+    java.nio.file.Files.writeString(dir.resolve("aaa.json"), """{"k": "first"}""")
+    java.nio.file.Files.writeString(dir.resolve("part-00000.json"), """{"k": "second"}""")
+    val out = PartitionedFiles.shmrLayout(dir.toString, "part-{auto}")
+    assert(out === Seq("part-00000.json", "part-00001.json"))
+    // both payloads survive, mapped in lexicographic source order
+    assert(java.nio.file.Files.readString(dir.resolve("part-00000.json")).contains("first"))
+    assert(java.nio.file.Files.readString(dir.resolve("part-00001.json")).contains("second"))
+    // no stage debris left behind
+    assert(!new java.io.File(dir.toString).listFiles()
+      .exists(_.getName.startsWith(".__graft_stage_")))
+  }
+
+  test("shmrLayout: refuses a target that equals an untouched (non-renamed) file") {
+    val dir = java.nio.file.Files.createTempDirectory("shmr_clash")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), """{"k": 1}""")
+    java.nio.file.Files.writeString(dir.resolve("_notes.json"), "do not overwrite")
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedFiles.shmrLayout(dir.toString, "_notes")
+    }
+    assert(ex.getMessage.contains("overwrite"))
+    // nothing moved, nothing lost
+    assert(java.nio.file.Files.readString(dir.resolve("_notes.json")) === "do not overwrite")
+    assert(java.nio.file.Files.readString(dir.resolve("a.json")).contains("1"))
+  }
+
+  test("shmrLayout: refuses to run over leftover stage files from an interrupted pass") {
+    val dir = java.nio.file.Files.createTempDirectory("shmr_stage")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), """{"k": 1}""")
+    java.nio.file.Files.writeString(dir.resolve(".__graft_stage_00000"), """{"k": "stranded"}""")
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedFiles.shmrLayout(dir.toString, "part-{auto}")
+    }
+    assert(ex.getMessage.contains("interrupted"))
+    // the stranded data file is preserved for manual recovery
+    assert(java.nio.file.Files.readString(dir.resolve(".__graft_stage_00000")).contains("stranded"))
+    assert(java.nio.file.Files.readString(dir.resolve("a.json")).contains("1"))
+  }
 }
