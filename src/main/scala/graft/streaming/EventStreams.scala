@@ -91,16 +91,28 @@ object EventStreams {
     * appends parquet, and exits. Re-running after new files land
     * processes only the delta — exactly-once bookkeeping comes from
     * the checkpoint's file log + sink commit log, replacing shmr's
-    * manual .meta tracking. Returns the terminated query's runId. */
+    * manual .meta tracking. Returns the terminated query's runId.
+    *
+    * `maxFilesPerTrigger` paces ingest into multiple micro-batches
+    * (the production knob for bounding per-batch memory on a large
+    * backlog); AvailableNow still drains everything available at
+    * start. A crash mid-run is safe: committed batches are recorded
+    * in the sink's _spark_metadata log — batch readers see only
+    * committed files — and the next run resumes from the file-log
+    * offset, reprocessing nothing (verified in StreamingSpec). */
   def incrementalBatch(
       spark: SparkSession,
       inputDir: String,
       schemaDdl: String,
       transform: DataFrame => DataFrame,
       outputDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None
   ): String = {
-    val in = spark.readStream.schema(schemaDdl).json(inputDir)
+    val reader = spark.readStream.schema(schemaDdl)
+    val in = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .json(inputDir)
     val q = transform(in).writeStream
       .format("parquet")
       .option("path", outputDir)

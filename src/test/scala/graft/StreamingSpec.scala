@@ -518,6 +518,93 @@ class StreamingSpec extends SparkSpecBase {
     assert(all === Set((1L, 20L), (2L, 40L), (3L, 60L)))
   }
 
+  test("incrementalBatch: crash mid-run, restart resumes exactly-once") {
+    // The fault-tolerance claim behind incrementalBatch: a run that
+    // DIES between micro-batches (not a graceful stop) loses nothing
+    // and duplicates nothing on restart. Committed batches live in the
+    // sink's _spark_metadata commit log — batch readers see only
+    // committed files, never a failed batch's orphan output — and the
+    // restart resumes from the checkpointed file-log offset.
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val marker = s"$root/recovered"
+    new java.io.File(in).mkdirs()
+    def addFile(name: String, rows: Seq[(Long, Long)], mtime: Long): Unit = {
+      val content = rows.map { case (id, v) => s"""{"id":$id,"v":$v}""" }.mkString("\n")
+      val p = java.nio.file.Paths.get(in, name)
+      java.nio.file.Files.writeString(p, content)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // distinct mtimes pin the file-source batch order: with
+    // maxFilesPerTrigger=1 the run commits [a], [b], then dies in [c]
+    val t0 = 1700000000000L
+    addFile("a.json", Seq((1L, 10L), (2L, 20L)), t0)
+    addFile("b.json", Seq((3L, 30L)), t0 + 60000)
+    addFile("c.json", Seq((4L, 40L)), t0 + 120000)
+    addFile("d.json", Seq((5L, 50L)), t0 + 180000)
+
+    // executor-side poison: id=4 throws until the marker file exists —
+    // a deterministic stand-in for a mid-run process kill
+    val poisoned = udf { (id: Long, v: Long) =>
+      if (id == 4L && !new java.io.File(marker).exists()) sys.error("injected crash")
+      v * 2
+    }
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("v2", poisoned(col("id"), col("v")))
+
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.incrementalBatch(spark, in, "id long, v long", transform, out, ckpt,
+        maxFilesPerTrigger = Some(1))
+    }
+    // the two batches committed before the crash are visible — and
+    // ONLY those (the failed batch's partial output is not readable)
+    val partial = spark.read.parquet(out).select("id", "v2").as[(Long, Long)].collect().toSet
+    assert(partial === Set((1L, 20L), (2L, 40L), (3L, 60L)))
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(marker), "ok")
+    EventStreams.incrementalBatch(spark, in, "id long, v long", transform, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val all = spark.read.parquet(out).select("id", "v2").as[(Long, Long)].collect()
+    // exactly-once: every input row appears once — nothing replayed
+    // from the committed prefix, nothing lost from the failed batch
+    assert(all.length === 5)
+    assert(all.toSet === Set((1L, 20L), (2L, 40L), (3L, 60L), (4L, 80L), (5L, 100L)))
+  }
+
+  test("upsertToParquet: restart recovers aggregation state from the checkpoint") {
+    // stop between micro-batches, land data while the query is down,
+    // restart against the same checkpoint: the streaming aggregate's
+    // state store must recover (counts continue, not restart at zero)
+    // and the restarted batch must rewrite only the partitions it
+    // touches.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_restart").toString
+    val mem = MemoryStream[Event]
+    def start() = EventStreams.upsertToParquet(
+      mem.toDF().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("bigint")).as("cents")),
+      s"$root/t", s"$root/ckpt", "event_type")
+
+    val q1 = start()
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:01:00"), 1L, "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    mem.addData(Event(3L, ts("2024-01-01 00:02:00"), 2L, "click", 5.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val outRows = spark.read.parquet(s"$root/t")
+      .select("event_type", "n", "cents").as[(String, Long, Long)].collect().toSet
+    // click n=2 proves the state store was recovered, not reset; the
+    // view row proves the restarted batch left untouched partitions
+    assert(outRows === Set(("click", 2L, 600L), ("view", 1L, 200L)))
+  }
+
   test("micros keeps sub-millisecond precision (batch/stream parity)") {
     val t = ts("2024-01-01 00:00:00.000123456")
     // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
