@@ -89,6 +89,11 @@ import graft.sources.PartitionedFiles
   *       incremental corpus update: keep only input docs that are NOT
   *       MinHash-LSH near-dups of the corpus at PATH (the
   *       screen-every-new-crawl-drop verb)
+  *   diff           --old PATH --key doc_id --content text [--old-key K]
+  *                  [--old-content C] [--key-name id] [--emit rows|stats]
+  *       corpus snapshot diff: one (key, status) row per doc in either
+  *       version — added|removed|changed|unchanged by portable md5
+  *       content fingerprint (--emit stats: status counts only)
   *   sample-weighted --key doc_id --weight n_chars --threshold 400
   *       weighted Bernoulli sampling: keep rows with probability
   *       min(1, weight/threshold), rerun-stable, zero shuffles
@@ -362,6 +367,29 @@ object Cli {
             shingleN = opts.getOrElse("shingle", "3").toInt,
             numBands = opts.getOrElse("bands", "4").toInt,
             rowsPerBand = opts.getOrElse("rows-per-band", "2").toInt))
+        case "diff" =>
+          // -i holds the NEW snapshot; --old the previous one. Same
+          // column names both sides unless --old-key/--old-content say
+          // otherwise.
+          val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
+          val content = expr(opts.getOrElse("content", fail("--content COLUMN required")))
+          val oldPath = opts.getOrElse("old", fail("--old PATH required"))
+          val old = fmt match {
+            case "json"    => PartitionedFiles.readJsonl(spark, oldPath, opts.get("old-schema"))
+            case "csv"     => PartitionedFiles.readCsv(spark, oldPath, header = true, opts.get("old-schema"))
+            case "parquet" => PartitionedFiles.readParquet(spark, oldPath)
+            case "orc"     => PartitionedFiles.readOrc(spark, oldPath)
+            case o         => fail(s"diff unsupported for format: $o")
+          }
+          val d = graft.operators.TableDiff.snapshotDiff(old, read(),
+            opts.get("old-key").map(expr).getOrElse(key), key,
+            opts.get("old-content").map(expr).getOrElse(content), content,
+            keyName = opts.getOrElse("key-name", "id"))
+          opts.getOrElse("emit", "rows") match {
+            case "rows"  => write(d)
+            case "stats" => write(graft.operators.TableDiff.snapshotDiffStats(d))
+            case o       => fail(s"--emit must be rows|stats, got: $o")
+          }
         case "sample-weighted" =>
           val key = expr(opts.getOrElse("key", fail("--key COLUMN required")))
           val weight = expr(opts.getOrElse("weight", fail("--weight COLUMN required")))

@@ -145,6 +145,27 @@ object DedupQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // §2.3/24e3 corpus snapshot diff: key-level lifecycle audit between
+    // two corpus versions (added/removed/changed/unchanged via portable
+    // md5 content fingerprints, single full-outer shuffle join carrying
+    // ~48 bytes/row). The "new" snapshot is derived deterministically
+    // from documents so the oracle reproduces it exactly.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val neu = docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(docs
+          .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
+          .select((col("doc_id") + PrepParams.DiffAddOffset).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      graft.operators.TableDiff.snapshotDiff(
+        docs, neu, col("doc_id"), col("doc_id"), col("text"), col("text"),
+        keyName = "doc_id")
+    }),
+
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
     // window, keep pairs at word-set Jaccard ≥ 0.4 (integer-rational
@@ -546,6 +567,23 @@ object DedupQueries {
     "q_triangles" -> trianglesSql,
     "q_lsh_recall" -> lshRecallSql,
     "q_incr_dedup" -> incrDedupSql,
+    "q_corpus_diff" ->
+      raw"""WITH prev AS (SELECT doc_id, text FROM documents),
+           |curr AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % ${PrepParams.DiffChangeMod} = 0
+           |              THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % ${PrepParams.DiffRemoveMod} <> 0
+           |  UNION ALL
+           |  SELECT doc_id + ${PrepParams.DiffAddOffset} AS doc_id,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM documents WHERE doc_id % ${PrepParams.DiffAddMod} = 0)
+           |SELECT COALESCE(curr.doc_id, prev.doc_id) AS doc_id,
+           |       CASE WHEN prev.doc_id IS NULL THEN 'added'
+           |            WHEN curr.doc_id IS NULL THEN 'removed'
+           |            WHEN prev.text IS DISTINCT FROM curr.text THEN 'changed'
+           |            ELSE 'unchanged' END AS status
+           |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
     "q_sorted_neighbors" -> sortedNeighborsSql,
     "q_ann_lsh" -> annLshSql,
     "q_source_overlap" ->

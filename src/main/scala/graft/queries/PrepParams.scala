@@ -29,6 +29,15 @@ object PrepParams {
   // common mass at the gate SF.
   val LmRareMax = 100L
 
+  // q_corpus_diff: the "new" snapshot drops doc_id ≡ 0 (mod RemoveMod),
+  // rewrites text at doc_id ≡ 0 (mod ChangeMod), and adds fresh docs at
+  // AddOffset + doc_id for doc_id ≡ 0 (mod AddMod) — all four statuses
+  // populated at sf0.01 (500 docs → ~29 removed / ~34 changed / ~21 added)
+  val DiffRemoveMod = 17
+  val DiffChangeMod = 13
+  val DiffAddMod = 23
+  val DiffAddOffset = 10000000L
+
   // q_incr_dedup: every doc_id ≡ 0 (mod IncrBatchMod) plays the
   // "new crawl drop"; the rest is the existing corpus.
   val IncrBatchMod = 4

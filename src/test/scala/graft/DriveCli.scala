@@ -369,6 +369,44 @@ object DriveCli {
       spark.stop()
     }
 
+    // diff (corpus snapshot lifecycle): old = docs minus every 5th,
+    // with every 7th (surviving) text rewritten; new = the file itself
+    locally {
+      val spark = GraftSession.builder("seedOld", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val old = in.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", org.apache.spark.sql.functions.when(
+          col("doc_id") % 7 === 0, org.apache.spark.sql.functions.concat(
+            col("text"), org.apache.spark.sql.functions.lit(" OLD")))
+          .otherwise(col("text")))
+      graft.sources.PartitionedFiles.writeParquet(old, s"$tmp/docs_old", 2)
+      spark.stop()
+    }
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "diff", "--old", s"$tmp/docs_old", "--key", "doc_id", "--content", "text",
+      "--key-name", "doc_id", "--outfile", s"$tmp/diff"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "diff", "--old", s"$tmp/docs_old", "--key", "doc_id", "--content", "text",
+      "--emit", "stats", "--outfile", s"$tmp/diffstats"))
+    locally {
+      val spark = GraftSession.builder("verifyDiff", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val byStatus = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/diff")
+        .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val added = in.filter(col("doc_id") % 5 === 0).count()
+      val changed = in.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0).count()
+      val stats = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/diffstats")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"DIFF=$byStatus OK=${
+        byStatus.getOrElse("added", 0L) == added &&
+        byStatus.getOrElse("changed", 0L) == changed &&
+        byStatus.getOrElse("removed", 0L) == 0L &&
+        stats == byStatus.filter(_._2 > 0)}")
+      spark.stop()
+    }
+
     // corpus (the whole prep chain as one verb: quality floor, exact +
     // near dedup, LM gate, decontamination, temperature mixture, split)
     Cli.main(Array("-i", docs, "-f", "parquet",

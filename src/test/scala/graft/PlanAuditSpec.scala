@@ -168,7 +168,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3,
     "q_winnow" -> 0, "q_winnow_pairs" -> 2, "q_token_drift" -> 2,
     "q_lsh_recall" -> 10, "q_triangles" -> 4, "q_scd2" -> 1,
-    "q_update_capstone" -> 3)
+    // q_corpus_diff: one hash exchange per snapshot side into the
+    // full-outer join — the shuffle carries (key, md5) only
+    "q_update_capstone" -> 3, "q_corpus_diff" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

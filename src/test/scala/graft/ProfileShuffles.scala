@@ -19,7 +19,8 @@ object ProfileShuffles {
       "q_semdedup", "q_lm_score", "q_keep_best", "q_temperature", "q_phash",
       "q_fertility", "q_skew_profile", "q_cms_gate", "q_incr_dedup",
       "q_sorted_neighbors", "q_global_rank", "q_winnow", "q_weighted_sample",
-      "q_winnow_pairs", "q_token_drift", "q_lsh_recall", "q_triangles", "q_scd2", "q_update_capstone")
+      "q_winnow_pairs", "q_token_drift", "q_lsh_recall", "q_triangles", "q_scd2",
+      "q_update_capstone", "q_corpus_diff")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableDiff
+
+class TableDiffSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (5L, "e")).toDF("doc_id", "text")
+    val out = TableDiff.snapshotDiff(old, neu,
+      col("doc_id"), col("doc_id"), col("text"), col("text"), keyName = "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (5L, "added")))
+  }
+
+  test("snapshotDiff: null content is a value, not a missing row") {
+    // null fingerprints must not masquerade as absent rows — presence
+    // is tracked separately, content compares null-safe
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("doc_id", "text")
+    val out = TableDiff.snapshotDiff(old, neu,
+      col("doc_id"), col("doc_id"), col("text"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "unchanged"), (2L, "changed")))
+  }
+
+  test("snapshotDiff resolves per-side columns with different names") {
+    // the two snapshots need not share column names — per-side Column
+    // params resolve against their own frame
+    val old = Seq((1L, "a")).toDF("id_v1", "body_v1")
+    val neu = Seq((1L, "a"), (2L, "b")).toDF("id_v2", "body_v2")
+    val out = TableDiff.snapshotDiff(old, neu,
+      col("id_v1"), col("id_v2"), col("body_v1"), col("body_v2"), keyName = "k")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "unchanged"), (2L, "added")))
+  }
+
+  test("snapshotDiffStats aggregates status counts") {
+    val old = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text")
+    val stats = TableDiff.snapshotDiffStats(TableDiff.snapshotDiff(old, neu,
+      col("doc_id"), col("doc_id"), col("text"), col("text")))
+      .as[(String, Long)].collect().toMap
+    assert(stats === Map("removed" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+}
