@@ -68,6 +68,12 @@ import graft.sources.PartitionedFiles
   *   boilerplate    --text text --id doc_id [--n 3] [--min-doc-freq 5]
   *       corpus-frequency boilerplate scrub: delete token spans
   *       covered by n-grams appearing in >= min-doc-freq documents
+  *   scrub-spans    --text text --id doc_id [--window 20] [--min-count 2]
+  *                  [--emit clean|spans]
+  *       exact substring dedup (Lee et al.): delete every duplicated
+  *       window-token span except its first occurrence and rebuild
+  *       the documents (--emit spans: report the maximal duplicated
+  *       spans per doc instead)
   *   sample-tokens  --text text --id doc_id --group source --budget 1000000
   *       deterministic token-budget sampling per group (md5-hash
   *       order — uniform, rerun-stable, prefix-monotone in budget)
@@ -315,6 +321,18 @@ object Cli {
           write(graft.text.TextPrep.removeFrequentGrams(read(), text, id,
             n = opts.getOrElse("n", "3").toInt,
             minDocFreq = opts.getOrElse("min-doc-freq", "5").toLong))
+        case "scrub-spans" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val w = opts.getOrElse("window", "20").toInt
+          val minCount = opts.getOrElse("min-count", "2").toLong
+          opts.getOrElse("emit", "clean") match {
+            case "clean" => write(graft.dedup.SubstringDedup
+              .scrubDuplicatedSpans(read(), text, id, w, minCount))
+            case "spans" => write(graft.dedup.SubstringDedup
+              .duplicatedSpans(read(), text, id, w, minCount))
+            case o => fail(s"--emit must be clean|spans, got: $o")
+          }
         case "sample-tokens" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))

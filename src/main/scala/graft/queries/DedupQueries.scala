@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Components, Decontam, Dedup}
+import graft.dedup.{Components, Decontam, Dedup, SubstringDedup}
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -243,6 +243,18 @@ object DedupQueries {
     // exact levenshtein <= 6.
     "q_fuzzy_join" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), col("text"), col("doc_id"), maxDist = 6)),
+
+    // §2.3/24j exact substring dedup (Lee et al. 2107.06499): maximal
+    // duplicated token spans via rolling-window hashes merged per doc.
+    "q_substring_spans" -> ((s, dir) =>
+      SubstringDedup.duplicatedSpans(Tables.documents(s, dir), col("text"), col("doc_id"),
+        windowTokens = PrepParams.SubstrWindow, minCount = PrepParams.SubstrMinCount)),
+
+    // §2.3/24j2 the keep-first scrub: every non-canonical duplicated
+    // window's positions deleted, documents rebuilt.
+    "q_substring_scrub" -> ((s, dir) =>
+      SubstringDedup.scrubDuplicatedSpans(Tables.documents(s, dir), col("text"), col("doc_id"),
+        windowTokens = PrepParams.SubstrWindow, minCount = PrepParams.SubstrMinCount)),
 
     // §2.3/25 SimHash fingerprints (60-bit portable family).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -584,6 +596,63 @@ object DedupQueries {
            |            WHEN prev.text IS DISTINCT FROM curr.text THEN 'changed'
            |            ELSE 'unchanged' END AS status
            |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
+    "q_substring_spans" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+           |),
+           |w0 AS (
+           |  SELECT doc_id, unnest(range(len(t) - ${PrepParams.SubstrWindow} + 1)) AS p, t FROM toks
+           |),
+           |wins AS (
+           |  SELECT doc_id, p,
+           |         md5(array_to_string(t[p+1:p+${PrepParams.SubstrWindow}], ' ')) AS h
+           |  FROM w0
+           |),
+           |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= ${PrepParams.SubstrMinCount}),
+           |cov AS (SELECT doc_id, p FROM wins JOIN dup USING (h)),
+           |m AS (
+           |  SELECT doc_id, p,
+           |         CASE WHEN p <= coalesce(max(p) OVER (PARTITION BY doc_id ORDER BY p
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000)
+           |                + ${PrepParams.SubstrWindow} THEN 0 ELSE 1 END AS brk
+           |  FROM cov
+           |),
+           |g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM m)
+           |SELECT doc_id, min(p) AS span_start,
+           |       max(p) + ${PrepParams.SubstrWindow} - 1 AS span_end,
+           |       CAST(count(*) AS BIGINT) AS n_windows
+           |FROM g GROUP BY doc_id, gid""".stripMargin,
+    "q_substring_scrub" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+           |),
+           |w0 AS (
+           |  SELECT doc_id, unnest(range(len(t) - ${PrepParams.SubstrWindow} + 1)) AS p, t FROM toks
+           |),
+           |wins AS (
+           |  SELECT doc_id, p,
+           |         md5(array_to_string(t[p+1:p+${PrepParams.SubstrWindow}], ' ')) AS h
+           |  FROM w0
+           |),
+           |ranked AS (
+           |  SELECT doc_id, p,
+           |         count(*) OVER (PARTITION BY h) AS c,
+           |         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |  FROM wins
+           |),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, unnest(range(p, p + ${PrepParams.SubstrWindow})) AS tp
+           |  FROM ranked WHERE c >= ${PrepParams.SubstrMinCount} AND rn >= 2
+           |),
+           |tok_pos AS (SELECT doc_id, unnest(range(len(t))) AS tp, t FROM toks),
+           |kept AS (
+           |  SELECT tok_pos.doc_id, tp, t[tp+1] AS tok
+           |  FROM tok_pos LEFT JOIN covered USING (doc_id, tp)
+           |  WHERE covered.tp IS NULL
+           |)
+           |SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS clean_text,
+           |       CAST(count(*) AS BIGINT) AS n_kept
+           |FROM kept GROUP BY doc_id""".stripMargin,
     "q_sorted_neighbors" -> sortedNeighborsSql,
     "q_ann_lsh" -> annLshSql,
     "q_source_overlap" ->

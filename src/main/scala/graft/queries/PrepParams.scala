@@ -38,6 +38,13 @@ object PrepParams {
   val DiffAddMod = 23
   val DiffAddOffset = 10000000L
 
+  // q_substring_spans / q_substring_scrub: exact substring dedup
+  // window width (tokens) and the paper's ≥2 occurrence threshold. 8
+  // tokens keeps real duplicated spans at sf0.01 (~1k dup windows)
+  // while staying above the by-chance-collision floor.
+  val SubstrWindow = 8
+  val SubstrMinCount = 2L
+
   // q_incr_dedup: every doc_id ≡ 0 (mod IncrBatchMod) plays the
   // "new crawl drop"; the rest is the existing corpus.
   val IncrBatchMod = 4

@@ -172,6 +172,28 @@ object DriveCli {
       spark.stop()
     }
 
+    // scrub-spans (exact substring dedup, both emit modes)
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "scrub-spans", "--text", "text", "--id", "doc_id", "--window", "8",
+      "--outfile", s"$tmp/despanned"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "scrub-spans", "--text", "text", "--id", "doc_id", "--window", "8",
+      "--emit", "spans", "--outfile", s"$tmp/spans"))
+    locally {
+      val spark = GraftSession.builder("verifySpans", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val clean = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/despanned")
+      val spans = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/spans")
+      // library-call parity on the same input
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val lib = graft.dedup.SubstringDedup
+        .scrubDuplicatedSpans(in, col("text"), col("doc_id"), 8)
+      val cliKept = clean.agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+      val libKept = lib.agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+      println(s"SCRUB_SPANS docs=${clean.count()} spans=${spans.count()} OK=${cliKept == libKept}")
+      spark.stop()
+    }
+
     // validate (data-quality expectations in one pass)
     Cli.main(Array("-i", docs, "-f", "parquet",
       "validate", "--not-null", "doc_id,text", "--unique", "doc_id",

@@ -170,7 +170,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_lsh_recall" -> 10, "q_triangles" -> 4, "q_scd2" -> 1,
     // q_corpus_diff: one hash exchange per snapshot side into the
     // full-outer join — the shuffle carries (key, md5) only
-    "q_update_capstone" -> 3, "q_corpus_diff" -> 2)
+    "q_update_capstone" -> 3, "q_corpus_diff" -> 2,
+    // q_substring_spans: dup-hash aggregate + per-doc span-merge window
+    // (the (doc_id, gid) groupBy rides the window's partitioning);
+    // scrub adds the per-doc rebuild aggregate
+    "q_substring_spans" -> 2, "q_substring_scrub" -> 3)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
