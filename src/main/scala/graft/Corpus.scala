@@ -81,6 +81,23 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
   }
 
+  /** Gopher/FineWeb-style per-source frequency cap: keep at most
+    * `maxDocs` docs per source, best-first by `order` (default:
+    * longest doc wins, id tiebreak — the same "copy worth training
+    * on" rule as [[nearDedupKeepBest]]). The over-represented-domain
+    * guard that runs after dedup and before mixture sampling.
+    *
+    * Rides the GroupTopK physical operator: each map task forwards at
+    * most `maxDocs` rows per (source, partition), so the one exchange
+    * on source carries ≤ maxDocs·partitions rows per source — a
+    * million-doc domain ships a few hundred candidates, not a million
+    * (a row_number window would shuffle them all). */
+  def capPerSource(source: Column, maxDocs: Int,
+      order: Seq[Column] = Seq.empty): Corpus = {
+    val ord = if (order.nonEmpty) order else Seq(length(text).desc, id.asc)
+    keep(org.apache.spark.sql.graft.GraftPlans.groupTopK(df, Seq(source), ord, maxDocs))
+  }
+
   /** Unigram-LM quality gate: drop docs whose share of corpus-rare
     * tokens (corpus frequency ≤ `rareMax`) exceeds `maxRareRatio` —
     * the gibberish/OCR-noise screen. Cross-multiplied comparison, no

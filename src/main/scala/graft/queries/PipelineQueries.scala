@@ -168,6 +168,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .stratifiedSample(col("lang"), col("doc_id"), nPerClass = 100)),
 
+    // Gopher/FineWeb-style per-source frequency cap via the Corpus
+    // facade: keep the 15 longest docs (id tiebreak) per source — the
+    // over-represented-domain guard. Rides the GroupTopK physical
+    // operator: map tasks forward ≤ cap rows per (source, partition).
+    "q_source_cap" -> ((s, dir) =>
+      graft.Corpus(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .capPerSource(col("source"), maxDocs = PrepParams.SourceCapMax)
+        .df.select(col("doc_id"), col("source"), col("n_chars"))),
+
     // PageRank over the bipartite part→supplier sourcing graph (ids
     // disambiguated 2k / 2k+1), 3 fixed iterations, scaled-integer
     // arithmetic — bit-identical to the oracle's chained-CTE replay.
@@ -389,6 +398,13 @@ object PipelineQueries {
         |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 100""".stripMargin,
+    "q_source_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= ${PrepParams.SourceCapMax}""".stripMargin,
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

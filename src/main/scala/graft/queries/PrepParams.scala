@@ -38,6 +38,10 @@ object PrepParams {
   val DiffAddMod = 23
   val DiffAddOffset = 10000000L
 
+  // q_source_cap: per-source doc cap — 15 of the 25 docs/source at
+  // sf0.01, so the cap binds on every source.
+  val SourceCapMax = 15
+
   // q_substring_spans / q_substring_scrub: exact substring dedup
   // window width (tokens) and the paper's ≥2 occurrence threshold. 8
   // tokens keeps real duplicated spans at sf0.01 (~1k dup windows)

@@ -137,6 +137,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(viaFacade.columns.toSeq === emb.columns.toSeq)
   }
 
+  test("capPerSource equals the row_number selection and binds the cap") {
+    val cap = 3
+    val viaFacade = corpus.capPerSource(col("source"), cap).df
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(length(col("text")).desc, col("doc_id").asc)
+    val manual = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    assert(ids(viaFacade) === ids(manual))
+    // the cap binds: no source exceeds it, and at least one source hits it
+    val per = viaFacade.groupBy("source").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 <= cap) && per.exists(_._2 == cap))
+    // custom order is honored (shortest-first flips the selection)
+    val shortest = corpus.capPerSource(col("source"), cap,
+      order = Seq(length(col("text")).asc, col("doc_id").asc)).df
+    assert(ids(shortest) !== ids(viaFacade))
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap

@@ -174,7 +174,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_substring_spans: dup-hash aggregate + per-doc span-merge window
     // (the (doc_id, gid) groupBy rides the window's partitioning);
     // scrub adds the per-doc rebuild aggregate
-    "q_substring_spans" -> 2, "q_substring_scrub" -> 3)
+    "q_substring_spans" -> 2, "q_substring_scrub" -> 3,
+    // q_source_cap: the one GroupTopK exchange on source
+    "q_source_cap" -> 1)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
