@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warehouse
+
+/** Persisted MinHash-LSH band index — the build-once / probe-per-drop
+  * form of [[Dedup.minhashNovel]].
+  *
+  * `minhashNovel` re-shingles and re-minhashes the WHOLE corpus on
+  * every call; correct, but at 100 TB the corpus-side signature pass
+  * dwarfs the actual screen of a daily crawl drop. The index
+  * materializes the corpus's (band_id, band_key, doc_id) rows ONCE as
+  * a bucketed, bucket-sorted warehouse table keyed on the band
+  * columns, so every later probe:
+  *
+  *   - never touches corpus text again (the probe reads the index's
+  *     band columns only — column pruning drops doc_id for the
+  *     novelty screen),
+  *   - never shuffles the corpus side again (bucket layout IS the
+  *     join partitioning; only the drop-sized batch side exchanges,
+  *     into the bucket count),
+  *   - stays incremental: accepted novel docs [[append]] their bands
+  *     into the same bucket layout — ingest cost proportional to the
+  *     drop, not the corpus.
+  *
+  * The per-query saving vs `minhashNovel` is exactly the §2.2c
+  * bucketed-join argument (one shuffle paid at ingest replaces one
+  * corpus shuffle + full signature recompute per probe), applied to
+  * the dedup pipeline's hottest recurring job.
+  *
+  * Band semantics are [[Dedup.minhashBandKeys]] verbatim (same
+  * params object → same keys), so [[screenNovel]] is row-identical to
+  * `minhashNovel` by construction — `MinhashIndexSpec` asserts it.
+  */
+object MinhashIndex {
+
+  /** Banding parameters; must match between [[create]], [[append]],
+    * and every probe against the same table (the band keys are a
+    * function of them). */
+  final case class Params(
+      shingleN: Int = 3,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2,
+      portable: Boolean = false)
+
+  private def bands(df: DataFrame, text: Column, id: Column, p: Params): DataFrame =
+    Dedup.minhashBandKeys(df, text, id, p.shingleN, p.numBands, p.rowsPerBand, p.portable)
+      .select(col("band_id"), col("band_key"), col("doc_id"))
+
+  /** Build the index table from the current corpus. `nBuckets` sizes
+    * the permanent layout (bucket ≈ one task's worth; both probe
+    * shuffles and appends inherit it). */
+  def create(corpus: DataFrame, text: Column, id: Column, table: String,
+      nBuckets: Int, p: Params = Params()): Unit =
+    Warehouse.writeBucketed(bands(corpus, text, id, p), table,
+      Seq("band_id", "band_key"), nBuckets)
+
+  /** Append the bands of accepted new docs (same layout — Spark
+    * refuses a mismatched bucket spec, so a wrong `nBuckets` fails
+    * loudly rather than corrupting the layout). */
+  def append(docs: DataFrame, text: Column, id: Column, table: String,
+      nBuckets: Int, p: Params = Params()): Unit =
+    bands(docs, text, id, p).write
+      .bucketBy(nBuckets, "band_id", "band_key")
+      .sortBy("band_id", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
+
+  /** The novelty screen: batch rows that share NO band with the
+    * indexed corpus — row-identical to `Dedup.minhashNovel(corpus,
+    * batch, …)` but the corpus side is one pruned, pre-partitioned
+    * index scan. */
+  def screenNovel(spark: SparkSession, table: String, batch: DataFrame,
+      text: Column, id: Column, p: Params = Params()): DataFrame = {
+    val idx = spark.table(table)
+      .select(col("band_id").as("__ix_band"), col("band_key").as("__ix_key"))
+    val batchBands = bands(batch, text, id, p)
+    val dupIds = batchBands
+      .join(idx, col("band_id") === col("__ix_band") && col("band_key") === col("__ix_key"),
+        "left_semi")
+      .select(col("doc_id").as("__dup_id"))
+      .distinct()
+    batch.join(dupIds, id === col("__dup_id"), "left_anti")
+  }
+
+  /** Attribution probe: (corpus_doc, batch_doc) candidate pairs —
+    * which indexed doc does each duplicate batch doc collide with
+    * (the evidence row a review queue wants next to every
+    * rejection). */
+  def probePairs(spark: SparkSession, table: String, batch: DataFrame,
+      text: Column, id: Column, p: Params = Params()): DataFrame = {
+    val idx = spark.table(table)
+      .select(col("band_id").as("__ix_band"), col("band_key").as("__ix_key"),
+        col("doc_id").as("corpus_doc"))
+    bands(batch, text, id, p)
+      .join(idx, col("band_id") === col("__ix_band") && col("band_key") === col("__ix_key"))
+      .select(col("corpus_doc"), col("doc_id").as("batch_doc"))
+      .distinct()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinhashIndex}
+
+/** The persisted band index must be behavior-identical to the
+  * recompute-everything `minhashNovel`, and must actually buy the
+  * at-scale properties it exists for: a pruned corpus-side scan (no
+  * text, no doc_id for the screen) with NO corpus-side exchange, and
+  * append-incremental maintenance. Runs on the real sf0.001 docs. */
+class MinhashIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+  private def corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+  private def batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  private def withIndex(nBuckets: Int)(body: String => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mh LOCATION '$wh'")
+    try {
+      MinhashIndex.create(corpus, col("text"), col("doc_id"), "graft_mh.idx", nBuckets)
+      body("graft_mh.idx")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mh.idx")
+      spark.sql("DROP DATABASE IF EXISTS graft_mh")
+    }
+  }
+
+  test("screenNovel through the index is row-identical to minhashNovel") {
+    withIndex(4) { table =>
+      val viaIndex = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
+      val recompute = Dedup.minhashNovel(corpus, batch, col("text"), col("doc_id"))
+      assert(ids(viaIndex) === ids(recompute))
+      assert(ids(viaIndex).nonEmpty && ids(viaIndex).size < batch.count())
+    }
+  }
+
+  test("probe plan: corpus side is a pruned index scan with no exchange") {
+    withIndex(4) { table =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val novel = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
+        val plan = novel.queryExecution.executedPlan.toString
+        // column pruning: the screen reads band columns only — doc_id
+        // (and certainly no text) never leaves the index files
+        val scanLine = plan.linesIterator.find(_.contains("graft_mh.idx")).getOrElse("")
+        assert(scanLine.contains("band_id") && !scanLine.contains("doc_id"),
+          s"index scan should prune to band columns:\n$scanLine")
+        // the semi-join consumes the bucket layout: the index branch
+        // (from its Sort down to the idx FileScan) has NO exchange —
+        // only the drop-sized batch side shuffles, into the bucket
+        // count
+        assert(scanLine.contains("Bucketed: true"),
+          s"index scan should use the bucket layout:\n$scanLine")
+        val idxBranch = plan.substring(
+          plan.lastIndexOf("Sort [__ix_band"), plan.indexOf("graft_mh.idx"))
+        assert(!idxBranch.contains("Exchange"),
+          s"index side of the band semi-join must not shuffle:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("append makes the index screen out the appended docs") {
+    withIndex(4) { table =>
+      val before = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
+      assert(ids(before).nonEmpty)
+      MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 4)
+      // every batch doc now collides with its own indexed bands
+      val after = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
+      assert(after.count() === 0)
+    }
+  }
+
+  test("append refuses a mismatched bucket count instead of corrupting the layout") {
+    withIndex(4) { table =>
+      intercept[Exception] {
+        MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 8)
+      }
+    }
+  }
+
+  test("probePairs attributes each screened duplicate to an indexed doc") {
+    withIndex(4) { table =>
+      val pairs = MinhashIndex.probePairs(spark, table, batch, col("text"), col("doc_id"))
+        .as[(Long, Long)].collect()
+      val corpusIds = ids(corpus)
+      val batchIds = ids(batch)
+      assert(pairs.nonEmpty)
+      assert(pairs.forall { case (c, b) => corpusIds(c) && batchIds(b) })
+      // exactly the batch docs the screen rejected appear as pair targets
+      val rejected = batchIds -- ids(
+        MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id")))
+      assert(pairs.map(_._2).toSet === rejected)
+    }
+  }
+}
