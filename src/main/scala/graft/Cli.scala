@@ -124,11 +124,13 @@ import graft.sources.PartitionedFiles
   *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
   *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
   *                  [--decontam PATH [--decontam-text text] [--decontam-id doc_id]]
+  *                  [--source-cap N [--source SOURCE_COL]]
   *                  [--temperature SOURCE_COL] [--split 90,5]
   *       the whole training-data prep chain as ONE verb (the Corpus
   *       facade): quality floor -> exact dedup -> near dedup ->
-  *       LM-quality gate -> benchmark decontamination -> temperature
-  *       mixture sampling -> split assignment; every stage optional,
+  *       LM-quality gate -> benchmark decontamination -> per-source
+  *       cap -> temperature mixture sampling -> split assignment;
+  *       every stage optional,
   *       each delegating to the oracle-gated library operator
   */
 object Cli {
@@ -474,6 +476,10 @@ object Cli {
             c = c.decontaminate(bench,
               expr(opts.getOrElse("decontam-text", "text")),
               expr(opts.getOrElse("decontam-id", "doc_id")))
+          }
+          opts.get("source-cap").foreach { s =>
+            c = c.capPerSource(
+              col(opts.getOrElse("source", "source")), s.toInt)
           }
           opts.get("temperature").foreach(s => c = c.temperatureSample(col(s)))
           opts.get("split").foreach { s =>

@@ -98,6 +98,26 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     keep(org.apache.spark.sql.graft.GraftPlans.groupTopK(df, Seq(source), ord, maxDocs))
   }
 
+  /** Exact substring scrub stage (Lee et al.; [[dedup.SubstringDedup]]):
+    * delete every duplicated `windowTokens`-token span occurrence
+    * after the corpus-wide first, and rewrite the text column IN
+    * PLACE so the chain continues on scrubbed text. `textName` names
+    * the physical column this facade's `text` Column reads (the
+    * facade can't recover a name from an arbitrary expression).
+    * Docs scrubbed to nothing drop; docs shorter than the window
+    * pass untouched. */
+  def scrubSubstrings(windowTokens: Int, textName: String = "text",
+      minCount: Long = 2L): Corpus = {
+    require(df.columns.contains(textName),
+      s"scrubSubstrings: no column '$textName' in ${df.columns.mkString(",")}")
+    val cleaned = dedup.SubstringDedup
+      .scrubDuplicatedSpans(df, text, id, windowTokens, minCount)
+      .select(col("doc_id").as("__ss_id"), col("clean_text").as("__ss_text"))
+    keep(df.join(cleaned, id === col("__ss_id"))
+      .withColumn(textName, col("__ss_text"))
+      .drop("__ss_id", "__ss_text"))
+  }
+
   /** Unigram-LM quality gate: drop docs whose share of corpus-rare
     * tokens (corpus frequency ≤ `rareMax`) exceeds `maxRareRatio` —
     * the gibberish/OCR-noise screen. Cross-multiplied comparison, no

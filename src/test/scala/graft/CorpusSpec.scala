@@ -154,6 +154,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(shortest) !== ids(viaFacade))
   }
 
+  test("scrubSubstrings rewrites text in place and stays chainable") {
+    val viaFacade = corpus.scrubSubstrings(windowTokens = 8).df
+    val manual = graft.dedup.SubstringDedup
+      .scrubDuplicatedSpans(docs, col("text"), col("doc_id"), 8)
+    assert(ids(viaFacade) === ids(manual))
+    // schema preserved, text rewritten to the scrubbed form
+    assert(viaFacade.columns.toSet === docs.columns.toSet)
+    val facadeText = viaFacade.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val manualText = manual.select(col("doc_id"), col("clean_text"))
+      .as[(Long, String)].collect().toMap
+    assert(facadeText === manualText)
+    // the chain continues on scrubbed text
+    val chained = corpus.scrubSubstrings(8).qualityFilter(10).df
+    assert(ids(chained).subsetOf(ids(viaFacade)))
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap

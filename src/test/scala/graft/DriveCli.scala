@@ -436,6 +436,7 @@ object DriveCli {
       "--min-tokens", "30", "--near", "minhash-best",
       "--lm-rare-max", "100", "--lm-max-rare-ratio", "0.9",
       "--decontam", s"$tmp/bench",
+      "--source-cap", "10",
       "--temperature", "source", "--split", "90,5",
       "--outfile", s"$tmp/corpus"))
     locally {
@@ -448,6 +449,7 @@ object DriveCli {
         .qualityFilter(30).exactDedup().nearDedupKeepBest()
         .lmQualityFilter(100L, 0.9)
         .decontaminate(bench, col("text"), col("doc_id"))
+        .capPerSource(col("source"), 10)
         .temperatureSample(col("source"))
         .splitAssign(90, 5).df
       val n = out.count()

@@ -28,6 +28,29 @@ class TableDiffSpec extends SparkSpecBase {
     assert(out === Set((1L, "unchanged"), (2L, "changed")))
   }
 
+  test("snapshotDiff matches a brute-force reference on random snapshots") {
+    val rnd = new scala.util.Random(7)
+    def snap() = (1L to 120L).flatMap { k =>
+      if (rnd.nextInt(4) == 0) None
+      else Some(k -> (if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}"))
+    }.toMap
+    val oldM = snap(); val newM = snap()
+    val expected = (oldM.keySet ++ newM.keySet).map { k =>
+      val st = (oldM.get(k), newM.get(k)) match {
+        case (None, Some(_))          => "added"
+        case (Some(_), None)          => "removed"
+        case (Some(a), Some(b))       => if (a == b) "unchanged" else "changed"
+        case (None, None)             => sys.error("unreachable")
+      }
+      (k, st)
+    }
+    val out = TableDiff.snapshotDiff(
+      oldM.toSeq.toDF("doc_id", "text"), newM.toSeq.toDF("doc_id", "text"),
+      col("doc_id"), col("doc_id"), col("text"), col("text"), keyName = "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(out === expected)
+  }
+
   test("snapshotDiff resolves per-side columns with different names") {
     // the two snapshots need not share column names — per-side Column
     // params resolve against their own frame
