@@ -55,10 +55,12 @@ object Bench {
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // the driver's BENCH artifact keeps only a tail of stdout, which
-    // truncates the per-query map — persist the complete map to a file
-    // so cross-round regressions stay diagnosable query by query
+    // the driver's BENCH artifact keeps only a ~2000-char tail of
+    // stdout: a 150-query full-precision map (~4 KB) arrives truncated
+    // mid-object and records "parsed": null. Print a compact line that
+    // FITS — total over all queries + the top-50 heaviest at ms
+    // precision — and persist the complete full-precision map to a file
+    // so cross-round regressions stay diagnosable query by query.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(out)
@@ -66,6 +68,10 @@ object Bench {
       java.nio.file.Files.writeString(p,
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    val top = results.sortBy(-_._2).take(50).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}""")
     spark.stop()
   }
 }

@@ -25,14 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros
-    * (lossless here: the generator emits µs precision). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, truncate to µs)
+    * and as TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). Normalize both to session-UTC TimestampType so
+    * every downstream operator sees one stable type regardless of
+    * which generation of the files it runs against. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to µs (generator emits µs)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ: wall time is UTC by construction
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** documents/embeddings arrive as ONE parquet file → one input
     * split → the expensive per-row work (shingling, hashing, vector
