@@ -25,23 +25,61 @@ import graft.text.{TextAnalysis, TextPrep}
   * composition. Plans stay lazy: nothing materializes until the
   * caller acts on `df`.
   */
-final case class Corpus(df: DataFrame, text: Column, id: Column) {
+final case class Corpus(df: DataFrame, text: Column, id: Column,
+    auditLog: Option[Vector[DataFrame]] = None) {
 
-  private def keep(kept: DataFrame): Corpus = copy(df = kept)
+  /** Start recording drop attribution: from here on, every stage that
+    * removes documents contributes its casualties to [[dropLedger]].
+    * Recording is lazy — each entry is an id-only anti-join between a
+    * stage's input and output plans (fingerprint-width: the ledger
+    * shuffles ids, never text), built but not executed until the
+    * ledger itself is acted on. */
+  def audited: Corpus = copy(auditLog = Some(Vector.empty))
+
+  /** The audit trail: (doc_id, stage_idx, stage) for every document
+    * the chain since [[audited]] dropped — the "why is this doc not
+    * in my training set" answer every production pipeline eventually
+    * needs. Stages run sequentially, so each dropped doc appears
+    * EXACTLY once, at the first (and only) stage that removed it;
+    * ledger ids ∪ surviving ids partition the audited input.
+    *
+    * Evaluation shape: entry k re-derives stage plans k−1 and k, so a
+    * full-ledger evaluation costs each stage ~twice. For cheap-stage
+    * chains that is fine; callers auditing expensive chains should
+    * scope a persist over the chain INPUT
+    * ([[operators.Pipelines.withPersisted]]) — the stages themselves
+    * stay lazy by facade contract. */
+  def dropLedger: DataFrame = {
+    val log = auditLog.getOrElse(throw new IllegalStateException(
+      "dropLedger requires an audited chain — call .audited before the stages to attribute"))
+    log.reduceOption(_ unionAll _).getOrElse(
+      df.select(id.as("doc_id")).limit(0)
+        .withColumn("stage_idx", lit(0)).withColumn("stage", lit("")))
+  }
+
+  private def keep(kept: DataFrame, stage: String): Corpus = auditLog match {
+    case None => copy(df = kept)
+    case Some(log) =>
+      val dropped = df.select(id.as("doc_id"))
+        .join(kept.select(id.as("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("stage_idx", lit(log.size + 1))
+        .withColumn("stage", lit(stage))
+      copy(df = kept, auditLog = Some(log :+ dropped))
+  }
 
   /** Gopher-style floor: keep docs with at least `minTokens`
     * whitespace tokens. Scan-time filter, zero shuffles. */
   def qualityFilter(minTokens: Int): Corpus =
-    keep(df.filter(TextAnalysis.tokenCount(text) >= minTokens))
+    keep(df.filter(TextAnalysis.tokenCount(text) >= minTokens), "quality_filter")
 
   /** Drop rows whose keep-probability min(1, weight/threshold) misses
     * the deterministic draw — rerun-stable weighted sampling. */
   def weightedSample(weight: Column, threshold: Long): Corpus =
-    keep(df.filter(TextPrep.weightedSample(id, weight, threshold)))
+    keep(df.filter(TextPrep.weightedSample(id, weight, threshold)), "weighted_sample")
 
   /** Exact dedup by content hash, min-id representative per group. */
   def exactDedup(): Corpus =
-    keep(Dedup.exactDedupKeyed(df, text, id).drop("fp", "group_n"))
+    keep(Dedup.exactDedupKeyed(df, text, id).drop("fp", "group_n"), "exact_dedup")
 
   /** MinHash-LSH near-dup removal, keeping the min-id doc per
     * connected cluster. `portable = true` switches to the
@@ -50,7 +88,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
   def nearDedup(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2,
       portable: Boolean = false): Corpus = {
     val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand, portable)
-    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"), "near_dedup")
   }
 
   /** MinHash-LSH near-dup removal, keeping the LONGEST doc per
@@ -58,7 +96,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
   def nearDedupKeepBest(shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus = {
     val pairs = Dedup.minhashCandidatePairs(df, text, id, shingleN, numBands, rowsPerBand)
     keep(Components.keepBestPerCluster(df, id, pairs, "doc_a", "doc_b",
-      Seq(length(text).desc, id.asc)))
+      Seq(length(text).desc, id.asc)), "near_dedup_keep_best")
   }
 
   /** SimHash near-dup removal: 60-bit fingerprints (native SimHash60
@@ -68,7 +106,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     * budgets. */
   def nearDedupSimhash(maxHamming: Int = 3): Corpus = {
     val pairs = Dedup.simhashPairs(Dedup.simhash(df, text, id), maxHamming)
-    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"), "near_dedup_simhash")
   }
 
   /** Winnowing (MOSS-style) near-dup removal: substring-level —
@@ -78,7 +116,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
   def nearDedupWinnow(k: Int = 5, w: Int = 4, minShared: Long = 10,
       maxDocFreq: Long = 50): Corpus = {
     val pairs = TextAnalysis.winnowPairs(df, text, id, k, w, minShared, maxDocFreq)
-    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"))
+    keep(Components.keepOnePerCluster(df, id, pairs, "doc_a", "doc_b"), "near_dedup_winnow")
   }
 
   /** Gopher/FineWeb-style per-source frequency cap: keep at most
@@ -95,7 +133,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
   def capPerSource(source: Column, maxDocs: Int,
       order: Seq[Column] = Seq.empty): Corpus = {
     val ord = if (order.nonEmpty) order else Seq(length(text).desc, id.asc)
-    keep(org.apache.spark.sql.graft.GraftPlans.groupTopK(df, Seq(source), ord, maxDocs))
+    keep(org.apache.spark.sql.graft.GraftPlans.groupTopK(df, Seq(source), ord, maxDocs), "cap_per_source")
   }
 
   /** Exact substring scrub stage (Lee et al.; [[dedup.SubstringDedup]]):
@@ -115,7 +153,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
       .select(col("doc_id").as("__ss_id"), col("clean_text").as("__ss_text"))
     keep(df.join(cleaned, id === col("__ss_id"))
       .withColumn(textName, col("__ss_text"))
-      .drop("__ss_id", "__ss_text"))
+      .drop("__ss_id", "__ss_text"), "scrub_substrings")
   }
 
   /** Unigram-LM quality gate: drop docs whose share of corpus-rare
@@ -128,7 +166,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
         col("n_rare").as("__lm_rare"))
     keep(df.join(scores, id === col("__lm_id"))
       .filter(col("__lm_rare").cast("double") <= lit(maxRareRatio) * col("__lm_n"))
-      .drop("__lm_id", "__lm_n", "__lm_rare"))
+      .drop("__lm_id", "__lm_n", "__lm_rare"), "lm_quality_filter")
   }
 
   /** Temperature-flattened source mixture (α = 0.5): each source is
@@ -146,7 +184,7 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     val draw = conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("long")
     keep(df.join(broadcast(probs), source === col("__ts_src"))
       .filter(draw.cast("double") < col("__ts_p") * (1L << 28).toDouble)
-      .drop("__ts_src", "__ts_p"))
+      .drop("__ts_src", "__ts_p"), "temperature_sample")
   }
 
   /** SemDeDup semantic near-dedup (Abbas et al. 2023) over an
@@ -164,14 +202,14 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
     val keepIds = similarity.SemDedup
       .semDedup(prepared, numCentroids, lloydIters, tau, maxCellSize)
       .filter(!col("is_dup")).select(col("vec_id").as("__sd_keep"))
-    keep(df.join(keepIds, id === col("__sd_keep")).drop("__sd_keep"))
+    keep(df.join(keepIds, id === col("__sd_keep")).drop("__sd_keep"), "semantic_dedup")
   }
 
   /** Benchmark decontamination: drop docs sharing ≥ minHits distinct
     * n-grams with any doc of the eval set. */
   def decontaminate(bench: DataFrame, benchText: Column, benchId: Column,
       n: Int = 3, minHits: Long = 3): Corpus =
-    keep(Decontam.decontaminate(df, text, id, bench, benchText, benchId, n, minHits))
+    keep(Decontam.decontaminate(df, text, id, bench, benchText, benchId, n, minHits), "decontaminate")
 
   /** Screen THIS corpus (as the new drop) against an existing corpus:
     * keep only rows that are not LSH near-dups of it. Each side is
@@ -180,11 +218,11 @@ final case class Corpus(df: DataFrame, text: Column, id: Column) {
   def screenAgainst(existing: DataFrame, existingText: Column, existingId: Column,
       shingleN: Int = 3, numBands: Int = 4, rowsPerBand: Int = 2): Corpus =
     keep(Dedup.minhashNovel(existing, df, text, id, shingleN, numBands, rowsPerBand,
-      corpusText = Some(existingText), corpusId = Some(existingId)))
+      corpusText = Some(existingText), corpusId = Some(existingId)), "screen_against")
 
   /** Add a deterministic train/val/test column. */
   def splitAssign(trainPct: Int = 90, valPct: Int = 5, colName: String = "split"): Corpus =
-    keep(df.withColumn(colName, TextPrep.splitAssign(id, trainPct, valPct)))
+    keep(df.withColumn(colName, TextPrep.splitAssign(id, trainPct, valPct)), "split_assign")
 
   /** Per-group corpus stats: docs and total whitespace tokens. */
   def stats(group: Column): DataFrame =

@@ -88,6 +88,21 @@ object DedupQueries {
         .stats(col("source"))
         .select(col("source"), col("n_docs"), col("total_tokens"))),
 
+    // §2.3/24k drop-attribution ledger: the audited facade chain
+    // reports (doc_id, stage_idx, stage) for every document the
+    // pipeline dropped — quality floor, then minhash near-dedup
+    // (portable family), then the per-source cap. Each doc is
+    // attributed to exactly the FIRST stage that removed it; the
+    // oracle replays all three stages and takes per-stage set
+    // differences.
+    "q_drop_ledger" -> ((s, dir) =>
+      graft.Corpus(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .audited
+        .qualityFilter(30)
+        .nearDedup(portable = true)
+        .capPerSource(col("source"), maxDocs = PrepParams.SourceCapMax)
+        .dropLedger),
+
     // §2.3/24d quality-aware keep: per near-dup cluster keep the
     // LONGEST doc (token count desc, id asc tiebreak) instead of the
     // min id — the keeper is the copy worth training on.
@@ -361,6 +376,44 @@ object DedupQueries {
          |FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
          |WHERE d.doc_id = coalesce(c.cluster_id, d.doc_id)
          |GROUP BY source""".stripMargin
+
+  /** Drop-ledger replay: run the audited chain's three stages as
+    * successive CTEs (quality floor → minhash keep-one-per-cluster →
+    * per-source cap) and attribute each dropped doc to the first
+    * stage whose output no longer contains it. */
+  private val dropLedgerSql: String =
+    raw"""WITH RECURSIVE s0 AS (
+         |  SELECT doc_id, source, text FROM documents),
+         |s1 AS (
+         |  SELECT * FROM s0
+         |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+         |${minhashPairCtesOn("s1")},
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.a, re.r FROM sym s JOIN reach re ON s.b = re.id),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |s2 AS (
+         |  SELECT s1.* FROM s1 LEFT JOIN comp c ON s1.doc_id = c.id
+         |  WHERE s1.doc_id = coalesce(c.cluster_id, s1.doc_id)),
+         |s3 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY source
+         |             ORDER BY length(text) DESC, doc_id) AS rn
+         |    FROM s2)
+         |  WHERE rn <= ${PrepParams.SourceCapMax})
+         |SELECT doc_id, 1 AS stage_idx, 'quality_filter' AS stage
+         |FROM s0 WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+         |UNION ALL
+         |SELECT doc_id, 2 AS stage_idx, 'near_dedup' AS stage
+         |FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+         |UNION ALL
+         |SELECT doc_id, 3 AS stage_idx, 'cap_per_source' AS stage
+         |FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s3)""".stripMargin
 
   private val clusterSql: String =
     raw"""WITH RECURSIVE $minhashPairCtes,
@@ -683,6 +736,7 @@ object DedupQueries {
     // the facade chain is definitionally the same composition — one
     // oracle, two construction paths, both hash-gated
     "q_corpus_facade" -> corpusSql,
+    "q_drop_ledger" -> dropLedgerSql,
     "q_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -171,6 +171,46 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(chained).subsetOf(ids(viaFacade)))
   }
 
+  test("dropLedger partitions the input and attributes each doc to its first dropping stage") {
+    val audited = corpus.audited
+      .qualityFilter(30)
+      .nearDedup(portable = true)
+      .capPerSource(col("source"), maxDocs = 15)
+    val ledger = audited.dropLedger
+    assert(ledger.columns.toSeq === Seq("doc_id", "stage_idx", "stage"))
+
+    // partition property: dropped ∪ kept = input, disjoint, no doc twice
+    val droppedIds = ids(ledger)
+    val keptIds = ids(audited.df)
+    assert(droppedIds.intersect(keptIds).isEmpty)
+    assert(droppedIds ++ keptIds === ids(docs))
+    assert(ledger.count() === droppedIds.size.toLong, "a doc attributed to two stages")
+
+    // per-stage attribution matches the manual replay
+    val s1 = docs.filter(TextAnalysis.tokenCount(col("text")) >= 30)
+    val s2 = Components.keepOnePerCluster(s1, col("doc_id"),
+      Dedup.minhashCandidatePairs(s1, col("text"), col("doc_id"), 3, 4, 2, portable = true),
+      "doc_a", "doc_b")
+    val s3 = org.apache.spark.sql.graft.GraftPlans.groupTopK(
+      s2, Seq(col("source")), Seq(length(col("text")).desc, col("doc_id").asc), 15)
+    val byStage = ledger.select($"stage", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byStage.getOrElse("quality_filter", Set.empty) === ids(docs) -- ids(s1))
+    assert(byStage.getOrElse("near_dedup", Set.empty) === ids(s1) -- ids(s2))
+    assert(byStage.getOrElse("cap_per_source", Set.empty) === ids(s2) -- ids(s3))
+    // stage_idx follows chain order
+    val idxOf = ledger.select($"stage", $"stage_idx").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(idxOf === Map("quality_filter" -> 1, "near_dedup" -> 2, "cap_per_source" -> 3))
+
+    // non-dropping stages contribute empty entries, and the ledger
+    // requires an audited chain
+    val withSplit = audited.splitAssign()
+    assert(withSplit.dropLedger.count() === ledger.count())
+    assert(corpus.audited.dropLedger.count() === 0L)
+    intercept[IllegalStateException](corpus.qualityFilter(30).dropLedger)
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap
