@@ -126,12 +126,16 @@ import graft.sources.PartitionedFiles
   *                  [--decontam PATH [--decontam-text text] [--decontam-id doc_id]]
   *                  [--source-cap N [--source SOURCE_COL]]
   *                  [--temperature SOURCE_COL] [--split 90,5]
+  *                  [--emit docs|ledger]
   *       the whole training-data prep chain as ONE verb (the Corpus
   *       facade): quality floor -> exact dedup -> near dedup ->
   *       LM-quality gate -> benchmark decontamination -> per-source
   *       cap -> temperature mixture sampling -> split assignment;
   *       every stage optional,
-  *       each delegating to the oracle-gated library operator
+  *       each delegating to the oracle-gated library operator.
+  *       --emit ledger audits the chain and writes the drop ledger
+  *       (doc_id, stage_idx, stage — which stage dropped each doc)
+  *       instead of the surviving documents
   */
 object Cli {
 
@@ -448,7 +452,15 @@ object Cli {
         case "corpus" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          // --emit ledger: audit the chain and write the drop ledger
+          // (doc_id, stage_idx, stage) instead of the surviving docs
+          val emitLedger = opts.getOrElse("emit", "docs") match {
+            case "docs"   => false
+            case "ledger" => true
+            case o        => fail(s"--emit must be docs|ledger, got: $o")
+          }
           var c = Corpus(read(), text, id)
+          if (emitLedger) c = c.audited
           opts.get("min-tokens").foreach(m => c = c.qualityFilter(m.toInt))
           opts.getOrElse("dedup", "exact") match {
             case "exact" => c = c.exactDedup()
@@ -487,7 +499,7 @@ object Cli {
             if (parts.length != 2) fail("--split needs TRAIN,VAL percentages")
             c = c.splitAssign(parts(0), parts(1))
           }
-          write(c.df)
+          write(if (emitLedger) c.dropLedger else c.df)
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

@@ -458,5 +458,28 @@ object DriveCli {
         s"OK=${n == expect.count() && n > 0 && splits >= 2}")
       spark.stop()
     }
+
+    // corpus --emit ledger: same chain, but write WHO was dropped WHERE
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "corpus", "--text", "text", "--id", "doc_id",
+      "--min-tokens", "30", "--near", "minhash",
+      "--source-cap", "10",
+      "--emit", "ledger",
+      "--outfile", s"$tmp/ledger"))
+    locally {
+      val spark = GraftSession.builder("verifyLedger", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val ledger = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/ledger")
+      val audited = Corpus(in, col("text"), col("doc_id")).audited
+        .qualityFilter(30).exactDedup().nearDedup()
+        .capPerSource(col("source"), 10)
+      val expect = audited.dropLedger
+      val sameRows = ledger.select("doc_id", "stage_idx", "stage").except(expect).count() == 0 &&
+        expect.except(ledger.select("doc_id", "stage_idx", "stage")).count() == 0
+      val partitions = ledger.count() + audited.df.count() == in.count()
+      println(s"LEDGER=${ledger.count()} OK=${sameRows && partitions && ledger.count() > 0}")
+      spark.stop()
+    }
   }
 }
