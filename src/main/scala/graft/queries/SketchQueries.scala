@@ -58,6 +58,37 @@ object SketchQueries {
         .mapRecords(col("o_orderkey"), col("o_custkey"))
     }),
 
+    // §2.8/39b incremental stats ledger: three overlapping "crawl
+    // drops" of the documents table are summarized independently
+    // (counts + token sums + HLL register blobs per source), then the
+    // whole-corpus stats come from MERGING THE SUMMARIES ALONE — no
+    // corpus rescan. merge_exact pins the algebraic identity
+    // (union-of-sketches ≡ sketch-of-union: merged estimate ==
+    // direct full-corpus estimate, bit-equal); hll_ok pins the error
+    // bound vs the exact distinct count. The additive columns
+    // (n_docs, total_tokens) hash-match the oracle's replay —
+    // including the double-counted overlap rows, which is precisely
+    // what the DISTINCT estimate must not double-count.
+    "q_stats_ledger" -> ((s, dir) => {
+      import graft.sketch.StatsLedger
+      val docs = Tables.documents(s, dir)
+      val toks = size(split(trim(col("text")), "\\s+"))
+      def drop(pred: org.apache.spark.sql.Column, id: String) =
+        StatsLedger.dropSummary(docs.filter(pred), id, col("source"), col("doc_id"), toks)
+      val ledger = drop(pmod(col("doc_id"), lit(3)) === 0 || pmod(col("doc_id"), lit(7)) === 0, "d0")
+        .unionAll(drop(pmod(col("doc_id"), lit(3)) === 1, "d1"))
+        .unionAll(drop(pmod(col("doc_id"), lit(3)) === 2, "d2"))
+      val merged = StatsLedger.merge(ledger)
+      val direct = docs.groupBy(col("source").as("group"))
+        .agg(
+          Sketches.hll(xxhash64(col("doc_id"))).as("__direct_est"),
+          countDistinct(col("doc_id")).as("__exact_n"))
+      merged.join(direct, "group")
+        .select(col("group").as("source"), col("n_docs"), col("total_tokens"), col("n_drops"),
+          (col("distinct_keys_est") === col("__direct_est")).as("merge_exact"),
+          (abs(col("distinct_keys_est") - col("__exact_n")) <= col("__exact_n") * 0.05).as("hll_ok"))
+    }),
+
     // §2.8/41 t-digest quantiles: group count (hash-matched) + rank-
     // tolerance flags — estimate must land between the exact
     // percentiles at q ± 0.01 (computed with Spark's exact percentile).
@@ -82,6 +113,22 @@ object SketchQueries {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
         |       true AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_stats_ledger" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |d AS (
+           |  SELECT 'd0' AS drop_id, * FROM toks WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+           |  UNION ALL SELECT 'd1', * FROM toks WHERE doc_id % 3 = 1
+           |  UNION ALL SELECT 'd2', * FROM toks WHERE doc_id % 3 = 2)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           |       CAST(count(DISTINCT drop_id) AS BIGINT) AS n_drops,
+           |       true AS merge_exact,
+           |       true AS hll_ok
+           |FROM d GROUP BY source""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events

@@ -87,6 +87,43 @@ object Sketches {
   def hll(hashed: Column, p: Int = 12): Column =
     udaf(new Hll(p), Encoders.scalaLong).apply(hashed)
 
+  /** The same HLL, finishing to the raw register blob instead of the
+    * estimate — the PERSISTABLE form. Register merge is element-wise
+    * max, so union-of-sketches ≡ sketch-of-union exactly: an estimate
+    * computed from merged blobs is bit-identical to one computed over
+    * the concatenated inputs, which is what lets a stats ledger
+    * answer whole-corpus distinct counts without rescanning old
+    * drops ([[StatsLedger]]). */
+  class HllSketch(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    private val inner = new Hll(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = inner.reduce(regs, hash)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(regs: Array[Byte]): Array[Byte] = regs
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column handle: HLL register blob of a pre-hashed long column. */
+  def hllSketch(hashed: Column, p: Int = 12): Column =
+    udaf(new HllSketch(p), Encoders.scalaLong).apply(hashed)
+
+  /** Merge persisted register blobs (element-wise max) and finish to
+    * the distinct estimate — the read side of a sketch ledger. */
+  class HllMerge(p: Int) extends Aggregator[Array[Byte], Array[Byte], Long] {
+    private val inner = new Hll(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(acc: Array[Byte], regs: Array[Byte]): Array[Byte] = inner.merge(acc, regs)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(regs: Array[Byte]): Long = inner.finish(regs)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column handle: distinct estimate from merged register blobs. */
+  def hllMergeEstimate(sketch: Column, p: Int = 12): Column =
+    udaf(new HllMerge(p), Encoders.BINARY).apply(sketch)
+
   // -------------------------------------------------------- Misra-Gries
 
   /** Misra-Gries heavy-hitter candidates over long keys with k

@@ -142,4 +142,37 @@ class SketchSpec extends SparkSpecBase {
     val d32 = df.repartition(32).agg(Sketches.tdigest(col("v")).as("d")).select(size(col("d.means"))).as[Int].head()
     assert(d1 <= 200 && d32 <= 200) // k1 scale: ≤ δ centroids regardless of input size / layout
   }
+
+  test("stats ledger: persisted drop summaries roll up without rescanning, overlap not double-counted") {
+    import graft.sketch.StatsLedger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val path = s"$tmp/ledger"
+    // three overlapping drops over 0..29999, two groups (id % 2)
+    val all = spark.range(30000)
+      .select(col("id"), (col("id") % 2).cast("string").as("grp"), lit(5L).as("toks"))
+    val preds = Seq(
+      "d0" -> (col("id") < 15000),
+      "d1" -> (col("id") >= 10000 && col("id") < 25000), // overlaps d0 and d2
+      "d2" -> (col("id") >= 20000))
+    preds.foreach { case (did, p) =>
+      StatsLedger.append(path,
+        StatsLedger.dropSummary(all.filter(p), did, col("grp"), col("id"), col("toks")))
+    }
+    val rolled = StatsLedger.corpusStats(spark, path).orderBy("group").collect()
+    assert(rolled.map(_.getAs[Long]("n_drops")).toSeq === Seq(3L, 3L))
+    // additive columns replay the per-drop sums (overlap double-counts by design)
+    val expectRows = preds.map { case (_, p) => all.filter(p).count() }.sum
+    assert(rolled.map(_.getAs[Long]("n_docs")).sum === expectRows)
+    assert(rolled.map(_.getAs[Long]("total_tokens")).sum === expectRows * 5L)
+    // the distinct estimate must NOT double-count the overlap: merged
+    // ledger estimate == direct full-data estimate, bit-equal (the
+    // union-of-sketches ≡ sketch-of-union identity), and within the
+    // p=12 bound of the true 15000 per group
+    val direct = all.groupBy("grp")
+      .agg(Sketches.hll(xxhash64(col("id"))).as("est"))
+      .orderBy("grp").select("est").as[Long].collect()
+    val merged = rolled.map(_.getAs[Long]("distinct_keys_est"))
+    assert(merged.toSeq === direct.toSeq, "merged-sketch estimate diverged from direct estimate")
+    merged.foreach(e => assert(math.abs(e - 15000L) <= 15000 * 0.05))
+  }
 }
