@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * windowTokens at the edges).
   *
   * Scale shape: the window stream is one row per token position —
-  * projected to (doc_id, pos, md5) before any exchange, so the
-  * duplicate-detection shuffle carries ~32 B/row no matter the
+  * projected to (doc_id, pos, 128-bit fingerprint) before any
+  * exchange, so the duplicate-detection shuffle carries ~24 B/row
+  * (two xxhash64 lanes — digest-grade collision math at half the
+  * bytes of an md5 hex string) no matter the
   * document size, the same fingerprint-width discipline as
   * `TableDiff`. The duplicated-hash set is NOT broadcast (unlike the
   * boilerplate gram set it is unbounded — at 100 TB it is most of the
@@ -58,9 +60,9 @@ object SubstringDedup {
   ): DataFrame = {
     require(windowTokens >= 2 && minCount >= 2)
     val wins = windowHashes(df, text, id, windowTokens)
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("h")
-    val cov = wins.join(dup, "h").select(col("doc_id"), col("p"))
+    val dup = wins.groupBy("h1", "h2").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("h1", "h2")
+    val cov = wins.join(dup, Seq("h1", "h2")).select(col("doc_id"), col("p"))
     mergeSpans(cov, windowTokens)
   }
 
@@ -79,9 +81,9 @@ object SubstringDedup {
   ): DataFrame = {
     require(windowTokens >= 2 && minCount >= 2)
     val wins = windowHashes(df, text, id, windowTokens)
-    // one exchange on h serves both the occurrence count and the
-    // canonical rank (same partitioning, two Window nodes)
-    val byH = Window.partitionBy("h")
+    // one exchange on the fingerprint serves both the occurrence
+    // count and the canonical rank (same partitioning, two Window nodes)
+    val byH = Window.partitionBy("h1", "h2")
     val ranked = wins
       .withColumn("__c", count(lit(1)).over(byH))
       .withColumn("__rn", row_number().over(byH.orderBy(col("doc_id"), col("p"))))
@@ -100,12 +102,17 @@ object SubstringDedup {
         count(lit(1)).as("n_kept"))
   }
 
-  /** (doc_id, p, h): md5 of the `windowTokens`-gram starting at
-    * 0-based token position p — the fingerprint-width projection both
-    * entry points shuffle instead of text. */
+  /** (doc_id, p, h1, h2): 128-bit two-lane xxhash fingerprint of the
+    * `windowTokens`-gram starting at 0-based token position p — the
+    * fingerprint-width projection both entry points shuffle instead
+    * of text. Two independent 64-bit lanes keep the collision math of
+    * a 128-bit digest (a false duplicate needs BOTH lanes to collide,
+    * ~(#windows)²·2⁻¹²⁹ — negligible at 10¹² corpus windows) at half
+    * the shuffle bytes of the md5 hex string this used to carry. */
   private def windowHashes(df: DataFrame, text: Column, id: Column, w: Int): DataFrame =
     df.select(id.as("doc_id"), posexplode(Dedup.shinglesRaw(text, w)).as(Seq("p", "g")))
-      .select(col("doc_id"), col("p").cast("long").as("p"), md5(col("g")).as("h"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
 
   /** Merge overlapping-or-adjacent duplicated windows (cov: doc_id, p)
     * into maximal spans. Classic interval coalescing: a window starts

@@ -226,13 +226,22 @@ object TextPrep {
   def removeFrequentGrams(df: DataFrame, text: Column, id: Column,
       n: Int, minDocFreq: Long): DataFrame = {
     require(n >= 1 && minDocFreq >= 2)
+    // fingerprint-width discipline (as in TableDiff / SubstringDedup):
+    // gram TEXT never reaches an exchange — the doc-frequency
+    // aggregate and the coverage join key on a 128-bit two-lane
+    // xxhash fingerprint (16 B vs ~40 B word 3-grams, so the one
+    // corpus-sized shuffle here carries ~40% of the bytes). A gram
+    // falsely marked boilerplate needs BOTH lanes to collide:
+    // ~(#grams)²·2⁻¹²⁹ — negligible even at 10¹² corpus grams.
     val g3 = df.select(id.as("doc_id"),
       posexplode(graft.dedup.Dedup.shinglesRaw(text, n)).as(Seq("p", "g")))
-    val freq = g3.groupBy("g")
+      .select(col("doc_id"), col("p"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+    val freq = g3.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocFreq)
-      .select("g")
-    val covered = g3.join(broadcast(freq), "g")
+      .select("h1", "h2")
+    val covered = g3.join(broadcast(freq), Seq("h1", "h2"))
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
       .distinct()
     val tokPos = df.select(id.as("doc_id"),
