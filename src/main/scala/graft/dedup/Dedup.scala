@@ -239,10 +239,16 @@ object Dedup {
       n: Int,
       maxDocFreq: Option[Long]
   ): DataFrame = {
+    // fingerprint-width discipline: both corpus-sized exchanges (the
+    // per-doc distinct count and the group-by-gram) key on a 128-bit
+    // two-lane xxhash fingerprint — gram TEXT never shuffles, and a
+    // spurious shared gram needs both 64-bit lanes to collide
+    // (~(#grams)^2 * 2^-129, negligible at corpus scale)
     val g0 = df.select(id.as("doc_id"), explode(shinglesRaw(text, n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
     // per-doc distinct gram count (set semantics without a separate shuffle)
-    val sizes = g0.groupBy("doc_id").agg(count_distinct(col("g")).as("n"))
-    val byGram = g0.groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    val sizes = g0.groupBy("doc_id").agg(count_distinct(col("h1"), col("h2")).as("n"))
+    val byGram = g0.groupBy("h1", "h2").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= lit(maxDocFreq.getOrElse(Long.MaxValue)))
     val pairs = byGram
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
@@ -275,13 +281,21 @@ object Dedup {
     // carry the text length with each gram: the |len_a − len_b| ≤ maxDist
     // necessary condition then prunes pairs INSIDE the gram self-join,
     // before they are aggregated — far fewer rows reach the groupBy
+    // the three gram exchanges (distinct, doc-freq count, self-join)
+    // key on a 128-bit two-lane fingerprint, never gram text; a lane
+    // collision can only ADD a candidate pair, and the exact
+    // levenshtein below filters it — exactness is unaffected
     val g0 = base.select(col("doc_id"), length(col("__t")).as("__len"),
-      explode(shinglesRaw(col("__t"), shingleN)).as("g")).distinct()
-    val keep = g0.groupBy("g").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("g")
-    val g = g0.join(keep, "g")
+      explode(shinglesRaw(col("__t"), shingleN)).as("g"))
+      .select(col("doc_id"), col("__len"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+      .distinct()
+    val keep = g0.groupBy("h1", "h2").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("h1", "h2")
+    val g = g0.join(keep, Seq("h1", "h2"))
     val cand = g.as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+      .join(g.as("b"), col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+        && col("a.doc_id") < col("b.doc_id")
         && abs(col("a.__len") - col("b.__len")) <= maxDist)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("__shared"))
