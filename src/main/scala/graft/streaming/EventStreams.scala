@@ -150,6 +150,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus accounting: the streaming counterpart of
+    * [[graft.sketch.StatsLedger]] — every micro-batch of ingested
+    * documents appends its own per-group summary (counts + token sums
+    * + HLL register blobs) to the persisted ledger, with
+    * `drop_id = "batch-<id>"` from the CHECKPOINTED batch id. The
+    * write is a dynamic partition overwrite on drop_id, so a crash-
+    * replayed batch rewrites exactly its own ledger partition instead
+    * of appending a duplicate — the rollup
+    * ([[graft.sketch.StatsLedger.corpusStats]]) stays exactly-once
+    * without a transactional table format. Same batch-owned-state
+    * philosophy as [[novelDocsStream]]: the ledger is a plain parquet
+    * table the batch side reads with zero coordination, and corpus-
+    * lifetime distinct counts stay answerable without rescanning
+    * anything but summary rows. */
+  def statsLedgerStream(
+      docs: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tokens: org.apache.spark.sql.Column,
+      ledgerPath: String,
+      checkpointDir: String,
+      p: Int = 12
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.sketch.StatsLedger
+          .dropSummary(batch, s"batch-$bid", col(groupCol), col(keyCol), tokens, p)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("drop_id")
+          .parquet(ledgerPath)
+      }
+      .start()
+
   /** Streaming novelty screen: the streaming counterpart of
     * `Dedup.minhashNovel` — every micro-batch of incoming documents is
     * screened against the STATIC corpus by MinHash-LSH band collision

@@ -610,4 +610,44 @@ class StreamingSpec extends SparkSpecBase {
     // getTime truncates to ms (here: .000), so the old formula loses the 123 µs
     assert(EventStreams.micros(t) === t.getTime * 1000 + 123L)
   }
+
+  test("statsLedgerStream appends per-batch summaries; rollup matches batch ledger and survives replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.{Sketches, StatsLedger}
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, grp, toks)
+    val tmp = java.nio.file.Files.createTempDirectory("ledger_stream").toString
+    val (path, ckpt) = (s"$tmp/ledger", s"$tmp/ckpt")
+    val q = EventStreams.statsLedgerStream(
+      mem.toDF().toDF("doc_id", "grp", "toks"),
+      "grp", "doc_id", col("toks"), path, ckpt)
+    val b1 = (0L until 2000L).map(i => (i, (i % 2).toString, 5L))
+    val b2 = (1000L until 4000L).map(i => (i, (i % 2).toString, 5L)) // overlaps b1
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val rolled = StatsLedger.corpusStats(spark, path).orderBy("group").collect()
+    // two drops per group, additive columns double-count the overlap
+    assert(rolled.map(_.getAs[Long]("n_drops")).toSeq === Seq(2L, 2L))
+    assert(rolled.map(_.getAs[Long]("n_docs")).sum === (b1.size + b2.size).toLong)
+    // distinct estimate ignores the overlap: bit-equal to the direct
+    // estimate over the union of all streamed rows
+    val direct = (b1 ++ b2).toDF("doc_id", "grp", "toks")
+      .groupBy(col("grp").as("group"))
+      .agg(Sketches.hll(xxhash64(col("doc_id"))).as("est"))
+      .orderBy("group").select("est").as[Long].collect()
+    assert(rolled.map(_.getAs[Long]("distinct_keys_est")).toSeq === direct.toSeq)
+
+    // crash-replay idempotence: a retried batch id overwrites its own
+    // drop_id partition instead of appending a duplicate summary
+    StatsLedger
+      .dropSummary(b2.toDF("doc_id", "grp", "toks"), "batch-1",
+        col("grp"), col("doc_id"), col("toks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("drop_id").parquet(path)
+    val replayed = StatsLedger.corpusStats(spark, path).orderBy("group").collect()
+    assert(replayed.map(_.getAs[Long]("n_drops")).toSeq === Seq(2L, 2L))
+    assert(replayed.map(_.getAs[Long]("n_docs")).sum === (b1.size + b2.size).toLong)
+  }
 }
