@@ -176,7 +176,16 @@ class PlanAuditSpec extends SparkSpecBase {
     // scrub adds the per-doc rebuild aggregate
     "q_substring_spans" -> 2, "q_substring_scrub" -> 3,
     // q_source_cap: the one GroupTopK exchange on source
-    "q_source_cap" -> 1)
+    "q_source_cap" -> 1,
+    // q_drop_ledger: the audited 3-stage chain costs its own 3
+    // exchanges, and each of the 3 ledger entries re-derives its
+    // stage boundary as an id-only anti-join (documented recompute
+    // shape — Corpus.dropLedger scaladoc; callers persist the INPUT
+    // to collapse this, the facade itself stays lazy)
+    "q_drop_ledger" -> 9,
+    // q_stats_ledger: one partial-aggregate exchange per drop summary
+    // (3 drops) + the rollup merge + the direct-estimate compare join
+    "q_stats_ledger" -> 5)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
