@@ -42,11 +42,19 @@ object StatsLedger {
         Sketches.hllSketch(xxhash64(key), p).as("key_sketch"))
       .withColumn("drop_id", lit(dropId))
 
-  /** Append a drop's summary to the ledger table (idempotence is the
-    * caller's contract via distinct drop ids — the rollup reports
-    * per-drop provenance so a double append is visible). */
+  /** Append a drop's summary to the ledger table, IDEMPOTENT per
+    * drop id: the write is a dynamic partition overwrite on drop_id,
+    * so retrying a failed ingestion (or replaying a crashed streaming
+    * micro-batch — [[graft.streaming.EventStreams.statsLedgerStream]]
+    * uses the same write shape) rewrites exactly that drop's
+    * partition instead of appending a duplicate summary. Distinct
+    * drops never touch each other's partitions. */
   def append(path: String, summary: DataFrame): Unit =
-    summary.write.mode("append").parquet(path)
+    summary.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("drop_id")
+      .parquet(path)
 
   /** Whole-corpus rollup from summaries alone: additive stats sum,
     * sketches merge. Works on any union of [[dropSummary]] frames —

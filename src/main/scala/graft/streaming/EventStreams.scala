@@ -177,13 +177,12 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        graft.sketch.StatsLedger
-          .dropSummary(batch, s"batch-$bid", col(groupCol), col(keyCol), tokens, p)
-          .write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("drop_id")
-          .parquet(ledgerPath)
+        // StatsLedger.append is a dynamic partition overwrite on
+        // drop_id — a crash-replayed batch rewrites its own ledger
+        // partition, keeping the rollup exactly-once
+        graft.sketch.StatsLedger.append(ledgerPath,
+          graft.sketch.StatsLedger
+            .dropSummary(batch, s"batch-$bid", col(groupCol), col(keyCol), tokens, p))
       }
       .start()
 

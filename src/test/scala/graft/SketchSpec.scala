@@ -174,5 +174,13 @@ class SketchSpec extends SparkSpecBase {
     val merged = rolled.map(_.getAs[Long]("distinct_keys_est"))
     assert(merged.toSeq === direct.toSeq, "merged-sketch estimate diverged from direct estimate")
     merged.foreach(e => assert(math.abs(e - 15000L) <= 15000 * 0.05))
+
+    // append is idempotent per drop id: retrying an ingestion rewrites
+    // that drop's partition, the rollup is unchanged
+    StatsLedger.append(path,
+      StatsLedger.dropSummary(all.filter(preds(1)._2), "d1", col("grp"), col("id"), col("toks")))
+    val replayed = StatsLedger.corpusStats(spark, path).orderBy("group").collect()
+    assert(replayed.map(_.getAs[Long]("n_drops")).toSeq === Seq(3L, 3L))
+    assert(replayed.map(_.getAs[Long]("n_docs")).sum === expectRows)
   }
 }
