@@ -23,6 +23,11 @@ object PrepParams {
   // budget actually binds at sf0.01 (sources carry ~1350 tokens)
   val SampleTokenBudget = 500L
 
+  // q_bigram_lm: bigrams with corpus count <= BgRareMax are rare.
+  // At sf0.01 the 916 distinct bigrams have counts 1..48 (median 29),
+  // so 25 marks a real rare tail while most mass stays common.
+  val BgRareMax = 25L
+
   // q_lm_score: tokens with corpus occurrence count <= LmRareMax count
   // as rare. The synthetic vocabulary is 31 tokens with counts 26..964
   // at sf0.01, so 100 separates a genuinely rare tail token from the

@@ -121,6 +121,14 @@ object TextQueries {
       TextAnalysis.lmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
         rareMax = PrepParams.LmRareMax)),
 
+    // §2.5/31c bigram-LM quality score: the order-2 CCNet proxy —
+    // catches shuffled/template-stitched text whose unigrams are all
+    // corpus-common but whose word PAIRS are unseen. Integer-exact;
+    // rare threshold shared with the oracle via PrepParams.
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
+        rareMax = PrepParams.BgRareMax)),
+
     // §2.5/32b tokenizer fertility per language: subtokens-per-word
     // ratio (the "how much does this tokenizer fragment lang X"
     // diagnostic that drives vocab sizing). Integer sums + one
@@ -443,6 +451,25 @@ object TextQueries {
            |       CAST(sum(CASE WHEN cnt <= ${PrepParams.LmRareMax} THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
            |       CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
            |FROM tf JOIN freq USING (t)
+           |GROUP BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+           |), bg AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])) AS g
+           |  FROM tok WHERE len(ts) >= 2
+           |), tf AS (
+           |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, g
+           |), freq AS (
+           |  SELECT g, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY g
+           |)
+           |SELECT doc_id,
+           |       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(tf * cnt) AS BIGINT) AS sum_freq,
+           |       CAST(sum(CASE WHEN cnt <= ${PrepParams.BgRareMax} THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           |       CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
+           |FROM tf JOIN freq USING (g)
            |GROUP BY doc_id""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id,

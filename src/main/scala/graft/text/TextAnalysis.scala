@@ -301,6 +301,37 @@ object TextAnalysis {
     scoreTf(tf, freq, rareMax)
   }
 
+  /** Bigram-LM quality score — [[lmScore]] one model order up, same
+    * integer-exact no-transcendental style: per document, the count
+    * of token BIGRAMS, the summed corpus frequency of those bigrams,
+    * the rare-bigram count (corpus frequency ≤ `rareMax`) and the
+    * mean bigram frequency (one double division at the end). The
+    * order-2 signal catches what unigrams structurally cannot:
+    * shuffled or template-stitched text whose every WORD is
+    * corpus-common but whose word PAIRS are unseen — the actual CCNet
+    * filter is an n-gram LM for exactly this reason. Documents with
+    * fewer than 2 tokens are absent (no bigram, no evidence).
+    *
+    * Scale shape: bigrams come from the native codegen 2-gram
+    * shingles and are fingerprinted (two-lane xxhash) BEFORE the
+    * per-doc tf aggregate and the frequency join — bigram text never
+    * reaches an exchange, the same width discipline as
+    * `removeFrequentGrams`. */
+  def bigramLmScore(df: DataFrame, text: Column, id: Column, rareMax: Long): DataFrame = {
+    val tf = df
+      .select(id.as("doc_id"), explode(graft.dedup.Dedup.shinglesRaw(text, 2)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+      .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("h1", "h2").agg(sum("tf").as("cnt"))
+    tf.join(freq, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("bigint").as("n_bigrams"),
+        sum(col("tf") * col("cnt")).cast("bigint").as("sum_freq"),
+        sum(when(col("cnt") <= rareMax, col("tf")).otherwise(lit(0L))).cast("bigint").as("n_rare"))
+      .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_bigrams"))
+  }
+
   /** The unigram-LM table itself: (t, cnt) corpus token frequencies —
     * the "trained model" half of [[lmScore]], reusable to score OTHER
     * corpora/batches against this reference distribution. */

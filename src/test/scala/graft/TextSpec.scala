@@ -209,4 +209,28 @@ class TextSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(scored === ((999L, 3L, 0L, 3L, 0.0)))
   }
+
+  test("bigramLmScore: order-2 signal separates fluent from shuffled text") {
+    // 10 fluent docs repeat the same word ORDER; the shuffled doc uses
+    // the exact same unigrams in an order no fluent doc ever produced.
+    val fluent = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val docs = (fluent :+ (99L, "mat the on sat cat the") :+ (100L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, col("text"), col("doc_id"), rareMax = 2L)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // 1-token doc: no bigram, no evidence, absent
+    assert(!out.contains(100L))
+    // fluent docs: every bigram occurs >= 10 times corpus-wide -> zero rare
+    assert(out(1L)._4 === 0L)
+    // unigram view is blind here (same tokens!), but every bigram of
+    // the shuffled doc is unique to it -> all 5 bigrams rare
+    assert(out(99L)._2 === 5L && out(99L)._4 === 5L)
+    // mean bigram frequency: exact, "mat the" etc. occur once each
+    assert(out(99L)._5 === 1.0)
+    // the unigram score genuinely cannot separate them: same tokens,
+    // same corpus unigram frequencies, ~same mean_freq
+    val uni = TextAnalysis.lmScore(docs, col("text"), col("doc_id"), rareMax = 2L)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(uni(99L)._4 === 0L, "unigram rare count sees nothing wrong with shuffled text")
+  }
 }
