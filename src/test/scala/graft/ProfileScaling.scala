@@ -6,17 +6,21 @@ package graft
 // exponents: alpha = log10(t_hi/t_lo) for a 10x data step, so alpha=1
 // is linear scaling and alpha<=0 means fixed overhead dominates.
 // sbt "Test/runMain graft.ProfileScaling"  → prints table, writes
-// dev/scaling_r7.json.
+// dev/scaling_r8.json (r7 curves preserved in dev/scaling_r7.json).
 object ProfileScaling {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("prof-scaling", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfs = Seq("0.001", "0.01", "0.1")
     // the bench head: every query that has topped 1.2s in a full
-    // sf0.1 session across r5/r6 (iterative or pair-generating plans)
+    // sf0.1 session across r5-r8, plus the r8-rewritten gram-shuffle
+    // family and the two new ledger queries
     val names = Seq(
       "q_semdedup", "q_ann_ivf", "q_cluster_star", "q_pagerank",
-      "q_corpus", "q_keep_best", "q_triangles", "q_tfidf")
+      "q_corpus", "q_keep_best", "q_triangles", "q_tfidf",
+      "q_fuzzy_join", "q_containment", "q_dedup_ngram",
+      "q_substring_spans", "q_substring_scrub", "q_boilerplate",
+      "q_drop_ledger", "q_stats_ledger", "q_bigram_lm")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -47,7 +51,7 @@ object ProfileScaling {
       s"""{"query":"$n","sf0.001":$a,"sf0.01":$b,"sf0.1":$c,""" +
         s""""alpha_001_01":${alpha(a, b)},"alpha_01_1":${alpha(b, c)}}"""
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r7.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r8.json"),
       rows.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }
