@@ -246,6 +246,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming bigram-LM quality scoring — [[lmScoredStream]] one
+    * model order up: each micro-batch is scored against a STATIC
+    * reference bigram table
+    * ([[graft.text.TextAnalysis.bigramFrequencies]], trained on the
+    * standing corpus by the batch pipeline); unseen bigrams count as
+    * frequency 0, maximally rare. Catches the incoming shuffled /
+    * template-stitched docs whose unigram distribution looks fine.
+    * Docs with fewer than 2 tokens carry no bigram evidence and are
+    * absent from the sink rows. */
+  def bigramScoredStream(
+      docs: DataFrame,
+      referenceFreq: DataFrame,
+      textCol: String,
+      idCol: String,
+      rareMax: Long,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scores = graft.text.TextAnalysis.bigramLmScoreAgainst(
+            batch, col(textCol), col(idCol), referenceFreq, rareMax)
+          .withColumnRenamed("doc_id", "__bg_doc_id")
+        sink(batch.join(scores, batch(idCol) === col("__bg_doc_id")).drop("__bg_doc_id"))
+      }
+      .start()
+
   /** Windowed per-source token counts — the streaming half of
     * temperature mixture monitoring: a watermarked tumbling-window
     * aggregate over (window, source), state bounded by #sources ×

@@ -318,19 +318,45 @@ object TextAnalysis {
     * reaches an exchange, the same width discipline as
     * `removeFrequentGrams`. */
   def bigramLmScore(df: DataFrame, text: Column, id: Column, rareMax: Long): DataFrame = {
-    val tf = df
-      .select(id.as("doc_id"), explode(graft.dedup.Dedup.shinglesRaw(text, 2)).as("g"))
+    val tf = bigramTf(df, text, id)
+    scoreBigramTf(tf, tf.groupBy("h1", "h2").agg(sum("tf").as("cnt")), rareMax)
+  }
+
+  /** The bigram-LM table itself: (h1, h2, cnt) fingerprinted corpus
+    * bigram frequencies — the "trained model" half of
+    * [[bigramLmScore]], reusable to score OTHER corpora/batches
+    * against this reference distribution (the standard hashed-n-gram
+    * LM-feature construction: keys are opaque, counts are what
+    * matter). */
+  def bigramFrequencies(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(graft.dedup.Dedup.shinglesRaw(text, 2)).as("g"))
+      .select(xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+
+  /** Score `df` against a REFERENCE bigram LM ([[bigramFrequencies]]
+    * of the standing corpus): same outputs as [[bigramLmScore]], but
+    * bigrams absent from the reference count as frequency 0
+    * (maximally rare) — the incremental-pipeline shape, mirroring
+    * [[lmScoreAgainst]] one model order up. */
+  def bigramLmScoreAgainst(df: DataFrame, text: Column, id: Column, freq: DataFrame,
+      rareMax: Long): DataFrame =
+    scoreBigramTf(bigramTf(df, text, id), freq, rareMax, leftJoin = true)
+
+  private def bigramTf(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(graft.dedup.Dedup.shinglesRaw(text, 2)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
       .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("tf"))
-    val freq = tf.groupBy("h1", "h2").agg(sum("tf").as("cnt"))
-    tf.join(freq, Seq("h1", "h2"))
+
+  private def scoreBigramTf(tf: DataFrame, freq: DataFrame, rareMax: Long,
+      leftJoin: Boolean = false): DataFrame =
+    tf.join(freq, Seq("h1", "h2"), if (leftJoin) "left" else "inner")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("doc_id")
       .agg(
         sum("tf").cast("bigint").as("n_bigrams"),
         sum(col("tf") * col("cnt")).cast("bigint").as("sum_freq"),
         sum(when(col("cnt") <= rareMax, col("tf")).otherwise(lit(0L))).cast("bigint").as("n_rare"))
       .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_bigrams"))
-  }
 
   /** The unigram-LM table itself: (t, cnt) corpus token frequencies —
     * the "trained model" half of [[lmScore]], reusable to score OTHER

@@ -271,6 +271,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId === batch)
   }
 
+  test("bigramScoredStream scores micro-batches against the static reference bigram LM") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference order: "alpha beta" (cnt 3), "beta alpha" (2), "beta beta" (1)
+    val corpus = Seq((1L, "alpha beta alpha beta"), (2L, "alpha beta beta alpha")).toDF("doc_id", "text")
+    val refFreq = graft.text.TextAnalysis.bigramFrequencies(corpus, col("text"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bg_ckpt").toString
+    val q = EventStreams.bigramScoredStream(
+      mem.toDF().toDF("doc_id", "text"), refFreq, "text", "doc_id",
+      rareMax = 1L, checkpointDir = ckpt) { scored =>
+      got.synchronized {
+        got ++= scored.select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("mean_freq"))
+          .as[(Long, Long, Long, Double)].collect()
+      }
+    }
+    // batch 1: in-order doc + reversed-order doc (same unigrams!)
+    mem.addData((10L, "alpha beta alpha"), (11L, "beta alpha beta"))
+    q.processAllAvailable()
+    // batch 2: one-token doc (no bigram evidence) + unseen pairs
+    mem.addData((12L, "alpha"), (13L, "gamma delta"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L) === ((10L, 2L, 0L, 2.5))) // "alpha beta"=3, "beta alpha"=2
+    assert(byId(11L) === ((11L, 2L, 0L, 2.5))) // same pairs, reversed doc
+    assert(!byId.contains(12L))                // <2 tokens: absent
+    assert(byId(13L) === ((13L, 1L, 1L, 0.0))) // unseen bigram: maximally rare
+    // parity with the batch scorer over the union of drops
+    val allDocs = Seq((10L, "alpha beta alpha"), (11L, "beta alpha beta"),
+      (12L, "alpha"), (13L, "gamma delta")).toDF("doc_id", "text")
+    val batch = graft.text.TextAnalysis.bigramLmScoreAgainst(
+        allDocs, col("text"), col("doc_id"), refFreq, rareMax = 1L)
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("mean_freq"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(byId === batch)
+  }
+
   test("windowedSourceTokens + temperaturePerWindow equals batch temperature weights per window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, String)]

@@ -233,4 +233,19 @@ class TextSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(uni(99L)._4 === 0L, "unigram rare count sees nothing wrong with shuffled text")
   }
+
+  test("bigramLmScoreAgainst: self-reference equals bigramLmScore; unseen bigrams maximally rare") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "b c d a")).toDF("doc_id", "text")
+    val selfFreq = TextAnalysis.bigramFrequencies(docs, col("text"))
+    val self = TextAnalysis.bigramLmScoreAgainst(docs, col("text"), col("doc_id"), selfFreq, 2L)
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.bigramLmScore(docs, col("text"), col("doc_id"), 2L)
+      .orderBy("doc_id").collect().toSeq
+    assert(self === direct)
+    // a doc whose bigrams the reference never saw: every bigram rare at freq 0
+    val alien = Seq((9L, "zz yy xx")).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLmScoreAgainst(alien, col("text"), col("doc_id"), selfFreq, 2L)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(scored === ((9L, 2L, 0L, 2L, 0.0)))
+  }
 }
