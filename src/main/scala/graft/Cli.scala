@@ -123,6 +123,7 @@ import graft.sources.PartitionedFiles
   *   corpus         --text text --id doc_id [--min-tokens 30]
   *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
   *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
+  *                  [--bg-rare-max 25 [--bg-max-rare-ratio 0.5]]
   *                  [--decontam PATH [--decontam-text text] [--decontam-id doc_id]]
   *                  [--source-cap N [--source SOURCE_COL]]
   *                  [--temperature SOURCE_COL] [--split 90,5]
@@ -477,6 +478,8 @@ object Cli {
           }
           opts.get("lm-rare-max").foreach(r => c = c.lmQualityFilter(
             r.toLong, opts.getOrElse("lm-max-rare-ratio", "0.5").toDouble))
+          opts.get("bg-rare-max").foreach(r => c = c.bigramQualityFilter(
+            r.toLong, opts.getOrElse("bg-max-rare-ratio", "0.5").toDouble))
           opts.get("decontam").foreach { p =>
             val bench = fmt match {
               case "json"    => PartitionedFiles.readJsonl(spark, p, opts.get("decontam-schema"))

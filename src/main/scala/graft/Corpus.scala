@@ -169,6 +169,23 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       .drop("__lm_id", "__lm_n", "__lm_rare"), "lm_quality_filter")
   }
 
+  /** Bigram-LM quality gate — [[lmQualityFilter]] one model order up:
+    * drop docs whose share of corpus-rare BIGRAMS (corpus frequency ≤
+    * `rareMax`) exceeds `maxRareRatio`. Catches shuffled/stitched
+    * text whose unigram profile passes. Docs with fewer than 2 tokens
+    * carry no bigram evidence and PASS (the token-count floor is
+    * [[qualityFilter]]'s job, not this gate's). Cross-multiplied
+    * comparison, no division. */
+  def bigramQualityFilter(rareMax: Long, maxRareRatio: Double): Corpus = {
+    val scores = TextAnalysis.bigramLmScore(df, text, id, rareMax)
+      .select(col("doc_id").as("__bg_id"), col("n_bigrams").as("__bg_n"),
+        col("n_rare").as("__bg_rare"))
+    keep(df.join(scores, id === col("__bg_id"), "left")
+      .filter(col("__bg_rare").isNull ||
+        col("__bg_rare").cast("double") <= lit(maxRareRatio) * col("__bg_n"))
+      .drop("__bg_id", "__bg_n", "__bg_rare"), "bigram_quality_filter")
+  }
+
   /** Temperature-flattened source mixture (α = 0.5): each source is
     * kept with probability boost/max(boost) — the most up-weighted
     * (tail) source passes whole, head sources downsample toward the

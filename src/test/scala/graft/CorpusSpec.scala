@@ -81,6 +81,26 @@ class CorpusSpec extends SparkSpecBase {
     assert(out.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("bigramQualityFilter gates on rare-bigram ratio; short docs pass") {
+    val rareMax = 25L
+    val scores = TextAnalysis.bigramLmScore(docs, col("text"), col("doc_id"), rareMax)
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"))
+      .as[(Long, Long, Long)].collect()
+    val maxRatio = scores.map { case (_, n, rare) => rare.toDouble / n }.sorted
+      .apply(scores.length / 2)
+    val out = corpus.bigramQualityFilter(rareMax, maxRatio).df
+    val expect = scores.collect { case (id, n, rare) if rare.toDouble <= maxRatio * n => id }.toSet
+    assert(ids(out) === expect)
+    assert(expect.nonEmpty && expect.size < scores.length)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    // a 1-token doc has no bigram evidence → passes the gate
+    val tiny = Seq((7777L, "solo", "x", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val withTiny = Corpus(docs.unionByName(tiny), col("text"), col("doc_id"))
+      .bigramQualityFilter(rareMax, maxRatio).df
+    assert(ids(withTiny).contains(7777L))
+  }
+
   test("temperatureSample keeps the max-boost source whole and downsamples heads") {
     val out = corpus.temperatureSample(col("source")).df
     val w = TextPrep.temperatureWeights(docs, col("source"),
