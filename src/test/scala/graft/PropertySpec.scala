@@ -235,6 +235,43 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("ngramJaccard/containment pairs equal driver-side exact set math on random docs") {
+    // guards the r8 fingerprint plan: the gram exchanges key on
+    // two-lane xxhash fingerprints, so this asserts the fingerprinted
+    // grouping still computes the EXACT |A∩B| / set sizes a literal
+    // gram-set computation produces (small vocab forces heavy overlap)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docs = (0L until (8 + rnd.nextInt(10)).toLong).map { i =>
+        val n = 4 + rnd.nextInt(8)
+        (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(6))
+      def gramSet(t: String): Set[String] = {
+        val ts = t.trim.toLowerCase.split("\\s+").toSeq
+        ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> gramSet(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        i = (sa & sb).size if i > 0
+        j = i.toDouble / (sa.size + sb.size - i) if j >= 0.3
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"seed=$seed")
+      val expectedCont = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        i = (sa & sb).size if i > 0
+        c = i.toDouble / math.min(sa.size, sb.size) if c >= 0.6
+      } yield (a, b, c)).toSet
+      val gotCont = Dedup.containmentPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotCont === expectedCont, s"seed=$seed (containment)")
+    }
+  }
+
   test("BoundedMaxHeap keeps exactly the k smallest rows under any ordering") {
     // direct randomized check of the GroupTopK partial-phase heap
     // against sort-take-k, including duplicate keys and k > n
