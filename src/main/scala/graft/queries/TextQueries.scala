@@ -121,6 +121,13 @@ object TextQueries {
       TextAnalysis.lmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
         rareMax = PrepParams.LmRareMax)),
 
+    // §2.5/31d CCNet head/middle/tail buckets: per-language terciles
+    // of the unigram-LM mean-frequency proxy, assigned by broadcast
+    // percentile cutoffs (no per-language sort).
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextPrep.perplexityBuckets(Tables.documents(s, dir), col("text"), col("doc_id"),
+        col("lang"), rareMax = PrepParams.LmRareMax)),
+
     // §2.5/31c bigram-LM quality score: the order-2 CCNet proxy —
     // catches shuffled/template-stitched text whose unigrams are all
     // corpus-common but whose word PAIRS are unseen. Integer-exact;
@@ -452,6 +459,31 @@ object TextQueries {
            |       CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
            |FROM tf JOIN freq USING (t)
            |GROUP BY doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t
+           |), freq AS (
+           |  SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY t
+           |), score AS (
+           |  SELECT doc_id, CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
+           |  FROM tf JOIN freq USING (t) GROUP BY doc_id
+           |), sl AS (
+           |  SELECT d.doc_id, d.lang, s.mean_freq
+           |  FROM documents d JOIN score s USING (doc_id)
+           |), cuts AS (
+           |  SELECT lang,
+           |         quantile_cont(mean_freq, 2.0/3.0) AS c1,
+           |         quantile_cont(mean_freq, 1.0/3.0) AS c2
+           |  FROM sl GROUP BY lang
+           |)
+           |SELECT doc_id, lang, mean_freq,
+           |       CASE WHEN mean_freq >= c1 THEN 1
+           |            WHEN mean_freq >= c2 THEN 2
+           |            ELSE 3 END AS bucket
+           |FROM sl JOIN cuts USING (lang)""".stripMargin,
     "q_bigram_lm" ->
       raw"""WITH tok AS (
            |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents

@@ -192,6 +192,34 @@ object TextPrep {
     *
     * Scale shape: one map-side-combined aggregate over (source) plus
     * a broadcast of the single-row total. */
+  /** CCNet's head/middle/tail selection shape: per LANGUAGE, bucket
+    * documents into terciles of the unigram-LM quality proxy
+    * ([[TextAnalysis.lmScore]]'s mean corpus token frequency — high =
+    * corpus-typical = "head", the slice CCNet keeps or upweights).
+    * Returns (doc_id, lang, mean_freq, bucket) with bucket 1 = head,
+    * 2 = middle, 3 = tail.
+    *
+    * Scale shape: NO per-language global sort — the per-language
+    * tercile CUTOFFS are one tiny aggregate (#langs rows, exact
+    * interpolated percentile, broadcast back) and assignment is a
+    * scan-time comparison, so a corpus that is 95% one language costs
+    * the same as a balanced one. Ties at a cutoff bucket upward
+    * (`>=`), an order-free rule both engines apply identically. */
+  def perplexityBuckets(df: DataFrame, text: Column, id: Column, lang: Column,
+      rareMax: Long): DataFrame = {
+    val scores = graft.text.TextAnalysis.lmScore(df, text, id, rareMax)
+      .select(col("doc_id"), col("mean_freq"))
+    val scored = df.select(id.as("doc_id"), lang.as("lang")).join(scores, "doc_id")
+    val cuts = scored.groupBy("lang")
+      .agg(expr("percentile(mean_freq, array(2.0D/3.0D, 1.0D/3.0D))").as("__c"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("mean_freq") >= element_at(col("__c"), 1), 1)
+          .when(col("mean_freq") >= element_at(col("__c"), 2), 2)
+          .otherwise(3))
+      .select(col("doc_id"), col("lang"), col("mean_freq"), col("bucket"))
+  }
+
   def temperatureWeights(df: DataFrame, source: Column, tokens: Column): DataFrame = {
     val perSource = df.groupBy(source.as("source"))
       .agg(sum(tokens.cast("long")).cast("bigint").as("n_tokens"))

@@ -177,4 +177,22 @@ class TextPrepSpec extends SparkSpecBase {
     assert(out("B")._5 > 3.16 && out("B")._5 < 3.17) // tail upsampled
     assert(out("A")._5 < 1.06)                       // head nearly flat
   }
+
+  test("perplexityBuckets: per-language terciles, ordering invariant, partition") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextPrep.perplexityBuckets(docs, col("text"), col("doc_id"), col("lang"), 100L)
+      .select(col("lang"), col("bucket"), col("mean_freq"))
+      .as[(String, Int, Double)].collect()
+    assert(out.length === docs.count()) // every doc bucketed exactly once
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet === Set(1, 2, 3), s"$lang missing a bucket")
+      // the >= cutoff rule makes the buckets strictly ordered slices
+      assert(byBucket(1).min >= byBucket(2).max, s"$lang head/middle overlap")
+      assert(byBucket(2).min >= byBucket(3).max, s"$lang middle/tail overlap")
+      // terciles: balanced up to cutoff ties
+      val n = rows.length
+      assert(byBucket.values.forall(b => b.size >= n / 6), s"$lang badly skewed buckets")
+    }
+  }
 }
