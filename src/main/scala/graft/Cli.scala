@@ -124,6 +124,7 @@ import graft.sources.PartitionedFiles
   *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
   *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
   *                  [--bg-rare-max 25 [--bg-max-rare-ratio 0.5]]
+  *                  [--ppl-rare-max 100 [--ppl-keep 1,2] [--lang lang]]
   *                  [--decontam PATH [--decontam-text text] [--decontam-id doc_id]]
   *                  [--source-cap N [--source SOURCE_COL]]
   *                  [--temperature SOURCE_COL] [--split 90,5]
@@ -480,6 +481,11 @@ object Cli {
             r.toLong, opts.getOrElse("lm-max-rare-ratio", "0.5").toDouble))
           opts.get("bg-rare-max").foreach(r => c = c.bigramQualityFilter(
             r.toLong, opts.getOrElse("bg-max-rare-ratio", "0.5").toDouble))
+          opts.get("ppl-rare-max").foreach { r =>
+            val keepSet = opts.getOrElse("ppl-keep", "1,2")
+              .split(",").map(_.trim.toInt).toSet
+            c = c.keepPplBuckets(col(opts.getOrElse("lang", "lang")), r.toLong, keepSet)
+          }
           opts.get("decontam").foreach { p =>
             val bench = fmt match {
               case "json"    => PartitionedFiles.readJsonl(spark, p, opts.get("decontam-schema"))

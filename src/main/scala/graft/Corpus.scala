@@ -186,6 +186,23 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       .drop("__bg_id", "__bg_n", "__bg_rare"), "bigram_quality_filter")
   }
 
+  /** CCNet-style selection: bucket documents into per-language
+    * head/middle/tail terciles of the LM quality proxy
+    * ([[text.TextPrep.perplexityBuckets]]) and keep only the buckets
+    * in `keep` (default: head + middle — the slice CCNet trains
+    * from). No per-language sort: cutoffs broadcast, assignment is a
+    * scan. */
+  def keepPplBuckets(lang: Column, rareMax: Long,
+      keep: Set[Int] = Set(1, 2)): Corpus = {
+    require(keep.nonEmpty && keep.subsetOf(Set(1, 2, 3)),
+      s"keep must be a non-empty subset of {1,2,3}, got $keep")
+    val keepIds = TextPrep.perplexityBuckets(df, text, id, lang, rareMax)
+      .filter(col("bucket").isInCollection(keep))
+      .select(col("doc_id").as("__ppl_keep"))
+    this.keep(df.join(keepIds, id === col("__ppl_keep")).drop("__ppl_keep"),
+      "ppl_buckets")
+  }
+
   /** Temperature-flattened source mixture (α = 0.5): each source is
     * kept with probability boost/max(boost) — the most up-weighted
     * (tail) source passes whole, head sources downsample toward the

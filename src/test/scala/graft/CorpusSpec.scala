@@ -101,6 +101,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(withTiny).contains(7777L))
   }
 
+  test("keepPplBuckets keeps exactly the selected per-language terciles") {
+    val buckets = TextPrep.perplexityBuckets(docs, col("text"), col("doc_id"), col("lang"), 100L)
+      .select(col("doc_id"), col("bucket")).as[(Long, Int)].collect().toMap
+    val kept = corpus.keepPplBuckets(col("lang"), rareMax = 100L).df
+    assert(ids(kept) === buckets.collect { case (id, b) if b <= 2 => id }.toSet)
+    assert(kept.columns.toSeq === docs.columns.toSeq)
+    // tail-only selection is the complement within the bucketed set
+    val tail = corpus.keepPplBuckets(col("lang"), 100L, keep = Set(3)).df
+    assert(ids(tail) === buckets.collect { case (id, b) if b == 3 => id }.toSet)
+    assert(ids(tail).nonEmpty && (ids(tail) & ids(kept)).isEmpty)
+    // audited: drops attributed to the ppl_buckets stage
+    val audited = corpus.audited.keepPplBuckets(col("lang"), 100L)
+    val ledger = audited.dropLedger.select($"stage", $"doc_id").as[(String, Long)].collect()
+    assert(ledger.forall(_._1 == "ppl_buckets"))
+    assert(ledger.map(_._2).toSet === ids(tail))
+  }
+
   test("temperatureSample keeps the max-boost source whole and downsamples heads") {
     val out = corpus.temperatureSample(col("source")).df
     val w = TextPrep.temperatureWeights(docs, col("source"),
