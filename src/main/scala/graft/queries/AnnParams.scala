@@ -46,4 +46,12 @@ object AnnParams {
     * semantics themselves are spec-gated with a genuinely dense
     * cluster in SimilaritySpec. */
   val SemDedupMaxCell = 65536
+
+  // kNN label-agreement audit (q_knn_classify): every vec_id ≡ 0
+  // (mod KnnMod) is a held-out query classified by majority vote over
+  // its KnnK nearest corpus vectors. A denser query set than
+  // QueryMod's — classification accuracy needs more samples than
+  // neighbor-list checks do.
+  val KnnMod = 10
+  val KnnK = 10
 }

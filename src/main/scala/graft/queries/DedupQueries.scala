@@ -294,6 +294,15 @@ object DedupQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     }),
 
+    // §2.4/28b kNN label-agreement audit: majority vote of the KnnK
+    // nearest labels vs the query's own label — embedding/label
+    // coherence probe, fully oracle-gated (integer-grid cosine).
+    "q_knn_classify" -> ((s, dir) => {
+      val corpus = quantizedWithNorm(s, dir)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.KnnMod)) === 0)
+      Similarity.knnClassify(corpus, qs, AnnParams.KnnK)
+    }),
+
     // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
     // hyperplane matrix is embedded in the oracle SQL, so DuckDB
     // replays the exact bucketing (integer dots) and ranking. All
@@ -788,6 +797,30 @@ object DedupQueries {
            |SELECT q_id, neighbor_id, rank, cos FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            |  FROM p
-           |) WHERE rank <= ${AnnParams.CosineK}""".stripMargin
+           |) WHERE rank <= ${AnnParams.CosineK}""".stripMargin,
+
+    "q_knn_classify" ->
+      raw"""WITH $quantCte,
+           |p AS (
+           |  SELECT a.vec_id AS q_id, a.label AS true_label, b.label AS cand_label,
+           |         b.vec_id AS nid, $cosExpr AS cos
+           |  FROM n a JOIN n b ON a.vec_id % ${AnnParams.KnnMod} = 0 AND a.vec_id <> b.vec_id
+           |),
+           |top AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rnk
+           |    FROM p
+           |  ) WHERE rnk <= ${AnnParams.KnnK}
+           |),
+           |v AS (
+           |  SELECT q_id, true_label, cand_label, count(*) AS votes
+           |  FROM top GROUP BY 1, 2, 3
+           |)
+           |SELECT q_id, true_label, pred_label, votes, correct FROM (
+           |  SELECT q_id, true_label, cand_label AS pred_label, votes,
+           |         CAST(true_label = cand_label AS INT) AS correct,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, cand_label ASC) AS vr
+           |  FROM v
+           |) WHERE vr = 1""".stripMargin
   )
 }

@@ -105,6 +105,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** kNN label-agreement audit: classify each query vector by
+    * majority vote over the labels of its k nearest corpus vectors
+    * (quantized cosine), and report the vote against the query's own
+    * label — the standard embedding-space sanity check for
+    * label/cluster coherence in curation pipelines (a kNN probe).
+    *
+    * Inputs are [[prepareQuantized]] frames carrying a `label` column.
+    * Plan shape: the (small) query set broadcasts against a single
+    * corpus scan; GroupTopK bounds the per-query candidate heap before
+    * the ONE exchange on q_id; the vote groupBy and argmax window both
+    * reuse that q_id clustering, so no further shuffle. Ties are
+    * deterministic end-to-end: candidates by (cos desc, vec_id asc),
+    * votes by (votes desc, label asc) — bit-identical in any engine
+    * thanks to integer-grid cosine. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    )
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+    val top = rankedTopK(scored, col("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
+    top
+      .groupBy(col("q_id"), col("true_label"), col("label").as("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("cand_label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("cand_label").as("pred_label"),
+        col("votes"), (col("true_label") === col("cand_label")).cast("int").as("correct"))
+  }
+
   /** All corpus pairs (blocked on `blockKey`) with quantized cosine
     * >= tau — embedding near-duplicate detection. */
   def cosinePairs(corpus: DataFrame, blockKey: String, tau: Double): DataFrame =

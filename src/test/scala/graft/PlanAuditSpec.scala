@@ -133,6 +133,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_json_shred")) === 1) // shred side is narrow
   }
 
+  test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
+    // broadcast queries × corpus scan → GroupTopK exchange on q_id;
+    // the vote groupBy (q_id, …) and the argmax window (q_id) must
+    // both be satisfied by that same hash partitioning
+    assert(keyShuffles(plan("q_knn_classify")) === 1)
+  }
+
   // Shuffle budgets for every query that cost > 0.5 s in BENCH_r03
   // (plus the heavy dedup/ANN family cut from that file's stored
   // tail). Budgets are the exchange counts of the CURRENT plans at

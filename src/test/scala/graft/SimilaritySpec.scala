@@ -42,6 +42,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.contains(0L))
   }
 
+  test("knnClassify majority-votes separable clusters correctly, ties to the smaller label") {
+    // two tight, well-separated clusters (x-axis label 1, y-axis label 2)
+    val pts = Seq(
+      (10L, 1, Array(1.0f, 0.02f, 0.0f)), (11L, 1, Array(0.98f, 0.05f, 0.0f)),
+      (12L, 1, Array(1.0f, 0.0f, 0.03f)),
+      (20L, 2, Array(0.02f, 1.0f, 0.0f)), (21L, 2, Array(0.0f, 0.97f, 0.05f)),
+      (22L, 2, Array(0.04f, 1.0f, 0.01f))
+    ).toDF("vec_id", "label", "embedding")
+    val c = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val out = Similarity.knnClassify(c, c, k = 2)
+      .select("q_id", "true_label", "pred_label", "votes", "correct")
+      .as[(Long, Int, Int, Long, Int)].collect().sortBy(_._1)
+    assert(out.length === 6)
+    // each point's 2 nearest (self excluded) are its own cluster → unanimous, correct
+    out.foreach { case (q, t, p, v, ok) =>
+      assert(p === t && v === 2L && ok === 1, s"q=$q voted $p ($v votes) vs true $t")
+    }
+    // k=4 forces a 2-2 split for every query: vote tie breaks to the
+    // SMALLER label deterministically (votes desc, label asc)
+    val tied = Similarity.knnClassify(c, c, k = 4)
+      .select("pred_label", "votes").as[(Int, Long)].collect()
+    assert(tied.forall { case (p, v) => p === 1 && v === 2L })
+  }
+
   test("IVF ANN recalls the true nearest neighbours on real embeddings") {
     import graft.similarity.IvfAnn
     val corpus = Similarity.prepareQuantized(
