@@ -303,6 +303,12 @@ object DedupQueries {
       Similarity.knnClassify(corpus, qs, AnnParams.KnnK)
     }),
 
+    // §2.4/28c leave-one-out nearest-centroid probe: every vector
+    // scored against each label's self-excluded mean — exact integer
+    // sums/dots, corpus never shuffled.
+    "q_centroid_classify" -> ((s, dir) =>
+      Similarity.centroidClassify(quantizedWithNorm(s, dir))),
+
     // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
     // hyperplane matrix is embedded in the oracle SQL, so DuckDB
     // replays the exact bucketing (integer dots) and ranking. All
@@ -821,6 +827,40 @@ object DedupQueries {
            |         CAST(true_label = cand_label AS INT) AS correct,
            |         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, cand_label ASC) AS vr
            |  FROM v
-           |) WHERE vr = 1""".stripMargin
+           |) WHERE vr = 1""".stripMargin,
+
+    // Leave-one-out nearest-centroid: cos(q, S_l − e_q·[l = l₀]) —
+    // scale-invariance of cosine makes the self-excluded mean exact
+    // with integer sums only (no /(n−1) anywhere).
+    "q_centroid_classify" ->
+      raw"""WITH $quantCte,
+           |d AS (
+           |  SELECT label, i, CAST(sum(e[i+1]) AS BIGINT) AS s
+           |  FROM n, (SELECT unnest(range(64)) AS i) t GROUP BY label, i
+           |),
+           |c AS (SELECT label AS clab, list(s ORDER BY i) AS cs FROM d GROUP BY label),
+           |cc AS (
+           |  SELECT clab, cs,
+           |         CAST(list_sum(list_transform(range(len(cs)), j -> cs[j+1] * cs[j+1])) AS BIGINT) AS ss
+           |  FROM c
+           |),
+           |sc AS (
+           |  SELECT a.vec_id AS q_id, a.label AS true_label, cc.clab AS lab, cc.ss, a.nrm,
+           |         CAST(list_sum(list_transform(range(len(a.e)), j -> a.e[j+1] * cc.cs[j+1])) AS BIGINT) AS dsq
+           |  FROM n a CROSS JOIN cc
+           |),
+           |s2 AS (
+           |  SELECT q_id, true_label, lab,
+           |         CAST(dsq - CASE WHEN true_label = lab THEN nrm ELSE 0 END AS DOUBLE)
+           |         / (sqrt(CAST(ss - CASE WHEN true_label = lab THEN 2 * dsq - nrm ELSE 0 END AS DOUBLE))
+           |            * sqrt(CAST(nrm AS DOUBLE))) AS cos
+           |  FROM sc
+           |)
+           |SELECT q_id, true_label, pred_label, best_cos, correct FROM (
+           |  SELECT q_id, true_label, lab AS pred_label, cos AS best_cos,
+           |         CAST(true_label = lab AS INT) AS correct,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, lab ASC) AS r
+           |  FROM s2
+           |) WHERE r = 1""".stripMargin
   )
 }

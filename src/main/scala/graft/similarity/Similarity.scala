@@ -138,6 +138,49 @@ object Similarity {
         col("votes"), (col("true_label") === col("cand_label")).cast("int").as("correct"))
   }
 
+  /** Leave-one-out nearest-centroid probe (Rocchio classification):
+    * score every vector against each label's mean vector — with the
+    * vector itself REMOVED from its own label's centroid, so the
+    * probe never self-leaks — and predict the argmax-cosine label.
+    *
+    * Exact cross-engine without any division: cosine is
+    * scale-invariant, so cos(q, mean) = cos(q, S_l − e_q·[l = l₀])
+    * where S_l is the label's quantized SUM vector — integer sums,
+    * integer dots, one double division at the end (num = dot(q,S_l) −
+    * ind·‖q‖², den = ‖S_l‖² − ind·(2·dot(q,S_l) − ‖q‖²)).
+    *
+    * Scale shape: the ONLY shuffled data is (label, dim) partial sums
+    * and the ≤|labels| centroid rows — the corpus itself is never
+    * shuffled; scoring is a broadcast of one centroid-array row and a
+    * per-row HOF sweep. Ties argmax to the smaller label (centroids
+    * sorted ascending, strict `>` in the fold). */
+  def centroidClassify(corpus: DataFrame): DataFrame = {
+    val sums = corpus
+      .select(col("label"), posexplode(col("e")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(sum(col("v")).cast("long").as("s"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, s))), x -> x.s)").as("cs"))
+      .withColumn("ss", dotQ(col("cs"), col("cs")))
+    val cents = sums.agg(
+      expr("array_sort(collect_list(named_struct('label', label, 'cs', cs, 'ss', ss)))").as("cents"))
+    corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("sc1", expr(
+        "transform(cents, ct -> named_struct('lab', ct.label, 'ss', ct.ss, " +
+          "'dsq', aggregate(zip_with(e, ct.cs, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)))"))
+      .withColumn("sc2", expr(
+        "transform(sc1, s -> named_struct('lab', s.lab, 'cos', " +
+          "CAST(s.dsq - (CASE WHEN label = s.lab THEN nrm ELSE CAST(0 AS BIGINT) END) AS DOUBLE) " +
+          "/ (sqrt(CAST(s.ss - (CASE WHEN label = s.lab THEN 2 * s.dsq - nrm ELSE CAST(0 AS BIGINT) END) AS DOUBLE)) " +
+          "* sqrt(CAST(nrm AS DOUBLE)))))"))
+      .withColumn("best", expr(
+        "aggregate(sc2, named_struct('lab', -1, 'cos', CAST(-2.0 AS DOUBLE)), " +
+          "(acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)"))
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("best.lab").as("pred_label"), col("best.cos").as("best_cos"),
+        (col("label") === col("best.lab")).cast("int").as("correct"))
+  }
+
   /** All corpus pairs (blocked on `blockKey`) with quantized cosine
     * >= tau — embedding near-duplicate detection. */
   def cosinePairs(corpus: DataFrame, blockKey: String, tau: Double): DataFrame =

@@ -133,6 +133,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_json_shred")) === 1) // shred side is narrow
   }
 
+  test("q_centroid_classify never shuffles the corpus: only (label, dim) sums move") {
+    // 2 key exchanges, both over ≤ labels·dims tiny rows (partial-sum
+    // agg + per-label repack); scoring is a broadcast of ONE centroid
+    // row against the scan — the corpus rows themselves never shuffle
+    assert(keyShuffles(plan("q_centroid_classify")) === 2)
+  }
+
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
     // broadcast queries × corpus scan → GroupTopK exchange on q_id;
     // the vote groupBy (q_id, …) and the argmax window (q_id) must

@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tied.forall { case (p, v) => p === 1 && v === 2L })
   }
 
+  test("centroidClassify excludes self from its own label's centroid") {
+    // A's own-label LOO centroid is just B (orthogonal → cos 0), so A
+    // must flip to label 2 (cos ≈ 0.63). WITH self-leak the label-1
+    // centroid would be A+B = (1,1,0) → cos 0.707 > 0.63 → pred 1:
+    // this fixture fails if the leave-one-out correction is dropped.
+    val pts = Seq(
+      (1L, 1, Array(1.0f, 0.0f, 0.0f)),   // A
+      (2L, 1, Array(0.0f, 1.0f, 0.0f)),   // B
+      (3L, 2, Array(0.65f, 0.76f, 0.0f)), // C
+      (4L, 2, Array(0.6f, 0.8f, 0.0f))    // C2
+    ).toDF("vec_id", "label", "embedding")
+    val c = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val pred = Similarity.centroidClassify(c)
+      .select("q_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(pred(1L) === 2, "self-leak: A kept its own label")
+    assert(pred(2L) === 2)
+    assert(pred(3L) === 2 && pred(4L) === 2) // tight label-2 pair stays put
+  }
+
   test("IVF ANN recalls the true nearest neighbours on real embeddings") {
     import graft.similarity.IvfAnn
     val corpus = Similarity.prepareQuantized(
