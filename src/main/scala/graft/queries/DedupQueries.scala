@@ -309,6 +309,14 @@ object DedupQueries {
     "q_centroid_classify" -> ((s, dir) =>
       Similarity.centroidClassify(quantizedWithNorm(s, dir))),
 
+    // §2.4/28d label confusion matrix over the centroid probe — the
+    // |labels|² audit artifact (which labels bleed into which); one
+    // more tiny agg on top of the no-corpus-shuffle probe.
+    "q_label_confusion" -> ((s, dir) =>
+      Similarity.centroidClassify(quantizedWithNorm(s, dir))
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))),
+
     // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
     // hyperplane matrix is embedded in the oracle SQL, so DuckDB
     // replays the exact bucketing (integer dots) and ranking. All
@@ -832,7 +840,15 @@ object DedupQueries {
     // Leave-one-out nearest-centroid: cos(q, S_l − e_q·[l = l₀]) —
     // scale-invariance of cosine makes the self-excluded mean exact
     // with integer sums only (no /(n−1) anywhere).
-    "q_centroid_classify" ->
+    "q_centroid_classify" -> centroidClassifySql,
+
+    "q_label_confusion" ->
+      s"""SELECT true_label, pred_label, count(*) AS n
+         |FROM ($centroidClassifySql)
+         |GROUP BY 1, 2""".stripMargin
+  )
+
+  private lazy val centroidClassifySql: String =
       raw"""WITH $quantCte,
            |d AS (
            |  SELECT label, i, CAST(sum(e[i+1]) AS BIGINT) AS s
@@ -862,5 +878,4 @@ object DedupQueries {
            |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, lab ASC) AS r
            |  FROM s2
            |) WHERE r = 1""".stripMargin
-  )
 }

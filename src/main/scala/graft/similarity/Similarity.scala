@@ -154,31 +154,60 @@ object Similarity {
     * shuffled; scoring is a broadcast of one centroid-array row and a
     * per-row HOF sweep. Ties argmax to the smaller label (centroids
     * sorted ascending, strict `>` in the fold). */
-  def centroidClassify(corpus: DataFrame): DataFrame = {
-    val sums = corpus
+  def centroidClassify(corpus: DataFrame): DataFrame =
+    scoreAgainstCentroids(corpus, labelCentroids(corpus), excludeSelf = true)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("best.lab").as("pred_label"), col("best.cos").as("best_cos"),
+        (col("label") === col("best.lab")).cast("int").as("correct"))
+
+  /** Per-label quantized SUM vectors + squared norms — the trained
+    * "model" side of centroid classification: (label, cs, ss), tiny
+    * (≤ |labels| rows), persistable and broadcastable. Only
+    * (label, dim) partial sums shuffle; the corpus does not. */
+  def labelCentroids(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("label"), posexplode(col("e")).as(Seq("i", "v")))
       .groupBy(col("label"), col("i")).agg(sum(col("v")).cast("long").as("s"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(i, s))), x -> x.s)").as("cs"))
       .withColumn("ss", dotQ(col("cs"), col("cs")))
-    val cents = sums.agg(
+
+  /** Classify vectors OUTSIDE the training set against a standing
+    * [[labelCentroids]] frame (no self-exclusion — the inference
+    * form; [[centroidClassify]] is the leave-one-out audit form).
+    * Returns (vec_id, pred_label, best_cos); input needs
+    * [[prepareQuantized]] shape but no label column. */
+  def classifyAgainst(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    scoreAgainstCentroids(vectors, centroids, excludeSelf = false)
+      .select(col("vec_id"), col("best.lab").as("pred_label"), col("best.cos").as("best_cos"))
+
+  /** Shared centroid scorer: broadcast ONE collected centroid-array
+    * row, per-row HOF sweep for argmax cosine (ties to the smaller
+    * label — centroids sorted ascending, strict `>` in the fold).
+    * With `excludeSelf`, the row's own label's centroid is corrected
+    * by −e_q via the three-dot identity (needs a `label` column). */
+  private def scoreAgainstCentroids(
+      vectors: DataFrame, centroids: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val cents = centroids.agg(
       expr("array_sort(collect_list(named_struct('label', label, 'cs', cs, 'ss', ss)))").as("cents"))
-    corpus
+    val selfNum =
+      if (excludeSelf) "(CASE WHEN label = s.lab THEN nrm ELSE CAST(0 AS BIGINT) END)"
+      else "CAST(0 AS BIGINT)"
+    val selfDen =
+      if (excludeSelf) "(CASE WHEN label = s.lab THEN 2 * s.dsq - nrm ELSE CAST(0 AS BIGINT) END)"
+      else "CAST(0 AS BIGINT)"
+    vectors
       .crossJoin(broadcast(cents))
       .withColumn("sc1", expr(
         "transform(cents, ct -> named_struct('lab', ct.label, 'ss', ct.ss, " +
           "'dsq', aggregate(zip_with(e, ct.cs, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)))"))
       .withColumn("sc2", expr(
-        "transform(sc1, s -> named_struct('lab', s.lab, 'cos', " +
-          "CAST(s.dsq - (CASE WHEN label = s.lab THEN nrm ELSE CAST(0 AS BIGINT) END) AS DOUBLE) " +
-          "/ (sqrt(CAST(s.ss - (CASE WHEN label = s.lab THEN 2 * s.dsq - nrm ELSE CAST(0 AS BIGINT) END) AS DOUBLE)) " +
-          "* sqrt(CAST(nrm AS DOUBLE)))))"))
+        s"transform(sc1, s -> named_struct('lab', s.lab, 'cos', " +
+          s"CAST(s.dsq - $selfNum AS DOUBLE) " +
+          s"/ (sqrt(CAST(s.ss - $selfDen AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))))"))
       .withColumn("best", expr(
         "aggregate(sc2, named_struct('lab', -1, 'cos', CAST(-2.0 AS DOUBLE)), " +
           "(acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)"))
-      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
-        col("best.lab").as("pred_label"), col("best.cos").as("best_cos"),
-        (col("label") === col("best.lab")).cast("int").as("correct"))
   }
 
   /** All corpus pairs (blocked on `blockKey`) with quantized cosine

@@ -274,6 +274,30 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming nearest-centroid classification: each micro-batch of
+    * incoming embedding vectors is scored against a STATIC
+    * [[graft.similarity.Similarity.labelCentroids]] frame (trained on
+    * the standing corpus by the batch pipeline — same batch-owned-
+    * model philosophy as [[lmScoredStream]]). Runs the exact batch
+    * scorer ([[graft.similarity.Similarity.classifyAgainst]], no
+    * self-exclusion: incoming vectors are outside the training set),
+    * so stream and batch verdicts are bit-identical. Sink rows carry
+    * every batch column plus pred_label / best_cos. */
+  def classifiedStream(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scores = graft.similarity.Similarity.classifyAgainst(batch, centroids)
+          .withColumnRenamed("vec_id", "__cc_vec_id")
+        sink(batch.join(scores, batch("vec_id") === col("__cc_vec_id")).drop("__cc_vec_id"))
+      }
+      .start()
+
   /** Windowed per-source token counts — the streaming half of
     * temperature mixture monitoring: a watermarked tumbling-window
     * aggregate over (window, source), state bounded by #sources ×

@@ -309,6 +309,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId === batch)
   }
 
+  test("classifiedStream labels micro-batches against static centroids, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    // trained model: two separable label clusters (x-axis 1, y-axis 2)
+    val train = Seq(
+      (1L, 1, Array(1.0f, 0.02f, 0.0f)), (2L, 1, Array(0.97f, 0.05f, 0.0f)),
+      (3L, 2, Array(0.03f, 1.0f, 0.0f)), (4L, 2, Array(0.0f, 0.96f, 0.04f))
+    ).toDF("vec_id", "label", "embedding")
+    val centroids = Similarity.labelCentroids(
+      Similarity.prepareQuantized(train, col("embedding"), col("vec_id"), col("label")))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val stream = Similarity.prepareQuantized(
+      mem.toDF().toDF("vec_id", "embedding"), col("embedding"), col("vec_id"))
+    val q = EventStreams.classifiedStream(stream, centroids, ckpt) { scored =>
+      got.synchronized {
+        got ++= scored.select(col("vec_id"), col("pred_label"), col("best_cos"))
+          .as[(Long, Int, Double)].collect()
+      }
+    }
+    mem.addData((10L, Array(0.99f, 0.01f, 0.0f)), (11L, Array(0.05f, 0.9f, 0.0f)))
+    q.processAllAvailable()
+    mem.addData((12L, Array(0.8f, 0.3f, 0.0f)))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 === 1 && byId(11L)._2 === 2 && byId(12L)._2 === 1)
+    // bit-exact parity with the batch inference scorer
+    val allVecs = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)), (11L, Array(0.05f, 0.9f, 0.0f)),
+      (12L, Array(0.8f, 0.3f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Similarity.classifyAgainst(
+        Similarity.prepareQuantized(allVecs, col("embedding"), col("vec_id")), centroids)
+      .select(col("vec_id"), col("pred_label"), col("best_cos"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(byId === batch)
+  }
+
   test("windowedSourceTokens + temperaturePerWindow equals batch temperature weights per window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, String)]
