@@ -140,6 +140,10 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_centroid_classify")) === 2)
   }
 
+  test("q_label_confusion adds exactly one agg exchange over the centroid probe") {
+    assert(keyShuffles(plan("q_label_confusion")) === 3) // 2 tiny centroid + (true, pred) count
+  }
+
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
     // broadcast queries × corpus scan → GroupTopK exchange on q_id;
     // the vote groupBy (q_id, …) and the argmax window (q_id) must
