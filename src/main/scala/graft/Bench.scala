@@ -68,10 +68,13 @@ object Bench {
       java.nio.file.Files.writeString(p,
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    // locale-pinned: default-locale "%.3f" prints "1,234" under
+    // comma-decimal locales — invalid JSON, parsed:null at the driver
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val top = results.sortBy(-_._2).take(50).sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}""")
     spark.stop()
   }
 }

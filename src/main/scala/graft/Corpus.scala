@@ -60,8 +60,15 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
   private def keep(kept: DataFrame, stage: String): Corpus = auditLog match {
     case None => copy(df = kept)
     case Some(log) =>
+      // distinct AFTER the anti-join: with duplicate ids in a stage's
+      // input the anti-join emits one row per duplicate input row,
+      // breaking the one-ledger-row-per-(doc_id, stage) contract. The
+      // post-join distinct restores it at a cost proportional to the
+      // DROPS of that stage, not the corpus (a pre-join distinct would
+      // re-shuffle every surviving id too).
       val dropped = df.select(id.as("doc_id"))
         .join(kept.select(id.as("doc_id")), Seq("doc_id"), "left_anti")
+        .distinct()
         .withColumn("stage_idx", lit(log.size + 1))
         .withColumn("stage", lit(stage))
       copy(df = kept, auditLog = Some(log :+ dropped))

@@ -871,11 +871,22 @@ object DedupQueries {
            |         / (sqrt(CAST(ss - CASE WHEN true_label = lab THEN 2 * dsq - nrm ELSE 0 END AS DOUBLE))
            |            * sqrt(CAST(nrm AS DOUBLE))) AS cos
            |  FROM sc
+           |  -- degenerate-centroid guard (mirrors the Spark fold floor): a
+           |  -- singleton label's leave-one-out centroid (ss − selfDen = 0)
+           |  -- is excluded; vectors with NO scorable centroid fall back to
+           |  -- (pred −1, cos −2.0) via the LEFT JOIN below
+           |  WHERE ss - CASE WHEN true_label = lab THEN 2 * dsq - nrm ELSE 0 END > 0
+           |),
+           |best AS (
+           |  SELECT q_id, lab AS pred_label, cos AS best_cos FROM (
+           |    SELECT q_id, lab, cos,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, lab ASC) AS r
+           |    FROM s2
+           |  ) WHERE r = 1
            |)
-           |SELECT q_id, true_label, pred_label, best_cos, correct FROM (
-           |  SELECT q_id, true_label, lab AS pred_label, cos AS best_cos,
-           |         CAST(true_label = lab AS INT) AS correct,
-           |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, lab ASC) AS r
-           |  FROM s2
-           |) WHERE r = 1""".stripMargin
+           |SELECT n.vec_id AS q_id, n.label AS true_label,
+           |       COALESCE(b.pred_label, -1) AS pred_label,
+           |       COALESCE(b.best_cos, CAST(-2.0 AS DOUBLE)) AS best_cos,
+           |       CAST(n.label = COALESCE(b.pred_label, -1) AS INT) AS correct
+           |FROM n LEFT JOIN best b ON n.vec_id = b.q_id""".stripMargin
 }

@@ -201,10 +201,16 @@ object Similarity {
       .withColumn("sc1", expr(
         "transform(cents, ct -> named_struct('lab', ct.label, 'ss', ct.ss, " +
           "'dsq', aggregate(zip_with(e, ct.cs, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)))"))
+      // degenerate-centroid guard: a label with exactly one member has
+      // an EMPTY leave-one-out centroid (ss − selfDen = 0 → 0/0 NaN);
+      // score it at the fold's −2.0 floor so it can never win — if NO
+      // centroid is scorable the fold stays at (lab = −1, cos = −2.0),
+      // and the oracle replays the same convention via LEFT JOIN
       .withColumn("sc2", expr(
         s"transform(sc1, s -> named_struct('lab', s.lab, 'cos', " +
+          s"CASE WHEN s.ss - $selfDen <= 0 THEN CAST(-2.0 AS DOUBLE) ELSE " +
           s"CAST(s.dsq - $selfNum AS DOUBLE) " +
-          s"/ (sqrt(CAST(s.ss - $selfDen AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))))"))
+          s"/ (sqrt(CAST(s.ss - $selfDen AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) END))"))
       .withColumn("best", expr(
         "aggregate(sc2, named_struct('lab', -1, 'cos', CAST(-2.0 AS DOUBLE)), " +
           "(acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END)"))

@@ -248,6 +248,18 @@ class CorpusSpec extends SparkSpecBase {
     intercept[IllegalStateException](corpus.qualityFilter(30).dropLedger)
   }
 
+  test("dropLedger stays one-row-per-doc when a stage's input carries duplicate ids") {
+    // duplicate ids in the audited input (e.g. .audited placed before
+    // exactDedup on a corpus with repeated doc_ids) must not multiply
+    // ledger rows: the post-anti-join distinct restores the contract
+    val dup = docs.unionAll(docs.limit(50))
+    val audited = Corpus(dup, col("text"), col("doc_id")).audited.qualityFilter(30)
+    val ledger = audited.dropLedger
+    val dropped = ledger.select($"doc_id").as[Long].collect()
+    assert(dropped.length === dropped.distinct.length, "duplicate ledger rows for duplicated ids")
+    assert(dropped.toSet === ids(dup) -- ids(audited.df))
+  }
+
   test("splitAssign and stats close the pipeline") {
     val out = corpus.qualityFilter(30).splitAssign().df
     val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap

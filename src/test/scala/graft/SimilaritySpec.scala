@@ -85,6 +85,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pred(3L) === 2 && pred(4L) === 2) // tight label-2 pair stays put
   }
 
+  test("centroidClassify guards singleton-label leave-one-out centroids") {
+    // label 1 has exactly ONE member: its LOO centroid is empty
+    // (ss − selfDen = 0 → unguarded 0/0 NaN). The guard floors it at
+    // −2.0 so vector 1 scores only against label 2's real centroid.
+    val pts = Seq(
+      (1L, 1, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 2, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 2, Array(0.1f, 0.9f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val c = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val out = Similarity.centroidClassify(c)
+      .select("q_id", "pred_label", "best_cos").as[(Long, Int, Double)].collect()
+    assert(out.forall(!_._3.isNaN), "NaN cosine leaked through the guard")
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === 2 && m(1L)._3 > -1.0)
+
+    // fully degenerate corner: a single-label single-vector corpus has
+    // NO scorable centroid — the fold stays at its (−1, −2.0) floor
+    val solo = Similarity.prepareQuantized(
+      Seq((10L, 7, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "label", "embedding"),
+      col("embedding"), col("vec_id"), col("label"))
+    val r = Similarity.centroidClassify(solo)
+      .select("pred_label", "best_cos", "correct").as[(Int, Double, Int)].head()
+    assert(r === ((-1, -2.0, 0)))
+  }
+
   test("IVF ANN recalls the true nearest neighbours on real embeddings") {
     import graft.similarity.IvfAnn
     val corpus = Similarity.prepareQuantized(
