@@ -23,11 +23,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AnalyticQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ MultimodalQueries.queries ++ ExtraQueries.queries ++
-      FunctionQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries
+      FunctionQueries.queries ++ SketchQueries.queries ++ PipelineQueries.queries ++
+      BpeQueries.queries
 
   /** DuckDB-equivalent SQL per query key; identical output column names. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ AnalyticQueries.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ MultimodalQueries.oracleSql ++ ExtraQueries.oracleSql ++
-      FunctionQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql
+      FunctionQueries.oracleSql ++ SketchQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      BpeQueries.oracleSql
 }

@@ -199,11 +199,20 @@ class PlanAuditSpec extends SparkSpecBase {
     // exchanges, and each of the 3 ledger entries re-derives its
     // stage boundary as an id-only anti-join (documented recompute
     // shape — Corpus.dropLedger scaladoc; callers persist the INPUT
-    // to collapse this, the facade itself stays lazy)
-    "q_drop_ledger" -> 9,
+    // to collapse this, the facade itself stays lazy). r9: +2 for the
+    // post-anti-join distinct on two of the stages (the duplicate-id
+    // ledger contract — width ∝ drops, not corpus)
+    "q_drop_ledger" -> 11,
     // q_stats_ledger: one partial-aggregate exchange per drop summary
     // (3 drops) + the rollup merge + the direct-estimate compare join
-    "q_stats_ledger" -> 5)
+    "q_stats_ledger" -> 5,
+    // r9 BPE family: training happens in lambda-time driver rounds
+    // (each round its own tiny job over the checkpointed type table —
+    // not visible in the returned plan); the returned plans are the
+    // ENCODE side: broadcast vocabulary join + one groupBy exchange
+    // (pack adds the per-source packing window)
+    "q_bpe_merges" -> 0, "q_bpe_tokens" -> 1,
+    "q_bpe_fertility" -> 1, "q_bpe_pack" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
