@@ -47,6 +47,17 @@ object AnnParams {
     * cluster in SimilaritySpec. */
   val SemDedupMaxCell = 65536
 
+  // IVF-PQ ANN (q_ann_ivfpq): the 64-dim grid splits into PqM
+  // subspaces of PqSubDim dims, PqK codewords each (trained with
+  // PqIters integer-L2 Lloyd rounds); ADC shortlists PqRefine
+  // candidates per query before the exact re-rank to IvfK. The
+  // coarse quantizer is exactly q_ann_ivf's (shared oracle CTEs).
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 64
+  val PqIters = 2
+  val PqRefine = 40
+
   // kNN label-agreement audit (q_knn_classify): every vec_id ≡ 0
   // (mod KnnMod) is a held-out query classified by majority vote over
   // its KnnK nearest corpus vectors. A denser query set than

@@ -170,7 +170,22 @@ object ExtraQueries {
       graft.similarity.SemDedup.semDedup(quantized(s, dir),
         numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
         tau = AnnParams.SemDedupTau,
-        maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell)))
+        maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell))),
+
+    // IVF-PQ ANN: q_ann_ivf's coarse quantizer + per-subspace
+    // product-quantization codebooks, ADC shortlist, exact re-rank.
+    // The oracle replays the whole thing — coarse build (shared CTE
+    // prefix), 4 per-subspace Lloyd chains, encoding, ADC, re-rank.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
+      graft.similarity.PqAnn.annIvfPq(corpus, qs,
+          k = AnnParams.IvfK, numCentroids = AnnParams.IvfCentroids,
+          nprobe = AnnParams.IvfNprobe, lloydIters = AnnParams.IvfLloydIters,
+          m = AnnParams.PqM, subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK,
+          pqIters = AnnParams.PqIters, refine = AnnParams.PqRefine)
+        .withColumn("rank", col("rank").cast("bigint"))
+    })
   )
 
   /** Quantized cosine between two aliased relations (integer dot cast
@@ -267,6 +282,120 @@ object ExtraQueries {
   /** SemDeDup replay: the shared IVF-build prefix, then members with
     * vectors, the id-ordered within-cell duplicate sweep, and the
     * per-vector verdict. */
+  /** IVF-PQ replay, generated from [[AnnParams]]: the shared coarse
+    * build prefix, then per subspace s — sub-vectors (q0_s), seed
+    * codewords by smallest vec_ids (k0_s), PqIters integer-L2
+    * assign/floor-mean rounds, dense re-numbering (dn_s), final
+    * encoding assignment (f_s) — then the code table (enc), the
+    * nprobe coarse probe, ADC scoring via the per-subspace codeword
+    * join, the PqRefine shortlist, and the exact cosine re-rank.
+    * MATERIALIZED is load-bearing exactly as in the BPE chain: the
+    * per-round CTEs are referenced several times each and DuckDB
+    * inlines plain CTEs. */
+  private val annIvfPqSql: String = {
+    import AnnParams.{IvfK, IvfNprobe, PqIters, PqK, PqM, PqRefine, PqSubDim, QueryMod}
+    val (prefix, fin) = ivfBuildCtes
+    def subDot(se: String, ce: String) =
+      s"CAST(list_sum(list_transform(range($PqSubDim), j -> $se[j + 1] * $ce[j + 1])) AS BIGINT)"
+    def subChain(s: Int): String = {
+      val q0 = raw"""q0_$s AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range($PqSubDim), j -> e[${s * PqSubDim} + j + 1]) AS se
+           |  FROM n
+           |)""".stripMargin
+      val k0 = raw"""k0_$s AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, se AS ce,
+           |         CAST(list_sum(list_transform(se, x -> x * x)) AS BIGINT) AS cnrm
+           |  FROM (SELECT vec_id, se FROM q0_$s ORDER BY vec_id LIMIT $PqK)
+           |)""".stripMargin
+      val rounds = (1 to PqIters).map { i =>
+        raw"""a${i}_$s AS MATERIALIZED (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT v.vec_id, c.cid,
+             |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |             c.cnrm - 2 * ${subDot("v.se", "c.ce")} ASC, c.cid ASC) AS rn
+             |    FROM q0_$s v CROSS JOIN k${i - 1}_$s c
+             |  ) WHERE rn = 1
+             |),
+             |g${i}_$s AS (
+             |  SELECT cid, j, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+             |  FROM (SELECT a.cid, unnest(range(len(v.se))) AS j, unnest(v.se) AS x
+             |        FROM a${i}_$s a JOIN q0_$s v ON a.vec_id = v.vec_id)
+             |  GROUP BY cid, j
+             |),
+             |k${i}_$s AS MATERIALIZED (
+             |  SELECT cid, ce, CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS cnrm
+             |  FROM (SELECT cid, list(mu ORDER BY j) AS ce FROM g${i}_$s GROUP BY cid)
+             |)""".stripMargin
+      }.mkString(",\n")
+      val dn = raw"""dn_$s AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS dcid, ce, cnrm
+           |  FROM k${PqIters}_$s
+           |)""".stripMargin
+      val f = raw"""f_$s AS (
+           |  SELECT vec_id, dcid FROM (
+           |    SELECT v.vec_id, d.dcid,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             d.cnrm - 2 * ${subDot("v.se", "d.ce")} ASC, d.dcid ASC) AS rn
+           |    FROM q0_$s v CROSS JOIN dn_$s d
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      Seq(q0, k0, rounds, dn, f).mkString(",\n")
+    }
+    val chains = (0 until PqM).map(subChain).mkString(",\n")
+    val encArms = (0 until PqM)
+      .map(s => s"SELECT vec_id, $s AS s, dcid FROM f_$s").mkString("\n    UNION ALL ")
+    val dnaArms = (0 until PqM)
+      .map(s => s"SELECT $s AS s, dcid, ce, cnrm FROM dn_$s").mkString("\n    UNION ALL ")
+    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
+    val exactCos = cosSql("a", "e", "nrm", "b", "e", "nrm")
+    raw"""$prefix,
+         |$chains,
+         |enc AS MATERIALIZED (
+         |  SELECT vec_id, list(dcid ORDER BY s) AS codes
+         |  FROM ($encArms) GROUP BY vec_id
+         |),
+         |dna AS MATERIALIZED (
+         |  $dnaArms
+         |),
+         |probe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT n.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM n CROSS JOIN $fin c WHERE n.vec_id % $QueryMod = 0
+         |  ) WHERE rn <= $IvfNprobe
+         |),
+         |cand AS (
+         |  SELECT p.q_id, g.vec_id FROM probe p JOIN asg g ON p.c_id = g.c_id
+         |  WHERE p.q_id <> g.vec_id
+         |),
+         |adc AS MATERIALIZED (
+         |  SELECT c.q_id, c.vec_id,
+         |         CAST(sum(CAST(list_sum(list_transform(range($PqSubDim), j -> a.e[d.s * $PqSubDim + j + 1] * d.ce[j + 1])) AS BIGINT)) AS BIGINT) AS adot,
+         |         CAST(sum(d.cnrm) AS BIGINT) AS anrm,
+         |         max(a.nrm) AS qnrm
+         |  FROM cand c
+         |  JOIN n a ON c.q_id = a.vec_id
+         |  JOIN enc e2 ON c.vec_id = e2.vec_id
+         |  JOIN dna d ON d.dcid = e2.codes[d.s + 1]
+         |  GROUP BY c.q_id, c.vec_id
+         |),
+         |sl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY
+         |             CASE WHEN anrm <= 0 OR qnrm <= 0 THEN CAST(-2.0 AS DOUBLE)
+         |                  ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))) END DESC,
+         |             vec_id ASC) AS rn
+         |    FROM adc
+         |  ) WHERE rn <= $PqRefine
+         |)
+         |SELECT q_id, neighbor_id, rank, cos FROM (
+         |  SELECT s.q_id, b.vec_id AS neighbor_id, $exactCos AS cos,
+         |         row_number() OVER (PARTITION BY s.q_id ORDER BY $exactCos DESC, b.vec_id ASC) AS rank
+         |  FROM sl s JOIN n b ON s.vec_id = b.vec_id JOIN n a ON s.q_id = a.vec_id
+         |) WHERE rank <= $IvfK""".stripMargin
+  }
+
   private val semDedupSql: String = {
     val (prefix, _) = ivfBuildCtes
     raw"""$prefix,
@@ -304,6 +433,7 @@ object ExtraQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_semdedup" -> semDedupSql,
     "q_moving_sum" ->
       """SELECT event_id,

@@ -1,0 +1,179 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.{cosineQ, dotQ}
+
+/** IVF-PQ approximate nearest neighbour (SURVEY.md §2.4/29c2): the
+  * memory-side completion of the ANN stack — IVF coarse cells
+  * ([[IvfAnn]]) select WHICH vectors to score, product-quantization
+  * codes decide HOW CHEAPLY. Each vector is stored as `m` small
+  * codeword ids (4 ints here vs 64 longs raw — the 32-64× squeeze
+  * billion-vector deployments run), scored by asymmetric distance
+  * computation (ADC): a query precomputes one lookup table of
+  * subspace partial dots, so a candidate costs m array lookups, not a
+  * full-dimension dot product; an exact re-rank of the ADC shortlist
+  * restores precision where it matters (the FAISS IVFPQ + refine
+  * pipeline).
+  *
+  * Everything stays on the 1e-6 integer grid: codebook training is
+  * integer L2 (argmin cnrm − 2·dot — no doubles, no sqrt), floor-mean
+  * rebuilds match [[IvfAnn]], ADC numerators/norms are integer sums
+  * with one final double division — bit-identical in any engine, so
+  * the whole build (per-subspace Lloyd, encoding, ADC, re-rank) is
+  * replayed by a generated DuckDB CTE chain in the oracle.
+  *
+  * Scale shape: the corpus is never shuffled — codebooks are tiny
+  * (m·k rows) and ride one collected broadcast row; encoding and ADC
+  * are per-row folds; only the (q_id-keyed) candidate ranking
+  * exchanges rows, and those rows carry codes, not vectors. */
+object PqAnn {
+
+  /** Sub-vector `s` of `e`: dims [s·subDim+1, (s+1)·subDim]. */
+  private def subVec(e: Column, s: Int, subDim: Int): Column =
+    slice(e, s * subDim + 1, subDim)
+
+  /** Per-subspace codebooks: `m` independent Lloyd runs over the
+    * sub-vectors, `k` codewords each, seeded by the sub-vectors of
+    * the `k` smallest vec_ids and refined `iters` rounds with integer
+    * L2 assignment (ties to the smaller codeword) and floor-mean
+    * rebuild. Returns (s, dcid, ce, cnrm) with dcid densely
+    * re-numbered 0..k'-1 per subspace AFTER training (cells can empty
+    * out), so ADC lookup tables index by position. Each round's
+    * (tiny) codebook is checkpointed to cut the assignment lineage —
+    * the [[IvfAnn.centroids]] pattern. */
+  def codebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
+    val perSub = (0 until m).map { s =>
+      val sub = corpus.select(col("vec_id"), subVec(col("e"), s, subDim).as("se"))
+      val seedW = Window.orderBy("vec_id") // k rows — the single partition is the point
+      val seeds = sub.orderBy("vec_id").limit(k)
+        .select((row_number().over(seedW) - 1).cast("int").as("cid"), col("se").as("ce"))
+        .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+      val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
+        val assigned = assignSub(sub, cents)
+        val prev = cents
+        val meanPerDim = assigned
+          .join(sub, "vec_id")
+          .select(col("cid"), posexplode(col("se")).as(Seq("j", "x")))
+          .groupBy("cid", "j")
+          // floor-mean: the one integral mean Spark and DuckDB agree on
+          .agg(floor(sum(col("x")).cast("double") / count(lit(1))).as("mu"))
+        val next = graft.operators.Checkpoints.eager(meanPerDim
+          .groupBy("cid")
+          .agg(transform(sort_array(collect_list(struct(col("j"), col("mu")))),
+            p => p.getField("mu")).as("ce"))
+          .withColumn("cnrm", dotQ(col("ce"), col("ce"))))
+        graft.operators.Checkpoints.release(prev)
+        next
+      }
+      val denseW = Window.orderBy("cid") // ≤ k rows
+      trained.select((row_number().over(denseW) - 1).cast("int").as("dcid"),
+        col("ce"), col("cnrm"))
+        .withColumn("s", lit(s))
+    }
+    perSub.reduce(_ unionByName _).select(col("s"), col("dcid"), col("ce"), col("cnrm"))
+  }
+
+  /** Integer-L2 sub-vector assignment: argmin (cnrm − 2·dot), ties to
+    * the smaller cid, via the GroupTopK partial-reduce operator (one
+    * row per vector leaves each partition before the exchange). */
+  private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = sub
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", col("cnrm") - lit(2L) * dotQ(col("se"), col("ce")))
+    org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(scored, Seq(col("vec_id")), Seq(col("__d").asc, col("cid").asc), 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** One broadcastable row holding every codebook entry, sorted by
+    * (s, dcid) so per-subspace slices keep dcid order. */
+  private def cbsRow(cbs: DataFrame): DataFrame =
+    cbs.agg(expr(
+      "array_sort(collect_list(named_struct('s', s, 'dcid', dcid, 'ce', ce, 'cnrm', cnrm)))")
+      .as("cbs"))
+
+  /** Encode every vector as its `m` nearest-codeword ids — a per-row
+    * fold against the broadcast codebook row, zero shuffles. Returns
+    * (corpus columns…, codes array<int>). */
+  def encode(corpus: DataFrame, cbs: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val dot = (se: String, ce: String) =>
+      s"aggregate(zip_with($se, $ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)"
+    corpus
+      .crossJoin(broadcast(cbsRow(cbs)))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${m - 1}), si -> " +
+          s"aggregate(" +
+          s"transform(filter(cbs, cb -> cb.s = si), cb -> named_struct('dcid', cb.dcid, " +
+          s"'d', cb.cnrm - 2 * ${dot(s"slice(e, si * $subDim + 1, $subDim)", "cb.ce")})), " +
+          s"named_struct('dcid', -1, 'd', CAST(9223372036854775807 AS BIGINT)), " +
+          s"(acc, sd) -> CASE WHEN sd.d < acc.d THEN sd ELSE acc END).dcid)"))
+      .drop("cbs")
+  }
+
+  /** IVF-PQ ANN top-k: IVF coarse probe (numCentroids cells, nprobe
+    * probed — identical build to [[IvfAnn.annIvf]]), ADC scoring of
+    * the probed cells' CODES against the query's precomputed lookup
+    * table, a `refine`-deep ADC shortlist per query, and an exact
+    * integer-cosine re-rank of that shortlist. Output matches
+    * q_ann_ivf: (q_id, neighbor_id, rank, cos). */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      lloydIters: Int, m: Int, subDim: Int, pqK: Int, pqIters: Int, refine: Int): DataFrame = {
+    require(refine >= k)
+    val coarse = IvfAnn.centroids(corpus, numCentroids, lloydIters)
+    val cbs = graft.operators.Checkpoints.eager(codebooks(corpus, m, subDim, pqK, pqIters))
+    // inverted lists carry CODES, not vectors — the PQ memory story
+    val lists = IvfAnn.assign(corpus, coarse)
+      .join(encode(corpus, cbs, m, subDim).select(col("vec_id"), col("codes")), "vec_id")
+
+    val dot = (se: String, ce: String) =>
+      s"aggregate(zip_with($se, $ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)"
+    // per-query ADC lookup table: lut[s][dcid+1] = (partial dot, codeword norm)
+    val qs = queries
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cbsRow(cbs)))
+      .withColumn("lut", expr(
+        s"transform(sequence(0, ${m - 1}), si -> " +
+          s"transform(filter(cbs, cb -> cb.s = si), cb -> named_struct(" +
+          s"'pd', ${dot(s"slice(qe, si * $subDim + 1, $subDim)", "cb.ce")}, 'cn', cb.cnrm)))"))
+      .drop("cbs")
+
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
+    val probed = qs
+      .crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosineQ(dotQ(col("qe"), col("ce")), col("qnrm"), col("cnrm")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("qnrm"), col("lut"), col("c_id"))
+
+    val adc = probed
+      .join(lists, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adot", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), " +
+          "(a, si) -> a + element_at(element_at(lut, si + 1), element_at(codes, si + 1) + 1).pd)"))
+      .withColumn("anrm", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), " +
+          "(a, si) -> a + element_at(element_at(lut, si + 1), element_at(codes, si + 1) + 1).cn)"))
+      // all-zero reconstructions can't be cosine-ranked — floor them
+      .withColumn("acos", expr(
+        "CASE WHEN anrm <= 0 OR qnrm <= 0 THEN CAST(-2.0 AS DOUBLE) " +
+          "ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))) END"))
+    val shortlist = Similarity
+      .rankedTopK(adc, col("q_id"), Seq(col("acos").desc, col("vec_id").asc), refine)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact re-rank: the (Q·refine)-row shortlist broadcasts against
+    // one corpus scan; queries broadcast for their exact vectors
+    val exact = corpus
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"))), "q_id")
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+    Similarity.rankedTopK(exact, col("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -212,7 +212,13 @@ class PlanAuditSpec extends SparkSpecBase {
     // ENCODE side: broadcast vocabulary join + one groupBy exchange
     // (pack adds the per-source packing window)
     "q_bpe_merges" -> 0, "q_bpe_tokens" -> 1,
-    "q_bpe_fertility" -> 1, "q_bpe_pack" -> 2)
+    "q_bpe_fertility" -> 1, "q_bpe_pack" -> 2,
+    // r9 q_ann_ivfpq: coarse + codebooks are loop-checkpointed (not in
+    // the final plan); what remains is the inverted-list build (assign
+    // GroupTopK + the vec_id code join), the c_id candidate join, the
+    // ADC shortlist rank and the exact re-rank (broadcast shortlist +
+    // queries, one q_id rank exchange each)
+    "q_ann_ivfpq" -> 8)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
