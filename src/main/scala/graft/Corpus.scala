@@ -193,6 +193,23 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       .drop("__bg_id", "__bg_n", "__bg_rare"), "bigram_quality_filter")
   }
 
+  /** Trained-classifier coherence gate: fit the multinomial
+    * Naive-Bayes model ([[quality.NaiveBayes]]) on THIS corpus with
+    * `label` as the target, re-score every doc, and drop the docs the
+    * trained model assigns a different label — the "claimed lang
+    * disagrees with the text" screen CCNet runs with fastText, in the
+    * engine's all-integer replayable form. Two corpus shuffles (train
+    * counts, per-doc scores); the weight grid broadcasts. */
+  def nbLabelFilter(label: Column, buckets: Int = 256,
+      scaleBits: Int = 40): Corpus = {
+    val keepIds = quality.NaiveBayes
+      .classify(df, text, id, label, df, text, id, label, buckets, scaleBits)
+      .filter(col("correct") === 1)
+      .select(col("doc_id").as("__nb_keep"))
+    keep(df.join(keepIds, id === col("__nb_keep")).drop("__nb_keep"),
+      "nb_label_filter")
+  }
+
   /** CCNet-style selection: bucket documents into per-language
     * head/middle/tail terciles of the LM quality proxy
     * ([[text.TextPrep.perplexityBuckets]]) and keep only the buckets

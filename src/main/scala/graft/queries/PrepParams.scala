@@ -75,6 +75,16 @@ object PrepParams {
   // most documents without being degenerate either way
   val WSampleThreshold = 400L
 
+  // q_nb_quality / q_nb_confusion: trained Naive-Bayes probe — hashed
+  // feature buckets, fixed-point log scale, and the held-out slice
+  // (doc_id ≡ 0 mod NbHoldMod scores, the rest trains). 256 buckets
+  // comfortably hold the 31-token synthetic vocabulary collision-free
+  // in expectation; 2^40 scale keeps (n+1)·scale inside a long for
+  // per-(class, bucket) counts up to 4M (SURVEY §2.5 note).
+  val NbBuckets = 256
+  val NbHoldMod = 4
+  val NbScaleBits = 40
+
   // q_sorted_neighbors: sort-key fingerprint length, window size, and
   // the Jaccard gate as a rational (i·Den ≥ u·Num keeps the pair).
   // τ = 0.9: the synthetic corpus has a 31-token vocabulary, so word

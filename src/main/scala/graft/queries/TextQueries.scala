@@ -229,7 +229,29 @@ object TextQueries {
           Seq(col("source")),
           Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("bigint").as("total_tokens"))
         )
-    })
+    }),
+
+    // §2.5/31b trained Naive-Bayes language/quality probe: multinomial
+    // NB over hashed token buckets, trained on doc_id ≢ 0 (mod
+    // NbHoldMod), scored on the held-out slice — all-integer
+    // fixed-point log weights, fully oracle-replayed (training AND
+    // inference).
+    "q_nb_quality" -> ((s, dir) =>
+      graft.quality.NaiveBayes.holdoutProbe(
+        Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"),
+        holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
+        scaleBits = PrepParams.NbScaleBits)),
+
+    // §2.5/31c confusion matrix over the NB probe — which languages
+    // the trained model bleeds into which (same audit-artifact shape
+    // as q_label_confusion over the centroid probe).
+    "q_nb_confusion" -> ((s, dir) =>
+      graft.quality.NaiveBayes.holdoutProbe(
+          Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"),
+          holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
+          scaleBits = PrepParams.NbScaleBits)
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n")))
   )
 
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
@@ -588,6 +610,71 @@ object TextQueries {
            |)
            |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM deduped WHERE rn = 1 GROUP BY source""".stripMargin
-        .replace("$stopSqlList", stopSqlList)
+        .replace("$stopSqlList", stopSqlList),
+
+    "q_nb_quality" -> nbQualitySql,
+    "q_nb_confusion" ->
+      s"""SELECT true_label, pred_label, count(*) AS n
+         |FROM ($nbQualitySql)
+         |GROUP BY 1, 2""".stripMargin
   )
+
+  /** qlog64 (NaiveBayes.qlog64) replayed in DuckDB: bit-length +
+    * linear-mantissa chord, all-integer (`x`·64 stays ≤ 2^53 so the
+    * double division is exact). */
+  private def qlogSql(x: String): String =
+    s"64 * (length(bin($x)) - 1) + " +
+      s"CAST(floor(($x * 64) / pow(2, length(bin($x)) - 1)) AS BIGINT) - 64"
+
+  /** Full NB replay: training (counts, smoothing, priors) AND
+    * inference (weight sum + argmax) in one DuckDB query. */
+  private lazy val nbQualitySql: String = {
+    val b = PrepParams.NbBuckets
+    val m = PrepParams.NbHoldMod
+    val scale = 1L << PrepParams.NbScaleBits
+    raw"""WITH tok AS (
+         |  SELECT doc_id, true_label,
+         |         ('0x' || substr(md5(t), 1, 7))::BIGINT % $b AS f
+         |  FROM (SELECT doc_id, lang AS true_label,
+         |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+         |        FROM documents)
+         |),
+         |tr AS (SELECT * FROM tok WHERE doc_id % $m <> 0),
+         |te AS (SELECT * FROM tok WHERE doc_id % $m = 0),
+         |counts AS (SELECT true_label AS lab, f, count(*) AS n FROM tr GROUP BY 1, 2),
+         |mass AS (SELECT lab, CAST(sum(n) AS BIGINT) AS n_lab FROM counts GROUP BY 1),
+         |cdocs AS (SELECT lang AS lab, count(*) AS d_lab FROM documents
+         |          WHERE doc_id % $m <> 0 GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % $m <> 0),
+         |grid AS (
+         |  SELECT c.lab, bk.f, coalesce(n.n, 0) AS n, ms.n_lab
+         |  FROM cdocs c
+         |  CROSS JOIN (SELECT unnest(range($b)) AS f) bk
+         |  LEFT JOIN counts n ON n.lab = c.lab AND n.f = bk.f
+         |  JOIN mass ms ON ms.lab = c.lab
+         |),
+         |w AS (
+         |  SELECT lab, f, ${qlogSql(s"((n + 1) * $scale) // (n_lab + $b)")} AS w
+         |  FROM grid
+         |),
+         |pri AS (
+         |  SELECT lab, ${qlogSql(s"(d_lab * $scale) // n_docs")} AS prior
+         |  FROM cdocs CROSS JOIN tot
+         |),
+         |sc AS (
+         |  SELECT te.doc_id, te.true_label, w.lab, CAST(sum(w.w) AS BIGINT) AS sw
+         |  FROM te JOIN w ON te.f = w.f
+         |  GROUP BY 1, 2, 3
+         |),
+         |fin AS (
+         |  SELECT sc.doc_id, sc.true_label, sc.lab, sc.sw + pri.prior AS score
+         |  FROM sc JOIN pri ON sc.lab = pri.lab
+         |)
+         |SELECT doc_id, true_label, pred_label, score, correct FROM (
+         |  SELECT doc_id, true_label, lab AS pred_label, score,
+         |         CAST(true_label = lab AS INT) AS correct,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab ASC) AS rk
+         |  FROM fin
+         |) WHERE rk = 1""".stripMargin
+  }
 }

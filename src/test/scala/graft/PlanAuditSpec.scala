@@ -218,7 +218,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // GroupTopK + the vec_id code join), the c_id candidate join, the
     // ADC shortlist rank and the exact re-rank (broadcast shortlist +
     // queries, one q_id rank exchange each)
-    "q_ann_ivfpq" -> 8)
+    "q_ann_ivfpq" -> 8,
+    // r9 NB probe: train counts (lab,f) + class-docs agg on one side
+    // (the ≤C·B count grid is checkpointed — ONE corpus explode),
+    // then per-doc score agg + argmax window + the tiny class-mass
+    // agg; confusion adds its |labels|² aggregate on top
+    "q_nb_quality" -> 5, "q_nb_confusion" -> 6)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
