@@ -163,6 +163,23 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       .drop("__ss_id", "__ss_text"), "scrub_substrings")
   }
 
+  /** C4 three-sentence-span dedup stage ([[dedup.SentenceDedup]]):
+    * delete all but the first occurrence of every duplicated
+    * 3-sentence span and rewrite the text column IN PLACE, same
+    * contract as [[scrubSubstrings]] (punctuation-less sentences
+    * subdivide every `maxSentTokens` tokens; docs scrubbed to nothing
+    * drop; docs with <3 sentences pass untouched). */
+  def scrubSentences(maxSentTokens: Int, textName: String = "text"): Corpus = {
+    require(df.columns.contains(textName),
+      s"scrubSentences: no column '$textName' in ${df.columns.mkString(",")}")
+    val cleaned = dedup.SentenceDedup
+      .scrubDuplicatedSentenceSpans(df, text, id, maxSentTokens)
+      .select(col("doc_id").as("__sc_id"), col("clean_text").as("__sc_text"))
+    keep(df.join(cleaned, id === col("__sc_id"))
+      .withColumn(textName, col("__sc_text"))
+      .drop("__sc_id", "__sc_text"), "scrub_sentences")
+  }
+
   /** Unigram-LM quality gate: drop docs whose share of corpus-rare
     * tokens (corpus frequency ≤ `rareMax`) exceeds `maxRareRatio` —
     * the gibberish/OCR-noise screen. Cross-multiplied comparison, no

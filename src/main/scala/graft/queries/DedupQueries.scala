@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Components, Decontam, Dedup, SubstringDedup}
+import graft.dedup.{Components, Decontam, Dedup, SentenceDedup, SubstringDedup}
 import graft.similarity.Similarity
 import graft.sources.Tables
 
@@ -270,6 +270,13 @@ object DedupQueries {
     "q_substring_scrub" -> ((s, dir) =>
       SubstringDedup.scrubDuplicatedSpans(Tables.documents(s, dir), col("text"), col("doc_id"),
         windowTokens = PrepParams.SubstrWindow, minCount = PrepParams.SubstrMinCount)),
+
+    // §2.3/24c C4 three-sentence-span dedup: sentence-aligned (not
+    // token-stride) duplicated spans, punctuation-less sentences
+    // subdivided every SentMaxTokens tokens.
+    "q_sentence_dedup" -> ((s, dir) =>
+      SentenceDedup.duplicatedSentenceSpans(Tables.documents(s, dir),
+        col("text"), col("doc_id"), maxSentTokens = PrepParams.SentMaxTokens)),
 
     // §2.3/25 SimHash fingerprints (60-bit portable family).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -672,6 +679,54 @@ object DedupQueries {
            |            WHEN prev.text IS DISTINCT FROM curr.text THEN 'changed'
            |            ELSE 'unchanged' END AS status
            |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
+    // full replay of the sentence segmentation (terminal-closed runs,
+    // SentMaxTokens subdivision), 3-sentence lead spans, 60-bit md5
+    // fingerprints and the ≥2-occurrence gate
+    "q_sentence_dedup" -> {
+      val s = PrepParams.SentMaxTokens
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(range(len(toks))) AS tp, unnest(toks) AS tok
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+           |),
+           |seg AS (
+           |  SELECT doc_id, tp, tok,
+           |         coalesce(sum(CASE WHEN regexp_matches(tok, '[.!?]$$') THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY tp
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s1
+           |  FROM tok
+           |),
+           |seg2 AS (
+           |  SELECT doc_id, tp, tok, s1,
+           |         (tp - min(tp) OVER (PARTITION BY doc_id, s1)) // $s AS sub
+           |  FROM seg
+           |),
+           |sent AS (
+           |  SELECT doc_id, s1, sub, string_agg(tok, ' ' ORDER BY tp) AS stext,
+           |         min(tp) AS s_start, max(tp) AS s_end
+           |  FROM seg2 GROUP BY 1, 2, 3
+           |),
+           |sidx AS (
+           |  SELECT doc_id, stext, s_start, s_end,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY s1, sub) - 1 AS si
+           |  FROM sent
+           |),
+           |sp AS (
+           |  SELECT doc_id, si, s_start,
+           |         lead(s_end, 2) OVER (PARTITION BY doc_id ORDER BY si) AS span_end,
+           |         stext || ' ' || lead(stext, 1) OVER (PARTITION BY doc_id ORDER BY si)
+           |               || ' ' || lead(stext, 2) OVER (PARTITION BY doc_id ORDER BY si) AS sptext
+           |  FROM sidx
+           |),
+           |h AS (
+           |  SELECT doc_id, si AS sent_idx, s_start AS span_start, span_end,
+           |         ('0x' || substr(md5(sptext), 1, 15))::BIGINT AS hh
+           |  FROM sp WHERE span_end IS NOT NULL
+           |),
+           |d AS (SELECT hh, count(*) AS n_occ FROM h GROUP BY 1 HAVING count(*) >= 2)
+           |SELECT h.doc_id, h.sent_idx, h.span_start, h.span_end, d.n_occ
+           |FROM h JOIN d USING (hh)""".stripMargin
+    },
+
     "q_substring_spans" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents

@@ -54,6 +54,12 @@ object PrepParams {
   val SubstrWindow = 8
   val SubstrMinCount = 2L
 
+  // q_sentence_dedup: C4 3-sentence-span dedup — sentence fallback
+  // width for punctuation-less text (the synthetic corpus has no
+  // terminals, so every doc segments into 8-token sentences; 8 keeps
+  // real duplicated spans at sf0.01: 187 occurrences over 43 docs).
+  val SentMaxTokens = 8
+
   // q_incr_dedup: every doc_id ≡ 0 (mod IncrBatchMod) plays the
   // "new crawl drop"; the rest is the existing corpus.
   val IncrBatchMod = 4

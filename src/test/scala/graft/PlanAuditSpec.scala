@@ -223,7 +223,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // (the ≤C·B count grid is checkpointed — ONE corpus explode),
     // then per-doc score agg + argmax window + the tiny class-mass
     // agg; confusion adds its |labels|² aggregate on top
-    "q_nb_quality" -> 5, "q_nb_confusion" -> 6)
+    "q_nb_quality" -> 5, "q_nb_confusion" -> 6,
+    // r9 C4 sentence-span dedup: ONE doc_id exchange carries every
+    // per-document step (segmentation windows, sentence agg, span
+    // lead) + the corpus-wide span-fingerprint window
+    "q_sentence_dedup" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
