@@ -58,7 +58,15 @@ object AnnParams {
   val PqIters = 2
   val PqRefine = 40
 
+  /** q_semdedup_pq: SDC-screen margin — pairs whose PQ-code cosine
+    * clears SemDedupTau − this go to the exact re-check. 0.2 is wide
+    * enough that no true dup pair of the sf corpora is screened out
+    * (SimilaritySpec pins verdict equality with exact semDedup at
+    * sf0.001), narrow enough that the screen actually prunes. */
+  val SemDedupPqMargin = 0.2
+
   // kNN label-agreement audit (q_knn_classify): every vec_id ≡ 0
+
   // (mod KnnMod) is a held-out query classified by majority vote over
   // its KnnK nearest corpus vectors. A denser query set than
   // QueryMod's — classification accuracy needs more samples than

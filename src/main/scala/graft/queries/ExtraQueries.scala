@@ -172,6 +172,19 @@ object ExtraQueries {
         tau = AnnParams.SemDedupTau,
         maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell))),
 
+    // PQ-screened SemDeDup: same clustering/policy/output as
+    // q_semdedup, but within-cell pairs are scored on PQ codes via a
+    // broadcast SDC table first; survivors of the tau−margin screen
+    // get the exact integer-cosine re-check at tau. Oracle replays
+    // codebooks, encoding, SDC screen and re-check.
+    "q_semdedup_pq" -> ((s, dir) =>
+      graft.similarity.SemDedup.semDedupPq(quantized(s, dir),
+        numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
+        tau = AnnParams.SemDedupTau, margin = AnnParams.SemDedupPqMargin,
+        m = AnnParams.PqM, subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK,
+        pqIters = AnnParams.PqIters,
+        maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell))),
+
     // IVF-PQ ANN: q_ann_ivf's coarse quantizer + per-subspace
     // product-quantization codebooks, ADC shortlist, exact re-rank.
     // The oracle replays the whole thing — coarse build (shared CTE
@@ -292,9 +305,13 @@ object ExtraQueries {
     * MATERIALIZED is load-bearing exactly as in the BPE chain: the
     * per-round CTEs are referenced several times each and DuckDB
     * inlines plain CTEs. */
-  private val annIvfPqSql: String = {
-    import AnnParams.{IvfK, IvfNprobe, PqIters, PqK, PqM, PqRefine, PqSubDim, QueryMod}
-    val (prefix, fin) = ivfBuildCtes
+  /** The PQ build replay shared by the q_ann_ivfpq and q_semdedup_pq
+    * oracles: per-subspace Lloyd chains, dense re-numbering, the code
+    * table `enc(vec_id, codes)` and the codeword table
+    * `dna(s, dcid, ce, cnrm)`. Assumes the coarse prefix's `n` CTE is
+    * in scope. */
+  private lazy val pqBuildCtes: String = {
+    import AnnParams.{PqIters, PqK, PqM, PqSubDim}
     def subDot(se: String, ce: String) =
       s"CAST(list_sum(list_transform(range($PqSubDim), j -> $se[j + 1] * $ce[j + 1])) AS BIGINT)"
     def subChain(s: Int): String = {
@@ -346,17 +363,23 @@ object ExtraQueries {
       .map(s => s"SELECT vec_id, $s AS s, dcid FROM f_$s").mkString("\n    UNION ALL ")
     val dnaArms = (0 until PqM)
       .map(s => s"SELECT $s AS s, dcid, ce, cnrm FROM dn_$s").mkString("\n    UNION ALL ")
-    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
-    val exactCos = cosSql("a", "e", "nrm", "b", "e", "nrm")
-    raw"""$prefix,
-         |$chains,
+    raw"""$chains,
          |enc AS MATERIALIZED (
          |  SELECT vec_id, list(dcid ORDER BY s) AS codes
          |  FROM ($encArms) GROUP BY vec_id
          |),
          |dna AS MATERIALIZED (
          |  $dnaArms
-         |),
+         |)""".stripMargin
+  }
+
+  private val annIvfPqSql: String = {
+    import AnnParams.{IvfK, IvfNprobe, PqRefine, PqSubDim, QueryMod}
+    val (prefix, fin) = ivfBuildCtes
+    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
+    val exactCos = cosSql("a", "e", "nrm", "b", "e", "nrm")
+    raw"""$prefix,
+         |$pqBuildCtes,
          |probe AS (
          |  SELECT q_id, c_id FROM (
          |    SELECT n.vec_id AS q_id, c.c_id,
@@ -411,6 +434,46 @@ object ExtraQueries {
          |FROM mem m LEFT JOIN dups d ON m.vec_id = d.vec_id""".stripMargin
   }
 
+  /** PQ-screened SemDeDup replay: coarse prefix + PQ build, then the
+    * within-cell pair set scored on codes (symmetric distance via the
+    * per-subspace codeword join — the oracle's SDC), the tau−margin
+    * screen, and the exact integer-cosine re-check at tau. */
+  private val semDedupPqSql: String = {
+    import AnnParams.{PqSubDim, SemDedupPqMargin, SemDedupTau}
+    val (prefix, _) = ivfBuildCtes
+    val screen = SemDedupTau - SemDedupPqMargin
+    raw"""$prefix,
+         |$pqBuildCtes,
+         |prs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |),
+         |apx AS MATERIALIZED (
+         |  SELECT p.va, p.vb,
+         |         CAST(sum(CAST(list_sum(list_transform(range($PqSubDim), j -> da.ce[j + 1] * db.ce[j + 1])) AS BIGINT)) AS BIGINT) AS adot,
+         |         CAST(sum(da.cnrm) AS BIGINT) AS anrm,
+         |         CAST(sum(db.cnrm) AS BIGINT) AS bnrm
+         |  FROM prs p
+         |  JOIN enc ea ON p.va = ea.vec_id
+         |  JOIN enc eb ON p.vb = eb.vec_id
+         |  JOIN dna da ON da.dcid = ea.codes[da.s + 1]
+         |  JOIN dna db ON db.s = da.s AND db.dcid = eb.codes[db.s + 1]
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT va, vb FROM apx
+         |  WHERE CASE WHEN anrm <= 0 OR bnrm <= 0 THEN CAST(-2.0 AS DOUBLE)
+         |             ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(bnrm AS DOUBLE))) END >= $screen
+         |),
+         |dups AS (
+         |  SELECT DISTINCT c.vb AS vec_id
+         |  FROM cand c JOIN n a ON c.va = a.vec_id JOIN n b ON c.vb = b.vec_id
+         |  WHERE ${cosSql("a", "e", "nrm", "b", "e", "nrm")} >= $SemDedupTau
+         |)
+         |SELECT g.vec_id, g.c_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_global_rank" ->
       raw"""SELECT doc_id,
@@ -435,6 +498,7 @@ object ExtraQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_pq" -> semDedupPqSql,
     "q_moving_sum" ->
       """SELECT event_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT))

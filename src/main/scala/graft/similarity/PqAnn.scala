@@ -96,6 +96,33 @@ object PqAnn {
       "array_sort(collect_list(named_struct('s', s, 'dcid', dcid, 'ce', ce, 'cnrm', cnrm)))")
       .as("cbs"))
 
+  /** One broadcastable row of SYMMETRIC-distance tables for
+    * code-vs-code scoring ([[SemDedup.semDedupPq]]):
+    * `sdc[s][i][j]` = integer partial dot of codewords i and j of
+    * subspace s, `cn[s][i]` = codeword i's integer norm. m·k² longs —
+    * KB-sized at any corpus scale (the tables depend on the CODEBOOK,
+    * not the corpus). Indexed by dense dcid position, matching
+    * [[encode]]'s code values. */
+  private[similarity] def sdcRow(cbs: DataFrame): DataFrame = {
+    val pairs = cbs.select(col("s"), col("dcid").as("i"), col("ce").as("cea"))
+      .join(cbs.select(col("s"), col("dcid").as("j"), col("ce").as("ceb")), Seq("s"))
+      .select(col("s"), col("i"), col("j"), dotQ(col("cea"), col("ceb")).as("pd"))
+    val rows = pairs.groupBy("s", "i")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("pd")))),
+        p => p.getField("pd")).as("jrow"))
+    val tbls = rows.groupBy("s")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("jrow")))),
+        p => p.getField("jrow")).as("tbl"))
+    val cns = cbs.groupBy("s")
+      .agg(transform(sort_array(collect_list(struct(col("dcid"), col("cnrm")))),
+        p => p.getField("cnrm")).as("cns"))
+    tbls.join(cns, "s").agg(
+      expr("transform(array_sort(collect_list(named_struct('s', s, 't', tbl))), x -> x.t)")
+        .as("sdc"),
+      expr("transform(array_sort(collect_list(named_struct('s', s, 'c', cns))), x -> x.c)")
+        .as("cn"))
+  }
+
   /** Encode every vector as its `m` nearest-codeword ids — a per-row
     * fold against the broadcast codebook row, zero shuffles. Returns
     * (corpus columns…, codes array<int>). */

@@ -67,6 +67,83 @@ object SemDedup {
     * caps at 4× it, so a 100 TB run is bounded without tuning. */
   def semDedup(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
       maxCellSize: CellCap = CellCap.Auto): DataFrame = {
+    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
+    val mem = sharded.join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    val dups = mem.as("a")
+      .join(mem.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    verdicts(sharded, dups)
+  }
+
+  /** PQ-screened SemDeDup: identical clustering, sharding, policy and
+    * output shape to [[semDedup]], but within-cell pairs are first
+    * scored on their PRODUCT-QUANTIZATION codes ([[PqAnn]] codebooks —
+    * symmetric distance: one broadcast m·k² table of codeword-pair
+    * partial dots, so a candidate pair costs m lookups and the pair
+    * join shuffles m small ints per vector instead of the
+    * full-dimension array — the FAISS-style memory story applied to
+    * dedup). Pairs whose SDC cosine clears `tau − margin` get the
+    * EXACT integer-cosine re-check at `tau`; the margin absorbs
+    * quantization error, the re-check keeps precision exact (no false
+    * dup can survive it). A true dup whose SDC estimate falls below
+    * the screen is missed — the standard bounded-recall tradeoff,
+    * spec-bounded on the real corpus at the default margin. */
+  def semDedupPq(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
+      margin: Double, m: Int, subDim: Int, pqK: Int, pqIters: Int,
+      maxCellSize: CellCap = CellCap.Auto): DataFrame = {
+    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
+    val cbs = graft.operators.Checkpoints.eager(
+      PqAnn.codebooks(corpus, m, subDim, pqK, pqIters))
+    val enc = PqAnn.encode(corpus, cbs, m, subDim).select(col("vec_id"), col("codes"))
+    val mem = sharded.join(enc, "vec_id")
+    val screen = tau - margin
+    val idx = (codes: String, si: String) => s"element_at($codes, $si + 1) + 1"
+    val pairs = mem.as("a")
+      .join(mem.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.codes").as("ca"), col("b.codes").as("cb"))
+      .crossJoin(broadcast(PqAnn.sdcRow(cbs)))
+      .withColumn("adot", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
+          s"element_at(element_at(element_at(sdc, si + 1), ${idx("ca", "si")}), ${idx("cb", "si")}))"))
+      .withColumn("anrm", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
+          s"element_at(element_at(cn, si + 1), ${idx("ca", "si")}))"))
+      .withColumn("bnrm", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
+          s"element_at(element_at(cn, si + 1), ${idx("cb", "si")}))"))
+      .withColumn("acos", expr(
+        "CASE WHEN anrm <= 0 OR bnrm <= 0 THEN CAST(-2.0 AS DOUBLE) " +
+          "ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(bnrm AS DOUBLE))) END"))
+    val cand = pairs.filter(col("acos") >= screen).select(col("va"), col("vb"))
+    // exact re-check: only the screened candidate ids rejoin vectors
+    val dups = cand
+      .join(corpus.select(col("vec_id").as("va"), col("e").as("ea"), col("nrm").as("na")), "va")
+      .join(corpus.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")), "vb")
+      .withColumn("cos", cosineQ(dotQ(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    verdicts(sharded, dups)
+  }
+
+  /** (vec_id, c_id, is_dup) from the sharded assignment + dup set. */
+  private def verdicts(sharded: DataFrame, dups: DataFrame): DataFrame =
+    sharded.join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), coalesce(col("__d"), lit(false)).as("is_dup"))
+
+  /** The shared clustering front half: IVF centroids, per-vector
+    * assignment, and the cell-cap sub-sharding, checkpointed once as
+    * a narrow (vec_id, c_id, __sub) triple (see [[semDedup]] notes). */
+  private def shardedAssignment(corpus: DataFrame, numCentroids: Int, lloydIters: Int,
+      maxCellSize: CellCap): DataFrame = {
     val cents = IvfAnn.centroids(corpus, numCentroids, lloydIters)
     val asg = IvfAnn.assign(corpus, cents)
     // cell sizes: one row per centroid — bounded by nlist (≈ √N),
@@ -99,17 +176,6 @@ object SemDedup {
     // materialize the narrow (vec_id, c_id, sub) triple once instead
     // of re-deriving it per consumer; released at the caller's next
     // Checkpoints.releaseAll() query boundary
-    val sharded = graft.operators.Checkpoints.eager(sharded0)
-    val mem = sharded.join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
-    val dups = mem.as("a")
-      .join(mem.as("b"),
-        col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosineQ(dotQ(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")))
-      .filter(col("cos") >= tau)
-      .select(col("b.vec_id").as("vec_id"))
-      .distinct()
-    sharded.join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("c_id"), coalesce(col("__d"), lit(false)).as("is_dup"))
+    graft.operators.Checkpoints.eager(sharded0)
   }
 }

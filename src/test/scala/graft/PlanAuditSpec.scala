@@ -227,7 +227,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // r9 C4 sentence-span dedup: ONE doc_id exchange carries every
     // per-document step (segmentation windows, sentence agg, span
     // lead) + the corpus-wide span-fingerprint window
-    "q_sentence_dedup" -> 2)
+    "q_sentence_dedup" -> 2,
+    // r9 PQ-screened SemDeDup: the coarse/codebook builds are loop-
+    // checkpointed (not in the final plan); what remains is the code
+    // join onto the sharded assignment (both pair sides), the dedup
+    // distinct, the exact re-check candidate joins, and the verdict
+    // join — pairs carry m-int codes, vectors only rejoin for the
+    // screened candidates
+    "q_semdedup_pq" -> 7)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

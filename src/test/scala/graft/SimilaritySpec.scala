@@ -220,6 +220,64 @@ class SimilaritySpec extends SparkSpecBase {
     assert(uncapped.count(!_._3) === 1) // min id is the only survivor
   }
 
+  test("semDedupPq: exact precision, bounded recall, full-margin equality vs exact") {
+    import graft.queries.AnnParams
+    import graft.similarity.{CellCap, SemDedup}
+    val corpus = Similarity.prepareQuantized(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("embedding"), col("vec_id"), col("label"))
+    val exact = SemDedup.semDedup(corpus, numCentroids = 8, lloydIters = 1,
+        tau = AnnParams.SemDedupTau, maxCellSize = CellCap.Unbounded)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    def pqRun(margin: Double) = SemDedup.semDedupPq(corpus, numCentroids = 8, lloydIters = 1,
+        tau = AnnParams.SemDedupTau, margin = margin,
+        m = AnnParams.PqM, subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK,
+        pqIters = AnnParams.PqIters, maxCellSize = CellCap.Unbounded)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val exactDups = exact.filter(_._3).map(_._1).toSet
+    assert(exactDups.nonEmpty, "tau chosen so the sweep actually fires")
+    // (1) precision is EXACT at any margin: the integer-cosine
+    // re-check kills every SDC false positive
+    val pq = pqRun(AnnParams.SemDedupPqMargin)
+    val pqDups = pq.filter(_._3).map(_._1).toSet
+    assert(pqDups.subsetOf(exactDups))
+    // (2) recall at the default margin stays high even on these
+    // near-random synthetic embeddings (the PQ worst case — real
+    // model embeddings cluster and reconstruct far tighter)
+    assert(pqDups.size.toDouble >= 0.85 * exactDups.size,
+      s"recall ${pqDups.size}/${exactDups.size} below 0.85")
+    // (3) a full-width margin (screen ≤ −1 passes every pair) makes
+    // the screen a no-op and the verdicts exactly equal
+    assert(pqRun(1.0 + AnnParams.SemDedupTau) === exact)
+  }
+
+  test("semDedupPq cap still bounds pair work on a dense cluster") {
+    import graft.similarity.{CellCap, SemDedup}
+    val rnd = new scala.util.Random(3)
+    val dense = (1L to 400L).map { i =>
+      (i, Seq.tabulate(16)(d => 0.9f + (if (d == (i % 16).toInt) 0.001f * rnd.nextInt(5) else 0f)))
+    }
+    val corpus = Similarity.prepareQuantized(dense.toDF("vec_id", "embedding"),
+      col("embedding"), col("vec_id"))
+    def run(cap: CellCap) = SemDedup.semDedupPq(corpus, numCentroids = 1, lloydIters = 1,
+        tau = 0.99, margin = 0.2, m = 4, subDim = 4, pqK = 8, pqIters = 1,
+        maxCellSize = cap)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val cap = 50
+    val capped = run(CellCap.Fixed(cap))
+    val survivors = capped.count(!_._3)
+    assert(survivors >= 1 && survivors <= math.ceil(400.0 / cap).toInt,
+      s"survivors=$survivors must be within [1, nsub]")
+    // near-identical vectors: every pair clears the SDC screen, the
+    // exact re-check decides — so uncapped PQ ≡ uncapped exact
+    val uncappedPq = run(CellCap.Unbounded)
+    val uncappedExact = SemDedup.semDedup(corpus, numCentroids = 1, lloydIters = 1,
+        tau = 0.99, maxCellSize = CellCap.Unbounded)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(uncappedPq === uncappedExact)
+    assert(uncappedPq.count(!_._3) === 1)
+  }
+
   test("CellCap.Auto equals Fixed(4·N/cells) and splits a skewed cell by default") {
     import graft.similarity.{CellCap, SemDedup}
     // skewed corpus: 40 outliers spread over one-hot axes 1..8 take
