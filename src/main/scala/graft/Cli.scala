@@ -82,10 +82,36 @@ import graft.sources.PartitionedFiles
   *       mean corpus token frequency + rare-token count
   *   semdedup       --vec embedding --id vec_id [--centroids 16]
   *                  [--iters 2] [--tau 0.95] [--emit keep|flags]
+  *                  [--pq true [--margin 0.2] [--pq-m 8] [--pq-subdim 8]
+  *                   [--pq-k 64] [--pq-iters 2]]
   *       SemDeDup semantic dedup over an embedding column: IVF
   *       clustering, then id-ordered greedy keep-one within each
   *       cell at cosine >= tau (--emit keep drops the duplicates;
-  *       --emit flags emits the per-vector verdict table)
+  *       --emit flags emits the per-vector verdict table); --pq
+  *       screens within-cell pairs on product-quantization codes
+  *       first, exact re-check at tau
+  *   stats-ledger   --mode append -i DROP --ledger PATH --drop-id ID
+  *                  --group EXPR --key EXPR [--tokens EXPR | --text COL] [--p 12]
+  *                | --mode rollup -i LEDGER --outfile OUT [--p 12]
+  *       incremental corpus accounting: append one (group, n_docs,
+  *       total_tokens, HLL-register) summary row per group for this
+  *       drop (idempotent per drop id), or roll every drop summary up
+  *       into whole-corpus stats — additive sums + exact HLL merge,
+  *       never rescanning the corpus
+  *   centroid-classify --vec embedding --id vec_id --label label
+  *                  [--emit preds|confusion]
+  *       leave-one-out nearest-centroid label probe: per-vector
+  *       predictions, or the |labels|² confusion matrix
+  *   nb-classify    --text text --id doc_id --label lang [--buckets 256]
+  *                  [--scale-bits 40] [--hold-mod M] [--emit preds|confusion|keep]
+  *       trained Naive-Bayes classifier over hashed token features:
+  *       held-out scoring with --hold-mod, resubstitution otherwise;
+  *       --emit keep drops rows the trained model relabels
+  *   scrub-sentences --text text --id doc_id [--max-sent-tokens 8]
+  *                  [--emit clean|spans]
+  *       C4 three-sentence-span dedup: delete all but the first
+  *       occurrence of every duplicated 3-sentence span and rebuild
+  *       (--emit spans: report the duplicated span occurrences)
   *   schema-check   --expect "id BIGINT, text STRING, ..."
   *       schema-drift report vs the expected DDL: one row per column,
   *       status ok|type_changed|missing|extra (metadata-only — no
@@ -366,17 +392,113 @@ object Cli {
             case Some("none") => graft.similarity.CellCap.Unbounded
             case Some(v)      => graft.similarity.CellCap.Fixed(v.toInt)
           }
-          val verdicts = graft.similarity.SemDedup.semDedup(corpus,
-            numCentroids = opts.getOrElse("centroids", "16").toInt,
-            lloydIters = opts.getOrElse("iters", "2").toInt,
-            tau = opts.getOrElse("tau", "0.95").toDouble,
-            maxCellSize = cap)
+          val (centroids, iters, tau) = (opts.getOrElse("centroids", "16").toInt,
+            opts.getOrElse("iters", "2").toInt, opts.getOrElse("tau", "0.95").toDouble)
+          // --pq: score within-cell pairs on product-quantization codes
+          // first (broadcast SDC table), exact re-check at tau — same
+          // verdicts policy, pair join ships m ints per vector
+          val verdicts =
+            if (opts.get("pq").exists(_.toBoolean))
+              graft.similarity.SemDedup.semDedupPq(corpus, centroids, iters, tau,
+                margin = opts.getOrElse("margin", "0.2").toDouble,
+                m = opts.getOrElse("pq-m", "8").toInt,
+                subDim = opts.getOrElse("pq-subdim", "8").toInt,
+                pqK = opts.getOrElse("pq-k", "64").toInt,
+                pqIters = opts.getOrElse("pq-iters", "2").toInt,
+                maxCellSize = cap)
+            else graft.similarity.SemDedup.semDedup(corpus, centroids, iters, tau, cap)
           opts.getOrElse("emit", "keep") match {
             case "flags" => write(verdicts)
             case "keep"  => write(df.join(
               verdicts.filter(!col("is_dup")).select(col("vec_id").as("__keep")),
               col(idCol) === col("__keep")).drop("__keep"))
             case o => fail(s"--emit must be keep|flags, got: $o")
+          }
+
+        case "stats-ledger" =>
+          // --mode append: summarize THIS drop (-i) into --ledger
+          //   (idempotent per --drop-id: dynamic partition overwrite);
+          // --mode rollup: -i IS the ledger — merge every drop summary
+          //   (additive stats sum, HLL registers element-max) and
+          //   write the whole-corpus stats to --outfile
+          val p = opts.getOrElse("p", "12").toInt
+          opts.getOrElse("mode", "append") match {
+            case "append" =>
+              val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+              val dropId = opts.getOrElse("drop-id", fail("--drop-id ID required"))
+              val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+              val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+              val tokens = opts.get("tokens").map(expr).getOrElse(
+                opts.get("text").map(t => graft.text.TextAnalysis.tokenCount(col(t)).cast("bigint"))
+                  .getOrElse(fail("--tokens EXPR (or --text COLUMN) required")))
+              graft.sketch.StatsLedger.append(ledger,
+                graft.sketch.StatsLedger.dropSummary(read(), dropId, group, key, tokens, p))
+            case "rollup" =>
+              write(graft.sketch.StatsLedger.merge(read(), p))
+            case o => fail(s"--mode must be append|rollup, got: $o")
+          }
+
+        case "centroid-classify" =>
+          // leave-one-out nearest-centroid label probe over an
+          // embedding column: --emit preds (per-vector verdicts) or
+          // confusion (the |labels|² bleed matrix)
+          val df = read()
+          val corpus = graft.similarity.Similarity.prepareQuantized(df,
+            col(opts.getOrElse("vec", fail("--vec COLUMN required"))),
+            col(opts.getOrElse("id", fail("--id COLUMN required"))),
+            col(opts.getOrElse("label", fail("--label COLUMN required"))).as("label"))
+          val preds = graft.similarity.Similarity.centroidClassify(corpus)
+          opts.getOrElse("emit", "preds") match {
+            case "preds" => write(preds)
+            case "confusion" => write(preds.groupBy(col("true_label"), col("pred_label"))
+              .agg(count(lit(1)).as("n")))
+            case o => fail(s"--emit must be preds|confusion, got: $o")
+          }
+
+        case "nb-classify" =>
+          // trained Naive-Bayes text classifier: --hold-mod M scores
+          // only the held-out doc_id ≡ 0 (mod M) slice (the eval
+          // shape); default is resubstitution over the whole corpus.
+          // --emit keep drops rows the trained model relabels (the
+          // Corpus.nbLabelFilter gate as a verb)
+          val df = read()
+          val (textCol, idCol, labelCol) = (
+            opts.getOrElse("text", fail("--text COLUMN required")),
+            opts.getOrElse("id", fail("--id COLUMN required")),
+            opts.getOrElse("label", fail("--label COLUMN required")))
+          val (buckets, scaleBits) = (opts.getOrElse("buckets", "256").toInt,
+            opts.getOrElse("scale-bits", "40").toInt)
+          val preds = opts.get("hold-mod") match {
+            case Some(m) => graft.quality.NaiveBayes.holdoutProbe(df,
+              col(textCol), col(idCol), col(labelCol), m.toInt, buckets, scaleBits)
+            case None => graft.quality.NaiveBayes.classify(
+              df, col(textCol), col(idCol), col(labelCol),
+              df, col(textCol), col(idCol), col(labelCol), buckets, scaleBits)
+          }
+          opts.getOrElse("emit", "preds") match {
+            case "preds" => write(preds)
+            case "confusion" => write(preds.groupBy(col("true_label"), col("pred_label"))
+              .agg(count(lit(1)).as("n")))
+            case "keep" => write(df.join(
+              preds.filter(col("correct") === 1).select(col("doc_id").as("__keep")),
+              col(idCol) === col("__keep")).drop("__keep"))
+            case o => fail(s"--emit must be preds|confusion|keep, got: $o")
+          }
+
+        case "scrub-sentences" =>
+          // C4 three-sentence-span dedup: --emit clean rebuilds the
+          // scrubbed docs (keep-first policy), --emit spans reports
+          // every duplicated 3-sentence span occurrence
+          val df = read()
+          val (textCol, idCol) = (opts.getOrElse("text", fail("--text COLUMN required")),
+            opts.getOrElse("id", fail("--id COLUMN required")))
+          val maxSent = opts.getOrElse("max-sent-tokens", "8").toInt
+          opts.getOrElse("emit", "clean") match {
+            case "clean" => write(graft.dedup.SentenceDedup
+              .scrubDuplicatedSentenceSpans(df, col(textCol), col(idCol), maxSent))
+            case "spans" => write(graft.dedup.SentenceDedup
+              .duplicatedSentenceSpans(df, col(textCol), col(idCol), maxSent))
+            case o => fail(s"--emit must be clean|spans, got: $o")
           }
         case "novel" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))

@@ -481,5 +481,78 @@ object DriveCli {
       println(s"LEDGER=${ledger.count()} OK=${sameRows && partitions && ledger.count() > 0}")
       spark.stop()
     }
+
+    // stats-ledger: two drops appended (second re-appended to prove
+    // idempotence), then rolled up — library-parity vs a direct
+    // whole-corpus aggregate
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "stats-ledger", "--mode", "append", "--ledger", s"$tmp/sledger",
+      "--drop-id", "d0", "--group", "source", "--key", "doc_id", "--text", "text"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "stats-ledger", "--mode", "append", "--ledger", s"$tmp/sledger",
+      "--drop-id", "d1", "--group", "source", "--key", "doc_id || '_b'", "--text", "text"))
+    Cli.main(Array("-i", docs, "-f", "parquet", // retry of d1 must overwrite, not duplicate
+      "stats-ledger", "--mode", "append", "--ledger", s"$tmp/sledger",
+      "--drop-id", "d1", "--group", "source", "--key", "doc_id || '_b'", "--text", "text"))
+    Cli.main(Array("-i", s"$tmp/sledger", "-f", "parquet",
+      "stats-ledger", "--mode", "rollup", "--outfile", s"$tmp/sstats"))
+    locally {
+      val spark = GraftSession.builder("verifySL", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val stats = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/sstats")
+      val nDocs = in.count()
+      val row = stats.agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("n_drops")).head()
+      // both drops counted once each (idempotent retry), 2 drops/group
+      println(s"SLEDGER docs=${row.getLong(0)} OK=${row.getLong(0) == 2 * nDocs &&
+        stats.filter(col("n_drops") =!= 2).count() == 0}")
+      spark.stop()
+    }
+
+    // centroid-classify: confusion matrix totals the vector count
+    Cli.main(Array("-i", emb, "-f", "parquet",
+      "centroid-classify", "--vec", "embedding", "--id", "vec_id", "--label", "label",
+      "--emit", "confusion", "--outfile", s"$tmp/conf"))
+    locally {
+      val spark = GraftSession.builder("verifyCC", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val nVecs = graft.sources.PartitionedFiles.readParquet(spark, emb).count()
+      val conf = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/conf")
+      val total = conf.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      println(s"CONFUSION total=$total OK=${total == nVecs}")
+      spark.stop()
+    }
+
+    // nb-classify --emit keep: library-parity vs Corpus.nbLabelFilter
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "nb-classify", "--text", "text", "--id", "doc_id", "--label", "lang",
+      "--emit", "keep", "--outfile", s"$tmp/nbkeep"))
+    locally {
+      val spark = GraftSession.builder("verifyNB", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val kept = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/nbkeep")
+      val expect = Corpus(in, col("text"), col("doc_id")).nbLabelFilter(col("lang")).df
+      val same = kept.select("doc_id").except(expect.select("doc_id")).count() == 0 &&
+        expect.select("doc_id").except(kept.select("doc_id")).count() == 0
+      println(s"NBKEEP=${kept.count()} OK=${same && kept.count() > 0}")
+      spark.stop()
+    }
+
+    // scrub-sentences: library-parity vs the operator
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "scrub-sentences", "--text", "text", "--id", "doc_id",
+      "--emit", "spans", "--outfile", s"$tmp/sspans"))
+    locally {
+      val spark = GraftSession.builder("verifySS", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val spans = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/sspans")
+      val expect = graft.dedup.SentenceDedup
+        .duplicatedSentenceSpans(in, col("text"), col("doc_id"), 8).count()
+      println(s"SSPANS=${spans.count()} OK=${spans.count() == expect && expect > 0}")
+      spark.stop()
+    }
   }
 }
