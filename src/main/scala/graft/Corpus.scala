@@ -79,6 +79,29 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
   def qualityFilter(minTokens: Int): Corpus =
     keep(df.filter(TextAnalysis.tokenCount(text) >= minTokens), "quality_filter")
 
+  /** The full Gopher document-rule battery (arXiv:2112.11446 app. A;
+    * [[quality.HeuristicRules.gopherPass]]): word-count window, mean
+    * token length, stopword floor, alphabetic-word ratio, top-2-gram
+    * coverage — one scan-time predicate, zero shuffles, every rule
+    * integer-exact. */
+  def gopherQualityFilter(minWords: Int = 50, maxWords: Int = 100000): Corpus =
+    keep(df.filter(quality.HeuristicRules.gopherPass(text, minWords, maxWords)),
+      "gopher_rules")
+
+  /** C4's line rules (arXiv:1910.10683 §2.2;
+    * [[quality.HeuristicRules]]): rewrite the text column IN PLACE to
+    * the kept lines (terminal-punctuated, ≥3 words) and keep only
+    * pages passing the ≥5-sentences / no-lorem-ipsum / no-brace
+    * verdict. Scan-time, zero shuffles; same in-place contract as
+    * [[scrubSubstrings]]. */
+  def c4LineFilter(textName: String = "text"): Corpus = {
+    require(df.columns.contains(textName),
+      s"c4LineFilter: no column '$textName' in ${df.columns.mkString(",")}")
+    keep(df.filter(quality.HeuristicRules.c4Pass(text))
+      .withColumn(textName, quality.HeuristicRules.c4CleanText(text)),
+      "c4_line_rules")
+  }
+
   /** Drop rows whose keep-probability min(1, weight/threshold) misses
     * the deterministic draw — rerun-stable weighted sampling. */
   def weightedSample(weight: Column, threshold: Long): Corpus =

@@ -69,68 +69,85 @@ object NaiveBayes {
         explode(split(trim(lower(text)), "\\s+")).as("__t"))
       .select(col("doc_id"), col("true_label"), featureBucket(col("__t"), buckets).as("f"))
 
-  /** Train on `train`, score `test`; both are (text, id, label)
-    * corpora (label on the test side is the evaluation ground truth —
-    * pass the same frame twice for resubstitution scoring, e.g. the
-    * [[graft.Corpus.nbLangFilter]] stage). Returns one row per test
-    * doc: (doc_id, true_label, pred_label, score, correct).
-    *
-    * Plan shape at scale: explode + count aggregate over the train
-    * corpus (1 shuffle, ≤ classes×buckets result rows), the tiny
-    * weight grid built with broadcast-only joins, then explode +
-    * per-(doc, class) sum over the test corpus (1 shuffle) and a
-    * row_number window over test-docs×classes rows. The corpus text
-    * itself is never joined or shuffled.
-    */
-  def classify(train: DataFrame, trainText: Column, trainId: Column, trainLabel: Column,
-      test: DataFrame, testText: Column, testId: Column, testLabel: Column,
+  /** The trained model as ONE small persistable/broadcastable frame:
+    * (lab, f, w, prior) — classes × buckets rows, KB-sized at any
+    * corpus scale. Training is one explode + count aggregate over the
+    * train corpus (1 corpus shuffle; the ≤C·B count grid is
+    * checkpointed once for its two tiny consumers) plus the
+    * class-doc-count aggregate; the grid assembly itself is
+    * broadcast-only. EVERY (class, bucket) pair materializes
+    * (unobserved → the Laplace floor), so scoring needs no
+    * missing-weight special case. */
+  def model(train: DataFrame, trainText: Column, trainId: Column, trainLabel: Column,
       buckets: Int = 256, scaleBits: Int = 40): DataFrame = {
     val spark = train.sparkSession
     val scale = 1L << scaleBits
-
-    // -- training: integer sufficient statistics ----------------------
     val trainTok = tokens(train, trainText, trainId, trainLabel, buckets)
-    // token occurrences per (class, bucket) — ≤ C·B rows out of a
-    // corpus-scale aggregate. Checkpointed eagerly: two consumers
-    // (the weight grid and the class-mass totals) would otherwise
-    // each re-run the corpus explode+count.
     val counts = graft.operators.Checkpoints.eager(
       trainTok.groupBy(col("true_label").as("lab"), col("f"))
         .agg(count(lit(1)).as("n")))
-    // per-class token mass (from the grid, so one pass over `counts`)
     val classMass = counts.groupBy("lab").agg(sum("n").as("n_lab"))
-    // class doc-counts and total for the prior
     val classDocs = train.groupBy(trainLabel.as("lab")).agg(count(lit(1)).as("d_lab"))
     val totalDocs = train.agg(count(lit(1)).as("n_docs"))
-
-    // -- weight grid: EVERY (class, bucket) pair, unobserved → n=0 ----
     val allBuckets = spark.range(buckets).select(col("id").as("f"))
     // every grid input is an aggregate output (≤ classes·buckets rows)
     // — broadcast them so the KB-sized grid assembly adds no exchange
-    val grid = classDocs.select(col("lab")).crossJoin(allBuckets)
+    val priors = classDocs.crossJoin(broadcast(totalDocs))
+      .withColumn("__r", expr(s"(d_lab * ${scale}L) div n_docs"))
+      .select(col("lab"), qlog64(col("__r")).as("prior"))
+    classDocs.select(col("lab")).crossJoin(allBuckets)
       .join(broadcast(counts), Seq("lab", "f"), "left")
       .na.fill(0L, Seq("n"))
       .join(broadcast(classMass), Seq("lab"))
       .withColumn("__r", expr(s"((n + 1) * ${scale}L) div (n_lab + $buckets)"))
       .select(col("lab"), col("f"), qlog64(col("__r")).as("w"))
-    val priors = classDocs.crossJoin(broadcast(totalDocs))
-      .withColumn("__r", expr(s"(d_lab * ${scale}L) div n_docs"))
-      .select(col("lab"), qlog64(col("__r")).as("prior"))
-
-    // -- scoring: one broadcast join + one per-doc aggregate ----------
-    val testTok = tokens(test, testText, testId, testLabel, buckets)
-    val scored = testTok
-      .join(broadcast(grid), Seq("f"))
-      .groupBy(col("doc_id"), col("true_label"), col("lab"))
-      .agg(sum("w").as("__sw"))
       .join(broadcast(priors), Seq("lab"))
-      .withColumn("score", col("__sw") + col("prior"))
+  }
+
+  /** Best-class row per doc against a trained [[model]] frame,
+    * optionally carrying a ground-truth label through for the
+    * evaluation output shape. */
+  private def scoreCore(test: DataFrame, testText: Column, testId: Column,
+      testLabel: Option[Column], model: DataFrame, buckets: Int): DataFrame = {
+    val testTok = tokens(test, testText, testId,
+      testLabel.getOrElse(lit(null).cast("string")), buckets)
+    val scored = testTok
+      .join(broadcast(model), Seq("f"))
+      .groupBy(col("doc_id"), col("true_label"), col("lab"))
+      // prior is constant per class — max() re-attaches it without a
+      // second join
+      .agg((sum("w") + max("prior")).as("score"))
     val rk = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lab").asc))
     scored.withColumn("__rk", rk).filter(col("__rk") === 1)
+  }
+
+  /** Inference against a trained model — the new-drop / streaming
+    * form ([[graft.streaming.EventStreams.nbScoredStream]] runs it
+    * per micro-batch): (doc_id, pred_label, score). One broadcast
+    * join + one per-doc aggregate; the doc text never shuffles. */
+  def scoreAgainst(test: DataFrame, testText: Column, testId: Column,
+      model: DataFrame, buckets: Int = 256): DataFrame =
+    scoreCore(test, testText, testId, None, model, buckets)
+      .select(col("doc_id"), col("lab").as("pred_label"), col("score"))
+
+  /** Train on `train`, score `test`; both are (text, id, label)
+    * corpora (label on the test side is the evaluation ground truth —
+    * pass the same frame twice for resubstitution scoring, e.g. the
+    * [[graft.Corpus.nbLabelFilter]] stage). Returns one row per test
+    * doc: (doc_id, true_label, pred_label, score, correct).
+    *
+    * Plan shape at scale: the [[model]] build (1 corpus shuffle),
+    * then explode + per-(doc, class) sum over the test corpus (1
+    * shuffle) and a row_number window over test-docs×classes rows.
+    * The corpus text itself is never joined or shuffled. */
+  def classify(train: DataFrame, trainText: Column, trainId: Column, trainLabel: Column,
+      test: DataFrame, testText: Column, testId: Column, testLabel: Column,
+      buckets: Int = 256, scaleBits: Int = 40): DataFrame =
+    scoreCore(test, testText, testId, Some(testLabel),
+        model(train, trainText, trainId, trainLabel, buckets, scaleBits), buckets)
       .select(col("doc_id"), col("true_label"), col("lab").as("pred_label"), col("score"),
         (col("true_label") === col("lab")).cast("int").as("correct"))
-  }
 
   /** Held-out probe: train on doc_id ≢ 0 (mod holdMod), score the
     * held-out doc_id ≡ 0 slice — the q_nb_quality gate shape. */

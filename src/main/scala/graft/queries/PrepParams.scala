@@ -54,6 +54,12 @@ object PrepParams {
   val SubstrWindow = 8
   val SubstrMinCount = 2L
 
+  // q_gopher_rules: the word-count window — 20..80 makes the rule
+  // actually bind at sf0.01 (docs carry 10..99 tokens; Gopher's
+  // published 50..100k window would fail only the shortest docs)
+  val GopherMinWords = 20
+  val GopherMaxWords = 80
+
   // q_sentence_dedup: C4 3-sentence-span dedup — sentence fallback
   // width for punctuation-less text (the synthetic corpus has no
   // terminals, so every doc segments into 8-token sentences; 8 keeps

@@ -242,6 +242,19 @@ object TextQueries {
         holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
         scaleBits = PrepParams.NbScaleBits)),
 
+    // §2.5/31f Gopher document-rule battery: per-doc metrics + every
+    // per-rule verdict, all in-row (zero shuffles), integer-exact.
+    "q_gopher_rules" -> ((s, dir) =>
+      graft.quality.HeuristicRules.gopherRules(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        minWords = PrepParams.GopherMinWords, maxWords = PrepParams.GopherMaxWords)),
+
+    // §2.5/31g C4 line-rule report: kept-line filtering, sentence
+    // floor, lorem-ipsum/brace tells, rebuilt clean text.
+    "q_c4_rules" -> ((s, dir) =>
+      graft.quality.HeuristicRules.c4LineRules(
+        Tables.documents(s, dir), col("text"), col("doc_id"))),
+
     // §2.5/31c confusion matrix over the NB probe — which languages
     // the trained model bleeds into which (same audit-artifact shape
     // as q_label_confusion over the centroid probe).
@@ -611,6 +624,71 @@ object TextQueries {
            |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM deduped WHERE rn = 1 GROUP BY source""".stripMargin
         .replace("$stopSqlList", stopSqlList),
+
+    "q_gopher_rules" -> {
+      val (lo, hi) = (PrepParams.GopherMinWords, PrepParams.GopherMaxWords)
+      raw"""WITH base AS (
+           |  SELECT doc_id,
+           |         CAST(len(toks) AS BIGINT) AS n_words,
+           |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars_tok,
+           |         CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+           |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_hits,
+           |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           |         CASE WHEN len(ltoks) < 2 THEN []
+           |              ELSE list_transform(range(len(ltoks) - 1), i -> ltoks[i+1] || ' ' || ltoks[i+2]) END AS g
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+           |               string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           |        FROM documents)
+           |),
+           |tg AS (
+           |  SELECT doc_id, gram, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(g) AS gram FROM base) GROUP BY 1, 2
+           |),
+           |top AS (
+           |  SELECT doc_id, gram AS top2_gram, c AS top2_count FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+           |    FROM tg
+           |  ) WHERE rn = 1
+           |)
+           |SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
+           |       top2_count, top2_gram,
+           |       pass_word_count, pass_mean_len, pass_stop, pass_alpha, pass_dup2,
+           |       CAST(pass_word_count = 1 AND pass_mean_len = 1 AND pass_stop = 1
+           |            AND pass_alpha = 1 AND pass_dup2 = 1 AS INT) AS pass
+           |FROM (
+           |  SELECT b.doc_id, b.n_words, b.n_chars_tok, b.stop_hits, b.alpha_words,
+           |         CAST(coalesce(t.top2_count, 0) AS BIGINT) AS top2_count,
+           |         coalesce(t.top2_gram, '') AS top2_gram,
+           |         CAST(b.n_words >= $lo AND b.n_words <= $hi AS INT) AS pass_word_count,
+           |         CAST(3 * b.n_words <= b.n_chars_tok AND b.n_chars_tok <= 10 * b.n_words AS INT) AS pass_mean_len,
+           |         CAST(b.stop_hits >= 2 AS INT) AS pass_stop,
+           |         CAST(10 * b.alpha_words >= 8 * b.n_words AS INT) AS pass_alpha,
+           |         CAST(5 * CAST(coalesce(t.top2_count, 0) AS BIGINT) * length(coalesce(t.top2_gram, ''))
+           |              <= b.n_chars_tok + b.n_words - 1 AS INT) AS pass_dup2
+           |  FROM base b LEFT JOIN top t USING (doc_id)
+           |)""".stripMargin
+    },
+
+    "q_c4_rules" ->
+      raw"""SELECT doc_id,
+           |       CAST(len(lines) AS BIGINT) AS n_lines,
+           |       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           |       CAST(length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+           |       has_lorem, has_brace, ct AS clean_text,
+           |       CAST(length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) >= 5
+           |            AND has_lorem = 0 AND has_brace = 0 AS INT) AS pass
+           |FROM (
+           |  SELECT doc_id, lines, kept,
+           |         coalesce(array_to_string(kept, chr(10)), '') AS ct,
+           |         CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+           |         CAST(contains(text, '{') AS INT) AS has_brace, text
+           |  FROM (
+           |    SELECT doc_id, text, lines,
+           |           list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$$')
+           |                                   AND len(string_split_regex(trim(l), '\s+')) >= 3) AS kept
+           |    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents)
+           |  )
+           |)""".stripMargin,
 
     "q_nb_quality" -> nbQualitySql,
     "q_nb_confusion" ->

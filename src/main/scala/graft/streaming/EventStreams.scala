@@ -274,6 +274,33 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming Naive-Bayes classification: each micro-batch of
+    * incoming documents is scored against a STATIC trained
+    * [[graft.quality.NaiveBayes.model]] frame (fit on the standing
+    * corpus by the batch pipeline — the batch-owned-model philosophy
+    * of [[lmScoredStream]]/[[classifiedStream]]). Runs the exact
+    * batch scorer ([[graft.quality.NaiveBayes.scoreAgainst]]), so
+    * stream and batch verdicts are bit-identical; sink rows carry
+    * every batch column plus pred_label / score. */
+  def nbScoredStream(
+      docs: DataFrame,
+      model: DataFrame,
+      textCol: String,
+      idCol: String,
+      checkpointDir: String,
+      buckets: Int = 256
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scores = graft.quality.NaiveBayes
+          .scoreAgainst(batch, col(textCol), col(idCol), model, buckets)
+          .withColumnRenamed("doc_id", "__nb_doc_id")
+        sink(batch.join(scores, batch(idCol) === col("__nb_doc_id")).drop("__nb_doc_id"))
+      }
+      .start()
+
   /** Streaming nearest-centroid classification: each micro-batch of
     * incoming embedding vectors is scored against a STATIC
     * [[graft.similarity.Similarity.labelCentroids]] frame (trained on

@@ -36,6 +36,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_dedup_simhash")) === 0)
   }
 
+  test("the heuristic rule batteries are pure scans: zero key shuffles") {
+    // Gopher's 2-gram mode is an in-row fold, C4's line rules are
+    // array/regex expressions — a 100 TB screen must stay one pass
+    assert(keyShuffles(plan("q_gopher_rules")) === 0)
+    assert(keyShuffles(plan("q_c4_rules")) === 0)
+  }
+
   test("q_filter pushes its predicate into the parquet scan") {
     val p = plan("q_filter")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(800))

@@ -20,7 +20,10 @@ object ProfileScaling {
       "q_corpus", "q_keep_best", "q_triangles", "q_tfidf",
       "q_fuzzy_join", "q_containment", "q_dedup_ngram",
       "q_substring_spans", "q_substring_scrub", "q_boilerplate",
-      "q_drop_ledger", "q_stats_ledger", "q_bigram_lm")
+      "q_drop_ledger", "q_stats_ledger", "q_bigram_lm",
+      // r9 additions: the trained-model and sentence/PQ dedup family
+      "q_nb_quality", "q_sentence_dedup", "q_semdedup_pq",
+      "q_ann_ivfpq", "q_bpe_tokens")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -51,7 +54,7 @@ object ProfileScaling {
       s"""{"query":"$n","sf0.001":$a,"sf0.01":$b,"sf0.1":$c,""" +
         s""""alpha_001_01":${alpha(a, b)},"alpha_01_1":${alpha(b, c)}}"""
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r8.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r9.json"),
       rows.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }

@@ -22,7 +22,8 @@ object ProfileShuffles {
       "q_winnow_pairs", "q_token_drift", "q_lsh_recall", "q_triangles", "q_scd2",
       "q_update_capstone", "q_corpus_diff", "q_substring_spans", "q_substring_scrub",
       "q_source_cap", "q_drop_ledger", "q_stats_ledger",
-      "q_nb_quality", "q_nb_confusion", "q_sentence_dedup", "q_semdedup_pq")
+      "q_nb_quality", "q_nb_confusion", "q_sentence_dedup", "q_semdedup_pq",
+      "q_gopher_rules", "q_c4_rules")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString

@@ -348,6 +348,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId === batch)
   }
 
+  test("nbScoredStream labels micro-batches against a static trained NB model, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.quality.NaiveBayes
+    val train = Seq(
+      (1L, "apple banana apple cherry", "fruit"),
+      (2L, "banana cherry banana apple", "fruit"),
+      (3L, "bolt nut washer bolt", "hardware"),
+      (4L, "nut washer nut bolt", "hardware")).toDF("doc_id", "text", "label")
+    val model = NaiveBayes.model(train, col("text"), col("doc_id"), col("label"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("nb_ckpt").toString
+    val q = EventStreams.nbScoredStream(
+      mem.toDF().toDF("doc_id", "text"), model, "text", "doc_id", ckpt) { scored =>
+      got.synchronized {
+        got ++= scored.select(col("doc_id"), col("pred_label"), col("score"))
+          .as[(Long, String, Long)].collect()
+      }
+    }
+    mem.addData((10L, "apple cherry banana"), (11L, "washer bolt nut"))
+    q.processAllAvailable()
+    mem.addData((12L, "banana banana apple apple"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 === "fruit" && byId(11L)._2 === "hardware"
+      && byId(12L)._2 === "fruit")
+    // bit-exact parity with the batch inference scorer
+    val allDocs = Seq((10L, "apple cherry banana"), (11L, "washer bolt nut"),
+      (12L, "banana banana apple apple")).toDF("doc_id", "text")
+    val batch = NaiveBayes.scoreAgainst(allDocs, col("text"), col("doc_id"), model)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byId === batch)
+  }
+
   test("windowedSourceTokens + temperaturePerWindow equals batch temperature weights per window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, String)]
