@@ -31,62 +31,70 @@ import Similarity.{cosineQ, dotQ}
   * exchanges rows, and those rows carry codes, not vectors. */
 object PqAnn {
 
-  /** Sub-vector `s` of `e`: dims [s·subDim+1, (s+1)·subDim]. */
-  private def subVec(e: Column, s: Int, subDim: Int): Column =
-    slice(e, s * subDim + 1, subDim)
-
   /** Per-subspace codebooks: `m` independent Lloyd runs over the
     * sub-vectors, `k` codewords each, seeded by the sub-vectors of
     * the `k` smallest vec_ids and refined `iters` rounds with integer
     * L2 assignment (ties to the smaller codeword) and floor-mean
     * rebuild. Returns (s, dcid, ce, cnrm) with dcid densely
     * re-numbered 0..k'-1 per subspace AFTER training (cells can empty
-    * out), so ADC lookup tables index by position. Each round's
-    * (tiny) codebook is checkpointed to cut the assignment lineage —
-    * the [[IvfAnn.centroids]] pattern. */
+    * out), so ADC lookup tables index by position.
+    *
+    * All `m` runs train in ONE tagged frame — the (s, vec_id, se)
+    * union of every subspace's sub-vectors — so an iteration is one
+    * GroupTopK assignment + one mean aggregate regardless of m, not
+    * m sequential loops (r9: the per-subspace fold launched ~2·m·iters
+    * driver jobs and pinned m·iters checkpoints; the tagged form cut
+    * q_ann_ivfpq from 12.8 s to a few at sf0.1 while producing
+    * byte-identical codebooks — the subspaces never interact: every
+    * key starts with s). Each round's tiny (m·k-row) codebook is
+    * checkpointed to cut the assignment lineage — the
+    * [[IvfAnn.centroids]] pattern. */
   def codebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
-    val perSub = (0 until m).map { s =>
-      val sub = corpus.select(col("vec_id"), subVec(col("e"), s, subDim).as("se"))
-      val seedW = Window.orderBy("vec_id") // k rows — the single partition is the point
-      val seeds = sub.orderBy("vec_id").limit(k)
-        .select((row_number().over(seedW) - 1).cast("int").as("cid"), col("se").as("ce"))
-        .withColumn("cnrm", dotQ(col("ce"), col("ce")))
-      val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
-        val assigned = assignSub(sub, cents)
-        val prev = cents
+    // one row per (subspace, vector): posexplode tags the slice index
+    def subs = corpus.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), si -> slice(e, si * $subDim + 1, $subDim))"))
+        .as(Seq("s", "se")))
+    val seedW = Window.partitionBy("s").orderBy("vec_id")
+    val seeds = subs.withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= k)
+      .select(col("s"), (col("__rn") - 1).cast("int").as("cid"), col("se").as("ce"))
+      .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+    val trained = (1 to iters).foldLeft(graft.operators.Checkpoints.eager(seeds)) {
+      (cents, _) =>
+        val assigned = assignSub(subs, cents)
         val meanPerDim = assigned
-          .join(sub, "vec_id")
-          .select(col("cid"), posexplode(col("se")).as(Seq("j", "x")))
-          .groupBy("cid", "j")
+          .join(subs, Seq("s", "vec_id"))
+          .select(col("s"), col("cid"), posexplode(col("se")).as(Seq("j", "x")))
+          .groupBy("s", "cid", "j")
           // floor-mean: the one integral mean Spark and DuckDB agree on
           .agg(floor(sum(col("x")).cast("double") / count(lit(1))).as("mu"))
         val next = graft.operators.Checkpoints.eager(meanPerDim
-          .groupBy("cid")
+          .groupBy("s", "cid")
           .agg(transform(sort_array(collect_list(struct(col("j"), col("mu")))),
             p => p.getField("mu")).as("ce"))
           .withColumn("cnrm", dotQ(col("ce"), col("ce"))))
-        graft.operators.Checkpoints.release(prev)
+        graft.operators.Checkpoints.release(cents)
         next
-      }
-      val denseW = Window.orderBy("cid") // ≤ k rows
-      trained.select((row_number().over(denseW) - 1).cast("int").as("dcid"),
-        col("ce"), col("cnrm"))
-        .withColumn("s", lit(s))
     }
-    perSub.reduce(_ unionByName _).select(col("s"), col("dcid"), col("ce"), col("cnrm"))
+    val denseW = Window.partitionBy("s").orderBy("cid") // ≤ m·k rows
+    trained.select(col("s"),
+      (row_number().over(denseW) - 1).cast("int").as("dcid"), col("ce"), col("cnrm"))
   }
 
-  /** Integer-L2 sub-vector assignment: argmin (cnrm − 2·dot), ties to
-    * the smaller cid, via the GroupTopK partial-reduce operator (one
-    * row per vector leaves each partition before the exchange). */
-  private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = sub
-      .crossJoin(broadcast(cents))
+  /** Integer-L2 sub-vector assignment for EVERY subspace at once:
+    * argmin (cnrm − 2·dot) per (s, vec_id), ties to the smaller cid,
+    * via the GroupTopK partial-reduce operator (one row per
+    * (s, vector) leaves each partition before the exchange). The
+    * broadcast join on s keeps each sub-vector scoring only its own
+    * subspace's codewords. */
+  private def assignSub(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = subs
+      .join(broadcast(cents), Seq("s"))
       .withColumn("__d", col("cnrm") - lit(2L) * dotQ(col("se"), col("ce")))
     org.apache.spark.sql.graft.GraftPlans
-      .groupTopK(scored, Seq(col("vec_id")), Seq(col("__d").asc, col("cid").asc), 1)
-      .select(col("vec_id"), col("cid"))
+      .groupTopK(scored, Seq(col("s"), col("vec_id")), Seq(col("__d").asc, col("cid").asc), 1)
+      .select(col("s"), col("vec_id"), col("cid"))
   }
 
   /** One broadcastable row holding every codebook entry, sorted by

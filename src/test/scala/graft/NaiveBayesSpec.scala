@@ -86,6 +86,22 @@ class NaiveBayesSpec extends SparkSpecBase {
     assert(run() === run())
   }
 
+  test("model frame round-trips parquet and scores identically (persistable model)") {
+    val f = fixture
+    val m = graft.quality.NaiveBayes.model(f, col("text"), col("doc_id"), col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("nb_model").toString
+    m.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val direct = graft.quality.NaiveBayes
+      .scoreAgainst(f, col("text"), col("doc_id"), m)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val viaDisk = graft.quality.NaiveBayes
+      .scoreAgainst(f, col("text"), col("doc_id"), reloaded)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(viaDisk === direct)
+    assert(m.count() === 2L * 256) // full grid: every (class, bucket) pair
+  }
+
   // -- Corpus facade gate --------------------------------------------
 
   test("nbLabelFilter keeps exactly the self-consistent docs and ledgers the rest") {
