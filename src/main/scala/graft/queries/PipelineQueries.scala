@@ -113,6 +113,28 @@ object PipelineQueries {
         Tables.documents(s, dir), col("source"),
         graft.text.TextAnalysis.tokenCount(col("text")))),
 
+    // §2.5/43g UniMax budget allocation (arXiv:2304.09151): equal
+    // token shares per language under a 2-epoch cap — the paper's
+    // sequential waterfilling loop re-expressed as window arithmetic
+    // over the per-language table (UniMaxSpec proves loop parity).
+    "q_unimax" -> ((s, dir) =>
+      graft.text.UniMax.allocateRelative(
+        Tables.documents(s, dir), col("lang"), col("text"),
+        PrepParams.UnimaxBudgetNum, PrepParams.UnimaxBudgetDen,
+        PrepParams.UnimaxEpochsMilli)),
+
+    // §2.5/43g2 the allocation materialized as per-document repeat
+    // counts: full epochs for everyone in a funded language plus a
+    // deterministic md5-ordered partial pass for the remainder.
+    "q_unimax_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val alloc = graft.text.UniMax.allocateRelative(docs, col("lang"), col("text"),
+        PrepParams.UnimaxBudgetNum, PrepParams.UnimaxBudgetDen,
+        PrepParams.UnimaxEpochsMilli)
+      graft.text.UniMax.materializeCopies(docs, col("lang"), col("text"),
+        col("doc_id"), alloc)
+    }),
+
     // Greedy sequence packing: batch assignment per 2000-token budget
     // within 8 hash shards (one packed stream per data-loader worker).
     "q_pack" -> ((s, dir) =>
@@ -449,6 +471,79 @@ object PipelineQueries {
         |      FROM wm GROUP BY 1)
         |SELECT wm.event_id, wm.event_type, CAST(wm.v AS BIGINT) AS value
         |FROM wm JOIN d USING (event_type)
-        |WHERE abs(CAST(wm.v AS DOUBLE) - wm.med) > 3.0 * d.mad""".stripMargin
+        |WHERE abs(CAST(wm.v AS DOUBLE) - wm.med) > 3.0 * d.mad""".stripMargin,
+    "q_unimax" ->
+      s"""$unimaxAllocCte
+         |SELECT lang, tokens, capacity, capped, alloc,
+         |       (alloc * 1000) // greatest(tokens, 1) AS epochs_milli
+         |FROM alloc""".stripMargin,
+    "q_unimax_sample" ->
+      s"""$unimaxAllocCte,
+         |d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT d.doc_id, d.lang, d.n_tokens, a.tokens, a.alloc,
+         |         CAST(sum(d.n_tokens) OVER (
+         |           PARTITION BY d.lang
+         |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM d JOIN alloc a ON d.lang = a.lang)
+         |SELECT doc_id, lang, n_tokens,
+         |       (alloc // greatest(tokens, 1)) +
+         |       CASE WHEN cum - n_tokens < (alloc % greatest(tokens, 1))
+         |            THEN 1 ELSE 0 END AS copies
+         |FROM c
+         |WHERE (alloc // greatest(tokens, 1)) +
+         |      CASE WHEN cum - n_tokens < (alloc % greatest(tokens, 1))
+         |           THEN 1 ELSE 0 END >= 1""".stripMargin
   )
+
+  /** Full UniMax replay ([[graft.text.UniMax.allocate]]): per-language
+    * token counts, relative budget, funded-prefix test, and the
+    * integer fair-share split with its mod-remainder on the last
+    * budget-bound languages — bit-for-bit the Spark windows. */
+  private lazy val unimaxAllocCte: String = {
+    val (num, den, em) = (PrepParams.UnimaxBudgetNum, PrepParams.UnimaxBudgetDen,
+      PrepParams.UnimaxEpochsMilli)
+    raw"""WITH s AS (
+         |  SELECT lang,
+         |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s),
+         |b AS (
+         |  SELECT lang, tokens, (tokens * $em) // 1000 AS capacity,
+         |         (total * $num) // $den AS B
+         |  FROM s CROSS JOIN t),
+         |f AS (
+         |  SELECT lang, tokens, capacity, B,
+         |         row_number() OVER (ORDER BY capacity, lang) AS idx,
+         |         CAST(sum(capacity) OVER (ORDER BY capacity, lang
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         count(*) OVER () AS n
+         |  FROM b),
+         |g AS (
+         |  SELECT *, CASE WHEN capacity * (n - idx + 1) <= B - (cum - capacity)
+         |                 THEN 1 ELSE 0 END AS flag
+         |  FROM f),
+         |h AS (
+         |  SELECT *, min(flag) OVER (ORDER BY capacity, lang
+         |              ROWS UNBOUNDED PRECEDING) = 1 AS capped
+         |  FROM g),
+         |i AS (
+         |  SELECT *,
+         |    CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER () AS BIGINT) AS cap_mass,
+         |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS ncap
+         |  FROM h),
+         |alloc AS (
+         |  SELECT lang, tokens, capacity, capped,
+         |         CASE WHEN capped THEN capacity ELSE
+         |           (B - cap_mass) // greatest(n - ncap, 1) +
+         |           CASE WHEN (idx - ncap) >
+         |                     ((n - ncap) - ((B - cap_mass) % greatest(n - ncap, 1)))
+         |                THEN 1 ELSE 0 END
+         |         END AS alloc
+         |  FROM i)""".stripMargin
+  }
 }

@@ -97,6 +97,15 @@ object PrepParams {
   val NbHoldMod = 4
   val NbScaleBits = 40
 
+  // q_unimax / q_unimax_sample: budget = total_tokens · 8 div 5
+  // (RELATIVE to the corpus, so the same funded-prefix / budget-bound
+  // structure appears at every SF: the four smaller languages fit
+  // under the 2-epoch cap, `en` is budget-bound), cap = 2000
+  // milli-epochs (at most two passes over any language's data).
+  val UnimaxBudgetNum = 8L
+  val UnimaxBudgetDen = 5L
+  val UnimaxEpochsMilli = 2000L
+
   // q_sorted_neighbors: sort-key fingerprint length, window size, and
   // the Jaccard gate as a rational (i·Den ≥ u·Num keeps the pair).
   // τ = 0.9: the synthetic corpus has a 31-token vocabulary, so word
