@@ -107,6 +107,18 @@ import graft.sources.PartitionedFiles
   *       trained Naive-Bayes classifier over hashed token features:
   *       held-out scoring with --hold-mod, resubstitution otherwise;
   *       --emit keep drops rows the trained model relabels
+  *   dsir           --target PATH --text text --id doc_id --k N
+  *                  [--target-text T] [--target-id I] [--buckets 512]
+  *                  [--scale-bits 40] [--emit keep|weights]
+  *       DSIR importance resampling: keep the k docs whose hashed
+  *       unigram+bigram distribution best matches the target sample
+  *       (--emit weights: every doc's integer importance weight)
+  *   unimax         --group lang --text text [--budget-num 8]
+  *                  [--budget-den 5] [--epochs-milli 2000]
+  *                  [--emit alloc|copies]
+  *       UniMax budget allocation: equal token shares per group under
+  *       the epoch cap, budget = total·num/den (--emit copies: the
+  *       per-document repeat counts a sequence writer consumes)
   *   scrub-sentences --text text --id doc_id [--max-sent-tokens 8]
   *                  [--emit clean|spans]
   *       C4 three-sentence-span dedup: delete all but the first
@@ -500,6 +512,59 @@ object Cli {
               .duplicatedSentenceSpans(df, col(textCol), col(idCol), maxSent))
             case o => fail(s"--emit must be clean|spans, got: $o")
           }
+        case "dsir" =>
+          // DSIR importance resampling against a target-domain sample
+          // (arXiv:2302.03169): --emit keep (default) writes the
+          // selected top-k rows; --emit weights writes (doc_id, iw)
+          // for every input doc
+          val textCol = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val idCol = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val targetPath = opts.getOrElse("target", fail("--target PATH required"))
+          val target = fmt match {
+            case "json"    => PartitionedFiles.readJsonl(spark, targetPath, opts.get("target-schema"))
+            case "csv"     => PartitionedFiles.readCsv(spark, targetPath, header = true, opts.get("target-schema"))
+            case "parquet" => PartitionedFiles.readParquet(spark, targetPath)
+            case "orc"     => PartitionedFiles.readOrc(spark, targetPath)
+            case o         => fail(s"dsir unsupported for format: $o")
+          }
+          val tText = expr(opts.getOrElse("target-text", opts.getOrElse("text", "text")))
+          val tId = expr(opts.getOrElse("target-id", opts.getOrElse("id", "id")))
+          val (buckets, scaleBits) = (opts.getOrElse("buckets", "512").toInt,
+            opts.getOrElse("scale-bits", "40").toInt)
+          val df = read()
+          opts.getOrElse("emit", "keep") match {
+            case "weights" =>
+              val ratios = graft.quality.Dsir.logRatios(target, tText, tId,
+                df, textCol, idCol, buckets, scaleBits)
+              write(graft.quality.Dsir.importanceWeights(df, textCol, idCol, ratios, buckets))
+            case "keep" =>
+              val k = opts.getOrElse("k", fail("--k N required for --emit keep")).toInt
+              val sel = graft.quality.Dsir.select(df, textCol, idCol,
+                target, tText, tId, k, buckets, scaleBits)
+                .select(col("doc_id").as("__dsir_keep"))
+              write(df.join(sel, idCol === col("__dsir_keep")).drop("__dsir_keep"))
+            case o => fail(s"unknown --emit: $o")
+          }
+
+        case "unimax" =>
+          // UniMax budget allocation (arXiv:2304.09151): --emit alloc
+          // (default) writes the per-group allocation table; --emit
+          // copies materializes per-document repeat counts
+          val group = expr(opts.getOrElse("group", fail("--group COLUMN required")))
+          val textCol = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val (num, den) = (opts.getOrElse("budget-num", "8").toLong,
+            opts.getOrElse("budget-den", "5").toLong)
+          val em = opts.getOrElse("epochs-milli", "2000").toLong
+          val df = read()
+          val alloc = graft.text.UniMax.allocateRelative(df, group, textCol, num, den, em)
+          opts.getOrElse("emit", "alloc") match {
+            case "alloc" => write(alloc)
+            case "copies" =>
+              val idCol = expr(opts.getOrElse("id", fail("--id COLUMN required for --emit copies")))
+              write(graft.text.UniMax.materializeCopies(df, group, textCol, idCol, alloc))
+            case o => fail(s"unknown --emit: $o")
+          }
+
         case "novel" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))

@@ -250,6 +250,20 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       "nb_label_filter")
   }
 
+  /** DSIR selection stage (arXiv:2302.03169;
+    * [[quality.Dsir.select]]): keep the `k` documents whose hashed
+    * unigram+bigram distribution scores closest to the `target`
+    * sample under the trained importance-ratio grid. Two count
+    * aggregates + one weight shuffle; the ratio grid broadcasts. */
+  def dsirSelect(target: DataFrame, targetText: Column, targetId: Column,
+      k: Int, buckets: Int = 512, scaleBits: Int = 40): Corpus = {
+    val keepIds = quality.Dsir.select(df, text, id, target, targetText, targetId,
+        k, buckets, scaleBits)
+      .select(col("doc_id").as("__dsir_keep"))
+    keep(df.join(keepIds, id === col("__dsir_keep")).drop("__dsir_keep"),
+      "dsir_select")
+  }
+
   /** CCNet-style selection: bucket documents into per-language
     * head/middle/tail terciles of the LM quality proxy
     * ([[text.TextPrep.perplexityBuckets]]) and keep only the buckets

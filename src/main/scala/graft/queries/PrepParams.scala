@@ -97,6 +97,15 @@ object PrepParams {
   val NbHoldMod = 4
   val NbScaleBits = 40
 
+  // q_dsir: hashed unigram+bigram buckets, fixed-point log scale, and
+  // the deterministic top-k. 512 buckets give the ~31-token synthetic
+  // vocabulary's ~900 distinct bigrams a low-collision grid; k = 60
+  // selects a strict subset at sf0.01 (500 docs) and exercises the
+  // all-docs-ranked branch at sf0.001 (50 docs).
+  val DsirBuckets = 512
+  val DsirScaleBits = 40
+  val DsirTopK = 60
+
   // q_unimax / q_unimax_sample: budget = total_tokens · 8 div 5
   // (RELATIVE to the corpus, so the same funded-prefix / budget-bound
   // structure appears at every SF: the four smaller languages fit

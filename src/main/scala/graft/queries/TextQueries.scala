@@ -242,6 +242,20 @@ object TextQueries {
         holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
         scaleBits = PrepParams.NbScaleBits)),
 
+    // §2.5/31j DSIR importance resampling (arXiv:2302.03169): select
+    // the raw docs whose hashed unigram+bigram distribution looks
+    // like the target domain (lang='en' plays the target sample) —
+    // trained ratio grid + integer importance weights, deterministic
+    // top-k. Training AND scoring fully oracle-replayed.
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.quality.Dsir.select(
+        docs, col("text"), col("doc_id"),
+        docs.filter(col("lang") === "en"), col("text"), col("doc_id"),
+        k = PrepParams.DsirTopK, buckets = PrepParams.DsirBuckets,
+        scaleBits = PrepParams.DsirScaleBits)
+    }),
+
     // §2.5/31f Gopher document-rule battery: per-doc metrics + every
     // per-rule verdict, all in-row (zero shuffles), integer-exact.
     "q_gopher_rules" -> ((s, dir) =>
@@ -691,6 +705,7 @@ object TextQueries {
            |)""".stripMargin,
 
     "q_nb_quality" -> nbQualitySql,
+    "q_dsir" -> dsirSql,
     "q_nb_confusion" ->
       s"""SELECT true_label, pred_label, count(*) AS n
          |FROM ($nbQualitySql)
@@ -703,6 +718,43 @@ object TextQueries {
   private def qlogSql(x: String): String =
     s"64 * (length(bin($x)) - 1) + " +
       s"CAST(floor(($x * 64) / pow(2, length(bin($x)) - 1)) AS BIGINT) - 64"
+
+  /** Full DSIR replay (graft.quality.Dsir): hashed unigram+bigram
+    * feature stream, Laplace-smoothed target/raw models, qlog64
+    * ratio grid, per-doc weight sums, deterministic top-k. */
+  private lazy val dsirSql: String = {
+    val b = PrepParams.DsirBuckets
+    val k = PrepParams.DsirTopK
+    val scale = 1L << PrepParams.DsirScaleBits
+    raw"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tk
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 7))::BIGINT % $b AS f
+         |  FROM (SELECT doc_id, lang, unnest(list_concat(
+         |          tk, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))) AS g
+         |        FROM toks)),
+         |tc AS (SELECT f, count(*) AS n_t FROM feat WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT f, count(*) AS n_r FROM feat GROUP BY 1),
+         |tm AS (SELECT CAST(sum(n_t) AS BIGINT) AS m_t FROM tc),
+         |rmass AS (SELECT CAST(sum(n_r) AS BIGINT) AS m_r FROM rc),
+         |grid AS (
+         |  SELECT bk.f, coalesce(tc.n_t, 0) AS n_t, coalesce(rc.n_r, 0) AS n_r, m_t, m_r
+         |  FROM (SELECT unnest(range($b)) AS f) bk
+         |  LEFT JOIN tc ON tc.f = bk.f
+         |  LEFT JOIN rc ON rc.f = bk.f
+         |  CROSS JOIN tm CROSS JOIN rmass),
+         |ratio AS (
+         |  SELECT f, ${qlogSql(s"((n_t + 1) * $scale) // (m_t + $b)")} -
+         |            (${qlogSql(s"((n_r + 1) * $scale) // (m_r + $b)")}) AS dw
+         |  FROM grid),
+         |w AS (
+         |  SELECT feat.doc_id, CAST(sum(r.dw) AS BIGINT) AS iw
+         |  FROM feat JOIN ratio r ON feat.f = r.f GROUP BY 1),
+         |top AS (SELECT doc_id, iw FROM w ORDER BY iw DESC, doc_id LIMIT $k)
+         |SELECT doc_id, iw, row_number() OVER (ORDER BY iw DESC, doc_id) AS rank
+         |FROM top""".stripMargin
+  }
 
   /** Full NB replay: training (counts, smoothing, priors) AND
     * inference (weight sum + argmax) in one DuckDB query. */

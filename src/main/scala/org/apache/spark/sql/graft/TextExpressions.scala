@@ -190,6 +190,22 @@ private[graft] object Md5Top60 {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     top >>> 4
   }
+
+  /** Hashed-feature (bucket, sign) packed as (value28 << 1) | parity:
+    * value28 = the 7-hex-char md5 prefix (bit-equal to
+    * conv(substring(md5(s), 1, 7), 16, 10) / DuckDB
+    * ('0x' || substr(md5(s), 1, 7))::BIGINT), parity = low bit of the
+    * 8th hex char. One packed long per token — no tuple allocation on
+    * the HashedBow hot path. */
+  def bucketSignPacked(g: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(g.getBytes)
+    val value28 =
+      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) | ((d(2) & 0xffL) << 4) |
+        ((d(3) & 0xffL) >>> 4)
+    (value28 << 1) | (d(3) & 1L)
+  }
 }
 
 object WinnowHashes {
@@ -299,6 +315,65 @@ object SimHash60 {
   }
 }
 
+/** Native signed hashed bag-of-words projection (feature hashing,
+  * Weinberger et al. 2009) — text → dense `dim`-long INTEGER vector
+  * in one row-local pass: every whitespace token lands in an
+  * md5-derived bucket with an md5-derived ±1 sign. The text-only
+  * corpus's bridge into the vector operators: the output plugs
+  * straight into the integer-cosine family
+  * ([[graft.similarity.Similarity]] top-k/kNN, SemDeDup, IVF) with
+  * no external encoder and no float anywhere — embeddings, dots and
+  * cosines all replay bit-for-bit in any engine.
+  *
+  * The composed formulation (explode tokens → groupBy (doc, bucket)
+  * → sum signs → re-assemble arrays) ships every token of the corpus
+  * through TWO exchanges; this is a pure scan — the only shape that
+  * holds at 100 TB. Hash family: bucket = 7-hex-char md5 prefix mod
+  * dim, sign = parity of the 8th hex char (both replayable as
+  * substr(md5(t), ...) in SQL).
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(text, dim) - signed hashed bag-of-words projection of whitespace tokens to a dim-long integer vector."
+)
+case class HashedBow(child: Expression, dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(dim >= 1, "projection dimension must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_bow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBow.compute(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.HashedBow.compute($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedBow {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, dim: Int): ArrayData = {
+    // trim/lower via UTF8String so casing matches Spark's lower();
+    // token stream identical to the other text expressions
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      val ps = Md5Top60.bucketSignPacked(UTF8String.fromString(toks(i)))
+      val bucket = ((ps >>> 1) % dim).toInt
+      acc(bucket) += (if ((ps & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+}
+
 /** Column facade + SQL registration for the text expressions. */
 object GraftTextFunctions {
   import org.apache.spark.sql.SparkSessionExtensions
@@ -316,6 +391,9 @@ object GraftTextFunctions {
 
   def simHash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
+
+  def hashedBow(text: Column, dim: Int): Column =
+    ExpressionUtils.column(HashedBow(ExpressionUtils.expression(text), dim))
 
   /** The SQL builders take the gram size as a foldable int literal
     * (`SELECT graft_shingles(text, 3)`). */
@@ -346,5 +424,10 @@ object GraftTextFunctions {
       FunctionIdentifier("graft_simhash60"),
       FunctionRegistryBase.expressionInfo[SimHash60]("graft_simhash60", None),
       (children: Seq[Expression]) => SimHash60(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hashed_bow"),
+      FunctionRegistryBase.expressionInfo[HashedBow]("graft_hashed_bow", None),
+      (children: Seq[Expression]) =>
+        HashedBow(children(0), litInt(children(1), "graft_hashed_bow"))))
   }
 }

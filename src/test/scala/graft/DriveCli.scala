@@ -540,6 +540,54 @@ object DriveCli {
       spark.stop()
     }
 
+    // dsir --emit keep: library-parity vs Corpus.dsirSelect (the
+    // target sample is the en slice materialized to parquet first)
+    locally {
+      val spark = GraftSession.builder("prepDSIR", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.sources.PartitionedFiles.readParquet(spark, docs)
+        .filter(col("lang") === "en")
+        .write.mode("overwrite").parquet(s"$tmp/dsir_target")
+      spark.stop()
+    }
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "dsir", "--target", s"$tmp/dsir_target", "--text", "text", "--id", "doc_id",
+      "--k", "10", "--buckets", "128", "--outfile", s"$tmp/dsirkeep"))
+    locally {
+      val spark = GraftSession.builder("verifyDSIR", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val kept = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/dsirkeep")
+      val expect = Corpus(in, col("text"), col("doc_id"))
+        .dsirSelect(in.filter(col("lang") === "en"), col("text"), col("doc_id"),
+          k = 10, buckets = 128).df
+      val same = kept.select("doc_id").except(expect.select("doc_id")).count() == 0 &&
+        expect.select("doc_id").except(kept.select("doc_id")).count() == 0
+      println(s"DSIRKEEP=${kept.count()} OK=${same && kept.count() == 10}")
+      spark.stop()
+    }
+
+    // unimax: allocation sums to the relative budget; copies parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "unimax", "--group", "lang", "--text", "text", "--outfile", s"$tmp/unimax"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "unimax", "--group", "lang", "--text", "text", "--id", "doc_id",
+      "--emit", "copies", "--outfile", s"$tmp/unimax_copies"))
+    locally {
+      val spark = GraftSession.builder("verifyUM", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val alloc = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/unimax")
+      val copies = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/unimax_copies")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val totalTokens = in.agg(org.apache.spark.sql.functions.sum(
+        graft.text.TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+      val allocSum = alloc.agg(org.apache.spark.sql.functions.sum("alloc")).head().getLong(0)
+      val budget = totalTokens * 8 / 5
+      println(s"UNIMAX alloc=$allocSum budget=$budget OK=${allocSum == budget &&
+        alloc.count() == 5 && copies.count() > 0}")
+      spark.stop()
+    }
+
     // scrub-sentences: library-parity vs the operator
     Cli.main(Array("-i", docs, "-f", "parquet",
       "scrub-sentences", "--text", "text", "--id", "doc_id",
