@@ -291,6 +291,26 @@ object DedupQueries {
     "q_quantize" -> ((s, dir) =>
       Similarity.scalarQuantize(Tables.embeddings(s, dir), col("embedding"), col("vec_id"))),
 
+    // §2.4/28e signed hashed bag-of-words projection (native
+    // HashedBow, zero shuffles): every document's 64-dim integer
+    // vector, emitted component-wise for the exact per-bucket replay.
+    "q_hash_embed" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.text.HashEmbed.hashedBow(col("text"), PrepParams.HashDim))
+            .as(Seq("pos", "v")))),
+
+    // §2.4/28f text-only kNN capstone: hashed projections feed the
+    // SAME integer-cosine top-k as real embeddings — lexical nearest
+    // neighbours with no external encoder, bit-replayed end to end.
+    "q_text_knn" -> ((s, dir) => {
+      val emb = graft.text.HashEmbed.embedDocuments(
+        Tables.documents(s, dir), col("text"), col("doc_id"), PrepParams.HashDim)
+      val qs = emb.filter(pmod(col("vec_id"), lit(PrepParams.TextKnnMod)) === 0)
+      Similarity.cosineTopK(emb, qs, PrepParams.TextKnnK)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
     // §2.4/28 brute-force cosine top-k for query vectors
     // (id % AnnParams.QueryMod = 0).
     "q_cosine_topk" -> ((s, dir) => {
@@ -538,6 +558,26 @@ object DedupQueries {
          |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
          |        FROM embeddings)
          |)""".stripMargin
+
+  /** Signed hashed bag-of-words replay (graft.text.HashEmbed /
+    * HashedBow native expression): per-token md5 bucket + sign,
+    * grouped per (doc, bucket) over the full dim grid — bit-equal to
+    * the one-pass row-local accumulation. */
+  private[queries] val hashEmbCte = {
+    val d = PrepParams.HashDim
+    raw"""sg AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT % $d AS pos,
+         |         CASE WHEN ('0x' || substr(md5(t), 8, 1))::BIGINT % 2 = 1
+         |              THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+         |        FROM documents)),
+         |comp AS (
+         |  SELECT d.doc_id, g.pos, CAST(coalesce(sum(sg.s), 0) AS BIGINT) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range($d)) AS pos) g
+         |  LEFT JOIN sg ON sg.doc_id = d.doc_id AND sg.pos = g.pos
+         |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private[queries] val cosExpr =
     "CAST(CAST(list_sum(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])) AS BIGINT) AS DOUBLE)" +
@@ -857,6 +897,25 @@ object DedupQueries {
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosExpr AS cos
            |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
            |) WHERE cos >= 0.4""".stripMargin,
+    "q_hash_embed" ->
+      s"""WITH $hashEmbCte
+         |SELECT doc_id, pos, v FROM comp""".stripMargin,
+
+    "q_text_knn" ->
+      raw"""WITH $hashEmbCte,
+           |n AS (
+           |  SELECT doc_id AS vec_id, list(v ORDER BY pos) AS e,
+           |         CAST(sum(v * v) AS BIGINT) AS nrm
+           |  FROM comp GROUP BY 1),
+           |p AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, $cosExpr AS cos
+           |  FROM n a JOIN n b ON a.vec_id % ${PrepParams.TextKnnMod} = 0 AND a.vec_id <> b.vec_id
+           |)
+           |SELECT q_id, neighbor_id, rank, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM p
+           |) WHERE rank <= ${PrepParams.TextKnnK}""".stripMargin,
+
     "q_cosine_topk" ->
       raw"""WITH $quantCte,
            |p AS (

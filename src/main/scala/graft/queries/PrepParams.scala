@@ -106,6 +106,15 @@ object PrepParams {
   val DsirScaleBits = 40
   val DsirTopK = 60
 
+  // q_hash_embed / q_text_knn: signed hashed bag-of-words projection
+  // dimension and the text-kNN gate (every doc_id ≡ 0 mod TextKnnMod
+  // queries for its TextKnnK lexical nearest neighbours). 64 dims keep
+  // the oracle's per-component replay compact while the ~31-token
+  // synthetic vocabulary still spreads over most buckets.
+  val HashDim = 64
+  val TextKnnMod = 25
+  val TextKnnK = 3
+
   // q_unimax / q_unimax_sample: budget = total_tokens · 8 div 5
   // (RELATIVE to the corpus, so the same funded-prefix / budget-bound
   // structure appears at every SF: the four smaller languages fit
