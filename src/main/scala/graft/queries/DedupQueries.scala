@@ -344,6 +344,13 @@ object DedupQueries {
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))),
 
+    // §2.4/28d2 per-class precision/recall/F1 over the centroid probe
+    // — same Eval audit layer as q_nb_eval, integer milli metrics.
+    "q_centroid_eval" -> ((s, dir) =>
+      graft.quality.Eval.perClassMetrics(
+        Similarity.centroidClassify(quantizedWithNorm(s, dir)),
+        col("true_label"), col("pred_label"))),
+
     // §2.4/29 LSH-bucketed ANN — fully oracle-gated: the quantized
     // hyperplane matrix is embedded in the oracle SQL, so DuckDB
     // replays the exact bucketing (integer dots) and ranking. All
@@ -959,7 +966,10 @@ object DedupQueries {
     "q_label_confusion" ->
       s"""SELECT true_label, pred_label, count(*) AS n
          |FROM ($centroidClassifySql)
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_centroid_eval" ->
+      EvalSql.over(centroidClassifySql, "true_label", "pred_label")
   )
 
   private lazy val centroidClassifySql: String =

@@ -269,6 +269,16 @@ object TextQueries {
       graft.quality.HeuristicRules.c4LineRules(
         Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
+    // probe — the shared Eval audit layer, integer milli metrics.
+    "q_nb_eval" -> ((s, dir) =>
+      graft.quality.Eval.perClassMetrics(
+        graft.quality.NaiveBayes.holdoutProbe(
+          Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"),
+          holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
+          scaleBits = PrepParams.NbScaleBits),
+        col("true_label"), col("pred_label"))),
+
     // §2.5/31c confusion matrix over the NB probe — which languages
     // the trained model bleeds into which (same audit-artifact shape
     // as q_label_confusion over the centroid probe).
@@ -705,6 +715,7 @@ object TextQueries {
            |)""".stripMargin,
 
     "q_nb_quality" -> nbQualitySql,
+    "q_nb_eval" -> EvalSql.over(nbQualitySql, "true_label", "pred_label"),
     "q_dsir" -> dsirSql,
     "q_nb_confusion" ->
       s"""SELECT true_label, pred_label, count(*) AS n
