@@ -90,6 +90,15 @@ import graft.sources.PartitionedFiles
   *       --emit flags emits the per-vector verdict table); --pq
   *       screens within-cell pairs on product-quantization codes
   *       first, exact re-check at tau
+  *   bloom-ledger   --mode append -i DROP --ledger PATH --drop-id ID
+  *                  --key EXPR [--bits 1048576] [--hashes 5]
+  *                  | --mode screen -i BATCH --ledger PATH --key EXPR
+  *                  | --mode novel -i BATCH --ledger PATH --corpus PATH
+  *                    --key EXPR [--corpus-key EXPR]
+  *       mergeable per-drop Bloom registers: append a drop's register
+  *       (idempotent), screen a batch with zero corpus access
+  *       (might_seen=false ⇒ certainly novel), or emit the exact
+  *       novel set (candidates confirmed against --corpus keys)
   *   stats-ledger   --mode append -i DROP --ledger PATH --drop-id ID
   *                  --group EXPR --key EXPR [--tokens EXPR | --text COL] [--p 12]
   *                | --mode rollup -i LEDGER --outfile OUT [--p 12]
@@ -425,6 +434,36 @@ object Cli {
               verdicts.filter(!col("is_dup")).select(col("vec_id").as("__keep")),
               col(idCol) === col("__keep")).drop("__keep"))
             case o => fail(s"--emit must be keep|flags, got: $o")
+          }
+
+        case "bloom-ledger" =>
+          // --mode append: OR-mergeable Bloom register of THIS drop's
+          //   keys into --ledger (idempotent per --drop-id);
+          // --mode screen: -i is the new batch — add `might_seen`
+          //   (false ⇒ certainly novel; zero corpus access);
+          // --mode novel: exact novelty — Bloom-certain novels skip
+          //   the join, candidates anti-join --corpus keys
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          val (bits, hashes) = (opts.getOrElse("bits", (1 << 20).toString).toInt,
+            opts.getOrElse("hashes", "5").toInt)
+          opts.getOrElse("mode", "screen") match {
+            case "append" =>
+              val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+              val dropId = opts.getOrElse("drop-id", fail("--drop-id ID required"))
+              graft.sketch.BloomLedger.append(ledger,
+                graft.sketch.BloomLedger.dropSummary(read(), dropId, key, bits, hashes))
+            case "screen" =>
+              val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+              write(graft.sketch.BloomLedger.screen(read(), key,
+                graft.sketch.BloomLedger.mergedFrom(spark, ledger)))
+            case "novel" =>
+              val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+              val corpusPath = opts.getOrElse("corpus", fail("--corpus PATH required"))
+              val corpus = PartitionedFiles.readParquet(spark, corpusPath)
+              val corpusKey = opts.get("corpus-key").map(expr).getOrElse(key)
+              write(graft.sketch.BloomLedger.novelExact(corpus, corpusKey,
+                read(), key, graft.sketch.BloomLedger.mergedFrom(spark, ledger)))
+            case o => fail(s"--mode must be append|screen|novel, got: $o")
           }
 
         case "stats-ledger" =>

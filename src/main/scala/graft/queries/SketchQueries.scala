@@ -58,6 +58,30 @@ object SketchQueries {
         .mapRecords(col("o_orderkey"), col("o_custkey"))
     }),
 
+    // §2.8/46b Bloom-ledger novelty screen: the corpus history
+    // (doc_id ≢ 0 mod 3) contributes per-drop Bloom registers,
+    // merged by bit-OR; the incoming batch keeps only rows whose
+    // content fingerprint is NOT in history — Bloom-certain novels
+    // skip the join, candidates get the exact anti-join confirm, so
+    // the RESULT is exact (the oracle replays the plain anti-join;
+    // the registers shape the plan, never the answer).
+    "q_bloom_novel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      // two drops of history, summarized independently then merged —
+      // exercising OR-mergeability on the gate path
+      val ledger = graft.sketch.BloomLedger
+        .dropSummary(history.filter(pmod(col("doc_id"), lit(3)) === 1), "d1",
+          md5(col("text")), numBits = 1 << 16)
+        .unionAll(graft.sketch.BloomLedger.dropSummary(
+          history.filter(pmod(col("doc_id"), lit(3)) === 2), "d2",
+          md5(col("text")), numBits = 1 << 16))
+      graft.sketch.BloomLedger.novelExact(
+          history, md5(col("text")),
+          docs, md5(col("text")), graft.sketch.BloomLedger.merged(ledger))
+        .select(col("doc_id"))
+    }),
+
     // §2.8/39b incremental stats ledger: three overlapping "crawl
     // drops" of the documents table are summarized independently
     // (counts + token sums + HLL register blobs per source), then the
@@ -142,6 +166,11 @@ object SketchQueries {
     "q_bloom_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q_bloom_novel" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 3 <> 0 AND md5(h.text) = md5(d.text))""".stripMargin,
     "q_tdigest_quantiles" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |       true AS p50_ok, true AS p95_ok

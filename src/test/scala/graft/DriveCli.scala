@@ -4,7 +4,7 @@ package graft
 // invoked via: sbt "Test/runMain graft.DriveCli"
 object DriveCli {
   def main(args: Array[String]): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr, md5}
     val tmp = "/tmp/drive_cli"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
@@ -537,6 +537,45 @@ object DriveCli {
       val same = kept.select("doc_id").except(expect.select("doc_id")).count() == 0 &&
         expect.select("doc_id").except(kept.select("doc_id")).count() == 0
       println(s"NBKEEP=${kept.count()} OK=${same && kept.count() > 0}")
+      spark.stop()
+    }
+
+    // bloom-ledger: two history drops appended (one retried), then the
+    // exact novel set — library-parity vs a plain anti-join
+    locally {
+      val spark = GraftSession.builder("prepBL", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      in.filter(expr("doc_id % 3 = 1")).write.mode("overwrite").parquet(s"$tmp/bl_h1")
+      in.filter(expr("doc_id % 3 = 2")).write.mode("overwrite").parquet(s"$tmp/bl_h2")
+      in.filter(expr("doc_id % 3 <> 0")).write.mode("overwrite").parquet(s"$tmp/bl_history")
+      spark.stop()
+    }
+    Cli.main(Array("-i", s"$tmp/bl_h1", "-f", "parquet",
+      "bloom-ledger", "--mode", "append", "--ledger", s"$tmp/bledger",
+      "--drop-id", "h1", "--key", "md5(text)", "--bits", "65536"))
+    Cli.main(Array("-i", s"$tmp/bl_h2", "-f", "parquet",
+      "bloom-ledger", "--mode", "append", "--ledger", s"$tmp/bledger",
+      "--drop-id", "h2", "--key", "md5(text)", "--bits", "65536"))
+    Cli.main(Array("-i", s"$tmp/bl_h2", "-f", "parquet", // retry of h2: overwrite, not duplicate
+      "bloom-ledger", "--mode", "append", "--ledger", s"$tmp/bledger",
+      "--drop-id", "h2", "--key", "md5(text)", "--bits", "65536"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "bloom-ledger", "--mode", "novel", "--ledger", s"$tmp/bledger",
+      "--corpus", s"$tmp/bl_history", "--key", "md5(text)",
+      "--outfile", s"$tmp/bl_novel"))
+    locally {
+      val spark = GraftSession.builder("verifyBL", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val history = in.filter(expr("doc_id % 3 <> 0"))
+      val novel = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/bl_novel")
+      val expect = in.join(history.select(md5(col("text")).as("__fp")).distinct(),
+        md5(col("text")) === col("__fp"), "left_anti")
+      val same = novel.select("doc_id").except(expect.select("doc_id")).count() == 0 &&
+        expect.select("doc_id").except(novel.select("doc_id")).count() == 0
+      val nDrops = spark.read.parquet(s"$tmp/bledger").count()
+      println(s"BLOOMNOVEL=${novel.count()} OK=${same && novel.count() > 0 && nDrops == 2}")
       spark.stop()
     }
 
