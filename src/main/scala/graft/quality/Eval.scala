@@ -22,7 +22,12 @@ object Eval {
     * Undefined ratios (empty denominator) report 0 — the
     * deterministic, engine-portable convention. */
   def perClassMetrics(preds: DataFrame, truth: Column, pred: Column): DataFrame = {
-    val p = preds.select(truth.cast("string").as("t"), pred.cast("string").as("p"))
+    // five consumers read the predictions (class set ×2, tp, pred
+    // mass, true mass) — checkpoint the probe ONCE or each aggregate
+    // re-derives the full upstream probe plan (q_nb_eval measured 29
+    // exchanges un-checkpointed, 4 with it)
+    val p = graft.operators.Checkpoints.eager(
+      preds.select(truth.cast("string").as("t"), pred.cast("string").as("p")))
     val classes = p.select(col("t").as("lab")).union(p.select(col("p"))).distinct()
     val tp = p.filter(col("t") === col("p"))
       .groupBy(col("t").as("lab")).agg(count(lit(1)).as("tp"))

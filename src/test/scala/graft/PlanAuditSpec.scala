@@ -241,7 +241,18 @@ class PlanAuditSpec extends SparkSpecBase {
     // distinct, the exact re-check candidate joins, and the verdict
     // join — pairs carry m-int codes, vectors only rejoin for the
     // screened candidates
-    "q_semdedup_pq" -> 7)
+    "q_semdedup_pq" -> 7,
+    // r9 wave 2: UniMax = corpus token agg + the #langs-row windows
+    // (sample adds the per-lang copy window); DSIR = 2 model count
+    // aggregates + grid assembly + per-doc weight agg + the top-k;
+    // hash_embed is a PURE SCAN (native HashedBow — the point);
+    // text_knn = the one GroupTopK exchange on q_id; bloom_novel =
+    // the candidates-only exact anti-join; the eval pair checkpoint
+    // their probe once (29 exchanges un-checkpointed) and keep only
+    // the class-sized aggregates
+    "q_unimax" -> 2, "q_unimax_sample" -> 3, "q_dsir" -> 5,
+    "q_hash_embed" -> 0, "q_text_knn" -> 1, "q_bloom_novel" -> 1,
+    "q_nb_eval" -> 4, "q_centroid_eval" -> 4)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

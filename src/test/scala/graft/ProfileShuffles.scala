@@ -23,7 +23,9 @@ object ProfileShuffles {
       "q_update_capstone", "q_corpus_diff", "q_substring_spans", "q_substring_scrub",
       "q_source_cap", "q_drop_ledger", "q_stats_ledger",
       "q_nb_quality", "q_nb_confusion", "q_sentence_dedup", "q_semdedup_pq",
-      "q_gopher_rules", "q_c4_rules")
+      "q_gopher_rules", "q_c4_rules",
+      "q_unimax", "q_unimax_sample", "q_dsir", "q_hash_embed", "q_text_knn",
+      "q_nb_eval", "q_centroid_eval", "q_bloom_novel")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
