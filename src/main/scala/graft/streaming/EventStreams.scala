@@ -282,6 +282,58 @@ object EventStreams {
     * batch scorer ([[graft.quality.NaiveBayes.scoreAgainst]]), so
     * stream and batch verdicts are bit-identical; sink rows carry
     * every batch column plus pred_label / score. */
+  /** Streaming DSIR scoring (38s): each micro-batch of incoming
+    * documents gets its integer importance weight against a STATIC
+    * [[graft.quality.Dsir.logRatios]] grid — the trained half is
+    * batch-owned (train once on (target, standing corpus), refresh on
+    * the batch cadence), the stream pays one broadcast join + one
+    * per-doc sum per trigger. Bit-equal to the batch scorer by
+    * construction (same code path), spec-gated. Selection policy
+    * (threshold, top-k within a window) is the caller's: sink rows
+    * carry every batch column plus `iw`. */
+  def dsirScoredStream(
+      docs: DataFrame,
+      ratios: DataFrame,
+      textCol: String,
+      idCol: String,
+      checkpointDir: String,
+      buckets: Int = 512
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = graft.quality.Dsir
+          .importanceWeights(batch, col(textCol), col(idCol), ratios, buckets)
+          .withColumnRenamed("doc_id", "__dsir_doc_id")
+        sink(batch.join(w, batch(idCol) === col("__dsir_doc_id")).drop("__dsir_doc_id"))
+      }
+      .start()
+
+  /** Streaming Bloom-ledger screen (38t): every micro-batch is
+    * flagged against the STATIC merged register of the standing
+    * corpus ([[graft.sketch.BloomLedger.merged]]) — zero corpus
+    * access per trigger, `might_seen = false` rows are CERTAINLY
+    * novel (the no-false-negative guarantee is per-batch identical
+    * to the batch operator, same code path). The register is
+    * batch-owned like every other model here; a pipeline that must
+    * also fold the stream's OWN keys into the register appends
+    * per-batch [[graft.sketch.BloomLedger.dropSummary]] rows keyed by
+    * batch id (the [[statsLedgerStream]] idempotent-append shape). */
+  def bloomScreenedStream(
+      docs: DataFrame,
+      mergedBloom: DataFrame,
+      keyCol: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.sketch.BloomLedger.screen(batch, col(keyCol), mergedBloom))
+      }
+      .start()
+
   def nbScoredStream(
       docs: DataFrame,
       model: DataFrame,

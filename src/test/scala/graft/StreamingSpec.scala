@@ -383,6 +383,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId === batch)
   }
 
+  test("dsirScoredStream weighs micro-batches against a static ratio grid, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.quality.Dsir
+    val target = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val raw = Seq((2L, "alpha beta delta"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ratios = Dsir.logRatios(target, col("text"), col("doc_id"),
+      raw, col("text"), col("doc_id"), buckets = 64)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("dsir_ckpt").toString
+    val q = EventStreams.dsirScoredStream(
+      mem.toDF().toDF("doc_id", "text"), ratios, "text", "doc_id", ckpt, buckets = 64) { w =>
+      got.synchronized { got ++= w.select(col("doc_id"), col("iw")).as[(Long, Long)].collect() }
+    }
+    mem.addData((10L, "alpha beta gamma"), (11L, "epsilon zeta qqq"))
+    q.processAllAvailable()
+    mem.addData((12L, "gamma alpha beta alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.toMap
+    assert(byId(10L) > byId(11L), "on-domain batch doc must outweigh off-domain")
+    val allDocs = Seq((10L, "alpha beta gamma"), (11L, "epsilon zeta qqq"),
+      (12L, "gamma alpha beta alpha")).toDF("doc_id", "text")
+    val batch = Dsir.importanceWeights(allDocs, col("text"), col("doc_id"), ratios, 64)
+      .as[(Long, Long)].collect().toMap
+    assert(byId === batch)
+  }
+
+  test("bloomScreenedStream flags micro-batches against the static merged register") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.BloomLedger
+    val history = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    // NOTE the key expression must match on the build and screen
+    // sides — the register stores xxhash64(key) bits
+    val merged = BloomLedger.merged(
+      BloomLedger.dropSummary(history, "h", col("text"), numBits = 1 << 12))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom_ckpt").toString
+    val q = EventStreams.bloomScreenedStream(
+      mem.toDF().toDF("doc_id", "text"), merged, "text", ckpt) { s =>
+      got.synchronized {
+        got ++= s.select(col("doc_id"), col("might_seen")).as[(Long, Boolean)].collect()
+      }
+    }
+    mem.addData((10L, "seen one"), (11L, "never seen before at all"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.toMap
+    assert(byId(10L) === true, "historical text must flag (no false negatives)")
+    assert(byId(11L) === false, "a fresh text must pass the 4k-bit register")
+  }
+
   test("windowedSourceTokens + temperaturePerWindow equals batch temperature weights per window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, String)]
