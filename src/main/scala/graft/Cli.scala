@@ -90,6 +90,13 @@ import graft.sources.PartitionedFiles
   *       --emit flags emits the per-vector verdict table); --pq
   *       screens within-cell pairs on product-quantization codes
   *       first, exact re-check at tau
+  *   bpe            --mode train --text COL [--max-types 100000]
+  *                  [--merges 16] --outfile PATH
+  *                  | --mode tokens --text COL --id COL
+  *                    --merges-table PATH [--max-types 100000]
+  *       trained BPE subword tokenizer: train writes the persistable
+  *       (rank, lft, rgt) merge table; tokens scores a corpus against
+  *       a stored table (per-doc word/subword counts)
   *   bloom-ledger   --mode append -i DROP --ledger PATH --drop-id ID
   *                  --key EXPR [--bits 1048576] [--hashes 5]
   *                  | --mode screen -i BATCH --ledger PATH --key EXPR
@@ -434,6 +441,33 @@ object Cli {
               verdicts.filter(!col("is_dup")).select(col("vec_id").as("__keep")),
               col(idCol) === col("__keep")).drop("__keep"))
             case o => fail(s"--emit must be keep|flags, got: $o")
+          }
+
+        case "bpe" =>
+          // trained subword tokenizer as a persistable artifact:
+          // --mode train writes the (rank, lft, rgt) merge table;
+          // --mode tokens scores any corpus against a stored table
+          // (per-doc word + subword counts, OOV → per-char fallback)
+          val textCol = col(opts.getOrElse("text", fail("--text COLUMN required")))
+          opts.getOrElse("mode", "train") match {
+            case "train" =>
+              val maxTypes = opts.getOrElse("max-types", "100000").toInt
+              val numMerges = opts.getOrElse("merges", "16").toInt
+              val types = graft.text.Bpe.wordTypes(read(), textCol, maxTypes)
+              val merges = graft.text.Bpe.trainMerges(types, numMerges)
+              write(graft.text.Bpe.mergesDf(spark, merges))
+            case "tokens" =>
+              val idCol = col(opts.getOrElse("id", fail("--id COLUMN required")))
+              val mergesPath = opts.getOrElse("merges-table", fail("--merges-table PATH required"))
+              val merges = spark.read.parquet(mergesPath)
+                .orderBy("rank").collect()
+                .map(r => (r.getString(1), r.getString(2))).toSeq
+              val df = read()
+              val maxTypes = opts.getOrElse("max-types", "100000").toInt
+              val vocab = graft.text.Bpe.symbolize(
+                graft.text.Bpe.wordTypes(df, textCol, maxTypes), merges)
+              write(graft.text.Bpe.tokenCounts(df, textCol, Seq(idCol), vocab))
+            case o => fail(s"--mode must be train|tokens, got: $o")
           }
 
         case "bloom-ledger" =>

@@ -540,6 +540,29 @@ object DriveCli {
       spark.stop()
     }
 
+    // bpe: train a merge table, persist it, tokenize the same corpus
+    // from the stored artifact — library-parity vs the in-process path
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "bpe", "--mode", "train", "--text", "text", "--merges", "8",
+      "--outfile", s"$tmp/bpe_merges"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "bpe", "--mode", "tokens", "--text", "text", "--id", "doc_id",
+      "--merges-table", s"$tmp/bpe_merges", "--outfile", s"$tmp/bpe_tokens"))
+    locally {
+      val spark = GraftSession.builder("verifyBPE", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val types = graft.text.Bpe.wordTypes(in, col("text"), 100000)
+      val merges = graft.text.Bpe.trainMerges(types, 8)
+      val expect = graft.text.Bpe.tokenCounts(in, col("text"), Seq(col("doc_id")),
+        graft.text.Bpe.symbolize(types, merges))
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/bpe_tokens")
+      val same = got.except(expect).count() == 0 && expect.except(got).count() == 0
+      val nm = spark.read.parquet(s"$tmp/bpe_merges").count()
+      println(s"BPECLI merges=$nm OK=${same && nm == 8 && got.count() > 0}")
+      spark.stop()
+    }
+
     // bloom-ledger: two history drops appended (one retried), then the
     // exact novel set — library-parity vs a plain anti-join
     locally {
