@@ -23,7 +23,7 @@ object ProfileScaling {
       "q_drop_ledger", "q_stats_ledger", "q_bigram_lm",
       // r9 additions: the trained-model and sentence/PQ dedup family
       "q_nb_quality", "q_sentence_dedup", "q_semdedup_pq",
-      "q_ann_ivfpq", "q_bpe_tokens")
+      "q_ann_ivfpq", "q_bpe_tokens", "q_dsir", "q_nb_eval")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
