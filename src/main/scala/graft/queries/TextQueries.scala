@@ -256,6 +256,25 @@ object TextQueries {
         scaleBits = PrepParams.DsirScaleBits)
     }),
 
+    // §2.5/31k modern-curation capstone: Gopher rule battery → exact
+    // dedup → DSIR domain selection → deterministic split assignment,
+    // the whole trained-stack path as ONE cross-engine gate (the
+    // heuristic-stack counterpart is q_corpus). Composes the
+    // individually-gated stages through the Corpus facade.
+    "q_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cleaned = graft.Corpus(docs, col("text"), col("doc_id"))
+        .gopherQualityFilter(PrepParams.GopherMinWords, PrepParams.GopherMaxWords)
+        .exactDedup()
+        .df
+      graft.quality.Dsir.select(
+          cleaned, col("text"), col("doc_id"),
+          cleaned.filter(col("lang") === "en"), col("text"), col("doc_id"),
+          k = PrepParams.DsirTopK, buckets = PrepParams.DsirBuckets,
+          scaleBits = PrepParams.DsirScaleBits)
+        .withColumn("split", graft.text.TextPrep.splitAssign(col("doc_id")))
+    }),
+
     // §2.5/31f Gopher document-rule battery: per-doc metrics + every
     // per-rule verdict, all in-row (zero shuffles), integer-exact.
     "q_gopher_rules" -> ((s, dir) =>
@@ -649,49 +668,12 @@ object TextQueries {
            |FROM deduped WHERE rn = 1 GROUP BY source""".stripMargin
         .replace("$stopSqlList", stopSqlList),
 
-    "q_gopher_rules" -> {
-      val (lo, hi) = (PrepParams.GopherMinWords, PrepParams.GopherMaxWords)
-      raw"""WITH base AS (
-           |  SELECT doc_id,
-           |         CAST(len(toks) AS BIGINT) AS n_words,
-           |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars_tok,
-           |         CAST(len(list_filter(list_transform(toks, x -> lower(x)),
-           |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_hits,
-           |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-           |         CASE WHEN len(ltoks) < 2 THEN []
-           |              ELSE list_transform(range(len(ltoks) - 1), i -> ltoks[i+1] || ' ' || ltoks[i+2]) END AS g
-           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
-           |               string_split_regex(trim(lower(text)), '\s+') AS ltoks
-           |        FROM documents)
-           |),
-           |tg AS (
-           |  SELECT doc_id, gram, count(*) AS c
-           |  FROM (SELECT doc_id, unnest(g) AS gram FROM base) GROUP BY 1, 2
-           |),
-           |top AS (
-           |  SELECT doc_id, gram AS top2_gram, c AS top2_count FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
-           |    FROM tg
-           |  ) WHERE rn = 1
-           |)
-           |SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
-           |       top2_count, top2_gram,
-           |       pass_word_count, pass_mean_len, pass_stop, pass_alpha, pass_dup2,
-           |       CAST(pass_word_count = 1 AND pass_mean_len = 1 AND pass_stop = 1
-           |            AND pass_alpha = 1 AND pass_dup2 = 1 AS INT) AS pass
-           |FROM (
-           |  SELECT b.doc_id, b.n_words, b.n_chars_tok, b.stop_hits, b.alpha_words,
-           |         CAST(coalesce(t.top2_count, 0) AS BIGINT) AS top2_count,
-           |         coalesce(t.top2_gram, '') AS top2_gram,
-           |         CAST(b.n_words >= $lo AND b.n_words <= $hi AS INT) AS pass_word_count,
-           |         CAST(3 * b.n_words <= b.n_chars_tok AND b.n_chars_tok <= 10 * b.n_words AS INT) AS pass_mean_len,
-           |         CAST(b.stop_hits >= 2 AS INT) AS pass_stop,
-           |         CAST(10 * b.alpha_words >= 8 * b.n_words AS INT) AS pass_alpha,
-           |         CAST(5 * CAST(coalesce(t.top2_count, 0) AS BIGINT) * length(coalesce(t.top2_gram, ''))
-           |              <= b.n_chars_tok + b.n_words - 1 AS INT) AS pass_dup2
-           |  FROM base b LEFT JOIN top t USING (doc_id)
-           |)""".stripMargin
-    },
+    "q_gopher_rules" ->
+      s"""WITH ${gopherCtes("documents")}
+         |SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
+         |       top2_count, top2_gram,
+         |       pass_word_count, pass_mean_len, pass_stop, pass_alpha, pass_dup2, pass
+         |FROM gverdict""".stripMargin,
 
     "q_c4_rules" ->
       raw"""SELECT doc_id,
@@ -717,11 +699,76 @@ object TextQueries {
     "q_nb_quality" -> nbQualitySql,
     "q_nb_eval" -> EvalSql.over(nbQualitySql, "true_label", "pred_label"),
     "q_dsir" -> dsirSql,
+    "q_curation" ->
+      s"""WITH ${gopherCtes("documents")},
+         |gpass AS (SELECT doc_id FROM gverdict WHERE pass = 1),
+         |cl AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN gpass USING (doc_id)),
+         |dd AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT cl.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM cl
+         |  ) WHERE rn = 1),
+         |${dsirCtes("dd")}
+         |SELECT doc_id, iw, row_number() OVER (ORDER BY iw DESC, doc_id) AS rank,
+         |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+         |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM dsir_top""".stripMargin,
     "q_nb_confusion" ->
       s"""SELECT true_label, pred_label, count(*) AS n
          |FROM ($nbQualitySql)
          |GROUP BY 1, 2""".stripMargin
   )
+
+  /** Gopher rule-battery CTE chain over any source relation `src`
+    * (doc_id, text): emits gverdict = metrics + per-rule passes +
+    * the combined `pass`. Shared by q_gopher_rules and the curation
+    * capstone. */
+  private def gopherCtes(src: String): String = {
+    val (lo, hi) = (PrepParams.GopherMinWords, PrepParams.GopherMaxWords)
+    raw"""gbase AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars_tok,
+         |         CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_hits,
+         |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         |         CASE WHEN len(ltoks) < 2 THEN []
+         |              ELSE list_transform(range(len(ltoks) - 1), i -> ltoks[i+1] || ' ' || ltoks[i+2]) END AS g
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         |               string_split_regex(trim(lower(text)), '\s+') AS ltoks
+         |        FROM $src)
+         |),
+         |gtg AS (
+         |  SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM gbase) GROUP BY 1, 2
+         |),
+         |gtop AS (
+         |  SELECT doc_id, gram AS top2_gram, c AS top2_count FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+         |    FROM gtg
+         |  ) WHERE rn = 1
+         |),
+         |gverdict AS (
+         |  SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
+         |         top2_count, top2_gram,
+         |         pass_word_count, pass_mean_len, pass_stop, pass_alpha, pass_dup2,
+         |         CAST(pass_word_count = 1 AND pass_mean_len = 1 AND pass_stop = 1
+         |              AND pass_alpha = 1 AND pass_dup2 = 1 AS INT) AS pass
+         |  FROM (
+         |    SELECT b.doc_id, b.n_words, b.n_chars_tok, b.stop_hits, b.alpha_words,
+         |           CAST(coalesce(t.top2_count, 0) AS BIGINT) AS top2_count,
+         |           coalesce(t.top2_gram, '') AS top2_gram,
+         |           CAST(b.n_words >= $lo AND b.n_words <= $hi AS INT) AS pass_word_count,
+         |           CAST(3 * b.n_words <= b.n_chars_tok AND b.n_chars_tok <= 10 * b.n_words AS INT) AS pass_mean_len,
+         |           CAST(b.stop_hits >= 2 AS INT) AS pass_stop,
+         |           CAST(10 * b.alpha_words >= 8 * b.n_words AS INT) AS pass_alpha,
+         |           CAST(5 * CAST(coalesce(t.top2_count, 0) AS BIGINT) * length(coalesce(t.top2_gram, ''))
+         |                <= b.n_chars_tok + b.n_words - 1 AS INT) AS pass_dup2
+         |    FROM gbase b LEFT JOIN gtop t USING (doc_id)
+         |  )
+         |)""".stripMargin
+  }
 
   /** qlog64 (NaiveBayes.qlog64) replayed in DuckDB: bit-length +
     * linear-mantissa chord, all-integer (`x`·64 stays ≤ 2^53 so the
@@ -733,13 +780,21 @@ object TextQueries {
   /** Full DSIR replay (graft.quality.Dsir): hashed unigram+bigram
     * feature stream, Laplace-smoothed target/raw models, qlog64
     * ratio grid, per-doc weight sums, deterministic top-k. */
-  private lazy val dsirSql: String = {
+  private lazy val dsirSql: String =
+    s"""WITH ${dsirCtes("documents")}
+       |SELECT doc_id, iw, row_number() OVER (ORDER BY iw DESC, doc_id) AS rank
+       |FROM dsir_top""".stripMargin
+
+  /** DSIR CTE chain over any source relation `src` (must carry
+    * doc_id, lang, text): emits dsir_top = the selected (doc_id, iw)
+    * rows. Shared by q_dsir and the curation capstone. */
+  private def dsirCtes(src: String): String = {
     val b = PrepParams.DsirBuckets
     val k = PrepParams.DsirTopK
     val scale = 1L << PrepParams.DsirScaleBits
-    raw"""WITH toks AS (
+    raw"""toks AS (
          |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tk
-         |  FROM documents),
+         |  FROM $src),
          |feat AS (
          |  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 7))::BIGINT % $b AS f
          |  FROM (SELECT doc_id, lang, unnest(list_concat(
@@ -762,9 +817,7 @@ object TextQueries {
          |w AS (
          |  SELECT feat.doc_id, CAST(sum(r.dw) AS BIGINT) AS iw
          |  FROM feat JOIN ratio r ON feat.f = r.f GROUP BY 1),
-         |top AS (SELECT doc_id, iw FROM w ORDER BY iw DESC, doc_id LIMIT $k)
-         |SELECT doc_id, iw, row_number() OVER (ORDER BY iw DESC, doc_id) AS rank
-         |FROM top""".stripMargin
+         |dsir_top AS (SELECT doc_id, iw FROM w ORDER BY iw DESC, doc_id LIMIT $k)""".stripMargin
   }
 
   /** Full NB replay: training (counts, smoothing, priors) AND

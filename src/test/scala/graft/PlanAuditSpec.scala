@@ -252,7 +252,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // the class-sized aggregates
     "q_unimax" -> 2, "q_unimax_sample" -> 3, "q_dsir" -> 5,
     "q_hash_embed" -> 0, "q_text_knn" -> 1, "q_bloom_novel" -> 1,
-    "q_nb_eval" -> 4, "q_centroid_eval" -> 4)
+    "q_nb_eval" -> 4, "q_centroid_eval" -> 4,
+    // q_curation: the dedup window exchange + DSIR's 5, doubled
+    // across the two model/score consumers of the cleaned frame
+    // (gopher itself is a pure scan predicate)
+    "q_curation" -> 10)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

@@ -35,6 +35,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("HashedBow equals the explode+groupBy formulation on randomized messy text") {
+    // unicode vocab, uneven whitespace, empty docs — the native
+    // accumulation must bit-match the md5-bucket/sign reference
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val dim = Seq(8, 32, 64)(rnd.nextInt(3))
+      val texts = Seq.fill(50)(randomText(rnd))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      def bucket(c: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(c), 1, 7), 16, 10).cast("long"), lit(dim.toLong))
+      def sgn(c: org.apache.spark.sql.Column) =
+        when(pmod(conv(substring(md5(c), 8, 1), 16, 10).cast("long"), lit(2L)) === 1, 1L)
+          .otherwise(-1L)
+      val composed = df
+        .select(col("id"), explode(split(trim(lower(col("t"))), "\\s+")).as("tok"))
+        .groupBy(col("id"), bucket(col("tok")).as("pos"))
+        .agg(sum(sgn(col("tok"))).as("v"))
+        .filter(col("v") =!= 0)
+      val native = df
+        .select(col("id"),
+          posexplode(graft.text.HashEmbed.hashedBow(col("t"), dim)).as(Seq("pos", "v")))
+        .filter(col("v") =!= 0)
+      assert(native.exceptAll(composed).count() === 0L, s"seed=$seed dim=$dim")
+      assert(composed.exceptAll(native).count() === 0L, s"seed=$seed dim=$dim")
+    }
+  }
+
   test("GroupTopK equals window row_number on randomized groups and k") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
