@@ -90,6 +90,12 @@ import graft.sources.PartitionedFiles
   *       --emit flags emits the per-vector verdict table); --pq
   *       screens within-cell pairs on product-quantization codes
   *       first, exact re-check at tau
+  *   embed          --text COL --id COL [--dim 64]
+  *       signed hashed bag-of-words projection: text → (vec_id, e,
+  *       nrm) integer-vector frame (the shape every vector verb eats)
+  *   knn            -i CORPUS --queries PATH --k N
+  *                  (--prepared true | --vec COL --id COL)
+  *       brute-force integer-cosine top-k neighbours per query row
   *   bpe            --mode train --text COL [--max-types 100000]
   *                  [--merges 16] --outfile PATH
   *                  | --mode tokens --text COL --id COL
@@ -442,6 +448,33 @@ object Cli {
               col(idCol) === col("__keep")).drop("__keep"))
             case o => fail(s"--emit must be keep|flags, got: $o")
           }
+
+        case "embed" =>
+          // text → integer vectors (signed hashed bag-of-words, native
+          // HashedBow): writes the (vec_id, e, nrm) frame every vector
+          // verb consumes — no external encoder anywhere
+          val textCol = col(opts.getOrElse("text", fail("--text COLUMN required")))
+          val idCol = col(opts.getOrElse("id", fail("--id COLUMN required")))
+          val dim = opts.getOrElse("dim", "64").toInt
+          write(graft.text.HashEmbed.embedDocuments(read(), textCol, idCol, dim))
+
+        case "knn" =>
+          // brute-force integer-cosine top-k: -i is the corpus,
+          // --queries the query set. --prepared: both are (vec_id, e,
+          // nrm) frames (e.g. `embed` output); default: float vector
+          // frames quantized here via --vec/--id
+          val queriesPath = opts.getOrElse("queries", fail("--queries PATH required"))
+          val k = opts.getOrElse("k", "3").toInt
+          val qdf = PartitionedFiles.readParquet(spark, queriesPath)
+          val (corpus, queries) =
+            if (opts.get("prepared").exists(_.toBoolean)) (read(), qdf)
+            else {
+              val vecCol = col(opts.getOrElse("vec", fail("--vec COLUMN required")))
+              val idCol = col(opts.getOrElse("id", fail("--id COLUMN required")))
+              (graft.similarity.Similarity.prepareQuantized(read(), vecCol, idCol),
+                graft.similarity.Similarity.prepareQuantized(qdf, vecCol, idCol))
+            }
+          write(graft.similarity.Similarity.cosineTopK(corpus, queries, k))
 
         case "bpe" =>
           // trained subword tokenizer as a persistable artifact:

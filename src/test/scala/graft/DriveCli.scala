@@ -540,6 +540,38 @@ object DriveCli {
       spark.stop()
     }
 
+    // embed → knn: text-only lexical nearest neighbours through the
+    // persisted integer-vector frame — library-parity vs cosineTopK
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "embed", "--text", "text", "--id", "doc_id", "--dim", "32",
+      "--outfile", s"$tmp/hemb"))
+    locally {
+      val spark = GraftSession.builder("prepKNN", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/hemb")
+        .filter(expr("vec_id % 25 = 0"))
+        .write.mode("overwrite").parquet(s"$tmp/hemb_q")
+      spark.stop()
+    }
+    Cli.main(Array("-i", s"$tmp/hemb", "-f", "parquet",
+      "knn", "--queries", s"$tmp/hemb_q", "--k", "2", "--prepared", "true",
+      "--outfile", s"$tmp/hknn"))
+    locally {
+      val spark = GraftSession.builder("verifyKNN", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val emb = graft.text.HashEmbed.embedDocuments(in, col("text"), col("doc_id"), 32)
+      val expect = graft.similarity.Similarity.cosineTopK(
+        emb, emb.filter(expr("vec_id % 25 = 0")), 2)
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/hknn")
+      val same = got.select("q_id", "neighbor_id", "rank")
+        .except(expect.select("q_id", "neighbor_id", "rank")).count() == 0 &&
+        expect.select("q_id", "neighbor_id", "rank")
+          .except(got.select("q_id", "neighbor_id", "rank")).count() == 0
+      println(s"HKNN=${got.count()} OK=${same && got.count() > 0}")
+      spark.stop()
+    }
+
     // bpe: train a merge table, persist it, tokenize the same corpus
     // from the stored artifact — library-parity vs the in-process path
     Cli.main(Array("-i", docs, "-f", "parquet",
