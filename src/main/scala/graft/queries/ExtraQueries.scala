@@ -162,6 +162,25 @@ object ExtraQueries {
         .withColumn("rank", col("rank").cast("bigint"))
     }),
 
+    // §2.4/29d cluster-purity report: the IVF assignment (shared
+    // build with q_ann_ivf) rolled up per cell — size, majority
+    // label, exact milli purity. The corpus-organization audit a
+    // cluster-balanced sampler or SemDeDup run reads first.
+    "q_cluster_stats" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val cents = IvfAnn.centroids(corpus, AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
+      val lab = IvfAnn.assign(corpus, cents)
+        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      import org.apache.spark.sql.expressions.Window
+      lab.groupBy("c_id", "label").agg(count(lit(1)).as("nl"))
+        .withColumn("n", sum("nl").over(Window.partitionBy("c_id")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("c_id").orderBy(col("nl").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("c_id"), col("n"), col("label").as("top_label"),
+          col("nl").as("top_n"), expr("(nl * 1000) div n").as("purity_milli"))
+    }),
+
     // SemDeDup semantic dedup: IVF-cluster the corpus, then id-ordered
     // greedy keep-one within each cell at cosine >= SemDedupTau. The
     // oracle replays the identical IVF build (shared CTE prefix with
@@ -496,6 +515,21 @@ object ExtraQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
+    "q_cluster_stats" -> {
+      val (prefix, _) = ivfBuildCtes
+      raw"""$prefix,
+           |clab AS (
+           |  SELECT g.c_id, n.label, count(*) AS nl
+           |  FROM asg g JOIN n ON g.vec_id = n.vec_id GROUP BY 1, 2),
+           |ctot AS (SELECT c_id, CAST(sum(nl) AS BIGINT) AS n FROM clab GROUP BY 1)
+           |SELECT c_id, n, label AS top_label, nl AS top_n,
+           |       (nl * 1000) // n AS purity_milli
+           |FROM (
+           |  SELECT l.c_id, t.n, l.label, CAST(l.nl AS BIGINT) AS nl,
+           |         row_number() OVER (PARTITION BY l.c_id ORDER BY l.nl DESC, l.label ASC) AS rn
+           |  FROM clab l JOIN ctot t USING (c_id)
+           |) WHERE rn = 1""".stripMargin
+    },
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_semdedup" -> semDedupSql,
     "q_semdedup_pq" -> semDedupPqSql,

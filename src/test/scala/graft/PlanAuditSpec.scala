@@ -256,7 +256,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_curation: the dedup window exchange + DSIR's 5, doubled
     // across the two model/score consumers of the cleaned frame
     // (gopher itself is a pure scan predicate)
-    "q_curation" -> 10)
+    "q_curation" -> 10,
+    // q_cluster_stats: assignment join + (c_id, label) agg; the size
+    // window and majority window ride the same c_id clustering
+    "q_cluster_stats" -> 3)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
