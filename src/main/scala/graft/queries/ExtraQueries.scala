@@ -181,6 +181,24 @@ object ExtraQueries {
           col("nl").as("top_n"), expr("(nl * 1000) div n").as("purity_milli"))
     }),
 
+    // §2.4/29e cluster-balanced sampling: UniMax allocation COMPOSED
+    // over the IVF cells — equal per-cell shares of a half-corpus
+    // budget, capped at one epoch (no vector repeats), so head
+    // clusters downsample to the fair share and tail clusters
+    // survive whole. MetaCLIP/DataComp-style balancing with the
+    // waterfill done exactly.
+    "q_cluster_sample" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val cents = IvfAnn.centroids(corpus, AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
+      val asg = IvfAnn.assign(corpus, cents)
+      val sizes = asg.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+      val total = sizes.agg(sum("n_vecs").cast("bigint").as("__total"))
+      val alloc = graft.text.UniMax.allocate(
+        sizes.crossJoin(broadcast(total)),
+        col("c_id"), col("n_vecs"), expr("__total div 2"), maxEpochsMilli = 1000)
+      graft.text.UniMax.takeAllocated(asg, col("c_id"), col("vec_id"), alloc)
+    }),
+
     // SemDeDup semantic dedup: IVF-cluster the corpus, then id-ordered
     // greedy keep-one within each cell at cosine >= SemDedupTau. The
     // oracle replays the identical IVF build (shared CTE prefix with
@@ -515,6 +533,23 @@ object ExtraQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
+    "q_cluster_sample" -> {
+      val (prefix, _) = ivfBuildCtes
+      raw"""$prefix,
+           |b AS (
+           |  SELECT c_id AS lang, tokens, (tokens * 1000) // 1000 AS capacity,
+           |         total // 2 AS B
+           |  FROM (SELECT c_id, CAST(count(*) AS BIGINT) AS tokens FROM asg GROUP BY 1)
+           |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS total FROM asg)),
+           |${PipelineQueries.unimaxChainCtes}
+           |SELECT vec_id, c_id FROM (
+           |  SELECT g.vec_id, g.c_id, a.alloc,
+           |         row_number() OVER (PARTITION BY g.c_id
+           |           ORDER BY md5(CAST(g.vec_id AS VARCHAR)), g.vec_id) AS rn
+           |  FROM asg g JOIN alloc a ON g.c_id = a.lang
+           |) WHERE rn <= alloc""".stripMargin
+    },
+
     "q_cluster_stats" -> {
       val (prefix, _) = ivfBuildCtes
       raw"""$prefix,

@@ -516,7 +516,15 @@ object PipelineQueries {
          |  SELECT lang, tokens, (tokens * $em) // 1000 AS capacity,
          |         (total * $num) // $den AS B
          |  FROM s CROSS JOIN t),
-         |f AS (
+         |$unimaxChainCtes""".stripMargin
+  }
+
+  /** The allocation chain from a `b` CTE (lang, tokens, capacity, B)
+    * to the `alloc` CTE — shared with the cluster-balanced sampler,
+    * whose `b` derives from IVF cell sizes instead of language token
+    * counts. */
+  private[queries] lazy val unimaxChainCtes: String =
+    raw"""f AS (
          |  SELECT lang, tokens, capacity, B,
          |         row_number() OVER (ORDER BY capacity, lang) AS idx,
          |         CAST(sum(capacity) OVER (ORDER BY capacity, lang
@@ -545,5 +553,4 @@ object PipelineQueries {
          |                THEN 1 ELSE 0 END
          |         END AS alloc
          |  FROM i)""".stripMargin
-  }
 }

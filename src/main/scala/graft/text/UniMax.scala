@@ -106,6 +106,22 @@ object UniMax {
       expr(s"(__total * ${budgetNum}L) div ${budgetDen}L"), maxEpochsMilli)
   }
 
+  /** Unit-weight selection under an allocation: keep each group's
+    * first `alloc` rows in the deterministic md5 order — the
+    * cluster-balanced / per-group cap sampler for row-counted (not
+    * token-weighted) budgets; [[materializeCopies]] is the
+    * token-weighted, epoch-capable form. One window per group, the
+    * tiny allocation broadcast. */
+  def takeAllocated(df: DataFrame, group: Column, id: Column, alloc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__um_g"))
+      .orderBy(md5(id.cast("string")).asc, id.asc)
+    df.withColumn("__um_g", group)
+      .join(broadcast(alloc.select(col("lang").as("__um_g"), col("alloc"))), "__um_g")
+      .withColumn("__um_rn", row_number().over(w))
+      .filter(col("__um_rn") <= col("alloc"))
+      .drop("__um_g", "__um_rn", "alloc")
+  }
+
   /** Materialize an allocation as per-document repeat counts — the
     * frame a training-data writer consumes. A language allocated
     * `alloc` tokens takes `alloc div tokens` FULL passes over its

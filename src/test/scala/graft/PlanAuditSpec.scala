@@ -259,7 +259,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_curation" -> 10,
     // q_cluster_stats: assignment join + (c_id, label) agg; the size
     // window and majority window ride the same c_id clustering
-    "q_cluster_stats" -> 3)
+    "q_cluster_stats" -> 3,
+    // q_cluster_sample: the assignment feeds both the size aggregate
+    // and the selection window; the allocation itself is #cells rows
+    "q_cluster_sample" -> 6)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
