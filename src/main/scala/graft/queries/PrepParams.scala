@@ -106,6 +106,11 @@ object PrepParams {
   val DsirScaleBits = 40
   val DsirTopK = 60
 
+  // q_priority_sample: fixed sample size — small enough that the
+  // threshold τ binds at sf0.001 (≥ 50 docs) and the estimate branch
+  // max(w, τ) exercises both sides at sf0.01
+  val PrioK = 40
+
   // q_hash_embed / q_text_knn: signed hashed bag-of-words projection
   // dimension and the text-kNN gate (every doc_id ≡ 0 mod TextKnnMod
   // queries for its TextKnnK lexical nearest neighbours). 64 dims keep

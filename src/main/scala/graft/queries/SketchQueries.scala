@@ -58,6 +58,15 @@ object SketchQueries {
         .mapRecords(col("o_orderkey"), col("o_custkey"))
     }),
 
+    // §2.8/40c priority sampling: exactly PrioK docs, heavy (long)
+    // ones more likely, with Horvitz–Thompson weight estimates —
+    // fixed-SIZE weighted sampling (the Bernoulli gate's complement),
+    // integer-scaled priorities so both engines rank identically.
+    "q_priority_sample" -> ((s, dir) =>
+      graft.sketch.Sketches.prioritySample(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+        k = PrepParams.PrioK)),
+
     // §2.8/46b Bloom-ledger novelty screen: the corpus history
     // (doc_id ≢ 0 mod 3) contributes per-drop Bloom registers,
     // merged by bit-OR; the incoming batch keeps only rows whose
@@ -166,6 +175,21 @@ object SketchQueries {
     "q_bloom_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q_priority_sample" -> {
+      val k = PrepParams.PrioK
+      raw"""WITH b AS (
+           |  SELECT doc_id AS key, CAST(n_chars AS BIGINT) AS w,
+           |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 268435456) + 1 AS u
+           |  FROM documents WHERE n_chars >= 1),
+           |p AS (SELECT key, w, (w * 268435456) // u AS pri FROM b),
+           |r AS (SELECT * FROM (
+           |        SELECT *, row_number() OVER (ORDER BY pri DESC, key ASC) AS rn FROM p)
+           |      WHERE rn <= ${k + 1}),
+           |t AS (SELECT CAST(coalesce(max(CASE WHEN rn = ${k + 1} THEN pri END), 0) AS BIGINT) AS tau FROM r)
+           |SELECT key, w, pri, tau, greatest(w, tau) AS est
+           |FROM r CROSS JOIN t WHERE rn <= $k""".stripMargin
+    },
+
     "q_bloom_novel" ->
       """SELECT d.doc_id FROM documents d
         |WHERE NOT EXISTS (

@@ -438,4 +438,47 @@ object Sketches {
       Some(res.getOrElse(means.last))
     }
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    * FIXED-SIZE weighted sample without replacement in one pass —
+    * "give me exactly k documents, heavy ones more likely, with
+    * unbiased weight estimates" at any corpus size. Each row draws
+    * priority w/u with u uniform; the k highest priorities are the
+    * sample and the (k+1)-th priority τ yields the Horvitz–Thompson
+    * estimate max(w, τ) (unbiased for any subset-sum; Σ est ≈ Σ w).
+    * The complement of [[graft.text.TextPrep.weightedSample]]'s
+    * Bernoulli gate: that fixes the RATE, this fixes the SIZE.
+    *
+    * Engine-portable determinism: u = 28-bit md5 of the key + 1, so
+    * u/2^28 plays uniform(0,1] and the priority w/(u/2^28) computes
+    * as the exact integer (w·2^28) div u — ALREADY IN WEIGHT UNITS
+    * (it is w scaled up by 1/u_norm ≥ 1), no float anywhere; ranking,
+    * τ and estimates replay bit-for-bit (ties broken by key asc).
+    * Rows with weight < 1 are excluded by contract; weights must stay
+    * below 2^35 so w·2^28 fits a long.
+    *
+    * Scale shape: TakeOrdered ships k+1 rows per partition at most —
+    * no global sort, no shuffle of the corpus; the τ/estimate window
+    * runs over the k+1 survivors. Output: (key, w, pri, tau, est)
+    * with est = max(w, τ) the per-row weight estimate. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val scale = 1L << 28
+    val base = df.select(key.as("key"), weight.cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("__u",
+        pmod(conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10).cast("long"),
+          lit(scale)) + 1)
+      .withColumn("pri", expr(s"(w * ${scale}L) div __u"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pri").desc, col("key").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    base.orderBy(col("pri").desc, col("key").asc).limit(k + 1)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("tau",
+        coalesce(max(when(col("__rn") === k + 1, col("pri"))).over(wAll), lit(0L)))
+      .filter(col("__rn") <= k)
+      .withColumn("est", greatest(col("w"), col("tau")))
+      .select("key", "w", "pri", "tau", "est")
+  }
 }
