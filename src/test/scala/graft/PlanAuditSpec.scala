@@ -262,7 +262,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_cluster_stats" -> 3,
     // q_cluster_sample: the assignment feeds both the size aggregate
     // and the selection window; the allocation itself is #cells rows
-    "q_cluster_sample" -> 6)
+    "q_cluster_sample" -> 6,
+    // q_priority_sample: TakeOrdered ships k+1 rows per partition —
+    // ZERO key shuffles, the τ window runs over the k+1 survivors
+    "q_priority_sample" -> 0)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
