@@ -190,7 +190,9 @@ object ExtraQueries {
     "q_cluster_sample" -> ((s, dir) => {
       val corpus = quantized(s, dir)
       val cents = IvfAnn.centroids(corpus, AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
-      val asg = IvfAnn.assign(corpus, cents)
+      // the assignment feeds the size aggregate AND the selection
+      // join — checkpoint once or the argmin scan runs twice
+      val asg = graft.operators.Checkpoints.eager(IvfAnn.assign(corpus, cents))
       val sizes = asg.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
       val total = sizes.agg(sum("n_vecs").cast("bigint").as("__total"))
       val alloc = graft.text.UniMax.allocate(

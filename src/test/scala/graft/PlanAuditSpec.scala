@@ -253,16 +253,17 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_unimax" -> 2, "q_unimax_sample" -> 3, "q_dsir" -> 5,
     "q_hash_embed" -> 0, "q_text_knn" -> 1, "q_bloom_novel" -> 1,
     "q_nb_eval" -> 4, "q_centroid_eval" -> 4,
-    // q_curation: the dedup window exchange + DSIR's 5, doubled
-    // across the two model/score consumers of the cleaned frame
-    // (gopher itself is a pure scan predicate)
-    "q_curation" -> 10,
+    // q_curation: the cleaned (gopher + dedup) frame is checkpointed
+    // once for DSIR's three consumers — what remains is DSIR's own
+    // shape over the materialized input
+    "q_curation" -> 5,
     // q_cluster_stats: assignment join + (c_id, label) agg; the size
     // window and majority window ride the same c_id clustering
     "q_cluster_stats" -> 3,
-    // q_cluster_sample: the assignment feeds both the size aggregate
-    // and the selection window; the allocation itself is #cells rows
-    "q_cluster_sample" -> 6,
+    // q_cluster_sample: the assignment is checkpointed for its two
+    // consumers; size aggregate + allocation windows + selection
+    // window remain, the allocation itself is #cells rows
+    "q_cluster_sample" -> 3,
     // q_priority_sample: TakeOrdered ships k+1 rows per partition —
     // ZERO key shuffles, the τ window runs over the k+1 survivors
     "q_priority_sample" -> 0)
