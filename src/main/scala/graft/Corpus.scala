@@ -88,6 +88,14 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
     keep(df.filter(quality.HeuristicRules.gopherPass(text, minWords, maxWords)),
       "gopher_rules")
 
+  /** Gopher's repetition battery (arXiv:2112.11446 app. A
+    * "repetitious text"; [[quality.HeuristicRules.repetitionPass]]):
+    * duplicate line/paragraph fractions, top {2,3,4}-gram character
+    * coverage, duplicated {5..10}-gram character mass — all published
+    * thresholds as one scan-time integer predicate, zero shuffles. */
+  def repetitionFilter(): Corpus =
+    keep(df.filter(quality.HeuristicRules.repetitionPass(text)), "repetition_rules")
+
   /** C4's line rules (arXiv:1910.10683 §2.2;
     * [[quality.HeuristicRules]]): rewrite the text column IN PLACE to
     * the kept lines (terminal-punctuated, ≥3 words) and keep only

@@ -292,6 +292,14 @@ object TextQueries {
       graft.quality.HeuristicRules.c4LineRules(
         Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/45c Gopher repetition-signal battery: duplicate line/
+    // paragraph mass, top {2,3,4}-gram coverage, duplicated
+    // {5..10}-gram mass + the combined verdict — all in-row via
+    // sorted-gram folds (zero shuffles), integer-exact.
+    "q_rep_signals" -> ((s, dir) =>
+      graft.quality.HeuristicRules.repetitionSignals(
+        Tables.documents(s, dir), col("text"), col("doc_id"))),
+
     // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
     // probe — the shared Eval audit layer, integer milli metrics.
     "q_nb_eval" -> ((s, dir) =>
@@ -672,6 +680,8 @@ object TextQueries {
            |FROM deduped WHERE rn = 1 GROUP BY source""".stripMargin
         .replace("$stopSqlList", stopSqlList),
 
+    "q_rep_signals" -> repSignalsSql,
+
     "q_gopher_rules" ->
       s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
@@ -723,6 +733,89 @@ object TextQueries {
          |FROM ($nbQualitySql)
          |GROUP BY 1, 2""".stripMargin
   )
+
+  /** Full repetition-signal replay (HeuristicRules.repetitionSignals):
+    * line/paragraph duplicate mass via list_distinct, per-n gram
+    * stats via unnest + GROUP BY (set-identical to the Spark side's
+    * in-row sorted fold: same counts, same smallest-gram tie-break via
+    * (c DESC, gram ASC), same c≥2 top convention), and the combined
+    * Gopher verdict in the exact cross-multiplied rational forms. */
+  private lazy val repSignalsSql: String = {
+    def grams(n: Int): String =
+      raw"""gr$n AS (
+           |  SELECT doc_id, gram, count(*) AS c, length(gram) AS gl
+           |  FROM (SELECT doc_id,
+           |          unnest(CASE WHEN len(ltoks) < $n THEN []
+           |                 ELSE list_transform(range(len(ltoks) - $n + 1),
+           |                        i -> array_to_string(ltoks[i+1:i+$n], ' ')) END) AS gram
+           |        FROM rbase)
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+    def top(n: Int): String =
+      raw"""top$n AS (
+           |  SELECT doc_id, CAST(CASE WHEN c >= 2 THEN c * gl ELSE 0 END AS BIGINT) AS chars
+           |  FROM (SELECT doc_id, c, gl,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+           |        FROM gr$n) WHERE rn = 1
+           |)""".stripMargin
+    def dup(n: Int): String =
+      raw"""dup$n AS (
+           |  SELECT doc_id, CAST(sum((c - 1) * gl) AS BIGINT) AS chars
+           |  FROM gr$n WHERE c > 1 GROUP BY 1
+           |)""".stripMargin
+    def seq(col: String, pre: String): String =
+      s"""CAST(len($col) AS BIGINT) AS n_$pre,
+         |CAST(len($col) - len(list_distinct($col)) AS BIGINT) AS dup_$pre,
+         |CAST(coalesce(list_sum(list_transform($col, x -> length(x))), 0)
+         |   - coalesce(list_sum(list_transform(list_distinct($col), x -> length(x))), 0)
+         |     AS BIGINT) AS dup_${pre}_chars""".stripMargin
+    val gramCtes = ((2 to 10).map(grams) ++ (2 to 4).map(top) ++ (5 to 10).map(dup))
+      .mkString(",\n")
+    val topJoins = (2 to 4).map(n => s"LEFT JOIN top$n t$n USING (doc_id)").mkString("\n")
+    val dupJoins = (5 to 10).map(n => s"LEFT JOIN dup$n d$n USING (doc_id)").mkString("\n")
+    val topCols = (2 to 4).map(n => s"coalesce(t$n.chars, 0) AS top${n}_chars").mkString(",\n")
+    val dupCols = (5 to 10).map(n => s"coalesce(d$n.chars, 0) AS dup${n}_chars").mkString(",\n")
+    raw"""WITH rbase AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS text_chars,
+         |         string_split(text, chr(10)) AS lines,
+         |         string_split(text, chr(10) || chr(10)) AS paras,
+         |         string_split_regex(trim(lower(text)), '\s+') AS ltoks
+         |  FROM documents
+         |),
+         |rseq AS (
+         |  SELECT doc_id, text_chars,
+         |         ${seq("lines", "lines")},
+         |         ${seq("paras", "paras")}
+         |  FROM rbase
+         |),
+         |$gramCtes,
+         |wide AS (
+         |  SELECT rseq.doc_id, text_chars,
+         |         n_lines, dup_lines, dup_lines_chars AS dup_line_chars,
+         |         n_paras, dup_paras, dup_paras_chars AS dup_para_chars,
+         |         $topCols,
+         |         $dupCols
+         |  FROM rseq
+         |  $topJoins
+         |  $dupJoins
+         |)
+         |SELECT *,
+         |       CAST(10 * dup_lines <= 3 * n_lines
+         |        AND 10 * dup_paras <= 3 * n_paras
+         |        AND 5 * dup_line_chars <= text_chars
+         |        AND 5 * dup_para_chars <= text_chars
+         |        AND 5 * top2_chars <= text_chars
+         |        AND 50 * top3_chars <= 9 * text_chars
+         |        AND 25 * top4_chars <= 4 * text_chars
+         |        AND 20 * dup5_chars <= 3 * text_chars
+         |        AND 50 * dup6_chars <= 7 * text_chars
+         |        AND 100 * dup7_chars <= 13 * text_chars
+         |        AND 25 * dup8_chars <= 3 * text_chars
+         |        AND 100 * dup9_chars <= 11 * text_chars
+         |        AND 10 * dup10_chars <= text_chars AS INT) AS pass
+         |FROM wide""".stripMargin
+  }
 
   /** Gopher rule-battery CTE chain over any source relation `src`
     * (doc_id, text): emits gverdict = metrics + per-rule passes +

@@ -98,4 +98,62 @@ class HeuristicRulesSpec extends SparkSpecBase {
     assert(out(1L).split("\n").forall(_.endsWith(".")))
     assert(c.dropLedger.select("doc_id").as[Long].collect().toSet === Set(2L))
   }
+
+  // ---- repetition-signal battery --------------------------------
+
+  private def repSignals(rows: (Long, String)*) =
+    HeuristicRules.repetitionSignals(rows.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+
+  test("duplicate line and paragraph mass on crafted multi-line docs") {
+    // gate data has no newlines, so the line/paragraph signals are
+    // proved here: dup counts are occurrences beyond the first of
+    // each distinct member, dup chars their character mass
+    val out = repSignals(
+        1L -> "dog\ncat\ndog\ncat\ndog",   // lines: 5, distinct 2
+        2L -> "x y\n\nx y")                 // paras: [x y, x y]
+      .select("doc_id", "n_lines", "dup_lines", "dup_line_chars",
+        "n_paras", "dup_paras", "dup_para_chars")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 3L, 9L, 1L, 0L, 0L)))
+    // lines of doc 2 are ["x y", "", "x y"] — one dup of 3 chars
+    assert(out(2L) === ((2L, 3L, 1L, 3L, 2L, 1L, 3L)))
+  }
+
+  test("top n-gram coverage: count x length, ties keep the smallest gram") {
+    val out = repSignals(
+        1L -> "a b a b a b",   // "a b"x3 beats "b a"x2; 3-grams tie at 2
+        2L -> "q w e r t y")   // all grams unique -> c<2 -> 0 (RP2 convention)
+      .select("doc_id", "text_chars", "top2_chars", "top3_chars")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // top2 = 3·len("a b") = 9; top3 tie ("a b a" vs "b a b", both x2)
+    // keeps the lexicographically smallest -> 2·len("a b a") = 10
+    assert(out(1L) === ((1L, 11L, 9L, 10L)))
+    assert(out(2L)._3 === 0L && out(2L)._4 === 0L)
+  }
+
+  test("duplicated n-gram mass counts occurrences beyond the first") {
+    val t = "one two three four five one two three four five"
+    val out = repSignals(1L -> t)
+      .select("dup5_chars", "dup6_chars").as[(Long, Long)].head()
+    // "one two three four five" (23 chars) appears twice among the
+    // six 5-grams -> (2-1)·23; no 6-gram repeats
+    assert(out === ((23L, 0L)))
+  }
+
+  test("repetitionPass predicate agrees with the report's pass column") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaPred = docs.filter(HeuristicRules.repetitionPass(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    val viaReport = HeuristicRules.repetitionSignals(docs, col("text"), col("doc_id"))
+      .filter(col("pass") === 1).select("doc_id").as[Long].collect().toSet
+    assert(viaPred === viaReport)
+    assert(viaPred.nonEmpty && viaPred.size < 500,
+      s"crafted synthetic text should trip some repetition rule: ${viaPred.size}")
+
+    // facade stage keeps exactly the passing docs and ledgers the rest
+    val c = Corpus(docs, col("text"), col("doc_id")).audited.repetitionFilter()
+    assert(c.df.select("doc_id").as[Long].collect().toSet === viaPred)
+  }
 }

@@ -41,6 +41,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // array/regex expressions — a 100 TB screen must stay one pass
     assert(keyShuffles(plan("q_gopher_rules")) === 0)
     assert(keyShuffles(plan("q_c4_rules")) === 0)
+    // the repetition battery's 9 per-n gram counters are in-row
+    // sorted folds — the explode+groupBy formulation would shuffle
+    // every gram of the corpus
+    assert(keyShuffles(plan("q_rep_signals")) === 0)
   }
 
   test("q_filter pushes its predicate into the parquet scan") {
