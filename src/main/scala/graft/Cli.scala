@@ -146,6 +146,11 @@ import graft.sources.PartitionedFiles
   *       C4 three-sentence-span dedup: delete all but the first
   *       occurrence of every duplicated 3-sentence span and rebuild
   *       (--emit spans: report the duplicated span occurrences)
+  *   datasheet      --text text --id doc_id [--source source] [--lang lang]
+  *                  [--gopher-min-words 50] [--gopher-max-words 100000]
+  *       per-source corpus datasheet: volume, language spread,
+  *       heuristic pass counts, exact-dup mass, vocabulary — the
+  *       release report row per source
   *   schema-check   --expect "id BIGINT, text STRING, ..."
   *       schema-drift report vs the expected DDL: one row per column,
   *       status ok|type_changed|missing|extra (metadata-only — no
@@ -181,6 +186,8 @@ import graft.sources.PartitionedFiles
   *       materialized packed training sequences: one row per
   *       (shard, batch) with member docs concatenated in id order
   *   corpus         --text text --id doc_id [--min-tokens 30]
+  *                  [--rules gopher,c4,repetition [--gopher-min-words 50]
+  *                   [--gopher-max-words 100000] [--text-name text]]
   *                  [--dedup exact|none] [--near minhash|minhash-best|simhash|winnow|none]
   *                  [--lm-rare-max 100 [--lm-max-rare-ratio 0.5]]
   *                  [--bg-rare-max 25 [--bg-max-rare-ratio 0.5]]
@@ -190,7 +197,10 @@ import graft.sources.PartitionedFiles
   *                  [--temperature SOURCE_COL] [--split 90,5]
   *                  [--emit docs|ledger]
   *       the whole training-data prep chain as ONE verb (the Corpus
-  *       facade): quality floor -> exact dedup -> near dedup ->
+  *       facade): heuristic rule batteries (--rules, applied in the
+  *       order given: Gopher document rules, C4 line rules with
+  *       in-place text rewrite, Gopher repetition battery) ->
+  *       quality floor -> exact dedup -> near dedup ->
   *       LM-quality gate -> benchmark decontamination -> per-source
   *       cap -> temperature mixture sampling -> split assignment;
   *       every stage optional,
@@ -756,6 +766,14 @@ object Cli {
           }
           var c = Corpus(read(), text, id)
           if (emitLedger) c = c.audited
+          opts.get("rules").foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+            case "gopher" => c = c.gopherQualityFilter(
+              opts.getOrElse("gopher-min-words", "50").toInt,
+              opts.getOrElse("gopher-max-words", "100000").toInt)
+            case "c4"         => c = c.c4LineFilter(opts.getOrElse("text-name", "text"))
+            case "repetition" => c = c.repetitionFilter()
+            case o => fail(s"--rules entries must be gopher|c4|repetition, got: $o")
+          })
           opts.get("min-tokens").foreach(m => c = c.qualityFilter(m.toInt))
           opts.getOrElse("dedup", "exact") match {
             case "exact" => c = c.exactDedup()
@@ -802,6 +820,14 @@ object Cli {
             c = c.splitAssign(parts(0), parts(1))
           }
           write(if (emitLedger) c.dropLedger else c.df)
+        case "datasheet" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.quality.Datasheet.perSource(read(), text, id,
+            expr(opts.getOrElse("source", "source")),
+            expr(opts.getOrElse("lang", "lang")),
+            minWords = opts.getOrElse("gopher-min-words", "50").toInt,
+            maxWords = opts.getOrElse("gopher-max-words", "100000").toInt))
         case "schema-check" =>
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))

@@ -247,6 +247,18 @@ object HeuristicRules {
       lit(10L) * g(10).getField("dup_chars") <= tc
   }
 
+  /** All three heuristic batteries as one row-wise verdict frame:
+    * (doc_id, pass_gopher, pass_c4, pass_repetition). Pure scan —
+    * zero shuffles, stateless — so the SAME code path runs over a
+    * batch frame or a streaming micro-batch
+    * ([[graft.streaming.EventStreams.ruleScreenedStream]]). */
+  def ruleVerdicts(df: DataFrame, text: Column, id: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.select(id.as("doc_id"),
+      gopherPass(text, minWords, maxWords).cast("int").as("pass_gopher"),
+      c4Pass(text).cast("int").as("pass_c4"),
+      repetitionPass(text).cast("int").as("pass_repetition"))
+
   /** Per-document C4 line-rule report: (doc_id, n_lines,
     * n_kept_lines, n_sentences, has_lorem, has_brace, clean_text,
     * pass) — the audit form; the filter form is

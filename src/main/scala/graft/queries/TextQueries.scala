@@ -300,6 +300,25 @@ object TextQueries {
       graft.quality.HeuristicRules.repetitionSignals(
         Tables.documents(s, dir), col("text"), col("doc_id"))),
 
+    // §2.5/50b exact phrase search via positional postings: the
+    // corpus's five most frequent 3-grams as the phrase set, counts
+    // of (possibly overlapping) occurrences per (phrase, doc).
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Search.phraseOccurrences(docs, col("text"), col("doc_id"),
+        graft.text.Search.topPhrases(docs, col("text"), n = 3, k = 5),
+        col("phrase"), col("phrase"))
+    }),
+
+    // §2.5/47b per-source corpus datasheet: volume, language spread,
+    // heuristic pass rates, exact-dup mass, vocabulary — one release
+    // report row per source, all integral.
+    "q_datasheet" -> ((s, dir) =>
+      graft.quality.Datasheet.perSource(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        col("source"), col("lang"),
+        minWords = PrepParams.GopherMinWords, maxWords = PrepParams.GopherMaxWords)),
+
     // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
     // probe — the shared Eval audit layer, integer milli metrics.
     "q_nb_eval" -> ((s, dir) =>
@@ -682,6 +701,25 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_datasheet" -> datasheetSql,
+
+    "q_phrase_search" ->
+      raw"""WITH ptoks AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           |  FROM documents),
+           |pg AS (
+           |  SELECT doc_id,
+           |         unnest(CASE WHEN len(t) < 3 THEN []
+           |                ELSE list_transform(range(len(t) - 2),
+           |                       i -> array_to_string(t[i+1:i+3], ' ')) END) AS gram
+           |  FROM ptoks),
+           |ptop AS (
+           |  SELECT gram FROM (SELECT gram, count(*) AS c FROM pg GROUP BY 1)
+           |  ORDER BY c DESC, gram ASC LIMIT 5)
+           |SELECT gram AS phrase, doc_id, count(*) AS n_occurrences
+           |FROM pg JOIN ptop USING (gram)
+           |GROUP BY 1, 2""".stripMargin,
+
     "q_gopher_rules" ->
       s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, n_chars_tok, stop_hits, alpha_words,
@@ -740,7 +778,13 @@ object TextQueries {
     * in-row sorted fold: same counts, same smallest-gram tie-break via
     * (c DESC, gram ASC), same c≥2 top convention), and the combined
     * Gopher verdict in the exact cross-multiplied rational forms. */
-  private lazy val repSignalsSql: String = {
+  private lazy val repSignalsSql: String =
+    s"WITH ${repCtes("documents")}\nSELECT * FROM rverdict"
+
+  /** Repetition-battery CTE chain over any (doc_id, text) relation:
+    * emits `rverdict` = all 17 integer signals + the combined pass.
+    * Shared by q_rep_signals and the datasheet capstone. */
+  private def repCtes(src: String): String = {
     def grams(n: Int): String =
       raw"""gr$n AS (
            |  SELECT doc_id, gram, count(*) AS c, length(gram) AS gl
@@ -775,13 +819,13 @@ object TextQueries {
     val dupJoins = (5 to 10).map(n => s"LEFT JOIN dup$n d$n USING (doc_id)").mkString("\n")
     val topCols = (2 to 4).map(n => s"coalesce(t$n.chars, 0) AS top${n}_chars").mkString(",\n")
     val dupCols = (5 to 10).map(n => s"coalesce(d$n.chars, 0) AS dup${n}_chars").mkString(",\n")
-    raw"""WITH rbase AS (
+    raw"""rbase AS (
          |  SELECT doc_id,
          |         CAST(length(text) AS BIGINT) AS text_chars,
          |         string_split(text, chr(10)) AS lines,
          |         string_split(text, chr(10) || chr(10)) AS paras,
          |         string_split_regex(trim(lower(text)), '\s+') AS ltoks
-         |  FROM documents
+         |  FROM $src
          |),
          |rseq AS (
          |  SELECT doc_id, text_chars,
@@ -790,7 +834,7 @@ object TextQueries {
          |  FROM rbase
          |),
          |$gramCtes,
-         |wide AS (
+         |rwide AS (
          |  SELECT rseq.doc_id, text_chars,
          |         n_lines, dup_lines, dup_lines_chars AS dup_line_chars,
          |         n_paras, dup_paras, dup_paras_chars AS dup_para_chars,
@@ -799,7 +843,8 @@ object TextQueries {
          |  FROM rseq
          |  $topJoins
          |  $dupJoins
-         |)
+         |),
+         |rverdict AS (
          |SELECT *,
          |       CAST(10 * dup_lines <= 3 * n_lines
          |        AND 10 * dup_paras <= 3 * n_paras
@@ -814,8 +859,66 @@ object TextQueries {
          |        AND 25 * dup8_chars <= 3 * text_chars
          |        AND 100 * dup9_chars <= 11 * text_chars
          |        AND 10 * dup10_chars <= text_chars AS INT) AS pass
-         |FROM wide""".stripMargin
+         |FROM rwide
+         |)""".stripMargin
   }
+
+  /** Per-source datasheet replay (quality.Datasheet.perSource): the
+    * three heuristic batteries' per-doc verdicts come from the shared
+    * CTE builders (gopherCtes / repCtes) plus an inline C4 pass, then
+    * four per-source aggregate families joined on source. */
+  private lazy val datasheetSql: String =
+    raw"""WITH ${gopherCtes("documents")},
+         |${repCtes("documents")},
+         |c4p AS (
+         |  SELECT doc_id,
+         |         CAST(length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) >= 5
+         |              AND has_lorem = 0 AND has_brace = 0 AS BIGINT) AS pc
+         |  FROM (
+         |    SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS ct,
+         |           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+         |           CAST(contains(text, '{') AS INT) AS has_brace
+         |    FROM (SELECT doc_id, text,
+         |            list_filter(string_split(text, chr(10)),
+         |              l -> regexp_matches(rtrim(l), '[.!?"]$$')
+         |                   AND len(string_split_regex(trim(l), '\s+')) >= 3) AS kept
+         |          FROM documents)
+         |  )
+         |),
+         |ds AS (
+         |  SELECT doc_id, source, lang,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |         CAST(length(text) AS BIGINT) AS n_chr,
+         |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |dbase AS (
+         |  SELECT source,
+         |         count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(n_chr) AS BIGINT) AS n_chars,
+         |         CAST(sum(g.pass) AS BIGINT) AS gopher_pass,
+         |         CAST(sum(c.pc) AS BIGINT) AS c4_pass,
+         |         CAST(sum(r.pass) AS BIGINT) AS rep_pass
+         |  FROM ds
+         |  JOIN gverdict g USING (doc_id)
+         |  JOIN c4p c USING (doc_id)
+         |  JOIN rverdict r USING (doc_id)
+         |  GROUP BY 1),
+         |dlangs AS (SELECT source, count(*) AS n_langs
+         |           FROM (SELECT DISTINCT source, lang FROM ds) GROUP BY 1),
+         |ddups AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_docs
+         |          FROM (SELECT source, fp, count(*) AS c FROM ds GROUP BY 1, 2)
+         |          GROUP BY 1),
+         |dvocab AS (SELECT source, count(*) AS vocab
+         |           FROM (SELECT DISTINCT source,
+         |                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+         |                 FROM documents) GROUP BY 1)
+         |SELECT dbase.source, n_docs, n_tokens, n_chars, gopher_pass, c4_pass,
+         |       rep_pass, n_langs, dup_docs, vocab
+         |FROM dbase
+         |JOIN dlangs USING (source)
+         |JOIN ddups USING (source)
+         |JOIN dvocab USING (source)""".stripMargin
 
   /** Gopher rule-battery CTE chain over any source relation `src`
     * (doc_id, text): emits gverdict = metrics + per-rule passes +

@@ -310,6 +310,32 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming heuristic-rule screen (38u): every incoming document
+    * gets its Gopher / C4 / repetition verdicts
+    * ([[graft.quality.HeuristicRules.ruleVerdicts]]) — completely
+    * STATELESS (all three batteries are in-row scan predicates), so
+    * the stream needs no state store, no watermark, and no model
+    * refresh; per-batch results are bit-equal to the batch operator
+    * by construction (same code path). The crawl-frontier shape:
+    * screen documents the moment they arrive, before anything
+    * corpus-sized (dedup, DSIR) touches them. */
+  def ruleScreenedStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      checkpointDir: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.quality.HeuristicRules.ruleVerdicts(
+          batch, col(textCol), col(idCol), minWords, maxWords))
+      }
+      .start()
+
   /** Streaming Bloom-ledger screen (38t): every micro-batch is
     * flagged against the STATIC merged register of the standing
     * corpus ([[graft.sketch.BloomLedger.merged]]) — zero corpus

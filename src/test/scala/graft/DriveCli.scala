@@ -459,6 +459,44 @@ object DriveCli {
       spark.stop()
     }
 
+    // datasheet: per-source release report, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "datasheet", "--text", "text", "--id", "doc_id",
+      "--gopher-min-words", "20", "--gopher-max-words", "500",
+      "--outfile", s"$tmp/datasheet"))
+    locally {
+      val spark = GraftSession.builder("verifyDatasheet", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/datasheet")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.quality.Datasheet.perSource(in, col("text"), col("doc_id"),
+        col("source"), col("lang"), minWords = 20, maxWords = 500)
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"DATASHEET=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
+    // corpus --rules: the heuristic batteries (Gopher doc rules +
+    // repetition battery) as chain stages, library-parity checked
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "corpus", "--text", "text", "--id", "doc_id",
+      "--rules", "gopher,repetition",
+      "--gopher-min-words", "20", "--gopher-max-words", "500",
+      "--dedup", "none", "--near", "none",
+      "--outfile", s"$tmp/corpus_rules"))
+    locally {
+      val spark = GraftSession.builder("verifyCorpusRules", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/corpus_rules")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = Corpus(in, col("text"), col("doc_id"))
+        .gopherQualityFilter(20, 500).repetitionFilter().df
+      val n = out.count()
+      println(s"CORPUS_RULES=$n EXPECT=${expect.count()} " +
+        s"OK=${n == expect.count() && n > 0 && n < in.count()}")
+      spark.stop()
+    }
+
     // corpus --emit ledger: same chain, but write WHO was dropped WHERE
     Cli.main(Array("-i", docs, "-f", "parquet",
       "corpus", "--text", "text", "--id", "doc_id",

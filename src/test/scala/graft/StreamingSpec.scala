@@ -234,6 +234,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(b1 === Set(11L))
   }
 
+  test("ruleScreenedStream emits heuristic verdicts per micro-batch, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("The quick brown fox jumps over the lazy dog near the river bank today. " * 3).trim
+    val repetitious = "spam spam spam spam spam spam spam spam spam spam"
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+    val ckpt = java.nio.file.Files.createTempDirectory("rules_ckpt").toString
+    val q = EventStreams.ruleScreenedStream(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", ckpt,
+      minWords = 5, maxWords = 500) { v =>
+      got.synchronized {
+        got ++= v.select("doc_id", "pass_gopher", "pass_c4", "pass_repetition")
+          .as[(Long, Int, Int, Int)].collect()
+      }
+    }
+    mem.addData((1L, good), (2L, repetitious))
+    q.processAllAvailable()
+    mem.addData((3L, good + " And a second batch arrives later."))
+    q.processAllAvailable()
+    q.stop()
+    // parity: identical to the batch operator over the union of drops
+    val batch = graft.quality.HeuristicRules.ruleVerdicts(
+        Seq((1L, good), (2L, repetitious), (3L, good + " And a second batch arrives later."))
+          .toDF("doc_id", "text"),
+        col("text"), col("doc_id"), minWords = 5, maxWords = 500)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got.toSet === batch)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._4 === 0, "repetitious doc must fail the repetition battery")
+    assert(byId(1L)._2 === 1, "clean doc passes gopher")
+  }
+
   test("lmScoredStream scores micro-batches against the static reference LM") {
     implicit val sqlCtx = spark.sqlContext
     // reference corpus: "alpha"/"beta" common, everything else unseen
