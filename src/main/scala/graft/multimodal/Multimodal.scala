@@ -159,6 +159,41 @@ object Multimodal {
       .agg(min("media_id").as("media_id"), count(lit(1)).as("group_n"))
       .select(col("media_id"), col("ahash"), col("group_n"))
 
+  /** Hamming distance between two equal-length bit strings (the
+    * [[aHash]] output format) as a Column fold. */
+  def hammingBits(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 64): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => when(a.substr(i + 1, lit(1)) =!= b.substr(i + 1, lit(1)), lit(1L))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Scene-cut detection over sampled frames: perceptual hash every
+    * consecutive frame ([[frameSlices]] stride 1 → [[aHash]]'s native
+    * expression per frame), then flag frame transitions whose aHash
+    * hamming distance clears `cutBits` — the shot-boundary heuristic
+    * every video curation pipeline runs before per-scene sampling. A
+    * real pipeline swaps the byte-window frames for decoded keyframes
+    * and keeps this exact plan: explode (no shuffle) → native hash
+    * (no shuffle) → ONE exchange on media_id for the lag window.
+    * Emits every transition: (media_id, frame_id, hamming, is_cut). */
+  def sceneCuts(df: DataFrame, media: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, frameSize: Int, cutBits: Int): DataFrame = {
+    val frames = frameSlices(df, media, id, frameSize, stride = 1)
+      .filter(octet_length(col("frame")) > 0)
+      .select(col("media_id"), col("frame_id"),
+        org.apache.spark.sql.graft.GraftMediaFunctions.aHash64(col("frame")).as("ahash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_id")
+    frames
+      .withColumn("__prev", lag("ahash", 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming", hammingBits(col("ahash"), col("__prev")))
+      .withColumn("is_cut", (col("hamming") >= cutBits).cast("int"))
+      .select(col("media_id"), col("frame_id"), col("hamming"), col("is_cut"))
+  }
+
   /** Declarative (codegen) variant for pure-byte features — when the
     * "decode" is expressible as Column ops, skip the typed boundary
     * entirely. Used by the oracle-gated q_multimodal. */

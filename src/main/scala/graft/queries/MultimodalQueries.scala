@@ -29,6 +29,14 @@ object MultimodalQueries {
       Multimodal.frameSlices(asMedia(s, dir), col("media"), col("media_id"), frameSize = 16, stride = 4)
         .select(col("media_id"), col("frame_id"), lower(hex(col("frame"))).as("frame_hex"))),
 
+    // §2.6/35g scene-cut detection: per-frame aHash, hamming between
+    // consecutive frames, cut when >= 16 of 64 bits flip (oracle:
+    // frame hex slices -> the q_phash sampling math per frame -> a
+    // lag window).
+    "q_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(asMedia(s, dir), col("media"), col("media_id"),
+        frameSize = 16, cutBits = 16)),
+
     // §2.6/35d per-source media corpus stats (the partition-sizing /
     // routing aggregate that precedes any decode).
     "q_media_stats" -> ((s, dir) =>
@@ -99,6 +107,41 @@ object MultimodalQueries {
         |)
         |SELECT min(media_id) AS media_id, ahash, count(*) AS group_n
         |FROM a GROUP BY ahash""".stripMargin,
+    // per-frame aHash (q_phash's sampling math over each 16-byte hex
+    // slice), then a lag window per media: hamming of consecutive
+    // frame hashes, cut at >= 16 flipped bits.
+    "q_scene_cuts" ->
+      """WITH mb AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS bh,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0
+        |), mf AS (
+        |  SELECT media_id, unnest(generate_series(0, (nb + 15) // 16 - 1)) AS f, bh FROM mb
+        |), fh AS (
+        |  SELECT media_id, f, substr(bh, CAST(f * 32 + 1 AS BIGINT), 32) AS h FROM mf
+        |), fs AS (
+        |  SELECT media_id, f, i,
+        |         (strpos('0123456789ABCDEF', substr(h, CAST((i * (len(h) // 2)) // 64 AS BIGINT) * 2 + 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789ABCDEF', substr(h, CAST((i * (len(h) // 2)) // 64 AS BIGINT) * 2 + 2, 1)) - 1) AS v
+        |  FROM fh, (SELECT unnest(range(64)) AS i) t
+        |), fa AS (
+        |  SELECT media_id, f,
+        |         array_to_string(list(CASE WHEN v * 64 > total THEN '1' ELSE '0' END ORDER BY i), '') AS ahash
+        |  FROM (SELECT media_id, f, i, v, SUM(v) OVER (PARTITION BY media_id, f) AS total FROM fs)
+        |  GROUP BY media_id, f
+        |), fl AS (
+        |  SELECT media_id, f AS frame_id, ahash,
+        |         lag(ahash) OVER (PARTITION BY media_id ORDER BY f) AS prev
+        |  FROM fa
+        |)
+        |SELECT media_id, frame_id, hamming, CAST(hamming >= 16 AS INT) AS is_cut
+        |FROM (
+        |  SELECT media_id, frame_id,
+        |         CAST(len(list_filter(range(64),
+        |           i -> substr(ahash, CAST(i + 1 AS BIGINT), 1)
+        |                <> substr(prev, CAST(i + 1 AS BIGINT), 1))) AS BIGINT) AS hamming
+        |  FROM fl WHERE prev IS NOT NULL
+        |)""".stripMargin,
     // FakeCodec.decode replayed in pure SQL: hex-expand the blob, decode
     // each hex pair via strpos arithmetic, integral byte sum, ONE double
     // division (bit-equal to Spark's sum.toDouble / length).

@@ -138,4 +138,29 @@ class MultimodalSpec extends SparkSpecBase {
       .select("q_id", "neighbor_id").as[(Long, Long)].collect()
     assert(top.toList === List((1L, 2L))) // nearest neighbor is the near-dup
   }
+
+  test("sceneCuts: repeated frames are no cut, a content switch is") {
+    import org.apache.spark.sql.functions._
+    // 4 identical 16-byte "frames" of one texture, then 4 of a very
+    // different byte mix: one transition should clear the bit budget
+    val still = "abcdabcdabcdabcd" * 4
+    // byte-threshold pattern 0011 per 'abcd' vs 01 per 'az' — the
+    // boundary transition flips 32 of 64 aHash bits, within-half
+    // transitions flip none
+    val other = "azazazazazazazaz" * 4
+    val media = Seq((1L, still + other), (2L, still + still))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("media"))
+    val out = Multimodal.sceneCuts(media, col("media"), col("media_id"),
+        frameSize = 16, cutBits = 16)
+      .select("media_id", "frame_id", "hamming", "is_cut")
+      .as[(Long, Long, Long, Int)].collect()
+    val byId = out.groupBy(_._1)
+    // doc 2: all frames identical -> every hamming 0, zero cuts
+    assert(byId(2L).forall(r => r._3 === 0L && r._4 === 0))
+    // doc 1: exactly the still->other boundary (frame 4) is a cut;
+    // transitions within each half are identical frames
+    val cuts = byId(1L).filter(_._4 == 1).map(_._2).toSet
+    assert(cuts === Set(4L), s"expected the boundary cut only: ${byId(1L).toList}")
+  }
 }
