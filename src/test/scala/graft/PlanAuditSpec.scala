@@ -257,6 +257,15 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_unimax" -> 2, "q_unimax_sample" -> 3, "q_dsir" -> 5,
     "q_hash_embed" -> 0, "q_text_knn" -> 1, "q_bloom_novel" -> 1,
     "q_nb_eval" -> 4, "q_centroid_eval" -> 4,
+    // r9 wave 3: rep_signals is a pure scan (in-row sorted folds);
+    // datasheet = 4 narrow per-source aggregate families (volume,
+    // langs distinct+agg, (source,fp)+source dup agg, (source,token)
+    // distinct+agg) joined over |sources| rows; phrase_search = the
+    // topPhrases gram agg + the two postings-side joins + the two
+    // occurrence aggregates (postings themselves checkpoint once);
+    // scene_cuts = the one media_id lag-window exchange
+    "q_rep_signals" -> 0, "q_datasheet" -> 7,
+    "q_phrase_search" -> 5, "q_scene_cuts" -> 1,
     // q_curation: the cleaned (gopher + dedup) frame is checkpointed
     // once for DSIR's three consumers — what remains is DSIR's own
     // shape over the materialized input

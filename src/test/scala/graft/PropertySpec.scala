@@ -401,6 +401,39 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("phraseOccurrences equals brute force on randomized docs and phrases") {
+    import spark.implicits._
+    val vocab = Array("aa", "bb", "cc", "dd")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(200 + seed)
+      // tiny alphabet → dense repeats and overlaps, the adversarial case
+      val docs = (1L to 30L).map(i =>
+        i -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      // phrases: random substrings of random docs (guaranteed present
+      // somewhere) + one random combination (possibly absent)
+      val phrases = ((1 to 4).map { _ =>
+        val t = docs(rnd.nextInt(docs.size))._2.split(" ")
+        val len = 1 + rnd.nextInt(math.min(3, t.length))
+        val p = rnd.nextInt(t.length - len + 1)
+        t.slice(p, p + len).mkString(" ")
+      } :+ Seq.fill(4)(vocab(rnd.nextInt(vocab.length))).mkString(" ")).distinct
+      val got = graft.text.Search.phraseOccurrences(
+          docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+          phrases.toDF("phrase"), col("phrase"), col("phrase"))
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expect = (for {
+        (id, text) <- docs
+        ph <- phrases
+        pt = ph.split(" ")
+        toks = text.split(" ")
+        c = (0 to toks.length - pt.length)
+          .count(p => toks.slice(p, p + pt.length).sameElements(pt))
+        if c > 0
+      } yield (ph, id) -> c.toLong).toMap
+      assert(got === expect, s"seed=$seed phrases=$phrases")
+    }
+  }
+
   test("Checkpoints registry: release is idempotent and releaseAll drains") {
     import graft.operators.Checkpoints
     Checkpoints.releaseAll()

@@ -17,6 +17,37 @@ class ScaleSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the no-code-change skew path: when salting is not wired in, AQE
+    // must still split the hot partition of a shuffled join. Thresholds
+    // lowered so the 95%-hot-key toy triggers the same machinery a
+    // 100 TB skewed shuffle does.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      val probe = spark.range(50000)
+        .select(when(col("id") % 20 === 0, col("id")).otherwise(0L).as("k"),
+          concat(lit(pad), col("id")).as("v"))
+      val build = spark.range(0, 50000, 10).select(col("id").as("k"), (col("id") * 3).as("w"))
+      val joined = probe.join(build, "k")
+      // run through joined's OWN QueryExecution (count() would build a
+      // separate one and leave this plan un-adapted)
+      assert(joined.collect().length === 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot-key join partition skewed:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
