@@ -146,6 +146,11 @@ import graft.sources.PartitionedFiles
   *       C4 three-sentence-span dedup: delete all but the first
   *       occurrence of every duplicated 3-sentence span and rebuild
   *       (--emit spans: report the duplicated span occurrences)
+  *   phrase-search  --text text --id doc_id [--phrases PATH [--phrase-col phrase]]
+  *                  [--n 3] [--top 5]
+  *       exact phrase lookup: (phrase, doc_id, n_occurrences) rows,
+  *       overlapping occurrences counted; with no --phrases file the
+  *       corpus's own top n-gram phrases are used
   *   datasheet      --text text --id doc_id [--source source] [--lang lang]
   *                  [--gopher-min-words 50] [--gopher-max-words 100000]
   *       per-source corpus datasheet: volume, language spread,
@@ -820,6 +825,24 @@ object Cli {
             c = c.splitAssign(parts(0), parts(1))
           }
           write(if (emitLedger) c.dropLedger else c.df)
+        case "phrase-search" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val df = read()
+          val phrases = opts.get("phrases") match {
+            case Some(path) => fmt match {
+              case "json"    => PartitionedFiles.readJsonl(spark, path, opts.get("phrases-schema"))
+              case "csv"     => PartitionedFiles.readCsv(spark, path, header = true, opts.get("phrases-schema"))
+              case "parquet" => PartitionedFiles.readParquet(spark, path)
+              case "orc"     => PartitionedFiles.readOrc(spark, path)
+              case o         => fail(s"phrase-search unsupported for format: $o")
+            }
+            case None => graft.text.Search.topPhrases(df, text,
+              n = opts.getOrElse("n", "3").toInt, k = opts.getOrElse("top", "5").toInt)
+          }
+          write(graft.text.Search.phraseOccurrences(df, text, id,
+            phrases, expr(opts.getOrElse("phrase-col", "phrase")),
+            expr(opts.getOrElse("phrase-col", "phrase"))))
         case "datasheet" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))

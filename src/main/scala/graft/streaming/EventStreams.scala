@@ -336,6 +336,29 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming phrase screen (38v): each micro-batch of documents is
+    * searched for a STATIC phrase set ([[graft.text.Search
+    * .phraseOccurrences]] — the batch-owned-model pattern: the phrase
+    * list is the query, refreshed on batch cadence). Sink rows are
+    * (phrase, doc_id, n_occurrences) per trigger — the
+    * frontier-time attribution / targeted-decontamination probe,
+    * bit-equal to the batch operator by shared code path. */
+  def phraseFlaggedStream(
+      docs: DataFrame,
+      phrases: DataFrame,
+      textCol: String,
+      idCol: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.text.Search.phraseOccurrences(
+          batch, col(textCol), col(idCol), phrases, col("phrase"), col("phrase")))
+      }
+      .start()
+
   /** Streaming Bloom-ledger screen (38t): every micro-batch is
     * flagged against the STATIC merged register of the standing
     * corpus ([[graft.sketch.BloomLedger.merged]]) — zero corpus

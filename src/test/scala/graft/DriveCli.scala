@@ -459,6 +459,24 @@ object DriveCli {
       spark.stop()
     }
 
+    // phrase-search: corpus-derived top phrases, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "phrase-search", "--text", "text", "--id", "doc_id",
+      "--n", "2", "--top", "3",
+      "--outfile", s"$tmp/phrases"))
+    locally {
+      val spark = GraftSession.builder("verifyPhrases", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/phrases")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.text.Search.phraseOccurrences(in, col("text"), col("doc_id"),
+        graft.text.Search.topPhrases(in, col("text"), n = 2, k = 3),
+        col("phrase"), col("phrase"))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"PHRASES=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // datasheet: per-source release report, library parity
     Cli.main(Array("-i", docs, "-f", "parquet",
       "datasheet", "--text", "text", "--id", "doc_id",

@@ -266,6 +266,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId(1L)._2 === 1, "clean doc passes gopher")
   }
 
+  test("phraseFlaggedStream finds static phrases per micro-batch, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq("quick brown", "lazy dog").toDF("phrase")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("phrase_ckpt").toString
+    val q = EventStreams.phraseFlaggedStream(
+      mem.toDF().toDF("doc_id", "text"), phrases, "text", "doc_id", ckpt) { hits =>
+      got.synchronized {
+        got ++= hits.select("phrase", "doc_id", "n_occurrences")
+          .as[(String, Long, Long)].collect()
+      }
+    }
+    mem.addData((1L, "the quick brown fox and the quick brown hare"),
+      (2L, "nothing matching here"))
+    q.processAllAvailable()
+    mem.addData((3L, "a lazy dog sleeps"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(("quick brown", 1L, 2L), ("lazy dog", 3L, 1L)))
+    // parity with the batch operator over the union of the drops
+    val batch = graft.text.Search.phraseOccurrences(
+        Seq((1L, "the quick brown fox and the quick brown hare"),
+          (2L, "nothing matching here"), (3L, "a lazy dog sleeps")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), phrases, col("phrase"), col("phrase"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got.toSet === batch)
+  }
+
   test("lmScoredStream scores micro-batches against the static reference LM") {
     implicit val sqlCtx = spark.sqlContext
     // reference corpus: "alpha"/"beta" common, everything else unseen
