@@ -23,7 +23,40 @@ import graft.sources.Tables
   */
 object SketchQueries {
 
+  /** q_kmv_overlap sketch size: 16 keeps the CAPPED estimator path
+    * exercised at every sf (sources hold ≥25 distinct docs at sf0.01)
+    * while staying honest about being a sketch; production would run
+    * 2^12+. The estimate math is exact integer / IEEE-double either
+    * way, so the oracle replays it bit-for-bit at any k. */
+  val KmvK = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.8/39c KMV theta-sketch set operations: per-source bottom-k
+    // sketches over portable 60-bit text hashes, then pairwise overlap
+    // estimates from the k-row summaries alone — the "how much do two
+    // crawls overlap" question answered WITHOUT the quadratic exact
+    // join. The corpus is scanned once (sketch build, map-side
+    // partial KMV buffers); the pair stage touches only
+    // n_sources × k retained hashes.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val k = KmvK
+      val sk = graft.operators.Checkpoints.eager(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            graft.functions.Hashing.portableHash64(col("text")).as("h"))
+          .groupBy("source").agg(Sketches.kmv(col("h"), k).as("sk"))
+          .select(col("source"), col("sk"),
+            Sketches.kmvDistinctEstimate(col("sk"), k).as("est")))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("ska"),
+        col("est").as("est_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("skb"),
+        col("est").as("est_b"))
+      val (common, est) = Sketches.kmvOverlapEstimate(col("ska"), col("skb"), k)
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), common.as("common"),
+          est.as("est_overlap"), col("est_a"), col("est_b"))
+    }),
+
     // §2.8/39 HLL distinct counts: exact_n (hash-matched) + in-bound flag.
     "q_hll_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -141,6 +174,44 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Full bit-for-bit replay of the KMV math: same 60-bit md5 hash,
+    // same (k−1)·M/θ and common·M/θ divisions (every input exactly
+    // representable in binary64, so floor() agrees across engines).
+    "q_kmv_overlap" -> {
+      val k = KmvK
+      val m = 1152921504606846976L // 2^60, the portableHash64 space
+      raw"""WITH h AS (
+           |  SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
+           |  FROM documents),
+           |r AS (
+           |  SELECT source, hash,
+           |         row_number() OVER (PARTITION BY source ORDER BY hash) AS rk,
+           |         count(*) OVER (PARTITION BY source) AS nd
+           |  FROM h),
+           |sk AS (SELECT source, hash, nd FROM r WHERE rk <= $k),
+           |par AS (
+           |  SELECT source,
+           |         CASE WHEN min(nd) < $k THEN CAST($m AS BIGINT) ELSE max(hash) END AS theta,
+           |         CASE WHEN min(nd) < $k THEN CAST(count(*) AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(max(hash) AS DOUBLE)) AS BIGINT)
+           |         END AS est
+           |  FROM sk GROUP BY source),
+           |pairs AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |         a.est AS est_a, b.est AS est_b,
+           |         LEAST(a.theta, b.theta) AS th
+           |  FROM par a JOIN par b ON a.source < b.source),
+           |cm AS (
+           |  SELECT x.source AS sa, y.source AS sb, x.hash AS hash
+           |  FROM sk x JOIN sk y ON x.hash = y.hash AND x.source < y.source)
+           |SELECT p.source_a, p.source_b,
+           |       CAST(count(c.hash) AS BIGINT) AS common,
+           |       CAST(floor(CAST(count(c.hash) AS DOUBLE) * $m / CAST(p.th AS DOUBLE)) AS BIGINT) AS est_overlap,
+           |       p.est_a, p.est_b
+           |FROM pairs p LEFT JOIN cm c
+           |  ON c.sa = p.source_a AND c.sb = p.source_b AND c.hash <= p.th
+           |GROUP BY p.source_a, p.source_b, p.th, p.est_a, p.est_b""".stripMargin
+    },
     "q_hll_distinct" ->
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,

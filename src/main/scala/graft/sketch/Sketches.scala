@@ -18,6 +18,10 @@ case class TDBuf(means: Array[Double], weights: Array[Long])
 /** Count-Min buffer: flattened d×w counter table + total input count. */
 case class CMSBuf(table: Array[Long], n: Long)
 
+/** KMV buffer: the k smallest DISTINCT hash values seen, sorted
+  * ascending. Doubles as the finished sketch. */
+case class KmvBuf(hashes: Array[Long])
+
 /** Mergeable sketch aggregators (SURVEY.md §2.8) — the bounded-memory
   * single-pass summaries a 100 TB aggregation needs when exact
   * per-key state would not fit: distinct counts (HLL), heavy hitters
@@ -480,5 +484,107 @@ object Sketches {
       .filter(col("__rn") <= k)
       .withColumn("est", greatest(col("w"), col("tau")))
       .select("key", "w", "pri", "tau", "est")
+  }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** KMV / bottom-k theta sketch (Bar-Yossef et al. 2002; the
+    * Theta-sketch framework of Dasgupta et al.): keep the k smallest
+    * DISTINCT hash values of a set. Unlike HLL it supports SET
+    * OPERATIONS — two sketches intersect by comparing their retained
+    * samples below the smaller threshold θ (the k-th minimum), giving
+    * overlap estimates between 100 TB corpora from two k-row
+    * summaries and zero re-scans.
+    *
+    * Mergeable (merge = sorted-distinct union, keep k) so Spark runs
+    * it as map-side partial aggregates; per-group state is O(k)
+    * longs. Feed it an engine-portable non-negative hash
+    * ([[graft.functions.Hashing.portableHash64]]) and every
+    * downstream number — θ, distinct estimate, overlap estimate — is
+    * exact integer / IEEE-double math that any engine replays
+    * bit-for-bit (the estimate-side contract the oracle gate needs;
+    * same philosophy as [[prioritySample]]'s integer priorities). */
+  class Kmv(k: Int) extends Aggregator[Long, KmvBuf, KmvBuf] {
+    require(k >= 1)
+
+    override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val a = b.hashes
+      val pos = java.util.Arrays.binarySearch(a, h)
+      if (pos >= 0) b // duplicate: sketches see sets
+      else {
+        val ins = -pos - 1
+        if (a.length < k) {
+          val out = new Array[Long](a.length + 1)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, a.length - ins)
+          KmvBuf(out)
+        } else if (ins < k) { // h beats the current max: insert, drop last
+          val out = new Array[Long](k)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, k - ins - 1)
+          KmvBuf(out)
+        } else b
+      }
+    }
+
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      val (a, b) = (x.hashes, y.hashes)
+      if (a.isEmpty) return y
+      if (b.isEmpty) return x
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var (i, j, n) = (0, 0, 0)
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      KmvBuf(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+    }
+
+    override def finish(b: KmvBuf): KmvBuf = b
+
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  }
+
+  /** KMV sketch column over pre-hashed non-negative input: the sorted
+    * array of the k smallest distinct hashes. */
+  def kmv(hashed: Column, k: Int): Column =
+    udaf(new Kmv(k)).apply(hashed).getField("hashes")
+
+  /** Hash-space size matching [[graft.functions.Hashing
+    * .portableHash64]]'s 60-bit output: hashes are uniform on
+    * [0, 2^60). Exactly representable as a double, as is c·2^60 for
+    * any small count c — so the estimate divisions below are pure
+    * IEEE binary64 with every input exact, and replay identically in
+    * any engine. */
+  val KmvSpace: Long = 1L << 60
+
+  /** θ threshold of a sketch: the k-th minimum when the sketch is
+    * full, else the whole hash space (the sketch IS the set). */
+  def kmvTheta(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(KmvSpace)).otherwise(element_at(sk, -1))
+
+  /** Distinct-count estimate: exact size below k, else the classic
+    * (k−1)·M/θ bottom-k estimator, floored to a long. */
+  def kmvDistinctEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(KmvSpace).cast("double")
+        / element_at(sk, -1).cast("double")).cast("long"))
+
+  /** Overlap estimate from two sketches: count common retained hashes
+    * at or below the joint θ, scale by M/θ. When both sketches are
+    * below capacity this degrades to the EXACT overlap (θ = M). */
+  def kmvOverlapEstimate(skA: Column, skB: Column, k: Int): (Column, Column) = {
+    val theta = least(kmvTheta(skA, k), kmvTheta(skB, k))
+    val common = size(filter(array_intersect(skA, skB), h => h <= theta)).cast("long")
+    val est = floor(common.cast("double") * lit(KmvSpace).cast("double")
+      / theta.cast("double")).cast("long")
+    (common, est)
   }
 }

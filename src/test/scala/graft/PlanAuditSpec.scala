@@ -279,7 +279,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_cluster_sample" -> 3,
     // q_priority_sample: TakeOrdered ships k+1 rows per partition —
     // ZERO key shuffles, the τ window runs over the k+1 survivors
-    "q_priority_sample" -> 0)
+    "q_priority_sample" -> 0,
+    // q_kmv_overlap: ONE exchange — the per-source partial-KMV
+    // aggregate; the checkpointed n_sources-row sketch table self-
+    // joins broadcast-side, the corpus is scanned exactly once
+    "q_kmv_overlap" -> 1)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

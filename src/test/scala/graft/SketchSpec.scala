@@ -114,6 +114,43 @@ class SketchSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("kmv sketch is the k smallest distinct hashes, partition-invariant") {
+    val hashes = spark.range(4000).select((xxhash64(col("id")) % 100000 + 100000) as "h")
+    val one = hashes.repartition(1).select(Sketches.kmv(col("h"), 32)).as[Seq[Long]].head()
+    val many = hashes.repartition(16).select(Sketches.kmv(col("h"), 32)).as[Seq[Long]].head()
+    val brute = hashes.as[Long].collect().distinct.sorted.take(32).toSeq
+    assert(one === brute)
+    assert(many === brute) // sorted-distinct-union merge is order/partition-free
+  }
+
+  test("kmv below capacity is exact: estimate = distinct count, overlap = exact overlap") {
+    val k = 64
+    val a = spark.range(40).select(graft.functions.Hashing.portableHash64(col("id")) as "h")
+    val b = spark.range(25, 55).select(graft.functions.Hashing.portableHash64(col("id")) as "h")
+    val ska = a.select(Sketches.kmv(col("h"), k) as "sk")
+    val skb = b.select(Sketches.kmv(col("h"), k) as "sk")
+    assert(ska.select(Sketches.kmvDistinctEstimate(col("sk"), k)).as[Long].head() === 40L)
+    val j = ska.crossJoin(skb.select(col("sk") as "sk2"))
+    val (common, est) = Sketches.kmvOverlapEstimate(col("sk"), col("sk2"), k)
+    val (c, e) = j.select(common, est).as[(Long, Long)].head()
+    assert(c === 15L) // ids 25..39 shared; distinct hashes so exact
+    assert(e === 15L) // θ = full space below capacity → estimate degrades to exact
+  }
+
+  test("kmv capped estimator tracks the true distinct count and overlap") {
+    val k = 256
+    // 20k distinct ids, two sources sharing half
+    val a = spark.range(20000).select(graft.functions.Hashing.portableHash64(col("id")) as "h")
+    val b = spark.range(10000, 30000).select(graft.functions.Hashing.portableHash64(col("id")) as "h")
+    val ska = a.select(Sketches.kmv(col("h"), k) as "sk")
+    val est = ska.select(Sketches.kmvDistinctEstimate(col("sk"), k)).as[Long].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2) // ~1/sqrt(k) ≈ 6% rse, 3σ margin
+    val j = ska.crossJoin(b.select(Sketches.kmv(col("h"), k) as "sk2"))
+    val (_, ovEst) = Sketches.kmvOverlapEstimate(col("sk"), col("sk2"), k)
+    val ov = j.select(ovEst).as[Long].head()
+    assert(ov > 5000 && ov < 15000, s"overlap estimate $ov far from true 10000")
+  }
+
   test("tdigest quantiles land within rank tolerance of exact") {
     val n = 20000
     val rnd = new scala.util.Random(42)
