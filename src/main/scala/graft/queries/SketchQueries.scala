@@ -51,10 +51,10 @@ object SketchQueries {
         col("est").as("est_a"))
       val b = sk.select(col("source").as("source_b"), col("sk").as("skb"),
         col("est").as("est_b"))
-      val (common, est) = Sketches.kmvOverlapEstimate(col("ska"), col("skb"), k)
       a.join(b, col("source_a") < col("source_b"))
-        .select(col("source_a"), col("source_b"), common.as("common"),
-          est.as("est_overlap"), col("est_a"), col("est_b"))
+        .select(col("source_a") +: col("source_b") +:
+          Sketches.kmvSetAlgebra(col("ska"), col("skb"), k) :+
+          col("est_a") :+ col("est_b"): _*)
     }),
 
     // §2.8/39 HLL distinct counts: exact_n (hash-matched) + in-bound flag.
@@ -203,14 +203,26 @@ object SketchQueries {
            |  FROM par a JOIN par b ON a.source < b.source),
            |cm AS (
            |  SELECT x.source AS sa, y.source AS sb, x.hash AS hash
-           |  FROM sk x JOIN sk y ON x.hash = y.hash AND x.source < y.source)
-           |SELECT p.source_a, p.source_b,
-           |       CAST(count(c.hash) AS BIGINT) AS common,
-           |       CAST(floor(CAST(count(c.hash) AS DOUBLE) * $m / CAST(p.th AS DOUBLE)) AS BIGINT) AS est_overlap,
+           |  FROM sk x JOIN sk y ON x.hash = y.hash AND x.source < y.source),
+           |com AS (
+           |  SELECT p.source_a, p.source_b, CAST(count(c.hash) AS BIGINT) AS common
+           |  FROM pairs p LEFT JOIN cm c
+           |    ON c.sa = p.source_a AND c.sb = p.source_b AND c.hash <= p.th
+           |  GROUP BY p.source_a, p.source_b),
+           |un AS (
+           |  SELECT p.source_a, p.source_b, CAST(count(DISTINCT s.hash) AS BIGINT) AS union_n
+           |  FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b) AND s.hash <= p.th
+           |  GROUP BY p.source_a, p.source_b)
+           |SELECT p.source_a, p.source_b, c.common, u.union_n,
+           |       CAST(floor(CAST(c.common AS DOUBLE) * $m / CAST(p.th AS DOUBLE)) AS BIGINT) AS est_overlap,
+           |       CAST(floor(CAST(u.union_n AS DOUBLE) * $m / CAST(p.th AS DOUBLE)) AS BIGINT) AS est_union,
+           |       CASE WHEN u.union_n = 0 THEN 0
+           |            ELSE CAST(floor(CAST(1000 * c.common AS DOUBLE) / CAST(u.union_n AS DOUBLE)) AS BIGINT)
+           |       END AS jacc_pm,
            |       p.est_a, p.est_b
-           |FROM pairs p LEFT JOIN cm c
-           |  ON c.sa = p.source_a AND c.sb = p.source_b AND c.hash <= p.th
-           |GROUP BY p.source_a, p.source_b, p.th, p.est_a, p.est_b""".stripMargin
+           |FROM pairs p
+           |JOIN com c ON c.source_a = p.source_a AND c.source_b = p.source_b
+           |JOIN un u ON u.source_a = p.source_a AND u.source_b = p.source_b""".stripMargin
     },
     "q_hll_distinct" ->
       """SELECT l_returnflag,

@@ -587,4 +587,23 @@ object Sketches {
       / theta.cast("double")).cast("long")
     (common, est)
   }
+
+  /** The full theta set-algebra report from two sketches: retained
+    * union/common sizes below the joint θ, union + overlap estimates
+    * (common·M/θ and union·M/θ), and the Jaccard similarity as exact
+    * integer PER-MILLE of the retained sample, ⌊1000·common/union⌋ —
+    * the sample below θ is a uniform random subset of the true union,
+    * so the ratio is the textbook theta-sketch Jaccard estimator.
+    * Columns: (common, union_n, est_overlap, est_union, jacc_pm). */
+  def kmvSetAlgebra(skA: Column, skB: Column, k: Int): Seq[Column] = {
+    val theta = least(kmvTheta(skA, k), kmvTheta(skB, k))
+    val common = size(filter(array_intersect(skA, skB), h => h <= theta)).cast("long")
+    val unionN = size(filter(array_union(skA, skB), h => h <= theta)).cast("long")
+    def scaled(c: Column) = floor(c.cast("double") * lit(KmvSpace).cast("double")
+      / theta.cast("double")).cast("long")
+    val jacc = when(unionN === 0, lit(0L))
+      .otherwise(floor(lit(1000L) * common / unionN).cast("long"))
+    Seq(common.as("common"), unionN.as("union_n"), scaled(common).as("est_overlap"),
+      scaled(unionN).as("est_union"), jacc.as("jacc_pm"))
+  }
 }
