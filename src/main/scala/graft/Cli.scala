@@ -156,6 +156,11 @@ import graft.sources.PartitionedFiles
   *       per-source corpus datasheet: volume, language spread,
   *       heuristic pass counts, exact-dup mass, vocabulary — the
   *       release report row per source
+  *   kmv-overlap    --text text [--group source] [--k 256]
+  *       pairwise group overlap report from bottom-k theta sketches:
+  *       (group_a, group_b, common, union_n, est_overlap, est_union,
+  *       jacc_pm) — overlap/union/Jaccard estimated from k-row
+  *       summaries, no quadratic exact join
   *   schema-check   --expect "id BIGINT, text STRING, ..."
   *       schema-drift report vs the expected DDL: one row per column,
   *       status ok|type_changed|missing|extra (metadata-only — no
@@ -843,6 +848,11 @@ object Cli {
           write(graft.text.Search.phraseOccurrences(df, text, id,
             phrases, expr(opts.getOrElse("phrase-col", "phrase")),
             expr(opts.getOrElse("phrase-col", "phrase"))))
+        case "kmv-overlap" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val group = expr(opts.getOrElse("group", "source"))
+          write(graft.sketch.Sketches.kmvOverlapReport(read(), group, text,
+            opts.getOrElse("k", "256").toInt))
         case "datasheet" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))

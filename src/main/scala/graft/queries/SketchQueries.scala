@@ -38,24 +38,9 @@ object SketchQueries {
     // join. The corpus is scanned once (sketch build, map-side
     // partial KMV buffers); the pair stage touches only
     // n_sources × k retained hashes.
-    "q_kmv_overlap" -> ((s, dir) => {
-      val k = KmvK
-      val sk = graft.operators.Checkpoints.eager(
-        Tables.documents(s, dir)
-          .select(col("source"),
-            graft.functions.Hashing.portableHash64(col("text")).as("h"))
-          .groupBy("source").agg(Sketches.kmv(col("h"), k).as("sk"))
-          .select(col("source"), col("sk"),
-            Sketches.kmvDistinctEstimate(col("sk"), k).as("est")))
-      val a = sk.select(col("source").as("source_a"), col("sk").as("ska"),
-        col("est").as("est_a"))
-      val b = sk.select(col("source").as("source_b"), col("sk").as("skb"),
-        col("est").as("est_b"))
-      a.join(b, col("source_a") < col("source_b"))
-        .select(col("source_a") +: col("source_b") +:
-          Sketches.kmvSetAlgebra(col("ska"), col("skb"), k) :+
-          col("est_a") :+ col("est_b"): _*)
-    }),
+    "q_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlapReport(Tables.documents(s, dir), col("source"),
+        col("text"), KmvK, "source_a", "source_b")),
 
     // §2.8/39 HLL distinct counts: exact_n (hash-matched) + in-bound flag.
     "q_hll_distinct" -> ((s, dir) =>

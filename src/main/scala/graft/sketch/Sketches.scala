@@ -606,4 +606,25 @@ object Sketches {
     Seq(common.as("common"), unionN.as("union_n"), scaled(common).as("est_overlap"),
       scaled(unionN).as("est_union"), jacc.as("jacc_pm"))
   }
+
+  /** Pairwise overlap report across groups: one KMV sketch per group
+    * (single corpus scan, map-side partial buffers), then the full
+    * [[kmvSetAlgebra]] per group pair from the checkpointed
+    * n_groups-row sketch table — the "how much do these crawls
+    * overlap" matrix without the quadratic exact join. Shared by
+    * q_kmv_overlap and the `kmv-overlap` CLI verb. */
+  def kmvOverlapReport(df: DataFrame, group: Column, text: Column, k: Int,
+      leftName: String = "group_a", rightName: String = "group_b"): DataFrame = {
+    val sk = graft.operators.Checkpoints.eager(
+      df.select(group.as("__g"),
+          graft.functions.Hashing.portableHash64(text).as("h"))
+        .groupBy("__g").agg(kmv(col("h"), k).as("sk"))
+        .select(col("__g"), col("sk"), kmvDistinctEstimate(col("sk"), k).as("est")))
+    val a = sk.select(col("__g").as(leftName), col("sk").as("ska"), col("est").as("est_a"))
+    val b = sk.select(col("__g").as(rightName), col("sk").as("skb"), col("est").as("est_b"))
+    a.join(b, col(leftName) < col(rightName))
+      .select(col(leftName) +: col(rightName) +:
+        kmvSetAlgebra(col("ska"), col("skb"), k) :+
+        col("est_a") :+ col("est_b"): _*)
+  }
 }

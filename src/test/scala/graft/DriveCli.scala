@@ -477,6 +477,22 @@ object DriveCli {
       spark.stop()
     }
 
+    // kmv-overlap: pairwise source overlap matrix, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "kmv-overlap", "--text", "text", "--group", "source", "--k", "16",
+      "--outfile", s"$tmp/kmv"))
+    locally {
+      val spark = GraftSession.builder("verifyKmv", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/kmv")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.sketch.Sketches.kmvOverlapReport(
+        in, col("source"), col("text"), 16)
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"KMV=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // datasheet: per-source release report, library parity
     Cli.main(Array("-i", docs, "-f", "parquet",
       "datasheet", "--text", "text", "--id", "doc_id",
