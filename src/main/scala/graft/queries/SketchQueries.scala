@@ -52,6 +52,24 @@ object SketchQueries {
         .select(col("l_returnflag"), col("exact_n"),
           (abs(col("__est") - col("exact_n")) <= col("exact_n") * 0.05).as("hll_ok"))),
 
+    // §2.8/39d KMV ledger: two simulated historical drops contribute
+    // one sketch row each; the incoming drop's overlap vs the MERGED
+    // register is the whole report — zero corpus access at screen
+    // time. The oracle replays the DIRECT union sketch (merged ≡
+    // direct is the spec-pinned mergeability contract) and the same
+    // set-algebra math bit-for-bit.
+    "q_kmv_ledger" -> ((s, dir) => {
+      val k = KmvK
+      val docs = Tables.documents(s, dir)
+      val ledger = graft.sketch.KmvLedger.dropSummary(
+          docs.filter(col("doc_id") % 3 === 1), "d1", col("text"), k)
+        .union(graft.sketch.KmvLedger.dropSummary(
+          docs.filter(col("doc_id") % 3 === 2), "d2", col("text"), k))
+      graft.sketch.KmvLedger.overlapVsHistory(
+        docs.filter(col("doc_id") % 3 === 0), col("text"),
+        graft.sketch.KmvLedger.merged(ledger))
+    }),
+
     // §2.8/40 exact heavy hitters via MG candidates + exact recount:
     // users holding ≥ 0.8% of all events (integral threshold math).
     "q_heavy_hitters" -> ((s, dir) =>
@@ -159,6 +177,43 @@ object SketchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kmv_ledger" -> {
+      val k = KmvK
+      val m = 1152921504606846976L
+      raw"""WITH ha AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |hb AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
+           |  FROM documents WHERE doc_id % 3 <> 0),
+           |sa AS (SELECT hash FROM ha ORDER BY hash LIMIT $k),
+           |sb AS (SELECT hash FROM hb ORDER BY hash LIMIT $k),
+           |pa AS (SELECT max(hash) AS kth, count(*) AS n FROM sa),
+           |pb AS (SELECT max(hash) AS kth, count(*) AS n FROM sb),
+           |th AS (
+           |  SELECT LEAST(CASE WHEN pa.n < $k THEN $m ELSE pa.kth END,
+           |               CASE WHEN pb.n < $k THEN $m ELSE pb.kth END) AS th,
+           |         CASE WHEN pa.n < $k THEN CAST(pa.n AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pa.kth AS DOUBLE)) AS BIGINT) END AS est_batch,
+           |         CASE WHEN pb.n < $k THEN CAST(pb.n AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pb.kth AS DOUBLE)) AS BIGINT) END AS est_history
+           |  FROM pa, pb),
+           |cm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS common
+           |  FROM sa JOIN sb USING (hash) CROSS JOIN th WHERE hash <= th.th),
+           |un AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS union_n
+           |  FROM (SELECT hash FROM sa UNION SELECT hash FROM sb) u
+           |  CROSS JOIN th WHERE u.hash <= th.th)
+           |SELECT cm.common, un.union_n,
+           |       CAST(floor(CAST(cm.common AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_overlap,
+           |       CAST(floor(CAST(un.union_n AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_union,
+           |       CASE WHEN un.union_n = 0 THEN 0
+           |            ELSE CAST(floor(CAST(1000 * cm.common AS DOUBLE) / CAST(un.union_n AS DOUBLE)) AS BIGINT)
+           |       END AS jacc_pm,
+           |       th.est_batch, th.est_history
+           |FROM cm, un, th""".stripMargin
+    },
     // Full bit-for-bit replay of the KMV math: same 60-bit md5 hash,
     // same (k−1)·M/θ and common·M/θ divisions (every input exactly
     // representable in binary64, so floor() agrees across engines).

@@ -151,6 +151,51 @@ class SketchSpec extends SparkSpecBase {
     assert(ov > 5000 && ov < 15000, s"overlap estimate $ov far from true 10000")
   }
 
+  test("kmv ledger: merged registers equal the direct union sketch, appends idempotent") {
+    import graft.sketch.KmvLedger
+    val dir = java.nio.file.Files.createTempDirectory("kmv_ledger").toString
+    val d0 = spark.range(0, 300).select(concat(lit("doc"), col("id")) as "text")
+    val d1 = spark.range(200, 500).select(concat(lit("doc"), col("id")) as "text")
+    val d2 = spark.range(450, 700).select(concat(lit("doc"), col("id")) as "text")
+    val k = 64
+    KmvLedger.append(dir, KmvLedger.dropSummary(d0, "d0", col("text"), k))
+    KmvLedger.append(dir, KmvLedger.dropSummary(d1, "d1", col("text"), k))
+    KmvLedger.append(dir, KmvLedger.dropSummary(d2, "d2", col("text"), k))
+    val merged = KmvLedger.mergedFrom(spark, dir)
+      .select("sketch").as[Seq[Long]].head()
+    val direct = d0.union(d1).union(d2)
+      .select(Sketches.kmv(graft.functions.Hashing.portableHash64(col("text")), k))
+      .as[Seq[Long]].head()
+    assert(merged === direct) // union-of-sketches ≡ sketch-of-union, bit-equal
+    // replayed append rewrites its own partition: merged unchanged
+    KmvLedger.append(dir, KmvLedger.dropSummary(d1, "d1", col("text"), k))
+    val after = KmvLedger.mergedFrom(spark, dir).select("sketch").as[Seq[Long]].head()
+    assert(after === direct)
+  }
+
+  test("kmv ledger refuses mixed sketch sizes") {
+    import graft.sketch.KmvLedger
+    val d = spark.range(10).select(concat(lit("x"), col("id")) as "text")
+    val mixed = KmvLedger.dropSummary(d, "a", col("text"), 32)
+      .union(KmvLedger.dropSummary(d, "b", col("text"), 64))
+    assertThrows[IllegalArgumentException](KmvLedger.merged(mixed))
+  }
+
+  test("kmv ledger overlap-vs-history is exact below capacity") {
+    import graft.sketch.KmvLedger
+    val hist = spark.range(0, 40).select(concat(lit("doc"), col("id")) as "text")
+    val batch = spark.range(30, 60).select(concat(lit("doc"), col("id")) as "text")
+    val merged = KmvLedger.merged(KmvLedger.dropSummary(hist, "h", col("text"), 256))
+    val r = KmvLedger.overlapVsHistory(batch, col("text"), merged)
+      .select("common", "est_overlap", "jacc_pm", "est_batch", "est_history")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 === 10L) // docs 30..39 shared, everything under capacity → exact
+    assert(r._2 === 10L)
+    assert(r._3 === 166L) // ⌊1000·10/60⌋
+    assert(r._4 === 30L)
+    assert(r._5 === 40L)
+  }
+
   test("tdigest quantiles land within rank tolerance of exact") {
     val n = 20000
     val rnd = new scala.util.Random(42)
