@@ -383,6 +383,30 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming KMV overlap monitor (38w): each micro-batch is
+    * sketched (one aggregate) and its full set-algebra report vs the
+    * STATIC merged history register ([[graft.sketch.KmvLedger
+    * .merged]]) lands on the sink — "what fraction of this trigger
+    * is already-seen mass", per trigger, with zero corpus access;
+    * bit-equal to [[graft.sketch.KmvLedger.overlapVsHistory]] by
+    * shared code path. The register is batch-owned like every other
+    * model here; folding the stream's OWN drops into the ledger is
+    * the [[statsLedgerStream]] idempotent-append shape with
+    * [[graft.sketch.KmvLedger.dropSummary]] rows keyed by batch id. */
+  def kmvOverlapStream(
+      docs: DataFrame,
+      mergedSketch: DataFrame,
+      textCol: String,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.sketch.KmvLedger.overlapVsHistory(batch, col(textCol), mergedSketch))
+      }
+      .start()
+
   def nbScoredStream(
       docs: DataFrame,
       model: DataFrame,

@@ -295,6 +295,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSet === batch)
   }
 
+  test("kmvOverlapStream reports per-trigger overlap vs the static register, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.KmvLedger
+    val hist = spark.range(0, 40).select(concat(lit("doc"), col("id")) as "text")
+    val merged = KmvLedger.merged(KmvLedger.dropSummary(hist, "h", col("text"), 256))
+    val mem = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("kmv_stream_ckpt").toString
+    val q = EventStreams.kmvOverlapStream(
+      mem.toDF().toDF("text"), merged, "text", ckpt) { rep =>
+      got.synchronized {
+        got ++= rep.select("common", "jacc_pm", "est_history")
+          .as[(Long, Long, Long)].collect()
+      }
+    }
+    mem.addData((30 until 60).map(i => s"doc$i"): _*) // 10 of 30 seen
+    q.processAllAvailable()
+    mem.addData("fresh1", "fresh2") // nothing seen
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toList === List((10L, 166L, 40L), (0L, 0L, 40L)))
+    // parity with the batch operator on the first trigger's rows
+    val batch = KmvLedger.overlapVsHistory(
+        (30 until 60).map(i => s"doc$i").toDF("text"), col("text"), merged)
+      .select("common", "jacc_pm", "est_history").as[(Long, Long, Long)].head()
+    assert(got.head === batch)
+  }
+
   test("lmScoredStream scores micro-batches against the static reference LM") {
     implicit val sqlCtx = spark.sqlContext
     // reference corpus: "alpha"/"beta" common, everything else unseen
