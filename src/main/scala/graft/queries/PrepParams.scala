@@ -111,6 +111,12 @@ object PrepParams {
   // max(w, τ) exercises both sides at sf0.01
   val PrioK = 40
 
+  // q_group_priority_sample: per-source sample size — 8 < 25 (the
+  // smallest per-source doc count at any sf), so the per-group
+  // threshold τ binds for EVERY source and the GroupTopK heap cap
+  // is exercised everywhere
+  val GroupPrioK = 8
+
   // q_hash_embed / q_text_knn: signed hashed bag-of-words projection
   // dimension and the text-kNN gate (every doc_id ≡ 0 mod TextKnnMod
   // queries for its TextKnnK lexical nearest neighbours). 64 dims keep

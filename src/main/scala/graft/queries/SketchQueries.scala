@@ -103,6 +103,17 @@ object SketchQueries {
         Tables.documents(s, dir), col("doc_id"), col("n_chars"),
         k = PrepParams.PrioK)),
 
+    // §2.8/40d per-SOURCE priority sampling: k docs per source via
+    // bounded GroupTopK heaps (≤ k+1 rows per (partition, group)
+    // cross the one exchange), same integer priorities as the global
+    // operator — the balanced-corpus sampler with unbiased
+    // per-source totals.
+    "q_group_priority_sample" -> ((s, dir) =>
+      graft.sketch.Sketches.groupPrioritySample(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          col("n_chars"), k = PrepParams.GroupPrioK)
+        .withColumnRenamed("grp", "source")),
+
     // §2.8/46b Bloom-ledger novelty screen: the corpus history
     // (doc_id ≢ 0 mod 3) contributes per-drop Bloom registers,
     // merged by bit-OR; the incoming batch keeps only rows whose
@@ -311,6 +322,24 @@ object SketchQueries {
            |t AS (SELECT CAST(coalesce(max(CASE WHEN rn = ${k + 1} THEN pri END), 0) AS BIGINT) AS tau FROM r)
            |SELECT key, w, pri, tau, greatest(w, tau) AS est
            |FROM r CROSS JOIN t WHERE rn <= $k""".stripMargin
+    },
+
+    "q_group_priority_sample" -> {
+      val k = PrepParams.GroupPrioK
+      raw"""WITH b AS (
+           |  SELECT source, doc_id AS key, CAST(n_chars AS BIGINT) AS w,
+           |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 268435456) + 1 AS u
+           |  FROM documents WHERE n_chars >= 1),
+           |p AS (SELECT source, key, w, (w * 268435456) // u AS pri FROM b),
+           |r AS (SELECT * FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri DESC, key ASC) AS rn
+           |        FROM p)
+           |      WHERE rn <= ${k + 1}),
+           |t AS (SELECT source,
+           |             CAST(coalesce(max(CASE WHEN rn = ${k + 1} THEN pri END), 0) AS BIGINT) AS tau
+           |      FROM r GROUP BY source)
+           |SELECT r.source, key, w, pri, t.tau, greatest(w, t.tau) AS est
+           |FROM r JOIN t USING (source) WHERE rn <= $k""".stripMargin
     },
 
     "q_bloom_novel" ->

@@ -486,6 +486,40 @@ object Sketches {
       .select("key", "w", "pri", "tau", "est")
   }
 
+  /** Per-GROUP priority sampling: exactly [[prioritySample]]'s
+    * integer priorities (same md5 draw, same (w·2^28) div u math, so
+    * per-group results are bit-identical to running the global
+    * operator on each group alone — spec-pinned), but the k+1
+    * survivors per group are selected by the bounded-heap GroupTopK
+    * physical operator instead of a global TakeOrdered: partial heaps
+    * ship ≤ k+1 rows per (partition, group) across ONE exchange, the
+    * τ/estimate window then runs over ≤ k+1 rows per group. The
+    * "exactly k documents PER SOURCE, heavy ones more likely,
+    * unbiased per-source totals" balanced-corpus sampler. Output:
+    * (grp, key, w, pri, tau, est). */
+  def groupPrioritySample(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val scale = 1L << 28
+    val base = df.select(group.as("grp"), key.as("key"), weight.cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("__u",
+        pmod(conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10).cast("long"),
+          lit(scale)) + 1)
+      .withColumn("pri", expr(s"(w * ${scale}L) div __u"))
+    val top = org.apache.spark.sql.graft.GraftPlans.groupTopK(
+      base, Seq(col("grp")), Seq(col("pri").desc, col("key").asc), k + 1)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("pri").desc, col("key").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    top.withColumn("__rn", row_number().over(wg))
+      .withColumn("tau",
+        coalesce(max(when(col("__rn") === k + 1, col("pri"))).over(wAll), lit(0L)))
+      .filter(col("__rn") <= k)
+      .withColumn("est", greatest(col("w"), col("tau")))
+      .select("grp", "key", "w", "pri", "tau", "est")
+  }
+
   // ---------------------------------------------------------------- KMV
 
   /** KMV / bottom-k theta sketch (Bar-Yossef et al. 2002; the

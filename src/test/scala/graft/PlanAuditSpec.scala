@@ -283,7 +283,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_kmv_overlap: ONE exchange — the per-source partial-KMV
     // aggregate; the checkpointed n_sources-row sketch table self-
     // joins broadcast-side, the corpus is scanned exactly once
-    "q_kmv_overlap" -> 1)
+    "q_kmv_overlap" -> 1,
+    // q_group_priority_sample: the GroupTopK heap exchange (≤ k+1
+    // rows per partition×group cross the wire) + the τ window's
+    // re-partition over the ≤ k+1 survivors per group
+    "q_group_priority_sample" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

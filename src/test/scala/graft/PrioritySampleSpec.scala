@@ -56,6 +56,25 @@ class PrioritySampleSpec extends SparkSpecBase {
     assert(got.forall(t => t._4 === t._2), "tau=0 → estimate is exact")
   }
 
+  test("per-group sampling equals the global operator run on each group alone") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 240L).map(i => (s"g${i % 3}", i, 1L + rnd.nextInt(5000).toLong))
+    val df = rows.toDF("g", "id", "wt").repartition(16)
+    val got = Sketches.groupPrioritySample(df, col("g"), col("id"), col("wt"), k = 12)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, -t._4, t._2))
+    val want = rows.map(_._1).distinct.sorted.flatMap { g =>
+      Sketches.prioritySample(
+          rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("id", "wt"),
+          col("id"), col("wt"), k = 12)
+        .collect()
+        .map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (-t._4, t._2))
+    }
+    assert(got.toSeq === want.toSeq) // same priorities, τ and estimates per group, bit-equal
+  }
+
   test("non-positive weights are excluded by contract") {
     val df = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("id", "wt")
     val got = Sketches.prioritySample(df, col("id"), col("wt"), k = 5)
