@@ -112,6 +112,13 @@ import graft.sources.PartitionedFiles
   *       (idempotent), screen a batch with zero corpus access
   *       (might_seen=false ⇒ certainly novel), or emit the exact
   *       novel set (candidates confirmed against --corpus keys)
+  *   kmv-ledger     --mode append -i DROP --ledger PATH --drop-id ID
+  *                  --text COL [--k 256]
+  *                  | --mode overlap -i BATCH --ledger PATH --text COL
+  *       mergeable per-drop KMV registers: append a drop's bottom-k
+  *       sketch (idempotent), or report the incoming batch's overlap
+  *       vs the merged history — common/union/Jaccard estimates from
+  *       k-row summaries, zero corpus access
   *   stats-ledger   --mode append -i DROP --ledger PATH --drop-id ID
   *                  --group EXPR --key EXPR [--tokens EXPR | --text COL] [--p 12]
   *                | --mode rollup -i LEDGER --outfile OUT [--p 12]
@@ -551,6 +558,21 @@ object Cli {
               write(graft.sketch.BloomLedger.novelExact(corpus, corpusKey,
                 read(), key, graft.sketch.BloomLedger.mergedFrom(spark, ledger)))
             case o => fail(s"--mode must be append|screen|novel, got: $o")
+          }
+
+        case "kmv-ledger" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+          opts.getOrElse("mode", "overlap") match {
+            case "append" =>
+              val dropId = opts.getOrElse("drop-id", fail("--drop-id ID required"))
+              graft.sketch.KmvLedger.append(ledger,
+                graft.sketch.KmvLedger.dropSummary(read(), dropId, text,
+                  opts.getOrElse("k", "256").toInt))
+            case "overlap" =>
+              write(graft.sketch.KmvLedger.overlapVsHistory(read(), text,
+                graft.sketch.KmvLedger.mergedFrom(spark, ledger)))
+            case o => fail(s"--mode must be append|overlap, got: $o")
           }
 
         case "stats-ledger" =>

@@ -706,6 +706,36 @@ object DriveCli {
       spark.stop()
     }
 
+    // kmv-ledger: two history drops appended (one retried), then the
+    // incoming batch's overlap report — library parity, merged ≡ direct
+    Cli.main(Array("-i", s"$tmp/bl_h1", "-f", "parquet",
+      "kmv-ledger", "--mode", "append", "--ledger", s"$tmp/kledger",
+      "--drop-id", "h1", "--text", "text", "--k", "64"))
+    Cli.main(Array("-i", s"$tmp/bl_h2", "-f", "parquet",
+      "kmv-ledger", "--mode", "append", "--ledger", s"$tmp/kledger",
+      "--drop-id", "h2", "--text", "text", "--k", "64"))
+    Cli.main(Array("-i", s"$tmp/bl_h2", "-f", "parquet", // retry of h2: overwrite, not duplicate
+      "kmv-ledger", "--mode", "append", "--ledger", s"$tmp/kledger",
+      "--drop-id", "h2", "--text", "text", "--k", "64"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "kmv-ledger", "--mode", "overlap", "--ledger", s"$tmp/kledger",
+      "--text", "text", "--outfile", s"$tmp/kmv_report"))
+    locally {
+      val spark = GraftSession.builder("verifyKL", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/kmv_report")
+      val direct = graft.sketch.KmvLedger.merged(
+        graft.sketch.KmvLedger.dropSummary(
+          in.filter(expr("doc_id % 3 <> 0")), "all", col("text"), 64))
+      val expect = graft.sketch.KmvLedger.overlapVsHistory(in, col("text"), direct)
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      val nDrops = spark.read.parquet(s"$tmp/kledger").count()
+      println(s"KMVLEDGER common=${out.select("common").head().getLong(0)} " +
+        s"OK=${same && nDrops == 2}")
+      spark.stop()
+    }
+
     // dsir --emit keep: library-parity vs Corpus.dsirSelect (the
     // target sample is the en slice materialized to parquet first)
     locally {
