@@ -194,6 +194,42 @@ object Multimodal {
       .select(col("media_id"), col("frame_id"), col("hamming"), col("is_cut"))
   }
 
+  /** Energy-based activity segmentation (the audio-curation VAD
+    * stand-in): payload bytes play unsigned PCM samples (a real
+    * pipeline swaps in decoded audio and keeps everything after —
+    * same contract as [[aHash]]'s byte grid). Non-overlapping frames
+    * of `frameSize` samples score the integer energy
+    * Σ (v − 128)² over the frame; a frame is ACTIVE when
+    * energy ≥ minEnergyPerSample · frame_len (cross-multiplied, no
+    * division); maximal runs of consecutive active frames become
+    * segments via the gaps-and-islands trick (frame_id − run rank).
+    * Plan shape: explode (no shuffle) → per-frame integer fold (no
+    * shuffle) → ONE exchange on media_id for the run window + segment
+    * aggregate. Output: (media_id, seg_start, seg_end, n_frames,
+    * energy) — one row per voiced segment, everything integer. */
+  def energySegments(df: DataFrame, media: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, frameSize: Int,
+      minEnergyPerSample: Long): DataFrame = {
+    val frames = frameSlices(df, media, id, frameSize, stride = 1)
+      .filter(octet_length(col("frame")) > 0)
+    val energy = frames.select(
+      col("media_id"), col("frame_id"),
+      octet_length(col("frame")).cast("long").as("flen"),
+      aggregate(
+        transform(sequence(lit(1), octet_length(col("frame"))),
+          i => conv(hex(substring(col("frame"), i, lit(1))), 16, 10).cast("long")),
+        lit(0L), (acc, v) => acc + (v - 128L) * (v - 128L)).as("energy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_id")
+    energy
+      .filter(col("energy") >= lit(minEnergyPerSample) * col("flen"))
+      .withColumn("__isl", col("frame_id") - row_number().over(w))
+      .groupBy(col("media_id"), col("__isl"))
+      .agg(min("frame_id").as("seg_start"), max("frame_id").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy"))
+      .select("media_id", "seg_start", "seg_end", "n_frames", "energy")
+  }
+
   /** Declarative (codegen) variant for pure-byte features — when the
     * "decode" is expressible as Column ops, skip the typed boundary
     * entirely. Used by the oracle-gated q_multimodal. */

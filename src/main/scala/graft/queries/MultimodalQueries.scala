@@ -23,6 +23,15 @@ object MultimodalQueries {
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(asMedia(s, dir), col("media"), col("media_id"))),
 
+    // §2.6/35h energy-based activity segmentation (audio-VAD
+    // stand-in): 16-byte frames score Σ(v−128)², frames at or above
+    // 2048·frame_len are active, consecutive active frames merge into
+    // segments (oracle: the q_media_decode byte math per frame + a
+    // gaps-and-islands window).
+    "q_energy_segments" -> ((s, dir) =>
+      Multimodal.energySegments(asMedia(s, dir), col("media"), col("media_id"),
+        frameSize = 16, minEnergyPerSample = 2048L)),
+
     // §2.6/35c declarative frame sampling: every 4th 16-byte window
     // (oracle: hex-slice of the encoded blob in DuckDB).
     "q_frame_sample" -> ((s, dir) =>
@@ -68,6 +77,34 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_energy_segments" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0
+        |), fr AS (
+        |  SELECT media_id, h, n, unnest(generate_series(0, (n + 15) // 16 - 1)) AS f FROM b
+        |), byt AS (
+        |  SELECT media_id, f, unnest(generate_series(f * 16, least(n, f * 16 + 16) - 1)) AS i, h
+        |  FROM fr
+        |), v AS (
+        |  SELECT media_id, f,
+        |         (strpos('0123456789ABCDEF', substr(h, i*2+1, 1)) - 1) * 16 +
+        |         (strpos('0123456789ABCDEF', substr(h, i*2+2, 1)) - 1) AS v
+        |  FROM byt
+        |), e AS (
+        |  SELECT media_id, f, CAST(sum((v-128)*(v-128)) AS BIGINT) AS energy,
+        |         CAST(count(*) AS BIGINT) AS flen
+        |  FROM v GROUP BY media_id, f
+        |), a AS (
+        |  SELECT media_id, f, energy,
+        |         f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS isl
+        |  FROM e WHERE energy >= 2048 * flen)
+        |SELECT media_id, CAST(min(f) AS BIGINT) AS seg_start,
+        |       CAST(max(f) AS BIGINT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS energy
+        |FROM a GROUP BY media_id, isl""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

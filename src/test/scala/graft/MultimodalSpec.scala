@@ -122,6 +122,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(viaSql === native)
   }
 
+  test("energySegments merges consecutive active frames, splits on silence") {
+    // 4 frames of 16 samples: loud, loud, silent (all 128 → energy 0), loud
+    val loud = Array.fill[Byte](16)(0)          // (0-128)^2 · 16 = 262144 per frame
+    val silent = Array.fill[Byte](16)(128.toByte)
+    val payload = loud ++ loud ++ silent ++ loud
+    val df = Seq((7L, payload)).toDF("media_id", "media")
+    val segs = Multimodal.energySegments(df, col("media"), col("media_id"),
+        frameSize = 16, minEnergyPerSample = 2048L)
+      .orderBy("seg_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.toSeq === Seq((0L, 1L, 2L, 2 * 262144L), (3L, 3L, 1L, 262144L)))
+    // threshold is per-sample: a short tail frame must not get an
+    // unfair advantage — 8 silent bytes stay inactive
+    val tail = Multimodal.energySegments(
+        Seq((8L, loud ++ silent.take(8))).toDF("media_id", "media"),
+        col("media"), col("media_id"), frameSize = 16, minEnergyPerSample = 2048L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tail.toSeq === Seq((0L, 0L)))
+  }
+
   test("media embed → quantize → cosine retrieval end to end") {
     import graft.similarity.Similarity
     import org.apache.spark.sql.functions.col
