@@ -187,51 +187,12 @@ object SketchQueries {
             .between(element_at(col("__b"), 3), element_at(col("__b"), 4)).as("p95_ok")))
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "q_kmv_ledger" -> {
-      val k = KmvK
-      val m = 1152921504606846976L
-      raw"""WITH ha AS (
-           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
-           |  FROM documents WHERE doc_id % 3 = 0),
-           |hb AS (
-           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
-           |  FROM documents WHERE doc_id % 3 <> 0),
-           |sa AS (SELECT hash FROM ha ORDER BY hash LIMIT $k),
-           |sb AS (SELECT hash FROM hb ORDER BY hash LIMIT $k),
-           |pa AS (SELECT max(hash) AS kth, count(*) AS n FROM sa),
-           |pb AS (SELECT max(hash) AS kth, count(*) AS n FROM sb),
-           |th AS (
-           |  SELECT LEAST(CASE WHEN pa.n < $k THEN $m ELSE pa.kth END,
-           |               CASE WHEN pb.n < $k THEN $m ELSE pb.kth END) AS th,
-           |         CASE WHEN pa.n < $k THEN CAST(pa.n AS BIGINT)
-           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pa.kth AS DOUBLE)) AS BIGINT) END AS est_batch,
-           |         CASE WHEN pb.n < $k THEN CAST(pb.n AS BIGINT)
-           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pb.kth AS DOUBLE)) AS BIGINT) END AS est_history
-           |  FROM pa, pb),
-           |cm AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS common
-           |  FROM sa JOIN sb USING (hash) CROSS JOIN th WHERE hash <= th.th),
-           |un AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS union_n
-           |  FROM (SELECT hash FROM sa UNION SELECT hash FROM sb) u
-           |  CROSS JOIN th WHERE u.hash <= th.th)
-           |SELECT cm.common, un.union_n,
-           |       CAST(floor(CAST(cm.common AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_overlap,
-           |       CAST(floor(CAST(un.union_n AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_union,
-           |       CASE WHEN un.union_n = 0 THEN 0
-           |            ELSE CAST(floor(CAST(1000 * cm.common AS DOUBLE) / CAST(un.union_n AS DOUBLE)) AS BIGINT)
-           |       END AS jacc_pm,
-           |       th.est_batch, th.est_history
-           |FROM cm, un, th""".stripMargin
-    },
-    // Full bit-for-bit replay of the KMV math: same 60-bit md5 hash,
-    // same (k−1)·M/θ and common·M/θ divisions (every input exactly
-    // representable in binary64, so floor() agrees across engines).
-    "q_kmv_overlap" -> {
-      val k = KmvK
-      val m = 1152921504606846976L // 2^60, the portableHash64 space
-      raw"""WITH h AS (
+  /** q_kmv_overlap replay — shared with the q_source_report
+    * capstone oracle. */
+  private[queries] lazy val kmvOverlapSql: String = {
+    val k = KmvK
+    val m = 1152921504606846976L // 2^60, the portableHash64 space
+    raw"""WITH h AS (
            |  SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
            |  FROM documents),
            |r AS (
@@ -274,7 +235,50 @@ object SketchQueries {
            |FROM pairs p
            |JOIN com c ON c.source_a = p.source_a AND c.source_b = p.source_b
            |JOIN un u ON u.source_a = p.source_a AND u.source_b = p.source_b""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kmv_ledger" -> {
+      val k = KmvK
+      val m = 1152921504606846976L
+      raw"""WITH ha AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |hb AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hash
+           |  FROM documents WHERE doc_id % 3 <> 0),
+           |sa AS (SELECT hash FROM ha ORDER BY hash LIMIT $k),
+           |sb AS (SELECT hash FROM hb ORDER BY hash LIMIT $k),
+           |pa AS (SELECT max(hash) AS kth, count(*) AS n FROM sa),
+           |pb AS (SELECT max(hash) AS kth, count(*) AS n FROM sb),
+           |th AS (
+           |  SELECT LEAST(CASE WHEN pa.n < $k THEN $m ELSE pa.kth END,
+           |               CASE WHEN pb.n < $k THEN $m ELSE pb.kth END) AS th,
+           |         CASE WHEN pa.n < $k THEN CAST(pa.n AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pa.kth AS DOUBLE)) AS BIGINT) END AS est_batch,
+           |         CASE WHEN pb.n < $k THEN CAST(pb.n AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(pb.kth AS DOUBLE)) AS BIGINT) END AS est_history
+           |  FROM pa, pb),
+           |cm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS common
+           |  FROM sa JOIN sb USING (hash) CROSS JOIN th WHERE hash <= th.th),
+           |un AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS union_n
+           |  FROM (SELECT hash FROM sa UNION SELECT hash FROM sb) u
+           |  CROSS JOIN th WHERE u.hash <= th.th)
+           |SELECT cm.common, un.union_n,
+           |       CAST(floor(CAST(cm.common AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_overlap,
+           |       CAST(floor(CAST(un.union_n AS DOUBLE) * $m / CAST(th.th AS DOUBLE)) AS BIGINT) AS est_union,
+           |       CASE WHEN un.union_n = 0 THEN 0
+           |            ELSE CAST(floor(CAST(1000 * cm.common AS DOUBLE) / CAST(un.union_n AS DOUBLE)) AS BIGINT)
+           |       END AS jacc_pm,
+           |       th.est_batch, th.est_history
+           |FROM cm, un, th""".stripMargin
     },
+    // Full bit-for-bit replay of the KMV math: same 60-bit md5 hash,
+    // same (k−1)·M/θ and common·M/θ divisions (every input exactly
+    // representable in binary64, so floor() agrees across engines).
+    "q_kmv_overlap" -> kmvOverlapSql,
     "q_hll_distinct" ->
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,

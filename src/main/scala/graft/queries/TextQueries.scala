@@ -319,6 +319,29 @@ object TextQueries {
         col("source"), col("lang"),
         minWords = PrepParams.GopherMinWords, maxWords = PrepParams.GopherMaxWords)),
 
+    // §2.5/47c source release-report capstone: the per-source
+    // datasheet joined with each source's NEAREST NEIGHBOUR by KMV
+    // Jaccard (the "is this source redundant with one we already
+    // ship?" column a release review asks first). Two corpus scans
+    // (datasheet + sketch build), then everything is n_sources-row
+    // arithmetic; ties broken (jacc desc, peer asc) in both engines.
+    "q_source_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sheet = graft.quality.Datasheet.perSource(
+        docs, col("text"), col("doc_id"), col("source"), col("lang"),
+        minWords = PrepParams.GopherMinWords, maxWords = PrepParams.GopherMaxWords)
+      val ov = graft.sketch.Sketches.kmvOverlapReport(
+        docs, col("source"), col("text"), SketchQueries.KmvK, "source_a", "source_b")
+      val sym = ov.select(col("source_a").as("source"), col("source_b").as("peer"), col("jacc_pm"))
+        .unionAll(ov.select(col("source_b").as("source"), col("source_a").as("peer"), col("jacc_pm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("jacc_pm").desc, col("peer").asc)
+      val nearest = sym.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("source"), col("peer").as("nearest_source"),
+          col("jacc_pm").as("nearest_jacc_pm"))
+      sheet.join(nearest, Seq("source"), "left")
+    }),
+
     // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
     // probe — the shared Eval audit layer, integer milli metrics.
     "q_nb_eval" -> ((s, dir) =>
@@ -702,6 +725,23 @@ object TextQueries {
     "q_rep_signals" -> repSignalsSql,
 
     "q_datasheet" -> datasheetSql,
+    "q_source_report" ->
+      raw"""SELECT s.*, n.nearest_source, n.nearest_jacc_pm
+           |FROM ($datasheetSql) s
+           |LEFT JOIN (
+           |  SELECT source, peer AS nearest_source, jacc_pm AS nearest_jacc_pm
+           |  FROM (
+           |    SELECT source, peer, jacc_pm,
+           |           row_number() OVER (PARTITION BY source ORDER BY jacc_pm DESC, peer ASC) AS rn
+           |    FROM (
+           |      SELECT source_a AS source, source_b AS peer, jacc_pm
+           |      FROM (${SketchQueries.kmvOverlapSql})
+           |      UNION ALL
+           |      SELECT source_b AS source, source_a AS peer, jacc_pm
+           |      FROM (${SketchQueries.kmvOverlapSql})
+           |    )
+           |  ) WHERE rn = 1
+           |) n USING (source)""".stripMargin,
 
     "q_phrase_search" ->
       raw"""WITH ptoks AS (
@@ -867,7 +907,7 @@ object TextQueries {
     * three heuristic batteries' per-doc verdicts come from the shared
     * CTE builders (gopherCtes / repCtes) plus an inline C4 pass, then
     * four per-source aggregate families joined on source. */
-  private lazy val datasheetSql: String =
+  private[queries] lazy val datasheetSql: String =
     raw"""WITH ${gopherCtes("documents")},
          |${repCtes("documents")},
          |c4p AS (
