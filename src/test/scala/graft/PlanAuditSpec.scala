@@ -287,7 +287,21 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_group_priority_sample: the GroupTopK heap exchange (≤ k+1
     // rows per partition×group cross the wire) + the τ window's
     // re-partition over the ≤ k+1 survivors per group
-    "q_group_priority_sample" -> 2)
+    "q_group_priority_sample" -> 2,
+    // q_kmv_ledger: every aggregate is GLOBAL (drop summaries, the
+    // merged fold, the batch sketch) — partial buffers meet at
+    // SinglePartition exchanges carrying O(k) longs; ZERO key
+    // shuffles, the corpus never moves
+    "q_kmv_ledger" -> 0,
+    // q_energy_segments: explode + per-frame integer fold are
+    // shuffle-free; ONE media_id exchange feeds the run window, the
+    // island aggregate reuses its partitioning
+    "q_energy_segments" -> 1,
+    // q_source_report: the datasheet's narrow aggregate families
+    // (volume/langs/dups/vocab + their source joins) + the sketch
+    // build + the |sources|-row nearest window — measured 8; every
+    // exchange keys on (source[, fp|token]) widths
+    "q_source_report" -> 8)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
