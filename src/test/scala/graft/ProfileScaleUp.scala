@@ -55,12 +55,16 @@ object ProfileScaleUp {
     val factors = Seq(1, 4, 16)
     val dirs = factors.map(m => m -> amplify(spark, m)).toMap
 
-    // heavy queries that read only documents/embeddings
-    val names = Seq(
+    // heavy queries that read only documents/embeddings; pass names
+    // as args to profile a subset (written to dev/scaleup_r9b.json,
+    // leaving the full-run artifact intact)
+    val defaultNames = Seq(
       "q_dedup_minhash", "q_dedup_ngram", "q_fuzzy_join", "q_containment",
       "q_substring_spans", "q_boilerplate", "q_lang_profile", "q_semdedup",
       "q_ann_ivf", "q_ann_ivfpq", "q_bpe_tokens", "q_dsir",
       "q_nb_quality", "q_curation")
+    val names = if (args.nonEmpty) args.toSeq else defaultNames
+    val outFile = if (args.nonEmpty) "dev/scaleup_r9b.json" else "dev/scaleup_r9.json"
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -88,7 +92,7 @@ object ProfileScaleUp {
     // variants (maxDocFreq stop-gram filtering, the production
     // mitigation) at the same factors to show the cap restores
     // sub-linear growth.
-    val capped: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+    val capped: Seq[(String, String => org.apache.spark.sql.DataFrame)] = if (args.nonEmpty) Seq() else Seq(
       "q_dedup_ngram_df64" -> (dir => graft.dedup.Dedup.ngramJaccardPairs(
         graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
         n = 3, tau = 0.5, maxDocFreq = Some(64L))),
@@ -119,7 +123,7 @@ object ProfileScaleUp {
       s"""{"query":"$n","x1":$a,"x4":$b,"x16":$c,""" +
         s""""alpha_1_4":${alpha(a, b)},"alpha_4_16":${alpha(b, c)}}"""
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaleup_r9.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       rows.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }
