@@ -342,6 +342,24 @@ object TextQueries {
       sheet.join(nearest, Seq("source"), "left")
     }),
 
+    // §2.5/31l reciprocal-rank-fusion quality ensemble: three
+    // calibration-free integer signals (length, type-token ratio,
+    // mean word length — any integer signal drops in) fused by RRF —
+    // one range exchange per signal over (id, signal) rows, one hash
+    // aggregate over the unioned contributions. Everything integer,
+    // ties broken by doc_id in both engines.
+    "q_quality_ensemble" -> ((s, dir) => {
+      val t = graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+      graft.quality.Ensemble.rrf(
+          Tables.documents(s, dir).filter(t >= 1),
+          col("doc_id"),
+          Seq(
+            "len" -> t,
+            "ttr" -> expr("(1000 * size(array_distinct(split(lower(trim(text)), '\\\\s+')))) div size(split(trim(text), '\\\\s+'))"),
+            "wchar" -> expr("(1000 * length(text)) div size(split(trim(text), '\\\\s+'))")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
     // probe — the shared Eval audit layer, integer milli metrics.
     "q_nb_eval" -> ((s, dir) =>
@@ -724,6 +742,28 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_quality_ensemble" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+           |         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS dtoks,
+           |         CAST(length(text) AS BIGINT) AS chrs
+           |  FROM documents),
+           |sig AS (
+           |  SELECT doc_id, toks AS s_len,
+           |         (1000 * dtoks) // toks AS s_ttr,
+           |         (1000 * chrs) // toks AS s_wchar
+           |  FROM base WHERE toks >= 1),
+           |r AS (
+           |  SELECT doc_id,
+           |         row_number() OVER (ORDER BY s_len DESC, doc_id ASC) AS r1,
+           |         row_number() OVER (ORDER BY s_ttr DESC, doc_id ASC) AS r2,
+           |         row_number() OVER (ORDER BY s_wchar DESC, doc_id ASC) AS r3
+           |  FROM sig)
+           |SELECT doc_id,
+           |       CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) + 1000000 // (60 + r3) AS BIGINT) AS rrf_score,
+           |       CAST(3 AS BIGINT) AS n_signals
+           |FROM r""".stripMargin,
     "q_datasheet" -> datasheetSql,
     "q_source_report" ->
       raw"""SELECT s.*, n.nearest_source, n.nearest_jacc_pm
