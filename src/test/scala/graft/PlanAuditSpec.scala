@@ -301,7 +301,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // (volume/langs/dups/vocab + their source joins) + the sketch
     // build + the |sources|-row nearest window — measured 8; every
     // exchange keys on (source[, fp|token]) widths
-    "q_source_report" -> 8)
+    "q_source_report" -> 8,
+    // q_quality_ensemble: per signal, globalRank pays 1 range
+    // exchange over narrow (id, signal) rows + 2 exchanges over
+    // ONE-ROW-PER-PARTITION offset metadata (hundreds of rows, not
+    // data); plus the final fused hash aggregate → 10 for 3 signals,
+    // of which only the 3 range exchanges and the final agg carry
+    // corpus-sized rows
+    "q_quality_ensemble" -> 10)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
