@@ -112,6 +112,11 @@ import graft.sources.PartitionedFiles
   *       (idempotent), screen a batch with zero corpus access
   *       (might_seen=false ⇒ certainly novel), or emit the exact
   *       novel set (candidates confirmed against --corpus keys)
+  *   rrf            --id doc_id --signals "len=size(split(trim(text),'\s+'));ttr=..."
+  *                  [--k 60] [--scale 1000000]
+  *       reciprocal-rank-fusion quality ensemble: fuse any integer
+  *       signal expressions by rank (semicolon-separated name=expr
+  *       pairs) into (id, rrf_score, n_signals)
   *   kmv-ledger     --mode append -i DROP --ledger PATH --drop-id ID
   *                  --text COL [--k 256]
   *                  | --mode overlap -i BATCH --ledger PATH --text COL
@@ -560,6 +565,17 @@ object Cli {
             case o => fail(s"--mode must be append|screen|novel, got: $o")
           }
 
+        case "rrf" =>
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val sigs = opts.getOrElse("signals", fail("--signals name=expr;... required"))
+            .split(";").toSeq.map { p =>
+              val (n, e) = p.span(_ != '=')
+              if (e.isEmpty) fail(s"signal needs name=expr, got: $p")
+              n.trim -> expr(e.drop(1))
+            }
+          write(graft.quality.Ensemble.rrf(read(), id, sigs,
+            k = opts.getOrElse("k", "60").toLong,
+            scale = opts.getOrElse("scale", "1000000").toLong))
         case "kmv-ledger" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))

@@ -493,6 +493,23 @@ object DriveCli {
       spark.stop()
     }
 
+    // rrf: quality-signal fusion, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "rrf", "--id", "doc_id",
+      "--signals", "len=size(split(trim(text),'\\\\s+'));chars=n_chars",
+      "--outfile", s"$tmp/rrf"))
+    locally {
+      val spark = GraftSession.builder("verifyRrf", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/rrf")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.quality.Ensemble.rrf(in, col("doc_id"),
+        Seq("len" -> expr("size(split(trim(text),'\\\\s+'))"), "chars" -> col("n_chars")))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"RRF=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // datasheet: per-source release report, library parity
     Cli.main(Array("-i", docs, "-f", "parquet",
       "datasheet", "--text", "text", "--id", "doc_id",
