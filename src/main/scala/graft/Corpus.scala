@@ -272,6 +272,22 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       "dsir_select")
   }
 
+  /** RRF top-n selection: fuse any integer quality signals by
+    * reciprocal rank ([[quality.Ensemble.rrf]] — calibration-free,
+    * only orderings matter) and keep the n best-fused documents
+    * (ties broken by fused score then id, deterministic in any
+    * engine). The multi-signal complement of the single-score gates:
+    * one range exchange per signal, one TakeOrdered for the head,
+    * one id join back to the full rows. */
+  def rrfSelect(signals: Seq[(String, Column)], n: Int): Corpus = {
+    require(n >= 1)
+    val keepIds = quality.Ensemble.rrf(df, id, signals)
+      .orderBy(col("rrf_score").desc, col("id").asc).limit(n)
+      .select(col("id").as("__rrf_keep"))
+    keep(df.join(keepIds, id === col("__rrf_keep")).drop("__rrf_keep"),
+      "rrf_select")
+  }
+
   /** CCNet-style selection: bucket documents into per-language
     * head/middle/tail terciles of the LM quality proxy
     * ([[text.TextPrep.perplexityBuckets]]) and keep only the buckets

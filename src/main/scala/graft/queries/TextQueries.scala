@@ -360,6 +360,22 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // §2.5/31l2 RRF selection as a Corpus stage: keep the 100
+    // best-fused documents (score desc, id asc — deterministic), the
+    // multi-signal complement of the single-score gates. Output is
+    // the kept (doc_id, source) pairs.
+    "q_rrf_select" -> ((s, dir) => {
+      val t = graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+      graft.Corpus(
+          Tables.documents(s, dir).filter(t >= 1), col("text"), col("doc_id"))
+        .rrfSelect(Seq(
+          "len" -> t,
+          "ttr" -> expr("(1000 * size(array_distinct(split(lower(trim(text)), '\\\\s+')))) div size(split(trim(text), '\\\\s+'))"),
+          "wchar" -> expr("(1000 * length(text)) div size(split(trim(text), '\\\\s+'))")),
+          n = 100)
+        .df.select(col("doc_id"), col("source"))
+    }),
+
     // §2.5/31e2 per-class precision/recall/F1 over the NB held-out
     // probe — the shared Eval audit layer, integer milli metrics.
     "q_nb_eval" -> ((s, dir) =>
@@ -742,28 +758,13 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
-    "q_quality_ensemble" ->
-      raw"""WITH base AS (
-           |  SELECT doc_id,
-           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
-           |         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS dtoks,
-           |         CAST(length(text) AS BIGINT) AS chrs
-           |  FROM documents),
-           |sig AS (
-           |  SELECT doc_id, toks AS s_len,
-           |         (1000 * dtoks) // toks AS s_ttr,
-           |         (1000 * chrs) // toks AS s_wchar
-           |  FROM base WHERE toks >= 1),
-           |r AS (
-           |  SELECT doc_id,
-           |         row_number() OVER (ORDER BY s_len DESC, doc_id ASC) AS r1,
-           |         row_number() OVER (ORDER BY s_ttr DESC, doc_id ASC) AS r2,
-           |         row_number() OVER (ORDER BY s_wchar DESC, doc_id ASC) AS r3
-           |  FROM sig)
-           |SELECT doc_id,
-           |       CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) + 1000000 // (60 + r3) AS BIGINT) AS rrf_score,
-           |       CAST(3 AS BIGINT) AS n_signals
-           |FROM r""".stripMargin,
+    "q_quality_ensemble" -> qualityEnsembleSql,
+    "q_rrf_select" ->
+      raw"""SELECT d.doc_id, d.source
+           |FROM documents d JOIN (
+           |  SELECT doc_id FROM ($qualityEnsembleSql)
+           |  ORDER BY rrf_score DESC, doc_id ASC LIMIT 100
+           |) k USING (doc_id)""".stripMargin,
     "q_datasheet" -> datasheetSql,
     "q_source_report" ->
       raw"""SELECT s.*, n.nearest_source, n.nearest_jacc_pm
@@ -947,6 +948,31 @@ object TextQueries {
     * three heuristic batteries' per-doc verdicts come from the shared
     * CTE builders (gopherCtes / repCtes) plus an inline C4 pass, then
     * four per-source aggregate families joined on source. */
+  /** q_quality_ensemble replay — shared with the q_rrf_select stage
+    * oracle. */
+  private[queries] lazy val qualityEnsembleSql: String =
+    raw"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+         |         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS dtoks,
+         |         CAST(length(text) AS BIGINT) AS chrs
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, toks AS s_len,
+         |         (1000 * dtoks) // toks AS s_ttr,
+         |         (1000 * chrs) // toks AS s_wchar
+         |  FROM base WHERE toks >= 1),
+         |r AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY s_len DESC, doc_id ASC) AS r1,
+         |         row_number() OVER (ORDER BY s_ttr DESC, doc_id ASC) AS r2,
+         |         row_number() OVER (ORDER BY s_wchar DESC, doc_id ASC) AS r3
+         |  FROM sig)
+         |SELECT doc_id,
+         |       CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) + 1000000 // (60 + r3) AS BIGINT) AS rrf_score,
+         |       CAST(3 AS BIGINT) AS n_signals
+         |FROM r""".stripMargin
+
   private[queries] lazy val datasheetSql: String =
     raw"""WITH ${gopherCtes("documents")},
          |${repCtes("documents")},

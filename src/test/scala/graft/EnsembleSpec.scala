@@ -29,6 +29,17 @@ class EnsembleSpec extends SparkSpecBase {
     assert(got.toSeq === want)
   }
 
+  test("rrfSelect keeps exactly n best-fused docs and the ledger attributes drops") {
+    val docs = (1L to 40L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val c = graft.Corpus(docs, col("text"), col("doc_id")).audited
+      .rrfSelect(Seq("len" -> size(split(col("text"), " ")).cast("long")), n = 10)
+    val kept = c.df.select("doc_id").as[Long].collect().toSet
+    assert(kept === (31L to 40L).toSet) // single signal: top-10 by length
+    val ledger = c.dropLedger.collect()
+    assert(ledger.length === 30)
+    assert(ledger.forall(_.getAs[String]("stage") == "rrf_select"))
+  }
+
   test("rrf is calibration-free: scaling a signal leaves the fusion unchanged") {
     val rows = (1L to 50L).map(i => (i, i * 7 % 50, i * 13 % 50))
     val df = rows.toDF("id", "a", "b")
