@@ -342,6 +342,14 @@ object TextQueries {
       sheet.join(nearest, Seq("source"), "left")
     }),
 
+    // §2.5/30c character-class profile: the charset screen before
+    // language-ID — letters/digits/space/punct/other counts per doc,
+    // five global regexp_replace folds in one codegen'd scan, zero
+    // shuffles (pinned).
+    "q_char_classes" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id") +: graft.text.TextAnalysis.charClassProfile(col("text")): _*)),
+
     // §2.5/31l reciprocal-rank-fusion quality ensemble: three
     // calibration-free integer signals (length, type-token ratio,
     // mean word length — any integer signal drops in) fused by RRF —
@@ -758,6 +766,18 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_char_classes" ->
+      raw"""SELECT doc_id,
+           |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           |  CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>/@#$$%&*+=_~|-]', '', 'g')) AS BIGINT) AS n_punct,
+           |  CAST(length(text)
+           |       - (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+           |       - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           |       - (length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))
+           |       - (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>/@#$$%&*+=_~|-]', '', 'g'))) AS BIGINT) AS n_other
+           |FROM documents""".stripMargin,
     "q_quality_ensemble" -> qualityEnsembleSql,
     "q_rrf_select" ->
       raw"""SELECT d.doc_id, d.source

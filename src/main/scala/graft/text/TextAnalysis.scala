@@ -37,6 +37,26 @@ object TextAnalysis {
   def sumTokenLengths(tokens: Column): Column =
     aggregate(transform(tokens, t => length(t)), lit(0), (acc, x) => acc + x)
 
+  /** Character-class profile: integer counts of letters / digits /
+    * whitespace / punctuation / other per document — the charset
+    * screen that runs BEFORE language-ID in a crawl pipeline (route
+    * by script, drop binary-junk docs whose "other" mass is high).
+    * Each count is one global regexp_replace length difference —
+    * in-row, codegen, zero shuffles; classes are explicit ASCII sets
+    * so the regexes mean the same thing in every engine. Columns:
+    * (n_alpha, n_digit, n_space, n_punct, n_other). */
+  def charClassProfile(text: Column): Seq[Column] = {
+    def cnt(cls: String) =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val alpha = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val space = cnt("[ \\t\\n\\r]")
+    val punct = cnt("[.,;:!?'\"()\\[\\]{}<>/@#$%&*+=_~|-]")
+    val other = length(text).cast("long") - alpha - digit - space - punct
+    Seq(alpha.as("n_alpha"), digit.as("n_digit"), space.as("n_space"),
+      punct.as("n_punct"), other.as("n_other"))
+  }
+
   /** Language ID: stopword-hit score per language, deterministic
     * argmax (fixed priority order on ties). N-gram profiles would be
     * the production upgrade; the hit-count heuristic is the standard

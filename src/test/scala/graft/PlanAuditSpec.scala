@@ -45,6 +45,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // sorted folds — the explode+groupBy formulation would shuffle
     // every gram of the corpus
     assert(keyShuffles(plan("q_rep_signals")) === 0)
+    // the charset screen is five regexp_replace folds in one scan
+    assert(keyShuffles(plan("q_char_classes")) === 0)
   }
 
   test("q_filter pushes its predicate into the parquet scan") {

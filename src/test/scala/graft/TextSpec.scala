@@ -16,6 +16,14 @@ class TextSpec extends SparkSpecBase {
     assert(out(1) === ((3, 7))) // don ' t stop - me now
   }
 
+  test("charClassProfile counts partition every character exactly once") {
+    val df = Seq("Ab1 .?\tx§", "").toDF("t")
+    val rows = df.select(TextAnalysis.charClassProfile(col("t")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows(0) === ((3L, 1L, 2L, 2L, 1L))) // A,b,x | 1 | space,tab | .,? | §
+    assert(rows(1) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in a house",
