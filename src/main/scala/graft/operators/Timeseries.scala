@@ -99,5 +99,37 @@ object Timeseries {
           floor(endUs.cast("double") / stepUs).cast("long"))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_active"))
+
+    /** CUSUM changepoint scan over event-count buckets (Page 1954):
+      * bucket the stream, then track the cumulative deviation of each
+      * bucket's count from the global mean — a sustained rate shift
+      * drives |cusum| to its extremum AT the changepoint, which
+      * single-bucket noise cannot. Division-free: with B buckets and
+      * T total events, dev_b = B·n_b − T (sums to zero), so cusum is
+      * exact integer arithmetic and the peak flag is exact.
+      *
+      * Plan shape: one hash aggregate per bucket (map-side combined),
+      * then ALL remaining work — totals, running sum, peak — runs
+      * over the ≤ B bucket rows (time-span/step, corpus-size-
+      * independent): a broadcast totals join and one ordered window
+      * over those B rows. Output: (bucket, n, dev, cusum, is_peak).
+      */
+    def cusumDrift(tsUs: Column, stepUs: Long): DataFrame = {
+      val buckets = df
+        .select(floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val totals = buckets.agg(
+        count(lit(1)).as("__b"), sum("n").as("__t"))
+      val dev = buckets.crossJoin(broadcast(totals))
+        .withColumn("dev", col("__b") * col("n") - col("__t"))
+      val w = Window.partitionBy(lit(0)).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(0))
+      dev
+        .withColumn("cusum", sum("dev").over(w))
+        .withColumn("is_peak",
+          (abs(col("cusum")) === max(abs(col("cusum"))).over(wAll)).cast("int"))
+        .select("bucket", "n", "dev", "cusum", "is_peak")
+    }
   }
 }

@@ -31,6 +31,14 @@ object PipelineQueries {
         .gapFill(col("user_id"), unix_micros(col("ts")), col("event_id"),
           round(col("value") * 100).cast("bigint"), stepUs = 3600000000L)),
 
+    // CUSUM changepoint scan over hourly event counts: cumulative
+    // deviation from the global mean (division-free: B·n − T), peak
+    // |cusum| marks the sustained rate shift. Bucket agg over the
+    // stream, everything after over ≤ B bucket rows.
+    "q_cusum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .cusumDrift(unix_micros(col("ts")), stepUs = 3600000000L)),
+
     // Concurrent-session count per hour: sessionize, roll up to
     // [start, end] intervals, count interval overlap per hour bucket.
     "q_concurrency" -> ((s, dir) =>
@@ -258,6 +266,21 @@ object PipelineQueries {
         |         OVER (PARTITION BY g.user_id ORDER BY g.bucket
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin,
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(n) AS BIGINT) AS tot FROM b),
+        |d AS (SELECT bucket, n, t.nb * n - t.tot AS dev FROM b CROSS JOIN t),
+        |c AS (SELECT bucket, n, dev,
+        |             CAST(sum(dev) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |      FROM d)
+        |SELECT bucket, n, dev, cusum,
+        |       CAST(abs(cusum) = max(abs(cusum)) OVER () AS INT) AS is_peak
+        |FROM c""".stripMargin,
+
     "q_concurrency" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -7,6 +7,22 @@ import graft.operators.Timeseries._
 class TimeseriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("cusumDrift peaks exactly at a sustained rate shift") {
+    // 10 buckets of width 10µs: rate 1 for buckets 0-4, rate 3 for 5-9
+    val low = (0 until 5).map(b => b * 10L + 1)
+    val high = (5 until 10).flatMap(b => Seq(b * 10L + 1, b * 10L + 2, b * 10L + 3))
+    val df = (low ++ high).toDF("us")
+    val out = df.cusumDrift(col("us"), stepUs = 10L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    // dev = B·n − T = 10·n − 20: −10 on low buckets, +10 on high
+    assert(out.map(_._3).toSeq === Seq.fill(5)(-10L) ++ Seq.fill(5)(10L))
+    assert(out.map(_._4).toSeq === Seq(-10L, -20, -30, -40, -50, -40, -30, -20, -10, 0))
+    assert(out.map(_._5).toSeq === Seq(0, 0, 0, 0, 1, 0, 0, 0, 0, 0),
+      "the |cusum| extremum sits on the last pre-shift bucket")
+    assert(out.map(_._3).sum === 0L, "deviations sum to zero by construction")
+  }
+
   test("gapFill densifies and forward-fills per key") {
     // key 1: observations in buckets 0 and 3 (step=10) → buckets 1,2 carry v=5
     val df = Seq(
