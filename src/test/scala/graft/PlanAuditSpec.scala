@@ -310,7 +310,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // data); plus the final fused hash aggregate → 10 for 3 signals,
     // of which only the 3 range exchanges and the final agg carry
     // corpus-sized rows
-    "q_quality_ensemble" -> 10)
+    "q_quality_ensemble" -> 10,
+    // q_cusum: the bucket count aggregate + the single-partition
+    // cusum window over ≤ B bucket rows (time-span-bounded, not
+    // corpus-bounded); the totals join is a broadcast
+    "q_cusum" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the
