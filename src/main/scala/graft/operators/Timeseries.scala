@@ -114,6 +114,30 @@ object Timeseries {
       * independent): a broadcast totals join and one ordered window
       * over those B rows. Output: (bucket, n, dev, cusum, is_peak).
       */
+    /** Per-key [[cusumDrift]]: each key gets its own B/T baseline and
+      * cusum track — "which SOURCE'S rate shifted, and when" for a
+      * crawl monitor. One (key, bucket) aggregate over the stream,
+      * then per-key totals (join keyed on the same hash) and the
+      * per-key ordered window over that key's ≤ B bucket rows — no
+      * single-partition funnel anywhere. */
+    def cusumDriftBy(key: Column, tsUs: Column, stepUs: Long): DataFrame = {
+      val buckets = df
+        .select(key.as("key"),
+          floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"))
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
+      val totals = buckets.groupBy("key")
+        .agg(count(lit(1)).as("__b"), sum("n").as("__t"))
+      val w = Window.partitionBy("key").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("key")
+      buckets.join(totals, "key")
+        .withColumn("dev", col("__b") * col("n") - col("__t"))
+        .withColumn("cusum", sum("dev").over(w))
+        .withColumn("is_peak",
+          (abs(col("cusum")) === max(abs(col("cusum"))).over(wAll)).cast("int"))
+        .select("key", "bucket", "n", "dev", "cusum", "is_peak")
+    }
+
     def cusumDrift(tsUs: Column, stepUs: Long): DataFrame = {
       val buckets = df
         .select(floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"))

@@ -39,6 +39,13 @@ object PipelineQueries {
       Tables.events(s, dir)
         .cusumDrift(unix_micros(col("ts")), stepUs = 3600000000L)),
 
+    // Per-key CUSUM: which event TYPE's rate shifted, and when —
+    // per-key baselines, per-key ordered windows, no global funnel.
+    "q_cusum_by_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .cusumDriftBy(col("event_type"), unix_micros(col("ts")),
+          stepUs = 3600000000L)),
+
     // Concurrent-session count per hour: sessionize, roll up to
     // [start, end] intervals, count interval overlap per hour bucket.
     "q_concurrency" -> ((s, dir) =>
@@ -279,6 +286,23 @@ object PipelineQueries {
         |      FROM d)
         |SELECT bucket, n, dev, cusum,
         |       CAST(abs(cusum) = max(abs(cusum)) OVER () AS INT) AS is_peak
+        |FROM c""".stripMargin,
+
+    "q_cusum_by_key" ->
+      """WITH b AS (
+        |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT key, CAST(count(*) AS BIGINT) AS nb, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM b GROUP BY key),
+        |d AS (SELECT b.key, bucket, n, t.nb * n - t.tot AS dev
+        |      FROM b JOIN t USING (key)),
+        |c AS (SELECT key, bucket, n, dev,
+        |             CAST(sum(dev) OVER (PARTITION BY key ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |      FROM d)
+        |SELECT key, bucket, n, dev, cusum,
+        |       CAST(abs(cusum) = max(abs(cusum)) OVER (PARTITION BY key) AS INT) AS is_peak
         |FROM c""".stripMargin,
 
     "q_concurrency" ->

@@ -314,7 +314,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_cusum: the bucket count aggregate + the single-partition
     // cusum window over ≤ B bucket rows (time-span-bounded, not
     // corpus-bounded); the totals join is a broadcast
-    "q_cusum" -> 2)
+    "q_cusum" -> 2,
+    // q_cusum_by_key: (key, bucket) aggregate, per-key totals
+    // aggregate, the key re-exchange for the totals join, and the
+    // per-key window — the peak window reuses the join partitioning;
+    // everything after the first aggregate moves ≤ keys×B rows
+    "q_cusum_by_key" -> 4)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

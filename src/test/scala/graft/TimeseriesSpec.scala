@@ -23,6 +23,23 @@ class TimeseriesSpec extends SparkSpecBase {
     assert(out.map(_._3).sum === 0L, "deviations sum to zero by construction")
   }
 
+  test("cusumDriftBy tracks each key's shift independently") {
+    // key a: shift after bucket 4 (as the global fixture); key b: flat
+    val a = (0 until 5).map(b => ("a", b * 10L + 1)) ++
+      (5 until 10).flatMap(b => Seq(("a", b * 10L + 1), ("a", b * 10L + 2), ("a", b * 10L + 3)))
+    val bRows = (0 until 4).map(b => ("b", b * 10L + 1))
+    val out = (a ++ bRows).toDF("k", "us")
+      .cusumDriftBy(col("k"), col("us"), stepUs = 10L)
+      .orderBy("key", "bucket")
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+    val (oa, ob) = out.partition(_._1 == "a")
+    assert(oa.map(_._5).toSeq === Seq(-10L, -20, -30, -40, -50, -40, -30, -20, -10, 0))
+    assert(oa.map(_._6).toSeq === Seq(0, 0, 0, 0, 1, 0, 0, 0, 0, 0))
+    // flat key: dev = 4·1 − 4 = 0 everywhere, every bucket ties the peak
+    assert(ob.map(_._4).forall(_ === 0L))
+    assert(ob.map(_._6).forall(_ === 1))
+  }
+
   test("gapFill densifies and forward-fills per key") {
     // key 1: observations in buckets 0 and 3 (step=10) → buckets 1,2 carry v=5
     val df = Seq(
