@@ -66,4 +66,36 @@ object TableDiff {
     * promote if >5% of the corpus changed"): status → row count. */
   def snapshotDiffStats(diff: DataFrame): DataFrame =
     diff.groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Distribution-drift report between a reference corpus and an
+    * incoming drop: bucket both sides by the same integer signal and
+    * compare per-bucket PROPORTIONS with cross-multiplied integers —
+    * drift_b = n_new_b·T_ref − n_ref_b·T_new is exactly zero when the
+    * bucket's share is unchanged, positive where the drop
+    * over-represents the bucket, and the per-mille shares make the
+    * report human-readable. The "did the length/score distribution of
+    * this crawl shift" gate, with no floats anywhere (a χ²-style
+    * statistic would need division; proportion drift ranks buckets
+    * identically for a fixed pair of totals).
+    *
+    * Plan shape: one conditional-sum aggregate per bucket over the
+    * union (map-side combined), the 2-value totals broadcast back —
+    * everything after the aggregate is |buckets|-row arithmetic.
+    * Output: (bucket, n_ref, n_new, share_ref_pm, share_new_pm,
+    * drift). */
+  def distributionDrift(ref: DataFrame, neu: DataFrame,
+      refBucket: Column, newBucket: Column): DataFrame = {
+    val both = ref.select(refBucket.cast("long").as("bucket"), lit(0).as("__side"))
+      .unionAll(neu.select(newBucket.cast("long").as("bucket"), lit(1).as("__side")))
+    val counts = both.groupBy("bucket").agg(
+      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_new"))
+    val totals = counts.agg(
+      sum("n_ref").as("__tr"), sum("n_new").as("__tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_new"),
+        expr("(1000 * n_ref) div greatest(__tr, 1)").as("share_ref_pm"),
+        expr("(1000 * n_new) div greatest(__tn, 1)").as("share_new_pm"),
+        (col("n_new") * col("__tr") - col("n_ref") * col("__tn")).as("drift"))
+  }
 }

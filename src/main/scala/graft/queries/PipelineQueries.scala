@@ -39,6 +39,18 @@ object PipelineQueries {
       Tables.events(s, dir)
         .cusumDrift(unix_micros(col("ts")), stepUs = 3600000000L)),
 
+    // Distribution-drift report: does the incoming drop's length
+    // distribution match the reference corpus? Cross-multiplied
+    // integer proportion drift per 256-char bucket — zero ⇔ share
+    // unchanged; one aggregate over the union, then bucket-row math.
+    "q_dist_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TableDiff.distributionDrift(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        expr("n_chars div 256"), expr("n_chars div 256"))
+    }),
+
     // Per-key CUSUM: which event TYPE's rate shifted, and when —
     // per-key baselines, per-key ordered windows, no global funnel.
     "q_cusum_by_key" -> ((s, dir) =>
@@ -287,6 +299,23 @@ object PipelineQueries {
         |SELECT bucket, n, dev, cusum,
         |       CAST(abs(cusum) = max(abs(cusum)) OVER () AS INT) AS is_peak
         |FROM c""".stripMargin,
+
+    "q_dist_drift" ->
+      """WITH u AS (
+        |  SELECT n_chars // 256 AS bucket,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS side
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket,
+        |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM u GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_new) AS BIGINT) AS tn FROM c)
+        |SELECT bucket, n_ref, n_new,
+        |       (1000 * n_ref) // greatest(tr, 1) AS share_ref_pm,
+        |       (1000 * n_new) // greatest(tn, 1) AS share_new_pm,
+        |       CAST(n_new * tr - n_ref * tn AS BIGINT) AS drift
+        |FROM c CROSS JOIN t""".stripMargin,
 
     "q_cusum_by_key" ->
       """WITH b AS (

@@ -7,6 +7,25 @@ import graft.operators.TableDiff
 class TableDiffSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("distributionDrift: zero where shares match, signed where they diverge") {
+    // ref: 6 in bucket 0, 2 in bucket 1 (75/25); new: 2 and 2 (50/50)
+    val ref = (Seq.fill(6)(0L) ++ Seq.fill(2)(1L)).toDF("b")
+    val neu = (Seq.fill(2)(0L) ++ Seq.fill(2)(1L)).toDF("b")
+    val out = TableDiff.distributionDrift(ref, neu, col("b"), col("b"))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // drift = n_new·T_ref − n_ref·T_new: bucket0 2·8−6·4 = −8 (under-
+    // represented in the drop), bucket1 2·8−2·4 = +8; shares 750/500, 250/500
+    assert(out.toSeq === Seq(
+      (0L, 6L, 2L, 750L, 500L, -8L),
+      (1L, 2L, 2L, 250L, 500L, 8L)))
+    assert(out.map(_._6).sum === 0L, "drift sums to zero across buckets")
+    // identical distributions → all-zero drift
+    val same = TableDiff.distributionDrift(ref, ref, col("b"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(same.forall(_._6 === 0L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val neu = Seq((2L, "b"), (3L, "c2"), (5L, "e")).toDF("doc_id", "text")
