@@ -84,12 +84,27 @@ object TableDiff {
     * Output: (bucket, n_ref, n_new, share_ref_pm, share_new_pm,
     * drift). */
   def distributionDrift(ref: DataFrame, neu: DataFrame,
-      refBucket: Column, newBucket: Column): DataFrame = {
-    val both = ref.select(refBucket.cast("long").as("bucket"), lit(0).as("__side"))
-      .unionAll(neu.select(newBucket.cast("long").as("bucket"), lit(1).as("__side")))
-    val counts = both.groupBy("bucket").agg(
-      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
-      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_new"))
+      refBucket: Column, newBucket: Column): DataFrame =
+    driftAgainstProfile(
+      ref.select(refBucket.cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_ref")),
+      neu, newBucket)
+
+  /** [[distributionDrift]] against a PRECOMPUTED reference profile
+    * (bucket, n_ref) — the build-once form: the reference corpus is
+    * summarized a single time and every drop (or every streaming
+    * trigger) compares against the stored profile without touching
+    * the reference again. Same output columns, same integer math. */
+  def driftAgainstProfile(refCounts: DataFrame, neu: DataFrame,
+      newBucket: Column): DataFrame = {
+    val newCounts = neu.select(newBucket.cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val counts = refCounts
+      .select(col("bucket").cast("long").as("bucket"), col("n_ref").cast("long").as("n_ref"))
+      .join(newCounts, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
     val totals = counts.agg(
       sum("n_ref").as("__tr"), sum("n_new").as("__tn"))
     counts.crossJoin(broadcast(totals))

@@ -407,6 +407,29 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming distribution-drift monitor (38x): each micro-batch's
+    * bucket profile is compared against the batch-owned STATIC
+    * reference profile ([[graft.operators.TableDiff
+    * .driftAgainstProfile]] — build the (bucket, n_ref) summary once,
+    * never rescan the reference). Sink rows are the full per-bucket
+    * drift report per trigger — "is this crawl slice shaped like the
+    * corpus we trained the gates on", at frontier time; bit-equal to
+    * the batch operator by shared code path. */
+  def driftMonitorStream(
+      docs: DataFrame,
+      refProfile: DataFrame,
+      bucket: DataFrame => org.apache.spark.sql.Column,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.TableDiff.driftAgainstProfile(
+          refProfile, batch, bucket(batch)))
+      }
+      .start()
+
   def nbScoredStream(
       docs: DataFrame,
       model: DataFrame,

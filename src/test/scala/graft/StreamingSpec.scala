@@ -323,6 +323,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.head === batch)
   }
 
+  test("driftMonitorStream reports per-trigger bucket drift vs the static profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TableDiff
+    // reference: 75% bucket 0, 25% bucket 1
+    val ref = (Seq.fill(6)(0L) ++ Seq.fill(2)(1L)).toDF("b")
+    val profile = ref.groupBy(col("b").as("bucket")).agg(count(lit(1)).as("n_ref"))
+    val mem = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+    val q = EventStreams.driftMonitorStream(
+      mem.toDF().toDF("b"), profile, df => df("b"), ckpt) { rep =>
+      got.synchronized {
+        got ++= rep.select("bucket", "n_new", "share_new_pm", "drift")
+          .as[(Long, Long, Long, Long)].collect()
+      }
+    }
+    mem.addData(0L, 0L, 1L, 1L) // 50/50 — bucket 1 over-represented
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sortBy(_._1).toList === List((0L, 2L, 500L, -8L), (1L, 2L, 500L, 8L)))
+    // parity with the batch operator on the same rows
+    val batch = TableDiff.distributionDrift(ref, Seq(0L, 0L, 1L, 1L).toDF("b"),
+        col("b"), col("b"))
+      .select("bucket", "n_new", "share_new_pm", "drift")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got.sortBy(_._1).toList === batch)
+  }
+
   test("lmScoredStream scores micro-batches against the static reference LM") {
     implicit val sqlCtx = spark.sqlContext
     // reference corpus: "alpha"/"beta" common, everything else unseen
