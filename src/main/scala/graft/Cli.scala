@@ -112,6 +112,11 @@ import graft.sources.PartitionedFiles
   *       (idempotent), screen a batch with zero corpus access
   *       (might_seen=false ⇒ certainly novel), or emit the exact
   *       novel set (candidates confirmed against --corpus keys)
+  *   drift          --mode profile -i REF --bucket EXPR --outfile PROFILE
+  *                  | --mode report -i DROP --profile PROFILE --bucket EXPR
+  *       distribution-drift gate: build the reference bucket profile
+  *       once, then report each drop's per-bucket integer proportion
+  *       drift against the stored profile (reference never rescanned)
   *   rrf            --id doc_id --signals "len=size(split(trim(text),'\s+'));ttr=..."
   *                  [--k 60] [--scale 1000000]
   *       reciprocal-rank-fusion quality ensemble: fuse any integer
@@ -565,6 +570,20 @@ object Cli {
             case o => fail(s"--mode must be append|screen|novel, got: $o")
           }
 
+        case "drift" =>
+          val bucket = expr(opts.getOrElse("bucket", fail("--bucket EXPR required")))
+          opts.getOrElse("mode", "report") match {
+            case "profile" =>
+              val df = read()
+              write(df.select(bucket.cast("long").as("bucket"))
+                .groupBy("bucket").agg(count(lit(1)).as("n_ref")))
+            case "report" =>
+              val profile = PartitionedFiles.readParquet(spark,
+                opts.getOrElse("profile", fail("--profile PATH required")))
+              write(graft.operators.TableDiff.driftAgainstProfile(
+                profile, read(), bucket))
+            case o => fail(s"--mode must be profile|report, got: $o")
+          }
         case "rrf" =>
           val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
           val sigs = opts.getOrElse("signals", fail("--signals name=expr;... required"))

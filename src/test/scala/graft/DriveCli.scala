@@ -493,6 +493,34 @@ object DriveCli {
       spark.stop()
     }
 
+    // drift: profile the ref slice once, report a drop against it
+    locally {
+      val spark = GraftSession.builder("prepDrift", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.sources.PartitionedFiles.readParquet(spark, docs)
+        .filter(expr("doc_id % 3 <> 0"))
+        .write.mode("overwrite").parquet(s"$tmp/drift_ref")
+      spark.stop()
+    }
+    Cli.main(Array("-i", s"$tmp/drift_ref", "-f", "parquet",
+      "drift", "--mode", "profile", "--bucket", "n_chars div 256",
+      "--outfile", s"$tmp/drift_profile"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "drift", "--mode", "report", "--profile", s"$tmp/drift_profile",
+      "--bucket", "n_chars div 256", "--outfile", s"$tmp/drift_report"))
+    locally {
+      val spark = GraftSession.builder("verifyDrift", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/drift_report")
+      val expect = graft.operators.TableDiff.distributionDrift(
+        in.filter(expr("doc_id % 3 <> 0")), in,
+        expr("n_chars div 256"), expr("n_chars div 256"))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"DISTDRIFT=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // rrf: quality-signal fusion, library parity
     Cli.main(Array("-i", docs, "-f", "parquet",
       "rrf", "--id", "doc_id",
