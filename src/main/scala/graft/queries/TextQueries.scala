@@ -342,6 +342,19 @@ object TextQueries {
       sheet.join(nearest, Seq("source"), "left")
     }),
 
+    // §2.5/30d Unicode NFC normalization (native codegen expression,
+    // ASCII fast path): the canonicalization that must precede any
+    // content hashing — composed and decomposed accents are the same
+    // text but different bytes. Output is the normalized fingerprint
+    // plus an already-NFC flag.
+    "q_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GraftTextFunctions.normalizeNfc
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(normalizeNfc(col("text"))).as("nfc_md5"),
+        (normalizeNfc(col("text")) === col("text")).cast("int").as("already_nfc"))
+    }),
+
     // §2.5/30c character-class profile: the charset screen before
     // language-ID — letters/digits/space/punct/other counts per doc,
     // five global regexp_replace folds in one codegen'd scan, zero
@@ -766,6 +779,10 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |       CAST(nfc_normalize(text) = text AS INT) AS already_nfc
+        |FROM documents""".stripMargin,
     "q_char_classes" ->
       raw"""SELECT doc_id,
            |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

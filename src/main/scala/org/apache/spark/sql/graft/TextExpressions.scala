@@ -375,6 +375,54 @@ object HashedBow {
 }
 
 /** Column facade + SQL registration for the text expressions. */
+/** Native Unicode NFC normalization — the canonicalization step that
+  * must run BEFORE any hashing/dedup/fingerprint at corpus scale:
+  * "café" composed and decomposed are different byte strings (so
+  * different md5/minhash/simhash) but the same text; a crawl mixes
+  * both freely. Spark has no normalization builtin; this expression
+  * calls `java.text.Normalizer` (ICU-equivalent NFC) in a codegen'd
+  * per-row pass. Fast path: pure-ASCII rows (the overwhelming bulk
+  * of most corpora) are returned UNCHANGED without materializing a
+  * Java String — one byte scan decides. Matches DuckDB
+  * `nfc_normalize` for the oracle. */
+@ExpressionDescription(
+  usage = "_FUNC_(text) - Unicode NFC canonical composition of text."
+)
+case class NormalizeNFC(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeNFC.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.NormalizeNFC.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeNFC {
+  def compute(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) < 0) { // non-ASCII byte: take the slow path
+        val s = text.toString
+        val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        return if (n == s) text else UTF8String.fromString(n)
+      }
+      i += 1
+    }
+    text // pure ASCII is NFC by construction
+  }
+}
+
 object GraftTextFunctions {
   import org.apache.spark.sql.SparkSessionExtensions
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -394,6 +442,9 @@ object GraftTextFunctions {
 
   def hashedBow(text: Column, dim: Int): Column =
     ExpressionUtils.column(HashedBow(ExpressionUtils.expression(text), dim))
+
+  def normalizeNfc(text: Column): Column =
+    ExpressionUtils.column(NormalizeNFC(ExpressionUtils.expression(text)))
 
   /** The SQL builders take the gram size as a foldable int literal
     * (`SELECT graft_shingles(text, 3)`). */
@@ -429,5 +480,9 @@ object GraftTextFunctions {
       FunctionRegistryBase.expressionInfo[HashedBow]("graft_hashed_bow", None),
       (children: Seq[Expression]) =>
         HashedBow(children(0), litInt(children(1), "graft_hashed_bow"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      FunctionRegistryBase.expressionInfo[NormalizeNFC]("graft_nfc", None),
+      (children: Seq[Expression]) => NormalizeNFC(children(0))))
   }
 }

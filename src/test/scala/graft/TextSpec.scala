@@ -24,6 +24,25 @@ class TextSpec extends SparkSpecBase {
     assert(rows(1) === ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("normalizeNfc composes decomposed accents; ASCII passes through untouched") {
+    import org.apache.spark.sql.graft.GraftTextFunctions.normalizeNfc
+    val composed = "caf\u00e9"       // é as one code point
+    val decomposed = "cafe\u0301"    // e + combining acute
+    val df = Seq(composed, decomposed, "plain ascii").toDF("t")
+    val out = df.select(col("t"), normalizeNfc(col("t"))).as[(String, String)].collect()
+    assert(out(0)._2 === composed)
+    assert(out(1)._2 === composed, "NFC composes the combining form")
+    assert(out(2)._2 === "plain ascii")
+    // the two spellings hash identically only AFTER normalization
+    val fps = df.select(md5(normalizeNfc(col("t")))).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(df.select(md5(col("t"))).as[String].collect().distinct.length === 3)
+    // SQL registration via extensions
+    df.createOrReplaceTempView("nfc_t")
+    val viaSql = spark.sql("SELECT graft_nfc(t) FROM nfc_t").as[String].collect()
+    assert(viaSql.toSeq === Seq(composed, composed, "plain ascii"))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog in a house",
