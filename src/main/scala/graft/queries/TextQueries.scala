@@ -342,6 +342,14 @@ object TextQueries {
       sheet.join(nearest, Seq("source"), "left")
     }),
 
+    // §2.5/31m token-entropy signal: per-doc Shannon entropy in
+    // exact integer qlog64 units, computed IN-ROW by a sorted run
+    // fold — the gibberish/one-token-spam gate, zero shuffles
+    // (pinned).
+    "q_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id") +: graft.text.TextAnalysis.tokenEntropy(col("text")): _*)),
+
     // §2.5/30d Unicode NFC normalization (native codegen expression,
     // ASCII fast path): the canonicalization that must precede any
     // content hashing — composed and decomposed accents are the same
@@ -779,6 +787,20 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_entropy" -> {
+      raw"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents),
+           |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+           |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+           |e AS (
+           |  SELECT c.doc_id,
+           |         CAST(sum(c * ((${qlogSql("n")}) - (${qlogSql("c")}))) AS BIGINT) AS ent64
+           |  FROM c JOIN n USING (doc_id) GROUP BY 1)
+           |SELECT e.doc_id, n.n AS n_tokens, e.ent64,
+           |       (100 * e.ent64) // n.n AS ent_ct
+           |FROM e JOIN n USING (doc_id)""".stripMargin
+    },
     "q_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
         |       CAST(nfc_normalize(text) = text AS INT) AS already_nfc

@@ -57,6 +57,40 @@ object TextAnalysis {
       punct.as("n_punct"), other.as("n_other"))
   }
 
+  /** Per-document token Shannon entropy in exact integer qlog64
+    * units (64 units = 1 bit): ent64 = Σ_types c·(qlog64(N) −
+    * qlog64(c)) over the doc's own token counts — the
+    * gibberish-vs-natural-text signal (uniform noise maxes it,
+    * one-token spam zeroes it) that quality stacks run alongside the
+    * repetition battery. COMPUTED IN-ROW: tokens are sorted and run
+    * lengths folded in one pass (the repetition-battery pattern), so
+    * the corpus never shuffles — at 100 TB this is a scan, not an
+    * explode+groupBy. Emits (n_tokens, ent64, ent_ct) with ent_ct =
+    * ⌊100·ent64/N⌋, the per-token entropy in centi-qlog units —
+    * integer division, so every column replays bit-for-bit. */
+  def tokenEntropy(text: Column): Seq[Column] = {
+    val toksSorted = array_sort(tokenize(lower(text)))
+    val n = size(toksSorted).cast("long")
+    val qn = graft.quality.NaiveBayes.qlog64(n)
+    def closeRun(run: Column) = run * (qn - graft.quality.NaiveBayes.qlog64(run))
+    val folded = aggregate(
+      toksSorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, t) => when(st.getField("run") === 0L,
+          struct(t.as("prev"), lit(1L).as("run"), lit(0L).as("acc")))
+        .when(t <=> st.getField("prev"),
+          struct(t.as("prev"), (st.getField("run") + 1L).as("run"),
+            st.getField("acc").as("acc")))
+        .otherwise(struct(t.as("prev"), lit(1L).as("run"),
+          (st.getField("acc") + closeRun(st.getField("run"))).as("acc"))),
+      st => when(st.getField("run") > 0L,
+        st.getField("acc") + closeRun(st.getField("run"))).otherwise(0L))
+    val ent = folded.cast("long")
+    val scaled = lit(100L) * ent
+    val entCt = ((scaled - pmod(scaled, n)) / n).cast("long") // exact ⌊100·ent/N⌋
+    Seq(n.as("n_tokens"), ent.as("ent64"), entCt.as("ent_ct"))
+  }
+
   /** Language ID: stopword-hit score per language, deterministic
     * argmax (fixed priority order on ties). N-gram profiles would be
     * the production upgrade; the hit-count heuristic is the standard

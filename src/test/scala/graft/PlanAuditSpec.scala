@@ -47,6 +47,8 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_rep_signals")) === 0)
     // the charset screen is five regexp_replace folds in one scan
     assert(keyShuffles(plan("q_char_classes")) === 0)
+    // token entropy is a sorted in-row run fold, not explode+groupBy
+    assert(keyShuffles(plan("q_entropy")) === 0)
   }
 
   test("q_filter pushes its predicate into the parquet scan") {

@@ -24,6 +24,32 @@ class TextSpec extends SparkSpecBase {
     assert(rows(1) === ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("tokenEntropy: zero on constant docs, 64-unit bits on uniform, fold matches groupBy") {
+    val df = Seq("a b c d", "x x x x", "a a b b").toDF("t")
+    val out = df.select(TextAnalysis.tokenEntropy(col("t")): _*)
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) === ((4L, 512L, 12800L))) // 4 distinct: 4·(qlog(4)−qlog(1)) = 4·128; 2 bits/token
+    assert(out(1) === ((4L, 0L, 0L)))       // one type: zero entropy
+    assert(out(2) === ((4L, 256L, 6400L)))  // two types of 2: 4·(128−64); 1 bit/token
+    // the in-row sorted fold equals an explode+groupBy reference on messy docs
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to rnd.nextInt(30) + 1).map(_ => s"w${rnd.nextInt(8)}").mkString(" ")))
+      .toDF("doc_id", "t")
+    val inRow = docs.select(col("doc_id") +: TextAnalysis.tokenEntropy(col("t")): _*)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val q = graft.quality.NaiveBayes.qlog64 _
+    val ref = docs.select(col("doc_id"), explode(TextAnalysis.tokenize(lower(col("t")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n"), collect_list("c").as("cs"))
+      .select(col("doc_id"), col("n").cast("long"),
+        aggregate(col("cs"), lit(0L), (a, c) => a + c * (q(col("n")) - q(c))).as("ent"))
+      .select(col("doc_id"), col("n"), col("ent"),
+        ((lit(100L) * col("ent") - pmod(lit(100L) * col("ent"), col("n"))) / col("n")).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inRow === ref)
+  }
+
   test("normalizeNfc composes decomposed accents; ASCII passes through untouched") {
     import org.apache.spark.sql.graft.GraftTextFunctions.normalizeNfc
     val composed = "caf\u00e9"       // é as one code point
