@@ -79,4 +79,19 @@ object Validate {
     }
     branches.reduce(_ unionByName _).select(col("rule"), col("violations"))
   }
+
+  /** k-anonymity risk audit (Sweeney 2002): every quasi-identifier
+    * combination shared by FEWER than k rows is a re-identification
+    * risk — the release gate that runs beside PII redaction before
+    * any dataset ships. One map-side-combined aggregate over the
+    * quasi-identifier tuple; the output is only the risky combos
+    * (tiny by construction: each carries < k rows), so a 100 TB
+    * audit returns KB. Output: (quasi-id columns…, n) for combos
+    * with 1 ≤ n < k. */
+  def kAnonymityRisk(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 2)
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

@@ -39,6 +39,16 @@ object PipelineQueries {
       Tables.events(s, dir)
         .cusumDrift(unix_micros(col("ts")), stepUs = 3600000000L)),
 
+    // k-anonymity risk audit: (event_type, hour) combos shared by
+    // fewer than 5 events are re-identification risks — the release
+    // gate beside PII redaction; output is only the risky combos.
+    "q_k_anon" -> ((s, dir) =>
+      graft.quality.Validate.kAnonymityRisk(
+        Tables.events(s, dir),
+        Seq(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / 3600000000L).cast("long").as("hour")),
+        k = 5L)),
+
     // Distribution-drift report: does the incoming drop's length
     // distribution match the reference corpus? Cross-multiplied
     // integer proportion drift per 256-char bucket — zero ⇔ share
@@ -299,6 +309,11 @@ object PipelineQueries {
         |SELECT bucket, n, dev, cusum,
         |       CAST(abs(cusum) = max(abs(cusum)) OVER () AS INT) AS is_peak
         |FROM c""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) < 5""".stripMargin,
 
     "q_dist_drift" ->
       """WITH u AS (

@@ -7,6 +7,22 @@ import graft.quality.Validate._
 class ValidateSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("kAnonymityRisk flags exactly the quasi-id combos below k") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),          // combo (a,1): n=3 → safe at k=3
+      ("a", 2), ("a", 2),                    // (a,2): n=2 → risky
+      ("b", 1)                               // (b,1): n=1 → risky
+    ).toDF("zip", "age")
+    val risky = kAnonymityRisk(df, Seq(col("zip"), col("age")), k = 3L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(risky === Set(("a", 2, 2L), ("b", 1, 1L)))
+    // at k=2 only the singleton remains; safe data yields an empty audit
+    assert(kAnonymityRisk(df, Seq(col("zip"), col("age")), k = 2L)
+      .as[(String, Int, Long)].collect().toSet === Set(("b", 1, 1L)))
+    assert(kAnonymityRisk(df.filter(col("age") === 1 && col("zip") === "a"),
+      Seq(col("zip")), k = 2L).count() === 0)
+  }
+
   test("violations counts each broken expectation exactly") {
     val dim = Seq(1L, 2L).toDF("dk")
     val df = Seq(
