@@ -342,6 +342,14 @@ object TextQueries {
       sheet.join(nearest, Seq("source"), "left")
     }),
 
+    // §2.5/31n vocabulary-richness (Heaps'-law) report per source:
+    // token mass, types, hapaxes and exact per-mille ratios — the
+    // crawl-saturation indicator.
+    "q_vocab_richness" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabRichness(
+          Tables.documents(s, dir), col("text"), col("source"))
+        .withColumnRenamed("grp", "source")),
+
     // §2.5/31m token-entropy signal: per-doc Shannon entropy in
     // exact integer qlog64 units, computed IN-ROW by a sorted run
     // fold — the gibberish/one-token-spam gate, zero shuffles
@@ -787,6 +795,18 @@ object TextQueries {
 
     "q_rep_signals" -> repSignalsSql,
 
+    "q_vocab_richness" ->
+      raw"""WITH c AS (
+           |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |  FROM documents),
+           |g AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY 1, 2)
+           |SELECT source,
+           |       CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) AS BIGINT) AS n_types,
+           |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           |       CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_pm,
+           |       CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // greatest(count(*), 1) AS BIGINT) AS hapax_share_pm
+           |FROM g GROUP BY source""".stripMargin,
     "q_entropy" -> {
       raw"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -463,4 +463,23 @@ object TextAnalysis {
       .withColumn("cum_cnt",
         sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Vocabulary-richness report per group (the Heaps'-law numbers a
+    * corpus datasheet quotes): token mass, type count, hapax count
+    * (types seen once — the growth frontier; a shrinking hapax share
+    * across drops means the crawl is saturating), and the type/token
+    * ratio per-mille as an exact integer. One (group, token)
+    * aggregate — partial map-side counts — then a per-group rollup
+    * over the type rows; the corpus shuffles once, keyed on the
+    * uniform token. */
+  def vocabRichness(df: DataFrame, text: Column, group: Column): DataFrame =
+    df.select(group.as("grp"), explode(tokenize(lower(text))).as("__t"))
+      .groupBy("grp", "__t").agg(count(lit(1)).as("__c"))
+      .groupBy("grp").agg(
+        sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(1000 * n_types) div n_tokens").as("ttr_pm"),
+        expr("(1000 * n_hapax) div greatest(n_types, 1)").as("hapax_share_pm"))
 }

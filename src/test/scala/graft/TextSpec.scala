@@ -24,6 +24,16 @@ class TextSpec extends SparkSpecBase {
     assert(rows(1) === ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("vocabRichness: types, hapaxes and exact per-mille ratios per group") {
+    val df = Seq(("g1", "a a b"), ("g1", "c"), ("g2", "x x")).toDF("src", "t")
+    val rows = TextAnalysis.vocabRichness(df, col("t"), col("src"))
+      .orderBy("grp").as[(String, Long, Long, Long, Long, Long)].collect()
+    // g1: tokens 4 (a,a,b,c), types 3, hapax 2 (b,c), ttr 750, hapax share 666
+    assert(rows(0) === (("g1", 4L, 3L, 2L, 750L, 666L)))
+    // g2: tokens 2, types 1, hapax 0
+    assert(rows(1) === (("g2", 2L, 1L, 0L, 500L, 0L)))
+  }
+
   test("tokenEntropy: zero on constant docs, 64-unit bits on uniform, fold matches groupBy") {
     val df = Seq("a b c d", "x x x x", "a a b b").toDF("t")
     val out = df.select(TextAnalysis.tokenEntropy(col("t")): _*)
