@@ -69,6 +69,47 @@ object TemporalJoins {
       .select(leftCols.map(col) ++ payload.map(p => col("__carried").getField(p).as(p)): _*)
   }
 
+  /** Forward as-of join: each left row picks the EARLIEST right row
+    * of the same key with right ts ≥ left ts — "time to next event"
+    * (next deploy after the alert, next purchase after the click).
+    * Same union + running-window machinery as [[asofJoin]] with the
+    * traversal reversed (ts desc), so it inherits the single-shuffle,
+    * no-range-explosion shape; equal (key, ts) right rows tie-break
+    * on the payload struct for determinism. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTsUs: Column,
+      rightTsUs: Column,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
+    val lTagged = left
+      .withColumn("__ts", leftTsUs)
+      .withColumn("__tag", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select(col(key) +: col("__ts") +: col("__tag") +: col("__payload") +:
+        leftCols.filter(_ != key).map(col): _*)
+    val rTagged = right
+      .withColumn("__ts", rightTsUs)
+      .withColumn("__tag", lit(0))
+      .select(col(key), col("__ts"), col("__tag"), struct(payload.map(col): _*).as("__payload"))
+    // DESC traversal: right rows still sort before left rows at equal
+    // ts (forward ASOF includes ==), so the carried value at a left
+    // row is the nearest right row at-or-after it.
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__tag").asc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col("__carried").getField(p).as(p)): _*)
+  }
+
   /** Pairs (point, interval) of the same `key` with
     * `startUs <= pointUs <= endUs`. `bucketUs` should be on the order
     * of the typical interval length: larger buckets → fewer replicas

@@ -134,6 +134,19 @@ object ExtraQueries {
         .mapRecords(col("event_id"), col("s_id"), col("s_us"))
     }),
 
+    // §2.2/22j3 FORWARD as-of: each click picks the NEXT purchase of
+    // the same user at-or-after it — the time-to-next-event join.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filterRecords(col("event_type") === "click")
+        .mapRecords(col("user_id"), col("event_id"), unix_micros(col("ts")).as("c_us"))
+      val purchases = ev.filterRecords(col("event_type") === "purchase")
+        .mapRecords(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      graft.operators.TemporalJoins
+        .asofJoinForward(clicks, purchases, "user_id", col("c_us"), col("p_us"), Seq("p_id", "p_us"))
+        .mapRecords(col("event_id"), col("p_id"), col("p_us"))
+    }),
+
     // bucketed range join: purchases within 1 hour after a click by the
     // same user (equi-join on time buckets + exact post-filter).
     "q_range_join" -> ((s, dir) => {
@@ -610,6 +623,12 @@ object ExtraQueries {
         |SELECT clicks.event_id, s_id, s_us
         |FROM clicks ASOF LEFT JOIN signups
         |  ON clicks.user_id = signups.user_id AND clicks.c_us >= signups.s_us""".stripMargin,
+    "q_asof_forward" ->
+      """WITH clicks AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |     purchases AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+        |SELECT clicks.event_id, p_id, p_us
+        |FROM clicks ASOF LEFT JOIN purchases
+        |  ON clicks.user_id = purchases.user_id AND clicks.c_us <= purchases.p_us""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
         |     p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')

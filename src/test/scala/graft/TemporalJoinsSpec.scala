@@ -18,6 +18,21 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(out("c3") === None)         // no right rows for key 2
   }
 
+  test("asofJoinForward picks earliest right row at-or-after, null when none") {
+    val left = Seq((1L, 100L, "c1"), (1L, 250L, "c2"), (2L, 10L, "c3")).toDF("k", "ts", "name")
+    val right = Seq((1L, 100L, "r100"), (1L, 60L, "r60"), (1L, 200L, "r200")).toDF("k", "rts", "tag")
+    val out = TemporalJoins
+      .asofJoinForward(left, right, "k", col("ts"), col("rts"), Seq("tag"))
+      .select("name", "tag").as[(String, Option[String])].collect().toMap
+    assert(out("c1") === Some("r100")) // equal ts matches (forward ASOF <=)
+    assert(out("c2") === None)         // latest right is 200 < 250
+    assert(out("c3") === None)         // no right rows for key 2
+    // forward/backward agree only when the match IS the exact ts
+    val back = TemporalJoins.asofJoin(left, right, "k", col("ts"), col("rts"), Seq("tag"))
+      .select("name", "tag").as[(String, Option[String])].collect().toMap
+    assert(back("c1") === Some("r100") && back("c2") === Some("r200"))
+  }
+
   test("asofJoin is deterministic on duplicate (key, ts) right rows; payload from one row") {
     val left = Seq((1L, 100L, "c1")).toDF("k", "ts", "name")
     // two right rows tie exactly on (k, rts): tie-break = max payload struct,
