@@ -110,6 +110,58 @@ object TemporalJoins {
       .select(leftCols.map(col) ++ payload.map(p => col("__carried").getField(p).as(p)): _*)
   }
 
+  /** Nearest as-of join: each left row picks whichever right row of
+    * its key is CLOSEST in time, before or after (ties go backward) —
+    * sensor alignment, "which snapshot does this event belong to".
+    * ONE union and one key shuffle: both directional carries are
+    * windows over the same partitioning (ascending and descending
+    * traversals), then a per-row comparison picks the closer side.
+    * `rightTsField` names the payload field holding the right
+    * timestamp (µs), needed for the distance compare. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTsUs: Column,
+      rightTsUs: Column,
+      payload: Seq[String],
+      rightTsField: String
+  ): DataFrame = {
+    require(payload.contains(rightTsField),
+      s"payload must include the right-timestamp field $rightTsField")
+    val leftCols = left.columns
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))
+    val lTagged = left
+      .withColumn("__ts", leftTsUs)
+      .withColumn("__tag", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select(col(key) +: col("__ts") +: col("__tag") +: col("__payload") +:
+        leftCols.filter(_ != key).map(col): _*)
+    val rTagged = right
+      .withColumn("__ts", rightTsUs)
+      .withColumn("__tag", lit(0))
+      .select(col(key), col("__ts"), col("__tag"), struct(payload.map(col): _*).as("__payload"))
+    val wBack = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__tag").asc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__back", last(col("__payload"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", last(col("__payload"), ignoreNulls = true).over(wFwd))
+    val bTs = col("__back").getField(rightTsField)
+    val fTs = col("__fwd").getField(rightTsField)
+    val picked = when(col("__back").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__back"))
+      .when(col("__ts") - bTs <= fTs - col("__ts"), col("__back"))
+      .otherwise(col("__fwd"))
+    both.filter(col("__tag") === 1)
+      .withColumn("__pick", picked)
+      .select(leftCols.map(col) ++ payload.map(p => col("__pick").getField(p).as(p)): _*)
+  }
+
   /** Pairs (point, interval) of the same `key` with
     * `startUs <= pointUs <= endUs`. `bucketUs` should be on the order
     * of the typical interval length: larger buckets → fewer replicas

@@ -134,6 +134,21 @@ object ExtraQueries {
         .mapRecords(col("event_id"), col("s_id"), col("s_us"))
     }),
 
+    // §2.2/22j4 NEAREST as-of: each click picks its time-closest
+    // signup, before or after (ties backward) — one union, one key
+    // shuffle, both directional windows on the same partitioning.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filterRecords(col("event_type") === "click")
+        .mapRecords(col("user_id"), col("event_id"), unix_micros(col("ts")).as("c_us"))
+      val signups = ev.filterRecords(col("event_type") === "signup")
+        .mapRecords(col("user_id"), col("event_id").as("s_id"), unix_micros(col("ts")).as("s_us"))
+      graft.operators.TemporalJoins
+        .asofJoinNearest(clicks, signups, "user_id", col("c_us"), col("s_us"),
+          Seq("s_id", "s_us"), "s_us")
+        .mapRecords(col("event_id"), col("s_id"), col("s_us"))
+    }),
+
     // §2.2/22j3 FORWARD as-of: each click picks the NEXT purchase of
     // the same user at-or-after it — the time-to-next-event join.
     "q_asof_forward" -> ((s, dir) => {
@@ -623,6 +638,21 @@ object ExtraQueries {
         |SELECT clicks.event_id, s_id, s_us
         |FROM clicks ASOF LEFT JOIN signups
         |  ON clicks.user_id = signups.user_id AND clicks.c_us >= signups.s_us""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH clicks AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |     signups AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_us FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT clicks.event_id, c_us, s_id AS b_id, s_us AS b_us
+        |      FROM clicks ASOF LEFT JOIN signups
+        |        ON clicks.user_id = signups.user_id AND clicks.c_us >= signups.s_us),
+        |f AS (SELECT clicks.event_id, s_id AS f_id, s_us AS f_us
+        |      FROM clicks ASOF LEFT JOIN signups
+        |        ON clicks.user_id = signups.user_id AND clicks.c_us <= signups.s_us)
+        |SELECT b.event_id,
+        |       CASE WHEN b_us IS NULL THEN f_id WHEN f_us IS NULL THEN b_id
+        |            WHEN c_us - b_us <= f_us - c_us THEN b_id ELSE f_id END AS s_id,
+        |       CASE WHEN b_us IS NULL THEN f_us WHEN f_us IS NULL THEN b_us
+        |            WHEN c_us - b_us <= f_us - c_us THEN b_us ELSE f_us END AS s_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "q_asof_forward" ->
       """WITH clicks AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
         |     purchases AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')

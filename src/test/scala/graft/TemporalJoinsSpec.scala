@@ -33,6 +33,19 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(back("c1") === Some("r100") && back("c2") === Some("r200"))
   }
 
+  test("asofJoinNearest picks the time-closest side, ties go backward") {
+    val left = Seq((1L, 100L, "mid"), (1L, 55L, "closerBack"), (1L, 95L, "tie"), (2L, 7L, "lonely"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 50L, 50L, "r50"), (1L, 140L, 140L, "r140")).toDF("k", "rts", "rus", "tag")
+    val out = TemporalJoins
+      .asofJoinNearest(left, right, "k", col("ts"), col("rts"), Seq("tag", "rus"), "rus")
+      .select("name", "tag").as[(String, Option[String])].collect().toMap
+    assert(out("mid") === Some("r140"))        // 100: back 50 Δ50, fwd 140 Δ40 → forward
+    assert(out("closerBack") === Some("r50"))  // 55: Δ5 vs Δ85
+    assert(out("tie") === Some("r50"))         // 95: Δ45 both → backward wins
+    assert(out("lonely") === None)             // no right rows for key 2
+  }
+
   test("asofJoin is deterministic on duplicate (key, ts) right rows; payload from one row") {
     val left = Seq((1L, 100L, "c1")).toDF("k", "ts", "name")
     // two right rows tie exactly on (k, rts): tie-break = max payload struct,
