@@ -73,4 +73,11 @@ object AnnParams {
   // neighbor-list checks do.
   val KnnMod = 10
   val KnnK = 10
+
+  // Triplet / hard-negative mining (q_hard_negatives): every vec_id
+  // ≡ 0 (mod TripletMod) is an anchor; per anchor, the rank-1
+  // same-label positive and the TripletNegK nearest different-label
+  // negatives, margin violations flagged.
+  val TripletMod = 10
+  val TripletNegK = 5
 }

@@ -330,6 +330,16 @@ object DedupQueries {
       Similarity.knnClassify(corpus, qs, AnnParams.KnnK)
     }),
 
+    // §2.4/28g triplet / hard-negative mining: per anchor the rank-1
+    // same-label positive + TripletNegK nearest different-label
+    // negatives, margin violations flagged — the contrastive-training
+    // data op; ONE corpus scan, one bounded GroupTopK exchange.
+    "q_hard_negatives" -> ((s, dir) => {
+      val corpus = quantizedWithNorm(s, dir)
+      val anchors = corpus.filter(pmod(col("vec_id"), lit(AnnParams.TripletMod)) === 0)
+      Similarity.mineTriplets(corpus, anchors, AnnParams.TripletNegK)
+    }),
+
     // §2.4/28c leave-one-out nearest-centroid probe: every vector
     // scored against each label's self-excluded mean — exact integer
     // sums/dots, corpus never shuffled.
@@ -957,6 +967,32 @@ object DedupQueries {
            |         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, cand_label ASC) AS vr
            |  FROM v
            |) WHERE vr = 1""".stripMargin,
+
+    "q_hard_negatives" ->
+      raw"""WITH $quantCte,
+           |p AS (
+           |  SELECT a.vec_id AS q_id, a.label AS true_label, b.vec_id AS nid,
+           |         b.label AS nlabel,
+           |         CASE WHEN a.label = b.label THEN 0 ELSE 1 END AS is_neg,
+           |         $cosExpr AS cos
+           |  FROM n a JOIN n b ON a.vec_id % ${AnnParams.TripletMod} = 0 AND a.vec_id <> b.vec_id
+           |),
+           |top AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id, is_neg
+           |                                 ORDER BY cos DESC, nid ASC) AS rnk
+           |    FROM p
+           |  ) WHERE rnk <= ${AnnParams.TripletNegK}
+           |),
+           |pos AS (SELECT q_id, nid AS pos_id, cos AS pos_cos
+           |        FROM top WHERE is_neg = 0 AND rnk = 1),
+           |neg AS (SELECT q_id, true_label, nid AS neg_id, nlabel AS neg_label,
+           |               CAST(rnk AS INTEGER) AS rank, cos AS neg_cos
+           |        FROM top WHERE is_neg = 1)
+           |SELECT neg.q_id, neg.true_label, pos.pos_id, pos.pos_cos, neg.neg_id,
+           |       neg.neg_label, neg.rank, neg.neg_cos,
+           |       CAST(neg.neg_cos > pos.pos_cos AS INTEGER) AS violation
+           |FROM neg LEFT JOIN pos USING (q_id)""".stripMargin,
 
     // Leave-one-out nearest-centroid: cos(q, S_l − e_q·[l = l₀]) —
     // scale-invariance of cosine makes the self-excluded mean exact

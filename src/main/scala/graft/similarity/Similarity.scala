@@ -138,6 +138,53 @@ object Similarity {
         col("votes"), (col("true_label") === col("cand_label")).cast("int").as("correct"))
   }
 
+  /** Triplet / hard-negative mining — the contrastive-training data
+    * op: for each anchor vector, the single most-similar SAME-label
+    * vector (the hardest positive is deliberately NOT used; rank-1
+    * positive is the standard batch-hard choice) and the k most
+    * similar DIFFERENT-label vectors (the hard negatives), with the
+    * margin violation flagged (`neg_cos > pos_cos` — the triplets a
+    * metric-learning loss would actually train on).
+    *
+    * Inputs are [[prepareQuantized]] frames carrying a `label`
+    * column. Plan shape: ONE corpus scan — anchors broadcast, every
+    * candidate scored once with an `is_neg` flag, and a single
+    * GroupTopK over (q_id, is_neg) bounds both the positive and the
+    * negative heap before the one exchange; the tiny survivor set is
+    * checkpointed so the positive/negative split does not rescan the
+    * corpus. The pos⋈neg join is anchor-count-sized. Anchors whose
+    * label is singleton keep their negatives with a NULL positive
+    * (left join), never silently dropped. Integer-grid cosine makes
+    * every tie deterministic cross-engine. */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(
+      anchors.select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("e").as("qe"), col("nrm").as("qnrm"))
+    )
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("e")), col("qnrm"), col("nrm")))
+      .withColumn("is_neg", (col("label") =!= col("true_label")).cast("int"))
+    val top = graft.operators.Checkpoints.eager(
+      org.apache.spark.sql.graft.GraftPlans
+        .groupTopK(scored, Seq(col("q_id"), col("is_neg")),
+          Seq(col("cos").desc, col("vec_id").asc), k)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"), col("is_neg"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+          col("is_neg"), col("rank"), col("cos")))
+    val pos = top.filter(col("is_neg") === 0 && col("rank") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = top.filter(col("is_neg") === 1)
+      .select(col("q_id"), col("true_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"), col("cos").as("neg_cos"))
+    neg.join(pos, Seq("q_id"), "left")
+      .select(col("q_id"), col("true_label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_label"), col("rank"), col("neg_cos"),
+        (col("neg_cos") > col("pos_cos")).cast("int").as("violation"))
+  }
+
   /** Leave-one-out nearest-centroid probe (Rocchio classification):
     * score every vector against each label's mean vector — with the
     * vector itself REMOVED from its own label's centroid, so the

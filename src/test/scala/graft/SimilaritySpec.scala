@@ -66,6 +66,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tied.forall { case (p, v) => p === 1 && v === 2L })
   }
 
+  test("mineTriplets picks the rank-1 positive, ranked hard negatives, and flags violations") {
+    // label 0 hugs the x-axis; label 1 the y-axis; label 2 is a
+    // SINGLETON sitting on the x-axis — a hard negative for label 0
+    // that outranks the true positive (a margin violation), and an
+    // anchor with no positive at all.
+    val pts = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)), (1L, 0, Array(0.9f, 0.2f, 0.0f)),
+      (10L, 1, Array(0.0f, 1.0f, 0.0f)), (11L, 1, Array(0.1f, 0.95f, 0.0f)),
+      (20L, 2, Array(1.0f, 0.01f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val c = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val out = Similarity.mineTriplets(c, c, k = 2)
+      .select("q_id", "pos_id", "neg_id", "rank", "violation")
+      .as[(Long, Option[Long], Long, Int, Option[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // anchor 0: positive is 1; nearest negative is the label-2 imposter
+    // at cos≈1 > cos(0,1) → violation; second negative doesn't violate
+    val a0 = out(0L)
+    assert(a0.map(_._3).toSeq === Seq(20L, 11L))
+    assert(a0.forall(_._2.contains(1L)))
+    assert(a0.map(_._5).toSeq === Seq(Some(1), Some(0)))
+    // the singleton-label anchor keeps its negatives with a NULL
+    // positive and NULL violation — never silently dropped
+    val a20 = out(20L)
+    assert(a20.nonEmpty && a20.forall(t => t._2.isEmpty && t._5.isEmpty))
+    // every anchor emits ≤ k negatives, ranks dense from 1
+    out.values.foreach(rows => assert(rows.map(_._4).toSeq === (1 to rows.length).toSeq))
+  }
+
   test("centroidClassify excludes self from its own label's centroid") {
     // A's own-label LOO centroid is just B (orthogonal → cos 0), so A
     // must flip to label 2 (cos ≈ 0.63). WITH self-leak the label-1
