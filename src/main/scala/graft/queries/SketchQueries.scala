@@ -42,6 +42,23 @@ object SketchQueries {
       Sketches.kmvOverlapReport(Tables.documents(s, dir), col("source"),
         col("text"), KmvK, "source_a", "source_b")),
 
+    // §2.8/39e AMS F2 (tug-of-war) second-moment sketch: the skew
+    // detector — per event_type, Σ f_k² over user_id estimated from 60
+    // ±1 lanes riding ONE portable hash per row; integer-exact math so
+    // the oracle replays estimate AND exact side bit-for-bit. At scale
+    // only the sketch runs; the exact join here is the audit.
+    "q_f2_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = Sketches.amsF2(ev, col("event_type"), col("user_id"))
+      val exact = ev
+        .groupBy(col("event_type").as("g"), col("user_id"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy("g").agg(sum(expr("f * f")).as("f2_exact"))
+      est.join(exact, "g")
+        .select(col("g").as("event_type"), col("n"), col("f2_exact"), col("f2_est"),
+          expr("(abs(f2_est - f2_exact) * 1000) div f2_exact").as("err_pm"))
+    }),
+
     // §2.8/39 HLL distinct counts: exact_n (hash-matched) + in-bound flag.
     "q_hll_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -279,6 +296,28 @@ object SketchQueries {
     // same (k−1)·M/θ and common·M/θ divisions (every input exactly
     // representable in binary64, so floor() agrees across engines).
     "q_kmv_overlap" -> kmvOverlapSql,
+    // Full bit-for-bit replay of the AMS math: same 60-bit md5 hash,
+    // lane signs from its bits, Z_j = 2·ones_j − n, estimate
+    // (Σ Z_j²) // 60 — all integer, so est AND exact hash-match.
+    "q_f2_skew" ->
+      raw"""WITH h AS (
+           |  SELECT event_type AS g,
+           |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM events),
+           |lanes AS (
+           |  SELECT g, j, CAST(sum((h >> j) & 1) AS BIGINT) AS ones, count(*) AS n
+           |  FROM h, (SELECT unnest(range(60)) AS j) t GROUP BY g, j),
+           |est AS (
+           |  SELECT g, max(n) AS n,
+           |         CAST(sum((2 * ones - n) * (2 * ones - n)) // 60 AS BIGINT) AS f2_est
+           |  FROM lanes GROUP BY g),
+           |ex AS (
+           |  SELECT g, CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+           |    SELECT event_type AS g, user_id, count(*) AS f FROM events GROUP BY 1, 2)
+           |  GROUP BY g)
+           |SELECT est.g AS event_type, est.n, ex.f2_exact, est.f2_est,
+           |       (abs(est.f2_est - ex.f2_exact) * 1000) // ex.f2_exact AS err_pm
+           |FROM est JOIN ex USING (g)""".stripMargin,
     "q_hll_distinct" ->
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,

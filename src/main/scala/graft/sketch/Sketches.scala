@@ -641,6 +641,36 @@ object Sketches {
       scaled(unionN).as("est_union"), jacc.as("jacc_pm"))
   }
 
+  /** AMS second-moment (F2) sketch — the skew detector: F2 = Σ_k f_k²
+    * over a key column is exactly the quantity that predicts hash-join
+    * build-chain length and shuffle-partition blow-up on a hot key,
+    * and the AMS tug-of-war sketch (Alon–Matias–Szegedy 1996)
+    * estimates it in O(lanes) space per group from ONE scan, no
+    * (group, key) aggregate anywhere. Lane j keeps Z_j = Σ_x s_j(x)
+    * with s_j(x) = ±1 from bit j of the portable 60-bit hash — so all
+    * 60 lanes ride a single md5 per row — and E[Z_j²] = F2. The whole
+    * sketch reduces to counting set bits per lane: Z_j = 2·ones_j − n,
+    * plain integer sums, so lane registers merge by addition (map-side
+    * partial aggregation IS the merge) and the estimate
+    * (Σ_j Z_j²) div lanes is bit-identical in any engine.
+    *
+    * Plan shape: scan → posexplode of the 60-bit lane array (partial
+    * agg collapses each partition to ≤ groups·60 rows before the one
+    * lane exchange) → per-group fold of the 60 lane rows. Nothing
+    * key-sized ever shuffles — at 100 TB the exact F2 (a full
+    * (group, key) aggregate over the hot column) is precisely the job
+    * this sketch exists to avoid. Returns (g, n, f2_est). */
+  def amsF2(df: DataFrame, group: Column, key: Column, lanes: Int = 60): DataFrame = {
+    require(lanes >= 1 && lanes <= 60, "portable hash provides 60 usable bits")
+    df.select(group.as("g"), graft.functions.Hashing.portableHash64(key).as("h"))
+      .select(col("g"), posexplode(expr(
+        s"transform(sequence(0, ${lanes - 1}), j -> shiftright(h, j) & CAST(1 AS BIGINT))")))
+      .groupBy(col("g"), col("pos")).agg(sum("col").as("ones"), count(lit(1)).as("n"))
+      .withColumn("z", lit(2L) * col("ones") - col("n"))
+      .groupBy(col("g")).agg(max("n").as("n"),
+        expr(s"sum(z * z) div ${lanes}").as("f2_est"))
+  }
+
   /** Pairwise overlap report across groups: one KMV sketch per group
     * (single corpus scan, map-side partial buffers), then the full
     * [[kmvSetAlgebra]] per group pair from the checkpointed

@@ -114,6 +114,30 @@ class SketchSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("amsF2 matches a literal tug-of-war replay and is partition-invariant") {
+    import graft.functions.Hashing
+    val keys = (0L until 400L).map(i => i % 37) // repeated keys, known freqs
+    val df = keys.toDF("k").withColumn("g", lit("a"))
+    val est = Sketches.amsF2(df.repartition(7), col("g"), col("k"))
+      .select("n", "f2_est").as[(Long, Long)].head()
+    // literal replay: same portable hash, per-lane ±1 sums, (Σ Z²) div 60
+    val hs = df.select(Hashing.portableHash64(col("k"))).as[Long].collect()
+    val zs = (0 until 60).map(j => hs.map(h => if (((h >> j) & 1L) == 1L) 1L else -1L).sum)
+    assert(est === ((400L, zs.map(z => z * z).sum / 60)))
+    val single = Sketches.amsF2(df.repartition(1), col("g"), col("k"))
+      .select("f2_est").as[Long].head()
+    assert(single === est._2) // integer lane sums: partition-free
+  }
+
+  test("amsF2 tracks a planted hot key: skewed F2 well above uniform F2") {
+    val uniform = (0L until 1000L).toDF("k").withColumn("g", lit("u"))
+    // same row count, but one key owns half the rows: F2 ≈ 250k vs 1k
+    val skewed = ((0L until 500L) ++ Seq.fill(500)(9999L)).toDF("k").withColumn("g", lit("s"))
+    val out = Sketches.amsF2(uniform.union(skewed), col("g"), col("k"))
+      .select("g", "f2_est").as[(String, Long)].collect().toMap
+    assert(out("s") > out("u") * 20, s"skewed ${out("s")} vs uniform ${out("u")}")
+  }
+
   test("kmv sketch is the k smallest distinct hashes, partition-invariant") {
     val hashes = spark.range(4000).select((xxhash64(col("id")) % 100000 + 100000) as "h")
     val one = hashes.repartition(1).select(Sketches.kmv(col("h"), 32)).as[Seq[Long]].head()
