@@ -66,6 +66,95 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
+    * Pedersen 2004): the teleport mass lands ONLY on a trusted seed
+    * set, so rank measures proximity to the seeds — the web-spam /
+    * crawl-quality algorithm: seed a registry of known-good domains,
+    * propagate trust along links, read low scores as spam risk. Same
+    * fixed-iteration scaled-integer discipline as [[pageRank]]
+    * (initial mass scale/|seeds| on the seeds, 0 elsewhere; per round
+    * v gets seed(v)·(15·base) div 100 + 85% of incoming), so the
+    * oracle replays the chain bit-for-bit. `seeds` is a 1-column
+    * (`id`) relation; seeds absent from the graph are ignored.
+    * Plan shape per iteration identical to [[pageRank]]; the seed
+    * flag rides the node list (one extra node-sized left join at
+    * build time, nothing per-iteration). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0)
+    val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
+    val nodes0 = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val nodes = Checkpoints.eager(
+      nodes0.join(seeds.select(col("id")).distinct().withColumn("__s", lit(1L)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("seed")))
+    val ns = nodes.agg(sum("seed")).head().getLong(0)
+    require(ns > 0, "no seed appears in the graph")
+    val base = scale / ns
+    val tele = (15L * base) / 100L
+    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"))
+    Checkpoints.release(e)
+
+    var pr = nodes.select(col("id"), (col("seed") * base).as("pr"))
+    var prCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr div d").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("seed") * tele + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+      if (i % 4 == 0 && i < iters) {
+        pr = Checkpoints.eager(pr)
+        if (prCkpt != null) Checkpoints.release(prCkpt)
+        prCkpt = pr
+      }
+    }
+    pr
+  }
+
+  /** Weighted PageRank: like [[pageRank]] but each `(src, dst, w)`
+    * edge carries a positive integer weight and a node's rank splits
+    * proportionally — contribution (pr·w) div W_src with W_src the
+    * node's total outgoing weight. Multi-edges are pre-summed here so
+    * callers can hand raw pair streams. Same fixed-iteration
+    * scaled-integer discipline (pr·w ≤ scale·W must fit a long:
+    * fine for scale 10^12 and per-edge weights < 10^6 — corpus-level
+    * co-occurrence weights beyond that should be pre-bucketed).
+    * Plan shape per iteration matches [[pageRank]]: one
+    * co-partitioned join chain on src, one aggregate on dst. */
+  def pageRankWeighted(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0)
+    val e = Checkpoints.eager(
+      edges.select(col("src"), col("dst"), col("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
+    val nodes = Checkpoints.eager(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    val base = scale / n
+    val tele = (15L * base) / 100L
+    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src"))
+    Checkpoints.release(e)
+
+    var pr = nodes.withColumn("pr", lit(base))
+    var prCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("(pr * w) div wsum").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+      if (i % 4 == 0 && i < iters) {
+        pr = Checkpoints.eager(pr)
+        if (prCkpt != null) Checkpoints.release(prCkpt)
+        prCkpt = pr
+      }
+    }
+    pr
+  }
+
   /** Triangle enumeration over undirected canonical edges (`a` < `b`
     * per row), degree-oriented (Cohen's MapReduce algorithm / the
     * Suri–Vassilvitskii shape): orient every edge from its

@@ -246,6 +246,22 @@ object PipelineQueries {
           (col("l_suppkey") * 2 + 1).as("dst")),
         iters = 3)),
 
+    // TrustRank over the UNDIRECTED part↔supplier sourcing graph:
+    // teleport mass restricted to the trusted supplier registry
+    // (s_suppkey ≡ 0 mod 5 — the stand-in for a vetted-domain list),
+    // 3 fixed iterations, scaled-integer — proximity-to-seeds trust
+    // scores, the crawl-quality propagation algorithm.
+    "q_trustrank" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(pmod(col("s_suppkey"), lit(5)) === 0)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+    }),
+
     // Nested-JSON round trip: pack each order's line items into one
     // JSON document, re-parse with an explicit from_json schema, and
     // shred back to typed rows. The oracle computes the equivalent
@@ -541,6 +557,43 @@ object PipelineQueries {
         |    GROUP BY e.dst) c ON nd.id = c.id),
         |it3 AS (
         |  SELECT nd.id, (15 * b.base) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it2 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id)
+        |SELECT id, pr FROM it3""".stripMargin,
+    "q_trustrank" ->
+      """WITH e0 AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |nodes0 AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS id FROM supplier
+        |       WHERE s_suppkey % 5 = 0),
+        |nodes AS (
+        |  SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS seed
+        |  FROM nodes0 n LEFT JOIN sd s ON n.id = s.id),
+        |params AS (SELECT 1000000000000 // CAST(sum(seed) AS BIGINT) AS base FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |it0 AS (SELECT nd.id, nd.seed * b.base AS pr FROM nodes nd CROSS JOIN params b),
+        |it1 AS (
+        |  SELECT nd.id, nd.seed * ((15 * b.base) // 100) + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it0 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id),
+        |it2 AS (
+        |  SELECT nd.id, nd.seed * ((15 * b.base) // 100) + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes nd CROSS JOIN params b
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+        |    FROM edges e JOIN it1 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nd.id = c.id),
+        |it3 AS (
+        |  SELECT nd.id, nd.seed * ((15 * b.base) // 100) + (85 * COALESCE(c.s, 0)) // 100 AS pr
         |  FROM nodes nd CROSS JOIN params b
         |  LEFT JOIN (
         |    SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s

@@ -15,6 +15,14 @@ object TextQueries {
   private val stopList = TextAnalysis.enStopwords
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5/50c TextRank keywords: PageRank over the token
+    // co-occurrence graph (2-token window, in-row pair generation,
+    // vocabulary-sized edge set) — rewards connectivity, not raw
+    // frequency; 3 fixed scaled-integer iterations, oracle replays
+    // the whole chain.
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir), col("text"))),
+
     // §2.5/32 token counting: whitespace + BPE-ish pre-tokenizer.
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -437,7 +445,46 @@ object TextQueries {
 
   private val stopSqlList = stopList.map(w => s"'$w'").mkString(", ")
 
+  /** Full weighted-TextRank replay: positional tokenization, windowed
+    * co-occurrence pair COUNTS, mirrored weighted edges, and the same
+    * 3-iteration scaled-integer weighted-PageRank chain shape as
+    * q_pagerank's oracle (contribution (pr·w) // W_src) — generated
+    * per iteration so iters edits can't desync the two sides. */
+  private val textRankSql: String = {
+    val iters = 3
+    val its = (1 to iters).map { i =>
+      s"""it$i AS (
+         |  SELECT nd.id, (15 * b.base) // 100 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |  FROM nodes nd CROSS JOIN params b
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(p.pr * e.w // d.wsum) AS BIGINT) AS s
+         |    FROM edges e JOIN it${i - 1} p ON e.src = p.id JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON nd.id = c.id),""".stripMargin
+    }.mkString("\n")
+    raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(range(len(toks))) AS tp, unnest(toks) AS tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+         |        FROM documents)),
+         |cp AS (
+         |  SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y,
+         |         count(*) AS w
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.tp IN (a.tp + 1, a.tp + 2)
+         |  WHERE a.tok <> b.tok GROUP BY 1, 2),
+         |edges AS (SELECT x AS src, y AS dst, w FROM cp
+         |          UNION ALL SELECT y, x, w FROM cp),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |params AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+         |it0 AS (SELECT nd.id, b.base AS pr FROM nodes nd CROSS JOIN params b),
+         |$its
+         |r AS (SELECT id, pr,
+         |             CAST(row_number() OVER (ORDER BY pr DESC, id ASC) AS INTEGER) AS rank
+         |      FROM it$iters ORDER BY pr DESC, id ASC LIMIT 40)
+         |SELECT id AS token, pr, rank FROM r""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_textrank" -> textRankSql,
     "q_winnow" -> {
       val (k, w) = (PrepParams.WinnowK, PrepParams.WinnowW)
       raw"""WITH g AS (

@@ -412,6 +412,48 @@ object TextAnalysis {
         sum(when(col("cnt") <= rareMax, col("tf")).otherwise(lit(0L))).cast("bigint").as("n_rare"))
       .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_bigrams"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, weighted
+    * variant): PageRank over the token co-occurrence graph — tokens
+    * are nodes, an edge connects tokens appearing within a 2-token
+    * window, its weight the corpus-wide co-occurrence count, and the
+    * stationary importance score ranks keywords. Unlike raw
+    * frequency (q_vocab), TextRank rewards tokens whose
+    * co-occurrences concentrate on well-connected partners; the
+    * weighted form stays discriminative even when a small vocabulary
+    * makes the unweighted graph complete.
+    *
+    * Scale shape: co-occurrence pairs are generated IN-ROW from each
+    * doc's token array (flatten/transform — no positional self-join,
+    * which would shuffle every token twice), then canonicalized and
+    * count-aggregated to the vocabulary²-bounded weighted edge set;
+    * that tiny graph is checkpointed once, mirrored, and handed to
+    * the scaled-integer [[graft.operators.GraphOps.pageRankWeighted]]
+    * (3 fixed iterations — bit-identical to the oracle's chained-CTE
+    * replay). The corpus is scanned exactly once; everything after
+    * the pair aggregate is vocabulary-sized. Top-k runs as
+    * TakeOrdered, the rank window only over the k survivors. */
+  def textRank(df: DataFrame, text: Column, iters: Int = 3, topK: Int = 40): DataFrame = {
+    val pairs = df
+      .select(tokenize(lower(text)).as("w"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, greatest(size(w) - 1, 1)), i -> filter(array(" +
+          "named_struct('a', element_at(w, i), 'b', try_element_at(w, i + 1)), " +
+          "named_struct('a', element_at(w, i), 'b', try_element_at(w, i + 2))), " +
+          "p -> p.b IS NOT NULL AND p.a <> p.b)))")).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("x"),
+        greatest(col("p.a"), col("p.b")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val und = graft.operators.Checkpoints.eager(pairs)
+    val edges = und.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .union(und.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    val ranked = graft.operators.GraphOps.pageRankWeighted(edges, iters)
+      .orderBy(col("pr").desc, col("id").asc).limit(topK)
+    ranked.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("id").asc)))
+      .select(col("id").as("token"), col("pr"), col("rank"))
+  }
+
   /** The unigram-LM table itself: (t, cnt) corpus token frequencies —
     * the "trained model" half of [[lmScore]], reusable to score OTHER
     * corpora/batches against this reference distribution. */

@@ -38,6 +38,50 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("pageRankWeighted splits rank proportionally to edge weight") {
+    // 1→2 (w=3), 1→3 (w=1): wsum(1)=4; contrib 2 ← (333*3) div 4 = 249,
+    // 3 ← (333*1) div 4 = 83; pr1: 2 → 49 + (85*249) div 100 = 260,
+    // 3 → 49 + (85*83) div 100 = 119, 1 → 49
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = GraphOps.pageRankWeighted(we, iters = 1, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 49L, 2L -> 260L, 3L -> 119L))
+  }
+
+  test("pageRankWeighted with unit weights equals unweighted pageRank; multi-edges pre-sum") {
+    val unit = edges.withColumn("w", lit(1L))
+    val w = GraphOps.pageRankWeighted(unit, 3, 1000L).as[(Long, Long)].collect().toMap
+    val u = GraphOps.pageRank(edges, 3, 1000L).as[(Long, Long)].collect().toMap
+    assert(w === u)
+    // the same edge twice at w=1 equals once at w=2 (ratios unchanged
+    // here since node 1's mass splits 2:1 either way)
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(GraphOps.pageRankWeighted(dup, 2, 1000L).as[(Long, Long)].collect().toMap
+      === GraphOps.pageRankWeighted(merged, 2, 1000L).as[(Long, Long)].collect().toMap)
+  }
+
+  test("personalizedPageRank: teleport lands only on seeds, trust decays with distance") {
+    // chain 1→2→3→4 plus seed 1: mass enters at 1 and halves (85%,
+    // then integer floors) per hop; non-seed sources hold 0 inflow
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphOps.personalizedPageRank(chain, seeds, iters = 3, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    // base = 1000, tele = 150 on the seed only; hand-traced wave:
+    // it1 (150, 850, 0, 0) → it2 (150, 127, 722, 0) →
+    // it3 (150, 127, 107, 613) — the sink holds the travelling pulse
+    assert(out === Map(1L -> 150L, 2L -> 127L, 3L -> 107L, 4L -> 613L))
+    // a node with no path from any seed gets exactly 0
+    val two = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val o2 = GraphOps.personalizedPageRank(two, seeds, 2, 1000L).as[(Long, Long)].collect().toMap
+    assert(o2(3L) === 0L && o2(4L) === 0L)
+    // seeds absent from the graph are ignored; all-absent seeds refuse
+    assertThrows[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(chain, Seq(99L).toDF("id"), 1, 1000L)
+    }
+  }
+
   test("triangles enumerates each triangle exactly once (K4 + tail)") {
     // K4 on {1..4} (4 triangles) + a tail 4-5-6 (none)
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
