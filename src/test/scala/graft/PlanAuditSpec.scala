@@ -159,6 +159,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_label_confusion")) === 3) // 2 tiny centroid + (true, pred) count
   }
 
+  test("q_hard_negatives: bounded heaps + checkpointed survivors keep the pos/neg join tiny") {
+    // broadcast anchors × ONE corpus scan → GroupTopK exchange on
+    // (q_id, is_neg), hidden behind the survivor checkpoint; the
+    // visible tail is the pos⋈neg join's two anchor-sized exchanges
+    assert(keyShuffles(plan("q_hard_negatives")) === 2)
+  }
+
+  test("q_f2_skew: lane registers and the exact audit side, nothing key-sized beyond them") {
+    // sketch half: lane agg (g, lane) + per-group fold (g); exact
+    // audit half: (g, key) counts + (g) fold; the join reuses the g
+    // partitioning of both folds
+    assert(keyShuffles(plan("q_f2_skew")) === 4)
+  }
+
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
     // broadcast queries × corpus scan → GroupTopK exchange on q_id;
     // the vote groupBy (q_id, …) and the argmax window (q_id) must
@@ -177,6 +191,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // per-round shape, not total work.
   private val shuffleBudgets: Map[String, Int] = Map(
     "q_lang_profile" -> 4, "q_pagerank" -> 6, "q_tfidf" -> 4,
+    // q_textrank / q_trustrank: same stacked per-round shape as
+    // q_pagerank (checkpoints truncate the loop); textrank's extra
+    // pair aggregate hides behind the edge checkpoint
+    "q_textrank" -> 6, "q_trustrank" -> 6,
     "q_tpch_q3" -> 1, "q_tpch_q4" -> 2, "q_tpch_q5" -> 1,
     "q_tpch_q7" -> 1, "q_tpch_q8" -> 1, "q_tpch_q10" -> 1,
     "q_tpch_q18" -> 1, "q_star_join" -> 1, "q_pipeline" -> 2,

@@ -26,7 +26,8 @@ object ProfileShuffles {
       "q_gopher_rules", "q_c4_rules",
       "q_unimax", "q_unimax_sample", "q_dsir", "q_hash_embed", "q_text_knn",
       "q_nb_eval", "q_centroid_eval", "q_bloom_novel",
-      "q_rep_signals", "q_datasheet", "q_phrase_search", "q_scene_cuts")
+      "q_rep_signals", "q_datasheet", "q_phrase_search", "q_scene_cuts",
+      "q_textrank", "q_trustrank")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
