@@ -187,6 +187,41 @@ object TemporalJoins {
       .drop("__b", "__pt", "__start", "__end")
   }
 
+  /** Interval×interval OVERLAP join — the two-sided generalization of
+    * [[rangeJoinBucketed]]: pairs of same-`key` intervals with
+    * `aStart <= bEnd && bStart <= aEnd`. Both sides replicate to the
+    * time buckets they span; the equality join on (key, bucket) is
+    * the only exchange, and each qualifying pair is emitted EXACTLY
+    * once — in the bucket containing the overlap's start
+    * (max(aStart, bStart)) — so no post-join distinct is ever needed
+    * (a distinct would re-shuffle the full pair stream, the expensive
+    * relation). Caller disambiguates column names before a self-join.
+    * `bucketUs` sizing as in [[rangeJoinBucketed]]: near the typical
+    * interval length. */
+  def intervalJoinBucketed(
+      a: DataFrame,
+      b: DataFrame,
+      key: String,
+      aStart: Column,
+      aEnd: Column,
+      bStart: Column,
+      bEnd: Column,
+      bucketUs: Long
+  ): DataFrame = {
+    val l = a
+      .withColumn("__as", aStart)
+      .withColumn("__ae", aEnd)
+      .withColumn("__b", explode(sequence(floor(col("__as") / bucketUs), floor(col("__ae") / bucketUs))))
+    val r = b
+      .withColumn("__bs", bStart)
+      .withColumn("__be", bEnd)
+      .withColumn("__b", explode(sequence(floor(col("__bs") / bucketUs), floor(col("__be") / bucketUs))))
+    l.join(r, Seq(key, "__b"))
+      .filter(col("__as") <= col("__be") && col("__bs") <= col("__ae"))
+      .filter(col("__b") === floor(greatest(col("__as"), col("__bs")) / bucketUs))
+      .drop("__b", "__as", "__ae", "__bs", "__be")
+  }
+
   /** SCD type-2 dimension builder: turn a change log (one row per
     * attribute change) into validity intervals — each row becomes
     * valid from its own timestamp until the key's NEXT change

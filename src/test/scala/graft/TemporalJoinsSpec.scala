@@ -87,6 +87,35 @@ class TemporalJoinsSpec extends SparkSpecBase {
       (4L, Some("gold")), (5L, Some("bronze"))))
   }
 
+  test("intervalJoinBucketed: overlap semantics, emitted exactly once across buckets") {
+    // intervals deliberately span MANY buckets (bucket=100, lengths up
+    // to 1500) so a pair can co-occur in several — the collect below
+    // is a BAG (Seq), so any double emission fails the multiset compare
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong)).zipWithIndex
+      .map { case ((k, s), i) => (k, s, s + rnd.nextInt(1500).toLong, i.toLong) }
+      .toDF("k", "as_", "ae", "aid")
+    val right = Seq.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong)).zipWithIndex
+      .map { case ((k, s), i) => (k, s, s + rnd.nextInt(1500).toLong, i.toLong) }
+      .toDF("k", "bs", "be", "bid")
+    val bucketed = TemporalJoins
+      .intervalJoinBucketed(left, right, "k",
+        col("as_"), col("ae"), col("bs"), col("be"), bucketUs = 100)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = left.join(right, Seq("k"))
+      .filter(col("as_") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    assert(bucketed === naive)
+    assert(naive.nonEmpty && naive.distinct.size === naive.size)
+    // touching endpoints count as overlap; disjoint intervals don't
+    val l1 = Seq((1L, 0L, 10L, 0L)).toDF("k", "as_", "ae", "aid")
+    val r1 = Seq((1L, 10L, 20L, 0L), (1L, 11L, 20L, 1L)).toDF("k", "bs", "be", "bid")
+    val touch = TemporalJoins.intervalJoinBucketed(l1, r1, "k",
+      col("as_"), col("ae"), col("bs"), col("be"), bucketUs = 4)
+      .select("bid").as[Long].collect().toSeq
+    assert(touch === Seq(0L))
+  }
+
   test("rangeJoinBucketed equals the naive inequality join") {
     val rnd = new scala.util.Random(7)
     val points = Seq.fill(300)((rnd.nextInt(3).toLong, rnd.nextInt(10000).toLong)).zipWithIndex
