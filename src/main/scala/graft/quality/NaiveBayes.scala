@@ -157,4 +157,44 @@ object NaiveBayes {
     classify(df.filter(!isHeld), text, id, label,
       df.filter(isHeld), text, id, label, buckets, scaleBits)
   }
+
+  /** Margin-calibration (reliability) report over the held-out probe:
+    * does the classifier's CONFIDENCE mean anything? Confidence is the
+    * integer log-score margin s₁ − s₂ between the best and runner-up
+    * class (the logit-margin standard when scores aren't normalized
+    * probabilities — no transcendental softmax anywhere), bucketed
+    * into FIXED-width integer bins (`marginWidth` qlog64 units):
+    * equal-width, not equal-population, so no global ntile sort —
+    * binning is a pure scan over the held-out slice and the report
+    * aggregate is bin-count-sized. A trustworthy score shows acc_pm
+    * rising with margin_bin; a flat profile says the margin carries
+    * no signal and a downstream gate shouldn't threshold on it.
+    * Docs where only one class scores (no runner-up) are excluded —
+    * margin is undefined there. Columns:
+    * (margin_bin, n, n_correct, acc_pm), all integers. */
+  def holdoutCalibration(df: DataFrame, text: Column, id: Column, label: Column,
+      holdMod: Int, buckets: Int = 256, scaleBits: Int = 40,
+      marginWidth: Long = 128L): DataFrame = {
+    val isHeld = pmod(id, lit(holdMod.toLong)) === 0
+    val m = model(df.filter(!isHeld), text, id, label, buckets, scaleBits)
+    val testTok = tokens(df.filter(isHeld), text, id, label, buckets)
+    val scored = testTok
+      .join(broadcast(m), Seq("f"))
+      .groupBy(col("doc_id"), col("true_label"), col("lab"))
+      .agg((sum("w") + max("prior")).as("score"))
+    val rk = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lab").asc))
+    // top-2 per doc in the ONE doc_id exchange; the per-doc pivot
+    // reuses that clustering (groupBy doc_id), so no further shuffle
+    val per = scored.withColumn("__rk", rk).filter(col("__rk") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("__rk") === 1, (col("true_label") === col("lab")).cast("long"))).as("ok"),
+        max(when(col("__rk") === 1, col("score"))).as("s1"),
+        max(when(col("__rk") === 2, col("score"))).as("s2"))
+      .filter(col("s2").isNotNull)
+    per.groupBy(expr(s"(s1 - s2) div $marginWidth").as("margin_bin"))
+      .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+      .withColumn("acc_pm", expr("(n_correct * 1000) div n"))
+  }
 }

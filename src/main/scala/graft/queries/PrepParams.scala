@@ -97,6 +97,11 @@ object PrepParams {
   val NbHoldMod = 4
   val NbScaleBits = 40
 
+  /** q_nb_calibration margin-bin width in qlog64 score units: held-out
+    * margins span ≈15–700 on the sf corpora, so 128 spreads them over
+    * ~5 equal-width bins with double-digit populations each. */
+  val NbCalibWidth = 128L
+
   // q_dsir: hashed unigram+bigram buckets, fixed-point log scale, and
   // the deterministic top-k. 512 buckets give the ~31-token synthetic
   // vocabulary's ~900 distinct bigrams a low-collision grid; k = 60

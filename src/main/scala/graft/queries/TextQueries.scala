@@ -250,6 +250,17 @@ object TextQueries {
         holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
         scaleBits = PrepParams.NbScaleBits)),
 
+    // §2.5/31e3 margin-calibration (reliability) report over the NB
+    // probe: fixed-width integer log-score-margin bins vs per-bin
+    // accuracy — is the classifier's confidence worth thresholding
+    // on? No softmax, no global ntile sort; shares the oracle CTE
+    // chain with q_nb_quality.
+    "q_nb_calibration" -> ((s, dir) =>
+      graft.quality.NaiveBayes.holdoutCalibration(
+        Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"),
+        holdMod = PrepParams.NbHoldMod, buckets = PrepParams.NbBuckets,
+        scaleBits = PrepParams.NbScaleBits, marginWidth = PrepParams.NbCalibWidth)),
+
     // §2.5/31j DSIR importance resampling (arXiv:2302.03169): select
     // the raw docs whose hashed unigram+bigram distribution looks
     // like the target domain (lang='en' plays the target sample) —
@@ -956,6 +967,7 @@ object TextQueries {
            |)""".stripMargin,
 
     "q_nb_quality" -> nbQualitySql,
+    "q_nb_calibration" -> nbCalibrationSql,
     "q_nb_eval" -> EvalSql.over(nbQualitySql, "true_label", "pred_label"),
     "q_dsir" -> dsirSql,
     "q_curation" ->
@@ -1254,11 +1266,15 @@ object TextQueries {
 
   /** Full NB replay: training (counts, smoothing, priors) AND
     * inference (weight sum + argmax) in one DuckDB query. */
-  private lazy val nbQualitySql: String = {
+  /** The NB chain through `fin` (per held-out doc, every class's
+    * integer score) — shared by q_nb_quality's argmax replay and
+    * q_nb_calibration's margin-bin replay so the training/scoring
+    * replay can't drift between the two gates. */
+  private lazy val nbFinCtes: String = {
     val b = PrepParams.NbBuckets
     val m = PrepParams.NbHoldMod
     val scale = 1L << PrepParams.NbScaleBits
-    raw"""WITH tok AS (
+    raw"""tok AS (
          |  SELECT doc_id, true_label,
          |         ('0x' || substr(md5(t), 1, 7))::BIGINT % $b AS f
          |  FROM (SELECT doc_id, lang AS true_label,
@@ -1295,12 +1311,35 @@ object TextQueries {
          |fin AS (
          |  SELECT sc.doc_id, sc.true_label, sc.lab, sc.sw + pri.prior AS score
          |  FROM sc JOIN pri ON sc.lab = pri.lab
-         |)
+         |)""".stripMargin
+  }
+
+  private lazy val nbQualitySql: String =
+    raw"""WITH $nbFinCtes
          |SELECT doc_id, true_label, pred_label, score, correct FROM (
          |  SELECT doc_id, true_label, lab AS pred_label, score,
          |         CAST(true_label = lab AS INT) AS correct,
          |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab ASC) AS rk
          |  FROM fin
          |) WHERE rk = 1""".stripMargin
-  }
+
+  /** Margin-calibration replay: top-2 scores per doc from the shared
+    * chain, fixed-width integer margin bins, per-bin accuracy. */
+  private lazy val nbCalibrationSql: String =
+    raw"""WITH $nbFinCtes,
+         |sel AS (
+         |  SELECT doc_id,
+         |         max(CASE WHEN rk = 1 THEN CAST(true_label = lab AS BIGINT) END) AS ok,
+         |         max(CASE WHEN rk = 1 THEN score END) AS s1,
+         |         max(CASE WHEN rk = 2 THEN score END) AS s2
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                     ORDER BY score DESC, lab ASC) AS rk
+         |        FROM fin)
+         |  WHERE rk <= 2 GROUP BY doc_id
+         |)
+         |SELECT (s1 - s2) // ${PrepParams.NbCalibWidth} AS margin_bin,
+         |       count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+         |       (CAST(sum(ok) AS BIGINT) * 1000) // count(*) AS acc_pm
+         |FROM sel WHERE s2 IS NOT NULL
+         |GROUP BY 1""".stripMargin
 }

@@ -66,6 +66,28 @@ class NaiveBayesSpec extends SparkSpecBase {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(5L))
   }
 
+  test("holdoutCalibration bins margins, partitions the held-out slice, exact integer accuracy") {
+    // hold out docs 3 and 6 (mod 3): both score against the
+    // disjoint-vocabulary model with a large positive margin → one
+    // populated high-confidence region, every doc correct
+    val out = NaiveBayes.holdoutCalibration(
+      fixture, col("text"), col("doc_id"), col("label"), holdMod = 3, marginWidth = 64L)
+      .select("margin_bin", "n", "n_correct", "acc_pm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum === 2L) // every held-out doc lands in exactly one bin
+    out.foreach { case (_, n, ok, pm) =>
+      assert(ok === n && pm === 1000L)
+    }
+    // a misleading score must show up as sub-1000 acc_pm: flip one
+    // held-out doc's label so its (confident) prediction is wrong
+    val flipped = fixture.withColumn("label",
+      when(col("doc_id") === 3L, lit("hardware")).otherwise(col("label")))
+    val bad = NaiveBayes.holdoutCalibration(
+      flipped, col("text"), col("doc_id"), col("label"), holdMod = 3, marginWidth = 64L)
+      .select("n", "n_correct").as[(Long, Long)].collect()
+    assert(bad.map(_._1).sum === 2L && bad.map(_._2).sum === 1L)
+  }
+
   test("unseen-vocabulary doc falls back to priors with ASC tie-break") {
     // 'zzz' hashes to some bucket; both classes have symmetric counts
     // for it (zero), class masses are equal (15 tokens each), and doc
