@@ -18,6 +18,10 @@ case class TDBuf(means: Array[Double], weights: Array[Long])
 /** Count-Min buffer: flattened d×w counter table + total input count. */
 case class CMSBuf(table: Array[Long], n: Long)
 
+/** AMS tug-of-war buffer: lanes ones-counters + the row count in the
+  * last slot. */
+case class F2Buf(regs: Array[Long])
+
 /** KMV buffer: the k smallest DISTINCT hash values seen, sorted
   * ascending. Doubles as the finished sketch. */
 case class KmvBuf(hashes: Array[Long])
@@ -641,6 +645,45 @@ object Sketches {
       scaled(unionN).as("est_union"), jacc.as("jacc_pm"))
   }
 
+  /** AMS tug-of-war register aggregator: `lanes` ones-counters (lane
+    * j counts rows whose portable-hash bit j is set) plus the row
+    * count in the last slot — Z_j = 2·ones_j − n derives at finish.
+    * Plain element-wise sums, so partial buffers merge by addition
+    * (map-side combine IS the merge) and the same aggregator runs
+    * unchanged under a streaming window group. Finish = the F2
+    * estimate (Σ_j Z_j²) div lanes, identical to [[amsF2]]'s
+    * formulation. */
+  class AmsF2(lanes: Int) extends Aggregator[Long, F2Buf, Long] {
+    override def zero: F2Buf = F2Buf(new Array[Long](lanes + 1))
+    override def reduce(b: F2Buf, h: Long): F2Buf = {
+      val r = b.regs
+      var j = 0
+      while (j < lanes) { r(j) += (h >>> j) & 1L; j += 1 }
+      r(lanes) += 1L
+      b
+    }
+    override def merge(a: F2Buf, b: F2Buf): F2Buf = {
+      var j = 0
+      while (j <= lanes) { a.regs(j) += b.regs(j); j += 1 }
+      a
+    }
+    override def finish(b: F2Buf): Long = {
+      val n = b.regs(lanes)
+      var s = 0L
+      var j = 0
+      while (j < lanes) { val z = 2L * b.regs(j) - n; s += z * z; j += 1 }
+      s / lanes
+    }
+    override def bufferEncoder: Encoder[F2Buf] = Encoders.product[F2Buf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column handle: F2 estimate of a pre-hashed (portable 60-bit)
+    * long column — the one-exchange form [[amsF2]] and the streaming
+    * monitor both ride. */
+  def amsF2Agg(hashed: Column, lanes: Int = 60): Column =
+    udaf(new AmsF2(lanes), Encoders.scalaLong).apply(hashed)
+
   /** AMS second-moment (F2) sketch — the skew detector: F2 = Σ_k f_k²
     * over a key column is exactly the quantity that predicts hash-join
     * build-chain length and shuffle-partition blow-up on a hot key,
@@ -654,21 +697,17 @@ object Sketches {
     * partial aggregation IS the merge) and the estimate
     * (Σ_j Z_j²) div lanes is bit-identical in any engine.
     *
-    * Plan shape: scan → posexplode of the 60-bit lane array (partial
-    * agg collapses each partition to ≤ groups·60 rows before the one
-    * lane exchange) → per-group fold of the 60 lane rows. Nothing
-    * key-sized ever shuffles — at 100 TB the exact F2 (a full
-    * (group, key) aggregate over the hot column) is precisely the job
-    * this sketch exists to avoid. Returns (g, n, f2_est). */
+    * Plan shape: scan → ONE (group) exchange of the [[AmsF2]]
+    * register buffers (map-side partial reduce collapses each
+    * partition to one 61-long buffer per group before the shuffle).
+    * Nothing key-sized ever shuffles — at 100 TB the exact F2 (a
+    * full (group, key) aggregate over the hot column) is precisely
+    * the job this sketch exists to avoid. Returns (g, n, f2_est). */
   def amsF2(df: DataFrame, group: Column, key: Column, lanes: Int = 60): DataFrame = {
     require(lanes >= 1 && lanes <= 60, "portable hash provides 60 usable bits")
     df.select(group.as("g"), graft.functions.Hashing.portableHash64(key).as("h"))
-      .select(col("g"), posexplode(expr(
-        s"transform(sequence(0, ${lanes - 1}), j -> shiftright(h, j) & CAST(1 AS BIGINT))")))
-      .groupBy(col("g"), col("pos")).agg(sum("col").as("ones"), count(lit(1)).as("n"))
-      .withColumn("z", lit(2L) * col("ones") - col("n"))
-      .groupBy(col("g")).agg(max("n").as("n"),
-        expr(s"sum(z * z) div ${lanes}").as("f2_est"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), amsF2Agg(col("h"), lanes).as("f2_est"))
   }
 
   /** Pairwise overlap report across groups: one KMV sketch per group

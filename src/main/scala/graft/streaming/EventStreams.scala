@@ -526,6 +526,25 @@ object EventStreams {
       .agg(graft.sketch.Sketches.hll(xxhash64(col("user_id")), p).as("approx_users"))
       .select(col("w.start").as("bucket"), col("event_type"), col("approx_users"))
 
+  /** Streaming windowed key-skew monitor: per (event-time window,
+    * event_type), the AMS tug-of-war F2 estimate over the key column
+    * — "did a hot key appear in the last hour" answered from 61 longs
+    * of state per group, no per-key counts anywhere. Identical
+    * register math to the batch [[graft.sketch.Sketches.amsF2]]
+    * (same aggregator class), so a window's estimate is bit-equal to
+    * running the batch sketch over that window's rows; mergeable
+    * buffers give map-side partial reduce and watermark-bounded
+    * state, the [[windowedDistinctUsers]] contract. */
+  def windowedKeySkew(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour", lanes: Int = 60): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.sketch.Sketches.amsF2Agg(
+          graft.functions.Hashing.portableHash64(col(keyCol)), lanes).as("f2_est"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("f2_est"))
+
   /** Streaming heavy hitters: per event-time window, the Misra-Gries
     * candidate set of the most frequent keys (xxhash64'd) plus the
     * window's total count. Same mergeable-Aggregator shape as

@@ -626,6 +626,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Seq(3L))
   }
 
+  test("windowedKeySkew: AMS F2 registers inside a streaming aggregate, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedKeySkew(mem.toDF(), "user_id", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wks").outputMode(OutputMode.Append()).start()
+    // a hot key (user 7) owning most of the window, split across TWO
+    // micro-batches so the register merge path runs
+    val rows = (1 to 20).map(i => Event(i.toLong, ts("2024-01-01 00:10:00"),
+      if (i <= 15) 7L else i.toLong, "click", 1.0))
+    mem.addData(rows.take(9): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(9): _*)
+    q.processAllAvailable()
+    mem.addData(Event(99L, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wks").filter(col("event_type") === "click")
+      .select("n", "f2_est").as[(Long, Long)].collect().toSeq
+    // batch replay of the same window's rows through the batch sketch
+    val batch = graft.sketch.Sketches.amsF2(
+      rows.toDF().withColumn("g", lit("click")), col("g"), col("user_id"))
+      .select("n", "f2_est").as[(Long, Long)].collect().toSeq
+    assert(got === batch)
+    assert(got.head._1 === 20L)
+    // the hot key should push the estimate well above the n of a
+    // uniform window (true F2 = 15² + 5 = 230)
+    assert(got.head._2 > 100L, got.toString)
+  }
+
   test("windowedQuantiles: t-digest inside a streaming aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
