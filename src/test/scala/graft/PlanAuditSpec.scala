@@ -167,10 +167,22 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q_f2_skew: lane registers and the exact audit side, nothing key-sized beyond them") {
-    // sketch half: lane agg (g, lane) + per-group fold (g); exact
-    // audit half: (g, key) counts + (g) fold; the join reuses the g
-    // partitioning of both folds
-    assert(keyShuffles(plan("q_f2_skew")) === 4)
+    // sketch half: ONE (g) exchange of 61-long register buffers
+    // (map-side partial reduce); exact audit half: (g, key) counts +
+    // (g) fold; the join reuses the g partitioning of both sides
+    assert(keyShuffles(plan("q_f2_skew")) === 3)
+  }
+
+  test("q_interval_join: the bucketed equality join is the only pair-stream path") {
+    // the per-(user, day) interval build hides behind its checkpoint;
+    // at sf0.001 stats elect a broadcast for the bucket join, leaving
+    // the (ua, ub) pair aggregate as the single key exchange — at
+    // scale the join hashes on (key, bucket), never on raw intervals
+    assert(keyShuffles(plan("q_interval_join")) === 1)
+  }
+
+  test("q_nb_calibration: the nb_quality model-build shape plus the one doc_id probe") {
+    assert(keyShuffles(plan("q_nb_calibration")) === 6)
   }
 
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
