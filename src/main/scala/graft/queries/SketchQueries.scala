@@ -30,6 +30,25 @@ object SketchQueries {
     * way, so the oracle replays it bit-for-bit at any k. */
   val KmvK = 16
 
+  /** q_join_discovery: the profiled key columns (display name, table,
+    * column) — ONE spec shared by the Spark lambda and the oracle
+    * builder so the two sides can't drift — and the per-column KMV
+    * size (64: containment per-mille needs a denser sample than the
+    * overlap matrix's 16). */
+  private[queries] val JoinDiscCols = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    // string columns: true negatives — sequential synthetic integer
+    // ids alias numerically (custkey values ⊂ partkey values), so the
+    // flag's discrimination shows on the cross-type pairs
+    ("documents.source", "documents", "source"),
+    ("events.event_type", "events", "event_type"))
+  val JoinDiscK = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.8/39c KMV theta-sketch set operations: per-source bottom-k
     // sketches over portable 60-bit text hashes, then pairwise overlap
@@ -41,6 +60,24 @@ object SketchQueries {
     "q_kmv_overlap" -> ((s, dir) =>
       Sketches.kmvOverlapReport(Tables.documents(s, dir), col("source"),
         col("text"), KmvK, "source_a", "source_b")),
+
+    // §2.8/39f join-key discovery: pairwise inclusion-dependency
+    // estimates over named key columns from different tables — KMV
+    // sketch per column, retained-sample containment per-mille in
+    // both directions, joinable flag at 900‰. Each table scanned
+    // once; the pair stage reads n_cols × k retained hashes.
+    "q_join_discovery" -> ((s, dir) => {
+      def tbl(n: String) = n match {
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "orders"   => Tables.orders(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case "part"     => Tables.part(s, dir)
+        case "documents" => Tables.documents(s, dir)
+        case "events"   => Tables.events(s, dir)
+      }
+      Sketches.inclusionReport(
+        JoinDiscCols.map { case (nm, t, c) => (nm, tbl(t), col(c)) }, JoinDiscK)
+    }),
 
     // §2.8/39e AMS F2 (tug-of-war) second-moment sketch: the skew
     // detector — per event_type, Σ f_k² over user_id estimated from 60
@@ -296,6 +333,60 @@ object SketchQueries {
     // same (k−1)·M/θ and common·M/θ divisions (every input exactly
     // representable in binary64, so floor() agrees across engines).
     "q_kmv_overlap" -> kmvOverlapSql,
+    // Full bit-for-bit replay of the inclusion profiling: same 60-bit
+    // hashes, same bottom-k sketches, same joint-θ retained-sample
+    // containment per-mille and capacity-aware distinct estimates.
+    "q_join_discovery" -> {
+      val k = JoinDiscK
+      val m = 1152921504606846976L // 2^60
+      val cols = JoinDiscCols.map { case (nm, t, c) =>
+        s"SELECT '$nm' AS g, CAST($c AS VARCHAR) AS v FROM $t"
+      }.mkString("\n  UNION ALL ")
+      raw"""WITH vals AS (
+           |  $cols),
+           |h AS (SELECT DISTINCT g, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hash FROM vals),
+           |r AS (
+           |  SELECT g, hash,
+           |         row_number() OVER (PARTITION BY g ORDER BY hash) AS rk,
+           |         count(*) OVER (PARTITION BY g) AS nd
+           |  FROM h),
+           |sk AS (SELECT g, hash, nd FROM r WHERE rk <= $k),
+           |par AS (
+           |  SELECT g,
+           |         CASE WHEN min(nd) < $k THEN CAST($m AS BIGINT) ELSE max(hash) END AS theta,
+           |         CASE WHEN min(nd) < $k THEN CAST(count(*) AS BIGINT)
+           |              ELSE CAST(floor(${k - 1}.0 * $m / CAST(max(hash) AS DOUBLE)) AS BIGINT)
+           |         END AS est
+           |  FROM sk GROUP BY g),
+           |pairs AS (
+           |  SELECT a.g AS ga, b.g AS gb, a.est AS ea, b.est AS eb,
+           |         LEAST(a.theta, b.theta) AS th
+           |  FROM par a JOIN par b ON a.g < b.g),
+           |an AS (SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n
+           |       FROM pairs p JOIN sk s ON s.g = p.ga AND s.hash <= p.th GROUP BY 1, 2),
+           |bn AS (SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n
+           |       FROM pairs p JOIN sk s ON s.g = p.gb AND s.hash <= p.th GROUP BY 1, 2),
+           |cm AS (SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n
+           |       FROM pairs p
+           |       JOIN sk x ON x.g = p.ga AND x.hash <= p.th
+           |       JOIN sk y ON y.g = p.gb AND y.hash = x.hash
+           |       GROUP BY 1, 2)
+           |SELECT p.ga AS col_a, p.gb AS col_b, p.ea AS est_a, p.eb AS est_b,
+           |       CASE WHEN coalesce(an.n, 0) = 0 THEN 0
+           |            ELSE (coalesce(cm.n, 0) * 1000) // an.n END AS cont_a_pm,
+           |       CASE WHEN coalesce(bn.n, 0) = 0 THEN 0
+           |            ELSE (coalesce(cm.n, 0) * 1000) // bn.n END AS cont_b_pm,
+           |       CAST(GREATEST(
+           |         CASE WHEN coalesce(an.n, 0) = 0 THEN 0
+           |              ELSE (coalesce(cm.n, 0) * 1000) // an.n END,
+           |         CASE WHEN coalesce(bn.n, 0) = 0 THEN 0
+           |              ELSE (coalesce(cm.n, 0) * 1000) // bn.n END) >= 900 AS INT) AS joinable
+           |FROM pairs p
+           |LEFT JOIN an ON an.ga = p.ga AND an.gb = p.gb
+           |LEFT JOIN bn ON bn.ga = p.ga AND bn.gb = p.gb
+           |LEFT JOIN cm ON cm.ga = p.ga AND cm.gb = p.gb""".stripMargin
+    },
+
     // Full bit-for-bit replay of the AMS math: same 60-bit md5 hash,
     // lane signs from its bits, Z_j = 2·ones_j − n, estimate
     // (Σ Z_j²) // 60 — all integer, so est AND exact hash-match.

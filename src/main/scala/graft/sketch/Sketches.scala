@@ -710,6 +710,44 @@ object Sketches {
       .agg(count(lit(1)).as("n"), amsF2Agg(col("h"), lanes).as("f2_est"))
   }
 
+  /** Join-key discovery (inclusion-dependency profiling): given a set
+    * of named key columns from ARBITRARY tables, estimate for every
+    * pair how much of one column's value set is contained in the
+    * other's — the "which columns join" question a data-lake pipeline
+    * asks before it can do anything else with 100 TB of unfamiliar
+    * parquet. One KMV sketch per column (each table scanned once for
+    * its columns, map-side partial buffers); the pair stage reads
+    * only the n_cols × k retained hashes. Containment is measured on
+    * the retained sample below the joint θ — a uniform random subset
+    * of each value set — as exact integer per-mille
+    * ⌊1000·common/|side≤θ|⌋, direction-specific (o_custkey ⊆
+    * c_custkey holds; the reverse doesn't). `joinable` flags pairs
+    * where either direction clears 900‰. Columns: (col_a, col_b,
+    * est_a, est_b, cont_a_pm, cont_b_pm, joinable). */
+  def inclusionReport(columns: Seq[(String, DataFrame, Column)], k: Int): DataFrame = {
+    val union = columns.map { case (nm, df, c) =>
+      df.select(lit(nm).as("__g"), graft.functions.Hashing.portableHash64(c).as("h"))
+    }.reduce(_.union(_))
+    val sk = graft.operators.Checkpoints.eager(
+      union.groupBy("__g").agg(kmv(col("h"), k).as("sk"))
+        .select(col("__g"), col("sk"), kmvDistinctEstimate(col("sk"), k).as("est")))
+    val a = sk.select(col("__g").as("col_a"), col("sk").as("ska"), col("est").as("est_a"))
+    val b = sk.select(col("__g").as("col_b"), col("sk").as("skb"), col("est").as("est_b"))
+    a.join(b, col("col_a") < col("col_b"))
+      .withColumn("__th", least(kmvTheta(col("ska"), k), kmvTheta(col("skb"), k)))
+      .withColumn("__an", size(filter(col("ska"), h => h <= col("__th"))).cast("long"))
+      .withColumn("__bn", size(filter(col("skb"), h => h <= col("__th"))).cast("long"))
+      .withColumn("__cm",
+        size(filter(array_intersect(col("ska"), col("skb")), h => h <= col("__th"))).cast("long"))
+      .withColumn("cont_a_pm",
+        when(col("__an") === 0, lit(0L)).otherwise(expr("(__cm * 1000) div __an")))
+      .withColumn("cont_b_pm",
+        when(col("__bn") === 0, lit(0L)).otherwise(expr("(__cm * 1000) div __bn")))
+      .select(col("col_a"), col("col_b"), col("est_a"), col("est_b"),
+        col("cont_a_pm"), col("cont_b_pm"),
+        (greatest(col("cont_a_pm"), col("cont_b_pm")) >= 900).cast("int").as("joinable"))
+  }
+
   /** Pairwise overlap report across groups: one KMV sketch per group
     * (single corpus scan, map-side partial buffers), then the full
     * [[kmvSetAlgebra]] per group pair from the checkpointed

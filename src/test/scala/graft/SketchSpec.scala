@@ -114,6 +114,26 @@ class SketchSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("inclusionReport: below-capacity containment is exact and directional") {
+    // fk ⊆ pk strictly: every fk value is a pk value, only half the
+    // pk values are referenced; disjoint column shares nothing
+    val pk = (1L to 40L).toDF("id")
+    val fk = (1L to 40L by 2).toDF("ref")
+    val other = (1000L to 1019L).toDF("x")
+    val out = Sketches.inclusionReport(Seq(
+        ("a.pk", pk, col("id")), ("b.fk", fk, col("ref")), ("c.x", other, col("x"))),
+        k = 64)
+      .select("col_a", "col_b", "est_a", "est_b", "cont_a_pm", "cont_b_pm", "joinable")
+      .as[(String, String, Long, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // below capacity the sketch IS the value set: exact everything
+    val ab = out(("a.pk", "b.fk"))
+    assert(ab._3 === 40L && ab._4 === 20L)
+    assert(ab._5 === 500L && ab._6 === 1000L && ab._7 === 1) // fk fully inside pk
+    val ac = out(("a.pk", "c.x"))
+    assert(ac._5 === 0L && ac._6 === 0L && ac._7 === 0)
+  }
+
   test("amsF2 matches a literal tug-of-war replay and is partition-invariant") {
     import graft.functions.Hashing
     val keys = (0L until 400L).map(i => i % 37) // repeated keys, known freqs
