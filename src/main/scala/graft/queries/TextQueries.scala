@@ -23,6 +23,13 @@ object TextQueries {
     "q_textrank" -> ((s, dir) =>
       TextAnalysis.textRank(Tables.documents(s, dir), col("text"))),
 
+    // §2.5/31p vocabulary-coverage curve: occurrence mass covered by
+    // the top-k vocab entries per budget k — the vocab-sizing report;
+    // range-shuffled global rank, integer per-mille.
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), col("text"),
+        Seq(1L, 2L, 4L, 8L, 16L, 32L))),
+
     // §2.5/32 token counting: whitespace + BPE-ish pre-tokenizer.
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).mapRecords(
@@ -496,6 +503,19 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_textrank" -> textRankSql,
+    "q_vocab_coverage" ->
+      raw"""WITH f AS (
+           |  SELECT t, count(*) AS cnt
+           |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |        FROM documents)
+           |  GROUP BY t),
+           |r AS (SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank FROM f),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+           |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k)
+           |SELECT ks.k, CAST(sum(r.cnt) AS BIGINT) AS covered, tot.total,
+           |       (CAST(sum(r.cnt) AS BIGINT) * 1000) // tot.total AS coverage_pm
+           |FROM ks JOIN r ON r.rank <= ks.k CROSS JOIN tot
+           |GROUP BY ks.k, tot.total""".stripMargin,
     "q_winnow" -> {
       val (k, w) = (PrepParams.WinnowK, PrepParams.WinnowW)
       raw"""WITH g AS (

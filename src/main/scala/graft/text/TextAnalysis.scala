@@ -454,6 +454,31 @@ object TextAnalysis {
       .select(col("id").as("token"), col("pr"), col("rank"))
   }
 
+  /** Vocabulary-coverage curve: what fraction of all token
+    * OCCURRENCES do the top-k vocabulary entries cover, for each
+    * budget k — the report that sizes a tokenizer vocabulary (or a
+    * stopword list) before training one: the k where the curve
+    * saturates is the budget worth paying for. Frequencies aggregate
+    * once; ranking rides [[graft.operators.Ordering.globalRank]]'s
+    * RANGE shuffle (vocabulary-sized, never single-partition); each
+    * budget's covered mass is one broadcast-join + aggregate over the
+    * ranked vocab. Integer per-mille output replays exactly.
+    * Columns: (k, covered, total, coverage_pm). */
+  def vocabCoverage(df: DataFrame, text: Column, ks: Seq[Long]): DataFrame = {
+    val freq = tokenFrequencies(df, text)
+    val ranked = graft.operators.Checkpoints.eager(
+      graft.operators.Ordering.globalRank(freq, Seq(col("cnt").desc, col("t").asc)))
+    val total = ranked.agg(sum("cnt").as("total"))
+    val kdf = df.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    // globalRank is 0-based: the first k entries are rank < k
+    ranked.join(broadcast(kdf), col("rank") < col("k"))
+      .groupBy("k").agg(sum("cnt").as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total"),
+        expr("(covered * 1000) div total").as("coverage_pm"))
+  }
+
   /** The unigram-LM table itself: (t, cnt) corpus token frequencies —
     * the "trained model" half of [[lmScore]], reusable to score OTHER
     * corpora/batches against this reference distribution. */
