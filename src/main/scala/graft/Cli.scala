@@ -163,6 +163,17 @@ import graft.sources.PartitionedFiles
   *       C4 three-sentence-span dedup: delete all but the first
   *       occurrence of every duplicated 3-sentence span and rebuild
   *       (--emit spans: report the duplicated span occurrences)
+  *   skew           --group EXPR --key EXPR [--lanes 60]
+  *       AMS tug-of-war F2 skew report per group: (g, n, f2_est) —
+  *       hot-key detection in one scan, no per-key aggregate
+  *   keywords       --text text [--iters 3] [--top 40]
+  *       weighted-TextRank keyword extraction over the token
+  *       co-occurrence graph: (token, pr, rank)
+  *   triplets       --vec embedding --id vec_id --label label
+  *                  [--anchor-mod 10] [--k 5]
+  *       contrastive triplet mining: per anchor the rank-1 same-label
+  *       positive + k nearest cross-label negatives, margin
+  *       violations flagged
   *   phrase-search  --text text --id doc_id [--phrases PATH [--phrase-col phrase]]
   *                  [--n 3] [--top 5]
   *       exact phrase lookup: (phrase, doc_id, n_occurrences) rows,
@@ -905,6 +916,25 @@ object Cli {
           write(graft.text.Search.phraseOccurrences(df, text, id,
             phrases, expr(opts.getOrElse("phrase-col", "phrase")),
             expr(opts.getOrElse("phrase-col", "phrase"))))
+        case "skew" =>
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          write(graft.sketch.Sketches.amsF2(read(), group, key,
+            lanes = opts.getOrElse("lanes", "60").toInt))
+        case "keywords" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          write(graft.text.TextAnalysis.textRank(read(), text,
+            iters = opts.getOrElse("iters", "3").toInt,
+            topK = opts.getOrElse("top", "40").toInt))
+        case "triplets" =>
+          val vec = expr(opts.getOrElse("vec", fail("--vec COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val label = expr(opts.getOrElse("label", fail("--label COLUMN required")))
+          val corpus = graft.similarity.Similarity.prepareQuantized(read(), vec, id, label)
+          val anchors = corpus.filter(
+            pmod(col("vec_id"), lit(opts.getOrElse("anchor-mod", "10").toLong)) === 0)
+          write(graft.similarity.Similarity.mineTriplets(corpus, anchors,
+            k = opts.getOrElse("k", "5").toInt))
         case "kmv-overlap" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val group = expr(opts.getOrElse("group", "source"))

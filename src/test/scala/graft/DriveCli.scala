@@ -829,6 +829,54 @@ object DriveCli {
       spark.stop()
     }
 
+    // skew: AMS F2 report, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "skew", "--group", "source", "--key", "lang",
+      "--outfile", s"$tmp/skew"))
+    locally {
+      val spark = GraftSession.builder("verifySkew", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/skew")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.sketch.Sketches.amsF2(in, col("source"), col("lang"))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"SKEW=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
+    // keywords: weighted TextRank, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "keywords", "--text", "text", "--top", "10",
+      "--outfile", s"$tmp/keywords"))
+    locally {
+      val spark = GraftSession.builder("verifyKw", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/keywords")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.text.TextAnalysis.textRank(in, col("text"), topK = 10)
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"KEYWORDS=${out.count()} OK=${same && out.count() == 10}")
+      spark.stop()
+    }
+
+    // triplets: hard-negative mining over embeddings, library parity
+    Cli.main(Array("-i", emb, "-f", "parquet",
+      "triplets", "--vec", "embedding", "--id", "vec_id", "--label", "label",
+      "--anchor-mod", "25", "--k", "3", "--outfile", s"$tmp/triplets"))
+    locally {
+      val spark = GraftSession.builder("verifyTrip", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/triplets")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, emb)
+      val corpus = graft.similarity.Similarity.prepareQuantized(
+        in, col("embedding"), col("vec_id"), col("label"))
+      val expect = graft.similarity.Similarity.mineTriplets(
+        corpus, corpus.filter(expr("vec_id % 25 = 0")), 3)
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"TRIPLETS=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // scrub-sentences: library-parity vs the operator
     Cli.main(Array("-i", docs, "-f", "parquet",
       "scrub-sentences", "--text", "text", "--id", "doc_id",
