@@ -185,6 +185,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_nb_calibration")) === 6)
   }
 
+  test("q_join_discovery: the pair stage reads only the checkpointed sketch table") {
+    // per-column KMV aggregate hides behind the sketch checkpoint; the
+    // n_cols-row pair self-join broadcasts — zero visible key shuffles
+    assert(keyShuffles(plan("q_join_discovery")) === 0)
+  }
+
+  test("q_vocab_coverage: budget masses aggregate once over the checkpointed rank table") {
+    // freq agg + globalRank's range shuffle hide behind the ranked
+    // checkpoint; the visible plan is broadcast budgets + the (k) agg
+    assert(keyShuffles(plan("q_vocab_coverage")) === 1)
+  }
+
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
     // broadcast queries × corpus scan → GroupTopK exchange on q_id;
     // the vote groupBy (q_id, …) and the argmax window (q_id) must
