@@ -177,28 +177,37 @@ object ExtraQueries {
     }),
 
     // §2.2/22k2 interval×interval OVERLAP join (two-sided range join):
-    // per-day per-user activity intervals, co-active user pairs from
-    // the bucketed overlap join (each pair emitted once, in the
-    // overlap-start bucket — no distinct), top-25 pairs by days
-    // co-active. The oracle replays the plain overlap semantics; the
-    // bucketing must be transparent.
+    // per-(user, type, day) activity intervals, co-active user pairs
+    // from the bucketed overlap join (each pair emitted once, in the
+    // overlap-start bucket — no distinct), top-25 pairs by co-active
+    // windows. All-pairs co-activity is INHERENTLY quadratic in
+    // per-window actives, so the pair stream is HASH-BLOCKED: a pair
+    // survives iff both users share a portable-hash block (4 blocks →
+    // an unbiased 1-in-4 pair sample, consistent across windows so
+    // each surviving pair's window count stays exact; B is the
+    // work-vs-coverage dial at 100 TB, partner caps the other lever).
+    // The oracle replays the plain overlap semantics + block rule;
+    // the time-bucketing must be transparent.
     "q_interval_join" -> ((s, dir) => {
       val iv = graft.operators.Checkpoints.eager(
         Tables.events(s, dir)
-          .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
-          .agg(min(unix_micros(col("ts"))).as("s_us"), max(unix_micros(col("ts"))).as("e_us")))
-      val a = iv.select(col("user_id").as("ua"), col("d"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
-      val b = iv.select(col("user_id").as("ub"), col("d"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
+          .groupBy(col("user_id"), col("event_type").as("et"),
+            date_trunc("DAY", col("ts")).as("d"),
+            pmod(graft.functions.Hashing.portableHash64(col("user_id")), lit(4L)).as("bk"))
+          .agg(min(unix_micros(col("ts"))).as("s_us"), max(unix_micros(col("ts"))).as("e_us"))
+          .withColumn("jk", concat_ws("|", col("d").cast("string"), col("et"), col("bk"))))
+      val a = iv.select(col("user_id").as("ua"), col("jk"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
+      val b = iv.select(col("user_id").as("ub"), col("jk"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
       val pairs = graft.operators.TemporalJoins
-        .intervalJoinBucketed(a, b, "d",
+        .intervalJoinBucketed(a, b, "jk",
           col("as_us"), col("ae_us"), col("bs_us"), col("be_us"), bucketUs = 10800000000L)
         .filter(col("ua") < col("ub"))
-      val ranked = pairs.groupBy("ua", "ub").agg(count(lit(1)).as("n_days"))
-        .orderBy(col("n_days").desc, col("ua").asc, col("ub").asc).limit(25)
+      val ranked = pairs.groupBy("ua", "ub").agg(count(lit(1)).as("n_windows"))
+        .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc).limit(25)
       ranked
         .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_days").desc, col("ua").asc, col("ub").asc)))
-        .select(col("ua").as("user_a"), col("ub").as("user_b"), col("n_days"), col("rank"))
+          .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc)))
+        .select(col("ua").as("user_a"), col("ub").as("user_b"), col("n_windows"), col("rank"))
     }),
 
     // IVF ANN — fully oracle-gated: the whole deterministic build
@@ -691,17 +700,19 @@ object ExtraQueries {
         |FROM c JOIN p ON c.user_id = p.user_id AND p.p_us BETWEEN c.c_us AND c.c_us + 3600000000""".stripMargin,
     "q_interval_join" ->
       """WITH iv AS (
-        |  SELECT user_id, date_trunc('day', ts) AS d,
+        |  SELECT user_id, event_type AS et, date_trunc('day', ts) AS d,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS bk,
         |         epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events GROUP BY 1, 2, 3, 4),
         |p AS (
         |  SELECT a.user_id AS ua, b.user_id AS ub
-        |  FROM iv a JOIN iv b ON a.d = b.d AND a.user_id < b.user_id
+        |  FROM iv a JOIN iv b ON a.d = b.d AND a.et = b.et AND a.bk = b.bk
+        |                      AND a.user_id < b.user_id
         |                      AND a.s <= b.e AND b.s <= a.e),
-        |c AS (SELECT ua, ub, count(*) AS n_days FROM p GROUP BY 1, 2)
-        |SELECT ua AS user_a, ub AS user_b, CAST(n_days AS BIGINT) AS n_days,
-        |       CAST(row_number() OVER (ORDER BY n_days DESC, ua, ub) AS INTEGER) AS rank
-        |FROM c ORDER BY n_days DESC, ua, ub LIMIT 25""".stripMargin,
+        |c AS (SELECT ua, ub, count(*) AS n_windows FROM p GROUP BY 1, 2)
+        |SELECT ua AS user_a, ub AS user_b, CAST(n_windows AS BIGINT) AS n_windows,
+        |       CAST(row_number() OVER (ORDER BY n_windows DESC, ua, ub) AS INTEGER) AS rank
+        |FROM c ORDER BY n_windows DESC, ua, ub LIMIT 25""".stripMargin,
     "q_weighted_avg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)

@@ -23,7 +23,12 @@ object ProfileScaling {
       "q_drop_ledger", "q_stats_ledger", "q_bigram_lm",
       // r9 additions: the trained-model and sentence/PQ dedup family
       "q_nb_quality", "q_sentence_dedup", "q_semdedup_pq",
-      "q_ann_ivfpq", "q_bpe_tokens", "q_dsir", "q_nb_eval")
+      "q_ann_ivfpq", "q_bpe_tokens", "q_dsir", "q_nb_eval",
+      // wave 7-9 additions: the interval pair stream is the only one
+      // with super-linear intermediate growth (per-day co-activity
+      // pairs ~ quadratic in daily active users) — watch its alpha
+      "q_interval_join", "q_textrank", "q_trustrank",
+      "q_hard_negatives", "q_join_discovery", "q_f2_skew")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -54,7 +59,7 @@ object ProfileScaling {
       s"""{"query":"$n","sf0.001":$a,"sf0.01":$b,"sf0.1":$c,""" +
         s""""alpha_001_01":${alpha(a, b)},"alpha_01_1":${alpha(b, c)}}"""
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r9.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r9w9.json"),
       rows.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }
