@@ -79,6 +79,57 @@ object Relational {
         .drop("__rn")
     }
 
+    /** Per-group quantile normalization: map each row's score to its
+      * within-group rank position in exact integer per-mille —
+      * `pct_pm = ⌊1000·(rank−1)/(n−1)⌋` with rank from a total
+      * (score, id) order. The score-equalization step before fusing
+      * heterogeneous sources under ONE threshold: perplexity from
+      * different domains isn't comparable raw, its within-source
+      * quantile is. Cost: one rank window per group (each group
+      * sorts within its partitions — groups are sources, so the
+      * partitioning is as wide as the source list; for truly giant
+      * single groups the t-digest sketch is the approximate
+      * alternative). Singleton groups pin to 0. */
+    def quantileNormalize(group: Column, score: Column, id: Column): DataFrame = {
+      val w = Window.partitionBy(group).orderBy(score.asc, id.asc)
+      val cw = Window.partitionBy(group)
+      df.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(cw))
+        .withColumn("pct_pm",
+          when(col("__n") === 1, lit(0L))
+            .otherwise(expr("((__rk - 1) * 1000) div (__n - 1)")))
+        .drop("__rk", "__n")
+    }
+
+    /** Block-jackknife sensitivity audit of a per-group mean: rows
+      * hash into `blocks` fixed blocks, and each block's
+      * leave-one-out mean `(S − S_b) div (n − n_b)` measures how far
+      * the metric moves if that 1/B slice of the data vanishes — "is
+      * this number driven by one shard?" answered in one pass with
+      * all-integer arithmetic (`value` must be integral, e.g. cents).
+      * Emits per group: n, mean (floored), lo/hi (min/max
+      * leave-one-block-out means). lo ≈ hi ≈ mean says the metric is
+      * stable; a gap says one block owns it. Two tiny aggregates —
+      * (group, block) then (group) — nothing row-sized shuffles
+      * twice. */
+    def blockJackknife(group: Column, value: Column, key: Column,
+        blocks: Int = 32): DataFrame = {
+      val blk = pmod(graft.functions.Hashing.portableHash64(key), lit(blocks.toLong))
+      df.select(group.as("g"), value.cast("long").as("v"), blk.as("b"))
+        .groupBy("g", "b").agg(sum("v").as("sb"), count(lit(1)).as("nb"))
+        .withColumn("s", sum("sb").over(Window.partitionBy("g")))
+        .withColumn("n", sum("nb").over(Window.partitionBy("g")))
+        // a group whose rows all hash to one block has no leave-one-out
+        // mean — NULL, skipped by min/max on both engines
+        .withColumn("loo",
+          expr("CASE WHEN n = nb THEN NULL ELSE (s - sb) div (n - nb) END"))
+        .groupBy("g").agg(
+          max("n").as("n"),
+          expr("max(s div n)").as("mean"),
+          min("loo").as("lo"),
+          max("loo").as("hi"))
+    }
+
     /** Trailing-window z-score (anomaly screen): each row scored
       * against the previous `lookback` rows of its key. The window
       * aggregates are exact integers (count/sum/sum-of-squares over an

@@ -246,6 +246,26 @@ object PipelineQueries {
           (col("l_suppkey") * 2 + 1).as("dst")),
         iters = 3)),
 
+    // §2.2/22as8 per-source quantile normalization: each doc's score
+    // mapped to its within-source rank per-mille — the equalization
+    // step before one cross-source threshold; one rank window per
+    // source, exact integers.
+    "q_quantile_norm" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .quantileNormalize(col("source"), col("n_chars"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct_pm"))),
+
+    // §2.2/22as9 block-jackknife sensitivity: per event_type, how far
+    // the mean value (cents) moves if any 1/32 hash block of the data
+    // vanishes — the "is this metric driven by one shard" audit, two
+    // tiny aggregates, all-integer.
+    "q_block_jackknife" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+        .blockJackknife(col("event_type"), col("cents"), col("event_id"))
+        .select(col("g").as("event_type"), col("n"), col("mean"), col("lo"), col("hi"))),
+
     // TrustRank over the UNDIRECTED part↔supplier sourcing graph:
     // teleport mass restricted to the trusted supplier registry
     // (s_suppkey ≡ 0 mod 5 — the stand-in for a vetted-domain list),
@@ -260,6 +280,20 @@ object PipelineQueries {
         .filter(pmod(col("s_suppkey"), lit(5)) === 0)
         .select((col("s_suppkey") * 2 + 1).as("id"))
       GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+    }),
+
+    // k-hop seed expansion over the same undirected sourcing graph as
+    // q_trustrank: frontier and cumulative reach per hop from the
+    // trusted supplier registry — coverage/saturation profile.
+    "q_khop" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(pmod(col("s_suppkey"), lit(5)) === 0)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      GraphOps.khopReach(edges, seeds, hops = 3)
     }),
 
     // Nested-JSON round trip: pack each order's line items into one
@@ -563,6 +597,55 @@ object PipelineQueries {
         |    FROM edges e JOIN it2 p ON e.src = p.id JOIN deg d ON e.src = d.src
         |    GROUP BY e.dst) c ON nd.id = c.id)
         |SELECT id, pr FROM it3""".stripMargin,
+    "q_khop" ->
+      """WITH e0 AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |f0 AS (SELECT id FROM nodes WHERE id IN (
+        |         SELECT DISTINCT s_suppkey * 2 + 1 FROM supplier WHERE s_suppkey % 5 = 0)),
+        |r0 AS (SELECT id FROM f0),
+        |f1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f0 ON e.src = f0.id
+        |       WHERE e.dst NOT IN (SELECT id FROM r0)),
+        |r1 AS (SELECT id FROM r0 UNION SELECT id FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON e.src = f1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM r1)),
+        |r2 AS (SELECT id FROM r1 UNION SELECT id FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f2 ON e.src = f2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM r2)),
+        |r3 AS (SELECT id FROM r2 UNION SELECT id FROM f3)
+        |SELECT CAST(0 AS BIGINT) AS hop, (SELECT count(*) FROM f0) AS frontier_n,
+        |       (SELECT count(*) FROM r0) AS reached_n
+        |UNION ALL SELECT 1, (SELECT count(*) FROM f1), (SELECT count(*) FROM r1)
+        |UNION ALL SELECT 2, (SELECT count(*) FROM f2), (SELECT count(*) FROM r2)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM f3), (SELECT count(*) FROM r3)""".stripMargin,
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |       CAST(CASE WHEN n = 1 THEN 0
+        |                 ELSE ((rk - 1) * 1000) // (n - 1) END AS BIGINT) AS pct_pm
+        |FROM (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars, doc_id) AS rk,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |      FROM documents)""".stripMargin,
+    "q_block_jackknife" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS b,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sb,
+        |         count(*) AS nb
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT g, b, sb, nb,
+        |             CAST(sum(sb) OVER (PARTITION BY g) AS BIGINT) AS s,
+        |             CAST(sum(nb) OVER (PARTITION BY g) AS BIGINT) AS n FROM b)
+        |SELECT g AS event_type, max(n) AS n, CAST(max(s // n) AS BIGINT) AS mean,
+        |       CAST(min(CASE WHEN n = nb THEN NULL
+        |                     ELSE (s - sb) // (n - nb) END) AS BIGINT) AS lo,
+        |       CAST(max(CASE WHEN n = nb THEN NULL
+        |                     ELSE (s - sb) // (n - nb) END) AS BIGINT) AS hi
+        |FROM t GROUP BY g""".stripMargin,
     "q_trustrank" ->
       """WITH e0 AS (
         |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

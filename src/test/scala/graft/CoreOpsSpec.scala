@@ -160,6 +160,41 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(a.size > 450 && a.size < 750)  // ~30% of 2000
   }
 
+  test("quantileNormalize maps scores to within-group rank per-mille; singleton pins to 0") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 40L, 4L), ("a", 50L, 5L),
+      ("b", 1000L, 6L), ("b", 2000L, 7L), // different scale, same quantiles
+      ("c", 7L, 8L)                       // singleton group
+    ).toDF("g", "score", "id")
+    val out = df.quantileNormalize(col("g"), col("score"), col("id"))
+      .select("g", "id", "pct_pm").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // group a: 5 rows → 0, 250, 500, 750, 1000
+    assert((1L to 5L).map(i => out(("a", i))) === Seq(0L, 250L, 500L, 750L, 1000L))
+    // group b's wildly different scale lands on the SAME grid — the point
+    assert(out(("b", 6L)) === 0L && out(("b", 7L)) === 1000L)
+    assert(out(("c", 8L)) === 0L)
+  }
+
+  test("blockJackknife: planted outlier block moves lo/hi; uniform data stays tight") {
+    // 64 uniform values + one block-concentrated outlier burst: keys
+    // chosen so the burst hashes into a single block by construction
+    val base = (0L until 64L).map(i => ("t", 100L, i))
+    val out0 = base.toDF("g", "v", "k")
+      .blockJackknife(col("g"), col("v"), col("k"), blocks = 8)
+      .select("n", "mean", "lo", "hi").as[(Long, Long, Long, Long)].head()
+    assert(out0 === ((64L, 100L, 100L, 100L))) // constant data: loo means all equal
+    // add heavy rows all under ONE key (one block): dropping that
+    // block must pull the mean down to ~the base value
+    val spiked = base ++ Seq.fill(8)(("t", 10000L, 999L))
+    val out1 = spiked.toDF("g", "v", "k")
+      .blockJackknife(col("g"), col("v"), col("k"), blocks = 8)
+      .select("n", "mean", "lo", "hi").as[(Long, Long, Long, Long)].head()
+    assert(out1._2 > 1000L, out1.toString)  // spike dominates the mean
+    assert(out1._3 <= 110L, out1.toString)  // leave the spike block out → base mean
+    assert(out1._4 >= out1._2)              // dropping a base block raises it
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:00:00"),
