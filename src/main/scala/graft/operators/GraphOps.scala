@@ -113,6 +113,41 @@ object GraphOps {
     pr
   }
 
+  /** k-hop reachability profile (BFS frontier growth) from a seed
+    * set: per hop, the newly-reached frontier size and the cumulative
+    * reached count — the coverage/saturation question behind seed
+    * expansion ("how much of the graph do k link-hops from the
+    * trusted registry cover", the breadth complement of
+    * [[personalizedPageRank]]'s weighting). Fixed hop count, so the
+    * whole profile is one declarative plan: per hop one
+    * co-partitioned edge⋈frontier join, a distinct, and an anti-join
+    * against the reached set; frontier/reached relations checkpoint
+    * per hop (node-sized), the edge relation never re-shuffles.
+    * Returns (hop, frontier_n, reached_n) with hop 0 = the seeds
+    * present in the graph. */
+  def khopReach(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 0)
+    val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    var frontier = Checkpoints.eager(
+      nodes.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi"))
+    var reached = frontier
+    def statsOf(hop: Int, f: DataFrame, r: DataFrame) =
+      f.agg(count(lit(1)).as("frontier_n")).crossJoin(r.agg(count(lit(1)).as("reached_n")))
+        .select(lit(hop).cast("long").as("hop"), col("frontier_n"), col("reached_n"))
+    var out = statsOf(0, frontier, reached)
+    for (i <- 1 to hops) {
+      val next = Checkpoints.eager(
+        e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti"))
+      reached = Checkpoints.eager(reached.union(next))
+      frontier = next
+      out = out.union(statsOf(i, frontier, reached))
+    }
+    out
+  }
+
   /** Weighted PageRank: like [[pageRank]] but each `(src, dst, w)`
     * edge carries a positive integer weight and a node's rank splits
     * proportionally — contribution (pr·w) div W_src with W_src the

@@ -82,6 +82,19 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("khopReach: frontier wave on a chain, revisits excluded, disconnected nodes never reached") {
+    // chain 1→2→3→4 plus a back-edge 3→1 (must NOT re-enter the
+    // frontier) and an isolated edge 8→9
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 1L), (8L, 9L)).toDF("src", "dst")
+    val out = GraphOps.khopReach(g, Seq(1L).toDF("id"), hops = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L)))
+    // seeds absent from the graph contribute nothing; saturation sticks at 0
+    val sat = GraphOps.khopReach(g, Seq(8L, 77L).toDF("id"), hops = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sat === Array((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 0L, 2L)))
+  }
+
   test("triangles enumerates each triangle exactly once (K4 + tail)") {
     // K4 on {1..4} (4 triangles) + a tail 4-5-6 (none)
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
