@@ -197,6 +197,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_vocab_coverage")) === 1)
   }
 
+  test("q_khop: the stats tail reads only checkpointed node-sized frontiers") {
+    assert(keyShuffles(plan("q_khop")) === 0)
+  }
+
+  test("q_quantile_norm: one source exchange feeds rank and count windows") {
+    assert(keyShuffles(plan("q_quantile_norm")) === 1)
+  }
+
+  test("q_block_jackknife: (g, block) partials + the g-sized jackknife fold") {
+    assert(keyShuffles(plan("q_block_jackknife")) === 2)
+  }
+
   test("q_knn_classify shuffles once: vote agg and argmax reuse the top-k clustering") {
     // broadcast queries × corpus scan → GroupTopK exchange on q_id;
     // the vote groupBy (q_id, …) and the argmax window (q_id) must
