@@ -130,6 +130,44 @@ object Relational {
           max("loo").as("hi"))
     }
 
+    /** Frequent co-occurring pair mining with association-rule stats:
+      * the top-k item pairs sharing a basket (order, session, doc),
+      * each with support count, directional confidence
+      * `⌊1000·cnt/cnt_a⌋` and lift `⌊1000·cnt·N/(cnt_a·cnt_b)⌋` —
+      * lift > 1000 means the pair co-occurs MORE than independence
+      * predicts, the affinity signal recommenders and
+      * curriculum-mixing analyses read. Baskets are per-group sorted
+      * DISTINCT item arrays; canonical pairs generate IN-ROW (m²
+      * per basket on basket size m — bounded by basket width, never
+      * by corpus size), so pair work is linear in baskets. One
+      * basket aggregate, one pair aggregate, item counts
+      * broadcast-joined onto the TakeOrdered top-k. */
+    def frequentPairs(basket: Column, item: Column, k: Int): DataFrame = {
+      val baskets = graft.operators.Checkpoints.eager(
+        df.groupBy(basket.as("__o"))
+          .agg(sort_array(collect_set(item)).as("si")))
+      val pairs = baskets.select(explode(expr(
+        "flatten(transform(sequence(1, size(si)), i -> " +
+          "filter(transform(sequence(1, size(si)), j -> " +
+          "CASE WHEN j > i THEN named_struct('a', element_at(si, i), 'b', element_at(si, j)) " +
+          "ELSE NULL END), p -> p IS NOT NULL)))")).as("p"))
+        .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      val top = pairs.groupBy("part_a", "part_b").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("part_a").asc, col("part_b").asc).limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("part_a").asc, col("part_b").asc)))
+      val itemCnt = baskets.select(explode(col("si")).as("it"))
+        .groupBy("it").agg(count(lit(1)).as("c"))
+      val n = baskets.agg(count(lit(1)).as("n_baskets"))
+      top
+        .join(broadcast(itemCnt.select(col("it").as("part_a"), col("c").as("__ca"))), "part_a")
+        .join(broadcast(itemCnt.select(col("it").as("part_b"), col("c").as("__cb"))), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("cnt"), col("rank"),
+          expr("(1000 * cnt) div __ca").as("conf_a_pm"),
+          expr("(1000 * cnt * n_baskets) div (__ca * __cb)").as("lift_pm"))
+    }
+
     /** Trailing-window z-score (anomaly screen): each row scored
       * against the previous `lookback` rows of its key. The window
       * aggregates are exact integers (count/sum/sum-of-squares over an

@@ -282,6 +282,14 @@ object PipelineQueries {
       GraphOps.personalizedPageRank(edges, seeds, iters = 3)
     }),
 
+    // §2.2/22as10 frequent co-purchase pairs with association-rule
+    // stats: top-25 part pairs sharing an order, confidence and lift
+    // in integer per-mille — in-row pair generation per basket, pair
+    // work linear in orders.
+    "q_copurchase" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .frequentPairs(col("l_orderkey"), col("l_partkey"), k = 25)),
+
     // k-hop seed expansion over the same undirected sourcing graph as
     // q_trustrank: frontier and cumulative reach per hop from the
     // trusted supplier registry — coverage/saturation profile.
@@ -597,6 +605,26 @@ object PipelineQueries {
         |    FROM edges e JOIN it2 p ON e.src = p.id JOIN deg d ON e.src = d.src
         |    GROUP BY e.dst) c ON nd.id = c.id)
         |SELECT id, pr FROM it3""".stripMargin,
+    "q_copurchase" ->
+      """WITH p AS (
+        |  SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |pc AS (SELECT pa, pb, count(*) AS cnt FROM p GROUP BY 1, 2),
+        |ic AS (SELECT l_partkey AS it, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+        |top AS (
+        |  SELECT pa, pb, CAST(cnt AS BIGINT) AS cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, pa, pb) AS INTEGER) AS rank
+        |  FROM pc ORDER BY cnt DESC, pa, pb LIMIT 25)
+        |SELECT t.pa AS part_a, t.pb AS part_b, t.cnt, t.rank,
+        |       (1000 * t.cnt) // ca.c AS conf_a_pm,
+        |       (1000 * t.cnt * nb.n) // (ca.c * cb.c) AS lift_pm
+        |FROM top t
+        |JOIN ic ca ON ca.it = t.pa
+        |JOIN ic cb ON cb.it = t.pb
+        |CROSS JOIN nb""".stripMargin,
     "q_khop" ->
       """WITH e0 AS (
         |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

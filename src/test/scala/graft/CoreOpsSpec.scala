@@ -195,6 +195,27 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(out1._4 >= out1._2)              // dropping a base block raises it
   }
 
+  test("frequentPairs counts basket pairs with exact confidence and lift") {
+    // baskets: {1,2,3}, {1,2}, {2,3}, {4} → pair (1,2) in 2 of 4,
+    // cnt_1=2, cnt_2=3, lift = 1000·2·4/(2·3) = 1333
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup item must not double-count
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L),
+      (13L, 4L)
+    ).toDF("o", "it")
+    val out = df.frequentPairs(col("o"), col("it"), k = 10)
+      .select("part_a", "part_b", "cnt", "conf_a_pm", "lift_pm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((1L, 2L))._3 === 2L)
+    assert(out((1L, 2L))._4 === 1000L)           // conf(1→2) = 2/2
+    assert(out((1L, 2L))._5 === 1333L)           // lift
+    assert(out((2L, 3L))._3 === 2L)
+    assert(out((2L, 3L))._4 === (1000L * 2 / 3)) // conf(2→3) = 2/3
+    assert(!out.contains((1L, 4L)))              // never co-bought
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 01:00:00"),

@@ -197,6 +197,10 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_vocab_coverage")) === 1)
   }
 
+  test("q_copurchase: basket agg + pair agg; stats broadcast onto the top-k") {
+    assert(keyShuffles(plan("q_copurchase")) === 3)
+  }
+
   test("q_khop: the stats tail reads only checkpointed node-sized frontiers") {
     assert(keyShuffles(plan("q_khop")) === 0)
   }
