@@ -35,9 +35,24 @@ object Search {
   private def fp(tok: Column): Seq[Column] =
     Seq(xxhash64(tok).as("t1"), xxhash64(lit(7L), tok).as("t2"))
 
+  /** The corpus's positional-postings relation (doc_id, pos, t1, t2)
+    * — the tokenize+explode pass every probe otherwise re-pays, and
+    * exactly what [[SearchIndex]] persists bucketed. */
+  private[text] def postings(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(TextAnalysis.tokenize(lower(text))).as(Seq("pos", "__tok")))
+      .select(col("doc_id") +: col("pos") +: fp(col("__tok")): _*)
+
   /** One row per (phrase, doc) with the number of (possibly
     * overlapping) occurrences. Phrases with no match emit nothing. */
   def phraseOccurrences(docs: DataFrame, text: Column, id: Column,
+      phrases: DataFrame, phraseText: Column, phraseId: Column): DataFrame =
+    occurrencesFromPostings(postings(docs, text, id), phrases, phraseText, phraseId)
+
+  /** The probe core over ANY postings relation — fresh (computed by
+    * [[phraseOccurrences]]) or persisted ([[SearchIndex.probe]]);
+    * identical results by shared code path. */
+  private[text] def occurrencesFromPostings(posts: DataFrame,
       phrases: DataFrame, phraseText: Column, phraseId: Column): DataFrame = {
     val phToks = split(trim(lower(phraseText)), "\\s+")
     val ph = phrases
@@ -48,10 +63,7 @@ object Search {
     // positional postings restricted to phrase vocabulary; consumed
     // twice (candidate open + verify), so materialized once
     val toks = graft.operators.Checkpoints.eager(
-      docs.select(id.as("doc_id"),
-          posexplode(TextAnalysis.tokenize(lower(text))).as(Seq("pos", "__tok")))
-        .select(col("doc_id") +: col("pos") +: fp(col("__tok")): _*)
-        .join(broadcast(ph.select("t1", "t2").distinct()), Seq("t1", "t2"), "left_semi"))
+      posts.join(broadcast(ph.select("t1", "t2").distinct()), Seq("t1", "t2"), "left_semi"))
 
     val starts = toks
       .join(broadcast(ph.filter(col("k") === 0).drop("k")), Seq("t1", "t2"))

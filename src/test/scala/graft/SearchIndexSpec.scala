@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Search, SearchIndex}
+
+/** The persisted postings index must be probe-identical to the
+  * fresh-tokenize path AND deliver the at-scale property it exists
+  * for: probes read the bucketed postings layout without re-tokenizing
+  * or shuffling the corpus side. */
+class SearchIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def phrases = Search.topPhrases(docs, col("text"), n = 3, k = 5)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+    df.select("phrase", "doc_id", "n_occurrences").as[(String, Long, Long)].collect().toSet
+
+  private def withIndex(nBuckets: Int)(body: String => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_si").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_si LOCATION '$wh'")
+    try {
+      SearchIndex.create(docs, col("text"), col("doc_id"), "graft_si.idx", nBuckets)
+      body("graft_si.idx")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_si.idx")
+      spark.sql("DROP DATABASE IF EXISTS graft_si")
+    }
+  }
+
+  test("probe through the index is bit-identical to phraseOccurrences") {
+    withIndex(4) { table =>
+      val viaIndex = SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase"))
+      val fresh = Search.phraseOccurrences(docs, col("text"), col("doc_id"),
+        phrases, col("phrase"), col("phrase"))
+      assert(rows(viaIndex) === rows(fresh))
+      assert(rows(viaIndex).nonEmpty)
+    }
+  }
+
+  test("append ingests a drop's postings; its occurrences are findable") {
+    withIndex(4) { table =>
+      val target = phrases.orderBy(col("phrase").asc).limit(1)
+        .as[String].head()
+      val drop = Seq((999999L, s"zz $target zz $target zz")).toDF("doc_id", "text")
+      SearchIndex.append(drop, col("text"), col("doc_id"), table, nBuckets = 4)
+      val out = SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase"))
+        .filter(col("doc_id") === 999999L)
+        .select("phrase", "n_occurrences").as[(String, Long)].collect().toSeq
+      assert(out === Seq((target, 2L)))
+    }
+  }
+
+  test("append refuses a mismatched bucket count") {
+    withIndex(4) { table =>
+      val drop = Seq((1000000L, "a b c")).toDF("doc_id", "text")
+      assertThrows[org.apache.spark.sql.AnalysisException] {
+        SearchIndex.append(drop, col("text"), col("doc_id"), table, nBuckets = 8)
+      }
+    }
+  }
+
+  test("probe plans: broadcast vocabulary = zero exchanges; huge vocabulary = bucketed scan") {
+    // occurrencesFromPostings checkpoints the vocabulary-pruned
+    // postings, so the final probe plan reads the checkpoint; the
+    // at-scale properties live in the PRUNING plan. Two regimes:
+    withIndex(4) { table =>
+      val vocab = phrases.select(xxhash64(col("phrase")).as("t1"),
+        xxhash64(lit(7L), col("phrase")).as("t2"))
+      // (a) normal probe: the vocabulary broadcasts — the postings
+      // side reaches the semi-join with NO exchange of any kind
+      val bPlan = spark.table(table)
+        .join(broadcast(vocab), Seq("t1", "t2"), "left_semi")
+        .queryExecution.executedPlan.toString
+      // (the vocabulary DERIVATION aggregates — what must not appear
+      // is any exchange keyed on the postings fingerprints)
+      assert(!"Exchange hashpartitioning\\(t1".r.findAllIn(bPlan).hasNext,
+        s"broadcast probe must not exchange the postings:\n$bPlan")
+      assert(!bPlan.contains("posexplode"), "pruning must not re-tokenize")
+      // (b) a vocabulary too big to broadcast: the bucket layout
+      // absorbs the postings-side exchange — only the vocab shuffles
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = spark.table(table)
+          .join(vocab, Seq("t1", "t2"), "left_semi")
+          .queryExecution.executedPlan.toString
+        val scanLine = plan.linesIterator
+          .find(l => l.contains("FileScan") && l.contains("idx")).getOrElse("")
+        assert(scanLine.contains("Bucketed: true"),
+          s"postings scan should use the bucket layout:\n$plan")
+        val exchanges = "Exchange hashpartitioning\\(t1".r.findAllIn(plan).length
+        assert(exchanges === 1,
+          s"only the vocabulary side may shuffle into the buckets:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
