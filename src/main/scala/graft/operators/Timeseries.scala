@@ -22,6 +22,33 @@ object Timeseries {
 
   implicit class TimeseriesOps(private val df: DataFrame) extends AnyVal {
 
+    /** Half-life-decayed activity counts — trending detection: each
+      * key's events weighted by recency with a one-day-grain
+      * half-life, `score = Σ_d count_d div 2^(T−d)` where T is the
+      * corpus's latest day. Yesterday counts half of today, an event
+      * older than 62 days counts 0 — exact integer arithmetic
+      * (power-of-two decay = a shift, no transcendental), so scores
+      * replay bit-for-bit and a key's "recent surge vs all-time
+      * volume" contrast (score vs total) is engine-stable.
+      *
+      * Scale shape: one (key, day) count aggregate, then per key the
+      * ≤ calendar-span day rows fold IN-ROW (collect_list bounded by
+      * days, never by events); the global latest day is a broadcast
+      * 1-row aggregate. Output: (key, total, score). */
+    def decayedCounts(key: Column, dayCol: Column): DataFrame = {
+      val daily = df.groupBy(key.as("k"), datediff(dayCol, lit("1970-01-01")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val latest = daily.agg(max("d").as("t"))
+      daily.groupBy("k")
+        .agg(sum("c").as("total"), collect_list(struct(col("d"), col("c"))).as("ds"))
+        .crossJoin(broadcast(latest))
+        .withColumn("score", expr(
+          "aggregate(ds, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+            "CASE WHEN t - x.d >= 63 THEN CAST(0 AS BIGINT) " +
+            "ELSE x.c div shiftleft(CAST(1 AS BIGINT), CAST(t - x.d AS INT)) END)"))
+        .select(col("k"), col("total"), col("score"))
+    }
+
     /** Resample to a regular `stepUs` grid per key and forward-fill.
       *
       * Buckets run from each key's first to last observation. Within a

@@ -282,6 +282,20 @@ object PipelineQueries {
       GraphOps.personalizedPageRank(edges, seeds, iters = 3)
     }),
 
+    // §2.2/22ae3 half-life-decayed trending counts: top-25 users by
+    // recency-weighted activity (1-day half-life, power-of-two decay
+    // — exact integers), with all-time totals for the surge-vs-volume
+    // contrast.
+    "q_trending" -> ((s, dir) => {
+      val ranked = Tables.events(s, dir)
+        .decayedCounts(col("user_id"), to_date(col("ts")))
+        .orderBy(col("score").desc, col("k").asc).limit(25)
+      ranked
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("k").asc)))
+        .select(col("k").as("user_id"), col("total"), col("score"), col("rank"))
+    }),
+
     // §2.2/22as10 frequent co-purchase pairs with association-rule
     // stats: top-25 part pairs sharing an order, confidence and lift
     // in integer per-mille — in-row pair generation per basket, pair
@@ -605,6 +619,21 @@ object PipelineQueries {
         |    FROM edges e JOIN it2 p ON e.src = p.id JOIN deg d ON e.src = d.src
         |    GROUP BY e.dst) c ON nd.id = c.id)
         |SELECT id, pr FROM it3""".stripMargin,
+    "q_trending" ->
+      """WITH daily AS (
+        |  SELECT user_id AS k, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT max(d) AS t FROM daily),
+        |s AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(sum(CASE WHEN t.t - d >= 63 THEN 0
+        |                       ELSE c // (CAST(1 AS BIGINT) << CAST(t.t - d AS INT)) END)
+        |              AS BIGINT) AS score
+        |  FROM daily CROSS JOIN t GROUP BY k)
+        |SELECT k AS user_id, total, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, k) AS INTEGER) AS rank
+        |FROM s ORDER BY score DESC, k LIMIT 25""".stripMargin,
     "q_copurchase" ->
       """WITH p AS (
         |  SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS pa, b.l_partkey AS pb

@@ -197,6 +197,10 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_vocab_coverage")) === 1)
   }
 
+  test("q_trending: daily counts + the day-bounded per-key fold, latest-day broadcast") {
+    assert(keyShuffles(plan("q_trending")) === 2)
+  }
+
   test("q_copurchase: basket agg + pair agg; stats broadcast onto the top-k") {
     assert(keyShuffles(plan("q_copurchase")) === 3)
   }

@@ -7,6 +7,24 @@ import graft.operators.Timeseries._
 class TimeseriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("decayedCounts: recent surge outranks bigger stale volume, exact halving per day") {
+    // key A: 8 events today; key B: 40 events ten days ago; key C:
+    // spread 4/2/1 over the last three days (hand-traced score)
+    val today = java.sql.Date.valueOf("2024-03-20")
+    def day(minus: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 20).minusDays(minus).toString)
+    val rows =
+      Seq.fill(8)(("A", today)) ++
+        Seq.fill(40)(("B", day(10))) ++
+        Seq.fill(4)(("C", today)) ++ Seq.fill(2)(("C", day(1))) ++ Seq.fill(1)(("C", day(2)))
+    val out = rows.toDF("k", "d").decayedCounts(col("k"), col("d"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("A") === ((8L, 8L)))
+    assert(out("B") === ((40L, 40L / 1024L))) // 40 div 2^10 = 0
+    assert(out("C") === ((7L, 4L + 2L / 2L + 1L / 4L))) // 4 + 1 + 0 = 5
+    // the surge ranks above the stale heavyweight despite 5x volume
+    assert(out("A")._2 > out("B")._2 && out("C")._2 > out("B")._2)
+  }
+
   test("cusumDrift peaks exactly at a sustained rate shift") {
     // 10 buckets of width 10µs: rate 1 for buckets 0-4, rate 3 for 5-9
     val low = (0 until 5).map(b => b * 10L + 1)
