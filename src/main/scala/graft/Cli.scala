@@ -163,6 +163,12 @@ import graft.sources.PartitionedFiles
   *       C4 three-sentence-span dedup: delete all but the first
   *       occurrence of every duplicated 3-sentence span and rebuild
   *       (--emit spans: report the duplicated span occurrences)
+  *   trending       --key EXPR --day EXPR
+  *       half-life-decayed activity counts per key: (k, total, score)
+  *       — recency-weighted trending vs all-time volume
+  *   quantile-norm  --group EXPR --score EXPR --id EXPR
+  *       within-group rank per-mille of a score column — equalize
+  *       heterogeneous sources before one threshold
   *   skew           --group EXPR --key EXPR [--lanes 60]
   *       AMS tug-of-war F2 skew report per group: (g, n, f2_est) —
   *       hot-key detection in one scan, no per-key aggregate
@@ -916,6 +922,17 @@ object Cli {
           write(graft.text.Search.phraseOccurrences(df, text, id,
             phrases, expr(opts.getOrElse("phrase-col", "phrase")),
             expr(opts.getOrElse("phrase-col", "phrase"))))
+        case "trending" =>
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          val day = expr(opts.getOrElse("day", fail("--day EXPR required")))
+          write(graft.operators.Timeseries.TimeseriesOps(read())
+            .decayedCounts(key, day))
+        case "quantile-norm" =>
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val score = expr(opts.getOrElse("score", fail("--score EXPR required")))
+          val id = expr(opts.getOrElse("id", fail("--id EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read())
+            .quantileNormalize(group, score, id))
         case "skew" =>
           val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
           val key = expr(opts.getOrElse("key", fail("--key EXPR required")))

@@ -829,6 +829,40 @@ object DriveCli {
       spark.stop()
     }
 
+    // quantile-norm: within-source score equalization, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "quantile-norm", "--group", "source", "--score", "n_chars", "--id", "doc_id",
+      "--outfile", s"$tmp/qnorm"))
+    locally {
+      val spark = GraftSession.builder("verifyQN", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/qnorm")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.operators.Relational.RelationalOps(in)
+        .quantileNormalize(col("source"), col("n_chars"), col("doc_id"))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"QNORM=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
+    // trending: decayed counts over a derived day column, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "trending", "--key", "source",
+      "--day", "date_add(DATE '2024-01-01', CAST(doc_id % 40 AS INT))",
+      "--outfile", s"$tmp/trending"))
+    locally {
+      val spark = GraftSession.builder("verifyTrend", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/trending")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val expect = graft.operators.Timeseries.TimeseriesOps(in)
+        .decayedCounts(col("source"),
+          expr("date_add(DATE '2024-01-01', CAST(doc_id % 40 AS INT))"))
+      val same = out.except(expect).count() == 0 && expect.except(out).count() == 0
+      println(s"TRENDING=${out.count()} OK=${same && out.count() > 0}")
+      spark.stop()
+    }
+
     // skew: AMS F2 report, library parity
     Cli.main(Array("-i", docs, "-f", "parquet",
       "skew", "--group", "source", "--key", "lang",
