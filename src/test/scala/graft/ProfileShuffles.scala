@@ -27,7 +27,10 @@ object ProfileShuffles {
       "q_unimax", "q_unimax_sample", "q_dsir", "q_hash_embed", "q_text_knn",
       "q_nb_eval", "q_centroid_eval", "q_bloom_novel",
       "q_rep_signals", "q_datasheet", "q_phrase_search", "q_scene_cuts",
-      "q_textrank", "q_trustrank")
+      "q_textrank", "q_trustrank", "q_hard_negatives", "q_f2_skew",
+      "q_interval_join", "q_nb_calibration", "q_join_discovery",
+      "q_vocab_coverage", "q_quantile_norm", "q_block_jackknife",
+      "q_khop", "q_copurchase", "q_trending")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
