@@ -32,7 +32,8 @@ object DedupQueries {
         shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true
       )),
 
-    // §2.3/26 exact n-gram Jaccard pairs at tau = 0.5.
+    // §2.3/26 exact n-gram Jaccard pairs at tau = 0.5 (default
+    // DocFreqCap.Auto stop-gram bound — the oracle replays the cap).
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.5)),
 
@@ -524,15 +525,29 @@ object DedupQueries {
          |  FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
          |) WHERE rn = 1""".stripMargin
 
+  /** DocFreqCap.Auto replay over the distinct-grams CTE `g`: per-gram
+    * doc frequency, the integer mean-df cap (max(64, 4·sum(d)//n)),
+    * the capped gram table `gf`, and the capped pair intersections
+    * `inter`. `sizes` stays FULL (uncapped) per-doc counts, matching
+    * gramPairStats. */
+  private val cappedInterCtes: String =
+    raw"""sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |df AS (SELECT g, count(*) AS d FROM g GROUP BY g HAVING count(*) >= 2),
+         |cap AS (SELECT greatest(64, 4 * (CAST(sum(d) AS BIGINT)
+         |                                 // greatest(CAST(count(*) AS BIGINT), 1))) AS c
+         |        FROM df),
+         |gf AS (SELECT gg.doc_id, gg.g FROM g gg JOIN df USING (g) CROSS JOIN cap
+         |       WHERE df.d <= cap.c),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+
   private val ngramSql: String =
     raw"""WITH $shinglesCte,
          |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+         |$cappedInterCtes
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
          |FROM inter
          |JOIN sizes sa ON doc_a = sa.doc_id
@@ -542,12 +557,7 @@ object DedupQueries {
   private val containmentSql: String =
     raw"""WITH $shinglesCte,
          |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
+         |$cappedInterCtes
          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
          |FROM inter
          |JOIN sizes sa ON doc_a = sa.doc_id
@@ -664,16 +674,12 @@ object DedupQueries {
   }
 
   /** Recall-audit replay: the minhash band CTEs (ending in `pairs`)
-    * plus the exact-Jaccard pair set over the SAME shingle CTE. */
+    * plus the exact-Jaccard pair set (DocFreqCap.Auto capped, matching
+    * the registry default) over the SAME shingle CTE. */
   private val lshRecallSql: String =
     raw"""WITH $minhashPairCtes,
          |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
+         |$cappedInterCtes,
          |exact AS (
          |  SELECT doc_a, doc_b FROM inter
          |  JOIN sizes sa ON doc_a = sa.doc_id

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DocFreqCap}
 
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
@@ -66,10 +66,43 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("ngram Jaccard maxDocFreq drops ultra-common grams") {
-    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 1, tau = 0.9, maxDocFreq = Some(1))
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), n = 1, tau = 0.9,
+        maxDocFreq = DocFreqCap.Fixed(1))
       .as[(Long, Long, Double)].collect()
     // grams shared by >1 doc are dropped, so no pair can accumulate intersection
     assert(pairs.isEmpty)
+  }
+
+  test("DocFreqCap: Auto floors at 64, binds above it, Unbounded opts out") {
+    // 70 docs sharing one hot unigram ("stop") plus a unique token each.
+    // The only candidate gram (df >= 2) is "stop" with df = 70, so the
+    // measured mean df is 70 and Auto's cap = max(64, 4·70) = 280 — the
+    // hot gram SURVIVES and Auto is byte-identical to Unbounded.
+    val hot = spark.range(70).selectExpr("id AS doc_id", "concat('stop u', id) AS text")
+    val auto = Dedup.ngramJaccardPairs(hot, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Auto)
+    val unb = Dedup.ngramJaccardPairs(hot, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Unbounded)
+    // every pair shares 1 of 2+2-1=3 grams → jaccard 1/3 ≥ 0.3 → C(70,2) pairs
+    assert(unb.count() === 70L * 69 / 2)
+    assert(auto.count() === unb.count()) // mean-df cap does not bind here
+    // now add enough RARE shared grams (df = 2) to drag mean df to ~2:
+    // 200 pair-docs sharing a distinct bigram each → mean df ≈ 2,
+    // cap = max(64, 4*mean) = 64 < 70 → the hot gram IS dropped, so
+    // pairs connected only through it vanish
+    val rare = spark.range(200).selectExpr(
+      "(1000 + id * 2) AS doc_id", "concat('r', id, 'a r', id, 'b x', id) AS text")
+      .union(spark.range(200).selectExpr(
+        "(1001 + id * 2) AS doc_id", "concat('r', id, 'a r', id, 'b y', id) AS text"))
+    val mixed = hot.union(rare)
+    val autoMixed = Dedup.ngramJaccardPairs(mixed, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Auto)
+    val fixed64 = Dedup.ngramJaccardPairs(mixed, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Fixed(64))
+    assert(autoMixed.collect().toSet === fixed64.collect().toSet)
+    val unbMixed = Dedup.ngramJaccardPairs(mixed, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Unbounded)
+    assert(autoMixed.count() < unbMixed.count()) // the hot-gram pairs are gone
   }
 
   test("simhash: near-dups have small hamming distance, unrelated large") {

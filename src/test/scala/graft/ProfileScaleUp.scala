@@ -86,19 +86,27 @@ object ProfileScaleUp {
       n -> per
     }
 
-    // the two gram-pair queries go super-linear on this corpus (tiny
-    // ~100-word vocabulary → every gram is hot → C(d,2) candidate
-    // concentration, the documented inherent cost). Time the capped
-    // variants (maxDocFreq stop-gram filtering, the production
-    // mitigation) at the same factors to show the cap restores
-    // sub-linear growth.
+    // the UNBOUNDED gram-pair sweep goes super-linear on this corpus
+    // (tiny ~100-word vocabulary → every gram is hot → C(d,2)
+    // candidate concentration, the documented inherent cost). Since
+    // r10 the registry default is DocFreqCap.Auto, so the main rows
+    // above already measure the capped path; the explicit Fixed(64)
+    // and Unbounded variants below pin both ends of the policy.
     val capped: Seq[(String, String => org.apache.spark.sql.DataFrame)] = if (args.nonEmpty) Seq() else Seq(
       "q_dedup_ngram_df64" -> (dir => graft.dedup.Dedup.ngramJaccardPairs(
         graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
-        n = 3, tau = 0.5, maxDocFreq = Some(64L))),
+        n = 3, tau = 0.5, maxDocFreq = graft.dedup.DocFreqCap.Fixed(64))),
       "q_containment_df64" -> (dir => graft.dedup.Dedup.containmentPairs(
         graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
-        n = 3, tau = 0.8, maxDocFreq = Some(64L))))
+        n = 3, tau = 0.8, maxDocFreq = graft.dedup.DocFreqCap.Fixed(64))),
+      // the opt-out sweep: what the DEFAULT used to cost before
+      // DocFreqCap.Auto became the default (r9's 38.8/39.6 s rows)
+      "q_dedup_ngram_unbounded" -> (dir => graft.dedup.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
+        n = 3, tau = 0.5, maxDocFreq = graft.dedup.DocFreqCap.Unbounded)),
+      "q_containment_unbounded" -> (dir => graft.dedup.Dedup.containmentPairs(
+        graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
+        n = 3, tau = 0.8, maxDocFreq = graft.dedup.DocFreqCap.Unbounded)))
     def timeDf(mk: String => org.apache.spark.sql.DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       mk(dir).count()

@@ -285,7 +285,8 @@ class PropertySpec extends SparkSpecBase {
         i = (sa & sb).size if i > 0
         j = i.toDouble / (sa.size + sb.size - i) if j >= 0.3
       } yield (a, b, j)).toSet
-      val got = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.3)
+      val got = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.3,
+          maxDocFreq = graft.dedup.DocFreqCap.Unbounded)
         .as[(Long, Long, Double)].collect().toSet
       assert(got === expected, s"seed=$seed")
       val expectedCont = (for {
@@ -293,7 +294,8 @@ class PropertySpec extends SparkSpecBase {
         i = (sa & sb).size if i > 0
         c = i.toDouble / math.min(sa.size, sb.size) if c >= 0.6
       } yield (a, b, c)).toSet
-      val gotCont = Dedup.containmentPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.6)
+      val gotCont = Dedup.containmentPairs(df, col("text"), col("doc_id"), n = 2, tau = 0.6,
+          maxDocFreq = graft.dedup.DocFreqCap.Unbounded)
         .as[(Long, Long, Double)].collect().toSet
       assert(gotCont === expectedCont, s"seed=$seed (containment)")
     }
