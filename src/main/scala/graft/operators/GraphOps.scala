@@ -36,6 +36,7 @@ object GraphOps {
     val nodes = Checkpoints.eager(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
+    require(n > 0, "graph has no nodes")
     val base = scale / n              // floor — mirrors integer // in the oracle
     val tele = (15L * base) / 100L
     // loop-invariant: each edge annotated with its source's out-degree
@@ -166,6 +167,7 @@ object GraphOps {
     val nodes = Checkpoints.eager(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
+    require(n > 0, "graph has no nodes")
     val base = scale / n
     val tele = (15L * base) / 100L
     val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src"))

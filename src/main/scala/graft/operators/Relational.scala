@@ -349,15 +349,24 @@ object Relational {
       * MAD = 0 flag every off-median row (k·0 = 0), matching the
       * textbook definition. Returns the flagged rows only. */
     def madOutliers(group: Seq[Column], valueInt: Column, k: Double, keep: Seq[Column]): DataFrame = {
-      val base = df.select(keep ++ group :+ valueInt.cast("double").as("__v"): _*)
-      val gcols = group.map(c => col(c.toString))
-      val med = base.groupBy(group: _*).agg(median(col("__v")).as("__med"))
-      val withMed = base.join(broadcast(med), group.map(_.toString))
-      val mad = withMed.groupBy(group: _*)
+      // group expressions are aliased to generated names (__g0, __g1,
+      // ...) for the two join-backs — a computed grouping (e.g. a
+      // bucket expression) has no stable string name to join on. The
+      // OUTPUT re-aliases them to the names the analyzer would give
+      // the bare projection, so simple columns keep their names.
+      val outNames = df.select(group: _*).columns.toSeq
+      val gNames = group.indices.map(i => s"__g$i")
+      val base = df.select(
+        keep ++ group.zip(gNames).map { case (c, n) => c.as(n) } :+
+          valueInt.cast("double").as("__v"): _*)
+      val med = base.groupBy(gNames.map(col): _*).agg(median(col("__v")).as("__med"))
+      val withMed = base.join(broadcast(med), gNames)
+      val mad = withMed.groupBy(gNames.map(col): _*)
         .agg(median(abs(col("__v") - col("__med"))).as("__mad"))
-      withMed.join(broadcast(mad), group.map(_.toString))
+      withMed.join(broadcast(mad), gNames)
         .filter(abs(col("__v") - col("__med")) > lit(k) * col("__mad"))
-        .select(keep ++ gcols :+ col("__v").cast("long").as("value"): _*)
+        .select(keep ++ gNames.zip(outNames).map { case (g, n) => col(g).as(n) } :+
+          col("__v").cast("long").as("value"): _*)
     }
 
     /** Sliding-frame aggregate over an ordered per-key window, e.g.

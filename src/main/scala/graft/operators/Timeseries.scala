@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Floor-division bucket floor(us / stepUs) in pure 64-bit integer
+    * arithmetic: truncating `div` nudged down one when a negative ts
+    * leaves a remainder. Exact at EVERY long magnitude (the previous
+    * floor(double) form drifted past 2^53) and engine-portable — the
+    * oracle replays it as
+    * `(us // step) - CASE WHEN us % step < 0 THEN 1 ELSE 0 END`
+    * (DuckDB `//` truncates toward zero exactly like Spark's `div`).
+    * `usCol` must be a resolvable column NAME (the `div` operator is
+    * only reachable through SQL text). */
+  private[operators] def floorBucket(usCol: String, stepUs: Long): Column = {
+    require(stepUs > 0, "stepUs must be positive")
+    expr(s"($usCol div ${stepUs}L) - (CASE WHEN $usCol % ${stepUs}L < 0 THEN 1 ELSE 0 END)")
+  }
+
   implicit class TimeseriesOps(private val df: DataFrame) extends AnyVal {
 
     /** Half-life-decayed activity counts — trending detection: each
@@ -68,12 +82,13 @@ object Timeseries {
     def gapFill(key: Column, tsUs: Column, tieBreak: Column, value: Column,
         stepUs: Long): DataFrame = {
       val obs = df
-        .select(key.as("__k"), floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"),
-          tsUs.as("__us"), tieBreak.as("__tb"), value.as("__v"))
+        .select(key.as("__k"), tsUs.as("__us"), tieBreak.as("__tb"), value.as("__v"))
+        .withColumn("bucket", floorBucket("__us", stepUs))
         .groupBy(col("__k"), col("bucket"))
         .agg(max(struct(col("__us"), col("__tb"), col("__v"))).getField("__v").as("__obs"))
       val grid = df
-        .select(key.as("__k"), floor(tsUs.cast("double") / stepUs).cast("long").as("__b"))
+        .select(key.as("__k"), tsUs.as("__us"))
+        .select(col("__k"), floorBucket("__us", stepUs).as("__b"))
         .groupBy(col("__k"))
         .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
         .select(col("__k"), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
@@ -121,9 +136,9 @@ object Timeseries {
       * Intervals with end < start are dropped. */
     def concurrency(startUs: Column, endUs: Column, stepUs: Long): DataFrame =
       df.filter(endUs >= startUs)
+        .select(startUs.as("__s"), endUs.as("__e"))
         .select(explode(sequence(
-          floor(startUs.cast("double") / stepUs).cast("long"),
-          floor(endUs.cast("double") / stepUs).cast("long"))).as("bucket"))
+          floorBucket("__s", stepUs), floorBucket("__e", stepUs))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_active"))
 
@@ -149,8 +164,8 @@ object Timeseries {
       * single-partition funnel anywhere. */
     def cusumDriftBy(key: Column, tsUs: Column, stepUs: Long): DataFrame = {
       val buckets = df
-        .select(key.as("key"),
-          floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"))
+        .select(key.as("key"), tsUs.as("__us"))
+        .select(col("key"), floorBucket("__us", stepUs).as("bucket"))
         .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
       val totals = buckets.groupBy("key")
         .agg(count(lit(1)).as("__b"), sum("n").as("__t"))
@@ -167,7 +182,8 @@ object Timeseries {
 
     def cusumDrift(tsUs: Column, stepUs: Long): DataFrame = {
       val buckets = df
-        .select(floor(tsUs.cast("double") / stepUs).cast("long").as("bucket"))
+        .select(tsUs.as("__us"))
+        .select(floorBucket("__us", stepUs).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
       val totals = buckets.agg(
         count(lit(1)).as("__b"), sum("n").as("__t"))

@@ -46,7 +46,7 @@ object PipelineQueries {
       graft.quality.Validate.kAnonymityRisk(
         Tables.events(s, dir),
         Seq(col("event_type"),
-          floor(unix_micros(col("ts")).cast("double") / 3600000000L).cast("long").as("hour")),
+          expr("(unix_micros(ts) div 3600000000L) - (CASE WHEN unix_micros(ts) % 3600000000L < 0 THEN 1 ELSE 0 END)").as("hour")),
         k = 5L)),
 
     // Distribution-drift report: does the incoming drop's length
@@ -351,7 +351,7 @@ object PipelineQueries {
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,
         |         CAST(round(value * 100) AS BIGINT) AS cents,
-        |         epoch_us(ts) // 3600000000 AS bucket
+        |         ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS bucket
         |  FROM events),
         |obs AS (
         |  SELECT user_id, bucket, cents FROM (
@@ -369,7 +369,7 @@ object PipelineQueries {
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin,
     "q_cusum" ->
       """WITH b AS (
-        |  SELECT epoch_us(ts) // 3600000000 AS bucket,
+        |  SELECT ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS bucket,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(n) AS BIGINT) AS tot FROM b),
@@ -383,7 +383,7 @@ object PipelineQueries {
         |FROM c""".stripMargin,
 
     "q_k_anon" ->
-      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      """SELECT event_type, ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS hour,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 HAVING count(*) < 5""".stripMargin,
 
@@ -406,7 +406,7 @@ object PipelineQueries {
 
     "q_cusum_by_key" ->
       """WITH b AS (
-        |  SELECT event_type AS key, epoch_us(ts) // 3600000000 AS bucket,
+        |  SELECT event_type AS key, ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS bucket,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT key, CAST(count(*) AS BIGINT) AS nb, CAST(sum(n) AS BIGINT) AS tot
@@ -438,7 +438,7 @@ object PipelineQueries {
         |  FROM sess GROUP BY user_id, session_id
         |)
         |SELECT bucket, count(*) AS n_active FROM (
-        |  SELECT unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS bucket
+        |  SELECT unnest(generate_series(((start_us // 3600000000) - CASE WHEN start_us % 3600000000 < 0 THEN 1 ELSE 0 END), ((end_us // 3600000000) - CASE WHEN end_us % 3600000000 < 0 THEN 1 ELSE 0 END))) AS bucket
         |  FROM iv)
         |GROUP BY bucket""".stripMargin,
     "q_profile" ->

@@ -462,13 +462,31 @@ object Sketches {
     * as the exact integer (w·2^28) div u — ALREADY IN WEIGHT UNITS
     * (it is w scaled up by 1/u_norm ≥ 1), no float anywhere; ranking,
     * τ and estimates replay bit-for-bit (ties broken by key asc).
-    * Rows with weight < 1 are excluded by contract; weights must stay
-    * below 2^35 so w·2^28 fits a long.
+    * Rows with weight < 1 are excluded by contract. The priority is
+    * computed as (w div u)·2^28 + ((w mod u)·2^28) div u — the same
+    * integer, but no intermediate exceeds the result — so any weight
+    * whose TRUE priority fits a BIGINT is handled exactly, and a
+    * priority ≥ 2^63 (w div u ≥ 2^35) raises a loud error instead of
+    * silently wrapping in non-ANSI mode.
     *
     * Scale shape: TakeOrdered ships k+1 rows per partition at most —
     * no global sort, no shuffle of the corpus; the τ/estimate window
     * runs over the k+1 survivors. Output: (key, w, pri, tau, est)
     * with est = max(w, τ) the per-row weight estimate. */
+  /** Exact (w·scale) div __u without the w·scale intermediate:
+    * (w div u)·scale + ((w mod u)·scale) div u — the quotient term is
+    * an exact multiple of scale so the sum IS the floored quotient.
+    * The remainder term stays under scale² = 2^56; the quotient term
+    * is guarded — (w div u) ≥ 2^35 means the TRUE priority exceeds
+    * BIGINT, which raises loudly instead of wrapping negative in
+    * non-ANSI mode and silently corrupting τ and the HT estimates. */
+  private def priorityExact(scale: Long): Column =
+    when(expr(s"(w div __u) < ${1L << 35}L"),
+      expr(s"(w div __u) * ${scale}L + ((w % __u) * ${scale}L) div __u"))
+      .otherwise(raise_error(concat(
+        lit("prioritySample: priority (w * 2^28 / u) overflows BIGINT for key="),
+        col("key").cast("string"))))
+
   def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1)
     val scale = 1L << 28
@@ -477,7 +495,7 @@ object Sketches {
       .withColumn("__u",
         pmod(conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10).cast("long"),
           lit(scale)) + 1)
-      .withColumn("pri", expr(s"(w * ${scale}L) div __u"))
+      .withColumn("pri", priorityExact(scale))
     val wOrd = org.apache.spark.sql.expressions.Window
       .orderBy(col("pri").desc, col("key").asc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
@@ -510,7 +528,7 @@ object Sketches {
       .withColumn("__u",
         pmod(conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10).cast("long"),
           lit(scale)) + 1)
-      .withColumn("pri", expr(s"(w * ${scale}L) div __u"))
+      .withColumn("pri", priorityExact(scale))
     val top = org.apache.spark.sql.graft.GraftPlans.groupTopK(
       base, Seq(col("grp")), Seq(col("pri").desc, col("key").asc), k + 1)
     val wg = org.apache.spark.sql.expressions.Window

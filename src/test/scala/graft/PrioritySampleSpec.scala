@@ -81,4 +81,36 @@ class PrioritySampleSpec extends SparkSpecBase {
       .select("key").as[Long].collect().toSet
     assert(got === Set(1L))
   }
+
+  test("weights past 2^35 sample exactly while the priority fits a long") {
+    // r9 advice: w·2^28 used to wrap silently in non-ANSI mode for
+    // w ≥ 2^35. The decomposed priority (w div u)·2^28 + ((w mod u)·
+    // 2^28) div u handles any weight whose TRUE priority fits BIGINT —
+    // check it against exact BigInt math well past the old ceiling.
+    val ws = Seq(1L << 36, (1L << 40) + 12345L, 3L * (1L << 38), 7L)
+    val df = ws.zipWithIndex.map { case (w, i) => (i.toLong + 1, w) }.toDF("id", "wt")
+    val got = Sketches.prioritySample(df, col("id"), col("wt"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ws.zipWithIndex.foreach { case (w, i) =>
+      val key = i.toLong + 1
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString.take(7)
+      val u = java.lang.Long.parseLong(md5hex, 16) % Scale + 1
+      val want = (BigInt(w) * Scale / u).toLong
+      assert(got(key) === want, s"key=$key w=$w")
+    }
+  }
+
+  test("a priority past 2^63 raises loudly instead of wrapping") {
+    // w div u >= 2^35 ⟺ true priority >= 2^63: must be an error, not
+    // a silently negative priority corrupting τ and the HT estimates
+    val df = Seq((1L, Long.MaxValue)).toDF("id", "wt") // any u keeps w/u >= 2^35
+    val e = intercept[Exception] {
+      Sketches.prioritySample(df, col("id"), col("wt"), k = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overflows BIGINT")), e.toString)
+  }
 }

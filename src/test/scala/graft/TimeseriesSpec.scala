@@ -176,4 +176,29 @@ class TimeseriesSpec extends SparkSpecBase {
       .as[(Long, String, Long)].collect().toSet
     assert(out === Set((1L, "A", 100L)))
   }
+
+  test("madOutliers groups by a COMPUTED expression (r9 advice)") {
+    // grouping on id div 10 used to fail analysis (col(c.toString) on a
+    // non-trivial expression); the generated-alias join must handle it
+    val df = (Seq((1L, 100L)) ++ (2L to 6L).map(i => (i, i))).toDF("id", "v")
+    val out = df.madOutliers(Seq((col("id") % 100L * 0L).as("bucket")), col("v"),
+        k = 3.0, keep = Seq(col("id")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 100L))) // all rows share bucket 0; same outlier
+    assert(df.madOutliers(Seq(col("id") % 2L), col("v"), k = 3.0, keep = Seq(col("id")))
+      .columns.length === 3) // unaliased computed group still analyzes
+  }
+
+  test("bucketing floors negative timestamps (r9 advice: integer floor-div)") {
+    // ts = -1 µs belongs to bucket -1 (floor), not bucket 0 (truncate):
+    // a truncating div would double-width bucket 0 around the epoch
+    val df = Seq((1L, -1L, 10L), (2L, -3600000001L, 20L), (3L, 1L, 30L))
+      .toDF("id", "us", "v")
+    val buckets = df.cusumDrift(col("us"), stepUs = 3600000000L)
+      .select("bucket").as[Long].collect().sorted
+    assert(buckets.toSeq === Seq(-2L, -1L, 0L))
+    val conc = df.concurrency(col("us"), col("us") + 1L, stepUs = 3600000000L)
+      .select("bucket").as[Long].collect().sorted
+    assert(conc.contains(-1L) && conc.contains(-2L))
+  }
 }
