@@ -61,6 +61,13 @@ import graft.sources.PartitionedFiles
   *       data-quality expectations: emits one (rule, violations) row
   *       per rule — the pre-ingest gate run before a batch is
   *       promoted (all rules evaluated in ONE pass over the data)
+  *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
+  *                  [--max-changed-pm 50]] [--action promote|rollback|vacuum|current]
+  *       write-audit-publish versioned corpus: stage -i under --root,
+  *       gate on the validate suite + optional live-vs-staged churn
+  *       limit, atomically swap the manifest pointer on pass; a
+  *       refused promotion exits nonzero and leaves the live version
+  *       untouched
   *   decontam       --bench PATH --text text --id doc_id [--bench-text text]
   *                  [--bench-id doc_id] [--n 3] [--min-hits 3] [--emit clean|flags]
   *       benchmark decontamination: drop (or just flag, --emit flags)
@@ -298,6 +305,22 @@ object Cli {
 
     def exprList(key: String): Seq[Column] =
       opts.getOrElse(key, fail(s"$cmd requires --$key")).split(",(?![^()]*\\))").map(s => expr(s.trim)).toSeq
+
+    // --not-null "a,b" / --unique "a,b" / --check "pred1;pred2" →
+    // Validate.Check suite (shared by the validate and promote verbs)
+    def parsedChecks(): Seq[graft.quality.Validate.Check] = {
+      import graft.quality.Validate._
+      val checks = Seq.newBuilder[Check]
+      opts.get("not-null").foreach(_.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => checks += NotNull(s"not_null_$c", col(c))))
+      opts.get("unique").foreach { s =>
+        val cs = s.split(",").map(_.trim).filter(_.nonEmpty)
+        checks += Unique("unique_" + cs.mkString("_"), cs.map(col).toSeq)
+      }
+      opts.get("check").foreach(_.split(";").map(_.trim).filter(_.nonEmpty).zipWithIndex
+        .foreach { case (e, i) => checks += Satisfies(s"check_$i", expr(e)) })
+      checks.result()
+    }
 
     try {
       cmd match {
@@ -969,19 +992,46 @@ object Cli {
           write(graft.quality.Validate.schemaDrift(read(),
             opts.getOrElse("expect", fail("--expect DDL required"))))
         case "validate" =>
-          import graft.quality.Validate._
-          val checks = Seq.newBuilder[Check]
-          opts.get("not-null").foreach(_.split(",").map(_.trim).filter(_.nonEmpty)
-            .foreach(c => checks += NotNull(s"not_null_$c", col(c))))
-          opts.get("unique").foreach { s =>
-            val cs = s.split(",").map(_.trim).filter(_.nonEmpty)
-            checks += Unique("unique_" + cs.mkString("_"), cs.map(col).toSeq)
-          }
-          opts.get("check").foreach(_.split(";").map(_.trim).filter(_.nonEmpty).zipWithIndex
-            .foreach { case (e, i) => checks += Satisfies(s"check_$i", expr(e)) })
-          val cs = checks.result()
+          val cs = parsedChecks()
           if (cs.isEmpty) fail("validate requires --not-null, --unique and/or --check")
-          write(violations(read(), cs))
+          write(graft.quality.Validate.violations(read(), cs))
+
+        case "promote" =>
+          // write-audit-publish versioned corpus (Versioned.promote):
+          // stage -i under --root, gate on --not-null/--unique/--check
+          // (+ optional --diff-key/--diff-content/--max-changed-pm),
+          // atomically publish on pass; --action rollback|vacuum|
+          // current manage the pointer (-i is ignored for those)
+          import spark.implicits._
+          val root = opts.getOrElse("root", fail("--root PATH required"))
+          opts.getOrElse("action", "promote") match {
+            case "promote" =>
+              val gate = opts.get("diff-key").map(k => graft.sources.Versioned.DiffGate(
+                k, opts.getOrElse("diff-content", fail("--diff-content required with --diff-key")),
+                opts.getOrElse("max-changed-pm", "50").toLong))
+              val r = graft.sources.Versioned.promote(read(), root, parsedChecks(), gate)
+              val rows =
+                Seq(("outcome", "promoted", r.promoted.toString),
+                  ("outcome", "version", r.version.toString),
+                  ("outcome", "path", r.path)) ++
+                r.reason.map(("outcome", "reason", _)) ++
+                r.violations.map { case (rule, n) => ("violation", rule, n.toString) } ++
+                r.diffStats.map { case (s, n) => ("diff", s, n.toString) }
+              write(rows.toDF("kind", "name", "value"))
+              if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
+            case "rollback" =>
+              val m = graft.sources.Versioned.rollback(root)
+              write(Seq(("outcome", "version", m.version.toString),
+                ("outcome", "path", m.path)).toDF("kind", "name", "value"))
+            case "vacuum" =>
+              write(graft.sources.Versioned.vacuum(root).toDF("dropped"))
+            case "current" =>
+              val m = graft.sources.Versioned.currentManifest(root)
+                .getOrElse(fail(s"no live version under $root"))
+              write(Seq(("outcome", "version", m.version.toString),
+                ("outcome", "path", m.path)).toDF("kind", "name", "value"))
+            case o => fail(s"unknown --action: $o")
+          }
         case other => fail(s"unknown command: $other")
       }
     } finally spark.stop()

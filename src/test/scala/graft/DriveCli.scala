@@ -925,5 +925,39 @@ object DriveCli {
       println(s"SSPANS=${spans.count()} OK=${spans.count() == expect && expect > 0}")
       spark.stop()
     }
+
+    // promote: write-audit-publish over the real documents table —
+    // publish v1, have a broken rebuild refused, roll back
+    val proot = s"$tmp/versioned"
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--not-null", "doc_id,text",
+      "--unique", "doc_id", "--outfile", s"$tmp/prom1"))
+    // a rebuild that silently dropped >95% of the corpus must be
+    // refused by the diff gate (exit via sys.error), leaving v1 live
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "partition.filter", "--expr", "doc_id % 20 = 0",
+      "--outfile", s"$tmp/sliver"))
+    val refused =
+      try {
+        Cli.main(Array("-i", s"$tmp/sliver", "-f", "parquet",
+          "promote", "--root", proot, "--unique", "doc_id",
+          "--diff-key", "doc_id", "--diff-content", "text",
+          "--max-changed-pm", "50",
+          "--outfile", s"$tmp/prom_refused"))
+        false
+      } catch { case e: RuntimeException => e.getMessage.contains("promotion refused") }
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--action", "current",
+      "--outfile", s"$tmp/prom_cur"))
+    locally {
+      val spark = GraftSession.builder("verifyProm", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val live = graft.sources.Versioned.read(spark, proot)
+      val cur = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/prom_cur")
+        .filter(col("name") === "version").head().getString(2)
+      println(s"PROMOTE=${live.count()} OK=${refused && live.count() == in.count() && cur == "1"}")
+      spark.stop()
+    }
   }
 }
