@@ -961,6 +961,18 @@ object Cli {
           val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
           write(graft.sketch.Sketches.amsF2(read(), group, key,
             lanes = opts.getOrElse("lanes", "60").toInt))
+        case "coactive" =>
+          // co-active pair mining over an event log. --blocks B is the
+          // 1-in-B unbiased pair-sample work dial; --blocks 1 buys the
+          // EXACT all-pairs sweep knowingly (quadratic in per-window
+          // actives — same plan shape, just no block pruning)
+          val user = expr(opts.getOrElse("user", fail("--user EXPR required")))
+          val etype = expr(opts.getOrElse("type", fail("--type EXPR required")))
+          val ts = expr(opts.getOrElse("ts", fail("--ts EXPR required")))
+          write(graft.operators.TemporalJoins.coActivePairs(read(), user, etype, ts,
+            bucketUs = opts.getOrElse("bucket-hours", "3").toLong * 3600000000L,
+            blocks = opts.getOrElse("blocks", "4").toInt,
+            topK = opts.getOrElse("top", "25").toInt))
         case "keywords" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           write(graft.text.TextAnalysis.textRank(read(), text,

@@ -222,6 +222,46 @@ object TemporalJoins {
       .drop("__b", "__as", "__ae", "__bs", "__be")
   }
 
+  /** Top-K co-active entity pairs from an event stream — the
+    * packaged form of the [[intervalJoinBucketed]] self-join
+    * (SURVEY.md §2.2/22k2): events roll up to per-(user, type, day)
+    * activity intervals, interval×interval overlap pairs within the
+    * same (day, type) count co-active windows, top `topK` pairs by
+    * window count.
+    *
+    * All-pairs co-activity is inherently quadratic in per-window
+    * actives, so the pair stream is HASH-BLOCKED: a pair survives iff
+    * both users land in the same portable-hash block — `blocks` = B
+    * gives an unbiased 1-in-B pair sample, consistent across windows
+    * so each SURVIVING pair's window count stays exact. B is the
+    * work-vs-coverage dial at 100 TB; **`blocks = 1` is the EXACT
+    * mode** (every user shares block 0 — no sampling, full quadratic
+    * cost, bought knowingly; plan shape is identical, so the
+    * q_interval_join shuffle budget pins both modes). */
+  def coActivePairs(events: DataFrame, user: Column, etype: Column, ts: Column,
+      bucketUs: Long, blocks: Int, topK: Int): DataFrame = {
+    require(blocks >= 1 && topK >= 1)
+    val iv = graft.operators.Checkpoints.eager(
+      events
+        .groupBy(user.as("__u"), etype.as("__et"),
+          date_trunc("DAY", ts).as("__d"),
+          pmod(graft.functions.Hashing.portableHash64(user), lit(blocks.toLong)).as("__bk"))
+        .agg(min(unix_micros(ts)).as("s_us"), max(unix_micros(ts)).as("e_us"))
+        .withColumn("__jk", concat_ws("|", col("__d").cast("string"), col("__et"), col("__bk"))))
+    val a = iv.select(col("__u").as("ua"), col("__jk"),
+      col("s_us").as("as_us"), col("e_us").as("ae_us"))
+    val b = iv.select(col("__u").as("ub"), col("__jk"),
+      col("s_us").as("bs_us"), col("e_us").as("be_us"))
+    val pairs = intervalJoinBucketed(a, b, "__jk",
+      col("as_us"), col("ae_us"), col("bs_us"), col("be_us"), bucketUs)
+      .filter(col("ua") < col("ub"))
+    pairs.groupBy("ua", "ub").agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc).limit(topK)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc)))
+      .select(col("ua").as("user_a"), col("ub").as("user_b"), col("n_windows"), col("rank"))
+  }
+
   /** SCD type-2 dimension builder: turn a change log (one row per
     * attribute change) into validity intervals — each row becomes
     * valid from its own timestamp until the key's NEXT change

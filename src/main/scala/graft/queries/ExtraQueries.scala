@@ -188,27 +188,10 @@ object ExtraQueries {
     // work-vs-coverage dial at 100 TB, partner caps the other lever).
     // The oracle replays the plain overlap semantics + block rule;
     // the time-bucketing must be transparent.
-    "q_interval_join" -> ((s, dir) => {
-      val iv = graft.operators.Checkpoints.eager(
-        Tables.events(s, dir)
-          .groupBy(col("user_id"), col("event_type").as("et"),
-            date_trunc("DAY", col("ts")).as("d"),
-            pmod(graft.functions.Hashing.portableHash64(col("user_id")), lit(4L)).as("bk"))
-          .agg(min(unix_micros(col("ts"))).as("s_us"), max(unix_micros(col("ts"))).as("e_us"))
-          .withColumn("jk", concat_ws("|", col("d").cast("string"), col("et"), col("bk"))))
-      val a = iv.select(col("user_id").as("ua"), col("jk"), col("s_us").as("as_us"), col("e_us").as("ae_us"))
-      val b = iv.select(col("user_id").as("ub"), col("jk"), col("s_us").as("bs_us"), col("e_us").as("be_us"))
-      val pairs = graft.operators.TemporalJoins
-        .intervalJoinBucketed(a, b, "jk",
-          col("as_us"), col("ae_us"), col("bs_us"), col("be_us"), bucketUs = 10800000000L)
-        .filter(col("ua") < col("ub"))
-      val ranked = pairs.groupBy("ua", "ub").agg(count(lit(1)).as("n_windows"))
-        .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc).limit(25)
-      ranked
-        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_windows").desc, col("ua").asc, col("ub").asc)))
-        .select(col("ua").as("user_a"), col("ub").as("user_b"), col("n_windows"), col("rank"))
-    }),
+    "q_interval_join" -> ((s, dir) =>
+      graft.operators.TemporalJoins.coActivePairs(
+        Tables.events(s, dir), col("user_id"), col("event_type"), col("ts"),
+        bucketUs = 10800000000L, blocks = 4, topK = 25)),
 
     // IVF ANN — fully oracle-gated: the whole deterministic build
     // (seed cells → Lloyd passes → floor-mean centroids → inverted

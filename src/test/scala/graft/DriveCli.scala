@@ -959,5 +959,31 @@ object DriveCli {
       println(s"PROMOTE=${live.count()} OK=${refused && live.count() == in.count() && cur == "1"}")
       spark.stop()
     }
+
+    // coactive: interval-overlap pair mining, library parity in BOTH
+    // modes — sampled (--blocks 4) and exact (--blocks 1)
+    val events = "/root/testdata/sf0.001/events.parquet"
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "coactive", "--user", "user_id", "--type", "event_type",
+      "--ts", "cast(ts as timestamp)",
+      "--blocks", "4", "--top", "25", "--outfile", s"$tmp/coactive4"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "coactive", "--user", "user_id", "--type", "event_type",
+      "--ts", "cast(ts as timestamp)",
+      "--blocks", "1", "--top", "25", "--outfile", s"$tmp/coactive1"))
+    locally {
+      val spark = GraftSession.builder("verifyCoact", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, events)
+      def expect(blocks: Int) = graft.operators.TemporalJoins.coActivePairs(
+        in, col("user_id"), col("event_type"), col("ts").cast("timestamp"),
+        bucketUs = 10800000000L, blocks = blocks, topK = 25)
+      val got4 = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/coactive4")
+      val got1 = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/coactive1")
+      val ok4 = got4.except(expect(4)).count() == 0 && expect(4).except(got4).count() == 0
+      val ok1 = got1.except(expect(1)).count() == 0 && expect(1).except(got1).count() == 0
+      println(s"COACTIVE4=${got4.count()} COACTIVE1=${got1.count()} OK=${ok4 && ok1}")
+      spark.stop()
+    }
   }
 }

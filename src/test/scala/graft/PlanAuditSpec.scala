@@ -181,6 +181,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_interval_join")) === 1)
   }
 
+  test("coActivePairs exact mode (blocks = 1) keeps the sampled plan shape") {
+    // blocks = 1 removes the pair PRUNING, not the plan — exactness
+    // costs quadratic pair work, never a new shuffle; budget pinned
+    // so the exact dial stays an informed trade (r9 verdict item 7)
+    val exact = graft.operators.TemporalJoins.coActivePairs(
+      graft.sources.Tables.events(spark, dir),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("ts"),
+      bucketUs = 10800000000L, blocks = 1, topK = 25)
+    assert(keyShuffles(exact.queryExecution.executedPlan.toString) === 1)
+  }
+
   test("q_nb_calibration: the nb_quality model-build shape plus the one doc_id probe") {
     assert(keyShuffles(plan("q_nb_calibration")) === 6)
   }

@@ -131,4 +131,38 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(bucketed === naive)
     assert(naive.nonEmpty)
   }
+
+  test("coActivePairs: blocks=1 is exact, blocked modes are consistent subsets") {
+    val rnd = new scala.util.Random(11)
+    val events = Seq.fill(800) {
+      val u = rnd.nextInt(20).toLong
+      val et = s"t${rnd.nextInt(2)}"
+      val us = 1700000000000000L + rnd.nextInt(4) * 86400000000L + rnd.nextInt(86400) * 1000000L
+      (u, et, new java.sql.Timestamp(us / 1000L))
+    }.toDF("user_id", "event_type", "ts")
+    def run(blocks: Int) = TemporalJoins.coActivePairs(
+      events, col("user_id"), col("event_type"), col("ts"),
+      bucketUs = 10800000000L, blocks = blocks, topK = 1000)
+      .select("user_a", "user_b", "n_windows").as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val exact = run(1)
+    assert(exact.nonEmpty)
+    // exact mode equals the brute-force overlap count over the
+    // per-(user, type, day) interval rollup
+    val iv = events.groupBy(col("user_id"), col("event_type").as("et"),
+        date_trunc("DAY", col("ts")).as("d"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)].collect()
+    val brute = (for {
+      (ua, eta, da, sa, ea) <- iv
+      (ub, etb, db, sb, eb) <- iv
+      if ua < ub && eta == etb && da == db && sa <= eb && sb <= ea
+    } yield (ua, ub)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(exact === brute)
+    // a blocked run never invents pairs, and every surviving pair's
+    // window count is the exact one (sampling prunes pairs, not rows)
+    val sampled = run(4)
+    assert(sampled.keySet.subsetOf(exact.keySet))
+    sampled.foreach { case (p, n) => assert(exact(p) === n, p) }
+  }
 }
