@@ -36,6 +36,61 @@ object Decontam {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Word n-grams as a MULTISET (no per-document distinct) — what
+    * ROUGE counts. Empty when the document has fewer than n tokens.
+    * Tokenization matches [[Dedup.shingles]] / the oracle CTEs:
+    * lower, trim, whitespace split. */
+  private def multisetGrams(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** ROUGE-style overlap triage for the pairs [[ngramContamination]]
+    * flags: per (corpus doc, benchmark doc), the MULTISET n-gram
+    * intersection i = Σ_g min(count_doc(g), count_bench(g)) plus
+    * exact per-mille recall (i / benchmark grams — how much of the
+    * eval item is covered, the decontamination severity) and
+    * precision (i / doc grams — how much of the training doc is the
+    * eval item, the "is this doc JUST the benchmark" signal). The
+    * screen flags on distinct hits; this op grades the flagged pairs
+    * so a pipeline can set removal policy by severity instead of
+    * dropping everything the screen touches.
+    *
+    * Scale shape: gram counting happens ONLY for flagged pairs (the
+    * contamination-bounded relation, not the corpus), the benchmark
+    * gram-count table is broadcast, and the per-pair sum is the one
+    * exchange — corpus text never shuffles. All ratios are integer
+    * per-mille (1000·i div total), engine-exact. */
+  def overlapScores(
+      corpus: DataFrame, text: Column, id: Column,
+      bench: DataFrame, benchText: Column, benchId: Column,
+      n: Int, minHits: Long): DataFrame = {
+    val flagged = ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
+    val docGrams = corpus
+      .select(id.as("doc_id"), multisetGrams(text, n).as("__ga"))
+      .join(flagged.select("doc_id", "bench_id", "n_hits"), "doc_id")
+    val dg = docGrams
+      .select(col("doc_id"), col("bench_id"), col("n_hits"),
+        size(col("__ga")).as("__na"), explode(col("__ga")).as("g"))
+      .groupBy("doc_id", "bench_id", "n_hits", "__na", "g")
+      .agg(count(lit(1)).as("__ca"))
+    val bg = bench
+      .select(benchId.as("bench_id"), multisetGrams(benchText, n).as("__gb"))
+      .select(col("bench_id"), size(col("__gb")).as("__nb"), explode(col("__gb")).as("g"))
+      .groupBy("bench_id", "__nb", "g")
+      .agg(count(lit(1)).as("__cb"))
+    dg.join(broadcast(bg), Seq("bench_id", "g"))
+      .groupBy("doc_id", "bench_id", "n_hits", "__na", "__nb")
+      .agg(sum(least(col("__ca"), col("__cb"))).as("shared_grams"))
+      .withColumn("recall_pm", expr("(1000 * shared_grams) div greatest(__nb, 1)"))
+      .withColumn("precision_pm", expr("(1000 * shared_grams) div greatest(__na, 1)"))
+      .select(col("doc_id"), col("bench_id"), col("n_hits"), col("shared_grams"),
+        col("precision_pm"), col("recall_pm"))
+  }
+
   /** The clean corpus: drop every document flagged against any
     * benchmark document — the removal step downstream of the audit
     * view above. */

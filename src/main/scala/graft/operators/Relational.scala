@@ -222,6 +222,51 @@ object Relational {
         .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
     }
 
+    /** Per-group ordinary-least-squares trend line — "is spend /
+      * volume / quality drifting up or down per key": slope and
+      * intercept of y over x within each group, plus the EXACT
+      * integer numerators so the fit is auditable and engine-portable.
+      *
+      * x is centered on the group's min (emitted as `x0`) before any
+      * sum — epoch-scale x would overflow Σx² long before the data is
+      * big; centered, the sums stay integral and exact (caller keeps
+      * |x − x0| ≲ 2^20 and |y| ≲ 2^21 at 2^21 rows per group). slope =
+      * Sxy/Sxx with Sxy = nΣxy − ΣxΣy, Sxx = nΣx² − (Σx)² as exact
+      * longs; the two divisions are the only floats, computed in the
+      * same order both engines, so doubles replay bit-identically.
+      * intercept is at x = x0 (the centered frame), NULL slope /
+      * intercept when all x coincide (Sxx = 0 — no ANSI div-by-zero).
+      *
+      * Plan shape: the min-x window and the final aggregate share ONE
+      * group-keyed exchange (same partitioning); no broadcast of a
+      * group-sized relation anywhere, so per-entity groups scale. */
+    def groupOls(group: Seq[Column], x: Column, y: Column): DataFrame = {
+      val outNames = df.select(group: _*).columns.toSeq
+      val gNames = group.indices.map(i => s"__g$i")
+      val base = df.select(
+        group.zip(gNames).map { case (c, n) => c.as(n) } :+
+          x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+      val w = Window.partitionBy(gNames.map(col): _*)
+      val cent = base
+        .withColumn("__x0", min(col("__x")).over(w))
+        .withColumn("__cx", col("__x") - col("__x0"))
+      val s = cent.groupBy((gNames.map(col) :+ col("__x0")): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("__cx")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__cx") * col("__y")).as("__sxy"),
+          sum(col("__cx") * col("__cx")).as("__sxx"))
+        .withColumn("sxy_num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+        .withColumn("sxx_num", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+        .withColumn("slope", when(col("sxx_num") === 0, lit(null).cast("double"))
+          .otherwise(col("sxy_num").cast("double") / col("sxx_num").cast("double")))
+        .withColumn("intercept", when(col("sxx_num") === 0, lit(null).cast("double"))
+          .otherwise((col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+            col("n").cast("double")))
+      s.select(gNames.zip(outNames).map { case (g, n) => col(g).as(n) } ++
+        Seq(col("__x0").as("x0"), col("n"), col("slope"), col("intercept"),
+          col("sxy_num"), col("sxx_num")): _*)
+    }
+
     /** Cohort retention: bucket entities by the period of their first
       * activity, then count distinct entities active at each period
       * offset from their cohort. Periods are integral floor-divisions

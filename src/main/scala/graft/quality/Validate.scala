@@ -80,6 +80,41 @@ object Validate {
     branches.reduce(_ unionByName _).select(col("rule"), col("violations"))
   }
 
+  /** Sample-ratio-mismatch audit: observed arm sizes of a hash split
+    * / experiment assignment against their intended weights, in exact
+    * integers. For each expected arm: its row count (0 when the arm
+    * VANISHED — the smoking gun a groupBy-only report never shows),
+    * expected and observed shares in per-mille, and the
+    * cross-multiplied deviation dev = n·W − w·N (exactly 0 when the
+    * arm's share matches its weight; sign = direction). The release
+    * gate that catches a broken bucketing hash or a filter that
+    * silently ate one arm before training data ships.
+    *
+    * One map-side-combined count aggregate over the data; everything
+    * after is arms-sized arithmetic (the expected table and totals
+    * ride a broadcast of ≤ |arms| rows). Arms observed in the data
+    * but absent from `expected` surface with expected_w = 0 (their
+    * dev = n·W > 0 flags them). */
+  def srmAudit(df: DataFrame, assignment: Column, expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totalW = expected.map(_._2).sum
+    val exp = expected.toDF("arm", "expected_w")
+    val counts = df.groupBy(assignment.as("arm")).agg(count(lit(1)).as("__n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    exp.join(counts, Seq("arm"), "full_outer")
+      .select(col("arm"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("expected_w"), lit(0L)).as("expected_w"))
+      .withColumn("__N", sum(col("n")).over(wAll))
+      .withColumn("expected_pm", expr(s"(1000 * expected_w) div ${totalW}L"))
+      .withColumn("observed_pm", expr("(1000 * n) div greatest(__N, 1)"))
+      .withColumn("dev", col("n") * lit(totalW) - col("expected_w") * col("__N"))
+      .select(col("arm"), col("n"), col("expected_w"),
+        col("expected_pm"), col("observed_pm"), col("dev"))
+  }
+
   /** k-anonymity risk audit (Sweeney 2002): every quasi-identifier
     * combination shared by FEWER than k rows is a re-identification
     * risk — the release gate that runs beside PII redaction before

@@ -404,6 +404,17 @@ object AnalyticQueries {
         .movingZScore(col("user_id"), Seq(unix_micros(col("ts")), col("event_id")), col("cents"), lookback = 10)
         .mapRecords(col("event_id"), col("cents"), col("z"))),
 
+    // §2.2/22ba2 per-group OLS trend: slope/intercept of spend-cents
+    // over the hour bucket per event type, exact integer numerators +
+    // two deterministic double divisions (same order both engines).
+    "q_ols_trend" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .withColumn("hour", expr(
+          "(unix_micros(ts) div 3600000000L) - " +
+            "(CASE WHEN unix_micros(ts) % 3600000000L < 0 THEN 1 ELSE 0 END)"))
+        .groupOls(Seq(col("event_type")), col("hour"), col("cents"))),
+
     // §2.2/22v fixed-width histogram of order totals per priority.
     "q_histogram" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -622,6 +633,30 @@ object AnalyticQueries {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_ols_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |c AS (SELECT event_type, x, y, min(x) OVER (PARTITION BY event_type) AS x0 FROM e),
+        |s AS (SELECT event_type, x0,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x - x0) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum((x - x0) * y) AS BIGINT) AS sxy,
+        |             CAST(sum((x - x0) * (x - x0)) AS BIGINT) AS sxx
+        |      FROM c GROUP BY 1, 2)
+        |SELECT event_type, x0, n,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE (CAST(sy AS DOUBLE)
+        |                  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
+        |       n * sxy - sx * sy AS sxy_num,
+        |       n * sxx - sx * sx AS sxx_num
+        |FROM s""".stripMargin,
     "q_zscore" ->
       """WITH e AS (
         |  SELECT event_id, epoch_us(ts) AS us, user_id,

@@ -130,6 +130,19 @@ object DedupQueries {
         n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
     }),
 
+    // §2.3/22be2 ROUGE-style overlap grading of the decontamination
+    // screen's flagged pairs: MULTISET n-gram intersection with exact
+    // per-mille recall (how much of the eval item is covered) and
+    // precision (how much of the doc IS the eval item) — severity
+    // triage so removal policy can be graded, not all-or-nothing.
+    "q_rouge_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.overlapScores(
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) === 0), col("text"), col("doc_id"),
+        n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
+    }),
+
     // §2.3/22bf cross-source overlap matrix: for every source pair,
     // how many distinct document OPENINGS (5-token-prefix md5
     // fingerprint) appear in both — the corpus diagnostic that tells
@@ -866,6 +879,34 @@ object DedupQueries {
            |FROM cg JOIN bg USING (g)
            |GROUP BY doc_id, bench_id
            |HAVING count(*) >= ${PrepParams.DecontamMinHits}""".stripMargin,
+    "q_rouge_overlap" -> {
+      val (n, bm, mh) = (PrepParams.DecontamN, PrepParams.BenchMod, PrepParams.DecontamMinHits)
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+           |mg AS (
+           |  SELECT doc_id, array_to_string(t[p+1:p+$n], ' ') AS g
+           |  FROM (SELECT doc_id, unnest(range(greatest(len(t) - $n + 1, 0))) AS p, t FROM toks)),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntot FROM mg GROUP BY doc_id),
+           |cgd AS (SELECT DISTINCT doc_id, g FROM mg WHERE doc_id % $bm <> 0),
+           |bgd AS (SELECT DISTINCT doc_id AS bench_id, g FROM mg WHERE doc_id % $bm = 0),
+           |fl AS (SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+           |       FROM cgd JOIN bgd USING (g) GROUP BY 1, 2 HAVING count(*) >= $mh),
+           |ccnt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS ca
+           |         FROM mg WHERE doc_id % $bm <> 0 GROUP BY 1, 2),
+           |bcnt AS (SELECT doc_id AS bench_id, g, CAST(count(*) AS BIGINT) AS cb
+           |         FROM mg WHERE doc_id % $bm = 0 GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT fl.doc_id, fl.bench_id, fl.n_hits,
+           |         CAST(sum(least(ca, cb)) AS BIGINT) AS shared_grams
+           |  FROM fl JOIN ccnt ON fl.doc_id = ccnt.doc_id
+           |          JOIN bcnt ON fl.bench_id = bcnt.bench_id AND ccnt.g = bcnt.g
+           |  GROUP BY 1, 2, 3)
+           |SELECT i.doc_id, i.bench_id, i.n_hits, i.shared_grams,
+           |       (1000 * i.shared_grams) // greatest(ta.ntot, 1) AS precision_pm,
+           |       (1000 * i.shared_grams) // greatest(tb.ntot, 1) AS recall_pm
+           |FROM inter i
+           |JOIN tot ta ON i.doc_id = ta.doc_id
+           |JOIN tot tb ON i.bench_id = tb.doc_id""".stripMargin
+    },
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT min(doc_id) AS doc_id, fp, count(*) AS group_n FROM f GROUP BY fp""".stripMargin,

@@ -49,6 +49,15 @@ object PipelineQueries {
           expr("(unix_micros(ts) div 3600000000L) - (CASE WHEN unix_micros(ts) % 3600000000L < 0 THEN 1 ELSE 0 END)").as("hour")),
         k = 5L)),
 
+    // §2.5/43f sample-ratio-mismatch audit over the hash split:
+    // expected arms LEFT-drive the report so a vanished arm shows up
+    // as n = 0; dev = n·W − w·N is exactly 0 at a perfect ratio.
+    "q_srm" -> ((s, dir) =>
+      graft.quality.Validate.srmAudit(
+        Tables.documents(s, dir),
+        graft.text.TextPrep.splitAssign(col("doc_id"), 90, 5),
+        Seq(("train", 90L), ("val", 5L), ("test", 5L)))),
+
     // Distribution-drift report: does the incoming drop's length
     // distribution match the reference corpus? Cross-multiplied
     // integer proportion drift per 256-char bucket — zero ⇔ share
@@ -381,6 +390,27 @@ object PipelineQueries {
         |SELECT bucket, n, dev, cusum,
         |       CAST(abs(cusum) = max(abs(cusum)) OVER () AS INT) AS is_peak
         |FROM c""".stripMargin,
+
+    "q_srm" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+        |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS arm
+        |  FROM documents),
+        |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY arm),
+        |e AS (SELECT * FROM (VALUES ('train', CAST(90 AS BIGINT)),
+        |                            ('val', CAST(5 AS BIGINT)),
+        |                            ('test', CAST(5 AS BIGINT))) AS t(arm, expected_w)),
+        |j AS (SELECT coalesce(e.arm, c.arm) AS arm,
+        |             CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |             CAST(coalesce(e.expected_w, 0) AS BIGINT) AS expected_w
+        |      FROM e FULL OUTER JOIN c ON e.arm = c.arm),
+        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM j)
+        |SELECT arm, n, expected_w,
+        |       (1000 * expected_w) // 100 AS expected_pm,
+        |       (1000 * n) // greatest(tot, 1) AS observed_pm,
+        |       n * 100 - expected_w * tot AS dev
+        |FROM j CROSS JOIN t2""".stripMargin,
 
     "q_k_anon" ->
       """SELECT event_type, ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS hour,
@@ -807,7 +837,7 @@ object PipelineQueries {
     * to the `alloc` CTE — shared with the cluster-balanced sampler,
     * whose `b` derives from IVF cell sizes instead of language token
     * counts. */
-  private[queries] lazy val unimaxChainCtes: String =
+  private[graft] lazy val unimaxChainCtes: String =
     raw"""f AS (
          |  SELECT lang, tokens, capacity, B,
          |         row_number() OVER (ORDER BY capacity, lang) AS idx,

@@ -389,4 +389,25 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(all === Set(1L, 2L, 3L, 4L))
   }
+
+  test("overlapScores: multiset ROUGE counts on hand-computed pairs") {
+    import graft.dedup.Decontam
+    // doc 1 "a b a b a": 2-grams {a b:2, b a:2}, 4 total; bench 100
+    // "a b a": {a b:1, b a:1}, 2 total → i = min(2,1)+min(2,1) = 2,
+    // recall 1000‰ (bench fully covered), precision 500‰.
+    // doc 2 shares only ONE distinct gram → below minHits, excluded.
+    val docs = Seq((1L, "a b a b a"), (2L, "a b x y z")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b a")).toDF("bench_id", "text")
+    val out = Decontam.overlapScores(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 2, minHits = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 100L, 2L, 2L, 500L, 1000L)))
+    // a doc that IS the benchmark verbatim scores 1000/1000
+    val verb = Decontam.overlapScores(
+        Seq((7L, "a b a")).toDF("doc_id", "text"), col("text"), col("doc_id"),
+        bench, col("text"), col("bench_id"), n = 2, minHits = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(verb.toSeq === Seq((7L, 100L, 2L, 2L, 1000L, 1000L)))
+  }
 }

@@ -201,4 +201,44 @@ class TimeseriesSpec extends SparkSpecBase {
       .select("bucket").as[Long].collect().sorted
     assert(conc.contains(-1L) && conc.contains(-2L))
   }
+
+  test("groupOls: hand-computed line, epoch-scale x centered, degenerate x → NULL") {
+    // group a: y = 2x + 1 exactly at x = 10^12 + {0,1,2} (x0 centering
+    // keeps the sums small); group b: all x equal → Sxx = 0 → NULLs
+    val base = 1000000000000L
+    val df = (Seq((0L, 1L), (1L, 3L), (2L, 5L)).map { case (dx, y) => ("a", base + dx, y) } ++
+      Seq(("b", 7L, 10L), ("b", 7L, 20L))).toDF("g", "x", "y")
+    val out = df.groupOls(Seq(col("g")), col("x"), col("y"))
+      .as[(String, Long, Long, Option[Double], Option[Double], Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert(a._2 === base && a._3 === 3L)
+    assert(a._4 === Some(2.0) && a._5 === Some(1.0))
+    // Sxy = 3·13 − 3·9 = 12, Sxx = 3·5 − 9 = 6
+    assert(a._6 === 12L && a._7 === 6L)
+    val b = out("b")
+    assert(b._4.isEmpty && b._5.isEmpty && b._7 === 0L)
+  }
+
+  test("groupOls slope/intercept match a least-squares replay on random groups") {
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 300).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong - 500L))
+      .toDF("g", "x", "y")
+    val got = df.groupOls(Seq(col("g")), col("x"), col("y"))
+      .as[(String, Long, Long, Option[Double], Option[Double], Long, Long)].collect()
+    val byG = df.as[(String, Long, Long)].collect().groupBy(_._1)
+    got.foreach { case (g, x0, n, slope, intercept, sxyNum, sxxNum) =>
+      val pts = byG(g).map { case (_, x, y) => (x - x0, y) }
+      assert(x0 === byG(g).map(_._2).min)
+      assert(n === pts.length)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      assert(sxyNum === n * sxy - sx * sy)
+      assert(sxxNum === n * sxx - sx * sx)
+      assert(slope === Some(sxyNum.toDouble / sxxNum.toDouble))
+      assert(intercept === Some((sy.toDouble - slope.get * sx.toDouble) / n.toDouble))
+    }
+  }
 }

@@ -78,4 +78,24 @@ class ValidateSpec extends SparkSpecBase {
       .as[(String, String, String, String)].collect().map(r => r._1 -> r._2).toMap
     assert(out === Map("id" -> "ok", "v" -> "ok"))
   }
+
+  test("srmAudit: perfect ratio → dev 0; vanished and unexpected arms surface") {
+    // 90/5/5 over 100 rows hitting the ratio exactly
+    val exact = (1 to 90).map(i => (i.toLong, "train")) ++
+      (91 to 95).map(i => (i.toLong, "val")) ++ (96 to 100).map(i => (i.toLong, "test"))
+    val clean = srmAudit(exact.toDF("id", "arm"), col("arm"),
+      Seq(("train", 90L), ("val", 5L), ("test", 5L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(clean("train") === (("train", 90L, 90L, 900L, 900L, 0L)))
+    assert(clean("val")._6 === 0L && clean("test")._6 === 0L)
+
+    // "val" vanished (a filter ate it) and a rogue arm appeared
+    val broken = ((1 to 90).map(i => (i.toLong, "train")) ++
+      (91 to 100).map(i => (i.toLong, "rogue"))).toDF("id", "arm")
+    val rep = srmAudit(broken, col("arm"), Seq(("train", 90L), ("val", 5L), ("test", 5L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rep("val") === (("val", 0L, 5L, 50L, 0L, -500L))) // 0·100 − 5·100
+    assert(rep("rogue")._2 === 10L && rep("rogue")._3 === 0L && rep("rogue")._6 === 1000L)
+    assert(rep("train")._6 === 0L) // 90·100 − 90·100
+  }
 }
