@@ -1,0 +1,311 @@
+package graft
+
+import java.io.File
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Randomized differential fuzz gate, Spark half (r9 verdict item 5).
+  *
+  * For each high-composition operator family: N seeded cases, each a
+  * fresh random input frame AND random operator parameters. The
+  * operator runs on Spark; the case directory gets the input tables,
+  * the operator output, and an independently-authored DuckDB oracle
+  * SQL parameterized by the case's params. `dev/fuzz_check.py` then
+  * replays every case in DuckDB with the driver's exact compare
+  * (sorted columns, sorted rows, exact values).
+  *
+  * Why this exists: the fixed-fixture oracle gate pins one input and
+  * one parameter point per operator; edge semantics (equal-timestamp
+  * as-of ties, negative-timestamp bucketing, weight-overflow
+  * priorities, budget-boundary waterfills, short-doc windows) live
+  * OFF those points — the r8 singleton-label NaN was exactly this
+  * class, found by review rather than a gate.
+  *
+  * Usage: sbt "Test/runMain graft.FuzzDump OUTDIR [SEEDS]"
+  * (default 100 seeds per op; FuzzParitySpec drives a small smoke
+  * count through the same path inside `sbt test`).
+  */
+object FuzzDump {
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val seeds = if (args.length > 1) args(1).toInt else 100
+    val spark = GraftSession.builder("fuzz", "local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, outDir, seeds)
+    spark.stop()
+  }
+
+  /** Runs every family; returns the number of cases dumped. */
+  def run(spark: org.apache.spark.sql.SparkSession, outDir: String, seeds: Int): Int = {
+    import spark.implicits._
+    var cases = 0
+
+    def dump(op: String, seed: Int, tables: Map[String, DataFrame],
+        out: DataFrame, sql: String): Unit = {
+      val dir = s"$outDir/$op/s$seed"
+      tables.foreach { case (n, df) =>
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$n.parquet")
+      }
+      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/out.parquet")
+      java.nio.file.Files.write(new File(dir, "oracle.sql").toPath, sql.getBytes("UTF-8"))
+      cases += 1
+    }
+
+    // ---- as-of join family: small ts range → many equal-ts ties ----
+    def asofData(rnd: Random) = {
+      val nk = 1 + rnd.nextInt(4)
+      val l = (0 until 1 + rnd.nextInt(40)).map(i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(50).toLong, i.toLong)).toDF("k", "ts", "lid")
+      val r = (0 until rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "rts", "v")
+      (l, r)
+    }
+    // the operator's equal-ts tie-break carries the MAX payload struct
+    // (rts, v); the oracle states that rule independently as a
+    // row_number pick
+    val backPick =
+      """cand AS (
+        |  SELECT l.lid AS clid, r.rts, r.v,
+        |         row_number() OVER (PARTITION BY l.lid ORDER BY r.rts DESC, r.v DESC) AS rn
+        |  FROM l JOIN r ON l.k = r.k AND r.rts <= l.ts)""".stripMargin
+    val fwdPick =
+      """cand AS (
+        |  SELECT l.lid AS clid, r.rts, r.v,
+        |         row_number() OVER (PARTITION BY l.lid ORDER BY r.rts ASC, r.v DESC) AS rn
+        |  FROM l JOIN r ON l.k = r.k AND r.rts >= l.ts)""".stripMargin
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 1)
+      val (l, r) = asofData(rnd)
+      dump("asof_backward", seed, Map("l" -> l, "r" -> r),
+        graft.operators.TemporalJoins.asofJoin(l, r, "k", col("ts"), col("rts"), Seq("rts", "v")),
+        s"""WITH $backPick
+           |SELECT l.k, l.ts, l.lid, c.rts, c.v
+           |FROM l LEFT JOIN cand c ON l.lid = c.clid AND c.rn = 1""".stripMargin)
+      dump("asof_forward", seed, Map("l" -> l, "r" -> r),
+        graft.operators.TemporalJoins.asofJoinForward(l, r, "k", col("ts"), col("rts"), Seq("rts", "v")),
+        s"""WITH $fwdPick
+           |SELECT l.k, l.ts, l.lid, c.rts, c.v
+           |FROM l LEFT JOIN cand c ON l.lid = c.clid AND c.rn = 1""".stripMargin)
+      dump("asof_nearest", seed, Map("l" -> l, "r" -> r),
+        graft.operators.TemporalJoins.asofJoinNearest(
+          l, r, "k", col("ts"), col("rts"), Seq("rts", "v"), "rts"),
+        s"""WITH $backPick,
+           |fcand AS (
+           |  SELECT l.lid AS clid, r.rts, r.v,
+           |         row_number() OVER (PARTITION BY l.lid ORDER BY r.rts ASC, r.v DESC) AS rn
+           |  FROM l JOIN r ON l.k = r.k AND r.rts >= l.ts)
+           |SELECT l.k, l.ts, l.lid,
+           |  CASE WHEN b.rts IS NULL THEN f.rts WHEN f.rts IS NULL THEN b.rts
+           |       WHEN l.ts - b.rts <= f.rts - l.ts THEN b.rts ELSE f.rts END AS rts,
+           |  CASE WHEN b.rts IS NULL THEN f.v WHEN f.rts IS NULL THEN b.v
+           |       WHEN l.ts - b.rts <= f.rts - l.ts THEN b.v ELSE f.v END AS v
+           |FROM l LEFT JOIN cand b ON l.lid = b.clid AND b.rn = 1
+           |       LEFT JOIN fcand f ON l.lid = f.clid AND f.rn = 1""".stripMargin)
+    }
+
+    // ---- interval×interval overlap join: bucketing must be
+    // transparent for ANY bucket size (incl. bucket ≪ and ≫ spans);
+    // touching endpoints, point intervals, many-bucket spans ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 2)
+      val nk = 1 + rnd.nextInt(3)
+      def side(tag: String, n: Int) = (0 until n).map { i =>
+        val s = rnd.nextInt(300).toLong
+        (rnd.nextInt(nk).toLong, i.toLong, s, s + rnd.nextInt(50).toLong)
+      }.toDF("k", s"${tag}id", s"${tag}s_us", s"${tag}e_us")
+      val a = side("a", 1 + rnd.nextInt(25))
+      val b = side("b", 1 + rnd.nextInt(25))
+      val bucket = Seq(1L, 3L, 10L, 49L, 300L, 5000L)(rnd.nextInt(6))
+      dump("interval_join", seed, Map("a" -> a, "b" -> b),
+        graft.operators.TemporalJoins.intervalJoinBucketed(a, b, "k",
+          col("as_us"), col("ae_us"), col("bs_us"), col("be_us"), bucket),
+        """SELECT a.k, aid, as_us, ae_us, bid, bs_us, be_us
+          |FROM a JOIN b ON a.k = b.k AND as_us <= be_us AND bs_us <= ae_us""".stripMargin)
+    }
+
+    // ---- point-in-interval range join ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 3)
+      val nk = 1 + rnd.nextInt(3)
+      val points = (0 until 1 + rnd.nextInt(40)).map(i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(500).toLong, i.toLong)).toDF("k", "pt", "pid")
+      val ivs = (0 until 1 + rnd.nextInt(20)).map { i =>
+        val s = rnd.nextInt(450).toLong
+        (rnd.nextInt(nk).toLong, s, s + rnd.nextInt(80).toLong, i.toLong)
+      }.toDF("k", "s", "e", "iid")
+      val bucket = Seq(1L, 7L, 64L, 500L, 10000L)(rnd.nextInt(5))
+      dump("range_join", seed, Map("p" -> points, "iv" -> ivs),
+        graft.operators.TemporalJoins.rangeJoinBucketed(
+          points, ivs, "k", col("pt"), col("s"), col("e"), bucket),
+        """SELECT p.k, pt, pid, s, e, iid
+          |FROM p JOIN iv ON p.k = iv.k AND pt >= s AND pt <= e""".stripMargin)
+    }
+
+    // ---- priority sampling: weights through the old silent-wrap
+    // zone (w ≥ 2^35) — the oracle computes the exact priority in
+    // HUGEINT, independently of the operator's split arithmetic ----
+    def prioSql(k: Int, grouped: Boolean): String = {
+      val part = if (grouped) "PARTITION BY grp " else ""
+      val grpSel = if (grouped) "grp, " else ""
+      s"""WITH b AS (
+         |  SELECT ${grpSel}key, w,
+         |         (('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 7))::BIGINT % 268435456) + 1 AS u
+         |  FROM t WHERE w >= 1),
+         |p AS (SELECT ${grpSel}key, w,
+         |             CAST((CAST(w AS HUGEINT) * 268435456) // u AS BIGINT) AS pri FROM b),
+         |r AS (SELECT * FROM (
+         |        SELECT *, row_number() OVER (${part}ORDER BY pri DESC, key ASC) AS rn FROM p)
+         |      WHERE rn <= ${k + 1}),
+         |t2 AS (SELECT ${if (grouped) "grp, " else ""}
+         |              CAST(coalesce(max(CASE WHEN rn = ${k + 1} THEN pri END), 0) AS BIGINT) AS tau
+         |       FROM r${if (grouped) " GROUP BY grp" else ""})
+         |SELECT ${if (grouped) "r.grp, " else ""}r.key, r.w, r.pri, t2.tau, greatest(r.w, t2.tau) AS est
+         |FROM r ${if (grouped) "JOIN t2 USING (grp)" else "CROSS JOIN t2"} WHERE r.rn <= $k""".stripMargin
+    }
+    def weights(rnd: Random, n: Int): Seq[Long] = (0 until n).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(2).toLong // 0 (excluded) and 1
+        case 1 => 1L + rnd.nextInt(1000)
+        case 2 => 1L << (20 + rnd.nextInt(16)) // up to 2^35
+        case _ => (1L << 35) + (rnd.nextLong() % (1L << 35)).abs // the old wrap zone
+      }
+    }
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 4)
+      val n = 1 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(8)
+      val flat = weights(rnd, n).zipWithIndex.map { case (w, i) => (i * 131L + 7L, w) }
+        .toDF("key", "w")
+      dump("priority_sample", seed, Map("t" -> flat),
+        graft.sketch.Sketches.prioritySample(flat, col("key"), col("w"), k),
+        prioSql(k, grouped = false))
+      val grouped = weights(rnd, n).zipWithIndex.map { case (w, i) =>
+        (s"g${rnd.nextInt(3)}", i * 131L + 7L, w) }.toDF("grp", "key", "w")
+      dump("group_priority_sample", seed, Map("t" -> grouped),
+        graft.sketch.Sketches.groupPrioritySample(grouped, col("grp"), col("key"), col("w"), k),
+        prioSql(k, grouped = true))
+    }
+
+    // ---- UniMax waterfill: random budgets hit every boundary of the
+    // capped/bound split (zero budgets, over-capacity budgets,
+    // odd-unit remainders) ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 5)
+      val langs = 1 + rnd.nextInt(6)
+      val docs = (0 until 1 + rnd.nextInt(40)).map { i =>
+        val toks = 1 + rnd.nextInt(30)
+        (s"l${rnd.nextInt(langs)}", (0 until toks).map(j => s"w${(i + j) % 7}").mkString(" "))
+      }.toDF("lang", "text")
+      val (num, den) = (rnd.nextInt(10).toLong, 1L + rnd.nextInt(10))
+      val em = 500L + rnd.nextInt(4000)
+      dump("unimax", seed, Map("docs" -> docs),
+        graft.text.UniMax.allocateRelative(docs, col("lang"), col("text"), num, den, em),
+        raw"""WITH s AS (
+             |  SELECT lang,
+             |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+             |  FROM docs GROUP BY lang),
+             |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s),
+             |b AS (
+             |  SELECT lang, tokens, (tokens * $em) // 1000 AS capacity,
+             |         (total * $num) // $den AS B
+             |  FROM s CROSS JOIN tt),
+             |${graft.queries.PipelineQueries.unimaxChainCtes}
+             |SELECT lang, tokens, capacity, capped, alloc,
+             |       (alloc * 1000) // greatest(tokens, 1) AS epochs_milli
+             |FROM alloc""".stripMargin)
+    }
+
+    // ---- gap fill: NEGATIVE timestamps exercise the floor-division
+    // bucketing; tiny buckets force multi-ties per bucket ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 6)
+      val nk = 1 + rnd.nextInt(3)
+      val t = (0 until 1 + rnd.nextInt(50)).map(_ =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(400).toLong - 200L,
+          rnd.nextInt(10).toLong, rnd.nextInt(100).toLong)).toDF("k", "us", "tb", "v")
+      val step = Seq(1L, 2L, 7L, 10L, 60L)(rnd.nextInt(5))
+      dump("gap_fill", seed, Map("t" -> t),
+        graft.operators.Timeseries.TimeseriesOps(t)
+          .gapFill(col("k"), col("us"), col("tb"), col("v"), step),
+        s"""WITH base AS (
+           |  SELECT k, us, tb, v,
+           |         ((us // $step) - CASE WHEN us % $step < 0 THEN 1 ELSE 0 END) AS bucket
+           |  FROM t),
+           |obs AS (
+           |  SELECT k, bucket, v FROM (
+           |    SELECT k, bucket, v,
+           |           row_number() OVER (PARTITION BY k, bucket
+           |                              ORDER BY us DESC, tb DESC, v DESC) AS rn
+           |    FROM base) WHERE rn = 1),
+           |g AS (SELECT k, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+           |      FROM base GROUP BY k)
+           |SELECT g.k AS key, g.bucket,
+           |       last_value(o.v IGNORE NULLS)
+           |         OVER (PARTITION BY g.k ORDER BY g.bucket
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+           |FROM g LEFT JOIN obs o ON g.k = o.k AND g.bucket = o.bucket""".stripMargin)
+    }
+
+    // ---- MAD outliers: integer values + half-unit k factors keep
+    // every float exactly representable, so > compares bit-equal ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 7)
+      val ng = 1 + rnd.nextInt(4)
+      val t = (0 until 1 + rnd.nextInt(50)).map(i =>
+        (i.toLong, rnd.nextInt(ng).toLong, rnd.nextInt(101).toLong - 50L)).toDF("id", "g", "v")
+      val k = Seq(1.0, 1.5, 2.0)(rnd.nextInt(3))
+      dump("mad_outliers", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .madOutliers(Seq(col("g")), col("v"), k, Seq(col("id"))),
+        s"""WITH base AS (SELECT id, g, CAST(v AS DOUBLE) AS v FROM t),
+           |m AS (SELECT g, median(v) AS med FROM base GROUP BY g),
+           |d AS (SELECT base.id, base.g, base.v, m.med FROM base JOIN m USING (g)),
+           |mm AS (SELECT g, median(abs(v - med)) AS mad FROM d GROUP BY g)
+           |SELECT d.id, d.g, CAST(d.v AS BIGINT) AS value
+           |FROM d JOIN mm USING (g)
+           |WHERE abs(d.v - d.med) > $k * mm.mad""".stripMargin)
+    }
+
+    // ---- substring-span dedup: tiny vocabulary forces dense window
+    // collisions; random window/minCount; short docs (< window) must
+    // fall out of the window stream, not crash it ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 8)
+      val docs = (0 until 2 + rnd.nextInt(20)).map { i =>
+        val toks = 1 + rnd.nextInt(20)
+        (i.toLong, (0 until toks).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val w = 2 + rnd.nextInt(3)
+      val mc = 2 + rnd.nextInt(2)
+      dump("substring_spans", seed, Map("documents" -> docs),
+        graft.dedup.SubstringDedup.duplicatedSpans(
+          docs, col("text"), col("doc_id"), windowTokens = w, minCount = mc),
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+             |),
+             |w0 AS (SELECT doc_id, unnest(range(len(t) - $w + 1)) AS p, t FROM toks),
+             |wins AS (
+             |  SELECT doc_id, p, md5(array_to_string(t[p+1:p+$w], ' ')) AS h FROM w0),
+             |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= $mc),
+             |cov AS (SELECT doc_id, p FROM wins JOIN dup USING (h)),
+             |m AS (
+             |  SELECT doc_id, p,
+             |         CASE WHEN p <= coalesce(max(p) OVER (PARTITION BY doc_id ORDER BY p
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000)
+             |                + $w THEN 0 ELSE 1 END AS brk
+             |  FROM cov
+             |),
+             |g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM m)
+             |SELECT doc_id, min(p) AS span_start, max(p) + $w - 1 AS span_end,
+             |       CAST(count(*) AS BIGINT) AS n_windows
+             |FROM g GROUP BY doc_id, gid""".stripMargin)
+    }
+
+    cases
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** Randomized differential parity gate (r9 verdict item 5): dump
+  * seeded random frames + random parameters through the 11
+  * highest-composition operator families and replay every case's
+  * independently-authored oracle SQL in DuckDB via
+  * `dev/fuzz_check.py` — the driver's own compare semantics.
+  *
+  * `sbt test` runs a 5-seed smoke per family (55 cases end-to-end,
+  * including the DuckDB half); the full 100-seed sweep is the
+  * per-round gate:
+  *   sbt "Test/runMain graft.FuzzDump /tmp/fuzz 100"
+  *   python3 dev/fuzz_check.py /tmp/fuzz
+  */
+class FuzzParitySpec extends SparkSpecBase {
+
+  test("fuzzed operator outputs match their DuckDB oracles") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
+    val cases = FuzzDump.run(spark, out, seeds = 5)
+    assert(cases === 55, s"expected 11 families x 5 seeds, got $cases")
+    val repo = new java.io.File(".").getCanonicalPath
+    val pb = new ProcessBuilder("python3", s"$repo/dev/fuzz_check.py", out)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val log = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    assert(rc === 0, s"fuzz_check.py failed:\n$log")
+    assert(log.contains("PASS"), log)
+  }
+}
