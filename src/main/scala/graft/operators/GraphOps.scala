@@ -149,6 +149,47 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * arXiv:0709.2938) made deterministic: labels start as node ids,
+    * and each round every node adopts the MOST FREQUENT label among
+    * its neighbors (undirected; parallel edges collapse, self-loops
+    * dropped), ties to the smallest label. Fixed `iters` synchronous
+    * rounds — round t reads only round t−1's labels — so the oracle
+    * replays the rounds as a CTE chain bit-for-bit, unlike the
+    * paper's asynchronous random-order variant (which is neither
+    * deterministic nor engine-portable). The near-linear community
+    * detector for "which sourcing/interaction clusters exist" at a
+    * scale where modularity solvers don't run.
+    *
+    * Scale shape per round: ONE (node, label) count aggregate over
+    * the symmetrized edge⋈label join + the bounded [[GroupTopK]]
+    * argmax (count desc, label asc) — label frames are node-sized,
+    * checkpoint per round, and release when superseded (the
+    * [[pageRank]] loop pattern); the symmetrized edge table
+    * checkpoints once. Output: (id, label). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e0 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val sym = Checkpoints.eager(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = Checkpoints.eager(
+      sym.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val next = Checkpoints.eager(
+        org.apache.spark.sql.graft.GraftPlans
+          .groupTopK(counts, Seq(col("id")), Seq(col("__c").desc, col("label").asc), 1)
+          .select(col("id"), col("label")))
+      Checkpoints.release(labels)
+      labels = next
+    }
+    Checkpoints.release(sym)
+    labels
+  }
+
   /** Weighted PageRank: like [[pageRank]] but each `(src, dst, w)`
     * edge carries a positive integer weight and a node's rank splits
     * proportionally — contribution (pr·w) div W_src with W_src the

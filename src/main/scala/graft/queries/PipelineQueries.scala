@@ -255,6 +255,17 @@ object PipelineQueries {
           (col("l_suppkey") * 2 + 1).as("dst")),
         iters = 3)),
 
+    // §2.2/22ak5 label-propagation communities over the same
+    // part→supplier sourcing graph as q_pagerank: 3 deterministic
+    // synchronous rounds (most-frequent neighbor label, ties → min),
+    // replayed as a CTE chain in the oracle.
+    "q_lpa" -> ((s, dir) =>
+      GraphOps.labelPropagation(
+        Tables.lineitem(s, dir).select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        iters = 3)),
+
     // §2.2/22as8 per-source quantile normalization: each doc's score
     // mapped to its within-source rank per-mille — the equalization
     // step before one cross-source threshold; one rank window per
@@ -620,6 +631,24 @@ object PipelineQueries {
         |                            ORDER BY length(text) DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= ${PrepParams.SourceCapMax}""".stripMargin,
+    "q_lpa" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT id, label FROM (
+           |    SELECT s.a AS id, l.label, count(*) AS c,
+           |           row_number() OVER (PARTITION BY s.a
+           |                              ORDER BY count(*) DESC, l.label ASC) AS rn
+           |    FROM sym s JOIN $prev l ON s.b = l.id
+           |    GROUP BY s.a, l.label) WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |sym AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l3""".stripMargin
+    },
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

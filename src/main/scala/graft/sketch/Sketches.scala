@@ -487,19 +487,31 @@ object Sketches {
         lit("prioritySample: priority (w * 2^28 / u) overflows BIGINT for key="),
         col("key").cast("string"))))
 
-  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+  /** The top-(k+1) priority candidates (key, w, pri) — the MERGEABLE
+    * carrier of a running sample: priorities are per-key
+    * deterministic, so top-(k+1) of a union of candidate sets equals
+    * top-(k+1) of the union of the full inputs. The streaming sample
+    * ledger merges exactly this frame across drops. */
+  def priorityCandidates(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1)
     val scale = 1L << 28
-    val base = df.select(key.as("key"), weight.cast("long").as("w"))
+    df.select(key.as("key"), weight.cast("long").as("w"))
       .filter(col("w") >= 1)
       .withColumn("__u",
         pmod(conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10).cast("long"),
           lit(scale)) + 1)
       .withColumn("pri", priorityExact(scale))
+      .orderBy(col("pri").desc, col("key").asc).limit(k + 1)
+      .select("key", "w", "pri")
+  }
+
+  /** τ/estimate finalization over a ≤(k+1)-row candidate frame. */
+  def sampleFromCandidates(cands: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
     val wOrd = org.apache.spark.sql.expressions.Window
       .orderBy(col("pri").desc, col("key").asc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    base.orderBy(col("pri").desc, col("key").asc).limit(k + 1)
+    cands
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("tau",
         coalesce(max(when(col("__rn") === k + 1, col("pri"))).over(wAll), lit(0L)))
@@ -507,6 +519,9 @@ object Sketches {
       .withColumn("est", greatest(col("w"), col("tau")))
       .select("key", "w", "pri", "tau", "est")
   }
+
+  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    sampleFromCandidates(priorityCandidates(df, key, weight, k), k)
 
   /** Per-GROUP priority sampling: exactly [[prioritySample]]'s
     * integer priorities (same md5 draw, same (w·2^28) div u math, so

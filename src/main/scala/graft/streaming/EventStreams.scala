@@ -186,6 +186,62 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming priority sample (§2.7/38z): a fixed-size weighted
+    * sample maintained ACROSS the whole stream — the streaming form
+    * of [[graft.sketch.Sketches.prioritySample]]. The persisted
+    * ledger holds the top-(k+1) priority candidates seen so far;
+    * each micro-batch reduces to its own top-(k+1)
+    * ([[graft.sketch.Sketches.priorityCandidates]]), merges with the
+    * ledger by key (the larger weight wins — priorities are per-key
+    * deterministic, so a re-delivered row collapses instead of
+    * occupying two slots), and re-ranks. Mergeability makes the
+    * update order-independent AND replay-idempotent: a crash-retried
+    * batch merges rows the ledger already absorbed, and
+    * top-(k+1)(merged ∪ batch) = merged. The candidate pool is
+    * ≤ 2(k+1) rows, so the merge is driver-trivial; it materializes
+    * (k+1 rows) before the overwrite because the new ledger is
+    * derived from the file being replaced.
+    *
+    * Read the current sample with [[currentPrioritySample]] — τ and
+    * the Horvitz-Thompson estimates finalize over the stored
+    * candidates exactly as the batch operator does. */
+  def prioritySampleStream(
+      rows: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      ledgerPath: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val batchCands = graft.sketch.Sketches
+          .priorityCandidates(batch.toDF(), col(keyCol), col(weightCol), k)
+        val pool =
+          if (new java.io.File(ledgerPath).exists())
+            spark.read.parquet(ledgerPath).select("key", "w").unionByName(
+              batchCands.select("key", "w"))
+          else batchCands.select("key", "w")
+        val merged = graft.sketch.Sketches.priorityCandidates(
+          pool.groupBy("key").agg(max(col("w")).as("w")), col("key"), col("w"), k)
+        // ≤ k+1 rows: materialize, then overwrite the file being read
+        val rowsOut = merged.collect().toSeq
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rowsOut, 1), merged.schema)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ledgerPath)
+      }
+      .start()
+
+  /** The current sample of a [[prioritySampleStream]] ledger:
+    * (key, w, pri, tau, est), bit-equal to the batch operator over
+    * everything streamed so far. */
+  def currentPrioritySample(spark: org.apache.spark.sql.SparkSession,
+      ledgerPath: String, k: Int): DataFrame =
+    graft.sketch.Sketches.sampleFromCandidates(spark.read.parquet(ledgerPath), k)
+
   /** Streaming novelty screen: the streaming counterpart of
     * `Dedup.minhashNovel` — every micro-batch of incoming documents is
     * screened against the STATIC corpus by MinHash-LSH band collision

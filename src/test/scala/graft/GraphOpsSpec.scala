@@ -124,4 +124,32 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got === expect)
     assert(got.size === got.toList.length)
   }
+
+  test("labelPropagation: two triangles over a bridge settle into two communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced synchronous rounds (ties → min label)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation matches a synchronous brute-force replay on random graphs") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val nodes = sym.map(_._1).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      labels = nodes.map { n =>
+        val neigh = sym.filter(_._1 == n).map(e => labels(e._2))
+        val best = neigh.groupBy(identity).toSeq.map { case (l, o) => (o.size, l) }
+        n -> best.sortBy { case (c, l) => (-c, l) }.head._2
+      }.toMap
+    }
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === labels)
+  }
 }

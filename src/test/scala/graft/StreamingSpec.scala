@@ -962,4 +962,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed.map(_.getAs[Long]("n_drops")).toSeq === Seq(2L, 2L))
     assert(replayed.map(_.getAs[Long]("n_docs")).sum === (b1.size + b2.size).toLong)
   }
+
+  test("prioritySampleStream: running sample is bit-equal to batch over the union; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sketch.Sketches
+    val mem = MemoryStream[(Long, Long)] // (key, w)
+    val tmp = java.nio.file.Files.createTempDirectory("prio_stream").toString
+    val (path, ckpt) = (s"$tmp/sample", s"$tmp/ckpt")
+    val k = 5
+    val q = EventStreams.prioritySampleStream(
+      mem.toDF().toDF("key", "w"), "key", "w", k, path, ckpt)
+    val rnd = new scala.util.Random(41)
+    val b1 = (0L until 300L).map(i => (i, 1L + rnd.nextInt(1000000).toLong))
+    val b2 = (300L until 700L).map(i => (i, 1L + rnd.nextInt(1000000).toLong))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = EventStreams.currentPrioritySample(spark, path, k)
+      .orderBy("key").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.prioritySample(
+        (b1 ++ b2).toDF("key", "w"), col("key"), col("w"), k)
+      .orderBy("key").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === direct)
+    assert(streamed.size === k)
+
+    // crash-replay: merging a batch the ledger already absorbed must
+    // leave the candidate set bit-identical
+    val before = spark.read.parquet(path).orderBy("key")
+      .as[(Long, Long, Long)].collect().toSeq
+    val again = Sketches.priorityCandidates(
+      spark.read.parquet(path).select("key", "w")
+        .unionByName(Sketches.priorityCandidates(
+          b2.toDF("key", "w"), col("key"), col("w"), k).select("key", "w"))
+        .groupBy("key").agg(max(col("w")).as("w")),
+      col("key"), col("w"), k)
+      .orderBy("key").as[(Long, Long, Long)].collect().toSeq
+    assert(again === before)
+  }
 }
