@@ -258,6 +258,35 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select(col("doc_a"), col("doc_b"), col("containment"))
 
+  /** The stop-gram audit — WHAT a [[DocFreqCap]] drops and what that
+    * saves: every candidate gram (df ≥ 2) whose doc frequency exceeds
+    * the cap, with its df and the C(df,2) pair work it would have
+    * injected into the exact pair sweep. [[DocFreqCap.Auto]] computes
+    * the SAME integer cap the pair operators use, so the audit names
+    * exactly the grams those defaults prune — the transparency report
+    * beside the safety default. Output is stop-gram-sized (tiny by
+    * construction); gram TEXT is carried because this is an audit for
+    * humans, not a corpus reshape. */
+  def stopGrams(df: DataFrame, text: Column, id: Column, n: Int = 3,
+      cap: DocFreqCap = DocFreqCap.Auto): DataFrame = {
+    val g = df.select(id.as("doc_id"), explode(shingles(text, n)).as("g"))
+    val freq = g.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val withCap = cap match {
+      case DocFreqCap.Unbounded =>
+        freq.withColumn("cap", lit(Long.MaxValue))
+      case DocFreqCap.Fixed(c) =>
+        require(c >= 1, "cap must be >= 1")
+        freq.withColumn("cap", lit(c))
+      case DocFreqCap.Auto =>
+        val capped = graft.operators.Checkpoints.eager(freq)
+        val stats = capped.agg(greatest(lit(64L),
+          lit(4L) * expr("sum(df) div greatest(count(1), 1)")).as("cap"))
+        capped.crossJoin(broadcast(stats))
+    }
+    withCap.filter(col("df") > col("cap"))
+      .select(col("g"), col("df"), expr("(df * (df - 1)) div 2").as("pair_cost"), col("cap"))
+  }
+
   /** Shared plan for gram-overlap pair scoring: group docs BY GRAM
     * (bounded lists under `maxDocFreq`), emit ordered pairs per gram,
     * count shared grams, then join per-doc distinct gram set sizes.

@@ -222,6 +222,64 @@ object Relational {
         .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
     }
 
+    /** Exact weighted (lower) median per group: the smallest value v
+      * whose cumulative weight reaches half the group's total —
+      * 2·cum(v) ≥ W with cum inclusive of v's whole tie class. The
+      * "median doc length weighted by tokens" / "median price
+      * weighted by quantity" statistic, integer-exact (no
+      * interpolation, so it replays on any engine). Values
+      * pre-aggregate per (group, v) first, so the rank window runs
+      * over distinct values, not rows; one group-keyed exchange
+      * serves the aggregate and the window. */
+    def weightedMedian(group: Seq[Column], value: Column, weight: Column): DataFrame = {
+      val outNames = df.select(group: _*).columns.toSeq
+      val gNames = group.indices.map(i => s"__g$i")
+      val perV = df.select(
+        group.zip(gNames).map { case (c, n) => c.as(n) } :+
+          value.cast("long").as("__v") :+ weight.cast("long").as("__w"): _*)
+        .groupBy((gNames.map(col) :+ col("__v")): _*)
+        .agg(sum(col("__w")).as("__wv"))
+      val wCum = Window.partitionBy(gNames.map(col): _*).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(gNames.map(col): _*)
+      perV
+        .withColumn("__cum", sum(col("__wv")).over(wCum))
+        .withColumn("__tot", sum(col("__wv")).over(wAll))
+        .filter(col("__cum") * 2 >= col("__tot"))
+        .groupBy(gNames.map(col): _*)
+        .agg(min(col("__v")).as("wmedian"), max(col("__tot")).as("total_w"))
+        .select(gNames.zip(outNames).map { case (g, n) => col(g).as(n) } :+
+          col("wmedian") :+ col("total_w"): _*)
+    }
+
+    /** Exact Gini coefficient of `value`'s distribution per group, in
+      * integer per-mille — the corpus-balance audit ("is one source's
+      * token mass dominated by a few giant documents"): G = (2·Σ i·xᵢ
+      * − (n+1)·Σx) / (n·Σx) over values sorted ascending, 1-based
+      * ranks, cross-multiplied to gini_pm = its ⌊·1000⌋. Equal values
+      * make the rank order immaterial (Σ i·xᵢ is tie-invariant), so
+      * the statistic is deterministic without a tiebreak. NULL for
+      * groups with zero total (all-zero values). One group-keyed
+      * exchange serves the rank window and the aggregate. */
+    def giniByGroup(group: Seq[Column], value: Column): DataFrame = {
+      val outNames = df.select(group: _*).columns.toSeq
+      val gNames = group.indices.map(i => s"__g$i")
+      val base = df.select(
+        group.zip(gNames).map { case (c, n) => c.as(n) } :+
+          value.cast("long").as("__x"): _*)
+      val wOrd = Window.partitionBy(gNames.map(col): _*).orderBy(col("__x"))
+      base
+        .withColumn("__i", row_number().over(wOrd))
+        .groupBy(gNames.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+          sum(col("__i") * col("__x")).as("__six"))
+        .withColumn("gini_pm",
+          when(col("__sx") <= 0, lit(null).cast("long")).otherwise(
+            expr("(1000 * (2 * __six - (n + 1) * __sx)) div (n * __sx)")))
+        .select(gNames.zip(outNames).map { case (g, n) => col(g).as(n) } :+
+          col("n") :+ col("gini_pm"): _*)
+    }
+
     /** Per-group ordinary-least-squares trend line — "is spend /
       * volume / quality drifting up or down per key": slope and
       * intercept of y over x within each group, plus the EXACT

@@ -415,6 +415,20 @@ object AnalyticQueries {
             "(CASE WHEN unix_micros(ts) % 3600000000L < 0 THEN 1 ELSE 0 END)"))
         .groupOls(Seq(col("event_type")), col("hour"), col("cents"))),
 
+    // §2.2/22h2 exact weighted (lower) median: median extended price
+    // weighted by quantity per return flag — integer-exact, no
+    // interpolation, replays on any engine.
+    "q_weighted_median" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("bigint"))
+        .weightedMedian(Seq(col("l_returnflag")), col("cents"), col("l_quantity"))),
+
+    // §2.2/22v2 exact Gini per source over doc lengths — the corpus
+    // balance audit in integer per-mille.
+    "q_gini" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .giniByGroup(Seq(col("source")), col("n_chars"))),
+
     // §2.2/22v fixed-width histogram of order totals per priority.
     "q_histogram" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -633,6 +647,30 @@ object AnalyticQueries {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |pv AS (SELECT l_returnflag, v, CAST(sum(w) AS BIGINT) AS wv FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |             CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |             CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |      FROM pv)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian,
+        |       CAST(max(tot) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
+    "q_gini" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |r AS (SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS i FROM b),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(i * x) AS BIGINT) AS six
+        |      FROM r GROUP BY source)
+        |SELECT source, n,
+        |       CASE WHEN sx <= 0 THEN NULL
+        |            ELSE (1000 * (2 * six - (n + 1) * sx)) // (n * sx) END AS gini_pm
+        |FROM s""".stripMargin,
     "q_ols_trend" ->
       """WITH e AS (
         |  SELECT event_type,

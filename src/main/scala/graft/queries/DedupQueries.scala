@@ -130,6 +130,13 @@ object DedupQueries {
         n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
     }),
 
+    // §2.3/26b stop-gram audit: the grams a DocFreqCap(4) would drop
+    // from the exact pair sweep, with their df and C(df,2) pair cost —
+    // the transparency report beside this round's cap-by-default.
+    "q_stop_grams" -> ((s, dir) =>
+      Dedup.stopGrams(Tables.documents(s, dir), col("text"), col("doc_id"),
+        n = 3, cap = graft.dedup.DocFreqCap.Fixed(4))),
+
     // §2.3/22be2 ROUGE-style overlap grading of the decontamination
     // screen's flagged pairs: MULTISET n-gram intersection with exact
     // per-mille recall (how much of the eval item is covered) and
@@ -879,6 +886,12 @@ object DedupQueries {
            |FROM cg JOIN bg USING (g)
            |GROUP BY doc_id, bench_id
            |HAVING count(*) >= ${PrepParams.DecontamMinHits}""".stripMargin,
+    "q_stop_grams" ->
+      raw"""WITH $shinglesCte,
+           |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
+           |f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g HAVING count(*) >= 2)
+           |SELECT g, df, (df * (df - 1)) // 2 AS pair_cost, CAST(4 AS BIGINT) AS cap
+           |FROM f WHERE df > 4""".stripMargin,
     "q_rouge_overlap" -> {
       val (n, bm, mh) = (PrepParams.DecontamN, PrepParams.BenchMod, PrepParams.DecontamMinHits)
       raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),

@@ -390,6 +390,25 @@ class DedupSpec extends SparkSpecBase {
     assert(all === Set(1L, 2L, 3L, 4L))
   }
 
+  test("stopGrams: Auto names exactly what the pair-op cap would drop") {
+    import graft.dedup.DocFreqCap
+    // 80 docs share one boilerplate trigram (df 80); pair-unique
+    // tails add 120 candidate grams at df 2 → mean df = 320 div 121
+    // = 2, so Auto = max(64, 8) = 64 and only the hot gram exceeds it
+    val docs = (0L until 80L).map(i =>
+      (i, s"the same boiler p${i / 2}x p${i / 2}y p${i / 2}z"))
+      .toDF("doc_id", "text")
+    val auto = Dedup.stopGrams(docs, col("text"), col("doc_id"), n = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(auto.toSeq === Seq(("the same boiler", 80L, 80L * 79L / 2L, 64L)))
+    // Fixed cap reports everything above it; Unbounded reports nothing
+    val fixed = Dedup.stopGrams(docs, col("text"), col("doc_id"), n = 3,
+      cap = DocFreqCap.Fixed(2)).as[(String, Long, Long, Long)].collect()
+    assert(fixed.toSeq === Seq(("the same boiler", 80L, 80L * 79L / 2L, 2L)))
+    assert(Dedup.stopGrams(docs, col("text"), col("doc_id"), n = 3,
+      cap = DocFreqCap.Unbounded).count() === 0L)
+  }
+
   test("overlapScores: multiset ROUGE counts on hand-computed pairs") {
     import graft.dedup.Decontam
     // doc 1 "a b a b a": 2-grams {a b:2, b a:2}, 4 total; bench 100

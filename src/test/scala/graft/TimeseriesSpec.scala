@@ -202,6 +202,42 @@ class TimeseriesSpec extends SparkSpecBase {
     assert(conc.contains(-1L) && conc.contains(-2L))
   }
 
+  test("weightedMedian: lower weighted median with tie classes and a replay check") {
+    // group a: values 1(w3), 2(w1), 5(w2) → W=6, cum(1)=3, 2·3 ≥ 6 → 1
+    // group b: values 10(w1), 20(w1) → W=2, cum(10)=1, 2 ≥ 2 → 10
+    val df = Seq(("a", 1L, 2L), ("a", 1L, 1L), ("a", 2L, 1L), ("a", 5L, 2L),
+      ("b", 10L, 1L), ("b", 20L, 1L)).toDF("g", "v", "w")
+    assert(df.weightedMedian(Seq(col("g")), col("v"), col("w"))
+      .as[(String, Long, Long)].collect().toSet === Set(("a", 1L, 6L), ("b", 10L, 2L)))
+    // randomized replay: smallest v with 2·cum ≥ W
+    val rnd = new scala.util.Random(17)
+    val big = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong, 1L + rnd.nextInt(9).toLong))
+      .toDF("g", "v", "w")
+    val got = big.weightedMedian(Seq(col("g")), col("v"), col("w"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    big.as[(String, Long, Long)].collect().groupBy(_._1).foreach { case (g, rows) =>
+      val byV = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      val med = byV.scanLeft((0L, 0L)) { case ((_, c), (v, wv)) => (v, c + wv) }
+        .tail.find { case (_, cum) => 2 * cum >= tot }.get._1
+      assert(got(g) === ((med, tot)), g)
+    }
+  }
+
+  test("giniByGroup: equality → 0, extreme concentration → high, NULL on zero mass") {
+    val eq = Seq.fill(8)(("a", 10L)).toDF("g", "x")
+    assert(eq.giniByGroup(Seq(col("g")), col("x"))
+      .as[(String, Long, Option[Long])].collect().toSeq === Seq(("a", 8L, Some(0L))))
+    // one doc owns everything: G = (n−1)/n = 3/4 → 750‰
+    val conc = Seq(("b", 0L), ("b", 0L), ("b", 0L), ("b", 100L)).toDF("g", "x")
+    assert(conc.giniByGroup(Seq(col("g")), col("x"))
+      .as[(String, Long, Option[Long])].collect().toSeq === Seq(("b", 4L, Some(750L))))
+    val zero = Seq(("c", 0L), ("c", 0L)).toDF("g", "x")
+    assert(zero.giniByGroup(Seq(col("g")), col("x"))
+      .as[(String, Long, Option[Long])].collect().toSeq === Seq(("c", 2L, None)))
+  }
+
   test("groupOls: hand-computed line, epoch-scale x centered, degenerate x → NULL") {
     // group a: y = 2x + 1 exactly at x = 10^12 + {0,1,2} (x0 centering
     // keeps the sums small); group b: all x equal → Sxx = 0 → NULLs
