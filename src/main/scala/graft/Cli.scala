@@ -179,6 +179,12 @@ import graft.sources.PartitionedFiles
   *   skew           --group EXPR --key EXPR [--lanes 60]
   *       AMS tug-of-war F2 skew report per group: (g, n, f2_est) —
   *       hot-key detection in one scan, no per-key aggregate
+  *   coactive       --user EXPR --type EXPR --ts EXPR [--bucket-hours 3]
+  *                  [--blocks 4] [--top 25]
+  *       co-active pair mining from an event log via the bucketed
+  *       interval-overlap self-join; --blocks B = unbiased 1-in-B
+  *       pair sample (surviving pairs keep exact window counts),
+  *       --blocks 1 = the exact all-pairs sweep, bought knowingly
   *   keywords       --text text [--iters 3] [--top 40]
   *       weighted-TextRank keyword extraction over the token
   *       co-occurrence graph: (token, pr, rank)

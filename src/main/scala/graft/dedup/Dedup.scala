@@ -19,18 +19,27 @@ case class SnmRec(tag: Int, docA: Long, docB: Long, dist: Long,
   * bounds for SemDeDup cells, so the same policy surface. */
 sealed trait DocFreqCap
 object DocFreqCap {
-  /** Scale-safe default: cap at max(64, 4× the MEASURED mean doc
-    * frequency over candidate grams, df ≥ 2) — integer arithmetic
-    * (`sum(df) div count`), so the oracle replays the cap exactly.
-    * Corpora whose hottest gram stays under the cap are byte-identical
-    * to [[Unbounded]]; hot-vocab corpora trade the pairs reachable
-    * ONLY through stop-grams (which cannot clear a meaningful τ) for a
-    * hard C(cap,2)-per-gram work bound. */
+  /** Relative cap: max(64, 4× the MEASURED mean doc frequency over
+    * candidate grams, df ≥ 2) — integer arithmetic
+    * (`sum(df) div count`), engine-replayable. Adaptive for
+    * lightly-skewed corpora (follows the distribution instead of a
+    * magic number), but NOT the default: on a hot-vocab corpus the
+    * mean df scales with the corpus' own heat, so the cap never
+    * binds — the r10 ×16 amplified profile measured the Auto default
+    * at 39.9 s / α≈1.9 (indistinguishable from [[Unbounded]]) while
+    * an absolute cap ran flat. A relative statistic cannot bound
+    * absolute C(df,2) work. */
   case object Auto extends DocFreqCap
   /** No cap: the exact all-pairs-per-gram sweep regardless of skew —
     * opt-in, for corpora known to be stop-gram-free or small. */
   case object Unbounded extends DocFreqCap
-  /** Explicit cap, for pinning work bounds (and the oracle). */
+  /** Explicit absolute cap. `Fixed(64)` is the DEFAULT for the exact
+    * gram-pair operators: per-gram pair work is hard-bounded at
+    * C(64,2) whatever the corpus looks like (the `winnowPairs`
+    * maxDocFreq=50 precedent), and pairs reachable ONLY through
+    * >64-doc grams cannot clear a meaningful τ anyway. Measured flat
+    * (2.3–2.5 s, α≈0) at ×16 where Auto/Unbounded went quadratic
+    * (dev/scaleup_r10.json). */
   final case class Fixed(cap: Long) extends DocFreqCap
 }
 
@@ -218,9 +227,11 @@ object Dedup {
     * `maxDocFreq` drops grams present in more than the cap's docs
     * (standard stop-gram filtering, and it also bounds the collected
     * list) — pairs sharing ONLY ultra-common grams can't reach a
-    * meaningful τ anyway. [[DocFreqCap.Auto]] is the default: the
-    * unbounded sweep measured α≈1.7–1.9 super-linear on a hot-vocab
-    * ×16 amplification while the capped run stayed flat, so a 100 TB
+    * meaningful τ anyway. [[DocFreqCap.Fixed]](64) is the default —
+    * the ABSOLUTE bound: both the unbounded sweep and the relative
+    * Auto cap measured α≈1.9 super-linear on a hot-vocab ×16
+    * amplification (the mean df a relative cap follows scales with
+    * the corpus' own heat) while Fixed(64) stayed flat, so a 100 TB
     * run is bounded without tuning; pass [[DocFreqCap.Unbounded]] to
     * buy the exact sweep knowingly. Per-doc gram counts (`na`/`nb`)
     * always count the FULL distinct gram set — the cap prunes
@@ -231,7 +242,7 @@ object Dedup {
       id: Column,
       n: Int = 3,
       tau: Double = 0.5,
-      maxDocFreq: DocFreqCap = DocFreqCap.Auto
+      maxDocFreq: DocFreqCap = DocFreqCap.Fixed(64)
   ): DataFrame =
     gramPairStats(df, text, id, n, maxDocFreq)
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
@@ -243,7 +254,7 @@ object Dedup {
     * structurally misses — a short document embedded verbatim inside a
     * much longer one (quote farms, boilerplate wrappers), where the
     * union term drowns the overlap. Same one-reshape plan (and the
-    * same default [[DocFreqCap.Auto]] stop-gram bound) as
+    * same default [[DocFreqCap.Fixed]](64) stop-gram bound) as
     * [[ngramJaccardPairs]]. */
   def containmentPairs(
       df: DataFrame,
@@ -251,7 +262,7 @@ object Dedup {
       id: Column,
       n: Int = 3,
       tau: Double = 0.8,
-      maxDocFreq: DocFreqCap = DocFreqCap.Auto
+      maxDocFreq: DocFreqCap = DocFreqCap.Fixed(64)
   ): DataFrame =
     gramPairStats(df, text, id, n, maxDocFreq)
       .withColumn("containment", col("i").cast("double") / least(col("na"), col("nb")))
@@ -261,14 +272,15 @@ object Dedup {
   /** The stop-gram audit — WHAT a [[DocFreqCap]] drops and what that
     * saves: every candidate gram (df ≥ 2) whose doc frequency exceeds
     * the cap, with its df and the C(df,2) pair work it would have
-    * injected into the exact pair sweep. [[DocFreqCap.Auto]] computes
-    * the SAME integer cap the pair operators use, so the audit names
-    * exactly the grams those defaults prune — the transparency report
-    * beside the safety default. Output is stop-gram-sized (tiny by
+    * injected into the exact pair sweep. The default matches the pair
+    * operators' [[DocFreqCap.Fixed]](64), so the audit names exactly
+    * the grams those defaults prune — the transparency report beside
+    * the safety default; pass [[DocFreqCap.Auto]] to see what the
+    * relative mean-df cap would have dropped instead. Output is stop-gram-sized (tiny by
     * construction); gram TEXT is carried because this is an audit for
     * humans, not a corpus reshape. */
   def stopGrams(df: DataFrame, text: Column, id: Column, n: Int = 3,
-      cap: DocFreqCap = DocFreqCap.Auto): DataFrame = {
+      cap: DocFreqCap = DocFreqCap.Fixed(64)): DataFrame = {
     val g = df.select(id.as("doc_id"), explode(shingles(text, n)).as("g"))
     val freq = g.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     val withCap = cap match {

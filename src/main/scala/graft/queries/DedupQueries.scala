@@ -33,7 +33,7 @@ object DedupQueries {
       )),
 
     // §2.3/26 exact n-gram Jaccard pairs at tau = 0.5 (default
-    // DocFreqCap.Auto stop-gram bound — the oracle replays the cap).
+    // DocFreqCap.Fixed(64) stop-gram bound — the oracle replays it).
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), n = 3, tau = 0.5)),
 
@@ -545,19 +545,17 @@ object DedupQueries {
          |  FROM docs d LEFT JOIN comp c ON d.doc_id = c.id
          |) WHERE rn = 1""".stripMargin
 
-  /** DocFreqCap.Auto replay over the distinct-grams CTE `g`: per-gram
-    * doc frequency, the integer mean-df cap (max(64, 4·sum(d)//n)),
-    * the capped gram table `gf`, and the capped pair intersections
-    * `inter`. `sizes` stays FULL (uncapped) per-doc counts, matching
-    * gramPairStats. */
+  /** DocFreqCap.Fixed(64) replay (the registry default) over the
+    * distinct-grams CTE `g`: per-gram doc frequency, the capped gram
+    * table `gf` (df ≤ 64 — the ABSOLUTE work bound; r10 measured the
+    * relative mean-df cap not binding on hot-vocab amplifications),
+    * and the capped pair intersections `inter`. `sizes` stays FULL
+    * (uncapped) per-doc counts, matching gramPairStats. */
   private val cappedInterCtes: String =
     raw"""sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
          |df AS (SELECT g, count(*) AS d FROM g GROUP BY g HAVING count(*) >= 2),
-         |cap AS (SELECT greatest(64, 4 * (CAST(sum(d) AS BIGINT)
-         |                                 // greatest(CAST(count(*) AS BIGINT), 1))) AS c
-         |        FROM df),
-         |gf AS (SELECT gg.doc_id, gg.g FROM g gg JOIN df USING (g) CROSS JOIN cap
-         |       WHERE df.d <= cap.c),
+         |gf AS (SELECT gg.doc_id, gg.g FROM g gg JOIN df USING (g)
+         |       WHERE df.d <= 64),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
          |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -694,8 +692,8 @@ object DedupQueries {
   }
 
   /** Recall-audit replay: the minhash band CTEs (ending in `pairs`)
-    * plus the exact-Jaccard pair set (DocFreqCap.Auto capped, matching
-    * the registry default) over the SAME shingle CTE. */
+    * plus the exact-Jaccard pair set (DocFreqCap.Fixed(64) capped,
+    * matching the registry default) over the SAME shingle CTE. */
   private val lshRecallSql: String =
     raw"""WITH $minhashPairCtes,
          |g AS (SELECT doc_id, unnest(g) AS g FROM sh),

@@ -223,6 +223,29 @@ object SketchQueries {
           (abs(col("distinct_keys_est") - col("__exact_n")) <= col("__exact_n") * 0.05).as("hll_ok"))
     }),
 
+    // §2.8/39g incremental OLS trend ledger: three event drops each
+    // contribute exact integer regression sums (x = epoch hour
+    // centered on the 2024-01-01T00Z launch hour so sums stay small
+    // AND additive); the rollup's slope and Sxy/Sxx numerators are
+    // identical to a direct pass because the sums are plainly
+    // additive — which is exactly what the oracle replays.
+    "q_ols_ledger" -> ((s, dir) => {
+      import graft.sketch.OlsLedger
+      val ev = Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+        .withColumn("hour", expr(
+          "(unix_micros(ts) div 3600000000L) - " +
+            "(CASE WHEN unix_micros(ts) % 3600000000L < 0 THEN 1 ELSE 0 END)"))
+      val ref = 473352L // 2024-01-01T00:00Z in epoch hours
+      def drop(pred: org.apache.spark.sql.Column, id: String) =
+        OlsLedger.dropSummary(ev.filter(pred), id, col("event_type"),
+          col("hour"), col("cents"), ref)
+      val ledger = drop(pmod(col("event_id"), lit(3)) === 0, "d0")
+        .unionAll(drop(pmod(col("event_id"), lit(3)) === 1, "d1"))
+        .unionAll(drop(pmod(col("event_id"), lit(3)) === 2, "d2"))
+      OlsLedger.merge(ledger).withColumnRenamed("grp", "event_type")
+    }),
+
     // §2.8/41 t-digest quantiles: group count (hash-matched) + rank-
     // tolerance flags — estimate must land between the exact
     // percentiles at q ± 0.01 (computed with Spark's exact percentile).
@@ -414,6 +437,26 @@ object SketchQueries {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
         |       true AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_ols_ledger" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) - 473352) AS cx,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(cx * y) AS BIGINT) AS sxy, CAST(sum(cx * cx) AS BIGINT) AS sxx
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n, CAST(3 AS BIGINT) AS n_drops,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE (CAST(sy AS DOUBLE)
+        |                  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
+        |       n * sxy - sx * sy AS sxy_num,
+        |       n * sxx - sx * sx AS sxx_num
+        |FROM s""".stripMargin,
     "q_stats_ledger" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, source,

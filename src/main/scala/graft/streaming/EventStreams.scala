@@ -186,6 +186,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming trend monitor (§2.7/38aa): each micro-batch appends
+    * its per-group EXACT integer regression sums to an
+    * [[graft.sketch.OlsLedger]] with drop_id = the CHECKPOINTED batch
+    * id (dynamic partition overwrite — a crash-replayed batch
+    * rewrites its own partition, so the additive sums stay
+    * exactly-once on plain parquet); `OlsLedger.trend` answers "is
+    * this stream's value drifting per key" from the ledger alone,
+    * bit-equal on slope and the Sxy/Sxx numerators to running the
+    * batch OLS over everything streamed. */
+  def olsTrendStream(
+      rows: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      refX: Long,
+      ledgerPath: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.sketch.OlsLedger.append(ledgerPath,
+          graft.sketch.OlsLedger.dropSummary(
+            batch.toDF(), s"batch-$bid", col(groupCol), col(xCol), col(yCol), refX))
+      }
+      .start()
+
   /** Streaming priority sample (§2.7/38z): a fixed-size weighted
     * sample maintained ACROSS the whole stream — the streaming form
     * of [[graft.sketch.Sketches.prioritySample]]. The persisted

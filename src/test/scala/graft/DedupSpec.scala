@@ -73,11 +73,13 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.isEmpty)
   }
 
-  test("DocFreqCap: Auto floors at 64, binds above it, Unbounded opts out") {
+  test("DocFreqCap: the relative Auto cap tracks corpus heat; the Fixed default bounds it") {
     // 70 docs sharing one hot unigram ("stop") plus a unique token each.
     // The only candidate gram (df >= 2) is "stop" with df = 70, so the
     // measured mean df is 70 and Auto's cap = max(64, 4·70) = 280 — the
-    // hot gram SURVIVES and Auto is byte-identical to Unbounded.
+    // hot gram SURVIVES and Auto is byte-identical to Unbounded. This
+    // is exactly why Auto is NOT the default (r10 scale-up: Auto ran
+    // quadratic on the hot-vocab amplification; Fixed(64) ran flat).
     val hot = spark.range(70).selectExpr("id AS doc_id", "concat('stop u', id) AS text")
     val auto = Dedup.ngramJaccardPairs(hot, col("text"), col("doc_id"), n = 1, tau = 0.3,
       maxDocFreq = DocFreqCap.Auto)
@@ -103,6 +105,14 @@ class DedupSpec extends SparkSpecBase {
     val unbMixed = Dedup.ngramJaccardPairs(mixed, col("text"), col("doc_id"), n = 1, tau = 0.3,
       maxDocFreq = DocFreqCap.Unbounded)
     assert(autoMixed.count() < unbMixed.count()) // the hot-gram pairs are gone
+    // the DEFAULT is the absolute Fixed(64): on the uniformly-hot
+    // corpus (where Auto degenerated to Unbounded) it drops the
+    // df=70 gram — the pair sweep is bounded whatever the corpus heat
+    val default = Dedup.ngramJaccardPairs(hot, col("text"), col("doc_id"), n = 1, tau = 0.3)
+    assert(default.count() === 0L)
+    assert(default.collect().toSet === Dedup.ngramJaccardPairs(
+      hot, col("text"), col("doc_id"), n = 1, tau = 0.3,
+      maxDocFreq = DocFreqCap.Fixed(64)).collect().toSet)
   }
 
   test("simhash: near-dups have small hamming distance, unrelated large") {

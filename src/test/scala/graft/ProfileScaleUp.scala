@@ -62,9 +62,11 @@ object ProfileScaleUp {
       "q_dedup_minhash", "q_dedup_ngram", "q_fuzzy_join", "q_containment",
       "q_substring_spans", "q_boilerplate", "q_lang_profile", "q_semdedup",
       "q_ann_ivf", "q_ann_ivfpq", "q_bpe_tokens", "q_dsir",
-      "q_nb_quality", "q_curation")
+      "q_nb_quality", "q_curation",
+      // r10 additions: ROUGE pair grading + the stop-gram audit
+      "q_rouge_overlap", "q_stop_grams")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
-    val outFile = if (args.nonEmpty) "dev/scaleup_r9b.json" else "dev/scaleup_r9.json"
+    val outFile = if (args.nonEmpty) "dev/scaleup_r10b.json" else "dev/scaleup_r10.json"
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -89,9 +91,11 @@ object ProfileScaleUp {
     // the UNBOUNDED gram-pair sweep goes super-linear on this corpus
     // (tiny ~100-word vocabulary → every gram is hot → C(d,2)
     // candidate concentration, the documented inherent cost). Since
-    // r10 the registry default is DocFreqCap.Auto, so the main rows
-    // above already measure the capped path; the explicit Fixed(64)
-    // and Unbounded variants below pin both ends of the policy.
+    // r10 the registry default is DocFreqCap.Fixed(64) — the r10 full
+    // profile measured the relative Auto cap NOT binding here (mean
+    // df scales with the corpus' own heat: 39.9 s / alpha 1.9, same
+    // as Unbounded) — so the main rows above measure the absolute-
+    // capped default; the variants below pin both policy ends.
     val capped: Seq[(String, String => org.apache.spark.sql.DataFrame)] = if (args.nonEmpty) Seq() else Seq(
       "q_dedup_ngram_df64" -> (dir => graft.dedup.Dedup.ngramJaccardPairs(
         graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),

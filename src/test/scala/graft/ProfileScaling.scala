@@ -28,7 +28,9 @@ object ProfileScaling {
       // with super-linear intermediate growth (per-day co-activity
       // pairs ~ quadratic in daily active users) — watch its alpha
       "q_interval_join", "q_textrank", "q_trustrank",
-      "q_hard_negatives", "q_join_discovery", "q_f2_skew")
+      "q_hard_negatives", "q_join_discovery", "q_f2_skew",
+      // r10 additions: iterative LPA + the ROUGE pair grader
+      "q_lpa", "q_rouge_overlap")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -59,7 +61,7 @@ object ProfileScaling {
       s"""{"query":"$n","sf0.001":$a,"sf0.01":$b,"sf0.1":$c,""" +
         s""""alpha_001_01":${alpha(a, b)},"alpha_01_1":${alpha(b, c)}}"""
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r9w9.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("dev/scaling_r10.json"),
       rows.mkString("[\n", ",\n", "\n]"))
     spark.stop()
   }

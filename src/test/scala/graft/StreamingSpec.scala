@@ -963,6 +963,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed.map(_.getAs[Long]("n_docs")).sum === (b1.size + b2.size).toLong)
   }
 
+  test("olsTrendStream: rolled-up trend equals batch OLS over the union; replay is exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Relational._
+    import graft.sketch.OlsLedger
+    val mem = MemoryStream[(String, Long, Long)] // (grp, x, y)
+    val tmp = java.nio.file.Files.createTempDirectory("ols_stream").toString
+    val (path, ckpt) = (s"$tmp/ledger", s"$tmp/ckpt")
+    val refX = 1000L
+    val q = EventStreams.olsTrendStream(
+      mem.toDF().toDF("grp", "x", "y"), "grp", "x", "y", refX, path, ckpt)
+    val rnd = new scala.util.Random(53)
+    val b1 = (0 until 300).map(_ =>
+      (s"g${rnd.nextInt(3)}", 1000L + rnd.nextInt(200), rnd.nextInt(500).toLong))
+    val b2 = (0 until 300).map(_ =>
+      (s"g${rnd.nextInt(3)}", 1000L + rnd.nextInt(200), rnd.nextInt(500).toLong))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = OlsLedger.trend(spark, path).orderBy("grp")
+      .select("grp", "n", "n_drops", "slope", "sxy_num", "sxx_num")
+      .as[(String, Long, Long, Double, Long, Long)].collect().toSeq
+    // slope and the numerators are translation-invariant → bit-equal
+    // to the batch operator (which centers on the group min)
+    val direct = (b1 ++ b2).toDF("grp", "x", "y")
+      .groupOls(Seq(col("grp")), col("x"), col("y"))
+      .orderBy("grp").select("grp", "n", "slope", "sxy_num", "sxx_num")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(streamed.map(r => (r._1, r._2, r._4, r._5, r._6)) ===
+      direct.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    assert(streamed.forall(_._3 === 2L)) // two drops per group
+
+    // crash replay: re-appending batch 1's summary under its own
+    // drop_id overwrites, never double-counts
+    OlsLedger.append(path, OlsLedger.dropSummary(
+      b1.toDF("grp", "x", "y"), "batch-0", col("grp"), col("x"), col("y"), refX))
+    val replayed = OlsLedger.trend(spark, path).orderBy("grp")
+      .select("grp", "n", "n_drops", "slope", "sxy_num", "sxx_num")
+      .as[(String, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(replayed === streamed)
+  }
+
   test("prioritySampleStream: running sample is bit-equal to batch over the union; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sketch.Sketches
