@@ -264,10 +264,17 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_vocab" -> 1, "q_cluster_star" -> 0, "q_corpus" -> 3,
     "q_corpus_facade" -> 3,
     "q_dedup_cluster" -> 0, "q_dedup_minhash" -> 2,
-    // ngram/containment: DocFreqCap.Auto materializes the gram table
-    // behind an eager checkpoint (1 pre-checkpoint gram exchange not
-    // visible here); the 5 counted are the pair/size reshapes.
-    "q_dedup_ngram" -> 5, "q_containment" -> 5, "q_fuzzy_join" -> 7,
+    // ngram/containment: the Fixed(64) default is a plain filter on
+    // the gram aggregate — no extra exchange, no checkpoint; 6 = the
+    // gram agg + pair/size reshapes (the r6-r9 shape)
+    "q_dedup_ngram" -> 6, "q_containment" -> 6, "q_fuzzy_join" -> 7,
+    // q_lpa: per-round label frames checkpoint (the pageRank loop
+    // pattern) — the visible tail is the final labels scan
+    "q_lpa" -> 0,
+    // rouge: flagged-pair-bounded gram counting — the per-pair gram
+    // agg and the pair sum; weighted median: per-(g, v) agg + the cum
+    // window share one exchange, plus the final group agg
+    "q_rouge_overlap" -> 2, "q_weighted_median" -> 2, "q_stop_grams" -> 1,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,
     "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
@@ -278,7 +285,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_fertility" -> 1, "q_skew_profile" -> 2, "q_cms_gate" -> 2,
     "q_incr_dedup" -> 2, "q_sorted_neighbors" -> 2, "q_global_rank" -> 3,
     "q_winnow" -> 0, "q_winnow_pairs" -> 2, "q_token_drift" -> 2,
-    "q_lsh_recall" -> 8, "q_triangles" -> 4, "q_scd2" -> 1,
+    "q_lsh_recall" -> 10, "q_triangles" -> 4, "q_scd2" -> 1,
     // q_corpus_diff: one hash exchange per snapshot side into the
     // full-outer join — the shuffle carries (key, md5) only
     "q_update_capstone" -> 3, "q_corpus_diff" -> 2,
