@@ -179,6 +179,14 @@ import graft.sources.PartitionedFiles
   *   skew           --group EXPR --key EXPR [--lanes 60]
   *       AMS tug-of-war F2 skew report per group: (g, n, f2_est) —
   *       hot-key detection in one scan, no per-key aggregate
+  *   trend          --group EXPR --x EXPR --y EXPR
+  *       per-group OLS drift report: slope/intercept plus the exact
+  *       integer Sxy/Sxx numerators (x centered on the group min)
+  *   balance        --group EXPR --value EXPR
+  *       corpus-balance audit: exact Gini per group in per-mille
+  *   stop-grams     --text COLUMN --id COLUMN [--n 3] [--cap 64|auto|unbounded]
+  *       DocFreqCap transparency report: the grams the cap drops from
+  *       the exact pair sweep, their df, and the C(df,2) work saved
   *   coactive       --user EXPR --type EXPR --ts EXPR [--bucket-hours 3]
   *                  [--blocks 4] [--top 25]
   *       co-active pair mining from an event log via the bucketed
@@ -967,6 +975,29 @@ object Cli {
           val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
           write(graft.sketch.Sketches.amsF2(read(), group, key,
             lanes = opts.getOrElse("lanes", "60").toInt))
+        case "trend" =>
+          // per-group OLS drift report (exact integer numerators)
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val x = expr(opts.getOrElse("x", fail("--x EXPR required")))
+          val y = expr(opts.getOrElse("y", fail("--y EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).groupOls(Seq(group), x, y))
+        case "balance" =>
+          // corpus-balance audit: exact Gini per group in per-mille
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val value = expr(opts.getOrElse("value", fail("--value EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).giniByGroup(Seq(group), value))
+        case "stop-grams" =>
+          // the DocFreqCap transparency report: which grams the cap
+          // drops from the exact pair sweep and the C(df,2) work saved
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val cap = opts.getOrElse("cap", "64") match {
+            case "auto" => graft.dedup.DocFreqCap.Auto
+            case "unbounded" => graft.dedup.DocFreqCap.Unbounded
+            case n => graft.dedup.DocFreqCap.Fixed(n.toLong)
+          }
+          write(graft.dedup.Dedup.stopGrams(read(), text, id,
+            n = opts.getOrElse("n", "3").toInt, cap = cap))
         case "coactive" =>
           // co-active pair mining over an event log. --blocks B is the
           // 1-in-B unbiased pair-sample work dial; --blocks 1 buys the

@@ -100,6 +100,10 @@ object Validate {
     val spark = df.sparkSession
     import spark.implicits._
     val totalW = expected.map(_._2).sum
+    // all-zero weights are a caller config error, not a data finding —
+    // fail loudly here instead of an opaque ANSI divide-by-zero in the
+    // expected_pm projection (found by the r10 fuzz gate)
+    require(totalW > 0, "srmAudit: expected weights sum to 0")
     val exp = expected.toDF("arm", "expected_w")
     val counts = df.groupBy(assignment.as("arm")).agg(count(lit(1)).as("__n"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))

@@ -588,6 +588,53 @@ object EventStreams {
       .drop("__tw_bucket", "__total")
   }
 
+  /** Streaming split-ratio monitor (§2.7/38ab), stream half: per
+    * (event-time window, assignment arm) counts under a watermark —
+    * the firehose side of "is the experiment bucketing still
+    * healthy". One watermarked aggregate; state is one counter per
+    * (window, arm). */
+  def windowedArmCounts(events: DataFrame, armCol: String,
+      watermark: String = "1 hour", win: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("arm"), col("n"))
+
+  /** Per-closed-window SRM finalization — the batch helper for the
+    * sink side of [[windowedArmCounts]]: every window gets the FULL
+    * [[graft.quality.Validate.srmAudit]] report shape, including
+    * expected arms that VANISHED in that window (n = 0 — a windowed
+    * groupBy alone can never show them) and rogue arms
+    * (expected_w = 0). Bit-matches the batch audit run on each
+    * window's slice. */
+  def srmPerWindow(closed: DataFrame, expected: Seq[(String, Long)]): DataFrame = {
+    val spark = closed.sparkSession
+    import spark.implicits._
+    require(expected.nonEmpty && expected.map(_._2).sum > 0,
+      "srmPerWindow: expected weights must sum > 0")
+    val totalW = expected.map(_._2).sum
+    val exp = expected.toDF("__arm", "__ew")
+    // fresh names on the grid side: it derives from `closed` itself,
+    // and a shared `bucket` reference makes the join-back ambiguous
+    // (the temperaturePerWindow discipline)
+    val grid = closed.select(col("bucket").as("__gb")).distinct().crossJoin(exp)
+    val counts = closed.select(col("bucket").as("__cb"), col("arm").as("__ca"), col("n"))
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    grid
+      .join(counts,
+        col("__gb") === col("__cb") && col("__arm") === col("__ca"), "full_outer")
+      .select(coalesce(col("__gb"), col("__cb")).as("bucket"),
+        coalesce(col("__arm"), col("__ca")).as("arm"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("__ew"), lit(0L)).as("expected_w"))
+      .withColumn("__N", sum(col("n")).over(wWin))
+      .withColumn("expected_pm", expr(s"(1000 * expected_w) div ${totalW}L"))
+      .withColumn("observed_pm", expr("(1000 * n) div greatest(__N, 1)"))
+      .withColumn("dev", col("n") * lit(totalW) - col("expected_w") * col("__N"))
+      .select(col("bucket"), col("arm"), col("n"), col("expected_w"),
+        col("expected_pm"), col("observed_pm"), col("dev"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -985,5 +985,40 @@ object DriveCli {
       println(s"COACTIVE4=${got4.count()} COACTIVE1=${got1.count()} OK=${ok4 && ok1}")
       spark.stop()
     }
+
+    // trend / balance / stop-grams: library parity over real tables
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "trend", "--group", "event_type",
+      "--x", "unix_micros(cast(ts as timestamp)) div 3600000000",
+      "--y", "cast(round(value * 100) as bigint)",
+      "--outfile", s"$tmp/trendrep"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "balance", "--group", "source", "--value", "n_chars",
+      "--outfile", s"$tmp/balancerep"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "stop-grams", "--text", "text", "--id", "doc_id", "--cap", "4",
+      "--outfile", s"$tmp/stopgrams"))
+    locally {
+      val spark = GraftSession.builder("verifyTrend", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import graft.operators.Relational._
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val gotT = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/trendrep")
+      val expT = ev.groupOls(Seq(col("event_type")),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000"),
+        expr("cast(round(value * 100) as bigint)"))
+      val okT = gotT.except(expT).count() == 0 && expT.except(gotT).count() == 0
+      val gotB = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/balancerep")
+      val expB = dd.giniByGroup(Seq(col("source")), col("n_chars"))
+      val okB = gotB.except(expB).count() == 0 && expB.except(gotB).count() == 0
+      val gotS = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/stopgrams")
+      val expS = graft.dedup.Dedup.stopGrams(dd, col("text"), col("doc_id"),
+        cap = graft.dedup.DocFreqCap.Fixed(4))
+      val okS = gotS.except(expS).count() == 0 && expS.except(gotS).count() == 0
+      println(s"TREND=${gotT.count()} BALANCE=${gotB.count()} STOPGRAMS=${gotS.count()} " +
+        s"OK=${okT && okB && okS && gotS.count() > 0}")
+      spark.stop()
+    }
   }
 }

@@ -271,6 +271,136 @@ object FuzzDump {
            |WHERE abs(d.v - d.med) > $k * mm.mad""".stripMargin)
     }
 
+    // ---- per-group OLS: degenerate groups (1 row, constant x) and
+    // epoch-scale x exercise the centering + NULL paths ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 9)
+      val base = if (rnd.nextBoolean()) 0L else 1000000000000L
+      val t = (0 until 1 + rnd.nextInt(50)).map(_ =>
+        (s"g${rnd.nextInt(4)}", base + rnd.nextInt(1 + rnd.nextInt(100)).toLong,
+          rnd.nextInt(1000).toLong - 500L)).toDF("g", "x", "y")
+      dump("group_ols", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .groupOls(Seq(col("g")), col("x"), col("y")),
+        """WITH c AS (SELECT g, x, y, min(x) OVER (PARTITION BY g) AS x0 FROM t),
+          |s AS (SELECT g, x0, CAST(count(*) AS BIGINT) AS n,
+          |             CAST(sum(x - x0) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |             CAST(sum((x - x0) * y) AS BIGINT) AS sxy,
+          |             CAST(sum((x - x0) * (x - x0)) AS BIGINT) AS sxx
+          |      FROM c GROUP BY 1, 2)
+          |SELECT g, x0, n,
+          |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+          |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          |            ELSE (CAST(sy AS DOUBLE)
+          |                  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+          |                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
+          |       n * sxy - sx * sy AS sxy_num, n * sxx - sx * sx AS sxx_num
+          |FROM s""".stripMargin)
+    }
+
+    // ---- weighted median: dense tie classes, weight-1 and heavy
+    // rows, single-value groups ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 10)
+      val t = (0 until 1 + rnd.nextInt(60)).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(1 + rnd.nextInt(20)).toLong,
+          1L + rnd.nextInt(9).toLong)).toDF("g", "v", "w")
+      dump("weighted_median", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .weightedMedian(Seq(col("g")), col("v"), col("w")),
+        """WITH pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS wv FROM t GROUP BY 1, 2),
+          |c AS (SELECT g, v,
+          |             CAST(sum(wv) OVER (PARTITION BY g ORDER BY v
+          |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |             CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tot
+          |      FROM pv)
+          |SELECT g, CAST(min(v) AS BIGINT) AS wmedian, CAST(max(tot) AS BIGINT) AS total_w
+          |FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin)
+    }
+
+    // ---- Gini: all-equal, zero-mass, and single-row groups ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 11)
+      val t = (0 until 1 + rnd.nextInt(50)).map(_ =>
+        (s"g${rnd.nextInt(4)}",
+          if (rnd.nextInt(5) == 0) 0L else rnd.nextInt(200).toLong)).toDF("g", "x")
+      dump("gini", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t).giniByGroup(Seq(col("g")), col("x")),
+        """WITH r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i FROM t),
+          |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |             CAST(sum(i * x) AS BIGINT) AS six
+          |      FROM r GROUP BY g)
+          |SELECT g, n,
+          |       CASE WHEN sx <= 0 THEN NULL
+          |            ELSE (1000 * (2 * six - (n + 1) * sx)) // (n * sx) END AS gini_pm
+          |FROM s""".stripMargin)
+    }
+
+    // ---- SRM audit: random weights incl. zero-weight arms, vanished
+    // and rogue arms ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 12)
+      val armNames = (0 until 2 + rnd.nextInt(4)).map(i => s"a$i")
+      // the first arm always carries weight (all-zero weight sets are
+      // a REQUIRE'd config error — the fuzz run that allowed them
+      // found the pre-guard ANSI divide-by-zero); later arms may be 0
+      val weights = armNames.zipWithIndex.map { case (a, i) =>
+        a -> (if (i > 0 && rnd.nextInt(6) == 0) 0L else 1L + rnd.nextInt(20)) }
+      // observed arms: mostly expected, sometimes a rogue, sometimes a
+      // vanished expected arm
+      val observable = armNames.filter(_ => rnd.nextInt(6) != 0) :+
+        (if (rnd.nextInt(3) == 0) "rogue" else armNames.head)
+      val t = (0 until 1 + rnd.nextInt(80)).map(i =>
+        (i.toLong, observable(rnd.nextInt(observable.size)))).toDF("id", "arm")
+      val totalW = weights.map(_._2).sum
+      val vals = weights.map { case (a, w) => s"('$a', CAST($w AS BIGINT))" }.mkString(", ")
+      dump("srm", seed, Map("t" -> t),
+        graft.quality.Validate.srmAudit(t, col("arm"), weights),
+        s"""WITH c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY arm),
+           |e AS (SELECT * FROM (VALUES $vals) AS v(arm, expected_w)),
+           |j AS (SELECT coalesce(e.arm, c.arm) AS arm,
+           |             CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           |             CAST(coalesce(e.expected_w, 0) AS BIGINT) AS expected_w
+           |      FROM e FULL OUTER JOIN c ON e.arm = c.arm),
+           |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM j)
+           |SELECT arm, n, expected_w,
+           |       (1000 * expected_w) // $totalW AS expected_pm,
+           |       (1000 * n) // greatest(tot, 1) AS observed_pm,
+           |       n * $totalW - expected_w * tot AS dev
+           |FROM j CROSS JOIN t2""".stripMargin)
+    }
+
+    // ---- LPA communities: random graphs, random round counts —
+    // the synchronous rounds replay as a CTE chain ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 13)
+      val nNodes = 4 + rnd.nextInt(12)
+      val edges = (0 until 5 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val e = edges.toDF("src", "dst")
+        val iters = 1 + rnd.nextInt(4)
+        def round(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT id, label FROM (
+             |    SELECT s.a AS id, l.label, count(*) AS c,
+             |           row_number() OVER (PARTITION BY s.a
+             |                              ORDER BY count(*) DESC, l.label ASC) AS rn
+             |    FROM sym s JOIN $prev l ON s.b = l.id
+             |    GROUP BY s.a, l.label) WHERE rn = 1)""".stripMargin
+        val chain = (1 to iters).map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+        dump("lpa", seed, Map("e" -> e),
+          graft.operators.GraphOps.labelPropagation(e, iters),
+          s"""WITH e0 AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+             |sym AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+             |l0 AS (SELECT DISTINCT a AS id, a AS label FROM sym),
+             |$chain
+             |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l$iters""".stripMargin)
+      }
+    }
+
     // ---- substring-span dedup: tiny vocabulary forces dense window
     // collisions; random window/minCount; short docs (< window) must
     // fall out of the window stream, not crash it ----

@@ -590,6 +590,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(w2.keySet === Set("A", "B") && w2("A") === w2("B"))
   }
 
+  test("windowedArmCounts + srmPerWindow equals the batch SRM audit per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.quality.Validate
+    val mem = MemoryStream[(Timestamp, String)]
+    val expected = Seq(("a", 2L), ("b", 1L), ("c", 1L))
+    val stream = EventStreams.windowedArmCounts(
+      mem.toDF().toDF("ts", "arm"), "arm", watermark = "10 minutes", win = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("armcounts")
+      .outputMode(OutputMode.Append()).start()
+    // window 1: healthy 2:1:1; window 2: arm c VANISHED, rogue "x"
+    mem.addData(
+      (ts("2024-01-01 00:05:00"), "a"), (ts("2024-01-01 00:10:00"), "a"),
+      (ts("2024-01-01 00:20:00"), "b"), (ts("2024-01-01 00:30:00"), "c"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 01:05:00"), "a"), (ts("2024-01-01 01:10:00"), "b"),
+      (ts("2024-01-01 01:20:00"), "x"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 03:00:00"), "a")) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val report = EventStreams.srmPerWindow(spark.table("armcounts"), expected)
+    def batch(rows: Seq[String]) = Validate
+      .srmAudit(rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "arm"),
+        col("arm"), expected)
+      .orderBy("arm").collect().toSeq
+    val w1 = report.filter(col("bucket") === ts("2024-01-01 00:00:00"))
+      .drop("bucket").orderBy("arm").collect().toSeq
+    assert(w1 === batch(Seq("a", "a", "b", "c")))
+    val w2 = report.filter(col("bucket") === ts("2024-01-01 01:00:00"))
+      .drop("bucket").orderBy("arm").collect().toSeq
+    assert(w2 === batch(Seq("a", "b", "x")))
+    // the vanished arm and the rogue arm both surface in window 2
+    val w2map = w2.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w2map("c") === ((0L, 1L)) && w2map("x") === ((1L, 0L)))
+  }
+
   test("deduped drops repeated keys within the watermark across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -98,4 +98,12 @@ class ValidateSpec extends SparkSpecBase {
     assert(rep("rogue")._2 === 10L && rep("rogue")._3 === 0L && rep("rogue")._6 === 1000L)
     assert(rep("train")._6 === 0L) // 90·100 − 90·100
   }
+
+  test("srmAudit refuses an all-zero weight set loudly (r10 fuzz find)") {
+    val df = Seq((1L, "a")).toDF("id", "arm")
+    val e = intercept[IllegalArgumentException] {
+      srmAudit(df, col("arm"), Seq(("a", 0L), ("b", 0L)))
+    }
+    assert(e.getMessage.contains("expected weights sum to 0"))
+  }
 }
