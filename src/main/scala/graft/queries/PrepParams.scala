@@ -28,6 +28,12 @@ object PrepParams {
   // so 25 marks a real rare tail while most mass stays common.
   val BgRareMax = 25L
 
+  // q_bm25: bag-of-terms query mixing the rare 'dup' (df≈25 at
+  // sf0.01 — high idf) with three common vocabulary words, so the
+  // ranking exercises both idf spread and the length normalization.
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "merge", "window")
+  val Bm25TopK = 50
+
   // q_lm_score: tokens with corpus occurrence count <= LmRareMax count
   // as rare. The synthetic vocabulary is 31 tokens with counts 26..964
   // at sf0.01, so 100 separates a genuinely rare tail token from the

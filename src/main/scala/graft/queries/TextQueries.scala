@@ -151,6 +151,23 @@ object TextQueries {
       TextAnalysis.bigramLmScore(Tables.documents(s, dir), col("text"), col("doc_id"),
         rareMax = PrepParams.BgRareMax)),
 
+    // §2.5/31c2 interpolated Kneser–Ney bigram LM (the KenLM/CCNet
+    // family member): continuation-probability backoff scores text by
+    // how many distinct contexts its words complete, not raw pair
+    // frequency. qlog64 fixed-point — the whole likelihood replays
+    // bit-for-bit in the oracle's CTE chain.
+    "q_kn_lm" -> ((s, dir) =>
+      TextAnalysis.knBigramScore(Tables.documents(s, dir), col("text"), col("doc_id"))),
+
+    // §2.5/50e BM25-ranked retrieval: Okapi weighting (Lucene
+    // positive-idf form) in exact integer arithmetic — one floor
+    // division per (doc, term), so the ranking replays bit-for-bit.
+    // The query-vocabulary filter runs BEFORE the tf aggregate's
+    // exchange; top-k is TakeOrdered, no global sort.
+    "q_bm25" -> ((s, dir) =>
+      graft.text.Search.bm25Rank(Tables.documents(s, dir), col("text"), col("doc_id"),
+        terms = PrepParams.Bm25Terms, topK = PrepParams.Bm25TopK)),
+
     // §2.5/32b tokenizer fertility per language: subtokens-per-word
     // ratio (the "how much does this tokenizer fragment lang X"
     // diagnostic that drives vocab sizing). Integer sums + one
@@ -784,6 +801,65 @@ object TextQueries {
            |       CAST(sum(tf * cnt) AS DOUBLE) / sum(tf) AS mean_freq
            |FROM tf JOIN freq USING (g)
            |GROUP BY doc_id""".stripMargin,
+    "q_kn_lm" ->
+      raw"""WITH tok AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+           |), inst AS (
+           |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(range(len(ts) - 1),
+           |           i -> struct_pack(w1 := ts[i+1], w2 := ts[i+2]))) AS g
+           |    FROM tok WHERE len(ts) >= 2)
+           |), tf AS (
+           |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM inst GROUP BY 1, 2, 3
+           |), cb AS (
+           |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2
+           |), ctx AS (
+           |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1fw
+           |  FROM cb GROUP BY 1
+           |), cont AS (
+           |  SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM cb GROUP BY 1
+           |), tt AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS t FROM cb
+           |), scn AS (
+           |  SELECT tf.doc_id, tf.tf,
+           |         (CASE WHEN 4 * c12 - 3 > 0 THEN 4 * c12 - 3 ELSE 0 END) * t
+           |           + 3 * n1fw * ncont AS num,
+           |         4 * c1 * t AS den
+           |  FROM tf JOIN cb USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+           |  CROSS JOIN tt
+           |), sc AS (
+           |  SELECT doc_id, tf, ${qlogSql("num")} - (${qlogSql("den")}) AS lp FROM scn
+           |)
+           |SELECT doc_id,
+           |       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(tf * lp) AS BIGINT) AS kn_ll64,
+           |       CAST(CAST(sum(tf * lp) AS BIGINT) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS kn_avg
+           |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_bm25" -> {
+      val termList = PrepParams.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      raw"""WITH tok AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+           |), st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ts)) AS BIGINT) AS tl FROM tok
+           |), inst AS (
+           |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS t FROM tok
+           |), tf AS (
+           |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
+           |  FROM inst WHERE t IN ($termList) GROUP BY 1, 2
+           |), dfx AS (
+           |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+           |), c AS (
+           |  SELECT doc_id,
+           |         ((${qlogSql("(2 * n + 2)")} - (${qlogSql("(2 * df + 1)")})) * (22 * tf * tl))
+           |           // (10 * tl * tf + 3 * tl + 9 * dl * n) AS c
+           |  FROM tf JOIN dfx USING (t) CROSS JOIN st
+           |), s AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_64 FROM c GROUP BY 1
+           |)
+           |SELECT doc_id, bm25_64,
+           |       CAST(row_number() OVER (ORDER BY bm25_64 DESC, doc_id) AS INTEGER) AS rank
+           |FROM s ORDER BY bm25_64 DESC, doc_id LIMIT ${PrepParams.Bm25TopK}""".stripMargin
+    },
     "q_token_count" ->
       raw"""SELECT doc_id,
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -78,6 +78,55 @@ object Search {
       .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** BM25-ranked retrieval (Robertson–Walker–Jones Okapi weighting,
+    * Lucene's positive-idf form) for a bag-of-terms query — the
+    * ranking layer the postings family was missing: [[phraseOccurrences]]
+    * answers "which documents", BM25 answers "in what order".
+    *
+    * Exact integer arithmetic throughout. With k₁ = 6/5, b = 3/4 and
+    * avgdl = TL/N substituted, each term's contribution clears to
+    *
+    *   c_t = (idf64 · 22·tf·TL) div (10·TL·tf + 3·TL + 9·dl·N)
+    *
+    * where idf64 = qlog64(2N+2) − qlog64(2df+1) (Lucene's
+    * ln(1 + (N−df+½)/(df+½)) made integral — always positive, no
+    * negative-idf edge), TL the corpus token count, dl the document
+    * length. One floor division per (doc, term): no float
+    * accumulation order exists, so the ranking replays bit-for-bit.
+    *
+    * Scale shape: one corpus pass explodes tokens and keeps ONLY
+    * query-vocabulary hits (the filter runs before the tf aggregate's
+    * exchange — the shuffled stream is query-sliver-sized), one
+    * corpus aggregate for the 1-row (N, TL) stats; df and stats join
+    * back broadcast, and top-k is TakeOrdered (score desc, doc_id) —
+    * k+1-ish rows per partition, no global sort. Bound: idf64·22·tf·TL
+    * must fit a long — at TL beyond ~10¹³ pre-scale TL and N by one
+    * shared power of two (monotone, engine-portable). */
+  def bm25Rank(docs: DataFrame, text: Column, id: Column,
+      terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty && topK >= 1)
+    val toksAll = docs.select(id.as("doc_id"), TextAnalysis.tokenize(lower(text)).as("tk"))
+    val stats = toksAll.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("tk"))).cast("long").as("tl"))
+    val tf = toksAll
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), explode(col("tk")).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val q = graft.quality.NaiveBayes.qlog64 _
+    tf.join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", q(lit(2L) * col("n") + 2L) - q(lit(2L) * col("df") + 1L))
+      .withColumn("__c", expr(
+        "(__idf * (22L * tf * tl)) div (10L * tl * tf + 3L * tl + 9L * dl * n)"))
+      .groupBy("doc_id").agg(sum("__c").cast("bigint").as("bm25_64"))
+      .orderBy(col("bm25_64").desc, col("doc_id").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_64").desc, col("doc_id").asc)))
+  }
+
   /** The corpus's most frequent word n-grams — a deterministic
     * self-contained phrase set for gates and smoke tests (count ties
     * break to the lexicographically smallest gram). */

@@ -401,6 +401,77 @@ object TextAnalysis {
       .select(col("doc_id"), xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
       .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("tf"))
 
+  /** Interpolated Kneser–Ney bigram LM score (Kneser & Ney 1995;
+    * Chen & Goodman 1998), the actual family behind the KenLM models
+    * CCNet-style quality filters use — [[bigramLmScore]] reports raw
+    * pair frequency, which OVER-trusts frequent-but-context-bound
+    * words (the "San Francisco" problem: "Francisco" is frequent yet
+    * follows almost nothing but "San"); KN's continuation probability
+    * P_cont(w₂) = N₁₊(•w₂)/N₁₊(••) backs off by how many DISTINCT
+    * contexts a word completes, not how often it occurs.
+    *
+    * Per doc-bigram instance, with absolute discount D = 3/4 (Chen &
+    * Goodman's benchmark setting) cleared of fractions by scaling
+    * through 4:
+    *
+    *   P(w₂|w₁) = [max(4·c₁₂ − 3, 0)·T + 3·N₁₊(w₁•)·N₁₊(•w₂)]
+    *              / [4·c₁• · T]
+    *
+    * — an exact integer rational (c₁₂ = bigram count, c₁• = w₁'s
+    * context mass, T = distinct bigram types). Its log is taken in
+    * [[graft.quality.NaiveBayes.qlog64]] fixed-point (64 units =
+    * 1 bit) as qlog64(num) − qlog64(den), so the whole score replays
+    * bit-for-bit on any engine; self-scoring guarantees c₁₂ ≥ 1 so
+    * num ≥ T > 0. Output per doc: `n_bigrams`, the summed instance
+    * log-likelihood `kn_ll64` (exact integer), and `kn_avg` (the one
+    * double division at the end — the per-bigram mean, i.e. negated
+    * log-perplexity in qlog64 units).
+    *
+    * Scale shape: the corpus is tokenized once into per-position
+    * (doc, hash(w₁), hash(w₂)) instances reduced immediately to per-
+    * doc tf pairs (map-side combine before the one corpus-wide
+    * exchange — word text never reaches a shuffle); the bigram-type
+    * model (a1, a2, c12) is checkpointed once (model-sized, NOT
+    * corpus-sized) and its three derived statistics (context mass +
+    * follower types per w₁, predecessor types per w₂, the 1-row type
+    * total) are vocabulary-sized aggregates that join back by
+    * broadcast. qlog64's chord is exact while 64·x fits a double
+    * (x ≤ 2^47): num ≤ 4·c₁₂·T bounds the safe corpus at roughly
+    * c₁₂·T < 3.5e13 — beyond that, pre-scale num AND den by the same
+    * power of two (monotone, engine-portable) before the chord. */
+  def knBigramScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val inst = df
+      .select(id.as("doc_id"), tokenize(lower(text)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+          "'a1', xxhash64(element_at(tk, i)), 'a2', xxhash64(element_at(tk, i + 1))))")).as("p"))
+      .select(col("doc_id"), col("p.a1").as("a1"), col("p.a2").as("a2"))
+    val tf = inst.groupBy("doc_id", "a1", "a2").agg(count(lit(1)).as("tf"))
+    val cb = graft.operators.Checkpoints.eager(
+      tf.groupBy("a1", "a2").agg(sum("tf").cast("bigint").as("c12")))
+    val ctx = cb.groupBy("a1")
+      .agg(sum("c12").cast("bigint").as("c1"), count(lit(1)).as("n1fw"))
+    val cont = cb.groupBy("a2").agg(count(lit(1)).as("ncont"))
+    val tt = cb.agg(count(lit(1)).as("t"))
+    tf.join(cb, Seq("a1", "a2"))
+      .join(ctx, Seq("a1"))
+      .join(cont, Seq("a2"))
+      .crossJoin(broadcast(tt))
+      .withColumn("__num",
+        greatest(lit(4L) * col("c12") - lit(3L), lit(0L)) * col("t") +
+          lit(3L) * col("n1fw") * col("ncont"))
+      .withColumn("__den", lit(4L) * col("c1") * col("t"))
+      .withColumn("__lp",
+        graft.quality.NaiveBayes.qlog64(col("__num")) -
+          graft.quality.NaiveBayes.qlog64(col("__den")))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("bigint").as("n_bigrams"),
+        sum(col("tf") * col("__lp")).cast("bigint").as("kn_ll64"))
+      .withColumn("kn_avg", col("kn_ll64").cast("double") / col("n_bigrams"))
+  }
+
   private def scoreBigramTf(tf: DataFrame, freq: DataFrame, rareMax: Long,
       leftJoin: Boolean = false): DataFrame =
     tf.join(freq, Seq("h1", "h2"), if (leftJoin) "left" else "inner")

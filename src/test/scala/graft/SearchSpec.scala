@@ -66,4 +66,49 @@ class SearchSpec extends SparkSpecBase {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("bm25Rank replays an independent local model on a randomized corpus") {
+    def qlog(x: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      64L * (bl - 1) + math.floor(x.toDouble * 64 / math.pow(2.0, bl - 1)).toLong - 64L
+    }
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (1L to 50L).map(i =>
+      (i, (0 until rnd.nextInt(30) + 1).map(_ => vocab(rnd.nextInt(12))).mkString(" ")))
+    val terms = Seq("w0", "w3", "w7")
+    val out = Search.bm25Rank(docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+        terms, topK = 10)
+      .as[(Long, Long, Int)].collect()
+    // local replay
+    val toks = docs.map { case (i, t) => i -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = docs.size.toLong
+    val tl = toks.values.map(_.size.toLong).sum
+    val scores = docs.map { case (i, _) =>
+      val dl = toks(i).size.toLong
+      i -> terms.map { t =>
+        val tf = toks(i).count(_ == t).toLong
+        val df = docs.count(d => toks(d._1).contains(t)).toLong
+        if (tf == 0) 0L
+        else ((qlog(2 * n + 2) - qlog(2 * df + 1)) * (22 * tf * tl)) /
+          (10 * tl * tf + 3 * tl + 9 * dl * n)
+      }.sum
+    }.filter(_._2 > 0)
+    val expect = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), r) => (id, s, r + 1) }
+    assert(out.toSeq === expect)
+  }
+
+  test("bm25Rank: rare terms outrank common, shorter docs outrank longer at equal tf") {
+    val filler = (1 to 40).map(i => (100L + i, "x y z x y z")) // background mass
+    val docs = filler ++ Seq(
+      (1L, "rare a b c"),             // rare term, short doc
+      (2L, "rare a b c d e f g h i"), // same tf of rare, longer doc
+      (3L, "x a b c"))                // only the ubiquitous term
+    val out = Search.bm25Rank(docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+        Seq("rare", "x"), topK = 50)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) > out(2L), "length normalization favors the shorter doc")
+    assert(out(2L) > out(3L), "idf favors the rare term over the ubiquitous one")
+  }
 }

@@ -60,6 +60,54 @@ class TextSpec extends SparkSpecBase {
     assert(inRow === ref)
   }
 
+  test("knBigramScore: interpolated KN replays an independent local model") {
+    def qlog(x: Long): Long = {
+      require(x >= 1)
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      64L * (bl - 1) + math.floor(x.toDouble * 64 / math.pow(2.0, bl - 1)).toLong - 64L
+    }
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until rnd.nextInt(20) + 2).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))) ++
+      Seq((98L, "solo"), (99L, "  "))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramScore(df, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val inst = docs.flatMap { case (id, t) =>
+      val tk = t.trim.toLowerCase.split("\\s+").toSeq
+      if (tk.size < 2) Nil else tk.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = inst.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1fw = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val ncont = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = c12.size.toLong
+    val perDoc = inst.groupBy(_._1).map { case (id, is) =>
+      val lls = is.map { case (_, w1, w2) =>
+        val num = math.max(4 * c12((w1, w2)) - 3, 0L) * t + 3 * n1fw(w1) * ncont(w2)
+        val den = 4 * c1(w1) * t
+        qlog(num) - qlog(den)
+      }
+      id -> ((is.size.toLong, lls.sum))
+    }
+    assert(out.keySet === perDoc.keySet, "short/blank docs carry no bigram evidence")
+    for ((id, (n, ll)) <- perDoc) {
+      assert(out(id)._1 === n)
+      assert(out(id)._2 === ll)
+      assert(math.abs(out(id)._3 - ll.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("knBigramScore: common-bigram text outscores unseen-pair gibberish") {
+    val df = ((1L to 30L).map(i => (i, "the cat sat")) :+ (31L, "zq xw") :+ (32L, "the cat"))
+      .toDF("doc_id", "text")
+    val avg = TextAnalysis.knBigramScore(df, col("text"), col("doc_id"))
+      .select("doc_id", "kn_avg").as[(Long, Double)].collect().toMap
+    assert(avg(32L) > avg(31L), "hot bigrams carry more likelihood than hapax pairs")
+    assert(avg(1L) > avg(31L))
+  }
+
   test("normalizeNfc composes decomposed accents; ASCII passes through untouched") {
     import org.apache.spark.sql.graft.GraftTextFunctions.normalizeNfc
     val composed = "caf\u00e9"       // é as one code point
