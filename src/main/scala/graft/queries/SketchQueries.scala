@@ -130,6 +130,23 @@ object SketchQueries {
       Sketches.heavyHitters(Tables.events(s, dir), col("user_id"), shareNum = 8, shareDen = 1000)
         .select(col("key").as("user_id"), col("cnt"))),
 
+    // §2.8/40e per-group heavy hitters: per language, the terms
+    // holding ≥ 15‰ of that language's token stream (the "top terms
+    // per source" datasheet question) — one Misra-Gries sketch per
+    // group, then an exact recount of the broadcast candidates, so
+    // the result is oracle-identical per-group GROUP BY / HAVING.
+    // Terms are pre-hashed for the sketch (typed Long aggregator) and
+    // the strings recovered from the vocab-sized fingerprint map.
+    "q_group_heavy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .withColumn("h", xxhash64(col("term")))
+      val hh = Sketches.heavyHittersByGroup(toks, col("lang"), col("h"),
+        shareNum = 15, shareDen = 1000)
+      hh.join(broadcast(toks.groupBy("h").agg(min("term").as("term"))), col("key") === col("h"))
+        .select(col("grp").as("lang"), col("term"), col("cnt"))
+    }),
+
     // §2.8/39b Count-Min-guided exact frequency gate: users with ≥ 60
     // events. The sketch (one-sided estimates) prunes candidates; the
     // exact recount makes the result oracle-identical to GROUP BY /
@@ -478,6 +495,17 @@ object SketchQueries {
         |FROM events
         |GROUP BY user_id
         |HAVING COUNT(*) * 1000 >= 8 * (SELECT COUNT(*) FROM events)""".stripMargin,
+    "q_group_heavy" ->
+      raw"""WITH tok AS (
+           |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents
+           |), tot AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+           |), c AS (
+           |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+           |)
+           |SELECT lang, term, cnt
+           |FROM c JOIN tot USING (lang) WHERE cnt * 1000 >= 15 * n""".stripMargin,
     "q_cms_gate" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events

@@ -227,6 +227,36 @@ object Sketches {
       .select(col("key"), col("cnt"))
   }
 
+  /** [[heavyHitters]] PER GROUP — "top terms per source", the
+    * datasheet-adjacent corpus question: for each group, the keys
+    * holding ≥ (num/den) of THAT group's stream. Same two-pass
+    * architecture: one Misra-Gries sketch per group (bounded memory
+    * per group, map-side partial merge — group count never matters),
+    * then a broadcast of the (≤ groups·k)-row candidate table and an
+    * exact recount keyed by (group, key). The MG guarantee is
+    * per-group (any key with share > 1/(k+1) of its group survives
+    * the sketch), so the integer-threshold filter over EXACT counts
+    * is deterministic and order-independent even though each group's
+    * candidate superset is not.
+    *
+    * Scale: two corpus passes, each with one group-keyed exchange;
+    * the candidate join is a broadcast (audit-sized right side). A
+    * group so hot its exact recount skews the second exchange is the
+    * q_salted_join situation — salt the recount, not this default. */
+  def heavyHittersByGroup(df: DataFrame, group: Column, key: Column,
+      shareNum: Long, shareDen: Long, kOpt: Option[Int] = None): DataFrame = {
+    require(shareNum > 0 && shareNum < shareDen)
+    val k = kOpt.getOrElse(math.ceil(2.0 * shareDen / shareNum).toInt)
+    val mg = df.groupBy(group.as("__g")).agg(misraGries(key, k).as("mg"))
+      .select(col("__g"), col("mg.n").as("__n"), explode(col("mg.keys")).as("__cand"))
+    df.select(group.as("grp"), key.as("__k"))
+      .join(broadcast(mg), col("grp") === col("__g") && col("__k") === col("__cand"))
+      .groupBy(col("grp"), col("__k").as("key"))
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("__n"))
+      .filter(col("cnt") * shareDen >= col("__n") * shareNum)
+      .select(col("grp"), col("key"), col("cnt"))
+  }
+
   // ----------------------------------------------------------- Count-Min
 
   /** Row-mixing constants for the CMS hash family: the splitmix64

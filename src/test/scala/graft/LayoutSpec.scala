@@ -50,4 +50,50 @@ class LayoutSpec extends SparkSpecBase {
     assert(back.count() === 1000)
     assert(back.agg(sum("id")).as[Long].head() === 499500L)
   }
+
+  test("ZoneMaps: pruned range read equals the plain filtered scan and touches fewer files") {
+    import graft.sources.ZoneMaps
+    val dir = Files.createTempDirectory("graft_zm").toString + "/t"
+    val df = spark.range(10000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(13) // random layout in, clustered layout out
+    ZoneMaps.writeClustered(df, dir, numPartitions = 10, orderBy = "k")
+
+    val pruned = ZoneMaps.readRange(spark, dir, "k", 2000L, 2499L)
+    val plain = spark.read.parquet(dir).filter(col("k") >= 2000 && col("k") <= 2499)
+    assert(pruned.orderBy("k").as[(Long, Long)].collect().toSeq ===
+      plain.orderBy("k").as[(Long, Long)].collect().toSeq)
+    // 500 of 10000 clustered keys live in 1-2 of the 10 zone files
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      s"pruned=${pruned.inputFiles.length}")
+    assert(pruned.inputFiles.length <= 2)
+  }
+
+  test("ZoneMaps: empty overlap yields zero rows; missing manifest degrades to a full scan") {
+    import graft.sources.ZoneMaps
+    val dir = Files.createTempDirectory("graft_zm2").toString + "/t"
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    ZoneMaps.writeClustered(df, dir, numPartitions = 4, orderBy = "k")
+
+    val none = ZoneMaps.readRange(spark, dir, "k", 5000L, 6000L)
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "v"))
+
+    // manifest removed → same rows via the fallback filtered scan
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(dir, "_zonemap"))
+    val back = ZoneMaps.readRange(spark, dir, "k", 10L, 19L)
+    assert(back.as[(Long, Long)].collect().toSet === (10L to 19L).map(k => (k, k * 2)).toSet)
+  }
+
+  test("ZoneMaps: the underscore manifest dir is invisible to plain readers") {
+    import graft.sources.ZoneMaps
+    val dir = Files.createTempDirectory("graft_zm3").toString + "/t"
+    val df = spark.range(50).select(col("id").as("k"), lit("x").as("s"))
+    ZoneMaps.writeClustered(df, dir, numPartitions = 2, orderBy = "k")
+    // a reader that has never heard of zone maps sees exactly the data
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() === 50)
+    assert(plain.schema.fieldNames.toSeq === Seq("k", "s"))
+  }
 }

@@ -48,6 +48,38 @@ class SketchSpec extends SparkSpecBase {
     assert(out === Map(7777L -> 300L, 8888L -> 200L)) // exact, not sketch estimates
   }
 
+  test("heavyHittersByGroup: per-group exact counts, independent of input order and layout") {
+    // group A: heavy 7777 (300 of 1300); group B: heavy 8888 (60 of 160);
+    // 7777 also appears lightly in B (must NOT qualify there)
+    val df = spark.range(1000).select(lit("A").as("g"), col("id").as("k"))
+      .union(spark.range(300).select(lit("A").as("g"), lit(7777L).as("k")))
+      .union(spark.range(100).select(lit("B").as("g"), col("id").as("k")))
+      .union(spark.range(60).select(lit("B").as("g"), lit(8888L).as("k")))
+      .union(spark.range(5).select(lit("B").as("g"), lit(7777L).as("k")))
+    val expect = Map(("A", 7777L) -> 300L, ("B", 8888L) -> 60L)
+    for (layout <- Seq(df.repartition(8), df.orderBy(rand(42)).coalesce(1), df.repartition(3, col("k")))) {
+      val out = Sketches.heavyHittersByGroup(layout, col("g"), col("k"), shareNum = 1, shareDen = 10)
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(out === expect)
+    }
+  }
+
+  test("heavyHittersByGroup matches exact GROUP BY/HAVING on a randomized zipfy stream") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 4000).map { _ =>
+      val g = s"g${rnd.nextInt(4)}"
+      val k = math.min(rnd.nextInt(200), rnd.nextInt(200)).toLong // skew to low keys
+      (g, k)
+    }
+    val df = rows.toDF("g", "k").repartition(7)
+    val out = Sketches.heavyHittersByGroup(df, col("g"), col("k"), shareNum = 2, shareDen = 100)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exact = rows.groupBy(identity).map { case ((g, k), v) => (g, k) -> v.size.toLong }
+    val totals = rows.groupBy(_._1).map { case (g, v) => g -> v.size.toLong }
+    val expect = exact.filter { case ((g, _), c) => c * 100 >= totals(g) * 2 }
+    assert(out === expect)
+  }
+
   test("count-min estimates are one-sided and tight for heavy keys") {
     // 1000 light keys (1×) + two heavy keys; w=2048 → expected noise ≤ ~2·1500/2048 < 2
     val df = spark.range(1000).select(col("id").as("k"))
