@@ -101,6 +101,40 @@ object Relational {
         .drop("__rk", "__n")
     }
 
+    /** Winsorization: clamp an integral `value` to the nearest-rank
+      * [loPerMille, hiPerMille] percentiles of ITS group — the
+      * standard robust-prep step before means/OLS on heavy-tailed
+      * metrics (clipping, unlike dropping, keeps n and the row set
+      * stable). Nearest-rank (type-1) cutoffs — the value at rank
+      * max(1, ceil(p·n/1000)) under value order — are exact integers:
+      * the value AT a rank is well-defined under ties no matter how
+      * row identities break them, so the whole operator replays
+      * bit-for-bit with no interpolation float. Emits the input
+      * columns + `lo_cut`/`hi_cut`/`winsorized`.
+      *
+      * Scale shape: one group-keyed window pass ranks values; the two
+      * cutoff rows per group collapse to a group-sized frame that
+      * joins back broadcast — the corpus stream is never shuffled a
+      * second time. */
+    def winsorize(group: Column, value: Column,
+        loPerMille: Long, hiPerMille: Long): DataFrame = {
+      require(0 <= loPerMille && loPerMille <= hiPerMille && hiPerMille <= 1000)
+      val byG = Window.partitionBy("__g")
+      val cuts = df.select(group.as("__g"), value.cast("long").as("__v"))
+        .withColumn("__rk", row_number().over(byG.orderBy(col("__v").asc)))
+        .withColumn("__n", count(lit(1)).over(byG))
+        .withColumn("__klo", greatest(expr(s"(__n * $loPerMille + 999) div 1000"), lit(1L)))
+        .withColumn("__khi", greatest(expr(s"(__n * $hiPerMille + 999) div 1000"), lit(1L)))
+        .filter(col("__rk") === col("__klo") || col("__rk") === col("__khi"))
+        .groupBy("__g").agg(
+          min(when(col("__rk") === col("__klo"), col("__v"))).as("lo_cut"),
+          min(when(col("__rk") === col("__khi"), col("__v"))).as("hi_cut"))
+      df.join(broadcast(cuts), group <=> col("__g"))
+        .drop("__g")
+        .withColumn("winsorized",
+          least(greatest(value.cast("long"), col("lo_cut")), col("hi_cut")))
+    }
+
     /** Block-jackknife sensitivity audit of a per-group mean: rows
       * hash into `blocks` fixed blocks, and each block's
       * leave-one-out mean `(S − S_b) div (n − n_b)` measures how far

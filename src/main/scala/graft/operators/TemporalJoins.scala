@@ -281,4 +281,51 @@ object TemporalJoins {
       .withColumn("valid_to_us", lead(tsUs.cast("long"), 1).over(w))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Multi-touch attribution: for each conversion event, the touch
+    * events of the same user in the `windowUs` µs strictly before it,
+    * credited to their channels under the three standard models at
+    * once — first-touch and last-touch (integer conversion counts;
+    * position ties broken by event id, so the credit is deterministic
+    * even on equal timestamps) and linear (each of a conversion's n
+    * touches earns 1000000 div n micro-credits — exact integer
+    * arithmetic, no float accumulation order to disagree across
+    * engines or partitions). Conversions with no in-window touch are
+    * unattributed and absent, by design; each conversion attributes
+    * independently (shared touches credit every conversion they
+    * precede — the standard position-based semantics).
+    *
+    * Scale shape: conversion→touch matching is [[rangeJoinBucketed]]
+    * (conversions replicate to the ≤ windowUs/bucketUs + 1 buckets
+    * their lookback spans; the (user, bucket) equality join is the
+    * only corpus-sized exchange), then ONE conversion-keyed window
+    * pass tags each pair with its position and count, and the final
+    * channel rollup is channel-cardinality-sized. No per-user
+    * collect, no unbounded frame: a user with a million events costs
+    * that user's pair stream, not a driver structure. */
+  def attribution(events: DataFrame, user: Column, etype: Column, tsUs: Column,
+      id: Column, convType: String, touchTypes: Seq[String],
+      windowUs: Long, bucketUs: Long): DataFrame = {
+    require(windowUs >= 1 && touchTypes.nonEmpty && !touchTypes.contains(convType))
+    val conv = events.filter(etype === lit(convType))
+      .select(user.as("__u"), tsUs.cast("long").as("__cts"), id.as("__cid"))
+      .withColumn("__s", col("__cts") - windowUs)
+      .withColumn("__e", col("__cts") - 1)
+    val touch = events.filter(etype.isInCollection(touchTypes))
+      .select(user.as("__u"), etype.as("channel"), tsUs.cast("long").as("__tts"),
+        id.as("__tid"))
+    val pairs = rangeJoinBucketed(touch, conv, "__u",
+      col("__tts"), col("__s"), col("__e"), bucketUs)
+    val byConv = Window.partitionBy("__cid")
+    val ordered = byConv.orderBy(col("__tts"), col("__tid"))
+    pairs
+      .withColumn("__n", count(lit(1)).over(byConv))
+      .withColumn("__rn", row_number().over(ordered))
+      .groupBy("channel")
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).cast("bigint").as("first_touch"),
+        sum(when(col("__rn") === col("__n"), 1L).otherwise(0L)).cast("bigint").as("last_touch"),
+        count(lit(1)).as("n_pairs"),
+        sum(expr("1000000L div __n")).cast("bigint").as("linear_micro"))
+  }
 }

@@ -453,6 +453,17 @@ object AnalyticQueries {
         .funnel(col("user_id"), unix_micros(col("ts")), col("event_type"),
           Seq("signup", "click", "purchase"))),
 
+    // §2.2/22s2 multi-touch attribution: credit for each purchase to
+    // the click/view/signup touches in the 24 h before it — first /
+    // last / linear models in one pass, all exact integers (linear =
+    // 1000000 div n micro-credits). Bucketed range join + one
+    // conversion-keyed window; see TemporalJoins.attribution.
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.TemporalJoins.attribution(Tables.events(s, dir),
+        col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"),
+        convType = "purchase", touchTypes = Seq("click", "view", "signup"),
+        windowUs = 86400000000L, bucketUs = 86400000000L)),
+
     // §2.2/22t deterministic hash sample (reproducible 25% subset).
     "q_sample" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -753,6 +764,29 @@ object AnalyticQueries {
         |SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS entities FROM r1
         |UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM r2
         |UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM r3""".stripMargin,
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS tts, event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+        |), pairs AS (
+        |  SELECT c.cid, t.channel, t.tts, t.tid
+        |  FROM conv c JOIN touch t
+        |    ON c.u = t.u AND t.tts >= c.cts - 86400000000 AND t.tts <= c.cts - 1
+        |), tagged AS (
+        |  SELECT channel,
+        |         count(*) OVER (PARTITION BY cid) AS n,
+        |         row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn
+        |  FROM pairs
+        |)
+        |SELECT channel,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(1000000 // n) AS BIGINT) AS linear_micro
+        |FROM tagged GROUP BY channel""".stripMargin,
     "q_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25""".stripMargin,

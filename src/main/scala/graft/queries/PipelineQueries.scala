@@ -275,6 +275,17 @@ object PipelineQueries {
         .quantileNormalize(col("source"), col("n_chars"), col("doc_id"))
         .select(col("doc_id"), col("source"), col("n_chars"), col("pct_pm"))),
 
+    // §2.2/22as11 winsorization: per event_type, clamp value cents to
+    // the nearest-rank [50‰, 950‰] cutoffs — robust prep that keeps n
+    // stable; exact integer ranks, no interpolation float. One window
+    // pass + a broadcast cutoff join-back.
+    "q_winsorize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .winsorize(col("event_type"), col("value_cents"), 50, 950)
+        .select(col("event_id"), col("event_type"), col("value_cents"),
+          col("lo_cut"), col("hi_cut"), col("winsorized"))),
+
     // §2.2/22as9 block-jackknife sensitivity: per event_type, how far
     // the mean value (cents) moves if any 1/32 hash block of the data
     // vanishes — the "is this metric driven by one shard" audit, two
@@ -746,6 +757,26 @@ object PipelineQueries {
         |                                ORDER BY n_chars, doc_id) AS rk,
         |             count(*) OVER (PARTITION BY source) AS n
         |      FROM documents)""".stripMargin,
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, value_cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value_cents) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), cuts AS (
+        |  SELECT event_type,
+        |         CAST(min(CASE WHEN rk = greatest((n * 50 + 999) // 1000, 1)
+        |                       THEN value_cents END) AS BIGINT) AS lo_cut,
+        |         CAST(min(CASE WHEN rk = greatest((n * 950 + 999) // 1000, 1)
+        |                       THEN value_cents END) AS BIGINT) AS hi_cut
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_id, event_type, value_cents, lo_cut, hi_cut,
+        |       least(greatest(value_cents, lo_cut), hi_cut) AS winsorized
+        |FROM v JOIN cuts USING (event_type)""".stripMargin,
     "q_block_jackknife" ->
       """WITH b AS (
         |  SELECT event_type AS g,

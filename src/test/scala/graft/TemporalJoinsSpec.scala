@@ -165,4 +165,55 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(sampled.keySet.subsetOf(exact.keySet))
     sampled.foreach { case (p, n) => assert(exact(p) === n, p) }
   }
+
+  test("attribution: hand-traced credits; equal-ts position ties break by event id") {
+    // user 1: view@10, click@20 → buy@30 (first=view, last=click, n=2)
+    //         click@25 also in window → n=3, last=click@25
+    // user 2: two touches at the SAME ts: ids 41 < 42 → first=view(41), last=click(42)
+    // user 3: touch outside the window, conversion unattributed (absent)
+    // user 1 second buy@35: same three touches credit it again
+    val ev = Seq(
+      (1L, "view", 10L, 10L), (1L, "click", 20L, 11L), (1L, "click", 25L, 12L),
+      (1L, "purchase", 30L, 13L), (1L, "purchase", 35L, 14L),
+      (2L, "view", 50L, 41L), (2L, "click", 50L, 42L), (2L, "purchase", 55L, 43L),
+      (3L, "view", 100L, 60L), (3L, "purchase", 500L, 61L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = graft.operators.TemporalJoins.attribution(ev,
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 100L, bucketUs = 32L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // conversions: 13 (n=3 v,c,c), 14 (n=3), 43 (n=2 tie: first view, last click)
+    assert(out("view") === ((3L, 0L, 3L, 2 * 333333L + 500000L)))
+    assert(out("click") === ((0L, 3L, 5L, 4 * 333333L + 500000L)))
+    assert(!out.contains("signup"))
+  }
+
+  test("attribution equals a brute-force replay on a randomized stream") {
+    val rnd = new scala.util.Random(77)
+    val types = Seq("click", "view", "signup", "purchase")
+    val rows = (1 to 600).map(i =>
+      (rnd.nextInt(12).toLong, types(rnd.nextInt(4)), rnd.nextInt(1000).toLong, i.toLong))
+    val w = 64L
+    val out = graft.operators.TemporalJoins.attribution(
+        rows.toDF("u", "t", "ts", "id"), col("u"), col("t"), col("ts"), col("id"),
+        "purchase", Seq("click", "view", "signup"), windowUs = w, bucketUs = 17L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val convs = rows.filter(_._2 == "purchase")
+    val touches = rows.filter(_._2 != "purchase")
+    val perConv = convs.map { case (u, _, cts, cid) =>
+      cid -> touches.filter(t => t._1 == u && t._3 >= cts - w && t._3 <= cts - 1)
+        .sortBy(t => (t._3, t._4))
+    }.filter(_._2.nonEmpty)
+    val expect = touches.map(_._2).distinct.flatMap { ch =>
+      val first = perConv.count(_._2.head._2 == ch).toLong
+      val last = perConv.count(_._2.last._2 == ch).toLong
+      val pairs = perConv.map(_._2.count(_._2 == ch).toLong).sum
+      val micro = perConv.map(c => c._2.count(_._2 == ch).toLong * (1000000L / c._2.size)).sum
+      if (pairs == 0) None else Some(ch -> ((first, last, pairs, micro)))
+    }.toMap
+    assert(out === expect)
+  }
 }

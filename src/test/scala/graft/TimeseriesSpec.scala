@@ -202,6 +202,39 @@ class TimeseriesSpec extends SparkSpecBase {
     assert(conc.contains(-1L) && conc.contains(-2L))
   }
 
+  test("winsorize: nearest-rank cutoffs clamp tails, keep the middle, survive ties") {
+    // group a: 1..10 → klo = ceil(10·100/1000) = 1 → lo=1... use 200/800:
+    // klo = ceil(10·200/1000) = 2 → lo_cut = 2; khi = ceil(10·800/1000) = 8 → hi_cut = 8
+    val a = (1L to 10L).map(v => ("a", v))
+    val b = Seq(("b", 5L), ("b", 5L), ("b", 5L)) // all ties: cuts = 5
+    val df = (a ++ b).toDF("g", "v")
+    val out = df.winsorize(col("g"), col("v"), 200, 800)
+      .select("g", "v", "lo_cut", "hi_cut", "winsorized")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byA = out.filter(_._1 == "a").map(r => r._2 -> r._5).toMap
+    assert(out.filter(_._1 == "a").forall(r => r._3 == 2L && r._4 == 8L))
+    assert(byA(1L) === 2L && byA(2L) === 2L && byA(5L) === 5L && byA(9L) === 8L && byA(10L) === 8L)
+    assert(out.filter(_._1 == "b").forall(r => r._3 == 5L && r._4 == 5L && r._5 == 5L))
+    assert(out.length === 13, "clipping keeps every row")
+  }
+
+  test("winsorize matches a local nearest-rank replay on random heavy-tailed groups") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 500).map(i =>
+      (s"g${rnd.nextInt(4)}", (math.exp(rnd.nextGaussian() * 2) * 100).toLong, i.toLong))
+    val out = rows.toDF("g", "v", "id").winsorize(col("g"), col("v"), 50, 950)
+      .select("id", "winsorized").as[(Long, Long)].collect().toMap
+    val byG = rows.groupBy(_._1)
+    val expect = rows.map { case (g, v, id) =>
+      val vs = byG(g).map(_._2).sorted
+      val n = vs.size.toLong
+      val lo = vs((math.max((n * 50 + 999) / 1000, 1L) - 1).toInt)
+      val hi = vs((math.max((n * 950 + 999) / 1000, 1L) - 1).toInt)
+      id -> math.min(math.max(v, lo), hi)
+    }.toMap
+    assert(out === expect)
+  }
+
   test("weightedMedian: lower weighted median with tie classes and a replay check") {
     // group a: values 1(w3), 2(w1), 5(w2) → W=6, cum(1)=3, 2·3 ≥ 6 → 1
     // group b: values 10(w1), 20(w1) → W=2, cum(10)=1, 2 ≥ 2 → 10
