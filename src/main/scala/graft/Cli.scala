@@ -1024,6 +1024,65 @@ object Cli {
             pmod(col("vec_id"), lit(opts.getOrElse("anchor-mod", "10").toLong)) === 0)
           write(graft.similarity.Similarity.mineTriplets(corpus, anchors,
             k = opts.getOrElse("k", "5").toInt))
+        case "winsorize" =>
+          // per-group nearest-rank clipping: robust prep that keeps n
+          // and the row set stable (integral --value, e.g. cents)
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val value = expr(opts.getOrElse("value", fail("--value EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).winsorize(group, value,
+            loPerMille = opts.getOrElse("lo", "10").toLong,
+            hiPerMille = opts.getOrElse("hi", "990").toLong))
+        case "attribution" =>
+          // first/last/linear conversion credit in one pass; linear
+          // credit is exact integer micro-credits (1000000 div n)
+          val user = expr(opts.getOrElse("user", fail("--user EXPR required")))
+          val etype = expr(opts.getOrElse("type", fail("--type EXPR required")))
+          val tsUs = expr(opts.getOrElse("ts-us", fail("--ts-us EXPR required (µs)")))
+          val id = expr(opts.getOrElse("id", fail("--id EXPR required")))
+          val conv = opts.getOrElse("conv", fail("--conv TYPE required"))
+          val touches = opts.getOrElse("touch", fail("--touch T1,T2 required"))
+            .split(",").toSeq.filter(_.nonEmpty)
+          val windowUs = opts.getOrElse("window-hours", "24").toLong * 3600000000L
+          write(graft.operators.TemporalJoins.attribution(read(), user, etype, tsUs, id,
+            conv, touches, windowUs,
+            bucketUs = opts.getOrElse("bucket-hours", "24").toLong * 3600000000L))
+        case "heavy-keys" =>
+          // per-group heavy hitters over an integral key: MG sketch
+          // per group + exact recount, threshold num/den of the group
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required (integral)")))
+          write(graft.sketch.Sketches.heavyHittersByGroup(read(), group, key,
+            shareNum = opts.getOrElse("num", "8").toLong,
+            shareDen = opts.getOrElse("den", "1000").toLong))
+        case "bm25" =>
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          val terms = opts.getOrElse("terms", fail("--terms T1,T2 required"))
+            .split(",").toSeq.filter(_.nonEmpty)
+          write(graft.text.Search.bm25Rank(read(), text, id, terms,
+            topK = opts.getOrElse("top", "50").toInt))
+        case "zonemap" =>
+          // file-level min/max manifests: --action write (cluster +
+          // stats), build (stats over an existing dir), read (pruned
+          // range probe lo..hi on --key)
+          val out = opts.getOrElse("out", fail("--out PATH required"))
+          opts.getOrElse("action", "write") match {
+            case "write" =>
+              graft.sources.ZoneMaps.writeClustered(read(), out,
+                numPartitions = opts.getOrElse("parts", "8").toInt,
+                orderBy = opts.getOrElse("key", fail("--key COLUMN required")))
+              println(s"[graft] zone-mapped $out")
+            case "build" =>
+              graft.sources.ZoneMaps.buildStats(spark, out,
+                opts.getOrElse("key", fail("--key COLUMN required")).split(",").toSeq)
+              println(s"[graft] zone map rebuilt for $out")
+            case "read" =>
+              write(graft.sources.ZoneMaps.readRange(spark, out,
+                opts.getOrElse("key", fail("--key COLUMN required")),
+                opts.getOrElse("lo", fail("--lo N required")).toLong,
+                opts.getOrElse("hi", fail("--hi N required")).toLong))
+            case other => fail(s"unknown zonemap action: $other")
+          }
         case "kmv-overlap" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val group = expr(opts.getOrElse("group", "source"))

@@ -1020,5 +1020,71 @@ object DriveCli {
         s"OK=${okT && okB && okS && gotS.count() > 0}")
       spark.stop()
     }
+
+    // winsorize / attribution / heavy-keys / bm25: r10 wave-2 verbs,
+    // library parity for each
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "winsorize", "--group", "event_type",
+      "--value", "cast(round(value * 100) as bigint)", "--lo", "50", "--hi", "950",
+      "--outfile", s"$tmp/winsor"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "attribution", "--user", "user_id", "--type", "event_type",
+      "--ts-us", "unix_micros(cast(ts as timestamp))", "--id", "event_id",
+      "--conv", "purchase", "--touch", "click,view,signup",
+      "--window-hours", "24", "--bucket-hours", "24",
+      "--outfile", s"$tmp/attrib"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "heavy-keys", "--group", "lang", "--key", "xxhash64(source)",
+      "--num", "100", "--den", "1000",
+      "--outfile", s"$tmp/heavykeys"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "bm25", "--text", "text", "--id", "doc_id", "--terms", "dup,spark,merge",
+      "--top", "20", "--outfile", s"$tmp/bm25"))
+    locally {
+      val spark = GraftSession.builder("verifyWave2", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import graft.operators.Relational._
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.except(b).count() == 0 && b.except(a).count() == 0
+      val okW = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/winsor"),
+        ev.winsorize(col("event_type"), expr("cast(round(value * 100) as bigint)"), 50, 950))
+      val okA = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/attrib"),
+        graft.operators.TemporalJoins.attribution(ev, col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))"), col("event_id"),
+          "purchase", Seq("click", "view", "signup"), 86400000000L, 86400000000L))
+      val okH = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/heavykeys"),
+        graft.sketch.Sketches.heavyHittersByGroup(dd, col("lang"),
+          expr("xxhash64(source)"), 100, 1000))
+      val gotR = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/bm25")
+      val okR = same(gotR,
+        graft.text.Search.bm25Rank(dd, col("text"), col("doc_id"),
+          Seq("dup", "spark", "merge"), 20))
+      println(s"WINSOR_ATTRIB_HEAVY_BM25 OK=${okW && okA && okH && okR && gotR.count() == 20}")
+      spark.stop()
+    }
+
+    // zonemap: write-clustered + pruned read round-trip vs plain filter
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "zonemap", "--action", "write", "--out", s"$tmp/zm/docs",
+      "--key", "doc_id", "--parts", "6"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "zonemap", "--action", "read", "--out", s"$tmp/zm/docs",
+      "--key", "doc_id", "--lo", "100", "--hi", "199",
+      "--outfile", s"$tmp/zmread"))
+    locally {
+      val spark = GraftSession.builder("verifyZm", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/zmread")
+      val exp = dd.filter(col("doc_id") >= 100 && col("doc_id") <= 199)
+      val ok = got.except(exp).count() == 0 && exp.except(got).count() == 0
+      println(s"ZONEMAP=${got.count()} OK=${ok && got.count() > 0}")
+      spark.stop()
+    }
   }
 }
