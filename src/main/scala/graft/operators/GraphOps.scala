@@ -272,4 +272,53 @@ object GraphOps {
           - greatest(col("w0"), col("w1"), col("w2"))).as("t2"),
         greatest(col("w0"), col("w1"), col("w2")).as("t3"))
   }
+
+  /** k-core decomposition (Seidman 1983) by synchronous peeling: drop
+    * every node of degree < k, recompute, repeat — the maximal
+    * subgraph where everyone keeps ≥ k neighbors, the standard
+    * "dense backbone vs periphery" split (spam-farm detection,
+    * influence floors). Undirected; parallel edges collapse,
+    * self-loops dropped. Peels for at most `maxRounds` SYNCHRONOUS
+    * rounds with a fixpoint early-exit; because extra rounds past the
+    * fixpoint are no-ops, the output equals an oracle that unrolls
+    * exactly `maxRounds` rounds whether or not it converged sooner —
+    * the same bounded-unroll contract as labelPropagation. Emits the
+    * surviving (id, deg) — every deg ≥ k iff converged.
+    *
+    * Scale shape: each round is one degree aggregate + two
+    * node-keyed semi-joins over the SHRINKING edge frame, lineage cut
+    * per round (edge-sized checkpoints, the pageRank discipline);
+    * the per-round fixpoint probe is one count on the peeled frame.
+    * Rounds needed = peel depth, typically O(10) on real graphs —
+    * maxRounds bounds the worst case, and a non-converged run is
+    * still exact bounded-peel semantics, never a wrong fixpoint. */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e0 = Checkpoints.eager(
+      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct())
+    var cur = Checkpoints.eager(
+      e0.select(col("src").as("a"), col("dst").as("b"))
+        .union(e0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+    Checkpoints.release(e0)
+    var n = cur.count()
+    var round = 0
+    var done = n == 0
+    while (round < maxRounds && !done) {
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("a")
+      val next = Checkpoints.eager(
+        cur.join(keep, Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+      val m = next.count()
+      Checkpoints.release(cur)
+      done = m == n
+      n = m
+      cur = next
+      round += 1
+    }
+    cur.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -199,4 +199,59 @@ object Timeseries {
         .select("bucket", "n", "dev", "cusum", "is_peak")
     }
   }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over an
+    * event log — "what share of users is still active after t
+    * buckets?" with the censoring done right: a user whose last event
+    * sits within `censorWindowUs` of the corpus horizon has NOT been
+    * observed to churn and only contributes to the at-risk counts,
+    * the error every naive retention query makes. Per user: lifetime
+    * = (last − first) in `bucketUs` buckets, churned iff the horizon
+    * is ≥ censorWindowUs past their last event. Per distinct
+    * lifetime t: n_risk = users with lifetime ≥ t, n_churn /
+    * n_censored leaving at t, and the product-limit survival
+    * Ŝ(t) = Π_{t'≤t} (1 − d/n) carried EXACTLY as the qlog64 sum
+    * km_q64 = Σ qlog64(n−d) − qlog64(n) (64 units = 1 bit of decay;
+    * the float product is one pow(2, km_q64/64) away, applied by the
+    * consumer so no cross-engine pow enters the gate). Ŝ hits exact
+    * zero only when everyone still at risk churns at one t — only
+    * possible at the maximum lifetime — reported as NULL (log 0).
+    *
+    * Scale shape: one user-keyed aggregate (map-side partial min/max)
+    * collapses the corpus to one row per user; the lifetime table is
+    * ≤ span/bucket rows, so the two cumulative windows run on a
+    * deliberately single-partition frame that is bounded by the time
+    * span, never by the corpus. Horizon is a 1-row broadcast. */
+  def kaplanMeier(df: DataFrame, id: Column, tsUs: Column,
+      censorWindowUs: Long, bucketUs: Long = 86400000000L): DataFrame = {
+    require(censorWindowUs >= 0, "censorWindowUs must be non-negative")
+    require(bucketUs > 0, "bucketUs must be positive")
+    val q = graft.quality.NaiveBayes.qlog64 _
+    val spans = df.groupBy(id.as("__id"))
+      .agg(min(tsUs).as("__first"), max(tsUs).as("__last"))
+    val horizon = spans.agg(max("__last").as("__h"))
+    val perUser = spans.crossJoin(broadcast(horizon))
+      .withColumn("__lt", col("__last") - col("__first"))
+      .withColumn("t", expr(s"__lt div ${bucketUs}L"))
+      .withColumn("__obs",
+        (col("__h") - col("__last") >= censorWindowUs).cast("long"))
+    val tbl = perUser.groupBy("t").agg(
+      sum("__obs").as("n_churn"),
+      sum(lit(1L) - col("__obs")).as("n_censored"))
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.partitionBy(lit(0)).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tbl
+      .withColumn("n_risk", sum(col("n_churn") + col("n_censored")).over(wDesc))
+      .withColumn("__step",
+        when(col("n_churn") === col("n_risk"), lit(null).cast("long"))
+          .otherwise(q(col("n_risk") - col("n_churn")) - q(col("n_risk"))))
+      .withColumn("__dead",
+        max((col("n_churn") === col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("km_q64",
+        when(col("__dead") === 1, lit(null).cast("long"))
+          .otherwise(sum("__step").over(wAsc)))
+      .select("t", "n_risk", "n_churn", "n_censored", "km_q64")
+  }
 }

@@ -49,4 +49,46 @@ object Eval {
           .otherwise(expr("(2 * tp * 1000) div (n_pred + n_true)")))
       .select("lab", "tp", "fp", "fn", "precision_milli", "recall_milli", "f1_milli")
   }
+
+  /** Exact grouped AUC via the Mann–Whitney rank-sum identity
+    * (Hanley & McNeil 1982): AUC = (R − n⁺(n⁺+1)/2) / (n⁺·n⁻) where
+    * R is the sum of the positives' ranks under score order with
+    * ties given their AVERAGE rank — the textbook estimator, kept
+    * all-integer by carrying 2× the rank sum (a tied run starting at
+    * min-rank `lo` with `m` members has 2·avg = 2·lo + m − 1, an
+    * integer no matter the run length). Emits per group: n_pos,
+    * n_neg, auc_num = 2R − n⁺(n⁺+1), auc_den = 2·n⁺·n⁻, and
+    * auc_milli = (num·1000) div den (NULL when a group has no
+    * positives or no negatives — AUC is undefined there, and NULL is
+    * the engine-portable convention). auc_num/auc_den carry the
+    * exact rational for consumers that need more than milli.
+    *
+    * Scale shape: ONE group-keyed exchange — the rank window and the
+    * (group, score) tie-run count share the same hash-on-group
+    * distribution (the second window's clustering is a superset of
+    * the first's partitioning) — then a group-sized aggregate.
+    * Integer bound: 2R ≤ 2n² and num·1000 must fit a long, exact to
+    * ~2²⁷ rows per group; beyond, pre-bucket scores (the rank-sum
+    * over bucket mid-ranks) or stratify — documented, not silent. */
+  def aucExact(df: DataFrame, group: Column, score: Column,
+      positive: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy("__g")
+    df.select(group.as("__g"), score.cast("long").as("__s"),
+        positive.cast("boolean").as("__pos"))
+      .withColumn("__rk", rank().over(byG.orderBy(col("__s").asc)))
+      .withColumn("__m",
+        count(lit(1)).over(Window.partitionBy(col("__g"), col("__s"))))
+      .groupBy(col("__g").as("g"))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__pos"), expr("2 * __rk + __m - 1")).otherwise(0L)).as("__r2"))
+      .withColumn("auc_num", col("__r2") - col("n_pos") * (col("n_pos") + 1))
+      .withColumn("auc_den", col("n_pos") * col("n_neg") * 2)
+      .withColumn("auc_milli",
+        when(col("auc_den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(auc_num * 1000) div auc_den")))
+      .select("g", "n_pos", "n_neg", "auc_num", "auc_den", "auc_milli")
+  }
 }

@@ -39,6 +39,42 @@ object PipelineQueries {
       Tables.events(s, dir)
         .cusumDrift(unix_micros(col("ts")), stepUs = 3600000000L)),
 
+    // §2.2/22ae4 Kaplan–Meier survival over user lifetimes (6-hour
+    // buckets): users whose last event sits within 12 hours of the
+    // corpus horizon are censored (at-risk, not churned) — the
+    // product-limit Ŝ(t) carried exactly as the qlog64 sum km_q64.
+    // 12 h splits the synthetic gap-to-horizon distribution (median
+    // ≈7 h) so both churned and censored users exist at every sf.
+    "q_survival" -> ((s, dir) =>
+      graft.operators.Timeseries.kaplanMeier(
+        Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
+        censorWindowUs = 43200000000L, bucketUs = 21600000000L)),
+
+    // §2.2/22aw3 mutual information between lang and source: the
+    // feature-dependence / leakage audit in exact qlog64 integers —
+    // per observed cell PMI + contribution, with the corpus total
+    // repeated per row.
+    "q_mi" -> ((s, dir) =>
+      graft.operators.Relational.RelationalOps(Tables.documents(s, dir))
+        .mutualInformation(col("lang"), col("source"))),
+
+    // §2.2/22ak5 k-core of the part↔supplier sourcing graph (k = 10,
+    // ≤ 8 synchronous peel rounds with fixpoint early-exit — 2 rounds
+    // suffice on this graph at every sf): the dense-backbone split.
+    "q_kcore" -> ((s, dir) =>
+      graft.operators.GraphOps.kCore(
+        Tables.lineitem(s, dir).select(
+          (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+        k = 10L, maxRounds = 8)),
+
+    // §2.2/47d Benford first-digit audit over price cents: observed
+    // vs the published log10(1+1/d) per-mille constants, Nigrini MAD
+    // as an exact integer — the fabricated-data forensic.
+    "q_benford" -> ((s, dir) =>
+      graft.quality.Validate.benfordAudit(
+        Tables.lineitem(s, dir),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))),
+
     // k-anonymity risk audit: (event_type, hour) combos shared by
     // fewer than 5 events are re-identification risks — the release
     // gate beside PII redaction; output is only the risky combos.
@@ -398,6 +434,95 @@ object PipelineQueries {
         |         OVER (PARTITION BY g.user_id ORDER BY g.bucket
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin,
+    "q_survival" ->
+      s"""WITH spans AS (
+         |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+         |         CAST(max(epoch_us(ts)) AS BIGINT) AS l
+         |  FROM events GROUP BY user_id
+         |), h AS (SELECT max(l) AS h FROM spans),
+         |pu AS (
+         |  SELECT (l - f) // 21600000000 AS t,
+         |         CASE WHEN h - l >= 43200000000 THEN 1 ELSE 0 END AS obs
+         |  FROM spans CROSS JOIN h
+         |), tbl AS (
+         |  SELECT t, CAST(sum(obs) AS BIGINT) AS n_churn,
+         |         CAST(sum(1 - obs) AS BIGINT) AS n_censored
+         |  FROM pu GROUP BY t
+         |), r AS (
+         |  SELECT t, n_churn, n_censored,
+         |         CAST(sum(n_churn + n_censored) OVER (ORDER BY t DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         |  FROM tbl
+         |), st AS (
+         |  SELECT t, n_risk, n_churn, n_censored,
+         |         CASE WHEN n_churn = n_risk THEN NULL
+         |              ELSE (${qlogSql("(n_risk - n_churn)")}) - (${qlogSql("n_risk")})
+         |         END AS step,
+         |         max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+         |  FROM r
+         |)
+         |SELECT t, n_risk, n_churn, n_censored,
+         |       CASE WHEN dead = 1 THEN NULL
+         |            ELSE CAST(sum(step) OVER (ORDER BY t
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |       END AS km_q64
+         |FROM st""".stripMargin,
+    "q_mi" ->
+      s"""WITH grid AS (
+         |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+         |         CAST(count(*) AS BIGINT) AS c_xy
+         |  FROM documents GROUP BY 1, 2),
+         |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM grid GROUP BY x),
+         |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM grid GROUP BY y),
+         |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM grid),
+         |cells AS (
+         |  SELECT x, y, c_xy, c_x, c_y, n,
+         |         (${qlogSql("(c_xy * n)")}) - (${qlogSql("(c_x * c_y)")}) AS pmi_q64
+         |  FROM grid JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+         |c2 AS (SELECT *, c_xy * pmi_q64 AS contrib_q64 FROM cells)
+         |SELECT x, y, c_xy, c_x, c_y, n, pmi_q64, contrib_q64,
+         |       CAST(sum(contrib_q64) OVER () AS BIGINT) AS mi_q64_total
+         |FROM c2""".stripMargin,
+    "q_kcore" -> {
+      // unrolled synchronous peel: extra rounds past the fixpoint are
+      // no-ops, so 8 fixed rounds ≡ the operator's early-exit run.
+      // MATERIALIZED is load-bearing: every round reads its
+      // predecessor 3× and DuckDB inlines CTEs by default — the
+      // un-hinted chain expands to ~3⁸ plan copies and never finishes
+      val rounds = (1 to 8).map { i =>
+        val (p, c) = (s"r${i - 1}", s"r$i")
+        s"""k$c AS MATERIALIZED (SELECT a FROM $p GROUP BY a HAVING count(*) >= 10),
+           |$c AS MATERIALIZED (SELECT r.a, r.b FROM $p r
+           |       JOIN k$c ka ON r.a = ka.a JOIN k$c kb ON r.b = kb.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
+         |       UNION SELECT dst, src FROM e0),
+         |$rounds
+         |SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM r8 GROUP BY a""".stripMargin
+    },
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+        |                            (6, 67), (7, 58), (8, 51), (9, 46)) AS t(digit, expected_pm)),
+        |j AS (SELECT d.digit, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |             CAST(expected_pm AS BIGINT) AS expected_pm
+        |      FROM d LEFT JOIN o USING (digit)),
+        |w AS (SELECT digit, n, expected_pm, CAST(sum(n) OVER () AS BIGINT) AS nn FROM j),
+        |e AS (SELECT digit, n, (1000 * n) // greatest(nn, 1) AS observed_pm, expected_pm
+        |      FROM w),
+        |f AS (SELECT *, observed_pm - expected_pm AS dev_pm FROM e)
+        |SELECT digit, n, observed_pm, expected_pm, dev_pm,
+        |       CAST(sum(abs(dev_pm)) OVER () AS BIGINT) // 9 AS mad_pm
+        |FROM f""".stripMargin,
     "q_cusum" ->
       """WITH b AS (
         |  SELECT ((epoch_us(ts) // 3600000000) - CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END) AS bucket,
@@ -878,6 +1003,12 @@ object PipelineQueries {
     * token counts, relative budget, funded-prefix test, and the
     * integer fair-share split with its mod-remainder on the last
     * budget-bound languages — bit-for-bit the Spark windows. */
+  /** qlog64 (NaiveBayes.qlog64) replayed in DuckDB: bit-length +
+    * linear-mantissa chord, all-integer (same macro as TextQueries). */
+  private def qlogSql(x: String): String =
+    s"64 * (length(bin($x)) - 1) + " +
+      s"CAST(floor(($x * 64) / pow(2, length(bin($x)) - 1)) AS BIGINT) - 64"
+
   private lazy val unimaxAllocCte: String = {
     val (num, den, em) = (PrepParams.UnimaxBudgetNum, PrepParams.UnimaxBudgetDen,
       PrepParams.UnimaxEpochsMilli)

@@ -466,6 +466,35 @@ object TextQueries {
           scaleBits = PrepParams.NbScaleBits),
         col("true_label"), col("pred_label"))),
 
+    // §2.5/31e5 exact grouped AUC (Mann–Whitney rank-sum, tie-averaged
+    // ranks carried as 2×rank-sum integers): per source, how well
+    // document length rank-separates English from the rest — the
+    // threshold-free complement of the P/R/F1 audit. Groups with no
+    // positives (or none negative) report NULL, the undefined-AUC
+    // convention.
+    "q_auc" -> ((s, dir) =>
+      graft.quality.Eval.aucExact(Tables.documents(s, dir),
+          col("source"), col("n_chars"), col("lang") === "en")
+        .withColumnRenamed("g", "source")),
+
+    // §2.5/48c Dunning G² keyness: top-10 overused terms per source
+    // in qlog64-exact log-likelihood units — the corpus-linguistics
+    // "what is distinctive about this slice" statistic, calibrated
+    // for rare counts where raw TF-IDF over-fires.
+    "q_keyness" -> ((s, dir) =>
+      graft.text.TextAnalysis.keyness(Tables.documents(s, dir),
+          col("text"), col("source"), topK = 10)
+        .withColumnRenamed("grp", "source")),
+
+    // §2.5/48d c-TF-IDF cluster labeling (BERTopic's topic-term
+    // statistic): top-10 characteristic terms per lang, each class's
+    // text treated as one document, score the exact integer
+    // tf·(qlog64(ft·C + N) − qlog64(ft·C)).
+    "q_ctfidf" -> ((s, dir) =>
+      graft.text.TextAnalysis.ctfidfTopTerms(Tables.documents(s, dir),
+          col("text"), col("lang"), topK = 10)
+        .withColumnRenamed("grp", "lang")),
+
     // §2.5/31c confusion matrix over the NB probe — which languages
     // the trained model bleeds into which (same audit-artifact shape
     // as q_label_confusion over the centroid probe).
@@ -1065,6 +1094,79 @@ object TextQueries {
     "q_nb_quality" -> nbQualitySql,
     "q_nb_calibration" -> nbCalibrationSql,
     "q_nb_eval" -> EvalSql.over(nbQualitySql, "true_label", "pred_label"),
+    "q_auc" ->
+      """WITH r AS (
+        |  SELECT source, n_chars, CAST(lang = 'en' AS INT) AS pos,
+        |         rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |         count(*) OVER (PARTITION BY source, n_chars) AS m
+        |  FROM documents
+        |), a AS (
+        |  SELECT source,
+        |         CAST(sum(pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+        |         CAST(sum(CASE WHEN pos = 1 THEN 2 * rk + m - 1 ELSE 0 END) AS BIGINT) AS r2
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, n_pos, n_neg,
+        |       r2 - n_pos * (n_pos + 1) AS auc_num,
+        |       n_pos * n_neg * 2 AS auc_den,
+        |       CASE WHEN n_pos * n_neg = 0 THEN NULL
+        |            ELSE ((r2 - n_pos * (n_pos + 1)) * 1000) // (n_pos * n_neg * 2)
+        |       END AS auc_milli
+        |FROM a""".stripMargin,
+    "q_keyness" -> {
+      def cell(x: String, row: String, colT: String) =
+        s"(CASE WHEN $x = 0 THEN 0 ELSE $x * " +
+          s"((${qlogSql(s"($x * n)")}) - (${qlogSql(s"($row * $colT)")})) END)"
+      raw"""WITH grid AS (
+           |  SELECT source AS grp, t AS term, CAST(count(*) AS BIGINT) AS a
+           |  FROM (SELECT source,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2
+           |), rtot AS (SELECT grp, CAST(sum(a) AS BIGINT) AS rt FROM grid GROUP BY grp),
+           |ctot AS (SELECT term, CAST(sum(a) AS BIGINT) AS ct FROM grid GROUP BY term),
+           |ntot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM grid),
+           |sc AS (
+           |  SELECT grp, term, a, rt, ct, n,
+           |         ct - a AS b, rt - a AS c, n - rt - ct + a AS d
+           |  FROM grid JOIN rtot USING (grp) JOIN ctot USING (term) CROSS JOIN ntot
+           |), g AS (
+           |  SELECT grp, term, a, n, rt, ct,
+           |         2 * (${cell("a", "rt", "ct")}
+           |            + ${cell("b", "(n - rt)", "ct")}
+           |            + ${cell("c", "rt", "(n - ct)")}
+           |            + ${cell("d", "(n - rt)", "(n - ct)")}) AS g2_q64
+           |  FROM sc
+           |)
+           |SELECT grp AS source, term, a, g2_q64, krank FROM (
+           |  SELECT grp, term, a, g2_q64,
+           |         row_number() OVER (PARTITION BY grp
+           |                            ORDER BY g2_q64 DESC, term) AS krank
+           |  FROM g WHERE a * n > rt * ct
+           |) WHERE krank <= 10""".stripMargin
+    },
+    "q_ctfidf" ->
+      raw"""WITH grid AS (
+           |  SELECT lang AS grp, t AS term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT lang,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2
+           |), ctot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM grid GROUP BY term),
+           |tot AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS nc,
+           |               CAST(sum(tf) AS BIGINT) AS n FROM grid),
+           |sc AS (
+           |  SELECT grp, term, tf,
+           |         tf * ((${qlogSql("(ft * nc + n)")}) - (${qlogSql("(ft * nc)")})) AS score_q64
+           |  FROM grid JOIN ctot USING (term) CROSS JOIN tot
+           |)
+           |SELECT grp AS lang, term, tf, score_q64, krank FROM (
+           |  SELECT grp, term, tf, score_q64,
+           |         row_number() OVER (PARTITION BY grp
+           |                            ORDER BY score_q64 DESC, term) AS krank
+           |  FROM sc
+           |) WHERE krank <= 10""".stripMargin,
     "q_dsir" -> dsirSql,
     "q_curation" ->
       s"""WITH ${gopherCtes("documents")},

@@ -620,4 +620,96 @@ object TextAnalysis {
       .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("(1000 * n_types) div n_tokens").as("ttr_pm"),
         expr("(1000 * n_hapax) div greatest(n_types, 1)").as("hapax_share_pm"))
+
+  /** Distinctive terms per group by Dunning's log-likelihood ratio
+    * (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    * and Coincidence") — the corpus-linguistics keyness statistic
+    * that, unlike raw TF-IDF, is calibrated for rare counts: each
+    * (group, term) forms the 2×2 contingency [a = term in group,
+    * b = term elsewhere, c = other terms in group, d = the rest] and
+    * G² = 2·Σ O·ln(O/E) with E the independence expectation
+    * row·col/N. Computed in qlog64 fixed-point (64 units = 1 bit —
+    * a positive multiple of the natural-log G², so ranking and the
+    * zero point are preserved): each observed-cell term is the exact
+    * integer O·(qlog64(O·N) − qlog64(row·col)), O = 0 contributing 0.
+    * Emits the top-k OVERUSED terms per group (a·N > rt·ct — the
+    * group's keywords, not its gaps) as (grp, term, a, g2_q64,
+    * krank), ties broken by term.
+    *
+    * Scale shape: ONE corpus-sized exchange builds the (group, term)
+    * count grid (map-side partials), checkpointed once; every later
+    * step is grid-keyed — the term-total join deliberately NOT
+    * broadcast (vocab-sized at corpus scale), the group totals and
+    * grand total broadcast (groups-sized / 1 row). Integer bound:
+    * O·N and row·col ≤ ~2⁴⁷ for the exact qlog64 chord — beyond
+    * ~10⁷ tokens per side, pre-scale all four cells by a shared
+    * power of two (G² is scale-equivariant), documented not silent. */
+  def keyness(df: DataFrame, text: Column, group: Column,
+      topK: Int = 15): DataFrame = {
+    val q = graft.quality.NaiveBayes.qlog64 _
+    val grid = graft.operators.Checkpoints.eager(
+      df.select(group.as("grp"), explode(tokenize(lower(text))).as("term"))
+        .groupBy("grp", "term").agg(count(lit(1)).as("a")))
+    val rowTot = grid.groupBy("grp").agg(sum("a").as("rt"))
+    val colTot = grid.groupBy("term").agg(sum("a").as("ct"))
+    val nTot = grid.agg(sum("a").as("n"))
+    def cell(x: Column, row: Column, colT: Column): Column =
+      when(x === 0L, 0L).otherwise(x * (q(x * col("n")) - q(row * colT)))
+    val scored = grid
+      .join(colTot, "term")
+      .join(broadcast(rowTot), "grp")
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("ct") - col("a"))
+      .withColumn("c", col("rt") - col("a"))
+      .withColumn("d", col("n") - col("rt") - col("ct") + col("a"))
+      .withColumn("g2_q64",
+        (cell(col("a"), col("rt"), col("ct"))
+          + cell(col("b"), col("n") - col("rt"), col("ct"))
+          + cell(col("c"), col("rt"), col("n") - col("ct"))
+          + cell(col("d"), col("n") - col("rt"), col("n") - col("ct"))) * 2L)
+    val w = Window.partitionBy("grp").orderBy(col("g2_q64").desc, col("term").asc)
+    scored.filter(col("a") * col("n") > col("rt") * col("ct"))
+      .withColumn("krank", row_number().over(w))
+      .filter(col("krank") <= topK)
+      .select("grp", "term", "a", "g2_q64", "krank")
+  }
+
+  /** Class-based TF-IDF (Grootendorst 2022, the BERTopic topic-term
+    * score): treat each GROUP's concatenated text as one document and
+    * score term t in class c as tf_{t,c} · ln(1 + A/f_t) with A the
+    * average token mass per class and f_t the corpus frequency — the
+    * standard automatic topic/cluster labeling statistic. Cleared of
+    * fractions: 1 + A/f_t = (f_t·C + N)/(f_t·C) (C classes, N total
+    * tokens), so the score is the exact integer
+    * tf · (qlog64(f_t·C + N) − qlog64(f_t·C)) — engine-portable, no
+    * float log. Emits the top-k terms per class (ties by term).
+    * Keyness (G²) asks "surprisingly overused vs the rest?";
+    * c-TF-IDF asks "characteristically frequent here?" — the two
+    * labeling statistics curators actually compare.
+    *
+    * Scale shape: identical to [[keyness]] — one corpus-sized
+    * exchange into the checkpointed (group, term) grid, term totals
+    * joined grid-keyed (NOT broadcast: vocab-sized), the class count
+    * and token total broadcast 1-row. qlog64 exact while f_t·C + N
+    * ≤ 2⁴⁷; beyond, pre-scale f_t, N by a shared power of two. */
+  def ctfidfTopTerms(df: DataFrame, text: Column, group: Column,
+      topK: Int = 15): DataFrame = {
+    val q = graft.quality.NaiveBayes.qlog64 _
+    val grid = graft.operators.Checkpoints.eager(
+      df.select(group.as("grp"), explode(tokenize(lower(text))).as("term"))
+        .groupBy("grp", "term").agg(count(lit(1)).as("tf")))
+    val colTot = grid.groupBy("term").agg(sum("tf").as("ft"))
+    val totals = grid.agg(
+      countDistinct("grp").as("nc"), sum("tf").as("n"))
+    val scored = grid
+      .join(colTot, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_q64",
+        col("tf") * (q(col("ft") * col("nc") + col("n")) - q(col("ft") * col("nc"))))
+    val w = Window.partitionBy("grp").orderBy(col("score_q64").desc, col("term").asc)
+    scored
+      .withColumn("krank", row_number().over(w))
+      .filter(col("krank") <= topK)
+      .select("grp", "term", "tf", "score_q64", "krank")
+  }
 }

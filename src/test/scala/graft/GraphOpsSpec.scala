@@ -152,4 +152,44 @@ class GraphOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(got === labels)
   }
+
+  test("kCore: pendant drops, triangle survives, and a path cascades to empty") {
+    // triangle 1-2-3 with pendant 4: 2-core = the triangle, deg 2 each
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.kCore(tri, k = 2L).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path 1-2-3-4-5: every peel exposes new endpoints → empty 2-core,
+    // needs MULTIPLE rounds (the cascade the bounded unroll must cover)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, k = 2L).count() === 0L)
+    // bounded peel: maxRounds=1 stops after one synchronous round —
+    // ends dropped, the 2-3-4 remnant still present
+    val one = GraphOps.kCore(path, k = 2L, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kCore matches a local synchronous peel on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val k = 2L + rnd.nextInt(3)
+      // local replay
+      var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = adj.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != adj.size
+        adj = next
+      }
+      val expected = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val got = GraphOps.kCore(edges.toDF("src", "dst"), k, maxRounds = 30)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial k=$k")
+    }
+  }
 }

@@ -106,4 +106,31 @@ class ValidateSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("expected weights sum to 0"))
   }
+
+  test("benfordAudit: constants sum to 1000; all nine digits report; exact shares") {
+    assert(graft.quality.Validate.BenfordPm.map(_._2).sum === 1000L)
+    // 6 positive values: digits 1,1,2,9; zero and negative excluded
+    val df = Seq(100L, 19L, 2L, 900L, 0L, -5L).toDF("v")
+    val got = graft.quality.Validate.benfordAudit(df, col("v"))
+      .orderBy("digit")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 9)
+    val byD = got.map(r => r._1 -> r).toMap
+    assert(byD(1)._2 === 2L); assert(byD(2)._2 === 1L); assert(byD(9)._2 === 1L)
+    assert(byD(3)._2 === 0L) // unobserved digit still reports
+    assert(byD(1)._3 === 500L) // 2 of 4 → exact 500‰
+    // dev and MAD are exact integers off the published constants
+    assert(byD(1)._5 === 500L - 301L)
+    val mad = got.map(r => math.abs(r._5)).sum / 9
+    assert(got.forall(_._6 === mad))
+  }
+
+  test("benfordAudit: digit extraction is exact at power-of-ten boundaries") {
+    // float log10 would misclassify near 10^k; lexical extraction can't
+    val df = Seq(999999999999L, 1000000000000L, 99L, 100L).toDF("v")
+    val got = graft.quality.Validate.benfordAudit(df, col("v"))
+      .filter(col("n") > 0).select("digit", "n")
+      .as[(Int, Long)].collect().toMap
+    assert(got === Map(9 -> 2L, 1 -> 2L))
+  }
 }
