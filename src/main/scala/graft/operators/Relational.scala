@@ -256,6 +256,65 @@ object Relational {
         .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
     }
 
+    /** Spearman rank correlation per group (Spearman 1904) — the
+      * monotone-association complement of [[pearson]]: Pearson on the
+      * tie-AVERAGED ranks, robust to outliers and to any monotone
+      * rescaling of either metric (the right default when "bigger
+      * docs score higher?" is the question and neither axis is
+      * linear). Ranks are carried as the INTEGER 2×average-rank
+      * (a tied run starting at min-rank lo with m members has
+      * 2·avg = 2·lo + m − 1 — the aucExact identity); the 2× scale
+      * cancels in ρ. All five sums accumulate as decimal(38,0)
+      * (DuckDB: HUGEINT) — Σ(rank·rank) tops 2⁶³ past ~1M rows per
+      * group where a long sum would wrap — and the three
+      * integer-exact moment differences meet the only doubles at the
+      * final sqrt/divide. One-class groups (constant x or y →
+      * zero variance) report NULL, the undefined-ρ convention.
+      *
+      * Scale shape: the two rank windows and both tie-run counts all
+      * share the hash-on-group distribution — ONE group-keyed
+      * exchange (two in-partition sorts), then a group-sized
+      * aggregate. Exact while 2n ranks and 4n² products fit a long
+      * (n ≤ ~2³¹ per group) and 4n⁴ fits 38 digits (n ≤ ~10⁹). */
+    def spearman(groupKeys: Seq[Column], x: Column, y: Column): DataFrame = {
+      val gNames = groupKeys.indices.map(i => s"__g$i")
+      val outNames = df.select(groupKeys: _*).columns.toSeq
+      val gCols = gNames.map(col)
+      val base = df.select(
+        groupKeys.zip(gNames).map { case (c, n) => c.as(n) } ++
+          Seq(x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+      val byG = Window.partitionBy(gCols: _*)
+      val ranked = base
+        .withColumn("__rx",
+          rank().over(byG.orderBy(col("__x"))) * 2
+            + count(lit(1)).over(Window.partitionBy(gCols :+ col("__x"): _*)) - 1)
+        .withColumn("__ry",
+          rank().over(byG.orderBy(col("__y"))) * 2
+            + count(lit(1)).over(Window.partitionBy(gCols :+ col("__y"): _*)) - 1)
+      val dec = "decimal(38,0)"
+      val agg = ranked.groupBy(gCols: _*)
+        .agg(
+          count(lit(1)).cast(dec).as("__n"),
+          sum(col("__rx").cast(dec)).as("__sx"),
+          sum(col("__ry").cast(dec)).as("__sy"),
+          sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+          sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+          sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+        .withColumn("__num", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .withColumn("__dx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .withColumn("__dy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      val renamed = gNames.zip(outNames).foldLeft(agg: DataFrame) {
+        case (d, (g, o)) => d.withColumnRenamed(g, o)
+      }
+      renamed
+        .withColumn("n", col("__n").cast("long"))
+        .withColumn("rho",
+          when(col("__dx") === 0 || col("__dy") === 0, lit(null).cast("double"))
+            .otherwise(col("__num").cast("double") /
+              (sqrt(col("__dx").cast("double")) * sqrt(col("__dy").cast("double")))))
+        .select(outNames.map(col) ++ Seq(col("n"), col("rho")): _*)
+    }
+
     /** Exact weighted (lower) median per group: the smallest value v
       * whose cumulative weight reaches half the group's total —
       * 2·cum(v) ≥ W with cum inclusive of v's whole tie class. The
@@ -546,6 +605,44 @@ object Relational {
           sum(col("__graft_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         )
         .drop("__graft_new")
+    }
+
+    /** Mutual information between two categorical columns, the
+      * feature-dependence / leakage audit ("is `source` secretly a
+      * proxy for `lang`?"): per observed (x, y) cell, the pointwise
+      * mutual information pmi_q64 = qlog64(c_xy·N) − qlog64(c_x·c_y)
+      * in exact integer qlog64 units (64 = 1 bit), its MI
+      * contribution contrib_q64 = c_xy·pmi_q64 (so N·MI_bits·64 =
+      * Σ contrib — the exact integer total, one division away from
+      * MI), and mi_q64_total repeated on every row for one-frame
+      * consumption. Independent columns → every pmi ≈ 0; a
+      * deterministic mapping → pmi ≈ qlog64(N) − qlog64(c_y).
+      *
+      * Scale shape: ONE corpus-sized exchange builds the (x, y)
+      * contingency grid (map-side partials); both margins derive
+      * from the grid and join back broadcast (each ≤ distinct-value
+      * sized); the total is a 1-row broadcast. qlog64 exact while
+      * c_x·c_y ≤ 2⁴⁷ — beyond ~10⁷ rows pre-scale the four counts by
+      * a shared power of two (PMI is a log ratio, shift-invariant). */
+    def mutualInformation(x: Column, y: Column): DataFrame = {
+      val q = graft.quality.NaiveBayes.qlog64 _
+      val grid = Checkpoints.eager(
+        df.select(x.cast("string").as("x"), y.cast("string").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy")))
+      val mx = grid.groupBy("x").agg(sum("c_xy").as("c_x"))
+      val my = grid.groupBy("y").agg(sum("c_xy").as("c_y"))
+      val tot = grid.agg(sum("c_xy").as("n"))
+      val cells = grid
+        .join(broadcast(mx), "x")
+        .join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_q64", q(col("c_xy") * col("n")) - q(col("c_x") * col("c_y")))
+        .withColumn("contrib_q64", col("c_xy") * col("pmi_q64"))
+      cells
+        .withColumn("mi_q64_total",
+          sum("contrib_q64").over(Window.partitionBy(lit(0))))
+        .select("x", "y", "c_xy", "c_x", "c_y", "n",
+          "pmi_q64", "contrib_q64", "mi_q64_total")
     }
   }
 }

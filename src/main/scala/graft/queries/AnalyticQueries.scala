@@ -442,6 +442,15 @@ object AnalyticQueries {
         .withColumn("dollars", round(col("l_extendedprice")).cast("bigint"))
         .pearson(Seq(col("l_returnflag")), col("qty"), col("dollars"))),
 
+    // §2.2/22w2 Spearman rank correlation per lang: monotone
+    // association between doc length in chars and in tokens —
+    // tie-averaged integer ranks (the aucExact 2× identity), decimal
+    // sums, doubles only at the final sqrt/divide.
+    "q_spearman" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .spearman(Seq(col("lang")), col("n_chars"), col("toks"))),
+
     // §2.2/22ab weekly cohort retention over events.
     "q_retention" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -748,6 +757,30 @@ object AnalyticQueries {
         |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
         |FROM s""".stripMargin,
+    "q_spearman" ->
+      raw"""WITH b AS (
+           |  SELECT lang, n_chars AS x,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS y
+           |  FROM documents
+           |), r AS (
+           |  SELECT lang,
+           |         2 * rank() OVER (PARTITION BY lang ORDER BY x)
+           |           + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+           |         2 * rank() OVER (PARTITION BY lang ORDER BY y)
+           |           + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+           |  FROM b
+           |), a AS (
+           |  SELECT lang, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+           |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+           |  FROM r GROUP BY lang
+           |)
+           |SELECT lang, CAST(n AS BIGINT) AS n,
+           |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+           |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+           |                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           |       END AS rho
+           |FROM a""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id AS e, epoch_us(ts) // 604800000000 AS p FROM events),
         |c AS (SELECT e, min(p) AS c FROM ev GROUP BY e)

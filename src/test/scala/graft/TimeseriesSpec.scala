@@ -310,4 +310,153 @@ class TimeseriesSpec extends SparkSpecBase {
       assert(intercept === Some((sy.toDouble - slope.get * sx.toDouble) / n.toDouble))
     }
   }
+
+  private def qlog(x: Long): Long = {
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
+  }
+
+  test("spearman: monotone ±1, undefined-variance NULL, tie-averaged local replay") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 900L),   // any monotone map → 1
+      ("dn", 1L, 5L), ("dn", 2L, 4L), ("dn", 3L, 1L),       // reversed → −1
+      ("flat", 7L, 1L), ("flat", 7L, 2L)).toDF("g", "x", "y") // zero x-variance
+    val got = df.spearman(Seq(col("g")), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // ranks (2,4,6) both axes: num = dx = dy = 24 → ρ = 24/(√24·√24),
+    // the exact IEEE value both engines produce (≈1 up to the sqrt ulp)
+    val one = 24.0 / (math.sqrt(24.0) * math.sqrt(24.0))
+    assert(got("up") === ((3L, Some(one))))
+    assert(got("dn") === ((3L, Some(-one))))
+    assert(got("flat") === ((2L, None)))
+  }
+
+  test("spearman matches a local tie-averaged rank replay on random frames") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 400).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+    val got = rows.toDF("g", "x", "y").spearman(Seq(col("g")), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      def ranks2(vs: Seq[Long]): Seq[Long] = {
+        val sorted = vs.sorted
+        vs.map { v =>
+          val lo = sorted.indexOf(v) + 1L
+          val m = sorted.count(_ == v).toLong
+          2 * lo + m - 1
+        }
+      }
+      val rx = ranks2(rs.map(_._2)); val ry = ranks2(rs.map(_._3))
+      val n = rs.size.toLong
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(a => a * a).sum)
+      val (num, dx, dy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      val exp = if (dx == 0 || dy == 0) None
+        else Some(num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+      assert(got(g) === ((n, exp)), s"group $g")
+    }
+  }
+
+  test("mutualInformation: balanced independence is exactly zero everywhere") {
+    val df = (for (x <- Seq("a", "b"); y <- Seq("c", "d"); _ <- 1 to 3)
+      yield (x, y)).toDF("x", "y")
+    val got = df.mutualInformation(col("x"), col("y"))
+      .select("pmi_q64", "contrib_q64", "mi_q64_total")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 4)
+    assert(got.forall(_ === ((0L, 0L, 0L))))
+  }
+
+  test("mutualInformation: a deterministic mapping scores qlog64(n) − qlog64(c_y) per cell") {
+    val df = Seq.fill(4)(("u", "u")) ++ Seq.fill(2)(("v", "v"))
+    val got = df.toDF("x", "y").mutualInformation(col("x"), col("y"))
+      .select("x", "c_xy", "pmi_q64", "mi_q64_total")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u")._3 === qlog(4L * 6L) - qlog(4L * 4L))
+    assert(got("v")._3 === qlog(2L * 6L) - qlog(2L * 2L))
+    val tot = 4L * got("u")._3 + 2L * got("v")._3
+    assert(got.values.forall(_._4 === tot))
+  }
+
+  test("mutualInformation matches a local qlog64 replay on random frames") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(_ => (s"x${rnd.nextInt(4)}", s"y${rnd.nextInt(3)}"))
+    val got = rows.toDF("x", "y").mutualInformation(col("x"), col("y"))
+      .select("x", "y", "c_xy", "c_x", "c_y", "n", "pmi_q64", "contrib_q64", "mi_q64_total")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val cxy = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cy = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val exp = cxy.map { case ((x, y), c) =>
+      (x, y) -> (qlog(c * n) - qlog(cx(x) * cy(y)))
+    }
+    val tot = cxy.map { case (k, c) => c * exp(k) }.sum
+    assert(got.length === cxy.size)
+    got.foreach { case (x, y, c, cX, cY, nn, pmi, contrib, mi) =>
+      assert((c, cX, cY, nn) === ((cxy((x, y)), cx(x), cy(y), n)))
+      assert(pmi === exp((x, y)))
+      assert(contrib === c * pmi)
+      assert(mi === tot)
+    }
+  }
+
+  test("kaplanMeier: hand-traced censoring, risk sets and qlog64 steps") {
+    // horizon = 10; censorWindow = 2 → u1 (last=10) censored, u2
+    // (last=8) and u3 (last=5) observed churns. bucket=4 → lifetimes
+    // u1:2 u2:2 u3:0.
+    val df = Seq((1L, 0L), (1L, 10L), (2L, 0L), (2L, 8L), (3L, 5L), (3L, 5L))
+      .toDF("id", "us")
+    val got = graft.operators.Timeseries.kaplanMeier(
+        df, col("id"), col("us"), censorWindowUs = 2L, bucketUs = 4L)
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    // t=0: n=3 d=1 → step q(2)−q(3); t=2: n=2 d=1 c=1 → step q(1)−q(2)
+    assert(got(0) === ((0L, 3L, 1L, 0L, Some(qlog(2) - qlog(3)))))
+    assert(got(1) === ((2L, 2L, 1L, 1L, Some(qlog(2) - qlog(3) + qlog(1) - qlog(2)))))
+  }
+
+  test("kaplanMeier: survival hits exact zero only at the max lifetime, reported NULL") {
+    // both users churn (horizon far past), same lifetime → d = n at
+    // the only row
+    val df = Seq((1L, 0L), (1L, 4L), (2L, 1L), (2L, 5L), (9L, 100L))
+      .toDF("id", "us")
+    val got = graft.operators.Timeseries.kaplanMeier(
+        df, col("id"), col("us"), censorWindowUs = 10L, bucketUs = 4L)
+      .orderBy("t").as[(Long, Long, Long, Long, Option[Long])].collect()
+    // u9's single event IS the horizon → censored at lifetime 0.
+    assert(got(0) === ((0L, 3L, 0L, 1L, Some(0L))))
+    assert(got(1)._1 === 1L)
+    assert(got(1)._3 === 2L)   // both remaining churn here → Ŝ = 0
+    assert(got(1)._5 === None) // exact zero is NULL in log space
+  }
+
+  test("kaplanMeier: randomized local product-limit replay") {
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 60).flatMap { u =>
+      (0 to rnd.nextInt(5)).map(_ => (u.toLong, rnd.nextInt(100).toLong))
+    }
+    val df = events.toDF("id", "us")
+    val got = graft.operators.Timeseries.kaplanMeier(
+        df, col("id"), col("us"), censorWindowUs = 30L, bucketUs = 7L)
+      .orderBy("t").as[(Long, Long, Long, Long, Option[Long])].collect()
+    val byU = events.groupBy(_._1).toSeq.map { case (_, es) =>
+      (es.map(_._2).min, es.map(_._2).max)
+    }
+    val h = byU.map(_._2).max
+    val lives = byU.map { case (f, l) => ((l - f) / 7L, h - l >= 30L) }
+    val ts = got.map(_._1)
+    assert(ts.toSet === lives.map(_._1).toSet)
+    var acc = 0L
+    var dead = false
+    got.foreach { case (t, nRisk, d, c, km) =>
+      assert(nRisk === lives.count(_._1 >= t))
+      assert(d === lives.count(v => v._1 == t && v._2))
+      assert(c === lives.count(v => v._1 == t && !v._2))
+      if (d == nRisk) dead = true
+      if (!dead) { acc += qlog(nRisk - d) - qlog(nRisk); assert(km === Some(acc)) }
+      else assert(km === None)
+    }
+  }
 }
