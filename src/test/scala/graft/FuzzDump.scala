@@ -436,6 +436,126 @@ object FuzzDump {
              |FROM g GROUP BY doc_id, gid""".stripMargin)
     }
 
+    // ---- exact AUC: the oracle is the BRUTE-FORCE Mann–Whitney pair
+    // count (concordant×2 + ties), independent of the operator's
+    // rank-sum identity; groups with no positives / no negatives must
+    // report NULL, heavy score ties exercise the tie-averaged ranks ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 9)
+      val ng = 1 + rnd.nextInt(4)
+      val scoreRange = 1 + rnd.nextInt(10) // tiny range → dense ties
+      val posBias = rnd.nextInt(4) // some seeds make all-pos groups likely
+      val t = (0 until 1 + rnd.nextInt(60)).map { _ =>
+        ("g" + rnd.nextInt(ng), rnd.nextInt(scoreRange).toLong,
+          rnd.nextInt(4) > posBias)
+      }.toDF("g", "s", "pos")
+      dump("auc", seed, Map("t" -> t),
+        graft.quality.Eval.aucExact(t, col("g"), col("s"), col("pos")),
+        """WITH c AS (
+          |  SELECT g, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+          |  FROM t GROUP BY g),
+          |pr AS (
+          |  SELECT a.g,
+          |         CAST(sum(CASE WHEN a.s > b.s THEN 2
+          |                       WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS num
+          |  FROM t a JOIN t b ON a.g = b.g AND a.pos AND NOT b.pos
+          |  GROUP BY a.g)
+          |SELECT c.g, n_pos, n_neg,
+          |       coalesce(num, 0) AS auc_num,
+          |       2 * n_pos * n_neg AS auc_den,
+          |       CASE WHEN n_pos * n_neg = 0 THEN NULL
+          |            ELSE (coalesce(num, 0) * 1000) // (2 * n_pos * n_neg)
+          |       END AS auc_milli
+          |FROM c LEFT JOIN pr ON c.g = pr.g""".stripMargin)
+    }
+
+    // ---- Kaplan–Meier: random censor windows (0 = everyone churns,
+    // huge = everyone censored), bucket sizes from 1 (a row per
+    // lifetime tick) past the span, single-event users, negative
+    // timestamps; the d = n exact-zero row must be NULL from there on ----
+    def qlogSql(x: String): String =
+      s"(64 * (length(bin($x)) - 1) + " +
+        s"CAST(floor(($x * 64) / pow(2, length(bin($x)) - 1)) AS BIGINT) - 64)"
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 10)
+      val nu = 1 + rnd.nextInt(25)
+      val ev = (1 to nu).flatMap { u =>
+        (0 to rnd.nextInt(4)).map(_ =>
+          (u.toLong, rnd.nextInt(200).toLong - 50L))
+      }.toDF("id", "us")
+      val w = Seq(0L, 1L, 13L, 60L, 100000L)(rnd.nextInt(5))
+      val b = Seq(1L, 4L, 30L, 1000L)(rnd.nextInt(4))
+      dump("kaplan_meier", seed, Map("ev" -> ev),
+        graft.operators.Timeseries.kaplanMeier(
+          ev, col("id"), col("us"), censorWindowUs = w, bucketUs = b),
+        s"""WITH spans AS (
+           |  SELECT id, CAST(min(us) AS BIGINT) AS f, CAST(max(us) AS BIGINT) AS l
+           |  FROM ev GROUP BY id),
+           |h AS (SELECT max(l) AS h FROM spans),
+           |pu AS (SELECT (l - f) // $b AS t,
+           |              CASE WHEN h - l >= $w THEN 1 ELSE 0 END AS obs
+           |       FROM spans CROSS JOIN h),
+           |tbl AS (SELECT t, CAST(sum(obs) AS BIGINT) AS n_churn,
+           |               CAST(sum(1 - obs) AS BIGINT) AS n_censored
+           |        FROM pu GROUP BY t),
+           |r AS (SELECT t, n_churn, n_censored,
+           |             CAST(sum(n_churn + n_censored) OVER (ORDER BY t DESC
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+           |      FROM tbl),
+           |st AS (SELECT t, n_risk, n_churn, n_censored,
+           |              CASE WHEN n_churn = n_risk THEN NULL
+           |                   ELSE ${qlogSql("(n_risk - n_churn)")} - ${qlogSql("n_risk")}
+           |              END AS step,
+           |              max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           |       FROM r)
+           |SELECT t, n_risk, n_churn, n_censored,
+           |       CASE WHEN dead = 1 THEN NULL
+           |            ELSE CAST(sum(step) OVER (ORDER BY t
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |       END AS km_q64
+           |FROM st""".stripMargin)
+    }
+
+    // ---- Spearman: dense-tie frames so the tie-averaged 2×ranks do
+    // real work; constant columns must NULL; the final double must
+    // agree bit-for-bit across engines (exact integer moments →
+    // correctly-rounded sqrt/divide) ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 11)
+      val ng = 1 + rnd.nextInt(3)
+      val xr = 1 + rnd.nextInt(8)
+      val yr = 1 + rnd.nextInt(8)
+      val t = (0 until 2 + rnd.nextInt(50)).map { _ =>
+        ("g" + rnd.nextInt(ng),
+          if (rnd.nextInt(10) == 0) 5L else rnd.nextInt(xr).toLong,
+          rnd.nextInt(yr).toLong)
+      }.toDF("g", "x", "y")
+      dump("spearman", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .spearman(Seq(col("g")), col("x"), col("y")),
+        """WITH r AS (
+          |  SELECT g,
+          |         2 * rank() OVER (PARTITION BY g ORDER BY x)
+          |           + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+          |         2 * rank() OVER (PARTITION BY g ORDER BY y)
+          |           + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+          |  FROM t
+          |), a AS (
+          |  SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+          |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          |  FROM r GROUP BY g
+          |)
+          |SELECT g, CAST(n AS BIGINT) AS n,
+          |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+          |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+          |                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+          |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          |       END AS rho
+          |FROM a""".stripMargin)
+    }
+
     cases
   }
 }
