@@ -1024,6 +1024,57 @@ object Cli {
             pmod(col("vec_id"), lit(opts.getOrElse("anchor-mod", "10").toLong)) === 0)
           write(graft.similarity.Similarity.mineTriplets(corpus, anchors,
             k = opts.getOrElse("k", "5").toInt))
+        case "auc" =>
+          // exact grouped Mann–Whitney AUC over an integral score vs
+          // a boolean truth expression; NULL for one-class groups
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val score = expr(opts.getOrElse("score", fail("--score EXPR required (integral)")))
+          val positive = expr(opts.getOrElse("positive", fail("--positive BOOL-EXPR required")))
+          write(graft.quality.Eval.aucExact(read(), group, score, positive))
+        case "keyness" =>
+          // Dunning G² distinctive terms per group (qlog64-exact)
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          write(graft.text.TextAnalysis.keyness(read(), text, group,
+            topK = opts.getOrElse("top", "15").toInt))
+        case "survival" =>
+          // Kaplan–Meier churn curve over entity lifetimes; entities
+          // whose last event is within --censor-hours of the horizon
+          // are censored, not churned
+          val id = expr(opts.getOrElse("id", fail("--id EXPR required")))
+          val tsUs = expr(opts.getOrElse("ts-us", fail("--ts-us EXPR required (µs)")))
+          write(graft.operators.Timeseries.kaplanMeier(read(), id, tsUs,
+            censorWindowUs = opts.getOrElse("censor-hours", "24").toLong * 3600000000L,
+            bucketUs = opts.getOrElse("bucket-hours", "24").toLong * 3600000000L))
+        case "ctfidf" =>
+          // BERTopic-style class TF-IDF labeling terms per group
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          write(graft.text.TextAnalysis.ctfidfTopTerms(read(), text, group,
+            topK = opts.getOrElse("top", "15").toInt))
+        case "mi" =>
+          // mutual-information dependence audit between two columns
+          val x = expr(opts.getOrElse("x", fail("--x EXPR required")))
+          val y = expr(opts.getOrElse("y", fail("--y EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).mutualInformation(x, y))
+        case "spearman" =>
+          // per-group monotone association of two integral metrics
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val x = expr(opts.getOrElse("x", fail("--x EXPR required (integral)")))
+          val y = expr(opts.getOrElse("y", fail("--y EXPR required (integral)")))
+          write(graft.operators.Relational.RelationalOps(read()).spearman(Seq(group), x, y))
+        case "kcore" =>
+          // dense-backbone split: peel nodes of degree < k to fixpoint
+          val src = expr(opts.getOrElse("src", fail("--src EXPR required")))
+          val dst = expr(opts.getOrElse("dst", fail("--dst EXPR required")))
+          write(graft.operators.GraphOps.kCore(
+            read().select(src.as("src"), dst.as("dst")),
+            k = opts.getOrElse("k", "2").toLong,
+            maxRounds = opts.getOrElse("rounds", "12").toInt))
+        case "benford" =>
+          // first-digit forensic audit of a positive integral column
+          val value = expr(opts.getOrElse("value", fail("--value EXPR required (integral)")))
+          write(graft.quality.Validate.benfordAudit(read(), value))
         case "winsorize" =>
           // per-group nearest-rank clipping: robust prep that keeps n
           // and the row set stable (integral --value, e.g. cents)

@@ -1068,6 +1068,85 @@ object DriveCli {
       spark.stop()
     }
 
+    // auc / keyness / survival: r10 wave-4 verbs, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "auc", "--group", "source", "--score", "n_chars",
+      "--positive", "lang = 'en'", "--outfile", s"$tmp/auc"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "keyness", "--text", "text", "--group", "lang", "--top", "5",
+      "--outfile", s"$tmp/keyness"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "survival", "--id", "user_id", "--ts-us", "unix_micros(cast(ts as timestamp))",
+      "--censor-hours", "12", "--bucket-hours", "6",
+      "--outfile", s"$tmp/survival"))
+    locally {
+      val spark = GraftSession.builder("verifyWave4", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.except(b).count() == 0 && b.except(a).count() == 0
+      val okA = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/auc"),
+        graft.quality.Eval.aucExact(dd, col("source"), col("n_chars"),
+          expr("lang = 'en'")))
+      val okK = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/keyness"),
+        graft.text.TextAnalysis.keyness(dd, col("text"), col("lang"), topK = 5))
+      val gotS = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/survival")
+      val okS = same(gotS,
+        graft.operators.Timeseries.kaplanMeier(ev, col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))"), 43200000000L, 21600000000L))
+      println(s"AUC_KEYNESS_SURVIVAL OK=${okA && okK && okS && gotS.count() > 0}")
+      spark.stop()
+    }
+
+    // ctfidf / mi / kcore / benford: r10 wave-5 verbs, library parity
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "ctfidf", "--text", "text", "--group", "lang", "--top", "4",
+      "--outfile", s"$tmp/ctfidf"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "mi", "--x", "lang", "--y", "source", "--outfile", s"$tmp/mi"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "kcore", "--src", "user_id * 2", "--dst", "pmod(xxhash64(event_type), 1000000) * 2 + 1",
+      "--k", "3", "--rounds", "8", "--outfile", s"$tmp/kcore"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "benford", "--value", "cast(round(value * 100) as bigint)",
+      "--outfile", s"$tmp/benford"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "spearman", "--group", "lang", "--x", "n_chars",
+      "--y", "size(split(trim(text), '\\\\s+'))", "--outfile", s"$tmp/spearman"))
+    locally {
+      val spark = GraftSession.builder("verifyWave5", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.except(b).count() == 0 && b.except(a).count() == 0
+      val okC = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/ctfidf"),
+        graft.text.TextAnalysis.ctfidfTopTerms(dd, col("text"), col("lang"), topK = 4))
+      val okM = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/mi"),
+        graft.operators.Relational.RelationalOps(dd)
+          .mutualInformation(col("lang"), col("source")))
+      val okK2 = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/kcore"),
+        graft.operators.GraphOps.kCore(
+          ev.select(expr("user_id * 2").as("src"),
+            expr("pmod(xxhash64(event_type), 1000000) * 2 + 1").as("dst")), 3L, 8))
+      val gotB = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/benford")
+      val okB = same(gotB,
+        graft.quality.Validate.benfordAudit(ev,
+          expr("cast(round(value * 100) as bigint)")))
+      val okSp = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/spearman"),
+        graft.operators.Relational.RelationalOps(dd).spearman(Seq(col("lang")),
+          col("n_chars"), expr("size(split(trim(text), '\\\\s+'))")))
+      println(s"CTFIDF_MI_KCORE_BENFORD_SPEARMAN OK=${okC && okM && okK2 && okB && okSp && gotB.count() == 9}")
+      spark.stop()
+    }
+
     // zonemap: write-clustered + pruned read round-trip vs plain filter
     Cli.main(Array("-i", docs, "-f", "parquet",
       "zonemap", "--action", "write", "--out", s"$tmp/zm/docs",

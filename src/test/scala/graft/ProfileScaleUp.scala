@@ -29,6 +29,7 @@ object ProfileScaleUp {
     val dir = s"$root/x$m"
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val evs = spark.read.parquet(s"$base/events.parquet")
     val dCopies = (0 until m).map { k =>
       docs.select(
         (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
@@ -41,10 +42,23 @@ object ProfileScaleUp {
         rot(col("embedding"), k).as("embedding"),
         col("label"))
     }
+    // events scale as "more users over the same calendar window" —
+    // copy k shifts the entity ids, so per-user structure (lifetimes,
+    // sessions, attribution windows) is preserved while every keyed
+    // exchange sees genuinely more keys
+    val vCopies = (0 until m).map { k =>
+      evs.select(
+        (col("event_id") + lit(k.toLong * 100_000_000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 10_000_000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
     dCopies.reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     eCopies.reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    vCopies.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -66,7 +80,8 @@ object ProfileScaleUp {
       // r10 additions: ROUGE pair grading + the stop-gram audit
       "q_rouge_overlap", "q_stop_grams")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
-    val outFile = if (args.nonEmpty) "dev/scaleup_r10b.json" else "dev/scaleup_r10.json"
+    val outFile = sys.env.getOrElse("SCALEUP_OUT",
+      if (args.nonEmpty) "dev/scaleup_r10b.json" else "dev/scaleup_r10.json")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
