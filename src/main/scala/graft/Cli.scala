@@ -1075,6 +1075,22 @@ object Cli {
           // first-digit forensic audit of a positive integral column
           val value = expr(opts.getOrElse("value", fail("--value EXPR required (integral)")))
           write(graft.quality.Validate.benfordAudit(read(), value))
+        case "twap" =>
+          // time-weighted average of an integral metric per key
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          val tsUs = expr(opts.getOrElse("ts-us", fail("--ts-us EXPR required (µs)")))
+          val value = expr(opts.getOrElse("value", fail("--value EXPR required (integral)")))
+          write(graft.operators.Timeseries.timeWeightedAvg(read(), key, tsUs, value))
+        case "readability" =>
+          // exact-integer Flesch–Kincaid grade per document
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.text.TextAnalysis.readability(read(), text, id))
+        case "luhn" =>
+          // 13-19 digit runs with their mod-10 checksum verdict
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val id = expr(opts.getOrElse("id", fail("--id COLUMN required")))
+          write(graft.text.TextPrep.luhnScreen(read(), text, id))
         case "winsorize" =>
           // per-group nearest-rank clipping: robust prep that keeps n
           // and the row set stable (integral --value, e.g. cents)

@@ -222,6 +222,47 @@ object Timeseries {
     * ≤ span/bucket rows, so the two cumulative windows run on a
     * deliberately single-partition frame that is bounded by the time
     * span, never by the corpus. Horizon is a 1-row broadcast. */
+  /** Time-weighted average per key — the metric a plain mean gets
+    * wrong whenever observations are irregularly spaced (a sensor
+    * that reports MORE when the value is high biases the mean up;
+    * TWAP weights each observation by how long it was current):
+    * each observation holds from its timestamp to the next one's, so
+    * twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ) over the key's ordered
+    * stream, the last observation contributing nothing (its holding
+    * period is unobserved). Emitted as exact integers — twap_num /
+    * twap_den (value must be integral, e.g. cents) and twap_milli =
+    * (1000·num) div den, NULL when the span is empty (a single
+    * observation, or every timestamp equal). Equal-timestamp
+    * neighbors: the stream is ordered (ts, value), so all but the
+    * value-largest of an instant hold for dt = 0 and the largest
+    * carries the gap to the next instant — a stated, deterministic
+    * tiebreak the oracle replays, not an engine accident.
+    *
+    * Scale shape: ONE key-keyed exchange — the lead() window and the
+    * per-key aggregate share the hash-on-key distribution; output is
+    * key-sized. Integer bound: Σ v·dt ≤ 2⁶³ — cents × µs spans
+    * overflow a long past ~10⁶ value·years per key; pre-scale dt to
+    * ms or value to whole units, documented not silent. */
+  def timeWeightedAvg(df: DataFrame, key: Column, tsUs: Column,
+      value: Column): DataFrame = {
+    val byK = Window.partitionBy("__k").orderBy(col("__us").asc, col("__v").asc)
+    df.select(key.as("__k"), tsUs.cast("long").as("__us"), value.cast("long").as("__v"))
+      .withColumn("__dt", lead(col("__us"), 1).over(byK) - col("__us"))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (max("__us") - min("__us")).as("span_us"),
+        sum(col("__v") * coalesce(col("__dt"), lit(0L))).as("twap_num"),
+        sum(coalesce(col("__dt"), lit(0L))).as("twap_den"))
+      .withColumn("twap_milli",
+        when(col("twap_den") === 0, lit(null).cast("long"))
+          // split form: (n div d)·1000 + ((n mod d)·1000) div d — no
+          // intermediate exceeds the result (num·1000 overflows a long
+          // on µs·cents sums; the priorityExact precedent)
+          .otherwise(expr(
+            "(twap_num div twap_den) * 1000 + ((twap_num % twap_den) * 1000) div twap_den")))
+  }
+
   def kaplanMeier(df: DataFrame, id: Column, tsUs: Column,
       censorWindowUs: Long, bucketUs: Long = 86400000000L): DataFrame = {
     require(censorWindowUs >= 0, "censorWindowUs must be non-negative")

@@ -50,6 +50,14 @@ object PipelineQueries {
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
         censorWindowUs = 43200000000L, bucketUs = 21600000000L)),
 
+    // §2.2/22ae5 time-weighted average value per user: each
+    // observation weighted by its holding period — the
+    // irregular-sampling-robust mean, exact integer num/den.
+    "q_twap" -> ((s, dir) =>
+      graft.operators.Timeseries.timeWeightedAvg(
+        Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
     // §2.2/22aw3 mutual information between lang and source: the
     // feature-dependence / leakage audit in exact qlog64 integers —
     // per observed cell PMI + contribution, with the corpus total
@@ -58,7 +66,7 @@ object PipelineQueries {
       graft.operators.Relational.RelationalOps(Tables.documents(s, dir))
         .mutualInformation(col("lang"), col("source"))),
 
-    // §2.2/22ak5 k-core of the part↔supplier sourcing graph (k = 10,
+    // §2.2/22ak6 k-core of the part↔supplier sourcing graph (k = 10,
     // ≤ 8 synchronous peel rounds with fixpoint early-exit — 2 rounds
     // suffice on this graph at every sf): the dense-backbone split.
     "q_kcore" -> ((s, dir) =>
@@ -468,6 +476,25 @@ object PipelineQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |       END AS km_q64
          |FROM st""".stripMargin,
+    "q_twap" ->
+      """WITH b AS (
+        |  SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (SELECT key, us, v,
+        |             lead(us) OVER (PARTITION BY key ORDER BY us, v) - us AS dt
+        |      FROM b),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+        |             CAST(max(us) - min(us) AS BIGINT) AS span_us,
+        |             CAST(sum(v * coalesce(dt, 0)) AS BIGINT) AS twap_num,
+        |             CAST(sum(coalesce(dt, 0)) AS BIGINT) AS twap_den
+        |      FROM l GROUP BY key)
+        |SELECT key, n_obs, span_us, twap_num, twap_den,
+        |       CASE WHEN twap_den = 0 THEN NULL
+        |            ELSE (twap_num // twap_den) * 1000
+        |               + ((twap_num % twap_den) * 1000) // twap_den
+        |       END AS twap_milli
+        |FROM a""".stripMargin,
     "q_mi" ->
       s"""WITH grid AS (
          |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,

@@ -495,6 +495,24 @@ object TextQueries {
           col("text"), col("lang"), topK = 10)
         .withColumnRenamed("grp", "lang")),
 
+    // §2.5/31q Flesch–Kincaid grade as the exact integer rational
+    // fk_milli = (390·W² + 11800·Syl·S − 15590·S·W) div (S·W) —
+    // in-row, zero shuffles.
+    "q_readability" -> ((s, dir) =>
+      graft.text.TextAnalysis.readability(
+        Tables.documents(s, dir), col("text"), col("doc_id"))),
+
+    // §2.5/42c Luhn PAN screen: 13–19 digit runs with their mod-10
+    // checksum verdict (real card numbers vs long ids) over a
+    // deterministic card-like column fabricated from doc_id — the
+    // synthetic corpus carries no digit runs, the operator is real.
+    "q_luhn" -> ((s, dir) =>
+      graft.text.TextPrep.luhnScreen(
+        Tables.documents(s, dir).withColumn("pan_text",
+          concat(lit("ref 4"), lpad(col("doc_id").cast("string"), 14, "0"),
+            pmod(col("doc_id"), lit(10L)).cast("string"), lit(" end"))),
+        col("pan_text"), col("doc_id"))),
+
     // §2.5/31c confusion matrix over the NB probe — which languages
     // the trained model bleeds into which (same audit-artifact shape
     // as q_label_confusion over the centroid probe).
@@ -1167,6 +1185,36 @@ object TextQueries {
            |                            ORDER BY score_q64 DESC, term) AS krank
            |  FROM sc
            |) WHERE krank <= 10""".stripMargin,
+    "q_readability" ->
+      raw"""SELECT doc_id, w, s, syl,
+           |       (390 * w * w + 11800 * syl * s - 15590 * s * w) // (s * w) AS fk_milli
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+           |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+           |         CAST(list_sum(list_transform(
+           |                string_split_regex(trim(lower(text)), '\s+'),
+           |                t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT) AS syl
+           |  FROM documents WHERE trim(text) <> ''
+           |)""".stripMargin,
+    "q_luhn" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         concat('ref 4', lpad(CAST(doc_id AS VARCHAR), 14, '0'),
+        |                CAST(doc_id % 10 AS VARCHAR), ' end') AS pan_text
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(pan_text, '[0-9]{13,19}')) AS cand
+        |      FROM p),
+        |d AS (SELECT doc_id, cand, unnest(range(1, len(cand) + 1)) AS pos FROM c),
+        |s AS (SELECT doc_id, cand,
+        |             CAST(sum(CASE WHEN (len(cand) - pos) % 2 = 1
+        |                           THEN 2 * dig - CASE WHEN dig >= 5 THEN 9 ELSE 0 END
+        |                           ELSE dig END) AS BIGINT) AS tot
+        |      FROM (SELECT doc_id, cand, pos,
+        |                   CAST(substr(cand, CAST(pos AS INT), 1) AS INT) AS dig
+        |            FROM d)
+        |      GROUP BY doc_id, cand)
+        |SELECT doc_id, cand, CAST(tot % 10 = 0 AS INT) AS luhn_valid FROM s""".stripMargin,
     "q_dsir" -> dsirSql,
     "q_curation" ->
       s"""WITH ${gopherCtes("documents")},

@@ -712,4 +712,30 @@ object TextAnalysis {
       .filter(col("krank") <= topK)
       .select("grp", "term", "tf", "score_q64", "krank")
   }
+
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) as an EXACT
+    * integer rational — the classic readability screen (an original
+    * GPT-3-era quality-filter signal): grade = 0.39·(W/S) +
+    * 11.8·(Syl/W) − 15.59, cleared of fractions to
+    * fk_milli = (390·W² + 11800·Syl·S − 15590·S·W) div (S·W), ONE
+    * truncating division so the score replays bit-for-bit (both
+    * engines truncate toward zero). Sentences = runs of [.!?]
+    * (floored at 1 — unpunctuated text is one sentence); syllables =
+    * vowel-group count per word floored at 1, the standard heuristic.
+    * Everything is in-row native array/regexp expressions — zero
+    * shuffles, pure scan work, trivially 100 TB-safe. Empty/
+    * whitespace-only docs are excluded — no grade exists. */
+  def readability(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.filter(trim(text) =!= "").select(
+        id.as("doc_id"),
+        size(tokenize(text)).cast("long").as("w"),
+        greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("s"),
+        aggregate(
+          transform(tokenize(lower(text)),
+            t => greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))), lit(1))),
+          lit(0L), (acc, x) => acc + x).as("syl"))
+      .filter(col("w") >= 1)
+      .withColumn("fk_milli",
+        expr("(390 * w * w + 11800 * syl * s - 15590 * s * w) div (s * w)"))
 }

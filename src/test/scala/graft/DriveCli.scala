@@ -1147,6 +1147,41 @@ object DriveCli {
       spark.stop()
     }
 
+    // twap / readability / luhn: r10 wave-7 verbs, library parity
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "twap", "--key", "user_id", "--ts-us", "unix_micros(cast(ts as timestamp))",
+      "--value", "cast(round(value * 100) as bigint)",
+      "--outfile", s"$tmp/twap"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "readability", "--text", "text", "--id", "doc_id",
+      "--outfile", s"$tmp/readability"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "luhn", "--text", "concat('x 4', lpad(cast(doc_id as string), 14, '0'), '1 y')",
+      "--id", "doc_id", "--outfile", s"$tmp/luhn"))
+    locally {
+      val spark = GraftSession.builder("verifyWave7", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.except(b).count() == 0 && b.except(a).count() == 0
+      val okT = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/twap"),
+        graft.operators.Timeseries.timeWeightedAvg(ev, col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))"),
+          expr("cast(round(value * 100) as bigint)")))
+      val okR = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/readability"),
+        graft.text.TextAnalysis.readability(dd, col("text"), col("doc_id")))
+      val gotL = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/luhn")
+      val okL = same(gotL,
+        graft.text.TextPrep.luhnScreen(dd,
+          expr("concat('x 4', lpad(cast(doc_id as string), 14, '0'), '1 y')"),
+          col("doc_id")))
+      println(s"TWAP_READABILITY_LUHN OK=${okT && okR && okL && gotL.count() > 0}")
+      spark.stop()
+    }
+
     // zonemap: write-clustered + pruned read round-trip vs plain filter
     Cli.main(Array("-i", docs, "-f", "parquet",
       "zonemap", "--action", "write", "--out", s"$tmp/zm/docs",

@@ -556,6 +556,36 @@ object FuzzDump {
           |FROM a""".stripMargin)
     }
 
+    // ---- TWAP: dense timestamp ties (the stated value-largest-
+    // carries-the-gap rule must replay), negative values through the
+    // split milli division, singleton keys → NULL ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 12)
+      val nk = 1 + rnd.nextInt(4)
+      val tsRange = 1 + rnd.nextInt(12) // tiny → many exact ts ties
+      val t = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        ("k" + rnd.nextInt(nk), rnd.nextInt(tsRange).toLong,
+          rnd.nextInt(200).toLong - 60L)
+      }.toDF("k", "us", "v")
+      dump("twap", seed, Map("t" -> t),
+        graft.operators.Timeseries.timeWeightedAvg(t, col("k"), col("us"), col("v")),
+        """WITH l AS (
+          |  SELECT k AS key, us, v,
+          |         lead(us) OVER (PARTITION BY k ORDER BY us, v) - us AS dt
+          |  FROM t),
+          |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+          |             CAST(max(us) - min(us) AS BIGINT) AS span_us,
+          |             CAST(sum(v * coalesce(dt, 0)) AS BIGINT) AS twap_num,
+          |             CAST(sum(coalesce(dt, 0)) AS BIGINT) AS twap_den
+          |      FROM l GROUP BY key)
+          |SELECT key, n_obs, span_us, twap_num, twap_den,
+          |       CASE WHEN twap_den = 0 THEN NULL
+          |            ELSE (twap_num // twap_den) * 1000
+          |               + ((twap_num % twap_den) * 1000) // twap_den
+          |       END AS twap_milli
+          |FROM a""".stripMargin)
+    }
+
     cases
   }
 }

@@ -365,6 +365,37 @@ class TextSpec extends SparkSpecBase {
     64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
   }
 
+  test("readability: hand-traced FK milli, unpunctuated floor, blank docs excluded") {
+    val df = Seq(
+      (1L, "the cat sat. it ran away!"),   // W=6 S=2 syl=1+1+1+1+1+2=7
+      (2L, "no punctuation here"),          // S floors at 1; W=3 syl=1+3+2=6
+      (3L, "   ")).toDF("doc_id", "text")   // blank → excluded
+    val got = TextAnalysis.readability(df, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))
+    def fk(w: Long, s: Long, syl: Long) =
+      (390 * w * w + 11800 * syl * s - 15590 * s * w) / (s * w)
+    assert(got(1L) === ((1L, 6L, 2L, 7L, fk(6, 2, 7))))
+    assert(got(2L) === ((2L, 3L, 1L, 6L, fk(3, 1, 6))))
+  }
+
+  test("luhnValid: known card checksums, boundary lengths, multi-candidate docs") {
+    import graft.text.TextPrep
+    val df = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN;
+      // flipping the check digit breaks it
+      (1L, "pay 4111111111111111 or 4111111111111112 now"),
+      (2L, "short 411111111111 run"),          // 12 digits: below window
+      (3L, "79927398713 is 11"),               // 11 digits: ignored
+      (4L, "id 1234567890123452 ok")).toDF("doc_id", "text") // valid (check digit 2)
+    val got = TextPrep.luhnScreen(df, col("text"), col("doc_id"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "4111111111111111", 1),
+      (1L, "4111111111111112", 0),
+      (4L, "1234567890123452", 1)))
+  }
+
   test("keyness: terms at exact independence are excluded; exclusives rank first") {
     // 'even' is split exactly at independence (2 of 4 occurrences in
     // a group holding half the tokens) → not overused anywhere.

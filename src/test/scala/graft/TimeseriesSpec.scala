@@ -316,6 +316,49 @@ class TimeseriesSpec extends SparkSpecBase {
     64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
   }
 
+  test("timeWeightedAvg: holds weight the mean; single-obs and zero-span NULL; tie rule") {
+    // key a: v=100 holds [0,10), v=200 holds [10,40) → num=100·10+200·30=7000,
+    // den=40 → twap 175.000
+    val df = Seq(
+      ("a", 0L, 100L), ("a", 10L, 200L), ("a", 40L, 999L), // last obs holds nothing
+      ("b", 5L, 7L),                                        // single obs → NULL
+      ("c", 3L, 1L), ("c", 3L, 9L)                          // zero span → NULL
+    ).toDF("k", "us", "v")
+    val got = graft.operators.Timeseries.timeWeightedAvg(
+        df, col("k"), col("us"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 3L, 40L, 7000L, 40L, Some(175000L))))
+    assert(got("b") === (("b", 1L, 0L, 0L, 0L, None)))
+    assert(got("c") === (("c", 2L, 0L, 0L, 0L, None)))
+    // equal-ts tie: the value-LARGEST of the instant carries the gap
+    val tie = Seq(("t", 0L, 5L), ("t", 0L, 50L), ("t", 10L, 1L)).toDF("k", "us", "v")
+    val r = graft.operators.Timeseries.timeWeightedAvg(
+        tie, col("k"), col("us"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+    assert(r === (("t", 3L, 10L, 500L, 10L, Some(50000L))))
+  }
+
+  test("timeWeightedAvg matches a local ordered-hold replay on random streams") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 300).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong - 200L))
+    val got = graft.operators.Timeseries.timeWeightedAvg(
+        rows.toDF("k", "us", "v"), col("k"), col("us"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ord = rs.map(r => (r._2, r._3)).sorted
+      val holds = ord.zip(ord.tail).map { case ((t0, v0), (t1, _)) => (v0, t1 - t0) }
+      val num = holds.map { case (v, dt) => v * dt }.sum
+      val den = holds.map(_._2).sum
+      val exp = if (den == 0) None
+        else Some((num / den) * 1000 + ((num % den) * 1000) / den)
+      assert(got(k) === ((k, rs.size.toLong,
+        ord.last._1 - ord.head._1, num, den, exp)), s"key $k")
+    }
+  }
+
   test("spearman: monotone ±1, undefined-variance NULL, tie-averaged local replay") {
     val df = Seq(
       ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 900L),   // any monotone map → 1
