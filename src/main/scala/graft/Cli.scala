@@ -1057,6 +1057,11 @@ object Cli {
           val x = expr(opts.getOrElse("x", fail("--x EXPR required")))
           val y = expr(opts.getOrElse("y", fail("--y EXPR required")))
           write(graft.operators.Relational.RelationalOps(read()).mutualInformation(x, y))
+        case "hhi" =>
+          // per-group key-concentration audit (HHI bp + effective keys)
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).concentration(group, key))
         case "spearman" =>
           // per-group monotone association of two integral metrics
           val group = expr(opts.getOrElse("group", fail("--group EXPR required")))

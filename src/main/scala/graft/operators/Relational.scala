@@ -607,6 +607,35 @@ object Relational {
         .drop("__graft_new")
     }
 
+    /** Herfindahl–Hirschman concentration per group — "is this
+      * slice's volume all one key?" (one crawl domain owning a
+      * source, one user owning an event type): HHI = Σ shareᵢ² over
+      * the keys inside the group, reported in exact basis points
+      * hhi_bp = (Σ cᵢ²·10000) div N², plus the effective key count
+      * (inverse Simpson) eff_milli = (N²·1000) div Σ cᵢ² — "this
+      * source behaves like 3.2 domains". Both are single floor
+      * divisions over exact integer sums (Σ cᵢ² accumulates as
+      * decimal(38,0); oracle HUGEINT) so the audit replays
+      * bit-for-bit. hhi_bp = 10000 ⇔ monopoly; ≈ 10000/k ⇔ uniform
+      * over k keys.
+      *
+      * Scale shape: one (group, key) count aggregate (map-side
+      * partials) then a group-sized rollup over the key rows — the
+      * corpus shuffles once, keyed (group, key). */
+    def concentration(group: Column, key: Column): DataFrame = {
+      val dec = "decimal(38,0)"
+      df.select(group.as("grp"), key.as("__k"))
+        .groupBy("grp", "__k").agg(count(lit(1)).as("__c"))
+        .groupBy("grp").agg(
+          sum("__c").cast(dec).as("__n"),
+          count(lit(1)).as("n_keys"),
+          sum((col("__c") * col("__c")).cast(dec)).as("__c2"))
+        .withColumn("hhi_bp", expr("(__c2 * 10000) div (__n * __n)").cast("long"))
+        .withColumn("eff_milli", expr("(__n * __n * 1000) div __c2").cast("long"))
+        .select(col("grp"), col("__n").cast("long").as("n"),
+          col("n_keys"), col("hhi_bp"), col("eff_milli"))
+    }
+
     /** Mutual information between two categorical columns, the
       * feature-dependence / leakage audit ("is `source` secretly a
       * proxy for `lang`?"): per observed (x, y) cell, the pointwise

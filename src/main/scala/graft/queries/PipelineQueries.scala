@@ -50,6 +50,14 @@ object PipelineQueries {
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
         censorWindowUs = 43200000000L, bucketUs = 21600000000L)),
 
+    // §2.2/22v3 Herfindahl concentration per event_type: is a type's
+    // volume all one user? hhi_bp + inverse-Simpson effective users,
+    // both exact floor divisions.
+    "q_hhi" -> ((s, dir) =>
+      graft.operators.Relational.RelationalOps(Tables.events(s, dir))
+        .concentration(col("event_type"), col("user_id"))
+        .withColumnRenamed("grp", "event_type")),
+
     // §2.2/22ae5 time-weighted average value per user: each
     // observation weighted by its holding period — the
     // irregular-sampling-robust mean, exact integer num/den.
@@ -476,6 +484,17 @@ object PipelineQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |       END AS km_q64
          |FROM st""".stripMargin,
+    "q_hhi" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_keys, sum(c * c) AS c2
+        |      FROM c GROUP BY grp)
+        |SELECT grp AS event_type, n, n_keys,
+        |       CAST((c2 * 10000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_bp,
+        |       CAST((CAST(n AS HUGEINT) * n * 1000) // c2 AS BIGINT) AS eff_milli
+        |FROM a""".stripMargin,
     "q_twap" ->
       """WITH b AS (
         |  SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS us,

@@ -635,6 +635,49 @@ object EventStreams {
         col("expected_pm"), col("observed_pm"), col("dev"))
   }
 
+  /** Windowed Benford first-digit counts — the streaming half of the
+    * fabrication forensic (Validate.benfordAudit): per (window,
+    * digit) observed counts over a positive integral metric, first
+    * digit extracted LEXICALLY (exact at power-of-ten boundaries).
+    * Plain counts are trivially mergeable, so late data inside the
+    * watermark folds in exactly; finalize closed windows with
+    * [[benfordPerWindow]] for the full 9-digit audit. */
+  def windowedDigitCounts(events: DataFrame, valueCol: org.apache.spark.sql.Column,
+      watermark: String = "1 hour", win: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .filter(valueCol.cast("long") > 0)
+      .groupBy(window(col("ts"), win).as("w"),
+        substring(valueCol.cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("digit"), col("n"))
+
+  /** Per-closed-window Benford finalization — the batch helper for
+    * the sink side of [[windowedDigitCounts]]: every window gets the
+    * FULL audit shape including unobserved digits (a windowed groupBy
+    * alone can never show them), bit-matching
+    * [[graft.quality.Validate.benfordAudit]] on that window's slice.
+    * A drifting mad_pm across windows is the monitoring signal —
+    * "this feed's magnitudes changed character at 14:00". */
+  def benfordPerWindow(closed: DataFrame): DataFrame = {
+    val spark = closed.sparkSession
+    import spark.implicits._
+    val exp = graft.quality.Validate.BenfordPm.toDF("__digit", "__ew")
+    val grid = closed.select(col("bucket").as("__gb")).distinct().crossJoin(exp)
+    val counts = closed.select(col("bucket").as("__cb"), col("digit").as("__cd"), col("n"))
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    grid
+      .join(counts,
+        col("__gb") === col("__cb") && col("__digit") === col("__cd"), "left")
+      .select(col("__gb").as("bucket"), col("__digit").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"), col("__ew").cast("long").as("expected_pm"))
+      .withColumn("__N", sum(col("n")).over(wWin))
+      .withColumn("observed_pm", expr("(1000 * n) div greatest(__N, 1)"))
+      .withColumn("dev_pm", col("observed_pm") - col("expected_pm"))
+      .withColumn("__sumdev", sum(abs(col("dev_pm"))).over(wWin))
+      .withColumn("mad_pm", expr("__sumdev div 9"))
+      .select("bucket", "digit", "n", "observed_pm", "expected_pm", "dev_pm", "mad_pm")
+  }
+
   /** Streaming exact dedup: drop rows whose `keys` repeat within the
     * watermark window. State stores one entry per key seen, evicted
     * once the watermark passes — so memory is bounded by the key

@@ -1116,6 +1116,8 @@ object DriveCli {
     Cli.main(Array("-i", docs, "-f", "parquet",
       "spearman", "--group", "lang", "--x", "n_chars",
       "--y", "size(split(trim(text), '\\\\s+'))", "--outfile", s"$tmp/spearman"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "hhi", "--group", "lang", "--key", "source", "--outfile", s"$tmp/hhi"))
     locally {
       val spark = GraftSession.builder("verifyWave5", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
@@ -1143,7 +1145,11 @@ object DriveCli {
         graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/spearman"),
         graft.operators.Relational.RelationalOps(dd).spearman(Seq(col("lang")),
           col("n_chars"), expr("size(split(trim(text), '\\\\s+'))")))
-      println(s"CTFIDF_MI_KCORE_BENFORD_SPEARMAN OK=${okC && okM && okK2 && okB && okSp && gotB.count() == 9}")
+      val okH2 = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/hhi"),
+        graft.operators.Relational.RelationalOps(dd)
+          .concentration(col("lang"), col("source")))
+      println(s"CTFIDF_MI_KCORE_BENFORD_SPEARMAN_HHI OK=${okC && okM && okK2 && okB && okSp && okH2 && gotB.count() == 9}")
       spark.stop()
     }
 

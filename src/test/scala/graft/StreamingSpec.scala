@@ -627,6 +627,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(w2map("c") === ((0L, 1L)) && w2map("x") === ((1L, 0L)))
   }
 
+  test("windowedDigitCounts + benfordPerWindow equals the batch Benford audit per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val stream = EventStreams.windowedDigitCounts(
+      mem.toDF().toDF("ts", "v"), col("v"), watermark = "10 minutes", win = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("digits")
+      .outputMode(OutputMode.Append()).start()
+    // window 1: digits 1,1,2,9 (plus excluded 0 and negative);
+    // window 2: 10^k boundary values
+    mem.addData(
+      (ts("2024-01-01 00:05:00"), 100L), (ts("2024-01-01 00:10:00"), 19L),
+      (ts("2024-01-01 00:20:00"), 2L), (ts("2024-01-01 00:30:00"), 900L),
+      (ts("2024-01-01 00:40:00"), 0L), (ts("2024-01-01 00:50:00"), -5L))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 01:05:00"), 999999999999L),
+      (ts("2024-01-01 01:10:00"), 1000000000000L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 03:00:00"), 1L)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val report = EventStreams.benfordPerWindow(spark.table("digits"))
+    def batch(vs: Seq[Long]) = graft.quality.Validate
+      .benfordAudit(vs.toDF("v"), col("v")).orderBy("digit").collect().toSeq
+    val w1 = report.filter(col("bucket") === ts("2024-01-01 00:00:00"))
+      .drop("bucket").orderBy("digit").collect().toSeq
+    assert(w1 === batch(Seq(100L, 19L, 2L, 900L, 0L, -5L)))
+    val w2 = report.filter(col("bucket") === ts("2024-01-01 01:00:00"))
+      .drop("bucket").orderBy("digit").collect().toSeq
+    assert(w2 === batch(Seq(999999999999L, 1000000000000L)))
+  }
+
   test("deduped drops repeated keys within the watermark across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -316,6 +316,18 @@ class TimeseriesSpec extends SparkSpecBase {
     64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
   }
 
+  test("concentration: monopoly 10000bp, uniform 10000/k, local replay") {
+    val df = (Seq.fill(5)(("mono", 1L)) ++
+      (1 to 4).flatMap(k => Seq.fill(3)(("uni", k.toLong))) ++
+      Seq(("skew", 1L), ("skew", 1L), ("skew", 1L), ("skew", 2L))).toDF("g", "k")
+    val got = df.concentration(col("g"), col("k"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("mono") === (("mono", 5L, 1L, 10000L, 1000L)))
+    assert(got("uni") === (("uni", 12L, 4L, 2500L, 4000L)))
+    // skew: c = (3,1), N=4 → c2=10 → hhi = 100000/16 = 6250, eff = 1600
+    assert(got("skew") === (("skew", 4L, 2L, 6250L, 1600L)))
+  }
+
   test("timeWeightedAvg: holds weight the mean; single-obs and zero-span NULL; tie rule") {
     // key a: v=100 holds [0,10), v=200 holds [10,40) → num=100·10+200·30=7000,
     // den=40 → twap 175.000
