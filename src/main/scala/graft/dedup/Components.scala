@@ -315,4 +315,22 @@ object Components {
       .groupTopK(labeled, Seq(col("__cluster")), order, 1)
       .drop("__cluster")
   }
+
+  /** Component-size histogram — the dedup diagnostic read BEFORE
+    * acting on clusters: one row per observed size with the cluster
+    * count, member mass, and exact per-mille share of all clustered
+    * members. A heavy tail (one giant component holding half the
+    * mass) means the banding is too loose and keep-one would nuke
+    * half the corpus; many 2-clusters means it's working. Input is
+    * any (member, cluster) frame (e.g. [[connectedComponents]]
+    * output); two tiny aggregates after it — cluster-sized, then
+    * size-histogram-sized. */
+  def componentSizes(components: DataFrame, cluster: Column): DataFrame = {
+    components.groupBy(cluster.as("__c")).agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .withColumn("share_pm",
+        expr("(1000 * n_docs) div greatest(sum(n_docs) over (), 1)"))
+      .select("size", "n_clusters", "n_docs", "share_pm")
+  }
 }

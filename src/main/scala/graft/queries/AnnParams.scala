@@ -18,6 +18,12 @@ object AnnParams {
   // Brute-force cosine (q_cosine_topk)
   val CosineK = 5
 
+  // Mutual-kNN pairs (q_mutual_knn): vec_id ≡ 0 (mod MutualMod) is
+  // the population — a DENSER slice than QueryMod so reciprocal edges
+  // actually exist at sf0.001 (population ~20 there, ~200 at sf0.01)
+  val MutualMod = 10
+  val MutualK = 5
+
   // IVF ANN (q_ann_ivf)
   val IvfK = 5
   val IvfCentroids = 16

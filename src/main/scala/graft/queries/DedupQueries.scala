@@ -52,6 +52,17 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // §2.3/24b3 component-size histogram over the same minhash pair
+    // graph — the "is one giant cluster about to eat the corpus"
+    // diagnostic read before keep-one acts.
+    "q_cc_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
+      Components.componentSizes(
+        Components.connectedComponents(pairs, "doc_a", "doc_b"), col("cluster_id"))
+    }),
+
     // §2.3/25b-star: same clustering through large-star/small-star
     // contraction — the adversarial-diameter scale path. Same oracle.
     "q_cluster_star" -> ((s, dir) => {
@@ -340,6 +351,17 @@ object DedupQueries {
       Similarity
         .cosineTopK(corpus, qs, AnnParams.CosineK)
         .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // §2.4/28h mutual-kNN (reciprocal nearest neighbor) pairs over
+    // the MutualMod population — one-sided hub edges drop, the
+    // trustworthy neighbor graph survives.
+    "q_mutual_knn" -> ((s, dir) => {
+      val corpus = quantizedWithNorm(s, dir)
+      val pop = corpus.filter(pmod(col("vec_id"), lit(AnnParams.MutualMod)) === 0)
+      Similarity.mutualKnn(pop, AnnParams.MutualK)
+        .withColumn("rank_ab", col("rank_ab").cast("bigint"))
+        .withColumn("rank_ba", col("rank_ba").cast("bigint"))
     }),
 
     // §2.4/28b kNN label-agreement audit: majority vote of the KnnK
@@ -924,6 +946,16 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_keep_best" -> keepBestSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_cc_sizes" ->
+      s"""WITH t AS ($clusterSql)
+         |SELECT size, n_clusters, size * n_clusters AS n_docs,
+         |       (1000 * size * n_clusters) //
+         |         greatest(CAST(sum(size * n_clusters) OVER () AS BIGINT), 1) AS share_pm
+         |FROM (
+         |  SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+         |    SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM t GROUP BY cluster_id
+         |  ) GROUP BY size
+         |)""".stripMargin,
     "q_cluster_star" -> clusterSql,
     "q_corpus" -> corpusSql,
     // the facade chain is definitionally the same composition — one
@@ -1001,6 +1033,28 @@ object DedupQueries {
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            |  FROM p
            |) WHERE rank <= ${AnnParams.CosineK}""".stripMargin,
+
+    "q_mutual_knn" ->
+      raw"""WITH $quantCte,
+           |p AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS nid, $cosExpr AS cos
+           |  FROM n a JOIN n b
+           |    ON a.vec_id % ${AnnParams.MutualMod} = 0
+           |   AND b.vec_id % ${AnnParams.MutualMod} = 0
+           |   AND a.vec_id <> b.vec_id
+           |),
+           |knn AS (
+           |  SELECT q_id, nid, cos, rnk FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |                                 ORDER BY cos DESC, nid ASC) AS rnk
+           |    FROM p
+           |  ) WHERE rnk <= ${AnnParams.MutualK}
+           |)
+           |SELECT a.q_id AS id_a, a.nid AS id_b,
+           |       CAST(a.rnk AS BIGINT) AS rank_ab,
+           |       CAST(b.rnk AS BIGINT) AS rank_ba, a.cos
+           |FROM knn a JOIN knn b ON a.q_id = b.nid AND a.nid = b.q_id
+           |WHERE a.q_id < a.nid""".stripMargin,
 
     "q_knn_classify" ->
       raw"""WITH $quantCte,

@@ -495,6 +495,21 @@ object TextQueries {
           col("text"), col("lang"), topK = 10)
         .withColumnRenamed("grp", "lang")),
 
+    // §2.5/48e distinct-n diversity per source: templated sources
+    // collapse (low distinct share) where per-document repetition
+    // screens can't see across documents. n ∈ {1,2,3}.
+    "q_distinct_n" -> ((s, dir) =>
+      graft.text.TextAnalysis.distinctN(Tables.documents(s, dir),
+          col("text"), col("source"))
+        .withColumnRenamed("grp", "source")),
+
+    // §2.5/48f per-source distributional novelty KL(source ‖ corpus)
+    // over token unigrams — one number per source, exact qlog64.
+    "q_kl_source" -> ((s, dir) =>
+      graft.text.TextAnalysis.sourceKl(Tables.documents(s, dir),
+          col("text"), col("source"))
+        .withColumnRenamed("grp", "source")),
+
     // §2.5/31q Flesch–Kincaid grade as the exact integer rational
     // fk_milli = (390·W² + 11800·Syl·S − 15590·S·W) div (S·W) —
     // in-row, zero shuffles.
@@ -1185,6 +1200,44 @@ object TextQueries {
            |                            ORDER BY score_q64 DESC, term) AS krank
            |  FROM sc
            |) WHERE krank <= 10""".stripMargin,
+    "q_distinct_n" -> {
+      def branch(n: Int): String = {
+        val gram = (1 to n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+        raw"""SELECT source, $n AS n,
+             |       CAST(sum(c) AS BIGINT) AS n_grams,
+             |       CAST(count(*) AS BIGINT) AS n_distinct,
+             |       (1000 * CAST(count(*) AS BIGINT))
+             |         // greatest(CAST(sum(c) AS BIGINT), 1) AS distinct_pm
+             |FROM (
+             |  SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT source, unnest(list_transform(range(len(toks) - ${n - 1}),
+             |                   i -> $gram)) AS g
+             |    FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |          FROM documents)
+             |  ) GROUP BY source, g
+             |) GROUP BY source""".stripMargin
+      }
+      Seq(1, 2, 3).map(branch).mkString("\nUNION ALL\n")
+    },
+    "q_kl_source" ->
+      raw"""WITH grid AS (
+           |  SELECT source AS grp, t AS term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source,
+           |               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2
+           |), rtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ns FROM grid GROUP BY grp),
+           |ctot AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM grid GROUP BY term),
+           |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+           |kl AS (
+           |  SELECT grp, ns,
+           |         c * ((${qlogSql("(c * n)")}) - (${qlogSql("(ns * ct)")})) AS k
+           |  FROM grid JOIN rtot USING (grp) JOIN ctot USING (term) CROSS JOIN ntot
+           |)
+           |SELECT grp AS source, max(ns) AS n_tokens,
+           |       CAST(sum(k) AS BIGINT) AS kl_q64_sum,
+           |       CAST(sum(k) AS BIGINT) // max(ns) AS kl_avg_q64
+           |FROM kl GROUP BY grp""".stripMargin,
     "q_readability" ->
       raw"""SELECT doc_id, w, s, syl,
            |       (390 * w * w + 11800 * syl * s - 15590 * s * w) // (s * w) AS fk_milli

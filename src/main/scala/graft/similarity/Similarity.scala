@@ -105,6 +105,31 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Mutual-kNN pairs (reciprocal nearest neighbors): (a, b) kept
+    * only when b ∈ knn(a) AND a ∈ knn(b) — the classic
+    * precision-over-recall tightening of neighbor graphs (one-sided
+    * kNN edges into a hub vector are usually noise; mutual edges are
+    * the trustworthy ones for dedup candidates, label propagation
+    * seeds, or embedding-graph clustering). One row per unordered
+    * pair with both directed ranks and the shared integer-grid
+    * cosine.
+    *
+    * Plan shape: ONE [[cosineTopK]] pass over the population (the
+    * population broadcasts against itself through a single scan +
+    * bounded GroupTopK), then the mutual check is a self-join of the
+    * k·N edge list on the reversed key — edge-list-sized, never
+    * corpus-sized. */
+  def mutualKnn(population: DataFrame, k: Int): DataFrame = {
+    val knn = graft.operators.Checkpoints.eager(
+      cosineTopK(population, population, k))
+    val rev = knn.select(col("q_id").as("__rq"), col("neighbor_id").as("__rn"),
+      col("rank").as("rank_ba"))
+    knn.join(rev, col("q_id") === col("__rn") && col("neighbor_id") === col("__rq"))
+      .filter(col("q_id") < col("neighbor_id"))
+      .select(col("q_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rank").as("rank_ab"), col("rank_ba"), col("cos"))
+  }
+
   /** kNN label-agreement audit: classify each query vector by
     * majority vote over the labels of its k nearest corpus vectors
     * (quantized cosine), and report the vote against the query's own

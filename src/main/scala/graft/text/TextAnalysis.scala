@@ -674,6 +674,40 @@ object TextAnalysis {
       .select("grp", "term", "a", "g2_q64", "krank")
   }
 
+  /** Per-group distributional novelty: KL(group ‖ corpus) over the
+    * token unigram distributions — "which source is most unusual as a
+    * whole?", the one-number-per-source complement of drift (48b,
+    * A-vs-B) and keyness (48c, per-term). Exact qlog64 integers:
+    * kl_q64_sum = Σ_t c_st·(qlog64(c_st·N) − qlog64(N_s·c_t)) — which
+    * is 64·N_s·KL_bits, so kl_avg_q64 = sum div N_s is the per-token
+    * KL in qlog64 units (64 = 1 bit). No smoothing needed: the sum
+    * runs over the group's OWN tokens, and c_t ≥ c_st > 0 there.
+    * KL ≥ 0 with equality iff the group matches the corpus mix.
+    *
+    * Scale shape: the keyness grid — one corpus exchange into the
+    * checkpointed (group, token) counts, token totals joined
+    * grid-keyed (vocab-sized, NOT broadcast), group totals + grand
+    * total broadcast. qlog64 exact while c·N ≤ 2⁴⁷, pre-scale
+    * beyond, documented. */
+  def sourceKl(df: DataFrame, text: Column, group: Column): DataFrame = {
+    val q = graft.quality.NaiveBayes.qlog64 _
+    val grid = graft.operators.Checkpoints.eager(
+      df.select(group.as("grp"), explode(tokenize(lower(text))).as("term"))
+        .groupBy("grp", "term").agg(count(lit(1)).as("c")))
+    val rowTot = grid.groupBy("grp").agg(sum("c").as("ns"))
+    val colTot = grid.groupBy("term").agg(sum("c").as("ct"))
+    val nTot = grid.agg(sum("c").as("n"))
+    grid
+      .join(colTot, "term")
+      .join(broadcast(rowTot), "grp")
+      .crossJoin(broadcast(nTot))
+      .withColumn("__kl", col("c") * (q(col("c") * col("n")) - q(col("ns") * col("ct"))))
+      .groupBy("grp").agg(
+        max("ns").as("n_tokens"), sum("__kl").as("kl_q64_sum"))
+      .withColumn("kl_avg_q64", expr("kl_q64_sum div n_tokens"))
+      .select("grp", "n_tokens", "kl_q64_sum", "kl_avg_q64")
+  }
+
   /** Class-based TF-IDF (Grootendorst 2022, the BERTopic topic-term
     * score): treat each GROUP's concatenated text as one document and
     * score term t in class c as tf_{t,c} · ln(1 + A/f_t) with A the
@@ -711,6 +745,34 @@ object TextAnalysis {
       .withColumn("krank", row_number().over(w))
       .filter(col("krank") <= topK)
       .select("grp", "term", "tf", "score_q64", "krank")
+  }
+
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2; the
+    * n-gram-diversity complement of Self-BLEU, Zhu et al. 2018): per
+    * group and n, how many of the slice's n-grams are DISTINCT —
+    * collapsing templated/boilerplate sources score low where
+    * per-document repetition screens (45/45c) can't see across
+    * documents. One row per (group, n): total n-gram mass, distinct
+    * n-gram count, and the exact per-mille ratio.
+    *
+    * Scale shape: per n, one (group, gram) map-side-combined
+    * aggregate (the native codegen WordShingles stream) then a
+    * group-sized rollup — the corpus shuffles once per n, keyed on
+    * the uniform gram; the ns are independent branches unioned at
+    * group-row size. */
+  def distinctN(df: DataFrame, text: Column, group: Column,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    ns.map { n =>
+      df.select(group.as("grp"),
+          explode(graft.dedup.Dedup.shinglesRaw(text, n)).as("__g"))
+        .groupBy("grp", "__g").agg(count(lit(1)).as("__c"))
+        .groupBy("grp").agg(
+          sum("__c").as("n_grams"), count(lit(1)).as("n_distinct"))
+        .select(col("grp"), lit(n).cast("int").as("n"),
+          col("n_grams"), col("n_distinct"),
+          expr("(1000 * n_distinct) div greatest(n_grams, 1)").as("distinct_pm"))
+    }.reduce(_ unionAll _)
   }
 
   /** Flesch–Kincaid grade level (Kincaid et al. 1975) as an EXACT

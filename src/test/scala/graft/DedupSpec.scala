@@ -238,6 +238,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("componentSizes: histogram, member mass and exact shares") {
+    import graft.dedup.Components
+    // sizes: {1,2,3,4}=4, {10,11,12}=3, {20,21}=2, {30,31}=2 → 11 docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val comps = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = Components.componentSizes(comps, col("cluster_id"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(4L) === ((4L, 1L, 4L, 4000L / 11L)))
+    assert(got(3L) === ((3L, 1L, 3L, 3000L / 11L)))
+    assert(got(2L) === ((2L, 2L, 4L, 4000L / 11L)))
+  }
+
   test("connectedComponentsStar matches propagation and handles long chains (both paths)") {
     import graft.dedup.Components
     // same mixed graph as the propagation test, down the local AND the

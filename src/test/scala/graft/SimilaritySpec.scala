@@ -30,6 +30,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("mutualKnn keeps only reciprocal edges, once per unordered pair") {
+    val got = Similarity.mutualKnn(corpus, k = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute replay: directed knn at k=2, then reciprocal filter
+    val knn = Similarity.cosineTopK(corpus, corpus, 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(got === expected)
+    assert(got.contains((0L, 100L))) // the tight pair is mutual
+    // every pair appears once, a < b
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("annLsh candidates agree with brute force on its bucket hits") {
     val qs = corpus.filter(col("vec_id") === 100L)
     val ann = Similarity.annLsh(corpus, qs, bits = 4, dim = 3, k = 3)

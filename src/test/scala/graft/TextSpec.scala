@@ -365,6 +365,58 @@ class TextSpec extends SparkSpecBase {
     64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
   }
 
+  test("distinctN: templated group collapses, diverse group doesn't; short docs fall out") {
+    val df = Seq(
+      ("tpl", "buy now buy now"), ("tpl", "buy now buy now"),
+      ("div", "alpha beta gamma delta"), ("div", "eps zeta eta theta"),
+      ("tiny", "x")).toDF("src", "t") // 1 token: no 2/3-grams
+    val got = TextAnalysis.distinctN(df, col("t"), col("src"))
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // tpl unigrams: 8 tokens, 2 distinct → 250‰
+    assert(got(("tpl", 1)) === ((8L, 2L, 250L)))
+    // tpl trigrams: 2 docs × 2 windows = 4 grams, 2 distinct
+    assert(got(("tpl", 3)) === ((4L, 2L, 500L)))
+    // div: everything distinct
+    assert(got(("div", 1)) === ((8L, 8L, 1000L)))
+    assert(got(("div", 3)) === ((4L, 4L, 1000L)))
+    // tiny: has a unigram row, no bigram/trigram rows
+    assert(got.contains(("tiny", 1)) && !got.contains(("tiny", 2)))
+  }
+
+  test("sourceKl: a group matching the corpus mix scores zero; local qlog64 replay") {
+    // g1 and g2 have IDENTICAL token mixes → each matches the corpus
+    // distribution exactly → KL = 0 cell-by-cell
+    val same = Seq(("g1", "a a b"), ("g2", "a a b")).toDF("src", "t")
+    val zero = TextAnalysis.sourceKl(same, col("t"), col("src"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(zero.forall(r => r._3 == 0L && r._4 == 0L))
+
+    val rnd = new scala.util.Random(71)
+    val words = Vector("w1", "w2", "w3", "w4")
+    val docs = (1 to 30).map { i =>
+      val g = "s" + (i % 3)
+      val toks = (1 to 6).map(_ =>
+        if (g == "s0" && rnd.nextInt(2) == 0) "w1" else words(rnd.nextInt(4)))
+      (g, toks.mkString(" "))
+    }
+    val got = TextAnalysis.sourceKl(docs.toDF("src", "t"), col("t"), col("src"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val counts = docs.flatMap { case (g, t) => t.split(" ").map(g -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = counts.values.sum
+    ns.keys.foreach { g =>
+      val sum = counts.collect { case ((`g`, w), c) =>
+        c * (qlog(c * n) - qlog(ns(g) * ct(w)))
+      }.sum
+      // (the qlog64 chord quantizes each term, so tiny negative totals
+      // are possible where true KL ≈ 0 — only replay equality is pinned)
+      assert(got(g) === ((g, ns(g), sum, sum / ns(g))), s"group $g")
+    }
+  }
+
   test("readability: hand-traced FK milli, unpunctuated floor, blank docs excluded") {
     val df = Seq(
       (1L, "the cat sat. it ran away!"),   // W=6 S=2 syl=1+1+1+1+1+2=7
