@@ -1057,6 +1057,23 @@ object Cli {
           val x = expr(opts.getOrElse("x", fail("--x EXPR required")))
           val y = expr(opts.getOrElse("y", fail("--y EXPR required")))
           write(graft.operators.Relational.RelationalOps(read()).mutualInformation(x, y))
+        case "distinct-n" =>
+          // n-gram diversity per group (templated sources collapse)
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val ns = opts.getOrElse("ns", "1,2,3").split(",").toSeq.map(_.trim.toInt)
+          write(graft.text.TextAnalysis.distinctN(read(), text, group, ns))
+        case "kl-source" =>
+          // KL(group || corpus) distributional novelty per group
+          val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          write(graft.text.TextAnalysis.sourceKl(read(), text, group))
+        case "cc-sizes" =>
+          // component-size histogram over an edge list input
+          val a = opts.getOrElse("a", "doc_a")
+          val b = opts.getOrElse("b", "doc_b")
+          val comps = graft.dedup.Components.connectedComponents(read(), a, b)
+          write(graft.dedup.Components.componentSizes(comps, col("cluster_id")))
         case "hhi" =>
           // per-group key-concentration audit (HHI bp + effective keys)
           val group = expr(opts.getOrElse("group", fail("--group EXPR required")))

@@ -1118,6 +1118,14 @@ object DriveCli {
       "--y", "size(split(trim(text), '\\\\s+'))", "--outfile", s"$tmp/spearman"))
     Cli.main(Array("-i", docs, "-f", "parquet",
       "hhi", "--group", "lang", "--key", "source", "--outfile", s"$tmp/hhi"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "distinct-n", "--text", "text", "--group", "source", "--ns", "1,3",
+      "--outfile", s"$tmp/distinctn"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "kl-source", "--text", "text", "--group", "source",
+      "--outfile", s"$tmp/klsource"))
+    Cli.main(Array("-i", s"$tmp/pairs", "-f", "parquet",
+      "cc-sizes", "--a", "doc_a", "--b", "doc_b", "--outfile", s"$tmp/ccsizes"))
     locally {
       val spark = GraftSession.builder("verifyWave5", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
@@ -1149,7 +1157,20 @@ object DriveCli {
         graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/hhi"),
         graft.operators.Relational.RelationalOps(dd)
           .concentration(col("lang"), col("source")))
-      println(s"CTFIDF_MI_KCORE_BENFORD_SPEARMAN_HHI OK=${okC && okM && okK2 && okB && okSp && okH2 && gotB.count() == 9}")
+      val okDn = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/distinctn"),
+        graft.text.TextAnalysis.distinctN(dd, col("text"), col("source"), Seq(1, 3)))
+      val okKl = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/klsource"),
+        graft.text.TextAnalysis.sourceKl(dd, col("text"), col("source")))
+      val okCc = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/ccsizes"),
+        graft.dedup.Components.componentSizes(
+          graft.dedup.Components.connectedComponents(
+            graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/pairs"),
+            "doc_a", "doc_b"), col("cluster_id")))
+      assert(okCc, "cc-sizes CLI parity")
+      println(s"CTFIDF_MI_KCORE_BENFORD_SPEARMAN_HHI_DN_KL OK=${okC && okM && okK2 && okB && okSp && okH2 && okDn && okKl && gotB.count() == 9}")
       spark.stop()
     }
 

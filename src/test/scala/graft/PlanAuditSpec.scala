@@ -29,6 +29,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keyShuffles(plan("q_weighted_sample")) === 0)
   }
 
+  test("q_readability, q_luhn and q_zone_prune are pure scans: zero key shuffles") {
+    // FK grade and the Luhn checksum are in-row native expressions;
+    // the zone-map probe prunes files BEFORE the scan and applies a
+    // residual filter — none of them may introduce an exchange
+    assert(keyShuffles(plan("q_readability")) === 0)
+    assert(keyShuffles(plan("q_luhn")) === 0)
+    assert(keyShuffles(plan("q_zone_prune")) === 0)
+  }
+
   test("q_winnow and q_dedup_simhash run in-row: zero key shuffles") {
     // both selections moved into native expressions — the token/gram
     // streams never reach an exchange
@@ -406,7 +415,48 @@ class PlanAuditSpec extends SparkSpecBase {
     // aggregate, the key re-exchange for the totals join, and the
     // per-key window — the peak window reuses the join partitioning;
     // everything after the first aggregate moves ≤ keys×B rows
-    "q_cusum_by_key" -> 4)
+    "q_cusum_by_key" -> 4,
+    // ---- r10 analytics wave (measured by ProfileShuffles) ----
+    // q_kcore: the peel rounds run behind per-round checkpoints
+    // (lineage cut — each round's degree agg + 2 semi-joins are edge-
+    // sized and already counted when the round executed); the visible
+    // plan is the final degree aggregate
+    "q_kcore" -> 1,
+    // q_kn_lm: corpus tokenized once into the checkpointed instance
+    // stream; bigram-model aggregate + the three derived-stat joins
+    // ride model-sized frames
+    "q_kn_lm" -> 4,
+    // q_keyness / q_ctfidf: ONE corpus exchange into the (group,
+    // term) grid; term-total join + top-k window are grid-keyed
+    "q_keyness" -> 3,
+    "q_ctfidf" -> 3,
+    // q_bm25: query-vocab hits → (doc, term) tf exchange; df/stats
+    // broadcast back; rank window over the k survivors
+    "q_bm25" -> 4,
+    // q_group_heavy: (group, key) MG sketch aggregate + the exact
+    // recount join + the per-group threshold join
+    "q_group_heavy" -> 3,
+    // q_mi / q_hhi: contingency/count grid aggregate + the grid-keyed
+    // margin derivations; margins broadcast back
+    "q_mi" -> 2,
+    "q_hhi" -> 2,
+    // q_winsorize: ONE group window pass; cutoffs join back broadcast
+    "q_winsorize" -> 1,
+    // q_attribution: the (user, bucket) conversion↔touch equality
+    // join is the only corpus-sized exchange + conversion-keyed window
+    "q_attribution" -> 2,
+    // q_auc / q_spearman: rank window(s) and tie-run counts share the
+    // hash-on-group distribution — ONE group exchange
+    "q_auc" -> 1,
+    "q_spearman" -> 1,
+    // q_survival: user-keyed span aggregate; the lifetime table's two
+    // cumulative windows run on a span-bounded single partition
+    "q_survival" -> 3,
+    // q_twap: the lead() window and the aggregate share hash-on-key
+    "q_twap" -> 1,
+    // q_benford: one 9-bucket aggregate; the digit table join is
+    // broadcast and the MAD window runs on 9 rows
+    "q_benford" -> 1)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

@@ -30,7 +30,11 @@ object ProfileShuffles {
       "q_textrank", "q_trustrank", "q_hard_negatives", "q_f2_skew",
       "q_interval_join", "q_nb_calibration", "q_join_discovery",
       "q_vocab_coverage", "q_quantile_norm", "q_block_jackknife",
-      "q_khop", "q_copurchase", "q_trending")
+      "q_khop", "q_copurchase", "q_trending",
+      "q_kcore", "q_kn_lm", "q_keyness", "q_bm25", "q_group_heavy",
+      "q_ctfidf", "q_mi", "q_winsorize", "q_attribution", "q_auc",
+      "q_survival", "q_spearman", "q_twap", "q_hhi", "q_luhn",
+      "q_readability", "q_benford", "q_zone_prune")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
