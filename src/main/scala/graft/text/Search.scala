@@ -112,6 +112,17 @@ object Search {
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), explode(col("tk")).as("t"))
       .filter(col("t").isInCollection(terms))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+    bm25Score(tf, stats, topK)
+  }
+
+  /** The shared BM25 scoring tail over a (doc_id, t, tf, dl) sliver +
+    * a 1-row (n, tl) stats frame — df derives from the sliver (a
+    * term's df only counts docs CONTAINING it, so the sliver carries
+    * exactly the full corpus's df). Used by both the scan path
+    * ([[bm25Rank]]) and the persisted-index probe
+    * ([[SearchIndex.bm25Probe]]) so the two are bit-identical by
+    * shared code, not by luck. */
+  private[text] def bm25Score(tf: DataFrame, stats: DataFrame, topK: Int): DataFrame = {
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val q = graft.quality.NaiveBayes.qlog64 _
     tf.join(broadcast(df), Seq("t"))

@@ -456,7 +456,19 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_twap" -> 1,
     // q_benford: one 9-bucket aggregate; the digit table join is
     // broadcast and the MAD window runs on 9 rows
-    "q_benford" -> 1)
+    "q_benford" -> 1,
+    // q_distinct_n: one (group, gram) aggregate + group rollup per
+    // n ∈ {1,2,3} — 2 exchanges per independent branch
+    "q_distinct_n" -> 6,
+    // q_kl_source: the keyness grid (corpus exchange + grid-keyed
+    // term-total join) + the per-group rollup
+    "q_kl_source" -> 3,
+    // q_mutual_knn: the bounded GroupTopK q_id exchange + the
+    // edge-list self-join on the reversed key
+    "q_mutual_knn" -> 2,
+    // q_cc_sizes: cluster-size aggregate + size-histogram aggregate
+    // over the (lineage-cut) components frame
+    "q_cc_sizes" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

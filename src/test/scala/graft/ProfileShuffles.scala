@@ -34,7 +34,8 @@ object ProfileShuffles {
       "q_kcore", "q_kn_lm", "q_keyness", "q_bm25", "q_group_heavy",
       "q_ctfidf", "q_mi", "q_winsorize", "q_attribution", "q_auc",
       "q_survival", "q_spearman", "q_twap", "q_hhi", "q_luhn",
-      "q_readability", "q_benford", "q_zone_prune")
+      "q_readability", "q_benford", "q_zone_prune",
+      "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString

@@ -61,6 +61,41 @@ class SearchIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25Probe through the stats index is bit-identical to the scan path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm LOCATION '$wh'")
+    try {
+      val terms = Seq("dup", "spark", "merge")
+      SearchIndex.createBm25(docs, col("text"), col("doc_id"), "graft_bm.tf", 4)
+      val viaIndex = SearchIndex.bm25Probe(spark, "graft_bm.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      val fresh = Search.bm25Rank(docs, col("text"), col("doc_id"), terms, 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(viaIndex === fresh)
+      assert(viaIndex.nonEmpty)
+
+      // append a drop stuffed with a query term: it must outrank
+      // everything, and the probe must equal a fresh rank over the
+      // UNION corpus (stats row folded, df/idf shifted corpus-wide)
+      val drop = Seq((999999L, "dup dup dup dup")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("drop"))
+        .withColumn("n_chars", lit(15L))
+      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bm.tf", 4)
+      val after = SearchIndex.bm25Probe(spark, "graft_bm.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      val freshUnion = Search.bm25Rank(
+        docs.select("doc_id", "text").unionByName(drop.select("doc_id", "text")),
+        col("text"), col("doc_id"), terms, 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(after === freshUnion)
+      assert(after.head._1 === 999999L, "the stuffed drop doc must rank first")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bm.tf")
+      spark.sql("DROP TABLE IF EXISTS graft_bm.tf_stats")
+      spark.sql("DROP DATABASE IF EXISTS graft_bm")
+    }
+  }
+
   test("probe plans: broadcast vocabulary = zero exchanges; huge vocabulary = bucketed scan") {
     // occurrencesFromPostings checkpoints the vocabulary-pruned
     // postings, so the final probe plan reads the checkpoint; the
