@@ -1121,6 +1121,18 @@ object Cli {
           write(graft.operators.Relational.RelationalOps(read()).winsorize(group, value,
             loPerMille = opts.getOrElse("lo", "10").toLong,
             hiPerMille = opts.getOrElse("hi", "990").toLong))
+        case "trimmed-mean" =>
+          // robust center: mean over the nearest-rank [lo,hi]‰ slice
+          val group = expr(opts.getOrElse("group", fail("--group EXPR required")))
+          val value = expr(opts.getOrElse("value", fail("--value EXPR required")))
+          write(graft.operators.Relational.RelationalOps(read()).trimmedMean(group, value,
+            loPerMille = opts.getOrElse("lo", "50").toLong,
+            hiPerMille = opts.getOrElse("hi", "950").toLong))
+        case "target-encode" =>
+          // leakage-safe leave-one-out categorical encoding
+          val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
+          val target = expr(opts.getOrElse("target", fail("--target EXPR required (integral)")))
+          write(graft.operators.Relational.RelationalOps(read()).targetEncodeLoo(key, target))
         case "attribution" =>
           // first/last/linear conversion credit in one pass; linear
           // credit is exact integer micro-credits (1000000 div n)

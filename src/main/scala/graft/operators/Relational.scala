@@ -135,6 +135,60 @@ object Relational {
           least(greatest(value.cast("long"), col("lo_cut")), col("hi_cut")))
     }
 
+    /** Leakage-safe target encoding (the leave-one-out variant): each
+      * row's categorical `key` is replaced by the mean target of the
+      * OTHER rows sharing it — loo = (S_k − v) / (n_k − 1) — the
+      * feature-engineering standard that, unlike the naive per-key
+      * mean, never leaks a row's own label into its own feature (the
+      * classic train-time overfit). Exact integers: loo_num = S_k − v,
+      * loo_den = n_k − 1, and loo_milli via the split division
+      * (n div d)·1000 + ((n mod d)·1000) div d (no overflowing
+      * 1000·S intermediate). Singleton keys report NULL — there is no
+      * "other rows" mean, and NULL is the honest encoding (impute
+      * downstream with the global mean if desired).
+      *
+      * Scale shape: ONE key-keyed exchange — the per-key sum and
+      * count are a single window over the hash-on-key distribution;
+      * no second pass, no join-back. */
+    def targetEncodeLoo(key: Column, target: Column): DataFrame = {
+      val byK = Window.partitionBy(col("__te_k"))
+      df.withColumn("__te_k", key)
+        .withColumn("__te_v", target.cast("long"))
+        .withColumn("loo_num", sum("__te_v").over(byK) - col("__te_v"))
+        .withColumn("loo_den", count(lit(1)).over(byK) - 1L)
+        .withColumn("loo_milli",
+          when(col("loo_den") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "(loo_num div loo_den) * 1000 + ((loo_num % loo_den) * 1000) div loo_den")))
+        .drop("__te_k", "__te_v")
+    }
+
+    /** Trimmed mean per group: the mean over the nearest-rank
+      * [lo‰, hi‰] slice — the robust-center complement of
+      * [[winsorize]] (clipping keeps n; trimming drops the tails
+      * outright, the Olympic-scoring estimator). Rank bounds are the
+      * same nearest-rank positions winsorize cuts at, so the two
+      * operators quote consistent tails. Exact integers: per group
+      * n, n_kept, trimmed_sum, and trimmed_milli via the split
+      * division; one group-keyed window pass ranks values and the
+      * rollup reuses its partitioning. */
+    def trimmedMean(group: Column, value: Column,
+        loPerMille: Long, hiPerMille: Long): DataFrame = {
+      require(0 <= loPerMille && loPerMille <= hiPerMille && hiPerMille <= 1000)
+      val byG = Window.partitionBy("__g")
+      df.select(group.as("__g"), value.cast("long").as("__v"))
+        .withColumn("__rk", row_number().over(byG.orderBy(col("__v").asc)))
+        .withColumn("__n", count(lit(1)).over(byG))
+        .withColumn("__klo", greatest(expr(s"(__n * $loPerMille + 999) div 1000"), lit(1L)))
+        .withColumn("__khi", greatest(expr(s"(__n * $hiPerMille + 999) div 1000"), lit(1L)))
+        .filter(col("__rk") >= col("__klo") && col("__rk") <= col("__khi"))
+        .groupBy(col("__g").as("g"))
+        .agg(max("__n").as("n"), count(lit(1)).as("n_kept"),
+          sum("__v").as("trimmed_sum"))
+        .withColumn("trimmed_milli", expr(
+          "(trimmed_sum div n_kept) * 1000 + ((trimmed_sum % n_kept) * 1000) div n_kept"))
+    }
+
     /** Block-jackknife sensitivity audit of a per-group mean: rows
       * hash into `blocks` fixed blocks, and each block's
       * leave-one-out mean `(S − S_b) div (n − n_b)` measures how far

@@ -50,6 +50,22 @@ object PipelineQueries {
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
         censorWindowUs = 43200000000L, bucketUs = 21600000000L)),
 
+    // §2.2/22as12 leakage-safe LOO target encoding: each event's type
+    // encoded as the mean value-cents of the OTHER events sharing it.
+    "q_target_encode" -> ((s, dir) =>
+      graft.operators.Relational.RelationalOps(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+        .targetEncodeLoo(col("event_type"), col("cents"))),
+
+    // §2.2/22as13 trimmed mean per event_type over the [50‰, 950‰]
+    // nearest-rank slice — the robust-center complement of winsorize.
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.operators.Relational.RelationalOps(Tables.events(s, dir))
+        .trimmedMean(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)"), 50, 950)
+        .withColumnRenamed("g", "event_type")),
+
     // §2.2/22v3 Herfindahl concentration per event_type: is a type's
     // volume all one user? hhi_bp + inverse-Simpson effective users,
     // both exact floor divisions.
@@ -484,6 +500,42 @@ object PipelineQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |       END AS km_q64
          |FROM st""".stripMargin,
+    "q_target_encode" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, cents,
+        |         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) - cents AS loo_num,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) - 1 AS loo_den
+        |  FROM b)
+        |SELECT event_id, event_type, cents, loo_num, loo_den,
+        |       CASE WHEN loo_den = 0 THEN NULL
+        |            ELSE (loo_num // loo_den) * 1000
+        |               + ((loo_num % loo_den) * 1000) // loo_den
+        |       END AS loo_milli
+        |FROM w""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |k AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(v) AS BIGINT) AS trimmed_sum
+        |  FROM r
+        |  WHERE rk >= greatest((n * 50 + 999) // 1000, 1)
+        |    AND rk <= greatest((n * 950 + 999) // 1000, 1)
+        |  GROUP BY event_type)
+        |SELECT event_type, n, n_kept, trimmed_sum,
+        |       (trimmed_sum // n_kept) * 1000
+        |         + ((trimmed_sum % n_kept) * 1000) // n_kept AS trimmed_milli
+        |FROM k""".stripMargin,
     "q_hhi" ->
       """WITH c AS (
         |  SELECT event_type AS grp, user_id AS k, CAST(count(*) AS BIGINT) AS c

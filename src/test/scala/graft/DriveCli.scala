@@ -1174,6 +1174,33 @@ object DriveCli {
       spark.stop()
     }
 
+    // trimmed-mean / target-encode: r10 wave-10 verbs, library parity
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "trimmed-mean", "--group", "event_type",
+      "--value", "cast(round(value * 100) as bigint)", "--lo", "100", "--hi", "900",
+      "--outfile", s"$tmp/trimmed"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "target-encode", "--key", "event_type",
+      "--target", "cast(round(value * 100) as bigint)",
+      "--outfile", s"$tmp/tenc"))
+    locally {
+      val spark = GraftSession.builder("verifyWave10", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ev = graft.sources.PartitionedFiles.readParquet(spark, events)
+      def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.except(b).count() == 0 && b.except(a).count() == 0
+      val okTm = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/trimmed"),
+        graft.operators.Relational.RelationalOps(ev).trimmedMean(col("event_type"),
+          expr("cast(round(value * 100) as bigint)"), 100, 900))
+      val okTe = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/tenc"),
+        graft.operators.Relational.RelationalOps(ev).targetEncodeLoo(col("event_type"),
+          expr("cast(round(value * 100) as bigint)")))
+      println(s"TRIMMED_TARGETENC OK=${okTm && okTe}")
+      spark.stop()
+    }
+
     // twap / readability / luhn: r10 wave-7 verbs, library parity
     Cli.main(Array("-i", events, "-f", "parquet",
       "twap", "--key", "user_id", "--ts-us", "unix_micros(cast(ts as timestamp))",

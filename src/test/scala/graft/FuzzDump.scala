@@ -586,6 +586,62 @@ object FuzzDump {
           |FROM a""".stripMargin)
     }
 
+    // ---- LOO target encoding: singleton keys must NULL, negative
+    // targets through the split milli division ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 13)
+      val nk = 1 + rnd.nextInt(6)
+      val t = (0 until 1 + rnd.nextInt(50)).map { i =>
+        (i.toLong, "k" + rnd.nextInt(nk), rnd.nextInt(400).toLong - 150L)
+      }.toDF("id", "k", "v")
+      dump("target_encode", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .targetEncodeLoo(col("k"), col("v")),
+        """SELECT id, k, v,
+          |       CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) - v AS loo_num,
+          |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) - 1 AS loo_den,
+          |       CASE WHEN count(*) OVER (PARTITION BY k) = 1 THEN NULL
+          |            ELSE ((CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) - v)
+          |                   // (count(*) OVER (PARTITION BY k) - 1)) * 1000
+          |               + (((CAST(sum(v) OVER (PARTITION BY k) AS BIGINT) - v)
+          |                   % (count(*) OVER (PARTITION BY k) - 1)) * 1000)
+          |                   // (count(*) OVER (PARTITION BY k) - 1)
+          |       END AS loo_milli
+          |FROM t""".stripMargin)
+    }
+
+    // ---- trimmed mean: random per-mille bounds (incl. degenerate
+    // lo = hi and 0/1000), dense value ties, singleton groups ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 14)
+      val nk = 1 + rnd.nextInt(4)
+      val lo = rnd.nextInt(500).toLong
+      val hi = lo + rnd.nextInt((1001 - lo).toInt)
+      val t = (0 until 1 + rnd.nextInt(50)).map { _ =>
+        ("g" + rnd.nextInt(nk), rnd.nextInt(12).toLong - 3L)
+      }.toDF("g", "v")
+      dump("trimmed_mean", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .trimmedMean(col("g"), col("v"), lo, hi),
+        s"""WITH r AS (
+           |  SELECT g, v,
+           |         row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+           |         count(*) OVER (PARTITION BY g) AS n
+           |  FROM t),
+           |k AS (
+           |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |         CAST(count(*) AS BIGINT) AS n_kept,
+           |         CAST(sum(v) AS BIGINT) AS trimmed_sum
+           |  FROM r
+           |  WHERE rk >= greatest((n * $lo + 999) // 1000, 1)
+           |    AND rk <= greatest((n * $hi + 999) // 1000, 1)
+           |  GROUP BY g)
+           |SELECT g, n, n_kept, trimmed_sum,
+           |       (trimmed_sum // n_kept) * 1000
+           |         + ((trimmed_sum % n_kept) * 1000) // n_kept AS trimmed_milli
+           |FROM k""".stripMargin)
+    }
+
     cases
   }
 }

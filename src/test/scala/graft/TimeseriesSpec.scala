@@ -316,6 +316,48 @@ class TimeseriesSpec extends SparkSpecBase {
     64L * (bl - 1) + math.floor(x * 64.0 / math.pow(2.0, bl - 1)).toLong - 64L
   }
 
+  test("targetEncodeLoo: own row excluded, singleton NULL, negative split division") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 60L), ("solo", 5L), ("neg", -7L), ("neg", 0L))
+      .toDF("k", "v")
+    val got = df.targetEncodeLoo(col("k"), col("v"))
+      .select("k", "v", "loo_num", "loo_den", "loo_milli")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", 10L)) === ((80L, 2L, Some(40000L))))
+    assert(got(("a", 60L)) === ((30L, 2L, Some(15000L))))
+    assert(got(("solo", 5L)) === ((0L, 0L, None)))
+    // -7/1 → -7000 exactly through the split form
+    assert(got(("neg", 0L)) === ((-7L, 1L, Some(-7000L))))
+  }
+
+  test("targetEncodeLoo matches a local leave-one-out replay on random frames") {
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(2000).toLong - 500L))
+    val got = rows.toDF("id", "k", "v").targetEncodeLoo(col("k"), col("v"))
+      .select("id", "loo_num", "loo_den", "loo_milli")
+      .as[(Long, Long, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    val byK = rows.groupBy(_._2)
+    rows.foreach { case (id, k, v) =>
+      val s = byK(k).map(_._3).sum
+      val n = byK(k).size.toLong
+      val (num, den) = (s - v, n - 1)
+      val milli = if (den == 0) None
+        else Some((num / den) * 1000 + ((num % den) * 1000) / den)
+      assert(got(id) === ((id, num, den, milli)), s"row $id")
+    }
+  }
+
+  test("trimmedMean: drops exactly the winsorize tails; all-ties group keeps everything") {
+    // a: 1..10 at [200,800]‰ → keep ranks 2..8 → sum 2+..+8 = 35, n_kept 7
+    val a = (1L to 10L).map(v => ("a", v))
+    val b = Seq(("b", 5L), ("b", 5L), ("b", 5L))
+    val got = (a ++ b).toDF("g", "v").trimmedMean(col("g"), col("v"), 200, 800)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 10L, 7L, 35L, 5000L)))
+    assert(got("b") === (("b", 3L, 3L, 15L, 5000L)))
+  }
+
   test("concentration: monopoly 10000bp, uniform 10000/k, local replay") {
     val df = (Seq.fill(5)(("mono", 1L)) ++
       (1 to 4).flatMap(k => Seq.fill(3)(("uni", k.toLong))) ++
