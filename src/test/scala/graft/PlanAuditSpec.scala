@@ -468,7 +468,13 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_mutual_knn" -> 2,
     // q_cc_sizes: cluster-size aggregate + size-histogram aggregate
     // over the (lineage-cut) components frame
-    "q_cc_sizes" -> 2)
+    "q_cc_sizes" -> 2,
+    // q_target_encode: the per-key sum/count window is the ONLY
+    // exchange — no join-back
+    "q_target_encode" -> 1,
+    // q_trimmed_mean: one group window pass; the rollup reuses its
+    // partitioning
+    "q_trimmed_mean" -> 1)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

@@ -35,7 +35,8 @@ object ProfileShuffles {
       "q_ctfidf", "q_mi", "q_winsorize", "q_attribution", "q_auc",
       "q_survival", "q_spearman", "q_twap", "q_hhi", "q_luhn",
       "q_readability", "q_benford", "q_zone_prune",
-      "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes")
+      "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes",
+      "q_target_encode", "q_trimmed_mean")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
