@@ -1133,6 +1133,12 @@ object Cli {
           val key = expr(opts.getOrElse("key", fail("--key EXPR required")))
           val target = expr(opts.getOrElse("target", fail("--target EXPR required (integral)")))
           write(graft.operators.Relational.RelationalOps(read()).targetEncodeLoo(key, target))
+        case "conversion-ci" =>
+          // per-arm entity-level conversion rate + Agresti-Coull z=2 CI
+          val arm = expr(opts.getOrElse("arm", fail("--arm EXPR required")))
+          val entity = expr(opts.getOrElse("entity", fail("--entity EXPR required")))
+          val conv = expr(opts.getOrElse("converted", fail("--converted BOOL-EXPR required")))
+          write(graft.quality.Validate.conversionReport(read(), arm, entity, conv))
         case "attribution" =>
           // first/last/linear conversion credit in one pass; linear
           // credit is exact integer micro-credits (1000000 div n)

@@ -134,6 +134,38 @@ object Validate {
       .filter(col("n") < k)
   }
 
+  /** Per-arm conversion readout with the Agresti–Coull interval at
+    * z = 2 (Agresti & Coull 1998, the "add two successes and two
+    * failures" estimator — the recommended small-sample interval, and
+    * at z = 2 EXACTLY it needs no z table): per arm, the entity-level
+    * conversion count x of n (an entity converts if ANY of its rows
+    * does — the per-event rate the naive version quotes is inflated
+    * by heavy users), the exact per-mille rate, and
+    * p̃ ± 2·√(p̃(1−p̃)/(n+4)) with p̃ = (x+2)/(n+4). The interval is
+    * a FIXED IEEE op sequence (divide, multiply, sqrt, add) replayed
+    * identically by the oracle — every op correctly rounded, so the
+    * doubles are bit-stable cross-engine (the q_corr precedent).
+    * Read BESIDE the SRM audit: SRM says whether the split is valid,
+    * this says what it measured.
+    *
+    * Scale shape: one (arm, entity) aggregate (map-side partials)
+    * collapses the corpus to entity rows, then an arm-sized rollup. */
+  def conversionReport(df: DataFrame, arm: Column, entity: Column,
+      converted: Column): DataFrame = {
+    val per = df.groupBy(arm.as("arm"), entity.as("__e"))
+      .agg(max(converted.cast("int")).cast("long").as("__c"))
+    per.groupBy("arm").agg(count(lit(1)).as("n"), sum("__c").as("x"))
+      .withColumn("rate_pm", expr("(1000 * x) div n"))
+      .withColumn("__pt",
+        (col("x") + 2L).cast("double") / (col("n") + 4L).cast("double"))
+      .withColumn("__hw",
+        lit(2.0) * sqrt(col("__pt") * (lit(1.0) - col("__pt"))
+          / (col("n") + 4L).cast("double")))
+      .withColumn("ci_lo", col("__pt") - col("__hw"))
+      .withColumn("ci_hi", col("__pt") + col("__hw"))
+      .select("arm", "n", "x", "rate_pm", "ci_lo", "ci_hi")
+  }
+
   /** Benford's-law first-digit constants in per-mille:
     * round(log10(1 + 1/d)·1000) for d = 1..9 — published fixed
     * integers (Nigrini's MAD reference distribution), summing to

@@ -50,6 +50,16 @@ object PipelineQueries {
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
         censorWindowUs = 43200000000L, bucketUs = 21600000000L)),
 
+    // §2.5/43f2 per-arm conversion readout: users hash-split 50/25/25,
+    // a user converts if they ever purchase; exact per-mille rate +
+    // the Agresti–Coull z=2 interval (bit-stable IEEE op chain).
+    "q_conversion_ci" -> ((s, dir) =>
+      graft.quality.Validate.conversionReport(
+        Tables.events(s, dir),
+        graft.text.TextPrep.splitAssign(col("user_id"), 50, 25),
+        col("user_id"),
+        col("event_type") === "purchase")),
+
     // §2.2/22as12 leakage-safe LOO target encoding: each event's type
     // encoded as the mean value-cents of the OTHER events sharing it.
     "q_target_encode" -> ((s, dir) =>
@@ -500,6 +510,22 @@ object PipelineQueries {
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |       END AS km_q64
          |FROM st""".stripMargin,
+    "q_conversion_ci" ->
+      """WITH per AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50 THEN 'train'
+        |              WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 75 THEN 'val'
+        |              ELSE 'test' END AS arm,
+        |         user_id,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS x
+        |      FROM per GROUP BY arm),
+        |d AS (SELECT arm, n, x, (1000 * x) // n AS rate_pm,
+        |             CAST(x + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS pt
+        |      FROM a),
+        |h AS (SELECT *, 2.0 * sqrt(pt * (1.0 - pt) / CAST(n + 4 AS DOUBLE)) AS hw FROM d)
+        |SELECT arm, n, x, rate_pm, pt - hw AS ci_lo, pt + hw AS ci_hi
+        |FROM h""".stripMargin,
     "q_target_encode" ->
       """WITH b AS (
         |  SELECT event_id, event_type,

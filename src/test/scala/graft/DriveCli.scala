@@ -1183,6 +1183,9 @@ object DriveCli {
       "target-encode", "--key", "event_type",
       "--target", "cast(round(value * 100) as bigint)",
       "--outfile", s"$tmp/tenc"))
+    Cli.main(Array("-i", events, "-f", "parquet",
+      "conversion-ci", "--arm", "pmod(user_id, 2)", "--entity", "user_id",
+      "--converted", "event_type = 'purchase'", "--outfile", s"$tmp/convci"))
     locally {
       val spark = GraftSession.builder("verifyWave10", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
@@ -1197,7 +1200,11 @@ object DriveCli {
         graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/tenc"),
         graft.operators.Relational.RelationalOps(ev).targetEncodeLoo(col("event_type"),
           expr("cast(round(value * 100) as bigint)")))
-      println(s"TRIMMED_TARGETENC OK=${okTm && okTe}")
+      val okCi = same(
+        graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/convci"),
+        graft.quality.Validate.conversionReport(ev, expr("pmod(user_id, 2)"),
+          col("user_id"), expr("event_type = 'purchase'")))
+      println(s"TRIMMED_TARGETENC_CONVCI OK=${okTm && okTe && okCi}")
       spark.stop()
     }
 

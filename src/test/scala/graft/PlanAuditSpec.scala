@@ -474,7 +474,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_target_encode" -> 1,
     // q_trimmed_mean: one group window pass; the rollup reuses its
     // partitioning
-    "q_trimmed_mean" -> 1)
+    "q_trimmed_mean" -> 1,
+    // q_conversion_ci: the (arm, entity) aggregate; the arm rollup
+    // rides its partitioning (arm ⊂ (arm, entity))
+    "q_conversion_ci" -> 2)
 
   test("q_salted_join keeps the probe scan pruned despite the salt") {
     // the content-hash salt must hash a caller-chosen row key, not the

@@ -107,6 +107,26 @@ class ValidateSpec extends SparkSpecBase {
     assert(e.getMessage.contains("expected weights sum to 0"))
   }
 
+  test("conversionReport: entity-level conversion, exact rate, AC interval arithmetic") {
+    // arm A: users 1 (converts TWICE — counts once), 2, 3 → x=1 n=3
+    // arm B: user 9 converts → x=1 n=1
+    val df = Seq(
+      ("A", 1L, true), ("A", 1L, true), ("A", 1L, false),
+      ("A", 2L, false), ("A", 3L, false),
+      ("B", 9L, true)).toDF("arm", "u", "conv")
+    val got = graft.quality.Validate.conversionReport(
+        df, col("arm"), col("u"), col("conv"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._2 === 3L && got("A")._3 === 1L && got("A")._4 === 333L)
+    // the exact IEEE chain both engines replay
+    val pt = 3.0 / 7.0
+    val hw = 2.0 * math.sqrt(pt * (1.0 - pt) / 7.0)
+    assert(got("A")._5 === pt - hw && got("A")._6 === pt + hw)
+    // heavy converter in a 1-user arm: interval still inside sane bounds
+    assert(got("B")._3 === 1L && got("B")._5 > 0.0 && got("B")._6 < 1.2)
+  }
+
   test("benfordAudit: constants sum to 1000; all nine digits report; exact shares") {
     assert(graft.quality.Validate.BenfordPm.map(_._2).sum === 1000L)
     // 6 positive values: digits 1,1,2,9; zero and negative excluded
