@@ -71,10 +71,21 @@ object Bench {
     // locale-pinned: default-locale "%.3f" prints "1,234" under
     // comma-decimal locales — invalid JSON, parsed:null at the driver
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val top = results.sortBy(-_._2).take(50).sortBy(_._1)
+    // top-40 (not 50): the driver keeps only the last ~2000 chars of
+    // stdout and parses the compact line from there — the line plus
+    // sbt's trailing "[success]" banner must BOTH fit that tail, and
+    // 40 entries at ms precision leaves comfortable headroom. The
+    // full-precision all-queries map is in `out` either way. build.sbt
+    // sets run/outputStrategy := StdoutOutput so this line arrives
+    // unprefixed (sbt's default logger prepends "[info] ", which broke
+    // the driver's line-oriented JSON parse three rounds running).
+    val top = results.sortBy(-_._2).take(40).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"sf":"$sfDir","n_queries":${results.size},"full":"$out"}"""
     spark.stop()
+    // print AFTER spark.stop(): shutdown chatter lands above the line,
+    // keeping it the last (and tail-closest) stdout line of the run
+    println(line)
   }
 }

@@ -120,7 +120,12 @@ object Relational {
         loPerMille: Long, hiPerMille: Long): DataFrame = {
       require(0 <= loPerMille && loPerMille <= hiPerMille && hiPerMille <= 1000)
       val byG = Window.partitionBy("__g")
+      // NULL values never enter the rank order (n and the cutoff ranks
+      // count non-null values only — Spark ranks NULLS FIRST while the
+      // oracle ranks NULLS LAST, so letting them rank would shift the
+      // cutoffs engine-dependently) and winsorize to NULL below
       val cuts = df.select(group.as("__g"), value.cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
         .withColumn("__rk", row_number().over(byG.orderBy(col("__v").asc)))
         .withColumn("__n", count(lit(1)).over(byG))
         .withColumn("__klo", greatest(expr(s"(__n * $loPerMille + 999) div 1000"), lit(1L)))
@@ -129,10 +134,15 @@ object Relational {
         .groupBy("__g").agg(
           min(when(col("__rk") === col("__klo"), col("__v"))).as("lo_cut"),
           min(when(col("__rk") === col("__khi"), col("__v"))).as("hi_cut"))
-      df.join(broadcast(cuts), group <=> col("__g"))
+      df.join(broadcast(cuts), group <=> col("__g"), "left")
         .drop("__g")
         .withColumn("winsorized",
-          least(greatest(value.cast("long"), col("lo_cut")), col("hi_cut")))
+          // explicit NULL: Spark's least/greatest SKIP nulls, so a
+          // NULL value would otherwise clamp to lo_cut instead of
+          // staying NULL (and all-NULL groups carry no cuts row at
+          // all — hence the left join)
+          when(value.isNull, lit(null).cast("long"))
+            .otherwise(least(greatest(value.cast("long"), col("lo_cut")), col("hi_cut"))))
     }
 
     /** Leakage-safe target encoding (the leave-one-out variant): each
@@ -176,7 +186,11 @@ object Relational {
         loPerMille: Long, hiPerMille: Long): DataFrame = {
       require(0 <= loPerMille && loPerMille <= hiPerMille && hiPerMille <= 1000)
       val byG = Window.partitionBy("__g")
+      // NULLs are dropped before ranking (same contract as winsorize:
+      // Spark ranks NULLS FIRST, the oracle NULLS LAST — n counts
+      // non-null values only, and a missing value is not a tail)
       df.select(group.as("__g"), value.cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
         .withColumn("__rk", row_number().over(byG.orderBy(col("__v").asc)))
         .withColumn("__n", count(lit(1)).over(byG))
         .withColumn("__klo", greatest(expr(s"(__n * $loPerMille + 999) div 1000"), lit(1L)))
@@ -407,7 +421,13 @@ object Relational {
       * make the rank order immaterial (Σ i·xᵢ is tie-invariant), so
       * the statistic is deterministic without a tiebreak. NULL for
       * groups with zero total (all-zero values). One group-keyed
-      * exchange serves the rank window and the aggregate. */
+      * exchange serves the rank window and the aggregate.
+      *
+      * Overflow: Σ i·xᵢ and the cross-multiplied numerator accumulate
+      * as decimal(38,0) (the oracle's HUGEINT), exactly like the
+      * concentration/spearman siblings — BIGINT wraps at n·x̄ past
+      * 2⁶³ (a few billion rows of modest values), decimal holds to
+      * n²·x̄ < 10³⁸. The final ‰ quotient is long by construction. */
     def giniByGroup(group: Seq[Column], value: Column): DataFrame = {
       val outNames = df.select(group: _*).columns.toSeq
       val gNames = group.indices.map(i => s"__g$i")
@@ -418,8 +438,10 @@ object Relational {
       base
         .withColumn("__i", row_number().over(wOrd))
         .groupBy(gNames.map(col): _*)
-        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-          sum(col("__i") * col("__x")).as("__six"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x").cast("decimal(28,0)")).as("__sx"),
+          sum(col("__i").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+            .as("__six"))
         .withColumn("gini_pm",
           when(col("__sx") <= 0, lit(null).cast("long")).otherwise(
             expr("(1000 * (2 * __six - (n + 1) * __sx)) div (n * __sx)")))

@@ -200,28 +200,6 @@ object Timeseries {
     }
   }
 
-  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over an
-    * event log — "what share of users is still active after t
-    * buckets?" with the censoring done right: a user whose last event
-    * sits within `censorWindowUs` of the corpus horizon has NOT been
-    * observed to churn and only contributes to the at-risk counts,
-    * the error every naive retention query makes. Per user: lifetime
-    * = (last − first) in `bucketUs` buckets, churned iff the horizon
-    * is ≥ censorWindowUs past their last event. Per distinct
-    * lifetime t: n_risk = users with lifetime ≥ t, n_churn /
-    * n_censored leaving at t, and the product-limit survival
-    * Ŝ(t) = Π_{t'≤t} (1 − d/n) carried EXACTLY as the qlog64 sum
-    * km_q64 = Σ qlog64(n−d) − qlog64(n) (64 units = 1 bit of decay;
-    * the float product is one pow(2, km_q64/64) away, applied by the
-    * consumer so no cross-engine pow enters the gate). Ŝ hits exact
-    * zero only when everyone still at risk churns at one t — only
-    * possible at the maximum lifetime — reported as NULL (log 0).
-    *
-    * Scale shape: one user-keyed aggregate (map-side partial min/max)
-    * collapses the corpus to one row per user; the lifetime table is
-    * ≤ span/bucket rows, so the two cumulative windows run on a
-    * deliberately single-partition frame that is bounded by the time
-    * span, never by the corpus. Horizon is a 1-row broadcast. */
   /** Time-weighted average per key — the metric a plain mean gets
     * wrong whenever observations are irregularly spaced (a sensor
     * that reports MORE when the value is high biases the mean up;
@@ -263,6 +241,28 @@ object Timeseries {
             "(twap_num div twap_den) * 1000 + ((twap_num % twap_den) * 1000) div twap_den")))
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over an
+    * event log — "what share of users is still active after t
+    * buckets?" with the censoring done right: a user whose last event
+    * sits within `censorWindowUs` of the corpus horizon has NOT been
+    * observed to churn and only contributes to the at-risk counts,
+    * the error every naive retention query makes. Per user: lifetime
+    * = (last − first) in `bucketUs` buckets, churned iff the horizon
+    * is ≥ censorWindowUs past their last event. Per distinct
+    * lifetime t: n_risk = users with lifetime ≥ t, n_churn /
+    * n_censored leaving at t, and the product-limit survival
+    * Ŝ(t) = Π_{t'≤t} (1 − d/n) carried EXACTLY as the qlog64 sum
+    * km_q64 = Σ qlog64(n−d) − qlog64(n) (64 units = 1 bit of decay;
+    * the float product is one pow(2, km_q64/64) away, applied by the
+    * consumer so no cross-engine pow enters the gate). Ŝ hits exact
+    * zero only when everyone still at risk churns at one t — only
+    * possible at the maximum lifetime — reported as NULL (log 0).
+    *
+    * Scale shape: one user-keyed aggregate (map-side partial min/max)
+    * collapses the corpus to one row per user; the lifetime table is
+    * ≤ span/bucket rows, so the two cumulative windows run on a
+    * deliberately single-partition frame that is bounded by the time
+    * span, never by the corpus. Horizon is a 1-row broadcast. */
   def kaplanMeier(df: DataFrame, id: Column, tsUs: Column,
       censorWindowUs: Long, bucketUs: Long = 86400000000L): DataFrame = {
     require(censorWindowUs >= 0, "censorWindowUs must be non-negative")

@@ -684,12 +684,12 @@ object AnalyticQueries {
     "q_gini" ->
       """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
         |r AS (SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS i FROM b),
-        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-        |             CAST(sum(i * x) AS BIGINT) AS six
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |             sum(CAST(i AS HUGEINT) * x) AS six
         |      FROM r GROUP BY source)
         |SELECT source, n,
         |       CASE WHEN sx <= 0 THEN NULL
-        |            ELSE (1000 * (2 * six - (n + 1) * sx)) // (n * sx) END AS gini_pm
+        |            ELSE CAST((1000 * (2 * six - (n + 1) * sx)) // (n * sx) AS BIGINT) END AS gini_pm
         |FROM s""".stripMargin,
     "q_ols_trend" ->
       """WITH e AS (

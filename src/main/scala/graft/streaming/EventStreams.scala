@@ -265,7 +265,14 @@ object EventStreams {
 
   /** The current sample of a [[prioritySampleStream]] ledger:
     * (key, w, pri, tau, est), bit-equal to the batch operator over
-    * everything streamed so far. */
+    * everything streamed so far PROVIDED keys are unique across the
+    * stream: the ledger merge collapses duplicate keys to max(w) —
+    * that is what makes a crash-replayed batch idempotent — while the
+    * batch operator keeps same-key rows as independent candidates
+    * occupying separate top-(k+1) slots. Streams whose rows are
+    * observations of a keyed entity (the intended use) satisfy this;
+    * for multiset semantics make the key unique per row upstream
+    * (e.g. append an event id). */
   def currentPrioritySample(spark: org.apache.spark.sql.SparkSession,
       ledgerPath: String, k: Int): DataFrame =
     graft.sketch.Sketches.sampleFromCandidates(spark.read.parquet(ledgerPath), k)

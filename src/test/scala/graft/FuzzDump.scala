@@ -611,14 +611,17 @@ object FuzzDump {
     }
 
     // ---- trimmed mean: random per-mille bounds (incl. degenerate
-    // lo = hi and 0/1000), dense value ties, singleton groups ----
+    // lo = hi and 0/1000), dense value ties, singleton groups, and
+    // NULL values (dropped before ranking — the r10 ADVICE NULL
+    // contract; an all-NULL group vanishes entirely) ----
     for (seed <- 0 until seeds) {
       val rnd = new Random(seed * 7919 + 14)
       val nk = 1 + rnd.nextInt(4)
       val lo = rnd.nextInt(500).toLong
       val hi = lo + rnd.nextInt((1001 - lo).toInt)
       val t = (0 until 1 + rnd.nextInt(50)).map { _ =>
-        ("g" + rnd.nextInt(nk), rnd.nextInt(12).toLong - 3L)
+        ("g" + rnd.nextInt(nk),
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(12).toLong - 3L))
       }.toDF("g", "v")
       dump("trimmed_mean", seed, Map("t" -> t),
         graft.operators.Relational.RelationalOps(t)
@@ -627,7 +630,7 @@ object FuzzDump {
            |  SELECT g, v,
            |         row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
            |         count(*) OVER (PARTITION BY g) AS n
-           |  FROM t),
+           |  FROM t WHERE v IS NOT NULL),
            |k AS (
            |  SELECT g, CAST(max(n) AS BIGINT) AS n,
            |         CAST(count(*) AS BIGINT) AS n_kept,
@@ -640,6 +643,42 @@ object FuzzDump {
            |       (trimmed_sum // n_kept) * 1000
            |         + ((trimmed_sum % n_kept) * 1000) // n_kept AS trimmed_milli
            |FROM k""".stripMargin)
+    }
+
+    // ---- winsorize: NULL-bearing values (the r10 ADVICE case —
+    // NULLs must not shift the cutoff ranks and must clamp to NULL,
+    // not lo_cut), random bounds, singleton and all-NULL groups ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 15)
+      val nk = 1 + rnd.nextInt(4)
+      val lo = rnd.nextInt(500).toLong
+      val hi = lo + rnd.nextInt((1001 - lo).toInt)
+      val t = (0 until 1 + rnd.nextInt(50)).map { i =>
+        ("g" + rnd.nextInt(nk),
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(12).toLong - 3L),
+          i.toLong)
+      }.toDF("g", "v", "id")
+      dump("winsorize", seed, Map("t" -> t),
+        graft.operators.Relational.RelationalOps(t)
+          .winsorize(col("g"), col("v"), lo, hi)
+          .select("g", "v", "id", "lo_cut", "hi_cut", "winsorized"),
+        s"""WITH nn AS (SELECT g, v FROM t WHERE v IS NOT NULL),
+           |r AS (
+           |  SELECT g, v,
+           |         row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+           |         count(*) OVER (PARTITION BY g) AS n
+           |  FROM nn),
+           |cuts AS (
+           |  SELECT g,
+           |         CAST(min(CASE WHEN rk = greatest((n * $lo + 999) // 1000, 1)
+           |                       THEN v END) AS BIGINT) AS lo_cut,
+           |         CAST(min(CASE WHEN rk = greatest((n * $hi + 999) // 1000, 1)
+           |                       THEN v END) AS BIGINT) AS hi_cut
+           |  FROM r GROUP BY g)
+           |SELECT t.g, t.v, t.id, c.lo_cut, c.hi_cut,
+           |       CASE WHEN t.v IS NULL THEN NULL
+           |            ELSE least(greatest(t.v, c.lo_cut), c.hi_cut) END AS winsorized
+           |FROM t LEFT JOIN cuts c ON t.g = c.g""".stripMargin)
     }
 
     cases
