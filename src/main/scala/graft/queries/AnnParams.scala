@@ -24,6 +24,16 @@ object AnnParams {
   val MutualMod = 10
   val MutualK = 5
 
+  // ANN-backed mutual-kNN (q_mutual_knn_ann): same population slice
+  // and k as q_mutual_knn, IVF pre-screen sized for that slice. The
+  // operator takes suggestCentroids(N) at corpus scale — the gate pins
+  // a fixed, oracle-replayable build. Nprobe < centroids so the gate
+  // exercises the PRUNED path (the exhaustive nprobe = centroids case
+  // is the bit-equality spec in SimilaritySpec).
+  val MutualAnnCentroids = 8
+  val MutualAnnNprobe = 3
+  val MutualAnnIters = 2
+
   // IVF ANN (q_ann_ivf)
   val IvfK = 5
   val IvfCentroids = 16

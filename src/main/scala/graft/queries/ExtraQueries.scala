@@ -306,6 +306,24 @@ object ExtraQueries {
           m = AnnParams.PqM, subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK,
           pqIters = AnnParams.PqIters, refine = AnnParams.PqRefine)
         .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // §2.4/28h2 ANN-backed mutual-kNN: the corpus-scale form of
+    // q_mutual_knn — the brute population-vs-itself pass is replaced
+    // by an IVF pre-screen (cells from a deterministic Lloyd build,
+    // candidates from the probe⋈inverted-list cell join), so nothing
+    // population-sized broadcasts. The oracle replays the ENTIRE
+    // chain: population slice, IVF build, nprobe probe, exact ranked
+    // cosine, reciprocal self-join.
+    "q_mutual_knn_ann" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val pop = corpus.filter(pmod(col("vec_id"), lit(AnnParams.MutualMod)) === 0)
+      Similarity.mutualKnnAnn(pop, AnnParams.MutualK,
+          numCentroids = AnnParams.MutualAnnCentroids,
+          nprobe = AnnParams.MutualAnnNprobe,
+          lloydIters = AnnParams.MutualAnnIters)
+        .withColumn("rank_ab", col("rank_ab").cast("bigint"))
+        .withColumn("rank_ba", col("rank_ba").cast("bigint"))
     })
   )
 
@@ -318,26 +336,28 @@ object ExtraQueries {
 
   /** IVF-build replay, generated from [[AnnParams]]: the WITH-prefix
     * covering quantized corpus `n`, seeds (non-zero norm, smallest
-    * vec_ids), IvfLloydIters assign/floor-mean rounds (each guarded
+    * vec_ids), `iters` assign/floor-mean rounds (each guarded
     * cnrm > 0, mirroring IvfAnn.centroids), and the final inverted-list
-    * assignment `asg(vec_id, c_id)`. Shared by the q_ann_ivf and
-    * q_semdedup oracles — one replay, two consumers, zero drift.
+    * assignment `asg(vec_id, c_id)`. `src` names the CTE the build
+    * clusters (the full corpus `n`, or a slice declared via `extra`);
+    * shared by the q_ann_ivf / q_semdedup / q_mutual_knn_ann oracles —
+    * one replay, several consumers, zero drift.
     * Returns (ctePrefix, finalCentroidCteName). */
-  private lazy val ivfBuildCtes: (String, String) = {
-    import AnnParams.{IvfCentroids, IvfLloydIters}
+  private def ivfBuildCtesOn(src: String, centroids: Int, iters: Int,
+      extra: String = ""): (String, String) = {
     // one Lloyd round: assign corpus to cents `prev` → rebuild `c$i`
     def round(i: Int, prev: String): String = {
-      val cos = cosSql("n", "e", "nrm", "p", "ce", "cnrm")
+      val cos = cosSql(src, "e", "nrm", "p", "ce", "cnrm")
       raw"""a$i AS (
            |  SELECT vec_id, c_id FROM (
-           |    SELECT n.vec_id, p.c_id,
-           |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $cos DESC, p.c_id ASC) AS rn
-           |    FROM n CROSS JOIN $prev p
+           |    SELECT $src.vec_id, p.c_id,
+           |           row_number() OVER (PARTITION BY $src.vec_id ORDER BY $cos DESC, p.c_id ASC) AS rn
+           |    FROM $src CROSS JOIN $prev p
            |  ) WHERE rn = 1
            |),
            |e$i AS (
-           |  SELECT a$i.c_id, unnest(range(len(n.e))) AS i, unnest(n.e) AS v
-           |  FROM a$i JOIN n ON a$i.vec_id = n.vec_id
+           |  SELECT a$i.c_id, unnest(range(len($src.e))) AS i, unnest($src.e) AS v
+           |  FROM a$i JOIN $src ON a$i.vec_id = $src.vec_id
            |),
            |m$i AS (
            |  SELECT c_id, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
@@ -351,26 +371,30 @@ object ExtraQueries {
            |  ) WHERE cnrm > 0
            |)""".stripMargin
     }
-    val rounds = (1 to IvfLloydIters)
+    val rounds = (1 to iters)
       .map(i => round(i, if (i == 1) "seeds" else s"c${i - 1}"))
       .mkString(",\n")
-    val fin = s"c$IvfLloydIters"
-    val finCos = cosSql("n", "e", "nrm", "c", "ce", "cnrm")
-    val prefix = raw"""WITH ${DedupQueries.quantCte},
+    val fin = s"c$iters"
+    val finCos = cosSql(src, "e", "nrm", "c", "ce", "cnrm")
+    val extraPart = if (extra.isEmpty) "" else s"\n$extra,"
+    val prefix = raw"""WITH ${DedupQueries.quantCte},$extraPart
          |seeds AS (
-         |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n
-         |  WHERE nrm > 0 ORDER BY vec_id LIMIT $IvfCentroids
+         |  SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM $src
+         |  WHERE nrm > 0 ORDER BY vec_id LIMIT $centroids
          |),
          |$rounds,
          |asg AS (
          |  SELECT vec_id, c_id FROM (
-         |    SELECT n.vec_id, c.c_id,
-         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
-         |    FROM n CROSS JOIN $fin c
+         |    SELECT $src.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY $src.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM $src CROSS JOIN $fin c
          |  ) WHERE rn = 1
          |)""".stripMargin
     (prefix, fin)
   }
+
+  private lazy val ivfBuildCtes: (String, String) =
+    ivfBuildCtesOn("n", AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
 
   /** Full IVF ANN replay: the shared build prefix, then the nprobe
     * probe and exact ranked cosine over the probed cells. */
@@ -527,6 +551,46 @@ object ExtraQueries {
          |) WHERE rank <= $IvfK""".stripMargin
   }
 
+  /** ANN-backed mutual-kNN replay: the IVF build runs over the
+    * MutualMod population slice `pop` (MutualAnnCentroids cells,
+    * MutualAnnIters rounds), every population vector probes its
+    * MutualAnnNprobe nearest cells, exact cosine ranks the probed-cell
+    * candidates to MutualK, and the reciprocal self-join keeps pairs
+    * ranked mutually — q_mutual_knn's tail verbatim. */
+  private val mutualKnnAnnSql: String = {
+    import AnnParams.{MutualAnnCentroids, MutualAnnIters, MutualAnnNprobe, MutualK, MutualMod}
+    val (prefix, fin) = ivfBuildCtesOn("pop", MutualAnnCentroids, MutualAnnIters,
+      extra = s"pop AS (SELECT * FROM n WHERE vec_id % $MutualMod = 0)")
+    val finCos = cosSql("pop", "e", "nrm", "c", "ce", "cnrm")
+    raw"""$prefix,
+         |probe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT pop.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY pop.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM pop CROSS JOIN $fin c
+         |  ) WHERE rn <= $MutualAnnNprobe
+         |),
+         |cand AS (
+         |  SELECT p.q_id, b.vec_id AS nid, ${cosSql("a", "e", "nrm", "b", "e", "nrm")} AS cos
+         |  FROM probe p
+         |  JOIN asg g ON p.c_id = g.c_id
+         |  JOIN pop b ON g.vec_id = b.vec_id
+         |  JOIN pop a ON p.q_id = a.vec_id
+         |  WHERE p.q_id <> b.vec_id
+         |),
+         |knn AS (
+         |  SELECT q_id, nid, cos, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rnk
+         |    FROM cand
+         |  ) WHERE rnk <= $MutualK
+         |)
+         |SELECT a.q_id AS id_a, a.nid AS id_b,
+         |       CAST(a.rnk AS BIGINT) AS rank_ab,
+         |       CAST(b.rnk AS BIGINT) AS rank_ba, a.cos
+         |FROM knn a JOIN knn b ON a.q_id = b.nid AND a.nid = b.q_id
+         |WHERE a.q_id < a.nid""".stripMargin
+  }
+
   private val semDedupSql: String = {
     val (prefix, _) = ivfBuildCtes
     raw"""$prefix,
@@ -604,6 +668,7 @@ object ExtraQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
+    "q_mutual_knn_ann" -> mutualKnnAnnSql,
     "q_cluster_sample" -> {
       val (prefix, _) = ivfBuildCtes
       raw"""$prefix,

@@ -118,10 +118,42 @@ object Similarity {
     * population broadcasts against itself through a single scan +
     * bounded GroupTopK), then the mutual check is a self-join of the
     * k·N edge list on the reversed key — edge-list-sized, never
-    * corpus-sized. */
-  def mutualKnn(population: DataFrame, k: Int): DataFrame = {
-    val knn = graft.operators.Checkpoints.eager(
-      cosineTopK(population, population, k))
+    * corpus-sized. The population broadcast bounds this form: for
+    * populations past broadcast size use [[mutualKnnAnn]], which
+    * replaces the brute pass with an IVF pre-screen and never
+    * broadcasts the population. */
+  def mutualKnn(population: DataFrame, k: Int): DataFrame =
+    reciprocalPairs(graft.operators.Checkpoints.eager(
+      cosineTopK(population, population, k)))
+
+  /** Mutual-kNN with an IVF pre-screen — the corpus-scale form of
+    * [[mutualKnn]]: the population is clustered by the deterministic
+    * IVF coarse quantizer ([[IvfAnn.centroids]]), each vector probes
+    * its `nprobe` nearest cells, candidates come from a cell-id
+    * equi-join of probes against inverted lists, and the exact
+    * integer-cosine top-k + reciprocal self-join run on that bounded
+    * candidate stream. Per-vector work drops from O(N) to
+    * O(N·nprobe/numCentroids) — at numCentroids ≈ √N
+    * ([[IvfAnn.suggestCentroids]]) total pair work is O(nprobe·N^1.5)
+    * instead of O(N²), and nothing population-sized is ever broadcast
+    * (the only broadcast is the numCentroids-row centroid table; the
+    * probe⋈list join shuffles on cell id).
+    *
+    * Semantics: identical contract to [[mutualKnn]] restricted to the
+    * probed-cell neighbor graph — a reciprocal pair is kept iff each
+    * side ranks the other within ITS top-k among its own probed
+    * candidates. At nprobe = numCentroids the screen is exhaustive
+    * and the output is bit-equal to [[mutualKnn]] (SimilaritySpec
+    * pins this; IvfRecallSpec covers the recall-vs-nprobe curve). */
+  def mutualKnnAnn(population: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      lloydIters: Int = 1): DataFrame =
+    reciprocalPairs(graft.operators.Checkpoints.eager(
+      IvfAnn.annIvf(population, population, k, numCentroids, nprobe, lloydIters)))
+
+  /** Shared mutual tail: keep (a, b) iff each appears in the other's
+    * directed top-k edge list — a self-join of the k·N edge list on
+    * the reversed key, edge-list-sized, never corpus-sized. */
+  private def reciprocalPairs(knn: DataFrame): DataFrame = {
     val rev = knn.select(col("q_id").as("__rq"), col("neighbor_id").as("__rn"),
       col("rank").as("rank_ba"))
     knn.join(rev, col("q_id") === col("__rn") && col("neighbor_id") === col("__rq"))

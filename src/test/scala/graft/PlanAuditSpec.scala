@@ -466,6 +466,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_mutual_knn: the bounded GroupTopK q_id exchange + the
     // edge-list self-join on the reversed key
     "q_mutual_knn" -> 2,
+    // q_mutual_knn_ann: the IVF edge list is loop-checkpointed (its
+    // own 5-exchange budget is q_ann_ivf's); the visible tail is the
+    // reciprocal self-join on the reversed key
+    "q_mutual_knn_ann" -> 2,
     // q_cc_sizes: cluster-size aggregate + size-histogram aggregate
     // over the (lineage-cut) components frame
     "q_cc_sizes" -> 2,

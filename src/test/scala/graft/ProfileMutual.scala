@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{IvfAnn, Similarity}
+
+// scratch: the mutual-kNN scale-up story (r10 verdict item 1). The
+// embeddings table is amplified x1/x4/x16 (ProfileScaleUp.amplify —
+// rotated copies, genuinely new vectors) and the mod-10 population is
+// run through three forms:
+//   brute      — mutualKnn (population broadcast, the r10 weak row)
+//   ann_fixed  — mutualKnnAnn at the GATE params (8 cells, nprobe 3):
+//                candidate work is N²·nprobe/cells, still quadratic —
+//                the fixed build is for oracle replay, not scale
+//   ann_scaled — mutualKnnAnn with cells = suggestCentroids(N) (≈ √N),
+//                nprobe 3: candidate work nprobe·N^1.5, the dial the
+//                operator doc prescribes at corpus scale
+// alpha = log4(t_hi/t_lo); the scaled form must sit materially below
+// the brute 0.46 from dev/scaleup_r10d.json.
+// sbt "Test/runMain graft.ProfileMutual" → dev/scaleup_mutual_r11.json
+object ProfileMutual {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("prof-mutual", "local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outFile = sys.env.getOrElse("SCALEUP_OUT", "dev/scaleup_mutual_r11.json")
+    // optional arg: population density (vec_id mod). The gate's mod-10
+    // slice is too sparse for the quadratic to bite inside the sandbox
+    // (3200 vectors at x16 ≈ 10M pair dots — overhead-bound for every
+    // form); mod 2 gives 16k vectors at x16 (256M brute pair dots),
+    // where the brute/ANN separation is actually visible.
+    val popMod = if (args.nonEmpty) args(0).toInt else queries.AnnParams.MutualMod
+
+    val factors = Seq(1, 4, 16)
+    val dirs = factors.map(m => m -> ProfileScaleUp.amplify(spark, m)).toMap
+
+    def pop(dir: String) = Similarity.prepareQuantized(
+      graft.sources.Tables.embeddings(spark, dir), col("embedding"), col("vec_id"), col("label"))
+      .filter(pmod(col("vec_id"), lit(popMod)) === 0)
+
+    // the coarse-quantizer sizing is a caller-side decision on a
+    // corpus count the caller already has — counted outside the timer
+    val popSizes = factors.map(m => m -> pop(dirs(m)).count()).toMap
+
+    val forms: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "mutual_brute" -> (m => Similarity.mutualKnn(pop(dirs(m)), queries.AnnParams.MutualK)),
+      "mutual_ann_fixed" -> (m => Similarity.mutualKnnAnn(pop(dirs(m)), queries.AnnParams.MutualK,
+        numCentroids = queries.AnnParams.MutualAnnCentroids,
+        nprobe = queries.AnnParams.MutualAnnNprobe,
+        lloydIters = queries.AnnParams.MutualAnnIters)),
+      "mutual_ann_scaled" -> (m => Similarity.mutualKnnAnn(pop(dirs(m)), queries.AnnParams.MutualK,
+        numCentroids = IvfAnn.suggestCentroids(popSizes(m)),
+        nprobe = queries.AnnParams.MutualAnnNprobe,
+        lloydIters = queries.AnnParams.MutualAnnIters)))
+
+    def time(mk: Int => org.apache.spark.sql.DataFrame, m: Int): Double = {
+      val t0 = System.nanoTime()
+      mk(m).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Checkpoints.releaseAll()
+      dt
+    }
+
+    // warmup on the largest amplification → steady-state timings
+    for ((_, mk) <- forms) { try time(mk, 16) catch { case _: Throwable => } }
+
+    val results = for ((n, mk) <- forms) yield {
+      val per = for (m <- factors) yield {
+        time(mk, m)
+        math.min(time(mk, m), time(mk, m))
+      }
+      n -> per
+    }
+
+    def alpha(lo: Double, hi: Double): Double = math.log(hi / lo) / math.log(4.0)
+    println(f"${"form"}%-18s ${"pop_x1"}%7s ${"pop_x16"}%8s")
+    println(f"${"(population)"}%-18s ${popSizes(1)}%7d ${popSizes(16)}%8d")
+    println(f"${"form"}%-18s ${"x1"}%8s ${"x4"}%8s ${"x16"}%8s ${"a(1->4)"}%8s ${"a(4->16)"}%9s")
+    val rows = results.map { case (n, Seq(a, b, c)) =>
+      println(f"$n%-18s $a%8.3f $b%8.3f $c%8.3f ${alpha(a, b)}%8.2f ${alpha(b, c)}%9.2f")
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      s"""{"query":"$n","x1":$a,"x4":$b,"x16":$c,""" +
+        s""""alpha_1_4":${alpha(a, b)},"alpha_4_16":${alpha(b, c)},""" +
+        s""""pop_x1":${popSizes(1)},"pop_x16":${popSizes(16)}}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      rows.mkString("[\n", ",\n", "\n]"))
+    spark.stop()
+  }
+}

@@ -25,7 +25,7 @@ object ProfileScaleUp {
     when(size(a) > k,
       concat(slice(a, lit(k + 1), size(a) - k), slice(a, lit(1), lit(k)))).otherwise(a)
 
-  private def amplify(spark: SparkSession, m: Int): String = {
+  private[graft] def amplify(spark: SparkSession, m: Int): String = {
     val dir = s"$root/x$m"
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")

@@ -43,6 +43,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("mutualKnnAnn at exhaustive probe settings is bit-equal to mutualKnn") {
+    // 40 deterministic pseudo-random vectors — big enough that the IVF
+    // cells are non-trivial and reciprocal edges exist
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val pop = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val brute = Similarity.mutualKnn(pop, k = 3)
+      .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+      .as[(Long, Long, Int, Int, Double)].collect().toSet
+    // nprobe = numCentroids → the screen is exhaustive: every cell is
+    // probed, the candidate set is the full population, bit-equality
+    val ann = Similarity.mutualKnnAnn(pop, k = 3, numCentroids = 5, nprobe = 5, lloydIters = 2)
+      .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+      .as[(Long, Long, Int, Int, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(ann === brute)
+  }
+
+  test("mutualKnnAnn pruned to one probe still recovers in-cell mutual pairs") {
+    // two tight, well-separated clusters: the IVF build puts each in
+    // its own cell, so even nprobe = 1 keeps all within-cluster
+    // candidates and the mutual pairs inside each cluster survive
+    val pts = Seq(
+      (10L, 1, Array(1.0f, 0.02f, 0.0f)), (11L, 1, Array(0.98f, 0.05f, 0.0f)),
+      (12L, 1, Array(1.0f, 0.0f, 0.03f)),
+      (20L, 2, Array(0.02f, 1.0f, 0.0f)), (21L, 2, Array(0.0f, 0.97f, 0.05f)),
+      (22L, 2, Array(0.04f, 1.0f, 0.01f))
+    ).toDF("vec_id", "label", "embedding")
+    val pop = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val ann = Similarity.mutualKnnAnn(pop, k = 2, numCentroids = 2, nprobe = 1, lloydIters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every vector's 2 nearest within its cell are its cluster-mates →
+    // all three within-cluster pairs of each cluster are mutual
+    assert(ann === Set((10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (21L, 22L)))
+  }
+
   test("annLsh candidates agree with brute force on its bucket hits") {
     val qs = corpus.filter(col("vec_id") === 100L)
     val ann = Similarity.annLsh(corpus, qs, bits = 4, dim = 3, k = 3)
