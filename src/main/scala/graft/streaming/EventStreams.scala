@@ -277,6 +277,33 @@ object EventStreams {
       ledgerPath: String, k: Int): DataFrame =
     graft.sketch.Sketches.sampleFromCandidates(spark.read.parquet(ledgerPath), k)
 
+  /** Streaming incremental clustering: every micro-batch of near-dup
+    * pairs (e.g. the output of a band-index probe on a crawl drop) is
+    * merged into the persisted [[graft.dedup.ClusterLedger]] — the
+    * foreachBatch form of the batch append, so cluster labels stay
+    * current as drops arrive without ever recomputing components
+    * corpus-wide. Exactly-once semantics come for free from the
+    * ledger's own algebra rather than the checkpoint alone: min-label
+    * merging is a semilattice fold, so a crash-replayed batch merges
+    * edges the ledger already absorbed and changes nothing
+    * (StreamingSpec pins batch-parity and replay idempotence). */
+  def clusterStream(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      ledgerPath: String,
+      checkpointDir: String,
+      numBuckets: Int = 64
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.dedup.ClusterLedger.append(ledgerPath, batch.toDF(), aCol, bCol, numBuckets)
+        ()
+      }
+      .start()
+
   /** Streaming novelty screen: the streaming counterpart of
     * `Dedup.minhashNovel` — every micro-batch of incoming documents is
     * screened against the STATIC corpus by MinHash-LSH band collision

@@ -1111,4 +1111,33 @@ class StreamingSpec extends SparkSpecBase {
       .orderBy("key").as[(Long, Long, Long)].collect().toSeq
     assert(again === before)
   }
+
+  test("clusterStream: streamed drop merges equal batch CC over the union; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // near-dup pairs (a, b)
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_stream").toString
+    val (path, ckpt) = (s"$tmp/ledger", s"$tmp/ckpt")
+    val q = EventStreams.clusterStream(
+      mem.toDF().toDF("a", "b"), "a", "b", path, ckpt, numBuckets = 8)
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 10L))
+    val b2 = Seq((2L, 3L), (5L, 6L), (4L, 20L)) // bridges {1,2}+{3,4}, adds {5,6}, attaches 20
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = graft.dedup.ClusterLedger.labels(spark, path)
+      .as[(Long, Long)].collect().toSet
+    val direct = graft.dedup.Components.connectedComponents(
+        (b1 ++ b2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === direct)
+
+    // crash-replay shape: re-appending the already-absorbed batch is a
+    // no-op — min-label merging is a semilattice fold
+    val stats = graft.dedup.ClusterLedger.append(path, b2.toDF("a", "b"), "a", "b", numBuckets = 8)
+    assert(stats.relabeled === 0L && stats.newIds === 0L)
+    val replayed = graft.dedup.ClusterLedger.labels(spark, path)
+      .as[(Long, Long)].collect().toSet
+    assert(replayed === direct)
+  }
 }
