@@ -91,6 +91,73 @@ object Decontam {
         col("precision_pm"), col("recall_pm"))
   }
 
+  /** Semantic (embedding-space) decontamination — the screen the
+    * n-gram check cannot be: a PARAPHRASED benchmark item shares few
+    * exact n-grams with its source but still sits next to it in
+    * embedding space (the word-shuffle adversary passes
+    * [[ngramContamination]] untouched and scores cosine 1.0 here,
+    * spec-pinned). Embeds both sides with the signed hashed
+    * bag-of-words projection ([[graft.text.HashEmbed]] — integer
+    * vectors, exact cross-engine) and flags every (corpus doc,
+    * benchmark doc) pair with quantized cosine ≥ `tau`. Callers with
+    * real model embeddings use [[semanticContaminationVectors]]
+    * directly.
+    *
+    * Shape for 100 TB: the benchmark side is small by nature — its
+    * embedding table is broadcast; the corpus is scanned once,
+    * embedded in-row (zero shuffles — the HashedBow expression is
+    * narrow), and only flagged pairs survive. Zero-norm (empty)
+    * documents on either side never flag: cosine is undefined there,
+    * and an empty doc is not contamination. */
+  def semanticContamination(
+      corpus: DataFrame, text: Column, id: Column,
+      bench: DataFrame, benchText: Column, benchId: Column,
+      dim: Int, tau: Double): DataFrame =
+    semanticContaminationVectors(
+      graft.text.HashEmbed.embedDocuments(corpus, text, id, dim),
+      graft.text.HashEmbed.embedDocuments(bench, benchText, benchId, dim),
+      tau)
+
+  /** Caller-embedding form of [[semanticContamination]]: both sides
+    * already carry (vec_id, e, nrm) in [[graft.similarity.Similarity.prepareQuantized]]
+    * shape. Returns (doc_id, bench_id, cos) for pairs at cosine ≥ tau. */
+  def semanticContaminationVectors(
+      corpus: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    import graft.similarity.Similarity.{cosineQ, dotQ}
+    broadcast(bench.select(col("vec_id").as("bench_id"), col("e").as("__be"),
+        col("nrm").as("__bnrm")).filter(col("__bnrm") > 0))
+      .crossJoin(corpus.filter(col("nrm") > 0))
+      .withColumn("cos", cosineQ(dotQ(col("e"), col("__be")), col("nrm"), col("__bnrm")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id").as("doc_id"), col("bench_id"), col("cos"))
+  }
+
+  /** Combined contamination verdict: the n-gram screen and the
+    * semantic screen side by side, one row per (doc, bench) pair
+    * either flags — `verdict` ∈ both | ngram_only | semantic_only.
+    * `ngram_only` pairs are usually verbatim-quote leakage the
+    * embedding blurred; `semantic_only` pairs are the paraphrases the
+    * gram screen is blind to; `both` is the highest-confidence
+    * removal set. One full-outer join of two flagged-pair streams —
+    * contamination-bounded, never corpus-bounded. */
+  def contaminationReport(
+      corpus: DataFrame, text: Column, id: Column,
+      bench: DataFrame, benchText: Column, benchId: Column,
+      n: Int, minHits: Long, dim: Int, tau: Double): DataFrame = {
+    val ng = ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
+      .select(col("doc_id").as("__nd"), col("bench_id").as("__nb"), col("n_hits"))
+    val sem = semanticContamination(corpus, text, id, bench, benchText, benchId, dim, tau)
+      .select(col("doc_id").as("__sd"), col("bench_id").as("__sb"), col("cos"))
+    ng.join(sem, col("__nd") === col("__sd") && col("__nb") === col("__sb"), "full_outer")
+      .select(
+        coalesce(col("__nd"), col("__sd")).as("doc_id"),
+        coalesce(col("__nb"), col("__sb")).as("bench_id"),
+        col("n_hits"), col("cos"),
+        when(col("__nd").isNotNull && col("__sd").isNotNull, lit("both"))
+          .when(col("__nd").isNotNull, lit("ngram_only"))
+          .otherwise(lit("semantic_only")).as("verdict"))
+  }
+
   /** The clean corpus: drop every document flagged against any
     * benchmark document — the removal step downstream of the audit
     * view above. */

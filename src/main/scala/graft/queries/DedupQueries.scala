@@ -141,6 +141,23 @@ object DedupQueries {
         n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
     }),
 
+    // §2.3/22be3 semantic decontamination + combined verdict: the
+    // n-gram screen (22be) and the hashed-BoW cosine screen side by
+    // side — one row per (doc, bench) pair either flags, verdict ∈
+    // both | ngram_only | semantic_only. The semantic side catches the
+    // paraphrase leakage the gram screen is blind to (spec: a
+    // word-shuffled bench doc passes the gram screen, flags here at
+    // cos 1.0). Bench side broadcast, corpus embedded in-row; the
+    // full-outer verdict join is contamination-bounded.
+    "q_decontam_sem" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) === 0), col("text"), col("doc_id"),
+        n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits,
+        dim = PrepParams.HashDim, tau = PrepParams.SemDecontamTau)
+    }),
+
     // §2.3/26b stop-gram audit: the grams a DocFreqCap(4) would drop
     // from the exact pair sweep, with their df and C(df,2) pair cost —
     // the transparency report beside this round's cap-by-default.
@@ -190,6 +207,26 @@ object DedupQueries {
         col("text"), col("doc_id"),
         shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true)
         .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // §2.3/24e5 incremental connected-components ledger: the minhash
+    // pair graph split into two deterministic drops and appended in
+    // sequence to a FRESH ledger — labels after the second append must
+    // equal the full-graph clustering exactly (the oracle is the same
+    // recursive transitive closure as q_dedup_cluster). This gates the
+    // whole incremental path: cluster-graph projection, drop-sized
+    // union-find merge, affected-bucket-only relabel.
+    "q_cluster_incr" -> ((s, dir) => {
+      val pairs = graft.operators.Checkpoints.eager(Dedup.minhashCandidatePairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true))
+      val path = java.nio.file.Files.createTempDirectory("graft_cluster_incr").toString
+      graft.dedup.ClusterLedger.append(path,
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), "doc_a", "doc_b")
+      graft.dedup.ClusterLedger.append(path,
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) =!= 0), "doc_a", "doc_b")
+      graft.operators.Checkpoints.release(pairs)
+      graft.dedup.ClusterLedger.labels(s, path).withColumnRenamed("id", "doc_id")
     }),
 
     // §2.3/24e3 corpus snapshot diff: key-level lifecycle audit between
@@ -906,6 +943,35 @@ object DedupQueries {
            |FROM cg JOIN bg USING (g)
            |GROUP BY doc_id, bench_id
            |HAVING count(*) >= ${PrepParams.DecontamMinHits}""".stripMargin,
+    "q_decontam_sem" ->
+      raw"""WITH $shinglesCte,
+           |cg AS (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % ${PrepParams.BenchMod} <> 0),
+           |bg AS (SELECT doc_id AS bench_id, unnest(g) AS g FROM sh WHERE doc_id % ${PrepParams.BenchMod} = 0),
+           |ng AS (
+           |  SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM cg JOIN bg USING (g)
+           |  GROUP BY doc_id, bench_id
+           |  HAVING count(*) >= ${PrepParams.DecontamMinHits}),
+           |$hashEmbCte,
+           |n AS (
+           |  SELECT doc_id AS vec_id, list(v ORDER BY pos) AS e,
+           |         CAST(sum(v * v) AS BIGINT) AS nrm
+           |  FROM comp GROUP BY 1),
+           |sem AS (
+           |  SELECT doc_id, bench_id, cos FROM (
+           |    SELECT a.vec_id AS doc_id, b.vec_id AS bench_id, $cosExpr AS cos
+           |    FROM n a JOIN n b
+           |      ON a.vec_id % ${PrepParams.BenchMod} <> 0 AND b.vec_id % ${PrepParams.BenchMod} = 0
+           |    WHERE a.nrm > 0 AND b.nrm > 0
+           |  ) WHERE cos >= ${PrepParams.SemDecontamTau})
+           |SELECT coalesce(ng.doc_id, sem.doc_id) AS doc_id,
+           |       coalesce(ng.bench_id, sem.bench_id) AS bench_id,
+           |       ng.n_hits, sem.cos,
+           |       CASE WHEN ng.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL THEN 'both'
+           |            WHEN ng.doc_id IS NOT NULL THEN 'ngram_only'
+           |            ELSE 'semantic_only' END AS verdict
+           |FROM ng FULL OUTER JOIN sem
+           |  ON ng.doc_id = sem.doc_id AND ng.bench_id = sem.bench_id""".stripMargin,
     "q_stop_grams" ->
       raw"""WITH $shinglesCte,
            |g AS (SELECT doc_id, unnest(g) AS g FROM sh),
@@ -946,6 +1012,9 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_keep_best" -> keepBestSql,
     "q_dedup_cluster" -> clusterSql,
+    // the incremental ledger must land on the full-graph fixpoint —
+    // same closure, same node set (every id any drop mentioned)
+    "q_cluster_incr" -> clusterSql,
     "q_cc_sizes" ->
       s"""WITH t AS ($clusterSql)
          |SELECT size, n_clusters, size * n_clusters AS n_docs,

@@ -12,6 +12,13 @@ object PrepParams {
   val DecontamN = 3
   val DecontamMinHits = 3
 
+  // q_decontam_sem: hashed-BoW cosine threshold for the semantic
+  // screen. Probed on the synthetic corpora: 0.8 flags a real pair set
+  // (564 at sf0.001, 391 at sf0.01) while 0.9 leaves single digits —
+  // real model embeddings would sit at 0.9+ (the SemDeDup experience);
+  // the hashed projection is noisier, hence the lower gate point.
+  val SemDecontamTau = 0.8
+
   // q_source_overlap: md5 fingerprint of the first OpeningTokens tokens
   val OpeningTokens = 5
 

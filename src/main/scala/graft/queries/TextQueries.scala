@@ -168,6 +168,33 @@ object TextQueries {
       graft.text.Search.bm25Rank(Tables.documents(s, dir), col("text"), col("doc_id"),
         terms = PrepParams.Bm25Terms, topK = PrepParams.Bm25TopK)),
 
+    // §2.5/50f trained linear reranker: class-centroid-difference
+    // weights (exact cross-multiplied integers, order-independent —
+    // the one-pass linear discriminant) learned on the doc_id%5≠0
+    // split with label lang='en' over four integer features (tokens,
+    // chars, distinct tokens, digit chars), then the held-out docs
+    // reranked per source by Σw·x. The oracle replays training AND
+    // scoring; ranks are the deterministic (score desc, id) order.
+    "q_rerank" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val f = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("lang"),
+        size(toks).cast("long").as("f1"),
+        col("n_chars").cast("long").as("f2"),
+        size(array_distinct(toks)).cast("long").as("f3"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("f4"))
+      val feats = Seq(col("f1"), col("f2"), col("f3"), col("f4"))
+      val w = graft.text.Rerank.trainLinear(
+        f.filter(pmod(col("doc_id"), lit(5)) =!= 0), feats,
+        (col("lang") === "en").cast("long"))
+      graft.text.Rerank.rerank(
+          f.filter(pmod(col("doc_id"), lit(5)) === 0),
+          col("source"), feats, w, col("doc_id"))
+        .filter(col("rr_rank") <= 10)
+        .select(col("doc_id"), col("source"), col("rr_score"),
+          col("rr_rank").cast("bigint").as("rank"))
+    }),
+
     // §2.5/32b tokenizer fertility per language: subtokens-per-word
     // ratio (the "how much does this tokenizer fragment lang X"
     // diagnostic that drives vocab sizing). Integer sums + one
@@ -927,6 +954,41 @@ object TextQueries {
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
            |FROM documents""".stripMargin,
+    "q_rerank" ->
+      raw"""WITH f AS (
+           |  SELECT doc_id, source, lang,
+           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f1,
+           |         CAST(n_chars AS BIGINT) AS f2,
+           |         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS f3,
+           |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f4
+           |  FROM documents),
+           |tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+           |c AS (
+           |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+           |  FROM tr),
+           |s AS (
+           |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN f1 ELSE 0 END) AS BIGINT) AS sp1,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f1 END) AS BIGINT) AS sn1,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN f2 ELSE 0 END) AS BIGINT) AS sp2,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f2 END) AS BIGINT) AS sn2,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN f3 ELSE 0 END) AS BIGINT) AS sp3,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f3 END) AS BIGINT) AS sn3,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN f4 ELSE 0 END) AS BIGINT) AS sp4,
+           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f4 END) AS BIGINT) AS sn4
+           |  FROM tr),
+           |w AS (
+           |  SELECT n_neg * sp1 - n_pos * sn1 AS w1, n_neg * sp2 - n_pos * sn2 AS w2,
+           |         n_neg * sp3 - n_pos * sn3 AS w3, n_neg * sp4 - n_pos * sn4 AS w4
+           |  FROM s CROSS JOIN c),
+           |sc AS (
+           |  SELECT doc_id, source, f1 * w1 + f2 * w2 + f3 * w3 + f4 * w4 AS rr_score
+           |  FROM f CROSS JOIN w WHERE doc_id % 5 = 0)
+           |SELECT doc_id, source, rr_score, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY source ORDER BY rr_score DESC, doc_id) AS BIGINT) AS rank
+           |  FROM sc)
+           |WHERE rank <= 10""".stripMargin,
     "q_quality" ->
       raw"""WITH t AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents

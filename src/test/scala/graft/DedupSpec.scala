@@ -452,4 +452,32 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(verb.toSeq === Seq((7L, 100L, 2L, 2L, 1000L, 1000L)))
   }
+
+  test("semantic decontamination catches the word-shuffle paraphrase the n-gram screen misses") {
+    import graft.dedup.Decontam
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // doc 1: SAME bag of words, shuffled — shares zero 3-grams with
+    // the source (hand-checked), so the gram screen is blind to it;
+    // the hashed-BoW embedding is bit-identical → cosine ≈ 1.0
+    val corpus = Seq(
+      (1L, "dog tonight jumps quick the brown over lazy fox the"),
+      (2L, "completely unrelated text about catalyst plans and wide shuffles")
+    ).toDF("doc_id", "text")
+    val ng = Decontam.ngramContamination(
+      corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"),
+      n = 3, minHits = 1)
+    assert(ng.count() === 0L) // the paraphrase passes the gram screen
+    val sem = Decontam.semanticContamination(
+        corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"),
+        dim = 64, tau = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(sem.map(r => (r._1, r._2)).toSet === Set((1L, 100L)))
+    assert(sem.head._3 > 0.999) // identical integer vectors
+    val rep = Decontam.contaminationReport(
+        corpus, col("text"), col("doc_id"), bench, col("text"), col("doc_id"),
+        n = 3, minHits = 1, dim = 64, tau = 0.99)
+      .select("doc_id", "bench_id", "verdict").as[(Long, Long, String)].collect().toSet
+    assert(rep === Set((1L, 100L, "semantic_only")))
+  }
 }
