@@ -62,12 +62,18 @@ import graft.sources.PartitionedFiles
   *       per rule — the pre-ingest gate run before a batch is
   *       promoted (all rules evaluated in ONE pass over the data)
   *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
-  *                  [--max-changed-pm 50]] [--action promote|rollback|vacuum|current]
+  *                  [--max-changed-pm 50]]
+  *                  [--action promote|rollback|vacuum|current|history|read-version]
+  *                  [--to-version N] [--retain 2]
   *       write-audit-publish versioned corpus: stage -i under --root,
   *       gate on the validate suite + optional live-vs-staged churn
   *       limit, atomically swap the manifest pointer on pass; a
   *       refused promotion exits nonzero and leaves the live version
-  *       untouched
+  *       untouched. rollback PUBLISHES the target (--to-version N or
+  *       one step back) as a new version — history never rewrites;
+  *       history lists the manifest chain with retention flags;
+  *       read-version time-travels; vacuum GCs outside --retain
+  *       (live + previous always kept)
   *   decontam       --bench PATH --text text --id doc_id [--bench-text text]
   *                  [--bench-id doc_id] [--n 3] [--min-hits 3] [--emit clean|flags]
   *       benchmark decontamination: drop (or just flag, --emit flags)
@@ -1235,16 +1241,33 @@ object Cli {
               write(rows.toDF("kind", "name", "value"))
               if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
             case "rollback" =>
-              val m = graft.sources.Versioned.rollback(root)
+              // --to-version N targets any retained chain version;
+              // without it, one step back. Either way the rollback is
+              // PUBLISHED as a new version — history never rewrites.
+              val m = opts.get("to-version")
+                .map(v => graft.sources.Versioned.rollback(root, v.toInt))
+                .getOrElse(graft.sources.Versioned.rollback(root))
               write(Seq(("outcome", "version", m.version.toString),
                 ("outcome", "path", m.path)).toDF("kind", "name", "value"))
             case "vacuum" =>
-              write(graft.sources.Versioned.vacuum(root).toDF("dropped"))
+              write(graft.sources.Versioned.vacuum(root,
+                retainLast = opts.getOrElse("retain", "2").toInt).toDF("dropped"))
             case "current" =>
               val m = graft.sources.Versioned.currentManifest(root)
                 .getOrElse(fail(s"no live version under $root"))
               write(Seq(("outcome", "version", m.version.toString),
                 ("outcome", "path", m.path)).toDF("kind", "name", "value"))
+            case "history" =>
+              // the manifest chain, ascending; vacuumed versions show
+              // retained = false but keep their audit entry
+              val rows = graft.sources.Versioned.versions(root).map { m =>
+                (m.version, m.path, m.previous.getOrElse(""),
+                  new java.io.File(root, m.path).exists())
+              }
+              write(rows.toDF("version", "path", "previous", "retained"))
+            case "read-version" =>
+              write(graft.sources.Versioned.readVersion(spark, root,
+                opts.getOrElse("to-version", fail("--to-version N required")).toInt))
             case o => fail(s"unknown --action: $o")
           }
         case other => fail(s"unknown command: $other")

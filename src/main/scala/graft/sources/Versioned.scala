@@ -27,7 +27,15 @@ import graft.quality.Validate
   *    (in-flight readers of version N−1 survive a promotion to N);
   *  - a crashed promotion leaves at most a stale `_staging_*`
   *    directory, which the next promotion clears — never a
-  *    half-written live version.
+  *    half-written live version;
+  *  - every publish (promote or rollback) appends an IMMUTABLE
+  *    `_v%05d.json` entry to the manifest chain — [[versions]] lists
+  *    it, [[readVersion]] time-travels through it, [[rollback]]
+  *    re-publishes an old version's directory as a NEW version (the
+  *    audit trail records the rollback; history is never rewritten),
+  *    and [[vacuum]] GCs directories outside the retention window
+  *    while keeping the chain entries so a vacuumed version reads as
+  *    "vacuumed", not "unknown".
   *
   * The audit has two gates: a [[Validate.Check]] expectation suite
   * (every rule must report 0 violations) and an optional
@@ -70,6 +78,7 @@ object Versioned {
       reason: Option[String])
 
   private def manifestFile(root: String) = new File(root, "_manifest.json")
+  private def versionFile(root: String, v: Int) = new File(root, f"_v$v%05d.json")
 
   private def render(m: Manifest): String = {
     val prev = m.previous.map(p => "\"" + p + "\"").getOrElse("null")
@@ -80,21 +89,44 @@ object Versioned {
   private val PathRe = """"path"\s*:\s*"([^"]+)"""".r.unanchored
   private val PrevRe = """"previous"\s*:\s*"([^"]+)"""".r.unanchored
 
+  private def parseManifest(f: File): Manifest = {
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val v = text match { case VersionRe(n) => n.toInt case _ => sys.error(s"bad manifest: $text") }
+    val p = text match { case PathRe(s) => s case _ => sys.error(s"bad manifest: $text") }
+    val prev = text match { case PrevRe(s) => Some(s) case _ => None }
+    Manifest(v, p, prev)
+  }
+
   /** The live manifest, if the table exists. */
   def currentManifest(root: String): Option[Manifest] = {
     val f = manifestFile(root)
-    if (!f.exists()) None
-    else {
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val v = text match { case VersionRe(n) => n.toInt case _ => sys.error(s"bad manifest: $text") }
-      val p = text match { case PathRe(s) => s case _ => sys.error(s"bad manifest: $text") }
-      val prev = text match { case PrevRe(s) => Some(s) case _ => None }
-      Some(Manifest(v, p, prev))
-    }
+    if (!f.exists()) None else Some(parseManifest(f))
   }
 
-  /** Atomic pointer swap: write beside, rename over. */
+  /** The full manifest CHAIN: every version ever published (promote or
+    * rollback), ascending. Each version's `_v%05d.json` is written
+    * once at publish and never mutated — a rollback never rewrites
+    * history, it appends to it. Tables created before per-version
+    * manifests existed fall back to directory-name reconstruction. */
+  def versions(root: String): Seq[Manifest] = {
+    val files = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    val chain = files.filter(f => f.isFile && f.getName.matches("_v\\d{5}\\.json"))
+      .map(parseManifest).sortBy(_.version).toSeq
+    if (chain.nonEmpty) chain
+    else // pre-r11 table: version = directory name, chain unknown
+      files.filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
+        .map(d => Manifest(d.getName.stripPrefix("v").toInt, d.getName, None))
+        .sortBy(_.version).toSeq
+  }
+
+  /** Atomic pointer swap: write beside, rename over. Also records the
+    * version's immutable `_v%05d.json` chain entry. */
   private def writeManifest(root: String, m: Manifest): Unit = {
+    // chain entry first: if we crash between the two writes, the live
+    // pointer still names the old version and the orphan chain entry
+    // is overwritten by the next publish of that version number
+    java.nio.file.Files.write(versionFile(root, m.version).toPath,
+      render(m).getBytes("UTF-8"))
     val tmp = new File(root, s"_manifest.json.tmp${System.nanoTime()}")
     java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, manifestFile(root).toPath,
@@ -107,6 +139,21 @@ object Versioned {
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     spark.read.parquet(new File(root, m.path).getPath)
+  }
+
+  /** Time travel: the data as of version `v` — resolved through the
+    * manifest chain, so it works for rollback-published versions whose
+    * directory name differs from the version number. Fails loudly when
+    * the version was never published or its directory was vacuumed. */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val m = versions(root).find(_.version == v)
+      .getOrElse(sys.error(s"version $v was never published under $root"))
+    val dir = new File(root, m.path)
+    require(dir.exists(),
+      s"version $v's data (${m.path}) was vacuumed — retained versions: " +
+        versions(root).filter(x => new File(root, x.path).exists())
+          .map(_.version).mkString(", "))
+    spark.read.parquet(dir.getPath)
   }
 
   private def rmTree(f: File): Unit = {
@@ -175,25 +222,50 @@ object Versioned {
     }
   }
 
-  /** Re-point the manifest at the previous version (one step; the
-    * superseded directory must still exist — [[vacuum]] keeps it).
-    * The rolled-back-from directory is retained for post-mortems. */
-  def rollback(root: String): Manifest = {
-    val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    val prev = m.previous.getOrElse(sys.error(s"version ${m.version} has no previous"))
-    require(new File(root, prev).exists(), s"previous version directory $prev is gone")
-    val prevVersion = prev.stripPrefix("v").toInt
-    val next = Manifest(prevVersion, prev, None)
+  /** Roll back by PUBLISHING: the new live version is
+    * `live.version + 1` and its path is the TARGET version's
+    * directory — no data is copied, no directory is deleted, and no
+    * history entry is ever rewritten (the audit trail shows the
+    * rollback as its own version, exactly like every table format
+    * with time travel). The rolled-back-from version stays readable
+    * via [[readVersion]] for post-mortems until vacuumed. */
+  def rollback(root: String, toVersion: Int): Manifest = {
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    require(toVersion != live.version, s"version $toVersion is already live")
+    val target = versions(root).find(_.version == toVersion)
+      .getOrElse(sys.error(s"version $toVersion was never published under $root"))
+    require(new File(root, target.path).exists(),
+      s"version $toVersion's data (${target.path}) was vacuumed")
+    val next = Manifest(live.version + 1, target.path, Some(live.path))
     writeManifest(root, next)
     next
   }
 
-  /** Delete version directories other than the live one and its
-    * `previous` (the in-flight-reader grace set). Returns the deleted
-    * directory names. */
-  def vacuum(root: String): Seq[String] = {
+  /** One-step rollback: re-publish the live version's `previous`
+    * directory as the new version. */
+  def rollback(root: String): Manifest = {
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val prev = live.previous.getOrElse(sys.error(s"version ${live.version} has no previous"))
+    require(new File(root, prev).exists(), s"previous version directory $prev is gone")
+    val next = Manifest(live.version + 1, prev, Some(live.path))
+    writeManifest(root, next)
+    next
+  }
+
+  /** Retention GC: delete version directories EXCEPT the live one,
+    * its `previous` (the in-flight-reader grace set — a reader that
+    * resolved the manifest just before a promotion is still scanning
+    * it), and the directories of the `retainLast` highest versions in
+    * the chain (the time-travel window). Refuses retainLast < 1 — the
+    * live version is never collectable. Chain entries are kept even
+    * for vacuumed versions, so the audit trail stays complete and
+    * [[readVersion]] can say "vacuumed" rather than "unknown".
+    * Returns the deleted directory names. */
+  def vacuum(root: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "retainLast must be >= 1")
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    val keep = Set(m.path) ++ m.previous
+    val recent = versions(root).sortBy(-_.version).take(retainLast).map(_.path)
+    val keep = Set(m.path) ++ m.previous ++ recent
     val doomed = Option(new File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{5}") && !keep(f.getName))
     doomed.foreach(rmTree)

@@ -959,6 +959,38 @@ object DriveCli {
       println(s"PROMOTE=${live.count()} OK=${refused && live.count() == in.count() && cur == "1"}")
       spark.stop()
     }
+    // time travel: publish a v2 sliver legitimately (no diff gate),
+    // roll back to v1 by number (publishes v3), list the chain,
+    // read-version v2, then vacuum with a retention floor
+    Cli.main(Array("-i", s"$tmp/sliver", "-f", "parquet",
+      "promote", "--root", proot, "--unique", "doc_id",
+      "--outfile", s"$tmp/prom2"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--action", "rollback", "--to-version", "1",
+      "--outfile", s"$tmp/prom_rb"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--action", "history",
+      "--outfile", s"$tmp/prom_hist"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--action", "read-version", "--to-version", "2",
+      "--outfile", s"$tmp/prom_v2"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", proot, "--action", "vacuum", "--retain", "2",
+      "--outfile", s"$tmp/prom_vac"))
+    locally {
+      val spark = GraftSession.builder("verifyTT", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val live = graft.sources.Versioned.read(spark, proot)          // v3 = v1's data
+      val hist = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/prom_hist")
+      val v2 = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/prom_v2")
+      val sliverN = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/sliver").count()
+      val ok = live.count() == in.count() &&              // rollback landed on v1 data
+        hist.count() == 3 &&                              // chain: v1, v2, v3(rollback)
+        v2.count() == sliverN                             // time travel reads v2
+      println(s"TIMETRAVEL=${hist.count()} OK=$ok")
+      spark.stop()
+    }
 
     // coactive: interval-overlap pair mining, library parity in BOTH
     // modes — sampled (--blocks 4) and exact (--blocks 1)

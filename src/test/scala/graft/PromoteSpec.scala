@@ -83,32 +83,67 @@ class PromoteSpec extends SparkSpecBase {
       === Array(1L -> "a", 2L -> "b"))
   }
 
-  test("rollback re-points at the previous version; re-promotion reclaims the slot") {
+  test("rollback publishes the old data as a NEW version — history is never rewritten") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
     assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
     val m = Versioned.rollback(root)
-    assert(m.version === 1 && m.path === "v00001")
+    // the rollback IS version 3, pointing at v1's directory
+    assert(m.version === 3 && m.path === "v00001")
     assert(Versioned.read(spark, root).count() === 1)
-    // next promotion reuses the v00002 slot with fresh data
+    // the chain shows all three publishes; v2's entry is untouched
+    assert(Versioned.versions(root).map(m => (m.version, m.path))
+      === Seq((1, "v00001"), (2, "v00002"), (3, "v00001")))
+    // the rolled-back-from data is still time-travel readable
+    assert(Versioned.readVersion(spark, root, 2).count() === 2)
+    // the next promotion continues the chain with fresh data
     val r = Versioned.promote(docs(1L -> "a", 9L -> "i"), root, checks)
-    assert(r.promoted && r.version === 2)
+    assert(r.promoted && r.version === 4)
     assert(Versioned.read(spark, root).orderBy("doc_id").as[(Long, String)].collect()
       === Array(1L -> "a", 9L -> "i"))
   }
 
-  test("vacuum keeps the live and previous versions, drops the rest") {
+  test("readVersion time-travels through the manifest chain") {
     val root = freshRoot()
-    for (i <- 1 to 4)
+    for (i <- 1 to 3)
       assert(Versioned.promote(docs((1L to i.toLong).map(j => j -> s"d$j"): _*),
         root, checks).promoted)
-    val dropped = Versioned.vacuum(root)
-    assert(dropped === Seq("v00001", "v00002"))
+    assert(Versioned.readVersion(spark, root, 1).count() === 1)
+    assert(Versioned.readVersion(spark, root, 2).count() === 2)
+    assert(Versioned.readVersion(spark, root, 3).count() === 3)
+    val e = intercept[RuntimeException](Versioned.readVersion(spark, root, 9))
+    assert(e.getMessage.contains("never published"))
+  }
+
+  test("targeted rollback re-publishes any retained version by number") {
+    val root = freshRoot()
+    for (i <- 1 to 3)
+      assert(Versioned.promote(docs((1L to i.toLong).map(j => j -> s"d$j"): _*),
+        root, checks).promoted)
+    val m = Versioned.rollback(root, toVersion = 1)
+    assert(m.version === 4 && m.path === "v00001")
+    assert(Versioned.read(spark, root).count() === 1)
+    intercept[IllegalArgumentException](Versioned.rollback(root, toVersion = 4))
+  }
+
+  test("vacuum keeps live + previous + the retention window, drops the rest") {
+    val root = freshRoot()
+    for (i <- 1 to 5)
+      assert(Versioned.promote(docs((1L to i.toLong).map(j => j -> s"d$j"): _*),
+        root, checks).promoted)
+    val dropped = Versioned.vacuum(root, retainLast = 2)
+    assert(dropped === Seq("v00001", "v00002", "v00003"))
     val dirs = new File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
-    assert(dirs.toSeq === Seq("v00003", "v00004"))
-    assert(Versioned.read(spark, root).count() === 4)
+    assert(dirs.toSeq === Seq("v00004", "v00005"))
+    assert(Versioned.read(spark, root).count() === 5)
+    // vacuumed versions stay in the chain and fail loudly, not blindly
+    assert(Versioned.versions(root).map(_.version) === Seq(1, 2, 3, 4, 5))
+    val e = intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 1))
+    assert(e.getMessage.contains("vacuumed"))
+    // the one-step rollback target (previous = v00004) survived
     Versioned.rollback(root)
-    assert(Versioned.read(spark, root).count() === 3)
+    assert(Versioned.read(spark, root).count() === 4)
+    intercept[IllegalArgumentException](Versioned.vacuum(root, retainLast = 0))
   }
 
   test("a stale staging directory from a crashed promotion is cleared") {
