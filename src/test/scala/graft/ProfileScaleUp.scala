@@ -78,7 +78,11 @@ object ProfileScaleUp {
       "q_ann_ivf", "q_ann_ivfpq", "q_bpe_tokens", "q_dsir",
       "q_nb_quality", "q_curation",
       // r10 additions: ROUGE pair grading + the stop-gram audit
-      "q_rouge_overlap", "q_stop_grams")
+      "q_rouge_overlap", "q_stop_grams",
+      // r11 additions: incremental CC ledger (two temp-ledger appends
+      // per run — the timed cost IS the append path), semantic
+      // decontamination + verdict join, trained linear reranker
+      "q_cluster_incr", "q_decontam_sem", "q_rerank")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
       if (args.nonEmpty) "dev/scaleup_r10b.json" else "dev/scaleup_r10.json")

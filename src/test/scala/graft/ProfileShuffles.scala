@@ -36,7 +36,8 @@ object ProfileShuffles {
       "q_survival", "q_spearman", "q_twap", "q_hhi", "q_luhn",
       "q_readability", "q_benford", "q_zone_prune",
       "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes",
-      "q_target_encode", "q_trimmed_mean")
+      "q_target_encode", "q_trimmed_mean",
+      "q_mutual_knn_ann", "q_cluster_incr", "q_decontam_sem", "q_rerank")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
