@@ -470,6 +470,16 @@ class PlanAuditSpec extends SparkSpecBase {
     // own 5-exchange budget is q_ann_ivf's); the visible tail is the
     // reciprocal self-join on the reversed key
     "q_mutual_knn_ann" -> 2,
+    // q_cluster_incr: the returned frame is a plain ledger scan — the
+    // append-side exchanges are inside the (checkpoint-bounded) merge
+    "q_cluster_incr" -> 0,
+    // q_decontam_sem: the n-gram pair aggregate + the full-outer
+    // verdict join on (doc, bench); the semantic screen is broadcast
+    // + narrow (in-row embedding, zero shuffles of its own)
+    "q_decontam_sem" -> 2,
+    // q_rerank: training's (class, i) partial-sum exchange + its 1-row
+    // count, and the held-out per-source rank window
+    "q_rerank" -> 3,
     // q_cc_sizes: cluster-size aggregate + size-histogram aggregate
     // over the (lineage-cut) components frame
     "q_cc_sizes" -> 2,
