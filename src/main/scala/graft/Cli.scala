@@ -116,6 +116,11 @@ import graft.sources.PartitionedFiles
   *       trained BPE subword tokenizer: train writes the persistable
   *       (rank, lft, rgt) merge table; tokens scores a corpus against
   *       a stored table (per-doc word/subword counts)
+  *   cluster-ledger --mode append -i PAIRS --ledger PATH --a doc_a --b doc_b
+  *                  [--buckets 64] | --mode labels --ledger PATH
+  *       persisted incremental connected components: append merges a
+  *       drop's near-dup pairs (drop-sized union-find, only affected
+  *       hash(id) buckets rewritten), labels dumps (id, cluster_id)
   *   bloom-ledger   --mode append -i DROP --ledger PATH --drop-id ID
   *                  --key EXPR [--bits 1048576] [--hashes 5]
   *                  | --mode screen -i BATCH --ledger PATH --key EXPR
@@ -628,6 +633,29 @@ object Cli {
               write(graft.sketch.BloomLedger.novelExact(corpus, corpusKey,
                 read(), key, graft.sketch.BloomLedger.mergedFrom(spark, ledger)))
             case o => fail(s"--mode must be append|screen|novel, got: $o")
+          }
+
+        case "cluster-ledger" =>
+          // --mode append: merge -i's (--a, --b) near-dup pairs into
+          //   the persisted incremental CC ledger (drop-sized merge,
+          //   affected-bucket-only rewrite); emits the append stats;
+          // --mode labels: dump the current (id, cluster_id) labeling
+          import spark.implicits._
+          val ledger = opts.getOrElse("ledger", fail("--ledger PATH required"))
+          opts.getOrElse("mode", "labels") match {
+            case "append" =>
+              val a = opts.getOrElse("a", fail("--a COLUMN required"))
+              val b = opts.getOrElse("b", fail("--b COLUMN required"))
+              val st = graft.dedup.ClusterLedger.append(ledger, read(), a, b,
+                numBuckets = opts.getOrElse("buckets", "64").toInt)
+              write(Seq(
+                ("relabeled", st.relabeled.toString),
+                ("new_ids", st.newIds.toString),
+                ("rewritten_buckets", st.rewrittenBuckets.mkString(",")))
+                .toDF("stat", "value"))
+            case "labels" =>
+              write(graft.dedup.ClusterLedger.labels(spark, ledger))
+            case o => fail(s"--mode must be append|labels, got: $o")
           }
 
         case "drift" =>

@@ -195,6 +195,33 @@ object TextQueries {
           col("rr_rank").cast("bigint").as("rank"))
     }),
 
+    // §2.5/50f2 BM25 → trained rerank composition: the retrieval
+    // stack's actual last mile — the Bm25TopK candidate list from
+    // q_bm25's exact ranking, re-ordered by the q_rerank-trained
+    // quality weights. The final window is a single ≤ topK-row frame
+    // (the "No Partition Defined" warning is the known benign
+    // final-assembly shape — k rows, not the corpus).
+    "q_rerank_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = split(trim(col("text")), "\\s+")
+      val f = docs.select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("f1"),
+        col("n_chars").cast("long").as("f2"),
+        size(array_distinct(toks)).cast("long").as("f3"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("f4"))
+      val feats = Seq(col("f1"), col("f2"), col("f3"), col("f4"))
+      val w = graft.text.Rerank.trainLinear(
+        f.filter(pmod(col("doc_id"), lit(5)) =!= 0), feats,
+        (col("lang") === "en").cast("long"))
+      val cands = graft.text.Search.bm25Rank(docs, col("text"), col("doc_id"),
+          terms = PrepParams.Bm25Terms, topK = PrepParams.Bm25TopK)
+        .select(col("doc_id"), col("bm25_64"))
+      graft.text.Rerank.rerank(cands.join(f, "doc_id"), lit(1), feats, w, col("doc_id"))
+        .select(col("doc_id"), col("bm25_64"), col("rr_score"),
+          col("rr_rank").cast("bigint").as("rank"))
+    }),
+
     // §2.5/32b tokenizer fertility per language: subtokens-per-word
     // ratio (the "how much does this tokenizer fragment lang X"
     // diagnostic that drives vocab sizing). Integer sums + one
@@ -607,6 +634,62 @@ object TextQueries {
          |SELECT id AS token, pr, rank FROM r""".stripMargin
   }
 
+  /** BM25 replay CTE chain ending in `s(doc_id, bm25_64)` — shared by
+    * the q_bm25 ranking oracle and the q_rerank_bm25 composition. */
+  private lazy val bm25Ctes: String = {
+    val termList = PrepParams.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    raw"""tok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ts)) AS BIGINT) AS tl FROM tok
+         |), inst AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS t FROM tok
+         |), tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
+         |  FROM inst WHERE t IN ($termList) GROUP BY 1, 2
+         |), dfx AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), c AS (
+         |  SELECT doc_id,
+         |         ((${qlogSql("(2 * n + 2)")} - (${qlogSql("(2 * df + 1)")})) * (22 * tf * tl))
+         |           // (10 * tl * tf + 3 * tl + 9 * dl * n) AS c
+         |  FROM tf JOIN dfx USING (t) CROSS JOIN st
+         |), s AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_64 FROM c GROUP BY 1
+         |)""".stripMargin
+  }
+
+  /** Linear-reranker training replay: features `f`, training split
+    * `tr`, class counts `c`, per-class sums `s2`, weights
+    * `w(w1..w4)` — shared by q_rerank and q_rerank_bm25. */
+  private lazy val rerankTrainCtes: String =
+    raw"""f AS (
+         |  SELECT doc_id, source, lang,
+         |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f1,
+         |         CAST(n_chars AS BIGINT) AS f2,
+         |         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS f3,
+         |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f4
+         |  FROM documents),
+         |tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+         |cc AS (
+         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |  FROM tr),
+         |s2 AS (
+         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN f1 ELSE 0 END) AS BIGINT) AS sp1,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f1 END) AS BIGINT) AS sn1,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN f2 ELSE 0 END) AS BIGINT) AS sp2,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f2 END) AS BIGINT) AS sn2,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN f3 ELSE 0 END) AS BIGINT) AS sp3,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f3 END) AS BIGINT) AS sn3,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN f4 ELSE 0 END) AS BIGINT) AS sp4,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f4 END) AS BIGINT) AS sn4
+         |  FROM tr),
+         |w AS (
+         |  SELECT n_neg * sp1 - n_pos * sn1 AS w1, n_neg * sp2 - n_pos * sn2 AS w2,
+         |         n_neg * sp3 - n_pos * sn3 AS w3, n_neg * sp4 - n_pos * sn4 AS w4
+         |  FROM s2 CROSS JOIN cc)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_textrank" -> textRankSql,
     "q_vocab_coverage" ->
@@ -924,63 +1007,31 @@ object TextQueries {
            |       CAST(sum(tf * lp) AS BIGINT) AS kn_ll64,
            |       CAST(CAST(sum(tf * lp) AS BIGINT) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS kn_avg
            |FROM sc GROUP BY doc_id""".stripMargin,
-    "q_bm25" -> {
-      val termList = PrepParams.Bm25Terms.map(t => s"'$t'").mkString(", ")
-      raw"""WITH tok AS (
-           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
-           |), st AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(ts)) AS BIGINT) AS tl FROM tok
-           |), inst AS (
-           |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS t FROM tok
-           |), tf AS (
-           |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
-           |  FROM inst WHERE t IN ($termList) GROUP BY 1, 2
-           |), dfx AS (
-           |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-           |), c AS (
-           |  SELECT doc_id,
-           |         ((${qlogSql("(2 * n + 2)")} - (${qlogSql("(2 * df + 1)")})) * (22 * tf * tl))
-           |           // (10 * tl * tf + 3 * tl + 9 * dl * n) AS c
-           |  FROM tf JOIN dfx USING (t) CROSS JOIN st
-           |), s AS (
-           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_64 FROM c GROUP BY 1
-           |)
+    "q_bm25" ->
+      raw"""WITH $bm25Ctes
            |SELECT doc_id, bm25_64,
            |       CAST(row_number() OVER (ORDER BY bm25_64 DESC, doc_id) AS INTEGER) AS rank
-           |FROM s ORDER BY bm25_64 DESC, doc_id LIMIT ${PrepParams.Bm25TopK}""".stripMargin
-    },
+           |FROM s ORDER BY bm25_64 DESC, doc_id LIMIT ${PrepParams.Bm25TopK}""".stripMargin,
+    "q_rerank_bm25" ->
+      raw"""WITH $bm25Ctes,
+           |bm AS (
+           |  SELECT doc_id, bm25_64 FROM s
+           |  ORDER BY bm25_64 DESC, doc_id LIMIT ${PrepParams.Bm25TopK}),
+           |$rerankTrainCtes,
+           |cand AS (
+           |  SELECT bm.doc_id, bm.bm25_64,
+           |         f1 * w1 + f2 * w2 + f3 * w3 + f4 * w4 AS rr_score
+           |  FROM bm JOIN f ON bm.doc_id = f.doc_id CROSS JOIN w)
+           |SELECT doc_id, bm25_64, rr_score,
+           |       CAST(row_number() OVER (ORDER BY rr_score DESC, doc_id) AS BIGINT) AS rank
+           |FROM cand""".stripMargin,
     "q_token_count" ->
       raw"""SELECT doc_id,
            |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
            |FROM documents""".stripMargin,
     "q_rerank" ->
-      raw"""WITH f AS (
-           |  SELECT doc_id, source, lang,
-           |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS f1,
-           |         CAST(n_chars AS BIGINT) AS f2,
-           |         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS f3,
-           |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f4
-           |  FROM documents),
-           |tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
-           |c AS (
-           |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-           |  FROM tr),
-           |s AS (
-           |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN f1 ELSE 0 END) AS BIGINT) AS sp1,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f1 END) AS BIGINT) AS sn1,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN f2 ELSE 0 END) AS BIGINT) AS sp2,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f2 END) AS BIGINT) AS sn2,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN f3 ELSE 0 END) AS BIGINT) AS sp3,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f3 END) AS BIGINT) AS sn3,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN f4 ELSE 0 END) AS BIGINT) AS sp4,
-           |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE f4 END) AS BIGINT) AS sn4
-           |  FROM tr),
-           |w AS (
-           |  SELECT n_neg * sp1 - n_pos * sn1 AS w1, n_neg * sp2 - n_pos * sn2 AS w2,
-           |         n_neg * sp3 - n_pos * sn3 AS w3, n_neg * sp4 - n_pos * sn4 AS w4
-           |  FROM s CROSS JOIN c),
+      raw"""WITH $rerankTrainCtes,
            |sc AS (
            |  SELECT doc_id, source, f1 * w1 + f2 * w2 + f3 * w3 + f4 * w4 AS rr_score
            |  FROM f CROSS JOIN w WHERE doc_id % 5 = 0)

@@ -277,6 +277,38 @@ object EventStreams {
       ledgerPath: String, k: Int): DataFrame =
     graft.sketch.Sketches.sampleFromCandidates(spark.read.parquet(ledgerPath), k)
 
+  /** Streaming semantic-decontamination screen: each micro-batch of
+    * documents is embedded in-row (signed hashed BoW — narrow, zero
+    * shuffles) and scored against the STATIC benchmark side; rows
+    * with any bench pair at cosine ≥ tau are dropped before the sink.
+    * The foreachBatch form of [[graft.dedup.Decontam.semanticContamination]]
+    * on the batch-owned-model pattern (the benchmark table is state
+    * owned by the batch pipeline, exactly like novelDocsStream's
+    * corpus); catches the paraphrase leakage the n-gram screen form
+    * (38u-style rule screens) cannot. Exactly-once to the sink from
+    * the checkpointed batch ids. `bench` must carry the same text/id
+    * column names as the stream. */
+  def semanticScreenStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      dim: Int,
+      tau: Double,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val flagged = graft.dedup.Decontam.semanticContamination(
+            b, col(textCol), col(idCol), bench, col(textCol), col(idCol), dim, tau)
+          .select(col("doc_id").as("__flagged_id")).distinct()
+        sink(b.join(flagged, col(idCol) === col("__flagged_id"), "left_anti"))
+      }
+      .start()
+
   /** Streaming incremental clustering: every micro-batch of near-dup
     * pairs (e.g. the output of a band-index probe on a crawl drop) is
     * merged into the persisted [[graft.dedup.ClusterLedger]] — the

@@ -992,6 +992,40 @@ object DriveCli {
       spark.stop()
     }
 
+    // cluster-ledger: minhash pairs → two CLI appends (split by
+    // parity) → labels must equal the full-graph clustering
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "dedup-minhash", "--text", "text", "--id", "doc_id", "--emit", "pairs",
+      "--outfile", s"$tmp/clpairs"))
+    Cli.main(Array("-i", s"$tmp/clpairs", "-f", "parquet",
+      "partition.filter", "--expr", "(doc_a + doc_b) % 2 = 0",
+      "--outfile", s"$tmp/clpairs_even"))
+    Cli.main(Array("-i", s"$tmp/clpairs", "-f", "parquet",
+      "partition.filter", "--expr", "(doc_a + doc_b) % 2 <> 0",
+      "--outfile", s"$tmp/clpairs_odd"))
+    val clroot = s"$tmp/cluster_ledger"
+    Cli.main(Array("-i", s"$tmp/clpairs_even", "-f", "parquet",
+      "cluster-ledger", "--mode", "append", "--ledger", clroot,
+      "--a", "doc_a", "--b", "doc_b", "--outfile", s"$tmp/clstats1"))
+    Cli.main(Array("-i", s"$tmp/clpairs_odd", "-f", "parquet",
+      "cluster-ledger", "--mode", "append", "--ledger", clroot,
+      "--a", "doc_a", "--b", "doc_b", "--outfile", s"$tmp/clstats2"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "cluster-ledger", "--mode", "labels", "--ledger", clroot,
+      "--outfile", s"$tmp/cllabels"))
+    locally {
+      val spark = GraftSession.builder("verifyClusterLedger", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val pairs = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/clpairs")
+      val expect = graft.dedup.Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/cllabels")
+        .as[(Long, Long)].collect().toSet
+      println(s"CLUSTERLEDGER=${got.size} OK=${got == expect && got.nonEmpty}")
+      spark.stop()
+    }
+
     // coactive: interval-overlap pair mining, library parity in BOTH
     // modes — sampled (--blocks 4) and exact (--blocks 1)
     val events = "/root/testdata/sf0.001/events.parquet"

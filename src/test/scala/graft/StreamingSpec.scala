@@ -1112,6 +1112,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(again === before)
   }
 
+  test("semanticScreenStream drops the paraphrase the gram screens cannot see, batch-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStreams.semanticScreenStream(
+      mem.toDF().toDF("doc_id", "text"), bench, "text", "doc_id",
+      dim = 64, tau = 0.99,
+      checkpointDir = java.nio.file.Files.createTempDirectory("semscr").toString) { out =>
+      got.synchronized { got ++= out.select("doc_id").as[Long].collect() }
+    }
+    val rows = Seq(
+      (1L, "dog tonight jumps quick the brown over lazy fox the"), // shuffled paraphrase → dropped
+      (2L, "completely unrelated text about catalyst plans and wide shuffles"))
+    mem.addData(rows: _*); q.processAllAvailable()
+    mem.addData((3L, "another innocuous document entirely")); q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(2L, 3L))
+    // batch parity: the stream kept exactly what the batch screen keeps
+    val batchFlagged = graft.dedup.Decontam.semanticContamination(
+        (rows :+ (3L, "another innocuous document entirely")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), bench, col("text"), col("doc_id"), dim = 64, tau = 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.toSet === Set(1L, 2L, 3L) -- batchFlagged)
+  }
+
   test("clusterStream: streamed drop merges equal batch CC over the union; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)] // near-dup pairs (a, b)
