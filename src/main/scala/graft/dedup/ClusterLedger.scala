@@ -62,16 +62,34 @@ object ClusterLedger {
     spark.read.parquet(dir.getPath).select("id", "cluster_id")
   }
 
+  private def metaFile(path: String) = new java.io.File(path, "_cluster_meta.json")
+  private val BucketsRe = """"numBuckets"\s*:\s*(\d+)""".r.unanchored
+
   /** Merge one drop's near-dup pairs into the ledger. `numBuckets` is
-    * fixed at ledger creation (the first append) and must be passed
-    * identically afterwards — ids hash to buckets, so changing it
-    * would orphan rows. Returns [[AppendStats]]. */
+    * fixed at ledger creation (the first append persists it) and a
+    * later append with a DIFFERENT value is refused loudly: ids hash
+    * to buckets, so a silent mismatch writes a relabeled row into its
+    * new-count bucket while the stale copy survives in the old one —
+    * duplicate labels. (The first 100-seed fuzz sweep of this family
+    * produced exactly that corruption before this guard existed.)
+    * Returns [[AppendStats]]. */
   def append(path: String, pairs: DataFrame, a: String, b: String,
       numBuckets: Int = 64): AppendStats = {
     require(numBuckets > 0)
     val spark = pairs.sparkSession
     val dir = labelsDir(path)
     val exists = new java.io.File(dir).exists()
+    val meta = metaFile(path)
+    if (exists && meta.exists()) {
+      val text = new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
+      val persisted = text match {
+        case BucketsRe(n) => n.toInt
+        case _ => sys.error(s"bad cluster-ledger meta: $text")
+      }
+      require(numBuckets == persisted,
+        s"cluster ledger at $path was created with numBuckets=$persisted; " +
+          s"append called with $numBuckets — ids hash to buckets, a mismatch orphans rows")
+    }
 
     // the drop's edge list — evaluated twice (endpoint lookup + new-id
     // scan), so materialize once; drops are small by construction.
@@ -152,6 +170,11 @@ object ClusterLedger {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bkt")
       .parquet(dir)
+    // persist the layout contract after the first successful write (a
+    // pre-guard ledger missing its meta adopts the caller's value)
+    if (!meta.exists())
+      java.nio.file.Files.write(meta.toPath,
+        s"""{"numBuckets": $numBuckets}""".getBytes("UTF-8"))
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
     Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)

@@ -78,6 +78,19 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(got === full)
   }
 
+  test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      ClusterLedger.append(path, Seq((2L, 3L)).toDF("a", "b"), "a", "b", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // the matching count still appends fine
+    ClusterLedger.append(path, Seq((2L, 3L)).toDF("a", "b"), "a", "b", numBuckets = 8)
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+      === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("string ids work end-to-end (UTF-8 min-label order preserved)") {
     val d1 = Seq(("b", "c"), ("x", "y")).toDF("a", "b")
     val d2 = Seq(("a", "c")).toDF("a", "b") // new global min joins {b,c}

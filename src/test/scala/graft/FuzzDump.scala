@@ -645,6 +645,76 @@ object FuzzDump {
            |FROM k""".stripMargin)
     }
 
+    // ---- incremental cluster ledger: random edge sets split into
+    // 1-3 random drops, appended in sequence — the final labeling
+    // must equal the one-shot transitive closure (recursive CTE).
+    // Edge sets include self-loops (singletons), duplicate edges,
+    // and drops that only touch existing clusters ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 16)
+      val nNodes = 2 + rnd.nextInt(30)
+      val edges = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      val t = edges.toDF("a", "b")
+      val nDrops = 1 + rnd.nextInt(3)
+      // ONE bucket count per ledger — the layout contract the operator
+      // enforces (the first sweep of this family resampled it per drop
+      // and caught the then-silent duplicate-label corruption)
+      val nb = 1 + rnd.nextInt(8)
+      val path = java.nio.file.Files.createTempDirectory("fuzz_clusterledger").toString
+      for (d <- 0 until nDrops) {
+        val drop = edges.zipWithIndex.filter(_._2 % nDrops == d).map(_._1)
+        if (drop.nonEmpty)
+          graft.dedup.ClusterLedger.append(path, drop.toDF("a", "b"), "a", "b",
+            numBuckets = nb)
+      }
+      dump("cluster_ledger", seed, Map("t" -> t),
+        graft.dedup.ClusterLedger.labels(spark, path),
+        """WITH RECURSIVE sym AS (
+          |  SELECT a AS u, b AS v FROM t
+          |  UNION ALL
+          |  SELECT b AS u, a AS v FROM t),
+          |reach(id, r) AS (
+          |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          |  UNION
+          |  SELECT s.u, re.r FROM sym s JOIN reach re ON s.v = re.id)
+          |SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin)
+    }
+
+    // ---- linear reranker: random 2-feature frames (negative values,
+    // ties, singleton classes avoided by forced rows) — trained
+    // weights AND scores must replay exactly ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 17)
+      val rows = (0 until 2 + rnd.nextInt(40)).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong - 5L, rnd.nextInt(20).toLong - 5L,
+          rnd.nextInt(2))
+      } ++ Seq( // both classes always present
+        (1000L, rnd.nextInt(20).toLong - 5L, rnd.nextInt(20).toLong - 5L, 1),
+        (1001L, rnd.nextInt(20).toLong - 5L, rnd.nextInt(20).toLong - 5L, 0))
+      val t = rows.toDF("id", "f1", "f2", "y")
+      val w = graft.text.Rerank.trainLinear(t, Seq(col("f1"), col("f2")), col("y"))
+      dump("rerank", seed, Map("t" -> t),
+        graft.text.Rerank.score(t, Seq(col("f1"), col("f2")), w)
+          .select("id", "f1", "f2", "y", "rr_score"),
+        """WITH c AS (
+          |  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+          |         CAST(sum(1 - y) AS BIGINT) AS n_neg FROM t),
+          |s AS (
+          |  SELECT CAST(sum(CASE WHEN y = 1 THEN f1 ELSE 0 END) AS BIGINT) AS sp1,
+          |         CAST(sum(CASE WHEN y = 0 THEN f1 ELSE 0 END) AS BIGINT) AS sn1,
+          |         CAST(sum(CASE WHEN y = 1 THEN f2 ELSE 0 END) AS BIGINT) AS sp2,
+          |         CAST(sum(CASE WHEN y = 0 THEN f2 ELSE 0 END) AS BIGINT) AS sn2
+          |  FROM t),
+          |w AS (
+          |  SELECT n_neg * sp1 - n_pos * sn1 AS w1, n_neg * sp2 - n_pos * sn2 AS w2
+          |  FROM s CROSS JOIN c)
+          |SELECT id, f1, f2, y, f1 * w1 + f2 * w2 AS rr_score
+          |FROM t CROSS JOIN w""".stripMargin)
+    }
+
     // ---- winsorize: NULL-bearing values (the r10 ADVICE case —
     // NULLs must not shift the cutoff ranks and must clamp to NULL,
     // not lo_cut), random bounds, singleton and all-NULL groups ----

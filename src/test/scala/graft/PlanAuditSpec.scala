@@ -480,6 +480,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_rerank: training's (class, i) partial-sum exchange + its 1-row
     // count, and the held-out per-source rank window
     "q_rerank" -> 3,
+    // q_rerank_bm25: the BM25 tf aggregate + its TakeOrdered tail, the
+    // candidate⋈feature join, and the training exchanges; every
+    // exchange past the tf aggregate carries ≤ topK or feature-count
+    // rows
+    "q_rerank_bm25" -> 6,
     // q_cc_sizes: cluster-size aggregate + size-histogram aggregate
     // over the (lineage-cut) components frame
     "q_cc_sizes" -> 2,

@@ -37,7 +37,8 @@ object ProfileShuffles {
       "q_readability", "q_benford", "q_zone_prune",
       "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes",
       "q_target_encode", "q_trimmed_mean",
-      "q_mutual_knn_ann", "q_cluster_incr", "q_decontam_sem", "q_rerank")
+      "q_mutual_knn_ann", "q_cluster_incr", "q_decontam_sem", "q_rerank",
+      "q_rerank_bm25")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
