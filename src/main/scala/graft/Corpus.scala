@@ -347,6 +347,20 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       n: Int = 3, minHits: Long = 3): Corpus =
     keep(Decontam.decontaminate(df, text, id, bench, benchText, benchId, n, minHits), "decontaminate")
 
+  /** Semantic decontamination: drop docs whose hashed-BoW embedding
+    * sits within cosine ≥ tau of any eval-set doc — the paraphrase
+    * leakage [[decontaminate]]'s n-gram screen cannot see. Run BOTH
+    * stages for the combined screen; the drop ledger attributes each
+    * removal to the stage that caught it. */
+  def decontaminateSemantic(bench: DataFrame, benchText: Column, benchId: Column,
+      dim: Int = 64, tau: Double = 0.8): Corpus = {
+    val flagged = Decontam.semanticContamination(
+        df, text, id, bench, benchText, benchId, dim, tau)
+      .select(col("doc_id").as("__sem_flagged")).distinct()
+    keep(df.join(flagged, id === col("__sem_flagged"), "left_anti"),
+      "decontaminate_semantic")
+  }
+
   /** Screen THIS corpus (as the new drop) against an existing corpus:
     * keep only rows that are not LSH near-dups of it. Each side is
     * band-keyed with its own columns — neither needs any particular

@@ -241,6 +241,39 @@ object Timeseries {
             "(twap_num div twap_den) * 1000 + ((twap_num % twap_den) * 1000) div twap_den")))
   }
 
+  /** Exact integer EWMA per key — exponential smoothing with
+    * α = 2^−halfShift, the classic "current level" estimate for
+    * irregular keyed streams (sensor baselines, per-user spend level):
+    * s₀ = x₀, sₜ = sₜ₋₁ + ⌊(xₜ − sₜ₋₁) / 2^halfShift⌋ over the key's
+    * (ts, value)-ordered observations. The power-of-two α makes every
+    * step an exact integer FLOOR division (computed as
+    * (δ − pmod(δ, 2^s)) div 2^s — portable: Spark's `div` truncates
+    * toward zero while other engines floor, and the two disagree on
+    * negative deltas; subtracting the positive mod first makes the
+    * dividend exact so truncation ≡ floor), so the whole trajectory
+    * replays bit-for-bit in any engine. Equal-(ts, value) neighbors
+    * fold identical values — order among full duplicates is
+    * immaterial, the stated total order covers everything else.
+    *
+    * Scale shape: ONE key-keyed exchange; the fold is a per-key HOF
+    * over the collected (ts, value) sequence, so per-key history must
+    * fit a task (true for entity lifetimes; for unbounded keys use
+    * the windowed decay forms — 22ae3's trending counts). Returns
+    * (key, n_obs, ewma). */
+  def ewmaByKey(df: DataFrame, key: Column, tsUs: Column, value: Column,
+      halfShift: Int): DataFrame = {
+    require(halfShift >= 1 && halfShift <= 32, "halfShift must be in [1, 32]")
+    val d = 1L << halfShift
+    df.select(key.as("key"), tsUs.cast("long").as("__ts"), value.cast("long").as("__v"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_obs"),
+        expr("sort_array(collect_list(struct(__ts, __v)))").as("__seq"))
+      .withColumn("ewma", expr(
+        s"aggregate(slice(__seq, 2, greatest(size(__seq) - 1, 0)), __seq[0].__v, " +
+          s"(acc, e) -> acc + (e.__v - acc - (((e.__v - acc) % ${d}L + ${d}L) % ${d}L)) div ${d}L)"))
+      .select(col("key"), col("n_obs"), col("ewma"))
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over an
     * event log — "what share of users is still active after t
     * buckets?" with the censoring done right: a user whose last event

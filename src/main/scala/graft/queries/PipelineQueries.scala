@@ -92,6 +92,17 @@ object PipelineQueries {
         Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
         expr("CAST(round(value * 100) AS BIGINT)"))),
 
+    // §2.2/22ae6 exact integer EWMA per user: α = 1/16 exponential
+    // smoothing of spend cents over the (ts, value) order — every
+    // step an exact floor division (pmod-corrected so truncating and
+    // flooring engines agree on negative deltas), bit-replayed by the
+    // oracle's list_reduce.
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.Timeseries.ewmaByKey(
+        Tables.events(s, dir), col("user_id"), unix_micros(col("ts")),
+        expr("CAST(round(value * 100) AS BIGINT)"), halfShift = 4)
+        .withColumnRenamed("key", "user_id")),
+
     // §2.2/22aw3 mutual information between lang and source: the
     // feature-dependence / leakage audit in exact qlog64 integers —
     // per observed cell PMI + contribution, with the corpus total
@@ -592,6 +603,19 @@ object PipelineQueries {
         |               + ((twap_num % twap_den) * 1000) // twap_den
         |       END AS twap_milli
         |FROM a""".stripMargin,
+    "q_ewma" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |         list(v ORDER BY t, v) AS xs
+        |  FROM o GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |       CAST(list_reduce(xs, (acc, x) ->
+        |         acc + (x - acc - (((x - acc) % 16 + 16) % 16)) // 16) AS BIGINT) AS ewma
+        |FROM l""".stripMargin,
     "q_mi" ->
       s"""WITH grid AS (
          |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,

@@ -49,6 +49,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(ids(screened) === ids(manualScreen))
   }
 
+  test("decontaminateSemantic drops the paraphrase, and the ledger attributes it") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val in = Seq(
+      (1L, "dog tonight jumps quick the brown over lazy fox the"), // shuffled paraphrase
+      (2L, "completely unrelated text about catalyst plans and wide shuffles")
+    ).toDF("doc_id", "text")
+    val audited = Corpus(in, col("text"), col("doc_id")).audited
+      .decontaminate(bench, col("text"), col("doc_id"), n = 3, minHits = 1)
+      .decontaminateSemantic(bench, col("text"), col("doc_id"), dim = 64, tau = 0.99)
+    assert(ids(audited.df) === Set(2L)) // the gram screen missed doc 1; semantic caught it
+    val ledger = audited.dropLedger.select("doc_id", "stage")
+      .as[(Long, String)].collect().toSet
+    assert(ledger === Set((1L, "decontaminate_semantic")))
+  }
+
   test("simhash and winnow near-dedup stages equal manual composition") {
     val viaSim = corpus.nearDedupSimhash().df
     val simPairs = Dedup.simhashPairs(Dedup.simhash(docs, col("text"), col("doc_id")))

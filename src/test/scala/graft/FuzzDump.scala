@@ -715,6 +715,28 @@ object FuzzDump {
           |FROM t CROSS JOIN w""".stripMargin)
     }
 
+    // ---- exact integer EWMA: random shifts, NEGATIVE values (the
+    // truncate-vs-floor divergence zone), duplicate timestamps ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 18)
+      val sft = 1 + rnd.nextInt(6)
+      val d = 1L << sft
+      val nk = 1 + rnd.nextInt(4)
+      val t = (0 until 1 + rnd.nextInt(60)).map { _ =>
+        ("k" + rnd.nextInt(nk), rnd.nextInt(50).toLong, rnd.nextInt(400).toLong - 200L)
+      }.toDF("k", "ts", "v")
+      dump("ewma", seed, Map("t" -> t),
+        graft.operators.Timeseries.ewmaByKey(t, col("k"), col("ts"), col("v"), sft)
+          .withColumnRenamed("key", "k"),
+        s"""WITH l AS (
+           |  SELECT k, CAST(count(*) AS BIGINT) AS n_obs, list(v ORDER BY ts, v) AS xs
+           |  FROM t GROUP BY k)
+           |SELECT k, n_obs,
+           |       CAST(list_reduce(xs, (acc, x) ->
+           |         acc + (x - acc - (((x - acc) % $d + $d) % $d)) // $d) AS BIGINT) AS ewma
+           |FROM l""".stripMargin)
+    }
+
     // ---- winsorize: NULL-bearing values (the r10 ADVICE case —
     // NULLs must not shift the cutoff ranks and must clamp to NULL,
     // not lo_cut), random bounds, singleton and all-NULL groups ----

@@ -454,6 +454,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "q_survival" -> 3,
     // q_twap: the lead() window and the aggregate share hash-on-key
     "q_twap" -> 1,
+    // q_ewma: one key-keyed aggregate; the fold is an in-row HOF
+    "q_ewma" -> 1,
     // q_benford: one 9-bucket aggregate; the digit table join is
     // broadcast and the MAD window runs on 9 rows
     "q_benford" -> 1,

@@ -38,7 +38,7 @@ object ProfileShuffles {
       "q_distinct_n", "q_kl_source", "q_mutual_knn", "q_cc_sizes",
       "q_target_encode", "q_trimmed_mean",
       "q_mutual_knn_ann", "q_cluster_incr", "q_decontam_sem", "q_rerank",
-      "q_rerank_bm25")
+      "q_rerank_bm25", "q_ewma")
     for (q <- targets) {
       try {
         val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString

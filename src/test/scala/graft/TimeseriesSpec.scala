@@ -7,6 +7,20 @@ import graft.operators.Timeseries._
 class TimeseriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("ewmaByKey folds exact floor-division steps, negative deltas included") {
+    import org.apache.spark.sql.functions.col
+    // hand trace at halfShift 2 (α = 1/4): s₀ = 100;
+    // δ = −100 → floor(−100/4) = −25 → 75; δ = −25 → floor(−6.25) = −7 → 68
+    val df = Seq((1L, 30L, 50L), (1L, 10L, 100L), (1L, 20L, 0L), (2L, 5L, -9L))
+      .toDF("k", "ts", "v") // deliberately out of ts order
+    val out = graft.operators.Timeseries
+      .ewmaByKey(df, col("k"), col("ts"), col("v"), halfShift = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(1L -> (3L, 68L), 2L -> (1L, -9L)))
+    // truncation-vs-floor would give 74/−6 instead — the pmod
+    // correction is load-bearing on negative deltas
+  }
+
   test("decayedCounts: recent surge outranks bigger stale volume, exact halving per day") {
     // key A: 8 events today; key B: 40 events ten days ago; key C:
     // spread 4/2/1 over the last three days (hand-traced score)
