@@ -1,5 +1,7 @@
 package graft.dedup
 
+import java.io.File
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,23 +27,47 @@ import graft.operators.Checkpoints
   *  3. only rows whose cluster id actually merged are relabeled, and
   *     only the label-table BUCKETS holding an affected or new row
   *     are rewritten (labels are hash-partitioned on id — an id never
-  *     changes buckets, so dynamic partition overwrite leaves every
-  *     untouched bucket's files alone).
+  *     changes buckets, so untouched buckets' files are never opened,
+  *     let alone rewritten).
   *
-  * Correctness: cluster labels are component MINIMA, and min-label
-  * merging is a semilattice fold — `append(d1); append(d2)` produces
-  * the exact labeling of `connectedComponents(d1 ∪ d2)` (spec-pinned
-  * bit-equal), appends commute, a replayed drop is a no-op, and a
-  * crash-interrupted append (some buckets new, some old) HEALS on
-  * replay: a half-applied merge leaves mixed labels that the replay's
-  * cluster graph simply connects again, and min(new, old) = new.
+  * Storage/atomicity: the label table is a BUCKET STORE. Each append
+  * stages its rewritten buckets (whole — touched rows plus their
+  * untouched co-residents) into a fresh immutable directory
+  * `a%05d/bkt=K/…` and then swaps `_cluster_manifest.json` — the
+  * single mutable object, holding the bucket count and the
+  * bucket→append-directory owner map — with one atomic rename. The
+  * manifest is the COMMIT POINT:
+  *
+  *  - a crash anywhere before the swap leaves the manifest (and so
+  *    every reader) on the previous fully-consistent labeling; the
+  *    orphan staging directory is reclaimed by the retry, which
+  *    reruns the identical drop-sized merge. No torn state — a
+  *    half-committed multi-bucket overwrite can never be observed,
+  *    so the replay-heals claim needs no label-repair pass;
+  *  - appends commute and a replayed drop is a no-op, because
+  *    cluster labels are component MINIMA and min-label merging is a
+  *    semilattice fold — `append(d1); append(d2)` is bit-equal to
+  *    `connectedComponents(d1 ∪ d2)` (spec-pinned);
+  *  - the bucket count is fixed at ledger creation inside the same
+  *    manifest (ids hash to buckets, so a mismatched count would
+  *    orphan rows — the first fuzz sweep of this family produced
+  *    exactly that corruption); a crashed FIRST append leaves no
+  *    manifest and therefore no contract to violate;
+  *  - an empty drop (no non-null pairs) is a no-op that writes
+  *    nothing — in particular an empty FIRST micro-batch from
+  *    [[graft.streaming.EventStreams.clusterStream]] does not create
+  *    an empty unreadable table.
   *
   * Scale shape: the only corpus-sized artifact is the label table
   * itself (near-dup-doc-count rows, tiny next to the corpus). An
   * append reads it once (pruned: the endpoint lookup broadcasts the
   * drop's endpoints; the relabel scan broadcasts the affected-cluster
-  * set) and rewrites only affected buckets. Nothing ever collects to
-  * the driver.
+  * set) and rewrites only affected buckets; a bucket's live content
+  * always lives entirely in the one directory that last rewrote it,
+  * so a read unions at most min(appends, numBuckets) partition-pruned
+  * scans. Superseded directories are garbage-collected by [[vacuum]].
+  * Nothing ever collects to the driver beyond the ≤ numBuckets owner
+  * map.
   */
 object ClusterLedger {
 
@@ -51,43 +77,84 @@ object ClusterLedger {
     * contract). */
   final case class AppendStats(relabeled: Long, newIds: Long, rewrittenBuckets: Seq[Int])
 
-  private def labelsDir(path: String) = s"$path/labels"
+  /** The manifest: bucket count, number of committed appends, and
+    * `owner(b)` = the append index whose directory holds bucket b's
+    * current content (0 = never written: bucket is empty). */
+  private[graft] final case class Manifest(numBuckets: Int, appends: Int, owner: Vector[Int])
 
-  /** The current labeling: (id, cluster_id) for every node any
-    * appended pair graph has mentioned. Empty frame (same schema as
-    * the pairs' id columns) when nothing was appended yet. */
-  def labels(spark: SparkSession, path: String): DataFrame = {
-    val dir = new java.io.File(labelsDir(path))
-    require(dir.exists(), s"no cluster ledger at $path")
-    spark.read.parquet(dir.getPath).select("id", "cluster_id")
+  private def manifestFile(path: String) = new File(path, "_cluster_manifest.json")
+  private def appendDir(path: String, idx: Int) = new File(path, f"a$idx%05d")
+
+  private val NumRe = """"numBuckets"\s*:\s*(\d+)""".r.unanchored
+  private val AppRe = """"appends"\s*:\s*(\d+)""".r.unanchored
+  private val OwnRe = """"owner"\s*:\s*\[([0-9,\s]*)\]""".r.unanchored
+
+  private def render(m: Manifest): String =
+    s"""{"numBuckets": ${m.numBuckets}, "appends": ${m.appends}, "owner": [${m.owner.mkString(",")}]}"""
+
+  private[graft] def readManifest(path: String): Option[Manifest] = {
+    val f = manifestFile(path)
+    if (!f.exists()) None
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val nb = text match { case NumRe(n) => n.toInt case _ => sys.error(s"bad cluster-ledger manifest: $text") }
+      val ap = text match { case AppRe(n) => n.toInt case _ => sys.error(s"bad cluster-ledger manifest: $text") }
+      val own = text match {
+        case OwnRe(s) => s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toVector
+        case _ => sys.error(s"bad cluster-ledger manifest: $text")
+      }
+      require(own.length == nb, s"cluster-ledger manifest owner map has ${own.length} entries for $nb buckets")
+      Some(Manifest(nb, ap, own))
+    }
   }
 
-  private def metaFile(path: String) = new java.io.File(path, "_cluster_meta.json")
-  private val BucketsRe = """"numBuckets"\s*:\s*(\d+)""".r.unanchored
+  /** Atomic commit: write beside, rename over. */
+  private def writeManifest(path: String, m: Manifest): Unit = {
+    val tmp = new File(path, s"_cluster_manifest.json.tmp${System.nanoTime()}")
+    java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Assemble the current labeling from the owner map: one
+    * partition-pruned scan per distinct owning directory (≤
+    * min(appends, numBuckets) of them), unioned. */
+  private def assemble(spark: SparkSession, path: String, m: Manifest): DataFrame = {
+    val byDir = m.owner.zipWithIndex.filter(_._1 > 0).groupBy(_._1)
+    val parts = byDir.toSeq.sortBy(_._1).map { case (idx, entries) =>
+      val bkts = entries.map(_._2)
+      spark.read.parquet(appendDir(path, idx).getPath)
+        .filter(col("bkt").isin(bkts: _*))
+        .select(col("id"), col("cluster_id"), col("bkt").cast("int").as("bkt"))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      sys.error(s"cluster ledger at $path has no committed buckets"))
+  }
+
+  /** The current labeling: (id, cluster_id) for every node any
+    * appended pair graph has mentioned. */
+  def labels(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
+    assemble(spark, path, m).select("id", "cluster_id")
+  }
 
   /** Merge one drop's near-dup pairs into the ledger. `numBuckets` is
-    * fixed at ledger creation (the first append persists it) and a
-    * later append with a DIFFERENT value is refused loudly: ids hash
-    * to buckets, so a silent mismatch writes a relabeled row into its
-    * new-count bucket while the stale copy survives in the old one —
-    * duplicate labels. (The first 100-seed fuzz sweep of this family
-    * produced exactly that corruption before this guard existed.)
-    * Returns [[AppendStats]]. */
+    * fixed at ledger creation (the first committing append persists it
+    * in the manifest) and a later append with a DIFFERENT value is
+    * refused loudly: ids hash to buckets, so a silent mismatch writes
+    * a relabeled row into its new-count bucket while the stale copy
+    * survives in the old one — duplicate labels. (The first 100-seed
+    * fuzz sweep of this family produced exactly that corruption before
+    * this guard existed.) Returns [[AppendStats]]. */
   def append(path: String, pairs: DataFrame, a: String, b: String,
       numBuckets: Int = 64): AppendStats = {
     require(numBuckets > 0)
     val spark = pairs.sparkSession
-    val dir = labelsDir(path)
-    val exists = new java.io.File(dir).exists()
-    val meta = metaFile(path)
-    if (exists && meta.exists()) {
-      val text = new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
-      val persisted = text match {
-        case BucketsRe(n) => n.toInt
-        case _ => sys.error(s"bad cluster-ledger meta: $text")
-      }
-      require(numBuckets == persisted,
-        s"cluster ledger at $path was created with numBuckets=$persisted; " +
+    val existing = readManifest(path)
+    existing.foreach { m =>
+      require(numBuckets == m.numBuckets,
+        s"cluster ledger at $path was created with numBuckets=${m.numBuckets}; " +
           s"append called with $numBuckets — ids hash to buckets, a mismatch orphans rows")
     }
 
@@ -98,17 +165,24 @@ object ClusterLedger {
     val e = Checkpoints.eager(
       pairs.select(col(a).as("__u"), col(b).as("__v"))
         .filter(col("__u").isNotNull && col("__v").isNotNull))
+    // an empty drop is a committed no-op: nothing to merge, nothing to
+    // write — in particular a FIRST empty drop must not create the
+    // ledger (an empty parquet directory cannot even be re-read)
+    if (e.isEmpty) {
+      Checkpoints.release(e)
+      return AppendStats(0L, 0L, Nil)
+    }
 
-    val cur =
-      if (exists) spark.read.parquet(dir)
-      else {
+    val cur = existing match {
+      case Some(m) => assemble(spark, path, m)
+      case None =>
         val idType = e.schema.fields.head.dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id", idType),
             org.apache.spark.sql.types.StructField("cluster_id", idType),
             org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType))))
-      }
+    }
 
     // 1. endpoints → current cluster labels (unseen endpoint = itself).
     //    The drop side is broadcast; the label table streams past it.
@@ -143,13 +217,13 @@ object ClusterLedger {
 
     val touched = relabeled.unionByName(newRows)
       .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
-    // 6. affected buckets must be rewritten WHOLE (dynamic partition
-    //    overwrite replaces the entire partition): carry their
-    //    untouched co-resident rows through unchanged. Relabeled ids
-    //    are excluded via the moved-cluster anti-join; brand-new ids
-    //    are not in `cur` by construction.
+    // 6. affected buckets are rewritten WHOLE into the staged append
+    //    directory (a bucket's live content must stay in one place):
+    //    carry their untouched co-resident rows through unchanged.
+    //    Relabeled ids are excluded via the moved-cluster anti-join;
+    //    brand-new ids are not in `cur` by construction.
     val out = Checkpoints.eager {
-      if (!exists) touched
+      if (existing.isEmpty) touched
       else {
         val bkts = touched.select("bkt").distinct()
         val carried = cur
@@ -159,25 +233,48 @@ object ClusterLedger {
         touched.select("id", "cluster_id", "bkt").unionByName(carried)
       }
     }
+    val rewritten = out.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
     val stats = AppendStats(
       relabeled = relabeled.count(),
       newIds = newRows.count(),
-      rewrittenBuckets = out.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted)
-    // `out` is materialized (eager checkpoint) BEFORE the overwrite —
-    // never read the files being replaced mid-write
-    out.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bkt")
-      .parquet(dir)
-    // persist the layout contract after the first successful write (a
-    // pre-guard ledger missing its meta adopts the caller's value)
-    if (!meta.exists())
-      java.nio.file.Files.write(meta.toPath,
-        s"""{"numBuckets": $numBuckets}""".getBytes("UTF-8"))
+      rewrittenBuckets = rewritten)
+    if (rewritten.nonEmpty) {
+      // stage the rewritten buckets into THIS append's immutable dir
+      // (a leftover from a crashed attempt at the same index is
+      // unreferenced by the manifest — reclaim it), then commit with
+      // one atomic manifest rename. Readers switch from the old
+      // consistent labeling to the new one instantly; no torn state.
+      val idx = existing.map(_.appends).getOrElse(0) + 1
+      val staging = appendDir(path, idx)
+      if (staging.exists()) rmTree(staging)
+      new File(path).mkdirs()
+      out.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      val oldOwner = existing.map(_.owner).getOrElse(Vector.fill(numBuckets)(0))
+      val owner = rewritten.foldLeft(oldOwner)((o, bkt) => o.updated(bkt, idx))
+      writeManifest(path, Manifest(numBuckets, idx, owner))
+    }
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
     Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
     stats
+  }
+
+  /** GC append directories no longer referenced by the owner map
+    * (every bucket they once held has since been rewritten elsewhere).
+    * Returns the deleted directory names. The manifest itself is
+    * untouched — vacuuming never changes the labeling. */
+  def vacuum(path: String): Seq[String] = {
+    val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
+    val live = m.owner.filter(_ > 0).toSet
+    val doomed = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("a\\d{5}") &&
+        !live.contains(f.getName.stripPrefix("a").toInt))
+    doomed.foreach(rmTree)
+    doomed.map(_.getName).toSeq.sorted
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
   }
 }

@@ -212,9 +212,10 @@ object Versioned {
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
         val target = new File(root, dirName)
-        // the slot can be occupied by a crashed publish or by the
-        // version a rollback retreated from — either way the manifest
-        // does not reference it, so reclaiming the slot is safe
+        // the slot can only be occupied by a crashed publish (every
+        // publish — promote or rollback — ADVANCES the version
+        // counter, so a live version never reuses a slot); the
+        // manifest does not reference it, so reclaiming it is safe
         if (target.exists()) rmTree(target)
         require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
         writeManifest(root, Manifest(version, dirName, live.map(_.path)))

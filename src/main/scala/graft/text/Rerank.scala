@@ -63,7 +63,12 @@ object Rerank {
     require(head.nonEmpty, "Rerank.trainLinear: empty training set")
     require(head.head.getLong(1) > 0 && head.head.getLong(2) > 0,
       "Rerank.trainLinear: training set must contain both classes")
-    out
+    // the validation collect already ran the training job — hand
+    // consumers the collected row as a literal frame, so scoring /
+    // reranking broadcasts one local row instead of re-running the
+    // posexplode aggregate per consumer
+    train.sparkSession.createDataFrame(
+      java.util.Arrays.asList(head.head), out.schema)
   }
 
   /** Score every row: `out` = Σ w_j · feature_j (exact long). The

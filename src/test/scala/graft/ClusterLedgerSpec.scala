@@ -48,34 +48,108 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(replayed === l12)
   }
 
+  // every bucket partition dir's parquet files across all append dirs,
+  // keyed by (append dir, bkt=K), value = name:mtime fingerprints
+  private def bucketFiles(path: String): Map[(String, String), Set[String]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.matches("a\\d{5}"))
+      .flatMap { ad =>
+        ad.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bkt="))
+          .map(d => (ad.getName, d.getName) ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => f.getName + ":" + f.lastModified()).toSet)
+      }.toMap
+  }
+
   test("appends rewrite only buckets holding an affected or new id") {
     val nb = 16
     // a wide first drop: 40 singletons spread across many buckets
     val d1 = (0L until 40L).map(i => (i, i)).toDF("a", "b")
     val path = tmp()
-    ClusterLedger.append(path, d1, "a", "b", numBuckets = nb)
-    def bucketFiles(): Map[String, Set[String]] = {
-      val root = new java.io.File(s"$path/labels")
-      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
-        .map(d => d.getName ->
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => f.getName + ":" + f.lastModified()).toSet)
-        .toMap
-    }
-    val before = bucketFiles()
+    val s1 = ClusterLedger.append(path, d1, "a", "b", numBuckets = nb)
+    val before = bucketFiles(path)
     // second drop merges exactly two existing singletons
     val stats = ClusterLedger.append(path, Seq((7L, 23L)).toDF("a", "b"), "a", "b", numBuckets = nb)
-    val after = bucketFiles()
-    val rewritten = stats.rewrittenBuckets.map(b => s"bkt=$b").toSet
-    assert(rewritten.size < before.size, "expected a strict subset of buckets rewritten")
-    // every untouched bucket's files are byte-for-byte the same objects
-    for ((bkt, files) <- before if !rewritten.contains(bkt))
-      assert(after(bkt) === files, s"untouched bucket $bkt was rewritten")
+    val after = bucketFiles(path)
+    assert(stats.rewrittenBuckets.size < s1.rewrittenBuckets.size,
+      "expected a strict subset of buckets rewritten")
+    // every pre-existing file object is byte-for-byte untouched — the
+    // second append staged its buckets into a NEW directory and only
+    // the manifest's owner map moved
+    for ((key, files) <- before)
+      assert(after(key) === files, s"append mutated pre-existing files under $key")
+    // untouched buckets still read from the first append's directory
+    val m = ClusterLedger.readManifest(path).get
+    for (b <- 0 until nb if !stats.rewrittenBuckets.contains(b) && s1.rewrittenBuckets.contains(b))
+      assert(m.owner(b) === 1, s"untouched bucket $b changed owner")
     // and the labeling is still exactly the full recompute
     val got = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
     val full = Components.connectedComponents(
       d1.union(Seq((7L, 23L)).toDF("a", "b")), "a", "b").as[(Long, Long)].collect().toSet
     assert(got === full)
+  }
+
+  test("a crash between bucket staging and manifest swap is invisible and the retry heals") {
+    val nb = 8
+    val d1 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val d2 = Seq((2L, 3L), (4L, 5L)).toDF("a", "b") // merges everything into {1..6}
+    val path = tmp()
+    ClusterLedger.append(path, d1, "a", "b", numBuckets = nb)
+    val committed = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val manifest = new java.io.File(path, "_cluster_manifest.json")
+    val preSwap = java.nio.file.Files.readAllBytes(manifest.toPath)
+    ClusterLedger.append(path, d2, "a", "b", numBuckets = nb)
+    // simulate a crash BEFORE the atomic manifest rename: the staged
+    // append directory exists but the commit pointer still names the
+    // old state
+    java.nio.file.Files.write(manifest.toPath, preSwap)
+    // a reader between crash and retry sees the old consistent labeling
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === committed)
+    // the retry reclaims the orphan staging dir and commits
+    ClusterLedger.append(path, d2, "a", "b", numBuckets = nb)
+    val healed = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val full = Components.connectedComponents(d1.union(d2), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(healed === full)
+    // no duplicate ids survived the torn attempt
+    val n = ClusterLedger.labels(spark, path).count()
+    assert(n === ClusterLedger.labels(spark, path).select("id").distinct().count())
+  }
+
+  test("an empty drop is a committed no-op — including as the FIRST append") {
+    val path = tmp()
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val s0 = ClusterLedger.append(path, empty, "a", "b", numBuckets = 8)
+    assert(s0 === ClusterLedger.AppendStats(0L, 0L, Nil))
+    // no ledger was created: no manifest, no unreadable empty parquet
+    assert(intercept[RuntimeException](ClusterLedger.labels(spark, path))
+      .getMessage.contains("no cluster ledger"))
+    // a real append after the empty one works normally...
+    ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)
+    val before = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    assert(before === Set((1L, 1L), (2L, 1L)))
+    // ...and a later empty drop (all-null pairs count too) is a no-op
+    val s2 = ClusterLedger.append(path,
+      Seq((Option.empty[Long], Option(9L))).toDF("a", "b"), "a", "b", numBuckets = 8)
+    assert(s2 === ClusterLedger.AppendStats(0L, 0L, Nil))
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
+  }
+
+  test("vacuum deletes only unreferenced append directories and never changes the labeling") {
+    val nb = 2 // few buckets so later appends fully supersede early dirs
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    ClusterLedger.append(path, Seq((2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    ClusterLedger.append(path, Seq((3L, 4L), (11L, 12L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    val before = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val m = ClusterLedger.readManifest(path).get
+    val live = m.owner.filter(_ > 0).toSet.map((i: Int) => f"a$i%05d")
+    val deleted = ClusterLedger.vacuum(path)
+    assert(deleted.toSet.intersect(live).isEmpty, "vacuum deleted a live directory")
+    val remaining = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("a\\d{5}")).map(_.getName).toSet
+    assert(remaining === live)
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
   }
 
   test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
