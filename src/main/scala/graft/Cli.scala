@@ -63,17 +63,25 @@ import graft.sources.PartitionedFiles
   *       promoted (all rules evaluated in ONE pass over the data)
   *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
   *                  [--max-changed-pm 50]]
-  *                  [--action promote|rollback|vacuum|current|history|read-version]
+  *                  [--action promote|promote-bucketed|merge|rollback|vacuum|
+  *                   current|history|read-version]
+  *                  [--key doc_id --buckets 64] [--deleted COLUMN]
   *                  [--to-version N] [--retain 2]
   *       write-audit-publish versioned corpus: stage -i under --root,
   *       gate on the validate suite + optional live-vs-staged churn
   *       limit, atomically swap the manifest pointer on pass; a
   *       refused promotion exits nonzero and leaves the live version
-  *       untouched. rollback PUBLISHES the target (--to-version N or
-  *       one step back) as a new version — history never rewrites;
-  *       history lists the manifest chain with retention flags;
-  *       read-version time-travels; vacuum GCs outside --retain
-  *       (live + previous always kept)
+  *       untouched. promote-bucketed publishes -i hash-bucketed on
+  *       --key so later drops can `merge`: -i upserts by key (rows
+  *       where --deleted evaluates true delete instead), rewriting
+  *       ONLY the touched buckets and publishing a new version whose
+  *       owner map points untouched buckets at their existing files
+  *       (--max-changed-pm bounds updates+deletes of live keys).
+  *       rollback PUBLISHES the target (--to-version N or one step
+  *       back) as a new version — history never rewrites; history
+  *       lists the manifest chain with retention flags; read-version
+  *       time-travels; vacuum GCs outside --retain (live + previous +
+  *       every directory a retained owner map references always kept)
   *   decontam       --bench PATH --text text --id doc_id [--bench-text text]
   *                  [--bench-id doc_id] [--n 3] [--min-hits 3] [--emit clean|flags]
   *       benchmark decontamination: drop (or just flag, --emit flags)
@@ -1268,6 +1276,36 @@ object Cli {
                 r.diffStats.map { case (s, n) => ("diff", s, n.toString) }
               write(rows.toDF("kind", "name", "value"))
               if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
+            case "promote-bucketed" =>
+              val gate = opts.get("diff-key").map(k => graft.sources.Versioned.DiffGate(
+                k, opts.getOrElse("diff-content", fail("--diff-content required with --diff-key")),
+                opts.getOrElse("max-changed-pm", "50").toLong))
+              val r = graft.sources.Versioned.promoteBucketed(read(), root,
+                opts.getOrElse("key", fail("--key COLUMN required")),
+                opts.getOrElse("buckets", "64").toInt, parsedChecks(), gate)
+              val rows =
+                Seq(("outcome", "promoted", r.promoted.toString),
+                  ("outcome", "version", r.version.toString),
+                  ("outcome", "path", r.path)) ++
+                r.reason.map(("outcome", "reason", _)) ++
+                r.violations.map { case (rule, n) => ("violation", rule, n.toString) }
+              write(rows.toDF("kind", "name", "value"))
+              if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
+            case "merge" =>
+              val del = opts.get("deleted").map(expr).getOrElse(lit(false))
+              val r = graft.sources.Versioned.merge(read(), root, del, parsedChecks(),
+                opts.get("max-changed-pm").map(_.toLong))
+              val rows =
+                Seq(("outcome", "merged", r.merged.toString),
+                  ("outcome", "version", r.version.toString),
+                  ("outcome", "upserted", r.upserted.toString),
+                  ("outcome", "inserted", r.inserted.toString),
+                  ("outcome", "deleted", r.deleted.toString),
+                  ("outcome", "rewritten_buckets", r.rewrittenBuckets.mkString(" "))) ++
+                r.reason.map(("outcome", "reason", _)) ++
+                r.violations.map { case (rule, n) => ("violation", rule, n.toString) }
+              write(rows.toDF("kind", "name", "value"))
+              if (!r.merged) sys.error(s"merge refused: ${r.reason.getOrElse("")}")
             case "rollback" =>
               // --to-version N targets any retained chain version;
               // without it, one step back. Either way the rollback is

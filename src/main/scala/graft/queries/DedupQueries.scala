@@ -250,6 +250,40 @@ object DedupQueries {
         keyName = "doc_id")
     }),
 
+    // §2.2/22bh2 key-level MERGE publish: the documents table is
+    // published as a bucketed warehouse version, then ONE drop
+    // (updates ≡ 0 mod DiffChangeMod, deletes ≡ 0 mod DiffRemoveMod,
+    // inserts ≡ 0 mod DiffAddMod at DiffAddOffset — the q_corpus_diff
+    // lifecycle family) merges in by rewriting only its touched
+    // buckets. Output = the merged live table; the oracle replays the
+    // FULL OUTER merge (anti-join survivors ∪ upserts) over the
+    // pre-image, so a row lost, duplicated, or mis-routed by the
+    // bucket plumbing hash-mismatches.
+    "q_warehouse_merge" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_merge").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      val drop = docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("text"), lit(true).as("del"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
+            pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
+          .select((col("doc_id") + PrepParams.DiffAddOffset).as("doc_id"),
+            lit("drop").as("source"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+            lit(false).as("del")))
+      val rep = Versioned.merge(drop, root, deleted = col("del"))
+      require(rep.merged, s"warehouse merge refused: ${rep.reason}")
+      Versioned.read(s, root)
+    }),
+
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
     // window, keep pairs at word-set Jaccard ≥ 0.4 (integer-rational
@@ -802,6 +836,29 @@ object DedupQueries {
     "q_triangles" -> trianglesSql,
     "q_lsh_recall" -> lshRecallSql,
     "q_incr_dedup" -> incrDedupSql,
+    // the full-outer merge replay over the pre-image: survivors are
+    // base rows whose key is in NO drop leg; upserts and inserts come
+    // back verbatim. Bit-equal to the bucketed merge's assembled read.
+    "q_warehouse_merge" ->
+      raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |upd AS (
+           |  SELECT doc_id, source, text || ' v2' AS text FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT doc_id + ${PrepParams.DiffAddOffset} AS doc_id,
+           |         'drop' AS source,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT doc_id FROM upd
+           |  UNION ALL SELECT doc_id FROM ins)
+           |SELECT b.doc_id, b.source, b.text
+           |FROM base b LEFT JOIN dropkeys k ON b.doc_id = k.doc_id
+           |WHERE k.doc_id IS NULL
+           |UNION ALL SELECT doc_id, source, text FROM upd
+           |UNION ALL SELECT doc_id, source, text FROM ins""".stripMargin,
     "q_corpus_diff" ->
       raw"""WITH prev AS (SELECT doc_id, text FROM documents),
            |curr AS (

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.TableDiff
 import graft.quality.Validate
@@ -57,8 +58,22 @@ object Versioned {
 
   /** The live pointer: monotonically increasing version, its
     * directory (relative to the root), and the directory it
-    * superseded (kept for in-flight readers and [[rollback]]). */
-  final case class Manifest(version: Int, path: String, previous: Option[String])
+    * superseded (kept for in-flight readers and [[rollback]]).
+    * Bucketed tables ([[promoteBucketed]]/[[merge]]) additionally
+    * carry a [[BucketSpec]]. */
+  final case class Manifest(version: Int, path: String, previous: Option[String],
+      buckets: Option[BucketSpec] = None)
+
+  /** Layout contract of a bucketed table: the merge key, the bucket
+    * count fixed at creation (keys hash to buckets — changing the
+    * count would strand rows), the exact live row count (maintained
+    * by every publish, giving [[merge]] its O(1) fat-finger gate),
+    * and `owner(b)` = the version directory holding bucket b's
+    * current content ("" = bucket is empty). A merge rewrites only
+    * the owner entries of its touched buckets; every other bucket
+    * keeps reading the files an earlier version wrote — byte-for-byte
+    * untouched. */
+  final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String])
 
   /** Refuse promotion when (changed + removed) keys exceed
     * `maxChangedPerMille`/1000 of the live corpus' rows. `key` and
@@ -82,19 +97,34 @@ object Versioned {
 
   private def render(m: Manifest): String = {
     val prev = m.previous.map(p => "\"" + p + "\"").getOrElse("null")
-    s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev}"""
+    val bkts = m.buckets.map { b =>
+      s""", "key": "${b.key}", "numBuckets": ${b.numBuckets}, "rows": ${b.rows}, """ +
+        s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]"""
+    }.getOrElse("")
+    s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$bkts}"""
   }
 
   private val VersionRe = """"version"\s*:\s*(\d+)""".r.unanchored
   private val PathRe = """"path"\s*:\s*"([^"]+)"""".r.unanchored
   private val PrevRe = """"previous"\s*:\s*"([^"]+)"""".r.unanchored
+  private val KeyRe = """"key"\s*:\s*"([^"]+)"""".r.unanchored
+  private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r.unanchored
+  private val RowsRe = """"rows"\s*:\s*(\d+)""".r.unanchored
+  private val OwnerRe = """"owner"\s*:\s*\[([^\]]*)\]""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     val v = text match { case VersionRe(n) => n.toInt case _ => sys.error(s"bad manifest: $text") }
     val p = text match { case PathRe(s) => s case _ => sys.error(s"bad manifest: $text") }
     val prev = text match { case PrevRe(s) => Some(s) case _ => None }
-    Manifest(v, p, prev)
+    val buckets = (text, text, text, text) match {
+      case (KeyRe(k), NumBucketsRe(nb), RowsRe(r), OwnerRe(own)) =>
+        val owner = own.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toVector
+          .take(nb.toInt).padTo(nb.toInt, "")
+        Some(BucketSpec(k, nb.toInt, r.toLong, owner))
+      case _ => None
+    }
+    Manifest(v, p, prev, buckets)
   }
 
   /** The live manifest, if the table exists. */
@@ -138,7 +168,7 @@ object Versioned {
     * promoted. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    spark.read.parquet(new File(root, m.path).getPath)
+    readManifestData(spark, root, m)
   }
 
   /** Time travel: the data as of version `v` — resolved through the
@@ -148,13 +178,43 @@ object Versioned {
   def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
     val m = versions(root).find(_.version == v)
       .getOrElse(sys.error(s"version $v was never published under $root"))
-    val dir = new File(root, m.path)
-    require(dir.exists(),
-      s"version $v's data (${m.path}) was vacuumed — retained versions: " +
-        versions(root).filter(x => new File(root, x.path).exists())
-          .map(_.version).mkString(", "))
-    spark.read.parquet(dir.getPath)
+    readManifestData(spark, root, m)
   }
+
+  private def readManifestData(spark: SparkSession, root: String, m: Manifest): DataFrame =
+    m.buckets match {
+      case Some(spec) => assembleBuckets(spark, root, m.version, spec)
+      case None =>
+        val dir = new File(root, m.path)
+        require(dir.exists(),
+          s"version ${m.version}'s data (${m.path}) was vacuumed — retained versions: " +
+            versions(root).filter(x => new File(root, x.path).exists())
+              .map(_.version).mkString(", "))
+        spark.read.parquet(dir.getPath)
+    }
+
+  /** Assemble a bucketed version from its owner map: one
+    * partition-pruned scan per distinct owning directory (≤
+    * min(publishes, numBuckets) of them), unioned; `bkt` stays an
+    * internal layout column and is dropped from the result. */
+  private def assembleBuckets(spark: SparkSession, root: String, version: Int,
+      spec: BucketSpec): DataFrame = {
+    val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
+    require(byDir.nonEmpty, s"bucketed version $version has no non-empty buckets")
+    byDir.keys.foreach { dir =>
+      require(new File(root, dir).exists(),
+        s"version $version reads bucket data from $dir, which was vacuumed")
+    }
+    val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+      spark.read.parquet(new File(root, dir).getPath)
+        .filter(col("bkt").isin(entries.map(_._2): _*))
+    }
+    val unioned = parts.reduce(_ unionByName _)
+    unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*)
+  }
+
+  private def bktCol(key: String, numBuckets: Int) =
+    pmod(xxhash64(col(key).cast("string")), lit(numBuckets)).cast("int")
 
   private def rmTree(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -187,8 +247,7 @@ object Versioned {
     val (diffStats, diffReason): (Seq[(String, Long)], Option[String]) =
       (live, diffGate) match {
         case (Some(m), Some(g)) =>
-          import org.apache.spark.sql.functions.col
-          val liveDf = spark.read.parquet(new File(root, m.path).getPath)
+          val liveDf = readManifestData(spark, root, m)
           val stats = TableDiff.snapshotDiffStats(TableDiff.snapshotDiff(
             liveDf, staged, col(g.key), col(g.key), col(g.content), col(g.content)))
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -223,6 +282,245 @@ object Versioned {
     }
   }
 
+  /** [[merge]] outcome. `upserted`/`inserted`/`deleted` count drop
+    * keys that updated an existing row / created a new one / removed
+    * an existing one; `rewrittenBuckets` is the audit hook proving
+    * merge cost stayed proportional to the drop. `reason` is set iff
+    * the merge was refused (validation or the changed-rows gate) —
+    * the live pointer did not move. */
+  final case class MergeReport(
+      merged: Boolean,
+      version: Int,
+      path: String,
+      upserted: Long,
+      inserted: Long,
+      deleted: Long,
+      rewrittenBuckets: Seq[Int],
+      violations: Seq[(String, Long)],
+      reason: Option[String])
+
+  /** Publish a BUCKETED table version: the same stage → audit →
+    * atomic-swap discipline as [[promote]], but the data is laid out
+    * as `numBuckets` hash partitions of `key` so later drops can
+    * [[merge]] by rewriting only their touched buckets. The manifest
+    * records the layout contract ([[BucketSpec]]) with every bucket
+    * owned by this version's directory; the exact row count rides
+    * along for merge's O(1) fat-finger gate. Re-running
+    * `promoteBucketed` later is the full-rebuild path (every bucket
+    * re-owned — the "retrain" analogue); [[merge]] is the drop path. */
+  def promoteBucketed(
+      df: DataFrame,
+      root: String,
+      key: String,
+      numBuckets: Int,
+      checks: Seq[Validate.Check] = Seq.empty,
+      diffGate: Option[DiffGate] = None): PromoteReport = {
+    require(numBuckets > 0)
+    require(df.columns.contains(key), s"merge key '$key' not in ${df.columns.mkString(", ")}")
+    val spark = df.sparkSession
+    new File(root).mkdirs()
+    val live = currentManifest(root)
+    val version = live.map(_.version + 1).getOrElse(1)
+    val dirName = f"v$version%05d"
+    val staging = new File(root, s"_staging_$dirName")
+    if (staging.exists()) rmTree(staging)
+    df.withColumn("bkt", bktCol(key, numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    val staged = spark.read.parquet(staging.getPath)
+    val rows = staged.count()
+    require(rows > 0, "promoteBucketed refuses an empty table (no bucket files to lay out)")
+
+    val viol: Seq[(String, Long)] =
+      if (checks.isEmpty) Seq.empty
+      else Validate.violations(staged.drop("bkt"), checks).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val firstViolation = viol.find(_._2 > 0)
+
+    val (diffStats, diffReason): (Seq[(String, Long)], Option[String]) =
+      (live, diffGate) match {
+        case (Some(m), Some(g)) =>
+          val liveDf = readManifestData(spark, root, m)
+          val stats = TableDiff.snapshotDiffStats(TableDiff.snapshotDiff(
+            liveDf, staged, col(g.key), col(g.key), col(g.content), col(g.content)))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          val byStatus = stats.toMap.withDefaultValue(0L)
+          val liveRows = byStatus("unchanged") + byStatus("changed") + byStatus("removed")
+          val moved = byStatus("changed") + byStatus("removed")
+          val over = liveRows > 0 && moved * 1000L > g.maxChangedPerMille * liveRows
+          (stats, if (over) Some(
+            s"diff gate: $moved of $liveRows live keys changed/removed " +
+              s"(> ${g.maxChangedPerMille} per mille)") else None)
+        case _ => (Seq.empty, None)
+      }
+
+    val reason = firstViolation
+      .map { case (rule, n) => s"validation: rule '$rule' has $n violations" }
+      .orElse(diffReason)
+
+    reason match {
+      case Some(_) =>
+        rmTree(staging)
+        PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
+      case None =>
+        val target = new File(root, dirName)
+        if (target.exists()) rmTree(target)
+        require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
+        writeManifest(root, Manifest(version, dirName, live.map(_.path),
+          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName)))))
+        PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
+    }
+  }
+
+  /** Key-level MERGE publish — apply a drop as upsert/delete WITHOUT
+    * rewriting the table (the missing half of the table-format story
+    * next to whole-table [[promote]]). The live version must be
+    * bucketed ([[promoteBucketed]]). Each drop row either upserts
+    * (replaces the live row with its key, or inserts when absent) or,
+    * when `deleted` evaluates true, deletes its key. Mechanics:
+    *
+    *  1. the drop's keys hash to buckets under the manifest's fixed
+    *     [[BucketSpec]]; ONLY those buckets' current rows are read
+    *     (partition-pruned from their owning version directories);
+    *  2. survivors (touched-bucket rows whose key is not in the drop)
+    *     union the upsert rows and stage into this version's private
+    *     directory, partitioned by bucket — merge I/O is
+    *     touched-bucket-sized, never table-sized;
+    *  3. the staged rows are RE-READ and audited ([[Validate.Check]]
+    *     suite — the corpus outside the touched buckets was audited
+    *     by its own publish), and the O(1) changed-rows gate
+    *     (`maxChangedPerMille` of the manifest's live row count,
+    *     counting updates + deletes of existing keys) refuses a
+    *     fat-fingered drop before anything publishes;
+    *  4. one atomic manifest rename commits: the new version's owner
+    *     map points touched buckets at the new directory and every
+    *     other bucket at wherever it already lived. Mid-merge readers
+    *     stay pinned to the old version; a crash before the swap
+    *     leaves only an unreferenced staging directory the retry
+    *     reclaims; untouched buckets' files are never opened.
+    *
+    * Drops must be key-unique (an upsert and a delete for the same
+    * key have no defined order in a DataFrame — refused loudly).
+    * Returns [[MergeReport]]; the manifest moves only on
+    * `merged = true`. */
+  def merge(
+      drop: DataFrame,
+      root: String,
+      deleted: Column = lit(false),
+      checks: Seq[Validate.Check] = Seq.empty,
+      maxChangedPerMille: Option[Long] = None): MergeReport = {
+    val spark = drop.sparkSession
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — publish with promoteBucketed before merging"))
+    val key = spec.key
+    require(drop.columns.contains(key), s"merge key '$key' not in ${drop.columns.mkString(", ")}")
+
+    val d = graft.operators.Checkpoints.eager(drop
+      .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
+      .withColumn("bkt", bktCol(key, spec.numBuckets)))
+    val nDrop = d.count()
+    require(nDrop == d.select(key).distinct().count(),
+      s"drop has duplicate '$key' keys — upsert/delete order within a drop is undefined")
+
+    val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // current rows of the touched buckets only, partition-pruned from
+    // their owning directories; keep bkt — it is the staging partition
+    val byDir = touched.map(b => (spec.owner(b), b)).filter(_._1.nonEmpty).groupBy(_._1)
+    val oldRows = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+      spark.read.parquet(new File(root, dir).getPath)
+        .filter(col("bkt").isin(entries.map(_._2): _*))
+    }.reduceOption(_ unionByName _)
+    // data schema (without bkt) comes from any owning directory — a
+    // bucketed table always has one (promoteBucketed refuses empty;
+    // a table whose every bucket was merged empty must be re-published
+    // with promoteBucketed, since no directory carries its schema)
+    val schemaSrc: DataFrame = oldRows.getOrElse {
+      val anyDir = spec.owner.find(_.nonEmpty).getOrElse(sys.error(
+        s"bucketed table under $root has no data directories (every bucket " +
+          "was merged empty) — re-publish with promoteBucketed"))
+      spark.read.parquet(new File(root, anyDir).getPath)
+    }
+    val dataCols: Seq[String] = schemaSrc.columns.toSeq.filter(_ != "bkt")
+
+    val dKeys = d.select(col(key), col("__del"))
+    val upsertSrc = d.filter(!col("__del"))
+    val missing = dataCols.filterNot(c => drop.columns.contains(c))
+    val upserts =
+      if (missing.isEmpty) upsertSrc.select(dataCols.map(col) :+ col("bkt"): _*)
+      else {
+        require(upsertSrc.isEmpty,
+          s"drop upsert rows are missing table columns: ${missing.mkString(", ")}")
+        // delete-only drop: an empty frame in the table's shape
+        schemaSrc.select(dataCols.map(col) :+ col("bkt"): _*).filter(lit(false))
+      }
+    val survivors = oldRows.map(_.join(broadcast(dKeys.select(key)), Seq(key), "left_anti")
+      .select(dataCols.map(col) :+ col("bkt"): _*))
+    val merged = graft.operators.Checkpoints.eager(
+      survivors.map(_.unionByName(upserts)).getOrElse(upserts))
+
+    // exact O(drop) accounting against the touched buckets' pre-image
+    val hits = oldRows.map(_.select(col(key))
+      .join(broadcast(dKeys), Seq(key), "inner")
+      .agg(
+        sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
+      .collect().head).map(r => (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
+        Option(r.get(1)).fold(0L)(_ => r.getLong(1)))).getOrElse((0L, 0L))
+    val (upserted, deletedN) = hits
+    val upsertRows = d.filter(!col("__del")).count()
+    val inserted = upsertRows - upserted
+    val newTotal = spec.rows + inserted - deletedN
+
+    val version = live.version + 1
+    val dirName = f"v$version%05d"
+    val staging = new File(root, s"_staging_$dirName")
+    if (staging.exists()) rmTree(staging)
+    val stagedEmpty = merged.isEmpty
+    if (!stagedEmpty)
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    else staging.mkdirs() // every touched bucket emptied: version dir holds no files
+
+    val viol: Seq[(String, Long)] =
+      if (checks.isEmpty || stagedEmpty) Seq.empty
+      else Validate.violations(spark.read.parquet(staging.getPath).drop("bkt"), checks)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val firstViolation = viol.find(_._2 > 0)
+    val gateReason = maxChangedPerMille.flatMap { pm =>
+      val movedKeys = upserted + deletedN
+      if (spec.rows > 0 && movedKeys * 1000L > pm * spec.rows)
+        Some(s"merge gate: $movedKeys of ${spec.rows} live keys changed/removed (> $pm per mille)")
+      else None
+    }
+    val reason = firstViolation
+      .map { case (rule, n) => s"validation: rule '$rule' has $n violations" }
+      .orElse(gateReason)
+
+    val report = reason match {
+      case Some(_) =>
+        rmTree(staging)
+        MergeReport(merged = false, version, dirName, upserted, inserted, deletedN,
+          touched, viol, reason)
+      case None =>
+        val target = new File(root, dirName)
+        if (target.exists()) rmTree(target)
+        require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
+        // a staged bucket with zero rows writes no partition dir —
+        // its owner entry becomes "" (empty bucket), not the new dir
+        val stagedBkts: Set[Int] =
+          if (stagedEmpty) Set.empty
+          else spark.read.parquet(target.getPath).select("bkt").distinct()
+            .collect().map(_.getInt(0)).toSet
+        val owner = touched.foldLeft(spec.owner)((o, b) =>
+          o.updated(b, if (stagedBkts.contains(b)) dirName else ""))
+        writeManifest(root, Manifest(version, dirName, Some(live.path),
+          Some(spec.copy(rows = newTotal, owner = owner))))
+        MergeReport(merged = true, version, dirName, upserted, inserted, deletedN,
+          touched, viol, None)
+    }
+    Seq(d, merged).foreach(graft.operators.Checkpoints.release)
+    report
+  }
+
   /** Roll back by PUBLISHING: the new live version is
     * `live.version + 1` and its path is the TARGET version's
     * directory — no data is copied, no directory is deleted, and no
@@ -235,9 +533,13 @@ object Versioned {
     require(toVersion != live.version, s"version $toVersion is already live")
     val target = versions(root).find(_.version == toVersion)
       .getOrElse(sys.error(s"version $toVersion was never published under $root"))
-    require(new File(root, target.path).exists(),
-      s"version $toVersion's data (${target.path}) was vacuumed")
-    val next = Manifest(live.version + 1, target.path, Some(live.path))
+    val needed = target.buckets.map(_.owner.filter(_.nonEmpty).distinct)
+      .getOrElse(Seq(target.path))
+    needed.foreach(dir => require(new File(root, dir).exists(),
+      s"version $toVersion's data ($dir) was vacuumed"))
+    // a bucketed target's owner map rides along — the rollback version
+    // reads the same bucket directories the target did
+    val next = Manifest(live.version + 1, target.path, Some(live.path), target.buckets)
     writeManifest(root, next)
     next
   }
@@ -247,10 +549,17 @@ object Versioned {
   def rollback(root: String): Manifest = {
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val prev = live.previous.getOrElse(sys.error(s"version ${live.version} has no previous"))
-    require(new File(root, prev).exists(), s"previous version directory $prev is gone")
-    val next = Manifest(live.version + 1, prev, Some(live.path))
-    writeManifest(root, next)
-    next
+    // resolve through the chain so a bucketed previous version's owner
+    // map rides along; pre-chain tables fall back to the bare path
+    versions(root).filter(m => m.path == prev && m.version < live.version)
+      .sortBy(-_.version).headOption match {
+      case Some(target) => rollback(root, target.version)
+      case None =>
+        require(new File(root, prev).exists(), s"previous version directory $prev is gone")
+        val next = Manifest(live.version + 1, prev, Some(live.path))
+        writeManifest(root, next)
+        next
+    }
   }
 
   /** Retention GC: delete version directories EXCEPT the live one,
@@ -265,8 +574,15 @@ object Versioned {
   def vacuum(root: String, retainLast: Int = 2): Seq[String] = {
     require(retainLast >= 1, "retainLast must be >= 1")
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    val recent = versions(root).sortBy(-_.version).take(retainLast).map(_.path)
-    val keep = Set(m.path) ++ m.previous ++ recent
+    val chain = versions(root)
+    val retained = chain.sortBy(-_.version).take(retainLast) :+ m
+    // a retained bucketed version needs every directory its owner map
+    // references, not just its own — merge versions read older dirs
+    val keep = retained.flatMap(x =>
+      x.path +: x.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty)).toSet ++
+      m.previous ++
+      chain.filter(x => m.previous.contains(x.path))
+        .flatMap(_.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty))
     val doomed = Option(new File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{5}") && !keep(f.getName))
     doomed.foreach(rmTree)

@@ -992,6 +992,47 @@ object DriveCli {
       spark.stop()
     }
 
+    // warehouse merge: bucketed publish, then one drop upserts 2 keys,
+    // deletes 1 and inserts 1 by rewriting only its touched buckets
+    val wroot = s"$tmp/bucketed"
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", wroot, "--action", "promote-bucketed",
+      "--key", "doc_id", "--buckets", "16", "--unique", "doc_id",
+      "--outfile", s"$tmp/wm1"))
+    locally {
+      val spark = GraftSession.builder("mkDrop", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      Seq(
+        (0L, Option("updated zero"), Option("en"), Option("s0"), Option(12L), false),
+        (1L, Option("updated one"), Option("en"), Option("s0"), Option(11L), false),
+        (2L, Option.empty[String], Option.empty[String], Option.empty[String], Option.empty[Long], true),
+        (900000L, Option("brand new doc"), Option("en"), Option("drop"), Option(13L), false))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "del")
+        .write.mode("overwrite").parquet(s"$tmp/wdrop")
+      spark.stop()
+    }
+    Cli.main(Array("-i", s"$tmp/wdrop", "-f", "parquet",
+      "promote", "--root", wroot, "--action", "merge",
+      "--deleted", "del", "--unique", "doc_id", "--max-changed-pm", "500",
+      "--outfile", s"$tmp/wm2"))
+    locally {
+      val spark = GraftSession.builder("verifyMerge", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val live = graft.sources.Versioned.read(spark, wroot)
+      val rep = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/wm2")
+      val merged = rep.filter(col("name") === "merged").head().getString(2)
+      val ok = merged == "true" &&
+        live.count() == in.count() && // -1 delete +1 insert
+        live.filter(col("doc_id") === 0L).head().getString(1) == "updated zero" &&
+        live.filter(col("doc_id") === 2L).count() == 0 &&
+        live.filter(col("doc_id") === 900000L).count() == 1 &&
+        graft.sources.Versioned.readVersion(spark, wroot, 1).count() == in.count()
+      println(s"WHMERGE=${live.count()} OK=$ok")
+      spark.stop()
+    }
+
     // cluster-ledger: minhash pairs → two CLI appends (split by
     // parity) → labels must equal the full-graph clustering
     Cli.main(Array("-i", docs, "-f", "parquet",

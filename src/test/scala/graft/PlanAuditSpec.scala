@@ -475,6 +475,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_cluster_incr: the returned frame is a plain ledger scan — the
     // append-side exchanges are inside the (checkpoint-bounded) merge
     "q_cluster_incr" -> 0,
+    // q_warehouse_merge: the returned frame is the bucketed table's
+    // assembled read — a union of partition-pruned scans, no exchange;
+    // the merge-side shuffles are inside the (checkpoint-bounded)
+    // publish and proportional to the drop's touched buckets
+    "q_warehouse_merge" -> 0,
     // q_decontam_sem: the n-gram pair aggregate + the full-outer
     // verdict join on (doc, bench); the semantic screen is broadcast
     // + narrow (in-row embedding, zero shuffles of its own)

@@ -146,6 +146,133 @@ class PromoteSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Versioned.vacuum(root, retainLast = 0))
   }
 
+  // ---------- key-level MERGE publish (§2.2/22bh2) ----------
+
+  private def baseDocs(n: Long) = docs((1L to n).map(j => j -> s"d$j"): _*)
+
+  // every parquet file under the root's version dirs, name -> mtime
+  private def allFiles(root: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(root)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("merge applies upserts and deletes, bit-equal to a whole-table rebuild") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(20), root, "doc_id", 8, checks).promoted)
+    val drop = Seq((3L, "d3 v2", false), (5L, "x", true), (21L, "d21", false))
+      .toDF("doc_id", "text", "del")
+    val rep = Versioned.merge(drop, root, deleted = col("del"), checks = checks)
+    assert(rep.merged && rep.version === 2)
+    assert(rep.upserted === 1L && rep.inserted === 1L && rep.deleted === 1L)
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val expect = ((1L to 20L).filterNot(_ == 5L)
+      .map(j => j -> (if (j == 3L) "d3 v2" else s"d$j")) :+ (21L -> "d21")).toSet
+    assert(got === expect)
+    // the manifest's exact row count is maintained by the merge
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.rows) === Some(20L))
+    // and equals what a whole-table rebuild would publish
+    val rebuilt = freshRoot()
+    assert(Versioned.promoteBucketed(expect.toSeq.toDF("doc_id", "text"),
+      rebuilt, "doc_id", 8, checks).promoted)
+    assert(Versioned.read(spark, rebuilt).as[(Long, String)].collect().toSet === got)
+  }
+
+  test("merge rewrites only touched buckets; every pre-existing file is byte-identical") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(64), root, "doc_id", 16, checks).promoted)
+    val before = allFiles(root)
+    val rep = Versioned.merge(Seq((7L, "d7 v2", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del"), checks = checks)
+    assert(rep.merged)
+    assert(rep.rewrittenBuckets.size < 16, "a 1-key drop must not touch every bucket")
+    val after = allFiles(root)
+    for ((path, mtime) <- before)
+      assert(after.get(path).contains(mtime), s"merge mutated pre-existing file $path")
+    // owner map mixes the two version directories
+    val owner = Versioned.currentManifest(root).flatMap(_.buckets).get.owner
+    assert(owner.contains("v00001") && owner.contains("v00002"))
+    assert(Versioned.read(spark, root).count() === 64)
+  }
+
+  test("a mid-merge reader stays pinned to the old version; time travel crosses merges") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    val inFlight = Versioned.read(spark, root) // resolves the v1 manifest NOW
+    assert(Versioned.merge(Seq((1L, "d1 v2", false), (2L, "x", true))
+      .toDF("doc_id", "text", "del"), root, deleted = col("del")).merged)
+    assert(inFlight.as[(Long, String)].collect().toSet
+      === (1L to 10L).map(j => j -> s"d$j").toSet)
+    assert(Versioned.readVersion(spark, root, 1).count() === 10)
+    assert(Versioned.readVersion(spark, root, 2).count() === 9)
+    // rollback re-publishes v1's owner map as version 3
+    val m = Versioned.rollback(root, toVersion = 1)
+    assert(m.version === 3)
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet
+      === (1L to 10L).map(j => j -> s"d$j").toSet)
+  }
+
+  test("merge refusals: duplicate drop keys, plain live table, changed-rows gate, validation") {
+    val root = freshRoot()
+    assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
+    val e0 = intercept[RuntimeException](
+      Versioned.merge(Seq((1L, "x", false)).toDF("doc_id", "text", "del"), root, col("del")))
+    assert(e0.getMessage.contains("not bucketed"))
+
+    val broot = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), broot, "doc_id", 4, checks).promoted)
+    val dup = Seq((1L, "x", false), (1L, "y", true)).toDF("doc_id", "text", "del")
+    val e1 = intercept[IllegalArgumentException](Versioned.merge(dup, broot, col("del")))
+    assert(e1.getMessage.contains("duplicate"))
+
+    // gate: 5 of 10 live keys move > 200 per mille — refused, pointer pinned
+    val big = (1L to 5L).map(j => (j, s"d$j v2", false)).toDF("doc_id", "text", "del")
+    val r1 = Versioned.merge(big, broot, col("del"), checks, maxChangedPerMille = Some(200L))
+    assert(!r1.merged && r1.reason.exists(_.contains("merge gate")))
+    assert(Versioned.currentManifest(broot).map(_.version) === Some(1))
+    assert(Versioned.read(spark, broot).count() === 10)
+
+    // validation: a null key in the staged rows is refused
+    val bad = Seq((Option.empty[Long], Option("x"), false)).toDF("doc_id", "text", "del")
+    val r2 = Versioned.merge(bad, broot, col("del"), checks)
+    assert(!r2.merged && r2.reason.exists(_.contains("id_not_null")))
+    assert(Versioned.currentManifest(broot).map(_.version) === Some(1))
+    // no staging leftovers from any refusal
+    val leftovers = new File(broot).listFiles().map(_.getName).filter(_.startsWith("_staging"))
+    assert(leftovers.isEmpty, leftovers.toSeq)
+  }
+
+  test("a delete-only drop needs no content columns; a crashed merge's staging is reclaimed") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    // stale staging from a "crashed" merge attempt at the same version
+    val stale = new File(root, "_staging_v00002")
+    stale.mkdirs()
+    Files.write(new File(stale, "garbage").toPath, Array[Byte](1, 2, 3))
+    val rep = Versioned.merge(
+      Seq((4L, true), (6L, true)).toDF("doc_id", "del"), root, deleted = col("del"))
+    assert(rep.merged && rep.deleted === 2L && rep.inserted === 0L && rep.upserted === 0L)
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet
+      === (1L to 10L).filterNot(j => j == 4L || j == 6L).map(j => j -> s"d$j").toSet)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.rows) === Some(8L))
+  }
+
+  test("vacuum on a merged table keeps every directory a retained owner map references") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(40), root, "doc_id", 8, checks).promoted)
+    for (v <- 2 to 4)
+      assert(Versioned.merge(Seq((v.toLong, s"d$v v$v", false)).toDF("doc_id", "text", "del"),
+        root, deleted = col("del")).merged)
+    val live = Versioned.currentManifest(root).get
+    val referenced = live.buckets.get.owner.filter(_.nonEmpty).distinct.toSet
+    val dropped = Versioned.vacuum(root, retainLast = 1)
+    assert(dropped.toSet.intersect(referenced).isEmpty,
+      s"vacuum deleted live bucket data: ${dropped.toSet.intersect(referenced)}")
+    // the live table still reads completely after vacuum
+    assert(Versioned.read(spark, root).count() === 40)
+  }
+
   test("a stale staging directory from a crashed promotion is cleared") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
