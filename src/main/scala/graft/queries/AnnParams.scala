@@ -74,6 +74,13 @@ object AnnParams {
   val PqIters = 2
   val PqRefine = 40
 
+  /** q_mutual_knn_pq: ADC-shortlist depth for the PQ-screened
+    * mutual-kNN — deliberately BELOW the population size so the gate
+    * exercises the pruned ADC path (exhaustive refine ≥ |pop| is the
+    * bit-equality spec in SimilaritySpec), and ≥ MutualK so the exact
+    * re-rank has a full shortlist to rank. */
+  val MutualPqRefine = 10
+
   /** q_semdedup_pq: SDC-screen margin — pairs whose PQ-code cosine
     * clears SemDedupTau − this go to the exact re-check. 0.2 is wide
     * enough that no true dup pair of the sf corpora is screened out

@@ -324,6 +324,29 @@ object ExtraQueries {
           lloydIters = AnnParams.MutualAnnIters)
         .withColumn("rank_ab", col("rank_ab").cast("bigint"))
         .withColumn("rank_ba", col("rank_ba").cast("bigint"))
+    }),
+
+    // §2.4/28h3 PQ-screened mutual-kNN: q_mutual_knn_ann's IVF
+    // pre-screen with the inverted lists carrying PQ CODES instead of
+    // exact vectors (the 8× memory squeeze), candidates scored by ADC
+    // lookup, a MutualPqRefine-deep shortlist re-ranked by exact
+    // integer cosine, then the reciprocal tail. The oracle replays
+    // EVERYTHING on the population slice: coarse build, per-subspace
+    // codebook Lloyd chains, encoding, ADC, shortlist, exact re-rank,
+    // reciprocity — both pruning knobs (nprobe < centroids,
+    // refine < |pop|) exercised.
+    "q_mutual_knn_pq" -> ((s, dir) => {
+      val corpus = quantized(s, dir)
+      val pop = corpus.filter(pmod(col("vec_id"), lit(AnnParams.MutualMod)) === 0)
+      Similarity.mutualKnnPq(pop, AnnParams.MutualK,
+          numCentroids = AnnParams.MutualAnnCentroids,
+          nprobe = AnnParams.MutualAnnNprobe,
+          lloydIters = AnnParams.MutualAnnIters,
+          m = AnnParams.PqM, subDim = AnnParams.PqSubDim,
+          pqK = AnnParams.PqK, pqIters = AnnParams.PqIters,
+          refine = AnnParams.MutualPqRefine)
+        .withColumn("rank_ab", col("rank_ab").cast("bigint"))
+        .withColumn("rank_ba", col("rank_ba").cast("bigint"))
     })
   )
 
@@ -437,19 +460,19 @@ object ExtraQueries {
     * MATERIALIZED is load-bearing exactly as in the BPE chain: the
     * per-round CTEs are referenced several times each and DuckDB
     * inlines plain CTEs. */
-  /** The PQ build replay shared by the q_ann_ivfpq and q_semdedup_pq
-    * oracles: per-subspace Lloyd chains, dense re-numbering, the code
-    * table `enc(vec_id, codes)` and the codeword table
-    * `dna(s, dcid, ce, cnrm)`. Assumes the coarse prefix's `n` CTE is
-    * in scope. */
-  private lazy val pqBuildCtes: String = {
+  /** The PQ build replay shared by the q_ann_ivfpq, q_semdedup_pq and
+    * q_mutual_knn_pq oracles: per-subspace Lloyd chains, dense
+    * re-numbering, the code table `enc(vec_id, codes)` and the
+    * codeword table `dna(s, dcid, ce, cnrm)`. `src` names the CTE the
+    * codebooks train on (the full corpus `n`, or a declared slice). */
+  private def pqBuildCtesOn(src: String): String = {
     import AnnParams.{PqIters, PqK, PqM, PqSubDim}
     def subDot(se: String, ce: String) =
       s"CAST(list_sum(list_transform(range($PqSubDim), j -> $se[j + 1] * $ce[j + 1])) AS BIGINT)"
     def subChain(s: Int): String = {
       val q0 = raw"""q0_$s AS MATERIALIZED (
            |  SELECT vec_id, list_transform(range($PqSubDim), j -> e[${s * PqSubDim} + j + 1]) AS se
-           |  FROM n
+           |  FROM $src
            |)""".stripMargin
       val k0 = raw"""k0_$s AS (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, se AS ce,
@@ -504,6 +527,8 @@ object ExtraQueries {
          |  $dnaArms
          |)""".stripMargin
   }
+
+  private lazy val pqBuildCtes: String = pqBuildCtesOn("n")
 
   private val annIvfPqSql: String = {
     import AnnParams.{IvfK, IvfNprobe, PqRefine, PqSubDim, QueryMod}
@@ -591,6 +616,67 @@ object ExtraQueries {
          |WHERE a.q_id < a.nid""".stripMargin
   }
 
+  /** PQ-screened mutual-kNN replay: the coarse build and PQ codebooks
+    * both train on the MutualMod population slice `pop`; every
+    * population vector probes MutualAnnNprobe cells, probed-cell
+    * candidates are ADC-scored against the per-query codeword lookup,
+    * the MutualPqRefine shortlist gets the exact cosine re-rank to
+    * MutualK, and the reciprocal self-join keeps mutual pairs. */
+  private val mutualKnnPqSql: String = {
+    import AnnParams.{MutualAnnCentroids, MutualAnnIters, MutualAnnNprobe, MutualK,
+      MutualMod, MutualPqRefine, PqSubDim}
+    val (prefix, fin) = ivfBuildCtesOn("pop", MutualAnnCentroids, MutualAnnIters,
+      extra = s"pop AS (SELECT * FROM n WHERE vec_id % $MutualMod = 0)")
+    val finCos = cosSql("pop", "e", "nrm", "c", "ce", "cnrm")
+    val exactCos = cosSql("a", "e", "nrm", "b", "e", "nrm")
+    raw"""$prefix,
+         |${pqBuildCtesOn("pop")},
+         |probe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT pop.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY pop.vec_id ORDER BY $finCos DESC, c.c_id ASC) AS rn
+         |    FROM pop CROSS JOIN $fin c
+         |  ) WHERE rn <= $MutualAnnNprobe
+         |),
+         |cand AS (
+         |  SELECT p.q_id, g.vec_id FROM probe p JOIN asg g ON p.c_id = g.c_id
+         |  WHERE p.q_id <> g.vec_id
+         |),
+         |adc AS MATERIALIZED (
+         |  SELECT c.q_id, c.vec_id,
+         |         CAST(sum(CAST(list_sum(list_transform(range($PqSubDim), j -> a.e[d.s * $PqSubDim + j + 1] * d.ce[j + 1])) AS BIGINT)) AS BIGINT) AS adot,
+         |         CAST(sum(d.cnrm) AS BIGINT) AS anrm,
+         |         max(a.nrm) AS qnrm
+         |  FROM cand c
+         |  JOIN pop a ON c.q_id = a.vec_id
+         |  JOIN enc e2 ON c.vec_id = e2.vec_id
+         |  JOIN dna d ON d.dcid = e2.codes[d.s + 1]
+         |  GROUP BY c.q_id, c.vec_id
+         |),
+         |sl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY
+         |             CASE WHEN anrm <= 0 OR qnrm <= 0 THEN CAST(-2.0 AS DOUBLE)
+         |                  ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))) END DESC,
+         |             vec_id ASC) AS rn
+         |    FROM adc
+         |  ) WHERE rn <= $MutualPqRefine
+         |),
+         |knn AS (
+         |  SELECT q_id, nid, cos, rnk FROM (
+         |    SELECT s.q_id, b.vec_id AS nid, $exactCos AS cos,
+         |           row_number() OVER (PARTITION BY s.q_id ORDER BY $exactCos DESC, b.vec_id ASC) AS rnk
+         |    FROM sl s JOIN pop b ON s.vec_id = b.vec_id JOIN pop a ON s.q_id = a.vec_id
+         |  ) WHERE rnk <= $MutualK
+         |)
+         |SELECT a.q_id AS id_a, a.nid AS id_b,
+         |       CAST(a.rnk AS BIGINT) AS rank_ab,
+         |       CAST(b.rnk AS BIGINT) AS rank_ba, a.cos
+         |FROM knn a JOIN knn b ON a.q_id = b.nid AND a.nid = b.q_id
+         |WHERE a.q_id < a.nid""".stripMargin
+  }
+
   private val semDedupSql: String = {
     val (prefix, _) = ivfBuildCtes
     raw"""$prefix,
@@ -669,6 +755,7 @@ object ExtraQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_mutual_knn_ann" -> mutualKnnAnnSql,
+    "q_mutual_knn_pq" -> mutualKnnPqSql,
     "q_cluster_sample" -> {
       val (prefix, _) = ivfBuildCtes
       raw"""$prefix,

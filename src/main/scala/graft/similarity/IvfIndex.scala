@@ -38,8 +38,30 @@ object IvfIndex {
     * the table names. */
   final case class Params(numCentroids: Int, lloydIters: Int = 2)
 
+  /** Index health, current vs the persisted build-time baseline —
+    * the gauge behind "retrain when drift warrants". `hhiPermille` is
+    * the Herfindahl concentration of inverted-list sizes ×1000 (a
+    * balanced index sits near 1000/cells; a drifted append piles into
+    * few cells and pushes it up — probe cost concentrates the same
+    * way). `meanCosMilli` is the mean per-vector ⌊1000·cos(v, its
+    * centroid)⌋ — assignment quality; appended batches the build
+    * never saw score visibly lower. `deadRows` counts list rows whose
+    * cell id has no live centroid (tombstoned by [[rebalance]] —
+    * space reclaimable by re-running [[create]]). All integers are
+    * exact and order-independent (per-row milli floors summed), so
+    * the report is bit-stable across runs. */
+  final case class DriftReport(
+      rows: Long, cells: Long, hhiPermille: Long, meanCosMilli: Long,
+      rowsAtBuild: Long, cellsAtBuild: Long, hhiPermilleAtBuild: Long,
+      meanCosMilliAtBuild: Long, deadRows: Long)
+
+  /** What [[rebalance]] did: which over-full cells split, how many
+    * sub-cells replaced them, how many vectors were re-assigned. */
+  final case class RebalanceStats(splitCells: Long, newCells: Long, reassigned: Long)
+
   private def cellsTable(table: String) = s"${table}_cells"
   private def centsTable(table: String) = s"${table}_centroids"
+  private def metaTable(table: String) = s"${table}_meta"
 
   /** Train the coarse quantizer on the corpus, assign every vector,
     * persist centroids + bucketed inverted lists. `corpus` must be in
@@ -55,6 +77,163 @@ object IvfIndex {
         .select(col("c_id"), col("vec_id"), col("e"), col("nrm")),
       cellsTable(table), Seq("c_id"), nBuckets)
     graft.operators.Checkpoints.release(cents)
+    writeMeta(spark, table) // build-time drift baseline
+  }
+
+  /** Current exact index stats: (rows, cells, hhiPermille,
+    * meanCosMilli, deadRows). One scan of the cells table; the
+    * centroid table is broadcast. Zero-norm rows score 0 milli (the
+    * cosine is undefined; they can never be probed usefully anyway). */
+  private def statsOf(spark: SparkSession, table: String): (Long, Long, Long, Long, Long) = {
+    val cents = spark.table(centsTable(table))
+    val lists = spark.table(cellsTable(table))
+    val joined = lists.join(broadcast(cents), Seq("c_id"), "left")
+      .withColumn("__live", col("ce").isNotNull)
+      .withColumn("__cm", when(col("__live") && col("nrm") > 0 && col("cnrm") > 0,
+        floor(cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")) * 1000).cast("long"))
+        .otherwise(lit(0L)))
+    val perCell = joined.filter(col("__live"))
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("sz"), sum(col("__cm")).as("cm"))
+    val row = perCell.agg(
+      sum("sz").cast("long").as("rows"),
+      count(lit(1)).as("cells"),
+      // HHI ×1000 in decimal(38,0): (Σ sz²)·1000 / (Σ sz)², floor
+      expr("CAST((sum(CAST(sz AS DECIMAL(38,0)) * sz) * 1000) div " +
+        "(sum(CAST(sz AS DECIMAL(38,0))) * sum(CAST(sz AS DECIMAL(38,0)))) AS BIGINT)")
+        .as("hhi"),
+      expr("CAST(sum(cm) div greatest(sum(sz), 1) AS BIGINT)").as("mcm"))
+      .collect().head
+    val dead = joined.filter(!col("__live")).count()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), dead)
+  }
+
+  private def writeMeta(spark: SparkSession, table: String): Unit = {
+    val (rows, cells, hhi, mcm, _) = statsOf(spark, table)
+    import spark.implicits._
+    Seq((rows, cells, hhi, mcm)).toDF("rows", "cells", "hhi_permille", "mean_cos_milli")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(metaTable(table))
+  }
+
+  /** Drift gauge: current stats vs the build-time baseline persisted
+    * by [[create]] (and refreshed by [[rebalance]], whose post-split
+    * state is the new baseline). A monthly-append pipeline reads this
+    * before probing: `hhiPermille` far above baseline means probe
+    * cost has concentrated into few cells; `meanCosMilli` below
+    * baseline means appended vectors sit far from every build-time
+    * centroid — both say "rebalance or re-create". */
+  def driftStats(spark: SparkSession, table: String): DriftReport = {
+    val (rows, cells, hhi, mcm, dead) = statsOf(spark, table)
+    val base = spark.table(metaTable(table)).collect().head
+    DriftReport(rows, cells, hhi, mcm,
+      base.getLong(0), base.getLong(1), base.getLong(2), base.getLong(3), dead)
+  }
+
+  /** Targeted re-train: split every cell holding more than
+    * `overfullFactor`× the average list size into ⌈size/avg⌉
+    * sub-cells, trained by `lloydIters` Lloyd rounds over THAT CELL'S
+    * members only (all over-full cells train in one tagged frame —
+    * the PqAnn.codebooks trick: per-cell keys all lead with c_id, so
+    * an iteration is one GroupTopK + one mean aggregate regardless of
+    * how many cells split). Publication is log-structured: the new
+    * sub-cells' assignments APPEND into the bucketed layout under
+    * fresh centroid ids (max existing id + rank) and the centroid
+    * table drops the split cells' rows — their old list rows become
+    * dead (invisible to [[probe]], which only joins live centroids;
+    * counted by [[driftStats]].deadRows; space is reclaimed by a
+    * re-[[create]]). Untouched cells' list files and centroid rows
+    * are never modified. Refreshes the drift baseline. Requires
+    * numeric vector ids (new centroid ids are allocated by
+    * arithmetic). */
+  def rebalance(spark: SparkSession, table: String, nBuckets: Int,
+      overfullFactor: Int = 2, lloydIters: Int = 1): RebalanceStats = {
+    require(overfullFactor >= 1 && lloydIters >= 1)
+    val eager = graft.operators.Checkpoints.eager _
+    val release = graft.operators.Checkpoints.release _
+    val cents = spark.table(centsTable(table))
+    val live = spark.table(cellsTable(table))
+      .join(cents.select("c_id"), Seq("c_id"), "left_semi")
+    val sizes = eager(live.groupBy("c_id").agg(count(lit(1)).as("sz")))
+    val tot = sizes.agg(sum("sz").cast("long"), count(lit(1))).collect().head
+    val (total, nc) = (tot.getLong(0), tot.getLong(1))
+    val target = math.max(1L, total / math.max(nc, 1L))
+    val over = eager(sizes
+      .filter(col("sz") * nc > lit(overfullFactor.toLong) * total)
+      .withColumn("kc", least(expr(s"(sz + ${target}L - 1) div ${target}L"), col("sz"))))
+    val nOver = over.count()
+    if (nOver == 0) {
+      Seq(sizes, over).foreach(release)
+      return RebalanceStats(0L, 0L, 0L)
+    }
+    val members = eager(live.join(broadcast(over.select("c_id")), Seq("c_id"), "left_semi"))
+    // deterministic per-cell seeds, STRIDED across the id-ordered
+    // members (first row of each kc-quantile): an over-full cell is
+    // usually old content plus a piled-up drift batch in disjoint id
+    // ranges — smallest-id seeds would all come from the old content
+    // and Lloyd would lump the drift into one sub-cell again
+    val seedW = Window.partitionBy("c_id").orderBy("vec_id")
+    val posed = members.filter(col("nrm") > 0)
+      .withColumn("__rn", row_number().over(seedW))
+      .join(broadcast(over.select(col("c_id"), col("kc"))), Seq("c_id"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("c_id")))
+      .withColumn("sub", expr("((__rn - 1) * kc) div __n"))
+    val seeds = posed
+      .withColumn("__sr", row_number().over(
+        Window.partitionBy("c_id", "sub").orderBy("__rn")))
+      .filter(col("__sr") === 1)
+      .select(col("c_id"), col("sub"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def assignSub(cs: DataFrame): DataFrame = {
+      val scored = members.join(broadcast(cs), Seq("c_id"))
+        .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
+      org.apache.spark.sql.graft.GraftPlans
+        .groupTopK(scored, Seq(col("c_id"), col("vec_id")),
+          Seq(col("__cos").desc, col("sub").asc), 1)
+        .select(col("c_id"), col("vec_id"), col("sub"))
+    }
+    val trained = (1 to lloydIters).foldLeft(eager(seeds)) { (cs, _) =>
+      val meanPerDim = assignSub(cs)
+        .join(members, Seq("c_id", "vec_id"))
+        .select(col("c_id"), col("sub"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy("c_id", "sub", "i")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
+      val next = eager(meanPerDim
+        .groupBy("c_id", "sub")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("ce"))
+        .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+        .filter(col("cnrm") > 0))
+      release(cs)
+      next
+    }
+    // fresh global ids above everything the index has ever used
+    val maxId = cents.agg(max(col("c_id")).cast("long")).collect().head.getLong(0)
+    val idW = Window.orderBy(col("c_id"), col("sub")) // ≤ Σ kc rows — tiny
+    val newCents = eager(trained
+      .withColumn("new_id", lit(maxId) + row_number().over(idW)))
+    // 1. append the re-assigned members under the new ids (dead rows
+    //    under the old id stay until the centroid drop below — a crash
+    //    here leaves only invisible-to-probe extra rows)
+    val reassigned = assignSub(newCents.select(col("c_id"), col("sub"), col("ce"), col("cnrm")))
+      .join(newCents.select(col("c_id"), col("sub"), col("new_id")), Seq("c_id", "sub"))
+      .join(members, Seq("c_id", "vec_id"))
+      .select(col("new_id").as("c_id"), col("vec_id"), col("e"), col("nrm"))
+    reassigned.write.bucketBy(nBuckets, "c_id").sortBy("c_id")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(cellsTable(table))
+    // 2. commit: split cells leave the centroid table, sub-cells join
+    val nextCents = eager(cents
+      .join(broadcast(over.select("c_id")), Seq("c_id"), "left_anti")
+      .unionByName(newCents.select(col("new_id").as("c_id"), col("ce"), col("cnrm"))))
+    val newCellCount = newCents.count()
+    nextCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(centsTable(table))
+    writeMeta(spark, table) // the post-split state is the new baseline
+    val stats = RebalanceStats(nOver, newCellCount,
+      spark.table(cellsTable(table))
+        .join(spark.table(centsTable(table)).filter(col("c_id") > maxId)
+          .select("c_id"), Seq("c_id"), "left_semi").count())
+    Seq(sizes, over, members, trained, newCents, nextCents).foreach(release)
+    stats
   }
 
   /** Append new vectors into the existing layout: assigned against

@@ -150,6 +150,52 @@ object Similarity {
     reciprocalPairs(graft.operators.Checkpoints.eager(
       IvfAnn.annIvf(population, population, k, numCentroids, nprobe, lloydIters)))
 
+  /** [[mutualKnnAnn]] against a PERSISTED [[IvfIndex]] — the
+    * recurring-pipeline form: `mutualKnnAnn` retrains the coarse
+    * quantizer and rebuilds the inverted lists on every call (a
+    * measured ~1 s constant at gate scale, dev/scaleup_mutual_r11b),
+    * which a nightly job pays pointlessly. Here the index is built
+    * once ([[IvfIndex.create]] on the same population) and each run
+    * only probes: the bucketed cells table arrives pre-partitioned
+    * (zero corpus-side exchange), the stored centroid table is the
+    * only broadcast, and the reciprocal tail is unchanged.
+    *
+    * Bit-equality: [[IvfAnn.centroids]] is deterministic, so an index
+    * created with the same (numCentroids, lloydIters) makes this
+    * row-identical to the inline `mutualKnnAnn` at the same nprobe/k
+    * (SimilaritySpec pins it). The population probed must be the
+    * population indexed — reciprocity is only defined within one
+    * vector set (append-heavy corpora re-create or
+    * [[IvfIndex.rebalance]] when drift warrants,
+    * [[IvfIndex.driftStats]] is the gauge). */
+  def mutualKnnIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      population: DataFrame, k: Int, nprobe: Int): DataFrame =
+    reciprocalPairs(graft.operators.Checkpoints.eager(
+      IvfIndex.probe(spark, table, population, k, nprobe)))
+
+  /** Mutual-kNN with the IVF + PQ pre-screen — the memory-side
+    * completion of [[mutualKnnAnn]]: the pre-screen's inverted lists
+    * carry `m` one-byte-scale PQ codes per vector instead of the
+    * exact vector (the 8× squeeze that fits billion-vector lists in
+    * executor memory), candidates are scored by ADC lookup against
+    * the query's precomputed table, a `refine`-deep shortlist per
+    * vector gets the exact integer-cosine re-rank, and the reciprocal
+    * self-join runs on the re-ranked k·N edge list — [[PqAnn.annIvfPq]]
+    * composed population-vs-itself, [[mutualKnn]]'s tail verbatim.
+    *
+    * Semantics: reciprocal pairs within the probed-cell,
+    * ADC-shortlisted neighbor graph. At nprobe = numCentroids and
+    * refine ≥ population size the screen is exhaustive and the output
+    * is bit-equal to [[mutualKnn]] (SimilaritySpec pins this; the
+    * q_mutual_knn_pq oracle replays the whole pruned chain —
+    * codebooks, encoding, ADC, refine, re-rank, reciprocity). */
+  def mutualKnnPq(population: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      lloydIters: Int, m: Int, subDim: Int, pqK: Int, pqIters: Int,
+      refine: Int): DataFrame =
+    reciprocalPairs(graft.operators.Checkpoints.eager(
+      PqAnn.annIvfPq(population, population, k, numCentroids, nprobe, lloydIters,
+        m, subDim, pqK, pqIters, refine)))
+
   /** Shared mutual tail: keep (a, b) iff each appears in the other's
     * directed top-k edge list — a self-join of the k·N edge list on
     * the reversed key, edge-list-sized, never corpus-sized. */

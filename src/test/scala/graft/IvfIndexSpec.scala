@@ -32,6 +32,7 @@ class IvfIndexSpec extends SparkSpecBase {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_cells")
       spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_meta")
       spark.sql("DROP DATABASE IF EXISTS graft_ivf")
     }
   }
@@ -71,6 +72,107 @@ class IvfIndexSpec extends SparkSpecBase {
         s"appended vector should be its own nearest neighbor: $got")
       // and the cells table holds exactly old + drop
       assert(spark.table(s"${table}_cells").count() === corpus.count())
+    }
+  }
+
+  test("driftStats flags a drifted append; rebalance splits only the hot cell and restores probe cost") {
+    // planted structure: four tight axis clusters of 20 vectors each
+    // (dim 64, unit spike on the cluster axis, deterministic noise on
+    // axis+7 so later sub-cell seeds are diverse), then a drift batch
+    // of 60 vectors ALL near axis 0, in five sub-modes on five noise
+    // dims — the shape of a crawl source changing under a standing index
+    def vec(axis: Int, noiseDim: Int, noise: Long): Array[Long] = {
+      val e = Array.fill(64)(0L); e(axis) = 1000000L; e(noiseDim) = noise; e
+    }
+    // ids interleave the clusters (axis = id mod 4) so the build's
+    // smallest-id seeds land in four DIFFERENT clusters
+    val base = (0 until 80).map { i =>
+      val axis = i % 4
+      (i.toLong, vec(axis, axis + 7, ((i / 4) % 4).toLong * 200000L))
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+    val drift = (100 until 160).map { i =>
+      (i.toLong, vec(0, 7 + (i % 5), 800000L))
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_drift LOCATION '$wh'")
+    try {
+      IvfIndex.create(spark, base, "graft_drift.idx", 4,
+        IvfIndex.Params(numCentroids = 4, lloydIters = 2))
+      val atBuild = IvfIndex.driftStats(spark, "graft_drift.idx")
+      assert(atBuild.rows === 80L && atBuild.deadRows === 0L)
+      assert(atBuild.hhiPermille === atBuild.hhiPermilleAtBuild)
+
+      IvfIndex.append(spark, drift, "graft_drift.idx", 4)
+      val drifted = IvfIndex.driftStats(spark, "graft_drift.idx")
+      // the gauge fires: list sizes concentrated, assignment quality down
+      assert(drifted.rows === 140L)
+      assert(drifted.hhiPermille > drifted.hhiPermilleAtBuild,
+        s"drift should concentrate cells: $drifted")
+      assert(drifted.meanCosMilli < drifted.meanCosMilliAtBuild,
+        s"drift should lower assignment quality: $drifted")
+
+      // the drifted query's probed cell before the split: huge
+      def probedCellSize(q: Array[Long]): Long = {
+        val cents = spark.table("graft_drift.idx_centroids")
+          .select("c_id", "ce").as[(Long, Seq[Long])].collect()
+        val best = cents.maxBy { case (cid, ce) =>
+          val dot = ce.zip(q).map { case (a, b) => a * b }.sum
+          (dot.toDouble / (math.sqrt(ce.map(x => x * x).sum.toDouble) *
+            math.sqrt(q.map(x => x * x).sum.toDouble)), -cid)
+        }._1
+        spark.table("graft_drift.idx_cells")
+          .join(spark.table("graft_drift.idx_centroids").select("c_id"), Seq("c_id"), "left_semi")
+          .filter(col("c_id") === best).count()
+      }
+      val q = vec(0, 9, 800000L) // drift sub-mode i%5 == 2
+      val sizeBefore = probedCellSize(q)
+      assert(sizeBefore === 80L, s"drift batch should pile into the axis-0 cell: $sizeBefore")
+
+      // snapshot the cells table's files: rebalance must only APPEND
+      val cellsDir = new java.io.File(wh, "idx_cells")
+      def files() = cellsDir.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val filesBefore = files()
+      val untouchedCents = spark.table("graft_drift.idx_centroids")
+        .filter(col("c_id") =!= 0L) // cells of axes 1-3 (seeded by ids 1,2,3)
+        .as[(Long, Seq[Long], Long)].collect().toSet
+
+      val st = IvfIndex.rebalance(spark, "graft_drift.idx", 4,
+        overfullFactor = 2, lloydIters = 2)
+      assert(st.splitCells === 1L, s"only the hot cell splits: $st")
+      assert(st.newCells >= 2L, s"the hot cell must split into several sub-cells: $st")
+      assert(st.reassigned === 80L, s"only the hot cell's members re-assign: $st")
+      // append-only publication: every pre-existing list file untouched
+      val filesAfter = files()
+      for ((name, mtime) <- filesBefore)
+        assert(filesAfter.get(name).contains(mtime), s"rebalance rewrote $name")
+      // untouched cells keep their exact centroid rows
+      val centsAfter = spark.table("graft_drift.idx_centroids")
+        .as[(Long, Seq[Long], Long)].collect().toSet
+      assert(untouchedCents.subsetOf(centsAfter))
+
+      // probe cost restored: the drifted query's cell shrank hard...
+      val sizeAfter = probedCellSize(q)
+      assert(sizeAfter < sizeBefore / 2,
+        s"probed cell should shrink after rebalance: $sizeBefore -> $sizeAfter")
+      // ...and recall is intact: a drifted query's nearest neighbour
+      // (an exact-twin noise-class mate) still surfaces at rank 1
+      val probeQ = Seq((9999L, vec(0, 9, 800000L))).toDF("vec_id", "e")
+        .withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+      val top = IvfIndex.probe(spark, "graft_drift.idx", probeQ, k = 3, nprobe = 1)
+        .filter(col("rank") === 1).select("cos").as[Double].head()
+      assert(top > 0.9999, s"twin neighbour should survive the split at nprobe=1: $top")
+      // the split state is the new baseline; old list rows are dead
+      val post = IvfIndex.driftStats(spark, "graft_drift.idx")
+      assert(post.deadRows === 80L)
+      assert(post.hhiPermille === post.hhiPermilleAtBuild)
+      assert(post.hhiPermille < drifted.hhiPermille)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_cells")
+      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_meta")
+      spark.sql("DROP DATABASE IF EXISTS graft_drift")
     }
   }
 

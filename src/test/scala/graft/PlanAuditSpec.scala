@@ -472,6 +472,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // own 5-exchange budget is q_ann_ivf's); the visible tail is the
     // reciprocal self-join on the reversed key
     "q_mutual_knn_ann" -> 2,
+    // q_mutual_knn_pq: same checkpointed-edge-list shape — the
+    // IVF+PQ screen's exchanges live behind the checkpoint, the
+    // visible tail is the reciprocal self-join
+    "q_mutual_knn_pq" -> 2,
     // q_cluster_incr: the returned frame is a plain ledger scan — the
     // append-side exchanges are inside the (checkpoint-bounded) merge
     "q_cluster_incr" -> 0,

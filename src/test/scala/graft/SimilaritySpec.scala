@@ -63,6 +63,58 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann === brute)
   }
 
+  test("mutualKnnPq at exhaustive settings is bit-equal to mutualKnn") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val pop = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+    val brute = Similarity.mutualKnn(pop, k = 3)
+      .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+      .as[(Long, Long, Int, Int, Double)].collect().toSet
+    // nprobe = numCentroids (every cell probed) AND refine ≥ |pop|
+    // (the ADC shortlist keeps every candidate): the PQ screen is
+    // exhaustive and the exact re-rank makes the output bit-equal
+    val pq = Similarity.mutualKnnPq(pop, k = 3, numCentroids = 5, nprobe = 5,
+        lloydIters = 2, m = 4, subDim = 2, pqK = 40, pqIters = 2, refine = 40)
+      .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+      .as[(Long, Long, Int, Int, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(pq === brute)
+  }
+
+  test("mutualKnnIndexed against a prebuilt IvfIndex is bit-equal to the inline mutualKnnAnn") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val pop = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+      .select("vec_id", "e", "nrm")
+    val wh = java.nio.file.Files.createTempDirectory("graft_mki").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mki LOCATION '$wh'")
+    try {
+      graft.similarity.IvfIndex.create(spark, pop, "graft_mki.idx", 2,
+        graft.similarity.IvfIndex.Params(numCentroids = 5, lloydIters = 2))
+      // PRUNED settings on both sides — the training determinism is
+      // what makes the persisted index interchangeable mid-pipeline
+      val inline = Similarity.mutualKnnAnn(pop, k = 3, numCentroids = 5,
+          nprobe = 3, lloydIters = 2)
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+        .as[(Long, Long, Int, Int, Double)].collect().toSet
+      val indexed = Similarity.mutualKnnIndexed(spark, "graft_mki.idx", pop,
+          k = 3, nprobe = 3)
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+        .as[(Long, Long, Int, Int, Double)].collect().toSet
+      assert(inline.nonEmpty)
+      assert(indexed === inline)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_cells")
+      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_meta")
+      spark.sql("DROP DATABASE IF EXISTS graft_mki")
+    }
+  }
+
   test("mutualKnnAnn pruned to one probe still recovers in-cell mutual pairs") {
     // two tight, well-separated clusters: the IVF build puts each in
     // its own cell, so even nprobe = 1 keeps all within-cluster
