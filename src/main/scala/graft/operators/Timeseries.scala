@@ -257,20 +257,37 @@ object Timeseries {
     *
     * Scale shape: ONE key-keyed exchange; the fold is a per-key HOF
     * over the collected (ts, value) sequence, so per-key history must
-    * fit a task (true for entity lifetimes; for unbounded keys use
-    * the windowed decay forms — 22ae3's trending counts). Returns
-    * (key, n_obs, ewma). */
+    * fit a task. `maxObs` is the loud guard on that contract: a key
+    * with more observations fails the job with a message naming the
+    * key and the windowed-decay alternative (22ae3's trending counts)
+    * instead of silently OOMing an executor. The check runs after the
+    * key's sequence is gathered, so it catches the common 10–100×
+    * overshoot cleanly; a key too large to even gather still dies
+    * inside Spark's own memory accounting — set maxObs from the
+    * entity-lifetime bound you actually expect, not from executor
+    * memory. Returns (key, n_obs, ewma). */
   def ewmaByKey(df: DataFrame, key: Column, tsUs: Column, value: Column,
-      halfShift: Int): DataFrame = {
+      halfShift: Int, maxObs: Int = 1 << 20): DataFrame = {
     require(halfShift >= 1 && halfShift <= 32, "halfShift must be in [1, 32]")
+    require(maxObs >= 1, "maxObs must be positive")
     val d = 1L << halfShift
+    val fold =
+      s"aggregate(slice(__seq, 2, greatest(size(__seq) - 1, 0)), __seq[0].__v, " +
+        s"(acc, e) -> acc + (e.__v - acc - (((e.__v - acc) % ${d}L + ${d}L) % ${d}L)) div ${d}L)"
     df.select(key.as("key"), tsUs.cast("long").as("__ts"), value.cast("long").as("__v"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_obs"),
         expr("sort_array(collect_list(struct(__ts, __v)))").as("__seq"))
-      .withColumn("ewma", expr(
-        s"aggregate(slice(__seq, 2, greatest(size(__seq) - 1, 0)), __seq[0].__v, " +
-          s"(acc, e) -> acc + (e.__v - acc - (((e.__v - acc) % ${d}L + ${d}L) % ${d}L)) div ${d}L)"))
+      // the guard lives INSIDE the ewma expression so column pruning
+      // can never drop it: the hot branch raises, the sane branch folds
+      .withColumn("ewma", when(col("n_obs") > maxObs,
+        raise_error(concat(
+          lit("ewmaByKey: key "), col("key").cast("string"),
+          lit(" has "), col("n_obs").cast("string"),
+          lit(s" observations (> maxObs = $maxObs); per-key history must fit a task" +
+            " — use the windowed decay form (Timeseries.decayedCounts, SURVEY 22ae3)" +
+            " for unbounded keys, or raise maxObs deliberately"))).cast("long"))
+        .otherwise(expr(fold)))
       .select(col("key"), col("n_obs"), col("ewma"))
   }
 

@@ -716,17 +716,22 @@ object FuzzDump {
     }
 
     // ---- exact integer EWMA: random shifts, NEGATIVE values (the
-    // truncate-vs-floor divergence zone), duplicate timestamps ----
+    // truncate-vs-floor divergence zone), duplicate timestamps; even
+    // seeds pin maxObs EXACTLY at the hottest key's count — the guard
+    // boundary must be > (fail past the cap), not >= (fail at it) ----
     for (seed <- 0 until seeds) {
       val rnd = new Random(seed * 7919 + 18)
       val sft = 1 + rnd.nextInt(6)
       val d = 1L << sft
       val nk = 1 + rnd.nextInt(4)
-      val t = (0 until 1 + rnd.nextInt(60)).map { _ =>
+      val rows = (0 until 1 + rnd.nextInt(60)).map { _ =>
         ("k" + rnd.nextInt(nk), rnd.nextInt(50).toLong, rnd.nextInt(400).toLong - 200L)
-      }.toDF("k", "ts", "v")
+      }
+      val t = rows.toDF("k", "ts", "v")
+      val cap = if (seed % 2 == 0) rows.groupBy(_._1).map(_._2.size).max else 1 << 20
       dump("ewma", seed, Map("t" -> t),
-        graft.operators.Timeseries.ewmaByKey(t, col("k"), col("ts"), col("v"), sft)
+        graft.operators.Timeseries.ewmaByKey(t, col("k"), col("ts"), col("v"), sft,
+            maxObs = cap)
           .withColumnRenamed("key", "k"),
         s"""WITH l AS (
            |  SELECT k, CAST(count(*) AS BIGINT) AS n_obs, list(v ORDER BY ts, v) AS xs
@@ -771,6 +776,89 @@ object FuzzDump {
            |       CASE WHEN t.v IS NULL THEN NULL
            |            ELSE least(greatest(t.v, c.lo_cut), c.hi_cut) END AS winsorized
            |FROM t LEFT JOIN cuts c ON t.g = c.g""".stripMargin)
+    }
+
+    // ---- ANN-backed mutual-kNN at exhaustive probe settings: random
+    // populations × random (numCentroids, k, lloydIters) with
+    // nprobe = numCentroids, so the screen covers every cell and the
+    // brute reciprocal replay is the exact oracle — the gate's fixed
+    // parameter point (q_mutual_knn_ann) never moves; this does ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 19)
+      val dim = 3 + rnd.nextInt(6)
+      val n = 5 + rnd.nextInt(26)
+      val t = (0 until n).map { i =>
+        val e = Array.fill(dim)(rnd.nextInt(2000001).toLong - 1000000L)
+        // no zero-norm vectors: cosine to a zero vector is NaN and the
+        // two engines disagree on NaN ordering; the operator's seed
+        // filter excludes them from training anyway
+        e(0) = (if (rnd.nextBoolean()) 1L else -1L) * (rnd.nextInt(1000000) + 1).toLong
+        (i.toLong, e)
+      }.toDF("vec_id", "e")
+      val pop = t.withColumn("nrm",
+        graft.similarity.Similarity.dotQ(col("e"), col("e")))
+      val nc = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(4)
+      val iters = 1 + rnd.nextInt(2)
+      dump("mutual_knn_ann", seed, Map("t" -> t),
+        graft.similarity.Similarity.mutualKnnAnn(pop, k,
+          numCentroids = nc, nprobe = nc, lloydIters = iters),
+        s"""WITH q AS (
+           |  SELECT vec_id, e,
+           |         CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
+           |  FROM t),
+           |cand AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS nid,
+           |         CAST(CAST(list_sum(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1])) AS BIGINT) AS DOUBLE)
+           |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+           |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+           |knn AS (
+           |  SELECT q_id, nid, cos, rnk FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rnk
+           |    FROM cand
+           |  ) WHERE rnk <= $k)
+           |SELECT a.q_id AS id_a, a.nid AS id_b,
+           |       CAST(a.rnk AS INTEGER) AS rank_ab,
+           |       CAST(b.rnk AS INTEGER) AS rank_ba, a.cos
+           |FROM knn a JOIN knn b ON a.q_id = b.nid AND a.nid = b.q_id
+           |WHERE a.q_id < a.nid""".stripMargin)
+    }
+
+    // ---- warehouse merge: random base + three sequential random
+    // drops (updates, deletes, inserts, no-op deletes of absent keys,
+    // random bucket counts) vs the sequential full-outer merge replay
+    // — the cluster_ledger family's shape, which caught a real bug on
+    // its first sweep ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 20)
+      val baseIds = rnd.shuffle((0L until 30L).toList).take(5 + rnd.nextInt(15))
+      val base = baseIds.map(id => (id, rnd.nextInt(100).toLong)).toDF("id", "v")
+      def mkDrop() = {
+        val ks = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(8))
+        // first row always an upsert so no merge can empty the table
+        ks.zipWithIndex.map { case (id, i) =>
+          (id, rnd.nextInt(100).toLong, i > 0 && rnd.nextInt(4) == 0)
+        }.toDF("id", "v", "del")
+      }
+      val (d1, d2, d3) = (mkDrop(), mkDrop(), mkDrop())
+      val root = java.nio.file.Files
+        .createTempDirectory("fuzz_whmerge").toString + "/t"
+      val nb = 1 + rnd.nextInt(8)
+      require(graft.sources.Versioned.promoteBucketed(base, root, "id", nb).promoted)
+      Seq(d1, d2, d3).foreach { d =>
+        require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged)
+      }
+      dump("warehouse_merge", seed,
+        Map("base" -> base, "d1" -> d1, "d2" -> d2, "d3" -> d3),
+        graft.sources.Versioned.read(spark, root),
+        """WITH m0 AS (SELECT id, v FROM base),
+          |m1 AS (SELECT m0.id, m0.v FROM m0 LEFT JOIN d1 ON m0.id = d1.id WHERE d1.id IS NULL
+          |       UNION ALL SELECT id, v FROM d1 WHERE NOT del),
+          |m2 AS (SELECT m1.id, m1.v FROM m1 LEFT JOIN d2 ON m1.id = d2.id WHERE d2.id IS NULL
+          |       UNION ALL SELECT id, v FROM d2 WHERE NOT del),
+          |m3 AS (SELECT m2.id, m2.v FROM m2 LEFT JOIN d3 ON m2.id = d3.id WHERE d3.id IS NULL
+          |       UNION ALL SELECT id, v FROM d3 WHERE NOT del)
+          |SELECT id, v FROM m3""".stripMargin)
     }
 
     cases

@@ -21,6 +21,30 @@ class TimeseriesSpec extends SparkSpecBase {
     // correction is load-bearing on negative deltas
   }
 
+  test("ewmaByKey refuses a hot key loudly at maxObs; the boundary itself is exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 11).map(i => (1L, i.toLong, 100L)) :+ ((2L, 0L, 5L))
+    val df = rows.toDF("k", "ts", "v")
+    // exactly AT the cap: folds normally (constant series → ewma = 100)
+    val atCap = graft.operators.Timeseries
+      .ewmaByKey(df.filter(col("ts") < 10L || col("k") === 2L),
+        col("k"), col("ts"), col("v"), halfShift = 2, maxObs = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(atCap === Map(1L -> (10L, 100L), 2L -> (1L, 5L)))
+    // one past the cap: the job fails with the guard's message, naming
+    // the key and the windowed alternative — not an executor OOM
+    val e = intercept[Exception] {
+      graft.operators.Timeseries
+        .ewmaByKey(df, col("k"), col("ts"), col("v"), halfShift = 2, maxObs = 10)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    val msg = chain(e)
+    assert(msg.contains("ewmaByKey: key 1 has 11 observations"), msg)
+    assert(msg.contains("decayedCounts"), msg)
+  }
+
   test("decayedCounts: recent surge outranks bigger stale volume, exact halving per day") {
     // key A: 8 events today; key B: 40 events ten days ago; key C:
     // spread 4/2/1 over the last three days (hand-traced score)
