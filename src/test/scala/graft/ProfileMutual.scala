@@ -23,7 +23,7 @@ object ProfileMutual {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("prof-mutual", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outFile = sys.env.getOrElse("SCALEUP_OUT", "dev/scaleup_mutual_r11.json")
+    val outFile = sys.env.getOrElse("SCALEUP_OUT", "dev/scaleup_mutual_r12.json")
     // optional arg: population density (vec_id mod). The gate's mod-10
     // slice is too sparse for the quadratic to bite inside the sandbox
     // (3200 vectors at x16 ≈ 10M pair dots — overhead-bound for every
@@ -42,6 +42,17 @@ object ProfileMutual {
     // corpus count the caller already has — counted outside the timer
     val popSizes = factors.map(m => m -> pop(dirs(m)).count()).toMap
 
+    // r12: persisted indexes, built once per amplification OUTSIDE
+    // the timers — the nightly-pipeline shape. mutual_indexed times
+    // the probe+reciprocal tail only, so the gap to mutual_ann_scaled
+    // IS the per-run build premium the r11 verdict flagged.
+    val wh = java.nio.file.Files.createTempDirectory("graft_mutidx").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mut LOCATION '$wh'")
+    for (m <- factors)
+      graft.similarity.IvfIndex.create(spark, pop(dirs(m)), s"graft_mut.idx_x$m", 8,
+        graft.similarity.IvfIndex.Params(
+          IvfAnn.suggestCentroids(popSizes(m)), queries.AnnParams.MutualAnnIters))
+
     val forms: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
       "mutual_brute" -> (m => Similarity.mutualKnn(pop(dirs(m)), queries.AnnParams.MutualK)),
       "mutual_ann_fixed" -> (m => Similarity.mutualKnnAnn(pop(dirs(m)), queries.AnnParams.MutualK,
@@ -51,7 +62,20 @@ object ProfileMutual {
       "mutual_ann_scaled" -> (m => Similarity.mutualKnnAnn(pop(dirs(m)), queries.AnnParams.MutualK,
         numCentroids = IvfAnn.suggestCentroids(popSizes(m)),
         nprobe = queries.AnnParams.MutualAnnNprobe,
-        lloydIters = queries.AnnParams.MutualAnnIters)))
+        lloydIters = queries.AnnParams.MutualAnnIters)),
+      // probe-only against the prebuilt index (same √N centroids)
+      "mutual_indexed" -> (m => Similarity.mutualKnnIndexed(spark, s"graft_mut.idx_x$m",
+        pop(dirs(m)), queries.AnnParams.MutualK,
+        nprobe = queries.AnnParams.MutualAnnNprobe)),
+      // PQ-screened form at √N centroids: lists carry codes, ADC
+      // screen + 16-deep exact re-rank
+      "mutual_pq_scaled" -> (m => Similarity.mutualKnnPq(pop(dirs(m)), queries.AnnParams.MutualK,
+        numCentroids = IvfAnn.suggestCentroids(popSizes(m)),
+        nprobe = queries.AnnParams.MutualAnnNprobe,
+        lloydIters = queries.AnnParams.MutualAnnIters,
+        m = queries.AnnParams.PqM, subDim = queries.AnnParams.PqSubDim,
+        pqK = queries.AnnParams.PqK, pqIters = queries.AnnParams.PqIters,
+        refine = 16)))
 
     def time(mk: Int => org.apache.spark.sql.DataFrame, m: Int): Double = {
       val t0 = System.nanoTime()
@@ -85,6 +109,12 @@ object ProfileMutual {
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       rows.mkString("[\n", ",\n", "\n]"))
+    for (m <- factors) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_cells")
+      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_meta")
+    }
+    spark.sql("DROP DATABASE IF EXISTS graft_mut")
     spark.stop()
   }
 }

@@ -82,10 +82,14 @@ object ProfileScaleUp {
       // r11 additions: incremental CC ledger (two temp-ledger appends
       // per run — the timed cost IS the append path), semantic
       // decontamination + verdict join, trained linear reranker
-      "q_cluster_incr", "q_decontam_sem", "q_rerank")
+      "q_cluster_incr", "q_decontam_sem", "q_rerank",
+      // r12 additions: bucketed warehouse merge (promote + one drop
+      // merge per run — the timed cost IS the publish path) and the
+      // PQ-screened mutual-kNN
+      "q_warehouse_merge", "q_mutual_knn_pq")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
-      if (args.nonEmpty) "dev/scaleup_r10b.json" else "dev/scaleup_r10.json")
+      if (args.nonEmpty) "dev/scaleup_r12b.json" else "dev/scaleup_r12.json")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
