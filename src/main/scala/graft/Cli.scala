@@ -63,7 +63,7 @@ import graft.sources.PartitionedFiles
   *       promoted (all rules evaluated in ONE pass over the data)
   *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
   *                  [--max-changed-pm 50]]
-  *                  [--action promote|promote-bucketed|merge|rollback|vacuum|
+  *                  [--action promote|promote-bucketed|merge|rollback|vacuum|diff-versions|
   *                   current|history|read-version]
   *                  [--key doc_id --buckets 64] [--deleted COLUMN]
   *                  [--to-version N] [--retain 2]
@@ -1334,6 +1334,16 @@ object Cli {
             case "read-version" =>
               write(graft.sources.Versioned.readVersion(spark, root,
                 opts.getOrElse("to-version", fail("--to-version N required")).toInt))
+            case "diff-versions" =>
+              // change feed: per-key lifecycle of --to-version relative
+              // to --from-version (added/removed/changed/unchanged)
+              val k = opts.getOrElse("diff-key", fail("--diff-key COLUMN required"))
+              write(graft.sources.Versioned.diffVersions(spark, root,
+                opts.getOrElse("from-version", fail("--from-version N required")).toInt,
+                opts.getOrElse("to-version", fail("--to-version N required")).toInt,
+                expr(k),
+                expr(opts.getOrElse("diff-content", fail("--diff-content COLUMN required"))),
+                keyName = k))
             case o => fail(s"unknown --action: $o")
           }
         case other => fail(s"unknown command: $other")

@@ -284,6 +284,37 @@ object DedupQueries {
       Versioned.read(s, root)
     }),
 
+    // §2.2/22bh3 warehouse change feed: q_warehouse_merge's build
+    // (bucketed publish + one lifecycle drop), then the per-key diff
+    // of version 2 RELATIVE TO version 1 read back through the
+    // manifest chain — gating time travel ACROSS a merge publish plus
+    // the diff composition end-to-end. The oracle derives the
+    // lifecycle statuses from the base and drop directly.
+    "q_warehouse_diff" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_diff").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      val drop = docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("text"), lit(true).as("del"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
+            pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
+          .select((col("doc_id") + PrepParams.DiffAddOffset).as("doc_id"),
+            lit("drop").as("source"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+            lit(false).as("del")))
+      require(Versioned.merge(drop, root, deleted = col("del")).merged)
+      Versioned.diffVersions(s, root, 1, 2, col("doc_id"), col("text"),
+        keyName = "doc_id")
+    }),
+
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
     // window, keep pairs at word-set Jaccard ≥ 0.4 (integer-rational
@@ -859,6 +890,24 @@ object DedupQueries {
            |WHERE k.doc_id IS NULL
            |UNION ALL SELECT doc_id, source, text FROM upd
            |UNION ALL SELECT doc_id, source, text FROM ins""".stripMargin,
+    // lifecycle statuses derived from the drop's construction: the
+    // warehouse's v1→v2 diff must read exactly the drop back
+    "q_warehouse_diff" ->
+      raw"""WITH base AS (SELECT doc_id, text FROM documents),
+           |upd AS (SELECT doc_id FROM base
+           |        WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |          AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (SELECT doc_id + ${PrepParams.DiffAddOffset} AS doc_id FROM base
+           |        WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |del AS (SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0)
+           |SELECT doc_id, 'removed' AS status FROM del
+           |UNION ALL SELECT doc_id, 'changed' AS status FROM upd
+           |UNION ALL SELECT doc_id, 'added' AS status FROM ins
+           |UNION ALL
+           |SELECT b.doc_id, 'unchanged' AS status FROM base b
+           |LEFT JOIN (SELECT doc_id FROM upd UNION ALL SELECT doc_id FROM del) k
+           |  ON b.doc_id = k.doc_id
+           |WHERE k.doc_id IS NULL""".stripMargin,
     "q_corpus_diff" ->
       raw"""WITH prev AS (SELECT doc_id, text FROM documents),
            |curr AS (

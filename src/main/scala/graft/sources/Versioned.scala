@@ -521,6 +521,20 @@ object Versioned {
     report
   }
 
+  /** Change feed between two retained versions: the per-key lifecycle
+    * (added / removed / changed / unchanged, via [[TableDiff]]'s
+    * portable content fingerprints) of version `to` relative to
+    * version `from` — the "what did last night's merges actually do"
+    * audit, resolved through the manifest chain so it works across
+    * merge-published and rollback-published versions alike. One
+    * full-outer shuffle join carrying ~48 bytes/row; both sides are
+    * partition-pruned bucket assemblies for bucketed tables. */
+  def diffVersions(spark: SparkSession, root: String, from: Int, to: Int,
+      key: Column, content: Column, keyName: String = "key"): DataFrame =
+    TableDiff.snapshotDiff(
+      readVersion(spark, root, from), readVersion(spark, root, to),
+      key, key, content, content, keyName = keyName)
+
   /** Roll back by PUBLISHING: the new live version is
     * `live.version + 1` and its path is the TARGET version's
     * directory — no data is copied, no directory is deleted, and no

@@ -336,6 +336,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming key-level MERGE publish (38ae) — the CDC-apply tail of
+    * the warehouse story: each micro-batch is a drop applied to the
+    * bucketed versioned table via [[graft.sources.Versioned.merge]]
+    * (upsert by key; rows where `deletedCol` is true delete), so a
+    * change stream keeps a 100 TB corpus current at drop cost while
+    * every reader stays pinned to a consistent published version.
+    * Exactly-once follows from merge semantics plus Structured
+    * Streaming's replay discipline: only the LAST uncommitted batch
+    * is ever re-run, and re-merging the SAME drop is idempotent — the
+    * survivor anti-join ∪ identical upserts reproduces the identical
+    * table, the replay just publishes a version whose content equals
+    * its parent's — so a crash between the merge's atomic manifest
+    * swap and the checkpoint advance can neither tear nor
+    * double-apply a drop. Batches must be key-unique (merge refuses
+    * otherwise); empty batches publish nothing. */
+  def mergeStream(
+      drops: DataFrame,
+      root: String,
+      deletedCol: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    drops.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.sources.Versioned.merge(
+            batch.toDF(), root, org.apache.spark.sql.functions.col(deletedCol))
+          require(r.merged, s"streaming merge refused: ${r.reason.getOrElse("")}")
+        }
+        ()
+      }
+      .start()
+
   /** Streaming novelty screen: the streaming counterpart of
     * `Dedup.minhashNovel` — every micro-batch of incoming documents is
     * screened against the STATIC corpus by MinHash-LSH band collision

@@ -1016,19 +1016,28 @@ object DriveCli {
       "promote", "--root", wroot, "--action", "merge",
       "--deleted", "del", "--unique", "doc_id", "--max-changed-pm", "500",
       "--outfile", s"$tmp/wm2"))
+    Cli.main(Array("-i", s"$tmp/wdrop", "-f", "parquet",
+      "promote", "--root", wroot, "--action", "diff-versions",
+      "--from-version", "1", "--to-version", "2",
+      "--diff-key", "doc_id", "--diff-content", "text",
+      "--outfile", s"$tmp/wdiff"))
     locally {
       val spark = GraftSession.builder("verifyMerge", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
       val in = graft.sources.PartitionedFiles.readParquet(spark, docs)
       val live = graft.sources.Versioned.read(spark, wroot)
       val rep = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/wm2")
       val merged = rep.filter(col("name") === "merged").head().getString(2)
+      val diff = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/wdiff")
+        .as[(Long, String)].collect().toMap
       val ok = merged == "true" &&
         live.count() == in.count() && // -1 delete +1 insert
         live.filter(col("doc_id") === 0L).head().getString(1) == "updated zero" &&
         live.filter(col("doc_id") === 2L).count() == 0 &&
         live.filter(col("doc_id") === 900000L).count() == 1 &&
-        graft.sources.Versioned.readVersion(spark, wroot, 1).count() == in.count()
+        graft.sources.Versioned.readVersion(spark, wroot, 1).count() == in.count() &&
+        diff(0L) == "changed" && diff(2L) == "removed" && diff(900000L) == "added"
       println(s"WHMERGE=${live.count()} OK=$ok")
       spark.stop()
     }

@@ -298,6 +298,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_corpus_diff: one hash exchange per snapshot side into the
     // full-outer join — the shuffle carries (key, md5) only
     "q_update_capstone" -> 3, "q_corpus_diff" -> 2,
+    // q_warehouse_diff: q_corpus_diff's shape over two assembled
+    // bucket reads — one hash exchange per snapshot side into the
+    // full-outer join; the build/merge exchanges are behind their
+    // own checkpointed publishes
+    "q_warehouse_diff" -> 2,
     // q_substring_spans: dup-hash aggregate + per-doc span-merge window
     // (the (doc_id, gid) groupBy rides the window's partitioning);
     // scrub adds the per-doc rebuild aggregate

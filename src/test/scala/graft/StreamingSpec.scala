@@ -1167,4 +1167,43 @@ class StreamingSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toSet
     assert(replayed === direct)
   }
+
+  test("mergeStream: streamed CDC drops equal sequential batch merges; replay is idempotent") {
+    import graft.sources.Versioned
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("merge_stream").toString
+    val root = s"$tmp/table"
+    val base = (1L to 10L).map(j => (j, s"d$j")).toDF("id", "v")
+    assert(Versioned.promoteBucketed(base, root, "id", 4).promoted)
+
+    val mem = MemoryStream[(Long, String, Boolean)] // (id, v, del)
+    val q = EventStreams.mergeStream(
+      mem.toDF().toDF("id", "v", "del"), root, "del", s"$tmp/ckpt")
+    val b1 = Seq((3L, "d3 v2", false), (5L, "", true), (11L, "d11", false))
+    val b2 = Seq((3L, "d3 v3", false), (11L, "", true), (12L, "d12", false))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val expect = ((1L to 10L).filterNot(_ == 5L)
+      .map(j => j -> (if (j == 3L) "d3 v3" else s"d$j")) :+ (12L -> "d12")).toSet
+    assert(streamed === expect)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.rows) === Some(10L))
+
+    // crash-replay shape: re-merging the last committed drop publishes
+    // a version whose content equals its parent's — nothing moves
+    val rep = Versioned.merge(b2.toDF("id", "v", "del"), root,
+      org.apache.spark.sql.functions.col("del"))
+    assert(rep.merged && rep.inserted === 0L)
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet === expect)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.rows) === Some(10L))
+    // and the change feed between the pre-drop and post-drop versions
+    // reads the lifecycle exactly (the drop's own shape)
+    import org.apache.spark.sql.functions.col
+    val diff = Versioned.diffVersions(spark, root, 1, 3, col("id"), col("v"), keyName = "id")
+      .as[(Long, String)].collect().toMap
+    assert(diff(3L) === "changed" && diff(5L) === "removed" &&
+      diff(12L) === "added" && diff(4L) === "unchanged" && !diff.contains(11L))
+  }
 }
