@@ -275,7 +275,9 @@ object DedupQueries {
             concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
         .unionByName(docs
           .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
-          .select((col("doc_id") + PrepParams.DiffAddOffset).as("doc_id"),
+          .select((-col("doc_id") - 1).as("doc_id"), // negative id space:
+            // never collides with any (amplified) corpus id, so the
+            // drop stays key-unique at ANY scale-up factor
             lit("drop").as("source"),
             concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
             lit(false).as("del")))
@@ -306,7 +308,9 @@ object DedupQueries {
             concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
         .unionByName(docs
           .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
-          .select((col("doc_id") + PrepParams.DiffAddOffset).as("doc_id"),
+          .select((-col("doc_id") - 1).as("doc_id"), // negative id space:
+            // never collides with any (amplified) corpus id, so the
+            // drop stays key-unique at ANY scale-up factor
             lit("drop").as("source"),
             concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
             lit(false).as("del")))
@@ -877,7 +881,7 @@ object DedupQueries {
            |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
            |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
            |ins AS (
-           |  SELECT doc_id + ${PrepParams.DiffAddOffset} AS doc_id,
+           |  SELECT -doc_id - 1 AS doc_id,
            |         'drop' AS source,
            |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
            |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
@@ -897,7 +901,7 @@ object DedupQueries {
            |upd AS (SELECT doc_id FROM base
            |        WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
            |          AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
-           |ins AS (SELECT doc_id + ${PrepParams.DiffAddOffset} AS doc_id FROM base
+           |ins AS (SELECT -doc_id - 1 AS doc_id FROM base
            |        WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
            |del AS (SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0)
            |SELECT doc_id, 'removed' AS status FROM del
