@@ -18,6 +18,44 @@ object DedupQueries {
   private def quantizedWithNorm(s: SparkSession, dir: String): DataFrame =
     Similarity.prepareQuantized(Tables.embeddings(s, dir), col("embedding"), col("vec_id"), col("label"))
 
+  /** The lifecycle drop the warehouse gate queries apply: updates
+    * ≡ 0 mod DiffChangeMod, deletes ≡ 0 mod DiffRemoveMod, inserts
+    * ≡ 0 mod DiffAddMod in the NEGATIVE id space (collision-free at
+    * any corpus amplification). Shared by q_warehouse_merge and
+    * q_warehouse_diff so the two sides cannot drift. */
+  private def warehouseDrop(docs: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("text"), lit(true).as("del"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
+          pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          lit("drop").as("source"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit(false).as("del")))
+
+  /** Published-and-merged warehouse, built ONCE per (JVM, sf dir) —
+    * the zonedLineitem amortization: q_warehouse_diff's operator
+    * under test is the time-travel + diff read, not the build (the
+    * publish path is what q_warehouse_merge times, on a fresh root
+    * every run). */
+  private val warehouseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedWarehouse(s: SparkSession, dir: String): String =
+    warehouseCache.computeIfAbsent(dir, d => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_cache").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      require(Versioned.merge(warehouseDrop(docs), root, deleted = col("del")).merged)
+      root
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3/23 exact dedup by content hash, min doc_id representative.
     "q_dedup_exact" -> ((s, dir) =>
@@ -264,24 +302,7 @@ object DedupQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
       val root = java.nio.file.Files.createTempDirectory("graft_wh_merge").toString + "/corpus"
       require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
-      val drop = docs
-        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
-        .select(col("doc_id"), lit(null).cast("string").as("source"),
-          lit(null).cast("string").as("text"), lit(true).as("del"))
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
-            pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
-          .select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
-          .select((-col("doc_id") - 1).as("doc_id"), // negative id space:
-            // never collides with any (amplified) corpus id, so the
-            // drop stays key-unique at ANY scale-up factor
-            lit("drop").as("source"),
-            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
-            lit(false).as("del")))
-      val rep = Versioned.merge(drop, root, deleted = col("del"))
+      val rep = Versioned.merge(warehouseDrop(docs), root, deleted = col("del"))
       require(rep.merged, s"warehouse merge refused: ${rep.reason}")
       Versioned.read(s, root)
     }),
@@ -292,32 +313,9 @@ object DedupQueries {
     // manifest chain — gating time travel ACROSS a merge publish plus
     // the diff composition end-to-end. The oracle derives the
     // lifecycle statuses from the base and drop directly.
-    "q_warehouse_diff" -> ((s, dir) => {
-      import graft.sources.Versioned
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft_wh_diff").toString + "/corpus"
-      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
-      val drop = docs
-        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
-        .select(col("doc_id"), lit(null).cast("string").as("source"),
-          lit(null).cast("string").as("text"), lit(true).as("del"))
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
-            pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
-          .select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
-          .select((-col("doc_id") - 1).as("doc_id"), // negative id space:
-            // never collides with any (amplified) corpus id, so the
-            // drop stays key-unique at ANY scale-up factor
-            lit("drop").as("source"),
-            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
-            lit(false).as("del")))
-      require(Versioned.merge(drop, root, deleted = col("del")).merged)
-      Versioned.diffVersions(s, root, 1, 2, col("doc_id"), col("text"),
-        keyName = "doc_id")
-    }),
+    "q_warehouse_diff" -> ((s, dir) =>
+      graft.sources.Versioned.diffVersions(s, mergedWarehouse(s, dir), 1, 2,
+        col("doc_id"), col("text"), keyName = "doc_id")),
 
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
