@@ -63,8 +63,8 @@ import graft.sources.PartitionedFiles
   *       promoted (all rules evaluated in ONE pass over the data)
   *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
   *                  [--max-changed-pm 50]]
-  *                  [--action promote|promote-bucketed|merge|rollback|vacuum|diff-versions|
-  *                   current|history|read-version]
+  *                  [--action promote|promote-bucketed|merge|compact|rollback|vacuum|
+  *                   diff-versions|current|history|read-version]
   *                  [--key doc_id --buckets 64] [--deleted COLUMN]
   *                  [--to-version N] [--retain 2]
   *       write-audit-publish versioned corpus: stage -i under --root,
@@ -125,10 +125,11 @@ import graft.sources.PartitionedFiles
   *       (rank, lft, rgt) merge table; tokens scores a corpus against
   *       a stored table (per-doc word/subword counts)
   *   cluster-ledger --mode append -i PAIRS --ledger PATH --a doc_a --b doc_b
-  *                  [--buckets 64] | --mode labels --ledger PATH
+  *                  [--buckets 64] | --mode labels|vacuum --ledger PATH
   *       persisted incremental connected components: append merges a
   *       drop's near-dup pairs (drop-sized union-find, only affected
-  *       hash(id) buckets rewritten), labels dumps (id, cluster_id)
+  *       hash(id) buckets staged + atomic manifest swap), labels
+  *       dumps (id, cluster_id), vacuum GCs superseded append dirs
   *   bloom-ledger   --mode append -i DROP --ledger PATH --drop-id ID
   *                  --key EXPR [--bits 1048576] [--hashes 5]
   *                  | --mode screen -i BATCH --ledger PATH --key EXPR
@@ -663,7 +664,11 @@ object Cli {
                 .toDF("stat", "value"))
             case "labels" =>
               write(graft.dedup.ClusterLedger.labels(spark, ledger))
-            case o => fail(s"--mode must be append|labels, got: $o")
+            case "vacuum" =>
+              // GC append directories no longer referenced by the
+              // owner-map manifest (superseded by later appends)
+              write(graft.dedup.ClusterLedger.vacuum(ledger).toDF("dropped"))
+            case o => fail(s"--mode must be append|labels|vacuum, got: $o")
           }
 
         case "drift" =>
@@ -1306,6 +1311,15 @@ object Cli {
                 r.violations.map { case (rule, n) => ("violation", rule, n.toString) }
               write(rows.toDF("kind", "name", "value"))
               if (!r.merged) sys.error(s"merge refused: ${r.reason.getOrElse("")}")
+            case "compact" =>
+              // consolidate the live bucketed table into ONE new
+              // version directory (content untouched); vacuum can then
+              // reclaim the merge chain outside the retention window
+              val r = graft.sources.Versioned.compact(spark, root, parsedChecks())
+              write(Seq(("outcome", "promoted", r.promoted.toString),
+                ("outcome", "version", r.version.toString),
+                ("outcome", "path", r.path)).toDF("kind", "name", "value"))
+              if (!r.promoted) sys.error(s"compaction refused: ${r.reason.getOrElse("")}")
             case "rollback" =>
               // --to-version N targets any retained chain version;
               // without it, one step back. Either way the rollback is

@@ -521,6 +521,25 @@ object Versioned {
     report
   }
 
+  /** Consolidate a bucketed table: republish the live data as ONE new
+    * version owning every bucket, under the table's existing layout
+    * contract (key and bucket count from the live [[BucketSpec]]).
+    * A long merge chain leaves the live owner map pointing into many
+    * version directories (a read unions one partition-pruned scan per
+    * distinct directory, and vacuum must retain every referenced one);
+    * compaction collapses that to a single directory, after which
+    * [[vacuum]] can reclaim the whole chain outside the retention
+    * window. Content is untouched — the new version reads bit-equal
+    * to its parent; it is the maintenance publish between the nightly
+    * merges, exactly a table format's compaction pass. */
+  def compact(spark: SparkSession, root: String,
+      checks: Seq[Validate.Check] = Seq.empty): PromoteReport = {
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — compact consolidates bucket stores"))
+    promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks)
+  }
+
   /** Change feed between two retained versions: the per-key lifecycle
     * (added / removed / changed / unchanged, via [[TableDiff]]'s
     * portable content fingerprints) of version `to` relative to

@@ -1021,6 +1021,9 @@ object DriveCli {
       "--from-version", "1", "--to-version", "2",
       "--diff-key", "doc_id", "--diff-content", "text",
       "--outfile", s"$tmp/wdiff"))
+    Cli.main(Array("-i", s"$tmp/wdrop", "-f", "parquet",
+      "promote", "--root", wroot, "--action", "compact",
+      "--unique", "doc_id", "--outfile", s"$tmp/wcompact"))
     locally {
       val spark = GraftSession.builder("verifyMerge", "local[4]", 4).getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
@@ -1037,7 +1040,10 @@ object DriveCli {
         live.filter(col("doc_id") === 2L).count() == 0 &&
         live.filter(col("doc_id") === 900000L).count() == 1 &&
         graft.sources.Versioned.readVersion(spark, wroot, 1).count() == in.count() &&
-        diff(0L) == "changed" && diff(2L) == "removed" && diff(900000L) == "added"
+        diff(0L) == "changed" && diff(2L) == "removed" && diff(900000L) == "added" &&
+        // post-compact: one owning directory, content unchanged
+        graft.sources.Versioned.currentManifest(wroot)
+          .flatMap(_.buckets).get.owner.filter(_.nonEmpty).distinct.size == 1
       println(s"WHMERGE=${live.count()} OK=$ok")
       spark.stop()
     }
@@ -1060,6 +1066,9 @@ object DriveCli {
     Cli.main(Array("-i", s"$tmp/clpairs_odd", "-f", "parquet",
       "cluster-ledger", "--mode", "append", "--ledger", clroot,
       "--a", "doc_a", "--b", "doc_b", "--outfile", s"$tmp/clstats2"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "cluster-ledger", "--mode", "vacuum", "--ledger", clroot,
+      "--outfile", s"$tmp/clvac"))
     Cli.main(Array("-i", docs, "-f", "parquet",
       "cluster-ledger", "--mode", "labels", "--ledger", clroot,
       "--outfile", s"$tmp/cllabels"))

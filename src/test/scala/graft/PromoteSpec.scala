@@ -273,6 +273,36 @@ class PromoteSpec extends SparkSpecBase {
     assert(Versioned.read(spark, root).count() === 40)
   }
 
+  test("compact collapses a merge chain into one directory; vacuum then reclaims the chain") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(30), root, "doc_id", 8, checks).promoted)
+    for (v <- 2 to 4)
+      assert(Versioned.merge(Seq((v.toLong, s"d$v v$v", false)).toDF("doc_id", "text", "del"),
+        root, deleted = col("del")).merged)
+    val before = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val spread = Versioned.currentManifest(root).get.buckets.get.owner.filter(_.nonEmpty).distinct
+    assert(spread.size > 1, "fixture should leave the owner map spread over several dirs")
+
+    val r = Versioned.compact(spark, root, checks)
+    assert(r.promoted && r.version === 5)
+    val owner = Versioned.currentManifest(root).get.buckets.get.owner
+    assert(owner.filter(_.nonEmpty).distinct === Vector(r.path),
+      "compaction must leave one owning directory")
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet === before)
+
+    // one more merge on top of the compact version, then retention GC:
+    // everything the retained owner maps don't reference goes away
+    assert(Versioned.merge(Seq((99L, "d99", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del")).merged)
+    val dropped = Versioned.vacuum(root, retainLast = 1)
+    assert(dropped.toSet === Set("v00001", "v00002", "v00003", "v00004"), dropped)
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet
+      === before + (99L -> "d99"))
+    // pre-compact versions read as vacuumed, not as silent corruption
+    val e = intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 2))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("a stale staging directory from a crashed promotion is cleared") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
