@@ -844,8 +844,14 @@ object FuzzDump {
       val root = java.nio.file.Files
         .createTempDirectory("fuzz_whmerge").toString + "/t"
       val nb = 1 + rnd.nextInt(8)
+      // a third of the seeds run a COMPACT at a random point in the
+      // drop sequence — content-preserving by contract, so the oracle
+      // is unchanged; this fuzzes merge-after-compact owner maps
+      val compactAt = if (rnd.nextInt(3) == 0) rnd.nextInt(3) else -1
       require(graft.sources.Versioned.promoteBucketed(base, root, "id", nb).promoted)
-      Seq(d1, d2, d3).foreach { d =>
+      Seq(d1, d2, d3).zipWithIndex.foreach { case (d, i) =>
+        if (i == compactAt)
+          require(graft.sources.Versioned.compact(spark, root).promoted)
         require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged)
       }
       dump("warehouse_merge", seed,
