@@ -239,16 +239,33 @@ object ClusterLedger {
       newIds = newRows.count(),
       rewrittenBuckets = rewritten)
     if (rewritten.nonEmpty) {
-      // stage the rewritten buckets into THIS append's immutable dir
-      // (a leftover from a crashed attempt at the same index is
-      // unreferenced by the manifest — reclaim it), then commit with
-      // one atomic manifest rename. Readers switch from the old
-      // consistent labeling to the new one instantly; no torn state.
+      // stage the rewritten buckets into a NONCE-suffixed private dir
+      // (concurrent attempts must never clobber each other), then
+      // commit in three steps: optimistic single-writer check, rename
+      // into the a%05d slot, atomic manifest swap. Readers switch from
+      // the old consistent labeling to the new one instantly.
       val idx = existing.map(_.appends).getOrElse(0) + 1
-      val staging = appendDir(path, idx)
-      if (staging.exists()) rmTree(staging)
+      val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
       new File(path).mkdirs()
       out.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      // optimistic single-writer check BEFORE the slot is touched: if
+      // another append committed while this one staged, claiming its
+      // slot (or overwriting its manifest) would orphan its buckets —
+      // refuse loudly; the caller replays the drop against the new
+      // state (a semilattice no-op for whatever both drops agreed on)
+      val nowAppends = readManifest(path).map(_.appends).getOrElse(0)
+      if (nowAppends != idx - 1) {
+        rmTree(staging)
+        Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
+        sys.error(s"concurrent append detected on cluster ledger $path: committed " +
+          s"append count moved ${idx - 1} -> $nowAppends while this drop staged — " +
+          "the ledger is single-writer; replay the drop against the new state")
+      }
+      // the guard passed, so a pre-existing slot dir can only be a
+      // crashed attempt's leftover (unreferenced) — reclaim it
+      val slot = appendDir(path, idx)
+      if (slot.exists()) rmTree(slot)
+      require(staging.renameTo(slot), s"append rename failed: $staging -> $slot")
       val oldOwner = existing.map(_.owner).getOrElse(Vector.fill(numBuckets)(0))
       val owner = rewritten.foldLeft(oldOwner)((o, bkt) => o.updated(bkt, idx))
       writeManifest(path, Manifest(numBuckets, idx, owner))
@@ -267,8 +284,11 @@ object ClusterLedger {
     val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
     val live = m.owner.filter(_ > 0).toSet
     val doomed = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("a\\d{5}") &&
-        !live.contains(f.getName.stripPrefix("a").toInt))
+      .filter(f => f.isDirectory &&
+        ((f.getName.matches("a\\d{5}") &&
+          !live.contains(f.getName.stripPrefix("a").toInt)) ||
+          // crashed appends' nonce-suffixed staging orphans
+          f.getName.matches("a\\d{5}_tmp\\d+")))
     doomed.foreach(rmTree)
     doomed.map(_.getName).toSeq.sorted
   }

@@ -27,8 +27,8 @@ import graft.quality.Validate
   *    mutated and [[vacuum]] retains the previous version by default
   *    (in-flight readers of version N−1 survive a promotion to N);
   *  - a crashed promotion leaves at most a stale `_staging_*`
-  *    directory, which the next promotion clears — never a
-  *    half-written live version;
+  *    directory (nonce-suffixed, so a retry never collides with it),
+  *    which [[vacuum]] sweeps — never a half-written live version;
   *  - every publish (promote or rollback) appends an IMMUTABLE
   *    `_v%05d.json` entry to the manifest chain — [[versions]] lists
   *    it, [[readVersion]] time-travels through it, [[rollback]]
@@ -233,8 +233,10 @@ object Versioned {
     val live = currentManifest(root)
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
-    val staging = new File(root, s"_staging_$dirName")
-    if (staging.exists()) rmTree(staging) // leftover from a crashed run
+    // nonce suffix: concurrent attempts (single-writer violations the
+    // commit guard catches) must never clobber each other's staging;
+    // crashed attempts leave orphans that [[vacuum]] sweeps
+    val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     val staged = spark.read.parquet(staging.getPath)
 
@@ -271,14 +273,36 @@ object Versioned {
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
         val target = new File(root, dirName)
-        // the slot can only be occupied by a crashed publish (every
-        // publish — promote or rollback — ADVANCES the version
-        // counter, so a live version never reuses a slot); the
-        // manifest does not reference it, so reclaiming it is safe
+        // the concurrency guard runs BEFORE the slot is touched: if it
+        // passes, a pre-existing target can only be a crashed publish
+        // (every publish ADVANCES the version counter, so a live
+        // version never reuses a slot, and a concurrent committer
+        // would have moved the manifest) — reclaiming it is safe
+        guardConcurrentPublish(root, live, staging)
         if (target.exists()) rmTree(target)
         require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
         writeManifest(root, Manifest(version, dirName, live.map(_.path)))
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
+    }
+  }
+
+  /** Optimistic-concurrency check before a publish commits: the table
+    * carries a SINGLE-WRITER contract (the same one every
+    * manifest-rename table format carries without a locking service),
+    * and this makes the common violation LOUD instead of silent — a
+    * publish that started against version N refuses to commit if the
+    * live pointer moved while it staged, because renaming its manifest
+    * over the newer one would orphan that publish's committed data.
+    * The residual race window is the microseconds between this check
+    * and the rename, down from the whole stage+audit. */
+  private def guardConcurrentPublish(root: String, startedAt: Option[Manifest],
+      staging: File): Unit = {
+    val now = currentManifest(root).map(_.version)
+    if (now != startedAt.map(_.version)) {
+      rmTree(staging)
+      sys.error(s"concurrent publish detected under $root: live version moved " +
+        s"${startedAt.map(_.version).getOrElse("none")} -> ${now.getOrElse("none")} " +
+        "while this publish staged — the table is single-writer; retry against the new live version")
     }
   }
 
@@ -322,8 +346,7 @@ object Versioned {
     val live = currentManifest(root)
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
-    val staging = new File(root, s"_staging_$dirName")
-    if (staging.exists()) rmTree(staging)
+    val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     df.withColumn("bkt", bktCol(key, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     val staged = spark.read.parquet(staging.getPath)
@@ -363,6 +386,7 @@ object Versioned {
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
         val target = new File(root, dirName)
+        guardConcurrentPublish(root, live, staging) // before touching the slot
         if (target.exists()) rmTree(target)
         require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
@@ -473,8 +497,7 @@ object Versioned {
 
     val version = live.version + 1
     val dirName = f"v$version%05d"
-    val staging = new File(root, s"_staging_$dirName")
-    if (staging.exists()) rmTree(staging)
+    val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     val stagedEmpty = merged.isEmpty
     if (!stagedEmpty)
       merged.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
@@ -502,6 +525,7 @@ object Versioned {
           touched, viol, reason)
       case None =>
         val target = new File(root, dirName)
+        guardConcurrentPublish(root, Some(live), staging) // before touching the slot
         if (target.exists()) rmTree(target)
         require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
         // a staged bucket with zero rows writes no partition dir —
@@ -519,6 +543,35 @@ object Versioned {
     }
     Seq(d, merged).foreach(graft.operators.Checkpoints.release)
     report
+  }
+
+  /** Point lookup on a bucketed table: the serving-path read. The
+    * key hashes to its bucket under the live layout contract, and the
+    * scan touches ONLY that bucket's partition directory inside its
+    * one owning version directory — at 100 TB a key fetch reads one
+    * bucket's files, not the table (spec pins the single-partition
+    * input). Keys of the same type as the merge key column hash
+    * identically (the layout casts through string; integer and string
+    * ids are exact — don't bucket on float keys). */
+  def lookup(spark: SparkSession, root: String, keyValue: Any): DataFrame = {
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — lookup needs the bucket layout"))
+    // the bucket id must come from the SAME expression the writers
+    // use; evaluating it through Spark (not a driver-side reimpl)
+    // keeps the two hash paths one code path
+    val bkt = spark.range(1)
+      .select(pmod(xxhash64(lit(keyValue).cast("string")), lit(spec.numBuckets)).cast("int"))
+      .head().getInt(0)
+    val dir = spec.owner(bkt)
+    val anyDir = spec.owner.find(_.nonEmpty).getOrElse(sys.error(
+      s"bucketed table under $root has no data directories"))
+    val schemaSrc = spark.read.parquet(new File(root, anyDir).getPath)
+    val out =
+      if (dir.isEmpty) schemaSrc.filter(lit(false)) // bucket currently empty
+      else spark.read.parquet(new File(root, dir).getPath)
+        .filter(col("bkt") === bkt && col(spec.key) === lit(keyValue))
+    out.select(out.columns.filter(_ != "bkt").map(col): _*)
   }
 
   /** Consolidate a bucketed table: republish the live data as ONE new
@@ -617,7 +670,11 @@ object Versioned {
       chain.filter(x => m.previous.contains(x.path))
         .flatMap(_.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty))
     val doomed = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}") && !keep(f.getName))
+      .filter(f => f.isDirectory &&
+        ((f.getName.matches("v\\d{5}") && !keep(f.getName)) ||
+          // crashed publishes' nonce-suffixed staging orphans — never
+          // referenced by any manifest, safe to sweep
+          f.getName.startsWith("_staging_")))
     doomed.foreach(rmTree)
     doomed.map(_.getName).toSeq.sorted
   }

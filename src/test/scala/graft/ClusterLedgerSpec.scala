@@ -152,6 +152,42 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
   }
 
+  test("an append that lost the race to another writer refuses instead of orphaning it") {
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b", numBuckets = 8)
+    // two overlapped appends resolve the same committed state before
+    // either swaps the manifest; the second committer must refuse
+    // loudly — renaming its owner map over the winner's would orphan
+    // the winner's buckets
+    val d1 = Seq((5L, 6L)).toDF("a", "b")
+    val d2 = Seq((7L, 8L)).toDF("a", "b")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    def attempt(d: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, ClusterLedger.AppendStats]] {
+        def call() = try Right(ClusterLedger.append(path, d, "a", "b", numBuckets = 8))
+        catch { case t: Throwable => Left(t) }
+      })
+    val f1 = attempt(d1)
+    Thread.sleep(200)
+    val f2 = attempt(d2)
+    val results = Seq(f1.get(), f2.get())
+    pool.shutdown()
+    assert(results.count(_.isRight) === 1 && results.count(_.isLeft) === 1,
+      s"exactly one append commits, one refuses: $results")
+    results.collect { case Left(t) => t }.foreach(t =>
+      assert(t.getMessage.contains("concurrent append"), t.getMessage))
+    // the committed state is consistent, and serial replay of both
+    // drops (a no-op for the winner's) recovers the full labeling
+    ClusterLedger.append(path, d1, "a", "b", numBuckets = 8)
+    ClusterLedger.append(path, d2, "a", "b", numBuckets = 8)
+    val got = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val full = Components.connectedComponents(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === full)
+  }
+
   test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
     val path = tmp()
     ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)

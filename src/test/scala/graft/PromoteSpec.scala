@@ -243,11 +243,11 @@ class PromoteSpec extends SparkSpecBase {
     assert(leftovers.isEmpty, leftovers.toSeq)
   }
 
-  test("a delete-only drop needs no content columns; a crashed merge's staging is reclaimed") {
+  test("a delete-only drop needs no content columns; a crashed merge's staging stays inert") {
     val root = freshRoot()
     assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
     // stale staging from a "crashed" merge attempt at the same version
-    val stale = new File(root, "_staging_v00002")
+    val stale = new File(root, "_staging_v00002_67890")
     stale.mkdirs()
     Files.write(new File(stale, "garbage").toPath, Array[Byte](1, 2, 3))
     val rep = Versioned.merge(
@@ -303,14 +303,87 @@ class PromoteSpec extends SparkSpecBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
-  test("a stale staging directory from a crashed promotion is cleared") {
+  test("a publish that lost the race to another writer refuses instead of orphaning it") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    // two real merges on disjoint keys, overlapped: both resolve the
+    // SAME live version before either commits (a merge stages for
+    // seconds; the stagger only de-flakes submission order), so
+    // whichever commits second must refuse loudly — silently renaming
+    // its manifest over the winner's would orphan the winner's data.
+    val d1 = Seq((1L, "d1 vA", false)).toDF("doc_id", "text", "del")
+    val d2 = Seq((2L, "d2 vB", false)).toDF("doc_id", "text", "del")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    def attempt(d: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Boolean]] {
+        def call() = try Right(Versioned.merge(d, root, col("del")).merged)
+        catch { case t: Throwable => Left(t) }
+      })
+    val f1 = attempt(d1)
+    Thread.sleep(300)
+    val f2 = attempt(d2)
+    val results = Seq(f1.get(), f2.get())
+    pool.shutdown()
+    val committed = results.count(_ == Right(true))
+    val refused = results.collect { case Left(t) => t }
+    assert(committed === 1 && refused.size === 1,
+      s"exactly one writer commits, one refuses: $results")
+    assert(refused.head.getMessage.contains("concurrent publish"), refused.head.getMessage)
+    // the winner is fully readable and row-accounted; nothing orphaned
+    val live = Versioned.currentManifest(root).get
+    assert(Versioned.read(spark, root).count() === live.buckets.get.rows)
+    for (d <- live.buckets.get.owner.filter(_.nonEmpty).distinct)
+      assert(new File(root, d).exists())
+    // serial replay of both drops (idempotent for the winner's) lands
+    // the loser's effect cleanly against the new live version
+    assert(Versioned.merge(d1, root, col("del")).merged)
+    assert(Versioned.merge(d2, root, col("del")).merged)
+    val all = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(all(1L) === "d1 vA" && all(2L) === "d2 vB")
+  }
+
+  test("lookup reads exactly one bucket partition of one version directory") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(64), root, "doc_id", 16, checks).promoted)
+    assert(Versioned.merge(Seq((7L, "d7 v2", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del")).merged)
+    // partition pruning happens at planning — inputFiles lists the
+    // relation pre-filter, so assert on the EXECUTED scan's metrics
+    def scannedParts(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numPartitions").value).sum
+    }
+    // a key whose bucket the merge rewrote reads from v00002...
+    val hit = Versioned.lookup(spark, root, 7L)
+    assert(hit.as[(Long, String)].collect().toSeq === Seq(7L -> "d7 v2"))
+    assert(scannedParts(hit) === 1L, "lookup must scan exactly one bucket partition")
+    assert(hit.queryExecution.executedPlan.toString.contains("bkt"),
+      "the bucket partition filter must be in the plan")
+    // ...an untouched key reads from v00001, same single-bucket shape
+    val cold = Versioned.lookup(spark, root, 40L)
+    assert(cold.as[(Long, String)].collect().toSeq === Seq(40L -> "d40"))
+    assert(scannedParts(cold) === 1L)
+    // a missing key is an empty result, not an error
+    assert(Versioned.lookup(spark, root, 999999L).isEmpty)
+  }
+
+  test("a stale staging directory from a crashed promotion never collides and vacuum sweeps it") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
-    val stale = new File(root, "_staging_v00002")
+    val stale = new File(root, "_staging_v00002_12345")
     stale.mkdirs()
     Files.write(new File(stale, "garbage").toPath, Array[Byte](1, 2, 3))
+    // the retry stages under its own nonce — the orphan is inert
     val r = Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks)
     assert(r.promoted && r.version === 2)
+    assert(Versioned.read(spark, root).count() === 2)
+    assert(stale.exists())
+    val dropped = Versioned.vacuum(root, retainLast = 2)
+    assert(dropped.contains("_staging_v00002_12345"), dropped)
+    assert(!stale.exists())
     assert(Versioned.read(spark, root).count() === 2)
   }
 }
