@@ -151,6 +151,7 @@ object ClusterLedger {
       numBuckets: Int = 64): AppendStats = {
     require(numBuckets > 0)
     val spark = pairs.sparkSession
+    val startedMs = System.currentTimeMillis()
     val existing = readManifest(path)
     existing.foreach { m =>
       require(numBuckets == m.numBuckets,
@@ -241,34 +242,55 @@ object ClusterLedger {
     if (rewritten.nonEmpty) {
       // stage the rewritten buckets into a NONCE-suffixed private dir
       // (concurrent attempts must never clobber each other), then
-      // commit in three steps: optimistic single-writer check, rename
-      // into the a%05d slot, atomic manifest swap. Readers switch from
-      // the old consistent labeling to the new one instantly.
+      // commit in four steps: optimistic single-writer check, atomic
+      // slot CLAIM (O_CREAT|O_EXCL lock file — closes the residual
+      // check-then-rename window to a pathological-pause sliver; see
+      // Versioned.claimAndRename's protocol note), rename into the
+      // a%05d slot, atomic manifest swap. Readers switch from the old
+      // consistent labeling to the new one instantly.
       val idx = existing.map(_.appends).getOrElse(0) + 1
       val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
       new File(path).mkdirs()
       out.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      def refuse(nowAppends: Int): Nothing = {
+        rmTree(staging)
+        Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
+        throw new graft.sources.ConcurrentWriteException(
+          s"concurrent append detected on cluster ledger $path: committed " +
+            s"append count moved ${idx - 1} -> $nowAppends (or another writer holds " +
+            f"the a$idx%05d slot) while this drop staged — the ledger is " +
+            "single-writer; replay the drop against the new state")
+      }
       // optimistic single-writer check BEFORE the slot is touched: if
       // another append committed while this one staged, claiming its
       // slot (or overwriting its manifest) would orphan its buckets —
       // refuse loudly; the caller replays the drop against the new
       // state (a semilattice no-op for whatever both drops agreed on)
       val nowAppends = readManifest(path).map(_.appends).getOrElse(0)
-      if (nowAppends != idx - 1) {
-        rmTree(staging)
-        Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
-        sys.error(s"concurrent append detected on cluster ledger $path: committed " +
-          s"append count moved ${idx - 1} -> $nowAppends while this drop staged — " +
-          "the ledger is single-writer; replay the drop against the new state")
+      if (nowAppends != idx - 1) refuse(nowAppends)
+      // atomic slot claim: exactly one writer owns a%05d. A claim
+      // STRICTLY OLDER than this append's start is a crashed attempt's
+      // leftover (single-writer contract: any prior attempt at this
+      // slot died before the retry began) — steal it; fresher = a
+      // racing writer mid-commit — refuse without touching anything.
+      val claim = new File(path, f"_claim_a$idx%05d")
+      if (!claim.createNewFile()) {
+        val stale = claim.lastModified() < startedMs &&
+          readManifest(path).map(_.appends).getOrElse(0) == idx - 1
+        if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(idx - 1)
       }
-      // the guard passed, so a pre-existing slot dir can only be a
-      // crashed attempt's leftover (unreferenced) — reclaim it
+      // re-check under the claim: a committed winner deletes its claim
+      // only AFTER its manifest swap, so "claim held ∧ count unmoved"
+      // proves the pre-existing slot dir is a crashed leftover
+      val recheck = readManifest(path).map(_.appends).getOrElse(0)
+      if (recheck != idx - 1) { claim.delete(); refuse(recheck) }
       val slot = appendDir(path, idx)
       if (slot.exists()) rmTree(slot)
       require(staging.renameTo(slot), s"append rename failed: $staging -> $slot")
       val oldOwner = existing.map(_.owner).getOrElse(Vector.fill(numBuckets)(0))
       val owner = rewritten.foldLeft(oldOwner)((o, bkt) => o.updated(bkt, idx))
       writeManifest(path, Manifest(numBuckets, idx, owner))
+      claim.delete()
     }
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
@@ -276,20 +298,57 @@ object ClusterLedger {
     stats
   }
 
+  /** [[append]] with bounded replay on a lost single-writer race: the
+    * loser re-resolves the new committed labeling and replays its
+    * drop against it — PROVABLY safe here, because cluster labels are
+    * component minima and min-label merging is a semilattice fold
+    * (appends commute; a replayed drop is a no-op), so any
+    * interleaving of retrying writers converges to
+    * `connectedComponents(∪ drops)` exactly. Backoff is linear;
+    * non-race failures propagate immediately. */
+  def appendRetry(path: String, pairs: DataFrame, a: String, b: String,
+      numBuckets: Int = 64, attempts: Int = 5, backoffMs: Long = 500L): AppendStats = {
+    require(attempts >= 1)
+    var last: graft.sources.ConcurrentWriteException = null
+    for (attempt <- 1 to attempts) {
+      try return append(path, pairs, a, b, numBuckets)
+      catch {
+        case e: graft.sources.ConcurrentWriteException =>
+          last = e
+          if (attempt < attempts) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw last
+  }
+
   /** GC append directories no longer referenced by the owner map
     * (every bucket they once held has since been rewritten elsewhere).
     * Returns the deleted directory names. The manifest itself is
-    * untouched — vacuuming never changes the labeling. */
-  def vacuum(path: String): Seq[String] = {
+    * untouched — vacuuming never changes the labeling.
+    *
+    * Staging orphans and claim files are swept only past
+    * `staleStagingMillis` (default 24 h): vacuum may race an IN-FLIGHT
+    * append, and a fresh `_tmp` directory is very likely a live writer
+    * mid-stage — deleting its files could corrupt the staged write
+    * before the manifest swap. The age gate restricts the sweep to
+    * directories no live append can still own. */
+  def vacuum(path: String,
+      staleStagingMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
     val live = m.owner.filter(_ > 0).toSet
-    val doomed = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val cutoff = System.currentTimeMillis() - staleStagingMillis
+    val entries = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val doomed = entries
       .filter(f => f.isDirectory &&
         ((f.getName.matches("a\\d{5}") &&
           !live.contains(f.getName.stripPrefix("a").toInt)) ||
-          // crashed appends' nonce-suffixed staging orphans
-          f.getName.matches("a\\d{5}_tmp\\d+")))
+          // crashed appends' nonce-suffixed staging orphans — age-gated
+          (f.getName.matches("a\\d{5}_tmp\\d+") && f.lastModified() <= cutoff)))
     doomed.foreach(rmTree)
+    // crashed appends' commit-slot claims (a committed append deletes
+    // its claim; only a crash strands one) — same age gate
+    entries.filter(f => f.isFile && f.getName.startsWith("_claim_") &&
+      f.lastModified() <= cutoff).foreach(_.delete())
     doomed.map(_.getName).toSeq.sorted
   }
 

@@ -3,8 +3,6 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Warehouse
-
 /** Persisted MinHash-LSH band index — the build-once / probe-per-drop
   * form of [[Dedup.minhashNovel]].
   *
@@ -51,22 +49,37 @@ object MinhashIndex {
 
   /** Build the index table from the current corpus. `nBuckets` sizes
     * the permanent layout (bucket ≈ one task's worth; both probe
-    * shuffles and appends inherit it). */
+    * shuffles and appends inherit it). The table is additionally
+    * PARTITIONED on `drop_id` (the build rides as drop "base"): each
+    * ingested drop owns one partition directory, which is what makes
+    * [[append]] idempotent — bucketing on the band columns is
+    * orthogonal (each partition directory holds one file per bucket,
+    * and a scan still arrives bucket-clustered). */
   def create(corpus: DataFrame, text: Column, id: Column, table: String,
       nBuckets: Int, p: Params = Params()): Unit =
-    Warehouse.writeBucketed(bands(corpus, text, id, p), table,
-      Seq("band_id", "band_key"), nBuckets)
-
-  /** Append the bands of accepted new docs (same layout — Spark
-    * refuses a mismatched bucket spec, so a wrong `nBuckets` fails
-    * loudly rather than corrupting the layout). */
-  def append(docs: DataFrame, text: Column, id: Column, table: String,
-      nBuckets: Int, p: Params = Params()): Unit =
-    bands(docs, text, id, p).write
+    bands(corpus, text, id, p).withColumn("drop_id", lit("base"))
+      .write.partitionBy("drop_id")
       .bucketBy(nBuckets, "band_id", "band_key")
       .sortBy("band_id", "band_key")
-      .mode(org.apache.spark.sql.SaveMode.Append)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
+
+  /** Append the bands of accepted new docs into the existing layout,
+    * IDEMPOTENT per drop id: the write is a dynamic partition
+    * overwrite on `drop_id` (the [[graft.sketch.StatsLedger]]
+    * discipline), so a crash-retried or replayed ingestion rewrites
+    * exactly its own partition instead of double-inserting its bands —
+    * a duplicated band row would silently raise collision counts in
+    * [[probePairs]]. Distinct drops never touch each other's
+    * partitions, and Spark refuses a mismatched bucket spec, so a
+    * wrong `nBuckets` fails loudly rather than corrupting the layout. */
+  def append(docs: DataFrame, text: Column, id: Column, table: String,
+      nBuckets: Int, dropId: String, p: Params = Params()): Unit = {
+    require(dropId.nonEmpty && dropId != "base",
+      "append needs a per-drop id ('base' names the create-time corpus)")
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      bands(docs, text, id, p).withColumn("drop_id", lit(dropId)), table)
+  }
 
   /** The novelty screen: batch rows that share NO band with the
     * indexed corpus — row-identical to `Dedup.minhashNovel(corpus,

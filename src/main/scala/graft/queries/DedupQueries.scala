@@ -56,6 +56,25 @@ object DedupQueries {
       root
     })
 
+  /** ZONE-MAPPED published-and-merged warehouse, built ONCE per (JVM,
+    * sf dir) — q_warehouse_range's operator under test is the pruned
+    * RANGE READ, not the build. The base is pre-clustered on doc_id
+    * (repartitionByRange — the documented zone discipline) so
+    * create-time file zones are disjoint; the merge's files cover only
+    * the drop's keys. */
+  private val zonedWarehouseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zonedWarehouse(s: SparkSession, dir: String): String =
+    zonedWarehouseCache.computeIfAbsent(dir, d => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .repartitionByRange(16, col("doc_id")).sortWithinPartitions("doc_id")
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_zoned").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16,
+        zoneCols = Seq("doc_id")).promoted)
+      require(Versioned.merge(warehouseDrop(docs), root, deleted = col("del")).merged)
+      root
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3/23 exact dedup by content hash, min doc_id representative.
     "q_dedup_exact" -> ((s, dir) =>
@@ -316,6 +335,37 @@ object DedupQueries {
     "q_warehouse_diff" -> ((s, dir) =>
       graft.sources.Versioned.diffVersions(s, mergedWarehouse(s, dir), 1, 2,
         col("doc_id"), col("text"), keyName = "doc_id")),
+
+    // §2.2/22bh4 SCHEMA-EVOLUTION merge: the lifecycle drop carries a
+    // column the table has never seen (`lang`); the merge publishes it
+    // on its touched buckets only — every untouched older file is
+    // byte-identical and its rows read back null for the new column.
+    // The oracle replays the full-outer merge with survivors
+    // null-filled, so a widened row that leaked into the wrong leg (or
+    // an old row that failed to null-fill) hash-mismatches.
+    "q_warehouse_evolve" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_evolve").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      val drop = warehouseDrop(docs).withColumn("lang",
+        when(col("del"), lit(null).cast("string"))
+          .otherwise(when(col("doc_id") < 0, lit("de")).otherwise(lit("en"))))
+      val rep = Versioned.merge(drop, root, deleted = col("del"))
+      require(rep.merged, s"evolving warehouse merge refused: ${rep.reason}")
+      Versioned.read(s, root)
+    }),
+
+    // §2.2/22bh6 zone-mapped warehouse range read: the bucketed,
+    // zone-mapped warehouse (cached build: promote + one lifecycle
+    // merge) answers `doc_id BETWEEN 100 AND 299` by consulting each
+    // owning directory's per-file [min, max] manifest BEFORE the scan
+    // — pruned files never become tasks (the pruned ≡ plain contract
+    // is additionally spec-pinned with file counts; this gate pins the
+    // VALUES against the merge-replay oracle filtered to the range).
+    "q_warehouse_range" -> ((s, dir) =>
+      graft.sources.Versioned.readRange(s, zonedWarehouse(s, dir),
+        "doc_id", 100L, 299L)),
 
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
@@ -892,6 +942,55 @@ object DedupQueries {
            |WHERE k.doc_id IS NULL
            |UNION ALL SELECT doc_id, source, text FROM upd
            |UNION ALL SELECT doc_id, source, text FROM ins""".stripMargin,
+    // the evolve replay: identical merge legs, with the NEW column
+    // null on survivors, 'en' on updates, 'de' on inserts — exactly
+    // what null-filled old files + widened new files must read as
+    "q_warehouse_evolve" ->
+      raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |upd AS (
+           |  SELECT doc_id, source, text || ' v2' AS text, 'en' AS lang FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT -doc_id - 1 AS doc_id,
+           |         'drop' AS source,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text,
+           |         'de' AS lang
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT doc_id FROM upd
+           |  UNION ALL SELECT doc_id FROM ins)
+           |SELECT b.doc_id, b.source, b.text, CAST(NULL AS VARCHAR) AS lang
+           |FROM base b LEFT JOIN dropkeys k ON b.doc_id = k.doc_id
+           |WHERE k.doc_id IS NULL
+           |UNION ALL SELECT doc_id, source, text, lang FROM upd
+           |UNION ALL SELECT doc_id, source, text, lang FROM ins""".stripMargin,
+    // the merge replay restricted to the probed range — the zone-map
+    // pruning must be value-invisible
+    "q_warehouse_range" ->
+      raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |upd AS (
+           |  SELECT doc_id, source, text || ' v2' AS text FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT -doc_id - 1 AS doc_id,
+           |         'drop' AS source,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT doc_id FROM upd
+           |  UNION ALL SELECT doc_id FROM ins),
+           |merged AS (
+           |  SELECT b.doc_id, b.source, b.text
+           |  FROM base b LEFT JOIN dropkeys k ON b.doc_id = k.doc_id
+           |  WHERE k.doc_id IS NULL
+           |  UNION ALL SELECT doc_id, source, text FROM upd
+           |  UNION ALL SELECT doc_id, source, text FROM ins)
+           |SELECT doc_id, source, text FROM merged
+           |WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
     // lifecycle statuses derived from the drop's construction: the
     // warehouse's v1→v2 diff must read exactly the drop back
     "q_warehouse_diff" ->

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Similarity.{cosineQ, dotQ}
-import graft.sources.Warehouse
 
 /** Persisted IVF index — the build-once / probe-per-batch form of
   * [[IvfAnn.annIvf]], mirroring [[graft.dedup.MinhashIndex]] on the
@@ -21,8 +20,11 @@ import graft.sources.Warehouse
   *     them pre-partitioned, so the corpus side never exchanges
   *     again (the §2.2c bucketed-join argument: one shuffle paid at
   *     build time replaces a corpus shuffle per probe);
-  *   - `<table>_centroids`: the trained quantizer (c_id, ce, cnrm),
-  *     numCentroids rows — broadcast whole at probe time.
+  *   - `<table>_centroids_g%05d`: the trained quantizer (c_id, ce,
+  *     cnrm), numCentroids rows — broadcast whole at probe time. The
+  *     generation suffix + an atomically-swapped pointer file make
+  *     quantizer publication crash-safe (see the note at
+  *     [[pointerFile]]); resolve through [[centroids]].
   *
   * Probes are incremental-friendly: new vectors [[append]] by
   * assigning against the STORED centroids (no retrain) into the same
@@ -60,32 +62,108 @@ object IvfIndex {
   final case class RebalanceStats(splitCells: Long, newCells: Long, reassigned: Long)
 
   private def cellsTable(table: String) = s"${table}_cells"
-  private def centsTable(table: String) = s"${table}_centroids"
-  private def metaTable(table: String) = s"${table}_meta"
+  private def centsTable(table: String, gen: Int) = f"${table}_centroids_g$gen%05d"
+  private def metaTable(table: String, gen: Int) = f"${table}_meta_g$gen%05d"
+
+  /** The quantizer state (centroids + drift baseline) is GENERATION-
+    * versioned: gen-suffixed tables, committed by one atomic rename of
+    * a pointer file in the owning database's directory. [[rebalance]]
+    * (and a re-[[create]]) writes the NEXT generation's centroid and
+    * meta tables completely, then swaps the pointer — a crash anywhere
+    * before the swap leaves readers on the previous generation's
+    * intact quantizer (the orphaned next-gen tables are reclaimed by
+    * [[vacuumGens]]); the old non-atomic SaveMode.Overwrite
+    * (drop-then-recreate) could lose the centroid table entirely. */
+  private def pointerFile(spark: SparkSession, table: String): java.io.File = {
+    val (db, t) = table.lastIndexOf('.') match {
+      case -1 => (spark.catalog.currentDatabase, table)
+      case i => (table.substring(0, i), table.substring(i + 1))
+    }
+    val loc = spark.catalog.getDatabase(db).locationUri
+    val dir = if (loc.contains(":")) new java.io.File(new java.net.URI(loc).getPath)
+      else new java.io.File(loc)
+    new java.io.File(dir, s"_ivf_gen_$t.json")
+  }
+
+  private val GenRe = """"gen"\s*:\s*(\d+)""".r.unanchored
+
+  private def readGen(spark: SparkSession, table: String): Option[Int] = {
+    val f = pointerFile(spark, table)
+    if (!f.exists()) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") match {
+      case GenRe(g) => Some(g.toInt)
+      case text => sys.error(s"bad ivf generation pointer for $table: $text")
+    }
+  }
+
+  private def liveGen(spark: SparkSession, table: String): Int =
+    readGen(spark, table).getOrElse(sys.error(
+      s"no ivf index generation pointer for $table — build with IvfIndex.create"))
+
+  /** Atomic commit: write beside, rename over — the same discipline as
+    * Versioned/ClusterLedger manifests. */
+  private def swapPointer(spark: SparkSession, table: String, gen: Int): Unit = {
+    val f = pointerFile(spark, table)
+    val tmp = new java.io.File(f.getParentFile, s"${f.getName}.tmp${System.nanoTime()}")
+    java.nio.file.Files.write(tmp.toPath, s"""{"gen": $gen}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live generation's trained quantizer (c_id, ce, cnrm) — the
+    * public accessor now that the physical table name carries the
+    * generation suffix. */
+  def centroids(spark: SparkSession, table: String): DataFrame =
+    spark.table(centsTable(table, liveGen(spark, table)))
+
+  // test seam: a simulated crash BETWEEN the next generation's tables
+  // being written and the pointer swap (IvfIndexSpec's torn-commit
+  // test drives it; production never sets it)
+  private[graft] var failBeforeSwap: Boolean = false
+  private def maybeCrashBeforeSwap(): Unit =
+    if (failBeforeSwap) sys.error("simulated crash before ivf pointer swap")
 
   /** Train the coarse quantizer on the corpus, assign every vector,
-    * persist centroids + bucketed inverted lists. `corpus` must be in
-    * [[Similarity.prepareQuantized]] shape: (vec_id, e, nrm). */
+    * persist centroids + bucketed inverted lists, commit with the
+    * pointer swap. `corpus` must be in [[Similarity.prepareQuantized]]
+    * shape: (vec_id, e, nrm).
+    *
+    * A FIRST create is crash-safe (no pointer until everything is
+    * written). A RE-create over a live index is the offline rebuild
+    * path: it overwrites the cells table in place, so readers mid-
+    * rebuild can observe old centroids against new cells — run it
+    * without concurrent probes (the online maintenance op is
+    * [[rebalance]], whose publication is log-structured + atomic). */
   def create(spark: SparkSession, corpus: DataFrame, table: String,
       nBuckets: Int, p: Params): Unit = {
+    val gen = readGen(spark, table).map(_ + 1).getOrElse(1)
     val cents = IvfAnn.centroids(corpus, p.numCentroids, p.lloydIters)
     cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(centsTable(table))
-    val stored = spark.table(centsTable(table))
-    Warehouse.writeBucketed(
-      IvfAnn.assign(corpus, stored).join(corpus, "vec_id")
-        .select(col("c_id"), col("vec_id"), col("e"), col("nrm")),
-      cellsTable(table), Seq("c_id"), nBuckets)
+      .saveAsTable(centsTable(table, gen))
+    val stored = spark.table(centsTable(table, gen))
+    // the inverted lists are bucketed on c_id (the probe-side layout)
+    // AND partitioned on drop_id — each ingested drop owns one
+    // partition directory, which is what makes [[append]] idempotent
+    IvfAnn.assign(corpus, stored).join(corpus, "vec_id")
+      .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
+      .withColumn("drop_id", lit("base"))
+      .write.partitionBy("drop_id")
+      .bucketBy(nBuckets, "c_id").sortBy("c_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(cellsTable(table))
     graft.operators.Checkpoints.release(cents)
-    writeMeta(spark, table) // build-time drift baseline
+    writeMeta(spark, table, gen) // build-time drift baseline
+    maybeCrashBeforeSwap()
+    swapPointer(spark, table, gen)
   }
 
   /** Current exact index stats: (rows, cells, hhiPermille,
     * meanCosMilli, deadRows). One scan of the cells table; the
     * centroid table is broadcast. Zero-norm rows score 0 milli (the
     * cosine is undefined; they can never be probed usefully anyway). */
-  private def statsOf(spark: SparkSession, table: String): (Long, Long, Long, Long, Long) = {
-    val cents = spark.table(centsTable(table))
+  private def statsOf(spark: SparkSession, table: String, gen: Int): (Long, Long, Long, Long, Long) = {
+    val cents = spark.table(centsTable(table, gen))
     val lists = spark.table(cellsTable(table))
     val joined = lists.join(broadcast(cents), Seq("c_id"), "left")
       .withColumn("__live", col("ce").isNotNull)
@@ -108,11 +186,11 @@ object IvfIndex {
     (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), dead)
   }
 
-  private def writeMeta(spark: SparkSession, table: String): Unit = {
-    val (rows, cells, hhi, mcm, _) = statsOf(spark, table)
+  private def writeMeta(spark: SparkSession, table: String, gen: Int): Unit = {
+    val (rows, cells, hhi, mcm, _) = statsOf(spark, table, gen)
     import spark.implicits._
     Seq((rows, cells, hhi, mcm)).toDF("rows", "cells", "hhi_permille", "mean_cos_milli")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(metaTable(table))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(metaTable(table, gen))
   }
 
   /** Drift gauge: current stats vs the build-time baseline persisted
@@ -123,8 +201,9 @@ object IvfIndex {
     * baseline means appended vectors sit far from every build-time
     * centroid — both say "rebalance or re-create". */
   def driftStats(spark: SparkSession, table: String): DriftReport = {
-    val (rows, cells, hhi, mcm, dead) = statsOf(spark, table)
-    val base = spark.table(metaTable(table)).collect().head
+    val gen = liveGen(spark, table)
+    val (rows, cells, hhi, mcm, dead) = statsOf(spark, table, gen)
+    val base = spark.table(metaTable(table, gen)).collect().head
     DriftReport(rows, cells, hhi, mcm,
       base.getLong(0), base.getLong(1), base.getLong(2), base.getLong(3), dead)
   }
@@ -145,12 +224,13 @@ object IvfIndex {
     * are never modified. Refreshes the drift baseline. Requires
     * numeric vector ids (new centroid ids are allocated by
     * arithmetic). */
-  def rebalance(spark: SparkSession, table: String, nBuckets: Int,
+  def rebalance(spark: SparkSession, table: String,
       overfullFactor: Int = 2, lloydIters: Int = 1): RebalanceStats = {
     require(overfullFactor >= 1 && lloydIters >= 1)
     val eager = graft.operators.Checkpoints.eager _
     val release = graft.operators.Checkpoints.release _
-    val cents = spark.table(centsTable(table))
+    val gen = liveGen(spark, table)
+    val cents = spark.table(centsTable(table, gen))
     val live = spark.table(cellsTable(table))
       .join(cents.select("c_id"), Seq("c_id"), "left_semi")
     val sizes = eager(live.groupBy("c_id").agg(count(lit(1)).as("sz")))
@@ -212,42 +292,84 @@ object IvfIndex {
       .withColumn("new_id", lit(maxId) + row_number().over(idW)))
     // 1. append the re-assigned members under the new ids (dead rows
     //    under the old id stay until the centroid drop below — a crash
-    //    here leaves only invisible-to-probe extra rows)
+    //    here leaves only invisible-to-probe extra rows). The write is
+    //    a dynamic partition overwrite on this rebalance's OWN
+    //    generation-keyed drop_id, so a crashed-and-retried rebalance
+    //    (pointer unmoved → same next gen) rewrites its partition
+    //    instead of double-appending the re-assigned rows.
+    val nextGen = gen + 1
     val reassigned = assignSub(newCents.select(col("c_id"), col("sub"), col("ce"), col("cnrm")))
       .join(newCents.select(col("c_id"), col("sub"), col("new_id")), Seq("c_id", "sub"))
       .join(members, Seq("c_id", "vec_id"))
       .select(col("new_id").as("c_id"), col("vec_id"), col("e"), col("nrm"))
-    reassigned.write.bucketBy(nBuckets, "c_id").sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Append)
-      .saveAsTable(cellsTable(table))
-    // 2. commit: split cells leave the centroid table, sub-cells join
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      reassigned.withColumn("drop_id", lit(f"rebalance_g$nextGen%05d")),
+      cellsTable(table))
+    // 2. commit: split cells leave the centroid table, sub-cells join —
+    //    written as the NEXT GENERATION's centroid + meta tables (the
+    //    post-split state is the new drift baseline), then ONE atomic
+    //    pointer swap. A crash anywhere before the swap leaves readers
+    //    on this generation's intact quantizer; the appended rows under
+    //    the new ids are invisible to it (no live centroid carries
+    //    them) and the orphaned next-gen tables fall to [[vacuumGens]].
     val nextCents = eager(cents
       .join(broadcast(over.select("c_id")), Seq("c_id"), "left_anti")
       .unionByName(newCents.select(col("new_id").as("c_id"), col("ce"), col("cnrm"))))
     val newCellCount = newCents.count()
     nextCents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(centsTable(table))
-    writeMeta(spark, table) // the post-split state is the new baseline
+      .saveAsTable(centsTable(table, nextGen))
+    writeMeta(spark, table, nextGen)
+    maybeCrashBeforeSwap()
+    swapPointer(spark, table, nextGen)
     val stats = RebalanceStats(nOver, newCellCount,
       spark.table(cellsTable(table))
-        .join(spark.table(centsTable(table)).filter(col("c_id") > maxId)
+        .join(spark.table(centsTable(table, nextGen)).filter(col("c_id") > maxId)
           .select("c_id"), Seq("c_id"), "left_semi").count())
     Seq(sizes, over, members, trained, newCents, nextCents).foreach(release)
     stats
   }
 
+  /** Reclaim superseded generations' centroid/meta tables (a crashed
+    * [[rebalance]] or re-[[create]] leaves the NEXT generation's
+    * tables orphaned; every committed swap leaves the PREVIOUS
+    * generation's behind). Never touches the live generation. Returns
+    * the dropped table names. */
+  def vacuumGens(spark: SparkSession, table: String): Seq[String] = {
+    val gen = liveGen(spark, table)
+    val (db, t) = table.lastIndexOf('.') match {
+      case -1 => (spark.catalog.currentDatabase, table)
+      case i => (table.substring(0, i), table.substring(i + 1))
+    }
+    val genRe = (java.util.regex.Pattern.quote(t) + "_(?:centroids|meta)_g(\\d{5})").r
+    val doomed = spark.catalog.listTables(db).collect().map(_.name).toSeq.flatMap { n =>
+      n match {
+        case genRe(g) if g.toInt != gen => Some(s"$db.$n")
+        case _ => None
+      }
+    }.sorted
+    doomed.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    doomed
+  }
+
   /** Append new vectors into the existing layout: assigned against
     * the STORED centroids (no retrain — the standard IVF ingest
     * path; retrain by re-running [[create]] when drift warrants).
-    * Spark refuses a mismatched bucket spec, so a wrong `nBuckets`
-    * fails loudly rather than corrupting the layout. */
+    * IDEMPOTENT per drop id: the write is a dynamic partition
+    * overwrite on `drop_id`, so a crash-retried or replayed ingestion
+    * rewrites exactly its own partition instead of double-inserting
+    * its vectors — duplicated list rows would silently inflate every
+    * later probe's candidate set AND its vote in [[driftStats]]. The
+    * bucket spec comes from the table's catalog metadata. */
   def append(spark: SparkSession, docs: DataFrame, table: String,
-      nBuckets: Int): Unit =
-    IvfAnn.assign(docs, spark.table(centsTable(table))).join(docs, "vec_id")
-      .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
-      .write.bucketBy(nBuckets, "c_id").sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Append)
-      .saveAsTable(cellsTable(table))
+      dropId: String): Unit = {
+    require(dropId.nonEmpty && dropId != "base" && !dropId.startsWith("rebalance_"),
+      "append needs a per-drop id ('base'/'rebalance_*' are layout-reserved)")
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      IvfAnn.assign(docs, centroids(spark, table)).join(docs, "vec_id")
+        .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
+        .withColumn("drop_id", lit(dropId)),
+      cellsTable(table))
+  }
 
   /** ANN top-k against the index: nprobe nearest cells per query by
     * the broadcast stored quantizer, exact cosine within those cells
@@ -255,7 +377,7 @@ object IvfIndex {
     * only the query-batch side exchanges. */
   def probe(spark: SparkSession, table: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.table(centsTable(table))
+    val cents = centroids(spark, table)
     val lists = spark.table(cellsTable(table))
     val qs = queries.select(col("vec_id").as("q_id"), col("e").as("qe"),
       col("nrm").as("qnrm"))

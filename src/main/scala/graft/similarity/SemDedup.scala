@@ -102,7 +102,11 @@ object SemDedup {
     val enc = PqAnn.encode(corpus, cbs, m, subDim).select(col("vec_id"), col("codes"))
     val mem = sharded.join(enc, "vec_id")
     val screen = tau - margin
-    val idx = (codes: String, si: String) => s"element_at($codes, $si + 1) + 1"
+    // the per-PAIR scoring folds are the native PqSdcSum/PqLookupSum
+    // expressions (codegen'd m-lookup loops — the PQ hot path); the
+    // broadcast sdc/cn tables are built once per job
+    val pqSum = org.apache.spark.sql.graft.GraftFunctions.pqLookupSum _
+    val sdcSum = org.apache.spark.sql.graft.GraftFunctions.pqSdcSum _
     val pairs = mem.as("a")
       .join(mem.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
@@ -110,15 +114,9 @@ object SemDedup {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.codes").as("ca"), col("b.codes").as("cb"))
       .crossJoin(broadcast(PqAnn.sdcRow(cbs)))
-      .withColumn("adot", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
-          s"element_at(element_at(element_at(sdc, si + 1), ${idx("ca", "si")}), ${idx("cb", "si")}))"))
-      .withColumn("anrm", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
-          s"element_at(element_at(cn, si + 1), ${idx("ca", "si")}))"))
-      .withColumn("bnrm", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
-          s"element_at(element_at(cn, si + 1), ${idx("cb", "si")}))"))
+      .withColumn("adot", sdcSum(col("ca"), col("cb"), col("sdc")))
+      .withColumn("anrm", pqSum(col("ca"), col("cn")))
+      .withColumn("bnrm", pqSum(col("cb"), col("cn")))
       .withColumn("acos", expr(
         "CASE WHEN anrm <= 0 OR bnrm <= 0 THEN CAST(-2.0 AS DOUBLE) " +
           "ELSE CAST(adot AS DOUBLE) / (sqrt(CAST(anrm AS DOUBLE)) * sqrt(CAST(bnrm AS DOUBLE))) END"))

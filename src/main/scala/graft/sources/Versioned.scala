@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.TableDiff
 import graft.quality.Validate
 
+/** A publish/append lost the single-writer race: the store's live
+  * pointer moved (or another writer claimed the commit slot) while
+  * this writer staged. The store is untouched by the loser; the safe
+  * reaction is to replay the drop against the new live state —
+  * [[Versioned.mergeRetry]] / [[graft.dedup.ClusterLedger.appendRetry]]
+  * package exactly that. */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** Write-audit-publish corpus promotion on plain parquet — the
   * poor-man's table format (SURVEY.md §2.2/22bh).
   *
@@ -72,8 +80,11 @@ object Versioned {
     * current content ("" = bucket is empty). A merge rewrites only
     * the owner entries of its touched buckets; every other bucket
     * keeps reading the files an earlier version wrote — byte-for-byte
-    * untouched. */
-  final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String])
+    * untouched. `zones` names the integral columns every publish
+    * writes per-file [min, max] zone maps for (inside each version
+    * directory's `_zonemap`), consulted by [[readRange]]. */
+  final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String],
+      zones: Seq[String] = Nil)
 
   /** Refuse promotion when (changed + removed) keys exceed
     * `maxChangedPerMille`/1000 of the live corpus' rows. `key` and
@@ -99,7 +110,9 @@ object Versioned {
     val prev = m.previous.map(p => "\"" + p + "\"").getOrElse("null")
     val bkts = m.buckets.map { b =>
       s""", "key": "${b.key}", "numBuckets": ${b.numBuckets}, "rows": ${b.rows}, """ +
-        s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]"""
+        s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]""" +
+        (if (b.zones.isEmpty) ""
+         else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""")
     }.getOrElse("")
     s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$bkts}"""
   }
@@ -111,6 +124,7 @@ object Versioned {
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r.unanchored
   private val RowsRe = """"rows"\s*:\s*(\d+)""".r.unanchored
   private val OwnerRe = """"owner"\s*:\s*\[([^\]]*)\]""".r.unanchored
+  private val ZonesRe = """"zones"\s*:\s*\[([^\]]*)\]""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -121,7 +135,13 @@ object Versioned {
       case (KeyRe(k), NumBucketsRe(nb), RowsRe(r), OwnerRe(own)) =>
         val owner = own.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toVector
           .take(nb.toInt).padTo(nb.toInt, "")
-        Some(BucketSpec(k, nb.toInt, r.toLong, owner))
+        val zones = text match {
+          case ZonesRe(zs) =>
+            zs.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+              .filter(_.nonEmpty)
+          case _ => Nil
+        }
+        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones))
       case _ => None
     }
     Manifest(v, p, prev, buckets)
@@ -149,6 +169,16 @@ object Versioned {
         .sortBy(_.version).toSeq
   }
 
+  // test seam for the warehouse_crash fuzz family and crash specs: a
+  // simulated kill at a named point of the publish sequence (one-shot —
+  // consumed on fire so the retry completes). Production never sets it.
+  private[graft] var crashPoint: Option[String] = None
+  private def maybeCrash(point: String): Unit =
+    if (crashPoint.contains(point)) {
+      crashPoint = None
+      sys.error(s"simulated crash at publish point '$point'")
+    }
+
   /** Atomic pointer swap: write beside, rename over. Also records the
     * version's immutable `_v%05d.json` chain entry. */
   private def writeManifest(root: String, m: Manifest): Unit = {
@@ -157,6 +187,7 @@ object Versioned {
     // is overwritten by the next publish of that version number
     java.nio.file.Files.write(versionFile(root, m.version).toPath,
       render(m).getBytes("UTF-8"))
+    maybeCrash("chain")
     val tmp = new File(root, s"_manifest.json.tmp${System.nanoTime()}")
     java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, manifestFile(root).toPath,
@@ -209,7 +240,10 @@ object Versioned {
       spark.read.parquet(new File(root, dir).getPath)
         .filter(col("bkt").isin(entries.map(_._2): _*))
     }
-    val unioned = parts.reduce(_ unionByName _)
+    // allowMissingColumns: after an add-column merge, older directories
+    // lack the new columns and read as null; dir-name order (= publish
+    // order) keeps the unioned column order deterministic (old first)
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*)
   }
 
@@ -230,6 +264,7 @@ object Versioned {
       diffGate: Option[DiffGate] = None): PromoteReport = {
     val spark = df.sparkSession
     new File(root).mkdirs()
+    val startedMs = System.currentTimeMillis()
     val live = currentManifest(root)
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
@@ -272,38 +307,78 @@ object Versioned {
         rmTree(staging)
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
-        val target = new File(root, dirName)
-        // the concurrency guard runs BEFORE the slot is touched: if it
-        // passes, a pre-existing target can only be a crashed publish
-        // (every publish ADVANCES the version counter, so a live
-        // version never reuses a slot, and a concurrent committer
-        // would have moved the manifest) — reclaiming it is safe
-        guardConcurrentPublish(root, live, staging)
-        if (target.exists()) rmTree(target)
-        require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
+        val claim = claimAndRename(root, live, staging, dirName, startedMs)
         writeManifest(root, Manifest(version, dirName, live.map(_.path)))
+        claim.delete()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
   }
 
-  /** Optimistic-concurrency check before a publish commits: the table
-    * carries a SINGLE-WRITER contract (the same one every
-    * manifest-rename table format carries without a locking service),
-    * and this makes the common violation LOUD instead of silent — a
-    * publish that started against version N refuses to commit if the
-    * live pointer moved while it staged, because renaming its manifest
-    * over the newer one would orphan that publish's committed data.
-    * The residual race window is the microseconds between this check
-    * and the rename, down from the whole stage+audit. */
-  private def guardConcurrentPublish(root: String, startedAt: Option[Manifest],
-      staging: File): Unit = {
-    val now = currentManifest(root).map(_.version)
-    if (now != startedAt.map(_.version)) {
+  /** Commit-slot claim: the concurrency discipline between "audit
+    * passed" and "manifest renamed". The table carries a SINGLE-WRITER
+    * contract (the same one every manifest-rename table format carries
+    * without a locking service); this makes violations LOUD instead of
+    * silent, in three steps:
+    *
+    *  1. optimistic check — a publish that started against version N
+    *     refuses to commit if the live pointer moved while it staged
+    *     (renaming its manifest over the newer one would orphan that
+    *     publish's committed data);
+    *  2. atomic slot claim — `createNewFile` (O_CREAT|O_EXCL) on
+    *     `_claim_<dir>`: exactly one writer can own a version slot. A
+    *     pre-existing claim STRICTLY OLDER than this publish's start is
+    *     a crashed attempt's leftover (under the single-writer
+    *     contract, any previous attempt at this slot began and died
+    *     before the retry started) and is stolen; a fresher claim is a
+    *     racing writer mid-commit — refuse without touching anything;
+    *  3. re-check under the claim — a winner deletes its claim only
+    *     AFTER its manifest move, so "claim held ∧ pointer unmoved"
+    *     means no other writer can have renamed into this slot: the
+    *     rmTree of a pre-existing target directory (a crashed
+    *     claimant's rename leftover) can never hit a live version.
+    *
+    * Residual window: a writer that stalls for the full length of
+    * ANOTHER writer's stage+audit between its own claim and manifest
+    * write (a multi-second GC pause at exactly the wrong instant) can
+    * still interleave — the claim narrows the race from the whole
+    * stage+audit to that pathological pause. On object stores without
+    * atomic create/rename, point the manifest at a consistent metadata
+    * service (every manifest-based table format's caveat).
+    *
+    * On success the staging directory has been renamed into
+    * `dirName` and the returned claim file is held: the caller writes
+    * the manifest, then deletes the claim. On conflict the staging
+    * directory is removed and [[ConcurrentWriteException]] is thrown. */
+  private def claimAndRename(root: String, startedAt: Option[Manifest], staging: File,
+      dirName: String, startedMs: Long): File = {
+    def refuse(now: Option[Int]): Nothing = {
       rmTree(staging)
-      sys.error(s"concurrent publish detected under $root: live version moved " +
-        s"${startedAt.map(_.version).getOrElse("none")} -> ${now.getOrElse("none")} " +
-        "while this publish staged — the table is single-writer; retry against the new live version")
+      throw new ConcurrentWriteException(
+        s"concurrent publish detected under $root: live version moved " +
+          s"${startedAt.map(_.version).getOrElse("none")} -> ${now.getOrElse("none")} " +
+          s"(or another writer holds the $dirName commit slot) while this publish " +
+          "staged — the table is single-writer; retry against the new live version")
     }
+    val startVersion = startedAt.map(_.version)
+    val now1 = currentManifest(root).map(_.version)
+    if (now1 != startVersion) refuse(now1)
+    val claim = new File(root, s"_claim_$dirName")
+    if (!claim.createNewFile()) {
+      val stale = claim.lastModified() < startedMs &&
+        currentManifest(root).map(_.version) == startVersion
+      if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(startVersion)
+    }
+    val now2 = currentManifest(root).map(_.version)
+    if (now2 != startVersion) { claim.delete(); refuse(now2) }
+    maybeCrash("claimed")
+    val target = new File(root, dirName)
+    if (target.exists()) rmTree(target) // crashed claimant's rename leftover
+    if (!staging.renameTo(target)) {
+      claim.delete()
+      rmTree(staging)
+      sys.error(s"publish rename failed: $staging -> $target")
+    }
+    claim
   }
 
   /** [[merge]] outcome. `upserted`/`inserted`/`deleted` count drop
@@ -338,17 +413,22 @@ object Versioned {
       key: String,
       numBuckets: Int,
       checks: Seq[Validate.Check] = Seq.empty,
-      diffGate: Option[DiffGate] = None): PromoteReport = {
+      diffGate: Option[DiffGate] = None,
+      zoneCols: Seq[String] = Nil): PromoteReport = {
     require(numBuckets > 0)
     require(df.columns.contains(key), s"merge key '$key' not in ${df.columns.mkString(", ")}")
+    require(zoneCols.forall(df.columns.contains),
+      s"zone columns ${zoneCols.filterNot(df.columns.contains).mkString(", ")} not in the table")
     val spark = df.sparkSession
     new File(root).mkdirs()
+    val startedMs = System.currentTimeMillis()
     val live = currentManifest(root)
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     df.withColumn("bkt", bktCol(key, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    if (zoneCols.nonEmpty) buildZoneMap(spark, staging.getPath, zoneCols)
     val staged = spark.read.parquet(staging.getPath)
     val rows = staged.count()
     require(rows > 0, "promoteBucketed refuses an empty table (no bucket files to lay out)")
@@ -385,12 +465,10 @@ object Versioned {
         rmTree(staging)
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
-        val target = new File(root, dirName)
-        guardConcurrentPublish(root, live, staging) // before touching the slot
-        if (target.exists()) rmTree(target)
-        require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
+        val claim = claimAndRename(root, live, staging, dirName, startedMs)
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
-          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName)))))
+          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName), zoneCols))))
+        claim.delete()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
   }
@@ -424,6 +502,21 @@ object Versioned {
     *
     * Drops must be key-unique (an upsert and a delete for the same
     * key have no defined order in a DataFrame — refused loudly).
+    *
+    * SCHEMA EVOLUTION: a drop may carry columns the table has never
+    * seen — the merge publishes them on its touched buckets' files and
+    * every untouched (byte-identical) older file reads as null for
+    * them, so adding a column to a 100 TB corpus costs one ordinary
+    * drop-sized merge, not a full republish. A drop MISSING an
+    * existing column is still refused (delete-only drops excepted):
+    * silently nulling a column on upserted rows would be data loss,
+    * not evolution.
+    *
+    * `maxBroadcastDropKeys` bounds the drop-key broadcast (survivor
+    * anti-join + accounting join); an unusually large drop falls back
+    * to a shuffle join instead of stressing the broadcast path —
+    * results identical, spec-pinned.
+    *
     * Returns [[MergeReport]]; the manifest moves only on
     * `merged = true`. */
   def merge(
@@ -431,15 +524,27 @@ object Versioned {
       root: String,
       deleted: Column = lit(false),
       checks: Seq[Validate.Check] = Seq.empty,
-      maxChangedPerMille: Option[Long] = None): MergeReport = {
+      maxChangedPerMille: Option[Long] = None,
+      maxBroadcastDropKeys: Long = 5000000L): MergeReport = {
     val spark = drop.sparkSession
+    val startedMs = System.currentTimeMillis()
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — publish with promoteBucketed before merging"))
     val key = spec.key
     require(drop.columns.contains(key), s"merge key '$key' not in ${drop.columns.mkString(", ")}")
 
-    val d = graft.operators.Checkpoints.eager(drop
+    // every eager checkpoint registers here and releases in the
+    // finally — a publish that loses the commit race (throws) must not
+    // leak cached blocks in a long-lived retrying driver
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def eager(df: DataFrame): DataFrame = {
+      val e = graft.operators.Checkpoints.eager(df)
+      toRelease += e
+      e
+    }
+    try {
+    val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
       .withColumn("bkt", bktCol(key, spec.numBuckets)))
     val nDrop = d.count()
@@ -447,44 +552,83 @@ object Versioned {
       s"drop has duplicate '$key' keys — upsert/delete order within a drop is undefined")
 
     val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+    // the table's live schema is the FIRST-SEEN union of every owning
+    // directory's columns, in directory (= publish) order — after an
+    // add-column merge, older directories simply lack the new columns
+    // and read as null. Driver-side parquet-footer reads, ≤ distinct
+    // owning dirs of them.
+    val ownerDirs = spec.owner.filter(_.nonEmpty).distinct.sorted
+    require(ownerDirs.nonEmpty,
+      s"bucketed table under $root has no data directories (every bucket " +
+        "was merged empty) — re-publish with promoteBucketed")
+    val tableFields = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+      for (dir <- ownerDirs;
+           f <- spark.read.parquet(new File(root, dir).getPath).schema.fields
+           if f.name != "bkt")
+        if (!acc.contains(f.name)) acc(f.name) = f
+      acc.values.toSeq
+    }
+    // SCHEMA EVOLUTION: columns the drop ADDS widen the table — new
+    // files carry them, older rows read as null (unionEvolved's
+    // by-name discipline applied to the bucket store); columns the
+    // drop is MISSING are still refused (delete-only drops excepted) —
+    // an upsert that silently nulled an existing column would be a
+    // data-loss footgun, not evolution. Columns the `deleted`
+    // expression references are CDC MARKERS, not data — they never
+    // widen the table (resolved against the drop so arbitrary marker
+    // expressions work, not just a bare column)
+    val delRefs: Set[String] =
+      drop.select(deleted.as("__p")).queryExecution.analyzed
+        .expressions.flatMap(_.references.map(_.name)).toSet
+    val dropExtras = d.schema.fields.filter(f =>
+      !tableFields.exists(_.name == f.name) && f.name != "__del" && f.name != "bkt" &&
+        !delRefs.contains(f.name)).toSeq
+    val allFields = tableFields ++ dropExtras
+    val dataCols: Seq[String] = allFields.map(_.name)
+    // null-fill a directory's frame up to the widened table shape
+    def conform(df: DataFrame): DataFrame =
+      df.select(allFields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)) :+ col("bkt"): _*)
+
     // current rows of the touched buckets only, partition-pruned from
     // their owning directories; keep bkt — it is the staging partition
     val byDir = touched.map(b => (spec.owner(b), b)).filter(_._1.nonEmpty).groupBy(_._1)
     val oldRows = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-      spark.read.parquet(new File(root, dir).getPath)
-        .filter(col("bkt").isin(entries.map(_._2): _*))
+      conform(spark.read.parquet(new File(root, dir).getPath)
+        .filter(col("bkt").isin(entries.map(_._2): _*)))
     }.reduceOption(_ unionByName _)
-    // data schema (without bkt) comes from any owning directory — a
-    // bucketed table always has one (promoteBucketed refuses empty;
-    // a table whose every bucket was merged empty must be re-published
-    // with promoteBucketed, since no directory carries its schema)
-    val schemaSrc: DataFrame = oldRows.getOrElse {
-      val anyDir = spec.owner.find(_.nonEmpty).getOrElse(sys.error(
-        s"bucketed table under $root has no data directories (every bucket " +
-          "was merged empty) — re-publish with promoteBucketed"))
-      spark.read.parquet(new File(root, anyDir).getPath)
-    }
-    val dataCols: Seq[String] = schemaSrc.columns.toSeq.filter(_ != "bkt")
 
     val dKeys = d.select(col(key), col("__del"))
+    // drops small enough broadcast into the survivor anti-join and the
+    // accounting join; past the bound they shuffle-join instead of
+    // stressing the driver/executors with an oversized broadcast (the
+    // touched-bucket side is already bounded by the drop's spread)
+    def dkHint(df: DataFrame): DataFrame =
+      if (nDrop <= maxBroadcastDropKeys) broadcast(df) else df
     val upsertSrc = d.filter(!col("__del"))
-    val missing = dataCols.filterNot(c => drop.columns.contains(c))
+    val missing = tableFields.map(_.name).filterNot(c => drop.columns.contains(c))
     val upserts =
       if (missing.isEmpty) upsertSrc.select(dataCols.map(col) :+ col("bkt"): _*)
       else {
         require(upsertSrc.isEmpty,
-          s"drop upsert rows are missing table columns: ${missing.mkString(", ")}")
+          s"drop upsert rows are missing table columns: ${missing.mkString(", ")} — " +
+            "a drop may ADD columns (older rows read as null) but must carry every existing one")
         // delete-only drop: an empty frame in the table's shape
-        schemaSrc.select(dataCols.map(col) :+ col("bkt"): _*).filter(lit(false))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            allFields :+ org.apache.spark.sql.types.StructField(
+              "bkt", org.apache.spark.sql.types.IntegerType)))
       }
-    val survivors = oldRows.map(_.join(broadcast(dKeys.select(key)), Seq(key), "left_anti")
+    val survivors = oldRows.map(_.join(dkHint(dKeys.select(key)), Seq(key), "left_anti")
       .select(dataCols.map(col) :+ col("bkt"): _*))
-    val merged = graft.operators.Checkpoints.eager(
-      survivors.map(_.unionByName(upserts)).getOrElse(upserts))
+    val merged = eager(survivors.map(_.unionByName(upserts)).getOrElse(upserts))
 
     // exact O(drop) accounting against the touched buckets' pre-image
     val hits = oldRows.map(_.select(col(key))
-      .join(broadcast(dKeys), Seq(key), "inner")
+      .join(dkHint(dKeys), Seq(key), "inner")
       .agg(
         sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
         sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
@@ -499,9 +643,14 @@ object Versioned {
     val dirName = f"v$version%05d"
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     val stagedEmpty = merged.isEmpty
-    if (!stagedEmpty)
+    if (!stagedEmpty) {
       merged.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
-    else staging.mkdirs() // every touched bucket emptied: version dir holds no files
+      // the layout contract's zone maps ride along on every publish:
+      // one extra column-pruned pass over the touched-bucket-sized
+      // staging (never the table) — [[readRange]] consults them
+      if (spec.zones.nonEmpty) buildZoneMap(spark, staging.getPath, spec.zones)
+    } else staging.mkdirs() // every touched bucket emptied: version dir holds no files
+    maybeCrash("staged")
 
     val viol: Seq[(String, Long)] =
       if (checks.isEmpty || stagedEmpty) Seq.empty
@@ -518,31 +667,62 @@ object Versioned {
       .map { case (rule, n) => s"validation: rule '$rule' has $n violations" }
       .orElse(gateReason)
 
-    val report = reason match {
+    reason match {
       case Some(_) =>
         rmTree(staging)
         MergeReport(merged = false, version, dirName, upserted, inserted, deletedN,
           touched, viol, reason)
       case None =>
-        val target = new File(root, dirName)
-        guardConcurrentPublish(root, Some(live), staging) // before touching the slot
-        if (target.exists()) rmTree(target)
-        require(staging.renameTo(target), s"publish rename failed: $staging -> $target")
-        // a staged bucket with zero rows writes no partition dir —
-        // its owner entry becomes "" (empty bucket), not the new dir
+        // the staged bucket set is read from STAGING (pre-rename): a
+        // staged bucket with zero rows writes no partition dir — its
+        // owner entry becomes "" (empty bucket), not the new dir
         val stagedBkts: Set[Int] =
           if (stagedEmpty) Set.empty
-          else spark.read.parquet(target.getPath).select("bkt").distinct()
+          else spark.read.parquet(staging.getPath).select("bkt").distinct()
             .collect().map(_.getInt(0)).toSet
+        val claim = claimAndRename(root, Some(live), staging, dirName, startedMs)
+        maybeCrash("renamed")
         val owner = touched.foldLeft(spec.owner)((o, b) =>
           o.updated(b, if (stagedBkts.contains(b)) dirName else ""))
         writeManifest(root, Manifest(version, dirName, Some(live.path),
           Some(spec.copy(rows = newTotal, owner = owner))))
+        claim.delete()
         MergeReport(merged = true, version, dirName, upserted, inserted, deletedN,
           touched, viol, None)
     }
-    Seq(d, merged).foreach(graft.operators.Checkpoints.release)
-    report
+    } finally toRelease.foreach(graft.operators.Checkpoints.release)
+  }
+
+  /** [[merge]] with bounded replay on a lost single-writer race: the
+    * loser of a concurrent publish re-resolves the NEW live manifest
+    * and replays its drop against it — safe because a merge applies
+    * its drop BY KEY (replaying the same drop over the winner's
+    * version lands exactly the drop's upserts/deletes; replaying an
+    * already-applied drop publishes a version equal to its parent).
+    * Two writers whose drops disagree on the SAME key resolve to
+    * whichever commits last — the usual last-writer-wins caveat;
+    * drops from independent pipelines should touch disjoint keys.
+    * Backoff is linear (`backoffMs × attempt`); refusals that are NOT
+    * races (validation, gates) return immediately like [[merge]]. */
+  def mergeRetry(
+      drop: DataFrame,
+      root: String,
+      deleted: Column = lit(false),
+      checks: Seq[Validate.Check] = Seq.empty,
+      maxChangedPerMille: Option[Long] = None,
+      attempts: Int = 5,
+      backoffMs: Long = 500L): MergeReport = {
+    require(attempts >= 1)
+    var last: ConcurrentWriteException = null
+    for (attempt <- 1 to attempts) {
+      try return merge(drop, root, deleted, checks, maxChangedPerMille)
+      catch {
+        case e: ConcurrentWriteException =>
+          last = e
+          if (attempt < attempts) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw last
   }
 
   /** Point lookup on a bucketed table: the serving-path read. The
@@ -564,14 +744,31 @@ object Versioned {
       .select(pmod(xxhash64(lit(keyValue).cast("string")), lit(spec.numBuckets)).cast("int"))
       .head().getInt(0)
     val dir = spec.owner(bkt)
-    val anyDir = spec.owner.find(_.nonEmpty).getOrElse(sys.error(
-      s"bucketed table under $root has no data directories"))
-    val schemaSrc = spark.read.parquet(new File(root, anyDir).getPath)
+    // the table's full (possibly evolved) schema — the point read must
+    // return the same columns as a full read, null-filling columns the
+    // owning directory predates
+    val ownerDirs = spec.owner.filter(_.nonEmpty).distinct.sorted
+    require(ownerDirs.nonEmpty, s"bucketed table under $root has no data directories")
+    val fields = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
+      for (d <- ownerDirs;
+           f <- spark.read.parquet(new File(root, d).getPath).schema.fields
+           if f.name != "bkt")
+        if (!acc.contains(f.name)) acc(f.name) = f
+      acc.values.toSeq
+    }
     val out =
-      if (dir.isEmpty) schemaSrc.filter(lit(false)) // bucket currently empty
-      else spark.read.parquet(new File(root, dir).getPath)
-        .filter(col("bkt") === bkt && col(spec.key) === lit(keyValue))
-    out.select(out.columns.filter(_ != "bkt").map(col): _*)
+      if (dir.isEmpty) // bucket currently empty
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields))
+      else {
+        val raw = spark.read.parquet(new File(root, dir).getPath)
+          .filter(col("bkt") === bkt && col(spec.key) === lit(keyValue))
+        raw.select(fields.map(f =>
+          if (raw.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+    out
   }
 
   /** Consolidate a bucketed table: republish the live data as ONE new
@@ -590,7 +787,92 @@ object Versioned {
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — compact consolidates bucket stores"))
-    promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks)
+    promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks,
+      zoneCols = spec.zones)
+  }
+
+  /** Per-file [min, max] zone manifest for a STAGED version directory
+    * (the [[ZoneMaps]] idea applied inside the bucket store). File
+    * paths are stored RELATIVE to the version directory
+    * (`bkt=K/part-….parquet`) — the staging directory is renamed into
+    * its version slot at commit, so absolute paths would go stale the
+    * instant they were useful. One column-pruned pass over the staged
+    * data (touched-bucket-sized for merges), one manifest row per
+    * file, written as `_zonemap` inside the directory (underscore
+    * prefix: plain readers skip it). Bounds are BIGINT — integral
+    * clustered columns are the zone-map use case. Zones earn their
+    * keep only when values CLUSTER by file: pre-cluster the input
+    * (e.g. repartitionByRange on the zone column) before
+    * [[promoteBucketed]], and note that each merge's files naturally
+    * cover only that drop's value range — the nightly-merge
+    * time-slicing this exists for. */
+  private def buildZoneMap(spark: SparkSession, dirPath: String,
+      statsCols: Seq[String]): Unit = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+    spark.read.parquet(dirPath)
+      .select(input_file_name().as("__f") +: statsCols.map(col): _*)
+      .groupBy("__f")
+      .agg(aggs.head, aggs.tail: _*)
+      // bucket-partitioned layout ⇒ every data file sits under bkt=K/
+      .withColumn("file", expr("substring(__f, instr(__f, '/bkt=') + 1)"))
+      .drop("__f")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(new File(dirPath, "_zonemap").getPath)
+  }
+
+  /** `lo ≤ c ≤ hi` over a bucketed, zone-mapped table: each owning
+    * directory's `_zonemap` is consulted BEFORE the scan, so files
+    * whose [min, max] provably miss the range never produce tasks —
+    * at 100 TB the nightly time-sliced report after a merge chain
+    * reads the few files whose drop covered the window, not every
+    * bucket of every owning directory. The residual filter is always
+    * re-applied, so the result is EXACTLY `read(...)` filtered to the
+    * range regardless of zone coarseness (spec-pinned); a directory
+    * without a zone map (or predating column `c`) degrades to its
+    * plain pruned scan, never to an error. */
+  def readRange(spark: SparkSession, root: String, c: String, lo: Long, hi: Long): DataFrame = {
+    val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val residual = col(c) >= lo && col(c) <= hi
+    m.buckets match {
+      case None => readManifestData(spark, root, m).filter(residual)
+      case Some(spec) =>
+        val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
+        require(byDir.nonEmpty, s"bucketed table under $root has no non-empty buckets")
+        val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+          prunedDirScan(spark, root, dir, entries.map(_._2), c, lo, hi)
+        }
+        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*).filter(residual)
+    }
+  }
+
+  /** One owning directory's range scan: zone-pruned when its manifest
+    * exists and covers `c`, plain otherwise. A directory that predates
+    * column `c` contributes nothing (every row reads null for `c`,
+    * and null never satisfies a range filter) — schema-preserved
+    * empty, zero files scanned. */
+  private def prunedDirScan(spark: SparkSession, root: String, dir: String,
+      bkts: Seq[Int], c: String, lo: Long, hi: Long): DataFrame = {
+    val dirPath = new File(root, dir).getPath
+    val full = spark.read.parquet(dirPath).filter(col("bkt").isin(bkts: _*))
+    if (!full.columns.contains(c)) return full.filter(lit(false))
+    val zm = new File(dirPath, "_zonemap")
+    if (!zm.exists()) return full
+    val zones = spark.read.parquet(zm.getPath)
+    if (!zones.columns.contains(s"lo_$c")) return full
+    val bset = bkts.toSet
+    val files = zones
+      .filter(col(s"lo_$c") <= hi && col(s"hi_$c") >= lo)
+      .select("file").as(org.apache.spark.sql.Encoders.STRING).collect()
+      .filter { rel => // only files of buckets this directory still owns
+        rel.startsWith("bkt=") &&
+          rel.drop(4).takeWhile(_ != '/').toIntOption.exists(bset)
+      }
+    if (files.isEmpty) full.filter(lit(false))
+    else spark.read.option("basePath", dirPath)
+      .parquet(files.map(rel => new File(dirPath, rel).getPath).toIndexedSeq: _*)
+      .filter(col("bkt").isin(bkts: _*))
   }
 
   /** Change feed between two retained versions: the per-key lifecycle
@@ -656,8 +938,19 @@ object Versioned {
     * live version is never collectable. Chain entries are kept even
     * for vacuumed versions, so the audit trail stays complete and
     * [[readVersion]] can say "vacuumed" rather than "unknown".
+    *
+    * Staging orphans and claim files are swept only past
+    * `staleStagingMillis` (default 24 h): vacuum is an independent
+    * maintenance op that may race an IN-FLIGHT publish — a fresh
+    * `_staging_*` directory is very likely a live writer mid-stage,
+    * and deleting files out from under it could let the later rename
+    * publish a silently incomplete version. The age gate makes the
+    * sweep touch only directories no live publish can still own
+    * (size the window above the longest plausible stage+audit).
+    *
     * Returns the deleted directory names. */
-  def vacuum(root: String, retainLast: Int = 2): Seq[String] = {
+  def vacuum(root: String, retainLast: Int = 2,
+      staleStagingMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     require(retainLast >= 1, "retainLast must be >= 1")
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val chain = versions(root)
@@ -669,13 +962,19 @@ object Versioned {
       m.previous ++
       chain.filter(x => m.previous.contains(x.path))
         .flatMap(_.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty))
-    val doomed = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    val cutoff = System.currentTimeMillis() - staleStagingMillis
+    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    val doomed = entries
       .filter(f => f.isDirectory &&
         ((f.getName.matches("v\\d{5}") && !keep(f.getName)) ||
           // crashed publishes' nonce-suffixed staging orphans — never
-          // referenced by any manifest, safe to sweep
-          f.getName.startsWith("_staging_")))
+          // referenced by any manifest; age-gated per the doc above
+          (f.getName.startsWith("_staging_") && f.lastModified() <= cutoff)))
     doomed.foreach(rmTree)
+    // crashed publishes' commit-slot claims (a committed publish deletes
+    // its claim; only a crash strands one) — same age gate
+    entries.filter(f => f.isFile && f.getName.startsWith("_claim_") &&
+      f.lastModified() <= cutoff).foreach(_.delete())
     doomed.map(_.getName).toSeq.sorted
   }
 }

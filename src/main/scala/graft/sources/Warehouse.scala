@@ -30,6 +30,29 @@ object Warehouse {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Dynamic-partition-overwrite insert into a catalog table: only the
+    * partitions PRESENT IN `df` are replaced; everything else is
+    * untouched. This is the idempotence primitive of the persisted
+    * index family (MinhashIndex/IvfIndex/SearchIndex appends — each
+    * drop owns its `drop_id` partition, so a crash-retried ingestion
+    * rewrites exactly itself). `insertInto` ignores the per-write
+    * `partitionOverwriteMode` OPTION (it only reaches path-based
+    * writes), so the session conf is set around the insert and
+    * restored after — a plain `mode(Overwrite).insertInto` under the
+    * default static mode would silently clobber every other drop's
+    * partition. Columns match POSITIONALLY (partition column last). */
+  def insertPartitionOverwrite(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).insertInto(table)
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Join two same-bucketed tables on their bucket key — exchange-free
     * by catalog metadata (assert with [[isExchangeFree]] in tests). */
   def bucketJoin(spark: SparkSession, left: String, right: String,

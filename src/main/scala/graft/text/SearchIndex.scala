@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Warehouse
-
 /** Persisted positional-postings search index — the build-once /
   * probe-per-drop shape for exact phrase search, completing the
   * build-once family (MinHash band index 24e4, IVF index 29f, the
@@ -29,19 +27,34 @@ import graft.sources.Warehouse
 object SearchIndex {
 
   /** Build the postings table from scratch (one tokenize+explode +
-    * the one bucket-layout shuffle, paid once). */
+    * the one bucket-layout shuffle, paid once). The table is
+    * additionally PARTITIONED on `drop_id` (the build rides as drop
+    * "base"): each ingested drop owns one partition directory, which
+    * is what makes [[append]] idempotent — bucketing on the token
+    * fingerprints is orthogonal (each partition directory holds one
+    * file per bucket; scans still arrive bucket-clustered). */
   def create(corpus: DataFrame, text: Column, id: Column, table: String,
       nBuckets: Int): Unit =
-    Warehouse.writeBucketed(Search.postings(corpus, text, id), table,
-      Seq("t1", "t2"), nBuckets)
-
-  /** Append a new drop's postings into the existing layout. */
-  def append(docs: DataFrame, text: Column, id: Column, table: String,
-      nBuckets: Int): Unit =
-    Search.postings(docs, text, id)
-      .write.bucketBy(nBuckets, "t1", "t2").sortBy("t1", "t2")
-      .mode(org.apache.spark.sql.SaveMode.Append)
+    Search.postings(corpus, text, id).withColumn("drop_id", lit("base"))
+      .write.partitionBy("drop_id")
+      .bucketBy(nBuckets, "t1", "t2").sortBy("t1", "t2")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
+
+  /** Append a new drop's postings into the existing layout,
+    * IDEMPOTENT per drop id: a dynamic partition overwrite on
+    * `drop_id` (the [[graft.sketch.StatsLedger]] discipline) — a
+    * crash-retried or replayed ingestion rewrites exactly its own
+    * partition instead of double-inserting its postings, which would
+    * silently double [[probe]]'s occurrence counts. The bucket spec
+    * comes from the table's catalog metadata. */
+  def append(docs: DataFrame, text: Column, id: Column, table: String,
+      dropId: String): Unit = {
+    require(dropId.nonEmpty && dropId != "base",
+      "append needs a per-drop id ('base' names the create-time corpus)")
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      Search.postings(docs, text, id).withColumn("drop_id", lit(dropId)), table)
+  }
 
   /** Exact phrase occurrences against the stored postings — the
     * corpus is neither re-tokenized nor shuffled. */
@@ -49,61 +62,105 @@ object SearchIndex {
       phraseText: Column, phraseId: Column): DataFrame =
     Search.occurrencesFromPostings(spark.table(table), phrases, phraseText, phraseId)
 
-  /** Build the BM25 statistics index: the (t, doc_id, tf, dl) term-
-    * frequency relation bucketed on the term (ONE tokenize+explode +
-    * one bucket-layout shuffle, paid once) plus the 1-row (n, tl)
-    * corpus-stats table. After this, ranking never re-tokenizes the
-    * corpus: a probe reads only the query terms' buckets. */
-  def createBm25(corpus: DataFrame, text: Column, id: Column, table: String,
-      nBuckets: Int): Unit = {
-    val toks = corpus.select(id.as("doc_id"),
-      TextAnalysis.tokenize(lower(text)).as("tk"))
-    val tf = toks
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("t"))
-      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
-    Warehouse.writeBucketed(tf, table, Seq("t"), nBuckets)
-    toks.agg(count(lit(1)).cast("long").as("n"),
-        sum(size(col("tk"))).cast("long").as("tl"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${table}_stats")
-  }
-
-  /** Append a drop's term frequencies into the BM25 layout and fold
-    * its (n, tl) delta into the stats row — ingest cost proportional
-    * to the DROP; the merged stats are collected (2 single-row
-    * frames) so the overwrite never reads the table it replaces. */
-  def appendBm25(docs: DataFrame, text: Column, id: Column, table: String,
-      nBuckets: Int): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val toks = docs.select(id.as("doc_id"),
-      TextAnalysis.tokenize(lower(text)).as("tk"))
+  private def tfOf(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = bm25Toks(docs, text, id)
     toks
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("t"))
       .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
-      .write.bucketBy(nBuckets, "t").sortBy("t")
-      .mode(org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def bm25Toks(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.tokenize(lower(text)).as("tk"))
+
+  private def statsDelta(docs: DataFrame, text: Column, id: Column): DataFrame =
+    bm25Toks(docs, text, id).agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(size(col("tk"))).cast("long"), lit(0L)).as("tl"))
+
+  /** Build the BM25 statistics index: the (t, doc_id, tf, dl) term-
+    * frequency relation bucketed on the term (ONE tokenize+explode +
+    * one bucket-layout shuffle, paid once) plus the per-drop (n, tl)
+    * corpus-stats LEDGER. Both tables are partitioned on `drop_id`:
+    * each drop's term rows live in their own partition of the tf
+    * table, and its (n, tl) contribution is one row of the stats
+    * ledger — [[bm25Probe]] sums the ledger (drop-count-sized), so no
+    * append ever reads-modifies-writes global state. After this,
+    * ranking never re-tokenizes the corpus: a probe reads only the
+    * query terms' buckets. */
+  def createBm25(corpus: DataFrame, text: Column, id: Column, table: String,
+      nBuckets: Int): Unit = {
+    tfOf(corpus, text, id).withColumn("drop_id", lit("base"))
+      .write.partitionBy("drop_id")
+      .bucketBy(nBuckets, "t").sortBy("t")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
-    val delta = toks.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(col("tk"))).cast("long").as("tl")).as[(Long, Long)].head()
-    val old = spark.table(s"${table}_stats").as[(Long, Long)].head()
-    Seq((old._1 + delta._1, old._2 + delta._2)).toDF("n", "tl")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    statsDelta(corpus, text, id).withColumn("drop_id", lit("base"))
+      .write.partitionBy("drop_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${table}_stats")
+  }
+
+  // test seam: a simulated crash BETWEEN the tf-partition write and
+  // the stats-ledger write (SearchIndexSpec's torn-commit test drives
+  // it; production never sets it)
+  private[graft] var failBetweenBm25Writes: Boolean = false
+
+  /** Append a drop's term frequencies + its (n, tl) stats-ledger row,
+    * IDEMPOTENT per drop id: both writes are dynamic partition
+    * overwrites on `drop_id`, so a crash-retried or replayed ingestion
+    * rewrites exactly its own partitions — never double-appends tf
+    * rows, never double-counts the corpus stats. Ingest cost is
+    * proportional to the DROP.
+    *
+    * The two writes are still two commits; the tf partition lands
+    * first, so the only torn state a crash can leave is "tf rows
+    * present, ledger row missing" — which [[bm25Probe]] detects and
+    * refuses LOUDLY (partition-set check) instead of silently
+    * mis-ranking with a stale n/tl, and which replaying this call
+    * heals completely. */
+  def appendBm25(docs: DataFrame, text: Column, id: Column, table: String,
+      dropId: String): Unit = {
+    require(dropId.nonEmpty && dropId != "base",
+      "appendBm25 needs a per-drop id ('base' names the create-time corpus)")
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      tfOf(docs, text, id).withColumn("drop_id", lit(dropId)), table)
+    if (failBetweenBm25Writes)
+      sys.error("simulated crash between bm25 tf and stats writes")
+    graft.sources.Warehouse.insertPartitionOverwrite(
+      statsDelta(docs, text, id).withColumn("drop_id", lit(dropId)),
+      s"${table}_stats")
   }
 
   /** BM25 top-k against the stored index: the term filter prunes to
     * the query vocabulary's buckets, df derives from the surviving
     * sliver (exactly the corpus df — a term's df only counts docs
-    * containing it), and the scoring tail is the SAME code as
-    * [[Search.bm25Rank]], so probe results are bit-identical to the
-    * scan path by construction (spec-pinned). */
+    * containing it), the (n, tl) corpus stats are the SUM of the
+    * drop-count-sized stats ledger (integer-exact, so bit-equal to a
+    * fresh whole-corpus build), and the scoring tail is the SAME code
+    * as [[Search.bm25Rank]], so probe results are bit-identical to the
+    * scan path by construction (spec-pinned).
+    *
+    * Refuses loudly when the index is TORN — a tf partition whose drop
+    * never landed its stats-ledger row (a crash between
+    * [[appendBm25]]'s two writes): ranking would silently use a stale
+    * n/tl against the new rows. Replaying the drop's append heals it.
+    * The check is metadata-only (two partition listings). A stats row
+    * WITHOUT tf rows is legitimate (a drop whose docs tokenized
+    * empty). */
   def bm25Probe(spark: SparkSession, table: String, terms: Seq[String],
       topK: Int): DataFrame = {
     require(terms.nonEmpty && topK >= 1)
+    val tfDrops = spark.sql(s"SHOW PARTITIONS $table")
+      .collect().map(_.getString(0)).toSet
+    val statDrops = spark.sql(s"SHOW PARTITIONS ${table}_stats")
+      .collect().map(_.getString(0)).toSet
+    require(tfDrops.subsetOf(statDrops),
+      s"bm25 index $table is torn: tf partitions ${tfDrops.diff(statDrops).mkString(", ")} " +
+        "have no stats-ledger row (a crash between appendBm25's writes) — " +
+        "replay appendBm25 for those drops before probing")
     val tf = spark.table(table).filter(col("t").isInCollection(terms))
-    Search.bm25Score(tf, broadcast(spark.table(s"${table}_stats")), topK)
+    val stats = spark.table(s"${table}_stats")
+      .agg(sum("n").cast("long").as("n"), sum("tl").cast("long").as("tl"))
+    Search.bm25Score(tf, broadcast(stats), topK)
   }
 }

@@ -91,6 +91,16 @@ object GraftFunctions {
   def dotFloat(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductFloat(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** ADC fold: Σ_i table[i][codes[i]] (see PqExpressions.scala). */
+  def pqLookupSum(codes: Column, table: Column): Column =
+    ExpressionUtils.column(PqLookupSum(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(table)))
+
+  /** SDC fold: Σ_i sdc[i][ca[i]][cb[i]] (see PqExpressions.scala). */
+  def pqSdcSum(ca: Column, cb: Column, sdc: Column): Column =
+    ExpressionUtils.column(PqSdcSum(ExpressionUtils.expression(ca),
+      ExpressionUtils.expression(cb), ExpressionUtils.expression(sdc)))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -104,6 +114,20 @@ object GraftFunctions {
         FunctionIdentifier("graft_dot_float"),
         FunctionRegistryBase.expressionInfo[DotProductFloat]("graft_dot_float", None),
         (children: Seq[Expression]) => DotProductFloat(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_pq_lookup_sum"),
+        FunctionRegistryBase.expressionInfo[PqLookupSum]("graft_pq_lookup_sum", None),
+        (children: Seq[Expression]) => PqLookupSum(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_pq_sdc_sum"),
+        FunctionRegistryBase.expressionInfo[PqSdcSum]("graft_pq_sdc_sum", None),
+        (children: Seq[Expression]) => PqSdcSum(children(0), children(1), children(2))
       )
     )
   }

@@ -188,6 +188,29 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(got === full)
   }
 
+  test("appendRetry: racing writers ALL converge to connectedComponents of the union") {
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)
+    val drops = Seq(
+      Seq((2L, 3L)).toDF("a", "b"),
+      Seq((10L, 11L)).toDF("a", "b"),
+      Seq((3L, 10L)).toDF("a", "b")) // bridges both racers' components
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(3)
+    val futures = drops.map(d =>
+      pool.submit(new java.util.concurrent.Callable[ClusterLedger.AppendStats] {
+        def call() = ClusterLedger.appendRetry(path, d, "a", "b", numBuckets = 8,
+          attempts = 8)
+      }))
+    futures.foreach(_.get()) // every writer eventually commits
+    pool.shutdown()
+    val got = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val full = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === full) // the semilattice converges regardless of interleaving
+  }
+
   test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
     val path = tmp()
     ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)

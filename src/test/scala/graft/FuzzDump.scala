@@ -867,6 +867,63 @@ object FuzzDump {
           |SELECT id, v FROM m3""".stripMargin)
     }
 
+    // ---- warehouse crash: the warehouse_merge shape with a simulated
+    // KILL injected at a random point of a random drop's publish
+    // sequence (after staging / holding the commit-slot claim / after
+    // the directory rename / between the chain entry and the pointer
+    // swap), then a replay of the killed drop. The oracle is the
+    // UNINTERRUPTED sequential merge replay: a crash plus its retry
+    // must be invisible in the final content, whatever the kill point
+    // stranded (staging orphan, held claim, renamed-but-unpublished
+    // slot, orphan chain entry). Crash-point fuzz is the axis the r12
+    // racing specs did not cover. ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 21)
+      val baseIds = rnd.shuffle((0L until 30L).toList).take(5 + rnd.nextInt(15))
+      val base = baseIds.map(id => (id, rnd.nextInt(100).toLong)).toDF("id", "v")
+      def mkDrop() = {
+        val ks = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(8))
+        ks.zipWithIndex.map { case (id, i) =>
+          (id, rnd.nextInt(100).toLong, i > 0 && rnd.nextInt(4) == 0)
+        }.toDF("id", "v", "del")
+      }
+      val (d1, d2, d3) = (mkDrop(), mkDrop(), mkDrop())
+      val root = java.nio.file.Files
+        .createTempDirectory("fuzz_whcrash").toString + "/t"
+      val nb = 1 + rnd.nextInt(8)
+      val points = Vector("staged", "claimed", "renamed", "chain")
+      val crashAt = rnd.nextInt(3)
+      val point = points(rnd.nextInt(points.length))
+      require(graft.sources.Versioned.promoteBucketed(base, root, "id", nb).promoted)
+      Seq(d1, d2, d3).zipWithIndex.foreach { case (d, i) =>
+        if (i == crashAt) {
+          graft.sources.Versioned.crashPoint = Some(point)
+          val killed =
+            try { graft.sources.Versioned.merge(d, root, deleted = col("del")); None }
+            catch { case t: Throwable => Some(t) }
+            finally graft.sources.Versioned.crashPoint = None
+          require(killed.exists(_.getMessage.contains("simulated crash")),
+            s"seed $seed: expected a simulated crash at '$point', got $killed")
+          // a reader between crash and retry must still see a
+          // consistent pre-crash version
+          require(graft.sources.Versioned.read(spark, root).count() >= 0)
+        }
+        require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged,
+          s"seed $seed: replay after '$point' crash must commit")
+      }
+      dump("warehouse_crash", seed,
+        Map("base" -> base, "d1" -> d1, "d2" -> d2, "d3" -> d3),
+        graft.sources.Versioned.read(spark, root),
+        """WITH m0 AS (SELECT id, v FROM base),
+          |m1 AS (SELECT m0.id, m0.v FROM m0 LEFT JOIN d1 ON m0.id = d1.id WHERE d1.id IS NULL
+          |       UNION ALL SELECT id, v FROM d1 WHERE NOT del),
+          |m2 AS (SELECT m1.id, m1.v FROM m1 LEFT JOIN d2 ON m1.id = d2.id WHERE d2.id IS NULL
+          |       UNION ALL SELECT id, v FROM d2 WHERE NOT del),
+          |m3 AS (SELECT m2.id, m2.v FROM m2 LEFT JOIN d3 ON m2.id = d3.id WHERE d3.id IS NULL
+          |       UNION ALL SELECT id, v FROM d3 WHERE NOT del)
+          |SELECT id, v FROM m3""".stripMargin)
+    }
+
     cases
   }
 }

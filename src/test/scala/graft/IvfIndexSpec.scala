@@ -29,12 +29,7 @@ class IvfIndexSpec extends SparkSpecBase {
     try {
       IvfIndex.create(spark, build, "graft_ivf.idx", nBuckets, P)
       body("graft_ivf.idx")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_cells")
-      spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_centroids")
-      spark.sql("DROP TABLE IF EXISTS graft_ivf.idx_meta")
-      spark.sql("DROP DATABASE IF EXISTS graft_ivf")
-    }
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_ivf CASCADE")
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -57,7 +52,10 @@ class IvfIndexSpec extends SparkSpecBase {
     val old = corpus.filter(pmod(col("vec_id"), lit(4)) =!= 1)
     val drop = corpus.filter(pmod(col("vec_id"), lit(4)) === 1)
     withIndex(old, 4) { table =>
-      IvfIndex.append(spark, drop, table, 4)
+      IvfIndex.append(spark, drop, table, dropId = "d1")
+      // a crash-retried (replayed) append overwrites its own drop_id
+      // partition — list rows do NOT duplicate
+      IvfIndex.append(spark, drop, table, dropId = "d1")
       // probing WITH an appended vector must surface an exact copy of
       // itself... except probe excludes self-matches; instead verify
       // the appended rows landed in cells and are scored: a query
@@ -103,7 +101,7 @@ class IvfIndexSpec extends SparkSpecBase {
       assert(atBuild.rows === 80L && atBuild.deadRows === 0L)
       assert(atBuild.hhiPermille === atBuild.hhiPermilleAtBuild)
 
-      IvfIndex.append(spark, drift, "graft_drift.idx", 4)
+      IvfIndex.append(spark, drift, "graft_drift.idx", dropId = "drift1")
       val drifted = IvfIndex.driftStats(spark, "graft_drift.idx")
       // the gauge fires: list sizes concentrated, assignment quality down
       assert(drifted.rows === 140L)
@@ -114,7 +112,7 @@ class IvfIndexSpec extends SparkSpecBase {
 
       // the drifted query's probed cell before the split: huge
       def probedCellSize(q: Array[Long]): Long = {
-        val cents = spark.table("graft_drift.idx_centroids")
+        val cents = IvfIndex.centroids(spark, "graft_drift.idx")
           .select("c_id", "ce").as[(Long, Seq[Long])].collect()
         val best = cents.maxBy { case (cid, ce) =>
           val dot = ce.zip(q).map { case (a, b) => a * b }.sum
@@ -122,7 +120,8 @@ class IvfIndexSpec extends SparkSpecBase {
             math.sqrt(q.map(x => x * x).sum.toDouble)), -cid)
         }._1
         spark.table("graft_drift.idx_cells")
-          .join(spark.table("graft_drift.idx_centroids").select("c_id"), Seq("c_id"), "left_semi")
+          .join(IvfIndex.centroids(spark, "graft_drift.idx").select("c_id"),
+            Seq("c_id"), "left_semi")
           .filter(col("c_id") === best).count()
       }
       val q = vec(0, 9, 800000L) // drift sub-mode i%5 == 2
@@ -131,14 +130,16 @@ class IvfIndexSpec extends SparkSpecBase {
 
       // snapshot the cells table's files: rebalance must only APPEND
       val cellsDir = new java.io.File(wh, "idx_cells")
-      def files() = cellsDir.listFiles().filter(_.getName.startsWith("part-"))
-        .map(f => f.getName -> f.lastModified()).toMap
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def files() = walk(cellsDir).filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> f.lastModified()).toMap
       val filesBefore = files()
-      val untouchedCents = spark.table("graft_drift.idx_centroids")
+      val untouchedCents = IvfIndex.centroids(spark, "graft_drift.idx")
         .filter(col("c_id") =!= 0L) // cells of axes 1-3 (seeded by ids 1,2,3)
         .as[(Long, Seq[Long], Long)].collect().toSet
 
-      val st = IvfIndex.rebalance(spark, "graft_drift.idx", 4,
+      val st = IvfIndex.rebalance(spark, "graft_drift.idx",
         overfullFactor = 2, lloydIters = 2)
       assert(st.splitCells === 1L, s"only the hot cell splits: $st")
       assert(st.newCells >= 2L, s"the hot cell must split into several sub-cells: $st")
@@ -148,7 +149,7 @@ class IvfIndexSpec extends SparkSpecBase {
       for ((name, mtime) <- filesBefore)
         assert(filesAfter.get(name).contains(mtime), s"rebalance rewrote $name")
       // untouched cells keep their exact centroid rows
-      val centsAfter = spark.table("graft_drift.idx_centroids")
+      val centsAfter = IvfIndex.centroids(spark, "graft_drift.idx")
         .as[(Long, Seq[Long], Long)].collect().toSet
       assert(untouchedCents.subsetOf(centsAfter))
 
@@ -168,11 +169,57 @@ class IvfIndexSpec extends SparkSpecBase {
       assert(post.deadRows === 80L)
       assert(post.hhiPermille === post.hhiPermilleAtBuild)
       assert(post.hhiPermille < drifted.hhiPermille)
+      // generation hygiene: the superseded quantizer generation is
+      // reclaimable; the live one never is
+      val dropped = IvfIndex.vacuumGens(spark, "graft_drift.idx")
+      assert(dropped.exists(_.contains("centroids_g00001")), dropped)
+      assert(IvfIndex.centroids(spark, "graft_drift.idx").count() > 0)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_cells")
-      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_centroids")
-      spark.sql("DROP TABLE IF EXISTS graft_drift.idx_meta")
-      spark.sql("DROP DATABASE IF EXISTS graft_drift")
+      spark.sql("DROP DATABASE IF EXISTS graft_drift CASCADE")
+    }
+  }
+
+  test("a crash between the rebalanced quantizer's write and the pointer swap leaves the live index intact") {
+    val base = (0 until 40).map { i =>
+      val e = Array.fill(16)(0L); e(i % 4) = 1000000L; e(4 + i % 4) = 300000L
+      (i.toLong, e)
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+    val drift = (100 until 160).map { i =>
+      val e = Array.fill(16)(0L); e(0) = 1000000L; e(8 + i % 3) = 800000L
+      (i.toLong, e)
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfcr LOCATION '$wh'")
+    try {
+      IvfIndex.create(spark, base, "graft_ivfcr.idx", 2,
+        IvfIndex.Params(numCentroids = 4, lloydIters = 1))
+      IvfIndex.append(spark, drift, "graft_ivfcr.idx", dropId = "drift1")
+      val probeQ = base.limit(3)
+      val before = IvfIndex.probe(spark, "graft_ivfcr.idx", probeQ, k = 2, nprobe = 2)
+        .collect().toSet
+      val centsBefore = IvfIndex.centroids(spark, "graft_ivfcr.idx").collect().toSet
+      // simulated crash: next-gen tables written, pointer NOT swapped
+      IvfIndex.failBeforeSwap = true
+      val e = intercept[RuntimeException](
+        IvfIndex.rebalance(spark, "graft_ivfcr.idx", overfullFactor = 2))
+      assert(e.getMessage.contains("simulated crash"))
+      IvfIndex.failBeforeSwap = false
+      // readers still see the OLD generation's quantizer, bit-equal —
+      // the old SaveMode.Overwrite drop-then-recreate would have lost
+      // the centroid table here, leaving the index unreadable
+      assert(IvfIndex.centroids(spark, "graft_ivfcr.idx").collect().toSet === centsBefore)
+      assert(IvfIndex.probe(spark, "graft_ivfcr.idx", probeQ, k = 2, nprobe = 2)
+        .collect().toSet === before)
+      // the retry commits; vacuumGens reclaims the crash's orphans +
+      // the superseded generation
+      val st = IvfIndex.rebalance(spark, "graft_ivfcr.idx", overfullFactor = 2)
+      assert(st.splitCells >= 1L)
+      IvfIndex.vacuumGens(spark, "graft_ivfcr.idx")
+      assert(IvfIndex.probe(spark, "graft_ivfcr.idx", probeQ, k = 2, nprobe = 2)
+        .collect().nonEmpty)
+    } finally {
+      IvfIndex.failBeforeSwap = false
+      spark.sql("DROP DATABASE IF EXISTS graft_ivfcr CASCADE")
     }
   }
 

@@ -25,10 +25,7 @@ class MinhashIndexSpec extends SparkSpecBase {
     try {
       MinhashIndex.create(corpus, col("text"), col("doc_id"), "graft_mh.idx", nBuckets)
       body("graft_mh.idx")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_mh.idx")
-      spark.sql("DROP DATABASE IF EXISTS graft_mh")
-    }
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_mh CASCADE")
   }
 
   test("screenNovel through the index is row-identical to minhashNovel") {
@@ -65,22 +62,25 @@ class MinhashIndexSpec extends SparkSpecBase {
     }
   }
 
-  test("append makes the index screen out the appended docs") {
+  test("append makes the index screen out the appended docs; a replay changes nothing") {
     withIndex(4) { table =>
       val before = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
       assert(ids(before).nonEmpty)
-      MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 4)
+      MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 4,
+        dropId = "d1")
       // every batch doc now collides with its own indexed bands
       val after = MinhashIndex.screenNovel(spark, table, batch, col("text"), col("doc_id"))
       assert(after.count() === 0)
-    }
-  }
-
-  test("append refuses a mismatched bucket count instead of corrupting the layout") {
-    withIndex(4) { table =>
-      intercept[Exception] {
-        MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 8)
-      }
+      // a crash-retried (replayed) append overwrites its own drop_id
+      // partition — band rows do NOT duplicate, attribution pairs hold
+      val rowsOnce = spark.table(table).count()
+      val pairsOnce = MinhashIndex.probePairs(spark, table, batch,
+        col("text"), col("doc_id")).count()
+      MinhashIndex.append(batch, col("text"), col("doc_id"), table, nBuckets = 4,
+        dropId = "d1")
+      assert(spark.table(table).count() === rowsOnce)
+      assert(MinhashIndex.probePairs(spark, table, batch,
+        col("text"), col("doc_id")).count() === pairsOnce)
     }
   }
 

@@ -489,6 +489,15 @@ class PlanAuditSpec extends SparkSpecBase {
     // the merge-side shuffles are inside the (checkpoint-bounded)
     // publish and proportional to the drop's touched buckets
     "q_warehouse_merge" -> 0,
+    // q_warehouse_evolve: same assembled-read shape as
+    // q_warehouse_merge — the add-column merge widens by-name at read
+    // (unionByName null-fill is a projection, not an exchange)
+    "q_warehouse_evolve" -> 0,
+    // q_warehouse_range: the zone-pruned range read — per-directory
+    // FILE-LIST scans unioned + a residual filter; pruning happens at
+    // planning (driver reads the file-count-sized _zonemap), so the
+    // executed plan has zero exchanges
+    "q_warehouse_range" -> 0,
     // q_decontam_sem: the n-gram pair aggregate + the full-outer
     // verdict join on (doc, bench); the semantic screen is broadcast
     // + narrow (in-row embedding, zero shuffles of its own)

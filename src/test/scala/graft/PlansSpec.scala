@@ -73,6 +73,63 @@ class PlansSpec extends SparkSpecBase {
     assert(sqlPlan.queryExecution.optimizedPlan.toString.contains("graft_dot_long"))
   }
 
+  test("native PqLookupSum / PqSdcSum equal the HOF formulations (randomized)") {
+    val rnd = new scala.util.Random(1013)
+    val m = 4; val k = 7
+    val rows = Seq.fill(60)((
+      Seq.fill(m)(rnd.nextInt(k)),                       // ca
+      Seq.fill(m)(rnd.nextInt(k)),                       // cb
+      Seq.fill(m, k)(rnd.nextLong() % 1000000L),         // lut  [m][k]
+      Seq.fill(m, k, k)(rnd.nextLong() % 1000000L)       // sdc  [m][k][k]
+    ))
+    val df = rows.toDF("ca", "cb", "lut", "sdc")
+    val pq = org.apache.spark.sql.graft.GraftFunctions.pqLookupSum _
+    val sdc = org.apache.spark.sql.graft.GraftFunctions.pqSdcSum _
+    val cmp = df.select(
+      pq(col("ca"), col("lut")).as("n1"),
+      expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
+        "element_at(element_at(lut, si + 1), element_at(ca, si + 1) + 1))").as("h1"),
+      sdc(col("ca"), col("cb"), col("sdc")).as("n2"),
+      expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a2, si) -> a2 + " +
+        "element_at(element_at(element_at(sdc, si + 1), element_at(ca, si + 1) + 1), " +
+        "element_at(cb, si + 1) + 1))").as("h2"))
+    assert(cmp.filter(col("n1") =!= col("h1") || col("n2") =!= col("h2")).count() === 0L)
+  }
+
+  test("PqLookupSum nulls propagate; out-of-range codes throw loudly") {
+    val pq = org.apache.spark.sql.graft.GraftFunctions.pqLookupSum _
+    val df = Seq(
+      (Some(Seq(0, 1)), Some(Seq(Seq(10L, 20L), Seq(30L, 40L)))),
+      (None, Some(Seq(Seq(1L))))
+    ).toDF("c", "t")
+    val out = df.select(pq(col("c"), col("t"))).collect()
+    assert(out(0).getLong(0) === 50L)
+    assert(out(1).isNullAt(0))
+    // UnsafeArrayData does not bounds-check — the expression must
+    val bad = Seq((Seq(5), Seq(Seq(1L, 2L)))).toDF("c", "t")
+    val e = intercept[Exception](bad.select(pq(col("c"), col("t"))).collect())
+    assert(e.getMessage.contains("out of range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of range")))
+  }
+
+  test("graft_pq_lookup_sum / graft_pq_sdc_sum are registered SQL functions inside codegen") {
+    val s = spark.sql(
+      "SELECT graft_pq_lookup_sum(array(1, 0), array(array(1L, 2L), array(30L, 40L))) AS v")
+      .as[Long].head()
+    assert(s === 32L)
+    val s2 = spark.sql(
+      "SELECT graft_pq_sdc_sum(array(0), array(1), array(array(array(1L, 7L), array(9L, 3L)))) AS v")
+      .as[Long].head()
+    assert(s2 === 7L)
+    // the fold runs inside a WholeStageCodegen stage (non-local child)
+    val df = spark.range(100)
+      .select(array(lit(0), lit(1)).as("c"),
+        array(array(col("id"), col("id") * 2), array(col("id") + 1, col("id") + 3)).as("t"))
+      .select(org.apache.spark.sql.graft.GraftFunctions.pqLookupSum(col("c"), col("t")).as("v"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [graft_pq_lookup_sum"))
+    assert(df.agg(sum("v")).as[Long].head() === (0L until 100L).map(i => i + (i + 3)).sum)
+  }
+
   test("native dot product appears inside WholeStageCodegen") {
     // needs a non-local child: local relations constant-fold the whole projection
     val df = spark.range(100)

@@ -109,12 +109,7 @@ object ProfileMutual {
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       rows.mkString("[\n", ",\n", "\n]"))
-    for (m <- factors) {
-      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_cells")
-      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_centroids")
-      spark.sql(s"DROP TABLE IF EXISTS graft_mut.idx_x${m}_meta")
-    }
-    spark.sql("DROP DATABASE IF EXISTS graft_mut")
+    spark.sql("DROP DATABASE IF EXISTS graft_mut CASCADE")
     spark.stop()
   }
 }

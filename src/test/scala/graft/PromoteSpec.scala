@@ -343,6 +343,142 @@ class PromoteSpec extends SparkSpecBase {
     assert(all(1L) === "d1 vA" && all(2L) === "d2 vB")
   }
 
+  test("merge with an added column widens the schema; old rows read null; old files untouched") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(20), root, "doc_id", 8, checks).promoted)
+    val before = allFiles(root)
+    val drop = Seq((3L, "d3 v2", "en", false), (21L, "d21", "de", false))
+      .toDF("doc_id", "text", "lang", "del")
+    val rep = Versioned.merge(drop, root, deleted = col("del"), checks = checks)
+    assert(rep.merged && rep.upserted === 1L && rep.inserted === 1L)
+    // the widening merge never rewrote a pre-existing file
+    val after = allFiles(root)
+    for ((path, mtime) <- before)
+      assert(after.get(path).contains(mtime), s"evolving merge mutated $path")
+    // full read: widened schema, old rows null-filled by name
+    val got = Versioned.read(spark, root)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "lang"))
+    val langs = got.select("doc_id", "lang").as[(Long, Option[String])].collect().toMap
+    assert(langs(3L) === Some("en") && langs(21L) === Some("de"))
+    assert(langs(5L) === None, "pre-evolution rows must read null for the added column")
+    assert(got.count() === 21)
+    // the point read returns the same widened shape from an OLD directory
+    val lk = Versioned.lookup(spark, root, 10L)
+    assert(lk.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(lk.select("lang").as[Option[String]].head() === None)
+    // a later merge may keep using the widened schema...
+    assert(Versioned.merge(Seq((4L, "d4 v2", "fr", false)).toDF("doc_id", "text", "lang", "del"),
+      root, col("del")).merged)
+    // ...but silently DROPPING an existing column is refused (data loss,
+    // not evolution); delete-only drops stay exempt
+    val e = intercept[IllegalArgumentException](Versioned.merge(
+      Seq((6L, "x", false)).toDF("doc_id", "text", "del"), root, col("del")))
+    assert(e.getMessage.contains("missing table columns"))
+    assert(Versioned.merge(Seq((2L, true)).toDF("doc_id", "del"), root, col("del")).merged)
+    assert(Versioned.read(spark, root).count() === 20)
+    // the change feed crosses the widening publish
+    val diff = Versioned.diffVersions(spark, root, 1, 2, col("doc_id"), col("text"), "doc_id")
+    assert(diff.filter(col("status") === "added").count() === 1L)
+  }
+
+  test("an oversized drop falls back to a shuffle join — bit-equal to the broadcast path") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(30), root, "doc_id", 8, checks).promoted)
+    val drop = Seq((3L, "d3 v2", false), (31L, "d31", false), (5L, "x", true))
+      .toDF("doc_id", "text", "del")
+    // bound of 1 key forces the shuffle path for this 3-key drop
+    val rep = Versioned.merge(drop, root, deleted = col("del"), checks = checks,
+      maxBroadcastDropKeys = 1L)
+    assert(rep.merged && rep.upserted === 1L && rep.inserted === 1L && rep.deleted === 1L)
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val expect = ((1L to 30L).filterNot(_ == 5L)
+      .map(j => j -> (if (j == 3L) "d3 v2" else s"d$j")) :+ (31L -> "d31")).toSet
+    assert(got === expect)
+  }
+
+  test("a kill at every publish point leaves the old version live and the replay heals") {
+    for (point <- Seq("staged", "claimed", "renamed", "chain")) {
+      val root = freshRoot()
+      assert(Versioned.promoteBucketed(baseDocs(12), root, "doc_id", 4, checks).promoted)
+      val drop = Seq((1L, "d1 v2", false), (13L, "d13", false)).toDF("doc_id", "text", "del")
+      Versioned.crashPoint = Some(point)
+      try {
+        val e = intercept[RuntimeException](Versioned.merge(drop, root, deleted = col("del")))
+        assert(e.getMessage.contains("simulated crash"), s"$point: ${e.getMessage}")
+      } finally Versioned.crashPoint = None
+      // readers stay on the fully-consistent old version
+      assert(Versioned.currentManifest(root).map(_.version) === Some(1), point)
+      assert(Versioned.read(spark, root).count() === 12, point)
+      // the replay commits cleanly over whatever the crash stranded
+      // (staging orphan, held claim, renamed-but-unpublished dir,
+      // orphan chain entry)
+      assert(Versioned.merge(drop, root, deleted = col("del")).merged, point)
+      val m = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+      assert(m(1L) === "d1 v2" && m(13L) === "d13" && m.size === 13, point)
+    }
+  }
+
+  test("mergeRetry: racing writers on disjoint keys ALL eventually commit") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    val drops = Seq(
+      Seq((1L, "d1 vA", false)).toDF("doc_id", "text", "del"),
+      Seq((2L, "d2 vB", false)).toDF("doc_id", "text", "del"),
+      Seq((11L, "d11", false)).toDF("doc_id", "text", "del"))
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(3)
+    val futures = drops.map(d =>
+      pool.submit(new java.util.concurrent.Callable[Versioned.MergeReport] {
+        def call() = Versioned.mergeRetry(d, root, deleted = col("del"), attempts = 8)
+      }))
+    val reports = futures.map(_.get())
+    pool.shutdown()
+    assert(reports.forall(_.merged), reports)
+    // three commits landed (order unknown), every drop's effect present
+    assert(Versioned.currentManifest(root).map(_.version) === Some(4))
+    val m = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(m(1L) === "d1 vA" && m(2L) === "d2 vB" && m(11L) === "d11" && m.size === 11)
+  }
+
+  test("readRange consults the zone maps: fewer files, result equals the plain filtered read") {
+    val root = freshRoot()
+    // pre-cluster the base by the zone column so create-time zones are
+    // disjoint per write task (the documented discipline)
+    val base = baseDocs(400)
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id")).promoted)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.zones)
+      === Some(Seq("doc_id")))
+    // a merge far outside the base range: its files' zones sit at 1000+
+    val drop = (1001L to 1010L).map(j => (j, s"d$j", false)).toDF("doc_id", "text", "del")
+    assert(Versioned.merge(drop, root, deleted = col("del")).merged)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val ranged = Versioned.readRange(spark, root, "doc_id", 1001L, 1005L)
+    val plain = Versioned.read(spark, root)
+      .filter(col("doc_id") >= 1001L && col("doc_id") <= 1005L)
+    assert(ranged.as[(Long, String)].collect().toSet
+      === plain.as[(Long, String)].collect().toSet)
+    assert(ranged.count() === 5)
+    val (fRanged, fPlain) = (filesScanned(ranged), filesScanned(plain))
+    assert(fRanged < fPlain, s"zone maps must prune files: $fRanged vs $fPlain")
+    // a window inside the base only touches base files
+    val baseWindow = Versioned.readRange(spark, root, "doc_id", 10L, 20L)
+    assert(baseWindow.count() === 11)
+    assert(filesScanned(baseWindow) < fPlain)
+    // an empty window reads nothing and errors nowhere
+    assert(Versioned.readRange(spark, root, "doc_id", 5000L, 6000L).count() === 0)
+    // a table WITHOUT zone maps degrades to the plain filtered scan
+    val bare = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(20), bare, "doc_id", 4, checks).promoted)
+    assert(Versioned.readRange(spark, bare, "doc_id", 5L, 9L).count() === 5)
+  }
+
   test("lookup reads exactly one bucket partition of one version directory") {
     val root = freshRoot()
     assert(Versioned.promoteBucketed(baseDocs(64), root, "doc_id", 16, checks).promoted)
@@ -381,9 +517,24 @@ class PromoteSpec extends SparkSpecBase {
     assert(r.promoted && r.version === 2)
     assert(Versioned.read(spark, root).count() === 2)
     assert(stale.exists())
+    // a FRESH staging dir survives the default-window vacuum: it may
+    // belong to an in-flight publish vacuum is racing — deleting its
+    // files mid-stage could publish a silently incomplete version
+    val keptFresh = Versioned.vacuum(root, retainLast = 2)
+    assert(!keptFresh.contains("_staging_v00002_12345"), keptFresh)
+    assert(stale.exists())
+    // …but once it is older than the grace window, it is swept
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    stale.setLastModified(old)
+    new File(stale, "garbage").setLastModified(old)
+    // a crashed publish's stranded commit-slot claim ages out the same way
+    val staleClaim = new File(root, "_claim_v00009")
+    staleClaim.createNewFile()
+    staleClaim.setLastModified(old)
     val dropped = Versioned.vacuum(root, retainLast = 2)
     assert(dropped.contains("_staging_v00002_12345"), dropped)
     assert(!stale.exists())
+    assert(!staleClaim.exists())
     assert(Versioned.read(spark, root).count() === 2)
   }
 }

@@ -39,25 +39,23 @@ class SearchIndexSpec extends SparkSpecBase {
     }
   }
 
-  test("append ingests a drop's postings; its occurrences are findable") {
+  test("append ingests a drop's postings; its occurrences are findable; a replay changes nothing") {
     withIndex(4) { table =>
       val target = phrases.orderBy(col("phrase").asc).limit(1)
         .as[String].head()
       val drop = Seq((999999L, s"zz $target zz $target zz")).toDF("doc_id", "text")
-      SearchIndex.append(drop, col("text"), col("doc_id"), table, nBuckets = 4)
-      val out = SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase"))
+      SearchIndex.append(drop, col("text"), col("doc_id"), table, dropId = "d1")
+      def occ() = SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase"))
         .filter(col("doc_id") === 999999L)
         .select("phrase", "n_occurrences").as[(String, Long)].collect().toSeq
-      assert(out === Seq((target, 2L)))
-    }
-  }
-
-  test("append refuses a mismatched bucket count") {
-    withIndex(4) { table =>
-      val drop = Seq((1000000L, "a b c")).toDF("doc_id", "text")
-      assertThrows[org.apache.spark.sql.AnalysisException] {
-        SearchIndex.append(drop, col("text"), col("doc_id"), table, nBuckets = 8)
-      }
+      assert(occ() === Seq((target, 2L)))
+      // a crash-retried (replayed) append overwrites its own drop_id
+      // partition — occurrence counts do NOT double
+      SearchIndex.append(drop, col("text"), col("doc_id"), table, dropId = "d1")
+      assert(occ() === Seq((target, 2L)))
+      assert(spark.table(table).filter(col("drop_id") === "d1").count() ===
+        spark.table(table).filter(col("drop_id") === "d1")
+          .dropDuplicates("doc_id", "pos").count())
     }
   }
 
@@ -76,11 +74,11 @@ class SearchIndexSpec extends SparkSpecBase {
 
       // append a drop stuffed with a query term: it must outrank
       // everything, and the probe must equal a fresh rank over the
-      // UNION corpus (stats row folded, df/idf shifted corpus-wide)
+      // UNION corpus (stats ledger summed, df/idf shifted corpus-wide)
       val drop = Seq((999999L, "dup dup dup dup")).toDF("doc_id", "text")
         .withColumn("lang", lit("en")).withColumn("source", lit("drop"))
         .withColumn("n_chars", lit(15L))
-      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bm.tf", 4)
+      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bm.tf", "d1")
       val after = SearchIndex.bm25Probe(spark, "graft_bm.tf", terms, topK = 15)
         .as[(Long, Long, Int)].collect().toSeq
       val freshUnion = Search.bm25Rank(
@@ -89,10 +87,48 @@ class SearchIndexSpec extends SparkSpecBase {
         .as[(Long, Long, Int)].collect().toSeq
       assert(after === freshUnion)
       assert(after.head._1 === 999999L, "the stuffed drop doc must rank first")
+      // a replayed append is a no-op: same partitions overwritten, the
+      // probe stays bit-equal (no double-counted tf rows or stats)
+      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bm.tf", "d1")
+      assert(SearchIndex.bm25Probe(spark, "graft_bm.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq === after)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_bm.tf")
-      spark.sql("DROP TABLE IF EXISTS graft_bm.tf_stats")
-      spark.sql("DROP DATABASE IF EXISTS graft_bm")
+      spark.sql("DROP DATABASE IF EXISTS graft_bm CASCADE")
+    }
+  }
+
+  test("a crash between appendBm25's tf and stats writes is refused loudly and the replay heals") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bmc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bmc LOCATION '$wh'")
+    try {
+      val terms = Seq("dup", "spark", "merge")
+      SearchIndex.createBm25(docs, col("text"), col("doc_id"), "graft_bmc.tf", 4)
+      val drop = Seq((999999L, "dup dup merge")).toDF("doc_id", "text")
+      // simulated crash: tf partition landed, stats-ledger row did not
+      SearchIndex.failBetweenBm25Writes = true
+      val e = intercept[RuntimeException](
+        SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bmc.tf", "d1"))
+      assert(e.getMessage.contains("simulated crash"))
+      SearchIndex.failBetweenBm25Writes = false
+      // the torn index refuses to rank — the old code would silently
+      // score the new tf rows against a stale (n, tl)
+      val torn = intercept[IllegalArgumentException](
+        SearchIndex.bm25Probe(spark, "graft_bmc.tf", terms, topK = 15))
+      assert(torn.getMessage.contains("torn"), torn.getMessage)
+      // replaying the SAME append heals: both partitions overwritten,
+      // probe bit-equal to a fresh whole-union build
+      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bmc.tf", "d1")
+      val healed = SearchIndex.bm25Probe(spark, "graft_bmc.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      val freshUnion = Search.bm25Rank(
+        docs.select("doc_id", "text")
+          .unionByName(drop.select("doc_id", "text")),
+        col("text"), col("doc_id"), terms, 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(healed === freshUnion)
+    } finally {
+      SearchIndex.failBetweenBm25Writes = false
+      spark.sql("DROP DATABASE IF EXISTS graft_bmc CASCADE")
     }
   }
 

@@ -107,12 +107,7 @@ class SimilaritySpec extends SparkSpecBase {
         .as[(Long, Long, Int, Int, Double)].collect().toSet
       assert(inline.nonEmpty)
       assert(indexed === inline)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_cells")
-      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_centroids")
-      spark.sql("DROP TABLE IF EXISTS graft_mki.idx_meta")
-      spark.sql("DROP DATABASE IF EXISTS graft_mki")
-    }
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_mki CASCADE")
   }
 
   test("mutualKnnAnn pruned to one probe still recovers in-cell mutual pairs") {
