@@ -24,7 +24,7 @@ import Similarity.{cosineQ, dotQ}
   *     cnrm), numCentroids rows — broadcast whole at probe time. The
   *     generation suffix + an atomically-swapped pointer file make
   *     quantizer publication crash-safe (see the note at
-  *     [[pointerFile]]); resolve through [[centroids]].
+  *     [[GenPointer]]); resolve through [[centroids]].
   *
   * Probes are incremental-friendly: new vectors [[append]] by
   * assigning against the STORED centroids (no retrain) into the same
@@ -74,42 +74,14 @@ object IvfIndex {
     * intact quantizer (the orphaned next-gen tables are reclaimed by
     * [[vacuumGens]]); the old non-atomic SaveMode.Overwrite
     * (drop-then-recreate) could lose the centroid table entirely. */
-  private def pointerFile(spark: SparkSession, table: String): java.io.File = {
-    val (db, t) = table.lastIndexOf('.') match {
-      case -1 => (spark.catalog.currentDatabase, table)
-      case i => (table.substring(0, i), table.substring(i + 1))
-    }
-    val loc = spark.catalog.getDatabase(db).locationUri
-    val dir = if (loc.contains(":")) new java.io.File(new java.net.URI(loc).getPath)
-      else new java.io.File(loc)
-    new java.io.File(dir, s"_ivf_gen_$t.json")
-  }
-
-  private val GenRe = """"gen"\s*:\s*(\d+)""".r.unanchored
-
-  private def readGen(spark: SparkSession, table: String): Option[Int] = {
-    val f = pointerFile(spark, table)
-    if (!f.exists()) None
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") match {
-      case GenRe(g) => Some(g.toInt)
-      case text => sys.error(s"bad ivf generation pointer for $table: $text")
-    }
-  }
+  private def readGen(spark: SparkSession, table: String): Option[Int] =
+    GenPointer.read(spark, table, "ivf")
 
   private def liveGen(spark: SparkSession, table: String): Int =
-    readGen(spark, table).getOrElse(sys.error(
-      s"no ivf index generation pointer for $table — build with IvfIndex.create"))
+    GenPointer.live(spark, table, "ivf")
 
-  /** Atomic commit: write beside, rename over — the same discipline as
-    * Versioned/ClusterLedger manifests. */
-  private def swapPointer(spark: SparkSession, table: String, gen: Int): Unit = {
-    val f = pointerFile(spark, table)
-    val tmp = new java.io.File(f.getParentFile, s"${f.getName}.tmp${System.nanoTime()}")
-    java.nio.file.Files.write(tmp.toPath, s"""{"gen": $gen}""".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def swapPointer(spark: SparkSession, table: String, gen: Int): Unit =
+    GenPointer.swap(spark, table, "ivf", gen)
 
   /** The live generation's trained quantizer (c_id, ce, cnrm) — the
     * public accessor now that the physical table name carries the
@@ -334,22 +306,8 @@ object IvfIndex {
     * tables orphaned; every committed swap leaves the PREVIOUS
     * generation's behind). Never touches the live generation. Returns
     * the dropped table names. */
-  def vacuumGens(spark: SparkSession, table: String): Seq[String] = {
-    val gen = liveGen(spark, table)
-    val (db, t) = table.lastIndexOf('.') match {
-      case -1 => (spark.catalog.currentDatabase, table)
-      case i => (table.substring(0, i), table.substring(i + 1))
-    }
-    val genRe = (java.util.regex.Pattern.quote(t) + "_(?:centroids|meta)_g(\\d{5})").r
-    val doomed = spark.catalog.listTables(db).collect().map(_.name).toSeq.flatMap { n =>
-      n match {
-        case genRe(g) if g.toInt != gen => Some(s"$db.$n")
-        case _ => None
-      }
-    }.sorted
-    doomed.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-    doomed
-  }
+  def vacuumGens(spark: SparkSession, table: String): Seq[String] =
+    GenPointer.vacuum(spark, table, Seq("centroids", "meta"), liveGen(spark, table))
 
   /** Append new vectors into the existing layout: assigned against
     * the STORED centroids (no retrain — the standard IVF ingest

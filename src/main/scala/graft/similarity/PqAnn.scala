@@ -97,12 +97,24 @@ object PqAnn {
       .select(col("s"), col("vec_id"), col("cid"))
   }
 
-  /** One broadcastable row holding every codebook entry, sorted by
-    * (s, dcid) so per-subspace slices keep dcid order. */
-  private def cbsRow(cbs: DataFrame): DataFrame =
+  /** One broadcastable row holding the codebook in POSITIONAL form —
+    * `cbs3[s][dcid] = ce` (the codeword vectors) and `cn2[s][dcid] =
+    * cnrm` (their norms) — the shape the native [[PqEncode]]/[[PqLut]]
+    * expressions index directly (m·k·subDim longs; KB-sized at any
+    * corpus scale: the tables depend on the CODEBOOK, not the
+    * corpus). */
+  private def cbs3Row(cbs: DataFrame): DataFrame =
+    // ONE global aggregate (m·k rows → 1), then pure HOF reshaping on
+    // that single row — a groupBy(s) pre-stage would add a second
+    // codebook-sized exchange to every caller's plan for nothing
     cbs.agg(expr(
       "array_sort(collect_list(named_struct('s', s, 'dcid', dcid, 'ce', ce, 'cnrm', cnrm)))")
-      .as("cbs"))
+      .as("__all"))
+      .select(
+        expr("transform(sequence(0, array_max(transform(__all, x -> x.s))), si -> " +
+          "transform(filter(__all, x -> x.s = si), x -> x.ce))").as("cbs3"),
+        expr("transform(sequence(0, array_max(transform(__all, x -> x.s))), si -> " +
+          "transform(filter(__all, x -> x.s = si), x -> x.cnrm))").as("cn2"))
 
   /** One broadcastable row of SYMMETRIC-distance tables for
     * code-vs-code scoring ([[SemDedup.semDedupPq]]):
@@ -131,23 +143,19 @@ object PqAnn {
         .as("cn"))
   }
 
-  /** Encode every vector as its `m` nearest-codeword ids — a per-row
-    * fold against the broadcast codebook row, zero shuffles. Returns
-    * (corpus columns…, codes array<int>). */
-  def encode(corpus: DataFrame, cbs: DataFrame, m: Int, subDim: Int): DataFrame = {
-    val dot = (se: String, ce: String) =>
-      s"aggregate(zip_with($se, $ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)"
+  /** Encode every vector as its `m` nearest-codeword ids — the native
+    * [[PqEncode]] expression against the broadcast positional codebook
+    * row (one m·k·subDim codegen loop per row; the interpreted HOF
+    * fold allocated a struct per codeword per row — the measured
+    * build-side hot spot), zero shuffles. m and subDim are inferred
+    * from the codebook shape. Returns (corpus columns…, codes
+    * array<int>). */
+  def encode(corpus: DataFrame, cbs: DataFrame): DataFrame =
     corpus
-      .crossJoin(broadcast(cbsRow(cbs)))
-      .withColumn("codes", expr(
-        s"transform(sequence(0, ${m - 1}), si -> " +
-          s"aggregate(" +
-          s"transform(filter(cbs, cb -> cb.s = si), cb -> named_struct('dcid', cb.dcid, " +
-          s"'d', cb.cnrm - 2 * ${dot(s"slice(e, si * $subDim + 1, $subDim)", "cb.ce")})), " +
-          s"named_struct('dcid', -1, 'd', CAST(9223372036854775807 AS BIGINT)), " +
-          s"(acc, sd) -> CASE WHEN sd.d < acc.d THEN sd ELSE acc END).dcid)"))
-      .drop("cbs")
-  }
+      .crossJoin(broadcast(cbs3Row(cbs)))
+      .withColumn("codes", org.apache.spark.sql.graft.GraftFunctions
+        .pqEncode(col("e"), col("cbs3"), col("cn2")))
+      .drop("cbs3", "cn2")
 
   /** IVF-PQ ANN top-k: IVF coarse probe (numCentroids cells, nprobe
     * probed — identical build to [[IvfAnn.annIvf]]), ADC scoring of
@@ -157,34 +165,38 @@ object PqAnn {
     * q_ann_ivf: (q_id, neighbor_id, rank, cos). */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       lloydIters: Int, m: Int, subDim: Int, pqK: Int, pqIters: Int, refine: Int): DataFrame = {
-    require(refine >= k)
     val coarse = IvfAnn.centroids(corpus, numCentroids, lloydIters)
     val cbs = graft.operators.Checkpoints.eager(codebooks(corpus, m, subDim, pqK, pqIters))
     // inverted lists carry CODES, not vectors — the PQ memory story
     val lists = IvfAnn.assign(corpus, coarse)
-      .join(encode(corpus, cbs, m, subDim).select(col("vec_id"), col("codes")), "vec_id")
+      .join(encode(corpus, cbs).select(col("vec_id"), col("codes")), "vec_id")
+    probeCoded(coarse, cbs, lists, queries, corpus, k, nprobe, refine)
+  }
 
-    val dot = (se: String, ce: String) =>
-      s"aggregate(zip_with($se, $ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)"
+  /** The probe tail over an ALREADY-BUILT (coarse, codebooks, coded
+    * lists) triple — shared verbatim by [[annIvfPq]] (which trains per
+    * call) and [[PqIndex.probe]] (which reads the persisted build), so
+    * the two are bit-identical by code path. `corpus` supplies the
+    * exact vectors for the refine re-rank (the index stores CODES
+    * only — the PQ memory story; FAISS's IVFPQ+refine keeps the exact
+    * store outside the lists the same way). */
+  private[similarity] def probeCoded(coarse: DataFrame, cbs: DataFrame, lists: DataFrame,
+      queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
+    require(refine >= k)
     // per-query ADC lookup tables, SPLIT by field so the scoring fold
     // is the native PqLookupSum expression (codegen'd m-lookup loop)
     // instead of an interpreted HOF over structs: lut_pd[s][dcid] =
-    // partial dot of the query's subspace-s slice with codeword dcid,
-    // lut_cn[s][dcid] = codeword dcid's norm contribution. Building
-    // them stays a HOF — it runs once per QUERY; the fold below runs
-    // once per (query, candidate), the PQ hot path (r12's measured 6×
-    // regression lived exactly there).
+    // partial dot of the query's subspace-s slice with codeword dcid
+    // (the native PqLut loop — one m·k·subDim pass per query), and
+    // lut_cn is the CONSTANT codeword-norm table cn2, a broadcast
+    // column reference costing zero per-row work.
     val qs = queries
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cbsRow(cbs)))
-      .withColumn("lut_pd", expr(
-        s"transform(sequence(0, ${m - 1}), si -> " +
-          s"transform(filter(cbs, cb -> cb.s = si), cb -> " +
-          s"${dot(s"slice(qe, si * $subDim + 1, $subDim)", "cb.ce")}))"))
-      .withColumn("lut_cn", expr(
-        s"transform(sequence(0, ${m - 1}), si -> " +
-          s"transform(filter(cbs, cb -> cb.s = si), cb -> cb.cnrm))"))
-      .drop("cbs")
+      .crossJoin(broadcast(cbs3Row(cbs)))
+      .withColumn("lut_pd", org.apache.spark.sql.graft.GraftFunctions
+        .pqLut(col("qe"), col("cbs3")))
+      .withColumnRenamed("cn2", "lut_cn")
+      .drop("cbs3")
 
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
     val probed = qs

@@ -99,7 +99,7 @@ object SemDedup {
     val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
     val cbs = graft.operators.Checkpoints.eager(
       PqAnn.codebooks(corpus, m, subDim, pqK, pqIters))
-    val enc = PqAnn.encode(corpus, cbs, m, subDim).select(col("vec_id"), col("codes"))
+    val enc = PqAnn.encode(corpus, cbs).select(col("vec_id"), col("codes"))
     val mem = sharded.join(enc, "vec_id")
     val screen = tau - margin
     // the per-PAIR scoring folds are the native PqSdcSum/PqLookupSum

@@ -196,6 +196,23 @@ object Similarity {
       PqAnn.annIvfPq(population, population, k, numCentroids, nprobe, lloydIters,
         m, subDim, pqK, pqIters, refine)))
 
+  /** [[mutualKnnPq]] against a PERSISTED [[PqIndex]] — the
+    * recurring-pipeline form of the PQ screen: `mutualKnnPq` retrains
+    * the coarse quantizer AND the m PQ codebooks and re-encodes the
+    * population every call (measured as its dominant cost once the
+    * scoring folds went native — dev/scaleup_mutual_r13); here the
+    * index is built once ([[PqIndex.create]] on the same population)
+    * and each run probes the stored codes: native-ADC screen,
+    * refine-deep exact re-rank against the population's own vectors,
+    * reciprocal tail verbatim. Training determinism + the shared
+    * probe tail ([[PqAnn.probeCoded]]) make it row-identical to the
+    * inline `mutualKnnPq` at the build's params (PqIndexSpec pins
+    * it). The population probed must be the population indexed. */
+  def mutualKnnPqIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      population: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame =
+    reciprocalPairs(graft.operators.Checkpoints.eager(
+      PqIndex.probe(spark, table, population, population, k, nprobe, refine)))
+
   /** Shared mutual tail: keep (a, b) iff each appears in the other's
     * directed top-k edge list — a self-join of the k·N edge list on
     * the reversed key, edge-list-sized, never corpus-sized. */

@@ -98,6 +98,197 @@ case class PqLookupSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-query ADC lookup table: lut[si][dcid] = Σ_j e[si·subDim + j] ·
+  * cbs[si][dcid][j] — every (subspace, codeword) partial dot of one
+  * query vector against the broadcast codebook, the table
+  * [[PqLookupSum]] then folds per candidate. The HOF formulation
+  * (transform × transform × aggregate(zip_with)) allocates a sliced
+  * array and a lambda frame per codeword per row; this is one
+  * m·k·subDim multiply-add loop inside whole-stage codegen. subDim is
+  * inferred from the codeword length. */
+@ExpressionDescription(
+  usage = "_FUNC_(e, cbs) - per-subspace codeword partial-dot table for vector e."
+)
+case class PqLut(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(ArrayType(ArrayType(LongType))))
+  override def dataType: DataType = ArrayType(ArrayType(LongType))
+  override def prettyName: String = "graft_pq_lut"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    val out = new Array[Any](m)
+    var si = 0
+    while (si < m) {
+      val cws = cbs.getArray(si)
+      val k = cws.numElements()
+      val row = new Array[Long](k)
+      var c = 0
+      while (c < k) {
+        val ce = cws.getArray(c)
+        val sub = ce.numElements()
+        var s = 0L
+        var j = 0
+        while (j < sub) {
+          s += e.getLong(si * sub + j) * ce.getLong(j)
+          j += 1
+        }
+        row(c) = s
+        c += 1
+      }
+      out(si) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(row)
+      si += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val si = ctx.freshName("si")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val sub = ctx.freshName("sub")
+      val s = ctx.freshName("s")
+      val cws = ctx.freshName("cws")
+      val ce = ctx.freshName("ce")
+      val row = ctx.freshName("row")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $b.numElements();
+         |Object[] $out = new Object[$m];
+         |for (int $si = 0; $si < $m; $si++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cws = $b.getArray($si);
+         |  int $k = $cws.numElements();
+         |  long[] $row = new long[$k];
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cws.getArray($c);
+         |    int $sub = $ce.numElements();
+         |    long $s = 0L;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      $s += $a.getLong($si * $sub + $j) * $ce.getLong($j);
+         |    }
+         |    $row[$c] = $s;
+         |  }
+         |  $out[$si] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($row);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ encoding: codes[si] = argmin over dcid of cn[si][dcid] −
+  * 2·(Σ_j e[si·subDim + j] · cbs[si][dcid][j]) — the integer-L2
+  * nearest codeword per subspace, ties to the SMALLER dcid (strict
+  * less-than over ascending dcid: exactly the HOF fold's semantics,
+  * including the degenerate all-empty −1). One m·k·subDim loop in
+  * codegen, replacing the interpreted fold that allocated a struct
+  * per codeword per row — the PQ BUILD-side hot path (encode runs
+  * once per corpus vector). */
+@ExpressionDescription(
+  usage = "_FUNC_(e, cbs, cn) - nearest-codeword ids per subspace for vector e."
+)
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(ArrayType(ArrayType(LongType))),
+      ArrayType(ArrayType(LongType)))
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    val cn = c.asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    val out = new Array[Int](m)
+    var si = 0
+    while (si < m) {
+      val cws = cbs.getArray(si)
+      val cns = cn.getArray(si)
+      val k = cws.numElements()
+      var best = -1
+      var bestD = Long.MaxValue
+      var ci = 0
+      while (ci < k) {
+        val ce = cws.getArray(ci)
+        val sub = ce.numElements()
+        var dot = 0L
+        var j = 0
+        while (j < sub) {
+          dot += e.getLong(si * sub + j) * ce.getLong(j)
+          j += 1
+        }
+        val d = cns.getLong(ci) - 2L * dot
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      out(si) = best
+      si += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val si = ctx.freshName("si")
+      val ci = ctx.freshName("ci")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val sub = ctx.freshName("sub")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cws = ctx.freshName("cws")
+      val cns = ctx.freshName("cns")
+      val ce = ctx.freshName("ce")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $b.numElements();
+         |int[] $out = new int[$m];
+         |for (int $si = 0; $si < $m; $si++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cws = $b.getArray($si);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cns = $c.getArray($si);
+         |  int $k = $cws.numElements();
+         |  int $best = -1;
+         |  long $bestD = Long.MAX_VALUE;
+         |  for (int $ci = 0; $ci < $k; $ci++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cws.getArray($ci);
+         |    int $sub = $ce.numElements();
+         |    long $dot = 0L;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      $dot += $a.getLong($si * $sub + $j) * $ce.getLong($j);
+         |    }
+         |    long $d = $cns.getLong($ci) - 2L * $dot;
+         |    if ($d < $bestD) { $bestD = $d; $best = $ci; }
+         |  }
+         |  $out[$si] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Σ_si sdc[si][ca[si]][cb[si]] — the symmetric-distance (SDC) fold
   * for code-vs-code scoring ([[graft.similarity.SemDedup.semDedupPq]]):
   * one lookup per subspace into the broadcast m·k² table of

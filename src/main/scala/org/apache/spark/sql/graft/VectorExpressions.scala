@@ -101,6 +101,16 @@ object GraftFunctions {
     ExpressionUtils.column(PqSdcSum(ExpressionUtils.expression(ca),
       ExpressionUtils.expression(cb), ExpressionUtils.expression(sdc)))
 
+  /** Per-query ADC lookup table build (see PqExpressions.scala). */
+  def pqLut(e: Column, cbs: Column): Column =
+    ExpressionUtils.column(PqLut(
+      ExpressionUtils.expression(e), ExpressionUtils.expression(cbs)))
+
+  /** Nearest-codeword encoding (see PqExpressions.scala). */
+  def pqEncode(e: Column, cbs: Column, cn: Column): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(e),
+      ExpressionUtils.expression(cbs), ExpressionUtils.expression(cn)))
+
   def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (

@@ -96,6 +96,38 @@ class PlansSpec extends SparkSpecBase {
     assert(cmp.filter(col("n1") =!= col("h1") || col("n2") =!= col("h2")).count() === 0L)
   }
 
+  test("native PqLut / PqEncode equal the HOF formulations (randomized)") {
+    val rnd = new scala.util.Random(2027)
+    val m = 3; val subDim = 4; val k = 5
+    val rows = Seq.fill(40)((
+      Seq.fill(m * subDim)(rnd.nextLong() % 1000000L),   // e
+      Seq.fill(m, k, subDim)(rnd.nextLong() % 1000000L)  // cbs3 [m][k][subDim]
+    ))
+    val df = rows.toDF("e", "cbs3")
+      .withColumn("cn2", expr(
+        "transform(cbs3, cws -> transform(cws, ce -> " +
+          "aggregate(zip_with(ce, ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)))"))
+    val dot = (se: String, ce: String) =>
+      s"aggregate(zip_with($se, $ce, (x, y) -> x * y), CAST(0 AS BIGINT), (a2, x2) -> a2 + x2)"
+    val cmp = df.select(
+      org.apache.spark.sql.graft.GraftFunctions.pqLut(col("e"), col("cbs3")).as("n1"),
+      expr(s"transform(sequence(0, ${m - 1}), si -> transform(element_at(cbs3, si + 1), " +
+        s"ce -> ${dot(s"slice(e, si * $subDim + 1, $subDim)", "ce")}))").as("h1"),
+      org.apache.spark.sql.graft.GraftFunctions
+        .pqEncode(col("e"), col("cbs3"), col("cn2")).as("n2"),
+      // the r12 HOF encode fold: strict-< argmin, ties to the smaller
+      // dcid, degenerate -1 start
+      expr(s"transform(sequence(0, ${m - 1}), si -> aggregate(" +
+        s"zip_with(element_at(cbs3, si + 1), element_at(cn2, si + 1), (ce, cn) -> " +
+        s"named_struct('d', cn - 2 * ${dot(s"slice(e, si * $subDim + 1, $subDim)", "ce")})), " +
+        s"named_struct('dcid', -1, 'd', CAST(9223372036854775807 AS BIGINT), 'i', 0), " +
+        s"(acc, sd) -> named_struct(" +
+        s"'dcid', CASE WHEN sd.d < acc.d THEN acc.i ELSE acc.dcid END, " +
+        s"'d', CASE WHEN sd.d < acc.d THEN sd.d ELSE acc.d END, " +
+        s"'i', acc.i + 1)).dcid)").as("h2"))
+    assert(cmp.filter(col("n1") =!= col("h1") || col("n2") =!= col("h2")).count() === 0L)
+  }
+
   test("PqLookupSum nulls propagate; out-of-range codes throw loudly") {
     val pq = org.apache.spark.sql.graft.GraftFunctions.pqLookupSum _
     val df = Seq(

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnnParams
+import graft.similarity.{PqAnn, PqIndex, Similarity}
+
+/** The persisted IVF-PQ index must be behavior-identical to the
+  * train-everything `annIvfPq` (training determinism + the shared
+  * probeCoded tail), ingest appends against the stored model
+  * idempotently, keep its memory contract (lists carry CODES, not
+  * vectors), and survive a crash mid-create on its previous
+  * generation. Runs on the real sf0.001 embeddings. */
+class PqIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Similarity.prepareQuantized(
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+    col("embedding"), col("vec_id"))
+  private def queries =
+    corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
+
+  private val P = PqIndex.Params(
+    numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
+    m = AnnParams.PqM, subDim = AnnParams.PqSubDim,
+    pqK = AnnParams.PqK, pqIters = AnnParams.PqIters)
+
+  private def withIndex(build: org.apache.spark.sql.DataFrame, nBuckets: Int)(
+      body: String => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_pq LOCATION '$wh'")
+    try {
+      PqIndex.create(spark, build, "graft_pq.idx", nBuckets, P)
+      body("graft_pq.idx")
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_pq CASCADE")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("q_id"), col("neighbor_id"), col("rank").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("probe is bit-identical to the train-per-call annIvfPq") {
+    withIndex(corpus, 4) { table =>
+      val viaIndex = PqIndex.probe(spark, table, queries, corpus,
+        k = AnnParams.IvfK, nprobe = AnnParams.IvfNprobe, refine = 3 * AnnParams.IvfK)
+      val recompute = PqAnn.annIvfPq(corpus, queries, k = AnnParams.IvfK,
+        numCentroids = AnnParams.IvfCentroids, nprobe = AnnParams.IvfNprobe,
+        lloydIters = AnnParams.IvfLloydIters, m = AnnParams.PqM,
+        subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK, pqIters = AnnParams.PqIters,
+        refine = 3 * AnnParams.IvfK)
+      assert(rows(viaIndex) === rows(recompute))
+      assert(rows(viaIndex).nonEmpty)
+    }
+  }
+
+  test("the lists keep the memory contract: codes only, no vectors") {
+    withIndex(corpus, 4) { table =>
+      val cols = spark.table(s"${table}_pqcells").columns.toSet
+      assert(cols === Set("c_id", "vec_id", "codes", "drop_id"),
+        s"coded lists must not carry exact vectors: $cols")
+    }
+  }
+
+  test("append encodes against the stored model, is findable and replay-idempotent") {
+    val old = corpus.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    val drop = corpus.filter(pmod(col("vec_id"), lit(4)) === 1)
+    withIndex(old, 4) { table =>
+      PqIndex.append(spark, drop, table, dropId = "d1")
+      val total = spark.table(s"${table}_pqcells").count()
+      assert(total === corpus.count())
+      // replayed append overwrites its own partition — no duplicates
+      PqIndex.append(spark, drop, table, dropId = "d1")
+      assert(spark.table(s"${table}_pqcells").count() === total)
+      // an appended vector's exact twin probes back at rank 1 (refine
+      // re-ranks exactly, so cos = 1.0)
+      val allVecs = old.unionByName(drop)
+      val targetId = drop.agg(min("vec_id")).as[Long].head()
+      val probeQ = drop.filter(col("vec_id") === targetId)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("e"), col("nrm"))
+      val got = PqIndex.probe(spark, table, probeQ, allVecs,
+          k = 3, nprobe = AnnParams.IvfNprobe, refine = 9)
+        .filter(col("rank") === 1)
+        .select("neighbor_id", "cos").as[(Long, Double)].head()
+      assert(got._1 === targetId && math.abs(got._2 - 1.0) < 1e-9,
+        s"appended vector should be its own nearest neighbor: $got")
+    }
+  }
+
+  test("mutualKnnPqIndexed is bit-equal to the inline mutualKnnPq at the build's params") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val pop = Similarity.prepareQuantized(pts, col("embedding"), col("vec_id"), col("label"))
+      .select("vec_id", "e", "nrm")
+    val wh = java.nio.file.Files.createTempDirectory("graft_pqmki").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_pqmki LOCATION '$wh'")
+    try {
+      val pr = PqIndex.Params(numCentroids = 5, lloydIters = 2,
+        m = 4, subDim = 4, pqK = 8, pqIters = 2)
+      PqIndex.create(spark, pop, "graft_pqmki.idx", 2, pr)
+      val inline = Similarity.mutualKnnPq(pop, k = 3, numCentroids = 5, nprobe = 3,
+          lloydIters = 2, m = 4, subDim = 4, pqK = 8, pqIters = 2, refine = 8)
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+        .as[(Long, Long, Int, Int, Double)].collect().toSet
+      val indexed = Similarity.mutualKnnPqIndexed(spark, "graft_pqmki.idx", pop,
+          k = 3, nprobe = 3, refine = 8)
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cos")
+        .as[(Long, Long, Int, Int, Double)].collect().toSet
+      assert(inline.nonEmpty)
+      assert(indexed === inline)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_pqmki CASCADE")
+  }
+
+  test("a crash mid-re-create leaves the previous generation's model live; vacuumGens reclaims") {
+    withIndex(corpus, 4) { table =>
+      val before = PqIndex.coarseCentroids(spark, table).collect().toSet
+      val booksBefore = PqIndex.codebooks(spark, table).collect().toSet
+      // a "crashed" re-create: next-gen tables may exist, pointer did
+      // not move — simulate by writing garbage next-gen tables directly
+      Seq((999L, Seq(1L), 1L)).toDF("c_id", "ce", "cnrm")
+        .write.saveAsTable(s"${table}_pqcents_g00002")
+      assert(PqIndex.coarseCentroids(spark, table).collect().toSet === before)
+      assert(PqIndex.codebooks(spark, table).collect().toSet === booksBefore)
+      val dropped = PqIndex.vacuumGens(spark, table)
+      assert(dropped.exists(_.contains("pqcents_g00002")), dropped)
+      assert(PqIndex.coarseCentroids(spark, table).collect().toSet === before)
+    }
+  }
+
+  test("probe plan: coded-lists side is a bucketed scan") {
+    withIndex(corpus, 4) { table =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = PqIndex.probe(spark, table, queries, corpus,
+            k = AnnParams.IvfK, nprobe = AnnParams.IvfNprobe, refine = 3 * AnnParams.IvfK)
+          .queryExecution.executedPlan.toString
+        val scanLine = plan.linesIterator.find(_.contains("idx_pqcells")).getOrElse("")
+        assert(scanLine.contains("Bucketed: true"),
+          s"coded-lists scan should use the bucket layout:\n$scanLine")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

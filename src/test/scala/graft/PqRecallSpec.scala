@@ -68,7 +68,7 @@ class PqRecallSpec extends SparkSpecBase {
   test("encode emits one in-range dense codeword id per subspace") {
     val cbs = PqAnn.codebooks(corpus, AnnParams.PqM, AnnParams.PqSubDim,
       AnnParams.PqK, AnnParams.PqIters)
-    val codes = PqAnn.encode(corpus, cbs, AnnParams.PqM, AnnParams.PqSubDim)
+    val codes = PqAnn.encode(corpus, cbs)
       .select("codes").as[Seq[Int]].collect()
     assert(codes.length === 500)
     assert(codes.forall(c => c.length === AnnParams.PqM))

@@ -48,10 +48,18 @@ object ProfileMutual {
     // IS the per-run build premium the r11 verdict flagged.
     val wh = java.nio.file.Files.createTempDirectory("graft_mutidx").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mut LOCATION '$wh'")
-    for (m <- factors)
+    for (m <- factors) {
       graft.similarity.IvfIndex.create(spark, pop(dirs(m)), s"graft_mut.idx_x$m", 8,
         graft.similarity.IvfIndex.Params(
           IvfAnn.suggestCentroids(popSizes(m)), queries.AnnParams.MutualAnnIters))
+      // r13: the persisted IVF-PQ index — coarse + codebooks + coded
+      // lists built once; mutual_pq_indexed times the probe tail only
+      graft.similarity.PqIndex.create(spark, pop(dirs(m)), s"graft_mut.pqidx_x$m", 8,
+        graft.similarity.PqIndex.Params(
+          IvfAnn.suggestCentroids(popSizes(m)), queries.AnnParams.MutualAnnIters,
+          m = queries.AnnParams.PqM, subDim = queries.AnnParams.PqSubDim,
+          pqK = queries.AnnParams.PqK, pqIters = queries.AnnParams.PqIters))
+    }
 
     val forms: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
       "mutual_brute" -> (m => Similarity.mutualKnn(pop(dirs(m)), queries.AnnParams.MutualK)),
@@ -75,7 +83,12 @@ object ProfileMutual {
         lloydIters = queries.AnnParams.MutualAnnIters,
         m = queries.AnnParams.PqM, subDim = queries.AnnParams.PqSubDim,
         pqK = queries.AnnParams.PqK, pqIters = queries.AnnParams.PqIters,
-        refine = 16)))
+        refine = 16)),
+      // probe-only against the prebuilt IVF-PQ index: native-ADC
+      // screen over stored codes + exact refine — the nightly shape
+      "mutual_pq_indexed" -> (m => Similarity.mutualKnnPqIndexed(spark,
+        s"graft_mut.pqidx_x$m", pop(dirs(m)), queries.AnnParams.MutualK,
+        nprobe = queries.AnnParams.MutualAnnNprobe, refine = 16)))
 
     def time(mk: Int => org.apache.spark.sql.DataFrame, m: Int): Double = {
       val t0 = System.nanoTime()

@@ -86,10 +86,14 @@ object ProfileScaleUp {
       // r12 additions: bucketed warehouse merge (promote + one drop
       // merge per run — the timed cost IS the publish path) and the
       // PQ-screened mutual-kNN
-      "q_warehouse_merge", "q_mutual_knn_pq")
+      "q_warehouse_merge", "q_mutual_knn_pq",
+      // r13 additions: the schema-evolution merge (same fresh-root
+      // publish shape as q_warehouse_merge) and the zone-pruned range
+      // read (cached build — the timed cost IS the pruned read)
+      "q_warehouse_evolve", "q_warehouse_range")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
-      if (args.nonEmpty) "dev/scaleup_r12b.json" else "dev/scaleup_r12.json")
+      if (args.nonEmpty) "dev/scaleup_r13b.json" else "dev/scaleup_r13.json")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
