@@ -63,7 +63,9 @@ import graft.sources.PartitionedFiles
   *       promoted (all rules evaluated in ONE pass over the data)
   *   promote        --root PATH [validate opts] [--diff-key id --diff-content c
   *                  [--max-changed-pm 50]]
-  *                  [--action promote|promote-bucketed|merge|compact|rollback|vacuum|
+  *                  [--zones c1,c2] [--retry N] [--stale-ms MS]
+  *                  [--range-col C --lo N --hi N]
+  *                  [--action promote|promote-bucketed|merge|compact|rollback|vacuum|read-range|
   *                   diff-versions|current|history|read-version]
   *                  [--key doc_id --buckets 64] [--deleted COLUMN]
   *                  [--to-version N] [--retain 2]
@@ -1287,7 +1289,11 @@ object Cli {
                 opts.getOrElse("max-changed-pm", "50").toLong))
               val r = graft.sources.Versioned.promoteBucketed(read(), root,
                 opts.getOrElse("key", fail("--key COLUMN required")),
-                opts.getOrElse("buckets", "64").toInt, parsedChecks(), gate)
+                opts.getOrElse("buckets", "64").toInt, parsedChecks(), gate,
+                // --zones c1,c2: integral columns to keep per-file
+                // [min,max] zone maps for (read-range consults them)
+                zoneCols = opts.get("zones").map(_.split(",").toSeq.map(_.trim)
+                  .filter(_.nonEmpty)).getOrElse(Nil))
               val rows =
                 Seq(("outcome", "promoted", r.promoted.toString),
                   ("outcome", "version", r.version.toString),
@@ -1298,8 +1304,16 @@ object Cli {
               if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
             case "merge" =>
               val del = opts.get("deleted").map(expr).getOrElse(lit(false))
-              val r = graft.sources.Versioned.merge(read(), root, del, parsedChecks(),
-                opts.get("max-changed-pm").map(_.toLong))
+              // --retry N: bounded replay on a lost single-writer race
+              // (the nightly-pipeline ergonomics; merge semantics make
+              // the replay safe — see Versioned.mergeRetry)
+              val r = opts.get("retry") match {
+                case Some(n) => graft.sources.Versioned.mergeRetry(read(), root, del,
+                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong),
+                  attempts = n.toInt)
+                case None => graft.sources.Versioned.merge(read(), root, del,
+                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong))
+              }
               val rows =
                 Seq(("outcome", "merged", r.merged.toString),
                   ("outcome", "version", r.version.toString),
@@ -1330,8 +1344,12 @@ object Cli {
               write(Seq(("outcome", "version", m.version.toString),
                 ("outcome", "path", m.path)).toDF("kind", "name", "value"))
             case "vacuum" =>
+              // --stale-ms bounds the staging/claim sweep age gate
+              // (default 24 h — never sweep a possibly-live stage)
               write(graft.sources.Versioned.vacuum(root,
-                retainLast = opts.getOrElse("retain", "2").toInt).toDF("dropped"))
+                retainLast = opts.getOrElse("retain", "2").toInt,
+                staleStagingMillis = opts.getOrElse("stale-ms",
+                  (24L * 3600 * 1000).toString).toLong).toDF("dropped"))
             case "current" =>
               val m = graft.sources.Versioned.currentManifest(root)
                 .getOrElse(fail(s"no live version under $root"))
@@ -1358,6 +1376,14 @@ object Cli {
                 expr(k),
                 expr(opts.getOrElse("diff-content", fail("--diff-content COLUMN required"))),
                 keyName = k))
+            case "read-range" =>
+              // zone-pruned range read: --range-col C --lo N --hi N
+              // (files whose [min,max] zones miss the range never
+              // become tasks; result ≡ the plain filtered read)
+              write(graft.sources.Versioned.readRange(spark, root,
+                opts.getOrElse("range-col", fail("--range-col COLUMN required")),
+                opts.getOrElse("lo", fail("--lo N required")).toLong,
+                opts.getOrElse("hi", fail("--hi N required")).toLong))
             case o => fail(s"unknown --action: $o")
           }
         case other => fail(s"unknown command: $other")

@@ -1048,6 +1048,38 @@ object DriveCli {
       spark.stop()
     }
 
+    // zone-mapped warehouse + retry merge + range read: publish with
+    // --zones doc_id, merge through --retry (single writer — exercises
+    // the retry wrapper's pass-through), then read-range must equal
+    // the filtered live read
+    val zroot = s"$tmp/zoned_bucketed"
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "promote", "--root", zroot, "--action", "promote-bucketed",
+      "--key", "doc_id", "--buckets", "8", "--zones", "doc_id",
+      "--unique", "doc_id", "--outfile", s"$tmp/wz1"))
+    Cli.main(Array("-i", s"$tmp/wdrop", "-f", "parquet",
+      "promote", "--root", zroot, "--action", "merge",
+      "--deleted", "del", "--retry", "3", "--max-changed-pm", "500",
+      "--outfile", s"$tmp/wz2"))
+    Cli.main(Array("-i", s"$tmp/wdrop", "-f", "parquet",
+      "promote", "--root", zroot, "--action", "read-range",
+      "--range-col", "doc_id", "--lo", "0", "--hi", "10",
+      "--outfile", s"$tmp/wzrange"))
+    locally {
+      val spark = GraftSession.builder("verifyZoned", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val ranged = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/wzrange")
+      val expect = graft.sources.Versioned.read(spark, zroot)
+        .filter(col("doc_id") >= 0L && col("doc_id") <= 10L)
+      val ok = graft.sources.Versioned.currentManifest(zroot)
+          .flatMap(_.buckets).map(_.zones) == Some(Seq("doc_id")) &&
+        ranged.count() == expect.count() && ranged.count() > 0 &&
+        ranged.filter(col("doc_id") === 0L).head().getString(1) == "updated zero" &&
+        ranged.filter(col("doc_id") === 2L).count() == 0 // deleted key absent
+      println(s"WHZONE=${ranged.count()} OK=$ok")
+      spark.stop()
+    }
+
     // cluster-ledger: minhash pairs → two CLI appends (split by
     // parity) → labels must equal the full-graph clustering
     Cli.main(Array("-i", docs, "-f", "parquet",

@@ -1206,4 +1206,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff(3L) === "changed" && diff(5L) === "removed" &&
       diff(12L) === "added" && diff(4L) === "unchanged" && !diff.contains(11L))
   }
+
+  test("mergeStream: a CDC stream carrying a NEW column widens the table at drop cost") {
+    // the 38ae × 22bh4 composition: an upstream source starts emitting
+    // an extra column mid-pipeline — the streamed merges widen the
+    // bucketed table by name (old rows read null) without any
+    // republish, and later batches keep using the widened schema
+    import graft.sources.Versioned
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("merge_stream_ev").toString
+    val root = s"$tmp/table"
+    val base = (1L to 8L).map(j => (j, s"d$j")).toDF("id", "v")
+    assert(Versioned.promoteBucketed(base, root, "id", 4).promoted)
+
+    val mem = MemoryStream[(Long, String, String, Boolean)] // (id, v, lang, del)
+    val q = EventStreams.mergeStream(
+      mem.toDF().toDF("id", "v", "lang", "del"), root, "del", s"$tmp/ckpt")
+    mem.addData((2L, "d2 v2", "en", false), (9L, "d9", "de", false))
+    q.processAllAvailable()
+    mem.addData((3L, "d3 v2", "fr", false), (9L, "", "", true))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = Versioned.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "v", "lang"))
+    val langs = got.select("id", "lang").as[(Long, Option[String])].collect().toMap
+    assert(langs(2L) === Some("en") && langs(3L) === Some("fr"))
+    assert(langs(1L) === None, "pre-evolution rows must read null for the added column")
+    assert(!langs.contains(9L) && langs.size === 8)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.rows) === Some(8L))
+  }
 }
