@@ -298,6 +298,76 @@ object ClusterLedger {
     stats
   }
 
+  /** Point lookup: ONE id's cluster label — the serving-path read.
+    * The id hashes to its bucket under the ledger's fixed layout, and
+    * the scan touches ONLY that bucket's partition inside its one
+    * owning append directory (the [[graft.sources.Versioned.lookup]]
+    * shape: at 100 TB a "which cluster is this doc in" fetch reads
+    * one bucket's files, never the label table). The bucket id is
+    * evaluated through Spark so the reader and the writers share ONE
+    * hash code path. Missing ids return an empty frame. */
+  def lookup(spark: SparkSession, path: String, idValue: Any): DataFrame = {
+    val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
+    val bkt = spark.range(1)
+      .select(pmod(xxhash64(lit(idValue).cast("string")), lit(m.numBuckets)).cast("int"))
+      .head().getInt(0)
+    val ownerIdx = m.owner(bkt)
+    if (ownerIdx == 0) // bucket never written: id unseen
+      labels(spark, path).filter(lit(false))
+    else
+      spark.read.parquet(appendDir(path, ownerIdx).getPath)
+        .filter(col("bkt") === bkt && col("id") === lit(idValue))
+        .select("id", "cluster_id")
+  }
+
+  /** Consolidate the ledger: rewrite the ENTIRE live labeling into one
+    * new append directory owning every non-empty bucket — a long
+    * append chain leaves the owner map spread over many directories (a
+    * read unions one partition-pruned scan per distinct directory, and
+    * [[vacuum]] must retain every referenced one); compaction
+    * collapses that to a single directory, after which vacuum reclaims
+    * the whole chain. Content is untouched (bit-equal read,
+    * spec-pinned) — the maintenance pass between the nightly appends,
+    * exactly [[graft.sources.Versioned.compact]] on the ledger side.
+    * Commits under the same claim discipline as [[append]]. */
+  def compact(spark: SparkSession, path: String): AppendStats = {
+    val startedMs = System.currentTimeMillis()
+    val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
+    val cur = Checkpoints.eager(assemble(spark, path, m))
+    try {
+      val idx = m.appends + 1
+      val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
+      cur.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      val stagedBkts = spark.read.parquet(staging.getPath)
+        .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+      def refuse(now: Int): Nothing = {
+        rmTree(staging)
+        throw new graft.sources.ConcurrentWriteException(
+          s"concurrent append detected on cluster ledger $path: committed append " +
+            s"count moved ${idx - 1} -> $now while this compaction staged — " +
+            "the ledger is single-writer; re-run against the new state")
+      }
+      val now = readManifest(path).map(_.appends).getOrElse(0)
+      if (now != idx - 1) refuse(now)
+      val claim = new File(path, f"_claim_a$idx%05d")
+      if (!claim.createNewFile()) {
+        val stale = claim.lastModified() < startedMs &&
+          readManifest(path).map(_.appends).getOrElse(0) == idx - 1
+        if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(idx - 1)
+      }
+      val recheck = readManifest(path).map(_.appends).getOrElse(0)
+      if (recheck != idx - 1) { claim.delete(); refuse(recheck) }
+      val slot = appendDir(path, idx)
+      if (slot.exists()) rmTree(slot)
+      require(staging.renameTo(slot), s"compact rename failed: $staging -> $slot")
+      val owner = Vector.tabulate(m.numBuckets)(b => if (stagedBkts(b)) idx else 0)
+      writeManifest(path, Manifest(m.numBuckets, idx, owner))
+      claim.delete()
+      AppendStats(relabeled = 0L, newIds = 0L,
+        rewrittenBuckets = stagedBkts.toSeq.sorted)
+    } finally Checkpoints.release(cur)
+  }
+
   /** [[append]] with bounded replay on a lost single-writer race: the
     * loser re-resolves the new committed labeling and replays its
     * drop against it — PROVABLY safe here, because cluster labels are

@@ -356,6 +356,18 @@ object DedupQueries {
       Versioned.read(s, root)
     }),
 
+    // §2.2/22bh8 warehouse point lookup: the serving-path read against
+    // the cached zone-mapped warehouse — the key hashes to its bucket
+    // under the live layout and the scan touches ONE bucket partition
+    // of ONE owning directory (the single-partition property is
+    // spec-pinned; this gate pins the VALUE against the merge-replay
+    // oracle's point query — a mis-hashed or stale-owner read returns
+    // the wrong row or none). Key 3·DiffChangeMod is an UPDATED key,
+    // so the lookup must see the post-merge content, not the base.
+    "q_warehouse_lookup" -> ((s, dir) =>
+      graft.sources.Versioned.lookup(s, zonedWarehouse(s, dir),
+        3L * PrepParams.DiffChangeMod)),
+
     // §2.2/22bh6 zone-mapped warehouse range read: the bucketed,
     // zone-mapped warehouse (cached build: promote + one lifecycle
     // merge) answers `doc_id BETWEEN 100 AND 299` by consulting each
@@ -966,6 +978,11 @@ object DedupQueries {
            |WHERE k.doc_id IS NULL
            |UNION ALL SELECT doc_id, source, text, lang FROM upd
            |UNION ALL SELECT doc_id, source, text, lang FROM ins""".stripMargin,
+    // the merge replay's point query: key 3·DiffChangeMod is an
+    // update (39 % 17 ≠ 0), so the lookup must read the post-merge row
+    "q_warehouse_lookup" ->
+      raw"""SELECT doc_id, source, text || ' v2' AS text
+           |FROM documents WHERE doc_id = ${3 * PrepParams.DiffChangeMod}""".stripMargin,
     // the merge replay restricted to the probed range — the zone-map
     // pruning must be value-invisible
     "q_warehouse_range" ->

@@ -211,6 +211,40 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(got === full) // the semilattice converges regardless of interleaving
   }
 
+  test("compact collapses the append chain to one directory; vacuum then reclaims it; lookup serves point reads") {
+    val nb = 2 // few buckets so appends spread ownership
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    ClusterLedger.append(path, Seq((2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    ClusterLedger.append(path, Seq((20L, 21L)).toDF("a", "b"), "a", "b", numBuckets = nb)
+    val before = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val spread = ClusterLedger.readManifest(path).get.owner.filter(_ > 0).distinct
+    assert(spread.size > 1, "fixture should spread ownership over several append dirs")
+
+    val st = ClusterLedger.compact(spark, path)
+    assert(st.rewrittenBuckets.nonEmpty)
+    val owner = ClusterLedger.readManifest(path).get.owner
+    assert(owner.filter(_ > 0).distinct === Vector(4),
+      "compaction must leave one owning directory")
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
+    // the whole superseded chain is now reclaimable
+    val dropped = ClusterLedger.vacuum(path)
+    assert(dropped === Seq("a00001", "a00002", "a00003"), dropped)
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
+
+    // point lookup: one bucket partition of one owning directory
+    def scannedParts(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numPartitions").value).sum
+    }
+    val hit = ClusterLedger.lookup(spark, path, 3L)
+    assert(hit.as[(Long, Long)].collect().toSeq === Seq(3L -> 1L))
+    assert(scannedParts(hit) === 1L, "lookup must scan exactly one bucket partition")
+    assert(ClusterLedger.lookup(spark, path, 999L).isEmpty) // unseen id
+  }
+
   test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
     val path = tmp()
     ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)

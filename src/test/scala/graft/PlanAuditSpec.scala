@@ -498,6 +498,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // planning (driver reads the file-count-sized _zonemap), so the
     // executed plan has zero exchanges
     "q_warehouse_range" -> 0,
+    // q_warehouse_lookup: ONE bucket partition of ONE owning
+    // directory, a pure pruned scan — zero exchanges
+    "q_warehouse_lookup" -> 0,
     // q_decontam_sem: the n-gram pair aggregate + the full-outer
     // verdict join on (doc, bench); the semantic screen is broadcast
     // + narrow (in-row embedding, zero shuffles of its own)
