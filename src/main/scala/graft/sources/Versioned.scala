@@ -831,39 +831,59 @@ object Versioned {
     * range regardless of zone coarseness (spec-pinned); a directory
     * without a zone map (or predating column `c`) degrades to its
     * plain pruned scan, never to an error. */
-  def readRange(spark: SparkSession, root: String, c: String, lo: Long, hi: Long): DataFrame = {
+  def readRange(spark: SparkSession, root: String, c: String, lo: Long, hi: Long): DataFrame =
+    readRangeAll(spark, root, Seq((c, lo, hi)))
+
+  /** Conjunctive multi-column range read: `lo ≤ c ≤ hi` for EVERY
+    * (c, lo, hi) — the nightly report's usual shape (a time window AND
+    * a key slice). A file survives pruning only when every predicate's
+    * zone overlaps, so the surviving set is the INTERSECTION of the
+    * per-column prunes; predicates on columns a directory's zone map
+    * doesn't cover simply don't prune there (the residual filter keeps
+    * the result exact), and a directory predating ANY predicate column
+    * contributes nothing. Same pruned ≡ plain contract as
+    * [[readRange]]. */
+  def readRangeAll(spark: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readRangeAll needs at least one (column, lo, hi) predicate")
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    val residual = col(c) >= lo && col(c) <= hi
+    val residual = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     m.buckets match {
       case None => readManifestData(spark, root, m).filter(residual)
       case Some(spec) =>
         val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
         require(byDir.nonEmpty, s"bucketed table under $root has no non-empty buckets")
         val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-          prunedDirScan(spark, root, dir, entries.map(_._2), c, lo, hi)
+          prunedDirScan(spark, root, dir, entries.map(_._2), preds)
         }
         val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*).filter(residual)
     }
   }
 
-  /** One owning directory's range scan: zone-pruned when its manifest
-    * exists and covers `c`, plain otherwise. A directory that predates
-    * column `c` contributes nothing (every row reads null for `c`,
-    * and null never satisfies a range filter) — schema-preserved
-    * empty, zero files scanned. */
+  /** One owning directory's range scan: zone-pruned by every predicate
+    * its manifest covers, plain when no manifest exists. A directory
+    * that predates a predicate's column contributes nothing (every row
+    * reads null for it, and null never satisfies a range filter) —
+    * schema-preserved empty, zero files scanned. */
   private def prunedDirScan(spark: SparkSession, root: String, dir: String,
-      bkts: Seq[Int], c: String, lo: Long, hi: Long): DataFrame = {
+      bkts: Seq[Int], preds: Seq[(String, Long, Long)]): DataFrame = {
     val dirPath = new File(root, dir).getPath
     val full = spark.read.parquet(dirPath).filter(col("bkt").isin(bkts: _*))
-    if (!full.columns.contains(c)) return full.filter(lit(false))
+    if (preds.exists { case (c, _, _) => !full.columns.contains(c) })
+      return full.filter(lit(false))
     val zm = new File(dirPath, "_zonemap")
     if (!zm.exists()) return full
     val zones = spark.read.parquet(zm.getPath)
-    if (!zones.columns.contains(s"lo_$c")) return full
+    val overlap = preds.collect {
+      case (c, lo, hi) if zones.columns.contains(s"lo_$c") =>
+        col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
+    }
+    if (overlap.isEmpty) return full
     val bset = bkts.toSet
     val files = zones
-      .filter(col(s"lo_$c") <= hi && col(s"hi_$c") >= lo)
+      .filter(overlap.reduce(_ && _))
       .select("file").as(org.apache.spark.sql.Encoders.STRING).collect()
       .filter { rel => // only files of buckets this directory still owns
         rel.startsWith("bkt=") &&

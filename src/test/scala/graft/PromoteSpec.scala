@@ -479,6 +479,40 @@ class PromoteSpec extends SparkSpecBase {
     assert(Versioned.readRange(spark, bare, "doc_id", 5L, 9L).count() === 5)
   }
 
+  test("readRangeAll intersects per-column prunes; predicates the maps miss only filter") {
+    val root = freshRoot()
+    // two integral columns, clustered on doc_id, zone-mapped on BOTH
+    // (ts correlates with doc_id in this fixture — each create-time
+    // file covers a narrow window of each)
+    val base = (1L to 400L).map(j => (j, s"d$j", 1000L + j)).toDF("doc_id", "text", "ts")
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id", "ts")).promoted)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    // conjunction: doc_id window AND a ts window that bites harder
+    val both = Versioned.readRangeAll(spark, root,
+      Seq(("doc_id", 1L, 200L), ("ts", 1150L, 1160L)))
+    val plain = Versioned.read(spark, root)
+      .filter(col("doc_id").between(1L, 200L) && col("ts").between(1150L, 1160L))
+    assert(both.as[(Long, String, Long)].collect().toSet
+      === plain.as[(Long, String, Long)].collect().toSet)
+    assert(both.count() === 11)
+    val fBoth = filesScanned(both)
+    val fOne = filesScanned(Versioned.readRange(spark, root, "doc_id", 1L, 200L))
+    assert(fBoth <= fOne, s"intersection must not scan more than one prune: $fBoth vs $fOne")
+    assert(fBoth < filesScanned(plain))
+    // a predicate whose window covers everything prunes nothing on its
+    // own — the other predicate still prunes and the filter stays exact
+    val mixed = Versioned.readRangeAll(spark, root,
+      Seq(("doc_id", 10L, 20L), ("ts", 1000L, 9999L)))
+    assert(mixed.count() === 11)
+  }
+
   test("lookup reads exactly one bucket partition of one version directory") {
     val root = freshRoot()
     assert(Versioned.promoteBucketed(baseDocs(64), root, "doc_id", 16, checks).promoted)
