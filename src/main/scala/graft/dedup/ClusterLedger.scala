@@ -271,26 +271,30 @@ object ClusterLedger {
       // atomic slot claim: exactly one writer owns a%05d. A claim
       // STRICTLY OLDER than this append's start is a crashed attempt's
       // leftover (single-writer contract: any prior attempt at this
-      // slot died before the retry began) — steal it; fresher = a
-      // racing writer mid-commit — refuse without touching anything.
-      val claim = new File(path, f"_claim_a$idx%05d")
-      if (!claim.createNewFile()) {
-        val stale = claim.lastModified() < startedMs &&
-          readManifest(path).map(_.appends).getOrElse(0) == idx - 1
-        if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(idx - 1)
-      }
-      // re-check under the claim: a committed winner deletes its claim
-      // only AFTER its manifest swap, so "claim held ∧ count unmoved"
+      // slot died before the retry began) — stolen with ONE atomic
+      // rename inside CommitSlot (two concurrent stealers can never
+      // both win); fresher = a racing writer mid-commit — refuse
+      // without touching anything.
+      val claim = graft.sources.CommitSlot
+        .acquire(new File(path, f"_claim_a$idx%05d"), startedMs)
+        .getOrElse(refuse(idx - 1))
+      // re-check under the claim: a committed winner releases its claim
+      // only AFTER its manifest swap, so "claim owned ∧ count unmoved"
       // proves the pre-existing slot dir is a crashed leftover
       val recheck = readManifest(path).map(_.appends).getOrElse(0)
-      if (recheck != idx - 1) { claim.delete(); refuse(recheck) }
+      if (recheck != idx - 1) { claim.release(); refuse(recheck) }
       val slot = appendDir(path, idx)
+      // last-instant ownership re-verify before anything destructive: a
+      // stolen claim means another writer judged this one crashed — the
+      // pre-existing slot may be ITS committed data now
+      if (!claim.owned()) refuse(idx - 1)
       if (slot.exists()) rmTree(slot)
+      if (!claim.owned()) refuse(idx - 1)
       require(staging.renameTo(slot), s"append rename failed: $staging -> $slot")
       val oldOwner = existing.map(_.owner).getOrElse(Vector.fill(numBuckets)(0))
       val owner = rewritten.foldLeft(oldOwner)((o, bkt) => o.updated(bkt, idx))
       writeManifest(path, Manifest(numBuckets, idx, owner))
-      claim.delete()
+      claim.release()
     }
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
@@ -349,20 +353,19 @@ object ClusterLedger {
       }
       val now = readManifest(path).map(_.appends).getOrElse(0)
       if (now != idx - 1) refuse(now)
-      val claim = new File(path, f"_claim_a$idx%05d")
-      if (!claim.createNewFile()) {
-        val stale = claim.lastModified() < startedMs &&
-          readManifest(path).map(_.appends).getOrElse(0) == idx - 1
-        if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(idx - 1)
-      }
+      val claim = graft.sources.CommitSlot
+        .acquire(new File(path, f"_claim_a$idx%05d"), startedMs)
+        .getOrElse(refuse(idx - 1))
       val recheck = readManifest(path).map(_.appends).getOrElse(0)
-      if (recheck != idx - 1) { claim.delete(); refuse(recheck) }
+      if (recheck != idx - 1) { claim.release(); refuse(recheck) }
       val slot = appendDir(path, idx)
+      if (!claim.owned()) refuse(idx - 1) // stolen mid-stall: slot may be live data
       if (slot.exists()) rmTree(slot)
+      if (!claim.owned()) refuse(idx - 1)
       require(staging.renameTo(slot), s"compact rename failed: $staging -> $slot")
       val owner = Vector.tabulate(m.numBuckets)(b => if (stagedBkts(b)) idx else 0)
       writeManifest(path, Manifest(m.numBuckets, idx, owner))
-      claim.delete()
+      claim.release()
       AppendStats(relabeled = 0L, newIds = 0L,
         rewrittenBuckets = stagedBkts.toSeq.sorted)
     } finally Checkpoints.release(cur)

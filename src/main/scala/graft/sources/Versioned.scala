@@ -309,7 +309,7 @@ object Versioned {
       case None =>
         val claim = claimAndRename(root, live, staging, dirName, startedMs)
         writeManifest(root, Manifest(version, dirName, live.map(_.path)))
-        claim.delete()
+        claim.release()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
   }
@@ -324,33 +324,36 @@ object Versioned {
     *     refuses to commit if the live pointer moved while it staged
     *     (renaming its manifest over the newer one would orphan that
     *     publish's committed data);
-    *  2. atomic slot claim — `createNewFile` (O_CREAT|O_EXCL) on
-    *     `_claim_<dir>`: exactly one writer can own a version slot. A
-    *     pre-existing claim STRICTLY OLDER than this publish's start is
-    *     a crashed attempt's leftover (under the single-writer
-    *     contract, any previous attempt at this slot began and died
-    *     before the retry started) and is stolen; a fresher claim is a
-    *     racing writer mid-commit — refuse without touching anything;
-    *  3. re-check under the claim — a winner deletes its claim only
-    *     AFTER its manifest move, so "claim held ∧ pointer unmoved"
-    *     means no other writer can have renamed into this slot: the
-    *     rmTree of a pre-existing target directory (a crashed
-    *     claimant's rename leftover) can never hit a live version.
+    *  2. atomic slot claim — [[CommitSlot.acquire]] on `_claim_<dir>`:
+    *     exactly one writer can own a version slot, ownership is a
+    *     re-verifiable nonce (not a one-shot create result), and a
+    *     stale claim (strictly older than this publish's start — a
+    *     crashed attempt's leftover under the single-writer contract)
+    *     is stolen with ONE atomic rename, so two concurrent stealers
+    *     can never both believe they own the slot; a fresher claim is
+    *     a racing writer mid-commit — refuse without touching anything;
+    *  3. re-check under the claim — a winner releases its claim only
+    *     AFTER its manifest move, so "claim owned ∧ pointer unmoved"
+    *     means no other writer can have renamed into this slot; and
+    *     ownership is RE-VERIFIED immediately before the target
+    *     reclaim and the rename, so a writer whose claim was stolen
+    *     mid-stall refuses instead of deleting the usurper's
+    *     just-committed data.
     *
-    * Residual window: a writer that stalls for the full length of
-    * ANOTHER writer's stage+audit between its own claim and manifest
-    * write (a multi-second GC pause at exactly the wrong instant) can
-    * still interleave — the claim narrows the race from the whole
-    * stage+audit to that pathological pause. On object stores without
-    * atomic create/rename, point the manifest at a consistent metadata
-    * service (every manifest-based table format's caveat).
+    * Residual window: a writer that stalls between its last ownership
+    * re-verify and the very next filesystem op, for longer than a
+    * retry's whole stage+audit (a multi-second GC pause at exactly
+    * the wrong instruction) — narrowed from the whole claim-to-commit
+    * span. On object stores without atomic create/rename, point the
+    * manifest at a consistent metadata service (every manifest-based
+    * table format's caveat).
     *
     * On success the staging directory has been renamed into
-    * `dirName` and the returned claim file is held: the caller writes
-    * the manifest, then deletes the claim. On conflict the staging
+    * `dirName` and the returned claim is held: the caller writes
+    * the manifest, then releases the claim. On conflict the staging
     * directory is removed and [[ConcurrentWriteException]] is thrown. */
   private def claimAndRename(root: String, startedAt: Option[Manifest], staging: File,
-      dirName: String, startedMs: Long): File = {
+      dirName: String, startedMs: Long): CommitSlot.Claim = {
     def refuse(now: Option[Int]): Nothing = {
       rmTree(staging)
       throw new ConcurrentWriteException(
@@ -362,19 +365,20 @@ object Versioned {
     val startVersion = startedAt.map(_.version)
     val now1 = currentManifest(root).map(_.version)
     if (now1 != startVersion) refuse(now1)
-    val claim = new File(root, s"_claim_$dirName")
-    if (!claim.createNewFile()) {
-      val stale = claim.lastModified() < startedMs &&
-        currentManifest(root).map(_.version) == startVersion
-      if (!(stale && { claim.delete(); claim.createNewFile() })) refuse(startVersion)
-    }
+    val claim = CommitSlot.acquire(new File(root, s"_claim_$dirName"), startedMs)
+      .getOrElse(refuse(startVersion))
     val now2 = currentManifest(root).map(_.version)
-    if (now2 != startVersion) { claim.delete(); refuse(now2) }
+    if (now2 != startVersion) { claim.release(); refuse(now2) }
     maybeCrash("claimed")
     val target = new File(root, dirName)
+    // last-instant ownership re-verify: a stolen claim means another
+    // writer judged this one crashed — the pre-existing target may be
+    // ITS committed data now, so refuse rather than reclaim it
+    if (!claim.owned()) refuse(startVersion)
     if (target.exists()) rmTree(target) // crashed claimant's rename leftover
+    if (!claim.owned()) refuse(startVersion)
     if (!staging.renameTo(target)) {
-      claim.delete()
+      claim.release()
       rmTree(staging)
       sys.error(s"publish rename failed: $staging -> $target")
     }
@@ -468,7 +472,7 @@ object Versioned {
         val claim = claimAndRename(root, live, staging, dirName, startedMs)
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
           Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName), zoneCols))))
-        claim.delete()
+        claim.release()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
   }
@@ -686,7 +690,7 @@ object Versioned {
           o.updated(b, if (stagedBkts.contains(b)) dirName else ""))
         writeManifest(root, Manifest(version, dirName, Some(live.path),
           Some(spec.copy(rows = newTotal, owner = owner))))
-        claim.delete()
+        claim.release()
         MergeReport(merged = true, version, dirName, upserted, inserted, deletedN,
           touched, viol, None)
     }
@@ -711,11 +715,22 @@ object Versioned {
       checks: Seq[Validate.Check] = Seq.empty,
       maxChangedPerMille: Option[Long] = None,
       attempts: Int = 5,
-      backoffMs: Long = 500L): MergeReport = {
+      backoffMs: Long = 500L,
+      maxBroadcastDropKeys: Long = 5000000L,
+      refuseKeyConflicts: Boolean = false): MergeReport = {
     require(attempts >= 1)
+    // the drop is presumed derived against the CURRENT live version;
+    // every replay re-checks against this base, not the previous
+    // attempt's (a winner that commits between a loser's refusal and
+    // its retry must still be detected — the refusal itself may have
+    // fired while the winner merely HELD the claim, pointer unmoved)
+    val firstBase = currentManifest(root).map(_.version)
     var last: ConcurrentWriteException = null
     for (attempt <- 1 to attempts) {
-      try return merge(drop, root, deleted, checks, maxChangedPerMille)
+      if (refuseKeyConflicts && attempt > 1)
+        firstBase.foreach(checkKeyConflict(drop, root, _))
+      try return merge(drop, root, deleted, checks, maxChangedPerMille,
+        maxBroadcastDropKeys)
       catch {
         case e: ConcurrentWriteException =>
           last = e
@@ -723,6 +738,50 @@ object Versioned {
       }
     }
     throw last
+  }
+
+  /** Two racing writers whose drops disagree on the SAME key resolved
+    * last-writer-wins under plain [[mergeRetry]] — the documented
+    * multi-writer caveat. `refuseKeyConflicts = true` turns that
+    * convention into a GATE, the write-write conflict detection real
+    * table formats run at commit: on a lost race, the retry diffs the
+    * base→new-live key set (what the winner's publishes touched)
+    * against its own drop's keys and throws this instead of replaying,
+    * naming sample conflicting keys — disjoint-key races still
+    * all-commit. */
+  final class MergeConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Refuse the replay when the base→live delta touched any of the
+    * drop's keys. Cost: one change-feed diff over the two versions
+    * (bucket-assembled, partition-pruned) semi-joined against the
+    * broadcast drop keys — paid only on a LOST race. */
+  private def checkKeyConflict(drop: DataFrame, root: String, baseVersion: Int): Unit = {
+    val spark = drop.sparkSession
+    val live = currentManifest(root).getOrElse(return)
+    if (live.version == baseVersion) return // pointer didn't move: no winner to conflict with
+    val key = live.buckets.map(_.key).getOrElse(return)
+    val from = readVersion(spark, root, baseVersion)
+    val to = readVersion(spark, root, live.version)
+    val common = from.columns.toSet.intersect(to.columns.toSet).toSeq.sorted
+    // content fingerprint over every column both versions share, so an
+    // upsert that changed ANY column counts as touched (JSON, not a
+    // concat-hash: distinct null patterns must fingerprint distinctly)
+    val fp = to_json(struct(common.map(col): _*))
+    val touched = TableDiff.snapshotDiff(
+        from.select(common.map(col): _*), to.select(common.map(col): _*),
+        col(key), col(key), fp, fp, keyName = key)
+      .filter(col("status") =!= "unchanged")
+      .select(col(key))
+    val conflicts = touched
+      .join(broadcast(drop.select(col(key)).distinct()), Seq(key), "left_semi")
+    val sample = conflicts.limit(6).collect().map(_.get(0))
+    if (sample.nonEmpty)
+      throw new MergeConflictException(
+        s"merge conflict under $root: versions $baseVersion -> ${live.version} " +
+          s"touched keys this drop also writes (" +
+          sample.take(5).mkString(", ") + (if (sample.length > 5) ", …" else "") +
+          ") — replaying would overwrite the concurrent writer's committed values; " +
+          "re-derive the drop against the new live version")
   }
 
   /** Point lookup on a bucketed table: the serving-path read. The

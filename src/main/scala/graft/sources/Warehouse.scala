@@ -40,18 +40,30 @@ object Warehouse {
     * writes), so the session conf is set around the insert and
     * restored after — a plain `mode(Overwrite).insertInto` under the
     * default static mode would silently clobber every other drop's
-    * partition. Columns match POSITIONALLY (partition column last). */
-  def insertPartitionOverwrite(df: DataFrame, table: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).insertInto(table)
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    * partition. Columns match POSITIONALLY (partition column last).
+    *
+    * The conf window is SERIALIZED process-wide: the mode is a
+    * session conf, so two concurrent appends on the same session could
+    * otherwise interleave set/insert/restore such that one thread's
+    * restore lands before the other's insert executes — that insert
+    * would then run in STATIC mode with SaveMode.Overwrite and
+    * truncate every other drop's partition, the exact loss this
+    * helper exists to prevent. Appends are drop-sized, so the
+    * serialization costs nothing at scale (cross-process writers have
+    * their own sessions and confs — unaffected). */
+  private val overwriteModeLock = new Object
+  def insertPartitionOverwrite(df: DataFrame, table: String): Unit =
+    overwriteModeLock.synchronized {
+      val spark = df.sparkSession
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode(SaveMode.Overwrite).insertInto(table)
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Join two same-bucketed tables on their bucket key — exchange-free
     * by catalog metadata (assert with [[isExchangeFree]] in tests). */

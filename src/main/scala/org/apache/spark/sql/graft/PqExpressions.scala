@@ -122,6 +122,7 @@ case class PqLut(left: Expression, right: Expression)
     val e = a.asInstanceOf[ArrayData]
     val cbs = b.asInstanceOf[ArrayData]
     val m = cbs.numElements()
+    val n = e.numElements()
     val out = new Array[Any](m)
     var si = 0
     while (si < m) {
@@ -132,6 +133,11 @@ case class PqLut(left: Expression, right: Expression)
       while (c < k) {
         val ce = cws.getArray(c)
         val sub = ce.numElements()
+        // UnsafeArrayData does not bounds-check: a vector shorter than
+        // m·subDim would read silent garbage — fence it loudly
+        if (si * sub + sub > n)
+          throw new IllegalArgumentException(
+            s"graft_pq_lut: vector length $n < ${si * sub + sub} needed at subspace $si")
         var s = 0L
         var j = 0
         while (j < sub) {
@@ -161,8 +167,10 @@ case class PqLut(left: Expression, right: Expression)
       val ce = ctx.freshName("ce")
       val row = ctx.freshName("row")
       val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
       s"""
          |int $m = $b.numElements();
+         |int $n = $a.numElements();
          |Object[] $out = new Object[$m];
          |for (int $si = 0; $si < $m; $si++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cws = $b.getArray($si);
@@ -171,6 +179,10 @@ case class PqLut(left: Expression, right: Expression)
          |  for (int $c = 0; $c < $k; $c++) {
          |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cws.getArray($c);
          |    int $sub = $ce.numElements();
+         |    if ($si * $sub + $sub > $n) {
+         |      throw new IllegalArgumentException(
+         |        "graft_pq_lut: vector length " + $n + " too short at subspace " + $si);
+         |    }
          |    long $s = 0L;
          |    for (int $j = 0; $j < $sub; $j++) {
          |      $s += $a.getLong($si * $sub + $j) * $ce.getLong($j);
@@ -214,6 +226,7 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     val cbs = b.asInstanceOf[ArrayData]
     val cn = c.asInstanceOf[ArrayData]
     val m = cbs.numElements()
+    val n = e.numElements()
     val out = new Array[Int](m)
     var si = 0
     while (si < m) {
@@ -226,6 +239,10 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       while (ci < k) {
         val ce = cws.getArray(ci)
         val sub = ce.numElements()
+        // fence: UnsafeArrayData reads past a short vector silently
+        if (si * sub + sub > n)
+          throw new IllegalArgumentException(
+            s"graft_pq_encode: vector length $n < ${si * sub + sub} needed at subspace $si")
         var dot = 0L
         var j = 0
         while (j < sub) {
@@ -258,8 +275,10 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       val cns = ctx.freshName("cns")
       val ce = ctx.freshName("ce")
       val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
       s"""
          |int $m = $b.numElements();
+         |int $n = $a.numElements();
          |int[] $out = new int[$m];
          |for (int $si = 0; $si < $m; $si++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cws = $b.getArray($si);
@@ -270,6 +289,10 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
          |  for (int $ci = 0; $ci < $k; $ci++) {
          |    org.apache.spark.sql.catalyst.util.ArrayData $ce = $cws.getArray($ci);
          |    int $sub = $ce.numElements();
+         |    if ($si * $sub + $sub > $n) {
+         |      throw new IllegalArgumentException(
+         |        "graft_pq_encode: vector length " + $n + " too short at subspace " + $si);
+         |    }
          |    long $dot = 0L;
          |    for (int $j = 0; $j < $sub; $j++) {
          |      $dot += $a.getLong($si * $sub + $j) * $ce.getLong($j);

@@ -144,6 +144,34 @@ class PlansSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("out of range")))
   }
 
+  test("PqLut / PqEncode fence a too-short vector instead of reading silent garbage") {
+    // codebooks want m=2 subspaces × subDim=3 ⇒ e needs 6 longs; give 4
+    val df = Seq((
+      Seq(1L, 2L, 3L, 4L),
+      Seq(Seq(Seq(1L, 1L, 1L)), Seq(Seq(2L, 2L, 2L))),
+      Seq(Seq(3L), Seq(12L))
+    )).toDF("e", "cbs3", "cn2")
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .flatMap(x => Option(x.getMessage))
+    val e1 = intercept[Exception](
+      df.select(org.apache.spark.sql.graft.GraftFunctions.pqLut(col("e"), col("cbs3"))).collect())
+    assert(msgs(e1).exists(m => m.contains("graft_pq_lut") && m.contains("vector length")),
+      msgs(e1))
+    val e2 = intercept[Exception](
+      df.select(org.apache.spark.sql.graft.GraftFunctions
+        .pqEncode(col("e"), col("cbs3"), col("cn2"))).collect())
+    assert(msgs(e2).exists(m => m.contains("graft_pq_encode") && m.contains("vector length")),
+      msgs(e2))
+    // and through codegen with a non-local child (no constant folding)
+    val dfCg = spark.range(3)
+      .select(array(col("id"), col("id") + 1).as("e"),
+        array(array(array(lit(1L), lit(1L), lit(1L)))).as("cbs3"))
+      .select(org.apache.spark.sql.graft.GraftFunctions.pqLut(col("e"), col("cbs3")).as("l"))
+    val e3 = intercept[Exception](dfCg.collect())
+    assert(msgs(e3).exists(_.contains("graft_pq_lut")), msgs(e3))
+  }
+
   test("graft_pq_lookup_sum / graft_pq_sdc_sum are registered SQL functions inside codegen") {
     val s = spark.sql(
       "SELECT graft_pq_lookup_sum(array(1, 0), array(array(1L, 2L), array(30L, 40L))) AS v")

@@ -440,6 +440,79 @@ class PromoteSpec extends SparkSpecBase {
     assert(m(1L) === "d1 vA" && m(2L) === "d2 vB" && m(11L) === "d11" && m.size === 11)
   }
 
+  test("mergeRetry forwards maxBroadcastDropKeys: the shuffle-join fallback survives a retry") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(30), root, "doc_id", 8, checks).promoted)
+    val drop = Seq((3L, "d3 v2", false), (31L, "d31", false), (5L, "x", true))
+      .toDF("doc_id", "text", "del")
+    // bound of 1 key forces the shuffle path for this 3-key drop —
+    // before r14 the retry wrapper silently dropped the bound
+    val rep = Versioned.mergeRetry(drop, root, deleted = col("del"), checks = checks,
+      maxBroadcastDropKeys = 1L)
+    assert(rep.merged && rep.upserted === 1L && rep.inserted === 1L && rep.deleted === 1L)
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val expect = ((1L to 30L).filterNot(_ == 5L)
+      .map(j => j -> (if (j == 3L) "d3 v2" else s"d$j")) :+ (31L -> "d31")).toSet
+    assert(got === expect)
+  }
+
+  test("refuseKeyConflicts: a same-key race refuses loudly naming the key; the winner's value survives") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    // two writers upsert the SAME key, overlapped (the :306 pattern —
+    // both resolve live v1 before either commits): plain mergeRetry
+    // would replay the loser last-writer-wins; with the conflict gate
+    // the loser must refuse with a MergeConflictException naming key 1
+    val dA = Seq((1L, "writer A", false)).toDF("doc_id", "text", "del")
+    val dB = Seq((1L, "writer B", false)).toDF("doc_id", "text", "del")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    def attempt(d: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Boolean]] {
+        def call() = try Right(Versioned.mergeRetry(d, root, col("del"), attempts = 8,
+          refuseKeyConflicts = true).merged)
+        catch { case t: Throwable => Left(t) }
+      })
+    val f1 = attempt(dA)
+    Thread.sleep(300)
+    val f2 = attempt(dB)
+    val results = Seq(f1.get(), f2.get())
+    pool.shutdown()
+    val committed = results.count(_ == Right(true))
+    val refused = results.collect { case Left(t) => t }
+    assert(committed === 1 && refused.size === 1,
+      s"exactly one writer commits, one refuses: $results")
+    assert(refused.head.isInstanceOf[Versioned.MergeConflictException], refused.head)
+    assert(refused.head.getMessage.contains("merge conflict") &&
+      refused.head.getMessage.contains("1"), refused.head.getMessage)
+    // the winner's committed value was never overwritten by a replay
+    val m = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(m(1L) === "writer A" || m(1L) === "writer B")
+    assert(m.size === 10)
+  }
+
+  test("refuseKeyConflicts: disjoint-key races still ALL commit") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(10), root, "doc_id", 4, checks).promoted)
+    val drops = Seq(
+      Seq((1L, "d1 vA", false)).toDF("doc_id", "text", "del"),
+      Seq((2L, "d2 vB", false)).toDF("doc_id", "text", "del"),
+      Seq((11L, "d11", false)).toDF("doc_id", "text", "del"))
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(3)
+    val futures = drops.map(d =>
+      pool.submit(new java.util.concurrent.Callable[Versioned.MergeReport] {
+        def call() = Versioned.mergeRetry(d, root, deleted = col("del"), attempts = 8,
+          refuseKeyConflicts = true)
+      }))
+    val reports = futures.map(_.get())
+    pool.shutdown()
+    assert(reports.forall(_.merged), reports)
+    assert(Versioned.currentManifest(root).map(_.version) === Some(4))
+    val m = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(m(1L) === "d1 vA" && m(2L) === "d2 vB" && m(11L) === "d11" && m.size === 11)
+  }
+
   test("readRange consults the zone maps: fewer files, result equals the plain filtered read") {
     val root = freshRoot()
     // pre-cluster the base by the zone column so create-time zones are
