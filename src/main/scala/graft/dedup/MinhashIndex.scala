@@ -81,6 +81,23 @@ object MinhashIndex {
       bands(docs, text, id, p).withColumn("drop_id", lit(dropId)), table)
   }
 
+  /** Consolidate the append history: rewrite the current band rows as
+    * ONE `drop_id=base` partition under the same bucket layout — a
+    * year of nightly appends is ~365 partitions of small files, each
+    * costing a listing + footer fetches on every probe; compaction
+    * returns the table to one file per bucket. Probe results are
+    * bit-equal before/after (spec-pinned). Claim-guarded and
+    * crash-healable ([[graft.sources.TableCompact]]).
+    *
+    * Compaction CONSUMES the append history: a pre-compaction drop id
+    * replayed afterwards would land in a fresh (now-empty) partition
+    * and duplicate its rows — run compaction only after the ingest
+    * retry window has closed (the [[graft.sources.Versioned.vacuum]]
+    * age-gate discipline). */
+  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, table,
+      Seq("band_id", "band_key"), Seq("band_id", "band_key"))
+
   /** The novelty screen: batch rows that share NO band with the
     * indexed corpus — row-identical to `Dedup.minhashNovel(corpus,
     * batch, …)` but the corpus side is one pruned, pre-partitioned

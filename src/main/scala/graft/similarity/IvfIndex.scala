@@ -309,6 +309,19 @@ object IvfIndex {
   def vacuumGens(spark: SparkSession, table: String): Seq[String] =
     GenPointer.vacuum(spark, table, Seq("centroids", "meta"), liveGen(spark, table))
 
+  /** Consolidate the cells table's append history to ONE
+    * `drop_id=base` partition AND reclaim [[rebalance]]'s dead rows
+    * (list rows whose cell has no live centroid — invisible to
+    * [[probe]], previously reclaimable only by a full re-[[create]]).
+    * Probe results are bit-equal before/after (dead rows never
+    * probed); [[driftStats]].deadRows drops to 0. Claim-guarded and
+    * crash-healable ([[graft.sources.TableCompact]]); consumes the
+    * append history (don't replay pre-compaction drop ids after). */
+  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, cellsTable(table), Seq("c_id"), Seq("c_id"),
+      df => df.join(broadcast(centroids(spark, table).select("c_id")),
+        Seq("c_id"), "left_semi"))
+
   /** Append new vectors into the existing layout: assigned against
     * the STORED centroids (no retrain — the standard IVF ingest
     * path; retrain by re-running [[create]] when drift warrants).

@@ -123,4 +123,12 @@ object PqIndex {
   def vacuumGens(spark: SparkSession, table: String): Seq[String] =
     GenPointer.vacuum(spark, table, Seq("pqcents", "pqbooks"),
       liveGen(spark, table))
+
+  /** Consolidate the coded-lists table's append history to ONE
+    * `drop_id=base` partition (one file per bucket again) — probe
+    * results bit-equal before/after, spec-pinned. Claim-guarded and
+    * crash-healable ([[graft.sources.TableCompact]]); consumes the
+    * append history (don't replay pre-compaction drop ids after). */
+  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, cellsTable(table), Seq("c_id"), Seq("c_id"))
 }

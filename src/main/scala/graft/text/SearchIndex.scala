@@ -56,6 +56,30 @@ object SearchIndex {
       Search.postings(docs, text, id).withColumn("drop_id", lit(dropId)), table)
   }
 
+  /** Consolidate the postings table's append history to ONE
+    * `drop_id=base` partition (one file per bucket again) — probes are
+    * bit-equal before/after, spec-pinned. Claim-guarded and
+    * crash-healable ([[graft.sources.TableCompact]]); consumes the
+    * append history (don't replay pre-compaction drop ids after —
+    * the age-gate discipline of the other compact passes). */
+  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, table, Seq("t1", "t2"), Seq("t1", "t2"))
+
+  /** Consolidate the BM25 index: the tf table to one base partition,
+    * then the stats ledger to ONE summed (n, tl) row. Order matters
+    * for [[bm25Probe]]'s torn check (tfDrops ⊆ statDrops): after the
+    * tf compact, {base} is a subset of any stats partition set, and
+    * the ledger's SUM is unchanged until its own compact lands — a
+    * crash between the two passes leaves a correct, probe-able index
+    * either way. */
+  def compactBm25(spark: SparkSession, table: String):
+      (graft.sources.TableCompact.CompactStats, graft.sources.TableCompact.CompactStats) = {
+    val tf = graft.sources.TableCompact.compact(spark, table, Seq("t"), Seq("t"))
+    val st = graft.sources.TableCompact.compact(spark, s"${table}_stats", Nil, Nil,
+      df => df.agg(sum("n").cast("long").as("n"), sum("tl").cast("long").as("tl")))
+    (tf, st)
+  }
+
   /** Exact phrase occurrences against the stored postings — the
     * corpus is neither re-tokenized nor shuffled. */
   def probe(spark: SparkSession, table: String, phrases: DataFrame,

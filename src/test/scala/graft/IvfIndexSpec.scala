@@ -223,6 +223,48 @@ class IvfIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("compact consolidates the append chain AND reclaims rebalance's dead rows; probes bit-equal") {
+    val base = (0 until 40).map { i =>
+      val e = Array.fill(16)(0L); e(i % 4) = 1000000L; e(4 + i % 4) = 300000L
+      (i.toLong, e)
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+    val drift = (100 until 160).map { i =>
+      val e = Array.fill(16)(0L); e(0) = 1000000L; e(8 + i % 3) = 800000L
+      (i.toLong, e)
+    }.toDF("vec_id", "e").withColumn("nrm", Similarity.dotQ(col("e"), col("e")))
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_cp").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfcp LOCATION '$wh'")
+    try {
+      IvfIndex.create(spark, base, "graft_ivfcp.idx", 2,
+        IvfIndex.Params(numCentroids = 4, lloydIters = 1))
+      IvfIndex.append(spark, drift, "graft_ivfcp.idx", dropId = "drift1")
+      assert(IvfIndex.rebalance(spark, "graft_ivfcp.idx", overfullFactor = 2)
+        .splitCells >= 1L)
+      val dead = IvfIndex.driftStats(spark, "graft_ivfcp.idx").deadRows
+      assert(dead > 0L, "rebalance must have left dead rows to reclaim")
+      val probeQ = base.limit(3)
+      val before = IvfIndex.probe(spark, "graft_ivfcp.idx", probeQ, k = 2, nprobe = 2)
+        .collect().toSet
+      val filesBefore = spark.table("graft_ivfcp.idx_cells").inputFiles.length
+
+      val st = IvfIndex.compact(spark, "graft_ivfcp.idx")
+      assert(st.droppedRows === dead, s"compact must drop exactly the dead rows: $st")
+      assert(st.partitionsBefore === 3 && st.partitionsAfter === 1, st) // base, drift1, rebalance
+      assert(spark.sql("SHOW PARTITIONS graft_ivfcp.idx_cells")
+        .collect().map(_.getString(0)).toSeq === Seq("drop_id=base"))
+      assert(IvfIndex.driftStats(spark, "graft_ivfcp.idx").deadRows === 0L)
+      assert(spark.table("graft_ivfcp.idx_cells").inputFiles.length < filesBefore)
+      assert(spark.table("graft_ivfcp.idx_cells").inputFiles.length <= 2)
+      assert(IvfIndex.probe(spark, "graft_ivfcp.idx", probeQ, k = 2, nprobe = 2)
+        .collect().toSet === before)
+      // appends keep landing after the compact
+      IvfIndex.append(spark, drift.limit(5)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("e"), col("nrm")),
+        "graft_ivfcp.idx", dropId = "post")
+      assert(spark.sql("SHOW PARTITIONS graft_ivfcp.idx_cells").count() === 2)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_ivfcp CASCADE")
+  }
+
   test("probe plan: cells side is a bucketed scan with no exchange") {
     withIndex(corpus, 4) { table =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -84,6 +84,61 @@ class MinhashIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("compact collapses the append chain to one base partition; probes bit-equal; crashes heal") {
+    withIndex(4) { table =>
+      // three appended drops + base = 4 partitions of small files
+      for ((d, i) <- batch.randomSplit(Array(1, 1, 1), seed = 7).zipWithIndex)
+        MinhashIndex.append(d, col("text"), col("doc_id"), table, nBuckets = 4,
+          dropId = s"d$i")
+      val partsBefore = spark.sql(s"SHOW PARTITIONS $table").count()
+      assert(partsBefore === 4)
+      val rowsBefore = spark.table(table).count()
+      val filesBefore = spark.table(table).inputFiles.length
+      val screenBefore = ids(
+        MinhashIndex.screenNovel(spark, table, docs.limit(200), col("text"), col("doc_id")))
+      val pairsBefore = MinhashIndex.probePairs(spark, table, docs.limit(200),
+        col("text"), col("doc_id")).as[(Long, Long)].collect().toSet
+
+      // a crash between the catalog ops leaves the table MISSING (loud,
+      // never mis-probing) and heal completes the swap
+      graft.sources.TableCompact.crashPoint = Some("swapped")
+      try {
+        val e = intercept[RuntimeException](MinhashIndex.compact(spark, table))
+        assert(e.getMessage.contains("simulated crash"), e.getMessage)
+      } finally graft.sources.TableCompact.crashPoint = None
+      assert(!spark.catalog.tableExists(table))
+      assert(graft.sources.TableCompact.heal(spark, table) === "completed-rename")
+
+      // post-compact: one partition, fewer files, same rows, bit-equal probes
+      assert(spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSeq
+        === Seq("drop_id=base"))
+      assert(spark.table(table).count() === rowsBefore)
+      assert(spark.table(table).inputFiles.length < filesBefore)
+      assert(spark.table(table).inputFiles.length <= 4) // one file per bucket
+      assert(ids(MinhashIndex.screenNovel(spark, table, docs.limit(200),
+        col("text"), col("doc_id"))) === screenBefore)
+      assert(MinhashIndex.probePairs(spark, table, docs.limit(200),
+        col("text"), col("doc_id")).as[(Long, Long)].collect().toSet === pairsBefore)
+
+      // a crash BEFORE the swap leaves the live table intact and a
+      // stale staging table the next compact heals away
+      MinhashIndex.append(docs.limit(50), col("text"), col("doc_id"), table,
+        nBuckets = 4, dropId = "late")
+      graft.sources.TableCompact.crashPoint = Some("staged")
+      try intercept[RuntimeException](MinhashIndex.compact(spark, table))
+      finally graft.sources.TableCompact.crashPoint = None
+      assert(spark.catalog.tableExists(table))
+      assert(spark.catalog.tableExists(s"${table}__compacting"))
+      val stats = MinhashIndex.compact(spark, table)
+      assert(stats.partitionsAfter === 1 && stats.droppedRows === 0L)
+      assert(!spark.catalog.tableExists(s"${table}__compacting"))
+      // appends keep working after a compact (fresh drop ids)
+      MinhashIndex.append(docs.limit(20), col("text"), col("doc_id"), table,
+        nBuckets = 4, dropId = "post")
+      assert(spark.sql(s"SHOW PARTITIONS $table").count() === 2)
+    }
+  }
+
   test("probePairs attributes each screened duplicate to an indexed doc") {
     withIndex(4) { table =>
       val pairs = MinhashIndex.probePairs(spark, table, batch, col("text"), col("doc_id"))

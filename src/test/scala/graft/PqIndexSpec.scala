@@ -86,6 +86,30 @@ class PqIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("compact consolidates the coded lists to one base partition; probe bit-equal") {
+    val old = corpus.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    val drop = corpus.filter(pmod(col("vec_id"), lit(4)) === 1)
+    withIndex(old, 4) { table =>
+      PqIndex.append(spark, drop, table, dropId = "d1")
+      val allVecs = old.unionByName(drop)
+      val before = rows(PqIndex.probe(spark, table, queries, allVecs,
+        k = AnnParams.IvfK, nprobe = AnnParams.IvfNprobe, refine = 3 * AnnParams.IvfK))
+      val filesBefore = spark.table(s"${table}_pqcells").inputFiles.length
+      val st = PqIndex.compact(spark, table)
+      assert(st.partitionsBefore === 2 && st.partitionsAfter === 1 && st.droppedRows === 0L)
+      assert(spark.sql(s"SHOW PARTITIONS ${table}_pqcells")
+        .collect().map(_.getString(0)).toSeq === Seq("drop_id=base"))
+      assert(spark.table(s"${table}_pqcells").inputFiles.length < filesBefore)
+      assert(spark.table(s"${table}_pqcells").inputFiles.length <= 4)
+      assert(rows(PqIndex.probe(spark, table, queries, allVecs,
+        k = AnnParams.IvfK, nprobe = AnnParams.IvfNprobe, refine = 3 * AnnParams.IvfK))
+        === before)
+      // the codes-only memory contract survives compaction
+      assert(spark.table(s"${table}_pqcells").columns.toSet
+        === Set("c_id", "vec_id", "codes", "drop_id"))
+    }
+  }
+
   test("mutualKnnPqIndexed is bit-equal to the inline mutualKnnPq at the build's params") {
     val rnd = new scala.util.Random(7)
     val pts = (0 until 40).map { i =>

@@ -97,6 +97,49 @@ class SearchIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("compact consolidates postings and the bm25 pair to one base partition; probes bit-equal") {
+    withIndex(4) { table =>
+      val drop = Seq((999999L, "zz graft graft zz")).toDF("doc_id", "text")
+      SearchIndex.append(drop, col("text"), col("doc_id"), table, dropId = "d1")
+      val before = rows(SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase")))
+      val filesBefore = spark.table(table).inputFiles.length
+      val st = SearchIndex.compact(spark, table)
+      assert(st.partitionsBefore === 2 && st.partitionsAfter === 1)
+      assert(spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSeq
+        === Seq("drop_id=base"))
+      assert(spark.table(table).inputFiles.length < filesBefore)
+      assert(spark.table(table).inputFiles.length <= 4)
+      assert(rows(SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase")))
+        === before)
+    }
+    // the bm25 pair: tf table back to one file per bucket, stats ledger
+    // to ONE summed row — probe bit-equal through both passes
+    val wh = java.nio.file.Files.createTempDirectory("graft_bmcp").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bmcp LOCATION '$wh'")
+    try {
+      val terms = Seq("dup", "spark", "merge")
+      SearchIndex.createBm25(docs, col("text"), col("doc_id"), "graft_bmcp.tf", 4)
+      val drop = Seq((999999L, "dup dup dup dup")).toDF("doc_id", "text")
+      SearchIndex.appendBm25(drop, col("text"), col("doc_id"), "graft_bmcp.tf", "d1")
+      val before = SearchIndex.bm25Probe(spark, "graft_bmcp.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq
+      val (tf, stS) = SearchIndex.compactBm25(spark, "graft_bmcp.tf")
+      assert(tf.partitionsAfter === 1 && stS.partitionsAfter === 1)
+      assert(spark.table("graft_bmcp.tf_stats").count() === 1L,
+        "the stats ledger compacts to one summed row")
+      assert(SearchIndex.bm25Probe(spark, "graft_bmcp.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq === before)
+      // later appends keep working and stay bit-consistent
+      val drop2 = Seq((999998L, "merge merge merge")).toDF("doc_id", "text")
+      SearchIndex.appendBm25(drop2, col("text"), col("doc_id"), "graft_bmcp.tf", "d2")
+      val freshUnion = Search.bm25Rank(
+        docs.select("doc_id", "text").unionByName(drop).unionByName(drop2),
+        col("text"), col("doc_id"), terms, 15).as[(Long, Long, Int)].collect().toSeq
+      assert(SearchIndex.bm25Probe(spark, "graft_bmcp.tf", terms, topK = 15)
+        .as[(Long, Long, Int)].collect().toSeq === freshUnion)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_bmcp CASCADE")
+  }
+
   test("a crash between appendBm25's tf and stats writes is refused loudly and the replay heals") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bmc").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bmc LOCATION '$wh'")
