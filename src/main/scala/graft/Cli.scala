@@ -1233,10 +1233,17 @@ object Cli {
                 opts.getOrElse("key", fail("--key COLUMN required")).split(",").toSeq)
               println(s"[graft] zone map rebuilt for $out")
             case "read" =>
-              write(graft.sources.ZoneMaps.readRange(spark, out,
-                opts.getOrElse("key", fail("--key COLUMN required")),
-                opts.getOrElse("lo", fail("--lo N required")).toLong,
-                opts.getOrElse("hi", fail("--hi N required")).toLong))
+              // numeric bounds probe the BIGINT zone family; anything
+              // else probes the string/date family (ISO dates prune
+              // under binary string order)
+              val key = opts.getOrElse("key", fail("--key COLUMN required"))
+              val lo = opts.getOrElse("lo", fail("--lo N required"))
+              val hi = opts.getOrElse("hi", fail("--hi N required"))
+              write((lo.toLongOption, hi.toLongOption) match {
+                case (Some(l), Some(h)) =>
+                  graft.sources.ZoneMaps.readRange(spark, out, key, l, h)
+                case _ => graft.sources.ZoneMaps.readRange(spark, out, key, lo, hi)
+              })
             case other => fail(s"unknown zonemap action: $other")
           }
         case "kmv-overlap" =>
@@ -1379,11 +1386,17 @@ object Cli {
             case "read-range" =>
               // zone-pruned range read: --range-col C --lo N --hi N
               // (files whose [min,max] zones miss the range never
-              // become tasks; result ≡ the plain filtered read)
-              write(graft.sources.Versioned.readRange(spark, root,
-                opts.getOrElse("range-col", fail("--range-col COLUMN required")),
-                opts.getOrElse("lo", fail("--lo N required")).toLong,
-                opts.getOrElse("hi", fail("--hi N required")).toLong))
+              // become tasks; result ≡ the plain filtered read).
+              // Numeric bounds probe the BIGINT zone family; anything
+              // else the string/date family (ISO dates, binary order)
+              val rc = opts.getOrElse("range-col", fail("--range-col COLUMN required"))
+              val lo = opts.getOrElse("lo", fail("--lo N required"))
+              val hi = opts.getOrElse("hi", fail("--hi N required"))
+              write((lo.toLongOption, hi.toLongOption) match {
+                case (Some(l), Some(h)) =>
+                  graft.sources.Versioned.readRange(spark, root, rc, l, h)
+                case _ => graft.sources.Versioned.readRange(spark, root, rc, lo, hi)
+              })
             case o => fail(s"unknown --action: $o")
           }
         case other => fail(s"unknown command: $other")

@@ -63,15 +63,36 @@ object Decontam {
     * contamination-bounded relation, not the corpus), the benchmark
     * gram-count table is broadcast, and the per-pair sum is the one
     * exchange — corpus text never shuffles. All ratios are integer
-    * per-mille (1000·i div total), engine-exact. */
+    * per-mille (1000·i div total), engine-exact.
+    *
+    * `maxPairsPerDoc` bounds the grading on ADVERSARIAL corpora: the
+    * flagged relation is contamination-sized, and a doc that quotes
+    * half the benchmark flags against thousands of eval items — the
+    * per-pair multiset intersection then grows with flags, not docs
+    * (measured near-linear in flagged pairs at ×16 two rounds
+    * running). With the cap set, each doc grades only its `k`
+    * MOST-SEVERE flags (screen hits descending, bench_id tie-break —
+    * deterministic), which is what removal policy acts on anyway
+    * (the max/top severities); the pruned tail is enumerated by
+    * [[overlapCapAudit]] — the [[DocFreqCap]] discipline: an absolute
+    * bound plus a loud audit of what it skipped, never a silent
+    * truncation. Default None = exact, every flagged pair graded. */
   def overlapScores(
       corpus: DataFrame, text: Column, id: Column,
       bench: DataFrame, benchText: Column, benchId: Column,
-      n: Int, minHits: Long): DataFrame = {
+      n: Int, minHits: Long, maxPairsPerDoc: Option[Int] = None): DataFrame = {
     val flagged = ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
+    val graded = maxPairsPerDoc match {
+      case Some(k) =>
+        require(k >= 1, s"maxPairsPerDoc must be >= 1, got $k")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_hits").desc, col("bench_id").asc)
+        flagged.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
+      case None => flagged
+    }
     val docGrams = corpus
       .select(id.as("doc_id"), multisetGrams(text, n).as("__ga"))
-      .join(flagged.select("doc_id", "bench_id", "n_hits"), "doc_id")
+      .join(graded.select("doc_id", "bench_id", "n_hits"), "doc_id")
     val dg = docGrams
       .select(col("doc_id"), col("bench_id"), col("n_hits"),
         size(col("__ga")).as("__na"), explode(col("__ga")).as("g"))
@@ -89,6 +110,26 @@ object Decontam {
       .withColumn("precision_pm", expr("(1000 * shared_grams) div greatest(__na, 1)"))
       .select(col("doc_id"), col("bench_id"), col("n_hits"), col("shared_grams"),
         col("precision_pm"), col("recall_pm"))
+  }
+
+  /** The loud half of [[overlapScores]]'s `maxPairsPerDoc` cap: one
+    * row per corpus doc WHERE THE CAP BOUND — how many pairs the
+    * screen flagged (`n_flagged`), how many were graded (= the cap),
+    * and how many were skipped. Flag-count-sized aggregate over the
+    * flagged relation (no gram work); empty ⇔ the cap changed
+    * nothing, so pipelines can gate on it before trusting a capped
+    * grading pass. */
+  def overlapCapAudit(
+      corpus: DataFrame, text: Column, id: Column,
+      bench: DataFrame, benchText: Column, benchId: Column,
+      n: Int, minHits: Long, maxPairsPerDoc: Int): DataFrame = {
+    require(maxPairsPerDoc >= 1)
+    ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+      .filter(col("n_flagged") > maxPairsPerDoc)
+      .withColumn("n_graded", lit(maxPairsPerDoc.toLong))
+      .withColumn("n_skipped", col("n_flagged") - maxPairsPerDoc)
   }
 
   /** Semantic (embedding-space) decontamination — the screen the

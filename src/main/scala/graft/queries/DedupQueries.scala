@@ -70,7 +70,7 @@ object DedupQueries {
         .repartitionByRange(16, col("doc_id")).sortWithinPartitions("doc_id")
       val root = java.nio.file.Files.createTempDirectory("graft_wh_zoned").toString + "/corpus"
       require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16,
-        zoneCols = Seq("doc_id")).promoted)
+        zoneCols = Seq("doc_id", "source")).promoted)
       require(Versioned.merge(warehouseDrop(docs), root, deleted = col("del")).merged)
       root
     })
@@ -235,6 +235,37 @@ object DedupQueries {
         n = PrepParams.DecontamN, minHits = PrepParams.DecontamMinHits)
     }),
 
+    // §2.3/22be5 the BOUNDED grading form: each doc grades only its
+    // RougeMaxPairsPerDoc most-severe flags (screen hits desc,
+    // bench_id tie-break), so the multiset-intersection work is
+    // flag-cap × docs instead of growing with the flagged relation —
+    // the production dial for adversarial corpora where one doc flags
+    // against thousands of eval items. q_rouge_overlap above stays
+    // the uncapped exact anchor; the oracle replays the same top-k
+    // window, so a wrong ordering or off-by-one in the cap
+    // hash-mismatches.
+    "q_rouge_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.overlapScores(
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) === 0), col("text"), col("doc_id"),
+        n = PrepParams.DecontamN, minHits = PrepParams.RougeCapMinHits,
+        maxPairsPerDoc = Some(PrepParams.RougeMaxPairsPerDoc))
+    }),
+
+    // §2.3/22be5b the cap's loud audit: every doc whose flagged-pair
+    // count exceeded the cap, with flagged/graded/skipped counts —
+    // empty ⇔ the capped grading is exact. The DocFreqCap discipline
+    // (absolute bound + transparency read), oracle-replayed.
+    "q_rouge_cap_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.overlapCapAudit(
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) =!= 0), col("text"), col("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(PrepParams.BenchMod)) === 0), col("text"), col("doc_id"),
+        n = PrepParams.DecontamN, minHits = PrepParams.RougeCapMinHits,
+        maxPairsPerDoc = PrepParams.RougeMaxPairsPerDoc)
+    }),
+
     // §2.3/22bf cross-source overlap matrix: for every source pair,
     // how many distinct document OPENINGS (5-token-prefix md5
     // fingerprint) appear in both — the corpus diagnostic that tells
@@ -378,6 +409,18 @@ object DedupQueries {
     "q_warehouse_range" -> ((s, dir) =>
       graft.sources.Versioned.readRange(s, zonedWarehouse(s, dir),
         "doc_id", 100L, 299L)),
+
+    // §2.2/22bh11 STRING zone maps: the same zone-mapped warehouse
+    // answers `source BETWEEN 'src10' AND 'src15'` (binary string
+    // order — exactly 6 of the 20 sources; the merge's 'drop'-sourced
+    // inserts sort below and prune away) from per-file string
+    // [min, max] bounds; dates prune the same way as ISO strings.
+    // Pruned ≡ plain with fewer files is spec-pinned; this gate pins
+    // the VALUES against the merge-replay oracle under DuckDB's own
+    // binary collation.
+    "q_warehouse_range_str" -> ((s, dir) =>
+      graft.sources.Versioned.readRange(s, zonedWarehouse(s, dir),
+        "source", "src10", "src15")),
 
     // §2.3/24f sorted-neighborhood blocking (Hernández–Stolfo): sort
     // by a normalized prefix fingerprint, pair docs within a 5-row
@@ -1008,6 +1051,31 @@ object DedupQueries {
            |  UNION ALL SELECT doc_id, source, text FROM ins)
            |SELECT doc_id, source, text FROM merged
            |WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
+    // the merge replay restricted to a STRING range — string zone
+    // pruning must be value-invisible under binary collation
+    "q_warehouse_range_str" ->
+      raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |upd AS (
+           |  SELECT doc_id, source, text || ' v2' AS text FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT -doc_id - 1 AS doc_id,
+           |         'drop' AS source,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT doc_id FROM upd
+           |  UNION ALL SELECT doc_id FROM ins),
+           |merged AS (
+           |  SELECT b.doc_id, b.source, b.text
+           |  FROM base b LEFT JOIN dropkeys k ON b.doc_id = k.doc_id
+           |  WHERE k.doc_id IS NULL
+           |  UNION ALL SELECT doc_id, source, text FROM upd
+           |  UNION ALL SELECT doc_id, source, text FROM ins)
+           |SELECT doc_id, source, text FROM merged
+           |WHERE source BETWEEN 'src10' AND 'src15'""".stripMargin,
     // lifecycle statuses derived from the drop's construction: the
     // warehouse's v1→v2 diff must read exactly the drop back
     "q_warehouse_diff" ->
@@ -1229,6 +1297,61 @@ object DedupQueries {
            |FROM inter i
            |JOIN tot ta ON i.doc_id = ta.doc_id
            |JOIN tot tb ON i.bench_id = tb.doc_id""".stripMargin
+    },
+    // the capped form: identical pipeline with the flagged relation
+    // windowed to the top-k per doc (hits desc, bench_id tie-break)
+    // BEFORE gram counting
+    "q_rouge_capped" -> {
+      val (n, bm, mh) = (PrepParams.DecontamN, PrepParams.BenchMod, PrepParams.RougeCapMinHits)
+      val k = PrepParams.RougeMaxPairsPerDoc
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+           |mg AS (
+           |  SELECT doc_id, array_to_string(t[p+1:p+$n], ' ') AS g
+           |  FROM (SELECT doc_id, unnest(range(greatest(len(t) - $n + 1, 0))) AS p, t FROM toks)),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntot FROM mg GROUP BY doc_id),
+           |cgd AS (SELECT DISTINCT doc_id, g FROM mg WHERE doc_id % $bm <> 0),
+           |bgd AS (SELECT DISTINCT doc_id AS bench_id, g FROM mg WHERE doc_id % $bm = 0),
+           |fl AS (SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+           |       FROM cgd JOIN bgd USING (g) GROUP BY 1, 2 HAVING count(*) >= $mh),
+           |flc AS (SELECT doc_id, bench_id, n_hits FROM (
+           |  SELECT doc_id, bench_id, n_hits,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY n_hits DESC, bench_id ASC) AS r
+           |  FROM fl) WHERE r <= $k),
+           |ccnt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS ca
+           |         FROM mg WHERE doc_id % $bm <> 0 GROUP BY 1, 2),
+           |bcnt AS (SELECT doc_id AS bench_id, g, CAST(count(*) AS BIGINT) AS cb
+           |         FROM mg WHERE doc_id % $bm = 0 GROUP BY 1, 2),
+           |inter AS (
+           |  SELECT flc.doc_id, flc.bench_id, flc.n_hits,
+           |         CAST(sum(least(ca, cb)) AS BIGINT) AS shared_grams
+           |  FROM flc JOIN ccnt ON flc.doc_id = ccnt.doc_id
+           |           JOIN bcnt ON flc.bench_id = bcnt.bench_id AND ccnt.g = bcnt.g
+           |  GROUP BY 1, 2, 3)
+           |SELECT i.doc_id, i.bench_id, i.n_hits, i.shared_grams,
+           |       (1000 * i.shared_grams) // greatest(ta.ntot, 1) AS precision_pm,
+           |       (1000 * i.shared_grams) // greatest(tb.ntot, 1) AS recall_pm
+           |FROM inter i
+           |JOIN tot ta ON i.doc_id = ta.doc_id
+           |JOIN tot tb ON i.bench_id = tb.doc_id""".stripMargin
+    },
+    // the cap's transparency read: flagged/graded/skipped per doc the
+    // cap bound on
+    "q_rouge_cap_audit" -> {
+      val (n, bm, mh) = (PrepParams.DecontamN, PrepParams.BenchMod, PrepParams.RougeCapMinHits)
+      val k = PrepParams.RougeMaxPairsPerDoc
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+           |mg AS (
+           |  SELECT doc_id, array_to_string(t[p+1:p+$n], ' ') AS g
+           |  FROM (SELECT doc_id, unnest(range(greatest(len(t) - $n + 1, 0))) AS p, t FROM toks)),
+           |cgd AS (SELECT DISTINCT doc_id, g FROM mg WHERE doc_id % $bm <> 0),
+           |bgd AS (SELECT DISTINCT doc_id AS bench_id, g FROM mg WHERE doc_id % $bm = 0),
+           |fl AS (SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+           |       FROM cgd JOIN bgd USING (g) GROUP BY 1, 2 HAVING count(*) >= $mh)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged,
+           |       CAST($k AS BIGINT) AS n_graded,
+           |       CAST(count(*) - $k AS BIGINT) AS n_skipped
+           |FROM fl GROUP BY doc_id HAVING count(*) > $k""".stripMargin
     },
     "q_dedup_exact" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)

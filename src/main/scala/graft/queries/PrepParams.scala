@@ -12,6 +12,17 @@ object PrepParams {
   val DecontamN = 3
   val DecontamMinHits = 3
 
+  // q_rouge_capped / q_rouge_cap_audit: grade at most this many
+  // flagged pairs per corpus doc (most-severe by screen hits,
+  // bench_id tie-break) — the production bound for adversarial
+  // corpora where one doc flags against thousands of bench items.
+  // The capped pair screens at minHits = 1 (vs the uncapped anchor's
+  // 3) so the cap actually BINDS at sf0.01 (docs flag up to 4 pairs
+  // there; at the anchor's screen point every doc flags exactly one
+  // and a cap gate would assert nothing).
+  val RougeMaxPairsPerDoc = 2
+  val RougeCapMinHits = 1L
+
   // q_decontam_sem: hashed-BoW cosine threshold for the semantic
   // screen. Probed on the synthetic corpora: 0.8 flags a real pair set
   // (564 at sf0.001, 391 at sf0.01) while 0.9 leaves single digits —

@@ -4,6 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 
 import graft.operators.TableDiff
 import graft.quality.Validate
@@ -80,11 +81,16 @@ object Versioned {
     * current content ("" = bucket is empty). A merge rewrites only
     * the owner entries of its touched buckets; every other bucket
     * keeps reading the files an earlier version wrote — byte-for-byte
-    * untouched. `zones` names the integral columns every publish
-    * writes per-file [min, max] zone maps for (inside each version
-    * directory's `_zonemap`), consulted by [[readRange]]. */
+    * untouched. `zones` names the integral/string/date columns every
+    * publish writes per-file [min, max] zone maps for (inside each
+    * version directory's `_zonemap`), consulted by [[readRange]].
+    * `schemaB64` carries the WIDENED data schema (base64 of Spark's
+    * own StructType JSON, `bkt` excluded) so the serving paths
+    * ([[lookup]], [[merge]], [[readRangeAll]]) never re-derive it by
+    * footer reads over every owning directory; manifests written
+    * before the field existed degrade to the footer path. */
   final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String],
-      zones: Seq[String] = Nil)
+      zones: Seq[String] = Nil, schemaB64: Option[String] = None)
 
   /** Refuse promotion when (changed + removed) keys exceed
     * `maxChangedPerMille`/1000 of the live corpus' rows. `key` and
@@ -112,7 +118,8 @@ object Versioned {
       s""", "key": "${b.key}", "numBuckets": ${b.numBuckets}, "rows": ${b.rows}, """ +
         s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]""" +
         (if (b.zones.isEmpty) ""
-         else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""")
+         else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""") +
+        b.schemaB64.map(s => s""", "schema": "$s"""").getOrElse("")
     }.getOrElse("")
     s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$bkts}"""
   }
@@ -125,6 +132,7 @@ object Versioned {
   private val RowsRe = """"rows"\s*:\s*(\d+)""".r.unanchored
   private val OwnerRe = """"owner"\s*:\s*\[([^\]]*)\]""".r.unanchored
   private val ZonesRe = """"zones"\s*:\s*\[([^\]]*)\]""".r.unanchored
+  private val SchemaRe = """"schema"\s*:\s*"([A-Za-z0-9+/=]+)"""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -141,7 +149,8 @@ object Versioned {
               .filter(_.nonEmpty)
           case _ => Nil
         }
-        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones))
+        val schema = text match { case SchemaRe(s) => Some(s) case _ => None }
+        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema))
       case _ => None
     }
     Manifest(v, p, prev, buckets)
@@ -236,8 +245,16 @@ object Versioned {
       require(new File(root, dir).exists(),
         s"version $version reads bucket data from $dir, which was vacuumed")
     }
+    // a manifest-recorded schema reads every directory in the widened
+    // shape directly (parquet null-fills missing columns by name, no
+    // footer inference); older manifests union by name instead
+    val reader = spec.schemaB64 match {
+      case Some(b64) => spark.read.schema(StructType(
+        (decodeSchema(b64) :+ StructField("bkt", IntegerType)).toArray))
+      case None => spark.read
+    }
     val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-      spark.read.parquet(new File(root, dir).getPath)
+      reader.parquet(new File(root, dir).getPath)
         .filter(col("bkt").isin(entries.map(_._2): _*))
     }
     // allowMissingColumns: after an add-column merge, older directories
@@ -249,6 +266,65 @@ object Versioned {
 
   private def bktCol(key: String, numBuckets: Int) =
     pmod(xxhash64(col(key).cast("string")), lit(numBuckets)).cast("int")
+
+  /** The bucket id of `keyValue` under the layout contract, computed
+    * DRIVER-SIDE through the very same Catalyst expressions the
+    * writers evaluate ([[bktCol]]: cast-to-string → xxhash64(seed 42)
+    * → pmod) — one code path, zero Spark jobs. The serving read must
+    * not pay a one-row job to hash its key. */
+  private def bktOf(spark: SparkSession, keyValue: Any, numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64Function}
+    val s = Cast(Literal(keyValue), org.apache.spark.sql.types.StringType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    val h = if (s == null) 42L
+      else XxHash64Function.hash(s, org.apache.spark.sql.types.StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  private def encodeSchema(fields: Seq[StructField]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      StructType(fields.toArray).json.getBytes("UTF-8"))
+
+  private def decodeSchema(b64: String): Seq[StructField] =
+    DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+      .asInstanceOf[StructType].fields.toSeq
+
+  /** The table's widened data schema (`bkt` excluded): read from the
+    * manifest when the publish that wrote it recorded one; manifests
+    * predating the field fall back to the first-seen union of every
+    * owning directory's parquet footer, in directory (= publish)
+    * order — after an add-column merge, older directories simply lack
+    * the new columns and read as null. */
+  private def widenedFields(spark: SparkSession, root: String,
+      spec: BucketSpec): Seq[StructField] = spec.schemaB64 match {
+    case Some(b64) => decodeSchema(b64)
+    case None =>
+      val ownerDirs = spec.owner.filter(_.nonEmpty).distinct.sorted
+      require(ownerDirs.nonEmpty,
+        s"bucketed table under $root has no data directories (every bucket " +
+          "was merged empty) — re-publish with promoteBucketed")
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+      for (dir <- ownerDirs;
+           f <- spark.read.parquet(new File(root, dir).getPath).schema.fields
+           if f.name != "bkt")
+        if (!acc.contains(f.name)) acc(f.name) = f
+      acc.values.toSeq
+  }
+
+  /** Zone maps store [min, max] per file in two type families:
+    * integral columns as BIGINT, string/date columns as binary-ordered
+    * strings (dates render as ISO `yyyy-MM-dd`, which sorts exactly
+    * like the date). Anything else (double/decimal/timestamp) would
+    * TRUNCATE under a long cast and silently violate the pruned ≡
+    * plain contract — refused loudly at publish. */
+  private[sources] def zoneBound(dt: DataType): String = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType => "string"
+    case other => sys.error(
+      s"zone maps support integral, string, and date columns; got $other — " +
+        "a truncated bound would prune files that contain in-range rows")
+  }
 
   private def rmTree(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -423,6 +499,7 @@ object Versioned {
     require(df.columns.contains(key), s"merge key '$key' not in ${df.columns.mkString(", ")}")
     require(zoneCols.forall(df.columns.contains),
       s"zone columns ${zoneCols.filterNot(df.columns.contains).mkString(", ")} not in the table")
+    zoneCols.foreach(c => zoneBound(df.schema(c).dataType)) // integral/string/date only — loud
     val spark = df.sparkSession
     new File(root).mkdirs()
     val startedMs = System.currentTimeMillis()
@@ -470,8 +547,12 @@ object Versioned {
         PromoteReport(promoted = false, version, dirName, viol, diffStats, reason)
       case None =>
         val claim = claimAndRename(root, live, staging, dirName, startedMs)
+        // the widened data schema rides in the manifest so serving
+        // reads never pay per-directory footer derivation
+        val schemaB64 = encodeSchema(staged.schema.fields.filter(_.name != "bkt").toSeq)
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
-          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName), zoneCols))))
+          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName), zoneCols,
+            Some(schemaB64)))))
         claim.release()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
@@ -557,23 +638,11 @@ object Versioned {
 
     val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
-    // the table's live schema is the FIRST-SEEN union of every owning
-    // directory's columns, in directory (= publish) order — after an
-    // add-column merge, older directories simply lack the new columns
-    // and read as null. Driver-side parquet-footer reads, ≤ distinct
-    // owning dirs of them.
-    val ownerDirs = spec.owner.filter(_.nonEmpty).distinct.sorted
-    require(ownerDirs.nonEmpty,
-      s"bucketed table under $root has no data directories (every bucket " +
-        "was merged empty) — re-publish with promoteBucketed")
-    val tableFields = {
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
-      for (dir <- ownerDirs;
-           f <- spark.read.parquet(new File(root, dir).getPath).schema.fields
-           if f.name != "bkt")
-        if (!acc.contains(f.name)) acc(f.name) = f
-      acc.values.toSeq
-    }
+    // the table's live schema: recorded in the manifest by every
+    // publish since the field existed (zero per-call footer reads);
+    // older manifests re-derive the first-seen union of the owning
+    // directories' footers
+    val tableFields = widenedFields(spark, root, spec)
     // SCHEMA EVOLUTION: columns the drop ADDS widen the table — new
     // files carry them, older rows read as null (unionEvolved's
     // by-name discipline applied to the bucket store); columns the
@@ -591,18 +660,17 @@ object Versioned {
         !delRefs.contains(f.name)).toSeq
     val allFields = tableFields ++ dropExtras
     val dataCols: Seq[String] = allFields.map(_.name)
-    // null-fill a directory's frame up to the widened table shape
-    def conform(df: DataFrame): DataFrame =
-      df.select(allFields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)) :+ col("bkt"): _*)
+    // reading every owning directory with the WIDENED schema makes the
+    // parquet reader null-fill missing columns by name (no per-frame
+    // conform select) and skips footer schema inference entirely
+    val readSchema = StructType((allFields :+ StructField("bkt", IntegerType)).toArray)
 
     // current rows of the touched buckets only, partition-pruned from
     // their owning directories; keep bkt — it is the staging partition
     val byDir = touched.map(b => (spec.owner(b), b)).filter(_._1.nonEmpty).groupBy(_._1)
     val oldRows = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-      conform(spark.read.parquet(new File(root, dir).getPath)
-        .filter(col("bkt").isin(entries.map(_._2): _*)))
+      spark.read.schema(readSchema).parquet(new File(root, dir).getPath)
+        .filter(col("bkt").isin(entries.map(_._2): _*))
     }.reduceOption(_ unionByName _)
 
     val dKeys = d.select(col(key), col("__del"))
@@ -689,7 +757,8 @@ object Versioned {
         val owner = touched.foldLeft(spec.owner)((o, b) =>
           o.updated(b, if (stagedBkts.contains(b)) dirName else ""))
         writeManifest(root, Manifest(version, dirName, Some(live.path),
-          Some(spec.copy(rows = newTotal, owner = owner))))
+          Some(spec.copy(rows = newTotal, owner = owner,
+            schemaB64 = Some(encodeSchema(allFields))))))
         claim.release()
         MergeReport(merged = true, version, dirName, upserted, inserted, deletedN,
           touched, viol, None)
@@ -796,37 +865,26 @@ object Versioned {
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — lookup needs the bucket layout"))
-    // the bucket id must come from the SAME expression the writers
-    // use; evaluating it through Spark (not a driver-side reimpl)
-    // keeps the two hash paths one code path
-    val bkt = spark.range(1)
-      .select(pmod(xxhash64(lit(keyValue).cast("string")), lit(spec.numBuckets)).cast("int"))
-      .head().getInt(0)
+    // the bucket id comes from the SAME Catalyst expressions the
+    // writers evaluate, run driver-side — a point read must not pay a
+    // one-row Spark job to hash its key
+    val bkt = bktOf(spark, keyValue, spec.numBuckets)
     val dir = spec.owner(bkt)
     // the table's full (possibly evolved) schema — the point read must
     // return the same columns as a full read, null-filling columns the
-    // owning directory predates
-    val ownerDirs = spec.owner.filter(_.nonEmpty).distinct.sorted
-    require(ownerDirs.nonEmpty, s"bucketed table under $root has no data directories")
-    val fields = {
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.StructField]
-      for (d <- ownerDirs;
-           f <- spark.read.parquet(new File(root, d).getPath).schema.fields
-           if f.name != "bkt")
-        if (!acc.contains(f.name)) acc(f.name) = f
-      acc.values.toSeq
-    }
+    // owning directory predates. Manifest-recorded since r14: the
+    // serving path plans with ZERO footer reads and runs exactly one
+    // job (the single-bucket scan itself, spec-pinned)
+    val fields = widenedFields(spark, root, spec)
     val out =
       if (dir.isEmpty) // bucket currently empty
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(fields))
-      else {
-        val raw = spark.read.parquet(new File(root, dir).getPath)
+          StructType(fields.toArray))
+      else
+        spark.read.schema(StructType((fields :+ StructField("bkt", IntegerType)).toArray))
+          .parquet(new File(root, dir).getPath)
           .filter(col("bkt") === bkt && col(spec.key) === lit(keyValue))
-        raw.select(fields.map(f =>
-          if (raw.columns.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)): _*)
-      }
+          .select(fields.map(f => col(f.name)): _*)
     out
   }
 
@@ -858,8 +916,13 @@ object Versioned {
     * instant they were useful. One column-pruned pass over the staged
     * data (touched-bucket-sized for merges), one manifest row per
     * file, written as `_zonemap` inside the directory (underscore
-    * prefix: plain readers skip it). Bounds are BIGINT — integral
-    * clustered columns are the zone-map use case. Zones earn their
+    * prefix: plain readers skip it). Bounds are stored in two type
+    * families ([[zoneBound]]): BIGINT for integral columns, and
+    * binary-ordered strings for string/date columns (dates render as
+    * ISO `yyyy-MM-dd`, which sorts exactly like the date — the
+    * `lang = 'de' AND day BETWEEN …` report prunes both ways); any
+    * other type is refused at publish, because a truncated bound
+    * would prune files holding in-range rows. Zones earn their
     * keep only when values CLUSTER by file: pre-cluster the input
     * (e.g. repartitionByRange on the zone column) before
     * [[promoteBucketed]], and note that each merge's files naturally
@@ -867,8 +930,11 @@ object Versioned {
     * time-slicing this exists for. */
   private def buildZoneMap(spark: SparkSession, dirPath: String,
       statsCols: Seq[String]): Unit = {
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+    val schema = spark.read.parquet(dirPath).schema
+    val aggs = statsCols.flatMap { c =>
+      val family = zoneBound(schema(c).dataType)
+      Seq(min(col(c)).cast(family).as(s"lo_$c"), max(col(c)).cast(family).as(s"hi_$c"))
+    }
     spark.read.parquet(dirPath)
       .select(input_file_name().as("__f") +: statsCols.map(col): _*)
       .groupBy("__f")
@@ -893,20 +959,30 @@ object Versioned {
   def readRange(spark: SparkSession, root: String, c: String, lo: Long, hi: Long): DataFrame =
     readRangeAll(spark, root, Seq((c, lo, hi)))
 
+  /** String/date flavor: `lo ≤ c ≤ hi` under binary string order —
+    * pass ISO `yyyy-MM-dd` bounds for date zone columns. */
+  def readRange(spark: SparkSession, root: String, c: String, lo: String, hi: String): DataFrame =
+    readRangeAll(spark, root, Seq((c, lo, hi)))
+
   /** Conjunctive multi-column range read: `lo ≤ c ≤ hi` for EVERY
     * (c, lo, hi) — the nightly report's usual shape (a time window AND
-    * a key slice). A file survives pruning only when every predicate's
-    * zone overlaps, so the surviving set is the INTERSECTION of the
-    * per-column prunes; predicates on columns a directory's zone map
-    * doesn't cover simply don't prune there (the residual filter keeps
-    * the result exact), and a directory predating ANY predicate column
-    * contributes nothing. Same pruned ≡ plain contract as
-    * [[readRange]]. */
+    * a key slice). Bounds must come from the column's zone family
+    * (Long for integral columns; String — ISO for dates — for
+    * string/date columns). A file survives pruning only when every
+    * predicate's zone overlaps, so the surviving set is the
+    * INTERSECTION of the per-column prunes; predicates on columns a
+    * directory's zone map doesn't cover simply don't prune there (the
+    * residual filter keeps the result exact), and a directory
+    * predating ANY predicate column contributes nothing. The range
+    * predicates are additionally applied ON EACH DIRECTORY'S SCAN, so
+    * they reach the parquet reader as pushed filters and row-group
+    * stats prune WITHIN the surviving files too (plan-pinned). Same
+    * pruned ≡ plain contract as [[readRange]]. */
   def readRangeAll(spark: SparkSession, root: String,
-      preds: Seq[(String, Long, Long)]): DataFrame = {
+      preds: Seq[(String, Any, Any)]): DataFrame = {
     require(preds.nonEmpty, "readRangeAll needs at least one (column, lo, hi) predicate")
     val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
-    val residual = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+    val residual = preds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
     m.buckets match {
       case None => readManifestData(spark, root, m).filter(residual)
@@ -914,7 +990,7 @@ object Versioned {
         val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
         require(byDir.nonEmpty, s"bucketed table under $root has no non-empty buckets")
         val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-          prunedDirScan(spark, root, dir, entries.map(_._2), preds)
+          prunedDirScan(spark, root, dir, entries.map(_._2), preds, residual)
         }
         val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*).filter(residual)
@@ -922,24 +998,27 @@ object Versioned {
   }
 
   /** One owning directory's range scan: zone-pruned by every predicate
-    * its manifest covers, plain when no manifest exists. A directory
-    * that predates a predicate's column contributes nothing (every row
-    * reads null for it, and null never satisfies a range filter) —
+    * its manifest covers, plain when no manifest exists; the residual
+    * range filter is applied directly on the scan so it pushes into
+    * the parquet reader (file-level zones prune ACROSS files, pushed
+    * filters prune row groups WITHIN them). A directory that predates
+    * a predicate's column contributes nothing (every row reads null
+    * for it, and null never satisfies a range filter) —
     * schema-preserved empty, zero files scanned. */
   private def prunedDirScan(spark: SparkSession, root: String, dir: String,
-      bkts: Seq[Int], preds: Seq[(String, Long, Long)]): DataFrame = {
+      bkts: Seq[Int], preds: Seq[(String, Any, Any)], residual: Column): DataFrame = {
     val dirPath = new File(root, dir).getPath
     val full = spark.read.parquet(dirPath).filter(col("bkt").isin(bkts: _*))
     if (preds.exists { case (c, _, _) => !full.columns.contains(c) })
       return full.filter(lit(false))
     val zm = new File(dirPath, "_zonemap")
-    if (!zm.exists()) return full
+    if (!zm.exists()) return full.filter(residual)
     val zones = spark.read.parquet(zm.getPath)
     val overlap = preds.collect {
       case (c, lo, hi) if zones.columns.contains(s"lo_$c") =>
-        col(s"lo_$c") <= hi && col(s"hi_$c") >= lo
+        col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo)
     }
-    if (overlap.isEmpty) return full
+    if (overlap.isEmpty) return full.filter(residual)
     val bset = bkts.toSet
     val files = zones
       .filter(overlap.reduce(_ && _))
@@ -952,6 +1031,7 @@ object Versioned {
     else spark.read.option("basePath", dirPath)
       .parquet(files.map(rel => new File(dirPath, rel).getPath).toIndexedSeq: _*)
       .filter(col("bkt").isin(bkts: _*))
+      .filter(residual)
   }
 
   /** Change feed between two retained versions: the per-key lifecycle

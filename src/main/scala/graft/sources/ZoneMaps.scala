@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   * nothing — so [[writeClustered]] range-partitions and sorts by the
   * query column first, the same discipline as
   * [[Layout.writeZOrderedParquet]] one dimension down. Bounds are
-  * stored as BIGINT: integral key columns are the zone-map use case;
-  * strings and doubles keep riding parquet footer stats under the
-  * sorted layout.
+  * stored in two type families ([[Versioned.zoneBound]]): BIGINT for
+  * integral columns and binary-ordered strings for string/date
+  * columns (dates render as ISO `yyyy-MM-dd`, which sorts exactly
+  * like the date); double/decimal/timestamp columns are REFUSED —
+  * a truncated bound would prune files that contain in-range rows,
+  * silently breaking the pruned ≡ plain contract. Those types keep
+  * riding parquet footer stats under the sorted layout.
   *
   * [[readRange]]'s file selection collects the manifest to the driver
   * — file-count-sized, the same altitude every manifest-based table
@@ -51,8 +55,11 @@ object ZoneMaps {
     * per data file. */
   def buildStats(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+    val schema = spark.read.parquet(path).schema
+    val aggs = statsCols.flatMap { c =>
+      val family = Versioned.zoneBound(schema(c).dataType) // integral/string/date only — loud
+      Seq(min(col(c)).cast(family).as(s"lo_$c"), max(col(c)).cast(family).as(s"hi_$c"))
+    }
     spark.read.parquet(path)
       .select(input_file_name().as("file") +: statsCols.map(col): _*)
       .groupBy("file")
@@ -79,14 +86,23 @@ object ZoneMaps {
     * NULL never satisfies a range filter), then apply the residual
     * filter to the survivors. Exactly the rows of the plain filtered
     * scan, by construction. */
-  def readRange(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame = {
+  def readRange(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame =
+    readRangeTyped(spark, path, c, lo, hi)
+
+  /** String/date flavor: binary string order — pass ISO `yyyy-MM-dd`
+    * bounds for date zone columns. */
+  def readRange(spark: SparkSession, path: String, c: String, lo: String, hi: String): DataFrame =
+    readRangeTyped(spark, path, c, lo, hi)
+
+  private def readRangeTyped(spark: SparkSession, path: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
     val zm = new File(mapDir(path))
     val full = spark.read.parquet(path)
-    val residual = col(c) >= lo && col(c) <= hi
+    val residual = col(c) >= lit(lo) && col(c) <= lit(hi)
     if (!zm.exists()) full.filter(residual)
     else {
       val files = spark.read.parquet(zm.getPath)
-        .filter(col(s"lo_$c") <= hi && col(s"hi_$c") >= lo)
+        .filter(col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo))
         .select(col("file")).as(Encoders.STRING).collect()
       if (files.isEmpty) full.filter(residual).limit(0)
       else spark.read.schema(full.schema).parquet(files.toIndexedSeq: _*).filter(residual)

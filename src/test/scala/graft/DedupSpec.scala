@@ -453,6 +453,45 @@ class DedupSpec extends SparkSpecBase {
     assert(verb.toSeq === Seq((7L, 100L, 2L, 2L, 1000L, 1000L)))
   }
 
+  test("overlapScores cap grades only the top-k most-severe flags per doc; audit enumerates the prune") {
+    import graft.dedup.Decontam
+    // doc 1 flags against three bench items with DIFFERENT severities:
+    // b100 shares 3 distinct 2-grams, b200 shares 2, b300 shares 2
+    // (tie with b200 → bench_id breaks it)
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d"),   // grams {a b, b c, c d} → 3 hits
+      (200L, "e f g"),     // {e f, f g} → 2 hits
+      (300L, "g h x")      // {g h} → 1 hit
+    ).toDF("bench_id", "text")
+    def run(cap: Option[Int]) = Decontam.overlapScores(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 2, minHits = 1, maxPairsPerDoc = cap)
+      .select("doc_id", "bench_id", "n_hits").as[(Long, Long, Long)].collect().toSet
+    val uncapped = run(None)
+    assert(uncapped === Set((1L, 100L, 3L), (1L, 200L, 2L), (1L, 300L, 1L)))
+    // cap 2 keeps the two most-severe; a generous cap changes nothing
+    assert(run(Some(2)) === Set((1L, 100L, 3L), (1L, 200L, 2L)))
+    assert(run(Some(99)) === uncapped)
+    // capped rows are BIT-EQUAL to their uncapped counterparts (the
+    // cap prunes pairs, never perturbs grading arithmetic)
+    val full = Decontam.overlapScores(docs, col("text"), col("doc_id"),
+      bench, col("text"), col("bench_id"), n = 2, minHits = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val capped = Decontam.overlapScores(docs, col("text"), col("doc_id"),
+      bench, col("text"), col("bench_id"), n = 2, minHits = 1, maxPairsPerDoc = Some(2))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(full) && capped.size === 2)
+    // the audit names the doc the cap bound on, with exact counts
+    val audit = Decontam.overlapCapAudit(docs, col("text"), col("doc_id"),
+      bench, col("text"), col("bench_id"), n = 2, minHits = 1, maxPairsPerDoc = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(audit === Seq((1L, 3L, 2L, 1L)))
+    // a cap that never binds audits EMPTY — the capped pass is exact
+    assert(Decontam.overlapCapAudit(docs, col("text"), col("doc_id"),
+      bench, col("text"), col("bench_id"), n = 2, minHits = 1, maxPairsPerDoc = 3).count() === 0L)
+  }
+
   test("semantic decontamination catches the word-shuffle paraphrase the n-gram screen misses") {
     import graft.dedup.Decontam
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))

@@ -907,6 +907,12 @@ object FuzzDump {
           // a reader between crash and retry must still see a
           // consistent pre-crash version
           require(graft.sources.Versioned.read(spark, root).count() >= 0)
+          // age the stranded claim past the steal-slack window: the
+          // replay models a retry AFTER the crash is judged dead, not
+          // a same-instant one (which correctly refuses a fresh claim)
+          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("_claim_"))
+            .foreach(_.setLastModified(System.currentTimeMillis() - 10000))
         }
         require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged,
           s"seed $seed: replay after '$point' crash must commit")
@@ -922,6 +928,83 @@ object FuzzDump {
           |m3 AS (SELECT m2.id, m2.v FROM m2 LEFT JOIN d3 ON m2.id = d3.id WHERE d3.id IS NULL
           |       UNION ALL SELECT id, v FROM d3 WHERE NOT del)
           |SELECT id, v FROM m3""".stripMargin)
+    }
+
+    // ---- index compaction: the TableCompact publish path under
+    // randomized drop sequences, compaction points, and injected
+    // crashes (r14 — the new publish path gets its crash fuzz, the
+    // warehouse_crash discipline). A postings search index is created
+    // from a random base, grows by appended drops, is compacted at a
+    // random point of the sequence — a third of compactions are
+    // KILLED at a random TableCompact seam ('staged': staging table
+    // stranded, live intact; 'swapped': live table loudly MISSING)
+    // and must be healed by the retry — then probed with random
+    // phrases: the occurrence counts must equal the from-scratch
+    // phrase replay whatever the append/compact/crash history was. ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 27)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      def mkText() = (0 until 3 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val nBase = 3 + rnd.nextInt(8)
+      val nDrops = 1 + rnd.nextInt(2)
+      val all = (0 until nBase + 4 * nDrops).map(i => (i.toLong, mkText()))
+      val docs = all.toDF("doc_id", "text")
+      val base = all.take(nBase).toDF("doc_id", "text")
+      val drops = (0 until nDrops).map(d =>
+        all.slice(nBase + 4 * d, nBase + 4 * (d + 1)).toDF("doc_id", "text"))
+      val phrases = (0 until 1 + rnd.nextInt(3)).map { p =>
+        val len = 1 + rnd.nextInt(3)
+        (s"p$p", (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("phrase_id", "ptext")
+
+      val wh = java.nio.file.Files.createTempDirectory("fuzz_idxcompact").toString
+      val db = s"fuzz_idx_$seed"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+      try {
+        val table = s"$db.posts"
+        graft.text.SearchIndex.create(base, col("text"), col("doc_id"), table,
+          nBuckets = 1 + rnd.nextInt(4))
+        val compactAt = rnd.nextInt(nDrops + 1) // 0 = right after create
+        def maybeCompact(point: Int): Unit = if (point == compactAt) {
+          if (rnd.nextInt(3) == 0) {
+            graft.sources.TableCompact.crashPoint =
+              Some(if (rnd.nextBoolean()) "staged" else "swapped")
+            val killed =
+              try { graft.text.SearchIndex.compact(spark, table); None }
+              catch { case t: Throwable => Some(t) }
+              finally graft.sources.TableCompact.crashPoint = None
+            require(killed.exists(_.getMessage.contains("simulated crash")),
+              s"seed $seed: expected a simulated compact crash, got $killed")
+          }
+          // the retry (or the only attempt) heals whatever a crash
+          // stranded, then consolidates to one base partition
+          val st = graft.text.SearchIndex.compact(spark, table)
+          require(st.partitionsAfter == 1,
+            s"seed $seed: compact left ${st.partitionsAfter} partitions")
+        }
+        maybeCompact(0)
+        drops.zipWithIndex.foreach { case (d, i) =>
+          graft.text.SearchIndex.append(d, col("text"), col("doc_id"), table, dropId = s"d$i")
+          maybeCompact(i + 1)
+        }
+        dump("index_compact", seed,
+          Map("docs" -> docs, "phrases" -> phrases),
+          graft.text.SearchIndex.probe(spark, table, phrases, col("ptext"), col("phrase_id")),
+          """WITH toks AS (
+            |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM docs),
+            |ph AS (
+            |  SELECT phrase_id, string_split_regex(trim(lower(ptext)), '\s+') AS pt FROM phrases),
+            |jp AS (
+            |  SELECT ph.phrase_id, toks.doc_id, t, pt
+            |  FROM toks CROSS JOIN ph WHERE len(t) >= len(pt)),
+            |hit AS (
+            |  SELECT phrase_id, doc_id, (t[s+1:s+len(pt)] = pt) AS ok FROM (
+            |    SELECT phrase_id, doc_id, t, pt,
+            |           unnest(range(len(t) - len(pt) + 1)) AS s FROM jp))
+            |SELECT phrase_id AS phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+            |FROM hit WHERE ok GROUP BY 1, 2""".stripMargin)
+      } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
 
     cases

@@ -284,6 +284,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // agg and the pair sum; weighted median: per-(g, v) agg + the cum
     // window share one exchange, plus the final group agg
     "q_rouge_overlap" -> 2, "q_weighted_median" -> 2, "q_stop_grams" -> 1,
+    // q_rouge_capped: the rouge shape + the per-doc top-k window on
+    // the flagged relation (one doc_id exchange); the audit is the
+    // flagged relation + its per-doc count
+    "q_rouge_capped" -> 3, "q_rouge_cap_audit" -> 2,
     "q_ann_lsh" -> 1, "q_ann_ivf" -> 5, "q_cosine_topk" -> 1,
     "q_sessionize" -> 1, "q_session_window" -> 1,
     "q_decontam" -> 1, "q_source_overlap" -> 3, "q_boilerplate" -> 4,
@@ -498,6 +502,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // planning (driver reads the file-count-sized _zonemap), so the
     // executed plan has zero exchanges
     "q_warehouse_range" -> 0,
+    // q_warehouse_range_str: the same zone-pruned shape over STRING
+    // bounds — zero exchanges
+    "q_warehouse_range_str" -> 0,
     // q_warehouse_lookup: ONE bucket partition of ONE owning
     // directory, a pure pruned scan — zero exchanges
     "q_warehouse_lookup" -> 0,

@@ -165,4 +165,31 @@ class PqIndexSpec extends SparkSpecBase {
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("mutual probe plan budget: the nightly tail holds its exchange count") {
+    // the r13 scale profile put mutual_pq_indexed's α(4→16) at 0.84
+    // off a jitter-suspect x4 point; whatever the wall-clock says,
+    // the PLAN must not grow — this pins the probe+reciprocal tail's
+    // key-shuffle count so a refactor that drops the bucketed-list
+    // alignment, un-broadcasts the shortlist/coarse side, or adds a
+    // sort shows up here, not in the next x16 capture. Budget from
+    // the current plan: the q_id probe window + the c_id exchange of
+    // the QUERY side into the bucketed lists join + the two
+    // rankedTopK windows + the reciprocal self-join's two sides
+    // (edge-list-sized) — the lists themselves never shuffle
+    // (bucketed scan, pinned above).
+    withIndex(corpus, 4) { table =>
+      val df = Similarity.mutualKnnPqIndexed(spark, table,
+        corpus, AnnParams.MutualK, nprobe = AnnParams.MutualAnnNprobe, refine = 16)
+      df.collect()
+      // AQE prints final + initial plans; the budget is on the FINAL
+      val visible = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = "Exchange (hash|range)partitioning".r.findAllIn(visible).length
+      assert(n <= 2,
+        s"mutualKnnPqIndexed visible tail grew to $n key exchanges (budget 2); " +
+          "the probe-side shuffles live behind the checkpoint — did it move?")
+      graft.operators.Checkpoints.releaseAll()
+    }
+  }
 }

@@ -409,6 +409,13 @@ class PromoteSpec extends SparkSpecBase {
       // readers stay on the fully-consistent old version
       assert(Versioned.currentManifest(root).map(_.version) === Some(1), point)
       assert(Versioned.read(spark, root).count() === 12, point)
+      // simulate the retry arriving AFTER the steal-slack window by
+      // aging the stranded claim: a same-instant replay correctly
+      // refuses a fresh foreign claim (it cannot tell a crash from a
+      // live mid-commit writer — that refusal is CommitSlotSpec's pin)
+      Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_claim_"))
+        .foreach(_.setLastModified(System.currentTimeMillis() - 10000))
       // the replay commits cleanly over whatever the crash stranded
       // (staging orphan, held claim, renamed-but-unpublished dir,
       // orphan chain entry)
@@ -611,6 +618,138 @@ class PromoteSpec extends SparkSpecBase {
     assert(scannedParts(cold) === 1L)
     // a missing key is an empty result, not an error
     assert(Versioned.lookup(spark, root, 999999L).isEmpty)
+  }
+
+  // count Spark jobs started while `body` runs (the listener bus is
+  // async — poll until the count settles)
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val cur = n.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("the manifest records the widened schema; lookup plans driver-side and runs ONE job") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(32), root, "doc_id", 8, checks).promoted)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).flatMap(_.schemaB64).nonEmpty,
+      "every bucketed publish must record the table schema in the manifest")
+    // an evolving merge WIDENS the recorded schema
+    assert(Versioned.merge(Seq((3L, "d3 v2", "en", false)).toDF("doc_id", "text", "lang", "del"),
+      root, deleted = col("del")).merged)
+    val b64v2 = Versioned.currentManifest(root).flatMap(_.buckets).flatMap(_.schemaB64)
+    assert(b64v2.nonEmpty)
+    assert(b64v2 !== Versioned.versions(root).head.buckets.flatMap(_.schemaB64),
+      "the widening merge must re-record the schema")
+    // the serving read: key hash computed driver-side, schema from the
+    // manifest — the whole point lookup is exactly ONE Spark job (the
+    // single-bucket scan); footer derivation or a one-row hash job
+    // would each add one
+    var got: Seq[(Long, String, Option[String])] = Nil
+    val jobs = countJobs {
+      got = Versioned.lookup(spark, root, 3L)
+        .as[(Long, String, Option[String])].collect().toSeq
+    }
+    assert(got === Seq((3L, "d3 v2", Some("en"))))
+    assert(jobs === 1, s"lookup must run exactly one job, ran $jobs")
+    // an empty-bucket lookup plans entirely on the driver: ZERO jobs
+    // (readers of a missing key pay nothing but the manifest read)
+    val missJobs = countJobs {
+      // key 999999 may or may not share a bucket — use a key whose
+      // bucket is empty only if one exists; otherwise this still pins
+      // the ≤1-job property
+      val df = Versioned.lookup(spark, root, 999999L)
+      assert(df.isEmpty)
+    }
+    assert(missJobs <= 1, s"missing-key lookup ran $missJobs jobs")
+    // a manifest WITHOUT the schema field (pre-r14 table) degrades to
+    // the footer path — same values, just more driver I/O
+    val mf = new File(root, "_manifest.json")
+    val stripped = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      .replaceAll(""",\s*"schema"\s*:\s*"[^"]+"""", "")
+    Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).flatMap(_.schemaB64).isEmpty)
+    assert(Versioned.lookup(spark, root, 3L).as[(Long, String, Option[String])].collect()
+      .toSeq === Seq((3L, "d3 v2", Some("en"))))
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("doc_id", "text", "lang"))
+    // and the next merge re-records it
+    assert(Versioned.merge(Seq((4L, "d4 v2", "fr", false)).toDF("doc_id", "text", "lang", "del"),
+      root, deleted = col("del")).merged)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).flatMap(_.schemaB64).nonEmpty)
+  }
+
+  test("string and date zone maps prune files; non-comparable zone types are refused loudly") {
+    val root = freshRoot()
+    // lang clusters by construction: ids 1-200 'de', 201-400 'en' …,
+    // range-partitioned on lang so create-time file zones are disjoint
+    val base = (1L to 800L).map { j =>
+      val lang = Seq("de", "en", "fr", "pt")(((j - 1) / 200L).toInt)
+      (j, s"d$j", lang, java.sql.Date.valueOf(f"2026-${((j - 1) / 100L) + 1}%02d-15"))
+    }.toDF("doc_id", "text", "lang", "day")
+      .repartitionByRange(8, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("lang", "day")).promoted)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    // string range: pruned ≡ plain, strictly fewer files
+    val ranged = Versioned.readRange(spark, root, "lang", "de", "de")
+    val plain = Versioned.read(spark, root).filter(col("lang") === "de")
+    assert(ranged.select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+      === plain.select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet)
+    assert(ranged.count() === 200)
+    assert(filesScanned(ranged) < filesScanned(plain),
+      "string zone maps must prune files")
+    // date range via ISO-string bounds (binary order ≡ date order)
+    val inMarch = Versioned.readRange(spark, root, "day", "2026-03-01", "2026-03-31")
+    val plainMarch = Versioned.read(spark, root)
+      .filter(col("day").between("2026-03-01", "2026-03-31"))
+    assert(inMarch.count() === 100 && plainMarch.count() === 100)
+    assert(filesScanned(inMarch) < filesScanned(plainMarch))
+    // conjunctive string + integral prune: the nightly `lang AND id
+    // window` report shape
+    val both = Versioned.readRangeAll(spark, root,
+      Seq(("lang", "en", "en"), ("doc_id", 201L, 250L)))
+    assert(both.count() === 50)
+    // the residual filter reaches the parquet scan as pushed filters —
+    // row-group stats prune WITHIN surviving files too
+    both.collect()
+    val pushed = both.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(p =>
+      p.contains("GreaterThanOrEqual(doc_id,201)") && p.contains("LessThanOrEqual(doc_id,250)")),
+      s"range predicates must push into the scan, got: $pushed")
+    // a double zone column would TRUNCATE bounds and over-prune —
+    // refused at publish, loudly
+    val bad = (1L to 10L).map(j => (j, j + 0.5)).toDF("doc_id", "score")
+    val e = intercept[RuntimeException](
+      Versioned.promoteBucketed(bad, freshRoot(), "doc_id", 2, zoneCols = Seq("score")))
+    assert(e.getMessage.contains("zone maps support integral, string, and date"))
+    // same guard on the standalone ZoneMaps
+    val dir = Files.createTempDirectory("graft_zm_guard").toString
+    bad.write.mode("overwrite").parquet(dir)
+    val e2 = intercept[RuntimeException](
+      graft.sources.ZoneMaps.buildStats(spark, dir, Seq("score")))
+    assert(e2.getMessage.contains("zone maps support integral, string, and date"))
   }
 
   test("a stale staging directory from a crashed promotion never collides and vacuum sweeps it") {
