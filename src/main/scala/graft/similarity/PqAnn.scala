@@ -183,28 +183,35 @@ object PqAnn {
   private[similarity] def probeCoded(coarse: DataFrame, cbs: DataFrame, lists: DataFrame,
       queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
     require(refine >= k)
+    val qs = queries
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
+    val probed0 = qs
+      .crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosineQ(dotQ(col("qe"), col("ce")), col("qnrm"), col("cnrm")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("qnrm"), col("c_id"))
     // per-query ADC lookup tables, SPLIT by field so the scoring fold
     // is the native PqLookupSum expression (codegen'd m-lookup loop)
     // instead of an interpreted HOF over structs: lut_pd[s][dcid] =
     // partial dot of the query's subspace-s slice with codeword dcid
     // (the native PqLut loop — one m·k·subDim pass per query), and
     // lut_cn is the CONSTANT codeword-norm table cn2, a broadcast
-    // column reference costing zero per-row work.
-    val qs = queries
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    // column reference costing zero per-row work. Attached AFTER the
+    // top-nprobe filter: the LUT is m·pqK longs (~4 KB at the gate
+    // params — 8× the query vector), and carrying it through the
+    // Q × centroids cross-join and the probe window's exchange was the
+    // r14-profiled growing term of the indexed PQ probe (α(4→16) ≈ 1.0
+    // at √N centroids, where the exact-list probe ran flat); computed
+    // on the Q·nprobe survivors the duplicate work is nprobe tiny
+    // passes per query and the window moves vectors, not tables.
+    val probed = probed0
       .crossJoin(broadcast(cbs3Row(cbs)))
       .withColumn("lut_pd", org.apache.spark.sql.graft.GraftFunctions
         .pqLut(col("qe"), col("cbs3")))
       .withColumnRenamed("cn2", "lut_cn")
       .drop("cbs3")
-
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
-    val probed = qs
-      .crossJoin(broadcast(coarse))
-      .withColumn("__ccos", cosineQ(dotQ(col("qe"), col("ce")), col("qnrm"), col("cnrm")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") <= nprobe)
-      .select(col("q_id"), col("qe"), col("qnrm"), col("lut_pd"), col("lut_cn"), col("c_id"))
 
     val pqSum = org.apache.spark.sql.graft.GraftFunctions.pqLookupSum _
     val adc = probed

@@ -90,10 +90,14 @@ object ProfileScaleUp {
       // r13 additions: the schema-evolution merge (same fresh-root
       // publish shape as q_warehouse_merge) and the zone-pruned range
       // read (cached build — the timed cost IS the pruned read)
-      "q_warehouse_evolve", "q_warehouse_range")
+      "q_warehouse_evolve", "q_warehouse_range",
+      // r14 additions: the BOUNDED rouge grading (must run flat where
+      // the uncapped anchor grows with flagged pairs) and the string
+      // zone-pruned range read (cached build, timed cost IS the read)
+      "q_rouge_capped", "q_warehouse_range_str")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
-      if (args.nonEmpty) "dev/scaleup_r13b.json" else "dev/scaleup_r13.json")
+      if (args.nonEmpty) "dev/scaleup_r14b.json" else "dev/scaleup_r14.json")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
