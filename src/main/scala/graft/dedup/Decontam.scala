@@ -85,9 +85,13 @@ object Decontam {
     val graded = maxPairsPerDoc match {
       case Some(k) =>
         require(k >= 1, s"maxPairsPerDoc must be >= 1, got $k")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("n_hits").desc, col("bench_id").asc)
-        flagged.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
+        // GroupTopK, not a row_number window: the partial per-partition
+        // heap runs BEFORE the exchange, so the doc_id shuffle carries
+        // ≤ k·docs rows instead of the whole flagged relation (10.9M
+        // rows at the ×16 profile's screen point — the exact regime
+        // the cap exists for)
+        org.apache.spark.sql.graft.GraftPlans.groupTopK(
+          flagged, Seq(col("doc_id")), Seq(col("n_hits").desc, col("bench_id").asc), k)
       case None => flagged
     }
     val docGrams = corpus
