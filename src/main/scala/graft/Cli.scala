@@ -306,7 +306,9 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val (opts, cmds) = parse(args.toList)
     val cmd = cmds.headOption.getOrElse(fail("missing command"))
-    val in = opts.getOrElse("i", fail("missing -i INPUT"))
+    // resolved lazily: catalog-table commands (index-compact) and the
+    // root-addressed promote actions take no -i input
+    lazy val in = opts.getOrElse("i", fail("missing -i INPUT"))
     val fmt = opts.getOrElse("f", "json")
     val spark = GraftSession.getOrCreate("graft-cli")
 
@@ -1246,6 +1248,34 @@ object Cli {
               })
             case other => fail(s"unknown zonemap action: $other")
           }
+        case "index-compact" =>
+          // maintenance pass for the drop_id-partitioned persisted
+          // index family: consolidate a table's append history to one
+          // base partition (one file per bucket again). --kind names
+          // the index; bm25 compacts the tf table AND its stats
+          // ledger; ivf additionally reclaims rebalance's dead rows.
+          // Claim-guarded, crash-healable (a crashed pass heals at the
+          // next run) — schedule from maintenance, not under probes.
+          import spark.implicits._
+          val table = opts.getOrElse("table", fail("--table NAME required"))
+          def statRows(label: String, st: graft.sources.TableCompact.CompactStats) = Seq(
+            (label, "rows", st.rows), (label, "dropped_rows", st.droppedRows),
+            (label, "partitions_before", st.partitionsBefore.toLong),
+            (label, "partitions_after", st.partitionsAfter.toLong),
+            (label, "files_before", st.filesBefore.toLong),
+            (label, "files_after", st.filesAfter.toLong))
+          val rows = opts.getOrElse("kind", fail(
+            "--kind postings|bm25|minhash|ivf|pq required")) match {
+            case "postings" => statRows("postings", graft.text.SearchIndex.compact(spark, table))
+            case "bm25" =>
+              val (tf, st) = graft.text.SearchIndex.compactBm25(spark, table)
+              statRows("tf", tf) ++ statRows("stats", st)
+            case "minhash" => statRows("bands", graft.dedup.MinhashIndex.compact(spark, table))
+            case "ivf" => statRows("lists", graft.similarity.IvfIndex.compact(spark, table))
+            case "pq" => statRows("lists", graft.similarity.PqIndex.compact(spark, table))
+            case other => fail(s"unknown index kind: $other")
+          }
+          write(rows.toDF("table_part", "stat", "value"))
         case "kmv-overlap" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val group = expr(opts.getOrElse("group", "source"))

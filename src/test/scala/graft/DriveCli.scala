@@ -1418,5 +1418,57 @@ object DriveCli {
       println(s"ZONEMAP=${got.count()} OK=${ok && got.count() > 0}")
       spark.stop()
     }
+
+    // zonemap string family: build stats over the string column, read
+    // a string range (non-numeric --lo/--hi routes to the string
+    // overload), equal to the plain filtered read
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "zonemap", "--action", "build", "--out", s"$tmp/zm/docs", "--key", "source"))
+    Cli.main(Array("-i", docs, "-f", "parquet",
+      "zonemap", "--action", "read", "--out", s"$tmp/zm/docs",
+      "--key", "source", "--lo", "src10", "--hi", "src15",
+      "--outfile", s"$tmp/zmreadstr"))
+    locally {
+      val spark = GraftSession.builder("verifyZmStr", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dd = graft.sources.PartitionedFiles.readParquet(spark, docs)
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/zmreadstr")
+      val exp = dd.filter(col("source") >= "src10" && col("source") <= "src15")
+      val ok = got.except(exp).count() == 0 && exp.except(got).count() == 0
+      println(s"ZONEMAP_STR=${got.count()} OK=${ok && got.count() > 0}")
+      spark.stop()
+    }
+
+    // index-compact: build a postings index and append a drop in a
+    // LIVE session (not stopped — Cli.main's getOrCreate reuses it, so
+    // the in-memory catalog carries the table into the CLI call; with
+    // a persistent metastore the command works across invocations),
+    // then the CLI compacts it to one base partition and reports stats
+    locally {
+      val spark = GraftSession.builder("seedIdx", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val whDir = java.nio.file.Files.createTempDirectory("drive_idx").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS drive_idx LOCATION '$whDir'")
+      val base = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+      val drop = Seq((3L, "alpha beta beta")).toDF("doc_id", "text")
+      graft.text.SearchIndex.create(base, col("text"), col("doc_id"),
+        "drive_idx.posts", nBuckets = 2)
+      graft.text.SearchIndex.append(drop, col("text"), col("doc_id"),
+        "drive_idx.posts", dropId = "d0")
+      // no spark.stop(): the CLI call below must see the catalog
+    }
+    Cli.main(Array("-f", "parquet", "index-compact", "--kind", "postings",
+      "--table", "drive_idx.posts", "--outfile", s"$tmp/idxcompact"))
+    locally {
+      val spark = GraftSession.builder("verifyIdx", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val st = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/idxcompact")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val ok = st.contains(("postings", "partitions_after", 1L)) &&
+        st.exists { case (_, k, v) => k == "partitions_before" && v == 2L }
+      println(s"INDEX_COMPACT=${st.length} OK=$ok")
+      spark.stop()
+    }
   }
 }

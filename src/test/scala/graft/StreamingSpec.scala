@@ -934,10 +934,18 @@ class StreamingSpec extends SparkSpecBase {
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       df => df.withColumn("v2", poisoned(col("id"), col("v")))
 
-    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+    // the poison usually surfaces wrapped as StreamingQueryException,
+    // but under parallel-suite load it can escape as the bare task
+    // SparkException — the contract under test is the committed-prefix
+    // visibility below, not the wrapper class
+    val crash = intercept[Exception] {
       EventStreams.incrementalBatch(spark, in, "id long, v long", transform, out, ckpt,
         maxFilesPerTrigger = Some(1))
     }
+    def mentionsCrash(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("injected crash")) ||
+        mentionsCrash(t.getCause))
+    assert(mentionsCrash(crash), s"unexpected failure: $crash")
     // the two batches committed before the crash are visible — and
     // ONLY those (the failed batch's partial output is not readable)
     val partial = spark.read.parquet(out).select("id", "v2").as[(Long, Long)].collect().toSet
