@@ -1394,15 +1394,27 @@ object Cli {
                 ("outcome", "path", m.path)).toDF("kind", "name", "value"))
             case "history" =>
               // the manifest chain, ascending; vacuumed versions show
-              // retained = false but keep their audit entry
+              // retained = false but keep their audit entry; ts is the
+              // publish wall-clock (epoch millis; 0 = pre-stamp entry)
               val rows = graft.sources.Versioned.versions(root).map { m =>
-                (m.version, m.path, m.previous.getOrElse(""),
+                (m.version, m.path, m.previous.getOrElse(""), m.ts,
                   new java.io.File(root, m.path).exists())
               }
-              write(rows.toDF("version", "path", "previous", "retained"))
+              write(rows.toDF("version", "path", "previous", "ts", "retained"))
             case "read-version" =>
               write(graft.sources.Versioned.readVersion(spark, root,
                 opts.getOrElse("to-version", fail("--to-version N required")).toInt))
+            case "read-asof" =>
+              // timestamp time travel: --ts epoch-millis or an ISO
+              // instant/date (dates read as midnight UTC)
+              val raw = opts.getOrElse("ts", fail("--ts MILLIS|ISO required"))
+              val ts = raw.toLongOption.getOrElse {
+                try java.time.Instant.parse(raw).toEpochMilli
+                catch { case _: java.time.format.DateTimeParseException =>
+                  java.time.LocalDate.parse(raw)
+                    .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli }
+              }
+              write(graft.sources.Versioned.readAsOf(spark, root, ts))
             case "diff-versions" =>
               // change feed: per-key lifecycle of --to-version relative
               // to --from-version (added/removed/changed/unchanged)

@@ -69,9 +69,12 @@ object Versioned {
     * directory (relative to the root), and the directory it
     * superseded (kept for in-flight readers and [[rollback]]).
     * Bucketed tables ([[promoteBucketed]]/[[merge]]) additionally
-    * carry a [[BucketSpec]]. */
+    * carry a [[BucketSpec]]. `ts` is the publish wall-clock (epoch
+    * millis, stamped by [[writeManifest]]) — [[readAsOf]]'s axis;
+    * 0 on chain entries written before the field existed (treated as
+    * predating every queryable instant). */
   final case class Manifest(version: Int, path: String, previous: Option[String],
-      buckets: Option[BucketSpec] = None)
+      buckets: Option[BucketSpec] = None, ts: Long = 0L)
 
   /** Layout contract of a bucketed table: the merge key, the bucket
     * count fixed at creation (keys hash to buckets — changing the
@@ -114,6 +117,7 @@ object Versioned {
 
   private def render(m: Manifest): String = {
     val prev = m.previous.map(p => "\"" + p + "\"").getOrElse("null")
+    val ts = if (m.ts > 0) s""", "ts": ${m.ts}""" else ""
     val bkts = m.buckets.map { b =>
       s""", "key": "${b.key}", "numBuckets": ${b.numBuckets}, "rows": ${b.rows}, """ +
         s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]""" +
@@ -121,7 +125,7 @@ object Versioned {
          else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""") +
         b.schemaB64.map(s => s""", "schema": "$s"""").getOrElse("")
     }.getOrElse("")
-    s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$bkts}"""
+    s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$ts$bkts}"""
   }
 
   private val VersionRe = """"version"\s*:\s*(\d+)""".r.unanchored
@@ -133,6 +137,7 @@ object Versioned {
   private val OwnerRe = """"owner"\s*:\s*\[([^\]]*)\]""".r.unanchored
   private val ZonesRe = """"zones"\s*:\s*\[([^\]]*)\]""".r.unanchored
   private val SchemaRe = """"schema"\s*:\s*"([A-Za-z0-9+/=]+)"""".r.unanchored
+  private val TsRe = """"ts"\s*:\s*(\d+)""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -153,7 +158,8 @@ object Versioned {
         Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema))
       case _ => None
     }
-    Manifest(v, p, prev, buckets)
+    val ts = text match { case TsRe(t) => t.toLong case _ => 0L }
+    Manifest(v, p, prev, buckets, ts)
   }
 
   /** The live manifest, if the table exists. */
@@ -189,8 +195,10 @@ object Versioned {
     }
 
   /** Atomic pointer swap: write beside, rename over. Also records the
-    * version's immutable `_v%05d.json` chain entry. */
-  private def writeManifest(root: String, m: Manifest): Unit = {
+    * version's immutable `_v%05d.json` chain entry, stamped with the
+    * publish wall-clock ([[readAsOf]]'s axis). */
+  private def writeManifest(root: String, m0: Manifest): Unit = {
+    val m = m0.copy(ts = System.currentTimeMillis())
     // chain entry first: if we crash between the two writes, the live
     // pointer still names the old version and the orphan chain entry
     // is overwritten by the next publish of that version number
@@ -219,6 +227,33 @@ object Versioned {
     val m = versions(root).find(_.version == v)
       .getOrElse(sys.error(s"version $v was never published under $root"))
     readManifestData(spark, root, m)
+  }
+
+  /** The chain version live AS OF `tsMillis` (latest publish stamp ≤
+    * the instant; entries predating the `ts` field count as older
+    * than everything). None when the instant predates the first
+    * publish. */
+  def versionAsOf(root: String, tsMillis: Long): Option[Int] = {
+    val eligible = versions(root).filter(_.ts <= tsMillis)
+    if (eligible.isEmpty) None else Some(eligible.maxBy(_.version).version)
+  }
+
+  /** Timestamp time travel (the `TIMESTAMP AS OF` read every
+    * manifest-chain table format offers): the data as the table stood
+    * at `tsMillis` — resolved to the LATEST chain entry whose publish
+    * stamp is ≤ the instant, then read like [[readVersion]] (so it
+    * fails loudly when that version's directories were vacuumed, and
+    * it sees rollbacks as the publishes they are: an instant after a
+    * rollback reads the rolled-back-to content). A publish's stamp is
+    * its manifest write — the first moment any reader could have
+    * resolved it, so as-of semantics match what a reader at that
+    * wall-clock actually saw. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val v = versionAsOf(root, tsMillis).getOrElse(sys.error(
+      s"nothing was live under $root at $tsMillis — the instant predates the first publish " +
+        s"(earliest stamped publish: ${versions(root).map(_.ts).filter(_ > 0).minOption
+          .getOrElse("none recorded")})"))
+    readVersion(spark, root, v)
   }
 
   private def readManifestData(spark: SparkSession, root: String, m: Manifest): DataFrame =

@@ -989,7 +989,18 @@ object DriveCli {
         hist.count() == 3 &&                              // chain: v1, v2, v3(rollback)
         v2.count() == sliverN                             // time travel reads v2
       println(s"TIMETRAVEL=${hist.count()} OK=$ok")
+      // timestamp as-of through the CLI: v2's publish stamp from the
+      // history output resolves back to v2's data
+      val t2 = hist.filter(col("version") === 2).select("ts").head().getLong(0)
       spark.stop()
+      Cli.main(Array("-f", "parquet",
+        "promote", "--root", proot, "--action", "read-asof", "--ts", t2.toString,
+        "--outfile", s"$tmp/prom_asof"))
+      val spark2 = GraftSession.builder("verifyAsOf", "local[4]", 4).getOrCreate()
+      spark2.sparkContext.setLogLevel("ERROR")
+      val asof = graft.sources.PartitionedFiles.readParquet(spark2, s"$tmp/prom_asof")
+      println(s"READASOF=${asof.count()} OK=${t2 > 0 && asof.count() == sliverN}")
+      spark2.stop()
     }
 
     // warehouse merge: bucketed publish, then one drop upserts 2 keys,

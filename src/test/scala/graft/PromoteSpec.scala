@@ -752,6 +752,51 @@ class PromoteSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("zone maps support integral, string, and date"))
   }
 
+  test("readAsOf resolves the latest publish at the instant; rollbacks read as publishes") {
+    val root = freshRoot()
+    assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
+    val t1 = Versioned.versions(root).last.ts
+    assert(t1 > 0, "every publish must stamp its chain entry")
+    Thread.sleep(5)
+    assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
+    val t2 = Versioned.versions(root).last.ts
+    Thread.sleep(5)
+    Versioned.rollback(root, toVersion = 1)
+    val t3 = Versioned.versions(root).last.ts
+    assert(t1 < t2 && t2 < t3, "publish stamps must be monotone in this sequence")
+    // between the stamps, the read is the version a reader saw then
+    assert(Versioned.versionAsOf(root, t1) === Some(1))
+    assert(Versioned.readAsOf(spark, root, t1).count() === 1)
+    assert(Versioned.versionAsOf(root, t2) === Some(2))
+    assert(Versioned.readAsOf(spark, root, t2).count() === 2)
+    // an instant after the rollback reads the rolled-back-TO content,
+    // resolved through the rollback's own chain entry (version 3)
+    assert(Versioned.versionAsOf(root, t3 + 1) === Some(3))
+    assert(Versioned.readAsOf(spark, root, t3 + 1)
+      .as[(Long, String)].collect().toSeq === Seq(1L -> "a"))
+    // the far future reads the live table; prehistory refuses loudly
+    assert(Versioned.readAsOf(spark, root, Long.MaxValue).count() === 1)
+    val e = intercept[RuntimeException](Versioned.readAsOf(spark, root, t1 - 1))
+    assert(e.getMessage.contains("predates the first publish"))
+    // a pre-stamp chain entry (ts stripped, the pre-r14 shape) counts
+    // as predating everything: still resolvable, never an error
+    val v1 = new File(root, "_v00001.json")
+    val stripped = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+      .replaceAll(""",\s*"ts"\s*:\s*\d+""", "")
+    Files.write(v1.toPath, stripped.getBytes("UTF-8"))
+    assert(Versioned.versionAsOf(root, t1 - 1) === Some(1))
+    assert(Versioned.readAsOf(spark, root, t1 - 1).count() === 1)
+    // bucketed tables time-travel by timestamp the same way
+    val broot = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(8), broot, "doc_id", 4, checks).promoted)
+    val bt1 = Versioned.versions(broot).last.ts
+    Thread.sleep(5)
+    assert(Versioned.merge(Seq((9L, "d9", false)).toDF("doc_id", "text", "del"),
+      broot, deleted = col("del")).merged)
+    assert(Versioned.readAsOf(spark, broot, bt1).count() === 8)
+    assert(Versioned.readAsOf(spark, broot, System.currentTimeMillis()).count() === 9)
+  }
+
   test("a stale staging directory from a crashed promotion never collides and vacuum sweeps it") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
