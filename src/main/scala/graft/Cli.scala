@@ -1404,6 +1404,10 @@ object Cli {
             case "read-version" =>
               write(graft.sources.Versioned.readVersion(spark, root,
                 opts.getOrElse("to-version", fail("--to-version N required")).toInt))
+            case "describe" =>
+              // the DESCRIBE DETAIL analogue: manifest-only facts of
+              // the live version (layout, owner spread, zones, schema)
+              write(graft.sources.Versioned.describe(spark, root))
             case "read-asof" =>
               // timestamp time travel: --ts epoch-millis or an ISO
               // instant/date (dates read as midnight UTC)

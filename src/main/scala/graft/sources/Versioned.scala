@@ -1083,6 +1083,49 @@ object Versioned {
       readVersion(spark, root, from), readVersion(spark, root, to),
       key, key, content, content, keyName = keyName)
 
+  /** Change feed between two INSTANTS: [[diffVersions]] with both
+    * ends resolved through the publish stamps ([[versionAsOf]]) — the
+    * "what changed since last night's report ran" read, no version
+    * archaeology. Both instants must land on or after the first
+    * publish. Equal resolved versions diff to all-unchanged. */
+  def diffAsOf(spark: SparkSession, root: String, fromTs: Long, toTs: Long,
+      key: Column, content: Column, keyName: String = "key"): DataFrame = {
+    def at(ts: Long): Int = versionAsOf(root, ts).getOrElse(sys.error(
+      s"nothing was live under $root at $ts — the instant predates the first publish"))
+    diffVersions(spark, root, at(fromTs), at(toTs), key, content, keyName)
+  }
+
+  /** The ops-facing table summary (the `DESCRIBE DETAIL` analogue):
+    * one (name, value) row per fact of the LIVE version — version,
+    * publish stamp, layout contract (key/buckets/rows for bucketed
+    * tables), how many distinct directories the owner map spans (the
+    * "time to compact?" gauge), zone columns, the widened schema, and
+    * the chain length. Manifest-only: no data files are opened. */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val chain = versions(root)
+    val base = Seq(
+      "version" -> m.version.toString,
+      "path" -> m.path,
+      "published_ts" -> chain.find(_.version == m.version).map(_.ts).getOrElse(0L).toString,
+      "chain_length" -> chain.length.toString,
+      "retained_versions" -> chain.count(x => new File(root, x.path).exists()).toString)
+    val bucketed = m.buckets.toSeq.flatMap { spec =>
+      Seq(
+        "bucket_key" -> spec.key,
+        "num_buckets" -> spec.numBuckets.toString,
+        "rows" -> spec.rows.toString,
+        "owner_directories" -> spec.owner.filter(_.nonEmpty).distinct.length.toString,
+        "empty_buckets" -> spec.owner.count(_.isEmpty).toString,
+        "zone_columns" -> spec.zones.mkString(","),
+        "schema" -> spec.schemaB64.map(b64 =>
+          decodeSchema(b64).map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+          .getOrElse("(pre-r14 manifest: derived from footers at read)"))
+    }
+    (base ++ bucketed).toDF("name", "value")
+  }
+
   /** Roll back by PUBLISHING: the new live version is
     * `live.version + 1` and its path is the TARGET version's
     * directory — no data is copied, no directory is deleted, and no

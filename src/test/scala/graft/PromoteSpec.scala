@@ -795,6 +795,18 @@ class PromoteSpec extends SparkSpecBase {
       broot, deleted = col("del")).merged)
     assert(Versioned.readAsOf(spark, broot, bt1).count() === 8)
     assert(Versioned.readAsOf(spark, broot, System.currentTimeMillis()).count() === 9)
+    // change feed between instants: the merge's insert is the delta
+    val feed = Versioned.diffAsOf(spark, broot, bt1, System.currentTimeMillis(),
+      col("doc_id"), col("text"), "doc_id")
+    assert(feed.filter(col("status") === "added").select("doc_id")
+      .as[Long].collect().toSeq === Seq(9L))
+    assert(feed.filter(col("status") =!= "unchanged").count() === 1)
+    // describe: manifest-only facts of the live version
+    val d = Versioned.describe(spark, broot).as[(String, String)].collect().toMap
+    assert(d("version") === "2" && d("rows") === "9" && d("num_buckets") === "4")
+    assert(d("owner_directories") === "2", "base dir + the merge's dir")
+    assert(d("schema").contains("doc_id:bigint") && d("schema").contains("text:string"))
+    assert(d("published_ts").toLong > bt1)
   }
 
   test("a stale staging directory from a crashed promotion never collides and vacuum sweeps it") {
