@@ -1235,16 +1235,28 @@ object Cli {
                 opts.getOrElse("key", fail("--key COLUMN required")).split(",").toSeq)
               println(s"[graft] zone map rebuilt for $out")
             case "read" =>
-              // numeric bounds probe the BIGINT zone family; anything
-              // else probes the string/date family (ISO dates prune
-              // under binary string order)
+              // the bound FAMILY comes from the zone manifest's own
+              // schema (never guessed from the literal's shape — a
+              // string column of zero-padded ids stores binary-ordered
+              // bounds that numeric comparison would mis-prune);
+              // --bound-type long|string overrides when no manifest
               val key = opts.getOrElse("key", fail("--key COLUMN required"))
               val lo = opts.getOrElse("lo", fail("--lo N required"))
               val hi = opts.getOrElse("hi", fail("--hi N required"))
-              write((lo.toLongOption, hi.toLongOption) match {
-                case (Some(l), Some(h)) =>
-                  graft.sources.ZoneMaps.readRange(spark, out, key, l, h)
-                case _ => graft.sources.ZoneMaps.readRange(spark, out, key, lo, hi)
+              val family = opts.get("bound-type")
+                .orElse(graft.sources.ZoneMaps.boundFamily(spark, out, key))
+              write(family match {
+                case Some("long") => graft.sources.ZoneMaps.readRange(spark, out, key,
+                  lo.toLongOption.getOrElse(fail(s"--lo '$lo' is not a BIGINT bound")),
+                  hi.toLongOption.getOrElse(fail(s"--hi '$hi' is not a BIGINT bound")))
+                case Some("string") => graft.sources.ZoneMaps.readRange(spark, out, key, lo, hi)
+                case Some(other) => fail(s"--bound-type must be long or string, got $other")
+                case None => // no manifest: residual-only scan, either family is exact
+                  (lo.toLongOption, hi.toLongOption) match {
+                    case (Some(l), Some(h)) =>
+                      graft.sources.ZoneMaps.readRange(spark, out, key, l, h)
+                    case _ => graft.sources.ZoneMaps.readRange(spark, out, key, lo, hi)
+                  }
               })
             case other => fail(s"unknown zonemap action: $other")
           }
@@ -1371,6 +1383,18 @@ object Cli {
                 ("outcome", "version", r.version.toString),
                 ("outcome", "path", r.path)).toDF("kind", "name", "value"))
               if (!r.promoted) sys.error(s"compaction refused: ${r.reason.getOrElse("")}")
+            case "rebucket" =>
+              // bucket-count evolution: republish the live data under
+              // --buckets N (same key + zone contract) — the layout
+              // remedy for a table that outgrew its creation count;
+              // one full rewrite, schedule like compaction
+              val r = graft.sources.Versioned.rebucket(spark, root,
+                opts.getOrElse("buckets", fail("--buckets N required")).toInt,
+                parsedChecks())
+              write(Seq(("outcome", "promoted", r.promoted.toString),
+                ("outcome", "version", r.version.toString),
+                ("outcome", "path", r.path)).toDF("kind", "name", "value"))
+              if (!r.promoted) sys.error(s"rebucket refused: ${r.reason.getOrElse("")}")
             case "rollback" =>
               // --to-version N targets any retained chain version;
               // without it, one step back. Either way the rollback is
@@ -1412,12 +1436,16 @@ object Cli {
               // timestamp time travel: --ts epoch-millis or an ISO
               // instant/date (dates read as midnight UTC)
               val raw = opts.getOrElse("ts", fail("--ts MILLIS|ISO required"))
-              val ts = raw.toLongOption.getOrElse {
-                try java.time.Instant.parse(raw).toEpochMilli
+              val ts = raw.toLongOption.orElse {
+                // both parses are fallible — a malformed --ts must
+                // surface as the CLI's message, not a raw stack trace
+                try Some(java.time.Instant.parse(raw).toEpochMilli)
                 catch { case _: java.time.format.DateTimeParseException =>
-                  java.time.LocalDate.parse(raw)
-                    .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli }
-              }
+                  try Some(java.time.LocalDate.parse(raw)
+                    .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+                  catch { case _: java.time.format.DateTimeParseException => None } }
+              }.getOrElse(fail(
+                s"--ts '$raw' must be epoch millis, an ISO instant, or an ISO date"))
               write(graft.sources.Versioned.readAsOf(spark, root, ts))
             case "diff-versions" =>
               // change feed: per-key lifecycle of --to-version relative
@@ -1432,16 +1460,29 @@ object Cli {
             case "read-range" =>
               // zone-pruned range read: --range-col C --lo N --hi N
               // (files whose [min,max] zones miss the range never
-              // become tasks; result ≡ the plain filtered read).
-              // Numeric bounds probe the BIGINT zone family; anything
-              // else the string/date family (ISO dates, binary order)
+              // become tasks; result ≡ the plain filtered read). The
+              // bound FAMILY is resolved from the live manifest's
+              // recorded schema — never guessed from the literal's
+              // shape, so a STRING column of numeric-looking values
+              // (zero-padded ids) probes its binary-ordered bounds
+              // correctly; --bound-type long|string overrides
               val rc = opts.getOrElse("range-col", fail("--range-col COLUMN required"))
               val lo = opts.getOrElse("lo", fail("--lo N required"))
               val hi = opts.getOrElse("hi", fail("--hi N required"))
-              write((lo.toLongOption, hi.toLongOption) match {
-                case (Some(l), Some(h)) =>
-                  graft.sources.Versioned.readRange(spark, root, rc, l, h)
-                case _ => graft.sources.Versioned.readRange(spark, root, rc, lo, hi)
+              val family = opts.get("bound-type")
+                .orElse(graft.sources.Versioned.zoneFamily(spark, root, rc))
+              write(family match {
+                case Some("long") => graft.sources.Versioned.readRange(spark, root, rc,
+                  lo.toLongOption.getOrElse(fail(s"--lo '$lo' is not a BIGINT bound")),
+                  hi.toLongOption.getOrElse(fail(s"--hi '$hi' is not a BIGINT bound")))
+                case Some("string") => graft.sources.Versioned.readRange(spark, root, rc, lo, hi)
+                case Some(other) => fail(s"--bound-type must be long or string, got $other")
+                case None => // unbucketed table: residual-only, either family is exact
+                  (lo.toLongOption, hi.toLongOption) match {
+                    case (Some(l), Some(h)) =>
+                      graft.sources.Versioned.readRange(spark, root, rc, l, h)
+                    case _ => graft.sources.Versioned.readRange(spark, root, rc, lo, hi)
+                  }
               })
             case o => fail(s"unknown --action: $o")
           }

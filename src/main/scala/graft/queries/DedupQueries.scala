@@ -40,6 +40,26 @@ object DedupQueries {
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
           lit(false).as("del")))
 
+  /** The TUPLE-keyed lifecycle drop: deletes and updates keyed on the
+    * live (source, doc_id) tuples, inserts that REUSE existing
+    * doc_ids under a new source — the rows a single-column key would
+    * collide on and a composite key must insert. */
+  private def compositeDrop(docs: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0)
+      .select(col("source"), col("doc_id"), lit(null).cast("string").as("text"),
+        lit(true).as("del"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
+          pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0)
+        .select(col("source"), col("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"), lit(false).as("del")))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0)
+        .select(lit("drop").as("source"), col("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit(false).as("del")))
+
   /** Published-and-merged warehouse, built ONCE per (JVM, sf dir) —
     * the zonedLineitem amortization: q_warehouse_diff's operator
     * under test is the time-travel + diff read, not the build (the
@@ -354,6 +374,43 @@ object DedupQueries {
       require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
       val rep = Versioned.merge(warehouseDrop(docs), root, deleted = col("del"))
       require(rep.merged, s"warehouse merge refused: ${rep.reason}")
+      Versioned.read(s, root)
+    }),
+
+    // §2.2/22bh16 COMPOSITE-key MERGE publish: the same lifecycle
+    // keyed on the (source, doc_id) TUPLE — the shape real corpora
+    // need (a doc_id is only unique within its source). The insert
+    // leg reuses EXISTING doc_ids under a new source ('drop'), so a
+    // single-column key would collide where the tuple key must
+    // insert; the oracle replays the full-outer merge joined on BOTH
+    // columns, so a row mis-keyed on either component
+    // hash-mismatches.
+    "q_warehouse_merge2" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_merge2").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "source,doc_id", numBuckets = 16).promoted)
+      val rep = Versioned.merge(compositeDrop(docs), root, deleted = col("del"))
+      require(rep.merged, s"composite-key warehouse merge refused: ${rep.reason}")
+      Versioned.read(s, root)
+    }),
+
+    // §2.2/22bh17 bucket-count evolution (rebucket): the merged
+    // warehouse republishes under 4× the buckets — content must be
+    // row-identical through the layout change (the oracle is the same
+    // merge replay), the new contract owns every bucket, and serving
+    // paths hash against it (spec-pinned; this gate pins the VALUES).
+    "q_warehouse_rebucket" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_rebkt").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 8).promoted)
+      require(Versioned.merge(warehouseDrop(docs), root, deleted = col("del")).merged)
+      val r = Versioned.rebucket(s, root, newBuckets = 32)
+      require(r.promoted, s"rebucket refused: ${r.reason}")
+      val spec = Versioned.currentManifest(root).flatMap(_.buckets).get
+      require(spec.numBuckets == 32 && spec.owner.distinct == Vector(r.path),
+        "rebucket must own every bucket under the new count")
       Versioned.read(s, root)
     }),
 
@@ -978,6 +1035,52 @@ object DedupQueries {
     // base rows whose key is in NO drop leg; upserts and inserts come
     // back verbatim. Bit-equal to the bucketed merge's assembled read.
     "q_warehouse_merge" ->
+      raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           |upd AS (
+           |  SELECT doc_id, source, text || ' v2' AS text FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT -doc_id - 1 AS doc_id,
+           |         'drop' AS source,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT doc_id FROM upd
+           |  UNION ALL SELECT doc_id FROM ins)
+           |SELECT b.doc_id, b.source, b.text
+           |FROM base b LEFT JOIN dropkeys k ON b.doc_id = k.doc_id
+           |WHERE k.doc_id IS NULL
+           |UNION ALL SELECT doc_id, source, text FROM upd
+           |UNION ALL SELECT doc_id, source, text FROM ins""".stripMargin,
+    // the composite-key replay: the full-outer merge joined on BOTH
+    // key columns; the insert leg reuses live doc_ids under source
+    // 'drop', so a single-column merge would lose or clobber rows
+    "q_warehouse_merge2" ->
+      raw"""WITH base AS (SELECT source, doc_id, text FROM documents),
+           |upd AS (
+           |  SELECT source, doc_id, text || ' v2' AS text FROM base
+           |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+           |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+           |ins AS (
+           |  SELECT 'drop' AS source, doc_id,
+           |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+           |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+           |dropkeys AS (
+           |  SELECT source, doc_id FROM base
+           |  WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+           |  UNION ALL SELECT source, doc_id FROM upd
+           |  UNION ALL SELECT source, doc_id FROM ins)
+           |SELECT b.source, b.doc_id, b.text
+           |FROM base b LEFT JOIN dropkeys k
+           |  ON b.source = k.source AND b.doc_id = k.doc_id
+           |WHERE k.doc_id IS NULL
+           |UNION ALL SELECT source, doc_id, text FROM upd
+           |UNION ALL SELECT source, doc_id, text FROM ins""".stripMargin,
+    // the rebucket gate reads the SAME merged content through the new
+    // layout — the replay is q_warehouse_merge's, column order aside
+    "q_warehouse_rebucket" ->
       raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
            |upd AS (
            |  SELECT doc_id, source, text || ' v2' AS text FROM base

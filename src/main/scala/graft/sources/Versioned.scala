@@ -76,24 +76,31 @@ object Versioned {
   final case class Manifest(version: Int, path: String, previous: Option[String],
       buckets: Option[BucketSpec] = None, ts: Long = 0L)
 
-  /** Layout contract of a bucketed table: the merge key, the bucket
-    * count fixed at creation (keys hash to buckets — changing the
-    * count would strand rows), the exact live row count (maintained
-    * by every publish, giving [[merge]] its O(1) fat-finger gate),
-    * and `owner(b)` = the version directory holding bucket b's
-    * current content ("" = bucket is empty). A merge rewrites only
-    * the owner entries of its touched buckets; every other bucket
-    * keeps reading the files an earlier version wrote — byte-for-byte
-    * untouched. `zones` names the integral/string/date columns every
-    * publish writes per-file [min, max] zone maps for (inside each
-    * version directory's `_zonemap`), consulted by [[readRange]].
-    * `schemaB64` carries the WIDENED data schema (base64 of Spark's
-    * own StructType JSON, `bkt` excluded) so the serving paths
-    * ([[lookup]], [[merge]], [[readRangeAll]]) never re-derive it by
-    * footer reads over every owning directory; manifests written
-    * before the field existed degrade to the footer path. */
+  /** Layout contract of a bucketed table: the merge key (COMPOSITE
+    * keys are comma-joined column names, e.g. `"source,doc_id"` —
+    * [[BucketSpec.keys]] splits them; a single key has no comma, so
+    * pre-composite manifests parse unchanged), the bucket count fixed
+    * at creation (keys hash to buckets — changing the count strands
+    * rows; [[rebucket]] is the disciplined remedy), the exact live
+    * row count (maintained by every publish, giving [[merge]] its
+    * O(1) fat-finger gate), and `owner(b)` = the version directory
+    * holding bucket b's current content ("" = bucket is empty). A
+    * merge rewrites only the owner entries of its touched buckets;
+    * every other bucket keeps reading the files an earlier version
+    * wrote — byte-for-byte untouched. `zones` names the
+    * integral/string/date columns every publish writes per-file
+    * [min, max] zone maps for (inside each version directory's
+    * `_zonemap`), consulted by [[readRange]]. `schemaB64` carries the
+    * WIDENED data schema (base64 of Spark's own StructType JSON,
+    * `bkt` excluded) so the serving paths ([[lookup]], [[merge]],
+    * [[readRangeAll]]) never re-derive it by footer reads over every
+    * owning directory; manifests written before the field existed
+    * degrade to the footer path. */
   final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String],
-      zones: Seq[String] = Nil, schemaB64: Option[String] = None)
+      zones: Seq[String] = Nil, schemaB64: Option[String] = None) {
+    /** The merge key columns, in layout order. */
+    def keys: Seq[String] = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Refuse promotion when (changed + removed) keys exceed
     * `maxChangedPerMille`/1000 of the live corpus' rows. `key` and
@@ -196,9 +203,17 @@ object Versioned {
 
   /** Atomic pointer swap: write beside, rename over. Also records the
     * version's immutable `_v%05d.json` chain entry, stamped with the
-    * publish wall-clock ([[readAsOf]]'s axis). */
+    * publish wall-clock ([[readAsOf]]'s axis). The stamp is clamped to
+    * stay strictly above every earlier chain entry's: a wall-clock
+    * regression must not stamp version N+1 before version N, or
+    * [[readAsOf]] at an instant between the stamps would resolve to a
+    * version that had not yet been published at that wall-clock (the
+    * same monotonicity adjustment Delta-style formats apply to commit
+    * timestamps). */
   private def writeManifest(root: String, m0: Manifest): Unit = {
-    val m = m0.copy(ts = System.currentTimeMillis())
+    val prevTs = versions(root).filter(_.version < m0.version)
+      .map(_.ts).maxOption.getOrElse(0L)
+    val m = m0.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1))
     // chain entry first: if we crash between the two writes, the live
     // pointer still names the old version and the orphan chain entry
     // is overwritten by the next publish of that version number
@@ -232,9 +247,14 @@ object Versioned {
   /** The chain version live AS OF `tsMillis` (latest publish stamp ≤
     * the instant; entries predating the `ts` field count as older
     * than everything). None when the instant predates the first
-    * publish. */
+    * publish. Chain entries ABOVE the live pointer are ignored: a
+    * publish that crashed between its chain-entry write and the
+    * manifest swap leaves a stamped entry for a version no reader
+    * ever resolved — as-of must not time-travel to it (a retry that
+    * republishes the version number overwrites the orphan). */
   def versionAsOf(root: String, tsMillis: Long): Option[Int] = {
-    val eligible = versions(root).filter(_.ts <= tsMillis)
+    val liveV = currentManifest(root).map(_.version).getOrElse(Int.MaxValue)
+    val eligible = versions(root).filter(m => m.ts <= tsMillis && m.version <= liveV)
     if (eligible.isEmpty) None else Some(eligible.maxBy(_.version).version)
   }
 
@@ -299,20 +319,24 @@ object Versioned {
     unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*)
   }
 
-  private def bktCol(key: String, numBuckets: Int) =
-    pmod(xxhash64(col(key).cast("string")), lit(numBuckets)).cast("int")
+  private def bktCol(keys: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keys.map(k => col(k).cast("string")): _*), lit(numBuckets)).cast("int")
 
-  /** The bucket id of `keyValue` under the layout contract, computed
-    * DRIVER-SIDE through the very same Catalyst expressions the
-    * writers evaluate ([[bktCol]]: cast-to-string → xxhash64(seed 42)
-    * → pmod) — one code path, zero Spark jobs. The serving read must
-    * not pay a one-row job to hash its key. */
-  private def bktOf(spark: SparkSession, keyValue: Any, numBuckets: Int): Int = {
+  /** The bucket id of a key TUPLE under the layout contract, computed
+    * DRIVER-SIDE through the very same Catalyst semantics the writers
+    * evaluate ([[bktCol]]: cast-to-string per component → one
+    * xxhash64(seed 42) folded left-to-right across components, a null
+    * component leaving the running hash unchanged — exactly Spark's
+    * multi-child XxHash64 — → pmod). One code path, zero Spark jobs:
+    * the serving read must not pay a one-row job to hash its key. */
+  private def bktOf(spark: SparkSession, keyValues: Seq[Any], numBuckets: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64Function}
-    val s = Cast(Literal(keyValue), org.apache.spark.sql.types.StringType,
-      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-    val h = if (s == null) 42L
-      else XxHash64Function.hash(s, org.apache.spark.sql.types.StringType, 42L)
+    val h = keyValues.foldLeft(42L) { (seed, kv) =>
+      val s = Cast(Literal(kv), org.apache.spark.sql.types.StringType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      if (s == null) seed
+      else XxHash64Function.hash(s, org.apache.spark.sql.types.StringType, seed)
+    }
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
@@ -360,6 +384,20 @@ object Versioned {
       s"zone maps support integral, string, and date columns; got $other — " +
         "a truncated bound would prune files that contain in-range rows")
   }
+
+  /** The zone-bound family ("long" or "string") column `c` prunes
+    * under, resolved from the LIVE layout's recorded schema — the
+    * authoritative router for range reads, so a STRING column holding
+    * numeric-looking values (zero-padded ids) is never compared
+    * numerically against its binary-ordered bounds (which would drop
+    * files containing in-range rows). None when the table is not
+    * bucketed or the column is unknown to the live schema. */
+  def zoneFamily(spark: SparkSession, root: String, c: String): Option[String] =
+    for {
+      m <- currentManifest(root)
+      spec <- m.buckets
+      f <- widenedFields(spark, root, spec).find(_.name == c)
+    } yield zoneBound(f.dataType)
 
   private def rmTree(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -516,12 +554,18 @@ object Versioned {
   /** Publish a BUCKETED table version: the same stage → audit →
     * atomic-swap discipline as [[promote]], but the data is laid out
     * as `numBuckets` hash partitions of `key` so later drops can
-    * [[merge]] by rewriting only their touched buckets. The manifest
-    * records the layout contract ([[BucketSpec]]) with every bucket
-    * owned by this version's directory; the exact row count rides
-    * along for merge's O(1) fat-finger gate. Re-running
-    * `promoteBucketed` later is the full-rebuild path (every bucket
-    * re-owned — the "retrain" analogue); [[merge]] is the drop path. */
+    * [[merge]] by rewriting only their touched buckets. `key` may be
+    * COMPOSITE — comma-joined column names (`"source,doc_id"`), the
+    * (source, doc_id)-keyed corpus shape real table formats take as a
+    * key column list; the tuple hashes through one multi-column
+    * xxhash64 and every serving path ([[merge]], [[lookup]],
+    * [[diffVersions]] callers) resolves the same list from the
+    * manifest. The manifest records the layout contract
+    * ([[BucketSpec]]) with every bucket owned by this version's
+    * directory; the exact row count rides along for merge's O(1)
+    * fat-finger gate. Re-running `promoteBucketed` later is the
+    * full-rebuild path (every bucket re-owned — the "retrain"
+    * analogue); [[merge]] is the drop path. */
   def promoteBucketed(
       df: DataFrame,
       root: String,
@@ -531,7 +575,10 @@ object Versioned {
       diffGate: Option[DiffGate] = None,
       zoneCols: Seq[String] = Nil): PromoteReport = {
     require(numBuckets > 0)
-    require(df.columns.contains(key), s"merge key '$key' not in ${df.columns.mkString(", ")}")
+    val keys = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "merge key must name at least one column")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"merge key column '$k' not in ${df.columns.mkString(", ")}"))
     require(zoneCols.forall(df.columns.contains),
       s"zone columns ${zoneCols.filterNot(df.columns.contains).mkString(", ")} not in the table")
     zoneCols.foreach(c => zoneBound(df.schema(c).dataType)) // integral/string/date only — loud
@@ -542,7 +589,7 @@ object Versioned {
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
-    df.withColumn("bkt", bktCol(key, numBuckets))
+    df.withColumn("bkt", bktCol(keys, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     if (zoneCols.nonEmpty) buildZoneMap(spark, staging.getPath, zoneCols)
     val staged = spark.read.parquet(staging.getPath)
@@ -586,8 +633,8 @@ object Versioned {
         // reads never pay per-directory footer derivation
         val schemaB64 = encodeSchema(staged.schema.fields.filter(_.name != "bkt").toSeq)
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
-          Some(BucketSpec(key, numBuckets, rows, Vector.fill(numBuckets)(dirName), zoneCols,
-            Some(schemaB64)))))
+          Some(BucketSpec(keys.mkString(","), numBuckets, rows,
+            Vector.fill(numBuckets)(dirName), zoneCols, Some(schemaB64)))))
         claim.release()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
@@ -651,8 +698,9 @@ object Versioned {
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — publish with promoteBucketed before merging"))
-    val key = spec.key
-    require(drop.columns.contains(key), s"merge key '$key' not in ${drop.columns.mkString(", ")}")
+    val keys = spec.keys
+    keys.foreach(k => require(drop.columns.contains(k),
+      s"merge key column '$k' not in ${drop.columns.mkString(", ")}"))
 
     // every eager checkpoint registers here and releases in the
     // finally — a publish that loses the commit race (throws) must not
@@ -666,10 +714,10 @@ object Versioned {
     try {
     val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
-      .withColumn("bkt", bktCol(key, spec.numBuckets)))
+      .withColumn("bkt", bktCol(keys, spec.numBuckets)))
     val nDrop = d.count()
-    require(nDrop == d.select(key).distinct().count(),
-      s"drop has duplicate '$key' keys — upsert/delete order within a drop is undefined")
+    require(nDrop == d.select(keys.map(col): _*).distinct().count(),
+      s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
 
     val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
@@ -694,6 +742,16 @@ object Versioned {
       !tableFields.exists(_.name == f.name) && f.name != "__del" && f.name != "bkt" &&
         !delRefs.contains(f.name)).toSeq
     val allFields = tableFields ++ dropExtras
+    // legacy-layout guard, BEFORE any staging I/O: a table published
+    // when doubles/decimals were long-cast into zone bounds would
+    // otherwise fail inside buildZoneMap AFTER the staging write,
+    // stranding an orphan — refuse at entry with the remedy instead
+    for (z <- spec.zones; f <- allFields.find(_.name == z))
+      try zoneBound(f.dataType)
+      catch { case e: RuntimeException => sys.error(
+        s"zone column '$z' of the live layout has unsupported type ${f.dataType.simpleString} " +
+          s"(a pre-r14 publish accepted it; bounds would truncate) — republish with " +
+          s"promoteBucketed and integral/string/date zone columns before merging: ${e.getMessage}") }
     val dataCols: Seq[String] = allFields.map(_.name)
     // reading every owning directory with the WIDENED schema makes the
     // parquet reader null-fill missing columns by name (no per-frame
@@ -708,7 +766,7 @@ object Versioned {
         .filter(col("bkt").isin(entries.map(_._2): _*))
     }.reduceOption(_ unionByName _)
 
-    val dKeys = d.select(col(key), col("__del"))
+    val dKeys = d.select((keys :+ "__del").map(col): _*)
     // drops small enough broadcast into the survivor anti-join and the
     // accounting join; past the bound they shuffle-join instead of
     // stressing the driver/executors with an oversized broadcast (the
@@ -729,13 +787,14 @@ object Versioned {
             allFields :+ org.apache.spark.sql.types.StructField(
               "bkt", org.apache.spark.sql.types.IntegerType)))
       }
-    val survivors = oldRows.map(_.join(dkHint(dKeys.select(key)), Seq(key), "left_anti")
-      .select(dataCols.map(col) :+ col("bkt"): _*))
+    val survivors = oldRows.map(
+      _.join(dkHint(dKeys.select(keys.map(col): _*)), keys, "left_anti")
+        .select(dataCols.map(col) :+ col("bkt"): _*))
     val merged = eager(survivors.map(_.unionByName(upserts)).getOrElse(upserts))
 
     // exact O(drop) accounting against the touched buckets' pre-image
-    val hits = oldRows.map(_.select(col(key))
-      .join(dkHint(dKeys), Seq(key), "inner")
+    val hits = oldRows.map(_.select(keys.map(col): _*)
+      .join(dkHint(dKeys), keys, "inner")
       .agg(
         sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
         sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
@@ -863,21 +922,24 @@ object Versioned {
     val spark = drop.sparkSession
     val live = currentManifest(root).getOrElse(return)
     if (live.version == baseVersion) return // pointer didn't move: no winner to conflict with
-    val key = live.buckets.map(_.key).getOrElse(return)
+    val keys = live.buckets.map(_.keys).getOrElse(return)
     val from = readVersion(spark, root, baseVersion)
     val to = readVersion(spark, root, live.version)
     val common = from.columns.toSet.intersect(to.columns.toSet).toSeq.sorted
     // content fingerprint over every column both versions share, so an
     // upsert that changed ANY column counts as touched (JSON, not a
-    // concat-hash: distinct null patterns must fingerprint distinctly)
+    // concat-hash: distinct null patterns must fingerprint distinctly);
+    // the key tuple fingerprints through the same JSON discipline so
+    // composite keys diff as one value
     val fp = to_json(struct(common.map(col): _*))
+    val kc = to_json(struct(keys.map(col): _*))
     val touched = TableDiff.snapshotDiff(
         from.select(common.map(col): _*), to.select(common.map(col): _*),
-        col(key), col(key), fp, fp, keyName = key)
+        kc, kc, fp, fp, keyName = "__kt")
       .filter(col("status") =!= "unchanged")
-      .select(col(key))
+      .select(col("__kt"))
     val conflicts = touched
-      .join(broadcast(drop.select(col(key)).distinct()), Seq(key), "left_semi")
+      .join(broadcast(drop.select(kc.as("__kt")).distinct()), Seq("__kt"), "left_semi")
     val sample = conflicts.limit(6).collect().map(_.get(0))
     if (sample.nonEmpty)
       throw new MergeConflictException(
@@ -896,14 +958,25 @@ object Versioned {
     * input). Keys of the same type as the merge key column hash
     * identically (the layout casts through string; integer and string
     * ids are exact — don't bucket on float keys). */
-  def lookup(spark: SparkSession, root: String, keyValue: Any): DataFrame = {
+  def lookup(spark: SparkSession, root: String, keyValue: Any): DataFrame =
+    lookup(spark, root, Seq(keyValue))
+
+  /** Composite-key point lookup: one value per key column of the
+    * layout contract, in layout order — the tuple hashes driver-side
+    * through the same fold the writers evaluate and the scan still
+    * touches exactly ONE bucket partition of ONE owning directory. */
+  def lookup(spark: SparkSession, root: String, keyValues: Seq[Any]): DataFrame = {
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — lookup needs the bucket layout"))
+    val keys = spec.keys
+    require(keyValues.length == keys.length,
+      s"lookup needs ${keys.length} key value(s) for layout key '${spec.key}', " +
+        s"got ${keyValues.length}")
     // the bucket id comes from the SAME Catalyst expressions the
     // writers evaluate, run driver-side — a point read must not pay a
     // one-row Spark job to hash its key
-    val bkt = bktOf(spark, keyValue, spec.numBuckets)
+    val bkt = bktOf(spark, keyValues, spec.numBuckets)
     val dir = spec.owner(bkt)
     // the table's full (possibly evolved) schema — the point read must
     // return the same columns as a full read, null-filling columns the
@@ -911,6 +984,8 @@ object Versioned {
     // serving path plans with ZERO footer reads and runs exactly one
     // job (the single-bucket scan itself, spec-pinned)
     val fields = widenedFields(spark, root, spec)
+    val keyPred = keys.zip(keyValues)
+      .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
     val out =
       if (dir.isEmpty) // bucket currently empty
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -918,7 +993,7 @@ object Versioned {
       else
         spark.read.schema(StructType((fields :+ StructField("bkt", IntegerType)).toArray))
           .parquet(new File(root, dir).getPath)
-          .filter(col("bkt") === bkt && col(spec.key) === lit(keyValue))
+          .filter(col("bkt") === bkt && keyPred)
           .select(fields.map(f => col(f.name)): _*)
     out
   }
@@ -940,6 +1015,33 @@ object Versioned {
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — compact consolidates bucket stores"))
     promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks,
+      zoneCols = spec.zones)
+  }
+
+  /** Bucket-count EVOLUTION: republish the live data under the same
+    * key and zone contract but `newBuckets` hash partitions — the
+    * layout remedy for a table that outgrew (or over-provisioned) its
+    * creation-time bucket count, which [[promoteBucketed]] otherwise
+    * fixes forever (a 100×-grown table keeps its original per-bucket
+    * file growth with no remedy short of this). Mechanically it is
+    * [[compact]] with a new contract: one claim-disciplined rewrite
+    * publishing a NEW version whose [[BucketSpec]] carries the new
+    * count and every bucket owned by the new directory. Readers are
+    * never torn — a reader mid-rebucket stays pinned to the manifest
+    * it resolved (old count, old directories, both intact until
+    * vacuum); time travel and the change feed resolve across the
+    * rebucket because every chain entry carries ITS OWN layout.
+    * Content is untouched: reads are row-equal before/after, and
+    * [[merge]]/[[lookup]] hash against whichever contract is live
+    * (spec-pinned). Cost is one full table rewrite — schedule it like
+    * compaction, not like a merge. */
+  def rebucket(spark: SparkSession, root: String, newBuckets: Int,
+      checks: Seq[Validate.Check] = Seq.empty): PromoteReport = {
+    require(newBuckets > 0)
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — rebucket evolves bucket layouts"))
+    promoteBucketed(read(spark, root), root, spec.key, newBuckets, checks,
       zoneCols = spec.zones)
   }
 

@@ -94,6 +94,23 @@ object ZoneMaps {
   def readRange(spark: SparkSession, path: String, c: String, lo: String, hi: String): DataFrame =
     readRangeTyped(spark, path, c, lo, hi)
 
+  /** The bound family column `c`'s zones were WRITTEN in ("long" or
+    * "string"), read from the manifest's own schema — the
+    * authoritative router for [[readRange]] callers that hold textual
+    * bounds: a string column of numeric-looking values must probe the
+    * string family, or binary-ordered bounds (min '100', max '9')
+    * compared numerically would prune files holding in-range rows.
+    * None when no manifest exists or it doesn't cover `c`. */
+  def boundFamily(spark: SparkSession, path: String, c: String): Option[String] = {
+    val zm = new File(mapDir(path))
+    if (!zm.exists()) None
+    else spark.read.parquet(zm.getPath).schema.fields.find(_.name == s"lo_$c")
+      .map(_.dataType match {
+        case org.apache.spark.sql.types.LongType => "long"
+        case _ => "string"
+      })
+  }
+
   private def readRangeTyped(spark: SparkSession, path: String, c: String,
       lo: Any, hi: Any): DataFrame = {
     val zm = new File(mapDir(path))

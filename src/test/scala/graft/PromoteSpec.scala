@@ -809,6 +809,228 @@ class PromoteSpec extends SparkSpecBase {
     assert(d("published_ts").toLong > bt1)
   }
 
+  test("composite merge keys: (source, doc_id) publishes, merges, and looks up as a tuple") {
+    val root = freshRoot()
+    // the same doc_id under two sources — only a TUPLE key separates them
+    val base = Seq(("web", 1L, "w1"), ("web", 2L, "w2"), ("pdf", 1L, "p1"),
+      ("pdf", 2L, "p2"), ("pdf", 3L, "p3")).toDF("source", "doc_id", "text")
+    assert(Versioned.promoteBucketed(base, root, "source,doc_id", 8, checks = Nil).promoted)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.keys)
+      === Some(Seq("source", "doc_id")))
+    // a drop touching ONE side of a shared doc_id: upsert (web,1),
+    // delete (pdf,2), insert (web,9)
+    val drop = Seq(("web", 1L, "w1 v2", false), ("pdf", 2L, null.asInstanceOf[String], true),
+      ("web", 9L, "w9", false)).toDF("source", "doc_id", "text", "del")
+    val rep = Versioned.merge(drop, root, deleted = col("del"))
+    assert(rep.merged && rep.upserted === 1L && rep.inserted === 1L && rep.deleted === 1L)
+    val got = Versioned.read(spark, root).as[(String, Long, String)].collect().toSet
+    assert(got === Set(("web", 1L, "w1 v2"), ("web", 2L, "w2"), ("pdf", 1L, "p1"),
+      ("pdf", 3L, "p3"), ("web", 9L, "w9")))
+    // tuple point lookup: each (source, doc_id) resolves independently
+    assert(Versioned.lookup(spark, root, Seq("web", 1L))
+      .select("text").as[String].collect().toSeq === Seq("w1 v2"))
+    assert(Versioned.lookup(spark, root, Seq("pdf", 1L))
+      .select("text").as[String].collect().toSeq === Seq("p1"))
+    assert(Versioned.lookup(spark, root, Seq("pdf", 2L)).isEmpty, "deleted tuple")
+    // arity mismatch is loud
+    val e = intercept[IllegalArgumentException](Versioned.lookup(spark, root, Seq("web")))
+    assert(e.getMessage.contains("key value"))
+    // duplicate TUPLES are refused; a shared doc_id across sources is
+    // two distinct keys and sails through
+    val dupTuple = Seq(("web", 2L, "a", false), ("web", 2L, "b", false))
+      .toDF("source", "doc_id", "text", "del")
+    val e2 = intercept[IllegalArgumentException](
+      Versioned.merge(dupTuple, root, deleted = col("del")))
+    assert(e2.getMessage.contains("duplicate"))
+    val sharedId = Seq(("web", 3L, "w3", false), ("pdf", 3L, "p3 v2", false))
+      .toDF("source", "doc_id", "text", "del")
+    assert(Versioned.merge(sharedId, root, deleted = col("del")).merged)
+    assert(Versioned.lookup(spark, root, Seq("pdf", 3L))
+      .select("text").as[String].collect().toSeq === Seq("p3 v2"))
+  }
+
+  test("composite keys: the write-write conflict gate fires on the TUPLE, not a component") {
+    // two racing writers on the SAME tuple: exactly one commits, the
+    // loser refuses naming the tuple (the :466 pattern, composite)
+    val root = freshRoot()
+    val base = Seq(("web", 1L, "w1"), ("pdf", 1L, "p1"), ("web", 2L, "w2"))
+      .toDF("source", "doc_id", "text")
+    assert(Versioned.promoteBucketed(base, root, "source,doc_id", 4, checks = Nil).promoted)
+    val dA = Seq(("web", 1L, "writer A", false)).toDF("source", "doc_id", "text", "del")
+    val dB = Seq(("web", 1L, "writer B", false)).toDF("source", "doc_id", "text", "del")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    def attempt(d: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Boolean]] {
+        def call() = try Right(Versioned.mergeRetry(d, root, col("del"), attempts = 8,
+          refuseKeyConflicts = true).merged)
+        catch { case t: Throwable => Left(t) }
+      })
+    val f1 = attempt(dA)
+    Thread.sleep(300)
+    val f2 = attempt(dB)
+    val results = Seq(f1.get(), f2.get())
+    val committed = results.count(_ == Right(true))
+    val refused = results.collect { case Left(t) => t }
+    assert(committed === 1 && refused.size === 1,
+      s"exactly one writer commits, one refuses: $results")
+    assert(refused.head.isInstanceOf[Versioned.MergeConflictException], refused.head)
+    assert(refused.head.getMessage.contains("web"), refused.head.getMessage)
+    // …while racers sharing only a key COMPONENT ((web,2) vs (pdf,1):
+    // distinct tuples, overlapping doc_id space with the base) ALL
+    // commit — the gate must not widen to per-component conflicts
+    val dC = Seq(("web", 2L, "w2 v2", false)).toDF("source", "doc_id", "text", "del")
+    val dD = Seq(("pdf", 1L, "p1 v2", false)).toDF("source", "doc_id", "text", "del")
+    val f3 = attempt(dC)
+    Thread.sleep(300)
+    val f4 = attempt(dD)
+    val results2 = Seq(f3.get(), f4.get())
+    pool.shutdown()
+    assert(results2.forall(_ == Right(true)),
+      s"disjoint tuples must both commit: $results2")
+    val m = Versioned.read(spark, root)
+      .as[(String, Long, String)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("web", 2L)) === "w2 v2" && m(("pdf", 1L)) === "p1 v2" && m.size === 3)
+  }
+
+  test("rebucket evolves the bucket count; reads, lookup, merge, and time travel survive") {
+    val root = freshRoot()
+    val base = baseDocs(40).withColumn("doc_id", col("doc_id").cast("long"))
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id")).promoted)
+    assert(Versioned.merge(Seq((3L, "d3 v2", false), (41L, "d41", false))
+      .toDF("doc_id", "text", "del"), root, deleted = col("del")).merged)
+    val before = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val r = Versioned.rebucket(spark, root, newBuckets = 16, checks)
+    assert(r.promoted && r.version === 3)
+    val spec = Versioned.currentManifest(root).flatMap(_.buckets).get
+    assert(spec.numBuckets === 16 && spec.rows === 41L)
+    assert(spec.owner.distinct === Vector("v00003"), "rebucket owns every bucket")
+    assert(spec.zones === Seq("doc_id"), "the zone contract survives the rebucket")
+    // content row-equal across the layout change
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet === before)
+    // serving paths hash against the NEW contract
+    assert(Versioned.lookup(spark, root, 3L)
+      .select("text").as[String].collect().toSeq === Seq("d3 v2"))
+    assert(Versioned.readRange(spark, root, "doc_id", 10L, 12L).count() === 3)
+    // merge after the rebucket lands under the new count
+    assert(Versioned.merge(Seq((42L, "d42", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del")).merged)
+    assert(Versioned.lookup(spark, root, 42L).count() === 1)
+    // time travel resolves each version under ITS OWN layout…
+    assert(Versioned.readVersion(spark, root, 2).count() === 41)
+    assert(Versioned.readVersion(spark, root, 2).as[(Long, String)].collect().toSet
+      === before)
+    // …and the change feed diffs ACROSS the rebucket (pure layout
+    // change = all unchanged)
+    val feed = Versioned.diffVersions(spark, root, 2, 3,
+      col("doc_id"), col("text"), keyName = "doc_id")
+    assert(feed.filter(col("status") =!= "unchanged").count() === 0)
+    assert(feed.count() === 41)
+  }
+
+  test("publish stamps stay monotone when the wall clock regresses") {
+    val root = freshRoot()
+    assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
+    // simulate a clock regression: backdate nothing, FORWARD-date v1's
+    // stamp so the next publish's wall-clock reads "earlier" than it —
+    // the clamp must stamp v2 strictly after v1 anyway, or readAsOf
+    // between the stamps would resolve a version that wasn't yet live
+    val future = System.currentTimeMillis() + 3600_000L
+    val v1 = new File(root, "_v00001.json")
+    val bumped = new String(Files.readAllBytes(v1.toPath), "UTF-8")
+      .replaceAll(""""ts"\s*:\s*\d+""", s""""ts": $future""")
+    Files.write(v1.toPath, bumped.getBytes("UTF-8"))
+    assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
+    val chain = Versioned.versions(root)
+    assert(chain.map(_.version) === Seq(1, 2))
+    assert(chain(1).ts === future + 1,
+      "v2's stamp must clamp to just above v1's forward-dated stamp")
+    // as-of at v1's stamp still resolves v1; one tick later, v2
+    assert(Versioned.versionAsOf(root, future) === Some(1))
+    assert(Versioned.versionAsOf(root, future + 1) === Some(2))
+  }
+
+  test("an orphan chain entry from a chain-point crash is invisible to as-of resolution") {
+    val root = freshRoot()
+    assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
+    Versioned.crashPoint = Some("chain")
+    try {
+      val e = intercept[RuntimeException](
+        Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks))
+      assert(e.getMessage.contains("simulated crash"))
+    } finally Versioned.crashPoint = None
+    // the crash landed AFTER the v2 chain-entry write but BEFORE the
+    // live-pointer swap: a stamped entry exists for a version no
+    // reader ever resolved
+    assert(new File(root, "_v00002.json").exists())
+    assert(Versioned.currentManifest(root).map(_.version) === Some(1))
+    // as-of "now" must NOT time-travel to the orphan
+    assert(Versioned.versionAsOf(root, System.currentTimeMillis() + 1000) === Some(1))
+    assert(Versioned.readAsOf(spark, root, System.currentTimeMillis() + 1000).count() === 1)
+    // the retry republishes version 2, overwriting the orphan; as-of
+    // then resolves it normally
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_claim_"))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 10000))
+    assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
+    assert(Versioned.versionAsOf(root, System.currentTimeMillis() + 1000) === Some(2))
+    assert(Versioned.readAsOf(spark, root, System.currentTimeMillis() + 1000).count() === 2)
+  }
+
+  test("merge refuses a legacy manifest's unsupported zone type BEFORE staging") {
+    val root = freshRoot()
+    val base = Seq((1L, 0.5, "a"), (2L, 1.5, "b"), (3L, 2.5, "c"))
+      .toDF("doc_id", "score", "text")
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id")).promoted)
+    // simulate a pre-r14 table whose publish accepted a DOUBLE zone
+    // column (bounds long-cast): rewrite the live manifest's zone list
+    val mf = new File(root, "_manifest.json")
+    val rigged = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      .replace(""""zones": ["doc_id"]""", """"zones": ["score"]""")
+    assert(rigged.contains(""""zones": ["score"]"""), "manifest rewrite must take")
+    Files.write(mf.toPath, rigged.getBytes("UTF-8"))
+    val drop = Seq((4L, 3.5, "d", false)).toDF("doc_id", "score", "text", "del")
+    val e = intercept[RuntimeException](Versioned.merge(drop, root, deleted = col("del")))
+    assert(e.getMessage.contains("republish"), e.getMessage)
+    assert(e.getMessage.contains("score"), e.getMessage)
+    // the refusal fired at ENTRY: no staging orphan was stranded
+    val orphans = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_staging_"))
+    assert(orphans.isEmpty, orphans.map(_.getName).toSeq)
+    assert(Versioned.currentManifest(root).map(_.version) === Some(1))
+  }
+
+  test("zoneFamily resolves the bound family from the recorded schema, never the literal") {
+    val root = freshRoot()
+    // sid is a STRING of numeric-looking values — binary order puts
+    // '9' ABOVE '100'; routing its bounds to the BIGINT family would
+    // compare those numerically and mis-prune
+    val base = Seq((1L, "100", "a"), (2L, "9", "b"), (3L, "25", "c"))
+      .toDF("doc_id", "sid", "text")
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id", "sid")).promoted)
+    assert(Versioned.zoneFamily(spark, root, "doc_id") === Some("long"))
+    assert(Versioned.zoneFamily(spark, root, "sid") === Some("string"))
+    assert(Versioned.zoneFamily(spark, root, "no_such_col") === None)
+    // the string family read is exact under binary order: '100' ≤ sid
+    // ≤ '25' admits '100' and '25' but NOT '9'
+    assert(Versioned.readRange(spark, root, "sid", "100", "25")
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // an unbucketed table has no layout schema to resolve from
+    val plain = freshRoot()
+    assert(Versioned.promote(docs(1L -> "a"), plain, checks).promoted)
+    assert(Versioned.zoneFamily(spark, plain, "doc_id") === None)
+    // the path-based ZoneMaps resolver reads its manifest's own schema
+    val zdir = Files.createTempDirectory("graft_zm_family").toString + "/t"
+    graft.sources.ZoneMaps.writeClustered(base, zdir, numPartitions = 2,
+      orderBy = "doc_id", statsCols = Seq("doc_id", "sid"))
+    assert(graft.sources.ZoneMaps.boundFamily(spark, zdir, "doc_id") === Some("long"))
+    assert(graft.sources.ZoneMaps.boundFamily(spark, zdir, "sid") === Some("string"))
+    assert(graft.sources.ZoneMaps.boundFamily(spark, zdir, "nope") === None)
+  }
+
   test("a stale staging directory from a crashed promotion never collides and vacuum sweeps it") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)
