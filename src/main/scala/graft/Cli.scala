@@ -1288,6 +1288,65 @@ object Cli {
             case other => fail(s"unknown index kind: $other")
           }
           write(rows.toDF("table_part", "stat", "value"))
+        case "index-maintain" =>
+          // the index family's nightly job as one verb — the policy
+          // driver over the maintenance gauges: compact when the
+          // append history exceeds --max-partitions (each drop
+          // partition costs a listing + footer fetches per probe);
+          // for ivf, REBALANCE first when list concentration drifted
+          // past --hhi-factor-x10/10 × the build baseline; then
+          // reclaim superseded generations (previous kept for
+          // in-flight probes unless --keep-previous false). Zero-
+          // downtime throughout (LiveTable view swaps).
+          import spark.implicits._
+          val table = opts.getOrElse("table", fail("--table NAME required"))
+          val kind = opts.getOrElse("kind", fail(
+            "--kind postings|bm25|minhash|ivf|pq required"))
+          val maxParts = opts.getOrElse("max-partitions", "8").toInt
+          val keepPrev = opts.getOrElse("keep-previous", "true").toBoolean
+          val dataTable = kind match {
+            case "ivf" => s"${table}_cells"
+            case "pq" => s"${table}_pqcells"
+            case _ => table
+          }
+          def partsNow: Long = spark.sql("SHOW PARTITIONS " +
+            graft.sources.LiveTable.resolve(spark, dataTable)).count()
+          val partsBefore = partsNow
+          val rebalanced: Option[graft.similarity.IvfIndex.RebalanceStats] =
+            if (kind == "ivf") {
+              val d = graft.similarity.IvfIndex.driftStats(spark, table)
+              val factorX10 = opts.getOrElse("hhi-factor-x10", "15").toLong
+              if (d.hhiPermille * 10 > factorX10 * math.max(d.hhiPermilleAtBuild, 1L))
+                Some(graft.similarity.IvfIndex.rebalance(spark, table))
+              else None
+            } else None
+          val needCompact = partsNow > maxParts ||
+            rebalanced.exists(_.splitCells > 0) // reclaim the split's dead rows
+          if (needCompact) kind match {
+            case "postings" => graft.text.SearchIndex.compact(spark, table)
+            case "bm25" => graft.text.SearchIndex.compactBm25(spark, table)
+            case "minhash" => graft.dedup.MinhashIndex.compact(spark, table)
+            case "ivf" => graft.similarity.IvfIndex.compact(spark, table)
+            case "pq" => graft.similarity.PqIndex.compact(spark, table)
+            case other => fail(s"unknown index kind: $other")
+          }
+          val genTables = kind match {
+            case "bm25" => Seq(table, s"${table}_stats")
+            case _ => Seq(dataTable)
+          }
+          val vacuumed = genTables.flatMap(t =>
+            graft.sources.TableCompact.vacuumGens(spark, t, keepPrev)) ++
+            (kind match { // trained-state generations (pointer files)
+              case "ivf" => graft.similarity.IvfIndex.vacuumGens(spark, table)
+              case "pq" => graft.similarity.PqIndex.vacuumGens(spark, table)
+              case _ => Nil
+            })
+          write((Seq(
+            ("gauge", "partitions_before", partsBefore.toString),
+            ("gauge", "partitions_after", partsNow.toString),
+            ("action", "compacted", needCompact.toString)) ++
+            rebalanced.map(r => ("action", "rebalanced_cells", r.splitCells.toString)) ++
+            vacuumed.map(("action", "vacuumed", _))).toDF("kind", "name", "value"))
         case "kmv-overlap" =>
           val text = expr(opts.getOrElse("text", fail("--text COLUMN required")))
           val group = expr(opts.getOrElse("group", "source"))
@@ -1353,15 +1412,20 @@ object Cli {
               if (!r.promoted) sys.error(s"promotion refused: ${r.reason.getOrElse("")}")
             case "merge" =>
               val del = opts.get("deleted").map(expr).getOrElse(lit(false))
+              // --zone-cluster true: range-cluster the staged rows on
+              // the layout's zone columns so zone maps stay selective
+              // on non-time-sliced tables
+              val zc = opts.get("zone-cluster").exists(_.toBoolean)
               // --retry N: bounded replay on a lost single-writer race
               // (the nightly-pipeline ergonomics; merge semantics make
               // the replay safe — see Versioned.mergeRetry)
               val r = opts.get("retry") match {
                 case Some(n) => graft.sources.Versioned.mergeRetry(read(), root, del,
                   parsedChecks(), opts.get("max-changed-pm").map(_.toLong),
-                  attempts = n.toInt)
+                  attempts = n.toInt, zoneCluster = zc)
                 case None => graft.sources.Versioned.merge(read(), root, del,
-                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong))
+                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong),
+                  zoneCluster = zc)
               }
               val rows =
                 Seq(("outcome", "merged", r.merged.toString),
@@ -1383,6 +1447,23 @@ object Cli {
                 ("outcome", "version", r.version.toString),
                 ("outcome", "path", r.path)).toDF("kind", "name", "value"))
               if (!r.promoted) sys.error(s"compaction refused: ${r.reason.getOrElse("")}")
+            case "maintain" =>
+              // the nightly job as one verb: compact when the owner
+              // spread exceeds --max-owner-dirs, then vacuum with
+              // --retain/--stale-ms — the policy driver over
+              // describe's gauges
+              val r = graft.sources.Versioned.maintain(spark, root,
+                maxOwnerDirs = opts.getOrElse("max-owner-dirs", "4").toInt,
+                retainLast = opts.getOrElse("retain", "2").toInt,
+                staleStagingMillis = opts.getOrElse("stale-ms",
+                  (24L * 3600 * 1000).toString).toLong,
+                checks = parsedChecks())
+              write((Seq(
+                ("gauge", "owner_dirs_before", r.ownerDirsBefore.toString),
+                ("gauge", "owner_dirs_after", r.ownerDirsAfter.toString),
+                ("action", "compacted", r.compacted.toString)) ++
+                r.compactVersion.map(v => ("action", "compact_version", v.toString)) ++
+                r.vacuumed.map(("action", "vacuumed", _))).toDF("kind", "name", "value"))
             case "rebucket" =>
               // bucket-count evolution: republish the live data under
               // --buckets N (same key + zone contract) — the layout

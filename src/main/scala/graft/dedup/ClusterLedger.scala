@@ -333,11 +333,23 @@ object ClusterLedger {
     * the whole chain. Content is untouched (bit-equal read,
     * spec-pinned) — the maintenance pass between the nightly appends,
     * exactly [[graft.sources.Versioned.compact]] on the ledger side.
-    * Commits under the same claim discipline as [[append]]. */
-  def compact(spark: SparkSession, path: String): AppendStats = {
+    * Commits under the same claim discipline as [[append]].
+    *
+    * `newBuckets` additionally EVOLVES the bucket count — the
+    * ledger's rebucket (the same rewrite under a new layout contract:
+    * ids re-hash, the manifest records the new count, later appends
+    * must pass it — the mismatch guard stays loud). */
+  def compact(spark: SparkSession, path: String,
+      newBuckets: Option[Int] = None): AppendStats = {
     val startedMs = System.currentTimeMillis()
     val m = readManifest(path).getOrElse(sys.error(s"no cluster ledger at $path"))
-    val cur = Checkpoints.eager(assemble(spark, path, m))
+    newBuckets.foreach(n => require(n > 0))
+    val nb = newBuckets.getOrElse(m.numBuckets)
+    val assembled = assemble(spark, path, m)
+    val cur = Checkpoints.eager(
+      if (nb == m.numBuckets) assembled
+      else assembled.drop("bkt")
+        .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(nb)).cast("int")))
     try {
       val idx = m.appends + 1
       val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
@@ -363,8 +375,8 @@ object ClusterLedger {
       if (slot.exists()) rmTree(slot)
       if (!claim.owned()) refuse(idx - 1)
       require(staging.renameTo(slot), s"compact rename failed: $staging -> $slot")
-      val owner = Vector.tabulate(m.numBuckets)(b => if (stagedBkts(b)) idx else 0)
-      writeManifest(path, Manifest(m.numBuckets, idx, owner))
+      val owner = Vector.tabulate(nb)(b => if (stagedBkts(b)) idx else 0)
+      writeManifest(path, Manifest(nb, idx, owner))
       claim.release()
       AppendStats(relabeled = 0L, newIds = 0L,
         rewrittenBuckets = stagedBkts.toSeq.sorted)

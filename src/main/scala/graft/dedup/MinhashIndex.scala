@@ -57,12 +57,17 @@ object MinhashIndex {
     * and a scan still arrives bucket-clustered). */
   def create(corpus: DataFrame, text: Column, id: Column, table: String,
       nBuckets: Int, p: Params = Params()): Unit =
-    bands(corpus, text, id, p).withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .bucketBy(nBuckets, "band_id", "band_key")
-      .sortBy("band_id", "band_key")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(table)
+    // generation-versioned behind a stable view (LiveTable): probes
+    // resolve `table` as usual; compaction and re-creates stage the
+    // next generation and commit with one atomic view swap
+    graft.sources.LiveTable.createGeneration(corpus.sparkSession, table) { phys =>
+      bands(corpus, text, id, p).withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .bucketBy(nBuckets, "band_id", "band_key")
+        .sortBy("band_id", "band_key")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
 
   /** Append the bands of accepted new docs into the existing layout,
     * IDEMPOTENT per drop id: the write is a dynamic partition
@@ -77,26 +82,30 @@ object MinhashIndex {
       nBuckets: Int, dropId: String, p: Params = Params()): Unit = {
     require(dropId.nonEmpty && dropId != "base",
       "append needs a per-drop id ('base' names the create-time corpus)")
-    graft.sources.Warehouse.insertPartitionOverwrite(
-      bands(docs, text, id, p).withColumn("drop_id", lit(dropId)), table)
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
+      bands(docs, text, id, p).withColumn("drop_id", lit(dropId)), table, dropId)
   }
 
   /** Consolidate the append history: rewrite the current band rows as
     * ONE `drop_id=base` partition under the same bucket layout — a
     * year of nightly appends is ~365 partitions of small files, each
     * costing a listing + footer fetches on every probe; compaction
-    * returns the table to one file per bucket. Probe results are
-    * bit-equal before/after (spec-pinned). Claim-guarded and
-    * crash-healable ([[graft.sources.TableCompact]]).
+    * returns the table to one file per bucket. ZERO-DOWNTIME: the
+    * rewrite stages the next [[graft.sources.LiveTable]] generation
+    * and commits with one atomic view swap — concurrent probes read
+    * whichever generation they resolved, bit-equal either way
+    * (spec-pinned); claim-guarded, crash-healable. `newBuckets`
+    * evolves the bucket count in the same pass (the index rebucket).
     *
     * Compaction CONSUMES the append history: a pre-compaction drop id
     * replayed afterwards would land in a fresh (now-empty) partition
     * and duplicate its rows — run compaction only after the ingest
     * retry window has closed (the [[graft.sources.Versioned.vacuum]]
     * age-gate discipline). */
-  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+  def compact(spark: SparkSession, table: String,
+      newBuckets: Option[Int] = None): graft.sources.TableCompact.CompactStats =
     graft.sources.TableCompact.compact(spark, table,
-      Seq("band_id", "band_key"), Seq("band_id", "band_key"))
+      Seq("band_id", "band_key"), Seq("band_id", "band_key"), newBuckets = newBuckets)
 
   /** The novelty screen: batch rows that share NO band with the
     * indexed corpus — row-identical to `Dedup.minhashNovel(corpus,

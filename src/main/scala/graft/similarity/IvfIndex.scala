@@ -116,14 +116,20 @@ object IvfIndex {
     val stored = spark.table(centsTable(table, gen))
     // the inverted lists are bucketed on c_id (the probe-side layout)
     // AND partitioned on drop_id — each ingested drop owns one
-    // partition directory, which is what makes [[append]] idempotent
-    IvfAnn.assign(corpus, stored).join(corpus, "vec_id")
-      .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
-      .withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .bucketBy(nBuckets, "c_id").sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(cellsTable(table))
+    // partition directory, which is what makes [[append]] idempotent.
+    // Generation-versioned behind a stable view (LiveTable): a
+    // re-create STAGES the next generation instead of overwriting the
+    // live lists in place — a crash before the swap leaves the old
+    // index fully intact
+    graft.sources.LiveTable.createGeneration(spark, cellsTable(table)) { phys =>
+      IvfAnn.assign(corpus, stored).join(corpus, "vec_id")
+        .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
+        .withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .bucketBy(nBuckets, "c_id").sortBy("c_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
     graft.operators.Checkpoints.release(cents)
     writeMeta(spark, table, gen) // build-time drift baseline
     maybeCrashBeforeSwap()
@@ -274,9 +280,9 @@ object IvfIndex {
       .join(newCents.select(col("c_id"), col("sub"), col("new_id")), Seq("c_id", "sub"))
       .join(members, Seq("c_id", "vec_id"))
       .select(col("new_id").as("c_id"), col("vec_id"), col("e"), col("nrm"))
-    graft.sources.Warehouse.insertPartitionOverwrite(
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
       reassigned.withColumn("drop_id", lit(f"rebalance_g$nextGen%05d")),
-      cellsTable(table))
+      cellsTable(table), f"rebalance_g$nextGen%05d")
     // 2. commit: split cells leave the centroid table, sub-cells join —
     //    written as the NEXT GENERATION's centroid + meta tables (the
     //    post-split state is the new drift baseline), then ONE atomic
@@ -317,10 +323,11 @@ object IvfIndex {
     * probed); [[driftStats]].deadRows drops to 0. Claim-guarded and
     * crash-healable ([[graft.sources.TableCompact]]); consumes the
     * append history (don't replay pre-compaction drop ids after). */
-  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
+  def compact(spark: SparkSession, table: String,
+      newBuckets: Option[Int] = None): graft.sources.TableCompact.CompactStats =
     graft.sources.TableCompact.compact(spark, cellsTable(table), Seq("c_id"), Seq("c_id"),
       df => df.join(broadcast(centroids(spark, table).select("c_id")),
-        Seq("c_id"), "left_semi"))
+        Seq("c_id"), "left_semi"), newBuckets = newBuckets)
 
   /** Append new vectors into the existing layout: assigned against
     * the STORED centroids (no retrain — the standard IVF ingest
@@ -335,11 +342,11 @@ object IvfIndex {
       dropId: String): Unit = {
     require(dropId.nonEmpty && dropId != "base" && !dropId.startsWith("rebalance_"),
       "append needs a per-drop id ('base'/'rebalance_*' are layout-reserved)")
-    graft.sources.Warehouse.insertPartitionOverwrite(
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
       IvfAnn.assign(docs, centroids(spark, table)).join(docs, "vec_id")
         .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
         .withColumn("drop_id", lit(dropId)),
-      cellsTable(table))
+      cellsTable(table), dropId)
   }
 
   /** ANN top-k against the index: nprobe nearest cells per query by

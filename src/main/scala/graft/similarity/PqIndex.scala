@@ -74,15 +74,17 @@ object PqIndex {
       .saveAsTable(booksTable(table, gen))
     val storedCoarse = spark.table(centsTable(table, gen))
     val storedBooks = spark.table(booksTable(table, gen))
-    IvfAnn.assign(corpus, storedCoarse)
-      .join(PqAnn.encode(corpus, storedBooks)
-        .select(col("vec_id"), col("codes")), "vec_id")
-      .select(col("c_id"), col("vec_id"), col("codes"))
-      .withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .bucketBy(nBuckets, "c_id").sortBy("c_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(cellsTable(table))
+    graft.sources.LiveTable.createGeneration(spark, cellsTable(table)) { phys =>
+      IvfAnn.assign(corpus, storedCoarse)
+        .join(PqAnn.encode(corpus, storedBooks)
+          .select(col("vec_id"), col("codes")), "vec_id")
+        .select(col("c_id"), col("vec_id"), col("codes"))
+        .withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .bucketBy(nBuckets, "c_id").sortBy("c_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
     graft.operators.Checkpoints.release(cbs)
     GenPointer.swap(spark, table, "pq", gen)
   }
@@ -97,13 +99,13 @@ object PqIndex {
     require(dropId.nonEmpty && dropId != "base",
       "append needs a per-drop id ('base' names the create-time corpus)")
     val gen = liveGen(spark, table)
-    graft.sources.Warehouse.insertPartitionOverwrite(
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
       IvfAnn.assign(docs, spark.table(centsTable(table, gen)))
         .join(PqAnn.encode(docs, spark.table(booksTable(table, gen)))
           .select(col("vec_id"), col("codes")), "vec_id")
         .select(col("c_id"), col("vec_id"), col("codes"))
         .withColumn("drop_id", lit(dropId)),
-      cellsTable(table))
+      cellsTable(table), dropId)
   }
 
   /** IVF-PQ ANN top-k against the persisted index: coarse probe by
@@ -129,6 +131,8 @@ object PqIndex {
     * results bit-equal before/after, spec-pinned. Claim-guarded and
     * crash-healable ([[graft.sources.TableCompact]]); consumes the
     * append history (don't replay pre-compaction drop ids after). */
-  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
-    graft.sources.TableCompact.compact(spark, cellsTable(table), Seq("c_id"), Seq("c_id"))
+  def compact(spark: SparkSession, table: String,
+      newBuckets: Option[Int] = None): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, cellsTable(table), Seq("c_id"), Seq("c_id"),
+      newBuckets = newBuckets)
 }

@@ -3,9 +3,10 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Compaction for the `drop_id`-partitioned persisted-index family
-  * ([[graft.dedup.MinhashIndex]], [[graft.text.SearchIndex]],
-  * [[graft.similarity.IvfIndex]], [[graft.similarity.PqIndex]]).
+/** ZERO-DOWNTIME compaction for the `drop_id`-partitioned
+  * persisted-index family ([[graft.dedup.MinhashIndex]],
+  * [[graft.text.SearchIndex]], [[graft.similarity.IvfIndex]],
+  * [[graft.similarity.PqIndex]]).
   *
   * Nightly appends are idempotent dynamic partition overwrites — each
   * drop owns one `drop_id=<id>` partition directory. Correct, but a
@@ -13,35 +14,42 @@ import org.apache.spark.sql.functions._
   * costing a listing + parquet-footer fetches on EVERY probe; and
   * [[graft.similarity.IvfIndex.rebalance]]'s dead list rows were only
   * reclaimable by a full re-create. This is the maintenance pass
-  * between the appends — the [[Versioned.compact]] /
-  * [[graft.dedup.ClusterLedger.compact]] template applied to catalog
-  * tables: rewrite the CURRENT rows as one consolidated `drop_id=base`
-  * partition (one file per bucket again), preserving the table's
-  * bucket layout so probes stay exchange-free and later appends keep
-  * landing in their own partitions.
+  * between the appends: rewrite the CURRENT rows as one consolidated
+  * `drop_id=base` partition (one file per bucket again), preserving —
+  * or, with `newBuckets`, EVOLVING — the table's bucket layout so
+  * probes stay exchange-free and later appends keep landing in their
+  * own partitions.
   *
-  * Commit discipline: catalog tables have no manifest to atomically
-  * swap, so the publish is staged + claim-guarded with a DETECTED
-  * residual window (the [[graft.text.SearchIndex.appendBm25]]
-  * torn-state precedent — loud, heal-able, never silent):
+  * Commit discipline ([[LiveTable]], r15 — the [[Versioned]] manifest
+  * swap applied to catalog tables): the live name is a VIEW over one
+  * physical generation table; the consolidated rows stage into the
+  * NEXT generation (the live one untouched while the expensive write
+  * runs) and ONE atomic `CREATE OR REPLACE VIEW` commits. Probes
+  * running concurrently with a compaction are never torn and never
+  * find the table missing — a probe reads whichever generation was
+  * live when it resolved the view, and superseded generations are
+  * retained until [[vacuumGens]] (previous kept by default, the
+  * in-flight-reader grace set). Crash anywhere before the swap: the
+  * staged generation is an inert orphan [[heal]] sweeps under the
+  * next run's claim. Crash after: the compaction committed.
   *
-  *  1. a [[CommitSlot]] claim (`_compact_<table>` in the database
-  *     directory) serializes compactions and lets a crashed one's
-  *     retry steal the stale claim safely;
-  *  2. the consolidated rows stage into a SEPARATE table
-  *     (`<table>__compacting`) under the same bucket spec — the live
-  *     table is untouched while the expensive write runs;
-  *  3. the live partition set is re-listed and compared to the entry
-  *     listing: an append that landed mid-compact aborts the publish
-  *     (its drop would otherwise be silently dropped by the swap);
-  *  4. the swap is two catalog ops — DROP live, RENAME staging — with
-  *     a crash seam between them. A crash there leaves the table
-  *     MISSING (loud: every probe fails by name, nothing mis-ranks)
-  *     and [[heal]] (run automatically at the next compact, or
-  *     manually) completes the rename; a crash before the drop leaves
-  *     the staging table, which heal removes. Run compaction from the
-  *     maintenance schedule, not under live probes — the same offline
-  *     contract as the index re-create paths.
+  * Safety rails, under a [[CommitSlot]] claim (single compactor;
+  * a crashed one's retry steals the stale claim):
+  *
+  *  - the live partition set is re-listed after staging — an append
+  *    that landed mid-compact aborts the publish (its drop would
+  *    otherwise be dropped by the swap); the append side additionally
+  *    replays itself if IT lost the race
+  *    ([[LiveTable.insertPartitionOverwriteLive]]);
+  *  - ownership is re-verified immediately before the commit.
+  *
+  * Legacy upgrade: an index created before the view layout is a plain
+  * TABLE; its first compaction stages generation 1 and converts the
+  * name to a view with DROP TABLE + CREATE VIEW — a one-time window
+  * where the name is missing (loud: probes fail by name, nothing
+  * mis-ranks) that [[heal]] completes; every index created by the
+  * r15+ create paths is a view from birth and never passes through
+  * it.
   *
   * Probe results are bit-equal before/after by construction (same
   * rows, same layout) — each index's spec pins it, plus the
@@ -55,16 +63,17 @@ object TableCompact {
       partitionsBefore: Int, partitionsAfter: Int,
       filesBefore: Int, filesAfter: Int)
 
-  // test seam for crash-point specs/fuzz: a simulated kill between the
-  // catalog ops (one-shot — consumed on fire). Production never sets it.
+  // test seam for crash-point specs/fuzz: a simulated kill around the
+  // commit (one-shot — consumed on fire). Production never sets it.
+  // 'staged' fires between the staging write and the commit; 'swapped'
+  // fires right after the commit (for a legacy upgrade: between its
+  // DROP TABLE and CREATE VIEW — the one-time window).
   private[graft] var crashPoint: Option[String] = None
   private def maybeCrash(point: String): Unit =
     if (crashPoint.contains(point)) {
       crashPoint = None
       sys.error(s"simulated crash at compact point '$point'")
     }
-
-  private def stagingName(table: String): String = s"${table}__compacting"
 
   private def claimFile(spark: SparkSession, table: String): java.io.File = {
     val (db, bare) = table.lastIndexOf('.') match {
@@ -78,48 +87,71 @@ object TableCompact {
     new java.io.File(dir, s"_compact_$bare")
   }
 
-  private def numBuckets(spark: SparkSession, table: String): Option[Int] =
-    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+  private def numBuckets(spark: SparkSession, physical: String): Option[Int] =
+    spark.sql(s"DESCRIBE FORMATTED $physical").collect()
       .find(r => Option(r.getString(0)).exists(_.trim == "Num Buckets"))
       .map(_.getString(1).trim.toInt)
 
-  private def partitions(spark: SparkSession, table: String): Set[String] =
-    spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSet
+  private def partitions(spark: SparkSession, physical: String): Set[String] =
+    spark.sql(s"SHOW PARTITIONS $physical").collect().map(_.getString(0)).toSet
 
-  private def dataFiles(spark: SparkSession, table: String): Int =
-    spark.table(table).inputFiles.length
+  private def dataFiles(spark: SparkSession, physical: String): Int =
+    spark.table(physical).inputFiles.length
 
-  /** Repair a crashed compaction: complete the rename when the live
-    * table is missing and the staged one exists; drop a stale staging
-    * table when the live one survived. No-op otherwise. Returns what
-    * it did. */
+  /** Every existing generation number of `table`, ascending. */
+  private def allGens(spark: SparkSession, table: String): Seq[Int] = {
+    val (db, bare) = table.lastIndexOf('.') match {
+      case -1 => (spark.catalog.currentDatabase, table)
+      case i => (table.substring(0, i), table.substring(i + 1))
+    }
+    val genRe = (java.util.regex.Pattern.quote(bare) + "__g(\\d{5})").r
+    spark.catalog.listTables(db).collect().map(_.name).toSeq.collect {
+      case genRe(g) => g.toInt
+    }.sorted
+  }
+
+  /** Repair a crashed compaction. Under the view layout the only
+    * crash litter is staged generations the view never committed to —
+    * dropped here. A legacy UPGRADE that crashed between its DROP
+    * TABLE and CREATE VIEW left the name missing with the staged
+    * generation complete — completed here (the staged generation is
+    * fully written before the drop, so completing is always safe).
+    * No-op otherwise. Returns what it did. */
   def heal(spark: SparkSession, table: String): String = {
-    val staging = stagingName(table)
-    val liveExists = spark.catalog.tableExists(table)
-    val stagingExists = spark.catalog.tableExists(staging)
-    (liveExists, stagingExists) match {
-      case (false, true) =>
-        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-        // the catalog rename moves the managed directory but carries the
-        // partition entries' OLD locations along — rebuild them from the
-        // moved directory tree or the table lists zero files
-        spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-        spark.sql(s"REFRESH TABLE $table")
-        "completed-rename"
-      case (true, true) =>
-        spark.sql(s"DROP TABLE $staging")
-        "dropped-stale-staging"
-      case _ => "noop"
+    val gens = allGens(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      if (gens.isEmpty) "noop"
+      else { // crashed legacy upgrade: commit the highest staged generation
+        LiveTable.swap(spark, table, gens.max)
+        "completed-swap"
+      }
+    } else {
+      val live = LiveTable.liveGen(spark, table)
+      val orphans = live match {
+        case Some(g) => gens.filter(_ > g) // staged above the live pointer
+        case None => gens // legacy TABLE: every generation is a crashed staging
+      }
+      orphans.foreach(g => spark.sql(s"DROP TABLE IF EXISTS ${LiveTable.gTable(table, g)}"))
+      // pre-r15 staging-name leftovers
+      val oldStaging = s"${table}__compacting"
+      val hadOld = spark.catalog.tableExists(oldStaging)
+      if (hadOld) spark.sql(s"DROP TABLE $oldStaging")
+      if (orphans.nonEmpty || hadOld) "dropped-stale-staging" else "noop"
     }
   }
 
   /** Consolidate `table` (drop_id-partitioned, optionally bucketed) to
     * one `drop_id=base` partition holding exactly `filter(current
-    * rows)`. `bucketCols`/`sortCols` restate the table's layout (they
-    * must match the catalog's — the bucket count is read from it). */
+    * rows)`, committed zero-downtime via the [[LiveTable]] view swap.
+    * `bucketCols`/`sortCols` restate the table's layout (they must
+    * match the catalog's — the bucket count is read from it);
+    * `newBuckets` additionally EVOLVES the bucket count (the index
+    * family's rebucket: same rewrite, new layout contract — probes
+    * hash against whichever generation they resolve). */
   def compact(spark: SparkSession, table: String,
       bucketCols: Seq[String], sortCols: Seq[String],
-      filter: DataFrame => DataFrame = identity): CompactStats = {
+      filter: DataFrame => DataFrame = identity,
+      newBuckets: Option[Int] = None): CompactStats = {
     val startedMs = System.currentTimeMillis()
     val claim = CommitSlot.acquire(claimFile(spark, table), startedMs)
       .getOrElse(throw new ConcurrentWriteException(
@@ -127,11 +159,14 @@ object TableCompact {
           "compactions are single-writer; retry later"))
     try {
       heal(spark, table) // a crashed predecessor's leftovers, under the claim
-      val staging = stagingName(table)
-      val nb = numBuckets(spark, table)
-      val parts0 = partitions(spark, table)
-      val filesBefore = dataFiles(spark, table)
-      val cur = spark.table(table)
+      val phys = LiveTable.resolve(spark, table)
+      val legacy = phys == table
+      val nextGen = LiveTable.liveGen(spark, table).map(_ + 1).getOrElse(1)
+      val staging = LiveTable.gTable(table, nextGen)
+      val nb = newBuckets.orElse(numBuckets(spark, phys))
+      val parts0 = partitions(spark, phys)
+      val filesBefore = dataFiles(spark, phys)
+      val cur = spark.table(phys)
       val before = cur.count()
       val kept = filter(cur)
       val dataCols = kept.columns.filter(_ != "drop_id").toSeq
@@ -172,10 +207,19 @@ object TableCompact {
         case Some(v) => spark.conf.set(bucketingKey, v)
         case None => spark.conf.unset(bucketingKey)
       }
+      // record WHAT the staging consumed (the entry listing's drop
+      // ids) as a property of the new generation, committed with it by
+      // the swap — [[LiveTable.insertPartitionOverwriteLive]] reads it
+      // to tell "my drop was consumed into base" (no replay) from "my
+      // drop landed after the re-check" (replay), the disambiguation
+      // that stops a replayed append from duplicating consumed rows
+      val consumed = parts0.map(_.stripPrefix("drop_id=")).toSeq.sorted.mkString(",")
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+        s"('graft.consumed_drops' = '$consumed')")
       maybeCrash("staged")
       // an append that committed while we staged owns a partition the
-      // staged table lacks — swapping would silently drop its rows
-      val parts1 = partitions(spark, table)
+      // staged generation lacks — swapping would silently drop its rows
+      val parts1 = partitions(spark, phys)
       if (parts1 != parts0) {
         spark.sql(s"DROP TABLE IF EXISTS $staging")
         throw new ConcurrentWriteException(
@@ -185,14 +229,31 @@ object TableCompact {
       if (!claim.owned())
         throw new ConcurrentWriteException(
           s"compaction claim for $table was stolen mid-stage — abandoning")
-      spark.sql(s"DROP TABLE $table")
-      maybeCrash("swapped")
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-      spark.sql(s"REFRESH TABLE $table")
-      val filesAfter = dataFiles(spark, table)
-      CompactStats(rows, before - rows, parts0.size, partitions(spark, table).size,
+      if (legacy) {
+        // one-time upgrade of a pre-view index: the only remaining
+        // missing-name window, completed by heal on the retry
+        spark.sql(s"DROP TABLE $table")
+        maybeCrash("swapped")
+        LiveTable.swap(spark, table, nextGen)
+      } else {
+        LiveTable.swap(spark, table, nextGen) // THE commit — one atomic op
+        maybeCrash("swapped") // after this point the compaction has landed
+      }
+      val filesAfter = dataFiles(spark, staging)
+      CompactStats(rows, before - rows, parts0.size, partitions(spark, staging).size,
         filesBefore, filesAfter)
     } finally claim.release()
+  }
+
+  /** Reclaim superseded generation tables (keep the live one and, by
+    * default, its predecessor for in-flight probes) — run from
+    * maintenance, serialized against compactions by the same claim. */
+  def vacuumGens(spark: SparkSession, table: String,
+      keepPrevious: Boolean = true): Seq[String] = {
+    val claim = CommitSlot.acquire(claimFile(spark, table), System.currentTimeMillis())
+      .getOrElse(throw new ConcurrentWriteException(
+        s"another writer holds the compaction slot for $table — retry the vacuum later"))
+    try LiveTable.vacuumGens(spark, table, keepPrevious)
+    finally claim.release()
   }
 }

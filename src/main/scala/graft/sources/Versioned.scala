@@ -225,7 +225,92 @@ object Versioned {
     java.nio.file.Files.move(tmp.toPath, manifestFile(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the streaming log's visible mirror — AFTER the pointer move so
+    // the feed only ever names committed versions; self-healing for
+    // any gap a predecessor's crash left (see syncFeed)
+    syncFeed(root)
   }
+
+  /** Mirror committed chain entries into `feed/` — the table's
+    * streaming LOG. Chain entries are `_`-prefixed (hidden from Spark
+    * file listings by design); the feed copies each COMMITTED
+    * version's entry under a visible name (`feed/v%05d.json`) so
+    * Structured Streaming's file source can tail the table with its
+    * own checkpointed exactly-once offsets ([[changeFeedStream]]).
+    * Runs AFTER every manifest move and backfills any gap a crashed
+    * predecessor left (publish crashed between its manifest move and
+    * its feed write), so the feed is self-healing: eventually every
+    * version ≤ live has exactly one feed entry, written once and
+    * never mutated. Pre-feed tables backfill on their next publish,
+    * or explicitly via [[syncFeed]]. */
+  def syncFeed(root: String): Unit = {
+    val liveV = currentManifest(root).map(_.version).getOrElse(return)
+    val feed = new File(root, "feed")
+    feed.mkdirs()
+    for (m <- versions(root) if m.version <= liveV) {
+      val f = new File(feed, f"v${m.version}%05d.json")
+      if (!f.exists()) {
+        // write-beside + atomic rename: the file source must never
+        // list a torn entry
+        val tmp = new File(feed, f".v${m.version}%05d.json.tmp${System.nanoTime()}")
+        java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
+  /** Streaming change-feed SOURCE — subscribe to this table's
+    * publishes: one streaming row per committed version (the raw feed
+    * entry), delivered EXACTLY ONCE per checkpoint by the file
+    * source's own offset log over the `feed/` directory. Compose with
+    * [[startChangeFeed]] for the per-key diff form, or consume the
+    * version numbers directly. The manifest chain is the log; the
+    * feed directory is its listing-visible mirror ([[syncFeed]]). */
+  def changeFeedStream(spark: SparkSession, root: String): DataFrame = {
+    syncFeed(root) // a stream started on a pre-feed table sees history
+    spark.readStream.text(new File(root, "feed").getPath)
+  }
+
+  /** Tail the table as a stream of CHANGE ROWS: for every newly
+    * published version v, emit `diffVersions(v-1, v)` (the first
+    * chain version diffs against empty — all rows `added`), each row
+    * stamped with its `version`, handed to `sink` per micro-batch.
+    * Offsets ride the file source's checkpoint, so a restarted stream
+    * resumes after the last version it processed and a replayed batch
+    * re-presents the same rows with the same batchId — make the sink
+    * idempotent on (version, key), the usual foreachBatch contract.
+    * Consume within the vacuum retention window (a diff against a
+    * vacuumed version fails loudly, like any time travel). */
+  def startChangeFeed(spark: SparkSession, root: String, checkpoint: String,
+      key: Column, content: Column, keyName: String = "key",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    changeFeedStream(spark, root).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vs = batch.collect().map(_.getString(0)).flatMap {
+          case VersionRe(v) => Some(v.toInt)
+          case _ => None
+        }.sorted
+        if (vs.nonEmpty) {
+          val chainMin = versions(root).map(_.version).min
+          val diffs = vs.map { v =>
+            val d =
+              if (v == chainMin) {
+                // first version: everything is an add — diff vs empty
+                val first = readVersion(spark, root, v)
+                TableDiff.snapshotDiff(first.limit(0), first, key, key,
+                  content, content, keyName = keyName)
+              } else diffVersions(spark, root, v - 1, v, key, content, keyName)
+            d.withColumn("version", lit(v))
+          }
+          sink(diffs.reduce(_ unionByName _), batchId)
+        }
+      }
+      .start()
 
   /** The live version's data. Fails if the table has never been
     * promoted. */
@@ -692,7 +777,8 @@ object Versioned {
       deleted: Column = lit(false),
       checks: Seq[Validate.Check] = Seq.empty,
       maxChangedPerMille: Option[Long] = None,
-      maxBroadcastDropKeys: Long = 5000000L): MergeReport = {
+      maxBroadcastDropKeys: Long = 5000000L,
+      zoneCluster: Boolean = false): MergeReport = {
     val spark = drop.sparkSession
     val startedMs = System.currentTimeMillis()
     val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
@@ -810,7 +896,23 @@ object Versioned {
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     val stagedEmpty = merged.isEmpty
     if (!stagedEmpty) {
-      merged.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      // zoneCluster: range-cluster survivors ∪ upserts on (bkt,
+      // zoneCols) before the write, so each touched bucket's files
+      // cover DISJOINT zone ranges instead of whatever order the
+      // survivor union produced — without it, a non-time-sliced
+      // table's zone maps degrade toward full-range bounds per file
+      // and readRange stops pruning (SURVEY row 22bh6's own note).
+      // One extra range exchange over the touched-bucket-sized
+      // staging, never the table; results identical (spec-pinned:
+      // strictly fewer files scanned, bit-equal rows).
+      val toWrite =
+        if (zoneCluster && spec.zones.nonEmpty) {
+          val slices = math.max(touched.size,
+            spark.sessionState.conf.numShufflePartitions)
+          merged.repartitionByRange(slices, (col("bkt") +: spec.zones.map(col)): _*)
+            .sortWithinPartitions(("bkt" +: spec.zones).map(col): _*)
+        } else merged
+      toWrite.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       // the layout contract's zone maps ride along on every publish:
       // one extra column-pruned pass over the touched-bucket-sized
       // staging (never the table) — [[readRange]] consults them
@@ -880,7 +982,8 @@ object Versioned {
       attempts: Int = 5,
       backoffMs: Long = 500L,
       maxBroadcastDropKeys: Long = 5000000L,
-      refuseKeyConflicts: Boolean = false): MergeReport = {
+      refuseKeyConflicts: Boolean = false,
+      zoneCluster: Boolean = false): MergeReport = {
     require(attempts >= 1)
     // the drop is presumed derived against the CURRENT live version;
     // every replay re-checks against this base, not the previous
@@ -893,7 +996,7 @@ object Versioned {
       if (refuseKeyConflicts && attempt > 1)
         firstBase.foreach(checkKeyConflict(drop, root, _))
       try return merge(drop, root, deleted, checks, maxChangedPerMille,
-        maxBroadcastDropKeys)
+        maxBroadcastDropKeys, zoneCluster)
       catch {
         case e: ConcurrentWriteException =>
           last = e
@@ -1226,6 +1329,38 @@ object Versioned {
           .getOrElse("(pre-r14 manifest: derived from footers at read)"))
     }
     (base ++ bucketed).toDF("name", "value")
+  }
+
+  /** What [[maintain]] did: the owner-spread gauge before/after, the
+    * compaction's published version when the threshold tripped, and
+    * what vacuum reclaimed. */
+  final case class MaintainReport(ownerDirsBefore: Int, compacted: Boolean,
+      compactVersion: Option[Int], vacuumed: Seq[String], ownerDirsAfter: Int)
+
+  /** The nightly maintenance job as ONE call — the policy driver over
+    * [[describe]]'s gauges: when the live owner map spans more than
+    * `maxOwnerDirs` distinct version directories (every read unions
+    * one pruned scan per directory, and vacuum must retain all of
+    * them), [[compact]]; then [[vacuum]] with the usual retention.
+    * Reads are bit-equal across the pass by compact's contract;
+    * thresholds not tripped → vacuum only. Unbucketed tables have no
+    * owner spread — vacuum only. */
+  def maintain(spark: SparkSession, root: String,
+      maxOwnerDirs: Int = 4,
+      retainLast: Int = 2,
+      staleStagingMillis: Long = 24L * 3600 * 1000,
+      checks: Seq[Validate.Check] = Seq.empty): MaintainReport = {
+    def spread: Int = currentManifest(root).flatMap(_.buckets)
+      .map(_.owner.filter(_.nonEmpty).distinct.length).getOrElse(1)
+    val before = spread
+    val compacted = before > maxOwnerDirs
+    val ver = if (compacted) {
+      val r = compact(spark, root, checks)
+      require(r.promoted, s"maintenance compaction refused: ${r.reason.getOrElse("")}")
+      Some(r.version)
+    } else None
+    val swept = vacuum(root, retainLast, staleStagingMillis)
+    MaintainReport(before, compacted, ver, swept, spread)
   }
 
   /** Roll back by PUBLISHING: the new live version is

@@ -35,11 +35,16 @@ object SearchIndex {
     * file per bucket; scans still arrive bucket-clustered). */
   def create(corpus: DataFrame, text: Column, id: Column, table: String,
       nBuckets: Int): Unit =
-    Search.postings(corpus, text, id).withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .bucketBy(nBuckets, "t1", "t2").sortBy("t1", "t2")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(table)
+    // generation-versioned behind a stable view (LiveTable): probes
+    // resolve `table` as usual; compaction and re-creates stage the
+    // next generation and commit with one atomic view swap
+    graft.sources.LiveTable.createGeneration(corpus.sparkSession, table) { phys =>
+      Search.postings(corpus, text, id).withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .bucketBy(nBuckets, "t1", "t2").sortBy("t1", "t2")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
 
   /** Append a new drop's postings into the existing layout,
     * IDEMPOTENT per drop id: a dynamic partition overwrite on
@@ -52,8 +57,8 @@ object SearchIndex {
       dropId: String): Unit = {
     require(dropId.nonEmpty && dropId != "base",
       "append needs a per-drop id ('base' names the create-time corpus)")
-    graft.sources.Warehouse.insertPartitionOverwrite(
-      Search.postings(docs, text, id).withColumn("drop_id", lit(dropId)), table)
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
+      Search.postings(docs, text, id).withColumn("drop_id", lit(dropId)), table, dropId)
   }
 
   /** Consolidate the postings table's append history to ONE
@@ -62,8 +67,10 @@ object SearchIndex {
     * crash-healable ([[graft.sources.TableCompact]]); consumes the
     * append history (don't replay pre-compaction drop ids after —
     * the age-gate discipline of the other compact passes). */
-  def compact(spark: SparkSession, table: String): graft.sources.TableCompact.CompactStats =
-    graft.sources.TableCompact.compact(spark, table, Seq("t1", "t2"), Seq("t1", "t2"))
+  def compact(spark: SparkSession, table: String,
+      newBuckets: Option[Int] = None): graft.sources.TableCompact.CompactStats =
+    graft.sources.TableCompact.compact(spark, table, Seq("t1", "t2"), Seq("t1", "t2"),
+      newBuckets = newBuckets)
 
   /** Consolidate the BM25 index: the tf table to one base partition,
     * then the stats ledger to ONE summed (n, tl) row. Order matters
@@ -72,9 +79,11 @@ object SearchIndex {
     * the ledger's SUM is unchanged until its own compact lands — a
     * crash between the two passes leaves a correct, probe-able index
     * either way. */
-  def compactBm25(spark: SparkSession, table: String):
+  def compactBm25(spark: SparkSession, table: String,
+      newBuckets: Option[Int] = None):
       (graft.sources.TableCompact.CompactStats, graft.sources.TableCompact.CompactStats) = {
-    val tf = graft.sources.TableCompact.compact(spark, table, Seq("t"), Seq("t"))
+    val tf = graft.sources.TableCompact.compact(spark, table, Seq("t"), Seq("t"),
+      newBuckets = newBuckets)
     val st = graft.sources.TableCompact.compact(spark, s"${table}_stats", Nil, Nil,
       df => df.agg(sum("n").cast("long").as("n"), sum("tl").cast("long").as("tl")))
     (tf, st)
@@ -113,15 +122,20 @@ object SearchIndex {
     * query terms' buckets. */
   def createBm25(corpus: DataFrame, text: Column, id: Column, table: String,
       nBuckets: Int): Unit = {
-    tfOf(corpus, text, id).withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .bucketBy(nBuckets, "t").sortBy("t")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(table)
-    statsDelta(corpus, text, id).withColumn("drop_id", lit("base"))
-      .write.partitionBy("drop_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${table}_stats")
+    val spark = corpus.sparkSession
+    graft.sources.LiveTable.createGeneration(spark, table) { phys =>
+      tfOf(corpus, text, id).withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .bucketBy(nBuckets, "t").sortBy("t")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
+    graft.sources.LiveTable.createGeneration(spark, s"${table}_stats") { phys =>
+      statsDelta(corpus, text, id).withColumn("drop_id", lit("base"))
+        .write.partitionBy("drop_id")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(phys)
+    }
   }
 
   // test seam: a simulated crash BETWEEN the tf-partition write and
@@ -146,13 +160,13 @@ object SearchIndex {
       dropId: String): Unit = {
     require(dropId.nonEmpty && dropId != "base",
       "appendBm25 needs a per-drop id ('base' names the create-time corpus)")
-    graft.sources.Warehouse.insertPartitionOverwrite(
-      tfOf(docs, text, id).withColumn("drop_id", lit(dropId)), table)
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
+      tfOf(docs, text, id).withColumn("drop_id", lit(dropId)), table, dropId)
     if (failBetweenBm25Writes)
       sys.error("simulated crash between bm25 tf and stats writes")
-    graft.sources.Warehouse.insertPartitionOverwrite(
+    graft.sources.LiveTable.insertPartitionOverwriteLive(
       statsDelta(docs, text, id).withColumn("drop_id", lit(dropId)),
-      s"${table}_stats")
+      s"${table}_stats", dropId)
   }
 
   /** BM25 top-k against the stored index: the term filter prunes to
@@ -174,9 +188,13 @@ object SearchIndex {
   def bm25Probe(spark: SparkSession, table: String, terms: Seq[String],
       topK: Int): DataFrame = {
     require(terms.nonEmpty && topK >= 1)
-    val tfDrops = spark.sql(s"SHOW PARTITIONS $table")
+    // partition listings need the PHYSICAL generation tables (views
+    // reject SHOW PARTITIONS); the data reads below go through the view
+    val tfPhys = graft.sources.LiveTable.resolve(spark, table)
+    val statsPhys = graft.sources.LiveTable.resolve(spark, s"${table}_stats")
+    val tfDrops = spark.sql(s"SHOW PARTITIONS $tfPhys")
       .collect().map(_.getString(0)).toSet
-    val statDrops = spark.sql(s"SHOW PARTITIONS ${table}_stats")
+    val statDrops = spark.sql(s"SHOW PARTITIONS $statsPhys")
       .collect().map(_.getString(0)).toSet
     require(tfDrops.subsetOf(statDrops),
       s"bm25 index $table is torn: tf partitions ${tfDrops.diff(statDrops).mkString(", ")} " +

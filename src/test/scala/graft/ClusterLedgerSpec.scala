@@ -245,6 +245,29 @@ class ClusterLedgerSpec extends SparkSpecBase {
     assert(ClusterLedger.lookup(spark, path, 999L).isEmpty) // unseen id
   }
 
+  test("compact(newBuckets) rebuckets the ledger: labels bit-equal, new contract enforced") {
+    val path = tmp()
+    ClusterLedger.append(path, Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b",
+      numBuckets = 4)
+    ClusterLedger.append(path, Seq((2L, 3L), (9L, 9L)).toDF("a", "b"), "a", "b",
+      numBuckets = 4)
+    val before = ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+    val st = ClusterLedger.compact(spark, path, newBuckets = Some(16))
+    assert(st.relabeled === 0L && st.newIds === 0L)
+    assert(ClusterLedger.readManifest(path).map(_.numBuckets) === Some(16))
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet === before)
+    // point lookups hash under the NEW contract
+    assert(ClusterLedger.lookup(spark, path, 9L).as[(Long, Long)].collect().toSeq
+      === Seq((9L, 9L)))
+    // appends must state the new count — the mismatch guard stays loud
+    val e = intercept[IllegalArgumentException](
+      ClusterLedger.append(path, Seq((20L, 21L)).toDF("a", "b"), "a", "b", numBuckets = 4))
+    assert(e.getMessage.contains("numBuckets=16"))
+    ClusterLedger.append(path, Seq((20L, 21L)).toDF("a", "b"), "a", "b", numBuckets = 16)
+    assert(ClusterLedger.labels(spark, path).as[(Long, Long)].collect().toSet
+      === before ++ Set((20L, 20L), (21L, 20L)))
+  }
+
   test("a mismatched bucket count is refused loudly, never silently orphaning rows") {
     val path = tmp()
     ClusterLedger.append(path, Seq((1L, 2L)).toDF("a", "b"), "a", "b", numBuckets = 8)

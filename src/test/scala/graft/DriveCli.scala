@@ -1481,5 +1481,118 @@ object DriveCli {
       println(s"INDEX_COMPACT=${st.length} OK=$ok")
       spark.stop()
     }
+
+    // r15: warehouse maintain — a merge chain trips the owner-spread
+    // threshold; ONE CLI verb compacts and vacuums; reads bit-equal
+    val mroot = java.nio.file.Files.createTempDirectory("drive_maint").toString + "/t"
+    locally {
+      val spark = GraftSession.builder("seedMaint", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val base = (1L to 30L).map(j => j -> s"d$j").toDF("doc_id", "text")
+      require(graft.sources.Versioned.promoteBucketed(base, mroot, "doc_id", 8).promoted)
+      for (i <- 1 to 4)
+        require(graft.sources.Versioned.merge(
+          Seq((100L + i, s"x$i", false)).toDF("doc_id", "text", "del"),
+          mroot, deleted = col("del")).merged)
+      spark.stop()
+    }
+    Cli.main(Array("-f", "parquet", "promote", "--action", "maintain",
+      "--root", mroot, "--max-owner-dirs", "2", "--retain", "1",
+      "--outfile", s"$tmp/maint"))
+    locally {
+      val spark = GraftSession.builder("verifyMaint", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val rep = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/maint")
+        .collect().map(r => (r.getString(1), r.getString(2))).toMap
+      val after = graft.sources.Versioned.describe(spark, mroot)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val rows = graft.sources.Versioned.read(spark, mroot).count()
+      val ok = rep("compacted") == "true" && after("owner_directories") == "1" &&
+        rows == 34L
+      println(s"MAINTAIN=${rep.size} OK=$ok")
+      spark.stop()
+    }
+
+    // r15: rebucket via the CLI — 8 -> 16 buckets, content row-equal
+    Cli.main(Array("-f", "parquet", "promote", "--action", "rebucket",
+      "--root", mroot, "--buckets", "16", "--outfile", s"$tmp/rebkt"))
+    locally {
+      val spark = GraftSession.builder("verifyRebkt", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val after = graft.sources.Versioned.describe(spark, mroot)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val ok = after("num_buckets") == "16" &&
+        graft.sources.Versioned.read(spark, mroot).count() == 34L &&
+        graft.sources.Versioned.lookup(spark, mroot, 101L).count() == 1L
+      println(s"REBUCKET=${after("num_buckets")} OK=$ok")
+      spark.stop()
+    }
+
+    // r15: merge --zone-cluster — staged rows range-cluster on the
+    // zone column; the merged read stays exact
+    val zcroot = java.nio.file.Files.createTempDirectory("drive_zc").toString + "/t"
+    locally {
+      val spark = GraftSession.builder("seedZc", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val base = (1L to 60L).map(j => j -> s"d$j").toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id"))
+      require(graft.sources.Versioned.promoteBucketed(base, zcroot, "doc_id", 4,
+        zoneCols = Seq("doc_id")).promoted)
+      val drop = (1L to 60L).filter(_ % 5 == 0).map(j => (j, s"d$j v2", false))
+        .toDF("doc_id", "text", "del")
+      graft.sources.PartitionedFiles.writeParquet(drop, s"$tmp/zcdrop", 2)
+      spark.stop()
+    }
+    Cli.main(Array("-i", s"$tmp/zcdrop", "-f", "parquet", "promote", "--action", "merge",
+      "--root", zcroot, "--deleted", "del", "--zone-cluster", "true",
+      "--outfile", s"$tmp/zcmerge"))
+    locally {
+      val spark = GraftSession.builder("verifyZc", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val got = graft.sources.Versioned.read(spark, zcroot)
+        .as[(Long, String)].collect().toMap
+      val ok = got.size == 60 && got(5L) == "d5 v2" && got(7L) == "d7" &&
+        graft.sources.Versioned.readRange(spark, zcroot, "doc_id", 10L, 20L)
+          .count() == 11L
+      println(s"ZONE_CLUSTER_MERGE=${got.size} OK=$ok")
+      spark.stop()
+    }
+
+    // r15: index-maintain — the append history exceeds the partition
+    // threshold; one CLI verb compacts (zero-downtime view swap) and
+    // vacuums superseded generations; probes stay exact
+    locally {
+      val spark = GraftSession.builder("seedIdxM", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val whDir = java.nio.file.Files.createTempDirectory("drive_idxm").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS drive_idxm LOCATION '$whDir'")
+      val base = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+      graft.text.SearchIndex.create(base, col("text"), col("doc_id"),
+        "drive_idxm.posts", nBuckets = 2)
+      for (i <- 0 until 3)
+        graft.text.SearchIndex.append(
+          Seq((10L + i, s"alpha beta run$i")).toDF("doc_id", "text"),
+          col("text"), col("doc_id"), "drive_idxm.posts", dropId = s"d$i")
+      // no spark.stop(): the CLI call below must see the catalog
+    }
+    Cli.main(Array("-f", "parquet", "index-maintain", "--kind", "postings",
+      "--table", "drive_idxm.posts", "--max-partitions", "2",
+      "--keep-previous", "false", "--outfile", s"$tmp/idxmaint"))
+    locally {
+      val spark = GraftSession.builder("verifyIdxM", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val st = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/idxmaint")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      val ok = st.contains(("partitions_after", "1")) &&
+        st.contains(("compacted", "true")) &&
+        st.exists { case (k, v) => k == "vacuumed" && v.contains("__g00001") }
+      println(s"INDEX_MAINTAIN=${st.length} OK=$ok")
+      spark.stop()
+    }
   }
 }
+

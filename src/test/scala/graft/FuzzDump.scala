@@ -846,12 +846,19 @@ object FuzzDump {
       val nb = 1 + rnd.nextInt(8)
       // a third of the seeds run a COMPACT at a random point in the
       // drop sequence — content-preserving by contract, so the oracle
-      // is unchanged; this fuzzes merge-after-compact owner maps
+      // is unchanged; this fuzzes merge-after-compact owner maps.
+      // Another (independent) third run a REBUCKET to a random new
+      // count — also content-preserving, fuzzing merge-after-rebucket
+      // layouts (r15)
       val compactAt = if (rnd.nextInt(3) == 0) rnd.nextInt(3) else -1
+      val rebucketAt = if (rnd.nextInt(3) == 0) rnd.nextInt(3) else -1
+      val newNb = 1 + rnd.nextInt(12)
       require(graft.sources.Versioned.promoteBucketed(base, root, "id", nb).promoted)
       Seq(d1, d2, d3).zipWithIndex.foreach { case (d, i) =>
         if (i == compactAt)
           require(graft.sources.Versioned.compact(spark, root).promoted)
+        if (i == rebucketAt)
+          require(graft.sources.Versioned.rebucket(spark, root, newNb).promoted)
         require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged)
       }
       dump("warehouse_merge", seed,
@@ -865,6 +872,44 @@ object FuzzDump {
           |m3 AS (SELECT m2.id, m2.v FROM m2 LEFT JOIN d3 ON m2.id = d3.id WHERE d3.id IS NULL
           |       UNION ALL SELECT id, v FROM d3 WHERE NOT del)
           |SELECT id, v FROM m3""".stripMargin)
+    }
+
+    // ---- composite-key warehouse merge (r15): the warehouse_merge
+    // shape keyed on a (src, id) TUPLE — random drops reuse ids under
+    // other sources (exactly the rows a single-column key would
+    // collide on), random rebuckets, oracle joins on BOTH columns ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 31)
+      val srcs = Vector("a", "b", "c")
+      def mkKeys(n: Int) = rnd.shuffle(
+        (for (s0 <- srcs; id <- 0L until 12L) yield (s0, id)).toList).take(n)
+      val base = mkKeys(6 + rnd.nextInt(10))
+        .map { case (s0, id) => (s0, id, rnd.nextInt(100).toLong) }
+        .toDF("src", "id", "v")
+      def mkDrop() = mkKeys(1 + rnd.nextInt(6)).zipWithIndex.map { case ((s0, id), i) =>
+        (s0, id, rnd.nextInt(100).toLong, i > 0 && rnd.nextInt(4) == 0)
+      }.toDF("src", "id", "v", "del")
+      val (d1, d2) = (mkDrop(), mkDrop())
+      val root = java.nio.file.Files
+        .createTempDirectory("fuzz_whmerge2").toString + "/t"
+      val nb = 1 + rnd.nextInt(8)
+      require(graft.sources.Versioned.promoteBucketed(base, root, "src,id", nb).promoted)
+      Seq(d1, d2).zipWithIndex.foreach { case (d, i) =>
+        if (i == 1 && rnd.nextInt(3) == 0)
+          require(graft.sources.Versioned.rebucket(spark, root, 1 + rnd.nextInt(12)).promoted)
+        require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged)
+      }
+      dump("warehouse_merge_composite", seed,
+        Map("base" -> base, "d1" -> d1, "d2" -> d2),
+        graft.sources.Versioned.read(spark, root),
+        """WITH m0 AS (SELECT src, id, v FROM base),
+          |m1 AS (SELECT m0.src, m0.id, m0.v FROM m0
+          |       LEFT JOIN d1 ON m0.src = d1.src AND m0.id = d1.id WHERE d1.id IS NULL
+          |       UNION ALL SELECT src, id, v FROM d1 WHERE NOT del),
+          |m2 AS (SELECT m1.src, m1.id, m1.v FROM m1
+          |       LEFT JOIN d2 ON m1.src = d2.src AND m1.id = d2.id WHERE d2.id IS NULL
+          |       UNION ALL SELECT src, id, v FROM d2 WHERE NOT del)
+          |SELECT src, id, v FROM m2""".stripMargin)
     }
 
     // ---- warehouse crash: the warehouse_merge shape with a simulated
@@ -936,9 +981,11 @@ object FuzzDump {
     // warehouse_crash discipline). A postings search index is created
     // from a random base, grows by appended drops, is compacted at a
     // random point of the sequence — a third of compactions are
-    // KILLED at a random TableCompact seam ('staged': staging table
-    // stranded, live intact; 'swapped': live table loudly MISSING)
-    // and must be healed by the retry — then probed with random
+    // KILLED at a random TableCompact seam ('staged': an orphan staged
+    // generation, live view untouched; 'swapped': the atomic view swap
+    // already COMMITTED — r15 zero-downtime layout, the name is never
+    // missing) and the retry must converge either way — then probed
+    // with random
     // phrases: the occurrence counts must equal the from-scratch
     // phrase replay whatever the append/compact/crash history was. ----
     for (seed <- 0 until seeds) {

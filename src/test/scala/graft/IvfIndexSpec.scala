@@ -250,7 +250,8 @@ class IvfIndexSpec extends SparkSpecBase {
       val st = IvfIndex.compact(spark, "graft_ivfcp.idx")
       assert(st.droppedRows === dead, s"compact must drop exactly the dead rows: $st")
       assert(st.partitionsBefore === 3 && st.partitionsAfter === 1, st) // base, drift1, rebalance
-      assert(spark.sql("SHOW PARTITIONS graft_ivfcp.idx_cells")
+      assert(spark.sql("SHOW PARTITIONS " +
+          graft.sources.LiveTable.resolve(spark, "graft_ivfcp.idx_cells"))
         .collect().map(_.getString(0)).toSeq === Seq("drop_id=base"))
       assert(IvfIndex.driftStats(spark, "graft_ivfcp.idx").deadRows === 0L)
       assert(spark.table("graft_ivfcp.idx_cells").inputFiles.length < filesBefore)
@@ -261,7 +262,8 @@ class IvfIndexSpec extends SparkSpecBase {
       IvfIndex.append(spark, drift.limit(5)
         .select((col("vec_id") + 1000L).as("vec_id"), col("e"), col("nrm")),
         "graft_ivfcp.idx", dropId = "post")
-      assert(spark.sql("SHOW PARTITIONS graft_ivfcp.idx_cells").count() === 2)
+      assert(spark.sql("SHOW PARTITIONS " +
+          graft.sources.LiveTable.resolve(spark, "graft_ivfcp.idx_cells")).count() === 2)
     } finally spark.sql("DROP DATABASE IF EXISTS graft_ivfcp CASCADE")
   }
 

@@ -84,14 +84,15 @@ class MinhashIndexSpec extends SparkSpecBase {
     }
   }
 
-  test("compact collapses the append chain to one base partition; probes bit-equal; crashes heal") {
+  test("compact is zero-downtime: probes bit-equal at every crash point, never a missing table") {
     withIndex(4) { table =>
+      import graft.sources.{LiveTable, TableCompact}
+      def phys = LiveTable.resolve(spark, table)
       // three appended drops + base = 4 partitions of small files
       for ((d, i) <- batch.randomSplit(Array(1, 1, 1), seed = 7).zipWithIndex)
         MinhashIndex.append(d, col("text"), col("doc_id"), table, nBuckets = 4,
           dropId = s"d$i")
-      val partsBefore = spark.sql(s"SHOW PARTITIONS $table").count()
-      assert(partsBefore === 4)
+      assert(spark.sql(s"SHOW PARTITIONS $phys").count() === 4)
       val rowsBefore = spark.table(table).count()
       val filesBefore = spark.table(table).inputFiles.length
       val screenBefore = ids(
@@ -99,18 +100,20 @@ class MinhashIndexSpec extends SparkSpecBase {
       val pairsBefore = MinhashIndex.probePairs(spark, table, docs.limit(200),
         col("text"), col("doc_id")).as[(Long, Long)].collect().toSet
 
-      // a crash between the catalog ops leaves the table MISSING (loud,
-      // never mis-probing) and heal completes the swap
+      // a kill right after the atomic view swap IS a commit: the live
+      // name never vanishes (the r14 DROP+RENAME window is gone) and
+      // probes read the consolidated generation
       graft.sources.TableCompact.crashPoint = Some("swapped")
       try {
         val e = intercept[RuntimeException](MinhashIndex.compact(spark, table))
         assert(e.getMessage.contains("simulated crash"), e.getMessage)
       } finally graft.sources.TableCompact.crashPoint = None
-      assert(!spark.catalog.tableExists(table))
-      assert(graft.sources.TableCompact.heal(spark, table) === "completed-rename")
+      assert(spark.catalog.tableExists(table), "zero-downtime: the live name never vanishes")
+      assert(phys.endsWith("__g00002"), s"the swap committed: $phys")
+      assert(TableCompact.heal(spark, table) === "noop", "a post-swap crash IS a commit")
 
       // post-compact: one partition, fewer files, same rows, bit-equal probes
-      assert(spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSeq
+      assert(spark.sql(s"SHOW PARTITIONS $phys").collect().map(_.getString(0)).toSeq
         === Seq("drop_id=base"))
       assert(spark.table(table).count() === rowsBefore)
       assert(spark.table(table).inputFiles.length < filesBefore)
@@ -120,22 +123,46 @@ class MinhashIndexSpec extends SparkSpecBase {
       assert(MinhashIndex.probePairs(spark, table, docs.limit(200),
         col("text"), col("doc_id")).as[(Long, Long)].collect().toSet === pairsBefore)
 
-      // a crash BEFORE the swap leaves the live table intact and a
-      // stale staging table the next compact heals away
+      // a crash BEFORE the swap strands only an inert staged
+      // generation: the live view is untouched, probes still see the
+      // pre-compact rows (incl. the late append), and the next compact
+      // heals the orphan away under its claim
       MinhashIndex.append(docs.limit(50), col("text"), col("doc_id"), table,
         nBuckets = 4, dropId = "late")
+      val liveBefore = phys
+      val withLate = spark.table(table).count()
       graft.sources.TableCompact.crashPoint = Some("staged")
       try intercept[RuntimeException](MinhashIndex.compact(spark, table))
       finally graft.sources.TableCompact.crashPoint = None
       assert(spark.catalog.tableExists(table))
-      assert(spark.catalog.tableExists(s"${table}__compacting"))
+      assert(phys === liveBefore, "a pre-swap crash must not move the live pointer")
+      assert(spark.catalog.tableExists(s"${table}__g00003"), "staged orphan")
+      assert(spark.table(table).count() === withLate)
       val stats = MinhashIndex.compact(spark, table)
       assert(stats.partitionsAfter === 1 && stats.droppedRows === 0L)
-      assert(!spark.catalog.tableExists(s"${table}__compacting"))
+      assert(phys.endsWith("__g00003"), "the retry re-stages over the healed orphan")
+      // superseded generations are reclaimed by an explicit vacuum
+      // (previous kept by default for in-flight probes)
+      val dropped = TableCompact.vacuumGens(spark, table)
+      assert(dropped === Seq(s"${table}__g00001"), dropped)
+      assert(TableCompact.vacuumGens(spark, table, keepPrevious = false)
+        === Seq(s"${table}__g00002"))
+      assert(spark.table(table).count() === withLate)
       // appends keep working after a compact (fresh drop ids)
       MinhashIndex.append(docs.limit(20), col("text"), col("doc_id"), table,
         nBuckets = 4, dropId = "post")
-      assert(spark.sql(s"SHOW PARTITIONS $table").count() === 2)
+      assert(spark.sql(s"SHOW PARTITIONS $phys").count() === 2)
+      // …and compact can EVOLVE the bucket count (the index rebucket):
+      // same rows, same probe results, 8 buckets from here on
+      val rowsPreReb = spark.table(table).count()
+      val screenPreReb = ids(
+        MinhashIndex.screenNovel(spark, table, docs.limit(200), col("text"), col("doc_id")))
+      val reb = MinhashIndex.compact(spark, table, newBuckets = Some(8))
+      assert(reb.rows === rowsPreReb)
+      assert(spark.table(table).count() === rowsPreReb)
+      assert(spark.table(table).inputFiles.length <= 8)
+      assert(ids(MinhashIndex.screenNovel(spark, table, docs.limit(200),
+        col("text"), col("doc_id"))) === screenPreReb)
     }
   }
 

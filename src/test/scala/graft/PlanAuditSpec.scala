@@ -497,6 +497,13 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_warehouse_merge — the add-column merge widens by-name at read
     // (unionByName null-fill is a projection, not an exchange)
     "q_warehouse_evolve" -> 0,
+    // q_warehouse_merge2: the composite-key merge returns the same
+    // assembled read — the tuple hashing changes the publish side,
+    // never the read shape
+    "q_warehouse_merge2" -> 0,
+    // q_warehouse_rebucket: the post-rebucket read is ONE directory's
+    // pruned scan (the rebucket owns every bucket) — zero exchanges
+    "q_warehouse_rebucket" -> 0,
     // q_warehouse_range: the zone-pruned range read — per-directory
     // FILE-LIST scans unioned + a residual filter; pruning happens at
     // planning (driver reads the file-count-sized _zonemap), so the

@@ -97,7 +97,8 @@ class PqIndexSpec extends SparkSpecBase {
       val filesBefore = spark.table(s"${table}_pqcells").inputFiles.length
       val st = PqIndex.compact(spark, table)
       assert(st.partitionsBefore === 2 && st.partitionsAfter === 1 && st.droppedRows === 0L)
-      assert(spark.sql(s"SHOW PARTITIONS ${table}_pqcells")
+      assert(spark.sql("SHOW PARTITIONS " +
+          graft.sources.LiveTable.resolve(spark, s"${table}_pqcells"))
         .collect().map(_.getString(0)).toSeq === Seq("drop_id=base"))
       assert(spark.table(s"${table}_pqcells").inputFiles.length < filesBefore)
       assert(spark.table(s"${table}_pqcells").inputFiles.length <= 4)

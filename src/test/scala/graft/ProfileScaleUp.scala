@@ -62,6 +62,25 @@ object ProfileScaleUp {
     dir
   }
 
+  /** Fresh-root zone-mapped publish + one lifecycle merge, with or
+    * without zone-clustered staging; returns the merged read (the
+    * count() forces the whole publish path). */
+  private def whMergeZones(spark: SparkSession, dir: String, cluster: Boolean): DataFrame = {
+    import graft.sources.Versioned
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("scaleup_whzc").toString + "/t"
+    require(Versioned.promoteBucketed(docs, root, "doc_id", 16,
+      zoneCols = Seq("doc_id")).promoted)
+    val drop = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" v2")).as("text"), lit(false).as("del"))
+      .repartition(32) // value-shuffled staging input — the worst case
+    require(Versioned.merge(drop, root, deleted = col("del"),
+      zoneCluster = cluster).merged)
+    Versioned.read(spark, root)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("prof-scaleup", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,10 +113,16 @@ object ProfileScaleUp {
       // r14 additions: the BOUNDED rouge grading (must run flat where
       // the uncapped anchor grows with flagged pairs) and the string
       // zone-pruned range read (cached build, timed cost IS the read)
-      "q_rouge_capped", "q_warehouse_range_str")
+      "q_rouge_capped", "q_warehouse_range_str",
+      // r15 additions: the composite-key merge (fresh-root publish —
+      // the tuple hash must scale like the single-key one) and the
+      // rebucket lifecycle (promote + merge + full 8->32 rewrite per
+      // run — the timed cost IS the table rewrite, compaction-class
+      // by contract)
+      "q_warehouse_merge2", "q_warehouse_rebucket")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
-      if (args.nonEmpty) "dev/scaleup_r14b.json" else "dev/scaleup_r14.json")
+      if (args.nonEmpty) "dev/scaleup_r15b.json" else "dev/scaleup_r15.json")
 
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -141,7 +166,14 @@ object ProfileScaleUp {
         n = 3, tau = 0.5, maxDocFreq = graft.dedup.DocFreqCap.Unbounded)),
       "q_containment_unbounded" -> (dir => graft.dedup.Dedup.containmentPairs(
         graft.sources.Tables.documents(spark, dir), col("text"), col("doc_id"),
-        n = 3, tau = 0.8, maxDocFreq = graft.dedup.DocFreqCap.Unbounded)))
+        n = 3, tau = 0.8, maxDocFreq = graft.dedup.DocFreqCap.Unbounded)),
+      // r15: the zone-clustered merge staging's PUBLISH overhead (one
+      // extra range exchange over the touched-bucket-sized staging) —
+      // timed against the identical unclustered publish; the pruning
+      // BENEFIT is spec-pinned (strictly fewer files), this pins the
+      // cost side at scale
+      "wh_merge_zones_plain" -> (dir => whMergeZones(spark, dir, cluster = false)),
+      "wh_merge_zones_clustered" -> (dir => whMergeZones(spark, dir, cluster = true)))
     def timeDf(mk: String => org.apache.spark.sql.DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       mk(dir).count()

@@ -133,7 +133,9 @@ class PromoteSpec extends SparkSpecBase {
         root, checks).promoted)
     val dropped = Versioned.vacuum(root, retainLast = 2)
     assert(dropped === Seq("v00001", "v00002", "v00003"))
-    val dirs = new File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // `feed` is the change-feed log mirror — metadata, never vacuumed
+    val dirs = new File(root).listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_ != "feed").sorted
     assert(dirs.toSeq === Seq("v00004", "v00005"))
     assert(Versioned.read(spark, root).count() === 5)
     // vacuumed versions stay in the chain and fail loudly, not blindly
@@ -927,6 +929,72 @@ class PromoteSpec extends SparkSpecBase {
       col("doc_id"), col("text"), keyName = "doc_id")
     assert(feed.filter(col("status") =!= "unchanged").count() === 0)
     assert(feed.count() === 41)
+  }
+
+  test("zoneCluster merge staging: strictly fewer files scanned by a range read, bit-equal rows") {
+    // a drop whose keys are SHUFFLED across the whole value range —
+    // the case where default staging writes full-range zone bounds
+    // per file and readRange stops pruning inside the merge's dir
+    def base = (1L to 400L).map(j => j -> s"d$j").toDF("doc_id", "text")
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+    def drop = (1L to 400L).filter(_ % 3 == 0).map(j => (j, s"d$j v2", false))
+      .toDF("doc_id", "text", "del")
+      .repartition(8) // deliberately value-shuffled staging input
+    def build(zc: Boolean): String = {
+      val root = freshRoot()
+      assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+        zoneCols = Seq("doc_id")).promoted)
+      assert(Versioned.merge(drop, root, deleted = col("del"), zoneCluster = zc).merged)
+      root
+    }
+    val plainRoot = build(zc = false)
+    val clusteredRoot = build(zc = true)
+    def scanned(root: String): (Set[(Long, String)], Int) = {
+      val df = Versioned.readRange(spark, root, "doc_id", 100L, 140L)
+      (df.as[(Long, String)].collect().toSet, df.inputFiles.length)
+    }
+    val (rowsPlain, filesPlain) = scanned(plainRoot)
+    val (rowsClustered, filesClustered) = scanned(clusteredRoot)
+    assert(rowsClustered === rowsPlain, "clustering must be value-invisible")
+    assert(rowsPlain.map(_._1) === (100L to 140L).toSet)
+    assert(filesClustered < filesPlain,
+      s"range-clustered merge staging must prune more files: $filesClustered vs $filesPlain")
+  }
+
+  test("maintain: the spread threshold trips a compact, vacuum reclaims, reads bit-equal") {
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(24), root, "doc_id", 8, checks).promoted)
+    // a merge chain spreads the owner map across 5 directories
+    for (i <- 1 to 4)
+      assert(Versioned.merge(Seq((100L + i, s"x$i", false)).toDF("doc_id", "text", "del"),
+        root, deleted = col("del")).merged)
+    val before = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    val spread0 = Versioned.currentManifest(root).flatMap(_.buckets)
+      .get.owner.filter(_.nonEmpty).distinct.length
+    assert(spread0 >= 3, s"the merge chain must spread the owner map (got $spread0)")
+    // below the threshold: vacuum only, no compact
+    val r0 = Versioned.maintain(spark, root, maxOwnerDirs = spread0)
+    assert(!r0.compacted && r0.ownerDirsAfter === spread0)
+    // above the threshold: compact publishes, gauge resets to 1,
+    // vacuum reclaims the chain outside the retention window
+    val r = Versioned.maintain(spark, root, maxOwnerDirs = spread0 - 1, retainLast = 1)
+    assert(r.compacted && r.ownerDirsBefore === spread0 && r.ownerDirsAfter === 1)
+    assert(r.compactVersion === Some(6))
+    // the in-flight-reader grace set (live + previous + their owner
+    // dirs) still references the chain: nothing reclaims YET
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet === before)
+    // the next nightly merge rotates `previous` onto the compacted
+    // version; THAT pass's vacuum reclaims the whole superseded chain
+    assert(Versioned.merge(Seq((200L, "next", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del")).merged)
+    val r2 = Versioned.maintain(spark, root, maxOwnerDirs = spread0 - 1, retainLast = 1)
+    assert(!r2.compacted, "spread is 2 (compact dir + one merge) — under the threshold")
+    assert(r2.vacuumed.nonEmpty, "the pre-compact chain reclaims once previous rotated")
+    assert(Versioned.read(spark, root).as[(Long, String)].collect().toSet
+      === before + (200L -> "next"))
+    // idempotent: another pass finds nothing to do
+    val r3 = Versioned.maintain(spark, root, maxOwnerDirs = spread0 - 1, retainLast = 1)
+    assert(!r3.compacted && r3.vacuumed.isEmpty)
   }
 
   test("publish stamps stay monotone when the wall clock regresses") {

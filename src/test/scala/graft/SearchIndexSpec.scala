@@ -24,8 +24,7 @@ class SearchIndexSpec extends SparkSpecBase {
       SearchIndex.create(docs, col("text"), col("doc_id"), "graft_si.idx", nBuckets)
       body("graft_si.idx")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_si.idx")
-      spark.sql("DROP DATABASE IF EXISTS graft_si")
+      spark.sql("DROP DATABASE IF EXISTS graft_si CASCADE")
     }
   }
 
@@ -105,8 +104,9 @@ class SearchIndexSpec extends SparkSpecBase {
       val filesBefore = spark.table(table).inputFiles.length
       val st = SearchIndex.compact(spark, table)
       assert(st.partitionsBefore === 2 && st.partitionsAfter === 1)
-      assert(spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSeq
-        === Seq("drop_id=base"))
+      assert(spark.sql(
+          s"SHOW PARTITIONS ${graft.sources.LiveTable.resolve(spark, table)}")
+        .collect().map(_.getString(0)).toSeq === Seq("drop_id=base"))
       assert(spark.table(table).inputFiles.length < filesBefore)
       assert(spark.table(table).inputFiles.length <= 4)
       assert(rows(SearchIndex.probe(spark, table, phrases, col("phrase"), col("phrase")))
