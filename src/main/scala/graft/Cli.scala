@@ -1401,7 +1401,10 @@ object Cli {
                 // --zones c1,c2: integral columns to keep per-file
                 // [min,max] zone maps for (read-range consults them)
                 zoneCols = opts.get("zones").map(_.split(",").toSeq.map(_.trim)
-                  .filter(_.nonEmpty)).getOrElse(Nil))
+                  .filter(_.nonEmpty)).getOrElse(Nil),
+                // --key-bloom-bits N: per-file key blooms for point-
+                // lookup file skipping (0 = off; multiple of 64)
+                keyBloomBits = opts.getOrElse("key-bloom-bits", "0").toInt)
               val rows =
                 Seq(("outcome", "promoted", r.promoted.toString),
                   ("outcome", "version", r.version.toString),
@@ -1447,6 +1450,25 @@ object Cli {
                 ("outcome", "version", r.version.toString),
                 ("outcome", "path", r.path)).toDF("kind", "name", "value"))
               if (!r.promoted) sys.error(s"compaction refused: ${r.reason.getOrElse("")}")
+            case "tail-feed" =>
+              // streaming change-feed consumer: process every version
+              // published since the --checkpoint's last offset, write
+              // their per-key diff rows (stamped with `version`) to
+              // --outfile, commit the offset. Re-running with nothing
+              // new published writes an empty batch — exactly-once
+              // per checkpoint via the file source's offset log.
+              val ck = opts.getOrElse("checkpoint", fail("--checkpoint DIR required"))
+              val k = opts.getOrElse("diff-key", fail("--diff-key COLUMN required"))
+              val c = opts.getOrElse("diff-content", fail("--diff-content COLUMN required"))
+              val outDir = opts.getOrElse("outfile", fail("--outfile PATH required"))
+              val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+              val q = graft.sources.Versioned.startChangeFeed(spark, root, ck,
+                expr(k), expr(c), keyName = k) { (diff, _) => batches += diff }
+              q.awaitTermination()
+              batches.reduceOption(_ unionByName _) match {
+                case Some(d) => write(d)
+                case None => println(s"[graft] no new versions under $root")
+              }
             case "maintain" =>
               // the nightly job as one verb: compact when the owner
               // spread exceeds --max-owner-dirs, then vacuum with

@@ -95,6 +95,26 @@ object DedupQueries {
       root
     })
 
+  /** BLOOM-sidecar published-and-merged warehouse, built ONCE per
+    * (JVM, sf dir): the zonedWarehouse build plus per-file key blooms
+    * (promoteBucketed(keyBloomBits) + a merge that rebuilds the
+    * sidecar on its staged files) — q_warehouse_lookup_bloom's
+    * operator under test is the bloom-pruned point read. The base is
+    * repartitioned so buckets span multiple files (the shape the
+    * bloom exists for). */
+  private val bloomWarehouseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bloomWarehouse(s: SparkSession, dir: String): String =
+    bloomWarehouseCache.computeIfAbsent(dir, d => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .repartition(8)
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_bloom").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16,
+        keyBloomBits = 1 << 17).promoted)
+      require(Versioned.merge(warehouseDrop(docs), root, deleted = col("del")).merged)
+      root
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3/23 exact dedup by content hash, min doc_id representative.
     "q_dedup_exact" -> ((s, dir) =>
@@ -454,6 +474,19 @@ object DedupQueries {
     // so the lookup must see the post-merge content, not the base.
     "q_warehouse_lookup" -> ((s, dir) =>
       graft.sources.Versioned.lookup(s, zonedWarehouse(s, dir),
+        3L * PrepParams.DiffChangeMod)),
+
+
+    // §2.2/22bh20 bloom-pruned point lookup: the serving read against
+    // the bloom-sidecar warehouse — the key's bucket directory spans
+    // many files and the per-file key blooms (consulted driver-side,
+    // zero extra jobs) skip those that provably lack it; spec pins
+    // strictly fewer input files and the one-job property, this gate
+    // pins the VALUE against the merge-replay oracle's point query
+    // (key 3·DiffChangeMod is an UPDATE — the post-merge row must
+    // surface through the bloom path).
+    "q_warehouse_lookup_bloom" -> ((s, dir) =>
+      graft.sources.Versioned.lookup(s, bloomWarehouse(s, dir),
         3L * PrepParams.DiffChangeMod)),
 
     // §2.2/22bh6 zone-mapped warehouse range read: the bucketed,
@@ -1127,6 +1160,9 @@ object DedupQueries {
     // the merge replay's point query: key 3·DiffChangeMod is an
     // update (39 % 17 ≠ 0), so the lookup must read the post-merge row
     "q_warehouse_lookup" ->
+      raw"""SELECT doc_id, source, text || ' v2' AS text
+           |FROM documents WHERE doc_id = ${3 * PrepParams.DiffChangeMod}""".stripMargin,
+    "q_warehouse_lookup_bloom" ->
       raw"""SELECT doc_id, source, text || ' v2' AS text
            |FROM documents WHERE doc_id = ${3 * PrepParams.DiffChangeMod}""".stripMargin,
     // the merge replay restricted to the probed range — the zone-map

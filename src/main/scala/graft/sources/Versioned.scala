@@ -97,7 +97,8 @@ object Versioned {
     * owning directory; manifests written before the field existed
     * degrade to the footer path. */
   final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String],
-      zones: Seq[String] = Nil, schemaB64: Option[String] = None) {
+      zones: Seq[String] = Nil, schemaB64: Option[String] = None,
+      bloomBits: Int = 0) {
     /** The merge key columns, in layout order. */
     def keys: Seq[String] = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
   }
@@ -130,7 +131,8 @@ object Versioned {
         s""""owner": [${b.owner.map(o => "\"" + o + "\"").mkString(",")}]""" +
         (if (b.zones.isEmpty) ""
          else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""") +
-        b.schemaB64.map(s => s""", "schema": "$s"""").getOrElse("")
+        b.schemaB64.map(s => s""", "schema": "$s"""").getOrElse("") +
+        (if (b.bloomBits > 0) s""", "bloomBits": ${b.bloomBits}""" else "")
     }.getOrElse("")
     s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$ts$bkts}"""
   }
@@ -145,6 +147,7 @@ object Versioned {
   private val ZonesRe = """"zones"\s*:\s*\[([^\]]*)\]""".r.unanchored
   private val SchemaRe = """"schema"\s*:\s*"([A-Za-z0-9+/=]+)"""".r.unanchored
   private val TsRe = """"ts"\s*:\s*(\d+)""".r.unanchored
+  private val BloomBitsRe = """"bloomBits"\s*:\s*(\d+)""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -162,7 +165,8 @@ object Versioned {
           case _ => Nil
         }
         val schema = text match { case SchemaRe(s) => Some(s) case _ => None }
-        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema))
+        val bloom = text match { case BloomBitsRe(bb) => bb.toInt case _ => 0 }
+        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema, bloom))
       case _ => None
     }
     val ts = text match { case TsRe(t) => t.toLong case _ => 0L }
@@ -312,6 +316,78 @@ object Versioned {
       }
       .start()
 
+  /** REPLICATE `srcRoot` into `dstRoot` by tailing the source's
+    * change feed — the composition the feed exists for: a downstream
+    * copy (another cluster's serving replica, a dev fork) stays
+    * current at DELTA cost without polling `versions()`.
+    *
+    * Each published source version applies in order: the FIRST as a
+    * full bucketed publish cloning the source's layout contract
+    * (key, buckets, zones, blooms); every later one as a [[merge]]
+    * drop derived from the (v-1 → v) delta — upserts are the rows
+    * whose content changed or appeared (the source snapshot conformed
+    * against its predecessor, so schema evolution replicates: a
+    * widened source widens the replica at drop cost), deletes are the
+    * keys that vanished. Layout-only source publishes (compact,
+    * rebucket) produce an empty delta and apply as nothing — the
+    * replica mirrors CONTENT, its own layout maintenance is its own.
+    *
+    * Exactly-once: offsets ride the file source's checkpoint and a
+    * re-applied version's merge is idempotent (same drop over the
+    * same parent → same rows), so a crash between apply and
+    * checkpoint-advance cannot double-apply or tear. */
+  def replicateStream(spark: SparkSession, srcRoot: String, dstRoot: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeFeedStream(spark, srcRoot).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.collect().map(_.getString(0)).flatMap {
+          case VersionRe(v) => Some(v.toInt)
+          case _ => None
+        }.sorted
+        vs.foreach(v => applyVersion(spark, srcRoot, dstRoot, v))
+      }
+      .start()
+
+  /** Apply source version v to the replica (see [[replicateStream]]). */
+  private def applyVersion(spark: SparkSession, srcRoot: String, dstRoot: String,
+      v: Int): Unit = {
+    val m = versions(srcRoot).find(_.version == v).getOrElse(return)
+    val snap = readVersion(spark, srcRoot, v)
+    currentManifest(dstRoot) match {
+      case None =>
+        val spec = m.buckets.getOrElse(sys.error(
+          s"replication needs a bucketed source — $srcRoot v$v has no layout contract"))
+        val r = promoteBucketed(snap, dstRoot, spec.key, spec.numBuckets,
+          zoneCols = spec.zones, keyBloomBits = spec.bloomBits)
+        require(r.promoted, s"replica bootstrap refused: ${r.reason.getOrElse("")}")
+      case Some(_) =>
+        val keys = m.buckets.map(_.keys).getOrElse(sys.error(
+          s"replication needs a bucketed source — $srcRoot v$v has no layout contract"))
+        val prev = readVersion(spark, srcRoot, v - 1)
+        // conform the predecessor to the current snapshot's (possibly
+        // widened) schema so "changed" is judged in one shape and new
+        // columns replicate as evolution
+        val prevConformed = snap.limit(0).unionByName(prev, allowMissingColumns = true)
+        val upserts = snap.exceptAll(prevConformed)
+          .withColumn("__del", lit(false))
+        val deletes = prevConformed
+          .join(snap.select(keys.map(col): _*), keys, "left_anti")
+          .select(snap.columns.map(c =>
+            if (keys.contains(c)) col(c) else lit(null).cast(snap.schema(c).dataType).as(c)): _*)
+          .withColumn("__del", lit(true))
+        val drop = upserts.unionByName(deletes)
+        if (!drop.isEmpty) {
+          val r = merge(drop, dstRoot, deleted = col("__del"))
+          require(r.merged, s"replica apply of v$v refused: ${r.reason.getOrElse("")}")
+        }
+    }
+  }
+
   /** The live version's data. Fails if the table has never been
     * promoted. */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -414,14 +490,18 @@ object Versioned {
     * component leaving the running hash unchanged — exactly Spark's
     * multi-child XxHash64 — → pmod). One code path, zero Spark jobs:
     * the serving read must not pay a one-row job to hash its key. */
-  private def bktOf(spark: SparkSession, keyValues: Seq[Any], numBuckets: Int): Int = {
+  private def keyHash(spark: SparkSession, keyValues: Seq[Any]): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64Function}
-    val h = keyValues.foldLeft(42L) { (seed, kv) =>
+    keyValues.foldLeft(42L) { (seed, kv) =>
       val s = Cast(Literal(kv), org.apache.spark.sql.types.StringType,
         Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
       if (s == null) seed
       else XxHash64Function.hash(s, org.apache.spark.sql.types.StringType, seed)
     }
+  }
+
+  private def bktOf(spark: SparkSession, keyValues: Seq[Any], numBuckets: Int): Int = {
+    val h = keyHash(spark, keyValues)
     (((h % numBuckets) + numBuckets) % numBuckets).toInt
   }
 
@@ -658,8 +738,11 @@ object Versioned {
       numBuckets: Int,
       checks: Seq[Validate.Check] = Seq.empty,
       diffGate: Option[DiffGate] = None,
-      zoneCols: Seq[String] = Nil): PromoteReport = {
+      zoneCols: Seq[String] = Nil,
+      keyBloomBits: Int = 0): PromoteReport = {
     require(numBuckets > 0)
+    require(keyBloomBits == 0 || (keyBloomBits > 0 && keyBloomBits % 64 == 0),
+      "keyBloomBits must be 0 (disabled) or a positive multiple of 64")
     val keys = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     require(keys.nonEmpty, "merge key must name at least one column")
     keys.foreach(k => require(df.columns.contains(k),
@@ -677,6 +760,7 @@ object Versioned {
     df.withColumn("bkt", bktCol(keys, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     if (zoneCols.nonEmpty) buildZoneMap(spark, staging.getPath, zoneCols)
+    if (keyBloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, keyBloomBits)
     val staged = spark.read.parquet(staging.getPath)
     val rows = staged.count()
     require(rows > 0, "promoteBucketed refuses an empty table (no bucket files to lay out)")
@@ -719,7 +803,7 @@ object Versioned {
         val schemaB64 = encodeSchema(staged.schema.fields.filter(_.name != "bkt").toSeq)
         writeManifest(root, Manifest(version, dirName, live.map(_.path),
           Some(BucketSpec(keys.mkString(","), numBuckets, rows,
-            Vector.fill(numBuckets)(dirName), zoneCols, Some(schemaB64)))))
+            Vector.fill(numBuckets)(dirName), zoneCols, Some(schemaB64), keyBloomBits))))
         claim.release()
         PromoteReport(promoted = true, version, dirName, viol, diffStats, None)
     }
@@ -917,6 +1001,9 @@ object Versioned {
       // one extra column-pruned pass over the touched-bucket-sized
       // staging (never the table) — [[readRange]] consults them
       if (spec.zones.nonEmpty) buildZoneMap(spark, staging.getPath, spec.zones)
+      // …and so do the per-file key blooms when the layout carries
+      // them — [[lookup]]'s point-probe file skipping
+      if (spec.bloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, spec.bloomBits)
     } else staging.mkdirs() // every touched bucket emptied: version dir holds no files
     maybeCrash("staged")
 
@@ -1089,15 +1176,40 @@ object Versioned {
     val fields = widenedFields(spark, root, spec)
     val keyPred = keys.zip(keyValues)
       .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    def emptyFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields.toArray))
+    val readSchema = StructType((fields :+ StructField("bkt", IntegerType)).toArray)
     val out =
-      if (dir.isEmpty) // bucket currently empty
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(fields.toArray))
-      else
-        spark.read.schema(StructType((fields :+ StructField("bkt", IntegerType)).toArray))
-          .parquet(new File(root, dir).getPath)
-          .filter(col("bkt") === bkt && keyPred)
-          .select(fields.map(f => col(f.name)): _*)
+      if (dir.isEmpty) emptyFrame // bucket currently empty
+      else {
+        val dirFile = new File(root, dir)
+        // per-file key blooms (when the layout publishes them) skip
+        // the bucket's files that provably lack the key — consulted
+        // DRIVER-side (same hash as the bucket routing, zero extra
+        // jobs); false positives only add files, the key-equality
+        // filter keeps the result exact. A bloom that excludes every
+        // file answers the lookup with NO job at all.
+        val keep: Option[Seq[String]] = readKeyBloom(dirFile).map { case (bits, files) =>
+          val h = keyHash(spark, keyValues)
+          files.toSeq.collect {
+            case (rel, words)
+              if rel.startsWith(s"bkt=$bkt/") && bloomMightContain(words, bits, h) => rel
+          }
+        }
+        keep match {
+          case Some(Nil) => emptyFrame // provably absent: zero Spark jobs
+          case Some(rels) =>
+            spark.read.option("basePath", dirFile.getPath).schema(readSchema)
+              .parquet(rels.sorted.map(rel => new File(dirFile, rel).getPath): _*)
+              .filter(col("bkt") === bkt && keyPred)
+              .select(fields.map(f => col(f.name)): _*)
+          case None =>
+            spark.read.schema(readSchema)
+              .parquet(dirFile.getPath)
+              .filter(col("bkt") === bkt && keyPred)
+              .select(fields.map(f => col(f.name)): _*)
+        }
+      }
     out
   }
 
@@ -1118,7 +1230,7 @@ object Versioned {
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — compact consolidates bucket stores"))
     promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks,
-      zoneCols = spec.zones)
+      zoneCols = spec.zones, keyBloomBits = spec.bloomBits)
   }
 
   /** Bucket-count EVOLUTION: republish the live data under the same
@@ -1145,7 +1257,7 @@ object Versioned {
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — rebucket evolves bucket layouts"))
     promoteBucketed(read(spark, root), root, spec.key, newBuckets, checks,
-      zoneCols = spec.zones)
+      zoneCols = spec.zones, keyBloomBits = spec.bloomBits)
   }
 
   /** Per-file [min, max] zone manifest for a STAGED version directory
@@ -1184,6 +1296,80 @@ object Versioned {
       .drop("__f")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(new File(dirPath, "_zonemap").getPath)
+  }
+
+  // per-file key-Bloom sidecars share one double-hashing scheme with
+  // graft.sketch.BloomFilter: h1 = the layout's own multi-column
+  // xxhash64 (the SAME hash the bucket routing uses), h2 = (h1>>>17)|1,
+  // bit_i = (h1 + i·h2) mod bits — replicated driver-side so a point
+  // lookup tests membership with ZERO Spark jobs
+  private val BloomHashes = 5
+
+  /** Per-file key-Bloom sidecar for a STAGED version directory: one
+    * bloomAgg of the key tuple's xxhash64 per data file, written
+    * DRIVER-side as `_keybloom.json` ({rel file → base64 bit words})
+    * inside the directory — [[lookup]] consults it to skip files that
+    * provably lack the key (zone maps prune RANGES across files; the
+    * bloom prunes POINT probes within a bucket's many files — at
+    * 100 TB one bucket of a big table spans many merge-era files and
+    * a key lives in at most a couple). False positives only ADD
+    * files; the key-equality filter keeps the result exact. One
+    * column-pruned pass over the staged (touched-bucket-sized) data;
+    * sidecar size = files × bits/8. */
+  private def buildKeyBloom(spark: SparkSession, dirPath: String,
+      keys: Seq[String], bits: Int): Unit = {
+    val perFile = spark.read.parquet(dirPath)
+      .select(input_file_name().as("__f"),
+        xxhash64(keys.map(k => col(k).cast("string")): _*).as("__h"))
+      .groupBy("__f")
+      .agg(graft.sketch.BloomFilter.bloomAgg(col("__h"), bits, BloomHashes).as("__b"))
+      .select(col("__f"), col("__b").getField("words"))
+      .collect()
+    val entries = perFile.map { r =>
+      val f = r.getString(0)
+      val rel = f.substring(f.indexOf("/bkt=") + 1)
+      val words = r.getSeq[Long](1)
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      words.foreach(bb.putLong)
+      s""""$rel": "${java.util.Base64.getEncoder.encodeToString(bb.array)}""""
+    }
+    val json = s"""{"bits": $bits, "hashes": $BloomHashes, "files": {${entries.mkString(", ")}}}"""
+    java.nio.file.Files.write(new File(dirPath, "_keybloom.json").toPath,
+      json.getBytes("UTF-8"))
+  }
+
+  private val BloomHeaderRe = """"bits"\s*:\s*(\d+)""".r.unanchored
+  private val BloomEntryRe = """"([^"]+)"\s*:\s*"([A-Za-z0-9+/=]+)"""".r
+
+  /** The directory's key-Bloom sidecar: (bits, rel file → bit words).
+    * None when the directory predates bloom publication. */
+  private def readKeyBloom(dir: File): Option[(Int, Map[String, Array[Long]])] = {
+    val f = new File(dir, "_keybloom.json")
+    if (!f.exists()) return None
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val bits = text match { case BloomHeaderRe(b) => b.toInt case _ => return None }
+    val filesPart = text.substring(text.indexOf("\"files\""))
+    val m = BloomEntryRe.findAllMatchIn(filesPart).map { mm =>
+      val bytes = java.util.Base64.getDecoder.decode(mm.group(2))
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val words = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+      mm.group(1) -> words
+    }.toMap
+    Some((bits, m))
+  }
+
+  private def bloomMightContain(words: Array[Long], bits: Int, h1: Long): Boolean = {
+    val h2 = (h1 >>> 17) | 1L
+    var i = 0
+    while (i < BloomHashes) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, bits.toLong).toInt
+      if ((words(bit >> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
   }
 
   /** `lo ≤ c ≤ hi` over a bucketed, zone-mapped table: each owning
@@ -1324,6 +1510,7 @@ object Versioned {
         "owner_directories" -> spec.owner.filter(_.nonEmpty).distinct.length.toString,
         "empty_buckets" -> spec.owner.count(_.isEmpty).toString,
         "zone_columns" -> spec.zones.mkString(","),
+        "key_bloom_bits" -> spec.bloomBits.toString,
         "schema" -> spec.schemaB64.map(b64 =>
           decodeSchema(b64).map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
           .getOrElse("(pre-r14 manifest: derived from footers at read)"))

@@ -1593,6 +1593,60 @@ object DriveCli {
       println(s"INDEX_MAINTAIN=${st.length} OK=$ok")
       spark.stop()
     }
+
+    // r15: tail-feed — the streaming change-feed consumer as a CLI
+    // verb: first call drains the publish history into diff rows;
+    // a re-run with nothing new published emits nothing (the file
+    // source's checkpointed offsets); a later merge arrives as
+    // exactly its own diff
+    val froot = java.nio.file.Files.createTempDirectory("drive_feed").toString + "/t"
+    val fck = java.nio.file.Files.createTempDirectory("drive_feed_ck").toString
+    locally {
+      val spark = GraftSession.builder("seedFeed", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      require(graft.sources.Versioned.promoteBucketed(
+        Seq(1L -> "a", 2L -> "b").toDF("doc_id", "text"), froot, "doc_id", 4).promoted)
+      require(graft.sources.Versioned.merge(
+        Seq((2L, "b v2", false), (3L, "c", false)).toDF("doc_id", "text", "del"),
+        froot, deleted = col("del")).merged)
+      spark.stop()
+    }
+    Cli.main(Array("-f", "parquet", "promote", "--action", "tail-feed",
+      "--root", froot, "--checkpoint", fck,
+      "--diff-key", "doc_id", "--diff-content", "text",
+      "--outfile", s"$tmp/feed1"))
+    locally {
+      val spark = GraftSession.builder("verifyFeed", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/feed1")
+        .select(col("version"), col("doc_id"), col("status"))
+        .as[(Int, Long, String)].collect().toSet
+      val ok = got == Set((1, 1L, "added"), (1, 2L, "added"),
+        (2, 1L, "unchanged"), (2, 2L, "changed"), (2, 3L, "added"))
+      println(s"TAILFEED=${got.size} OK=$ok")
+      // publish one more version for the resume run below
+      require(graft.sources.Versioned.merge(
+        Seq((1L, null.asInstanceOf[String], true)).toDF("doc_id", "text", "del"),
+        froot, deleted = col("del")).merged)
+      spark.stop()
+    }
+    Cli.main(Array("-f", "parquet", "promote", "--action", "tail-feed",
+      "--root", froot, "--checkpoint", fck,
+      "--diff-key", "doc_id", "--diff-content", "text",
+      "--outfile", s"$tmp/feed2"))
+    locally {
+      val spark = GraftSession.builder("verifyFeed2", "local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val got = graft.sources.PartitionedFiles.readParquet(spark, s"$tmp/feed2")
+        .select(col("version"), col("doc_id"), col("status"))
+        .as[(Int, Long, String)].collect().toSet
+      val ok = got == Set((3, 1L, "removed"), (3, 2L, "unchanged"), (3, 3L, "unchanged"))
+      println(s"TAILFEED_RESUME=${got.size} OK=$ok")
+      spark.stop()
+    }
   }
 }
 

@@ -515,6 +515,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // q_warehouse_lookup: ONE bucket partition of ONE owning
     // directory, a pure pruned scan — zero exchanges
     "q_warehouse_lookup" -> 0,
+    // q_warehouse_lookup_bloom: the bloom-pruned point read — file
+    // skipping happens at planning (driver reads the sidecar), the
+    // executed plan is a pruned scan with zero exchanges
+    "q_warehouse_lookup_bloom" -> 0,
     // q_decontam_sem: the n-gram pair aggregate + the full-outer
     // verdict join on (doc, bench); the semantic screen is broadcast
     // + narrow (in-row embedding, zero shuffles of its own)

@@ -997,6 +997,48 @@ class PromoteSpec extends SparkSpecBase {
     assert(!r3.compacted && r3.vacuumed.isEmpty)
   }
 
+  test("per-file key blooms: point lookups skip files; provably-absent keys read nothing") {
+    // repartition(8) before the publish → every bucket directory
+    // holds multiple files, the shape where a point probe pays for
+    // files the key cannot be in
+    val base = (1L to 400L).map(j => j -> s"d$j").toDF("doc_id", "text").repartition(8)
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      keyBloomBits = 1 << 14).promoted)
+    val plain = freshRoot()
+    assert(Versioned.promoteBucketed(base, plain, "doc_id", 4, checks).promoted)
+    val withBloom = Versioned.lookup(spark, root, 123L)
+    val noBloom = Versioned.lookup(spark, plain, 123L)
+    assert(withBloom.as[(Long, String)].collect().toSeq === Seq(123L -> "d123"))
+    assert(noBloom.as[(Long, String)].collect().toSeq === Seq(123L -> "d123"))
+    assert(noBloom.inputFiles.length > 1, "the scenario needs multi-file buckets")
+    assert(withBloom.inputFiles.length < noBloom.inputFiles.length,
+      s"bloom must skip files: ${withBloom.inputFiles.length} vs ${noBloom.inputFiles.length}")
+    // a provably-absent key plans an EMPTY frame — no files, no scan
+    val absent = Versioned.lookup(spark, root, 999999L)
+    assert(absent.isEmpty && absent.inputFiles.isEmpty)
+    assert(absent.columns.toSeq === Seq("doc_id", "text"), "schema-preserved empty")
+    // the bloom-pruned hit still runs as ONE job (the pruned scan)
+    assert(countJobs { Versioned.lookup(spark, root, 77L).collect() } === 1)
+    // merges REBUILD the sidecar on their staged files (the layout
+    // carries bloomBits): an updated key reads its post-merge value
+    // through the bloom path, and rebucket preserves the contract
+    assert(Versioned.merge(Seq((123L, "d123 v2", false)).toDF("doc_id", "text", "del"),
+      root, deleted = col("del")).merged)
+    assert(Versioned.lookup(spark, root, 123L)
+      .select("text").as[String].collect().toSeq === Seq("d123 v2"))
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.bloomBits)
+      === Some(1 << 14))
+    assert(Versioned.rebucket(spark, root, 8, checks).promoted)
+    assert(Versioned.currentManifest(root).flatMap(_.buckets).map(_.bloomBits)
+      === Some(1 << 14))
+    assert(Versioned.lookup(spark, root, 123L)
+      .select("text").as[String].collect().toSeq === Seq("d123 v2"))
+    // describe surfaces the contract
+    val d = Versioned.describe(spark, root).as[(String, String)].collect().toMap
+    assert(d("key_bloom_bits") === (1 << 14).toString)
+  }
+
   test("publish stamps stay monotone when the wall clock regresses") {
     val root = freshRoot()
     assert(Versioned.promote(docs(1L -> "a"), root, checks).promoted)

@@ -1297,4 +1297,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(feedDir.listFiles().map(_.getName).sorted.toSeq
       === Seq("v00001.json", "v00002.json", "v00003.json", "v00004.json"))
   }
+
+  test("replicateStream keeps a replica content-equal to the source at delta cost") {
+    import graft.sources.Versioned
+    val src = java.nio.file.Files.createTempDirectory("graft_repl_src").toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_repl_dst").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_repl_ck").toString
+    assert(Versioned.promoteBucketed(
+      Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text"), src, "doc_id", 4).promoted)
+    assert(Versioned.merge(Seq((2L, "b v2", false), (4L, "d", false))
+      .toDF("doc_id", "text", "del"), src, deleted = col("del")).merged)
+    // schema evolution at the source must replicate as evolution
+    assert(Versioned.merge(Seq((1L, null.asInstanceOf[String], true, null.asInstanceOf[String]),
+      (5L, "e", false, "en")).toDF("doc_id", "text", "del", "lang"),
+      src, deleted = col("del")).merged)
+    def sync(): Unit = Versioned.replicateStream(spark, src, dst, ckpt).awaitTermination()
+    def content(root: String) = Versioned.read(spark, root)
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+    sync()
+    assert(content(dst) === content(src))
+    assert(content(dst) === Set((2L, "b v2", null), (3L, "c", null),
+      (4L, "d", null), (5L, "e", "en")))
+    // replay: nothing new → the replica's version does not move
+    val vDst = Versioned.currentManifest(dst).map(_.version)
+    sync()
+    assert(Versioned.currentManifest(dst).map(_.version) === vDst)
+    // layout-only source publishes (rebucket) replicate as NOTHING;
+    // content publishes keep flowing after them
+    assert(Versioned.rebucket(spark, src, 8).promoted)
+    assert(Versioned.merge(Seq((3L, "c v2", false, null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "del", "lang"), src, deleted = expr("del")).merged)
+    sync()
+    assert(content(dst) === content(src))
+    assert(Versioned.lookup(spark, dst, 3L).select("text")
+      .as[String].collect().toSeq === Seq("c v2"))
+    // the replica cloned the source's ORIGINAL layout and keeps it
+    // (its own maintenance is its own) — 4 buckets, not the rebucket's 8
+    assert(Versioned.currentManifest(dst).flatMap(_.buckets).map(_.numBuckets) === Some(4))
+  }
 }
