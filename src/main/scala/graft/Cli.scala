@@ -1404,7 +1404,10 @@ object Cli {
                   .filter(_.nonEmpty)).getOrElse(Nil),
                 // --key-bloom-bits N: per-file key blooms for point-
                 // lookup file skipping (0 = off; multiple of 64)
-                keyBloomBits = opts.getOrElse("key-bloom-bits", "0").toInt)
+                keyBloomBits = opts.getOrElse("key-bloom-bits", "0").toInt,
+                // --zone-cluster true: range-cluster on the zone
+                // columns before the bucketed write
+                zoneCluster = opts.get("zone-cluster").exists(_.toBoolean))
               val rows =
                 Seq(("outcome", "promoted", r.promoted.toString),
                   ("outcome", "version", r.version.toString),
@@ -1463,9 +1466,11 @@ object Cli {
               val outDir = opts.getOrElse("outfile", fail("--outfile PATH required"))
               val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
               val q = graft.sources.Versioned.startChangeFeed(spark, root, ck,
-                expr(k), expr(c), keyName = k) { (diff, _) => batches += diff }
+                expr(k), expr(c), keyName = k) { (diff, _) =>
+                batches.synchronized { batches += diff } // microbatch thread
+              }
               q.awaitTermination()
-              batches.reduceOption(_ unionByName _) match {
+              batches.synchronized(batches.toList).reduceOption(_ unionByName _) match {
                 case Some(d) => write(d)
                 case None => println(s"[graft] no new versions under $root")
               }

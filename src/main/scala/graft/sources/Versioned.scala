@@ -739,7 +739,8 @@ object Versioned {
       checks: Seq[Validate.Check] = Seq.empty,
       diffGate: Option[DiffGate] = None,
       zoneCols: Seq[String] = Nil,
-      keyBloomBits: Int = 0): PromoteReport = {
+      keyBloomBits: Int = 0,
+      zoneCluster: Boolean = false): PromoteReport = {
     require(numBuckets > 0)
     require(keyBloomBits == 0 || (keyBloomBits > 0 && keyBloomBits % 64 == 0),
       "keyBloomBits must be 0 (disabled) or a positive multiple of 64")
@@ -757,7 +758,20 @@ object Versioned {
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
-    df.withColumn("bkt", bktCol(keys, numBuckets))
+    // zoneCluster: range-cluster the input on zoneCols before the
+    // bucket-partitioned write so each bucket directory's files cover
+    // DISJOINT zone ranges — the same discipline as merge's
+    // zone-clustered staging, here for full publishes (and for
+    // [[compact]]/[[rebucket]], whose assembled-read input order
+    // would otherwise degrade a zone-mapped table's per-file bounds
+    // to full-range at every maintenance pass)
+    val toStage =
+      if (zoneCluster && zoneCols.nonEmpty) {
+        val slices = math.max(numBuckets, spark.sessionState.conf.numShufflePartitions)
+        df.repartitionByRange(slices, zoneCols.map(col): _*)
+          .sortWithinPartitions(zoneCols.map(col): _*)
+      } else df
+    toStage.withColumn("bkt", bktCol(keys, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     if (zoneCols.nonEmpty) buildZoneMap(spark, staging.getPath, zoneCols)
     if (keyBloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, keyBloomBits)
@@ -1230,7 +1244,8 @@ object Versioned {
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — compact consolidates bucket stores"))
     promoteBucketed(read(spark, root), root, spec.key, spec.numBuckets, checks,
-      zoneCols = spec.zones, keyBloomBits = spec.bloomBits)
+      zoneCols = spec.zones, keyBloomBits = spec.bloomBits,
+      zoneCluster = spec.zones.nonEmpty)
   }
 
   /** Bucket-count EVOLUTION: republish the live data under the same
@@ -1257,7 +1272,8 @@ object Versioned {
     val spec = live.buckets.getOrElse(sys.error(
       s"live version under $root is not bucketed — rebucket evolves bucket layouts"))
     promoteBucketed(read(spark, root), root, spec.key, newBuckets, checks,
-      zoneCols = spec.zones, keyBloomBits = spec.bloomBits)
+      zoneCols = spec.zones, keyBloomBits = spec.bloomBits,
+      zoneCluster = spec.zones.nonEmpty)
   }
 
   /** Per-file [min, max] zone manifest for a STAGED version directory

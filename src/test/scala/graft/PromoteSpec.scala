@@ -997,6 +997,44 @@ class PromoteSpec extends SparkSpecBase {
     assert(!r3.compacted && r3.vacuumed.isEmpty)
   }
 
+  test("maintenance keeps zone maps selective: compact/rebucket range-cluster their rewrite") {
+    // build a zone-mapped table whose ASSEMBLED READ is value-shuffled
+    // (a merge chain), then compact: without zone-clustered staging
+    // the consolidated files would carry full-range bounds and the
+    // range read would stop pruning after every maintenance pass
+    val root = freshRoot()
+    val base = (1L to 400L).map(j => j -> s"d$j").toDF("doc_id", "text")
+      .repartition(8) // deliberately value-shuffled input
+    assert(Versioned.promoteBucketed(base, root, "doc_id", 4, checks,
+      zoneCols = Seq("doc_id"), zoneCluster = true).promoted)
+    assert(Versioned.merge((1L to 400L).filter(_ % 7 == 0)
+      .map(j => (j, s"d$j v2", false)).toDF("doc_id", "text", "del")
+      .repartition(8), root, deleted = col("del"), zoneCluster = true).merged)
+    def probe(): (Set[Long], Int) = {
+      val df = Versioned.readRange(spark, root, "doc_id", 100L, 140L)
+      (df.select("doc_id").as[Long].collect().toSet, df.inputFiles.length)
+    }
+    val (rows0, files0) = probe()
+    assert(rows0 === (100L to 140L).toSet)
+    val totalFiles = Versioned.read(spark, root).inputFiles.length
+    assert(files0 < totalFiles, "the clustered build must prune")
+    // compact consolidates; the rewrite is range-clustered, so the
+    // narrow window still reads a small fraction of the files
+    assert(Versioned.compact(spark, root, checks).promoted)
+    val (rows1, files1) = probe()
+    val total1 = Versioned.read(spark, root).inputFiles.length
+    assert(rows1 === rows0)
+    assert(files1 * 2 < total1,
+      s"post-compact range read must stay selective: $files1 of $total1 files")
+    // …and so is rebucket's
+    assert(Versioned.rebucket(spark, root, 8, checks).promoted)
+    val (rows2, files2) = probe()
+    val total2 = Versioned.read(spark, root).inputFiles.length
+    assert(rows2 === rows0)
+    assert(files2 * 2 < total2,
+      s"post-rebucket range read must stay selective: $files2 of $total2 files")
+  }
+
   test("per-file key blooms: point lookups skip files; provably-absent keys read nothing") {
     // repartition(8) before the publish → every bucket directory
     // holds multiple files, the shape where a point probe pays for
