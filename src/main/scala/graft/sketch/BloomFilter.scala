@@ -53,6 +53,22 @@ object BloomFilter {
     override def outputEncoder: Encoder[BloomBuf] = Encoders.product[BloomBuf]
   }
 
+  /** Driver-side membership probe over a raw bit-word array — the
+    * ONE place the double-hashing scheme lives next to
+    * [[BloomAgg.reduce]], so builders (bloomAgg) and probers
+    * (warehouse key-Bloom sidecars) cannot drift: a silent scheme
+    * mismatch would turn false-negatives into silently-empty lookups. */
+  def mightContainWords(words: Array[Long], numBits: Int, numHashes: Int, h1: Long): Boolean = {
+    val h2 = (h1 >>> 17) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+      if ((words(bit >> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Column handle: struct(words: array<bigint>) of a pre-hashed
     * long key column (use `.getField("words")` for the bit array). */
   def bloomAgg(hashed: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =

@@ -96,16 +96,55 @@ object LiveTable {
     swap(spark, table, gen)
   }
 
-  /** The drop ids a generation table's staging CONSUMED into its
-    * `base` partition, recorded by [[TableCompact.compact]] as a table
-    * property before the swap — the fact that disambiguates the
-    * append-vs-compact race below. Empty for tables without the
-    * property (re-created generations, legacy tables). */
-  def consumedDrops(spark: SparkSession, physical: String): Set[String] =
+  /** Per-drop FILE fingerprints of a physical table: drop id → md5 of
+    * its partition's sorted file names. The facts behind the
+    * append-vs-compact race resolution: a drop's identity alone can't
+    * say whether a compaction consumed THIS append's rows (an
+    * idempotent re-publish of an existing drop id changes content but
+    * not the partition name) — its file names can, because every
+    * partition overwrite writes fresh part-file names. */
+  def dropFingerprints(spark: SparkSession, physical: String): Map[String, String] =
+    spark.table(physical).inputFiles.toSeq.flatMap { f =>
+      val i = f.indexOf("/drop_id=")
+      if (i < 0) None
+      else {
+        val esc = f.substring(i + 9).takeWhile(_ != '/')
+        Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(esc) -> f)
+      }
+    }.groupBy(_._1).map { case (d, fs) =>
+      d -> md5Hex(fs.map(_._2).sorted.mkString("\n"))
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** What a generation's staging CONSUMED, recorded by
+    * [[TableCompact.compact]] as a table property before the swap:
+    * drop id → the md5 file fingerprint of the partition AS CONSUMED
+    * (ids base64-coded in the property, so arbitrary drop ids —
+    * commas, spaces — round-trip exactly). Empty for tables without
+    * the record (re-created generations, legacy tables). */
+  def consumedDropFingerprints(spark: SparkSession, physical: String): Map[String, String] =
     spark.sessionState.catalog.getTableMetadata(ident(spark, physical))
-      .properties.get("graft.consumed_drops")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty)
+      .properties.get("graft.consumed_drops_v2")
+      .map(_.split(';').toSeq.filter(_.contains(':')).map { e =>
+        val i = e.indexOf(':') // ':' is not in the base64 alphabet
+        new String(java.util.Base64.getDecoder.decode(e.substring(0, i)), "UTF-8") ->
+          e.substring(i + 1)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  /** The drop ids a generation consumed (see
+    * [[consumedDropFingerprints]]). */
+  def consumedDrops(spark: SparkSession, physical: String): Set[String] =
+    consumedDropFingerprints(spark, physical).keySet
+
+  private[graft] def renderConsumed(fps: Map[String, String]): String =
+    fps.toSeq.sortBy(_._1).map { case (d, fp) =>
+      java.util.Base64.getEncoder.encodeToString(d.getBytes("UTF-8")) + ":" + fp
+    }.mkString(";")
 
   // test seam: runs between the insert and its pointer re-check so a
   // spec can interleave a compaction deterministically
@@ -113,20 +152,21 @@ object LiveTable {
 
   /** [[Warehouse.insertPartitionOverwrite]] against the LIVE
     * generation, replay-safe under a concurrent compaction. If the
-    * view moved while the insert ran, there are exactly two cases,
-    * told apart by the new generation's consumed-drops record:
+    * view moved while the insert ran, the cases are told apart by the
+    * new generation's consumed-drops record, compared on FILE
+    * FINGERPRINTS, not drop names:
     *
-    *  - the compaction's entry listing PREDATED this insert's
-    *    partition (it staged without these rows — they exist only in
-    *    the superseded table): `dropId` is absent from the record →
-    *    REPLAY into the new live generation (idempotent per-drop
-    *    partition overwrite); an insert landing between the entry
-    *    listing and the compact's re-check makes the compact itself
-    *    abort, so this case is precisely "landed after the re-check";
-    *  - the compaction consumed this drop's landed partition into its
-    *    `base` (the insert completed before the compact began):
-    *    `dropId` is in the record → the rows are already in the new
-    *    generation; a blind replay would DUPLICATE them → done.
+    *  - the record's fingerprint for `dropId` equals the fingerprint
+    *    of the files THIS append just wrote → the compaction's staging
+    *    consumed exactly these rows; they are already in the new
+    *    generation's base, and a blind replay would DUPLICATE them →
+    *    done;
+    *  - anything else (no record entry, or a DIFFERENT fingerprint —
+    *    the compaction consumed an older incarnation of this drop id
+    *    and this append's overwrite landed after its staging scan) →
+    *    REPLAY into the new live generation; the per-drop partition
+    *    overwrite makes the replay idempotent, so this append's rows
+    *    win, exactly the partition-overwrite contract.
     *
     * A re-created generation carries no record: the drop replays into
     * it — coordinate re-creates with concurrent appends the same way
@@ -137,9 +177,12 @@ object LiveTable {
     var committed = false
     while (!committed) {
       Warehouse.insertPartitionOverwrite(df, phys)
+      val myFp = dropFingerprints(spark, phys).get(dropId)
       afterInsertHook()
       val now = resolve(spark, table)
-      if (now == phys || consumedDrops(spark, now).contains(dropId)) committed = true
+      if (now == phys ||
+          (myFp.isDefined && consumedDropFingerprints(spark, now).get(dropId) == myFp))
+        committed = true
       else phys = now
     }
   }

@@ -69,6 +69,9 @@ object TableCompact {
   // fires right after the commit (for a legacy upgrade: between its
   // DROP TABLE and CREATE VIEW — the one-time window).
   private[graft] var crashPoint: Option[String] = None
+  // test seam: runs between the staging write and the file-census
+  // re-check, so a spec can interleave a concurrent append/overwrite
+  private[graft] var midStageHook: () => Unit = () => ()
   private def maybeCrash(point: String): Unit =
     if (crashPoint.contains(point)) {
       crashPoint = None
@@ -165,6 +168,14 @@ object TableCompact {
       val staging = LiveTable.gTable(table, nextGen)
       val nb = newBuckets.orElse(numBuckets(spark, phys))
       val parts0 = partitions(spark, phys)
+      // the entry FILE census, per drop: the re-check below compares
+      // file sets (an idempotent re-publish of an EXISTING drop id
+      // changes files but not partition names — a name-only compare
+      // would miss it and the swap would silently drop the new rows),
+      // and the per-drop fingerprints ride into the staged
+      // generation's consumed-drops record for the append side's
+      // replay decision
+      val fps0 = LiveTable.dropFingerprints(spark, phys)
       val filesBefore = dataFiles(spark, phys)
       val cur = spark.table(phys)
       val before = cur.count()
@@ -207,24 +218,32 @@ object TableCompact {
         case Some(v) => spark.conf.set(bucketingKey, v)
         case None => spark.conf.unset(bucketingKey)
       }
-      // record WHAT the staging consumed (the entry listing's drop
-      // ids) as a property of the new generation, committed with it by
-      // the swap — [[LiveTable.insertPartitionOverwriteLive]] reads it
-      // to tell "my drop was consumed into base" (no replay) from "my
-      // drop landed after the re-check" (replay), the disambiguation
-      // that stops a replayed append from duplicating consumed rows
-      val consumed = parts0.map(_.stripPrefix("drop_id=")).toSeq.sorted.mkString(",")
+      // record WHAT the staging consumed — each entry-census drop id
+      // with the file fingerprint it was consumed AT — as a property
+      // of the new generation, committed with it by the swap.
+      // [[LiveTable.insertPartitionOverwriteLive]] compares its own
+      // just-written fingerprint against this record: equal = "my
+      // rows are in base, don't replay"; different or absent =
+      // "replay" — the disambiguation that stops a replayed append
+      // from duplicating consumed rows AND stops an overwritten drop
+      // from being silently lost. Ids are base64-coded: arbitrary
+      // drop ids (commas, spaces) round-trip exactly.
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
-        s"('graft.consumed_drops' = '$consumed')")
+        s"('graft.consumed_drops_v2' = '${LiveTable.renderConsumed(fps0)}')")
       maybeCrash("staged")
-      // an append that committed while we staged owns a partition the
-      // staged generation lacks — swapping would silently drop its rows
-      val parts1 = partitions(spark, phys)
-      if (parts1 != parts0) {
+      midStageHook()
+      // an append that committed while we staged — a NEW partition or
+      // an overwrite of an existing one (fresh part-file names either
+      // way) — owns rows the staged generation lacks; swapping would
+      // silently drop them
+      val fps1 = LiveTable.dropFingerprints(spark, phys)
+      if (fps1 != fps0) {
         spark.sql(s"DROP TABLE IF EXISTS $staging")
         throw new ConcurrentWriteException(
           s"concurrent append detected on $table while compacting " +
-            s"(partitions ${parts0.size} -> ${parts1.size}) — re-run the compaction")
+            s"(drop census moved: ${fps0.size} -> ${fps1.size} drops, " +
+            s"changed: ${(fps1.toSet diff fps0.toSet).map(_._1).mkString(", ")}) — " +
+            "re-run the compaction")
       }
       if (!claim.owned())
         throw new ConcurrentWriteException(

@@ -215,8 +215,10 @@ object Versioned {
     * same monotonicity adjustment Delta-style formats apply to commit
     * timestamps). */
   private def writeManifest(root: String, m0: Manifest): Unit = {
-    val prevTs = versions(root).filter(_.version < m0.version)
-      .map(_.ts).maxOption.getOrElse(0L)
+    // O(1): the live manifest's stamp IS the committed chain's max by
+    // this very clamp's invariant (orphan entries above the live
+    // pointer are overwritten by their retry and never resolvable)
+    val prevTs = currentManifest(root).map(_.ts).getOrElse(0L)
     val m = m0.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1))
     // chain entry first: if we crash between the two writes, the live
     // pointer still names the old version and the orphan chain entry
@@ -251,16 +253,27 @@ object Versioned {
     val liveV = currentManifest(root).map(_.version).getOrElse(return)
     val feed = new File(root, "feed")
     feed.mkdirs()
-    for (m <- versions(root) if m.version <= liveV) {
+    // entries are written ASCENDING and each call backfills up to
+    // live, so existing entries form a contiguous prefix — start from
+    // its end: one directory listing, O(missing) writes per publish
+    // instead of an O(chain) stat sweep
+    val highest = Option(feed.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^v(\\d{5})\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.getOrElse(0)
+    if (highest >= liveV) return
+    for (m <- versions(root) if m.version > highest && m.version <= liveV) {
       val f = new File(feed, f"v${m.version}%05d.json")
-      if (!f.exists()) {
-        // write-beside + atomic rename: the file source must never
-        // list a torn entry
-        val tmp = new File(feed, f".v${m.version}%05d.json.tmp${System.nanoTime()}")
-        java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+      // write-beside + atomic rename; REPLACE_EXISTING because a
+      // publisher's post-commit sync can race a consumer's
+      // stream-start sync on the same entry — both render the same
+      // committed manifest, so last-write-wins is byte-identical and
+      // neither side may throw (a publisher throwing AFTER its
+      // pointer swap would report a committed publish as failed)
+      val tmp = new File(feed, f".v${m.version}%05d.json.tmp${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, render(m).getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -299,16 +312,22 @@ object Versioned {
           case VersionRe(v) => Some(v.toInt)
           case _ => None
         }.sorted
-        if (vs.nonEmpty) {
-          val chainMin = versions(root).map(_.version).min
-          val diffs = vs.map { v =>
+        // versions whose DATA was vacuumed are skipped (their diffs
+        // are unrecoverable pre-retention history); a readable version
+        // whose PREDECESSOR is unreadable emits as an INITIAL SNAPSHOT
+        // (every row `added`) — the Delta-style pattern that lets a
+        // consumer start on a table whose early history was vacuumed
+        val usable = vs.filter(v => versionReadable(root, v))
+        if (usable.nonEmpty) {
+          val diffs = usable.map { v =>
             val d =
-              if (v == chainMin) {
-                // first version: everything is an add — diff vs empty
-                val first = readVersion(spark, root, v)
-                TableDiff.snapshotDiff(first.limit(0), first, key, key,
+              if (versionReadable(root, v - 1))
+                diffVersions(spark, root, v - 1, v, key, content, keyName)
+              else {
+                val snap = readVersion(spark, root, v)
+                TableDiff.snapshotDiff(snap.limit(0), snap, key, key,
                   content, content, keyName = keyName)
-              } else diffVersions(spark, root, v - 1, v, key, content, keyName)
+              }
             d.withColumn("version", lit(v))
           }
           sink(diffs.reduce(_ unionByName _), batchId)
@@ -353,10 +372,28 @@ object Versioned {
       }
       .start()
 
-  /** Apply source version v to the replica (see [[replicateStream]]). */
+  /** Is version v's DATA still readable (published and not
+    * vacuumed)? Bucketed versions need every owner directory. */
+  private def versionReadable(root: String, v: Int): Boolean =
+    versions(root).find(_.version == v).exists { m =>
+      val needed = m.buckets.map(_.owner.filter(_.nonEmpty).distinct)
+        .getOrElse(Seq(m.path))
+      needed.nonEmpty && needed.forall(dir => new File(root, dir).exists())
+    }
+
+  /** Apply source version v to the replica (see [[replicateStream]]).
+    * Resilient by construction: a version whose data was vacuumed is
+    * SKIPPED (a later readable version resyncs past it), and when the
+    * predecessor v-1 is unreadable — a vacuumed history, or v being
+    * the first version replayed after a bootstrap crashed before its
+    * checkpoint committed — the delta is computed against the
+    * REPLICA's own current content instead (a resync: same merge
+    * shape, provably convergent, and an exact no-op when the replica
+    * already holds v). */
   private def applyVersion(spark: SparkSession, srcRoot: String, dstRoot: String,
       v: Int): Unit = {
     val m = versions(srcRoot).find(_.version == v).getOrElse(return)
+    if (!versionReadable(srcRoot, v)) return // vacuumed history: resync at a later version
     val snap = readVersion(spark, srcRoot, v)
     currentManifest(dstRoot) match {
       case None =>
@@ -368,7 +405,9 @@ object Versioned {
       case Some(_) =>
         val keys = m.buckets.map(_.keys).getOrElse(sys.error(
           s"replication needs a bucketed source — $srcRoot v$v has no layout contract"))
-        val prev = readVersion(spark, srcRoot, v - 1)
+        val prev =
+          if (versionReadable(srcRoot, v - 1)) readVersion(spark, srcRoot, v - 1)
+          else read(spark, dstRoot) // resync: delta vs the replica itself
         // conform the predecessor to the current snapshot's (possibly
         // widened) schema so "changed" is judged in one shape and new
         // columns replicate as evolution
@@ -414,7 +453,10 @@ object Versioned {
     * ever resolved — as-of must not time-travel to it (a retry that
     * republishes the version number overwrites the orphan). */
   def versionAsOf(root: String, tsMillis: Long): Option[Int] = {
-    val liveV = currentManifest(root).map(_.version).getOrElse(Int.MaxValue)
+    // no live manifest = no version was ever resolvable by any
+    // reader — a first-publish crash at the 'chain' point leaves an
+    // orphan _v00001.json that as-of must NOT serve
+    val liveV = currentManifest(root).map(_.version).getOrElse(return None)
     val eligible = versions(root).filter(m => m.ts <= tsMillis && m.version <= liveV)
     if (eligible.isEmpty) None else Some(eligible.maxBy(_.version).version)
   }
@@ -1377,16 +1419,8 @@ object Versioned {
     Some((bits, m))
   }
 
-  private def bloomMightContain(words: Array[Long], bits: Int, h1: Long): Boolean = {
-    val h2 = (h1 >>> 17) | 1L
-    var i = 0
-    while (i < BloomHashes) {
-      val bit = java.lang.Math.floorMod(h1 + i * h2, bits.toLong).toInt
-      if ((words(bit >> 6) & (1L << (bit & 63))) == 0L) return false
-      i += 1
-    }
-    true
-  }
+  private def bloomMightContain(words: Array[Long], bits: Int, h1: Long): Boolean =
+    graft.sketch.BloomFilter.mightContainWords(words, bits, BloomHashes, h1)
 
   /** `lo ≤ c ≤ hi` over a bucketed, zone-mapped table: each owning
     * directory's `_zonemap` is consulted BEFORE the scan, so files

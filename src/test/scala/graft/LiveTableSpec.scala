@@ -92,21 +92,61 @@ class LiveTableSpec extends SparkSpecBase {
       finally LiveTable.afterInsertHook = () => ()
       assert(spark.table(t).count() === 6, "no duplication: consumed drop not replayed")
       assert(rows(t).forall(_._2 == "base"))
-      // case 2 — the pointer moved to a generation that never saw the
-      // drop (staged before it landed — simulated by swapping to a
-      // hand-built generation with no consumed record of 'd2'): the
-      // append must REPLAY into the new live generation
+      // case 2 — the pointer moved to a generation whose consumed
+      // record names 'd2' at a DIFFERENT file fingerprint (the
+      // compaction staged an OLDER incarnation of the drop id; this
+      // append's overwrite landed after its census — the race that a
+      // name-only record would silently lose): the append must REPLAY
+      // into the new live generation, and its rows win
       LiveTable.afterInsertHook = () => {
         LiveTable.afterInsertHook = () => ()
         writeGen(s"$db.idx__g00009", 1L to 6L, "base")
+        spark.sql(s"ALTER TABLE $db.idx__g00009 SET TBLPROPERTIES " +
+          s"('graft.consumed_drops_v2' = '${LiveTable.renderConsumed(
+            Map("d2" -> "0123456789abcdef0123456789abcdef"))}')")
         LiveTable.swap(spark, t, 9)
       }
       try LiveTable.insertPartitionOverwriteLive(
         Seq((7L, "d2")).toDF("id", "drop_id"), t, "d2")
       finally LiveTable.afterInsertHook = () => ()
       assert(LiveTable.liveGen(spark, t) === Some(9))
-      assert(spark.table(t).count() === 7, "unconsumed drop replayed into the new live gen")
+      assert(spark.table(t).count() === 7, "stale-fingerprint drop replayed into the new live gen")
       assert(rows(t).exists(r => r._1 == 7L && r._2 == "d2"))
+      // drop ids with commas and spaces round-trip the record exactly
+      val fps = Map("a,b c" -> "ffff", "plain" -> "eeee")
+      val rendered = LiveTable.renderConsumed(fps)
+      spark.sql(s"ALTER TABLE $db.idx__g00009 SET TBLPROPERTIES " +
+        s"('graft.consumed_drops_v2' = '$rendered')")
+      assert(LiveTable.consumedDropFingerprints(spark, s"$db.idx__g00009") === fps)
+    }
+  }
+
+  test("compact aborts when an EXISTING drop is overwritten mid-staging (not just new drops)") {
+    withDb { db =>
+      val t = s"$db.idx"
+      LiveTable.createGeneration(spark, t)(writeGen(_, 1L to 4L, "base"))
+      Warehouse.insertPartitionOverwrite(
+        Seq((5L, "d1")).toDF("id", "drop_id"), s"$db.idx__g00001")
+      // mid-staging, an ingest retry RE-PUBLISHES d1 with corrected
+      // rows — same partition NAME, fresh part files; a name-only
+      // re-check would commit and silently drop the correction
+      TableCompact.midStageHook = () => {
+        TableCompact.midStageHook = () => ()
+        Warehouse.insertPartitionOverwrite(
+          Seq((5L, "d1"), (6L, "d1")).toDF("id", "drop_id"), s"$db.idx__g00001")
+      }
+      val e = try intercept[graft.sources.ConcurrentWriteException](
+        TableCompact.compact(spark, t, Seq("id"), Seq("id")))
+      finally TableCompact.midStageHook = () => ()
+      assert(e.getMessage.contains("concurrent append"), e.getMessage)
+      assert(e.getMessage.contains("d1"), e.getMessage)
+      // the live view is untouched, the correction intact; the retry
+      // (with a quiet table) consolidates everything including it
+      assert(LiveTable.liveGen(spark, t) === Some(1))
+      assert(spark.table(t).count() === 6)
+      val st = TableCompact.compact(spark, t, Seq("id"), Seq("id"))
+      assert(st.rows === 6L && st.partitionsAfter === 1)
+      assert(spark.table(t).select("id").as[Long].collect().toSet === (1L to 6L).toSet)
     }
   }
 

@@ -1085,10 +1085,12 @@ class PromoteSpec extends SparkSpecBase {
     // the clamp must stamp v2 strictly after v1 anyway, or readAsOf
     // between the stamps would resolve a version that wasn't yet live
     val future = System.currentTimeMillis() + 3600_000L
-    val v1 = new File(root, "_v00001.json")
-    val bumped = new String(Files.readAllBytes(v1.toPath), "UTF-8")
-      .replaceAll(""""ts"\s*:\s*\d+""", s""""ts": $future""")
-    Files.write(v1.toPath, bumped.getBytes("UTF-8"))
+    for (name <- Seq("_v00001.json", "_manifest.json")) {
+      val f = new File(root, name)
+      val bumped = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        .replaceAll(""""ts"\s*:\s*\d+""", s""""ts": $future""")
+      Files.write(f.toPath, bumped.getBytes("UTF-8"))
+    }
     assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
     val chain = Versioned.versions(root)
     assert(chain.map(_.version) === Seq(1, 2))
@@ -1124,6 +1126,19 @@ class PromoteSpec extends SparkSpecBase {
     assert(Versioned.promote(docs(1L -> "a", 2L -> "b"), root, checks).promoted)
     assert(Versioned.versionAsOf(root, System.currentTimeMillis() + 1000) === Some(2))
     assert(Versioned.readAsOf(spark, root, System.currentTimeMillis() + 1000).count() === 2)
+    // the FIRST publish crashing at the chain point is the stricter
+    // case: an orphan _v00001.json with NO live manifest at all —
+    // as-of must resolve NOTHING, exactly like read()
+    val fresh = freshRoot()
+    Versioned.crashPoint = Some("chain")
+    try intercept[RuntimeException](Versioned.promote(docs(1L -> "a"), fresh, checks))
+    finally Versioned.crashPoint = None
+    assert(new File(fresh, "_v00001.json").exists())
+    assert(Versioned.currentManifest(fresh) === None)
+    assert(Versioned.versionAsOf(fresh, System.currentTimeMillis() + 1000) === None)
+    val e2 = intercept[RuntimeException](
+      Versioned.readAsOf(spark, fresh, System.currentTimeMillis() + 1000))
+    assert(e2.getMessage.contains("predates the first publish"))
   }
 
   test("merge refuses a legacy manifest's unsupported zone type BEFORE staging") {

@@ -1335,4 +1335,57 @@ class StreamingSpec extends SparkSpecBase {
     // (its own maintenance is its own) — 4 buckets, not the rebucket's 8
     assert(Versioned.currentManifest(dst).flatMap(_.buckets).map(_.numBuckets) === Some(4))
   }
+
+  test("replication survives vacuumed source history and a lost checkpoint (resync paths)") {
+    import graft.sources.Versioned
+    val src = java.nio.file.Files.createTempDirectory("graft_rsy_src").toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_rsy_dst").toString + "/t"
+    def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    assert(Versioned.promoteBucketed(docsDf(1L -> "a", 2L -> "b"), src, "doc_id", 4).promoted)
+    for (i <- 3 to 6)
+      assert(Versioned.merge(Seq((i.toLong, s"v$i", false)).toDF("doc_id", "text", "del"),
+        src, deleted = col("del")).merged)
+    // routine source maintenance: compact collapses the owner map,
+    // the next merge rotates `previous` off the old chain, and vacuum
+    // then reclaims it — versions 1..6 become UNREADABLE history
+    assert(Versioned.compact(spark, src).promoted) // v7
+    assert(Versioned.merge(Seq((6L, "v6b", false)).toDF("doc_id", "text", "del"),
+      src, deleted = col("del")).merged) // v8: previous -> v7
+    Versioned.vacuum(src, retainLast = 1)
+    assert(!new java.io.File(src, "v00001").exists(), "v1's data must be gone")
+    // a BRAND-NEW consumer bootstraps anyway: unreadable versions are
+    // skipped, the first readable one bootstraps, later ones apply
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_rsy_ck1").toString
+    Versioned.replicateStream(spark, src, dst, ck1).awaitTermination()
+    def content(root: String) = Versioned.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(content(dst) === content(src))
+    // a LOST checkpoint replays the whole feed: unreadable versions
+    // skip, readable ones resync against the replica itself — the
+    // replica converges to the same content, nothing duplicates
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_rsy_ck2").toString
+    Versioned.replicateStream(spark, src, dst, ck2).awaitTermination()
+    assert(content(dst) === content(src))
+    // and the feed keeps flowing on the fresh checkpoint
+    assert(Versioned.merge(Seq((7L, "v7", false)).toDF("doc_id", "text", "del"),
+      src, deleted = col("del")).merged)
+    Versioned.replicateStream(spark, src, dst, ck2).awaitTermination()
+    assert(content(dst) === content(src))
+    assert(content(dst).contains(7L -> "v7"))
+    // a RAW change-feed consumer on the vacuumed table: unreadable
+    // versions skip, the first readable one arrives as an INITIAL
+    // SNAPSHOT (all added), later versions as ordinary diffs
+    val ck3 = java.nio.file.Files.createTempDirectory("graft_rsy_ck3").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+    Versioned.startChangeFeed(spark, src, ck3, col("doc_id"), col("text"),
+      keyName = "doc_id") { (diff, _) =>
+      got.synchronized { got ++= diff.select(col("version"), col("doc_id"), col("status"))
+        .as[(Int, Long, String)].collect() }
+    }.awaitTermination()
+    val byV = got.groupBy(_._1)
+    val firstV = byV.keys.min
+    assert(firstV > 1, "vacuumed versions must be skipped")
+    assert(byV(firstV).forall(_._3 == "added"), "first readable version = initial snapshot")
+    assert(byV.keys.max === Versioned.currentManifest(src).map(_.version).get)
+  }
 }
