@@ -65,8 +65,8 @@ import graft.sources.PartitionedFiles
   *                  [--max-changed-pm 50]]
   *                  [--zones c1,c2] [--retry N] [--stale-ms MS]
   *                  [--range-col C --lo N --hi N]
-  *                  [--action promote|promote-bucketed|merge|compact|rollback|vacuum|read-range|
-  *                   diff-versions|current|history|read-version]
+  *                  [--action promote|promote-bucketed|merge|patch|fold-deltas|compact|rollback|
+  *                   vacuum|read-range|diff-versions|current|history|read-version]
   *                  [--key doc_id --buckets 64] [--deleted COLUMN]
   *                  [--to-version N] [--retain 2]
   *       write-audit-publish versioned corpus: stage -i under --root,
@@ -1444,6 +1444,44 @@ object Cli {
                 r.violations.map { case (rule, n) => ("violation", rule, n.toString) }
               write(rows.toDF("kind", "name", "value"))
               if (!r.merged) sys.error(s"merge refused: ${r.reason.getOrElse("")}")
+            case "patch" =>
+              // merge-on-read publish: -i lands as a DELTA layer
+              // (O(drop) write, no bucket rewrite); reads reconcile
+              // the layers until the next merge/fold-deltas/maintain
+              // folds them. --max-delta-layers bounds the pending
+              // read amplification (refused loudly past it).
+              val del = opts.get("deleted").map(expr).getOrElse(lit(false))
+              val maxLayers = opts.getOrElse("max-delta-layers", "8").toInt
+              val r = opts.get("retry") match {
+                case Some(n) => graft.sources.Versioned.patchRetry(read(), root, del,
+                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong),
+                  attempts = n.toInt, maxDeltaLayers = maxLayers)
+                case None => graft.sources.Versioned.patch(read(), root, del,
+                  parsedChecks(), opts.get("max-changed-pm").map(_.toLong),
+                  maxDeltaLayers = maxLayers)
+              }
+              val rows =
+                Seq(("outcome", "patched", r.patched.toString),
+                  ("outcome", "version", r.version.toString),
+                  ("outcome", "upserted", r.upserted.toString),
+                  ("outcome", "inserted", r.inserted.toString),
+                  ("outcome", "deleted", r.deleted.toString),
+                  ("outcome", "delta_layers", r.layers.toString)) ++
+                r.reason.map(("outcome", "reason", _)) ++
+                r.violations.map { case (rule, n) => ("violation", rule, n.toString) }
+              write(rows.toDF("kind", "name", "value"))
+              if (!r.patched) sys.error(s"patch refused: ${r.reason.getOrElse("")}")
+            case "fold-deltas" =>
+              // fold every pending patch layer back into the base:
+              // one merge-shaped rewrite of the layers' touched
+              // buckets, read amplification back to zero. A table
+              // with no pending layers reports a no-op.
+              val r = graft.sources.Versioned.foldDeltas(spark, root, parsedChecks())
+              val rows = Seq(("outcome", "folded", r.merged.toString),
+                ("outcome", "version", r.version.toString),
+                ("outcome", "rewritten_buckets", r.rewrittenBuckets.mkString(" "))) ++
+                r.reason.map(("outcome", "reason", _))
+              write(rows.toDF("kind", "name", "value"))
             case "compact" =>
               // consolidate the live bucketed table into ONE new
               // version directory (content untouched); vacuum can then

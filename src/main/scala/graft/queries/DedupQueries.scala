@@ -40,6 +40,32 @@ object DedupQueries {
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
           lit(false).as("del")))
 
+  /** The SECOND patch layer the merge-on-read gates stack over
+    * [[warehouseDrop]] — every shadowing shape a layer fold must get
+    * right: re-updates of layer-1's updated keys (newest text wins),
+    * resurrections of layer-1-deleted keys, and deletes of
+    * layer-1-inserted keys. Legs are key-disjoint within the layer
+    * (patches are key-unique by contract). */
+  private def patchLayer2(docs: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(PrepParams.DiffChangeMod)) === 0 &&
+        pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) =!= 0 &&
+        pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" v3")).as("text"), lit(false).as("del"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffRemoveMod)) === 0 &&
+          pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), lit("resurrect").as("source"),
+          concat(lit("back "), col("doc_id").cast("string")).as("text"),
+          lit(false).as("del")))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(PrepParams.DiffAddMod)) === 0 &&
+          pmod(col("doc_id"), lit(5)) === 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("text"), lit(true).as("del")))
+
   /** The TUPLE-keyed lifecycle drop: deletes and updates keyed on the
     * live (source, doc_id) tuples, inserts that REUSE existing
     * doc_ids under a new source — the rows a single-column key would
@@ -412,6 +438,49 @@ object DedupQueries {
       require(Versioned.promoteBucketed(docs, root, "source,doc_id", numBuckets = 16).promoted)
       val rep = Versioned.merge(compositeDrop(docs), root, deleted = col("del"))
       require(rep.merged, s"composite-key warehouse merge refused: ${rep.reason}")
+      Versioned.read(s, root)
+    }),
+
+    // §2.2/22bh21 MERGE-ON-READ publish (patch): the same lifecycle
+    // as q_warehouse_merge lands as TWO pending delta layers —
+    // layer 1 the full update/delete/insert drop, layer 2 shadowing
+    // it (re-updates, resurrections of deleted keys, deletes of
+    // layer-1 inserts) — and the READ reconciles them over the
+    // untouched base owner map (broadcast anti-joins; no bucket was
+    // rewritten). The oracle replays the two merges sequentially, so
+    // a stale shadowed row, a lost layer row, or a wrong-layer win
+    // hash-mismatches.
+    "q_warehouse_patch" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_patch").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      val p1 = Versioned.patch(warehouseDrop(docs), root, deleted = col("del"))
+      require(p1.patched && p1.layers == 1, s"patch 1 refused: ${p1.reason}")
+      val p2 = Versioned.patch(patchLayer2(docs), root, deleted = col("del"))
+      require(p2.patched && p2.layers == 2, s"patch 2 refused: ${p2.reason}")
+      val spec = Versioned.currentManifest(root).flatMap(_.buckets).get
+      require(spec.deltas.size == 2 && spec.owner.distinct == Vector("v00001"),
+        "patch must leave the base owner map untouched with two pending layers")
+      Versioned.read(s, root)
+    }),
+
+    // §2.2/22bh21 delta FOLD: the q_warehouse_patch build, then ONE
+    // foldDeltas pass — the layers' net per-key effect rewrites only
+    // their touched buckets and the published version carries an
+    // EMPTY deltas list (read amplification back to zero). Content
+    // must be bit-equal to the reconciled read (same oracle).
+    "q_warehouse_patch_fold" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_wh_pfold").toString + "/corpus"
+      require(Versioned.promoteBucketed(docs, root, "doc_id", numBuckets = 16).promoted)
+      require(Versioned.patch(warehouseDrop(docs), root, deleted = col("del")).patched)
+      require(Versioned.patch(patchLayer2(docs), root, deleted = col("del")).patched)
+      val f = Versioned.foldDeltas(s, root)
+      require(f.merged, s"delta fold refused: ${f.reason}")
+      val spec = Versioned.currentManifest(root).flatMap(_.buckets).get
+      require(spec.deltas.isEmpty, "fold must publish an empty deltas list")
       Versioned.read(s, root)
     }),
 
@@ -1059,6 +1128,47 @@ object DedupQueries {
          |FROM merged WHERE n_tokens >= 30 GROUP BY source""".stripMargin
   }
 
+  private val warehousePatchSql =
+    raw"""WITH base AS (SELECT doc_id, source, text FROM documents),
+         |p1_upd AS (
+         |  SELECT doc_id, source, text || ' v2' AS text FROM base
+         |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+         |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0),
+         |p1_ins AS (
+         |  SELECT -doc_id - 1 AS doc_id, 'drop' AS source,
+         |         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM base WHERE doc_id % ${PrepParams.DiffAddMod} = 0),
+         |p1keys AS (
+         |  SELECT doc_id FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0
+         |  UNION ALL SELECT doc_id FROM p1_upd
+         |  UNION ALL SELECT doc_id FROM p1_ins),
+         |m1 AS (
+         |  SELECT b.doc_id, b.source, b.text
+         |  FROM base b LEFT JOIN p1keys k ON b.doc_id = k.doc_id
+         |  WHERE k.doc_id IS NULL
+         |  UNION ALL SELECT doc_id, source, text FROM p1_upd
+         |  UNION ALL SELECT doc_id, source, text FROM p1_ins),
+         |p2_upd AS (
+         |  SELECT doc_id, source, text || ' v3' AS text FROM base
+         |  WHERE doc_id % ${PrepParams.DiffChangeMod} = 0
+         |    AND doc_id % ${PrepParams.DiffRemoveMod} <> 0 AND doc_id % 2 = 0),
+         |p2_res AS (
+         |  SELECT doc_id, 'resurrect' AS source,
+         |         'back ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM base WHERE doc_id % ${PrepParams.DiffRemoveMod} = 0 AND doc_id % 3 = 0),
+         |p2keys AS (
+         |  SELECT doc_id FROM p2_upd
+         |  UNION ALL SELECT doc_id FROM p2_res
+         |  UNION ALL SELECT -doc_id - 1 AS doc_id FROM base
+         |  WHERE doc_id % ${PrepParams.DiffAddMod} = 0 AND doc_id % 5 = 0),
+         |m2 AS (
+         |  SELECT m1.doc_id, m1.source, m1.text
+         |  FROM m1 LEFT JOIN p2keys k ON m1.doc_id = k.doc_id
+         |  WHERE k.doc_id IS NULL
+         |  UNION ALL SELECT doc_id, source, text FROM p2_upd
+         |  UNION ALL SELECT doc_id, source, text FROM p2_res)
+         |SELECT doc_id, source, text FROM m2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_update_capstone" -> updateCapstoneSql,
     "q_triangles" -> trianglesSql,
@@ -1087,6 +1197,13 @@ object DedupQueries {
            |WHERE k.doc_id IS NULL
            |UNION ALL SELECT doc_id, source, text FROM upd
            |UNION ALL SELECT doc_id, source, text FROM ins""".stripMargin,
+    // the merge-on-read replay: two sequential full-outer merges —
+    // layer 2's re-updates/resurrections/insert-deletes shadow
+    // layer 1, which shadows the base. Bit-equal to the reconciled
+    // read over the pending layers (q_warehouse_patch) AND to the
+    // folded rewrite (q_warehouse_patch_fold).
+    "q_warehouse_patch" -> warehousePatchSql,
+    "q_warehouse_patch_fold" -> warehousePatchSql,
     // the composite-key replay: the full-outer merge joined on BOTH
     // key columns; the insert leg reuses live doc_ids under source
     // 'drop', so a single-column merge would lose or clobber rows

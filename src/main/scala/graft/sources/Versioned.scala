@@ -4,7 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StructField, StructType}
 
 import graft.operators.TableDiff
 import graft.quality.Validate
@@ -95,10 +95,16 @@ object Versioned {
     * `bkt` excluded) so the serving paths ([[lookup]], [[merge]],
     * [[readRangeAll]]) never re-derive it by footer reads over every
     * owning directory; manifests written before the field existed
-    * degrade to the footer path. */
+    * degrade to the footer path. `deltas` are the PENDING merge-on-read
+    * layers ([[patch]] publishes, oldest first — each a version
+    * directory of raw drop rows with their `__del` markers that every
+    * read reconciles over the base owner map; folded back into the
+    * base by the next [[merge]]/[[foldDeltas]]/[[compact]]);
+    * `deltaRows` records each layer's row count so serving reads can
+    * size their broadcast hints without opening the layer. */
   final case class BucketSpec(key: String, numBuckets: Int, rows: Long, owner: Vector[String],
       zones: Seq[String] = Nil, schemaB64: Option[String] = None,
-      bloomBits: Int = 0) {
+      bloomBits: Int = 0, deltas: Seq[String] = Nil, deltaRows: Seq[Long] = Nil) {
     /** The merge key columns, in layout order. */
     def keys: Seq[String] = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
   }
@@ -132,7 +138,10 @@ object Versioned {
         (if (b.zones.isEmpty) ""
          else s""", "zones": [${b.zones.map(z => "\"" + z + "\"").mkString(",")}]""") +
         b.schemaB64.map(s => s""", "schema": "$s"""").getOrElse("") +
-        (if (b.bloomBits > 0) s""", "bloomBits": ${b.bloomBits}""" else "")
+        (if (b.bloomBits > 0) s""", "bloomBits": ${b.bloomBits}""" else "") +
+        (if (b.deltas.isEmpty) ""
+         else s""", "deltas": [${b.deltas.map(d => "\"" + d + "\"").mkString(",")}]""" +
+           s""", "deltaRows": [${b.deltaRows.mkString(",")}]""")
     }.getOrElse("")
     s"""{"version": ${m.version}, "path": "${m.path}", "previous": $prev$ts$bkts}"""
   }
@@ -148,6 +157,8 @@ object Versioned {
   private val SchemaRe = """"schema"\s*:\s*"([A-Za-z0-9+/=]+)"""".r.unanchored
   private val TsRe = """"ts"\s*:\s*(\d+)""".r.unanchored
   private val BloomBitsRe = """"bloomBits"\s*:\s*(\d+)""".r.unanchored
+  private val DeltasRe = """"deltas"\s*:\s*\[([^\]]*)\]""".r.unanchored
+  private val DeltaRowsRe = """"deltaRows"\s*:\s*\[([^\]]*)\]""".r.unanchored
 
   private def parseManifest(f: File): Manifest = {
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -166,7 +177,19 @@ object Versioned {
         }
         val schema = text match { case SchemaRe(s) => Some(s) case _ => None }
         val bloom = text match { case BloomBitsRe(bb) => bb.toInt case _ => 0 }
-        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema, bloom))
+        val deltas = text match {
+          case DeltasRe(ds) =>
+            ds.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+              .filter(_.nonEmpty)
+          case _ => Nil
+        }
+        val deltaRows = text match {
+          case DeltaRowsRe(dr) =>
+            dr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+          case _ => Nil
+        }
+        Some(BucketSpec(k, nb.toInt, r.toLong, owner, zones, schema, bloom,
+          deltas, deltaRows))
       case _ => None
     }
     val ts = text match { case TsRe(t) => t.toLong case _ => 0L }
@@ -493,13 +516,16 @@ object Versioned {
 
   /** Assemble a bucketed version from its owner map: one
     * partition-pruned scan per distinct owning directory (≤
-    * min(publishes, numBuckets) of them), unioned; `bkt` stays an
+    * min(publishes, numBuckets) of them), unioned; any pending
+    * [[patch]] delta layers are then folded over the base
+    * ([[applyDeltas]] — newest layer wins per key); `bkt` stays an
     * internal layout column and is dropped from the result. */
   private def assembleBuckets(spark: SparkSession, root: String, version: Int,
       spec: BucketSpec): DataFrame = {
     val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
-    require(byDir.nonEmpty, s"bucketed version $version has no non-empty buckets")
-    byDir.keys.foreach { dir =>
+    require(byDir.nonEmpty || spec.deltas.nonEmpty,
+      s"bucketed version $version has no non-empty buckets")
+    (byDir.keys ++ spec.deltas).foreach { dir =>
       require(new File(root, dir).exists(),
         s"version $version reads bucket data from $dir, which was vacuumed")
     }
@@ -518,8 +544,83 @@ object Versioned {
     // allowMissingColumns: after an add-column merge, older directories
     // lack the new columns and read as null; dir-name order (= publish
     // order) keeps the unioned column order deterministic (old first)
-    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val base = parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // every bucket merged/patched empty: the live content is
+        // entirely in the delta layers (schemaB64 is always recorded
+        // by the patch that created them)
+        val fields = spec.schemaB64.map(decodeSchema).getOrElse(sys.error(
+          s"bucketed version $version has no base directories and no recorded schema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType((fields :+ StructField("bkt", IntegerType)).toArray))
+      }
+    val unioned =
+      if (spec.deltas.isEmpty) base
+      else applyDeltas(spark, root, spec, base)
     unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*)
+  }
+
+  /** A serving read's broadcast ceiling for delta-layer key frames:
+    * layers at or under this many rows (per the manifest's
+    * `deltaRows`) hint `broadcast` into the shadowing anti-joins —
+    * the 100 TB story of merge-on-read: a small patch reconciles as a
+    * broadcast anti-join over the base scan, never a table-sized
+    * shuffle. Larger layers fall back to a shuffle join (results
+    * identical); [[foldDeltas]] is the remedy. */
+  private val DeltaBroadcastMaxRows = 5000000L
+
+  /** The widened read schema of a DELTA layer directory: the table's
+    * data columns plus the `__del` marker and the `bkt` layout column
+    * (parquet null-fills columns a layer predates, by name). */
+  private def deltaReadSchema(fields: Seq[StructField]): StructType =
+    StructType((fields ++ Seq(StructField("__del", BooleanType),
+      StructField("bkt", IntegerType))).toArray)
+
+  /** Fold the manifest's pending delta layers over an assembled base
+    * frame (both carrying `bkt`), oldest layer first: each layer's
+    * keys SHADOW everything beneath them (an anti-join drops the
+    * stale rows), then the layer's surviving upserts union back in —
+    * so the newest occurrence of a key wins and a newest-`__del` key
+    * is gone, exactly the sequential-merge semantics. Layer key
+    * frames broadcast when the manifest's recorded row count allows
+    * ([[DeltaBroadcastMaxRows]]). */
+  private def applyDeltas(spark: SparkSession, root: String, spec: BucketSpec,
+      base: DataFrame): DataFrame = {
+    val fields = spec.schemaB64.map(decodeSchema).getOrElse(sys.error(
+      s"table under $root has delta layers but no recorded schema — " +
+        "patch always records one; the manifest was hand-edited"))
+    val schema = deltaReadSchema(fields)
+    val keys = spec.keys
+    spec.deltas.zipWithIndex.foldLeft(base) { case (acc, (dir, i)) =>
+      val layer = spark.read.schema(schema).parquet(new File(root, dir).getPath)
+      val layerKeys = layer.select(keys.map(col): _*)
+      val hinted =
+        if (spec.deltaRows.lift(i).forall(_ <= DeltaBroadcastMaxRows)) broadcast(layerKeys)
+        else layerKeys
+      acc.join(hinted, keys, "left_anti")
+        .unionByName(layer.filter(!col("__del")).drop("__del"),
+          allowMissingColumns = true)
+    }
+  }
+
+  /** The NET effect of the pending delta layers, in the table's
+    * widened shape (`allFields` + `__del` + `bkt`): per key, the
+    * newest layer's row — an upsert or a delete marker. Used by
+    * [[merge]] to fold the layers into its rewrite and by the
+    * accounting pre-image. Layers are patch-sized by contract, so the
+    * per-key window runs over a small frame (a row_number window, not
+    * GroupTopK — the input is delta-sized, never table-sized). */
+  private def netDelta(spark: SparkSession, root: String, spec: BucketSpec,
+      allFields: Seq[StructField]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = deltaReadSchema(allFields)
+    val layers = spec.deltas.zipWithIndex.map { case (dir, i) =>
+      spark.read.schema(schema).parquet(new File(root, dir).getPath)
+        .withColumn("__layer", lit(i))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(spec.keys.map(col): _*).orderBy(col("__layer").desc)
+    layers.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__layer")
   }
 
   private def bktCol(keys: Seq[String], numBuckets: Int) =
@@ -758,6 +859,21 @@ object Versioned {
       violations: Seq[(String, Long)],
       reason: Option[String])
 
+  /** [[patch]] outcome: the same key accounting as [[MergeReport]]
+    * (exact, against the reconciled pre-image) plus the table's
+    * pending layer count AFTER this publish. `reason` is set iff the
+    * patch was refused — the live pointer did not move. */
+  final case class PatchReport(
+      patched: Boolean,
+      version: Int,
+      path: String,
+      upserted: Long,
+      inserted: Long,
+      deleted: Long,
+      layers: Int,
+      violations: Seq[(String, Long)],
+      reason: Option[String])
+
   /** Publish a BUCKETED table version: the same stage → audit →
     * atomic-swap discipline as [[promote]], but the data is laid out
     * as `numBuckets` hash partitions of `key` so later drops can
@@ -945,8 +1061,6 @@ object Versioned {
     require(nDrop == d.select(keys.map(col): _*).distinct().count(),
       s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
 
-    val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
-
     // the table's live schema: recorded in the manifest by every
     // publish since the field existed (zero per-call footer reads);
     // older manifests re-derive the first-seen union of the owning
@@ -979,6 +1093,27 @@ object Versioned {
           s"(a pre-r14 publish accepted it; bounds would truncate) — republish with " +
           s"promoteBucketed and integral/string/date zone columns before merging: ${e.getMessage}") }
     val dataCols: Seq[String] = allFields.map(_.name)
+
+    // fold pending PATCH layers into this rewrite: the layers' net
+    // per-key effect ([[netDelta]]) joins the drop — user rows win on
+    // shared keys (the layers are strictly older than the incoming
+    // drop) — so the published version carries an EMPTY deltas list
+    // and read amplification returns to zero. Accounting stays
+    // user-drop-only: the layers' own effects were counted exactly by
+    // the patches that published them.
+    val net: Option[DataFrame] =
+      if (spec.deltas.isEmpty) None
+      else Some(eager(netDelta(spark, root, spec, allFields)))
+    def netHint(df: DataFrame): DataFrame =
+      if (spec.deltaRows.sum <= DeltaBroadcastMaxRows) broadcast(df) else df
+    val dAll: DataFrame = net match {
+      case None => d
+      case Some(nd) => eager(d.unionByName(
+        nd.join(broadcast(d.select(keys.map(col): _*)), keys, "left_anti"),
+        allowMissingColumns = true))
+    }
+    val touched = dAll.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
     // reading every owning directory with the WIDENED schema makes the
     // parquet reader null-fill missing columns by name (no per-frame
     // conform select) and skips footer schema inference entirely
@@ -992,35 +1127,55 @@ object Versioned {
         .filter(col("bkt").isin(entries.map(_._2): _*))
     }.reduceOption(_ unionByName _)
 
-    val dKeys = d.select((keys :+ "__del").map(col): _*)
+    val dKeys = dAll.select((keys :+ "__del").map(col): _*)
     // drops small enough broadcast into the survivor anti-join and the
     // accounting join; past the bound they shuffle-join instead of
     // stressing the driver/executors with an oversized broadcast (the
-    // touched-bucket side is already bounded by the drop's spread)
+    // touched-bucket side is already bounded by the drop's spread).
+    // The bound counts the folded layers too (`deltaRows` — an upper
+    // bound on the net's size without a count job).
+    val nAll = nDrop + spec.deltaRows.sum
     def dkHint(df: DataFrame): DataFrame =
-      if (nDrop <= maxBroadcastDropKeys) broadcast(df) else df
-    val upsertSrc = d.filter(!col("__del"))
+      if (nAll <= maxBroadcastDropKeys) broadcast(df) else df
+    val upsertSrc = dAll.filter(!col("__del"))
     val missing = tableFields.map(_.name).filterNot(c => drop.columns.contains(c))
+    if (missing.nonEmpty)
+      require(d.filter(!col("__del")).isEmpty,
+        s"drop upsert rows are missing table columns: ${missing.mkString(", ")} — " +
+          "a drop may ADD columns (older rows read as null) but must carry every existing one")
     val upserts =
-      if (missing.isEmpty) upsertSrc.select(dataCols.map(col) :+ col("bkt"): _*)
-      else {
-        require(upsertSrc.isEmpty,
-          s"drop upsert rows are missing table columns: ${missing.mkString(", ")} — " +
-            "a drop may ADD columns (older rows read as null) but must carry every existing one")
-        // delete-only drop: an empty frame in the table's shape
+      if (missing.isEmpty || net.isDefined)
+        // net layers read in the widened shape, so dAll carries every
+        // data column even under a delete-only user drop
+        upsertSrc.select(dataCols.map(col) :+ col("bkt"): _*)
+      else
+        // delete-only drop, no layers: an empty frame in the table's shape
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
             allFields :+ org.apache.spark.sql.types.StructField(
               "bkt", org.apache.spark.sql.types.IntegerType)))
-      }
     val survivors = oldRows.map(
       _.join(dkHint(dKeys.select(keys.map(col): _*)), keys, "left_anti")
         .select(dataCols.map(col) :+ col("bkt"): _*))
     val merged = eager(survivors.map(_.unionByName(upserts)).getOrElse(upserts))
 
-    // exact O(drop) accounting against the touched buckets' pre-image
-    val hits = oldRows.map(_.select(keys.map(col): _*)
-      .join(dkHint(dKeys), keys, "inner")
+    // exact O(drop) accounting for the USER drop against the
+    // RECONCILED pre-image of the touched buckets (base shadowed by
+    // the net layer effect, its live upserts unioned back — a key an
+    // earlier patch inserted counts as an update here, one it deleted
+    // counts as an insert)
+    val userDKeys = d.select((keys :+ "__del").map(col): _*)
+    val preKeys: Option[DataFrame] = net match {
+      case None => oldRows.map(_.select(keys.map(col): _*))
+      case Some(nd) =>
+        val ndK = nd.select(keys.map(col): _*)
+        val ndUp = nd.filter(!col("__del")).select(keys.map(col): _*)
+        val shadowed = oldRows.map(_.select(keys.map(col): _*)
+          .join(netHint(ndK), keys, "left_anti"))
+        Some(shadowed.map(_.unionByName(ndUp)).getOrElse(ndUp))
+    }
+    val hits = preKeys.map(_
+      .join(dkHint(userDKeys), keys, "inner")
       .agg(
         sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
         sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
@@ -1095,14 +1250,253 @@ object Versioned {
         maybeCrash("renamed")
         val owner = touched.foldLeft(spec.owner)((o, b) =>
           o.updated(b, if (stagedBkts.contains(b)) dirName else ""))
+        // deltas = Nil: this rewrite FOLDED any pending patch layers
+        // (their rows are in the touched buckets' new files now)
         writeManifest(root, Manifest(version, dirName, Some(live.path),
           Some(spec.copy(rows = newTotal, owner = owner,
-            schemaB64 = Some(encodeSchema(allFields))))))
+            schemaB64 = Some(encodeSchema(allFields)),
+            deltas = Nil, deltaRows = Nil))))
         claim.release()
         MergeReport(merged = true, version, dirName, upserted, inserted, deletedN,
           touched, viol, None)
     }
     } finally toRelease.foreach(graft.operators.Checkpoints.release)
+  }
+
+  /** MERGE-ON-READ publish — the O(drop) sibling of [[merge]]. A
+    * merge's write cost is touched-bucket-sized: every survivor row of
+    * every touched bucket is rewritten, so a 0.1% daily upsert against
+    * a 100 TB table still rewrites whole buckets. `patch` writes ONLY
+    * the drop: the rows land (with their `__del` markers) as a new
+    * version directory appended to the manifest's `deltas` list, the
+    * owner map untouched — and every read reconciles the layers over
+    * the base with broadcast anti-joins ([[applyDeltas]]: a layer's
+    * keys shadow everything beneath; newest wins). Read amplification
+    * grows with the layer count, so patches are bounded by
+    * `maxDeltaLayers` (refused loudly past it) and folded back into
+    * the base by the next [[merge]], [[foldDeltas]], [[compact]],
+    * [[rebucket]], or [[maintain]] pass.
+    *
+    * Semantics are EXACTLY [[merge]]'s (spec- and fuzz-pinned):
+    * key-unique drops, upsert/delete by key, schema evolution on added
+    * columns, missing-column refusal (delete-only drops excepted), the
+    * same `maxChangedPerMille` fat-finger gate, exact key accounting
+    * against the RECONCILED pre-image (a key inserted by an earlier
+    * layer counts as an update, not an insert), and the same claim →
+    * rename → manifest commit discipline (crash points `staged` /
+    * `claimed` / `renamed` / `chain`; a crash strands only an
+    * unreferenced staging directory or an orphan chain entry). Zone
+    * maps and key-Bloom sidecars ride along on the layer when the
+    * layout carries them, so [[readRange]] prunes and [[lookup]]
+    * probes delta layers the same way they do base directories. */
+  def patch(
+      drop: DataFrame,
+      root: String,
+      deleted: Column = lit(false),
+      checks: Seq[Validate.Check] = Seq.empty,
+      maxChangedPerMille: Option[Long] = None,
+      maxDeltaLayers: Int = 8,
+      maxBroadcastDropKeys: Long = 5000000L): PatchReport = {
+    val spark = drop.sparkSession
+    val startedMs = System.currentTimeMillis()
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — publish with promoteBucketed before patching"))
+    val keys = spec.keys
+    keys.foreach(k => require(drop.columns.contains(k),
+      s"merge key column '$k' not in ${drop.columns.mkString(", ")}"))
+    require(spec.deltas.size < maxDeltaLayers,
+      s"table under $root already carries ${spec.deltas.size} delta layers " +
+        s"(maxDeltaLayers = $maxDeltaLayers) — every read reconciles each layer; " +
+        "fold them first (foldDeltas / merge / maintain)")
+
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def eager(df: DataFrame): DataFrame = {
+      val e = graft.operators.Checkpoints.eager(df)
+      toRelease += e
+      e
+    }
+    try {
+    val d = eager(drop
+      .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
+      .withColumn("bkt", bktCol(keys, spec.numBuckets)))
+    val nDrop = d.count()
+    require(nDrop > 0, "patch refuses an empty drop — nothing to publish")
+    require(nDrop == d.select(keys.map(col): _*).distinct().count(),
+      s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
+
+    val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+    val tableFields = widenedFields(spark, root, spec)
+    // the same evolution/marker discipline as merge: added columns
+    // widen the table, CDC marker columns never do, missing columns
+    // refuse (delete-only drops excepted)
+    val delRefs: Set[String] =
+      drop.select(deleted.as("__p")).queryExecution.analyzed
+        .expressions.flatMap(_.references.map(_.name)).toSet
+    val dropExtras = d.schema.fields.filter(f =>
+      !tableFields.exists(_.name == f.name) && f.name != "__del" && f.name != "bkt" &&
+        !delRefs.contains(f.name)).toSeq
+    val allFields = tableFields ++ dropExtras
+    for (z <- spec.zones; f <- allFields.find(_.name == z))
+      try zoneBound(f.dataType)
+      catch { case e: RuntimeException => sys.error(
+        s"zone column '$z' of the live layout has unsupported type ${f.dataType.simpleString} " +
+          s"— republish with promoteBucketed and integral/string/date zone columns " +
+          s"before patching: ${e.getMessage}") }
+    val dataCols: Seq[String] = allFields.map(_.name)
+    val missing = tableFields.map(_.name).filterNot(c => drop.columns.contains(c))
+    if (missing.nonEmpty)
+      require(d.filter(!col("__del")).isEmpty,
+        s"drop upsert rows are missing table columns: ${missing.mkString(", ")} — " +
+          "a drop may ADD columns (older rows read as null) but must carry every existing one")
+
+    // exact accounting against the RECONCILED pre-image of the touched
+    // buckets (base anti-joined by every pending layer's keys, each
+    // layer's live upserts unioned back — keys only, partition-pruned,
+    // delta scans pruned to the touched buckets)
+    def dkHint(df: DataFrame): DataFrame =
+      if (nDrop <= maxBroadcastDropKeys) broadcast(df) else df
+    val byDir = touched.map(b => (spec.owner(b), b)).filter(_._1.nonEmpty).groupBy(_._1)
+    val keySchema = StructType(
+      (allFields.filter(f => keys.contains(f.name)) :+ StructField("bkt", IntegerType)).toArray)
+    val baseKeys = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+      spark.read.schema(keySchema).parquet(new File(root, dir).getPath)
+        .filter(col("bkt").isin(entries.map(_._2): _*))
+        .select(keys.map(col): _*)
+    }.reduceOption(_ unionByName _)
+    val layerSchema = deltaReadSchema(allFields)
+    val preKeys: Option[DataFrame] =
+      spec.deltas.zipWithIndex.foldLeft(baseKeys) { case (acc, (dir, i)) =>
+        val layer = spark.read.schema(layerSchema).parquet(new File(root, dir).getPath)
+          .filter(col("bkt").isin(touched: _*))
+        val lk = layer.select(keys.map(col): _*)
+        val hinted =
+          if (spec.deltaRows.lift(i).forall(_ <= DeltaBroadcastMaxRows)) broadcast(lk) else lk
+        val lup = layer.filter(!col("__del")).select(keys.map(col): _*)
+        Some(acc.map(_.join(hinted, keys, "left_anti").unionByName(lup)).getOrElse(lup))
+      }
+    val dKeys = d.select((keys :+ "__del").map(col): _*)
+    val hits = preKeys.map(_.join(dkHint(dKeys), keys, "inner")
+      .agg(
+        sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
+        sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
+      .collect().head).map(r => (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
+        Option(r.get(1)).fold(0L)(_ => r.getLong(1)))).getOrElse((0L, 0L))
+    val (upserted, deletedN) = hits
+    val upsertRows = d.filter(!col("__del")).count()
+    val inserted = upsertRows - upserted
+    val newTotal = spec.rows + inserted - deletedN
+
+    val version = live.version + 1
+    val dirName = f"v$version%05d"
+    val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
+    // the layer IS the drop: data columns (null-filled for delete-only
+    // drops), the __del marker, the bucket routing — O(drop) I/O, no
+    // survivor read, no bucket rewrite
+    val layerCols = allFields.map { f =>
+      if (d.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ Seq(col("__del"), col("bkt"))
+    d.select(layerCols: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    if (spec.zones.nonEmpty) buildZoneMap(spark, staging.getPath, spec.zones)
+    if (spec.bloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, spec.bloomBits)
+    maybeCrash("staged")
+
+    val viol: Seq[(String, Long)] =
+      if (checks.isEmpty) Seq.empty
+      else Validate.violations(
+        spark.read.parquet(staging.getPath).filter(!col("__del")).drop("bkt", "__del"),
+        checks).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val firstViolation = viol.find(_._2 > 0)
+    val gateReason = maxChangedPerMille.flatMap { pm =>
+      val movedKeys = upserted + deletedN
+      if (spec.rows > 0 && movedKeys * 1000L > pm * spec.rows)
+        Some(s"merge gate: $movedKeys of ${spec.rows} live keys changed/removed (> $pm per mille)")
+      else None
+    }
+    val reason = firstViolation
+      .map { case (rule, n) => s"validation: rule '$rule' has $n violations" }
+      .orElse(gateReason)
+
+    reason match {
+      case Some(_) =>
+        rmTree(staging)
+        PatchReport(patched = false, version, dirName, upserted, inserted, deletedN,
+          spec.deltas.size, viol, reason)
+      case None =>
+        val claim = claimAndRename(root, Some(live), staging, dirName, startedMs)
+        maybeCrash("renamed")
+        writeManifest(root, Manifest(version, dirName, Some(live.path),
+          Some(spec.copy(rows = newTotal,
+            schemaB64 = Some(encodeSchema(allFields)),
+            deltas = spec.deltas :+ dirName,
+            deltaRows = spec.deltaRows :+ nDrop))))
+        claim.release()
+        PatchReport(patched = true, version, dirName, upserted, inserted, deletedN,
+          spec.deltas.size + 1, viol, None)
+    }
+    } finally toRelease.foreach(graft.operators.Checkpoints.release)
+  }
+
+  /** [[patch]] with bounded replay on a lost single-writer race —
+    * [[mergeRetry]]'s discipline applied to the merge-on-read publish
+    * (safe for the same reason: a patch applies its drop BY KEY).
+    * `refuseKeyConflicts = true` runs the same write-write conflict
+    * gate on a lost race. */
+  def patchRetry(
+      drop: DataFrame,
+      root: String,
+      deleted: Column = lit(false),
+      checks: Seq[Validate.Check] = Seq.empty,
+      maxChangedPerMille: Option[Long] = None,
+      attempts: Int = 5,
+      backoffMs: Long = 500L,
+      maxDeltaLayers: Int = 8,
+      refuseKeyConflicts: Boolean = false): PatchReport = {
+    require(attempts >= 1)
+    val firstBase = currentManifest(root).map(_.version)
+    var last: ConcurrentWriteException = null
+    for (attempt <- 1 to attempts) {
+      if (refuseKeyConflicts && attempt > 1)
+        firstBase.foreach(checkKeyConflict(drop, root, _))
+      try return patch(drop, root, deleted, checks, maxChangedPerMille, maxDeltaLayers)
+      catch {
+        case e: ConcurrentWriteException =>
+          last = e
+          if (attempt < attempts) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw last
+  }
+
+  /** Fold every pending [[patch]] layer back into the base: ONE
+    * merge-shaped rewrite of the layers' touched buckets (the net
+    * per-key effect of the layers applied as a drop), publishing a
+    * version whose `deltas` list is EMPTY — content bit-equal by
+    * construction ([[merge]] itself reconciles pending layers into
+    * both its pre-image and its rewrite), read amplification back to
+    * zero. The maintenance verb between the intraday patches; no-op
+    * (refused with a reason, pointer unmoved) when no layers are
+    * pending. */
+  def foldDeltas(spark: SparkSession, root: String,
+      checks: Seq[Validate.Check] = Seq.empty): MergeReport = {
+    val live = currentManifest(root).getOrElse(sys.error(s"no live version under $root"))
+    val spec = live.buckets.getOrElse(sys.error(
+      s"live version under $root is not bucketed — only bucketed tables carry delta layers"))
+    if (spec.deltas.isEmpty)
+      MergeReport(merged = false, live.version, live.path, 0L, 0L, 0L, Nil, Nil,
+        Some("no delta layers to fold"))
+    else {
+      // an empty drop in the key columns' shape: merge folds the
+      // pending layers into its rewrite and publishes deltas = Nil
+      val keyFields = widenedFields(spark, root, spec).filter(f => spec.keys.contains(f.name))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(keyFields.toArray))
+      merge(empty, root, checks = checks, zoneCluster = spec.zones.nonEmpty)
+    }
   }
 
   /** [[merge]] with bounded replay on a lost single-writer race: the
@@ -1235,6 +1629,40 @@ object Versioned {
     def emptyFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields.toArray))
     val readSchema = StructType((fields :+ StructField("bkt", IntegerType)).toArray)
+    // pending patch layers answer FIRST, newest layer wins: each probe
+    // is one partition-pruned scan of the layer's bkt=<b> directory
+    // (skipped with ZERO jobs when the layer's key-Bloom sidecar
+    // excludes the key), a __del hit answers "gone", an upsert hit
+    // answers with the layer's row, and only a miss in every layer
+    // falls through to the base path below — so the serving read pays
+    // at most (live layers + 1) pruned point scans, usually fewer
+    val fromDeltas: Option[DataFrame] =
+      if (spec.deltas.isEmpty) None
+      else {
+        val h = keyHash(spark, keyValues)
+        val layerSchema = deltaReadSchema(fields)
+        spec.deltas.reverseIterator.map { dir =>
+          val dirFile = new File(root, dir)
+          val excluded = readKeyBloom(dirFile).exists { case (bits, files) =>
+            !files.exists { case (rel, words) =>
+              rel.startsWith(s"bkt=$bkt/") && bloomMightContain(words, bits, h) }
+          }
+          if (excluded) None
+          else {
+            val hit = spark.read.schema(layerSchema).parquet(dirFile.getPath)
+              .filter(col("bkt") === bkt && keyPred)
+              .collect().headOption
+            hit.map { r =>
+              if (r.getAs[Boolean]("__del")) emptyFrame
+              else spark.createDataFrame(
+                java.util.Collections.singletonList(
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq.take(fields.length))),
+                StructType(fields.toArray))
+            }
+          }
+        }.collectFirst { case Some(df) => df }
+      }
+    if (fromDeltas.isDefined) return fromDeltas.get
     val out =
       if (dir.isEmpty) emptyFrame // bucket currently empty
       else {
@@ -1464,11 +1892,46 @@ object Versioned {
       case None => readManifestData(spark, root, m).filter(residual)
       case Some(spec) =>
         val byDir = spec.owner.zipWithIndex.filter(_._1.nonEmpty).groupBy(_._1)
-        require(byDir.nonEmpty, s"bucketed table under $root has no non-empty buckets")
+        require(byDir.nonEmpty || spec.deltas.nonEmpty,
+          s"bucketed table under $root has no non-empty buckets")
         val parts = byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
-          prunedDirScan(spark, root, dir, entries.map(_._2), preds, residual)
+          prunedDirScan(spark, root, dir, Some(entries.map(_._2)), preds, residual)
         }
-        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        val base = parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+        val unioned = spec.deltas match {
+          case Nil => base.get
+          case deltas =>
+            // pending patch layers: the base's pruned scan must still
+            // be SHADOWED by every layer's FULL key set (a layer row
+            // outside the range can delete or move a base row inside
+            // it), so the shadowing anti-joins read the layers'
+            // key columns unpruned — delta-sized by contract, hinted
+            // broadcast under [[DeltaBroadcastMaxRows]]. Each layer's
+            // own in-range rows come from its zone-pruned scan,
+            // shadowed by the layers above it (newest wins).
+            val fields = widenedFields(spark, root, spec)
+            val schema = deltaReadSchema(fields)
+            val keys = spec.keys
+            val layerKeys = deltas.map(dir =>
+              spark.read.schema(schema).parquet(new File(root, dir).getPath)
+                .select(keys.map(col): _*))
+            def keysFrom(i: Int): Option[DataFrame] =
+              if (i >= deltas.size) None
+              else Some(layerKeys.drop(i).reduce(_ unionByName _))
+            def hintAll(df: DataFrame): DataFrame =
+              if (spec.deltaRows.sum <= DeltaBroadcastMaxRows) broadcast(df) else df
+            val basePart = base.map(_.join(hintAll(keysFrom(0).get), keys, "left_anti"))
+            val layerParts = deltas.indices.map { i =>
+              val pruned = prunedDirScan(spark, root, deltas(i), None, preds, residual)
+                .filter(!col("__del")).drop("__del")
+              keysFrom(i + 1) match {
+                case Some(k) => pruned.join(hintAll(k), keys, "left_anti")
+                case None => pruned
+              }
+            }
+            (basePart.toSeq ++ layerParts)
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+        }
         unioned.select(unioned.columns.filter(_ != "bkt").map(col): _*).filter(residual)
     }
   }
@@ -1482,9 +1945,11 @@ object Versioned {
     * for it, and null never satisfies a range filter) —
     * schema-preserved empty, zero files scanned. */
   private def prunedDirScan(spark: SparkSession, root: String, dir: String,
-      bkts: Seq[Int], preds: Seq[(String, Any, Any)], residual: Column): DataFrame = {
+      bkts: Option[Seq[Int]], preds: Seq[(String, Any, Any)], residual: Column): DataFrame = {
     val dirPath = new File(root, dir).getPath
-    val full = spark.read.parquet(dirPath).filter(col("bkt").isin(bkts: _*))
+    def ownedOnly(df: DataFrame): DataFrame =
+      bkts.fold(df)(bs => df.filter(col("bkt").isin(bs: _*)))
+    val full = ownedOnly(spark.read.parquet(dirPath))
     if (preds.exists { case (c, _, _) => !full.columns.contains(c) })
       return full.filter(lit(false))
     val zm = new File(dirPath, "_zonemap")
@@ -1495,18 +1960,18 @@ object Versioned {
         col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo)
     }
     if (overlap.isEmpty) return full.filter(residual)
-    val bset = bkts.toSet
+    val bset = bkts.map(_.toSet)
     val files = zones
       .filter(overlap.reduce(_ && _))
       .select("file").as(org.apache.spark.sql.Encoders.STRING).collect()
       .filter { rel => // only files of buckets this directory still owns
         rel.startsWith("bkt=") &&
-          rel.drop(4).takeWhile(_ != '/').toIntOption.exists(bset)
+          rel.drop(4).takeWhile(_ != '/').toIntOption
+            .exists(b => bset.forall(_(b)))
       }
     if (files.isEmpty) full.filter(lit(false))
-    else spark.read.option("basePath", dirPath)
-      .parquet(files.map(rel => new File(dirPath, rel).getPath).toIndexedSeq: _*)
-      .filter(col("bkt").isin(bkts: _*))
+    else ownedOnly(spark.read.option("basePath", dirPath)
+      .parquet(files.map(rel => new File(dirPath, rel).getPath).toIndexedSeq: _*))
       .filter(residual)
   }
 
@@ -1559,6 +2024,8 @@ object Versioned {
         "rows" -> spec.rows.toString,
         "owner_directories" -> spec.owner.filter(_.nonEmpty).distinct.length.toString,
         "empty_buckets" -> spec.owner.count(_.isEmpty).toString,
+        "delta_layers" -> spec.deltas.length.toString,
+        "delta_rows" -> spec.deltaRows.sum.toString,
         "zone_columns" -> spec.zones.mkString(","),
         "key_bloom_bits" -> spec.bloomBits.toString,
         "schema" -> spec.schemaB64.map(b64 =>
@@ -1569,10 +2036,12 @@ object Versioned {
   }
 
   /** What [[maintain]] did: the owner-spread gauge before/after, the
-    * compaction's published version when the threshold tripped, and
-    * what vacuum reclaimed. */
+    * compaction's published version when the threshold tripped, what
+    * vacuum reclaimed, and how many pending patch layers were folded
+    * (0 when none were pending). */
   final case class MaintainReport(ownerDirsBefore: Int, compacted: Boolean,
-      compactVersion: Option[Int], vacuumed: Seq[String], ownerDirsAfter: Int)
+      compactVersion: Option[Int], vacuumed: Seq[String], ownerDirsAfter: Int,
+      foldedLayers: Int = 0)
 
   /** The nightly maintenance job as ONE call — the policy driver over
     * [[describe]]'s gauges: when the live owner map spans more than
@@ -1589,6 +2058,15 @@ object Versioned {
       checks: Seq[Validate.Check] = Seq.empty): MaintainReport = {
     def spread: Int = currentManifest(root).flatMap(_.buckets)
       .map(_.owner.filter(_.nonEmpty).distinct.length).getOrElse(1)
+    // pending patch layers fold FIRST (every layer is read
+    // amplification on every reconciling scan); folding may widen the
+    // owner spread, so the compact gauge is read after
+    val pendingLayers = currentManifest(root).flatMap(_.buckets)
+      .map(_.deltas.length).getOrElse(0)
+    if (pendingLayers > 0) {
+      val f = foldDeltas(spark, root, checks)
+      require(f.merged, s"maintenance delta fold refused: ${f.reason.getOrElse("")}")
+    }
     val before = spread
     val compacted = before > maxOwnerDirs
     val ver = if (compacted) {
@@ -1597,7 +2075,7 @@ object Versioned {
       Some(r.version)
     } else None
     val swept = vacuum(root, retainLast, staleStagingMillis)
-    MaintainReport(before, compacted, ver, swept, spread)
+    MaintainReport(before, compacted, ver, swept, spread, pendingLayers)
   }
 
   /** Roll back by PUBLISHING: the new live version is
@@ -1612,7 +2090,8 @@ object Versioned {
     require(toVersion != live.version, s"version $toVersion is already live")
     val target = versions(root).find(_.version == toVersion)
       .getOrElse(sys.error(s"version $toVersion was never published under $root"))
-    val needed = target.buckets.map(_.owner.filter(_.nonEmpty).distinct)
+    val needed = target.buckets
+      .map(b => (b.owner.filter(_.nonEmpty) ++ b.deltas).distinct)
       .getOrElse(Seq(target.path))
     needed.foreach(dir => require(new File(root, dir).exists(),
       s"version $toVersion's data ($dir) was vacuumed"))
@@ -1667,12 +2146,14 @@ object Versioned {
     val chain = versions(root)
     val retained = chain.sortBy(-_.version).take(retainLast) :+ m
     // a retained bucketed version needs every directory its owner map
-    // references, not just its own — merge versions read older dirs
+    // references, not just its own — merge versions read older dirs,
+    // and pending patch layers are read by every reconciling scan
+    def refs(b: BucketSpec): Seq[String] = b.owner.filter(_.nonEmpty) ++ b.deltas
     val keep = retained.flatMap(x =>
-      x.path +: x.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty)).toSet ++
+      x.path +: x.buckets.map(refs).getOrElse(Vector.empty)).toSet ++
       m.previous ++
       chain.filter(x => m.previous.contains(x.path))
-        .flatMap(_.buckets.map(_.owner.filter(_.nonEmpty)).getOrElse(Vector.empty))
+        .flatMap(_.buckets.map(refs).getOrElse(Vector.empty))
     val cutoff = System.currentTimeMillis() - staleStagingMillis
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     val doomed = entries

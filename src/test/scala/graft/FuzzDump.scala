@@ -912,6 +912,75 @@ object FuzzDump {
           |SELECT src, id, v FROM m2""".stripMargin)
     }
 
+    // ---- merge-on-read patches (r15): the warehouse_merge shape with
+    // each drop applied via PATCH (delta layer) or MERGE at random,
+    // random folds/compacts between them, and a crash injected into a
+    // random patch on a third of the seeds — the oracle is the same
+    // sequential full-outer replay, so a stale shadowed row, a lost
+    // layer, a fold that resurrects a deleted key, or a crash replay
+    // that double-applies a layer all mismatch ----
+    for (seed <- 0 until seeds) {
+      val rnd = new Random(seed * 7919 + 47)
+      val baseIds = rnd.shuffle((0L until 30L).toList).take(5 + rnd.nextInt(15))
+      val base = baseIds.map(id => (id, rnd.nextInt(100).toLong)).toDF("id", "v")
+      def mkDrop() = {
+        val ks = rnd.shuffle((0L until 40L).toList).take(1 + rnd.nextInt(8))
+        ks.zipWithIndex.map { case (id, i) =>
+          (id, rnd.nextInt(100).toLong, i > 0 && rnd.nextInt(4) == 0)
+        }.toDF("id", "v", "del")
+      }
+      val (d1, d2, d3) = (mkDrop(), mkDrop(), mkDrop())
+      val root = java.nio.file.Files
+        .createTempDirectory("fuzz_whpatch").toString + "/t"
+      val nb = 1 + rnd.nextInt(8)
+      val foldAt = if (rnd.nextInt(2) == 0) rnd.nextInt(3) else -1
+      val compactAt = if (rnd.nextInt(3) == 0) rnd.nextInt(3) else -1
+      val crashAt = if (rnd.nextInt(3) == 0) rnd.nextInt(3) else -1
+      val points = Vector("staged", "claimed", "renamed", "chain")
+      val point = points(rnd.nextInt(points.length))
+      require(graft.sources.Versioned.promoteBucketed(base, root, "id", nb).promoted)
+      Seq(d1, d2, d3).zipWithIndex.foreach { case (d, i) =>
+        if (i == foldAt) {
+          val f = graft.sources.Versioned.foldDeltas(spark, root)
+          require(f.merged || f.reason.exists(_.contains("no delta layers")),
+            s"seed $seed: fold refused: ${f.reason}")
+        }
+        if (i == compactAt)
+          require(graft.sources.Versioned.compact(spark, root).promoted)
+        val usePatch = rnd.nextInt(2) == 0
+        if (usePatch && i == crashAt) {
+          graft.sources.Versioned.crashPoint = Some(point)
+          val killed =
+            try { graft.sources.Versioned.patch(d, root, deleted = col("del")); None }
+            catch { case t: Throwable => Some(t) }
+            finally graft.sources.Versioned.crashPoint = None
+          require(killed.exists(_.getMessage.contains("simulated crash")),
+            s"seed $seed: expected a simulated patch crash at '$point', got $killed")
+          require(graft.sources.Versioned.read(spark, root).count() >= 0)
+          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("_claim_"))
+            .foreach(_.setLastModified(System.currentTimeMillis() - 10000))
+        }
+        if (usePatch)
+          require(graft.sources.Versioned.patch(d, root, deleted = col("del")).patched,
+            s"seed $seed: patch of drop $i must commit")
+        else
+          require(graft.sources.Versioned.merge(d, root, deleted = col("del")).merged,
+            s"seed $seed: merge of drop $i must commit")
+      }
+      dump("warehouse_patch", seed,
+        Map("base" -> base, "d1" -> d1, "d2" -> d2, "d3" -> d3),
+        graft.sources.Versioned.read(spark, root),
+        """WITH m0 AS (SELECT id, v FROM base),
+          |m1 AS (SELECT m0.id, m0.v FROM m0 LEFT JOIN d1 ON m0.id = d1.id WHERE d1.id IS NULL
+          |       UNION ALL SELECT id, v FROM d1 WHERE NOT del),
+          |m2 AS (SELECT m1.id, m1.v FROM m1 LEFT JOIN d2 ON m1.id = d2.id WHERE d2.id IS NULL
+          |       UNION ALL SELECT id, v FROM d2 WHERE NOT del),
+          |m3 AS (SELECT m2.id, m2.v FROM m2 LEFT JOIN d3 ON m2.id = d3.id WHERE d3.id IS NULL
+          |       UNION ALL SELECT id, v FROM d3 WHERE NOT del)
+          |SELECT id, v FROM m3""".stripMargin)
+    }
+
     // ---- warehouse crash: the warehouse_merge shape with a simulated
     // KILL injected at a random point of a random drop's publish
     // sequence (after staging / holding the commit-slot claim / after

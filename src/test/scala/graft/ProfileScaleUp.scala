@@ -119,7 +119,13 @@ object ProfileScaleUp {
       // rebucket lifecycle (promote + merge + full 8->32 rewrite per
       // run — the timed cost IS the table rewrite, compaction-class
       // by contract)
-      "q_warehouse_merge2", "q_warehouse_rebucket")
+      "q_warehouse_merge2", "q_warehouse_rebucket",
+      // r15 additions (merge-on-read): the two-layer patch publish —
+      // O(drop) write cost that must stay FLAT while q_warehouse_merge
+      // (same lifecycle as bucket rewrites) grows with the corpus —
+      // and the fold that rewrites the layers' touched buckets back
+      // into the base
+      "q_warehouse_patch", "q_warehouse_patch_fold")
     val names = if (args.nonEmpty) args.toSeq else defaultNames
     val outFile = sys.env.getOrElse("SCALEUP_OUT",
       if (args.nonEmpty) "dev/scaleup_r15b.json" else "dev/scaleup_r15.json")
