@@ -18,8 +18,8 @@ class FuzzParitySpec extends SparkSpecBase {
     val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
     val cases = FuzzDump.run(spark, out, seeds = 5)
     // lpa skips the rare seed whose random edges are all self-loops
-    assert(cases >= 31 * 5 - 1 && cases <= 31 * 5,
-      s"expected ~31 families x 5 seeds, got $cases")
+    assert(cases >= 32 * 5 - 1 && cases <= 32 * 5,
+      s"expected ~32 families x 5 seeds, got $cases")
     val repo = new java.io.File(".").getCanonicalPath
     val pb = new ProcessBuilder("python3", s"$repo/dev/fuzz_check.py", out)
     pb.redirectErrorStream(true)
