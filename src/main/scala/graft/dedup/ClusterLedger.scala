@@ -216,7 +216,12 @@ object ClusterLedger {
       .join(remap, col("__nid") === col("__old"), "left")
       .select(col("__nid").as("id"), coalesce(col("__new"), col("__nid")).as("cluster_id"))
 
-    val touched = relabeled.unionByName(newRows)
+    // __src marks each staged row's provenance (0 relabeled, 1 new id,
+    // 2 carried co-resident) so ONE per-bucket aggregate below yields
+    // the rewritten-bucket set AND both stats counts — previously
+    // three separate jobs over the same checkpoint (guide §1.2)
+    val touched = relabeled.withColumn("__src", lit(0))
+      .unionByName(newRows.withColumn("__src", lit(1)))
       .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
     // 6. affected buckets are rewritten WHOLE into the staged append
     //    directory (a bucket's live content must stay in one place):
@@ -230,14 +235,18 @@ object ClusterLedger {
         val carried = cur
           .join(broadcast(bkts), Seq("bkt"), "left_semi")
           .join(broadcast(moved), cur("cluster_id") === col("__old"), "left_anti")
-          .select(col("id"), col("cluster_id"), col("bkt"))
-        touched.select("id", "cluster_id", "bkt").unionByName(carried)
+          .select(col("id"), col("cluster_id"), col("bkt"), lit(2).as("__src"))
+        touched.select("id", "cluster_id", "bkt", "__src").unionByName(carried)
       }
     }
-    val rewritten = out.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val perBkt = out.groupBy("bkt")
+      .agg(sum(when(col("__src") === 0, 1L).otherwise(0L)).as("__rel"),
+        sum(when(col("__src") === 1, 1L).otherwise(0L)).as("__new"))
+      .collect()
+    val rewritten = perBkt.map(_.getInt(0)).toSeq.sorted
     val stats = AppendStats(
-      relabeled = relabeled.count(),
-      newIds = newRows.count(),
+      relabeled = perBkt.map(_.getLong(1)).sum,
+      newIds = perBkt.map(_.getLong(2)).sum,
       rewrittenBuckets = rewritten)
     if (rewritten.nonEmpty) {
       // stage the rewritten buckets into a NONCE-suffixed private dir
@@ -251,7 +260,10 @@ object ClusterLedger {
       val idx = existing.map(_.appends).getOrElse(0) + 1
       val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
       new File(path).mkdirs()
-      out.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      // cluster by bucket before partitionBy (the Versioned staging
+      // discipline): one file per rewritten bucket, not tasks × buckets
+      out.drop("__src").repartition(col("bkt"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       def refuse(nowAppends: Int): Nothing = {
         rmTree(staging)
         Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
@@ -353,9 +365,14 @@ object ClusterLedger {
     try {
       val idx = m.appends + 1
       val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
-      cur.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
-      val stagedBkts = spark.read.parquet(staging.getPath)
-        .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+      // cluster by bucket before partitionBy (one file per bucket),
+      // and read the staged bucket set from the bkt=K directory names
+      // instead of a distinct-scan job over everything just written
+      cur.repartition(col("bkt"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+      val stagedBkts: Set[Int] = Option(staging.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(_.getName.stripPrefix("bkt=").toInt).toSet
       def refuse(now: Int): Nothing = {
         rmTree(staging)
         throw new graft.sources.ConcurrentWriteException(

@@ -916,6 +916,25 @@ object Versioned {
     val version = live.map(_.version + 1).getOrElse(1)
     val dirName = f"v$version%05d"
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
+    // Cluster the staging write BY BUCKET before partitionBy when the
+    // table carries no zone maps: a partitionBy("bkt") write emits one
+    // file per (task, bucket) pair, so an unclustered M-task input
+    // writes M×numBuckets near-empty files per publish (measured 512
+    // at sf0.1) — the small-files explosion the optimization guide
+    // (§6) warns about, paid again by every downstream bucket read.
+    // One hash exchange on bkt lands each bucket in one task: exactly
+    // numBuckets files, write parallelism = the layout's own scale
+    // dial. (Production note: a bucket larger than the desired file
+    // size splits via spark.sql.files.maxRecordsPerFile — the bucket
+    // DIRECTORY is the layout contract, not the file count.)
+    //
+    // Zone-mapped tables are exempt: per-file zone bounds only prune
+    // when values CLUSTER by file, and that clustering is either the
+    // caller's own pre-partitioning (the documented discipline) or the
+    // zoneCluster range-exchange below — a bucket-hash shuffle would
+    // collapse each bucket to one full-range file and zone maps would
+    // stop pruning (spec-pinned).
+    //
     // zoneCluster: range-cluster the input on zoneCols before the
     // bucket-partitioned write so each bucket directory's files cover
     // DISJOINT zone ranges — the same discipline as merge's
@@ -923,19 +942,27 @@ object Versioned {
     // [[compact]]/[[rebucket]], whose assembled-read input order
     // would otherwise degrade a zone-mapped table's per-file bounds
     // to full-range at every maintenance pass)
+    val withBkt = df.withColumn("bkt", bktCol(keys, numBuckets))
     val toStage =
       if (zoneCluster && zoneCols.nonEmpty) {
         val slices = math.max(numBuckets, spark.sessionState.conf.numShufflePartitions)
-        df.repartitionByRange(slices, zoneCols.map(col): _*)
+        withBkt.repartitionByRange(slices, zoneCols.map(col): _*)
           .sortWithinPartitions(zoneCols.map(col): _*)
-      } else df
-    toStage.withColumn("bkt", bktCol(keys, numBuckets))
+      } else if (zoneCols.nonEmpty) withBkt
+      else withBkt.repartition(numBuckets, col("bkt"))
+    // row count observed ON the write pass itself — the previous
+    // staged.count() re-scanned everything just written (guide §1.4:
+    // don't pay a second action for a number the first one knows)
+    val rowsObs = org.apache.spark.sql.Observation()
+    toStage.observe(rowsObs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    val rows = rowsObs.get("rows").asInstanceOf[Long]
+    require(rows > 0, "promoteBucketed refuses an empty table (no bucket files to lay out)")
     if (zoneCols.nonEmpty) buildZoneMap(spark, staging.getPath, zoneCols)
     if (keyBloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, keyBloomBits)
+    // lazy: .schema is a driver-side footer read; Validate below runs
+    // a job only when the caller passed checks
     val staged = spark.read.parquet(staging.getPath)
-    val rows = staged.count()
-    require(rows > 0, "promoteBucketed refuses an empty table (no bucket files to lay out)")
 
     val viol: Seq[(String, Long)] =
       if (checks.isEmpty) Seq.empty
@@ -1057,8 +1084,19 @@ object Versioned {
     val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
       .withColumn("bkt", bktCol(keys, spec.numBuckets)))
-    val nDrop = d.count()
-    require(nDrop == d.select(keys.map(col): _*).distinct().count(),
+    // one aggregation job answers all three drop questions (size,
+    // key-uniqueness, upsert count) the previous code asked with
+    // three separate actions over the same checkpoint (guide §1.2:
+    // don't recompute what one pass already knows)
+    val keyAgg = d.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"))
+      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")))
+      .collect().head
+    val nDrop = if (keyAgg.isNullAt(0)) 0L else keyAgg.getLong(0)
+    val nDropKeys = keyAgg.getLong(1)
+    val upsertRows = if (keyAgg.isNullAt(2)) 0L else keyAgg.getLong(2)
+    require(nDrop == nDropKeys,
       s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
 
     // the table's live schema: recorded in the manifest by every
@@ -1154,35 +1192,66 @@ object Versioned {
           org.apache.spark.sql.types.StructType(
             allFields :+ org.apache.spark.sql.types.StructField(
               "bkt", org.apache.spark.sql.types.IntegerType)))
-    val survivors = oldRows.map(
-      _.join(dkHint(dKeys.select(keys.map(col): _*)), keys, "left_anti")
+    // No-layer fast path: ONE outer join annotates each touched-bucket
+    // row with its drop verdict (__hit null = survivor, false =
+    // updated, true = deleted), checkpointed once — survivors AND the
+    // exact accounting both read the annotation, where the previous
+    // shape scanned the touched buckets twice (an anti-join for the
+    // rewrite, then a second inner-join job for accounting). With
+    // pending layers (the rarer fold path) the reconciled pre-image
+    // accounting below stays as it was. Guide §1.2/§2.4: one pass,
+    // one join, for what two joins computed.
+    val annotated: Option[DataFrame] =
+      if (net.isEmpty)
+        oldRows.map(o => eager(o.join(
+          dkHint(dKeys.withColumnRenamed("__del", "__hit")), keys, "left_outer")))
+      else None
+    val survivors = annotated match {
+      case Some(a) => Some(a.filter(col("__hit").isNull)
         .select(dataCols.map(col) :+ col("bkt"): _*))
-    val merged = eager(survivors.map(_.unionByName(upserts)).getOrElse(upserts))
+      case None => oldRows.map(
+        _.join(dkHint(dKeys.select(keys.map(col): _*)), keys, "left_anti")
+          .select(dataCols.map(col) :+ col("bkt"): _*))
+    }
+    // survivors off the annotation are a cheap filter over its
+    // checkpoint — no second checkpoint needed for the merged frame
+    val merged = annotated match {
+      case Some(_) => survivors.map(_.unionByName(upserts)).getOrElse(upserts)
+      case None => eager(survivors.map(_.unionByName(upserts)).getOrElse(upserts))
+    }
 
     // exact O(drop) accounting for the USER drop against the
     // RECONCILED pre-image of the touched buckets (base shadowed by
     // the net layer effect, its live upserts unioned back — a key an
     // earlier patch inserted counts as an update here, one it deleted
     // counts as an insert)
-    val userDKeys = d.select((keys :+ "__del").map(col): _*)
-    val preKeys: Option[DataFrame] = net match {
-      case None => oldRows.map(_.select(keys.map(col): _*))
-      case Some(nd) =>
-        val ndK = nd.select(keys.map(col): _*)
-        val ndUp = nd.filter(!col("__del")).select(keys.map(col): _*)
-        val shadowed = oldRows.map(_.select(keys.map(col): _*)
-          .join(netHint(ndK), keys, "left_anti"))
-        Some(shadowed.map(_.unionByName(ndUp)).getOrElse(ndUp))
+    val (upserted, deletedN) = annotated match {
+      case Some(a) =>
+        val r = a.agg(
+          sum(when(col("__hit") === false, 1L).otherwise(0L)).as("up"),
+          sum(when(col("__hit") === true, 1L).otherwise(0L)).as("del"))
+          .collect().head
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      case None =>
+        val userDKeys = d.select((keys :+ "__del").map(col): _*)
+        val preKeys: Option[DataFrame] = net match {
+          case None => oldRows.map(_.select(keys.map(col): _*))
+          case Some(nd) =>
+            val ndK = nd.select(keys.map(col): _*)
+            val ndUp = nd.filter(!col("__del")).select(keys.map(col): _*)
+            val shadowed = oldRows.map(_.select(keys.map(col): _*)
+              .join(netHint(ndK), keys, "left_anti"))
+            Some(shadowed.map(_.unionByName(ndUp)).getOrElse(ndUp))
+        }
+        preKeys.map(_
+          .join(dkHint(userDKeys), keys, "inner")
+          .agg(
+            sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
+            sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
+          .collect().head).map(r => (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
+            Option(r.get(1)).fold(0L)(_ => r.getLong(1)))).getOrElse((0L, 0L))
     }
-    val hits = preKeys.map(_
-      .join(dkHint(userDKeys), keys, "inner")
-      .agg(
-        sum(when(col("__del"), 0L).otherwise(1L)).as("up"),
-        sum(when(col("__del"), 1L).otherwise(0L)).as("del"))
-      .collect().head).map(r => (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
-        Option(r.get(1)).fold(0L)(_ => r.getLong(1)))).getOrElse((0L, 0L))
-    val (upserted, deletedN) = hits
-    val upsertRows = d.filter(!col("__del")).count()
     val inserted = upsertRows - upserted
     val newTotal = spec.rows + inserted - deletedN
 
@@ -1206,7 +1275,14 @@ object Versioned {
             spark.sessionState.conf.numShufflePartitions)
           merged.repartitionByRange(slices, (col("bkt") +: spec.zones.map(col)): _*)
             .sortWithinPartitions(("bkt" +: spec.zones).map(col): _*)
-        } else merged
+        } else if (spec.zones.nonEmpty) merged
+        else
+          // cluster by bucket before partitionBy (same reasoning as
+          // promoteBucketed's staging write): an unclustered M-task
+          // union writes M×touched near-empty files per merge. Tables
+          // WITH zone maps keep the input's value-slicing — a bucket
+          // shuffle would flatten per-file zone bounds to full-range.
+          merged.repartition(spec.numBuckets, col("bkt"))
       toWrite.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       // the layout contract's zone maps ride along on every publish:
       // one extra column-pruned pass over the touched-bucket-sized
@@ -1241,11 +1317,15 @@ object Versioned {
       case None =>
         // the staged bucket set is read from STAGING (pre-rename): a
         // staged bucket with zero rows writes no partition dir — its
-        // owner entry becomes "" (empty bucket), not the new dir
+        // owner entry becomes "" (empty bucket), not the new dir.
+        // partitionBy materializes exactly one bkt=K directory per
+        // non-empty bucket, so the set is a driver-side listing — the
+        // previous distinct-scan job re-read everything just written
         val stagedBkts: Set[Int] =
           if (stagedEmpty) Set.empty
-          else spark.read.parquet(staging.getPath).select("bkt").distinct()
-            .collect().map(_.getInt(0)).toSet
+          else Option(staging.listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+            .map(_.getName.stripPrefix("bkt=").toInt).toSet
         val claim = claimAndRename(root, Some(live), staging, dirName, startedMs)
         maybeCrash("renamed")
         val owner = touched.foldLeft(spec.owner)((o, b) =>
@@ -1320,9 +1400,17 @@ object Versioned {
     val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
       .withColumn("bkt", bktCol(keys, spec.numBuckets)))
-    val nDrop = d.count()
+    // one aggregation job answers size, key-uniqueness and the upsert
+    // count together (the merge fast-path discipline)
+    val keyAgg = d.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"))
+      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")))
+      .collect().head
+    val nDrop = if (keyAgg.isNullAt(0)) 0L else keyAgg.getLong(0)
+    val upsertRows = if (keyAgg.isNullAt(2)) 0L else keyAgg.getLong(2)
     require(nDrop > 0, "patch refuses an empty drop — nothing to publish")
-    require(nDrop == d.select(keys.map(col): _*).distinct().count(),
+    require(nDrop == keyAgg.getLong(1),
       s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
 
     val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -1384,7 +1472,6 @@ object Versioned {
       .collect().head).map(r => (Option(r.get(0)).fold(0L)(_ => r.getLong(0)),
         Option(r.get(1)).fold(0L)(_ => r.getLong(1)))).getOrElse((0L, 0L))
     val (upserted, deletedN) = hits
-    val upsertRows = d.filter(!col("__del")).count()
     val inserted = upsertRows - upserted
     val newTotal = spec.rows + inserted - deletedN
 
@@ -1393,12 +1480,20 @@ object Versioned {
     val staging = new File(root, s"_staging_${dirName}_${System.nanoTime()}")
     // the layer IS the drop: data columns (null-filled for delete-only
     // drops), the __del marker, the bucket routing — O(drop) I/O, no
-    // survivor read, no bucket rewrite
+    // survivor read, no bucket rewrite. Clustered by bucket before the
+    // partitionBy write (the promoteBucketed discipline) so a layer is
+    // one file per touched bucket, not input-tasks × buckets; drops
+    // are small, so the exchange is cheap and AQE may coalesce it.
     val layerCols = allFields.map { f =>
       if (d.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ Seq(col("__del"), col("bkt"))
-    d.select(layerCols: _*)
+    val layerOut = d.select(layerCols: _*)
+    // zone-mapped layers keep the drop's own value-slicing (per-file
+    // zone bounds prune only when values cluster by file)
+    val layerStaged =
+      if (spec.zones.nonEmpty) layerOut else layerOut.repartition(col("bkt"))
+    layerStaged
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     if (spec.zones.nonEmpty) buildZoneMap(spark, staging.getPath, spec.zones)
     if (spec.bloomBits > 0) buildKeyBloom(spark, staging.getPath, keys, spec.bloomBits)
