@@ -37,16 +37,15 @@ object Decontam {
   }
 
   /** Word n-grams as a MULTISET (no per-document distinct) — what
-    * ROUGE counts. Empty when the document has fewer than n tokens.
-    * Tokenization matches [[Dedup.shingles]] / the oracle CTEs:
-    * lower, trim, whitespace split. */
-  private def multisetGrams(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * ROUGE counts. [[Dedup.shinglesRaw]] is the native codegen form
+    * with exactly these semantics (lower, trim, whitespace split,
+    * space-joined, empty below n tokens — bit-matching the previous
+    * HOF transform/slice formulation and the oracle CTEs); the HOF
+    * chain allocated a position array and evaluated a slice+concat
+    * per gram, the native loop is one pass per row (guide §4.1:
+    * prefer codegen expressions in the hot path). */
+  private def multisetGrams(text: Column, n: Int): Column =
+    Dedup.shinglesRaw(text, n)
 
   /** ROUGE-style overlap triage for the pairs [[ngramContamination]]
     * flags: per (corpus doc, benchmark doc), the MULTISET n-gram
@@ -82,7 +81,7 @@ object Decontam {
       bench: DataFrame, benchText: Column, benchId: Column,
       n: Int, minHits: Long, maxPairsPerDoc: Option[Int] = None): DataFrame = {
     val flagged = ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
-    val graded = maxPairsPerDoc match {
+    val graded0 = maxPairsPerDoc match {
       case Some(k) =>
         require(k >= 1, s"maxPairsPerDoc must be >= 1, got $k")
         // GroupTopK, not a row_number window: the partial per-partition
@@ -94,22 +93,51 @@ object Decontam {
           flagged, Seq(col("doc_id")), Seq(col("n_hits").desc, col("bench_id").asc), k)
       case None => flagged
     }
-    val docGrams = corpus
-      .select(id.as("doc_id"), multisetGrams(text, n).as("__ga"))
-      .join(graded.select("doc_id", "bench_id", "n_hits"), "doc_id")
-    val dg = docGrams
-      .select(col("doc_id"), col("bench_id"), col("n_hits"),
-        size(col("__ga")).as("__na"), explode(col("__ga")).as("g"))
-      .groupBy("doc_id", "bench_id", "n_hits", "__na", "g")
+    // contamination-bounded and consumed twice below (doc restriction
+    // + final pair join) — checkpoint once so the screen never re-runs
+    val graded = graft.operators.Checkpoints.eager(graded0)
+    // Per-DOC gram counting, once per flagged doc. The previous shape
+    // joined each doc's gram ARRAY to its flagged pairs FIRST and
+    // exploded per (doc, bench) pair — a doc flagged against p eval
+    // items paid its token stream p times through the explode and the
+    // per-pair aggregate (guide §2.3: aggregate before you fan out).
+    // Here the multiset counts are built once per doc, the broadcast
+    // bench-gram join forms per-pair intersections from counts (not
+    // raw gram instances), and the graded join both restricts to the
+    // capped pairs and reattaches n_hits. The candidate (doc, bench)
+    // pairs this intersects are a subset of what the screen's own join
+    // already enumerated — never more work than the flagging pass.
+    // broadcast hints: the checkpointed graded relation carries no
+    // size statistics, so the planner would fall back to sort-merge
+    // (shuffling the corpus projection). graded is contamination-
+    // bounded (≤ cap × flagged docs under maxPairsPerDoc) — the same
+    // boundedness doctrine as the broadcast bench side; a corpus whose
+    // FLAGGED relation outgrows broadcast should grade in slices.
+    // ONE doc_id exchange serves the whole grading tail:
+    // HashPartitioning(doc_id) satisfies the per-doc gram aggregate
+    // (doc_id, __na, g), survives the broadcast bench join, and
+    // satisfies the per-pair sum (doc_id, bench_id, …) — so neither
+    // aggregate inserts its own exchange (guide §2.4: two operations
+    // keyed the same way share one exchange). Shuffled rows are
+    // doc-level (id + gram array), before the explode.
+    val dcounts = corpus
+      .select(id.as("doc_id"), text.as("__t"))
+      .join(broadcast(graded.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), multisetGrams(col("__t"), n).as("__ga"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), size(col("__ga")).as("__na"), explode(col("__ga")).as("g"))
+      .groupBy("doc_id", "__na", "g")
       .agg(count(lit(1)).as("__ca"))
     val bg = bench
       .select(benchId.as("bench_id"), multisetGrams(benchText, n).as("__gb"))
       .select(col("bench_id"), size(col("__gb")).as("__nb"), explode(col("__gb")).as("g"))
       .groupBy("bench_id", "__nb", "g")
       .agg(count(lit(1)).as("__cb"))
-    dg.join(broadcast(bg), Seq("bench_id", "g"))
-      .groupBy("doc_id", "bench_id", "n_hits", "__na", "__nb")
+    dcounts.join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id", "bench_id", "__na", "__nb")
       .agg(sum(least(col("__ca"), col("__cb"))).as("shared_grams"))
+      .join(broadcast(graded.select("doc_id", "bench_id", "n_hits")),
+        Seq("doc_id", "bench_id"))
       .withColumn("recall_pm", expr("(1000 * shared_grams) div greatest(__nb, 1)"))
       .withColumn("precision_pm", expr("(1000 * shared_grams) div greatest(__na, 1)"))
       .select(col("doc_id"), col("bench_id"), col("n_hits"), col("shared_grams"),

@@ -18,30 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object HeuristicRules {
 
-  private def toks(text: Column): Column = split(trim(text), "\\s+")
-  private def nWords(text: Column): Column = size(toks(text)).cast("bigint")
-  private def nCharsTok(text: Column): Column =
-    aggregate(transform(toks(text), t => length(t).cast("bigint")), lit(0L), (a, x) => a + x)
-  private def stopHits(text: Column): Column =
-    size(filter(transform(toks(text), t => lower(t)),
-      t => t.isInCollection(graft.text.TextAnalysis.enStopwords))).cast("bigint")
-  private def alphaWords(text: Column): Column =
-    size(filter(toks(text), t => t.rlike("[A-Za-z]"))).cast("bigint")
-
-  /** Most frequent word 2-gram of the doc as struct(c, g) — count
-    * ties keep the lexicographically smallest gram (sorted-distinct
-    * fold with a strict `>`). In-row O(g²) over the native codegen
-    * shingle array; docs under 2 tokens yield (0, ""). */
-  private def top2Best(text: Column): Column = {
-    val g = graft.dedup.Dedup.shinglesRaw(text, 2)
-    aggregate(
-      array_sort(array_distinct(g)),
-      struct(lit(0L).as("c"), lit("").as("g")),
-      (acc, x) => {
-        val cnt = size(filter(g, y => y === x)).cast("bigint")
-        when(cnt > acc.getField("c"), struct(cnt.as("c"), x.as("g"))).otherwise(acc)
-      })
-  }
 
   /** The five Gopher verdicts as one boolean scan predicate — the
     * [[graft.Corpus.gopherQualityFilter]] stage filters on this
@@ -52,12 +28,26 @@ object HeuristicRules {
     * frequent 2-gram covers ≤20% of the characters incl. joining
     * spaces). */
   def gopherPass(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val n = nWords(text); val c = nCharsTok(text); val best = top2Best(text)
-    n >= minWords && n <= maxWords &&
-      lit(3L) * n <= c && c <= lit(10L) * n &&
-      stopHits(text) >= 2 &&
-      lit(10L) * alphaWords(text) >= lit(8L) * n &&
-      lit(5L) * best.getField("c") * length(best.getField("g")).cast("bigint") <= c + n - 1
+    // The metric battery is ONE native codegen pass per row
+    // ([[org.apache.spark.sql.graft.GopherMetrics]]) — the previous
+    // HOF formulation ran five interpreted lambda folds per row, each
+    // re-splitting the text, the top-2-gram leg O(g²), and (being
+    // CodegenFallback, exempt from common-subexpression elimination)
+    // the flat conjunction paid several of them twice — measured ~4 s
+    // per corpus filter pass at sf0.1. `exists` over a 1-element
+    // array let-binds the struct so the native pass runs once per
+    // row even though five rules read it. Identical verdicts,
+    // including null text (null predicate → filter drops).
+    val m = org.apache.spark.sql.graft.GraftTextFunctions.gopherMetrics(text)
+    exists(array(m), x =>
+      x.getField("n_words") >= minWords && x.getField("n_words") <= maxWords &&
+        lit(3L) * x.getField("n_words") <= x.getField("n_chars_tok") &&
+        x.getField("n_chars_tok") <= lit(10L) * x.getField("n_words") &&
+        x.getField("stop_hits") >= 2 &&
+        lit(10L) * x.getField("alpha_words") >= lit(8L) * x.getField("n_words") &&
+        lit(5L) * x.getField("best").getField("c") *
+          length(x.getField("best").getField("g")).cast("bigint")
+          <= x.getField("n_chars_tok") + x.getField("n_words") - 1)
   }
 
   /** Per-document Gopher report (one row per doc): the raw metrics,
@@ -67,14 +57,11 @@ object HeuristicRules {
       minWords: Int = 50, maxWords: Int = 100000): DataFrame =
     df.select(
         id.as("doc_id"),
-        nWords(text).as("n_words"),
-        nCharsTok(text).as("n_chars_tok"),
-        stopHits(text).as("stop_hits"),
-        alphaWords(text).as("alpha_words"),
-        top2Best(text).as("__best"))
-      .select(col("doc_id"), col("n_words"), col("n_chars_tok"), col("stop_hits"),
-        col("alpha_words"),
-        col("__best.c").as("top2_count"), col("__best.g").as("top2_gram"))
+        org.apache.spark.sql.graft.GraftTextFunctions.gopherMetrics(text).as("__m"))
+      .select(col("doc_id"),
+        col("__m.n_words").as("n_words"), col("__m.n_chars_tok").as("n_chars_tok"),
+        col("__m.stop_hits").as("stop_hits"), col("__m.alpha_words").as("alpha_words"),
+        col("__m.best.c").as("top2_count"), col("__m.best.g").as("top2_gram"))
       .withColumn("pass_word_count",
         (col("n_words") >= minWords && col("n_words") <= maxWords).cast("int"))
       .withColumn("pass_mean_len",

@@ -47,6 +47,11 @@ object IvfAnn {
     val scored = corpus
       .crossJoin(broadcast(cents))
       .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
+      // explicit projection: GroupTopK is a custom operator Catalyst
+      // cannot prune columns through, so without this the partial heap
+      // and its exchange carry the vector AND the centroid vector per
+      // scored row (guide §2.3: project before the exchange)
+      .select(col("vec_id"), col("c_id"), col("__cos"))
     // top-1 per vector via the custom GroupTopK operator: the partial
     // phase reduces each vector to one row per input partition before
     // any shuffle (window rank would shuffle+sort corpus × centroids)
@@ -71,10 +76,19 @@ object IvfAnn {
       .limit(k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val assigned = assign(corpus, cents)
+      // Lloyd rebuild, vector carried THROUGH the top-1 so the round
+      // needs no assignment⋈corpus re-join (previously a corpus-sized
+      // sort-merge join — two exchanges and a sort — per round; the
+      // top-1 heap row grows by one vector, which the join shuffled
+      // anyway). Same argmin, same floor-mean: bit-identical rounds.
+      val scored = corpus
+        .crossJoin(broadcast(cents))
+        .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
+        .select(col("vec_id"), col("e"), col("c_id"), col("__cos"))
+      val assigned = org.apache.spark.sql.graft.GraftPlans
+        .groupTopK(scored, Seq(col("vec_id")), Seq(col("__cos").desc, col("c_id").asc), 1)
       val prev = cents
       val exploded = assigned
-        .join(corpus, "vec_id")
         .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
       // floor(double-division) rather than a long cast: floor is the one
       // integral-mean formulation DuckDB and Spark agree on bit-for-bit

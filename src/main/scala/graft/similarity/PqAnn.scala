@@ -62,9 +62,12 @@ object PqAnn {
       .withColumn("cnrm", dotQ(col("ce"), col("ce")))
     val trained = (1 to iters).foldLeft(graft.operators.Checkpoints.eager(seeds)) {
       (cents, _) =>
+        // sub-vector carried THROUGH the top-1 ([[IvfAnn.centroids]]'s
+        // rebuild discipline): the round previously re-joined the
+        // assignment against a fresh subs explode — a sort-merge join
+        // plus a second posexplode pass per round
         val assigned = assignSub(subs, cents)
         val meanPerDim = assigned
-          .join(subs, Seq("s", "vec_id"))
           .select(col("s"), col("cid"), posexplode(col("se")).as(Seq("j", "x")))
           .groupBy("s", "cid", "j")
           // floor-mean: the one integral mean Spark and DuckDB agree on
@@ -92,9 +95,13 @@ object PqAnn {
     val scored = subs
       .join(broadcast(cents), Seq("s"))
       .withColumn("__d", col("cnrm") - lit(2L) * dotQ(col("se"), col("ce")))
+      // project before the GroupTopK heap/exchange (custom operator —
+      // no Catalyst pruning through it): keep the sub-vector, drop the
+      // codeword vector and norms
+      .select(col("s"), col("vec_id"), col("se"), col("cid"), col("__d"))
     org.apache.spark.sql.graft.GraftPlans
       .groupTopK(scored, Seq(col("s"), col("vec_id")), Seq(col("__d").asc, col("cid").asc), 1)
-      .select(col("s"), col("vec_id"), col("cid"))
+      .select(col("s"), col("vec_id"), col("se"), col("cid"))
   }
 
   /** One broadcastable row holding the codebook in POSITIONAL form —

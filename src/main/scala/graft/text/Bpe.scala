@@ -104,11 +104,23 @@ object Bpe {
     // merge rounds here and the later symbolize/encode join — this
     // eager is then a cheap no-op re-pin of the in-memory blocks
     val t = graft.operators.Checkpoints.eager(types)
+    // Incremental symbolization: round i previously re-folded every
+    // word FROM CHARACTERS through all i−1 learned merges (i nested
+    // interpreted `aggregate` HOFs per word — O(numMerges²) fold work
+    // over the type table across training). Applying only the NEW
+    // merge to the carried symbol column is the same left-to-right
+    // fold BPE defines — merge lists apply sequentially, so
+    // fold(chars, m1..mi) ≡ applyOne(fold(chars, m1..mi−1), mi) —
+    // and each round's checkpointed (cnt, sym) table is bounded by
+    // the maxTypes cap. One constant-size aggregate per round
+    // (guide §1.2: fix the per-round algorithm before anything else).
+    var symCkpt = graft.operators.Checkpoints.eager(
+      t.select(col("cnt"), expr(charsSql("word")).as("sym")))
+    var sym = symCkpt
     var merges = Vector.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      val top = t
-        .select(col("cnt"), symbolsExpr("word", merges).as("sym"))
+      val top = sym
         .select(col("cnt"), explode(expr(
           "filter(transform(sym, (s, i) -> named_struct('lft', s, 'rgt', try_element_at(sym, i + 2))), " +
             "p -> p.rgt IS NOT NULL AND p.lft <> p.rgt)")).as("p"))
@@ -118,8 +130,27 @@ object Bpe {
         .limit(1)
         .collect()
       if (top.isEmpty) exhausted = true
-      else merges = merges :+ ((top(0).getString(0), top(0).getString(1)))
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges = merges :+ ((l, r))
+        if (merges.size < numMerges) {
+          // apply the new merge lazily; materialize every 4th round
+          // (the pageRank i%4 lineage-cut cadence) so a round costs at
+          // most 3 stacked folds and a checkpoint job lands only every
+          // few merges — per-round checkpoints measurably cost more
+          // than they save on the capped type table
+          val applied = sym.select(col("cnt"),
+            expr(applyOneSql("sym", l, r, merges.size)).as("sym"))
+          if (merges.size % 4 == 0) {
+            val next = graft.operators.Checkpoints.eager(applied)
+            graft.operators.Checkpoints.release(symCkpt)
+            symCkpt = next
+            sym = next
+          } else sym = applied
+        }
+      }
     }
+    graft.operators.Checkpoints.release(symCkpt)
     merges
   }
 

@@ -423,6 +423,116 @@ object NormalizeNFC {
   }
 }
 
+/** All five Gopher document metrics in ONE native pass per row
+  * (SURVEY.md §2.5/31h hot path): word count, summed token chars,
+  * stopword hits, letter-bearing words, and the most frequent word
+  * 2-gram with its count. The HOF formulation evaluated five separate
+  * interpreted lambda folds per row — each re-splitting the text, the
+  * top-2-gram leg O(g²) — and, being CodegenFallback, was exempt from
+  * common-subexpression elimination, so a filter predicate paid it
+  * several times over (measured ~4 s per corpus filter pass at
+  * sf0.1). Semantics bit-match the previous column formulation:
+  * tokens = split(trim(text), "\\s+") (SQL trim = 0x20 only; Java
+  * regex split, limit −1), lengths in code points, stopword test on
+  * the lowercased token, alpha = contains an ASCII letter, grams via
+  * [[WordShingles.compute]] with count ties to the binary-smallest
+  * gram. */
+@ExpressionDescription(
+  usage = "_FUNC_(text) - struct of the five Gopher document metrics."
+)
+case class GopherMetrics(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GopherMetrics.outType
+  override def prettyName: String = "graft_gopher_metrics"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherMetrics.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.GopherMetrics.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GopherMetrics {
+  val outType: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars_tok", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("alpha_words", LongType, nullable = false),
+    StructField("best", StructType(Seq(
+      StructField("c", LongType, nullable = false),
+      StructField("g", StringType, nullable = false))), nullable = false)))
+
+  // graft.text.TextAnalysis.enStopwords, precompiled to UTF8String
+  private val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    graft.text.TextAnalysis.enStopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  private val ws = UTF8String.fromString("\\s+")
+  private val emptyStr = UTF8String.fromString("")
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // tokens exactly as split(trim(text), "\\s+"): SQL trim (0x20
+    // only) then Java regex split with limit -1 — UTF8String.split is
+    // the same code path Spark's StringSplit runs
+    val toks = text.trim().split(ws, -1)
+    var n = 0L; var c = 0L; var s = 0L; var a = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      n += 1L
+      c += t.numChars().toLong
+      if (stopSet.contains(t.toLowerCase)) s += 1L
+      // rlike "[A-Za-z]": ASCII letters are single UTF-8 bytes, so a
+      // byte scan is exact (continuation/lead bytes are >= 0x80)
+      val b = t.getBytes
+      var j = 0
+      var alpha = false
+      while (j < b.length && !alpha) {
+        val x = b(j)
+        alpha = (x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')
+        j += 1
+      }
+      if (alpha) a += 1L
+      i += 1
+    }
+    // most frequent 2-gram: sort (UTF8String binary order, matching
+    // array_sort) then run-count with a strict > — first maximum in
+    // ascending order = count ties keep the binary-smallest gram
+    val grams = WordShingles.compute(text, 2)
+    var bc = 0L
+    var bg: UTF8String = emptyStr
+    val m = grams.numElements()
+    if (m > 0) {
+      val arr = new Array[UTF8String](m)
+      var k = 0
+      while (k < m) { arr(k) = grams.getUTF8String(k); k += 1 }
+      java.util.Arrays.sort(arr, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+      var run = 0L
+      var prev: UTF8String = null
+      k = 0
+      while (k < m) {
+        val g = arr(k)
+        run = if (prev != null && g.equals(prev)) run + 1L else 1L
+        if (run > bc) { bc = run; bg = g }
+        prev = g
+        k += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, c, s, a,
+      org.apache.spark.sql.catalyst.InternalRow(bc, bg))
+  }
+}
+
 object GraftTextFunctions {
   import org.apache.spark.sql.SparkSessionExtensions
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -430,6 +540,9 @@ object GraftTextFunctions {
 
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  def gopherMetrics(text: Column): Column =
+    ExpressionUtils.column(GopherMetrics(ExpressionUtils.expression(text)))
 
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
