@@ -288,19 +288,35 @@ object TextAnalysis {
     * [[graft.operators.Checkpoints.releaseAll]] (Verify/Bench do). */
   def langProfileAndClassify(df: DataFrame, text: Column, id: Column, lang: Column,
       n: Int = 3, topK: Int = 50): DataFrame = {
+    // repartition DOC rows by id before the gram explode: the
+    // (doc, lang, gram) count aggregate then runs under the doc_id
+    // partitioning with no exchange of exploded gram rows — text
+    // bytes cross the wire once instead of ~20× that in gram-count
+    // pairs (guide §2.3: shuffle the lightweight proxy; here the raw
+    // doc IS the lighter side of its own explode)
+    // explicit partition count: without it AQE coalesces the tiny
+    // doc-byte exchange to ~1 partition and serializes the explode —
+    // the gram AGGREGATE work downstream of this exchange is the
+    // expensive part and must keep full parallelism
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = graft.operators.Checkpoints.eager(
-      charGramCounts(df, Seq("doc_id" -> id, "__lang" -> lang), text, n))
+      charGramCounts(df.repartition(parts, id), Seq("doc_id" -> id, "__lang" -> lang), text, n))
     val profCounts = base.groupBy(col("__lang").as("lang"), col("g"))
       .agg(sum("c").as("c"))
+    // GroupTopK before the rank window: the partial per-partition heap
+    // bounds what the lang exchange carries to topK rows per
+    // (lang, partition); the window then ranks ≤ topK rows per lang
     val w = Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)
-    val profiles = profCounts.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= topK)
+    val profiles = org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(profCounts, Seq(col("lang")), Seq(col("c").desc, col("g").asc), topK)
+      .withColumn("__r", row_number().over(w))
       .select(col("lang"), col("g"), (lit(topK + 1) - col("__r")).cast("long").as("weight"))
-    val scoreW = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
-    base.join(broadcast(profiles), "g")
+    // per-doc argmax via GroupTopK (score desc, lang asc — the same
+    // deterministic tie-break the row_number window applied)
+    val scores = base.join(broadcast(profiles), "g")
       .groupBy("doc_id", "lang").agg(sum(col("c") * col("weight")).as("score"))
-      .withColumn("__rn", row_number().over(scoreW))
-      .filter(col("__rn") === 1)
+    org.apache.spark.sql.graft.GraftPlans
+      .groupTopK(scores, Seq(col("doc_id")), Seq(col("score").desc, col("lang").asc), 1)
       .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
   }
 

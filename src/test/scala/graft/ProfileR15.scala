@@ -48,7 +48,8 @@ object ProfileR15 {
         Files.writeString(Paths.get(s"plans/r15/${n}_$tag.txt"), plan)
       } catch { case e: Throwable => println(s"$n plan dump failed: $e") }
       graft.operators.Checkpoints.releaseAll()
-      for (i <- 1 to 2) {
+      val nRuns = if (sys.env.contains("SPARK_GRAFT_PLANS_ONLY")) 0 else 2
+      for (i <- 1 to nRuns) {
         jobs.set(0); stages.set(0); tasks.set(0L); shufR.set(0L); shufW.set(0L)
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, dir).count()
