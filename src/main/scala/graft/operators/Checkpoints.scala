@@ -63,6 +63,45 @@ object Checkpoints {
       catch { case _: IllegalStateException => () }
     }
 
+  /** [[eager]] for a loop-INVARIANT relation that per-round joins /
+    * aggregates key on `keys`: physically hash-clusters the rows
+    * (`repartition(n, keys)`), checkpoints, and carries the
+    * partitioning claim through the lineage cut
+    * ([[org.apache.spark.sql.graft.ClaimHashPartitioned]]) — so each
+    * round's join exchanges only the other side, instead of
+    * re-exchanging this relation every round (guide §2.4; a bare
+    * checkpoint scan reports UnknownPartitioning and round 15 measured
+    * pre-partitioning WITHOUT the claim as a pure regression).
+    *
+    * `n` defaults to the session's shuffle-partition count — the same
+    * count EnsureRequirements gives the per-round exchanges, so the
+    * co-partitioned joins line up without extra exchanges on either
+    * side; scale-adaptive via `spark.sql.shuffle.partitions`, never a
+    * pinned constant. */
+  def eagerHashPartitioned(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    eagerClaiming(df.repartition(n, keys.map(col): _*), keys)
+  }
+
+  /** [[eager]] + an OPPORTUNISTIC partitioning claim: checkpoint `df`
+    * exactly as given and claim `HashPartitioning(keys, n)` only if
+    * the executed plan's final output partitioning actually is that
+    * (read off the plan, never asserted blind — AQE-coalesced reads,
+    * round-robin layouts etc. simply keep the plain checkpoint).
+    *
+    * The zero-extra-exchange pattern: put `repartition(n, keys)`
+    * BELOW a distinct/aggregate whose grouping keys contain `keys` —
+    * hash(keys) satisfies that operator's ClusteredDistribution, so
+    * the repartition REPLACES the exchange the operator would have
+    * inserted anyway, and the claim then rides downstream joins /
+    * aggregates keyed on `keys` for free (guide §2.4; the round-15
+    * attempt ADDED the exchange on top and measured a regression). */
+  def eagerClaiming(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val ck = eager(df)
+    org.apache.spark.sql.graft.GraftPlans.claimIfHashPartitioned(ck, df, keys)
+  }
+
   /** Release the blocks behind a checkpoint produced by [[eager]]
     * right now — for loop intermediates superseded by the next
     * materialized round. No-op on non-checkpoint DataFrames, so loop

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames. Complements the
@@ -33,15 +34,27 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0)
     val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
-    val nodes = Checkpoints.eager(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    // claimed on id (one extra NODE-sized exchange, paid once): the
+    // per-round left join back to the node list re-uses this layout
+    // instead of re-exchanging the node list every round (guide §2.4)
+    val nodes = Checkpoints.eagerHashPartitioned(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct(), Seq("id"))
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     val base = scale / n              // floor — mirrors integer // in the oracle
     val tele = (15L * base) / 100L
     // loop-invariant: each edge annotated with its source's out-degree
-    // once, so iterations only join the rank relation and aggregate
-    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"))
+    // once, so iterations only join the rank relation and aggregate.
+    // The degree rides a window over the src-clustered edges — the
+    // explicit repartition is the ONLY exchange of this build (it
+    // satisfies the window's clustering, replacing both the old
+    // degree-aggregate exchange and the join back), and the claim
+    // carries hash(src) through the checkpoint so no per-round join
+    // ever re-exchanges the edge relation (guide §2.4)
+    val ed = Checkpoints.eagerClaiming(
+      e.repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        .withColumn("d", count(lit(1)).over(Window.partitionBy("src"))),
+      Seq("src"))
     Checkpoints.release(e) // nodes and ed are materialized; e backs nothing further
 
     var pr = nodes.withColumn("pr", lit(base))
@@ -85,14 +98,18 @@ object GraphOps {
     require(iters >= 0)
     val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
     val nodes0 = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-    val nodes = Checkpoints.eager(
+    // claimed on id / src for the same per-round reuse as [[pageRank]]
+    val nodes = Checkpoints.eagerHashPartitioned(
       nodes0.join(seeds.select(col("id")).distinct().withColumn("__s", lit(1L)), Seq("id"), "left")
-        .select(col("id"), coalesce(col("__s"), lit(0L)).as("seed")))
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("seed")), Seq("id"))
     val ns = nodes.agg(sum("seed")).head().getLong(0)
     require(ns > 0, "no seed appears in the graph")
     val base = scale / ns
     val tele = (15L * base) / 100L
-    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"))
+    val ed = Checkpoints.eagerClaiming(
+      e.repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        .withColumn("d", count(lit(1)).over(Window.partitionBy("src"))),
+      Seq("src"))
     Checkpoints.release(e)
 
     var pr = nodes.select(col("id"), (col("seed") * base).as("pr"))
@@ -128,25 +145,43 @@ object GraphOps {
     * present in the graph. */
   def khopReach(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     require(hops >= 0)
-    val e = Checkpoints.eager(edges.select(col("src"), col("dst")).distinct())
+    // claimed on src (the per-hop frontier join's key): the edge
+    // relation is exchanged once here and never inside the hop loop.
+    // Repartition below the dedup — one exchange for the whole build
+    val e = Checkpoints.eagerClaiming(
+      edges.select(col("src"), col("dst"))
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        .distinct(), Seq("src"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     var frontier = Checkpoints.eager(
       nodes.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi"))
+    // every per-hop frontier is checkpointed (materialized), so the
+    // hop profile is plain driver arithmetic over their counts — a
+    // cheap lineage-free count per hop instead of a 2-aggregate ×
+    // crossJoin plan per hop (round 15 measured the stats subtree at
+    // ~2/3 of this operator's 37 jobs). Frontiers are DISJOINT by the
+    // anti-join, so reached_n is the running sum of frontier counts —
+    // the union'd reached frame below stays what the anti-join reads.
+    val hopCounts = scala.collection.mutable.ArrayBuffer(frontier.count())
     var reached = frontier
-    def statsOf(hop: Int, f: DataFrame, r: DataFrame) =
-      f.agg(count(lit(1)).as("frontier_n")).crossJoin(r.agg(count(lit(1)).as("reached_n")))
-        .select(lit(hop).cast("long").as("hop"), col("frontier_n"), col("reached_n"))
-    var out = statsOf(0, frontier, reached)
     for (i <- 1 to hops) {
       val next = Checkpoints.eager(
         e.join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")).distinct()
           .join(reached, Seq("id"), "left_anti"))
-      reached = Checkpoints.eager(reached.union(next))
+      hopCounts += next.count()
+      // reached is only ever read through the anti-join; a union of
+      // ≤ hops checkpoint scans keeps the plan flat without paying a
+      // materialization job per hop
+      reached = reached.union(next)
       frontier = next
-      out = out.union(statsOf(i, frontier, reached))
     }
-    out
+    val spark = edges.sparkSession
+    val rows = hopCounts.toSeq.zipWithIndex.map { case (f, h) =>
+      (h.toLong, f, hopCounts.take(h + 1).sum)
+    }
+    import spark.implicits._
+    rows.toDF("hop", "frontier_n", "reached_n")
   }
 
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
@@ -170,14 +205,27 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val e0 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val sym = Checkpoints.eager(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // claimed on src — the per-round label join's key — so the
+    // symmetrized edge table is exchanged ONCE here, never per round
+    // (each round moves only the node-sized label relation, §2.4).
+    // The repartition sits BELOW the dedup: hash(src) satisfies the
+    // distinct's ClusteredDistribution(src, dst), so this build has
+    // exactly one exchange, same as the plain distinct had
+    val sym = Checkpoints.eagerClaiming(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        .distinct(), Seq("src"))
     var labels = Checkpoints.eager(
       sym.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     for (_ <- 1 to iters) {
+      // attach each edge's SOURCE label and count per (dst, label):
+      // over the symmetric edge set this is the same multiset as
+      // counting dst labels per src (every (u,v) has its (v,u) twin),
+      // but the join now keys on the claimed layout — no edge
+      // exchange inside the loop
       val counts = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"), col("label"))
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("__c"))
       val next = Checkpoints.eager(
         org.apache.spark.sql.graft.GraftPlans
@@ -205,13 +253,16 @@ object GraphOps {
     val e = Checkpoints.eager(
       edges.select(col("src"), col("dst"), col("w"))
         .groupBy("src", "dst").agg(sum("w").as("w")))
-    val nodes = Checkpoints.eager(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val nodes = Checkpoints.eagerHashPartitioned(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct(), Seq("id"))
     val n = nodes.count()
     require(n > 0, "graph has no nodes")
     val base = scale / n
     val tele = (15L * base) / 100L
-    val ed = Checkpoints.eager(e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src"))
+    val ed = Checkpoints.eagerClaiming(
+      e.repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        .withColumn("wsum", sum("w").over(Window.partitionBy("src"))),
+      Seq("src"))
     Checkpoints.release(e)
 
     var pr = nodes.withColumn("pr", lit(base))
@@ -260,7 +311,13 @@ object GraphOps {
         struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    val oriented = Checkpoints.eager(oriented0)
+    // claimed on the wedge key: BOTH sides of the wedge self-join
+    // then satisfy the join's distribution from one up-front
+    // clustering — the self-join of the oriented edge list (the big
+    // fan-out step) runs with no exchange on either side
+    val oriented = Checkpoints.eagerClaiming(
+      oriented0.repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions, col("s")),
+      Seq("s"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("w0"), col("e1.t").as("w1"), col("e2.t").as("w2"))
@@ -297,10 +354,16 @@ object GraphOps {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val e0 = Checkpoints.eager(
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct())
-    var cur = Checkpoints.eager(
+    // each round's surviving edge frame is clustered + claimed on `a`:
+    // the next round's degree aggregate AND its first semi-join are
+    // keyed on `a`, so neither re-exchanges the edge frame — only the
+    // second (b-keyed) semi-join moves edge rows, one exchange per
+    // round instead of three (guide §2.4)
+    var cur = Checkpoints.eagerClaiming(
       e0.select(col("src").as("a"), col("dst").as("b"))
         .union(e0.select(col("dst").as("a"), col("src").as("b")))
-        .distinct())
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
+        .distinct(), Seq("a"))
     Checkpoints.release(e0)
     var n = cur.count()
     var round = 0
@@ -308,10 +371,15 @@ object GraphOps {
     while (round < maxRounds && !done) {
       val keep = cur.groupBy("a").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("a")
-      val next = Checkpoints.eager(
+      // opportunistic claim: when the semi-joins broadcast `keep`
+      // (the common case — it is node-sized), the surviving edges
+      // keep cur's hash(a) layout and the claim rides through the
+      // checkpoint for free; when a planner picks a b-keyed shuffle
+      // instead, the claim simply does not fire
+      val next = Checkpoints.eagerClaiming(
         cur.join(keep, Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
-          .select("a", "b"))
+          .select("a", "b"), Seq("a"))
       val m = next.count()
       Checkpoints.release(cur)
       done = m == n

@@ -13,7 +13,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   * them before driver GC. */
 object CheckpointBlocks {
   def rddOf(df: Dataset[_]): Option[RDD[_]] = df.queryExecution.logical match {
-    case l: LogicalRDD => Some(l.rdd)
-    case _             => None
+    case l: LogicalRDD                              => Some(l.rdd)
+    // a partitioning claim wraps the checkpoint scan it annotates —
+    // the blocks are still the wrapped LogicalRDD's
+    case ClaimHashPartitioned(_, _, l: LogicalRDD)  => Some(l.rdd)
+    case _                                          => None
   }
 }

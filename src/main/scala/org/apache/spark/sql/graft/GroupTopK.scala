@@ -260,6 +260,55 @@ object GraftPlans {
       GroupTopK(keys.map(toExpr), sortOrder, k, ds.logicalPlan))
   }
 
-  def register(ext: SparkSessionExtensions): Unit =
+  /** Wrap a checkpoint scan in a [[ClaimHashPartitioned]] node — see
+    * that node's safety contract; call only through
+    * [[graft.operators.Checkpoints]]' partitioned-checkpoint helpers. */
+  def claimHashPartitioned(df: DataFrame, keys: Seq[Column], numPartitions: Int): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    Dataset.ofRows(ds.sparkSession,
+      ClaimHashPartitioned(keys.map(toExpr), numPartitions, ds.logicalPlan))
+  }
+
+  /** Claim `ck` (a checkpoint of `orig`) hash-partitioned on `keys`
+    * ONLY IF `orig`'s executed physical plan actually left its rows
+    * laid out as a plain `HashPartitioning(keys, n)` — i.e. the claim
+    * is read off the executed plan, never asserted blind. Returns `ck`
+    * unwrapped when the layout is anything else (coalesced shuffle
+    * read, different key, round-robin, …), so callers can claim
+    * opportunistically: a plan that happens to preserve the layout
+    * (e.g. broadcast semi-joins over an already-clustered frame) keeps
+    * its claim; one that re-partitioned simply loses it. MUST be
+    * called after `orig` was executed (an eager checkpoint does that)
+    * — under AQE the final plan only exists after execution. */
+  def claimIfHashPartitioned(ck: DataFrame, orig: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, PartitioningCollection}
+    val origOut = orig.queryExecution.analyzed.output
+    val attrs = keys.map(k => origOut.find(a => orig.sparkSession.sessionState.conf.resolver(a.name, k)))
+    if (attrs.exists(_.isEmpty)) return ck
+    val want = attrs.map(_.get)
+    def matches(p: Partitioning): Option[Int] = p match {
+      case h: HashPartitioning
+        if h.expressions.length == want.length &&
+          h.expressions.zip(want).forall { case (e, a) => e.semanticEquals(a) } =>
+        Some(h.numPartitions)
+      case c: PartitioningCollection =>
+        c.partitionings.flatMap(matches(_)).headOption
+      case _ => None
+    }
+    // AdaptiveSparkPlanExec reports UnknownPartitioning at the root;
+    // the layout lives on the final (post-execution) inner plan
+    val plan = orig.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    matches(plan.outputPartitioning) match {
+      case Some(n) => claimHashPartitioned(ck, keys.map(ck(_)), n)
+      case None    => ck
+    }
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    ext.injectPlannerStrategy(_ => ClaimHashPartitionedStrategy)
+  }
 }
