@@ -174,63 +174,72 @@ object ClusterLedger {
       return AppendStats(0L, 0L, Nil)
     }
 
-    val cur = existing match {
-      case Some(m) => assemble(spark, path, m)
-      case None =>
-        val idType = e.schema.fields.head.dataType
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", idType),
-            org.apache.spark.sql.types.StructField("cluster_id", idType),
-            org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType))))
-    }
+    // FIRST append (no manifest): every projection/relabel step below
+    // degenerates over the empty label table — endpoint labels are the
+    // endpoints themselves, nothing relabels, every id is new — so the
+    // staged rows are EXACTLY the drop's connected components. Build
+    // them directly: one CC over the drop instead of the checkpointed
+    // endpoint-lookup / remap / new-id join chain (guide §1.2 — the
+    // round-16 profile measured the protocol's job count, not its
+    // bytes, as q_cluster_incr's cost).
+    val out = if (existing.isEmpty) {
+      Checkpoints.eager(
+        Components.connectedComponents(e, "__u", "__v")
+          .withColumn("__src", lit(1))
+          .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
+          .select(col("id"), col("cluster_id"), col("bkt"), col("__src")))
+    } else {
+      val m = existing.get
+      val cur = assemble(spark, path, m)
 
-    // 1. endpoints → current cluster labels (unseen endpoint = itself).
-    //    The drop side is broadcast; the label table streams past it.
-    val ends = e.select(col("__u").as("__nid")).union(e.select(col("__v").as("__nid"))).distinct()
-    val endLab = Checkpoints.eager(
-      ends.join(cur.select(col("id").as("__nid"), col("cluster_id").as("__ncl")),
-          Seq("__nid"), "left")
-        .select(col("__nid"), coalesce(col("__ncl"), col("__nid")).as("__ncl")))
-    // 2. the projected cluster graph: one edge per drop edge, plus a
-    //    self-loop per endpoint cluster so isolated new nodes register
-    val clEdges = e
-      .join(endLab.select(col("__nid").as("__u"), col("__ncl").as("cu")), Seq("__u"))
-      .join(endLab.select(col("__nid").as("__v"), col("__ncl").as("cv")), Seq("__v"))
-      .select(col("cu"), col("cv"))
-      .union(endLab.select(col("__ncl").as("cu"), col("__ncl").as("cv")))
-    // 3. drop-sized merge (single-task union-find under the threshold)
-    val remap = Checkpoints.eager(
-      Components.connectedComponents(clEdges, "cu", "cv")
-        .select(col("id").as("__old"), col("cluster_id").as("__new")))
-    val moved = Checkpoints.eager(remap.filter(col("__old") =!= col("__new")))
+      // 1. endpoints → current cluster labels (unseen endpoint = itself).
+      //    The drop side is broadcast; the label table streams past it.
+      val ends = e.select(col("__u").as("__nid")).union(e.select(col("__v").as("__nid"))).distinct()
+      val endLab = Checkpoints.eager(
+        ends.join(cur.select(col("id").as("__nid"), col("cluster_id").as("__ncl")),
+            Seq("__nid"), "left")
+          .select(col("__nid"), coalesce(col("__ncl"), col("__nid")).as("__ncl")))
+      // 2. the projected cluster graph: one edge per drop edge, plus a
+      //    self-loop per endpoint cluster so isolated new nodes register
+      val clEdges = e
+        .join(endLab.select(col("__nid").as("__u"), col("__ncl").as("cu")), Seq("__u"))
+        .join(endLab.select(col("__nid").as("__v"), col("__ncl").as("cv")), Seq("__v"))
+        .select(col("cu"), col("cv"))
+        .union(endLab.select(col("__ncl").as("cu"), col("__ncl").as("cv")))
+      // 3. drop-sized merge (single-task union-find under the threshold)
+      val remap = Checkpoints.eager(
+        Components.connectedComponents(clEdges, "cu", "cv")
+          .select(col("id").as("__old"), col("cluster_id").as("__new")))
+      // moved/relabeled/newRows are cheap filters/joins over the remap
+      // and endLab CHECKPOINTS — consumed lazily inside the single
+      // `out` materialization below, no checkpoint (and so no job) of
+      // their own (guide §1.2; they were eager in round 15)
+      val moved = remap.filter(col("__old") =!= col("__new"))
 
-    // 4. relabel only rows of clusters that actually merged (broadcast
-    //    the moved set — it is bounded by the drop's edge count)
-    val relabeled = Checkpoints.eager(cur
-      .join(broadcast(moved), cur("cluster_id") === col("__old"))
-      .select(cur("id"), col("__new").as("cluster_id")))
-    // 5. register ids the ledger has never seen, at their merged label
-    val newRows = ends
-      .join(cur.select(col("id").as("__nid")), Seq("__nid"), "left_anti")
-      .join(remap, col("__nid") === col("__old"), "left")
-      .select(col("__nid").as("id"), coalesce(col("__new"), col("__nid")).as("cluster_id"))
+      // 4. relabel only rows of clusters that actually merged (broadcast
+      //    the moved set — it is bounded by the drop's edge count)
+      val relabeled = cur
+        .join(broadcast(moved), cur("cluster_id") === col("__old"))
+        .select(cur("id"), col("__new").as("cluster_id"))
+      // 5. register ids the ledger has never seen, at their merged label
+      val newRows = ends
+        .join(cur.select(col("id").as("__nid")), Seq("__nid"), "left_anti")
+        .join(remap, col("__nid") === col("__old"), "left")
+        .select(col("__nid").as("id"), coalesce(col("__new"), col("__nid")).as("cluster_id"))
 
-    // __src marks each staged row's provenance (0 relabeled, 1 new id,
-    // 2 carried co-resident) so ONE per-bucket aggregate below yields
-    // the rewritten-bucket set AND both stats counts — previously
-    // three separate jobs over the same checkpoint (guide §1.2)
-    val touched = relabeled.withColumn("__src", lit(0))
-      .unionByName(newRows.withColumn("__src", lit(1)))
-      .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
-    // 6. affected buckets are rewritten WHOLE into the staged append
-    //    directory (a bucket's live content must stay in one place):
-    //    carry their untouched co-resident rows through unchanged.
-    //    Relabeled ids are excluded via the moved-cluster anti-join;
-    //    brand-new ids are not in `cur` by construction.
-    val out = Checkpoints.eager {
-      if (existing.isEmpty) touched
-      else {
+      // __src marks each staged row's provenance (0 relabeled, 1 new id,
+      // 2 carried co-resident) so ONE per-bucket aggregate below yields
+      // the rewritten-bucket set AND both stats counts — previously
+      // three separate jobs over the same checkpoint (guide §1.2)
+      val touched = relabeled.withColumn("__src", lit(0))
+        .unionByName(newRows.withColumn("__src", lit(1)))
+        .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
+      // 6. affected buckets are rewritten WHOLE into the staged append
+      //    directory (a bucket's live content must stay in one place):
+      //    carry their untouched co-resident rows through unchanged.
+      //    Relabeled ids are excluded via the moved-cluster anti-join;
+      //    brand-new ids are not in `cur` by construction.
+      val o = Checkpoints.eager {
         val bkts = touched.select("bkt").distinct()
         val carried = cur
           .join(broadcast(bkts), Seq("bkt"), "left_semi")
@@ -238,6 +247,9 @@ object ClusterLedger {
           .select(col("id"), col("cluster_id"), col("bkt"), lit(2).as("__src"))
         touched.select("id", "cluster_id", "bkt", "__src").unionByName(carried)
       }
+      Checkpoints.release(endLab)
+      Checkpoints.release(remap)
+      o
     }
     val perBkt = out.groupBy("bkt")
       .agg(sum(when(col("__src") === 0, 1L).otherwise(0L)).as("__rel"),
@@ -266,7 +278,7 @@ object ClusterLedger {
         .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       def refuse(nowAppends: Int): Nothing = {
         rmTree(staging)
-        Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
+        Seq(e, out).foreach(Checkpoints.release)
         throw new graft.sources.ConcurrentWriteException(
           s"concurrent append detected on cluster ledger $path: committed " +
             s"append count moved ${idx - 1} -> $nowAppends (or another writer holds " +
@@ -310,7 +322,7 @@ object ClusterLedger {
     }
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
-    Seq(e, endLab, remap, moved, relabeled, out).foreach(Checkpoints.release)
+    Seq(e, out).foreach(Checkpoints.release)
     stats
   }
 

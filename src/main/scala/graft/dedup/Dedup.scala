@@ -378,10 +378,18 @@ object Dedup {
     // key on a 128-bit two-lane fingerprint, never gram text; a lane
     // collision can only ADD a candidate pair, and the exact
     // levenshtein below filters it — exactness is unaffected
+    // hash-cluster by the fingerprint BELOW the dedup distinct:
+    // hash(h1, h2) satisfies the distinct's clustering, and every
+    // downstream gram operation — the doc-freq aggregate, the keep
+    // join, the blocked self-join — keys on (h1, h2), so this ONE
+    // exchange serves all of them (guide §2.4; previously the
+    // distinct, the aggregate and the join each exchanged gram rows)
     val g0 = base.select(col("doc_id"), length(col("__t")).as("__len"),
       explode(shinglesRaw(col("__t"), shingleN)).as("g"))
       .select(col("doc_id"), col("__len"),
         xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("h1"), col("h2"))
       .distinct()
     val keep = g0.groupBy("h1", "h2").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select("h1", "h2")

@@ -75,7 +75,7 @@ object IvfAnn {
       .orderBy("vec_id")
       .limit(k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
+    (1 to iters).foldLeft(seeds) { (cents, i) =>
       // Lloyd rebuild, vector carried THROUGH the top-1 so the round
       // needs no assignment⋈corpus re-join (previously a corpus-sized
       // sort-merge join — two exchanges and a sort — per round; the
@@ -96,12 +96,22 @@ object IvfAnn {
       val meanPerDim = exploded
         .groupBy("c_id", "i")
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("m"))
-      val next = graft.operators.Checkpoints.eager(meanPerDim
+      val rebuilt = meanPerDim
         .groupBy("c_id")
         .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))), s => s.getField("m")).as("ce"))
         .withColumn("cnrm", dotQ(col("ce"), col("ce")))
-        .filter(col("cnrm") > 0))
-      // superseded round (no-op on the lazy seeds of round 1)
+        .filter(col("cnrm") > 0)
+      // lineage cut every 4th round and at the end (the Bpe.trainMerges
+      // cadence): a per-round eager checkpoint paid a driver-synchronous
+      // job per round, and at the 2-iteration gate dials that was the
+      // bulk of the build's job count (§1.2 — these queries are
+      // job-floor-bound at sf0.1, 48–51 jobs for <11 MB shuffled);
+      // intermediate rounds stack lazily into the next round's
+      // broadcast build instead
+      val next =
+        if (i == iters || i % 4 == 0) graft.operators.Checkpoints.eager(rebuilt)
+        else rebuilt
+      // superseded round (no-op on non-checkpointed frames)
       graft.operators.Checkpoints.release(prev)
       next
     }

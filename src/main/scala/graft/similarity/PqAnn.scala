@@ -60,8 +60,8 @@ object PqAnn {
     val seeds = subs.withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= k)
       .select(col("s"), (col("__rn") - 1).cast("int").as("cid"), col("se").as("ce"))
       .withColumn("cnrm", dotQ(col("ce"), col("ce")))
-    val trained = (1 to iters).foldLeft(graft.operators.Checkpoints.eager(seeds)) {
-      (cents, _) =>
+    val trained = (1 to iters).foldLeft(seeds) {
+      (cents, i) =>
         // sub-vector carried THROUGH the top-1 ([[IvfAnn.centroids]]'s
         // rebuild discipline): the round previously re-joined the
         // assignment against a fresh subs explode — a sort-merge join
@@ -72,11 +72,18 @@ object PqAnn {
           .groupBy("s", "cid", "j")
           // floor-mean: the one integral mean Spark and DuckDB agree on
           .agg(floor(sum(col("x")).cast("double") / count(lit(1))).as("mu"))
-        val next = graft.operators.Checkpoints.eager(meanPerDim
+        val rebuilt = meanPerDim
           .groupBy("s", "cid")
           .agg(transform(sort_array(collect_list(struct(col("j"), col("mu")))),
             p => p.getField("mu")).as("ce"))
-          .withColumn("cnrm", dotQ(col("ce"), col("ce"))))
+          .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+        // lineage cut every 4th round and at the end (the
+        // IvfAnn.centroids / Bpe cadence) — a per-round eager
+        // checkpoint was a driver-synchronous job per round, the bulk
+        // of this job-floor-bound build's cost at the 2-iteration gate
+        val next =
+          if (i == iters || i % 4 == 0) graft.operators.Checkpoints.eager(rebuilt)
+          else rebuilt
         graft.operators.Checkpoints.release(cents)
         next
     }
@@ -173,7 +180,10 @@ object PqAnn {
   def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       lloydIters: Int, m: Int, subDim: Int, pqK: Int, pqIters: Int, refine: Int): DataFrame = {
     val coarse = IvfAnn.centroids(corpus, numCentroids, lloydIters)
-    val cbs = graft.operators.Checkpoints.eager(codebooks(corpus, m, subDim, pqK, pqIters))
+    // codebooks' final Lloyd round is already checkpointed inside the
+    // build; only the tiny (m·k-row) dense-renumber window sits above
+    // it, so a second eager here was one pure-overhead job (§1.2)
+    val cbs = codebooks(corpus, m, subDim, pqK, pqIters)
     // inverted lists carry CODES, not vectors — the PQ memory story
     val lists = IvfAnn.assign(corpus, coarse)
       .join(encode(corpus, cbs).select(col("vec_id"), col("codes")), "vec_id")

@@ -68,8 +68,9 @@ object PqIndex {
     val coarse = IvfAnn.centroids(corpus, p.numCentroids, p.lloydIters)
     coarse.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(centsTable(table, gen))
-    val cbs = graft.operators.Checkpoints.eager(
-      PqAnn.codebooks(corpus, p.m, p.subDim, p.pqK, p.pqIters))
+    // final Lloyd round checkpointed inside the build; the table write
+    // below materializes the dense renumbering — no second eager
+    val cbs = PqAnn.codebooks(corpus, p.m, p.subDim, p.pqK, p.pqIters)
     cbs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(booksTable(table, gen))
     val storedCoarse = spark.table(centsTable(table, gen))

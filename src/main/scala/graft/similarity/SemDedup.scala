@@ -97,8 +97,8 @@ object SemDedup {
       margin: Double, m: Int, subDim: Int, pqK: Int, pqIters: Int,
       maxCellSize: CellCap = CellCap.Auto): DataFrame = {
     val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
-    val cbs = graft.operators.Checkpoints.eager(
-      PqAnn.codebooks(corpus, m, subDim, pqK, pqIters))
+    // final Lloyd round checkpointed inside the build — no second eager
+    val cbs = PqAnn.codebooks(corpus, m, subDim, pqK, pqIters)
     val enc = PqAnn.encode(corpus, cbs).select(col("vec_id"), col("codes"))
     val mem = sharded.join(enc, "vec_id")
     val screen = tau - margin

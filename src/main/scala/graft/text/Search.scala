@@ -53,7 +53,15 @@ object Search {
     * [[phraseOccurrences]]) or persisted ([[SearchIndex.probe]]);
     * identical results by shared code path. */
   private[text] def occurrencesFromPostings(posts: DataFrame,
-      phrases: DataFrame, phraseText: Column, phraseId: Column): DataFrame = {
+      phrases0: DataFrame, phraseText: Column, phraseId: Column): DataFrame = {
+    // the phrase relation feeds FOUR broadcast builds below (vocabulary
+    // semi-join, start tokens, full position checks, lengths) and is
+    // often itself an expensive pipeline (q_phrase_search derives it
+    // from a full corpus gram-frequency aggregate) — materialize the
+    // tiny (k-row) frame once instead of re-running that aggregate per
+    // broadcast (guide §1.2; measured 4 corpus gram-count passes in
+    // the r16 before-plan)
+    val phrases = graft.operators.Checkpoints.eager(phrases0)
     val phToks = split(trim(lower(phraseText)), "\\s+")
     val ph = phrases
       .select(phraseId.as("phrase"), posexplode(phToks).as(Seq("k", "__tok")))
@@ -61,9 +69,17 @@ object Search {
     val plen = phrases.select(phraseId.as("phrase"), size(phToks).as("plen"))
 
     // positional postings restricted to phrase vocabulary; consumed
-    // twice (candidate open + verify), so materialized once
-    val toks = graft.operators.Checkpoints.eager(
-      posts.join(broadcast(ph.select("t1", "t2").distinct()), Seq("t1", "t2"), "left_semi"))
+    // twice (candidate open + verify), so materialized once — and
+    // CLUSTERED + CLAIMED on doc_id: doc_id is a subset of every
+    // downstream key set (the 4-key verify join, the per-(phrase, doc,
+    // start) hit count, the per-(phrase, doc) occurrence count), so
+    // the whole probe below runs with ZERO further exchanges — one
+    // restricted-postings exchange replaces the two 4-key join
+    // exchanges and the two aggregate exchanges (guide §2.3/§2.4)
+    val toks = graft.operators.Checkpoints.eagerClaiming(
+      posts.join(broadcast(ph.select("t1", "t2").distinct()), Seq("t1", "t2"), "left_semi")
+        .repartition(posts.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id")),
+      Seq("doc_id"))
 
     val starts = toks
       .join(broadcast(ph.filter(col("k") === 0).drop("k")), Seq("t1", "t2"))

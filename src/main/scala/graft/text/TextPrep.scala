@@ -299,11 +299,21 @@ object TextPrep {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocFreq)
       .select("h1", "h2")
+    // both sides of the position anti-join hash-cluster by doc_id up
+    // front: hash(doc_id) satisfies the covered-distinct's clustering
+    // (doc_id ⊆ {doc_id, tp}), the anti-join's, and the final rebuild
+    // aggregate's — so after these two exchanges the join AND the
+    // per-doc rebuild run exchange-free (guide §2.4; previously the
+    // distinct, both join sides and the rebuild each exchanged
+    // position rows, the rebuild carrying the token text)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val covered = g3.join(broadcast(freq), Seq("h1", "h2"))
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("tp"))
+      .repartition(parts, col("doc_id"))
       .distinct()
     val tokPos = df.select(id.as("doc_id"),
       posexplode(graft.dedup.Dedup.tokens(text)).as(Seq("tp", "tok")))
+      .repartition(parts, col("doc_id"))
     tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
       .groupBy("doc_id")
       .agg(
