@@ -159,35 +159,43 @@ object ClusterLedger {
           s"append called with $numBuckets — ids hash to buckets, a mismatch orphans rows")
     }
 
-    // the drop's edge list — evaluated twice (endpoint lookup + new-id
-    // scan), so materialize once; drops are small by construction.
-    // Rows with a null endpoint are dropped (a pair needs two sides;
-    // register a singleton as the self-pair (x, x))
+    // the drop's edge list — evaluated several times (endpoint lookup
+    // + new-id scan + cluster-graph projection), so materialize once;
+    // drops are small by construction. Rows with a null endpoint are
+    // dropped (a pair needs two sides; register a singleton as the
+    // self-pair (x, x))
     val e = Checkpoints.eager(
       pairs.select(col(a).as("__u"), col(b).as("__v"))
         .filter(col("__u").isNotNull && col("__v").isNotNull))
-    // an empty drop is a committed no-op: nothing to merge, nothing to
-    // write — in particular a FIRST empty drop must not create the
-    // ledger (an empty parquet directory cannot even be re-read)
-    if (e.isEmpty) {
+    // one cheap scan of the checkpoint: the emptiness gate AND the
+    // edge bound the union-finds below need to run lazily (an empty
+    // drop is a committed no-op: nothing to merge, nothing to write —
+    // in particular a FIRST empty drop must not create the ledger; an
+    // empty parquet directory cannot even be re-read)
+    val eCnt = e.count()
+    if (eCnt == 0L) {
       Checkpoints.release(e)
       return AppendStats(0L, 0L, Nil)
     }
 
-    // FIRST append (no manifest): every projection/relabel step below
-    // degenerates over the empty label table — endpoint labels are the
-    // endpoints themselves, nothing relabels, every id is new — so the
-    // staged rows are EXACTLY the drop's connected components. Build
-    // them directly: one CC over the drop instead of the checkpointed
-    // endpoint-lookup / remap / new-id join chain (guide §1.2 — the
-    // round-16 profile measured the protocol's job count, not its
-    // bytes, as q_cluster_incr's cost).
-    val out = if (existing.isEmpty) {
-      Checkpoints.eager(
-        Components.connectedComponents(e, "__u", "__v")
-          .withColumn("__src", lit(1))
-          .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
-          .select(col("id"), col("cluster_id"), col("bkt"), col("__src")))
+    // `out` stays LAZY: its one consumer is the observed staging write
+    // below, which computes the append stats in the same pass (the
+    // round-16 profile measured this protocol's driver-job count, not
+    // its bytes, as q_cluster_incr's cost — the eager out + separate
+    // stats aggregate were two more jobs per append). The union-finds
+    // run lazily too (connectedComponentsBounded with the measured
+    // eCnt): no symmetric checkpoint, no size-probe job. `extraCks`
+    // are the general path's intermediate checkpoints, which must
+    // outlive the write that consumes the lazy plan over them.
+    val (out, extraCks) = if (existing.isEmpty) {
+      // FIRST append: the staged rows are exactly the drop's connected
+      // components (every projection/relabel step degenerates over the
+      // empty label table)
+      (Components.connectedComponentsBounded(e, "__u", "__v", eCnt)
+        .withColumn("__src", lit(1))
+        .withColumn("bkt", pmod(xxhash64(col("id").cast("string")), lit(numBuckets)).cast("int"))
+        .select(col("id"), col("cluster_id"), col("bkt"), col("__src")),
+        Seq.empty[DataFrame])
     } else {
       val m = existing.get
       val cur = assemble(spark, path, m)
@@ -206,9 +214,12 @@ object ClusterLedger {
         .join(endLab.select(col("__nid").as("__v"), col("__ncl").as("cv")), Seq("__v"))
         .select(col("cu"), col("cv"))
         .union(endLab.select(col("__ncl").as("cu"), col("__ncl").as("cv")))
-      // 3. drop-sized merge (single-task union-find under the threshold)
+      // 3. drop-sized merge (single-task union-find under the
+      //    threshold — clEdges is ≤ eCnt drop edges + ≤ 2·eCnt
+      //    endpoint self-loops, so the 3·eCnt bound lets the
+      //    union-find run lazily with no size-probe job)
       val remap = Checkpoints.eager(
-        Components.connectedComponents(clEdges, "cu", "cv")
+        Components.connectedComponentsBounded(clEdges, "cu", "cv", 3L * eCnt)
           .select(col("id").as("__old"), col("cluster_id").as("__new")))
       // moved/relabeled/newRows are cheap filters/joins over the remap
       // and endLab CHECKPOINTS — consumed lazily inside the single
@@ -239,46 +250,55 @@ object ClusterLedger {
       //    carry their untouched co-resident rows through unchanged.
       //    Relabeled ids are excluded via the moved-cluster anti-join;
       //    brand-new ids are not in `cur` by construction.
-      val o = Checkpoints.eager {
-        val bkts = touched.select("bkt").distinct()
-        val carried = cur
-          .join(broadcast(bkts), Seq("bkt"), "left_semi")
-          .join(broadcast(moved), cur("cluster_id") === col("__old"), "left_anti")
-          .select(col("id"), col("cluster_id"), col("bkt"), lit(2).as("__src"))
-        touched.select("id", "cluster_id", "bkt", "__src").unionByName(carried)
-      }
-      Checkpoints.release(endLab)
-      Checkpoints.release(remap)
-      o
+      val bkts = touched.select("bkt").distinct()
+      val carried = cur
+        .join(broadcast(bkts), Seq("bkt"), "left_semi")
+        .join(broadcast(moved), cur("cluster_id") === col("__old"), "left_anti")
+        .select(col("id"), col("cluster_id"), col("bkt"), lit(2).as("__src"))
+      (touched.select("id", "cluster_id", "bkt", "__src").unionByName(carried),
+        Seq(endLab, remap))
     }
-    val perBkt = out.groupBy("bkt")
-      .agg(sum(when(col("__src") === 0, 1L).otherwise(0L)).as("__rel"),
-        sum(when(col("__src") === 1, 1L).otherwise(0L)).as("__new"))
-      .collect()
-    val rewritten = perBkt.map(_.getInt(0)).toSeq.sorted
+    def releaseAllMine(): Unit = (e +: extraCks).foreach(Checkpoints.release)
+
+    // stage the write FIRST and read the append stats + the
+    // rewritten-bucket set off the SAME pass as observed metrics
+    // (guide §1.4: don't pay a second action for numbers the write
+    // already knows — the separate per-bucket aggregate was one more
+    // driver-synchronous job per append). A drop that rewrites nothing
+    // (pure replay) stages an empty directory, which is discarded
+    // below without touching the manifest — the committed-no-op
+    // semantics are unchanged.
+    val idx = existing.map(_.appends).getOrElse(0) + 1
+    val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
+    new File(path).mkdirs()
+    val obs = org.apache.spark.sql.Observation()
+    // cluster by bucket before partitionBy (the Versioned staging
+    // discipline): one file per rewritten bucket, not tasks × buckets
+    out.observe(obs,
+        sum(when(col("__src") === 0, 1L).otherwise(0L)).as("rel"),
+        sum(when(col("__src") === 1, 1L).otherwise(0L)).as("neu"),
+        collect_set(col("bkt")).as("bkts"))
+      .drop("__src").repartition(col("bkt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
+    val metrics = obs.get
+    val rewritten = metrics("bkts").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Int]).sorted
     val stats = AppendStats(
-      relabeled = perBkt.map(_.getLong(1)).sum,
-      newIds = perBkt.map(_.getLong(2)).sum,
+      relabeled = Option(metrics("rel")).map(_.asInstanceOf[Long]).getOrElse(0L),
+      newIds = Option(metrics("neu")).map(_.asInstanceOf[Long]).getOrElse(0L),
       rewrittenBuckets = rewritten)
     if (rewritten.nonEmpty) {
-      // stage the rewritten buckets into a NONCE-suffixed private dir
-      // (concurrent attempts must never clobber each other), then
-      // commit in four steps: optimistic single-writer check, atomic
-      // slot CLAIM (O_CREAT|O_EXCL lock file — closes the residual
+      // commit the staged NONCE-suffixed private dir (concurrent
+      // attempts must never clobber each other) in four steps:
+      // optimistic single-writer check, atomic slot CLAIM
+      // (O_CREAT|O_EXCL lock file — closes the residual
       // check-then-rename window to a pathological-pause sliver; see
       // Versioned.claimAndRename's protocol note), rename into the
       // a%05d slot, atomic manifest swap. Readers switch from the old
       // consistent labeling to the new one instantly.
-      val idx = existing.map(_.appends).getOrElse(0) + 1
-      val staging = new File(path, f"a$idx%05d_tmp${System.nanoTime()}")
-      new File(path).mkdirs()
-      // cluster by bucket before partitionBy (the Versioned staging
-      // discipline): one file per rewritten bucket, not tasks × buckets
-      out.drop("__src").repartition(col("bkt"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       def refuse(nowAppends: Int): Nothing = {
         rmTree(staging)
-        Seq(e, out).foreach(Checkpoints.release)
+        releaseAllMine()
         throw new graft.sources.ConcurrentWriteException(
           s"concurrent append detected on cluster ledger $path: committed " +
             s"append count moved ${idx - 1} -> $nowAppends (or another writer holds " +
@@ -319,10 +339,10 @@ object ClusterLedger {
       val owner = rewritten.foldLeft(oldOwner)((o, bkt) => o.updated(bkt, idx))
       writeManifest(path, Manifest(numBuckets, idx, owner))
       claim.release()
-    }
+    } else rmTree(staging) // pure-replay no-op: nothing rewritten
     // release only THIS append's checkpoints — a caller's own eager
     // frames stay alive
-    Seq(e, out).foreach(Checkpoints.release)
+    releaseAllMine()
     stats
   }
 

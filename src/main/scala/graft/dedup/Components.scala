@@ -123,6 +123,26 @@ object Components {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** [[connectedComponents]] for a caller that already KNOWS an upper
+    * bound on the edge count (e.g. it materialized the edge frame and
+    * counted it): when the bound fits the local-path threshold, the
+    * single-task union-find runs LAZILY over `pairs` — no symmetric
+    * checkpoint, no size-probe job — so the component labels fold into
+    * whatever job consumes them (guide §1.2: don't pay driver-
+    * synchronous jobs for numbers already known). Above the bound it
+    * falls back to the standard path. `pairs` must be cheap to
+    * re-evaluate (checkpointed, or a narrow derivation of one): the
+    * lazy plan may execute more than once. Output is bit-equal to
+    * [[connectedComponents]] — the union-find registers both endpoints
+    * of every edge, so edge orientation/symmetry never changes the
+    * labeling. */
+  private[graft] def connectedComponentsBounded(pairs: DataFrame, a: String, b: String,
+      maxEdges: Long, maxIter: Int = 20,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame =
+    if (maxEdges <= localThreshold)
+      localComponents(pairs.select(col(a).as("u"), col(b).as("v")))
+    else connectedComponents(pairs, a, b, maxIter, localThreshold)
+
   /** (id, cluster_id) for every node in `pairs`; cluster_id = min
     * node id of the component. Deterministic. Graphs at or under
     * `localThreshold` edges take the single-task union-find path

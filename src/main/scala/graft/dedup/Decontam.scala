@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** Row bound above which [[overlapScores]] stops broadcasting the
+    * graded flagged-pair relation and grades through shuffle joins
+    * instead: ~4M (doc_id, bench_id, n_hits) rows ≈ 100 MB framed —
+    * comfortably under the driver heap and Spark's 8 GB broadcast
+    * cap, with order-of-magnitude headroom before either. */
+  val DefaultMaxBroadcastPairs: Long = 4L * 1000 * 1000
+
   /** (doc_id, bench_id, n_hits) for every corpus×benchmark pair with
     * `n_hits >= minHits` distinct shared n-grams. */
   def ngramContamination(
@@ -79,7 +86,9 @@ object Decontam {
   def overlapScores(
       corpus: DataFrame, text: Column, id: Column,
       bench: DataFrame, benchText: Column, benchId: Column,
-      n: Int, minHits: Long, maxPairsPerDoc: Option[Int] = None): DataFrame = {
+      n: Int, minHits: Long, maxPairsPerDoc: Option[Int] = None,
+      maxBroadcastPairs: Long = DefaultMaxBroadcastPairs): DataFrame = {
+    require(maxBroadcastPairs >= 1)
     val flagged = ngramContamination(corpus, text, id, bench, benchText, benchId, n, minHits)
     val graded0 = maxPairsPerDoc match {
       case Some(k) =>
@@ -96,6 +105,16 @@ object Decontam {
     // contamination-bounded and consumed twice below (doc restriction
     // + final pair join) — checkpoint once so the screen never re-runs
     val graded = graft.operators.Checkpoints.eager(graded0)
+    // MEASURED broadcast bound, not a boundedness argument: the graded
+    // relation is usually contamination-sized, but with minHits=1 on a
+    // contaminated corpus it can outgrow what the driver can hold as a
+    // broadcast (guide §3.1/§5 — driver OOM is the failure mode). The
+    // count is one narrow scan of the just-materialized checkpoint;
+    // above the bound the grading joins below fall back to shuffle
+    // joins (bit-equal results — join strategy never changes rows),
+    // whose cost scales with the cluster instead of the driver heap.
+    val gradedFits = graded.count() <= maxBroadcastPairs
+    def gradedHint(df: DataFrame): DataFrame = if (gradedFits) broadcast(df) else df
     // Per-DOC gram counting, once per flagged doc. The previous shape
     // joined each doc's gram ARRAY to its flagged pairs FIRST and
     // exploded per (doc, bench) pair — a doc flagged against p eval
@@ -109,10 +128,10 @@ object Decontam {
     // already enumerated — never more work than the flagging pass.
     // broadcast hints: the checkpointed graded relation carries no
     // size statistics, so the planner would fall back to sort-merge
-    // (shuffling the corpus projection). graded is contamination-
-    // bounded (≤ cap × flagged docs under maxPairsPerDoc) — the same
-    // boundedness doctrine as the broadcast bench side; a corpus whose
-    // FLAGGED relation outgrows broadcast should grade in slices.
+    // (shuffling the corpus projection). graded is usually
+    // contamination-bounded (≤ cap × flagged docs under
+    // maxPairsPerDoc); gradedHint above applies the hint only when the
+    // MEASURED count fits maxBroadcastPairs.
     // ONE doc_id exchange serves the whole grading tail:
     // HashPartitioning(doc_id) satisfies the per-doc gram aggregate
     // (doc_id, __na, g), survives the broadcast bench join, and
@@ -122,7 +141,7 @@ object Decontam {
     // doc-level (id + gram array), before the explode.
     val dcounts = corpus
       .select(id.as("doc_id"), text.as("__t"))
-      .join(broadcast(graded.select("doc_id")), Seq("doc_id"), "left_semi")
+      .join(gradedHint(graded.select("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), multisetGrams(col("__t"), n).as("__ga"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), size(col("__ga")).as("__na"), explode(col("__ga")).as("g"))
@@ -136,7 +155,7 @@ object Decontam {
     dcounts.join(broadcast(bg), Seq("g"))
       .groupBy("doc_id", "bench_id", "__na", "__nb")
       .agg(sum(least(col("__ca"), col("__cb"))).as("shared_grams"))
-      .join(broadcast(graded.select("doc_id", "bench_id", "n_hits")),
+      .join(gradedHint(graded.select("doc_id", "bench_id", "n_hits")),
         Seq("doc_id", "bench_id"))
       .withColumn("recall_pm", expr("(1000 * shared_grams) div greatest(__nb, 1)"))
       .withColumn("precision_pm", expr("(1000 * shared_grams) div greatest(__na, 1)"))

@@ -17,6 +17,16 @@ object ExtraQueries {
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Similarity.prepareQuantized(Tables.embeddings(s, dir), col("embedding"), col("vec_id"), col("label"))
 
+  /** [[quantized]] materialized ONCE per query (released at the
+    * harness's query boundary): the ANN builds consume the prepared
+    * corpus many times over — Lloyd rounds, inverted-list assignment,
+    * PQ encoding, probes, exact re-ranks — and each lazy consumer
+    * re-paid the parquet vector decode, the fan-out exchange and the
+    * quantization pass (guide §1.2/§5: persist what is reused when
+    * recompute is expensive). */
+  private def quantizedCk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checkpoints.eager(quantized(s, dir))
+
   /** Zone-mapped scratch copies, built once per (JVM, sf dir): the
     * production shape is build-once/probe-per-query, so the gate and
     * the bench measure the PROBE (manifest planning + pruned scan),
@@ -223,7 +233,7 @@ object ExtraQueries {
     // chain in integer/fixed-order-double arithmetic. All parameters
     // come from AnnParams so the lambda and annIvfSql cannot drift.
     "q_ann_ivf" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
       IvfAnn.annIvf(corpus, qs, k = AnnParams.IvfK,
           numCentroids = AnnParams.IvfCentroids, nprobe = AnnParams.IvfNprobe,
@@ -236,10 +246,10 @@ object ExtraQueries {
     // label, exact milli purity. The corpus-organization audit a
     // cluster-balanced sampler or SemDeDup run reads first.
     "q_cluster_stats" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val cents = IvfAnn.centroids(corpus, AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
-      val lab = IvfAnn.assign(corpus, cents)
-        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      // label rides THROUGH the top-1 heap — no vec_id self-alignment
+      val lab = IvfAnn.assign(corpus, cents, carry = Seq("label"))
       import org.apache.spark.sql.expressions.Window
       lab.groupBy("c_id", "label").agg(count(lit(1)).as("nl"))
         .withColumn("n", sum("nl").over(Window.partitionBy("c_id")))
@@ -257,7 +267,7 @@ object ExtraQueries {
     // survive whole. MetaCLIP/DataComp-style balancing with the
     // waterfill done exactly.
     "q_cluster_sample" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val cents = IvfAnn.centroids(corpus, AnnParams.IvfCentroids, AnnParams.IvfLloydIters)
       // the assignment feeds the size aggregate AND the selection
       // join — checkpoint once or the argmin scan runs twice
@@ -275,7 +285,7 @@ object ExtraQueries {
     // oracle replays the identical IVF build (shared CTE prefix with
     // q_ann_ivf) and the same pair sweep.
     "q_semdedup" -> ((s, dir) =>
-      graft.similarity.SemDedup.semDedup(quantized(s, dir),
+      graft.similarity.SemDedup.semDedup(quantizedCk(s, dir),
         numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
         tau = AnnParams.SemDedupTau,
         maxCellSize = graft.similarity.CellCap.Fixed(AnnParams.SemDedupMaxCell))),
@@ -286,7 +296,7 @@ object ExtraQueries {
     // get the exact integer-cosine re-check at tau. Oracle replays
     // codebooks, encoding, SDC screen and re-check.
     "q_semdedup_pq" -> ((s, dir) =>
-      graft.similarity.SemDedup.semDedupPq(quantized(s, dir),
+      graft.similarity.SemDedup.semDedupPq(quantizedCk(s, dir),
         numCentroids = AnnParams.IvfCentroids, lloydIters = AnnParams.IvfLloydIters,
         tau = AnnParams.SemDedupTau, margin = AnnParams.SemDedupPqMargin,
         m = AnnParams.PqM, subDim = AnnParams.PqSubDim, pqK = AnnParams.PqK,
@@ -298,7 +308,7 @@ object ExtraQueries {
     // The oracle replays the whole thing — coarse build (shared CTE
     // prefix), 4 per-subspace Lloyd chains, encoding, ADC, re-rank.
     "q_ann_ivfpq" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val qs = corpus.filter(pmod(col("vec_id"), lit(AnnParams.QueryMod)) === 0)
       graft.similarity.PqAnn.annIvfPq(corpus, qs,
           k = AnnParams.IvfK, numCentroids = AnnParams.IvfCentroids,
@@ -316,7 +326,7 @@ object ExtraQueries {
     // chain: population slice, IVF build, nprobe probe, exact ranked
     // cosine, reciprocal self-join.
     "q_mutual_knn_ann" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val pop = corpus.filter(pmod(col("vec_id"), lit(AnnParams.MutualMod)) === 0)
       Similarity.mutualKnnAnn(pop, AnnParams.MutualK,
           numCentroids = AnnParams.MutualAnnCentroids,
@@ -336,7 +346,7 @@ object ExtraQueries {
     // reciprocity — both pruning knobs (nprobe < centroids,
     // refine < |pop|) exercised.
     "q_mutual_knn_pq" -> ((s, dir) => {
-      val corpus = quantized(s, dir)
+      val corpus = quantizedCk(s, dir)
       val pop = corpus.filter(pmod(col("vec_id"), lit(AnnParams.MutualMod)) === 0)
       Similarity.mutualKnnPq(pop, AnnParams.MutualK,
           numCentroids = AnnParams.MutualAnnCentroids,

@@ -42,8 +42,13 @@ object IvfAnn {
 
   /** Assign every corpus vector to its nearest centroid (max cosine,
     * deterministic tie-break on centroid id). Centroids are tiny →
-    * broadcast cross join, no corpus shuffle. */
-  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    * broadcast cross join, no corpus shuffle. `carry` names extra
+    * corpus columns to ride THROUGH the top-1 heap (the Lloyd rebuild
+    * discipline): a caller that needs per-vector payload next to the
+    * assignment (e.g. PQ codes for the inverted lists) gets it in the
+    * same corpus pass instead of re-joining on vec_id afterwards —
+    * two exchanges and a sort saved (guide §2.4). */
+  def assign(corpus: DataFrame, cents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val scored = corpus
       .crossJoin(broadcast(cents))
       .withColumn("__cos", cosineQ(dotQ(col("e"), col("ce")), col("nrm"), col("cnrm")))
@@ -51,13 +56,13 @@ object IvfAnn {
       // cannot prune columns through, so without this the partial heap
       // and its exchange carry the vector AND the centroid vector per
       // scored row (guide §2.3: project before the exchange)
-      .select(col("vec_id"), col("c_id"), col("__cos"))
+      .select(col("vec_id") +: carry.map(col) :+ col("c_id") :+ col("__cos"): _*)
     // top-1 per vector via the custom GroupTopK operator: the partial
     // phase reduces each vector to one row per input partition before
     // any shuffle (window rank would shuffle+sort corpus × centroids)
     org.apache.spark.sql.graft.GraftPlans
       .groupTopK(scored, Seq(col("vec_id")), Seq(col("__cos").desc, col("c_id").asc), 1)
-      .select(col("vec_id"), col("c_id"))
+      .select(col("vec_id") +: carry.map(col) :+ col("c_id"): _*)
   }
 
   /** K centroids: deterministic seeds (k smallest vec_ids with a
@@ -75,6 +80,7 @@ object IvfAnn {
       .orderBy("vec_id")
       .limit(k)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    var lastCk: DataFrame = null
     (1 to iters).foldLeft(seeds) { (cents, i) =>
       // Lloyd rebuild, vector carried THROUGH the top-1 so the round
       // needs no assignment⋈corpus re-join (previously a corpus-sized
@@ -87,7 +93,6 @@ object IvfAnn {
         .select(col("vec_id"), col("e"), col("c_id"), col("__cos"))
       val assigned = org.apache.spark.sql.graft.GraftPlans
         .groupTopK(scored, Seq(col("vec_id")), Seq(col("__cos").desc, col("c_id").asc), 1)
-      val prev = cents
       val exploded = assigned
         .select(col("c_id"), posexplode(col("e")).as(Seq("i", "v")))
       // floor(double-division) rather than a long cast: floor is the one
@@ -108,12 +113,16 @@ object IvfAnn {
       // job-floor-bound at sf0.1, 48–51 jobs for <11 MB shuffled);
       // intermediate rounds stack lazily into the next round's
       // broadcast build instead
-      val next =
-        if (i == iters || i % 4 == 0) graft.operators.Checkpoints.eager(rebuilt)
-        else rebuilt
-      // superseded round (no-op on non-checkpointed frames)
-      graft.operators.Checkpoints.release(prev)
-      next
+      // a superseded checkpoint is released only once the NEXT one is
+      // materialized — an intermediate lazy round still reads the last
+      // checkpoint's blocks, so the per-round release broke at
+      // iters > 4
+      if (i == iters || i % 4 == 0) {
+        val next = graft.operators.Checkpoints.eager(rebuilt)
+        if (lastCk != null && (lastCk ne next)) graft.operators.Checkpoints.release(lastCk)
+        lastCk = next
+        next
+      } else rebuilt
     }
   }
 
@@ -127,7 +136,11 @@ object IvfAnn {
     // the whole Lloyd pass — recomputing that per consumer branch
     // doubles the pipeline
     val cents = centroids(corpus, numCentroids, lloydIters)
-    val lists = assign(corpus, cents).join(corpus, "vec_id") // inverted lists: c_id -> members
+    // inverted lists: c_id -> members. Vectors ride THROUGH the top-1
+    // heap (carry) in the same corpus pass as the assignment — the
+    // previous assign ⋈ corpus join on vec_id paid two exchanges and a
+    // sort for a 1:1 self-alignment (guide §2.4)
+    val lists = assign(corpus, cents, carry = Seq("e", "nrm"))
     val qs = queries.select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("__ccos").desc, col("c_id").asc)
     val probed = qs

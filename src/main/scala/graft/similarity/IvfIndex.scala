@@ -122,7 +122,9 @@ object IvfIndex {
     // live lists in place — a crash before the swap leaves the old
     // index fully intact
     graft.sources.LiveTable.createGeneration(spark, cellsTable(table)) { phys =>
-      IvfAnn.assign(corpus, stored).join(corpus, "vec_id")
+      // vectors ride THROUGH the top-1 heap (assign's carry) in the
+      // same corpus pass as the assignment — no vec_id self-alignment
+      IvfAnn.assign(corpus, stored, carry = Seq("e", "nrm"))
         .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
         .withColumn("drop_id", lit("base"))
         .write.partitionBy("drop_id")
@@ -343,7 +345,7 @@ object IvfIndex {
     require(dropId.nonEmpty && dropId != "base" && !dropId.startsWith("rebalance_"),
       "append needs a per-drop id ('base'/'rebalance_*' are layout-reserved)")
     graft.sources.LiveTable.insertPartitionOverwriteLive(
-      IvfAnn.assign(docs, centroids(spark, table)).join(docs, "vec_id")
+      IvfAnn.assign(docs, centroids(spark, table), carry = Seq("e", "nrm"))
         .select(col("c_id"), col("vec_id"), col("e"), col("nrm"))
         .withColumn("drop_id", lit(dropId)),
       cellsTable(table), dropId)

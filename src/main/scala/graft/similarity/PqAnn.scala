@@ -60,6 +60,7 @@ object PqAnn {
     val seeds = subs.withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= k)
       .select(col("s"), (col("__rn") - 1).cast("int").as("cid"), col("se").as("ce"))
       .withColumn("cnrm", dotQ(col("ce"), col("ce")))
+    var lastCk: DataFrame = null
     val trained = (1 to iters).foldLeft(seeds) {
       (cents, i) =>
         // sub-vector carried THROUGH the top-1 ([[IvfAnn.centroids]]'s
@@ -77,19 +78,33 @@ object PqAnn {
           .agg(transform(sort_array(collect_list(struct(col("j"), col("mu")))),
             p => p.getField("mu")).as("ce"))
           .withColumn("cnrm", dotQ(col("ce"), col("ce")))
-        // lineage cut every 4th round and at the end (the
-        // IvfAnn.centroids / Bpe cadence) — a per-round eager
-        // checkpoint was a driver-synchronous job per round, the bulk
-        // of this job-floor-bound build's cost at the 2-iteration gate
-        val next =
-          if (i == iters || i % 4 == 0) graft.operators.Checkpoints.eager(rebuilt)
-          else rebuilt
-        graft.operators.Checkpoints.release(cents)
-        next
+        // lineage cut every 4th round (the IvfAnn.centroids / Bpe
+        // cadence) — a per-round eager checkpoint was a
+        // driver-synchronous job per round, the bulk of this
+        // job-floor-bound build's cost at the 2-iteration gate. A
+        // superseded checkpoint is released only once the NEXT one is
+        // materialized (a lazy round still reads the last checkpoint's
+        // blocks — releasing it per round broke at iters > 4).
+        if (i < iters && i % 4 == 0) {
+          val next = graft.operators.Checkpoints.eager(rebuilt)
+          if (lastCk != null) graft.operators.Checkpoints.release(lastCk)
+          lastCk = next
+          next
+        } else rebuilt
     }
+    // the dense renumbering is checkpointed WITH the final round (one
+    // eager, same job count as checkpointing the round itself) so
+    // every consumer — encode, the ADC/SDC table builds, the persisted
+    // index write — reads a plain scan instead of re-deriving the
+    // ≤ m·k-row window and paying its hashpartitioning(s) exchange per
+    // consumer (guide §2.4; the round-16 plan audit caught the window
+    // re-derivation as +2 exchanges in q_semdedup_pq)
     val denseW = Window.partitionBy("s").orderBy("cid") // ≤ m·k rows
-    trained.select(col("s"),
-      (row_number().over(denseW) - 1).cast("int").as("dcid"), col("ce"), col("cnrm"))
+    val dense = graft.operators.Checkpoints.eager(
+      trained.select(col("s"),
+        (row_number().over(denseW) - 1).cast("int").as("dcid"), col("ce"), col("cnrm")))
+    if (lastCk != null) graft.operators.Checkpoints.release(lastCk)
+    dense
   }
 
   /** Integer-L2 sub-vector assignment for EVERY subspace at once:
@@ -184,9 +199,13 @@ object PqAnn {
     // build; only the tiny (m·k-row) dense-renumber window sits above
     // it, so a second eager here was one pure-overhead job (§1.2)
     val cbs = codebooks(corpus, m, subDim, pqK, pqIters)
-    // inverted lists carry CODES, not vectors — the PQ memory story
-    val lists = IvfAnn.assign(corpus, coarse)
-      .join(encode(corpus, cbs).select(col("vec_id"), col("codes")), "vec_id")
+    // inverted lists carry CODES, not vectors — the PQ memory story.
+    // Codes are computed in the SAME corpus pass as the coarse
+    // assignment and ride through the top-1 heap (carry): the previous
+    // assign ⋈ encode join on vec_id re-scanned the corpus and paid a
+    // full sort-merge join for a 1:1 self-alignment (guide §2.4)
+    val lists = IvfAnn.assign(encode(corpus, cbs), coarse, carry = Seq("codes"))
+      .select(col("vec_id"), col("c_id"), col("codes"))
     probeCoded(coarse, cbs, lists, queries, corpus, k, nprobe, refine)
   }
 

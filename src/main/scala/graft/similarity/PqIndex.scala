@@ -76,9 +76,9 @@ object PqIndex {
     val storedCoarse = spark.table(centsTable(table, gen))
     val storedBooks = spark.table(booksTable(table, gen))
     graft.sources.LiveTable.createGeneration(spark, cellsTable(table)) { phys =>
-      IvfAnn.assign(corpus, storedCoarse)
-        .join(PqAnn.encode(corpus, storedBooks)
-          .select(col("vec_id"), col("codes")), "vec_id")
+      // codes computed in the SAME pass as the assignment, carried
+      // through the top-1 heap — no vec_id self-alignment join
+      IvfAnn.assign(PqAnn.encode(corpus, storedBooks), storedCoarse, carry = Seq("codes"))
         .select(col("c_id"), col("vec_id"), col("codes"))
         .withColumn("drop_id", lit("base"))
         .write.partitionBy("drop_id")
@@ -101,9 +101,8 @@ object PqIndex {
       "append needs a per-drop id ('base' names the create-time corpus)")
     val gen = liveGen(spark, table)
     graft.sources.LiveTable.insertPartitionOverwriteLive(
-      IvfAnn.assign(docs, spark.table(centsTable(table, gen)))
-        .join(PqAnn.encode(docs, spark.table(booksTable(table, gen)))
-          .select(col("vec_id"), col("codes")), "vec_id")
+      IvfAnn.assign(PqAnn.encode(docs, spark.table(booksTable(table, gen))),
+          spark.table(centsTable(table, gen)), carry = Seq("codes"))
         .select(col("c_id"), col("vec_id"), col("codes"))
         .withColumn("drop_id", lit(dropId)),
       cellsTable(table), dropId)

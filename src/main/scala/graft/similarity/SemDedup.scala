@@ -67,8 +67,12 @@ object SemDedup {
     * caps at 4× it, so a 100 TB run is bounded without tuning. */
   def semDedup(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
       maxCellSize: CellCap = CellCap.Auto): DataFrame = {
-    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
-    val mem = sharded.join(corpus.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    // vectors ride THROUGH the assignment's top-1 heap (carry): the
+    // previous sharded ⋈ corpus join on vec_id paid a full sort-merge
+    // join for a 1:1 self-alignment — twice, once per pair side
+    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize,
+      assignInput = Some((corpus, Seq("e", "nrm"))))
+    val mem = sharded
     val dups = mem.as("a")
       .join(mem.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.__sub") === col("b.__sub") &&
@@ -96,11 +100,16 @@ object SemDedup {
   def semDedupPq(corpus: DataFrame, numCentroids: Int, lloydIters: Int, tau: Double,
       margin: Double, m: Int, subDim: Int, pqK: Int, pqIters: Int,
       maxCellSize: CellCap = CellCap.Auto): DataFrame = {
-    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize)
-    // final Lloyd round checkpointed inside the build — no second eager
+    // final Lloyd round checkpointed inside the build — no second eager.
+    // Codes are computed in the SAME corpus pass as the coarse
+    // assignment and ride through its top-1 heap (assign's carry): the
+    // previous sharded ⋈ encode join on vec_id paid a full sort-merge
+    // join for a 1:1 self-alignment — TWICE, once per pair side
+    // (guide §2.4)
     val cbs = PqAnn.codebooks(corpus, m, subDim, pqK, pqIters)
-    val enc = PqAnn.encode(corpus, cbs).select(col("vec_id"), col("codes"))
-    val mem = sharded.join(enc, "vec_id")
+    val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize,
+      assignInput = Some((PqAnn.encode(corpus, cbs), Seq("codes"))))
+    val mem = sharded
     val screen = tau - margin
     // the per-PAIR scoring folds are the native PqSdcSum/PqLookupSum
     // expressions (codegen'd m-lookup loops — the PQ hot path); the
@@ -139,11 +148,17 @@ object SemDedup {
 
   /** The shared clustering front half: IVF centroids, per-vector
     * assignment, and the cell-cap sub-sharding, checkpointed once as
-    * a narrow (vec_id, c_id, __sub) triple (see [[semDedup]] notes). */
+    * a narrow (vec_id, [carry…,] c_id, __sub) tuple (see [[semDedup]]
+    * notes). `assignInput` optionally substitutes the frame the
+    * ASSIGNMENT runs over (a narrow derivation of `corpus`, e.g. the
+    * PQ-encoded corpus) plus extra columns to carry through the top-1
+    * heap — the centroid BUILD always trains on `corpus` itself. */
   private def shardedAssignment(corpus: DataFrame, numCentroids: Int, lloydIters: Int,
-      maxCellSize: CellCap): DataFrame = {
+      maxCellSize: CellCap,
+      assignInput: Option[(DataFrame, Seq[String])] = None): DataFrame = {
     val cents = IvfAnn.centroids(corpus, numCentroids, lloydIters)
-    val asg = IvfAnn.assign(corpus, cents)
+    val (input, carry) = assignInput.getOrElse((corpus, Seq.empty[String]))
+    val asg = IvfAnn.assign(input, cents, carry)
     // cell sizes: one row per centroid — bounded by nlist (≈ √N),
     // not by the corpus — so the split join is broadcastable by design
     def split(cap: Int, sizes: DataFrame): DataFrame =
@@ -151,7 +166,7 @@ object SemDedup {
         .withColumn("__sub",
           pmod(xxhash64(col("vec_id")), ceil(col("__cn").cast("double") / cap).cast("long"))
             .cast("int"))
-        .select(col("vec_id"), col("c_id"), col("__sub"))
+        .select(col("vec_id") +: carry.map(col) :+ col("c_id") :+ col("__sub"): _*)
     val sharded0 = maxCellSize match {
       case CellCap.Unbounded => asg.withColumn("__sub", lit(0))
       case CellCap.Fixed(cap) =>

@@ -492,6 +492,36 @@ class DedupSpec extends SparkSpecBase {
       bench, col("text"), col("bench_id"), n = 2, minHits = 1, maxPairsPerDoc = 3).count() === 0L)
   }
 
+  test("overlapScores above the broadcast bound grades through shuffle joins, bit-equal") {
+    import graft.dedup.Decontam
+    // a flagged relation "too big to broadcast": 40 docs × 3 bench
+    // items all flag (shared gram "q w"), and maxBroadcastPairs = 1
+    // forces EVERY graded row through the shuffle-join fallback — the
+    // plan the driver-OOM regime takes at scale. Results must be
+    // bit-equal to the broadcast path (join strategy never changes
+    // rows).
+    val docs = (1L to 40L).map(i => (i, s"q w z$i y$i q w x$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "q w a"), (200L, "q w b"), (300L, "q w c"))
+      .toDF("bench_id", "text")
+    def run(bound: Long) = Decontam.overlapScores(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 2, minHits = 1, maxBroadcastPairs = bound)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(1L)
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.size === 120) // every (doc, bench) pair graded
+    // and the fallback really is plan-level: no broadcast of the
+    // graded relation (the bench-gram broadcast legitimately stays)
+    val plan = Decontam.overlapScores(
+        docs, col("text"), col("doc_id"), bench, col("text"), col("bench_id"),
+        n = 2, minHits = 1, maxBroadcastPairs = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin LeftSemi"),
+      "oversized graded relation must not broadcast the doc-restriction semi-join")
+  }
+
   test("semantic decontamination catches the word-shuffle paraphrase the n-gram screen misses") {
     import graft.dedup.Decontam
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
