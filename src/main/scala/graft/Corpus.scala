@@ -29,11 +29,16 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
     auditLog: Option[Vector[DataFrame]] = None) {
 
   /** Start recording drop attribution: from here on, every stage that
-    * removes documents contributes its casualties to [[dropLedger]].
-    * Recording is lazy — each entry is an id-only anti-join between a
-    * stage's input and output plans (fingerprint-width: the ledger
-    * shuffles ids, never text), built but not executed until the
-    * ledger itself is acted on. */
+    * removes documents contributes its casualties to [[dropLedger]],
+    * and each stage's OUTPUT is materialized once (an operator
+    * checkpoint, released at the harness's query boundary). Without
+    * the materialization an audited chain re-ran every stage 2-3×
+    * (entry k anti-joins stage k−1's and k's plans, and stage k+1's
+    * input embeds both) — measured as q_drop_ledger's dominant cost;
+    * with it each stage runs exactly once and every ledger entry is
+    * an id-only anti-join of two materialized frames (the persist
+    * discipline the previous doc asked callers to apply, now built
+    * in). */
   def audited: Corpus = copy(auditLog = Some(Vector.empty))
 
   /** The audit trail: (doc_id, stage_idx, stage) for every document
@@ -43,12 +48,10 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
     * EXACTLY once, at the first (and only) stage that removed it;
     * ledger ids ∪ surviving ids partition the audited input.
     *
-    * Evaluation shape: entry k re-derives stage plans k−1 and k, so a
-    * full-ledger evaluation costs each stage ~twice. For cheap-stage
-    * chains that is fine; callers auditing expensive chains should
-    * scope a persist over the chain INPUT
-    * ([[operators.Pipelines.withPersisted]]) — the stages themselves
-    * stay lazy by facade contract. */
+    * Evaluation shape: every stage of an audited chain is
+    * materialized once (see [[audited]]), so the ledger union costs
+    * one id-width anti-join per stage over already-computed frames —
+    * never a stage re-run. */
   def dropLedger: DataFrame = {
     val log = auditLog.getOrElse(throw new IllegalStateException(
       "dropLedger requires an audited chain — call .audited before the stages to attribute"))
@@ -60,6 +63,10 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
   private def keep(kept: DataFrame, stage: String): Corpus = auditLog match {
     case None => copy(df = kept)
     case Some(log) =>
+      // materialize the stage output ONCE (see [[audited]]): the
+      // ledger entry below and the next stage both read it, and an
+      // un-checkpointed chain re-ran each stage per consumer
+      val keptCk = operators.Checkpoints.eager(kept)
       // distinct AFTER the anti-join: with duplicate ids in a stage's
       // input the anti-join emits one row per duplicate input row,
       // breaking the one-ledger-row-per-(doc_id, stage) contract. The
@@ -67,11 +74,11 @@ final case class Corpus(df: DataFrame, text: Column, id: Column,
       // DROPS of that stage, not the corpus (a pre-join distinct would
       // re-shuffle every surviving id too).
       val dropped = df.select(id.as("doc_id"))
-        .join(kept.select(id.as("doc_id")), Seq("doc_id"), "left_anti")
+        .join(keptCk.select(id.as("doc_id")), Seq("doc_id"), "left_anti")
         .distinct()
         .withColumn("stage_idx", lit(log.size + 1))
         .withColumn("stage", lit(stage))
-      copy(df = kept, auditLog = Some(log :+ dropped))
+      copy(df = keptCk, auditLog = Some(log :+ dropped))
   }
 
   /** Gopher-style floor: keep docs with at least `minTokens`

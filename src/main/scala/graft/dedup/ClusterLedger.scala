@@ -164,15 +164,15 @@ object ClusterLedger {
     // drops are small by construction. Rows with a null endpoint are
     // dropped (a pair needs two sides; register a singleton as the
     // self-pair (x, x))
-    val e = Checkpoints.eager(
+    // the count rides the checkpoint's own materializing job
+    // (eagerCount): it is the emptiness gate AND the edge bound the
+    // union-finds below need to run lazily (an empty drop is a
+    // committed no-op: nothing to merge, nothing to write — in
+    // particular a FIRST empty drop must not create the ledger; an
+    // empty parquet directory cannot even be re-read)
+    val (e, eCnt) = Checkpoints.eagerCount(
       pairs.select(col(a).as("__u"), col(b).as("__v"))
         .filter(col("__u").isNotNull && col("__v").isNotNull))
-    // one cheap scan of the checkpoint: the emptiness gate AND the
-    // edge bound the union-finds below need to run lazily (an empty
-    // drop is a committed no-op: nothing to merge, nothing to write —
-    // in particular a FIRST empty drop must not create the ledger; an
-    // empty parquet directory cannot even be re-read)
-    val eCnt = e.count()
     if (eCnt == 0L) {
       Checkpoints.release(e)
       return AppendStats(0L, 0L, Nil)
@@ -273,12 +273,15 @@ object ClusterLedger {
     new File(path).mkdirs()
     val obs = org.apache.spark.sql.Observation()
     // cluster by bucket before partitionBy (the Versioned staging
-    // discipline): one file per rewritten bucket, not tasks × buckets
+    // discipline): one file per rewritten bucket, not tasks × buckets.
+    // REBALANCE, not repartition: write parallelism follows the data
+    // (AQE splits an oversized bucket, coalesces tiny ones) instead of
+    // pinning a task per bucket (guide §2.6)
     out.observe(obs,
         sum(when(col("__src") === 0, 1L).otherwise(0L)).as("rel"),
         sum(when(col("__src") === 1, 1L).otherwise(0L)).as("neu"),
         collect_set(col("bkt")).as("bkts"))
-      .drop("__src").repartition(col("bkt"))
+      .drop("__src").hint("rebalance", col("bkt"))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     val metrics = obs.get
     val rewritten = metrics("bkts").asInstanceOf[Seq[Any]]
@@ -400,7 +403,7 @@ object ClusterLedger {
       // cluster by bucket before partitionBy (one file per bucket),
       // and read the staged bucket set from the bkt=K directory names
       // instead of a distinct-scan job over everything just written
-      cur.repartition(col("bkt"))
+      cur.hint("rebalance", col("bkt"))
         .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       val stagedBkts: Set[Int] = Option(staging.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("bkt="))

@@ -150,11 +150,12 @@ object Components {
     * loop. */
   def connectedComponents(pairs: DataFrame, a: String, b: String, maxIter: Int = 20,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
-    val sym = Checkpoints.eager(pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
-    // the checkpoint above already materialized sym — counting it is a
-    // cheap scan, not a recompute of the (possibly expensive) pairs
-    if (sym.count() / 2 <= localThreshold) {
+    // the size probe rides the checkpoint's own materializing job
+    // (eagerCount) — one job, not eager-then-count
+    val (sym, symCnt) = Checkpoints.eagerCount(
+      pairs.select(col(a).as("src"), col(b).as("dst"))
+        .union(pairs.select(col(b).as("src"), col(a).as("dst"))))
+    if (symCnt / 2 <= localThreshold) {
       // sym carries every node as a src (self-loops included), so the
       // union-find registers self-loop-only nodes as their own
       // singletons in-stream — no label-resolution join, and the

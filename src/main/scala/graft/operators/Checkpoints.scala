@@ -63,6 +63,28 @@ object Checkpoints {
       catch { case _: IllegalStateException => () }
     }
 
+  /** [[eager]] that also returns the checkpoint's ROW COUNT from the
+    * SAME materializing job: the checkpoint is marked lazily and the
+    * count() action materializes it — one driver-synchronous job where
+    * eager-then-count paid two. For loop bodies that checkpoint every
+    * round AND test convergence on the round's size (kCore, khop,
+    * ClusterLedger), that is one job per round saved (guide §1.2). */
+  def eagerCount(df: DataFrame): (DataFrame, Long) = {
+    val out = df.localCheckpoint(eager = false)
+    org.apache.spark.sql.graft.CheckpointBlocks.rddOf(out)
+      .foreach(tracked.put(_, java.lang.Boolean.TRUE))
+    val n = out.count()
+    (out, n)
+  }
+
+  /** [[eagerCount]] + [[eagerClaiming]]'s opportunistic partitioning
+    * claim, read AFTER the count materialized the checkpoint (the
+    * adaptive plan's final partitioning only exists post-execution). */
+  def eagerCountClaiming(df: DataFrame, keys: Seq[String]): (DataFrame, Long) = {
+    val (ck, n) = eagerCount(df)
+    (org.apache.spark.sql.graft.GraftPlans.claimIfHashPartitioned(ck, df, keys), n)
+  }
+
   /** [[eager]] for a loop-INVARIANT relation that per-round joins /
     * aggregates key on `keys`: physically hash-clusters the rows
     * (`repartition(n, keys)`), checkpoints, and carries the

@@ -153,23 +153,25 @@ object GraphOps {
         .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
         .distinct(), Seq("src"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-    var frontier = Checkpoints.eager(
-      nodes.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi"))
     // every per-hop frontier is checkpointed (materialized), so the
     // hop profile is plain driver arithmetic over their counts — a
     // cheap lineage-free count per hop instead of a 2-aggregate ×
     // crossJoin plan per hop (round 15 measured the stats subtree at
-    // ~2/3 of this operator's 37 jobs). Frontiers are DISJOINT by the
-    // anti-join, so reached_n is the running sum of frontier counts —
-    // the union'd reached frame below stays what the anti-join reads.
-    val hopCounts = scala.collection.mutable.ArrayBuffer(frontier.count())
+    // ~2/3 of this operator's 37 jobs). Each count rides its
+    // frontier's own materializing job (eagerCount — one job per hop,
+    // not two). Frontiers are DISJOINT by the anti-join, so reached_n
+    // is the running sum of frontier counts — the union'd reached
+    // frame below stays what the anti-join reads.
+    var (frontier, f0) = Checkpoints.eagerCount(
+      nodes.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi"))
+    val hopCounts = scala.collection.mutable.ArrayBuffer(f0)
     var reached = frontier
     for (i <- 1 to hops) {
-      val next = Checkpoints.eager(
+      val (next, fn) = Checkpoints.eagerCount(
         e.join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")).distinct()
           .join(reached, Seq("id"), "left_anti"))
-      hopCounts += next.count()
+      hopCounts += fn
       // reached is only ever read through the anti-join; a union of
       // ≤ hops checkpoint scans keeps the plan flat without paying a
       // materialization job per hop
@@ -215,17 +217,35 @@ object GraphOps {
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
         .distinct(), Seq("src"))
+    // ROUND 1 in closed form: labels start as own ids, so the
+    // (dst, label = src) counts over the deduped symmetric edges are
+    // all exactly 1 and the top-1 rule (count desc, label asc)
+    // degenerates to "min neighbor id". That is ONE map-side-combining
+    // min aggregate (node-sized shuffle) instead of the identity label
+    // join + edge-sized (dst, label) count fan-out + top-1 — and it
+    // subsumes the init-labels distinct too (guide §2.3: aggregate
+    // before you shuffle; round-1 label rows were unique, so the
+    // partial count combined nothing)
     var labels = Checkpoints.eager(
-      sym.select(col("src").as("id")).distinct().withColumn("label", col("id")))
-    for (_ <- 1 to iters) {
+      sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("label")))
+    for (_ <- 2 to iters) {
       // attach each edge's SOURCE label and count per (dst, label):
       // over the symmetric edge set this is the same multiset as
       // counting dst labels per src (every (u,v) has its (v,u) twin),
       // but the join now keys on the claimed layout — no edge
-      // exchange inside the loop
+      // exchange inside the loop. The explicit repartition on id
+      // BELOW the count aggregate serves BOTH keyed operators of the
+      // round: hash(id) satisfies the aggregate's
+      // ClusteredDistribution(id, label) AND the top-1's
+      // ClusteredDistribution(id), so the round has exactly ONE
+      // exchange — previously the (dst, label) count exchange was
+      // followed by a second pair-table exchange into the top-1
+      // (guide §2.4: operations keyed the same way share an exchange)
       val counts = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"))
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+        .groupBy(col("id"), col("label"))
         .agg(count(lit(1)).as("__c"))
       val next = Checkpoints.eager(
         org.apache.spark.sql.graft.GraftPlans
@@ -359,13 +379,15 @@ object GraphOps {
     // keyed on `a`, so neither re-exchanges the edge frame — only the
     // second (b-keyed) semi-join moves edge rows, one exchange per
     // round instead of three (guide §2.4)
-    var cur = Checkpoints.eagerClaiming(
+    // eagerCountClaiming: the round's size check reads off the SAME
+    // job that materializes the checkpoint — one driver-synchronous
+    // job per round, not two (guide §1.2)
+    var (cur, n) = Checkpoints.eagerCountClaiming(
       e0.select(col("src").as("a"), col("dst").as("b"))
         .union(e0.select(col("dst").as("a"), col("src").as("b")))
         .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
         .distinct(), Seq("a"))
     Checkpoints.release(e0)
-    var n = cur.count()
     var round = 0
     var done = n == 0
     while (round < maxRounds && !done) {
@@ -376,11 +398,10 @@ object GraphOps {
       // keep cur's hash(a) layout and the claim rides through the
       // checkpoint for free; when a planner picks a b-keyed shuffle
       // instead, the claim simply does not fire
-      val next = Checkpoints.eagerClaiming(
+      val (next, m) = Checkpoints.eagerCountClaiming(
         cur.join(keep, Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
           .select("a", "b"), Seq("a"))
-      val m = next.count()
       Checkpoints.release(cur)
       done = m == n
       n = m

@@ -87,8 +87,15 @@ object NaiveBayes {
       trainTok.groupBy(col("true_label").as("lab"), col("f"))
         .agg(count(lit(1)).as("n")))
     val classMass = counts.groupBy("lab").agg(sum("n").as("n_lab"))
-    val classDocs = train.groupBy(trainLabel.as("lab")).agg(count(lit(1)).as("d_lab"))
-    val totalDocs = train.agg(count(lit(1)).as("n_docs"))
+    // the ≤C-row class-doc-count table is checkpointed once: it feeds
+    // the prior build, the grid's class list AND (via its own sum) the
+    // total-doc count — previously each consumer re-scanned the train
+    // corpus' label column per broadcast build, and the total was one
+    // more full count scan (guide §1.2: don't recompute what a
+    // materialized aggregate already knows)
+    val classDocs = graft.operators.Checkpoints.eager(
+      train.groupBy(trainLabel.as("lab")).agg(count(lit(1)).as("d_lab")))
+    val totalDocs = classDocs.agg(sum("d_lab").as("n_docs"))
     val allBuckets = spark.range(buckets).select(col("id").as("f"))
     // every grid input is an aggregate output (≤ classes·buckets rows)
     // — broadcast them so the KB-sized grid assembly adds no exchange

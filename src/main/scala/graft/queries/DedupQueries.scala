@@ -382,10 +382,19 @@ object DedupQueries {
         Tables.documents(s, dir), col("text"), col("doc_id"),
         shingleN = 3, numBands = 4, rowsPerBand = 2, portable = true))
       val path = java.nio.file.Files.createTempDirectory("graft_cluster_incr").toString
+      // numBuckets = 16, not the library default 64: the labeling the
+      // oracle checks is bucket-count-independent (buckets are the
+      // ledger's internal layout), and at this gate's drop size a
+      // 64-way layout wrote 64 near-empty files per append from a
+      // couple of tasks — the small-files tax (guide §6) on a table
+      // whose whole point here is the merge protocol. 16 still
+      // exercises multi-bucket partial rewrites on every sf.
       graft.dedup.ClusterLedger.append(path,
-        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), "doc_a", "doc_b")
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), "doc_a", "doc_b",
+        numBuckets = 16)
       graft.dedup.ClusterLedger.append(path,
-        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) =!= 0), "doc_a", "doc_b")
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) =!= 0), "doc_a", "doc_b",
+        numBuckets = 16)
       graft.operators.Checkpoints.release(pairs)
       graft.dedup.ClusterLedger.labels(s, path).withColumnRenamed("id", "doc_id")
     }),

@@ -949,7 +949,17 @@ object Versioned {
         withBkt.repartitionByRange(slices, zoneCols.map(col): _*)
           .sortWithinPartitions(zoneCols.map(col): _*)
       } else if (zoneCols.nonEmpty) withBkt
-      else withBkt.repartition(numBuckets, col("bkt"))
+      // REBALANCE by bkt, not repartition(numBuckets, bkt): the pinned
+      // count funneled the whole publish through ≤ numBuckets write
+      // tasks (a skewed bucket = one straggler task, guide §2.6), and
+      // hash(bkt) % numBuckets collisions idled some of even those.
+      // AQE's rebalance keeps the one-file-per-bucket layout on
+      // balanced inputs (small partitions coalesce) but SPLITS a
+      // bucket bigger than the advisory partition size across several
+      // write tasks — write parallelism follows data size, not the
+      // layout constant (spec-pinned in PromoteSpec; the bucket
+      // DIRECTORY stays the layout contract, not the file count).
+      else withBkt.hint("rebalance", col("bkt"))
     // row count observed ON the write pass itself — the previous
     // staged.count() re-scanned everything just written (guide §1.4:
     // don't pay a second action for a number the first one knows)
@@ -1282,7 +1292,11 @@ object Versioned {
           // union writes M×touched near-empty files per merge. Tables
           // WITH zone maps keep the input's value-slicing — a bucket
           // shuffle would flatten per-file zone bounds to full-range.
-          merged.repartition(spec.numBuckets, col("bkt"))
+          // REBALANCE, not a numBuckets-pinned repartition: write
+          // parallelism follows the touched data's size (AQE splits an
+          // oversized bucket, coalesces tiny ones) instead of the
+          // layout constant (guide §2.6).
+          merged.hint("rebalance", col("bkt"))
       toWrite.write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
       // the layout contract's zone maps ride along on every publish:
       // one extra column-pruned pass over the touched-bucket-sized
@@ -1492,7 +1506,7 @@ object Versioned {
     // zone-mapped layers keep the drop's own value-slicing (per-file
     // zone bounds prune only when values cluster by file)
     val layerStaged =
-      if (spec.zones.nonEmpty) layerOut else layerOut.repartition(col("bkt"))
+      if (spec.zones.nonEmpty) layerOut else layerOut.hint("rebalance", col("bkt"))
     layerStaged
       .write.mode(SaveMode.Overwrite).partitionBy("bkt").parquet(staging.getPath)
     if (spec.zones.nonEmpty) buildZoneMap(spark, staging.getPath, spec.zones)

@@ -1225,4 +1225,38 @@ class PromoteSpec extends SparkSpecBase {
     assert(!staleClaim.exists())
     assert(Versioned.read(spark, root).count() === 2)
   }
+
+  test("publish write parallelism follows data size, not the bucket count") {
+    def bucketFiles(root: String): Map[String, Int] =
+      new File(root, "v00001").listFiles().filter(_.getName.startsWith("bkt="))
+        .map(b => b.getName -> b.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    // balanced tiny input: the rebalanced staging keeps the layout —
+    // exactly one file per bucket directory (AQE coalesces the small
+    // per-bucket partitions; nothing splits)
+    val root = freshRoot()
+    assert(Versioned.promoteBucketed(baseDocs(64), root, "doc_id", 8, checks).promoted)
+    val balanced = bucketFiles(root)
+    assert(balanced.nonEmpty && balanced.values.forall(_ == 1), balanced.toSeq.sorted)
+
+    // a bucket far above the advisory partition size: the write SPLITS
+    // it across tasks (> 1 file in the one bucket directory) instead
+    // of funneling the publish through one task per bucket — and the
+    // published rows read back bit-equal. numBuckets = 1 makes the
+    // single bucket the hot one by construction.
+    val conf = spark.conf
+    val oldAdv = conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864b")
+    try {
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val rows = (1L to 4000L).map(i => (i, ("x" * 64) + i))
+      val root2 = freshRoot()
+      assert(Versioned.promoteBucketed(rows.toDF("doc_id", "text"), root2,
+        "doc_id", 1, checks).promoted)
+      val hot = bucketFiles(root2)
+      assert(hot.getOrElse("bkt=0", 0) > 1,
+        s"hot bucket wrote ${hot.mkString(",")} — write parallelism stayed pinned to the bucket count")
+      val got = Versioned.read(spark, root2).as[(Long, String)].collect().toSet
+      assert(got === rows.toSet)
+    } finally conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", oldAdv)
+  }
 }

@@ -11,8 +11,20 @@ import graft.operators.Relational._
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
-class StreamingSpec extends SparkSpecBase {
+class StreamingSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterEach {
   import spark.implicits._
+
+  // A failed assertion between start() and q.stop() must not leak a
+  // live streaming query: a still-running StreamExecution when the
+  // JVM-exit hook stops the shared SparkContext aborts WHATEVER suite
+  // is running at that moment with "Job cancelled because SparkContext
+  // was shut down" — the round-15 driver-side `sbt test` failure mode.
+  // Stopping stragglers after every test keeps one test's failure from
+  // cascading into unrelated suites.
+  override def afterEach(): Unit = {
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    super.afterEach()
+  }
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
