@@ -194,11 +194,14 @@ object PqAnn {
     * q_ann_ivf: (q_id, neighbor_id, rank, cos). */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       lloydIters: Int, m: Int, subDim: Int, pqK: Int, pqIters: Int, refine: Int): DataFrame = {
-    val coarse = IvfAnn.centroids(corpus, numCentroids, lloydIters)
-    // codebooks' final Lloyd round is already checkpointed inside the
-    // build; only the tiny (m·k-row) dense-renumber window sits above
-    // it, so a second eager here was one pure-overhead job (§1.2)
-    val cbs = codebooks(corpus, m, subDim, pqK, pqIters)
+    // the coarse quantizer and the PQ codebooks are INDEPENDENT
+    // driver-synchronous Lloyd chains over the same corpus — train
+    // them concurrently so the second chain's jobs back-fill the
+    // cores the first one's straggler tails leave idle (guide §2.6:
+    // overlap independent jobs). Results are the two builds verbatim.
+    val (coarse, cbs) = trainConcurrently(
+      IvfAnn.centroids(corpus, numCentroids, lloydIters),
+      codebooks(corpus, m, subDim, pqK, pqIters))
     // inverted lists carry CODES, not vectors — the PQ memory story.
     // Codes are computed in the SAME corpus pass as the coarse
     // assignment and ride through the top-1 heap (carry): the previous
@@ -207,6 +210,21 @@ object PqAnn {
     val lists = IvfAnn.assign(encode(corpus, cbs), coarse, carry = Seq("codes"))
       .select(col("vec_id"), col("c_id"), col("codes"))
     probeCoded(coarse, cbs, lists, queries, corpus, k, nprobe, refine)
+  }
+
+  /** Run two INDEPENDENT driver-synchronous build chains concurrently
+    * (each is a sequence of eager checkpoints / broadcast builds whose
+    * jobs the scheduler interleaves FIFO — the second chain's tasks
+    * back-fill executor cores the first chain's stage tails leave
+    * idle, guide §2.6). The caller must guarantee independence; any
+    * failure propagates. */
+  private[similarity] def trainConcurrently[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
   }
 
   /** The probe tail over an ALREADY-BUILT (coarse, codebooks, coded

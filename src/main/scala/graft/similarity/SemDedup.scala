@@ -105,10 +105,14 @@ object SemDedup {
     // assignment and ride through its top-1 heap (assign's carry): the
     // previous sharded ⋈ encode join on vec_id paid a full sort-merge
     // join for a 1:1 self-alignment — TWICE, once per pair side
-    // (guide §2.4)
-    val cbs = PqAnn.codebooks(corpus, m, subDim, pqK, pqIters)
+    // (guide §2.4). The coarse quantizer and the PQ codebooks are
+    // independent Lloyd chains — trained concurrently (guide §2.6).
+    val (cents, cbs) = PqAnn.trainConcurrently(
+      IvfAnn.centroids(corpus, numCentroids, lloydIters),
+      PqAnn.codebooks(corpus, m, subDim, pqK, pqIters))
     val sharded = shardedAssignment(corpus, numCentroids, lloydIters, maxCellSize,
-      assignInput = Some((PqAnn.encode(corpus, cbs), Seq("codes"))))
+      assignInput = Some((PqAnn.encode(corpus, cbs), Seq("codes"))),
+      precomputedCents = Some(cents))
     val mem = sharded
     val screen = tau - margin
     // the per-PAIR scoring folds are the native PqSdcSum/PqLookupSum
@@ -155,8 +159,10 @@ object SemDedup {
     * heap — the centroid BUILD always trains on `corpus` itself. */
   private def shardedAssignment(corpus: DataFrame, numCentroids: Int, lloydIters: Int,
       maxCellSize: CellCap,
-      assignInput: Option[(DataFrame, Seq[String])] = None): DataFrame = {
-    val cents = IvfAnn.centroids(corpus, numCentroids, lloydIters)
+      assignInput: Option[(DataFrame, Seq[String])] = None,
+      precomputedCents: Option[DataFrame] = None): DataFrame = {
+    val cents = precomputedCents.getOrElse(
+      IvfAnn.centroids(corpus, numCentroids, lloydIters))
     val (input, carry) = assignInput.getOrElse((corpus, Seq.empty[String]))
     val asg = IvfAnn.assign(input, cents, carry)
     // cell sizes: one row per centroid — bounded by nlist (≈ √N),

@@ -1094,14 +1094,18 @@ object Versioned {
     val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
       .withColumn("bkt", bktCol(keys, spec.numBuckets)))
-    // one aggregation job answers all three drop questions (size,
-    // key-uniqueness, upsert count) the previous code asked with
-    // three separate actions over the same checkpoint (guide §1.2:
-    // don't recompute what one pass already knows)
+    // ONE aggregation job answers all the drop questions (size,
+    // key-uniqueness, upsert count, touched buckets) the previous
+    // code asked with separate actions over the same checkpoint
+    // (guide §1.2: don't recompute what one pass already knows; the
+    // bucket id is a pure function of the key, so first(bkt) per key
+    // group is exact)
     val keyAgg = d.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"),
-        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"))
-      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")))
+        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"),
+        first(col("bkt")).as("__b"))
+      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")),
+        collect_set(col("__b")))
       .collect().head
     val nDrop = if (keyAgg.isNullAt(0)) 0L else keyAgg.getLong(0)
     val nDropKeys = keyAgg.getLong(1)
@@ -1160,7 +1164,12 @@ object Versioned {
         nd.join(broadcast(d.select(keys.map(col): _*)), keys, "left_anti"),
         allowMissingColumns = true))
     }
-    val touched = dAll.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // no pending deltas (the common case): the drop's own bucket set
+    // from the keyAgg pass; with deltas folded in, dAll adds net-delta
+    // keys, so their buckets still need the distinct scan
+    val touched =
+      if (spec.deltas.isEmpty) keyAgg.getSeq[Int](3).sorted
+      else dAll.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
     // reading every owning directory with the WIDENED schema makes the
     // parquet reader null-fill missing columns by name (no per-frame
@@ -1414,12 +1423,17 @@ object Versioned {
     val d = eager(drop
       .withColumn("__del", coalesce(deleted.cast("boolean"), lit(false)))
       .withColumn("bkt", bktCol(keys, spec.numBuckets)))
-    // one aggregation job answers size, key-uniqueness and the upsert
-    // count together (the merge fast-path discipline)
+    // ONE aggregation job answers size, key-uniqueness, the upsert
+    // count AND the touched-bucket set together (the merge fast-path
+    // discipline; the bucket id is a pure function of the key, so
+    // first(bkt) per key group is exact and the previous separate
+    // distinct-scan job for `touched` folds in, guide §1.2)
     val keyAgg = d.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"),
-        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"))
-      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")))
+        sum(when(col("__del"), 0L).otherwise(1L)).as("__u"),
+        first(col("bkt")).as("__b"))
+      .agg(sum(col("__n")), count(lit(1)), sum(col("__u")),
+        collect_set(col("__b")))
       .collect().head
     val nDrop = if (keyAgg.isNullAt(0)) 0L else keyAgg.getLong(0)
     val upsertRows = if (keyAgg.isNullAt(2)) 0L else keyAgg.getLong(2)
@@ -1427,7 +1441,7 @@ object Versioned {
     require(nDrop == keyAgg.getLong(1),
       s"drop has duplicate '${spec.key}' keys — upsert/delete order within a drop is undefined")
 
-    val touched = d.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touched = keyAgg.getSeq[Int](3).sorted
 
     val tableFields = widenedFields(spark, root, spec)
     // the same evolution/marker discipline as merge: added columns

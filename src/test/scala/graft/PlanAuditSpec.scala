@@ -204,7 +204,12 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q_nb_calibration: the nb_quality model-build shape plus the one doc_id probe") {
-    assert(keyShuffles(plan("q_nb_calibration")) === 6)
+    // r16: the class-doc-count table is checkpointed and the total-doc
+    // count derives from its sum, so the prior build's two extra
+    // train-corpus aggregates left the plan — 6 key shuffles became 4
+    // (train token counts, class-doc counts, per-doc score agg + its
+    // window, and the tiny class-mass agg fold into those)
+    assert(keyShuffles(plan("q_nb_calibration")) === 4)
   }
 
   test("q_join_discovery: the pair stage reads only the checkpointed sketch table") {
